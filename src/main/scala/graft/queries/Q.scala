@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named, driver-checkable query: a Spark DataFrame program plus (when
+  * SQL-expressible) an equivalent ANSI SQL string the driver runs in DuckDB
+  * on the same parquet tables. Column names AND types must match between
+  * the two — the driver sorts columns by name and hash-compares values.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+object Q {
+
+  /** Load one of the driver-generated tables from the given sf directory. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * cannot read natively. Read nanos as a long (legacy conf) and convert
+    * to a micros TimestampType — lossless here (generator emits whole
+    * microseconds; DuckDB applies the same ns→us truncation).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Exact decimal sum cast back to double.
+    *
+    * Cross-engine float discipline: double sums depend on reduction order,
+    * so a Spark `sum(double)` will not hash-match DuckDB bit-for-bit.
+    * Summing in decimal is exact and order-independent in both engines;
+    * the final cast to double is then deterministic. The data's numeric
+    * columns carry ≤2 fractional digits, so DECIMAL(18,4) is lossless.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Exact decimal conditional sum (cast to double). */
+  def dsumWhen(cond: Column, c: Column): Column =
+    sum(when(cond, c.cast(DecimalType(18, 4)))
+      .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
+
+  /** Order-independent average: exact decimal sum / count, divided as
+    * doubles (single deterministic division in both engines).
+    */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+}

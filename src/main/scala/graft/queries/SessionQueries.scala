@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Sessionize
+
+/** Queries exercising the reference-derived operators (SURVEY.md §2) on the
+  * driver's `events` table. Mapping (FIXTURES.md §3): `user_id` ↔ reqUser,
+  * `ts` ↔ evtTime, `event_type='error'` ↔ denied (`result != 1`),
+  * `value` ↔ `event_count` weight, `props` ↔ the raw-JSON parse surface.
+  */
+object SessionQueries {
+
+  /** Inactivity gap for the sessionization queries (seconds). */
+  val GapSeconds = 1800L
+
+  /** DuckDB gaps-and-islands equivalent of `session_window`:
+    * lag → new-session flag at gap boundary (Spark merges while
+    * next.ts < prev.ts + gap, so a new session starts at diff >= gap) →
+    * running sum = session id. Deterministic tie-break on event_id.
+    */
+  private def islands(gapSec: Long): String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, ts, event_type, value,
+       |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |                   OR ts >= prev_ts + INTERVAL $gapSec SECOND
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM lagged
+       |), sess AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |              ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged
+       |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // W1 + A1 + A2 + F1: event-time session window, incremental
+    // conditional weighted count, window finalizer, HAVING != 0.
+    Q(
+      "q_sessionize",
+      (spark, dir) =>
+        Sessionize
+          .deniedCounts(
+            Q.t(spark, dir, "events"),
+            timeCol = "ts",
+            keyCol = "user_id",
+            gap = s"$GapSeconds seconds",
+            denied = col("event_type") === "error",
+            weight = col("value").cast(DecimalType(18, 4))
+          )
+          .withColumn("denies", col("denies").cast("double")),
+      Some(
+        s"""${islands(GapSeconds)}
+           |SELECT user_id,
+           |       CAST(SUM(CASE WHEN event_type = 'error'
+           |                     THEN CAST(value AS DECIMAL(18,4))
+           |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS denies,
+           |       MIN(ts) AS session_start,
+           |       MAX(ts) + INTERVAL $GapSeconds SECOND AS session_end
+           |FROM sess
+           |GROUP BY user_id, sid
+           |HAVING SUM(CASE WHEN event_type = 'error'
+           |                THEN CAST(value AS DECIMAL(18,4))
+           |                ELSE CAST(0 AS DECIMAL(18,4)) END) <> 0""".stripMargin
+      )
+    ),
+
+    // F2: the stdout/Kafka string projection (App.java:69-74) over an
+    // integer-weighted session count (weight 1 per denied event).
+    Q(
+      "q_session_format",
+      (spark, dir) =>
+        Sessionize.formatResults(
+          Sessionize.deniedCounts(
+            Q.t(spark, dir, "events"),
+            timeCol = "ts",
+            keyCol = "user_id",
+            gap = s"$GapSeconds seconds",
+            denied = col("event_type") === "error",
+            weight = lit(1L)
+          ),
+          keyCol = "user_id"
+        ),
+      Some(
+        s"""${islands(GapSeconds)}
+           |SELECT printf('user=''%d'' denies=%d start=%d end=%d',
+           |              user_id,
+           |              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT),
+           |              epoch_ms(MIN(ts)),
+           |              epoch_ms(MAX(ts) + INTERVAL $GapSeconds SECOND)) AS value
+           |FROM sess
+           |GROUP BY user_id, sid
+           |HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) <> 0""".stripMargin
+      )
+    ),
+
+    // P1: lenient JSON parse (from_json PERMISSIVE) of the props column.
+    Q(
+      "q_parse_json",
+      (spark, dir) =>
+        Q.t(spark, dir, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k")
+          ),
+      Some(
+        """SELECT event_id,
+          |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+          |FROM events""".stripMargin
+      )
+    ),
+
+    // S2 analog: date-partition pruning predicate (DateFileFilter) as a
+    // pushed-down min-date filter.
+    Q(
+      "q_date_prune",
+      (spark, dir) =>
+        Q.t(spark, dir, "events")
+          .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+          .select(col("event_id"), col("ts"), col("user_id")),
+      Some(
+        """SELECT event_id, ts, user_id
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'""".stripMargin
+      )
+    ),
+
+    // T1 analog (batch twin of the 2-day bounded-out-of-orderness
+    // watermark): drop rows older than max event time minus 2 days.
+    Q(
+      "q_late_drop",
+      (spark, dir) => {
+        val ev = Q.t(spark, dir, "events")
+        val bound = ev.agg(
+          (max(col("ts")) - expr("INTERVAL 2 DAYS")).as("wm")
+        )
+        // broadcast the 1-row bound — no driver collect, no shuffle
+        ev.crossJoin(broadcast(bound))
+          .filter(col("ts") >= col("wm"))
+          .select(col("event_id"), col("ts"), col("user_id"))
+      },
+      Some(
+        """SELECT event_id, ts, user_id
+          |FROM events
+          |WHERE ts >= (SELECT MAX(ts) - INTERVAL 2 DAY FROM events)""".stripMargin
+      )
+    )
+  )
+}
