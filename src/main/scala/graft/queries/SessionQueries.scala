@@ -16,9 +16,10 @@ object SessionQueries {
   val GapSeconds = 1800L
 
   /** DuckDB gaps-and-islands equivalent of `session_window`:
-    * lag → new-session flag at gap boundary (Spark merges while
-    * next.ts < prev.ts + gap, so a new session starts at diff >= gap) →
-    * running sum = session id. Deterministic tie-break on event_id.
+    * lag → new-session flag at gap boundary → running sum = session id.
+    * Spark merges closed-interval (events exactly `gap` apart share a
+    * session — pinned in SessionizeSpec), so a new session starts only
+    * when diff > gap. Deterministic tie-break on event_id.
     */
   private def islands(gapSec: Long): String =
     s"""WITH lagged AS (
@@ -27,7 +28,7 @@ object SessionQueries {
        |  FROM events
        |), flagged AS (
        |  SELECT *, CASE WHEN prev_ts IS NULL
-       |                   OR ts >= prev_ts + INTERVAL $gapSec SECOND
+       |                   OR ts > prev_ts + INTERVAL $gapSec SECOND
        |                 THEN 1 ELSE 0 END AS new_sess
        |  FROM lagged
        |), sess AS (

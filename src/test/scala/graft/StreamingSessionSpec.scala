@@ -1,0 +1,89 @@
+package graft
+
+import java.util.Properties
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.AuditSessionPipeline
+
+/** Streaming parity: the reference's 4-event MiniCluster test
+  * (`TestAuditSession.java`) on Structured Streaming — MemoryStream in,
+  * Append-mode session aggregation, memory sink out. A watermark-advancing
+  * flush record stands in for Flink's end-of-bounded-stream watermark.
+  */
+class StreamingSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def audit(user: String, result: Int, count: Int, time: String): String =
+    s"""{"reqUser":"$user","repo":"r","result":$result,"event_count":$count,""" +
+      s""""evtTime":"$time"}"""
+
+  test("streaming 4-event scenario emits (wdyson,10) and (bob,2) on watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val lines = input.toDF().withColumnRenamed("value", "value")
+
+    // zero out-of-orderness = the test's forMonotonousTimestamps
+    val sessions = AuditSessionPipeline.transform(lines, gapSeconds = 1200, watermark = "0 seconds")
+
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        audit("wdyson", 0, 10, "2022-09-26 10:00:00.000"),
+        audit("wdyson", 1, 1, "2022-09-26 10:10:00.000"),
+        audit("bob", 0, 1, "2022-09-26 10:10:00.000"),
+        audit("bob", 0, 1, "2022-09-26 10:20:00.000")
+      )
+      query.processAllAvailable()
+      // advance the watermark far past both session ends to force emission
+      input.addData(audit("flush", 1, 1, "2022-09-28 00:00:00.000"))
+      query.processAllAvailable()
+
+      val out = spark.table("sessions_out").orderBy("reqUser").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[String]("reqUser") == "bob")
+      assert(out(0).getAs[Long]("denies") == 2L)
+      assert(out(1).getAs[String]("reqUser") == "wdyson")
+      assert(out(1).getAs[Long]("denies") == 10L)
+    } finally query.stop()
+  }
+
+  test("config loader parses reference keys and kafka.* passthrough") {
+    val props = new Properties()
+    props.setProperty("audit.path", "/data/audit")
+    props.setProperty("audit.poll", "240")
+    props.setProperty("audit.min_date", "20210101")
+    props.setProperty("session.duration", "600")
+    props.setProperty("session.output", "kafka")
+    props.setProperty("kafka.topic", "sessions")
+    props.setProperty("kafka.bootstrap.servers", "broker:9092")
+    props.setProperty("kafka.security.protocol", "SASL_SSL")
+    val c = AuditSessionPipeline.Config.fromProperties(props)
+    assert(c.auditPath == "/data/audit")
+    assert(c.pollSeconds == 240L)
+    assert(c.minDate.contains("20210101"))
+    assert(c.gapSeconds == 600L)
+    assert(c.output == "kafka")
+    assert(c.kafkaTopic.contains("sessions"))
+    assert(c.kafkaOptions == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "kafka.security.protocol" -> "SASL_SSL"
+    ))
+  }
+
+  test("config defaults: poll=240, output=kafka; missing required key throws") {
+    val props = new Properties()
+    props.setProperty("audit.path", "/data")
+    props.setProperty("session.duration", "600")
+    val c = AuditSessionPipeline.Config.fromProperties(props)
+    assert(c.pollSeconds == 240L && c.output == "kafka" && c.minDate.isEmpty)
+    val bad = new Properties()
+    bad.setProperty("audit.path", "/data")
+    assertThrows[IllegalArgumentException](AuditSessionPipeline.Config.fromProperties(bad))
+  }
+}
