@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers:
+  *   - `bruteForceTopK` — exact cosine top-k, O(|queries|·|corpus|).
+  *     Correct baseline; at scale only viable when the query side is
+  *     small enough to broadcast (which is exactly how it is planned:
+  *     the corpus never shuffles, queries replicate to it).
+  *   - `ivfTopK` — IVF-style partitioned search: corpus vectors are
+  *     assigned to their nearest centroid once; queries probe only the
+  *     `nProbe` nearest centroid partitions. The candidate join is
+  *     equi-join on centroid id, so at 100 TB the corpus shuffles once
+  *     at build time (or is written bucketed by centroid) and each query
+  *     touches nProbe/C of the data. Recall < 1 by construction; the
+  *     spec pins recall against the brute-force baseline.
+  *
+  * All math is double-precision column arithmetic (`zip_with` +
+  * `aggregate`) — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) rows to search
+    * @param queries (idCol, vecCol) rows to search for — must be small
+    *                (broadcast); exclude self-matches by id inequality
+    * @return (query_id, neighbor_id, rank) — cosine kept internal so the
+    *         result is exactly reproducible (float-sum rounding can't
+    *         flip a hash compare; ranks are stable for non-degenerate
+    *         data, ties broken by neighbor_id)
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** As `bruteForceTopK` but keeping the similarity (for tests/inspection;
+    * not oracle-hashable because float-sum rounding is engine-specific).
+    */
+  def bruteForceTopKScored(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Assign every vector to its nearest centroid (by cosine).
+    * `centroids` must be small (broadcast).
+    */
+  def assignToCentroids(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidIdCol: String = "centroid_id"
+  ): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cid").asc)
+    vectors
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col(vecCol), col("centroid")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .drop("csim", "crank", "centroid")
+      .withColumnRenamed("cid", centroidIdCol)
+  }
+
+  /** IVF-style ANN: probe the nProbe nearest centroid cells per query.
+    * Centroids here are taken deterministically (first `nCells` corpus
+    * vectors by id) — a stand-in for k-means that keeps results
+    * reproducible; swap in trained centroids at deployment.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("centroid_id"))
+
+    // each query probes its nProbe nearest centroids
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qvec"), col("centroid")))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cid").as("centroid_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`.
+    * Exact (quadratic) — appropriate for moderate corpora or as the
+    * verifier behind an LSH candidate generator.
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, quality scoring, language ID, and document fingerprinting.
+  *
+  * Everything here is a pure column expression built from
+  * `org.apache.spark.sql.functions` — fully codegen'd, no UDFs, no
+  * shuffles. At 100 TB these run as map-only stages inside whole-stage
+  * codegen over the parquet scan, so throughput is scan-bound.
+  */
+object TextAnalysis {
+
+  /** Tokens on whitespace runs. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish proxy token count: words and punctuation marks counted
+    * separately (the usual pre-tokenizer regex shape).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9']+"), c => c =!= "")) +
+      size(filter(split(text, "[A-Za-z0-9'\\s]+"), c => c =!= ""))
+
+  /** Punctuation character count (fixed class, engine-portable). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Count of tokens in a fixed stopword set. */
+  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Heuristic quality score in [0,1]: length-normalized with stopword
+    * and punctuation ratio terms (the usual cheap pre-filter before
+    * model-based scoring). Single double division per term keeps the
+    * value deterministic across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / nTok
+    val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
+    val lengthTerm = least(nTok / lit(64.0), lit(1.0))
+    // weights: long-enough docs with some stopwords and little
+    // punctuation score high
+    lengthTerm * lit(0.5) + least(stopRatio * lit(4.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.1)
+  }
+
+  /** Language-ID by marker-token counting (classic n-gram/stopword
+    * heuristic, deterministic). Ties resolve to the lexicographically
+    * smallest language code.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "das", "und"),
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "un", "les"),
+    "zh" -> Seq("的", "是", "了")
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens(text), t => t.isin(markers: _*)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with smallest-code tie-break: left-to-right fold over the
+    // (alphabetically ordered) languages, strictly-greater to replace
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Rolling polynomial fingerprint of the whole document:
+    * h = (h * 31 + codepoint) mod 1e9+7, over every character. Stable
+    * across engines (pure integer arithmetic) — the cheap exact-dup /
+    * shard-routing key.
+    */
+  val FingerprintMod = 1000000007L
+
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (h, c) => (h * lit(31L) + ascii(c)) % lit(FingerprintMod)
+    )
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star LLM-data-pipeline operators (BASELINE.json `north_star`)
+  * over the `documents` / `embeddings` tables: dedup (exact, Jaccard,
+  * MinHash+LSH, SimHash), similarity search (brute-force + IVF ANN,
+  * cosine near-dup), text analysis (token counts, quality, lang-ID,
+  * fingerprints), multimodal binary plumbing.
+  *
+  * Queries whose math is pure integer/single-division arithmetic carry a
+  * DuckDB oracle. Ranked float results expose rank/ids only (float-sum
+  * rounding is engine-specific; ranks are stable). MinHash/SimHash/IVF
+  * land as rows-only checks here and are cross-checked against exact
+  * baselines in DedupSpec/SimilaritySpec.
+  */
+object NorthStarQueries {
+
+  /** Tokens, mirrored exactly in DuckDB as regexp_split_to_array. */
+  private val SqlToks = "regexp_split_to_array(text, '\\s+')"
+
+  private def markerCount(markers: Seq[String]): String =
+    s"len(list_filter($SqlToks, t -> list_contains(${markers.mkString("['", "','", "']")}, t)))"
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------- text analysis
+
+    Q(
+      "q_token_count",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          TextAnalysis.subwordCount(col("text")).as("n_subword")
+        ),
+      Some(
+        s"""SELECT doc_id,
+           |  CAST(len($SqlToks) AS INT) AS n_tok,
+           |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9'']+'), c -> c <> ''))
+           |     + len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9''\\s]+'), c -> c <> '')) AS INT) AS n_subword
+           |FROM documents""".stripMargin
+      )
+    ),
+
+    Q(
+      "q_text_quality",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.qualityScore(col("text")).as("quality")
+        ),
+      Some(
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    CAST(len($SqlToks) AS INT) AS n_tok,
+           |    CAST(${markerCount(TextAnalysis.DefaultStopwords)} AS INT) AS n_stop,
+           |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+           |    CAST(length(text) AS INT) AS n_chars
+           |  FROM documents)
+           |SELECT doc_id, n_tok, n_stop, n_punct,
+           |  least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
+           |    + least(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 4.0, 1.0) * 0.4
+           |    + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.1
+           |    AS quality
+           |FROM m""".stripMargin
+      )
+    ),
+
+    Q(
+      "q_lang_id",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents").select(
+          col("doc_id"),
+          col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred")
+        ),
+      Some {
+        val s = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+          lang -> markerCount(markers)
+        }
+        val Seq(de, en, es, fr, zh) = s.map(_._2)
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+           |       WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+           |       WHEN $es >= $fr AND $es >= $zh THEN 'es'
+           |       WHEN $fr >= $zh THEN 'fr'
+           |       ELSE 'zh' END AS lang_pred
+           |FROM documents""".stripMargin
+      }
+    ),
+
+    Q(
+      "q_fingerprint",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp")
+        ),
+      Some(
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |    (h, c) -> (h * 31 + c) % ${TextAnalysis.FingerprintMod}) AS fp
+           |FROM documents""".stripMargin
+      )
+    ),
+
+    // ------------------------------------------------------------- dedup
+
+    Q(
+      "q_dedup_exact",
+      (spark, dir) =>
+        Dedup.exactGroups(Q.t(spark, dir, "documents"), "doc_id", "text"),
+      Some(
+        """SELECT sha256(text) AS digest,
+          |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+          |FROM documents GROUP BY sha256(text)""".stripMargin
+      )
+    ),
+
+    Q(
+      "q_dedup_jaccard",
+      (spark, dir) =>
+        Dedup.jaccardPairs(Q.t(spark, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.4),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT id,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * 131 + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+           |), sizes AS (
+           |  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+           |), filtered AS (
+           |  SELECT * FROM (
+           |    SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS freq FROM sh)
+           |  WHERE freq <= ${Dedup.MaxShingleFreq}
+           |), common AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+           |  FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY a.id, b.id
+           |)
+           |SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+           |       CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+           |FROM common
+           |JOIN sizes sa ON sa.id = id_a
+           |JOIN sizes sb ON sb.id = id_b
+           |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4""".stripMargin
+      )
+    ),
+
+    // rows-only checks (cross-checked against exact baselines in specs)
+    Q(
+      "q_dedup_minhash",
+      (spark, dir) =>
+        Dedup.minhashLshPairs(Q.t(spark, dir, "documents"), "doc_id", "text"),
+      None
+    ),
+    Q(
+      "q_dedup_simhash",
+      (spark, dir) =>
+        Dedup.simhashPairs(Q.t(spark, dir, "documents"), "doc_id", "text"),
+      None
+    ),
+    Q(
+      "q_simhash_values",
+      (spark, dir) =>
+        Dedup.simhash(Q.t(spark, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id"),
+      None
+    ),
+
+    // -------------------------------------------------------- similarity
+
+    Q(
+      "q_ann_cosine",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+          |scored AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+          |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+          |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+          |)
+          |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+          |  SELECT query_id, neighbor_id,
+          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+          |  FROM scored) t
+          |WHERE rnk <= 5""".stripMargin
+      )
+    ),
+
+    Q(
+      "q_ann_ivf",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+      },
+      None
+    ),
+
+    Q(
+      "q_embed_neardup",
+      (spark, dir) =>
+        Similarity.cosineNearDupPairs(
+          Q.t(spark, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45),
+      None
+    ),
+
+    // -------------------------------------------------------- multimodal
+
+    Q(
+      "q_binary_meta",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents").select(
+          col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte")
+        ),
+      Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          |  CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+          |FROM documents""".stripMargin
+      )
+    ),
+
+    Q(
+      "q_multimodal_features",
+      (spark, dir) =>
+        Multimodal.extractFeatures(
+          Q.t(spark, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload"),
+      None
+    )
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operator semantics on crafted corpora: exact groups, n-gram
+  * Jaccard, MinHash+LSH vs the exact baseline, SimHash.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id as canonical") {
+    val d = docs(
+      1L -> "alpha beta gamma",
+      2L -> "alpha beta gamma",
+      3L -> "unique text here",
+      4L -> "alpha beta gamma"
+    )
+    val g = Dedup.exactGroups(d, "doc_id", "text").collect()
+    assert(g.length == 2)
+    val dup = g.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+
+    val kept = Dedup.dropExactDuplicates(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L)))
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs don't pair") {
+    val d = docs(
+      1L -> "one two three four five six",
+      2L -> "one two three four five six",
+      3L -> "totally different words entirely distinct tokens"
+    )
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.1)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    assert(p.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("jaccard: one-word edit on a 12-token doc lands in (0.5, 1)") {
+    val base = "a b c d e f g h i j k l"
+    val edit = "a b c d e f g h i j k X"
+    val pairs = Dedup.jaccardPairs(docs(1L -> base, 2L -> edit),
+      "doc_id", "text", n = 3, threshold = 0.1).collect()
+    assert(pairs.length == 1)
+    val j = pairs.head.getAs[Double]("jaccard")
+    // 10 shingles each; only the final "j k l"/"j k X" differs -> 9 common,
+    // union 11 -> 9/11
+    assert(math.abs(j - 9.0 / 11.0) < 1e-12)
+  }
+
+  test("minhash LSH finds the planted near-dup and estimates its jaccard") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 38).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val noise = (100 to 140).map(i => s"n$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> noise)
+
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.3).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+
+    // exact jaccard: 38 shingles each, 34 common -> 34/42 ≈ 0.81
+    val est = p.getAs[Double]("est_jaccard")
+    assert(est > 0.5 && est <= 1.0)
+  }
+
+  test("minhash LSH agrees with exact jaccard on the fixture corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every strongly-similar pair must be recalled by LSH
+    val recalled = exact.count(lsh.contains)
+    assert(exact.isEmpty || recalled.toDouble / exact.size >= 0.9,
+      s"LSH recalled $recalled of ${exact.size} exact pairs")
+  }
+
+  test("simhash: identical docs collide, different docs are distant") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "zq xv wk jm pf bd ng lr ts cy"
+    )
+    val values = Dedup.simhash(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(values(1L) == values(2L))
+    assert(java.lang.Long.bitCount(values(1L) ^ values(3L)) > 3)
+
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      == Set((1L, 2L)))
+    assert(pairs.head.getAs[Int]("dist") == 0)
+  }
+
+  test("shingles: n-gram construction is exact") {
+    val row = docs(1L -> "a b c d")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(row == Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity-search semantics: exact brute-force top-k, IVF recall vs
+  * the exact baseline, cosine near-dup pairs.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine, excludes self, breaks ties by id") {
+    // axis-aligned: 1 ~ 2 (same direction), orthogonal 3
+    val d = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(2f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f),
+      4L -> Seq(1f, 1f, 0f)
+    )
+    val top = Similarity.bruteForceTopK(d, d.filter(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect()
+    // cos(1,2)=1 > cos(1,4)=0.707 > cos(1,3)=0
+    assert(top.sameElements(Array(2L, 4L, 3L)))
+  }
+
+  test("IVF with full probing equals brute force; partial probing recalls most") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    // probing every cell ⇒ identical result set
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+
+    // probing 4/16 cells ⇒ recall well above chance (4/16 = 25%)
+    val partial = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(partial.contains).toDouble / exact.size
+    assert(recall >= 0.25, s"IVF recall $recall")
+  }
+
+  test("cosine near-dup pairs finds exactly the planted duplicate") {
+    val d = vecs(
+      1L -> Seq(1f, 2f, 3f),
+      2L -> Seq(2f, 4f, 6f), // same direction as 1
+      3L -> Seq(-3f, 1f, 0f)
+    )
+    val pairs = Similarity.cosineNearDupPairs(d, "vec_id", "embedding", 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("dot/norm/cosine column math is exact on known values") {
+    val row = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("dot"),
+        Similarity.norm(col("a")).as("na"),
+        Similarity.cosine(col("a"), col("b")).as("cos")
+      ).head()
+    assert(row.getAs[Double]("dot") == 4.0)
+    assert(row.getAs[Double]("na") == 3.0)
+    assert(math.abs(row.getAs[Double]("cos") - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Text-analysis expression semantics on known strings. */
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("token and subword counts") {
+    val r = one("the cat, sat. on the mat!")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.subwordCount(col("text")).as("n_sub"),
+        TextAnalysis.punctCount(col("text")).as("n_punct")
+      ).head()
+    assert(r.getAs[Int]("n_tok") == 6)
+    // 6 words + 3 punctuation marks (, . !)
+    assert(r.getAs[Int]("n_sub") == 9)
+    assert(r.getAs[Int]("n_punct") == 3)
+  }
+
+  test("stopword count uses the fixed set") {
+    val n = one("the cat and the dog of war")
+      .select(TextAnalysis.stopwordCount(col("text")).as("n")).head().getAs[Int]("n")
+    assert(n == 4) // the, and, the, of
+  }
+
+  test("quality score stays in [0,1] over the fixture corpus") {
+    val bounds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(min(col("q")), max(col("q"))).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+  }
+
+  test("language ID picks the language with the most marker tokens") {
+    val r = Seq(
+      "the cat and a dog walked over the hill",
+      "el perro y la casa de los gatos",
+      "le chien et un chat dans les arbres",
+      "der Hund und das Haus und der Baum"
+    ).toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+      .as[String].collect()
+    assert(r.sameElements(Array("en", "es", "fr", "de")))
+  }
+
+  test("fingerprint matches hand-computed rolling hash") {
+    // h("ab") = (0*31 + 97)*31 + 98 mod p = 3105
+    val fp = one("ab").select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .head().getAs[Long]("fp")
+    assert(fp == 97L * 31 + 98)
+  }
+
+  test("fingerprint is injective enough on the fixture corpus (no false collisions)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val agg = d.select(
+      countDistinct(col("text")).as("texts"),
+      countDistinct(TextAnalysis.fingerprint(col("text"))).as("fps")
+    ).head()
+    assert(agg.getAs[Long]("texts") == agg.getAs[Long]("fps"))
+  }
+}
