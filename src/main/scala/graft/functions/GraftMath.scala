@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernels behind the custom Catalyst expressions. Each is a
+  * static method (Scala object ⇒ Java static forwarders) so generated
+  * code can call it directly from within whole-stage codegen.
+  *
+  * Numeric discipline: every kernel reproduces, operation for operation,
+  * the sequential-fold semantics of the column-expression formulation it
+  * replaces (`aggregate`/`zip_with` left folds), so swapping them in is
+  * bitwise result-preserving and oracle-safe.
+  */
+object GraftMath {
+
+  /** Dot product of two float arrays in double precision — the codegen
+    * twin of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`: same
+    * left-to-right accumulation order, hence bitwise-identical sums.
+    */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Rolling polynomial hash h = (h·mult + codePoint) mod `mod` over the
+    * string's Unicode code points — the codegen twin of the
+    * `aggregate(split(s, ""), 0L, (h, ch) => (h·mult + ascii(ch)) % mod)`
+    * fold. mult and mod are sized so h·mult + 0x10FFFF never overflows a
+    * signed 64-bit long.
+    */
+  def polyHash(s: UTF8String, mult: Long, mod: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Seed of Spark's `xxhash64(...)` expression — token hashes here are
+    * bitwise those of the declarative `xxhash64(tok)` twin.
+    */
+  val XxSeed = 42L
+
+  /** One-pass 64-bit SimHash over whitespace tokens: token hash is
+    * XXH64 (full 64-bit width — every simhash bit carries signal, which
+    * the 16-bit-block candidate scheme in `Dedup.simhashPairs` relies
+    * on); bit j of the result is set when the count of tokens with bit j
+    * set exceeds the count without (±1 votes). Single map-side pass —
+    * replaces explode + 64 conditional aggregates + shuffle.
+    *
+    * Token split matches Spark's `split(text, "\\s+")` (limit -1 —
+    * leading whitespace yields an initial empty token, which still
+    * votes on every bit, exactly like the exploded formulation).
+    */
+  def simhash64(s: UTF8String, seed: Long): Long = {
+    val toks = s.toString.split("\\s+", -1)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val th = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(toks(t)), seed)
+      var j = 0
+      while (j < 64) {
+        if (((th >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}

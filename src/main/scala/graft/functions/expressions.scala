@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot kernels.
+  *
+  * The declarative formulations (`aggregate`/`zip_with` higher-order
+  * functions) are correct but interpreted — they fall out of whole-stage
+  * codegen and allocate per row. These expressions generate a single
+  * static-call into [[GraftMath]], so vector math and string hashing stay
+  * inside the fused codegen stage. At 100 TB these are the per-row /
+  * per-pair inner loops, so this is where codegen matters most.
+  */
+
+/** `graft_dot(array<float>, array<float>) -> double` — cosine building
+  * block; see [[GraftMath.dotF]].
+  */
+case class ArrayDotFloat(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftMath.dotF(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftMath.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_poly_hash(string) -> long` — deterministic rolling hash over
+  * code points; see [[GraftMath.polyHash]].
+  */
+case class StrPolyHash(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.polyHash(s.asInstanceOf[UTF8String], mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftMath.polyHash($c, ${mult}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): StrPolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_simhash64(string) -> long` — one-pass SimHash; see
+  * [[GraftMath.simhash64]].
+  */
+case class SimHash64(child: Expression, seed: Long = GraftMath.XxSeed)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.simhash64(s.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftMath.simhash64($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-level wrappers (the library's public function surface). */
+object GraftFunctions {
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Double-precision dot product of two `array<float>` columns. */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayDotFloat(e(a), e(b)))
+
+  /** Rolling polynomial string hash (code points), mod `mod`. */
+  def polyHash(c: Column, mult: Long, mod: Long): Column =
+    ColumnBridge.column(StrPolyHash(e(c), mult, mod))
+
+  /** One-pass 64-bit SimHash over whitespace tokens (XXH64 token hash). */
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(e(c)))
+}

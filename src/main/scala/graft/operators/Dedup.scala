@@ -56,13 +56,23 @@ object Dedup {
     * sized so h·mult + 0x10FFFF never exceeds a signed 64-bit long:
     * engines that check overflow (DuckDB) and engines that wrap (JVM)
     * then agree bit-for-bit.
+    *
+    * Runs as the native codegen'd [[graft.functions.StrPolyHash]];
+    * [[strHashFold]] is the declarative twin it is pinned against.
     */
+  val StrHashMult = 131L
   val StrHashMod = 1000000007L
   def strHash(c: Column): Column =
+    graft.functions.GraftFunctions.polyHash(c, StrHashMult, StrHashMod)
+
+  /** Higher-order-function formulation of [[strHash]] (slow path, kept
+    * as the semantic reference for the equivalence spec).
+    */
+  private[graft] def strHashFold(c: Column): Column =
     aggregate(
       filter(split(c, ""), ch => ch =!= ""),
       lit(0L),
-      (h, ch) => (h * lit(131L) + ascii(ch)) % lit(StrHashMod)
+      (h, ch) => (h * lit(StrHashMult) + ascii(ch)) % lit(StrHashMod)
     )
 
   /** Candidate-pair guard: shingles occurring in more than this many docs
@@ -70,6 +80,21 @@ object Dedup {
     * everything — pure skew, no signal).
     */
   val MaxShingleFreq = 1000
+
+  /** Emit every within-bucket id pair (id_a < id_b) from a
+    * (bucketCols..., sorted ids array) grouping — the shared
+    * candidate-generation kernel: group once on the bucket key, cap
+    * bucket size (hot-bucket guard), explode the C(f,2) pairs in place.
+    * One shuffle total; no self-join, so upstream pipelines run once
+    * instead of twice, and no per-key window pass.
+    */
+  private def bucketPairs(grouped: DataFrame, maxBucket: Int): DataFrame =
+    grouped
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity, restricted
     * to pairs sharing ≥1 (non-hot) shingle. Returns
@@ -89,17 +114,11 @@ object Dedup {
 
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
 
-    val filtered = sh
-      .withColumn("freq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("freq") <= MaxShingleFreq)
-      .drop("freq")
-
-    val a = filtered.select(col("id").as("id_a"), col("sh"))
-    val b = filtered.select(col("id").as("id_b"), col("sh"))
-    val common = a
-      .join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
+    // bucket by shingle; bucket size == shingle doc-frequency, so the
+    // size cap IS the hot-shingle guard
+    val common = bucketPairs(
+      sh.groupBy(col("sh")).agg(sort_array(collect_list(col("id"))).as("ids")),
+      MaxShingleFreq)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
 
@@ -166,7 +185,8 @@ object Dedup {
       n: Int = 3,
       k: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
@@ -184,17 +204,22 @@ object Dedup {
     // shuffle a compact (band, hash) key, not the long[] itself; false
     // bucket collisions are removed by the signature check below
     val bucketed = banded.select(
-      col("id"), col("signature"),
-      col("band"), xxhash64(col("band_sig")).as("bucket"))
-    val a = bucketed.select(col("id").as("id_a"), col("signature").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("signature").as("sig_b"),
-      col("band"), col("bucket"))
+      col("id"), col("band"), xxhash64(col("band_sig")).as("bucket"))
 
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    // group per bucket, explode candidate pairs, then attach the two
+    // signatures back via equi-joins on id (compact keys; the candidate
+    // set is tiny relative to the corpus). `maxBucket` caps degenerate
+    // buckets (thousands of mutual near-dups) when the quadratic
+    // within-bucket blowup matters more than completeness.
+    val cand = bucketPairs(
+      bucketed.groupBy(col("band"), col("bucket"))
+        .agg(sort_array(collect_set(col("id"))).as("ids")),
+      maxBucket)
       .distinct()
+
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
       .withColumn(
         "est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
@@ -206,17 +231,31 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over token hashes: bit j of the result is set when
-    * the sum over tokens of ±1 (sign of token-hash bit j) is positive.
-    * Computed as 64 conditional sums in one aggregation — no bit-position
-    * explode, stays in whole-stage codegen.
+  /** 64-bit SimHash over XXH64 token hashes: bit j of the result is set
+    * when the sum over tokens of ±1 (sign of token-hash bit j) is
+    * positive. Full-width token hashes make every simhash bit carry
+    * signal — the 16-bit-block candidate scheme in [[simhashPairs]]
+    * depends on that.
+    *
+    * Computed by the one-pass codegen'd [[graft.functions.SimHash64]] —
+    * a pure map-side expression: no token explode, no aggregation, no
+    * shuffle. At 100 TB this makes signature computation scan-bound.
+    * [[simhashAgg]] is the declarative twin it is pinned against.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("simhash"))
+
+  /** Explode + 64-conditional-sums formulation of [[simhash]] (slow
+    * path, kept as the semantic reference for the equivalence spec).
+    */
+  private[graft] def simhashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(
       col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok")
     )
-    val withHash = toks.select(col("id"), strHash(col("tok")).as("th"))
+    val withHash = toks.select(col("id"), xxhash64(col("tok")).as("th"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("th"), j) % 2 =!= 0, 1).otherwise(-1)).as(s"b$j")
     }
@@ -235,16 +274,17 @@ object Dedup {
     val sh = simhash(docs, idCol, textCol)
     val blocked = sh.select(
       col("id"),
-      col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16) % 65536): _*)).as(Seq("block", "block_val"))
     )
-    val a = blocked.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("block"), col("block_val"))
-    val b = blocked.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("block"), col("block_val"))
-    a.join(b, Seq("block", "block_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val cand = bucketPairs(
+      blocked.groupBy(col("block"), col("block_val"))
+        .agg(sort_array(collect_set(col("id"))).as("ids")),
+      Int.MaxValue)
       .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")

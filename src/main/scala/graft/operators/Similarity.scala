@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Two tiers:
@@ -19,18 +21,19 @@ import org.apache.spark.sql.functions._
   *     touches nProbe/C of the data. Recall < 1 by construction; the
   *     spec pins recall against the brute-force baseline.
   *
-  * All math is double-precision column arithmetic (`zip_with` +
-  * `aggregate`) — codegen'd, no UDFs.
+  * Per-pair math is the native codegen'd dot kernel
+  * ([[graft.functions.ArrayDotFloat]]); norms are hoisted out of every
+  * join — computed once per row on each side, so a pair costs exactly
+  * one 64-wide dot product inside whole-stage codegen. The hoisting is
+  * bitwise result-preserving (the norm value is the same double either
+  * way), so ranks — and oracle hashes — are unchanged.
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float> columns, in double (codegen'd). */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dotF(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -50,20 +53,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int
-  ): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val scored = c
-      .crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  ): DataFrame =
+    bruteForceTopKScored(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-  }
 
   /** As `bruteForceTopK` but keeping the similarity (for tests/inspection;
     * not oracle-hashable because float-sum rounding is engine-specific).
@@ -75,13 +67,15 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnorm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("sim", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -97,15 +91,18 @@ object Similarity {
       vecCol: String,
       centroidIdCol: String = "centroid_id"
   ): DataFrame = {
-    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"),
+      norm(col(vecCol)).as("cent_norm"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("csim").desc, col("cid").asc)
     vectors
+      .withColumn("vec_norm", norm(col(vecCol)))
       .crossJoin(broadcast(cent))
-      .withColumn("csim", cosine(col(vecCol), col("centroid")))
+      .withColumn("csim",
+        dot(col(vecCol), col("centroid")) / (col("vec_norm") * col("cent_norm")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
-      .drop("csim", "crank", "centroid")
+      .drop("csim", "crank", "centroid", "cent_norm", "vec_norm")
       .withColumnRenamed("cid", centroidIdCol)
   }
 
@@ -126,26 +123,30 @@ object Similarity {
     val centroids = corpus.orderBy(col(idCol)).limit(nCells)
 
     val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("centroid_id"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnorm"), col("centroid_id"))
 
     // each query probes its nProbe nearest centroids
-    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"),
+      norm(col(vecCol)).as("cent_norm"))
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cid").asc)
     val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
       .crossJoin(broadcast(cent))
-      .withColumn("csim", cosine(col("qvec"), col("centroid")))
+      .withColumn("csim",
+        dot(col("qvec"), col("centroid")) / (col("qnorm") * col("cent_norm")))
       .withColumn("crank", row_number().over(qw))
       .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("cid").as("centroid_id"))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cid").as("centroid_id"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     assigned
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("sim", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -161,11 +162,14 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      norm(col(vecCol)).as("norm_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      norm(col(vecCol)).as("norm_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b")
   }

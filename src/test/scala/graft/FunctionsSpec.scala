@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+
+/** The native codegen kernels must be bitwise-equal to the declarative
+  * (higher-order-function) formulations they replaced — checked over the
+  * real fixture corpus, not toy strings.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("StrPolyHash equals the aggregate/split fold on the fixture corpus") {
+    val mismatches = docs
+      .select(
+        Dedup.strHash(col("text")).as("fast"),
+        Dedup.strHashFold(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("StrPolyHash handles empties and non-ASCII code points") {
+    val r = Seq("", "a", "héllo wörld", "的是了 mixed 文本").toDF("s")
+      .select(
+        GraftFunctions.polyHash(col("s"), 131L, 1000000007L).as("fast"),
+        Dedup.strHashFold(col("s")).as("slow"))
+      .collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1), row.toString))
+    assert(r.head.getLong(0) == 0L) // empty string
+  }
+
+  test("SimHash64 equals the explode + 64-aggregate formulation") {
+    val fast = Dedup.simhash(docs, "doc_id", "text")
+    val slow = Dedup.simhashAgg(docs, "doc_id", "text")
+    val diff = fast.as("f").join(slow.as("s"), "id")
+      .filter(col("f.simhash") =!= col("s.simhash"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("ArrayDotFloat equals the zip_with/aggregate fold on embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val hofDot = {
+      // the declarative formulation the kernel replaced
+      val pairs = emb.select(col("embedding").as("a"))
+        .crossJoin(emb.limit(5).select(col("embedding").as("b")))
+      pairs.select(
+        GraftFunctions.dotF(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("slow"))
+    }
+    val bad = hofDot.filter(col("fast") =!= col("slow")).count()
+    assert(bad == 0)
+  }
+
+  test("expressions eval standalone; GraftExtensions injects cleanly") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{SimHash64, StrPolyHash}
+    // h("ab") = (0·131 + 97)·131 + 98
+    assert(StrPolyHash(Literal("ab"), 131L, 1000000007L).eval() ==
+      97L * 131 + 98)
+    assert(StrPolyHash(Literal(""), 131L, 1000000007L).eval() == 0L)
+    // single token with hash h -> simhash == h (every set bit wins 1-0,
+    // every clear bit loses 0-1)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString("ab"), 42L)
+    assert(SimHash64(Literal("ab")).eval() == h)
+
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+}
