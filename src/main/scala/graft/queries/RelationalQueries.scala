@@ -114,19 +114,22 @@ object RelationalQueries {
       )
     ),
 
-    // Anti join: customers with no orders (NOT EXISTS).
+    // Anti join: customers with no large order (NOT EXISTS with a
+    // pushed-down build-side filter; non-empty at every SF).
     Q(
       "q_anti_join",
       (spark, dir) => {
         val cust = Q.t(spark, dir, "customer")
-        val orders = Q.t(spark, dir, "orders")
+        val bigOrders = Q.t(spark, dir, "orders")
+          .filter(col("o_totalprice") > 300000)
         cust
-          .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+          .join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
       },
       Some(
         """SELECT c_custkey, c_name FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
       )
     ),
 

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics: backward direction, tie-at-equal-time included,
+  * null when no prior build row, per-key isolation.
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latest build time at-or-before each probe row, per key") {
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 10:30:00")),
+      (4L, 30L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:30:00")),
+      (10L, ts("2024-01-01 11:59:00")),
+      (20L, ts("2024-01-01 10:30:00")), // exact tie -> included
+      (20L, ts("2024-01-01 11:00:00"))  // after probe -> excluded
+    ).toDF("user_id", "ts")
+
+    val out = AsofJoin
+      .lastTimeBefore(probe, build, "user_id", "ts", "last_ts")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Timestamp]("last_ts")))
+      .toMap
+
+    assert(out(1L).contains(ts("2024-01-01 09:30:00")))
+    assert(out(2L).contains(ts("2024-01-01 11:59:00")))
+    assert(out(3L).contains(ts("2024-01-01 10:30:00")))
+    assert(out(4L).isEmpty) // key 30 has no build rows
+  }
+
+  test("probe schema is preserved and row count unchanged") {
+    val probe = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "x"))
+      .toDF("event_id", "user_id", "ts", "payload")
+    val build = Seq((5L, ts("2023-12-31 00:00:00"))).toDF("user_id", "ts")
+    val out = AsofJoin.lastTimeBefore(probe, build, "user_id", "ts", "last_ts")
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "payload", "last_ts"))
+    assert(out.count() == 1)
+  }
+}
