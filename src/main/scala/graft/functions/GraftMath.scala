@@ -47,6 +47,76 @@ object GraftMath {
     h
   }
 
+  /** All token-n-gram shingle hashes of a document in one pass:
+    * whitespace tokens (limit -1, like Spark's `split`), each window of
+    * n tokens hashed with [[polyHash]] semantics over the
+    * space-rejoined shingle text. Emits one hash per window position
+    * (callers `array_distinct` as needed); empty result when the doc
+    * has fewer than n tokens.
+    *
+    * Replaces split → sequence → slice → concat_ws → per-shingle hash
+    * (five interpreted higher-order passes with per-shingle string
+    * allocation) with a single codegen-resident loop.
+    */
+  def ngramHashes(s: UTF8String, n: Int, mult: Long, mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.toString.split("\\s+", -1)
+    val m = toks.length - n + 1
+    if (m <= 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    }
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var k = 0
+      while (k < n) {
+        if (k > 0) h = (h * mult + ' '.toInt) % mod
+        val t = toks(i + k)
+        var ci = 0
+        while (ci < t.length) {
+          val cp = t.codePointAt(ci)
+          h = (h * mult + cp) % mod
+          ci += Character.charCount(cp)
+        }
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** MinHash signature of a pre-hashed shingle set in one pass: k
+    * universal-hash permutations h_j(x) = (x·a_j + b_j) mod p, minimum
+    * per j. Null for an empty input (no shingles ⇒ no signature), so
+    * callers can drop sub-n-token docs exactly like the groupBy
+    * formulation (which simply has no rows for them).
+    */
+  def minhashSig(
+      hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: Array[Long],
+      b: Array[Long],
+      p: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val k = a.length
+    val mins = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val x = hashes.getLong(i) % p
+        val v = (x * a(j) + b(j)) % p
+        if (v < best) best = v
+        i += 1
+      }
+      mins(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Seed of Spark's `xxhash64(...)` expression — token hashes here are
     * bitwise those of the declarative `xxhash64(tok)` twin.
     */

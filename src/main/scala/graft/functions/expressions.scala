@@ -80,6 +80,58 @@ case class SimHash64(child: Expression, seed: Long = GraftMath.XxSeed)
     copy(child = newChild)
 }
 
+/** `graft_ngram_hashes(string) -> array<long>` — all n-gram shingle
+  * hashes in one pass; see [[GraftMath.ngramHashes]].
+  */
+case class NgramPolyHash(child: Expression, n: Int, mult: Long, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.ngramHashes(s.asInstanceOf[UTF8String], n, mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftMath.ngramHashes($c, $n, ${mult}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramPolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_sig(array<long>) -> array<long>` — k-permutation
+  * MinHash signature in one pass; null for empty input; see
+  * [[GraftMath.minhashSig]].
+  */
+case class MinhashSignature(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(a.length == b.length, "a and b must have the same length")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.minhashSig(
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GraftMath.minhashSig($c, $aRef, $bRef, ${p}L);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers (the library's public function surface). */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -95,4 +147,12 @@ object GraftFunctions {
   /** One-pass 64-bit SimHash over whitespace tokens (XXH64 token hash). */
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(e(c)))
+
+  /** All token n-gram shingle hashes of a document, one pass. */
+  def ngramHashes(c: Column, n: Int, mult: Long, mod: Long): Column =
+    ColumnBridge.column(NgramPolyHash(e(c), n, mult, mod))
+
+  /** k-permutation MinHash signature of pre-hashed shingles. */
+  def minhashSig(c: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ColumnBridge.column(MinhashSignature(e(c), a, b, p))
 }

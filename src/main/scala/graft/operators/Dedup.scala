@@ -40,16 +40,31 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Token n-gram shingles (distinct), as strings. */
+  /** Token n-gram shingles (distinct), as strings. Declarative
+    * reference formulation; the hot path hashes shingles directly via
+    * [[shingleHashes]] without materializing the strings.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, "\\s+")
-    array_distinct(
-      transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))
+        )
       )
-    )
+    ).otherwise(array())
   }
+
+  /** Distinct hashes of all token n-gram shingles, computed in one
+    * codegen pass ([[graft.functions.NgramPolyHash]]) — no shingle
+    * strings, no higher-order functions. Equals
+    * `array_distinct(transform(shingles(text, n), strHash))` (pinned in
+    * FunctionsSpec).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(graft.functions.GraftFunctions
+      .ngramHashes(text, n, StrHashMult, StrHashMod))
 
   /** Deterministic polynomial hash of a string — engine-portable (pure
     * integer arithmetic over code points). Modulus and multiplier are
@@ -107,17 +122,18 @@ object Dedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .select(col("id"), strHash(col("shingle")).as("sh"))
-      .distinct()
+    // per-doc distinct shingle-hash array, map-side: per-doc sizes are a
+    // projection (no aggregation), and no distinct shuffle is needed
+    // before bucketing
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("shs"))
 
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val sizes = sh.select(col("id"), size(col("shs")).cast("long").as("n_sh"))
 
     // bucket by shingle; bucket size == shingle doc-frequency, so the
     // size cap IS the hot-shingle guard
     val common = bucketPairs(
-      sh.groupBy(col("sh")).agg(sort_array(collect_list(col("id"))).as("ids")),
+      sh.select(col("id"), explode(col("shs")).as("sh"))
+        .groupBy(col("sh")).agg(sort_array(collect_list(col("id"))).as("ids")),
       MaxShingleFreq)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -146,10 +162,36 @@ object Dedup {
   def hashB(i: Int): Long = (2246822519L + 604171L * i) % MinhashP
 
   /** MinHash signatures: one row per doc, `signature` = array of k mins.
-    * Single shuffle (the groupBy on id); signature computation is
-    * map-side.
+    *
+    * Entirely map-side — one codegen pass computes the shingle hashes
+    * and the k permutation minima per document
+    * ([[graft.functions.MinhashSignature]]); no explode, no shuffle.
+    * Docs with fewer than n tokens have no shingles and are dropped,
+    * like the exploded formulation ([[minhashSignaturesAgg]], the
+    * pinned declarative twin).
     */
   def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int
+  ): DataFrame =
+    docs
+      .select(
+        col(idCol).as("id"),
+        graft.functions.GraftFunctions.minhashSig(
+          graft.functions.GraftFunctions
+            .ngramHashes(col(textCol), n, StrHashMult, StrHashMod),
+          (0 until k).map(hashA), (0 until k).map(hashB), MinhashP
+        ).as("signature"))
+      .filter(col("signature").isNotNull)
+
+  /** Explode + k-min-aggregate formulation of [[minhashSignatures]]
+    * (slow path, kept as the semantic reference for the equivalence
+    * spec).
+    */
+  private[graft] def minhashSignaturesAgg(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -158,7 +200,7 @@ object Dedup {
   ): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .select(col("id"), strHash(col("shingle")).as("sh"))
+      .select(col("id"), strHashFold(col("shingle")).as("sh"))
     val minExprs = (0 until k).map { i =>
       min((col("sh") % lit(MinhashP) * lit(hashA(i)) + lit(hashB(i))) % lit(MinhashP))
         .as(s"h$i")

@@ -36,6 +36,34 @@ class FunctionsSpec extends SparkSpec {
     assert(r.head.getLong(0) == 0L) // empty string
   }
 
+  test("NgramPolyHash equals string shingles + fold hash on the fixture corpus") {
+    val mismatches = docs
+      .select(
+        array_sort(Dedup.shingleHashes(col("text"), 3)).as("fast"),
+        array_sort(array_distinct(
+          transform(Dedup.shingles(col("text"), 3), s => Dedup.strHashFold(s)))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("NgramPolyHash: fewer than n tokens yields an empty array") {
+    val r = Seq("one two", "", "a b c").toDF("text")
+      .select(size(Dedup.shingleHashes(col("text"), 3)).as("n"))
+      .as[Int].collect()
+    assert(r.sameElements(Array(0, 0, 1)))
+  }
+
+  test("MinhashSignature equals the explode + k-min-aggregate formulation") {
+    val fast = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 16)
+    val slow = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", n = 3, k = 16)
+    assert(fast.count() == slow.count())
+    val diff = fast.as("f").join(slow.as("s"), "id")
+      .filter(col("f.signature") =!= col("s.signature"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("SimHash64 equals the explode + 64-aggregate formulation") {
     val fast = Dedup.simhash(docs, "doc_id", "text")
     val slow = Dedup.simhashAgg(docs, "doc_id", "text")
