@@ -122,6 +122,40 @@ object GraftMath {
     */
   val XxSeed = 42L
 
+  /** Default seed for [[srpSignature]] hyperplanes. */
+  val SrpSeed = 0x5DEECE66DL
+
+  /** Random-hyperplane (signed random projection) signature: bit j is
+    * the sign of the dot product with pseudo-random hyperplane j, whose
+    * ±1 components come from a per-plane xorshift64 stream — deterministic
+    * given (seed, planes), no hyperplane materialization, O(planes·dim)
+    * per row with no allocation. P[bit differs] = angle/π (Charikar
+    * SimHash for cosine), so near-identical vectors agree on almost all
+    * bits — the candidate generator for LSH-bucketed near-dup search.
+    */
+  def srpSignature(vec: ArrayData, planes: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var out = 0L
+    var j = 0
+    while (j < planes) {
+      var state = seed ^ (j.toLong * 0x9E3779B97F4A7C15L)
+      if (state == 0L) state = 0x2545F4914F6CDD1DL
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        state ^= (state << 13)
+        state ^= (state >>> 7)
+        state ^= (state << 17)
+        val v = vec.getFloat(i).toDouble
+        s += (if ((state & 1L) == 0L) v else -v)
+        i += 1
+      }
+      if (s > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** One-pass 64-bit SimHash over whitespace tokens: token hash is
     * XXH64 (full 64-bit width — every simhash bit carries signal, which
     * the 16-bit-block candidate scheme in `Dedup.simhashPairs` relies

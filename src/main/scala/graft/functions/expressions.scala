@@ -132,6 +132,28 @@ case class MinhashSignature(child: Expression, a: Seq[Long], b: Seq[Long], p: Lo
     copy(child = newChild)
 }
 
+/** `graft_srp_sig(array<float>) -> long` — random-hyperplane cosine-LSH
+  * signature; see [[GraftMath.srpSignature]].
+  */
+case class SrpSignature(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(planes >= 1 && planes <= 64, "planes must be in [1, 64]")
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_sig"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.srpSignature(
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftMath.srpSignature($c, $planes, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers (the library's public function surface). */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -155,4 +177,8 @@ object GraftFunctions {
   /** k-permutation MinHash signature of pre-hashed shingles. */
   def minhashSig(c: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ColumnBridge.column(MinhashSignature(e(c), a, b, p))
+
+  /** Random-hyperplane cosine-LSH signature of an array<float>. */
+  def srpSig(c: Column, planes: Int, seed: Long = GraftMath.SrpSeed): Column =
+    ColumnBridge.column(SrpSignature(e(c), planes, seed))
 }

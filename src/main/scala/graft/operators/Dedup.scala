@@ -103,7 +103,7 @@ object Dedup {
     * One shuffle total; no self-join, so upstream pipelines run once
     * instead of twice, and no per-key window pass.
     */
-  private def bucketPairs(grouped: DataFrame, maxBucket: Int): DataFrame =
+  private[operators] def bucketPairs(grouped: DataFrame, maxBucket: Int): DataFrame =
     grouped
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), (x, i) =>

@@ -152,9 +152,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** LSH-bucketed embedding near-duplicate pairs — the 100 TB path.
+    *
+    * Map-side `planes`-bit random-hyperplane signature per vector
+    * ([[graft.functions.SrpSignature]]); signatures are banded into
+    * `planes/bandBits` bands; vectors sharing any band land in a bucket;
+    * within-bucket candidate pairs are verified with the exact cosine.
+    * Only (band, value, id) tuples shuffle — never the vectors — and the
+    * verify join is an equi-join on id. P[band agrees] = (1 − θ/π)^bandBits,
+    * so recall is high precisely in the near-dup regime (θ small); the
+    * spec pins it against the exact baseline on planted near-dups.
+    */
+  def srpNearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 64,
+      bandBits: Int = 16,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    require(planes % bandBits == 0, "bandBits must divide planes")
+    val bands = planes / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+
+    val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
+      graft.functions.GraftFunctions.srpSig(col(vecCol), planes).as("sig"))
+
+    val blocked = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "band_val")))
+
+    val cand = Dedup.bucketPairs(
+      blocked.groupBy(col("band"), col("band_val"))
+        .agg(sort_array(collect_set(col("id"))).as("ids")),
+      maxBucket)
+      .distinct()
+
+    cand
+      .join(sig.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("norm_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("norm_b")), Seq("id_b"))
+      .withColumn("sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`.
     * Exact (quadratic) — appropriate for moderate corpora or as the
-    * verifier behind an LSH candidate generator.
+    * verifier behind an LSH candidate generator ([[srpNearDupPairs]] is
+    * the bucketed scale path).
     */
   def cosineNearDupPairs(
       vectors: DataFrame,

@@ -228,6 +228,18 @@ object NorthStarQueries {
       None
     ),
 
+    // LSH-bucketed scale path (SRP signatures + banded buckets + exact
+    // verify). Wide 4-bit bands because the fixture has no true near-dups
+    // (max cosine ≈ 0.6); production near-dup thresholds use 16-bit bands.
+    Q(
+      "q_embed_neardup_lsh",
+      (spark, dir) =>
+        Similarity.srpNearDupPairs(
+          Q.t(spark, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, planes = 64, bandBits = 4),
+      None
+    ),
+
     // -------------------------------------------------------- multimodal
 
     Q(

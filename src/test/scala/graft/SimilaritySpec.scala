@@ -50,6 +50,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall")
   }
 
+  test("SRP-LSH near-dup recalls planted near-duplicates of a real corpus") {
+    // plant near-dups: copy vectors 0..19 with a tiny perturbation on one
+    // coordinate -> cosine ~0.999; LSH must recover essentially all of them
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * lit(1.01f)).otherwise(x)).cast("array<float>").as("embedding"))
+    val all = base.unionByName(planted)
+
+    val exact = Similarity.cosineNearDupPairs(all, "vec_id", "embedding", 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size >= 20) // the 20 planted pairs are all above 0.99
+
+    val lsh = Similarity.srpNearDupPairs(all, "vec_id", "embedding", 0.99,
+      planes = 64, bandBits = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact verify -> no false positives
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SRP recall $recall")
+  }
+
   test("cosine near-dup pairs finds exactly the planted duplicate") {
     val d = vecs(
       1L -> Seq(1f, 2f, 3f),
