@@ -83,21 +83,24 @@ object Multimodal {
     decodeAll(typed).toDF()
   }
 
-  /** Frame sampling shape for video-like payloads: split a payload into
-    * n fixed-stride "frames" (byte slices in the stub), one row per
-    * sampled frame — the explode-side plumbing of a video pipeline.
+  /** Frame sampling shape for video-like payloads: n evenly-strided
+    * byte slices per payload (8-byte samples in the stub; a real decoder
+    * slices at container frame offsets), one row per sampled frame —
+    * the explode-side plumbing of a video pipeline. Pure binary
+    * `substr`, no string round-trip.
     */
-  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, nFrames: Int): DataFrame =
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, nFrames: Int): DataFrame = {
+    val stride = greatest(floor(length(col(payloadCol)) / nFrames), lit(1)).cast("int")
     df.select(
       col(idCol).cast("long").as("media_id"),
       posexplode(
         transform(
           sequence(lit(0), lit(nFrames - 1)),
-          i => substring_index(base64(col(payloadCol)), "=", 1).substr(
-            i * lit(8) + 1, lit(8))
+          i => col(payloadCol).substr(i * stride + lit(1), lit(8))
         )
       ).as(Seq("frame_no", "frame_sample"))
     )
+  }
 
   /** Rebalance skewed blob sizes so each task sees ~targetBytes of
     * payload (pre-shuffle for the decode stage when inputs are skewed).
