@@ -149,6 +149,43 @@ object SessionQueries {
           |FROM events
           |WHERE ts >= (SELECT MAX(ts) - INTERVAL 2 DAY FROM events)""".stripMargin
       )
+    ),
+
+    // Composability: per-user statistics over the sessionized output
+    // (count/sum/max of denied sessions, longest session duration).
+    Q(
+      "q_session_stats",
+      (spark, dir) => {
+        val sessions = Sessionize.deniedCounts(
+          Q.t(spark, dir, "events"),
+          timeCol = "ts", keyCol = "user_id",
+          gap = s"$GapSeconds seconds",
+          denied = col("event_type") === "error",
+          weight = lit(1L))
+        sessions
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("denies")).as("total_denies"),
+            max(col("denies")).as("max_denies"),
+            max(unix_millis(col("session_end")) -
+              unix_millis(col("session_start"))).as("max_dur_ms"))
+      },
+      Some(
+        s"""${islands(GapSeconds)}, s AS (
+           |  SELECT user_id,
+           |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS denies,
+           |         epoch_ms(MIN(ts)) AS st,
+           |         epoch_ms(MAX(ts) + INTERVAL $GapSeconds SECOND) AS en
+           |  FROM sess GROUP BY user_id, sid
+           |  HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) <> 0)
+           |SELECT user_id,
+           |       COUNT(*) AS n_sessions,
+           |       CAST(SUM(denies) AS BIGINT) AS total_denies,
+           |       MAX(denies) AS max_denies,
+           |       MAX(en - st) AS max_dur_ms
+           |FROM s GROUP BY user_id""".stripMargin
+      )
     )
   )
 }
