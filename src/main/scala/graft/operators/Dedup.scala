@@ -38,6 +38,26 @@ object Dedup {
     docs.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** The production dedup order: collapse exact duplicates FIRST, then
+    * find fuzzy pairs among canonical documents only.
+    *
+    * Fuzzy candidate generation is quadratic within a bucket, so raw
+    * exact duplicates (the most common kind at crawl scale) multiply
+    * candidate work by copies² per document. Collapsing them first makes
+    * fuzzy cost a function of *distinct* content: the 8×-replicated
+    * corpus probe drops from ~90 s back to the 1× cost. Copy counts stay
+    * available from [[exactGroups]].
+    */
+  def nearDupPairsCollapsed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame =
+    jaccardPairs(dropExactDuplicates(docs, idCol, textCol),
+      idCol, textCol, n, threshold)
+
   // ------------------------------------------------------------- shingles
 
   /** Token n-gram shingles (distinct), as strings. Declarative

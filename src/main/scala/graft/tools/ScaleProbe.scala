@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-behavior probe: times the bucket-candidate operators on 1x/2x/
+  * 4x/8x self-replications of the fixture corpus (ids shifted per copy so
+  * replicas are near-dups of each other — the worst realistic case for
+  * candidate generation). Near-linear growth validates the bucket-join
+  * design; super-linear growth flags a quadratic leak.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir]
+  */
+object ScaleProbe {
+
+  private def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      df.withColumn(idCol, col(idCol) + lit(c * 10_000_000L))
+    }.reduce(_ unionByName _)
+
+  private def time(label: String)(body: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = body
+    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    Seq(1, 2, 4, 8).foreach { k =>
+      val d = replicate(docs, "doc_id", k)
+      val e = replicate(emb, "vec_id", k)
+      time(s"minhash_lsh x$k") {
+        Dedup.minhashLshPairs(d, "doc_id", "text").count()
+      }
+      time(s"jaccard x$k") {
+        Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.4).count()
+      }
+      time(s"jaccard_collapsed x$k") {
+        Dedup.nearDupPairsCollapsed(d, "doc_id", "text", 3, 0.4).count()
+      }
+      time(s"simhash_pairs x$k") {
+        Dedup.simhashPairs(d, "doc_id", "text").count()
+      }
+      time(s"srp_neardup x$k") {
+        Similarity.srpNearDupPairs(e, "vec_id", "embedding", 0.99).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -87,6 +87,19 @@ class DedupSpec extends SparkSpec {
       s"LSH recalled $recalled of ${exact.size} exact pairs")
   }
 
+  test("collapsed pipeline: exact dups removed before fuzzy, near-dups kept") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta",
+      2L -> "alpha beta gamma delta epsilon zeta eta",      // exact dup of 1
+      3L -> "alpha beta gamma delta epsilon zeta CHANGED",  // near dup of 1
+      4L -> "totally different words entirely distinct tokens here"
+    )
+    val pairs = Dedup.nearDupPairsCollapsed(d, "doc_id", "text", n = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // (1,2) collapsed away by exact dedup; (1,3) survives as fuzzy pair
+    assert(pairs == Set((1L, 3L)))
+  }
+
   test("simhash: identical docs collide, different docs are distant") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
