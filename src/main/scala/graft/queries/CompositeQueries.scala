@@ -76,6 +76,67 @@ object CompositeQueries {
       )
     ),
 
+    // TPC-H Q5 shape: 6-table join (fact + 5 dims), same-nation
+    // customer/supplier constraint, region filter, revenue per nation.
+    Q(
+      "q_tpch_q5",
+      (spark, dir) => {
+        val customer = Q.t(spark, dir, "customer")
+        val orders = Q.t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val lineitem = Q.t(spark, dir, "lineitem")
+        val supplier = Q.t(spark, dir, "supplier")
+        val nation = Q.t(spark, dir, "nation")
+        val region = Q.t(spark, dir, "region").filter(col("r_name") === "ASIA")
+        lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(nation, col("s_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("revenue"))
+      },
+      Some(
+        """SELECT n_name,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+          |                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name""".stripMargin
+      )
+    ),
+
+    // Part dimension coverage: per-brand price stats over a type filter.
+    Q(
+      "q_part_stats",
+      (spark, dir) =>
+        Q.t(spark, dir, "part")
+          .filter(col("p_size") >= 20)
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            Q.dsum(col("p_retailprice")).as("total_price"),
+            max(col("p_size")).as("max_size")),
+      Some(
+        """SELECT p_brand, COUNT(*) AS n_parts,
+          |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+          |       MAX(p_size) AS max_size
+          |FROM part WHERE p_size >= 20 GROUP BY p_brand""".stripMargin
+      )
+    ),
+
     // TPC-H Q3 shape: 3-way join, filtered both sides of a date cutoff,
     // grouped revenue, deterministic top-10.
     Q(
