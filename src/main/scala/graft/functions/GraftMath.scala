@@ -122,6 +122,42 @@ object GraftMath {
     */
   val XxSeed = 42L
 
+  /** Marker-token language ID in one pass: count per-language marker
+    * hits over whitespace tokens, return the arg-max language, ties to
+    * the earliest (alphabetically first) language — bitwise the
+    * semantics of the declarative strictly-greater fold it replaces,
+    * whose expression tree duplicated the token split ~40× per row.
+    */
+  def langId(
+      s: UTF8String,
+      langs: Array[String],
+      markers: Array[Array[String]]): UTF8String = {
+    val toks = s.toString.split("\\s+", -1)
+    val counts = new Array[Int](langs.length)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var l = 0
+      while (l < markers.length) {
+        val ms = markers(l)
+        var m = 0
+        while (m < ms.length) {
+          if (ms(m) == tok) counts(l) += 1
+          m += 1
+        }
+        l += 1
+      }
+      t += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < counts.length) {
+      if (counts(l) > counts(best)) best = l
+      l += 1
+    }
+    UTF8String.fromString(langs(best))
+  }
+
   /** Default seed for [[srpSignature]] hyperplanes. */
   val SrpSeed = 0x5DEECE66DL
 

@@ -154,6 +154,33 @@ case class SrpSignature(child: Expression, planes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** `graft_lang_id(string) -> string` — marker-token language ID in one
+  * pass; see [[GraftMath.langId]].
+  */
+case class LangId(child: Expression, langs: Seq[String], markers: Seq[Seq[String]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(langs.length == markers.length, "one marker set per language")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+
+  @transient private lazy val langsArr = langs.toArray
+  @transient private lazy val markersArr = markers.map(_.toArray).toArray
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.langId(s.asInstanceOf[UTF8String], langsArr, markersArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("langs", langsArr, "java.lang.String[]")
+    val mRef = ctx.addReferenceObj("markers", markersArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftMath.langId($c, $lRef, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers (the library's public function surface). */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -181,4 +208,8 @@ object GraftFunctions {
   /** Random-hyperplane cosine-LSH signature of an array<float>. */
   def srpSig(c: Column, planes: Int, seed: Long = GraftMath.SrpSeed): Column =
     ColumnBridge.column(SrpSignature(e(c), planes, seed))
+
+  /** One-pass marker-token language ID. */
+  def langId(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
+    ColumnBridge.column(LangId(e(c), langs, markers))
 }

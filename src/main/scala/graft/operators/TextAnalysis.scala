@@ -69,10 +69,20 @@ object TextAnalysis {
       lang -> size(filter(tokens(text), t => t.isin(markers: _*)))
     }
 
-  def langId(text: Column): Column = {
+  /** One-pass codegen kernel ([[graft.functions.LangId]]); the
+    * declarative fold ([[langIdFold]]) expands to an expression tree
+    * that re-splits the text ~40× per row and falls out of codegen.
+    */
+  def langId(text: Column): Column =
+    graft.functions.GraftFunctions.langId(
+      text, LangMarkers.map(_._1), LangMarkers.map(_._2))
+
+  /** Declarative argmax fold — the semantic reference the kernel is
+    * pinned against (smallest-code tie-break via strictly-greater
+    * replace over alphabetically ordered languages).
+    */
+  private[graft] def langIdFold(text: Column): Column = {
     val scores = langScores(text)
-    // argmax with smallest-code tie-break: left-to-right fold over the
-    // (alphabetically ordered) languages, strictly-greater to replace
     scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((bestScore, bestLang), (lang, s)) =>
         (when(s > bestScore, s).otherwise(bestScore),

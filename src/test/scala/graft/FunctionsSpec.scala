@@ -64,6 +64,17 @@ class FunctionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("LangId kernel equals the declarative argmax fold on the fixture corpus") {
+    import graft.operators.TextAnalysis
+    val mismatches = docs
+      .select(
+        TextAnalysis.langId(col("text")).as("fast"),
+        TextAnalysis.langIdFold(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("SimHash64 equals the explode + 64-aggregate formulation") {
     val fast = Dedup.simhash(docs, "doc_id", "text")
     val slow = Dedup.simhashAgg(docs, "doc_id", "text")
