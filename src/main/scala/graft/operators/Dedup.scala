@@ -170,6 +170,69 @@ object Dedup {
       .select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
   }
 
+  /** Near-duplicate clusters: connected components over the Jaccard
+    * near-dup pair graph, labeled by each component's smallest doc id.
+    * Returns (id, cluster) for every input doc (singletons keep their
+    * own id).
+    *
+    * Min-label propagation: each iteration every node takes the minimum
+    * of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * 2-4 rounds in practice. Each round is one join + one aggregation on
+    * (edge, label) pairs; lineage is truncated per round
+    * (`localCheckpoint`; swap for `checkpoint` on a cluster) so plans
+    * don't grow unboundedly. The driver loop only compares counts —
+    * no row data ever reaches the driver.
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, n, threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("cluster")).as("nb_min"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("u"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Greedy near-dup removal: drop every doc that is the larger-id side
+    * of a qualifying pair (keeps the smallest id of each pair; the
+    * cluster-exact variant is `nearDupClusters` + keep cluster == id).
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val dupIds = jaccardPairs(docs, idCol, textCol, n, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash parameters: k independent permutations h_i(x) = (a_i·x + b_i)

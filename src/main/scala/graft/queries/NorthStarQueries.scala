@@ -24,6 +24,40 @@ object NorthStarQueries {
   private def markerCount(markers: Seq[String]): String =
     s"len(list_filter($SqlToks, t -> list_contains(${markers.mkString("['", "','", "']")}, t)))"
 
+  /** Shared CTE chain computing the 3-gram Jaccard near-dup pairs at
+    * threshold 0.4, ending in `jpairs(id_a, id_b, n_a, n_b, n_common,
+    * jaccard)`. Mirrors `Dedup.jaccardPairs` exactly.
+    */
+  private val JaccardCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id AS id, $SqlToks AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
+       |                       c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 131 + c) % ${Dedup.StrHashMod}) AS sh
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |), sizes AS (
+       |  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+       |), filtered AS (
+       |  SELECT * FROM (
+       |    SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS freq FROM sh)
+       |  WHERE freq <= ${Dedup.MaxShingleFreq}
+       |), common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+       |  FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |), jpairs AS (
+       |  SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+       |         CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON sa.id = id_a
+       |  JOIN sizes sb ON sb.id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+       |)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------- text analysis
@@ -131,33 +165,35 @@ object NorthStarQueries {
         Dedup.jaccardPairs(Q.t(spark, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.4),
       Some(
-        s"""WITH toks AS (
-           |  SELECT doc_id AS id, $SqlToks AS t FROM documents
-           |), sh AS (
-           |  SELECT DISTINCT id,
-           |    list_reduce(
-           |      list_prepend(CAST(0 AS BIGINT),
-           |        list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
-           |                       c -> CAST(ascii(c) AS BIGINT))),
-           |      (h, c) -> (h * 131 + c) % ${Dedup.StrHashMod}) AS sh
-           |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-           |), sizes AS (
-           |  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
-           |), filtered AS (
-           |  SELECT * FROM (
-           |    SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS freq FROM sh)
-           |  WHERE freq <= ${Dedup.MaxShingleFreq}
-           |), common AS (
-           |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-           |  FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.id < b.id
-           |  GROUP BY a.id, b.id
+        s"""WITH $JaccardCtes
+           |SELECT id_a, id_b, n_a, n_b, n_common, jaccard
+           |FROM jpairs""".stripMargin
+      )
+    ),
+
+    // Connected components over the near-dup graph (min-label
+    // propagation in Spark; transitive closure via recursive CTE in the
+    // oracle).
+    Q(
+      "q_dedup_clusters",
+      (spark, dir) =>
+        Dedup.nearDupClusters(Q.t(spark, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.4),
+      Some(
+        s"""WITH RECURSIVE $JaccardCtes,
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM jpairs
+           |  UNION ALL SELECT id_b, id_a FROM jpairs
+           |), reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
            |)
-           |SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
-           |       CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-           |FROM common
-           |JOIN sizes sa ON sa.id = id_a
-           |JOIN sizes sb ON sb.id = id_b
-           |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4""".stripMargin
+           |SELECT d.doc_id AS id,
+           |       LEAST(d.doc_id,
+           |             COALESCE((SELECT MIN(r.v) FROM reach r WHERE r.u = d.doc_id),
+           |                      d.doc_id)) AS cluster
+           |FROM documents d""".stripMargin
       )
     ),
 

@@ -96,6 +96,11 @@ object AuditSessionPipeline {
     * watermark passes their end — the analog of Flink's event-time
     * trigger), processing-time trigger = the reference's poll interval,
     * at-least-once via checkpointing.
+    *
+    * The `kafka` format needs the standard `spark-sql-kafka-0-10`
+    * connector on the deployment classpath (not bundled in this test
+    * image — mirroring the reference, which also ships Kafka as a
+    * provided dependency, `pom.xml:38-43`).
     */
   def writer(results: DataFrame, config: Config): DataStreamWriter[Row] = {
     val base = results.writeStream

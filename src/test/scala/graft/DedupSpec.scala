@@ -117,6 +117,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Int]("dist") == 0)
   }
 
+  test("near-dup clusters: chains collapse to one component, singletons keep their id") {
+    // sliding windows over w1..w20: 1~2 and 2~3 (jaccard 6/14 ≈ 0.43)
+    // but 1~3 only 2/18 ≈ 0.11 -> transitivity must label all three 1
+    def window(from: Int): String = (from until from + 12).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> window(1),
+      2L -> window(5),
+      3L -> window(9),
+      4L -> "completely different content with other words here now"
+    )
+    val clusters = Dedup.nearDupClusters(d, "doc_id", "text", n = 3, threshold = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(4L) == 4L)
+
+    val kept = Dedup.dropNearDuplicates(d, "doc_id", "text", n = 3, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 4L)))
+  }
+
   test("shingles: n-gram construction is exact") {
     val row = docs(1L -> "a b c d")
       .select(Dedup.shingles(col("text"), 3).as("sh"))
