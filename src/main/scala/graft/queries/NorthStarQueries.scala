@@ -146,6 +146,45 @@ object NorthStarQueries {
       )
     ),
 
+    // The classic pre-training filter chain: language + length +
+    // quality thresholds in one scan-bound pass.
+    Q(
+      "q_quality_filter",
+      (spark, dir) => {
+        val d = Q.t(spark, dir, "documents")
+        d.filter(
+          TextAnalysis.langId(col("text")) === col("lang") &&
+            TextAnalysis.tokenCount(col("text")).between(8, 4096) &&
+            TextAnalysis.qualityScore(col("text")) >= 0.5)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some {
+        val s = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+          lang -> markerCount(markers)
+        }
+        val Seq(de, en, es, fr, zh) = s.map(_._2)
+        s"""WITH m AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+           |         WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+           |         WHEN $es >= $fr AND $es >= $zh THEN 'es'
+           |         WHEN $fr >= $zh THEN 'fr'
+           |         ELSE 'zh' END AS lang_pred,
+           |    CAST(len($SqlToks) AS INT) AS n_tok,
+           |    CAST(${markerCount(TextAnalysis.DefaultStopwords)} AS INT) AS n_stop,
+           |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+           |    CAST(length(text) AS INT) AS n_chars
+           |  FROM documents)
+           |SELECT doc_id, lang FROM m
+           |WHERE lang_pred = lang
+           |  AND n_tok BETWEEN 8 AND 4096
+           |  AND least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
+           |    + least(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 4.0, 1.0) * 0.4
+           |    + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.1
+           |    >= 0.5""".stripMargin
+      }
+    ),
+
     // ------------------------------------------------------------- dedup
 
     Q(

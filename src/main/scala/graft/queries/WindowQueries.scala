@@ -112,6 +112,28 @@ object WindowQueries {
       )
     ),
 
+    // RANGE frame over event time: per-user rolling 1-hour sum
+    // (interval-bounded frame, vs q_window_running's ROWS frame).
+    Q(
+      "q_window_range",
+      (spark, dir) =>
+        Q.events(spark, dir).select(
+          col("event_id"), col("user_id"), col("ts"),
+          sum(col("value").cast("decimal(18,4)")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts").cast("long"))
+              .rangeBetween(-3599, 0))
+            .cast("double").as("rolling_1h")),
+      Some(
+        """SELECT event_id, user_id, ts,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+          |    PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+          |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+          |FROM events""".stripMargin
+      )
+    ),
+
     // Explode / UDTF-style flattening: corpus term frequencies.
     Q(
       "q_wordcount",
