@@ -131,9 +131,23 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
-  /** Near-duplicate pairs by exact n-gram Jaccard similarity, restricted
-    * to pairs sharing ≥1 (non-hot) shingle. Returns
-    * (id_a, id_b, n_a, n_b, n_common, jaccard) with id_a < id_b.
+  /** Near-duplicate pairs by n-gram Jaccard similarity over shared-
+    * shingle candidates. Returns (id_a, id_b, n_a, n_b, n_common,
+    * jaccard) with id_a < id_b.
+    *
+    * Hot-shingle semantics: shingles in more than [[MaxShingleFreq]]
+    * docs are excluded from `n_common` (never from the `n_a`/`n_b`
+    * denominators), so for pairs sharing hot shingles the reported
+    * jaccard is a conservative lower bound — the price of keeping
+    * candidate generation skew-free. The DuckDB oracle mirrors this
+    * exactly.
+    *
+    * Plan shape: one map-side pass computes each doc's shingle-hash
+    * array AND its size; both ride the exploded rows into the bucket
+    * aggregation as (id, n_sh) structs, so pair rows emerge carrying
+    * their denominators — no sizes join, no second evaluation of the
+    * shingle pipeline, two shuffles total (bucket groupBy + pair
+    * groupBy).
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -142,25 +156,29 @@ object Dedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
-    // per-doc distinct shingle-hash array, map-side: per-doc sizes are a
-    // projection (no aggregation), and no distinct shuffle is needed
-    // before bucketing
-    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("shs"))
+    val exploded = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("shs"))
+      .select(col("id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
 
-    val sizes = sh.select(col("id"), size(col("shs")).cast("long").as("n_sh"))
+    // bucket size == shingle doc-frequency, so the size cap IS the
+    // hot-shingle guard; struct sort orders by id -> id_a < id_b
+    val buckets = exploded
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxShingleFreq))
 
-    // bucket by shingle; bucket size == shingle doc-frequency, so the
-    // size cap IS the hot-shingle guard
-    val common = bucketPairs(
-      sh.select(col("id"), explode(col("shs")).as("sh"))
-        .groupBy(col("sh")).agg(sort_array(collect_list(col("id"))).as("ids")),
-      MaxShingleFreq)
-      .groupBy(col("id_a"), col("id_b"))
+    val pairs = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(
+            x.getField("id").as("id_a"), x.getField("n_sh").as("n_a"),
+            y.getField("id").as("id_b"), y.getField("n_sh").as("n_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.n_a"), col("p.id_b"), col("p.n_b"))
+
+    pairs
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-
-    common
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
         col("n_common").cast("double") /
@@ -397,10 +415,14 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     val sh = simhash(docs, idCol, textCol)
+    // mask, don't %: Spark % keeps the dividend's sign, so a negative
+    // simhash (bit 63 set) would put block 0 in [-65535, 0] and miss
+    // qualifying pairs whose low 16 bits agree
     val blocked = sh.select(
       col("id"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16) % 65536): _*)).as(Seq("block", "block_val"))
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("block", "block_val"))
     )
     val cand = bucketPairs(
       blocked.groupBy(col("block"), col("block_val"))

@@ -106,8 +106,10 @@ object Multimodal {
     * payload (pre-shuffle for the decode stage when inputs are skewed).
     */
   def rebalanceBySize(df: DataFrame, payloadCol: String, targetBytes: Long): DataFrame = {
-    val spark = df.sparkSession
-    val totalBytes = df.agg(sum(length(col(payloadCol)))).head.getLong(0)
+    // sum is null on an empty / all-null input — treat as 0 bytes
+    val totalBytes = df
+      .agg(coalesce(sum(length(col(payloadCol))), lit(0L)))
+      .head.getLong(0)
     val parts = math.max(1, (totalBytes / targetBytes).toInt)
     df.repartition(parts)
   }

@@ -197,7 +197,9 @@ object Similarity {
       .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("norm_b")), Seq("id_b"))
       .withColumn("sim",
         dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
-      .filter(col("sim") >= threshold)
+      // NaN compares greater than everything in Spark; a zero-norm
+      // vector would otherwise pair with every candidate
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select("id_a", "id_b")
   }
 
@@ -220,7 +222,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim",
         dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
-      .filter(col("sim") >= threshold)
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .select("id_a", "id_b")
   }
 }

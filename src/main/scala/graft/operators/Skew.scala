@@ -50,6 +50,11 @@ object Skew {
       salts: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    // right/full-outer would emit each unmatched build row once per
+    // salt replica; only probe-preserving join types are sound here
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"saltedJoin: build side is replicated; joinType '$joinType' would duplicate unmatched build rows")
     val saltedProbe = probe
       .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val saltedBuild = build

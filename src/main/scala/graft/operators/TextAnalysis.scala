@@ -93,14 +93,11 @@ object TextAnalysis {
   /** Rolling polynomial fingerprint of the whole document:
     * h = (h * 31 + codepoint) mod 1e9+7, over every character. Stable
     * across engines (pure integer arithmetic) — the cheap exact-dup /
-    * shard-routing key.
+    * shard-routing key. Runs as the codegen'd
+    * [[graft.functions.StrPolyHash]] kernel (same fold semantics).
     */
   val FingerprintMod = 1000000007L
 
   def fingerprint(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), c => c =!= ""),
-      lit(0L),
-      (h, c) => (h * lit(31L) + ascii(c)) % lit(FingerprintMod)
-    )
+    graft.functions.GraftFunctions.polyHash(text, 31L, FingerprintMod)
 }

@@ -23,7 +23,7 @@ object SessionQueries {
     */
   private def islands(gapSec: Long): String =
     s"""WITH lagged AS (
-       |  SELECT user_id, ts, event_type, value,
+       |  SELECT user_id, ts, event_type, value, event_id,
        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
        |  FROM events
        |), flagged AS (
@@ -32,7 +32,7 @@ object SessionQueries {
        |                 THEN 1 ELSE 0 END AS new_sess
        |  FROM lagged
        |), sess AS (
-       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |              ROWS UNBOUNDED PRECEDING) AS sid
        |  FROM flagged
        |)""".stripMargin

@@ -109,7 +109,7 @@ object AuditSessionPipeline {
     val withCp = config.checkpoint.fold(base)(cp => base.option("checkpointLocation", cp))
     config.output match {
       case "print" => withCp.format("console")
-      case "memory" => withCp.format("memory")
+      case "memory" => withCp.format("memory").queryName("audit_sessions")
       case "kafka" =>
         val topic = config.kafkaTopic.getOrElse(
           throw new IllegalArgumentException("kafka.topic required for kafka output"))

@@ -63,9 +63,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOcc(plan, "Exchange hashpartitioning") <= 1, plan)
   }
 
-  test("dedup candidate joins broadcast the small side at this scale") {
+  test("jaccard pairs plan is join-free: two shuffles, sizes ride the buckets") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = physical(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.4))
+    assert(!plan.contains("Join"), plan)
+    assert(countOcc(plan, "Exchange hashpartitioning") == 2, plan)
+  }
+
+  test("minhash signature joins broadcast the small side at this scale") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = physical(Dedup.minhashLshPairs(docs, "doc_id", "text"))
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
