@@ -99,12 +99,12 @@ object CompositeQueries {
           .groupBy(col("n_name"))
           .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("double").as("revenue"))
+            .cast("decimal(18,4)").cast("double").as("revenue"))
       },
       Some(
         """SELECT n_name,
-          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-          |                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+          |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+          |                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
@@ -154,14 +154,14 @@ object CompositeQueries {
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
-            .cast("double").as("revenue"))
+            .cast("decimal(18,4)").cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10)
       },
       Some(
         """SELECT l_orderkey, o_orderdate, o_orderpriority,
-          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-          |                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+          |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+          |                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey

@@ -27,7 +27,7 @@ object RelationalQueries {
             sum(
               col("l_extendedprice").cast("decimal(18,4)") *
                 (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
-            ).cast("double").as("sum_disc_price"),
+            ).cast("decimal(18,4)").cast("double").as("sum_disc_price"),
             Q.davg(col("l_quantity")).as("avg_qty"),
             count(lit(1)).as("count_order")
           ),
@@ -35,8 +35,8 @@ object RelationalQueries {
         """SELECT l_returnflag, l_linestatus,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
           |  COUNT(*) AS count_order
           |FROM lineitem
@@ -86,13 +86,13 @@ object RelationalQueries {
             sum(
               col("l_extendedprice").cast("decimal(18,4)") *
                 (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
-            ).cast("double").as("revenue")
+            ).cast("decimal(18,4)").cast("double").as("revenue")
           )
       },
       Some(
         """SELECT o_orderpriority, COUNT(*) AS n_items,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-          |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority""".stripMargin
       )
@@ -192,9 +192,13 @@ object RelationalQueries {
     Q(
       "q_window_running",
       (spark, dir) => {
+        // the fixture generator does NOT keep (l_orderkey, l_linenumber)
+        // unique; l_quantity as the last tie-break makes the running
+        // values order-invariant even for fully-tied sort keys
         val w = Window
           .partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc, col("l_quantity").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Q.t(spark, dir, "lineitem")
           .withColumn(
@@ -207,7 +211,7 @@ object RelationalQueries {
         """SELECT l_suppkey, l_orderkey, l_linenumber,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
           |    PARTITION BY l_suppkey
-          |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+          |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
           |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
           |FROM lineitem""".stripMargin
       )
