@@ -236,12 +236,45 @@ object NorthStarQueries {
       )
     ),
 
-    // rows-only checks (cross-checked against exact baselines in specs)
+    // Full MinHash+LSH oracle: signatures, banding, candidate pairs and
+    // the estimated jaccard are all engine-portable integer arithmetic.
+    // (Spark buckets band signatures through xxhash64 as a shuffle-key
+    // optimization; absent hash collisions the candidate sets coincide.)
     Q(
       "q_dedup_minhash",
       (spark, dir) =>
         Dedup.minhashLshPairs(Q.t(spark, dir, "documents"), "doc_id", "text"),
-      None
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM documents
+           |), sh AS (
+           |  SELECT id, list(shh) AS shs FROM (
+           |    SELECT id,
+           |      list_reduce(
+           |        list_prepend(CAST(0 AS BIGINT),
+           |          list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
+           |                         c -> CAST(ascii(c) AS BIGINT))),
+           |        (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS shh
+           |    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
+           |  GROUP BY id
+           |), sigs AS (
+           |  SELECT id, list_transform(generate_series(0, 31), j ->
+           |    list_min(list_transform(shs, x ->
+           |      (x % ${Dedup.MinhashP} * ((2654435761 + 40503 * j) % ${Dedup.MinhashP})
+           |       + (2246822519 + 604171 * j) % ${Dedup.MinhashP}) % ${Dedup.MinhashP}))) AS sig
+           |  FROM sh
+           |), banded AS (
+           |  SELECT id, sig, b, sig[b*4+1 : b*4+4] AS band_sig
+           |  FROM sigs, UNNEST(generate_series(0, 7)) AS ub(b)
+           |), cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+           |  FROM banded a JOIN banded b ON a.b = b.b AND a.band_sig = b.band_sig AND a.id < b.id
+           |)
+           |SELECT id_a, id_b,
+           |  CAST(len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32.0 AS est_jaccard
+           |FROM cand
+           |WHERE CAST(len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32.0 >= 0.5""".stripMargin
+      )
     ),
     Q(
       "q_dedup_simhash",
