@@ -317,6 +317,8 @@ object NorthStarQueries {
       )
     ),
 
+    // Full IVF oracle: centroid assignment, probing, and final ranking
+    // mirrored in SQL (rank/ids only — sims stay internal).
     Q(
       "q_ann_ivf",
       (spark, dir) => {
@@ -325,7 +327,38 @@ object NorthStarQueries {
           emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nCells = 16, nProbe = 4)
       },
-      None
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+           |), assigned AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS nvec, cid AS centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) t
+           |  WHERE rn = 1
+           |), probes AS (
+           |  SELECT query_id, qvec, centroid_id FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) t
+           |  WHERE rn <= 4
+           |), scored AS (
+           |  SELECT p.query_id, a.neighbor_id, ${cos("p.qvec", "a.nvec")} AS sim
+           |  FROM probes p JOIN assigned a USING (centroid_id)
+           |  WHERE p.query_id <> a.neighbor_id
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+           |  FROM scored) t
+           |WHERE rnk <= 5""".stripMargin
+      }
     ),
 
     Q(
