@@ -361,12 +361,24 @@ object NorthStarQueries {
       }
     ),
 
+    // Oracle-safe despite the float threshold: the fixtures' closest
+    // cosine sits ≥1e-4 from 0.45 while cross-engine sum-order noise is
+    // ~1e-15, so the id set is stable.
     Q(
       "q_embed_neardup",
       (spark, dir) =>
         Similarity.cosineNearDupPairs(
           Q.t(spark, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45),
-      None
+      Some(
+        """SELECT id_a, id_b FROM (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+          |WHERE sim = sim AND sim >= 0.45""".stripMargin
+      )
     ),
 
     // LSH-bucketed scale path (SRP signatures + banded buckets + exact
