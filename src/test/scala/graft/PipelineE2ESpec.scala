@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.AuditSessionPipeline
+
+/** The reference's full production path, end to end on real files:
+  * continuous text source over a date-partitioned tree → lenient JSON
+  * parse → watermark → session windows → formatted strings → sink
+  * (`App.main`, `App.java:136-162`) — driven as a streaming query over a
+  * directory this test populates, plus the batch twin over the same
+  * files through the same transform.
+  */
+class PipelineE2ESpec extends SparkSpec {
+
+  private def auditLine(user: String, time: String, result: Int, count: Int): String =
+    s"""{"repoType":9,"repo":"cm_kafka","reqUser":"$user","evtTime":"$time",""" +
+      s""""access":"describe","result":$result,"policy":5,"event_count":$count,""" +
+      s""""seq_num":1,"event_dur_ms":0,"tags":[],"cluster_name":"cl1"}"""
+
+  private def writeTree(root: java.io.File): Unit = {
+    val day = new java.io.File(root, "20210401")
+    day.mkdirs()
+    Files.writeString(new java.io.File(day, "audit-1.log").toPath,
+      Seq(
+        auditLine("wdyson", "2021-04-01 10:00:00.000", 0, 10),
+        auditLine("wdyson", "2021-04-01 10:10:00.000", 1, 1),
+        "{malformed json",
+        auditLine("bob", "2021-04-01 10:10:00.000", 0, 1)
+      ).mkString("", "\n", "\n"))
+    Files.writeString(new java.io.File(day, "audit-2.log").toPath,
+      auditLine("bob", "2021-04-01 10:20:00.000", 0, 1) + "\n")
+  }
+
+  test("streaming: file tree -> parse -> sessionize -> formatted memory sink") {
+    val root = Files.createTempDirectory("audit_e2e").toFile
+    writeTree(root)
+
+    val lines = graft.sources.AuditSource.stream(spark, root.getAbsolutePath)
+    // watermark 0 so bounded input emits all sessions once files drain
+    val out = AuditSessionPipeline.formatted(lines, gapSeconds = 1200, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("e2e_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // a later-arriving file pushes the watermark past both session
+      // ends, closing them (same mechanics as production: sessions emit
+      // when newer events arrive)
+      val day2 = new java.io.File(root, "20210402")
+      day2.mkdirs()
+      Files.writeString(new java.io.File(day2, "audit-3.log").toPath,
+        auditLine("zz", "2021-04-02 10:00:00.000", 1, 1) + "\n")
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("e2e_out").collect().map(_.getString(0)).sorted
+      assert(rows.length == 2, rows.toSeq)
+      assert(rows.exists(_.startsWith("user='bob' denies=2")), rows.toSeq)
+      assert(rows.exists(_.startsWith("user='wdyson' denies=10")), rows.toSeq)
+    } finally q.stop()
+  }
+
+  test("batch twin: same files, same transform, same results") {
+    val root = Files.createTempDirectory("audit_e2e_batch").toFile
+    writeTree(root)
+    val lines = graft.sources.AuditSource.batch(spark, root.getAbsolutePath)
+    val res = AuditSessionPipeline.transform(lines, gapSeconds = 1200)
+      .collect().map(r => r.getAs[String]("reqUser") -> r.getAs[Long]("denies")).toMap
+    assert(res == Map("wdyson" -> 10L, "bob" -> 2L))
+  }
+}
