@@ -76,6 +76,25 @@ object CompositeQueries {
       )
     ),
 
+    // Approximate percentile (the scale path for quantiles) checked
+    // in-engine against the exact value, like q_approx_distinct.
+    Q(
+      "q_approx_quantile",
+      (spark, dir) =>
+        Q.t(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"))
+          .select(col("l_returnflag"), col("p50"),
+            (abs(col("p50_approx") - col("p50")) <= lit(1.0)).as("approx_ok")),
+      Some(
+        """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+          |       TRUE AS approx_ok
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      )
+    ),
+
     // TPC-H Q5 shape: 6-table join (fact + 5 dims), same-nation
     // customer/supplier constraint, region filter, revenue per nation.
     Q(
