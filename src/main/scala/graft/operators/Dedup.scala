@@ -123,13 +123,20 @@ object Dedup {
     * One shuffle total; no self-join, so upstream pipelines run once
     * instead of twice, and no per-key window pass.
     */
-  private[operators] def bucketPairs(grouped: DataFrame, maxBucket: Int): DataFrame =
+  /** Generic over the element type: emits (a, b) pairs of whatever the
+    * sorted `ids` array holds — bare ids or (id, payload) structs.
+    */
+  private[operators] def bucketPairsRaw(grouped: DataFrame, maxBucket: Int): DataFrame =
     grouped
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+
+  private[operators] def bucketPairs(grouped: DataFrame, maxBucket: Int): DataFrame =
+    bucketPairsRaw(grouped, maxBucket)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
 
   /** Near-duplicate pairs by n-gram Jaccard similarity over shared-
     * shingle candidates. Returns (id_a, id_b, n_a, n_b, n_common,
@@ -166,15 +173,11 @@ object Dedup {
     val buckets = exploded
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxShingleFreq))
 
-    val pairs = buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(
-            x.getField("id").as("id_a"), x.getField("n_sh").as("n_a"),
-            y.getField("id").as("id_b"), y.getField("n_sh").as("n_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.n_a"), col("p.id_b"), col("p.n_b"))
+    val pairs = bucketPairsRaw(buckets, MaxShingleFreq)
+      .select(
+        col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
+        col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
 
     pairs
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))

@@ -24,6 +24,36 @@ object NorthStarQueries {
   private def markerCount(markers: Seq[String]): String =
     s"len(list_filter($SqlToks, t -> list_contains(${markers.mkString("['", "','", "']")}, t)))"
 
+  /** Lang-ID as SQL: the left-to-right strictly-greater argmax of
+    * `TextAnalysis.LangMarkers`, built from the seq (a CASE arm per
+    * language, each requiring >= against every later language).
+    */
+  private val LangCaseSql: String = {
+    val scored = TextAnalysis.LangMarkers.map { case (lang, m) => lang -> markerCount(m) }
+    // arm i: lang_i >= every later language (an earlier arm failing
+    // implies some later language strictly beats all earlier ones), so
+    // in-order evaluation reproduces the earliest-max fold exactly
+    val arms = scored.init.zipWithIndex.map { case ((lang, expr), i) =>
+      val laterGe = scored.drop(i + 1).map { case (_, later) => s"$expr >= $later" }
+      s"WHEN ${laterGe.mkString(" AND ")} THEN '$lang'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE '${scored.last._1}' END"
+  }
+
+  /** Quality-score metric CTE columns + the score expression over them
+    * (shared by q_text_quality and q_quality_filter).
+    */
+  private val QualityMetricsSql: String =
+    s"""CAST(len($SqlToks) AS INT) AS n_tok,
+       |    CAST(${markerCount(TextAnalysis.DefaultStopwords)} AS INT) AS n_stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+       |    CAST(length(text) AS INT) AS n_chars""".stripMargin
+
+  private val QualityScoreSql: String =
+    """least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
+      |    + least(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 4.0, 1.0) * 0.4
+      |    + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.1""".stripMargin
+
   /** Shared CTE chain computing the 3-gram Jaccard near-dup pairs at
     * threshold 0.4, ending in `jpairs(id_a, id_b, n_a, n_b, n_common,
     * jaccard)`. Mirrors `Dedup.jaccardPairs` exactly.
@@ -92,15 +122,10 @@ object NorthStarQueries {
       Some(
         s"""WITH m AS (
            |  SELECT doc_id,
-           |    CAST(len($SqlToks) AS INT) AS n_tok,
-           |    CAST(${markerCount(TextAnalysis.DefaultStopwords)} AS INT) AS n_stop,
-           |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
-           |    CAST(length(text) AS INT) AS n_chars
+           |    $QualityMetricsSql
            |  FROM documents)
            |SELECT doc_id, n_tok, n_stop, n_punct,
-           |  least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
-           |    + least(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 4.0, 1.0) * 0.4
-           |    + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.1
+           |  $QualityScoreSql
            |    AS quality
            |FROM m""".stripMargin
       )
@@ -114,19 +139,11 @@ object NorthStarQueries {
           col("lang"),
           TextAnalysis.langId(col("text")).as("lang_pred")
         ),
-      Some {
-        val s = TextAnalysis.LangMarkers.map { case (lang, markers) =>
-          lang -> markerCount(markers)
-        }
-        val Seq(de, en, es, fr, zh) = s.map(_._2)
+      Some(
         s"""SELECT doc_id, lang,
-           |  CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-           |       WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-           |       WHEN $es >= $fr AND $es >= $zh THEN 'es'
-           |       WHEN $fr >= $zh THEN 'fr'
-           |       ELSE 'zh' END AS lang_pred
+           |  $LangCaseSql AS lang_pred
            |FROM documents""".stripMargin
-      }
+      )
     ),
 
     Q(
@@ -158,31 +175,18 @@ object NorthStarQueries {
             TextAnalysis.qualityScore(col("text")) >= 0.5)
           .select(col("doc_id"), col("lang"))
       },
-      Some {
-        val s = TextAnalysis.LangMarkers.map { case (lang, markers) =>
-          lang -> markerCount(markers)
-        }
-        val Seq(de, en, es, fr, zh) = s.map(_._2)
+      Some(
         s"""WITH m AS (
            |  SELECT doc_id, lang,
-           |    CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-           |         WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-           |         WHEN $es >= $fr AND $es >= $zh THEN 'es'
-           |         WHEN $fr >= $zh THEN 'fr'
-           |         ELSE 'zh' END AS lang_pred,
-           |    CAST(len($SqlToks) AS INT) AS n_tok,
-           |    CAST(${markerCount(TextAnalysis.DefaultStopwords)} AS INT) AS n_stop,
-           |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
-           |    CAST(length(text) AS INT) AS n_chars
+           |    $LangCaseSql AS lang_pred,
+           |    $QualityMetricsSql
            |  FROM documents)
            |SELECT doc_id, lang FROM m
            |WHERE lang_pred = lang
            |  AND n_tok BETWEEN 8 AND 4096
-           |  AND least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
-           |    + least(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 4.0, 1.0) * 0.4
-           |    + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.1
+           |  AND $QualityScoreSql
            |    >= 0.5""".stripMargin
-      }
+      )
     ),
 
     // ------------------------------------------------------------- dedup

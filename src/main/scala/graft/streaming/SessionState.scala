@@ -43,7 +43,7 @@ object SessionState {
       events: Seq[SessionEvent],
       gapMillis: Long): List[OpenSession] = {
     val sorted = (open.map(s => Left(s): Either[OpenSession, SessionEvent]) ++
-      events.sortBy(_.eventMillis).map(Right(_)))
+      events.map(Right(_)))
       .sortBy {
         case Left(s) => (s.start, 0)
         case Right(e) => (e.eventMillis, 1)

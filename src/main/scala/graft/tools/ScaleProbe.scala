@@ -15,10 +15,12 @@ import graft.operators.{Dedup, Similarity}
   */
 object ScaleProbe {
 
-  private def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame =
+  private def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
+    val shift = df.agg(max(col(idCol))).head.getLong(0) + 1L
     (0 until copies).map { c =>
-      df.withColumn(idCol, col(idCol) + lit(c * 10_000_000L))
+      df.withColumn(idCol, col(idCol) + lit(c * shift))
     }.reduce(_ unionByName _)
+  }
 
   private def time(label: String)(body: => Long): Unit = {
     val t0 = System.nanoTime()
