@@ -347,8 +347,11 @@ object Dedup {
       ).as(Seq("band", "band_sig"))
     )
 
-    // shuffle a compact (band, hash) key, not the long[] itself; false
-    // bucket collisions are removed by the signature check below
+    // shuffle a compact (band, hash) key, not the long[] itself; a
+    // 64-bit hash collision between different band signatures can only
+    // ADD candidates, and the exact shared-band filter below removes
+    // every such false positive — candidate semantics are exactly
+    // "some band equal", independent of the hash
     val bucketed = banded.select(
       col("id"), col("band"), xxhash64(col("band_sig")).as("bucket"))
 
@@ -363,9 +366,17 @@ object Dedup {
       maxBucket)
       .distinct()
 
+    // exact shared-band check over the joined signatures: cheap on the
+    // tiny candidate set, and it makes hash-bucket collisions harmless
+    val sharesBand = (0 until bands)
+      .map(b => slice(col("sig_a"), b * rows + 1, rows) ===
+        slice(col("sig_b"), b * rows + 1, rows))
+      .reduce(_ || _)
+
     cand
       .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
+      .filter(sharesBand)
       .withColumn(
         "est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))

@@ -26,7 +26,10 @@ object NorthStarQueries {
 
   /** Lang-ID as SQL: the left-to-right strictly-greater argmax of
     * `TextAnalysis.LangMarkers`, built from the seq (a CASE arm per
-    * language, each requiring >= against every later language).
+    * language, each requiring >= against every later language). The
+    * leading NULL arm mirrors Spark's null propagation (NULL text →
+    * NULL lang_pred) — without it a NULL row's all-NULL WHEN conditions
+    * would fall through to the final ELSE.
     */
   private val LangCaseSql: String = {
     val scored = TextAnalysis.LangMarkers.map { case (lang, m) => lang -> markerCount(m) }
@@ -37,7 +40,7 @@ object NorthStarQueries {
       val laterGe = scored.drop(i + 1).map { case (_, later) => s"$expr >= $later" }
       s"WHEN ${laterGe.mkString(" AND ")} THEN '$lang'"
     }
-    s"CASE ${arms.mkString(" ")} ELSE '${scored.last._1}' END"
+    s"CASE WHEN text IS NULL THEN NULL ${arms.mkString(" ")} ELSE '${scored.last._1}' END"
   }
 
   /** Quality-score metric CTE columns + the score expression over them
@@ -243,7 +246,9 @@ object NorthStarQueries {
     // Full MinHash+LSH oracle: signatures, banding, candidate pairs and
     // the estimated jaccard are all engine-portable integer arithmetic.
     // (Spark buckets band signatures through xxhash64 as a shuffle-key
-    // optimization; absent hash collisions the candidate sets coincide.)
+    // optimization, then re-verifies exact band equality on the joined
+    // signatures, so the candidate set matches the oracle's exactly —
+    // hash collisions cannot diverge it.)
     Q(
       "q_dedup_minhash",
       (spark, dir) =>
@@ -415,13 +420,20 @@ object NorthStarQueries {
       )
     ),
 
+    // The raw array<float> `features` column is projected to a stable
+    // 64-bit fingerprint for the driver gate (array cells are not
+    // canonicalizable by the gate's pandas sort); the full vectors stay
+    // available via Multimodal.extractFeatures and are pinned by
+    // MultimodalSpec.
     Q(
       "q_multimodal_features",
       (spark, dir) =>
         Multimodal.extractFeatures(
           Q.t(spark, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-          "doc_id", "payload"),
+          "doc_id", "payload")
+          .withColumn("features_fp", xxhash64(col("features")))
+          .drop("features"),
       None
     )
   )

@@ -57,12 +57,11 @@ class SessionizeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(Sessionize.auditDeniedCounts(allAllowed, 1200).count() == 0)
   }
 
-  test("gap boundary: exactly-gap-apart merges (Spark closed-interval semantics)") {
-    // Known, documented divergence from Flink: Flink's TimeWindow
-    // intersection is exclusive at the boundary (events exactly `gap`
-    // apart are separate sessions); Spark's session_window merges
-    // touching windows. Pinned here so the oracle SQL (`>` not `>=`)
-    // stays aligned with the engine.
+  test("gap boundary: exactly-gap-apart merges (closed-interval semantics)") {
+    // Both engines merge exactly-gap-apart events: Flink's
+    // TimeWindow.intersects() uses `end >= other.start`, so touching
+    // session windows merge there too, matching Spark's session_window.
+    // Pinned here so the oracle SQL (`>` not `>=`) stays aligned.
     val edge = Seq(
       ("u", "r", 0, 1, ts("2022-09-26 10:00:00")),
       ("u", "r", 0, 1, ts("2022-09-26 10:20:00")) // exactly 1200s later

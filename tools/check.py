@@ -20,6 +20,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # ndarray/list cells are unhashable for sort_values — tuple-ize them
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (np.ndarray, list))).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else tuple(v) if isinstance(v, list) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
