@@ -18,7 +18,7 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
     SessionQueries.all ++ RelationalQueries.all ++ WindowQueries.all ++
-      CompositeQueries.all ++ NorthStarQueries.all
+      CompositeQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

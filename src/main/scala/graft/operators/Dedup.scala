@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines, ordered by
@@ -36,6 +37,22 @@ object Dedup {
     val canon = exactGroups(docs, idCol, textCol)
       .select(col("canonical_id").as(idCol))
     docs.join(canon, Seq(idCol), "left_semi")
+  }
+
+  /** Version dedup: keep exactly one row per key — the first under
+    * `orderCols` (pass `desc` ordering for "latest wins", the standard
+    * re-crawl / re-ingest policy). Include a unique tie-break column so
+    * the survivor is deterministic.
+    *
+    * One shuffle on the key; per-key state during the ranking is a
+    * single counter (row_number), so a hot key costs its row count, not
+    * row count² — safe at 100 TB with AQE skew handling on the sort.
+    */
+  def keepLatest(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** The production dedup order: collapse exact duplicates FIRST, then

@@ -1,0 +1,507 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, Skew}
+
+/** Round-2 coverage widening: the remaining relational / analytic
+  * surface a user of a full engine expects — correlated subqueries,
+  * unpivot, string aggregation, exact statistical moments, analytic
+  * distribution functions, navigation functions, version dedup,
+  * salted-aggregation invariance, regexp / null-handling batteries,
+  * union-by-name, bitwise & filtered aggregates, binning, explode,
+  * grouping ids, and CSV/JSON round-trip sources.
+  *
+  * Float discipline follows [[Q.dsum]]: every double aggregate is an
+  * exact decimal sum cast to double, and all post-aggregation double
+  * arithmetic uses the identical operation tree in Spark and the DuckDB
+  * oracle, so results are bitwise reproducible.
+  */
+object ExtendedQueries {
+
+  private val Dec = DecimalType(18, 4)
+
+  /** Exact decimal product-sum (cast to double): values with ≤2
+    * fractional digits have exact 4-digit products, so the inner
+    * DECIMAL(18,4) re-cast is lossless and the sum order-independent.
+    */
+  private def dprod(a: String, b: String) =
+    sum((col(a).cast(Dec) * col(b).cast(Dec)).cast(Dec)).cast("double")
+
+  private def sqlProd(a: String, b: String) =
+    s"CAST(SUM(CAST(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+
+    // Correlated EXISTS with a cross-table inequality (plans as a
+    // left-semi join with a compound condition).
+    Q(
+      "q_exists_correlated",
+      (spark, dir) => {
+        val cust = Q.t(spark, dir, "customer")
+        val orders = Q.t(spark, dir, "orders")
+        cust
+          .join(orders,
+            cust("c_custkey") === orders("o_custkey") &&
+              orders("o_totalprice") > cust("c_acctbal") * 100,
+            "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey
+          |                AND o_totalprice > c_acctbal * 100)""".stripMargin
+      )
+    ),
+
+    // Uncorrelated scalar subquery: orders above the global average
+    // price (single-row aggregate broadcast to every row).
+    Q(
+      "q_scalar_subquery",
+      (spark, dir) => {
+        val orders = Q.t(spark, dir, "orders")
+        val g = orders.agg(Q.davg(col("o_totalprice")).as("global_avg"))
+        orders
+          .crossJoin(broadcast(g))
+          .filter(col("o_totalprice") > col("global_avg"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("global_avg"))
+      },
+      Some(
+        """SELECT o_orderkey, o_totalprice, global_avg
+          |FROM orders CROSS JOIN (
+          |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS global_avg
+          |  FROM orders) g
+          |WHERE o_totalprice > global_avg""".stripMargin
+      )
+    ),
+
+    // Wide-to-long unpivot (melt) of two part metrics.
+    Q(
+      "q_unpivot",
+      (spark, dir) =>
+        Q.t(spark, dir, "part")
+          .select(col("p_partkey"),
+            col("p_size").cast("double").as("p_size"),
+            col("p_retailprice"))
+          .unpivot(
+            Array(col("p_partkey")),
+            Array(col("p_size"), col("p_retailprice")),
+            "metric", "value"),
+      Some(
+        """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+          |UNION ALL
+          |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin
+      )
+    ),
+
+    // Ordered string aggregation (listagg): nation roster per region.
+    Q(
+      "q_string_agg",
+      (spark, dir) => {
+        val nation = Q.t(spark, dir, "nation")
+        val region = Q.t(spark, dir, "region")
+        nation
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n"))
+      },
+      Some(
+        """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin
+      )
+    ),
+
+    // Statistical moments (mean / variance / stddev / correlation)
+    // composed from exact decimal sums so both engines perform the
+    // same IEEE operations on the same exact inputs — unlike the
+    // built-in var_pop/corr, whose incremental algorithms differ
+    // across engines and never hash-match.
+    Q(
+      "q_stats_moments",
+      (spark, dir) =>
+        Q.t(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            Q.dsum(col("l_quantity")).as("sx"),
+            dprod("l_quantity", "l_quantity").as("sxx"),
+            Q.dsum(col("l_discount")).as("sy"),
+            dprod("l_discount", "l_discount").as("syy"),
+            dprod("l_quantity", "l_discount").as("sxy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            (col("sx") / col("n")).as("mean_qty"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("var_qty"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("std_qty"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qd")),
+      Some(
+        s"""WITH s AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+           |    ${sqlProd("l_quantity", "l_quantity")} AS sxx,
+           |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+           |    ${sqlProd("l_discount", "l_discount")} AS syy,
+           |    ${sqlProd("l_quantity", "l_discount")} AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           |  sx / n AS mean_qty,
+           |  (sxx - sx * sx / n) / n AS var_qty,
+           |  sqrt((sxx - sx * sx / n) / n) AS std_qty,
+           |  (n * sxy - sx * sy) /
+           |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd
+           |FROM s""".stripMargin
+      )
+    ),
+
+    // Distribution window functions: quartile / percent_rank /
+    // cume_dist / dense_rank under a fully deterministic ordering.
+    Q(
+      "q_ntile_dist",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Q.t(spark, dir, "orders")
+          .select(
+            col("o_orderstatus"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            dense_rank().over(w).cast("int").as("drank"))
+      },
+      Some(
+        """SELECT o_orderstatus, o_orderkey,
+          |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+          |  PERCENT_RANK() OVER w AS pct_rank,
+          |  CUME_DIST() OVER w AS cume,
+          |  CAST(DENSE_RANK() OVER w AS INT) AS drank
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderstatus
+          |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin
+      )
+    ),
+
+    // Navigation functions: per-supplier shipment cadence via lag/lead.
+    // Fully-tied duplicate rows are interchangeable, so the output
+    // multiset is order-invariant even where the fixture repeats
+    // (orderkey, linenumber).
+    Q(
+      "q_lag_lead",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc, col("l_quantity").asc)
+        Q.t(spark, dir, "lineitem")
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            datediff(to_date(col("l_shipdate")),
+              to_date(lag(col("l_shipdate"), 1).over(w))).as("days_since_prev"),
+            datediff(to_date(lead(col("l_shipdate"), 1).over(w)),
+              to_date(col("l_shipdate"))).as("days_to_next"))
+      },
+      Some(
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |  CAST(date_diff('day', CAST(LAG(l_shipdate, 1) OVER w AS DATE),
+          |                 CAST(l_shipdate AS DATE)) AS INT) AS days_since_prev,
+          |  CAST(date_diff('day', CAST(l_shipdate AS DATE),
+          |                 CAST(LEAD(l_shipdate, 1) OVER w AS DATE)) AS INT) AS days_to_next
+          |FROM lineitem
+          |WINDOW w AS (PARTITION BY l_suppkey
+          |             ORDER BY l_shipdate ASC, l_orderkey ASC,
+          |                      l_linenumber ASC, l_quantity ASC)""".stripMargin
+      )
+    ),
+
+    // Frame-positional functions: first / last / nth order per customer.
+    Q(
+      "q_first_last",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Q.t(spark, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_order"),
+            last(col("o_orderkey")).over(w).as("last_order"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+          |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+          |  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey
+          |             ORDER BY o_orderdate ASC, o_orderkey ASC
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+      )
+    ),
+
+    // Version dedup: newest event per user wins (the re-crawl /
+    // re-ingest "latest version" policy) — one shuffle, rank state only.
+    Q(
+      "q_dedup_keeplatest",
+      (spark, dir) =>
+        Dedup.keepLatest(
+          Q.t(spark, dir, "events"),
+          Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+          .select(col("user_id"), col("event_id"), col("ts")),
+      Some(
+        """SELECT user_id, event_id, ts FROM (
+          |  SELECT user_id, event_id, ts,
+          |         ROW_NUMBER() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1""".stripMargin
+      )
+    ),
+
+    // Salted two-stage aggregation is result-identical to the plain
+    // group-by (the oracle IS the unsalted query) — the skew lever
+    // changes only physical distribution.
+    Q(
+      "q_salted_agg",
+      (spark, dir) =>
+        Skew.saltedSum(
+          Q.t(spark, dir, "events"),
+          Seq("event_type"),
+          col("value").cast(Dec),
+          salts = 8)
+          .select(col("event_type"), col("total").cast("double").as("total")),
+      Some(
+        """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM events GROUP BY event_type""".stripMargin
+      )
+    ),
+
+    // Regexp battery: extract / replace-all / match / split-count.
+    Q(
+      "q_regexp_funcs",
+      (spark, dir) =>
+        Q.t(spark, dir, "part")
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+            col("p_type").rlike("ECO|PRO").as("is_eco_promo"),
+            size(split(col("p_name"), " ")).cast("long").as("n_words")),
+      Some(
+        """SELECT p_partkey,
+          |  regexp_extract(p_name, '^[a-z]+', 0) AS first_word,
+          |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+          |  regexp_matches(p_type, 'ECO|PRO') AS is_eco_promo,
+          |  CAST(len(str_split(p_name, ' ')) AS BIGINT) AS n_words
+          |FROM part""".stripMargin
+      )
+    ),
+
+    // Null-handling battery: nullif / coalesce / greatest / least / case.
+    Q(
+      "q_null_funcs",
+      (spark, dir) =>
+        Q.t(spark, dir, "customer")
+          .select(
+            col("c_custkey"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+              .as("seg_or_other"),
+            greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+            least(col("c_acctbal"), lit(1000.0)).as("bal_cap"),
+            when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("sign")),
+      Some(
+        """SELECT c_custkey,
+          |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+          |  GREATEST(c_acctbal, 0.0) AS bal_floor,
+          |  LEAST(c_acctbal, 1000.0) AS bal_cap,
+          |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign
+          |FROM customer""".stripMargin
+      )
+    ),
+
+    // Schema-evolution union: unionByName with a missing column
+    // null-filled on the narrower side.
+    Q(
+      "q_union_by_name",
+      (spark, dir) => {
+        val a = Q.t(spark, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+            lit("customer").as("src"))
+        val b = Q.t(spark, dir, "supplier")
+          .select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+        a.unionByName(b, allowMissingColumns = true)
+      },
+      Some(
+        """SELECT c_custkey AS id, c_acctbal AS bal, 'customer' AS src FROM customer
+          |UNION ALL
+          |SELECT s_suppkey AS id, CAST(NULL AS DOUBLE) AS bal, 'supplier' AS src FROM supplier""".stripMargin
+      )
+    ),
+
+    // Bitwise aggregates over grouped integers.
+    Q(
+      "q_bitwise_agg",
+      (spark, dir) =>
+        Q.t(spark, dir, "part")
+          .groupBy(col("p_brand"))
+          .agg(
+            expr("bit_and(p_size)").cast("long").as("size_and"),
+            expr("bit_or(p_size)").cast("long").as("size_or"),
+            expr("bit_xor(p_size)").cast("long").as("size_xor"),
+            count(lit(1)).as("n")),
+      Some(
+        """SELECT p_brand,
+          |  CAST(bit_and(p_size) AS BIGINT) AS size_and,
+          |  CAST(bit_or(p_size) AS BIGINT) AS size_or,
+          |  CAST(bit_xor(p_size) AS BIGINT) AS size_xor,
+          |  COUNT(*) AS n
+          |FROM part GROUP BY p_brand""".stripMargin
+      )
+    ),
+
+    // Conditional / boolean aggregates (count_if, bool_or, bool_and —
+    // ANSI FILTER clause on the oracle side).
+    Q(
+      "q_filtered_agg",
+      (spark, dir) =>
+        Q.t(spark, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("count_if(o_totalprice > 200000)").as("n_big"),
+            expr("bool_or(o_totalprice > 400000)").as("any_huge"),
+            expr("bool_and(o_totalprice > 0)").as("all_positive")),
+      Some(
+        """SELECT o_orderstatus,
+          |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+          |  bool_or(o_totalprice > 400000) AS any_huge,
+          |  bool_and(o_totalprice > 0) AS all_positive
+          |FROM orders GROUP BY o_orderstatus""".stripMargin
+      )
+    ),
+
+    // Fixed-width binning (histogram): floor-divide into capped buckets.
+    Q(
+      "q_histogram",
+      (spark, dir) =>
+        Q.t(spark, dir, "orders")
+          .select(least(floor(col("o_totalprice") / 50000), lit(9L)).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n")),
+      Some(
+        """SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+          |       COUNT(*) AS n
+          |FROM orders GROUP BY 1""".stripMargin
+      )
+    ),
+
+    // Generator (UDTF-class) coverage: positional explode of the first
+    // five tokens per document.
+    Q(
+      "q_explode_tokens",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(slice(split(col("text"), "\\s+"), 1, 5)).as(Seq("pos", "tok"))),
+      Some(
+        """SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS tok
+          |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+          |     UNNEST(generate_series(1, LEAST(len(t), 5))) AS u(i)""".stripMargin
+      )
+    ),
+
+    // Grouping indicators on a cube (which dimensions are rolled up).
+    Q(
+      "q_grouping_id",
+      (spark, dir) =>
+        Q.t(spark, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("n")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+          |  COUNT(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+      )
+    ),
+
+    // CSV source/sink round-trip: write the table as headered CSV, read
+    // it back with an explicit schema (doubles round-trip via shortest
+    // representation), project. The oracle reads the original parquet —
+    // equality proves the format conversion is lossless.
+    Q(
+      "q_csv_roundtrip",
+      (spark, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(dir.hashCode)}"
+        Q.t(spark, dir, "customer")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        spark.read
+          .option("header", "true")
+          .schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+          .csv(tmp)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+      },
+      Some(
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+      )
+    ),
+
+    // JSON-lines source/sink round-trip (the reference's native input
+    // format), timestamps included.
+    Q(
+      "q_json_roundtrip",
+      (spark, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_${math.abs(dir.hashCode)}"
+        Q.t(spark, dir, "orders")
+          .write.mode("overwrite").json(tmp)
+        spark.read
+          .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
+          .json(tmp)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      },
+      Some(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders"
+      )
+    ),
+
+    // TPC-H Q18 shape: IN-subquery with HAVING over an aggregate.
+    Q(
+      "q_tpch_q18",
+      (spark, dir) => {
+        val li = Q.t(spark, dir, "lineitem")
+        val orders = Q.t(spark, dir, "orders")
+        val cust = Q.t(spark, dir, "customer")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(Q.dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        orders
+          .join(big, orders("o_orderkey") === big("l_orderkey"))
+          .join(cust, orders("o_custkey") === cust("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+      },
+      Some(
+        """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+          |FROM orders
+          |JOIN (SELECT l_orderkey,
+          |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |      FROM lineitem GROUP BY l_orderkey
+          |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150) b
+          |  ON o_orderkey = b.l_orderkey
+          |JOIN customer ON o_custkey = c_custkey""".stripMargin
+      )
+    )
+  )
+}

@@ -143,4 +143,23 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(row == Seq("a b c", "b c d"))
   }
+
+  test("keepLatest: newest row per key survives, ties broken by id") {
+    val versions = Seq(
+      (1L, 10L, 100L, "v1"),
+      (1L, 11L, 200L, "v2"), // newest for key 1
+      (2L, 20L, 300L, "a"),
+      (2L, 21L, 300L, "b"), // tied ts; higher id wins
+      (3L, 30L, 50L, "only")
+    ).toDF("key", "id", "version_ts", "payload")
+
+    val kept = Dedup.keepLatest(versions, Seq("key"),
+        Seq(col("version_ts").desc, col("id").desc))
+      .select("key", "id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+
+    assert(kept.toSeq == Seq((1L, 11L, "v2"), (2L, 21L, "b"), (3L, 30L, "only")))
+  }
 }
