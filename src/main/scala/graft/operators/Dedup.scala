@@ -236,23 +236,32 @@ object Dedup {
       .toDF("u", "v")
       .localCheckpoint()
 
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // Propagate min-labels over the near-dup subgraph ONLY: at crawl
+    // scale the overwhelming majority of documents touch no near-dup
+    // edge, so iterating over |V(edges)| instead of |docs| shrinks
+    // every iteration's join from corpus-sized to dup-graph-sized.
+    // Isolated docs rejoin as their own singleton cluster at the end.
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges
+      // carry the old label through the aggregation so convergence is
+      // read off the same materialized result — no second join/count job
+      val next = edges
         .join(labels, edges("v") === labels("id"))
         .groupBy(col("u")).agg(min(col("cluster")).as("nb_min"))
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("u"), "left")
+        .join(labels, col("u") === labels("id"))
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), col("nb_min")).as("cluster"),
+          (col("nb_min") < col("cluster")).as("moved"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
+      changed = next.filter(col("moved")).count()
+      labels = next.select(col("id"), col("cluster")) // next is checkpointed
     }
-    labels
+    docs.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("id", "lid"), col("id") === col("lid"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Greedy near-dup removal: drop every doc that is the larger-id side
