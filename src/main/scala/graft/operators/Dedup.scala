@@ -264,6 +264,24 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Materialized near-dup dedup: keep each cluster's canonical
+    * (smallest-id) document — the end-to-end "dedup the corpus" step a
+    * training pipeline actually ships. Cluster-exact (transitively
+    * closed), unlike the greedy [[dropNearDuplicates]].
+    */
+  def dropNearDupClusterMembers(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val canon = nearDupClusters(docs, idCol, textCol, n, threshold)
+      .filter(col("cluster") === col("id"))
+      .select(col("id").as(idCol))
+    docs.join(canon, Seq(idCol), "left_semi")
+  }
+
   /** Greedy near-dup removal: drop every doc that is the larger-id side
     * of a qualifying pair (keeps the smallest id of each pair; the
     * cluster-exact variant is `nearDupClusters` + keep cluster == id).

@@ -476,6 +476,89 @@ object ExtendedQueries {
       )
     ),
 
+    // String function battery: pad / translate / reverse / repeat /
+    // position / left / right.
+    Q(
+      "q_string_funcs",
+      (spark, dir) =>
+        Q.t(spark, dir, "part")
+          .select(
+            col("p_partkey"),
+            lpad(col("p_brand"), 12, "*").as("brand_pad"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+            reverse(col("p_name")).as("name_rev"),
+            repeat(col("p_type"), 2).as("type_twice"),
+            instr(col("p_name"), "widget").cast("long").as("widget_pos"),
+            expr("left(p_name, 4)").as("name_left"),
+            expr("right(p_name, 3)").as("name_right")),
+      Some(
+        """SELECT p_partkey,
+          |  lpad(p_brand, 12, '*') AS brand_pad,
+          |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+          |  reverse(p_name) AS name_rev,
+          |  repeat(p_type, 2) AS type_twice,
+          |  CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos,
+          |  left(p_name, 4) AS name_left,
+          |  right(p_name, 3) AS name_right
+          |FROM part""".stripMargin
+      )
+    ),
+
+    // Math battery restricted to IEEE-exact operations (floor / ceil /
+    // sqrt / abs / sign / pmod / multiply) — transcendentals (exp, ln,
+    // pow) are libm-dependent and never hash-match across engines.
+    Q(
+      "q_math_funcs",
+      (spark, dir) =>
+        Q.t(spark, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            floor(col("l_extendedprice")).as("price_floor"),
+            ceil(col("l_extendedprice")).as("price_ceil"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            abs(col("l_discount") - 0.05).as("disc_dev"),
+            signum(col("l_discount") - 0.05).as("disc_sign"),
+            pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+            (col("l_quantity") * col("l_quantity")).as("qty_sq")),
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_quantity,
+          |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+          |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+          |  sqrt(l_quantity) AS qty_sqrt,
+          |  abs(l_discount - 0.05) AS disc_dev,
+          |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+          |  ((l_orderkey % 7) + 7) % 7 AS key_mod,
+          |  l_quantity * l_quantity AS qty_sq
+          |FROM lineitem""".stripMargin
+      )
+    ),
+
+    // Date arithmetic battery: day/month offsets, month-end clamping,
+    // weekday / ISO week / quarter extraction.
+    Q(
+      "q_date_arith",
+      (spark, dir) =>
+        Q.t(spark, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            date_add(to_date(col("o_orderdate")), 30).as("plus_30d"),
+            add_months(to_date(col("o_orderdate")), 2).as("plus_2m"),
+            last_day(to_date(col("o_orderdate"))).as("month_end"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            weekofyear(col("o_orderdate")).as("iso_week"),
+            quarter(col("o_orderdate")).as("qtr")),
+      Some(
+        """SELECT o_orderkey,
+          |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+          |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+          |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+          |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+          |  CAST(quarter(o_orderdate) AS INT) AS qtr
+          |FROM orders""".stripMargin
+      )
+    ),
+
     // TPC-H Q18 shape: IN-subquery with HAVING over an aggregate.
     Q(
       "q_tpch_q18",

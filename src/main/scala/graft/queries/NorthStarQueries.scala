@@ -243,6 +243,33 @@ object NorthStarQueries {
       )
     ),
 
+    // The end-to-end dedup step a pipeline ships: materialize the
+    // corpus keeping only each near-dup cluster's canonical (min-id)
+    // document.
+    Q(
+      "q_dedup_corpus",
+      (spark, dir) =>
+        Dedup.dropNearDupClusterMembers(
+          Q.t(spark, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.4)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some(
+        s"""WITH RECURSIVE $JaccardCtes,
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM jpairs
+           |  UNION ALL SELECT id_b, id_a FROM jpairs
+           |), reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           |)
+           |SELECT d.doc_id, d.lang, d.n_chars
+           |FROM documents d
+           |WHERE d.doc_id <= COALESCE((SELECT MIN(r.v) FROM reach r WHERE r.u = d.doc_id),
+           |                           d.doc_id)""".stripMargin
+      )
+    ),
+
     // Full MinHash+LSH oracle: signatures, banding, candidate pairs and
     // the estimated jaccard are all engine-portable integer arithmetic.
     // (Spark buckets band signatures through xxhash64 as a shuffle-key
