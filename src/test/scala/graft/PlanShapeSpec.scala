@@ -76,6 +76,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("keepLatest is a single shuffle (rank state, no join)") {
+    val events = Q.events(spark, sf)
+    val plan = physical(Dedup.keepLatest(events, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc)))
+    assert(countOcc(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("salted aggregation is the two-stage shape: (key,salt) then key") {
+    val events = Q.events(spark, sf)
+    val plan = physical(graft.operators.Skew.saltedSum(
+      events, Seq("event_type"), col("value").cast(DecimalType(18, 4)), 8))
+    assert(countOcc(plan, "Exchange hashpartitioning") == 2, plan)
+  }
+
+  test("correlated EXISTS plans as a broadcast left-semi join at small scale") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val plan = physical(cust.join(orders,
+      cust("c_custkey") === orders("o_custkey") &&
+        orders("o_totalprice") > cust("c_acctbal") * 100,
+      "left_semi"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
+  test("single-row scalar subquery broadcasts, never shuffles the fact side") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val g = orders.agg(Q.davg(col("o_totalprice")).as("global_avg"))
+    val plan = physical(orders.crossJoin(broadcast(g))
+      .filter(col("o_totalprice") > col("global_avg")))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(countOcc(plan, "Exchange hashpartitioning") == 0, plan)
+  }
+
+  test("statistical moments aggregate in one shuffle (partial + final)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = physical(li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Q.dsum(col("l_quantity")).as("sx"),
+        sum((col("l_quantity").cast(DecimalType(18, 4)) *
+          col("l_quantity").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)))
+          .cast("double").as("sxx")))
+    assert(countOcc(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("codegen kernels run inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = physical(Dedup.simhash(docs, "doc_id", "text"))
