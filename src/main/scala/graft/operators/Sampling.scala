@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and train/holdout splitting — the
+  * standard way a training pipeline carves reproducible subsets without
+  * a random seed riding along (rand() re-rolls per task retry; a key
+  * hash never does).
+  *
+  * The hash is pure integer arithmetic (multiplicative hash mod a
+  * 31-bit prime), so it is engine-portable (oracle-checkable in ANSI
+  * SQL) and stable across Spark versions — unlike xxhash64/murmur,
+  * whose availability differs by engine. Entirely map-side: sampling
+  * never shuffles, so at 100 TB it costs one scan.
+  */
+object Sampling {
+
+  val P = 1000000007L
+  val A = 2654435761L
+  val B = 40503L
+
+  /** Stable bucket in [0, buckets) for a numeric id. `(id mod P) * A`
+    * stays below 2^63 (P·A ≈ 2.7e18), so the arithmetic never wraps in
+    * engines that check overflow.
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(pmod(pmod(id, lit(P)) * lit(A) + lit(B), lit(P)), lit(buckets.toLong))
+
+  /** Keep ~keepBuckets/buckets of rows, deterministically by id. */
+  def sampleByHash(df: DataFrame, idCol: String, keepBuckets: Int, buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < keepBuckets)
+
+  /** Disjoint, exhaustive train/holdout split: rows whose bucket falls
+    * below `holdoutBuckets` go to holdout, the rest to train.
+    */
+  def trainHoldout(
+      df: DataFrame,
+      idCol: String,
+      holdoutBuckets: Int,
+      buckets: Int = 100
+  ): (DataFrame, DataFrame) = {
+    val b = hashBucket(col(idCol), buckets)
+    (df.filter(b >= holdoutBuckets), df.filter(b < holdoutBuckets))
+  }
+
+  /** Split label as a column (for single-pass grouped accounting). */
+  def splitLabel(id: Column, holdoutBuckets: Int, buckets: Int = 100): Column =
+    when(hashBucket(id, buckets) < holdoutBuckets, lit("holdout")).otherwise(lit("train"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Skew}
+import graft.operators.{Dedup, Sampling, Skew}
 
 /** Round-2 coverage widening: the remaining relational / analytic
   * surface a user of a full engine expects — correlated subqueries,
@@ -473,6 +473,26 @@ object ExtendedQueries {
       },
       Some(
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders"
+      )
+    ),
+
+    // Deterministic train/holdout split accounting in one scan-bound
+    // pass: the split hash is engine-portable integer arithmetic, so
+    // the oracle reproduces the exact same membership.
+    Q(
+      "q_sample_split",
+      (spark, dir) =>
+        Q.t(spark, dir, "orders")
+          .withColumn("split", Sampling.splitLabel(col("o_orderkey"), 10))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("sum_price")),
+      Some(
+        s"""SELECT CASE WHEN ((o_orderkey % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
+           |                 % ${Sampling.P} % 100 < 10
+           |            THEN 'holdout' ELSE 'train' END AS split,
+           |       COUNT(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           |FROM orders GROUP BY 1""".stripMargin
       )
     ),
 

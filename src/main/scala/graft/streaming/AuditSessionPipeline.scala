@@ -60,7 +60,8 @@ object AuditSessionPipeline {
       output: String,
       checkpoint: Option[String],
       kafkaTopic: Option[String],
-      kafkaOptions: Map[String, String]
+      kafkaOptions: Map[String, String],
+      outputPath: Option[String] = None
   )
 
   object Config {
@@ -79,7 +80,8 @@ object AuditSessionPipeline {
         kafkaOptions = props.stringPropertyNames.asScala
           .filter(k => k.startsWith("kafka.") && k != "kafka.topic")
           .map(k => k -> props.getProperty(k))
-          .toMap
+          .toMap,
+        outputPath = opt("session.output_path")
       )
     }
 
@@ -110,6 +112,13 @@ object AuditSessionPipeline {
     config.output match {
       case "print" => withCp.format("console")
       case "memory" => withCp.format("memory").queryName("audit_sessions")
+      // exactly-once file sink: the manifest-committed parquet sink is
+      // the strongest guarantee of the three (Kafka stays at-least-once,
+      // matching the reference's DeliveryGuarantee.AT_LEAST_ONCE)
+      case "files" =>
+        val path = config.outputPath.getOrElse(
+          throw new IllegalArgumentException("session.output_path required for files output"))
+        withCp.format("parquet").option("path", path)
       case "kafka" =>
         val topic = config.kafkaTopic.getOrElse(
           throw new IllegalArgumentException("kafka.topic required for kafka output"))

@@ -61,6 +61,44 @@ class PipelineE2ESpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming files sink: sessions land as parquet, exactly-once manifest") {
+    val root = Files.createTempDirectory("audit_e2e_files").toFile
+    writeTree(root)
+    val outDir = Files.createTempDirectory("audit_e2e_sink").toFile
+    val cpDir = Files.createTempDirectory("audit_e2e_cp").toFile
+
+    val config = AuditSessionPipeline.Config(
+      auditPath = root.getAbsolutePath,
+      pollSeconds = 1,
+      minDate = None,
+      gapSeconds = 1200,
+      output = "files",
+      checkpoint = Some(cpDir.getAbsolutePath),
+      kafkaTopic = None,
+      kafkaOptions = Map.empty,
+      outputPath = Some(outDir.getAbsolutePath))
+
+    val lines = graft.sources.AuditSource.stream(spark, root.getAbsolutePath)
+    val out = AuditSessionPipeline.formatted(lines, gapSeconds = 1200, watermark = "0 seconds")
+    val q = AuditSessionPipeline.writer(out, config).start()
+    try {
+      q.processAllAvailable()
+      val day2 = new java.io.File(root, "20210402")
+      day2.mkdirs()
+      Files.writeString(new java.io.File(day2, "audit-3.log").toPath,
+        auditLine("zz", "2021-04-02 10:00:00.000", 1, 1) + "\n")
+      q.processAllAvailable()
+      q.processAllAvailable()
+
+      // read back through the sink's commit manifest (_spark_metadata)
+      val rows = spark.read.parquet(outDir.getAbsolutePath)
+        .collect().map(_.getString(0)).sorted
+      assert(rows.length == 2, rows.toSeq)
+      assert(rows.exists(_.startsWith("user='bob' denies=2")), rows.toSeq)
+      assert(rows.exists(_.startsWith("user='wdyson' denies=10")), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("batch twin: same files, same transform, same results") {
     val root = Files.createTempDirectory("audit_e2e_batch").toFile
     writeTree(root)

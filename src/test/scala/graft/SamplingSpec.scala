@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Sampling invariants: determinism across evaluations, disjoint +
+  * exhaustive splits, and sane sample-rate behavior.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ids = (0L until 10000L).toDF("id")
+
+  test("sampling is deterministic: same ids survive on re-evaluation") {
+    val a = Sampling.sampleByHash(ids, "id", 10).as[Long].collect().sorted.toSeq
+    val b = Sampling.sampleByHash(ids, "id", 10).as[Long].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("train/holdout is disjoint and exhaustive") {
+    val (train, holdout) = Sampling.trainHoldout(ids, "id", holdoutBuckets = 20)
+    val t = train.as[Long].collect().toSet
+    val h = holdout.as[Long].collect().toSet
+    assert(t.intersect(h).isEmpty)
+    assert(t.union(h).size == 10000)
+  }
+
+  test("sample rate lands near the requested fraction") {
+    val n = Sampling.sampleByHash(ids, "id", 10).count()
+    // 10% of 10k with a multiplicative hash: comfortably within ±3%
+    assert(n > 700 && n < 1300, s"got $n of 10000")
+  }
+
+  test("splitLabel agrees with the two-DataFrame split") {
+    val labeled = ids
+      .withColumn("split", Sampling.splitLabel(col("id"), 20))
+    val byLabel = labeled.filter(col("split") === "holdout").count()
+    val (_, holdout) = Sampling.trainHoldout(ids, "id", 20)
+    assert(byLabel == holdout.count())
+  }
+}
