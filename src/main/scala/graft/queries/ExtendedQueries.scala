@@ -579,6 +579,55 @@ object ExtendedQueries {
       )
     ),
 
+    // Array function battery over tokenized text (scalar projections
+    // only — the gate cannot canonicalize array cells): membership,
+    // 1-based position, element max, distinct count.
+    Q(
+      "q_array_funcs",
+      (spark, dir) => {
+        val toks = split(col("text"), "\\s+")
+        Q.t(spark, dir, "documents")
+          .select(
+            col("doc_id"),
+            array_contains(toks, "the").as("has_the"),
+            array_position(toks, "the").as("the_pos"),
+            array_max(transform(toks, t => length(t))).as("max_tok_len"),
+            size(array_distinct(toks)).cast("long").as("n_distinct_tok"))
+      },
+      Some(
+        """SELECT doc_id,
+          |  list_contains(t, 'the') AS has_the,
+          |  CAST(COALESCE(list_position(t, 'the'), 0) AS BIGINT) AS the_pos,
+          |  CAST(list_max(list_transform(t, x -> length(x))) AS INT) AS max_tok_len,
+          |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tok
+          |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)""".stripMargin
+      )
+    ),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // match each other instead of vanishing.
+    Q(
+      "q_nullsafe_join",
+      (spark, dir) => {
+        val n1 = Q.t(spark, dir, "nation")
+          .select(nullif(col("n_regionkey") % 2, lit(0)).as("k1"),
+            col("n_nationkey").as("a"))
+        val n2 = Q.t(spark, dir, "nation")
+          .select(nullif(col("n_regionkey") % 2, lit(0)).as("k2"),
+            col("n_nationkey").as("b"))
+        n1.join(n2, n1("k1") <=> n2("k2"))
+          .groupBy(col("k1"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(
+        """SELECT k1, COUNT(*) AS n_pairs
+          |FROM (SELECT NULLIF(n_regionkey % 2, 0) AS k1, n_nationkey AS a FROM nation) x
+          |JOIN (SELECT NULLIF(n_regionkey % 2, 0) AS k2, n_nationkey AS b FROM nation) y
+          |  ON k1 IS NOT DISTINCT FROM k2
+          |GROUP BY k1""".stripMargin
+      )
+    ),
+
     // TPC-H Q18 shape: IN-subquery with HAVING over an aggregate.
     Q(
       "q_tpch_q18",

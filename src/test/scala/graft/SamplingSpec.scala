@@ -34,6 +34,42 @@ class SamplingSpec extends SparkSpec {
     assert(n > 700 && n < 1300, s"got $n of 10000")
   }
 
+  test("property: split stays disjoint+exhaustive for arbitrary ids (incl. negatives)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val idsGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue / 4, Long.MaxValue / 4))
+    (1 to 10).foreach { i =>
+      idsGen(Gen.Parameters.default, Seed(i.toLong)).foreach { raw =>
+        val d = raw.distinct.toDF("id")
+        val (train, holdout) = Sampling.trainHoldout(d, "id", 30)
+        val t = train.as[Long].collect().toSet
+        val h = holdout.as[Long].collect().toSet
+        assert(t.intersect(h).isEmpty)
+        assert(t.union(h).size == raw.distinct.size)
+      }
+    }
+  }
+
+  test("property: keepLatest returns exactly one row per key, the max-order one") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      key <- Gen.choose(1L, 6L)
+      ver <- Gen.choose(0L, 100L)
+    } yield (key, ver)
+    (1 to 10).foreach { i =>
+      Gen.nonEmptyListOf(rowGen)(Gen.Parameters.default, Seed(i.toLong)).foreach { rows =>
+        // unique (key, ver) so the survivor is well-defined without tie-break
+        val d = rows.distinct.toDF("key", "ver")
+        val kept = graft.operators.Dedup
+          .keepLatest(d, Seq("key"), Seq(col("ver").desc))
+          .as[(Long, Long)].collect().toMap
+        val expected = rows.distinct.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        assert(kept == expected)
+      }
+    }
+  }
+
   test("splitLabel agrees with the two-DataFrame split") {
     val labeled = ids
       .withColumn("split", Sampling.splitLabel(col("id"), 20))
