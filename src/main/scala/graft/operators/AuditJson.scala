@@ -39,4 +39,40 @@ object AuditJson {
       )
       .select(col("a.*"))
       .filter(col("reqUser").isNotNull)
+
+  /** PERMISSIVE `from_json` yields an all-null struct for malformed
+    * input (never a null struct), so distinguishing corrupt from merely
+    * key-less records needs the corrupt-record column: malformed lines
+    * land verbatim in `_corrupt_record`, valid ones leave it null.
+    */
+  private def parsedWithCorrupt(lines: DataFrame) =
+    lines.select(
+      from_json(
+        col("value"),
+        Audit.schema.add("_corrupt_record", org.apache.spark.sql.types.StringType),
+        Map(
+          "timestampFormat" -> Audit.TimestampFormat,
+          "columnNameOfCorruptRecord" -> "_corrupt_record")
+      ).as("a"))
+
+  /** The raw lines [[parse]] drops as malformed — the dead-letter side
+    * of the lenient parse, for quarantine sinks / alerting.
+    */
+  def corruptLines(lines: DataFrame): DataFrame =
+    parsedWithCorrupt(lines)
+      .filter(col("a._corrupt_record").isNotNull)
+      .select(col("a._corrupt_record").as("value"))
+
+  /** One-pass parse accounting: total lines, malformed lines, parsed
+    * rows lacking the required key, and usable rows. The observability
+    * counter the reference lacks (it silently drops, `App.java:52`).
+    */
+  def parseStats(lines: DataFrame): DataFrame =
+    parsedWithCorrupt(lines).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("a._corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("a._corrupt_record").isNull && col("a.reqUser").isNull, 1L)
+        .otherwise(0L)).as("n_missing_user"),
+      sum(when(col("a._corrupt_record").isNull && col("a.reqUser").isNotNull, 1L)
+        .otherwise(0L)).as("n_good"))
 }

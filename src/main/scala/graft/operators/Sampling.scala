@@ -47,4 +47,24 @@ object Sampling {
   /** Split label as a column (for single-pass grouped accounting). */
   def splitLabel(id: Column, holdoutBuckets: Int, buckets: Int = 100): Column =
     when(hashBucket(id, buckets) < holdoutBuckets, lit("holdout")).otherwise(lit("train"))
+
+  /** Stratified sampling: a different keep-rate per stratum (data
+    * curation's "downsample the dominant source, keep all of the rare
+    * one"). Rates are keep-buckets out of `buckets`; strata not listed
+    * use `defaultKeep`. Still one map-side pass — the rate lookup is a
+    * CASE chain, no join.
+    */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      keepBuckets: Map[String, Int],
+      defaultKeep: Int,
+      buckets: Int = 100
+  ): DataFrame = {
+    val rate = keepBuckets.foldLeft(lit(defaultKeep)) { case (acc, (stratum, keep)) =>
+      when(col(strataCol) === stratum, lit(keep)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < rate)
+  }
 }

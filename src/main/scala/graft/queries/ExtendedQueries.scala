@@ -496,6 +496,29 @@ object ExtendedQueries {
       )
     ),
 
+    // Stratified sampling: per-stratum keep rates (keep all rare
+    // 'error' events, 25% of 'click', 5% of everything else), then
+    // grouped accounting. Same portable hash as q_sample_split.
+    Q(
+      "q_sample_stratified",
+      (spark, dir) =>
+        Sampling.stratifiedSampleByHash(
+          Q.t(spark, dir, "events"), "event_id", "event_type",
+          keepBuckets = Map("error" -> 100, "click" -> 25),
+          defaultKeep = 5)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept")),
+      Some(
+        s"""SELECT event_type, COUNT(*) AS n_kept
+           |FROM events
+           |WHERE ((event_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 100
+           |      < CASE WHEN event_type = 'click' THEN 25
+           |             WHEN event_type = 'error' THEN 100
+           |             ELSE 5 END
+           |GROUP BY event_type""".stripMargin
+      )
+    ),
+
     // String function battery: pad / translate / reverse / repeat /
     // position / left / right.
     Q(

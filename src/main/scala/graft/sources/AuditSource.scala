@@ -26,12 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object AuditSource {
 
-  /** Streaming text source over a (possibly partitioned) directory tree. */
-  def stream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
+  /** Streaming text source over a (possibly partitioned) directory tree.
+    *
+    * @param maxFilesPerTrigger backpressure knob: cap files ingested per
+    *        micro-batch so a large backlog (or a bulk backfill drop)
+    *        drains in bounded-size batches instead of one giant one —
+    *        essential when pointing the stream at months of history
+    */
+  def stream(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val reader = spark.readStream
       .format("text")
       .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .load(path)
+  }
 
   /** Batch twin — identical downstream operators apply (unified API). */
   def batch(spark: SparkSession, path: String): DataFrame =

@@ -43,4 +43,21 @@ class AuditJsonSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[String]("reqUser") == "wdyson")
   }
+
+  test("parse accounting: corrupt / missing-user / good counted in one pass") {
+    val lines = Seq(
+      "not json at all {{{",
+      "{broken",
+      """{"repoType":9,"result":1}""", // valid JSON, null reqUser
+      golden
+    ).toDF("value")
+    val s = AuditJson.parseStats(lines).collect().head
+    assert(s.getAs[Long]("n_lines") == 4L)
+    assert(s.getAs[Long]("n_corrupt") == 2L)
+    assert(s.getAs[Long]("n_missing_user") == 1L)
+    assert(s.getAs[Long]("n_good") == 1L)
+
+    val dead = AuditJson.corruptLines(lines).as[String].collect().toSet
+    assert(dead == Set("not json at all {{{", "{broken"))
+  }
 }

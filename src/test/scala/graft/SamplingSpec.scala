@@ -70,6 +70,20 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampling applies per-stratum rates; keep-all keeps all") {
+    val rows = (0L until 3000L).map(i => (i, if (i % 3 == 0) "rare" else "common"))
+      .toDF("id", "kind")
+    val sampled = Sampling.stratifiedSampleByHash(
+      rows, "id", "kind", Map("rare" -> 100), defaultKeep = 10)
+    val byKind = sampled.groupBy("kind").count()
+      .as[(String, Long)].collect().toMap
+    assert(byKind("rare") == 1000L) // rate 100/100 keeps every rare row
+    assert(byKind("common") > 100 && byKind("common") < 300, byKind) // ~10% of 2000
+    // deterministic on re-evaluation
+    assert(sampled.count() == Sampling.stratifiedSampleByHash(
+      rows, "id", "kind", Map("rare" -> 100), defaultKeep = 10).count())
+  }
+
   test("splitLabel agrees with the two-DataFrame split") {
     val labeled = ids
       .withColumn("split", Sampling.splitLabel(col("id"), 20))
