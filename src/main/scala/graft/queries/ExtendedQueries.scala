@@ -627,6 +627,32 @@ object ExtendedQueries {
       )
     ),
 
+    // Higher-order-function battery: lambda fold / filter / forall /
+    // exists / transform over token arrays, all reduced to scalars.
+    Q(
+      "q_higher_order",
+      (spark, dir) => {
+        val toks = split(col("text"), "\\s+")
+        Q.t(spark, dir, "documents")
+          .select(
+            col("doc_id"),
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_tok_len"),
+            size(filter(toks, t => length(t) > 3)).cast("long").as("n_long_tok"),
+            forall(toks, t => length(t) > 0).as("all_nonempty"),
+            exists(toks, t => length(t) > 8).as("has_long_tok"),
+            array_join(transform(slice(toks, 1, 3), t => upper(t)), " ").as("first3_upper"))
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_tok_len,
+          |  CAST(len(list_filter(t, x -> length(x) > 3)) AS BIGINT) AS n_long_tok,
+          |  len(list_filter(t, x -> length(x) = 0)) = 0 AS all_nonempty,
+          |  len(list_filter(t, x -> length(x) > 8)) > 0 AS has_long_tok,
+          |  array_to_string(list_transform(t[1:3], x -> upper(x)), ' ') AS first3_upper
+          |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)""".stripMargin
+      )
+    ),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
     // match each other instead of vanishing.
     Q(
