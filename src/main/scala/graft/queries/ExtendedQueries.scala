@@ -627,6 +627,26 @@ object ExtendedQueries {
       )
     ),
 
+    // The space-saving heavy-hitters Aggregator as a driver query.
+    // With capacity >= column cardinality the sketch is provably exact
+    // (no eviction ever fires), so the oracle is plain frequency top-k;
+    // the approximate regime is pinned separately by TopKSketchSpec's
+    // skewed-recall tests.
+    Q(
+      "q_heavy_hitters",
+      (spark, dir) =>
+        Q.t(spark, dir, "part")
+          .agg(graft.functions.TopKSketch.approxTopK(col("p_brand"), 10, 64).as("tk"))
+          .select(explode(col("tk")).as("c"))
+          .select(col("c.item").as("brand"), col("c.count").as("n"),
+            col("c.err").as("err")),
+      Some(
+        """SELECT p_brand AS brand, COUNT(*) AS n, CAST(0 AS BIGINT) AS err
+          |FROM part GROUP BY p_brand
+          |ORDER BY n DESC, brand ASC LIMIT 10""".stripMargin
+      )
+    ),
+
     // Higher-order-function battery: lambda fold / filter / forall /
     // exists / transform over token arrays, all reduced to scalars.
     Q(
