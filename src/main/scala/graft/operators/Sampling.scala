@@ -48,6 +48,32 @@ object Sampling {
   def splitLabel(id: Column, holdoutBuckets: Int, buckets: Int = 100): Column =
     when(hashBucket(id, buckets) < holdoutBuckets, lit("holdout")).otherwise(lit("train"))
 
+  /** Second independent multiplicative hash (different constants) for
+    * orderings that must be uncorrelated with [[hashBucket]] routing.
+    */
+  def orderHash(id: Column): Column =
+    pmod(pmod(id, lit(P)) * lit(2246822519L) + lit(604171L), lit(P))
+
+  /** Deterministic sharded shuffle — the scalable way to "randomize"
+    * training-corpus order: route each row to a shard by one hash, rank
+    * within the shard by an independent second hash. Each shard sorts
+    * independently (no global sort, no single-partition window), so the
+    * plan parallelizes across shards at any scale; reading shards in
+    * (shard, rank) order yields a reproducible pseudo-random corpus
+    * permutation without a seed.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      shards: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("shard", hashBucket(col(idCol), shards))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Stratified sampling: a different keep-rate per stratum (data
     * curation's "downsample the dominant source, keep all of the rare
     * one"). Rates are keep-buckets out of `buckets`; strata not listed

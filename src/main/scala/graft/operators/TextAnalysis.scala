@@ -100,4 +100,26 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column =
     graft.functions.GraftFunctions.polyHash(text, 31L, FingerprintMod)
+
+  /** Overlapping context-window chunks: token windows of `window`
+    * tokens at `stride`-token steps — the standard chunking ahead of an
+    * embedding model. Documents at most `window` tokens long yield one
+    * chunk; the final chunk may be short. Pure per-row expression (no
+    * shuffle); the explode multiplies rows by ~n_tok/stride.
+    *
+    * Returns an array of chunk strings; pair with `posexplode` for
+    * (chunk_id, chunk_text) rows.
+    */
+  def chunkTokens(text: Column, window: Int, stride: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // index of the last chunk: ceil((n - window)/stride) via exact
+    // double floor (token counts are far below 2^53)
+    val lastChunk = when(n > window,
+      floor((n - lit(window) + lit(stride - 1)).cast("double") / lit(stride.toDouble))
+        .cast("int")).otherwise(0)
+    transform(
+      sequence(lit(0), lastChunk),
+      i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
+  }
 }

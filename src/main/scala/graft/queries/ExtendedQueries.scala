@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Sampling, Skew}
+import graft.operators.{Dedup, Sampling, Skew, TextAnalysis}
 
 /** Round-2 coverage widening: the remaining relational / analytic
   * surface a user of a full engine expects — correlated subqueries,
@@ -624,6 +624,79 @@ object ExtendedQueries {
           |  CAST(list_max(list_transform(t, x -> length(x))) AS INT) AS max_tok_len,
           |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tok
           |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)""".stripMargin
+      )
+    ),
+
+    // Context-window chunking: overlapping 64-token windows at stride
+    // 32 — the standard split ahead of an embedding model. Chunk ids
+    // and text are engine-portable (token slices + joins).
+    Q(
+      "q_chunk_text",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.chunkTokens(col("text"), window = 64, stride = 32))
+              .as(Seq("chunk_id", "chunk_text"))),
+      Some(
+        """SELECT doc_id, CAST(i AS INT) AS chunk_id,
+          |       array_to_string(t[i*32+1 : i*32+64], ' ') AS chunk_text
+          |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+          |     UNNEST(generate_series(0,
+          |       CASE WHEN len(t) > 64
+          |            THEN CAST(FLOOR((len(t) - 64 + 31) / 32.0) AS BIGINT)
+          |            ELSE 0 END)) AS u(i)""".stripMargin
+      )
+    ),
+
+    // Greedy sequence packing: per-language, docs in id order fill
+    // 4096-token bins; a doc's bin is its preceding cumulative token
+    // count div 4096 (docs may straddle bin boundaries — the cheap
+    // packing used when exact bin capacity isn't critical).
+    Q(
+      "q_pack_sequences",
+      (spark, dir) => {
+        val nTok = TextAnalysis.tokenCount(col("text")).cast("long")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Q.t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+          .withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            floor(((col("cum_tok") - col("n_tok")).cast("double")) / 4096.0)
+              .as("bin"))
+      },
+      Some(
+        """SELECT doc_id, lang, n_tok,
+          |  CAST(FLOOR((cum_tok - n_tok) / 4096.0) AS BIGINT) AS bin
+          |FROM (
+          |  SELECT doc_id, lang,
+          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+          |    SUM(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)) OVER (
+          |      PARTITION BY lang ORDER BY doc_id ASC
+          |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+          |  FROM documents) t""".stripMargin
+      )
+    ),
+
+    // Deterministic sharded shuffle: hash-route to shards, rank within
+    // each shard by an independent hash — a reproducible corpus
+    // permutation with no global sort and no seed.
+    Q(
+      "q_shuffle_shards",
+      (spark, dir) =>
+        Sampling.deterministicShuffle(
+          Q.t(spark, dir, "documents").select(col("doc_id")), "doc_id", shards = 8)
+          .select(col("doc_id"), col("shard"), col("rank")),
+      Some(
+        s"""SELECT doc_id, shard, CAST(rank AS INT) AS rank FROM (
+           |  SELECT doc_id,
+           |    ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8 AS shard,
+           |    ROW_NUMBER() OVER (
+           |      PARTITION BY ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8
+           |      ORDER BY ((doc_id % ${Sampling.P}) * 2246822519 + 604171) % ${Sampling.P} ASC,
+           |               doc_id ASC) AS rank
+           |  FROM documents) t""".stripMargin
       )
     ),
 
