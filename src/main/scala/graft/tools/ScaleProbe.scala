@@ -60,6 +60,16 @@ object ScaleProbe {
       time(s"srp_neardup x$k") {
         Similarity.srpNearDupPairs(e, "vec_id", "embedding", 0.99).count()
       }
+      // exact-collapse first, THEN clusters over the collapsed corpus —
+      // the production composition; stays flat under replication
+      time(s"clusters_collapsed x$k") {
+        Dedup.nearDupClusters(
+          Dedup.dropExactDuplicates(d, "doc_id", "text"),
+          "doc_id", "text", 3, 0.4).count()
+      }
+      time(s"keep_latest x$k") {
+        Dedup.keepLatest(d, Seq("lang"), Seq(col("doc_id").desc)).count()
+      }
     }
     spark.stop()
   }
