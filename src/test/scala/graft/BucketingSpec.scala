@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toFile.getAbsolutePath
+    val events = graft.queries.Q.events(spark, "/root/testdata/sf0.001")
+    graft.sources.PartitionedSink.writeDatePartitioned(events, "ts", tmp)
+
+    val fact = spark.read.parquet(tmp)
+    // dim filtered on a NON-join column, so fact partitions are not
+    // statically known — DPP must inject a runtime subquery into the
+    // fact scan's PartitionFilters (a filter on dt itself would get
+    // pushed statically instead)
+    val dim = fact.groupBy(col("dt"))
+      .agg(min(col("event_id")).as("first_event"))
+      .filter(col("first_event") < 100)
+    val joined = fact.join(dim, Seq("dt"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+    assert(joined.count() > 0)
+  }
+
   test("same-bucketed tables sort-merge join without any exchange") {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS orders_b")
