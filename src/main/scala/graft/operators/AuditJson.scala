@@ -55,24 +55,33 @@ object AuditJson {
           "columnNameOfCorruptRecord" -> "_corrupt_record")
       ).as("a"))
 
-  /** The raw lines [[parse]] drops as malformed — the dead-letter side
+  /** The raw lines [[parse]] drops as unusable — the dead-letter side
     * of the lenient parse, for quarantine sinks / alerting.
+    *
+    * Spark's partial-results JSON parsing can flag a record corrupt
+    * (one bad field) while still extracting `reqUser`; such records
+    * flow through [[parse]], so quarantining on the corrupt flag alone
+    * would double-process them. Dead-letter = corrupt AND key-less —
+    * exactly the complement of what `parse` keeps among flagged lines.
     */
   def corruptLines(lines: DataFrame): DataFrame =
     parsedWithCorrupt(lines)
-      .filter(col("a._corrupt_record").isNotNull)
+      .filter(col("a._corrupt_record").isNotNull && col("a.reqUser").isNull)
       .select(col("a._corrupt_record").as("value"))
 
-  /** One-pass parse accounting: total lines, malformed lines, parsed
-    * rows lacking the required key, and usable rows. The observability
+  /** One-pass parse accounting, reconciling exactly with [[parse]]:
+    * `n_good` counts the rows parse keeps (usable key, even if some
+    * other field was corrupt under partial-results parsing), `n_corrupt`
+    * the malformed key-less lines, `n_missing_user` the well-formed but
+    * key-less ones; the three always sum to `n_lines`. The observability
     * counter the reference lacks (it silently drops, `App.java:52`).
     */
   def parseStats(lines: DataFrame): DataFrame =
     parsedWithCorrupt(lines).agg(
       count(lit(1)).as("n_lines"),
-      sum(when(col("a._corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("a._corrupt_record").isNotNull && col("a.reqUser").isNull, 1L)
+        .otherwise(0L)).as("n_corrupt"),
       sum(when(col("a._corrupt_record").isNull && col("a.reqUser").isNull, 1L)
         .otherwise(0L)).as("n_missing_user"),
-      sum(when(col("a._corrupt_record").isNull && col("a.reqUser").isNotNull, 1L)
-        .otherwise(0L)).as("n_good"))
+      sum(when(col("a.reqUser").isNotNull, 1L).otherwise(0L)).as("n_good"))
 }

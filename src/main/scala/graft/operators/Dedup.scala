@@ -44,15 +44,20 @@ object Dedup {
     * re-crawl / re-ingest policy). Include a unique tie-break column so
     * the survivor is deterministic.
     *
-    * One shuffle on the key; per-key state during the ranking is a
-    * single counter (row_number), so a hot key costs its row count, not
-    * row count² — safe at 100 TB with AQE skew handling on the sort.
+    * One shuffle on the key; ranking state is a single counter, but a
+    * window partition is one task: every row of a key sorts inside that
+    * key's task. Right when per-key version counts are bounded (the
+    * re-crawl case). For a genuinely hot key, or when only max(order)
+    * is needed, prefer a max_by-style aggregation, which gets map-side
+    * partials.
     */
   def keepLatest(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    // collision-free rank column name
+    val rn = Iterator.iterate("__rn")(_ + "_").dropWhile(df.columns.contains).next()
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** The production dedup order: collapse exact duplicates FIRST, then

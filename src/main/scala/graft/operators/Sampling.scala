@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  val P = 1000000007L
+  /** Same 31-bit prime modulus as [[Dedup.StrHashMod]]/[[Dedup.MinhashP]],
+    * and the same Knuth-multiplicative seeds as `Dedup.hashA(0)`/
+    * `hashB(0)` — one hash family across the engine, kept literal here
+    * because the oracle SQL interpolates them.
+    */
+  val P: Long = Dedup.StrHashMod
   val A = 2654435761L
   val B = 40503L
 
@@ -27,12 +32,17 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(pmod(pmod(id, lit(P)) * lit(A) + lit(B), lit(P)), lit(buckets.toLong))
 
-  /** Keep ~keepBuckets/buckets of rows, deterministically by id. */
+  /** Keep ~keepBuckets/buckets of rows, deterministically by id.
+    * Rows with a NULL id are dropped (no identity → no stable bucket).
+    */
   def sampleByHash(df: DataFrame, idCol: String, keepBuckets: Int, buckets: Int = 100): DataFrame =
     df.filter(hashBucket(col(idCol), buckets) < keepBuckets)
 
   /** Disjoint, exhaustive train/holdout split: rows whose bucket falls
-    * below `holdoutBuckets` go to holdout, the rest to train.
+    * below `holdoutBuckets` go to holdout, the rest to train. Built on
+    * [[splitLabel]] so the two formulations can never disagree; NULL
+    * ids land in train (splitLabel's otherwise-branch), keeping the
+    * split exhaustive even for nullable keys.
     */
   def trainHoldout(
       df: DataFrame,
@@ -40,8 +50,8 @@ object Sampling {
       holdoutBuckets: Int,
       buckets: Int = 100
   ): (DataFrame, DataFrame) = {
-    val b = hashBucket(col(idCol), buckets)
-    (df.filter(b >= holdoutBuckets), df.filter(b < holdoutBuckets))
+    val label = splitLabel(col(idCol), holdoutBuckets, buckets)
+    (df.filter(label === "train"), df.filter(label === "holdout"))
   }
 
   /** Split label as a column (for single-pass grouped accounting). */

@@ -111,6 +111,9 @@ object TextAnalysis {
     * (chunk_id, chunk_text) rows.
     */
   def chunkTokens(text: Column, window: Int, stride: Int): Column = {
+    require(stride > 0 && stride <= window,
+      s"chunkTokens: need 0 < stride <= window, got stride=$stride window=$window" +
+        " (stride > window would emit empty phantom chunks)")
     val toks = tokens(text)
     val n = size(toks)
     // index of the last chunk: ceil((n - window)/stride) via exact

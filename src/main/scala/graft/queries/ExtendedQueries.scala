@@ -442,7 +442,9 @@ object ExtendedQueries {
     Q(
       "q_csv_roundtrip",
       (spark, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(dir.hashCode)}"
+        // unique dir per invocation: a shared path would race when two
+        // processes (Bench + Verify) hit the same sf dir concurrently
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${java.util.UUID.randomUUID}"
         Q.t(spark, dir, "customer")
           .write.mode("overwrite").option("header", "true").csv(tmp)
         spark.read
@@ -462,7 +464,7 @@ object ExtendedQueries {
     Q(
       "q_json_roundtrip",
       (spark, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_${math.abs(dir.hashCode)}"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_${java.util.UUID.randomUUID}"
         Q.t(spark, dir, "orders")
           .write.mode("overwrite").json(tmp)
         spark.read
@@ -487,7 +489,8 @@ object ExtendedQueries {
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("sum_price")),
       Some(
-        s"""SELECT CASE WHEN ((o_orderkey % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
+        // (x % P + P) % P mirrors Spark's pmod for negative ids too
+        s"""SELECT CASE WHEN (((o_orderkey % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
            |                 % ${Sampling.P} % 100 < 10
            |            THEN 'holdout' ELSE 'train' END AS split,
            |       COUNT(*) AS n,
@@ -511,7 +514,7 @@ object ExtendedQueries {
       Some(
         s"""SELECT event_type, COUNT(*) AS n_kept
            |FROM events
-           |WHERE ((event_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 100
+           |WHERE (((event_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 100
            |      < CASE WHEN event_type = 'click' THEN 25
            |             WHEN event_type = 'error' THEN 100
            |             ELSE 5 END
@@ -688,16 +691,17 @@ object ExtendedQueries {
         Sampling.deterministicShuffle(
           Q.t(spark, dir, "documents").select(col("doc_id")), "doc_id", shards = 8)
           .select(col("doc_id"), col("shard"), col("rank")),
-      Some(
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
         s"""SELECT doc_id, shard, CAST(rank AS INT) AS rank FROM (
            |  SELECT doc_id,
-           |    ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8 AS shard,
+           |    ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8 AS shard,
            |    ROW_NUMBER() OVER (
-           |      PARTITION BY ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8
-           |      ORDER BY ((doc_id % ${Sampling.P}) * 2246822519 + 604171) % ${Sampling.P} ASC,
+           |      PARTITION BY ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC,
            |               doc_id ASC) AS rank
            |  FROM documents) t""".stripMargin
-      )
+      }
     ),
 
     // The space-saving heavy-hitters Aggregator as a driver query.

@@ -67,8 +67,12 @@ object ScaleProbe {
           Dedup.dropExactDuplicates(d, "doc_id", "text"),
           "doc_id", "text", 3, 0.4).count()
       }
+      // replicas of a doc share a base id → k "versions" per key; the
+      // representative shape (many keys, bounded versions per key)
       time(s"keep_latest x$k") {
-        Dedup.keepLatest(d, Seq("lang"), Seq(col("doc_id").desc)).count()
+        val versioned = d.withColumn("base_id",
+          pmod(col("doc_id"), lit(docs.count())))
+        Dedup.keepLatest(versioned, Seq("base_id"), Seq(col("doc_id").desc)).count()
       }
     }
     spark.stop()

@@ -45,17 +45,24 @@ class AuditJsonSpec extends SparkSpec {
   }
 
   test("parse accounting: corrupt / missing-user / good counted in one pass") {
+    // the partially-corrupt line (bad evtTime, good reqUser) is KEPT by
+    // parse under partial-results parsing, so it must count as good and
+    // must NOT be quarantined — otherwise it would be double-processed
+    val partial = """{"reqUser":"bob","evtTime":"not a time","repoType":1,"result":0}"""
     val lines = Seq(
       "not json at all {{{",
       "{broken",
       """{"repoType":9,"result":1}""", // valid JSON, null reqUser
+      partial,
       golden
     ).toDF("value")
+    val kept = AuditJson.parse(lines).count()
     val s = AuditJson.parseStats(lines).collect().head
-    assert(s.getAs[Long]("n_lines") == 4L)
+    assert(s.getAs[Long]("n_lines") == 5L)
     assert(s.getAs[Long]("n_corrupt") == 2L)
     assert(s.getAs[Long]("n_missing_user") == 1L)
-    assert(s.getAs[Long]("n_good") == 1L)
+    assert(s.getAs[Long]("n_good") == 2L)
+    assert(s.getAs[Long]("n_good") == kept) // reconciles with parse()
 
     val dead = AuditJson.corruptLines(lines).as[String].collect().toSet
     assert(dead == Set("not json at all {{{", "{broken"))
