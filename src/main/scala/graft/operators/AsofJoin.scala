@@ -54,4 +54,38 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .select(probeCols.map(c => col(s"__row.$c")) :+ col(outCol): _*)
   }
+
+  /** Forward as-of: the earliest build-side time at or after each probe
+    * row's time, per key (merge_asof "forward" direction). Same
+    * single-shuffle union trick mirrored: probe rows sort before build
+    * rows at equal times, and the window looks strictly ahead.
+    */
+  def firstTimeAfter(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      outCol: String
+  ): DataFrame = {
+    val probeCols = probe.columns
+    val pu = probe.select(
+      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(0).as("__side"),
+      struct(probeCols.map(col): _*).as("__row"))
+    val bu = build.select(
+      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(1).as("__side"))
+      .withColumn("__row", lit(null).cast(pu.schema("__row").dataType))
+
+    // rowsBetween(1, +∞): strictly-following rows; a build row at the
+    // exact probe time sorts after (side 1 > 0), so ties are included —
+    // matching ASOF `build.t >= probe.t`
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+
+    pu.unionByName(bu)
+      .withColumn(outCol,
+        first(when(col("__side") === 1, col("__t")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(probeCols.map(c => col(s"__row.$c")) :+ col(outCol): _*)
+  }
 }

@@ -69,6 +69,27 @@ object WindowQueries {
       )
     ),
 
+    // Forward as-of: next view at-or-after each purchase (merge_asof
+    // "forward"), same single-shuffle union kernel mirrored.
+    Q(
+      "q_asof_forward",
+      (spark, dir) => {
+        val ev = Q.events(spark, dir)
+        AsofJoin.firstTimeAfter(
+          probe = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          build = ev.filter(col("event_type") === "view"),
+          keyCol = "user_id", timeCol = "ts", outCol = "next_view_ts")
+      },
+      Some(
+        """SELECT p.event_id, p.user_id, p.ts,
+          |       (SELECT min(v.ts) FROM events v
+          |        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          |          AND v.ts >= p.ts) AS next_view_ts
+          |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+      )
+    ),
+
     // GROUPING SETS through the SQL frontend (finer than cube/rollup).
     Q(
       "q_grouping_sets",

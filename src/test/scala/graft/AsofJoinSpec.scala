@@ -39,6 +39,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L).isEmpty) // key 30 has no build rows
   }
 
+  test("forward direction: earliest build time at-or-after, per key") {
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 10:30:00")),
+      (4L, 30L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:30:00")),  // before probe 1 -> excluded
+      (10L, ts("2024-01-01 11:59:00")),  // first after probe 1
+      (20L, ts("2024-01-01 10:30:00")),  // exact tie -> included
+      (20L, ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "ts")
+
+    val out = AsofJoin
+      .firstTimeAfter(probe, build, "user_id", "ts", "next_ts")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Timestamp]("next_ts")))
+      .toMap
+
+    assert(out(1L).contains(ts("2024-01-01 11:59:00")))
+    assert(out(2L).isEmpty) // nothing after 12:00 for key 10
+    assert(out(3L).contains(ts("2024-01-01 10:30:00"))) // tie included
+    assert(out(4L).isEmpty) // key 30 has no build rows
+  }
+
   test("probe schema is preserved and row count unchanged") {
     val probe = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "x"))
       .toDF("event_id", "user_id", "ts", "payload")
