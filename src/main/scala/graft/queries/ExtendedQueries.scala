@@ -774,6 +774,85 @@ object ExtendedQueries {
       )
     ),
 
+    // TPC-H Q16 shape: fact⋈dim with dim-side filters and per-group
+    // count distinct.
+    Q(
+      "q_tpch_q16",
+      (spark, dir) => {
+        val li = Q.t(spark, dir, "lineitem")
+        val part = Q.t(spark, dir, "part")
+        li.join(part, li("l_partkey") === part("p_partkey"))
+          .filter(col("p_brand") =!= "Brand#13" && col("p_size").between(1, 25))
+          .groupBy(col("p_brand"), col("p_type"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some(
+        """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#13' AND p_size BETWEEN 1 AND 25
+          |GROUP BY p_brand, p_type""".stripMargin
+      )
+    ),
+
+    // TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS + grouped
+    // rollup on a name prefix.
+    Q(
+      "q_tpch_q22",
+      (spark, dir) => {
+        val cust = Q.t(spark, dir, "customer")
+        val orders = Q.t(spark, dir, "orders")
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg(Q.davg(col("c_acctbal")).as("avg_bal"))
+        cust
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+          .groupBy(substring(col("c_name"), 10, 2).as("code"))
+          .agg(count(lit(1)).as("numcust"), Q.dsum(col("c_acctbal")).as("totacctbal"))
+      },
+      Some(
+        """SELECT substring(c_name, 10, 2) AS code,
+          |       COUNT(*) AS numcust,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+          |FROM customer
+          |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          |                   FROM customer WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY 1""".stripMargin
+      )
+    ),
+
+    // Top-k most frequent words per language: explode → grouped counts
+    // → per-group rank (the per-group flavor of q_wordcount).
+    Q(
+      "q_wordcount_topk",
+      (spark, dir) => {
+        val counts = Q.t(spark, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("tok").asc)
+        counts
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("lang"), col("tok"), col("cnt"), col("rnk"))
+      },
+      Some(
+        """SELECT lang, tok, cnt, CAST(rnk AS INT) AS rnk FROM (
+          |  SELECT lang, tok, cnt,
+          |         ROW_NUMBER() OVER (PARTITION BY lang
+          |                            ORDER BY cnt DESC, tok ASC) AS rnk
+          |  FROM (SELECT lang, tok, COUNT(*) AS cnt
+          |        FROM (SELECT lang, UNNEST(regexp_split_to_array(text, '\s+')) AS tok
+          |              FROM documents)
+          |        WHERE tok <> ''
+          |        GROUP BY lang, tok) c) t
+          |WHERE rnk <= 5""".stripMargin
+      )
+    ),
+
     // TPC-H Q18 shape: IN-subquery with HAVING over an aggregate.
     Q(
       "q_tpch_q18",
