@@ -8,28 +8,45 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.functions.GraftExtensions` — makes
   * `graft_dot`, `graft_poly_hash`, `graft_simhash64` callable from
   * `spark.sql(...)`. The DataFrame API ([[GraftFunctions]]) does not
-  * require this.
+  * require this. For an already-built session, use
+  * [[GraftExtensions.registerAll]] instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
+  /** The single source of truth for the SQL surface — consumed both by
+    * session-build injection (the class above) and by runtime
+    * registration on existing sessions ([[registerAll]]).
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - double dot product of two array<float>"),
-      (children: Seq[Expression]) => ArrayDotFloat(children(0), children(1))))
-    ext.injectFunction((
+      (children: Seq[Expression]) => ArrayDotFloat(children(0), children(1))),
+    (
       FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "graft_poly_hash(s, mult, mod) - rolling polynomial hash"),
       (children: Seq[Expression]) => StrPolyHash(
         children(0),
         children(1).eval().asInstanceOf[Number].longValue(),
-        children(2).eval().asInstanceOf[Number].longValue())))
-    ext.injectFunction((
+        children(2).eval().asInstanceOf[Number].longValue())),
+    (
       FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(s) - one-pass 64-bit SimHash over whitespace tokens"),
       (children: Seq[Expression]) => SimHash64(children(0))))
-  }
+
+  /** Register the SQL functions on an existing session (no
+    * `spark.sql.extensions` rebuild needed).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, i, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, ident, i, builder)
+    }
 }

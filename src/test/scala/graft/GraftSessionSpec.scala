@@ -1,0 +1,31 @@
+package graft
+
+import graft.functions.GraftExtensions
+
+/** The SQL surface of the native expressions: runtime registration on
+  * an existing session (works regardless of how the session was built)
+  * must make the SQL results agree with the DataFrame API.
+  * `GraftSession.builder` wires the same functions in via
+  * `spark.sql.extensions` at session build.
+  */
+class GraftSessionSpec extends SparkSpec {
+
+  test("registerAll makes SQL functions resolve and match the DataFrame API") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+
+    val df = Seq((1L, "the quick brown fox")).toDF("id", "text")
+    df.createOrReplaceTempView("gs_docs")
+
+    val viaSql = spark.sql(
+      "SELECT graft_simhash64(text) AS sh, graft_poly_hash(text, 31, 1000000007) AS ph FROM gs_docs")
+      .collect().head
+    val viaApi = df.select(
+      graft.functions.GraftFunctions.simhash64($"text").as("sh"),
+      graft.functions.GraftFunctions.polyHash($"text", 31L, 1000000007L).as("ph"))
+      .collect().head
+
+    assert(viaSql.getLong(0) == viaApi.getLong(0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+  }
+}
