@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** NOTE: `spark.sql.extensions` is a static conf — getOrCreate
+    * ignores it when a session already exists in the JVM. [[local]]
+    * compensates by registering the SQL functions on whatever session
+    * it gets back; callers using this builder directly should do the
+    * same ([[graft.functions.GraftExtensions.registerAll]]).
+    */
   def builder(shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,9 +32,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
 
-  /** Local session for tests / single-node runs. */
-  def local(cores: Int): SparkSession =
-    builder(shufflePartitions = cores)
+  /** Local session for tests / single-node runs. The SQL functions are
+    * guaranteed registered even when getOrCreate returns a
+    * pre-existing session (where the extensions static conf is
+    * silently ignored).
+    */
+  def local(cores: Int): SparkSession = {
+    val spark = builder(shufflePartitions = cores)
       .master(s"local[$cores]")
       .getOrCreate()
+    graft.functions.GraftExtensions.registerAll(spark)
+    spark
+  }
 }

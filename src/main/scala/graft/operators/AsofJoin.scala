@@ -1,30 +1,74 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
-/** As-of join — for each probe row, the most recent build-side event
-  * time at or before the probe's time, per key. Spark has no native
-  * as-of operator; the naive formulation (equi-join on key + time
-  * inequality + per-pair rank) shuffles the full cross product of each
-  * key group.
+/** As-of join — for each probe row, the nearest build-side event time
+  * at or before (backward) / at or after (forward) the probe's time,
+  * per key. Spark has no native as-of operator; the naive formulation
+  * (equi-join on key + time inequality + per-pair rank) shuffles the
+  * full cross product of each key group.
   *
   * This implementation is the single-shuffle union trick: tag both
-  * inputs, union them, and take a per-key running `last(build_time)`
-  * over (time, side) ordering — build rows sort before probe rows at
-  * equal times, giving `build.time <= probe.time` semantics (DuckDB /
-  * pandas `merge_asof` "backward" direction). One exchange on the key,
-  * no join blowup, state is one column — this is the 100 TB shape.
+  * inputs, union them, and take a per-key windowed `first`/`last` of
+  * the build times over (time, side) ordering, with side tags chosen
+  * so that a build row at the exact probe time falls inside the frame
+  * (ASOF tie semantics, DuckDB / pandas `merge_asof`). One exchange on
+  * the key, no join blowup, state is one column — this is the 100 TB
+  * shape.
   */
 object AsofJoin {
 
-  /** @param probe    rows to annotate (any schema)
+  /** The shared union kernel. Direction is fully described by the
+    * probe/build side tags (which decide tie order), the window frame,
+    * and the first/last aggregate — everything else is identical, so
+    * both directions share one source of truth.
+    */
+  private def unionKernel(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      outCol: String,
+      probeSide: Int,
+      buildSide: Int,
+      frame: WindowSpec => WindowSpec,
+      pick: Column => Column
+  ): DataFrame = {
+    val probeCols = probe.columns
+    val pu = probe.select(
+      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(probeSide).as("__side"),
+      struct(probeCols.map(col): _*).as("__row"))
+    val bu = build.select(
+      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(buildSide).as("__side"))
+      .withColumn("__row", lit(null).cast(pu.schema("__row").dataType))
+
+    val w = frame(Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__side").asc))
+
+    pu.unionByName(bu)
+      // ASOF semantics: a probe row with NULL time matches nothing
+      // (t >= NULL / t <= NULL are never true) — without the guard a
+      // NULL would sort first and see every build row in a following
+      // frame. Build rows with NULL time are skipped by ignoreNulls.
+      .withColumn(outCol,
+        when(col("__t").isNotNull,
+          pick(when(col("__side") === buildSide, col("__t"))).over(w)))
+      .filter(col("__side") === probeSide)
+      .select(probeCols.map(c => col(s"__row.$c")) :+ col(outCol): _*)
+  }
+
+  /** Backward as-of: the latest build time ≤ each probe row's time,
+    * per key; null if none. Build rows sort before probe rows at equal
+    * times (side 0 < 1) and the frame is strictly-previous rows, so
+    * exact ties are included.
+    *
+    * @param probe    rows to annotate (any schema)
     * @param build    rows providing the as-of times
     * @param keyCol   equi-key present in both inputs
     * @param timeCol  orderable time column present in both inputs
-    * @param outCol   name of the appended column: latest build time
-    *                 ≤ the probe row's time, null if none
+    * @param outCol   name of the appended column
     */
   def lastTimeBefore(
       probe: DataFrame,
@@ -32,33 +76,16 @@ object AsofJoin {
       keyCol: String,
       timeCol: String,
       outCol: String
-  ): DataFrame = {
-    val probeCols = probe.columns
-    val pu = probe.select(
-      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(1).as("__side"),
-      struct(probeCols.map(col): _*).as("__row"))
-    val bu = build.select(
-      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(0).as("__side"))
-      .withColumn("__row", lit(null).cast(pu.schema("__row").dataType))
+  ): DataFrame =
+    unionKernel(probe, build, keyCol, timeCol, outCol,
+      probeSide = 1, buildSide = 0,
+      frame = _.rowsBetween(Window.unboundedPreceding, -1),
+      pick = c => last(c, ignoreNulls = true))
 
-    // rowsBetween(-∞, -1): strictly-previous rows; a build row at the
-    // exact probe time sorts first (side 0 < 1), so ties are included —
-    // matching ASOF `probe.t >= build.t`
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-
-    pu.unionByName(bu)
-      .withColumn(outCol,
-        last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(probeCols.map(c => col(s"__row.$c")) :+ col(outCol): _*)
-  }
-
-  /** Forward as-of: the earliest build-side time at or after each probe
-    * row's time, per key (merge_asof "forward" direction). Same
-    * single-shuffle union trick mirrored: probe rows sort before build
-    * rows at equal times, and the window looks strictly ahead.
+  /** Forward as-of: the earliest build time ≥ each probe row's time,
+    * per key; null if none (merge_asof "forward"). Probe rows sort
+    * before build rows at equal times and the frame looks strictly
+    * ahead, so exact ties are included.
     */
   def firstTimeAfter(
       probe: DataFrame,
@@ -66,26 +93,9 @@ object AsofJoin {
       keyCol: String,
       timeCol: String,
       outCol: String
-  ): DataFrame = {
-    val probeCols = probe.columns
-    val pu = probe.select(
-      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(0).as("__side"),
-      struct(probeCols.map(col): _*).as("__row"))
-    val bu = build.select(
-      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(1).as("__side"))
-      .withColumn("__row", lit(null).cast(pu.schema("__row").dataType))
-
-    // rowsBetween(1, +∞): strictly-following rows; a build row at the
-    // exact probe time sorts after (side 1 > 0), so ties are included —
-    // matching ASOF `build.t >= probe.t`
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(1, Window.unboundedFollowing)
-
-    pu.unionByName(bu)
-      .withColumn(outCol,
-        first(when(col("__side") === 1, col("__t")), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
-      .select(probeCols.map(c => col(s"__row.$c")) :+ col(outCol): _*)
-  }
+  ): DataFrame =
+    unionKernel(probe, build, keyCol, timeCol, outCol,
+      probeSide = 0, buildSide = 1,
+      frame = _.rowsBetween(1, Window.unboundedFollowing),
+      pick = c => first(c, ignoreNulls = true))
 }

@@ -795,29 +795,34 @@ object ExtendedQueries {
     ),
 
     // TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS + grouped
-    // rollup on a name prefix.
+    // rollup on a name prefix. The anti-join is against LARGE orders
+    // (not all orders) so both fixture scales keep a substantial
+    // surviving population — an anti join whose result is empty would
+    // make the oracle check vacuous.
     Q(
       "q_tpch_q22",
       (spark, dir) => {
         val cust = Q.t(spark, dir, "customer")
-        val orders = Q.t(spark, dir, "orders")
+        val bigOrders = Q.t(spark, dir, "orders")
+          .filter(col("o_totalprice") > 250000)
         val avgBal = cust.filter(col("c_acctbal") > 0)
           .agg(Q.davg(col("c_acctbal")).as("avg_bal"))
         cust
           .crossJoin(broadcast(avgBal))
           .filter(col("c_acctbal") > col("avg_bal"))
-          .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
-          .groupBy(substring(col("c_name"), 10, 2).as("code"))
+          .join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_anti")
+          .groupBy(substring(col("c_name"), 17, 2).as("code"))
           .agg(count(lit(1)).as("numcust"), Q.dsum(col("c_acctbal")).as("totacctbal"))
       },
       Some(
-        """SELECT substring(c_name, 10, 2) AS code,
+        """SELECT substring(c_name, 17, 2) AS code,
           |       COUNT(*) AS numcust,
           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
           |FROM customer
           |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
           |                   FROM customer WHERE c_acctbal > 0)
-          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
           |GROUP BY 1""".stripMargin
       )
     ),

@@ -65,6 +65,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L).isEmpty) // key 30 has no build rows
   }
 
+  test("NULL probe times match nothing in either direction (ASOF semantics)") {
+    val probe = Seq(
+      (1L, 10L, Option(ts("2024-01-01 10:00:00"))),
+      (2L, 10L, Option.empty[Timestamp]) // NULL time -> no match
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq((10L, ts("2024-01-01 09:00:00")), (10L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "ts")
+
+    val back = AsofJoin.lastTimeBefore(probe, build, "user_id", "ts", "m")
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Timestamp]("m"))).toMap
+    assert(back(1L).contains(ts("2024-01-01 09:00:00")))
+    assert(back(2L).isEmpty)
+
+    val fwd = AsofJoin.firstTimeAfter(probe, build, "user_id", "ts", "m")
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Timestamp]("m"))).toMap
+    assert(fwd(1L).contains(ts("2024-01-01 11:00:00")))
+    assert(fwd(2L).isEmpty)
+  }
+
   test("probe schema is preserved and row count unchanged") {
     val probe = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "x"))
       .toDF("event_id", "user_id", "ts", "payload")

@@ -6,9 +6,18 @@ import graft.functions.GraftExtensions
   * an existing session (works regardless of how the session was built)
   * must make the SQL results agree with the DataFrame API.
   * `GraftSession.builder` wires the same functions in via
-  * `spark.sql.extensions` at session build.
+  * `spark.sql.extensions` at session build; `GraftSession.local` falls
+  * back to runtime registration when getOrCreate returns a
+  * pre-existing session — which is exactly the situation in this test
+  * JVM (SparkSpec's shared session), so this spec exercises that path.
   */
 class GraftSessionSpec extends SparkSpec {
+
+  test("GraftSession.local registers SQL functions even on a reused session") {
+    val viaLocal = GraftSession.local(cores = 4)
+    // shared-session JVM: getOrCreate reuses; functions must still work
+    assert(viaLocal.sql("SELECT graft_simhash64('a b c')").collect().nonEmpty)
+  }
 
   test("registerAll makes SQL functions resolve and match the DataFrame API") {
     import spark.implicits._
