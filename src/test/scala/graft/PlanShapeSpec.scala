@@ -122,6 +122,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("as-of joins are single-shuffle union kernels, no join operator") {
+    val events = Q.events(spark, sf)
+    val probe = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val build = events.filter(col("event_type") === "view")
+    Seq(
+      graft.operators.AsofJoin.lastTimeBefore(probe, build, "user_id", "ts", "m"),
+      graft.operators.AsofJoin.firstTimeAfter(probe, build, "user_id", "ts", "m")
+    ).foreach { df =>
+      val plan = physical(df)
+      assert(countOcc(plan, "Exchange hashpartitioning") == 1, plan)
+      assert(!plan.contains("Join"), plan)
+    }
+  }
+
   test("codegen kernels run inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = physical(Dedup.simhash(docs, "doc_id", "text"))
