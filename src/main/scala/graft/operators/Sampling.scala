@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Same 31-bit prime modulus as [[Dedup.StrHashMod]]/[[Dedup.MinhashP]],
-    * and the same Knuth-multiplicative seeds as `Dedup.hashA(0)`/
-    * `hashB(0)` — one hash family across the engine, kept literal here
+    * with Knuth-multiplicative seeds congruent mod P to `Dedup.hashA(0)`/
+    * `Dedup.hashB(0)` (the Dedup seeds are pre-reduced: hashA(0) =
+    * 2654435761 % P = 654435747, so only the residues match, not the
+    * literals) — one hash family across the engine, kept literal here
     * because the oracle SQL interpolates them.
     */
   val P: Long = Dedup.StrHashMod
@@ -71,17 +73,26 @@ object Sampling {
     * plan parallelizes across shards at any scale; reading shards in
     * (shard, rank) order yields a reproducible pseudo-random corpus
     * permutation without a seed.
+    *
+    * Output column names are caller-controlled (`shardCol`/`rankCol`);
+    * fails fast if either already exists rather than silently
+    * overwriting it.
     */
   def deterministicShuffle(
       df: DataFrame,
       idCol: String,
-      shards: Int
+      shards: Int,
+      shardCol: String = "shard",
+      rankCol: String = "rank"
   ): DataFrame = {
+    Seq(shardCol, rankCol).foreach { c =>
+      require(!df.columns.contains(c), s"deterministicShuffle: input already has a '$c' column; pass a different shardCol/rankCol")
+    }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard"))
+      .partitionBy(col(shardCol))
       .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("shard", hashBucket(col(idCol), shards))
-      .withColumn("rank", row_number().over(w))
+    df.withColumn(shardCol, hashBucket(col(idCol), shards))
+      .withColumn(rankCol, row_number().over(w))
   }
 
   /** Stratified sampling: a different keep-rate per stratum (data

@@ -442,9 +442,7 @@ object ExtendedQueries {
     Q(
       "q_csv_roundtrip",
       (spark, dir) => {
-        // unique dir per invocation: a shared path would race when two
-        // processes (Bench + Verify) hit the same sf dir concurrently
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${java.util.UUID.randomUUID}"
+        val tmp = Q.scratch("csv")
         Q.t(spark, dir, "customer")
           .write.mode("overwrite").option("header", "true").csv(tmp)
         spark.read
@@ -464,7 +462,7 @@ object ExtendedQueries {
     Q(
       "q_json_roundtrip",
       (spark, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_${java.util.UUID.randomUUID}"
+        val tmp = Q.scratch("json")
         Q.t(spark, dir, "orders")
           .write.mode("overwrite").json(tmp)
         spark.read

@@ -53,4 +53,23 @@ object Q {
     * doubles (single deterministic division in both engines).
     */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Per-invocation scratch directory for source/sink round-trip queries,
+    * deleted recursively on JVM exit so repeated Bench/Verify runs don't
+    * accumulate temp data. Unique per call: a shared path would race when
+    * two processes (Bench + Verify) hit the same sf dir concurrently.
+    */
+  def scratch(prefix: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_${prefix}_")
+      .toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir.getAbsolutePath
+  }
 }

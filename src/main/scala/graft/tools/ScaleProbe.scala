@@ -69,9 +69,10 @@ object ScaleProbe {
       }
       // replicas of a doc share a base id → k "versions" per key; the
       // representative shape (many keys, bounded versions per key)
+      val nDocs = docs.count() // outside the timed block: unrelated work
       time(s"keep_latest x$k") {
         val versioned = d.withColumn("base_id",
-          pmod(col("doc_id"), lit(docs.count())))
+          pmod(col("doc_id"), lit(nDocs)))
         Dedup.keepLatest(versioned, Seq("base_id"), Seq(col("doc_id").desc)).count()
       }
     }

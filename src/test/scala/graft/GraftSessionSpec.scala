@@ -14,9 +14,22 @@ import graft.functions.GraftExtensions
 class GraftSessionSpec extends SparkSpec {
 
   test("GraftSession.local registers SQL functions even on a reused session") {
-    val viaLocal = GraftSession.local(cores = 4)
-    // shared-session JVM: getOrCreate reuses; functions must still work
-    assert(viaLocal.sql("SELECT graft_simhash64('a b c')").collect().nonEmpty)
+    // getOrCreate on a pre-existing session applies non-static configs
+    // (Spark ≥3.4), so local() would leak shuffle.partitions=4 etc. into
+    // every later spec in this JVM — snapshot and restore around the call.
+    val touched = Seq(
+      "spark.sql.session.timeZone",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled")
+    val saved = touched.map(k => k -> spark.conf.getOption(k))
+    try {
+      val viaLocal = GraftSession.local(cores = 4)
+      // shared-session JVM: getOrCreate reuses; functions must still work
+      assert(viaLocal.sql("SELECT graft_simhash64('a b c')").collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("registerAll makes SQL functions resolve and match the DataFrame API") {
