@@ -312,18 +312,34 @@ object NorthStarQueries {
            |WHERE CAST(len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32.0 >= 0.5""".stripMargin
       )
     ),
+    // SimHash oracles are exact: the DuckDB side recomputes XXH64
+    // (seed 42) per token in HUGEINT wrap-around arithmetic
+    // ([[OracleSql.xxh64Ctes]]), so hashes — and therefore every vote
+    // and bit — match Spark's bit-for-bit. Pair candidates need no
+    // block simulation: maxDist 3 < 4 blocks means every qualifying
+    // pair shares a 16-bit block (pigeonhole), so the LSH output
+    // equals the full quadratic hamming filter.
     Q(
       "q_dedup_simhash",
       (spark, dir) =>
         Dedup.simhashPairs(Q.t(spark, dir, "documents"), "doc_id", "text"),
-      None
+      Some(
+        s"""WITH ${OracleSql.simhashCtes("documents")}
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+           |FROM sims a JOIN sims b ON a.id < b.id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+      )
     ),
     Q(
       "q_simhash_values",
       (spark, dir) =>
         Dedup.simhash(Q.t(spark, dir, "documents"), "doc_id", "text")
           .withColumnRenamed("id", "doc_id"),
-      None
+      Some(
+        s"""WITH ${OracleSql.simhashCtes("documents")}
+           |SELECT id AS doc_id, simhash FROM sims""".stripMargin
+      )
     ),
 
     // -------------------------------------------------------- similarity
@@ -420,13 +436,45 @@ object NorthStarQueries {
     // LSH-bucketed scale path (SRP signatures + banded buckets + exact
     // verify). Wide 4-bit bands because the fixture has no true near-dups
     // (max cosine ≈ 0.6); production near-dup thresholds use 16-bit bands.
+    // Exact oracle: the ±1 hyperplane components are algorithm
+    // constants (xorshift64 stream, [[OracleSql.srpSignRows]]); every
+    // double accumulation (plane sums, dot, norms) is an ordered left
+    // fold matching the Scala kernels' index-order `s += x`, so
+    // signatures, buckets, and the verified sims are all bitwise
+    // reproductions — no float-threshold tolerance needed. dim 64 is a
+    // fixture-wide property (all sf embeddings are FLOAT[64]).
     Q(
       "q_embed_neardup_lsh",
       (spark, dir) =>
         Similarity.srpNearDupPairs(
           Q.t(spark, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, planes = 64, bandBits = 4),
-      None
+      Some {
+        val dot = (a: String, b: String) => OracleSql.orderedSum(
+          s"list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+        s"""WITH signs(j, sg) AS (VALUES ${OracleSql.srpSignRows(64, 64, graft.functions.GraftMath.SrpSeed)}),
+           |planar AS (
+           |  SELECT e.vec_id AS id, s.j,
+           |    ${OracleSql.orderedSum("list_transform(generate_series(1, 64), i -> sg[i] * CAST(embedding[i] AS DOUBLE))")} AS s
+           |  FROM embeddings e CROSS JOIN signs s
+           |), sigs AS (
+           |  SELECT id, SUM(CASE WHEN s > 0 THEN power(2::HUGEINT, j)::HUGEINT ELSE 0 END) AS sig
+           |  FROM planar GROUP BY id
+           |), banded AS (
+           |  SELECT id, b, (sig // power(2::HUGEINT, b * 4)::HUGEINT) % 16 AS band_val
+           |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+           |), cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM banded a JOIN banded b ON a.b = b.b AND a.band_val = b.band_val AND a.id < b.id
+           |), vecs AS (
+           |  SELECT vec_id AS id, embedding AS v, sqrt(${dot("embedding", "embedding")}) AS nrm
+           |  FROM embeddings
+           |)
+           |SELECT id_a, id_b FROM (
+           |  SELECT c.id_a, c.id_b, ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+           |  FROM cand c JOIN vecs a ON c.id_a = a.id JOIN vecs b ON c.id_b = b.id) t
+           |WHERE sim = sim AND sim >= 0.4""".stripMargin
+      }
     ),
 
     // -------------------------------------------------------- multimodal
@@ -447,21 +495,58 @@ object NorthStarQueries {
       )
     ),
 
-    // The raw array<float> `features` column is projected to a stable
-    // 64-bit fingerprint for the driver gate (array cells are not
-    // canonicalizable by the gate's pandas sort); the full vectors stay
-    // available via Multimodal.extractFeatures and are pinned by
-    // MultimodalSpec.
+    // The raw array<float> `features` column is projected to 8 scaled
+    // INT columns for the driver gate (array cells are not
+    // canonicalizable by the gate's pandas sort). f_j · 65536 is exact:
+    // decodeStub emits v/65536.0f with v a 16-bit integer, and both the
+    // float division and the multiply back are exact in IEEE float —
+    // so the ints pin the full float vectors. The oracle replays the
+    // stub's Java-long rolling hash (h = 31·h + byte) in HUGEINT
+    // wrap-around arithmetic, including the abs()/% sign conventions.
     Q(
       "q_multimodal_features",
-      (spark, dir) =>
-        Multimodal.extractFeatures(
+      (spark, dir) => {
+        val feats = Multimodal.extractFeatures(
           Q.t(spark, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
           "doc_id", "payload")
-          .withColumn("features_fp", xxhash64(col("features")))
-          .drop("features"),
-      None
+        val fcols = (0 until 8).map(j =>
+          (element_at(col("features"), j + 1) * lit(65536.0f)).cast("int").as(s"f$j"))
+        feats.select(
+          Seq(col("media_id"), col("n_bytes"), col("format"), col("width"), col("height")) ++ fcols: _*)
+      },
+      Some {
+        val fcols = (0 until 8).map { j =>
+          val div = BigInt(1) << (7 * j)
+          s"CAST((hu // $div) % 65536 AS INT) AS f$j"
+        }.mkString(",\n           |  ")
+        s"""WITH tb AS (
+           |  SELECT doc_id,
+           |    CASE WHEN text = '' THEN CAST([] AS HUGEINT[])
+           |         ELSE list_transform(str_split(text, ''), c -> CAST(ascii(c) AS HUGEINT)) END AS bs,
+           |    octet_length(encode(text)) AS n_bytes
+           |  FROM documents
+           |), rh AS (
+           |  SELECT doc_id, n_bytes, bs,
+           |    list_reduce(list_prepend(1125899906842597::HUGEINT, bs),
+           |      (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+           |  FROM tb
+           |), sh AS (
+           |  SELECT doc_id, n_bytes, bs, hu,
+           |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS hs
+           |  FROM rh
+           |)
+           |SELECT doc_id AS media_id,
+           |  CAST(n_bytes AS BIGINT) AS n_bytes,
+           |  CASE WHEN len(bs) >= 2 AND bs[1] = 255 AND bs[2] = 216 THEN 'jpeg'
+           |       WHEN len(bs) >= 4 AND bs[1] = 137 AND bs[2] = 80 THEN 'png'
+           |       ELSE 'unknown' END AS format,
+           |  CAST(1 + (CASE WHEN hs = -9223372036854775808 THEN hs % 1920
+           |            WHEN hs < 0 THEN (-hs) % 1920 ELSE hs % 1920 END) AS INT) AS width,
+           |  CAST(1 + (hu // 2048) % 1080 AS INT) AS height,
+           |  $fcols
+           |FROM sh""".stripMargin
+      }
     )
   )
 }
