@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for 100 TB table maintenance: Z-order (Morton)
+  * interleaving so multi-column range predicates prune well under a
+  * single sort order.
+  *
+  * At scale, a table range-partitioned and sorted by `zValue(a, b)`
+  * serves selective predicates on EITHER column from a small fraction
+  * of files (each file covers a compact Z-curve segment ⇒ compact
+  * ranges of both a and b), where sorting by (a, b) only prunes on a.
+  * The z-value is pure integer bit arithmetic on built-in expressions —
+  * codegen'd, map-side, engine-portable (oracle-checkable).
+  */
+object Layout {
+
+  private val Masks = Seq(
+    (16, 0x0000FFFF0000FFFFL),
+    (8, 0x00FF00FF00FF00FFL),
+    (4, 0x0F0F0F0F0F0F0F0FL),
+    (2, 0x3333333333333333L),
+    (1, 0x5555555555555555L)
+  )
+
+  /** Spread the low 32 bits of a non-negative long over the even bit
+    * positions (classic part1by1 magic-mask cascade, 5 steps).
+    */
+  private[operators] def part1by1(c: Column): Column =
+    Masks.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (v, (s, m)) =>
+      (v.bitwiseOR(shiftleft(v, s))).bitwiseAND(lit(m))
+    }
+
+  /** 64-bit Morton value interleaving the low 32 bits of two
+    * non-negative integer columns: bit i of x lands at bit 2i, bit i of
+    * y at bit 2i+1. Monotone along the Z-curve; the result is a plain
+    * LongType (negative when bit 31 of y is set — still a total order
+    * per unsigned comparison is NOT preserved then, so keep inputs
+    * below 2^31 when the sign matters for range partitioning).
+    */
+  def zValue(x: Column, y: Column): Column =
+    part1by1(x).bitwiseOR(shiftleft(part1by1(y), 1))
+
+  /** Cluster a DataFrame for multi-dimensional pruning: range-partition
+    * and sort by the interleaved z-value. `numPartitions` sizes output
+    * files; each partition covers a compact z-range ⇒ compact ranges of
+    * both source columns, which file-skipping statistics (min/max) then
+    * exploit on either predicate.
+    */
+  def zOrderBy(df: DataFrame, x: Column, y: Column, numPartitions: Int): DataFrame = {
+    val z = Iterator.iterate("__z")(_ + "_").dropWhile(df.columns.contains).next()
+    df.withColumn(z, zValue(x, y))
+      .repartitionByRange(numPartitions, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+  }
+}

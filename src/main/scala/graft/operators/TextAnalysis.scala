@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: token
@@ -124,5 +124,57 @@ object TextAnalysis {
     transform(
       sequence(lit(0), lastChunk),
       i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
+  }
+
+  /** Adjacent token bigrams as (w1, w2) structs — n-gram LM counts,
+    * collocation mining, contamination screens. Map-side expression;
+    * a doc with t tokens yields t−1 bigrams.
+    */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Corpus bigram counts: (w1, w2, n) for bigrams occurring at least
+    * `minCount` times. One explode + one partial-agg shuffle — the
+    * n-gram-count shape that scales to any corpus (counts combine
+    * map-side; no token list ever materializes per group).
+    */
+  def bigramCounts(docs: DataFrame, textCol: String, minCount: Long): DataFrame =
+    docs
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  /** TF-IDF terms per document: (doc id, term, tf, df, tfidf) with
+    * tfidf = tf · ln(N / df). Two shuffles — term-per-doc counts, then
+    * document frequencies — both partial-aggregated; N arrives as a
+    * broadcast scalar (no driver-side action). Term noise is trimmed
+    * with `minTf` before the df join, which also caps the join's
+    * left side.
+    *
+    * Determinism: tf and df are exact longs; the double chain
+    * (N/df → ln → ·tf) is a fixed op order, and `ln` agrees
+    * bit-for-bit between the JVM and DuckDB on this domain (small
+    * integer ratios) — pinned by the oracle gate.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, minTf: Long = 1): DataFrame = {
+    val n = docs.select(count(lit(1)).as("__n"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minTf)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(
+        col("id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(col("__n").cast("double") / col("df").cast("double"))).as("tfidf"))
   }
 }

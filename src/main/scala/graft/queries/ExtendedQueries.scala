@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Sampling, Skew, TextAnalysis}
+import graft.operators.{BloomPrune, Dedup, Layout, Sampling, Skew, TextAnalysis}
 
 /** Round-2 coverage widening: the remaining relational / analytic
   * surface a user of a full engine expects — correlated subqueries,
@@ -881,6 +881,119 @@ object ExtendedQueries {
           |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150) b
           |  ON o_orderkey = b.l_orderkey
           |JOIN customer ON o_custkey = c_custkey""".stripMargin
+      )
+    ),
+
+    // Salted-join invariance: the skew lever routes probe rows over
+    // (key, salt) with the build side replicated per salt — results
+    // must equal the plain join exactly, which is what the oracle
+    // states. (q_salted_agg pins the aggregation-side lever.)
+    Q(
+      "q_salted_join",
+      (spark, dir) => {
+        val probe = Q.t(spark, dir, "lineitem")
+          .select(col("l_partkey").as("partkey"), col("l_orderkey"), col("l_quantity"))
+        val build = Q.t(spark, dir, "part")
+          .select(col("p_partkey").as("partkey"), col("p_brand"))
+        Skew.saltedJoin(probe, build, "partkey", salts = 8)
+      },
+      Some(
+        """SELECT l_partkey AS partkey, l_orderkey, l_quantity, p_brand
+          |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+      )
+    ),
+
+    // Bloom-pruned join: the probe side is pre-filtered by a broadcast
+    // bloom filter over the (selective) build keys before the join —
+    // Spark's runtime-row-filter pattern held by hand. The join removes
+    // bloom false positives, so the result equals the plain join.
+    Q(
+      "q_bloom_join",
+      (spark, dir) => {
+        val li = Q.t(spark, dir, "lineitem")
+        val hot = Q.t(spark, dir, "orders").filter(col("o_totalprice") > 450000.0)
+        BloomPrune.prunedJoin(li, hot, "l_orderkey", "o_orderkey")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+            col("o_totalprice"), col("o_orderpriority"))
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice, o_orderpriority
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 450000.0""".stripMargin
+      )
+    ),
+
+    // Z-order (Morton) clustering values — the multi-dimensional
+    // layout key (Layout.zOrderBy range-partitions and sorts by it);
+    // the gate pins every interleaved value.
+    Q(
+      "q_zorder",
+      (spark, dir) =>
+        Q.events(spark, dir).select(
+          col("event_id"),
+          Layout.zValue(col("user_id"), col("event_id") % 1048576).as("zval")),
+      Some(OracleSql.zorderQuery("events", "event_id", "user_id", "event_id % 1048576"))
+    ),
+
+    // TPC-H Q10 shape (returned-item revenue by customer), adapted to
+    // the fixture's columns.
+    Q(
+      "q_tpch_q10",
+      (spark, dir) => {
+        val cust = Q.t(spark, dir, "customer")
+        val orders = Q.t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val li = Q.t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val nation = Q.t(spark, dir, "nation")
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum((col("l_extendedprice").cast(Dec) *
+            (lit(1).cast(Dec) - col("l_discount").cast(Dec))))
+            .cast(Dec).cast("double").as("revenue"))
+      },
+      Some(
+        """SELECT c_custkey, c_name, n_name,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+          |       * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+          |  AND l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, n_name""".stripMargin
+      )
+    ),
+
+    // TPC-H Q14 shape (promo revenue share): two conditional decimal
+    // sums, one final double division chain — fixed op order on both
+    // engines.
+    Q(
+      "q_tpch_q14",
+      (spark, dir) => {
+        val li = Q.t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        val part = Q.t(spark, dir, "part")
+        val rev = (col("l_extendedprice").cast(Dec) *
+          (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) *
+              sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(Dec)))
+                .cast(Dec).cast("double") /
+              sum(rev).cast(Dec).cast("double")).as("promo_revenue"))
+      },
+      Some(
+        """SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+          |         THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+          |         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS DOUBLE)
+          |     / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS promo_revenue
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin
       )
     )
   )

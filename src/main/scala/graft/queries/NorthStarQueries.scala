@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json `north_star`)
   * over the `documents` / `embeddings` tables: dedup (exact, Jaccard,
@@ -89,6 +89,33 @@ object NorthStarQueries {
        |  JOIN sizes sa ON sa.id = id_a
        |  JOIN sizes sb ON sb.id = id_b
        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+       |)""".stripMargin
+
+  /** Shared CTE chain ending in `sigs(id, sig)` — the k=32 MinHash
+    * signature over 3-gram shingle hashes, mirroring
+    * `Dedup.minhashSignatures` (docs with fewer than 3 tokens are
+    * absent, matching its null-signature filter; duplicate shingles
+    * don't disturb the mins).
+    */
+  private val MinhashSigCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id AS id, $SqlToks AS t FROM documents
+       |), sh AS (
+       |  SELECT id, list(shh) AS shs FROM (
+       |    SELECT id,
+       |      list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
+       |                         c -> CAST(ascii(c) AS BIGINT))),
+       |        (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS shh
+       |    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
+       |  GROUP BY id
+       |), sigs AS (
+       |  SELECT id, list_transform(generate_series(0, 31), j ->
+       |    list_min(list_transform(shs, x ->
+       |      (x % ${Dedup.MinhashP} * ((2654435761 + 40503 * j) % ${Dedup.MinhashP})
+       |       + (2246822519 + 604171 * j) % ${Dedup.MinhashP}) % ${Dedup.MinhashP}))) AS sig
+       |  FROM sh
        |)""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -281,25 +308,7 @@ object NorthStarQueries {
       (spark, dir) =>
         Dedup.minhashLshPairs(Q.t(spark, dir, "documents"), "doc_id", "text"),
       Some(
-        s"""WITH toks AS (
-           |  SELECT doc_id AS id, $SqlToks AS t FROM documents
-           |), sh AS (
-           |  SELECT id, list(shh) AS shs FROM (
-           |    SELECT id,
-           |      list_reduce(
-           |        list_prepend(CAST(0 AS BIGINT),
-           |          list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
-           |                         c -> CAST(ascii(c) AS BIGINT))),
-           |        (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS shh
-           |    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
-           |  GROUP BY id
-           |), sigs AS (
-           |  SELECT id, list_transform(generate_series(0, 31), j ->
-           |    list_min(list_transform(shs, x ->
-           |      (x % ${Dedup.MinhashP} * ((2654435761 + 40503 * j) % ${Dedup.MinhashP})
-           |       + (2246822519 + 604171 * j) % ${Dedup.MinhashP}) % ${Dedup.MinhashP}))) AS sig
-           |  FROM sh
-           |), banded AS (
+        s"""WITH $MinhashSigCtes, banded AS (
            |  SELECT id, sig, b, sig[b*4+1 : b*4+4] AS band_sig
            |  FROM sigs, UNNEST(generate_series(0, 7)) AS ub(b)
            |), cand AS (
@@ -547,6 +556,106 @@ object NorthStarQueries {
            |  $fcols
            |FROM sh""".stripMargin
       }
+    ),
+
+    // MinHash signature values pinned directly (the LSH pair check
+    // above exercises them indirectly; this hashes every lane of every
+    // signature through the gate).
+    Q(
+      "q_minhash_sigs",
+      (spark, dir) =>
+        Dedup.minhashSignatures(Q.t(spark, dir, "documents"), "doc_id", "text", n = 3, k = 32)
+          .withColumnRenamed("id", "doc_id")
+          .withColumnRenamed("signature", "sig"),
+      Some(
+        s"""WITH $MinhashSigCtes
+           |SELECT id AS doc_id, sig FROM sigs""".stripMargin
+      )
+    ),
+
+    // Corpus bigram counts (n-gram LM / collocation shape): one explode
+    // + one partial-agg shuffle.
+    Q(
+      "q_bigram_counts",
+      (spark, dir) =>
+        TextAnalysis.bigramCounts(Q.t(spark, dir, "documents"), "text", minCount = 5L),
+      Some(
+        s"""SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n
+           |FROM (SELECT $SqlToks AS t FROM documents), UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+           |GROUP BY 1, 2
+           |HAVING COUNT(*) >= 5""".stripMargin
+      )
+    ),
+
+    // TF-IDF per (doc, term): tf/df are exact longs; the double chain
+    // (N/df → ln → ·tf) is fixed-order and the ln domain is small
+    // integer ratios, where JVM Math.log and DuckDB ln agree
+    // bit-for-bit (pinned by this gate).
+    Q(
+      "q_tfidf",
+      (spark, dir) =>
+        TextAnalysis.tfidf(Q.t(spark, dir, "documents"), "doc_id", "text", minTf = 2L)
+          .withColumnRenamed("id", "doc_id"),
+      Some(
+        """WITH tf AS (
+          |  SELECT id, term, COUNT(*) AS tf
+          |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)
+          |  GROUP BY id, term HAVING COUNT(*) >= 2
+          |), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          |n AS (SELECT COUNT(*) AS n FROM documents)
+          |SELECT tf.id AS doc_id, tf.term, tf.tf, dfreq.df,
+          |  CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+          |FROM tf JOIN dfreq USING (term) CROSS JOIN n""".stripMargin
+      )
+    ),
+
+    // Benchmark decontamination: docs 0..19 stand in for the eval set;
+    // the rest of the corpus is screened for shared 5-gram shingles.
+    // The bench shingle set is broadcast — corpus-side map-only.
+    Q(
+      "q_decontaminate",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        Decontaminate.contaminatedDocs(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 5)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM documents
+           |), sh5 AS (
+           |  SELECT DISTINCT id,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+           |), bench AS (SELECT DISTINCT sh FROM sh5 WHERE id < 20)
+           |SELECT id AS doc_id, COUNT(*) AS n_hits
+           |FROM sh5 JOIN bench USING (sh)
+           |WHERE id >= 20
+           |GROUP BY id""".stripMargin
+      )
+    ),
+
+    // Int8 embedding quantization: floor(x+0.5) rounding and fixed
+    // double op order make every lane engine-exact; scale is one
+    // division.
+    Q(
+      "q_quantize_int8",
+      (spark, dir) =>
+        Quantize.toInt8(Q.t(spark, dir, "embeddings"), "vec_id", "embedding"),
+      Some(
+        """SELECT vec_id,
+          |  list_transform(embedding, v -> CASE WHEN maxabs = 0 THEN 0
+          |    ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE) + 0.5) AS INT) END) AS qvec,
+          |  CAST(maxabs AS DOUBLE) / 127.0 AS scale
+          |FROM (SELECT vec_id, embedding,
+          |        list_max(list_transform(embedding, v -> abs(v))) AS maxabs
+          |      FROM embeddings)""".stripMargin
+      )
     )
   )
 }

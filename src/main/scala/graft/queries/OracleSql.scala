@@ -170,6 +170,25 @@ votes AS (
   def orderedSum(lst: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $lst), (a, b) -> a + b)"
 
+  /** Morton/Z-order oracle query: the part1by1 magic-mask cascade of
+    * `Layout.zValue` as a CTE chain. Every step stays below 2^63 (so
+    * plain BIGINT shifts are safe); only the final `y-spread << 1`
+    * combine can reach bit 63, so it runs in HUGEINT and is re-signed
+    * to match Spark's wrapping `shiftleft`. Output: ($idCol, zval).
+    */
+  def zorderQuery(src: String, idCol: String, xExpr: String, yExpr: String): String = {
+    val steps = Seq(
+      (16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205"))
+    val chain = steps.zipWithIndex.map { case ((s, m), i) =>
+      s"z${i + 1} AS (SELECT $idCol, (xs | (xs << $s)) & $m AS xs, (ys | (ys << $s)) & $m AS ys FROM z$i)"
+    }.mkString(", ")
+    s"""WITH z0 AS (SELECT $idCol, ($xExpr) & 4294967295 AS xs, ($yExpr) & 4294967295 AS ys FROM $src),
+       |$chain
+       |SELECT $idCol, ${u2s("CAST(xs AS HUGEINT) + CAST(ys AS HUGEINT) * 2")} AS zval FROM z5""".stripMargin
+  }
+
   /** ±1 hyperplane-component literals for the SRP signature, as VALUES
     * rows (j, sg DOUBLE[]). Replicates the xorshift64 stream of
     * `GraftMath.srpSignature` (seed ^ j·golden, zero-state fallback) —

@@ -64,4 +64,39 @@ class TextAnalysisSpec extends SparkSpec {
     ).head()
     assert(agg.getAs[Long]("texts") == agg.getAs[Long]("fps"))
   }
+
+  test("bigrams: t tokens yield t-1 adjacent pairs; short docs yield none") {
+    val rows = Seq("a b c d", "solo", "x y").toDF("text")
+      .select(TextAnalysis.bigrams(col("text")).as("bg"))
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1))))
+    assert(rows(0) == Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(rows(1).isEmpty)
+    assert(rows(2) == Seq(("x", "y")))
+  }
+
+  test("bigramCounts aggregates across docs with the min-count floor") {
+    val docs = Seq("to be or not to be", "to be is to do", "do be do").toDF("text")
+    val counts = TextAnalysis.bigramCounts(docs, "text", minCount = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(counts(("to", "be")) == 3L)
+    assert(!counts.contains(("or", "not"))) // count 1 < floor
+  }
+
+  test("tfidf: rare terms outscore ubiquitous ones; df/tf exact") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana banana cherry common"),
+      (3L, "cherry cherry durian common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", minTf = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 'common' appears in all 3 docs: idf = ln(1) = 0
+    assert(out((1L, "common")) == ((1L, 3L, 0.0)))
+    // 'apple' tf=2 df=1: tfidf = 2·ln(3)
+    val (tf, df, s) = out((1L, "apple"))
+    assert(tf == 2L && df == 1L && math.abs(s - 2.0 * math.log(3.0)) < 1e-12)
+  }
 }
