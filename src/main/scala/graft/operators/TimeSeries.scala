@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular event stream onto
+  * a fixed-width grid per key, forward-filling gaps — the standard
+  * feature-engineering step before windowed models (and the batch twin
+  * of a stream's tumbling-window latest-value state).
+  *
+  * Scale shape: bucket assignment is map-side integer arithmetic on
+  * epoch micros; last-per-bucket, grid bounds, the grid join, and the
+  * forward-fill window all hash on the key, so the whole operator is
+  * key-partitioned work with no corpus-wide sort. The grid explode is
+  * bounded by (span / width) per key.
+  *
+  * Timestamps must be at/after the epoch (integer `div` is used for
+  * bucketing; pre-1970 micros would floor differently across engines).
+  */
+object TimeSeries {
+
+  /** Resample to `widthSec`-wide buckets per key: the last observed
+    * value in each bucket (ties on the timestamp broken by `tieCol`,
+    * e.g. an event id), empty buckets between a key's first and last
+    * event forward-filled from the previous value. Returns
+    * (key, bucket_ts, value) — one row per key per grid step.
+    */
+  def resampleFfill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      tieCol: String,
+      widthSec: Long
+  ): DataFrame = {
+    val widthUs = widthSec * 1000000L
+    val ev = df.select(
+      col(keyCol).as("k"),
+      col(tsCol).as("ts"),
+      col(valueCol).as("v"),
+      col(tieCol).as("tie"),
+      (unix_micros(col(tsCol)) / widthUs).cast("long").as("b"))
+
+    // last value per observed (key, bucket)
+    val rn = Window.partitionBy(col("k"), col("b"))
+      .orderBy(col("ts").desc, col("tie").desc)
+    val lastPerBucket = ev
+      .withColumn("__rn", row_number().over(rn))
+      .filter(col("__rn") === 1)
+      .select(col("k"), col("b"), col("v"))
+
+    // dense grid between each key's first and last bucket
+    val grid = ev.groupBy(col("k"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("b"))
+
+    val ffill = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(lastPerBucket, Seq("k", "b"), "left")
+      .select(
+        col("k").as(keyCol),
+        timestamp_micros(col("b") * widthUs).as("bucket_ts"),
+        last(col("v"), ignoreNulls = true).over(ffill).as(valueCol))
+  }
+}

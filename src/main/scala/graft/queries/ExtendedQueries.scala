@@ -995,6 +995,108 @@ object ExtendedQueries {
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin
       )
+    ),
+
+    // TPC-H Q6 shape (forecast revenue): pure scan + filters + one
+    // conditional product-sum — the pushdown showcase (every predicate
+    // reaches the parquet scan).
+    Q(
+      "q_tpch_q6",
+      (spark, dir) =>
+        Q.t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast(Dec) * col("l_discount").cast(Dec))
+            .cast(Dec).cast("double").as("revenue")),
+      Some(
+        """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+      )
+    ),
+
+    // TPC-H Q15 shape (top supplier by period revenue): aggregate, take
+    // the max via a scalar subquery, select the argmax rows.
+    Q(
+      "q_tpch_q15",
+      (spark, dir) => {
+        val li = Q.t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        val revenue = li.groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice").cast(Dec) *
+            (lit(1).cast(Dec) - col("l_discount").cast(Dec))))
+            .cast(Dec).cast("double").as("total_revenue"))
+        val top = revenue.agg(max(col("total_revenue")).as("m"))
+        Q.t(spark, dir, "supplier")
+          .join(revenue, col("s_suppkey") === col("l_suppkey"))
+          .join(top, col("total_revenue") === col("m"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      },
+      Some(
+        """WITH revenue AS (
+          |  SELECT l_suppkey,
+          |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+          |         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+      )
+    ),
+
+    // Regular-grid resample with forward fill (TimeSeries.resampleFfill):
+    // hourly buckets, last value per bucket, gaps filled per user.
+    Q(
+      "q_resample_ffill",
+      (spark, dir) =>
+        graft.operators.TimeSeries.resampleFfill(
+          Q.events(spark, dir), "user_id", "ts", "value", "event_id", widthSec = 3600L),
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id AS k, ts, value AS v, event_id,
+          |         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b
+          |  FROM events
+          |), lastv AS (
+          |  SELECT k, b, v FROM (
+          |    SELECT k, b, v, ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM ev) t
+          |  WHERE rn = 1
+          |), grid AS (
+          |  SELECT k, unnest(generate_series(min(b), max(b))) AS b FROM ev GROUP BY k
+          |)
+          |SELECT g.k AS user_id, make_timestamp(g.b * 3600000000) AS bucket_ts,
+          |  last_value(lastv.v IGNORE NULLS) OVER (
+          |    PARTITION BY g.k ORDER BY g.b
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+          |FROM grid g LEFT JOIN lastv ON g.k = lastv.k AND g.b = lastv.b""".stripMargin
+      )
+    ),
+
+    // Ordered conversion funnel view → click → purchase: windowed
+    // conditional mins over one user partitioning (single shuffle).
+    Q(
+      "q_funnel",
+      (spark, dir) =>
+        graft.operators.Funnel.steps(
+          Q.events(spark, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")),
+      Some(
+        """WITH e AS (SELECT user_id AS u, ts, event_type AS et FROM events),
+          |s1 AS (SELECT u, min(ts) AS t1 FROM e WHERE et = 'view' GROUP BY u),
+          |s2 AS (SELECT e.u, min(ts) AS t2 FROM e JOIN s1 USING (u) WHERE et = 'click' AND ts > t1 GROUP BY e.u),
+          |s3 AS (SELECT e.u, min(ts) AS t3 FROM e JOIN s2 USING (u) WHERE et = 'purchase' AND ts > t2 GROUP BY e.u)
+          |SELECT u AS user_id, s1.t1, s2.t2, s3.t3,
+          |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+          |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS n_steps
+          |FROM (SELECT DISTINCT u FROM e) users
+          |LEFT JOIN s1 USING (u) LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)""".stripMargin
+      )
     )
   )
 }
