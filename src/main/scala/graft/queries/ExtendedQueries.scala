@@ -1097,6 +1097,33 @@ object ExtendedQueries {
           |FROM (SELECT DISTINCT u FROM e) users
           |LEFT JOIN s1 USING (u) LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)""".stripMargin
       )
+    ),
+
+    // Edit-distance entity resolution over the distinct part-name
+    // vocabulary: q-gram candidates + levenshtein verify (both
+    // codegen'd built-ins; DuckDB shares the same edit-distance and
+    // 1-indexed substring semantics).
+    Q(
+      "q_fuzzy_join",
+      (spark, dir) => {
+        val names = Q.t(spark, dir, "part")
+          .groupBy(col("p_name").as("name"))
+          .agg(min(col("p_partkey")).as("id"))
+        graft.operators.FuzzyJoin.selfPairs(names, "id", "name", maxDist = 2)
+      },
+      Some(
+        """WITH names AS (SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+          |grams AS (
+          |  SELECT DISTINCT id, name, substring(name, CAST(i AS INT), 3) AS g
+          |  FROM names, UNNEST(generate_series(1, length(name) - 2)) AS u(i)
+          |), ok AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 1000),
+          |cand AS (
+          |  SELECT DISTINCT a.id AS id_a, a.name AS na, b.id AS id_b, b.name AS nb
+          |  FROM grams a JOIN ok USING (g) JOIN grams b USING (g)
+          |  WHERE a.id < b.id)
+          |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
+          |FROM cand WHERE levenshtein(na, nb) <= 2""".stripMargin
+      )
     )
   )
 }
