@@ -558,6 +558,47 @@ object NorthStarQueries {
       }
     ),
 
+    // Video-style frame sampling plumbing: n evenly-strided 8-byte
+    // slices per payload, one row per frame (hex-projected for the
+    // gate; the binary plumbing itself is pinned by MultimodalSpec).
+    Q(
+      "q_frame_sample",
+      (spark, dir) =>
+        Multimodal.sampleFrames(
+          Q.t(spark, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", nFrames = 4)
+          .select(col("media_id"), col("frame_no"),
+            upper(hex(col("frame_sample"))).as("frame_hex")),
+      Some(
+        """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
+          |  upper(hex(encode(substring(text, CAST(i * stride + 1 AS INT), 8)))) AS frame_hex
+          |FROM (SELECT doc_id, text,
+          |        CASE WHEN octet_length(encode(text)) // 4 < 1 THEN 1
+          |             ELSE octet_length(encode(text)) // 4 END AS stride
+          |      FROM documents), UNNEST(generate_series(0, 3)) AS u(i)""".stripMargin
+      )
+    ),
+
+    // Mergeable-sketch distinct counting (DataSketches HLL via
+    // hll_sketch_agg): per-segment nation cardinalities sit in the
+    // sketch's sparse-exact regime (≤ 25 ≪ lgK=12 buckets), so the
+    // estimate is provably exact and COUNT(DISTINCT) is an honest
+    // oracle. (q_approx_distinct covers the estimate regime; sketches
+    // matter at 100 TB because they merge across partitions/days
+    // without re-scanning.)
+    Q(
+      "q_hll_distinct",
+      (spark, dir) =>
+        Q.t(spark, dir, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("c_nationkey"))).as("n_nations")),
+      Some(
+        """SELECT c_mktsegment, CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+          |FROM customer GROUP BY c_mktsegment""".stripMargin
+      )
+    ),
+
     // MinHash signature values pinned directly (the LSH pair check
     // above exercises them indirectly; this hashes every lane of every
     // signature through the gate).
@@ -637,6 +678,36 @@ object NorthStarQueries {
            |FROM sh5 JOIN bench USING (sh)
            |WHERE id >= 20
            |GROUP BY id""".stripMargin
+      )
+    ),
+
+    // The streaming-shaped decontamination screen (broadcast shingle
+    // set + per-row arrays_overlap, zero state — StreamEnrich) run in
+    // batch mode: must keep exactly the NOT-EXISTS-clean documents.
+    Q(
+      "q_decontam_corpus",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        graft.streaming.StreamEnrich.dropContaminated(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", n = 5)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM documents
+           |), sh5 AS (
+           |  SELECT DISTINCT id,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+           |), bench AS (SELECT DISTINCT sh FROM sh5 WHERE id < 20)
+           |SELECT doc_id, lang FROM documents d
+           |WHERE doc_id >= 20 AND NOT EXISTS (
+           |  SELECT 1 FROM sh5 JOIN bench USING (sh) WHERE sh5.id = d.doc_id)""".stripMargin
       )
     ),
 
