@@ -55,4 +55,36 @@ object Layout {
       .sortWithinPartitions(col(z))
       .drop(z)
   }
+
+  /** Small-file compaction planning: assign each file of a partitioned
+    * table to a rewrite group of ~`targetBytes`, preserving sort order
+    * within the partition (sequential cumulative-sum binning — groups
+    * stay contiguous, so compacted files keep their clustering).
+    *
+    * Runs on file-listing METADATA (path, bytes) — tiny data even for a
+    * 100 TB table (~10^6 rows), but the plan it emits is what keeps the
+    * table's file count bounded. Group id is
+    * `floor((cumBytes − bytes) / targetBytes)`: a file starts a new
+    * group once the running total crosses the target, and any single
+    * file larger than the target gets its own group.
+    */
+  def compactionGroups(
+      files: DataFrame,
+      partitionCol: String,
+      fileCol: String,
+      bytesCol: String,
+      targetBytes: Long
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol))
+      .orderBy(col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // explicit floor: Column `/` is double division, and a bare cast
+    // would truncate in Spark but round in DuckDB
+    files.select(
+      col(partitionCol), col(fileCol), col(bytesCol),
+      floor((sum(col(bytesCol)).over(w) - col(bytesCol)) / targetBytes)
+        .as("group_id"))
+  }
 }

@@ -1124,6 +1124,28 @@ object ExtendedQueries {
           |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
           |FROM cand WHERE levenshtein(na, nb) <= 2""".stripMargin
       )
+    ),
+
+    // Compaction planning over a synthetic file listing (metadata-level
+    // table maintenance): sequential cum-sum binning per partition.
+    Q(
+      "q_compaction_plan",
+      (spark, dir) =>
+        Layout.compactionGroups(
+          Q.t(spark, dir, "part").select(
+            col("p_brand").as("part_dir"),
+            col("p_partkey").as("file_id"),
+            (col("p_size").cast("long") * 1000L).as("bytes")),
+          "part_dir", "file_id", "bytes", targetBytes = 100000L),
+      Some(
+        """SELECT p_brand AS part_dir, p_partkey AS file_id,
+          |  CAST(p_size AS BIGINT) * 1000 AS bytes,
+          |  CAST(floor((SUM(CAST(p_size AS BIGINT) * 1000) OVER (
+          |      PARTITION BY p_brand ORDER BY p_partkey
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    - CAST(p_size AS BIGINT) * 1000) / 100000) AS BIGINT) AS group_id
+          |FROM part""".stripMargin
+      )
     )
   )
 }

@@ -75,6 +75,19 @@ object ScaleProbe {
           pmod(col("doc_id"), lit(nDocs)))
         Dedup.keepLatest(versioned, Seq("base_id"), Seq(col("doc_id").desc)).count()
       }
+      // broadcast-screen decontamination: bench side fixed, corpus ×k —
+      // must scale with the corpus scan, not the product
+      time(s"decontaminate x$k") {
+        graft.operators.Decontaminate.contaminatedDocs(
+          d, docs.filter(col("doc_id") < 50), "doc_id", "text", 5).count()
+      }
+      // fuzzy join runs on the DISTINCT vocabulary — replication must
+      // not grow it (the dedupe-the-vocab-not-the-rows design)
+      time(s"fuzzy_names x$k") {
+        val names = d.groupBy(col("text").substr(1, 20).as("name"))
+          .agg(min(col("doc_id")).as("id"))
+        graft.operators.FuzzyJoin.selfPairs(names, "id", "name", 2).count()
+      }
     }
     spark.stop()
   }

@@ -43,6 +43,23 @@ class LayoutSpec extends SparkSpec {
     assert(got == refInterleave(1L, 2L))
   }
 
+  test("compactionGroups bins contiguous files to ~target bytes per partition") {
+    val files = Seq(
+      ("a", 1L, 40L), ("a", 2L, 40L), ("a", 3L, 40L), // 40+40 < 100, third crosses
+      ("a", 4L, 250L), // oversized file: own group
+      ("a", 5L, 10L),
+      ("b", 1L, 10L)
+    ).toDF("dir", "f", "bytes")
+    val out = graft.operators.Layout
+      .compactionGroups(files, "dir", "f", "bytes", targetBytes = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out(("a", 1L)) == 0L && out(("a", 2L)) == 0L) // start offsets 0, 40
+    assert(out(("a", 3L)) == 0L) // starts at 80 — still bin 0
+    assert(out(("a", 4L)) == 1L) // starts at 120
+    assert(out(("a", 5L)) == 3L) // starts at 370 — after the oversized file
+    assert(out(("b", 1L)) == 0L) // partitions bin independently
+  }
+
   test("zOrderBy partitions cover compact ranges of both columns") {
     val n = 1 << 12
     // a 64x64 grid, shuffled input order
