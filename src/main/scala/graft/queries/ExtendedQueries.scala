@@ -1146,6 +1146,54 @@ object ExtendedQueries {
           |    - CAST(p_size AS BIGINT) * 1000) / 100000) AS BIGINT) AS group_id
           |FROM part""".stripMargin
       )
+    ),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE): walk the synthetic
+    // p DIV 10 part hierarchy to the root, counting ancestors — the
+    // transitive-closure shape (BOM explosion, org charts).
+    Q(
+      "q_recursive_cte",
+      (spark, dir) => {
+        Q.t(spark, dir, "part").createOrReplaceTempView("graft_rc_part")
+        spark.sql(
+          """WITH RECURSIVE anc(part, a, depth) AS (
+            |  SELECT p_partkey, p_partkey DIV 10, 1 FROM graft_rc_part WHERE p_partkey >= 1
+            |  UNION ALL
+            |  SELECT part, a DIV 10, depth + 1 FROM anc WHERE a > 0)
+            |SELECT part, COUNT(*) AS n_anc, MAX(depth) AS max_depth
+            |FROM anc GROUP BY part""".stripMargin)
+      },
+      Some(
+        """WITH RECURSIVE anc(part, a, depth) AS (
+          |  SELECT p_partkey, p_partkey // 10, 1 FROM part WHERE p_partkey >= 1
+          |  UNION ALL
+          |  SELECT part, a // 10, depth + 1 FROM anc WHERE a > 0)
+          |SELECT part, COUNT(*) AS n_anc, CAST(MAX(depth) AS INT) AS max_depth
+          |FROM anc GROUP BY part""".stripMargin
+      )
+    ),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (decorrelated
+    // by Catalyst into a ranked window): top-2 orders per customer.
+    Q(
+      "q_lateral_topn",
+      (spark, dir) => {
+        Q.t(spark, dir, "customer").createOrReplaceTempView("graft_lt_customer")
+        Q.t(spark, dir, "orders").createOrReplaceTempView("graft_lt_orders")
+        spark.sql(
+          """SELECT c_custkey, o_orderkey, o_totalprice
+            |FROM graft_lt_customer, LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM graft_lt_orders
+            |  WHERE o_custkey = c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+      },
+      Some(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM customer, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin
+      )
     )
   )
 }
