@@ -58,6 +58,34 @@ object Sessionize {
         col("session.end").as("session_end")
       )
 
+  /** Dynamic-gap variant: the inactivity gap is a per-EVENT expression
+    * (e.g. shorter sessions after error events) — Spark's dynamic
+    * `session_window(time, gapExpr)`. Merge semantics: an event extends
+    * its session to `ts + gap(event)`; sessions merge while the next
+    * event's time is ≤ the running max of those ends, so a later
+    * small-gap event never shrinks a window already extended. Same
+    * single-shuffle plan and per-session one-number state as the fixed
+    * form.
+    */
+  def deniedCountsDynamic(
+      events: DataFrame,
+      timeCol: String,
+      keyCol: String,
+      gapExpr: Column,
+      denied: Column,
+      weight: Column
+  ): DataFrame =
+    events
+      .groupBy(session_window(col(timeCol), gapExpr).as("session"), col(keyCol))
+      .agg(sum(when(denied, weight).otherwise(lit(0))).as("denies"))
+      .filter(col("denies") =!= 0)
+      .select(
+        col(keyCol),
+        col("denies"),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end")
+      )
+
   /** The reference pipeline verbatim: key = reqUser, denied = result != 1,
     * weight = event_count (`AggregateDeniedCounts.java:8-13`).
     */

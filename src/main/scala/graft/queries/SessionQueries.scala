@@ -39,6 +39,57 @@ object SessionQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Dynamic-gap sessionization (per-event gap expression): error
+    // events allow only a 300 s lull, others 1800 s. The oracle's
+    // gaps-and-islands must use a RUNNING MAX of per-event ends (a
+    // later short-gap event never shrinks a window already extended) —
+    // the lag-only form of the fixed-gap oracle is wrong here.
+    Q(
+      "q_sessionize_dynamic",
+      (spark, dir) =>
+        Sessionize
+          .deniedCountsDynamic(
+            Q.t(spark, dir, "events"),
+            timeCol = "ts",
+            keyCol = "user_id",
+            gapExpr = when(col("event_type") === "error", "300 seconds")
+              .otherwise(s"$GapSeconds seconds"),
+            denied = col("event_type") === "error",
+            weight = col("value").cast(DecimalType(18, 4))
+          )
+          .withColumn("denies", col("denies").cast("double")),
+      Some(
+        s"""WITH ev AS (
+           |  SELECT user_id, ts, event_type, value, event_id, epoch_us(ts) AS eus,
+           |         CASE WHEN event_type = 'error' THEN 300000000
+           |              ELSE ${GapSeconds * 1000000L} END AS gap_us
+           |  FROM events
+           |), lagged AS (
+           |  SELECT *, MAX(eus + gap_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+           |  FROM ev
+           |), flagged AS (
+           |  SELECT *, CASE WHEN run_end IS NULL OR eus > run_end THEN 1 ELSE 0 END AS new_sess
+           |  FROM lagged
+           |), sess AS (
+           |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |              ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM flagged
+           |)
+           |SELECT user_id,
+           |       CAST(SUM(CASE WHEN event_type = 'error'
+           |                     THEN CAST(value AS DECIMAL(18,4))
+           |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS denies,
+           |       make_timestamp(MIN(eus)) AS session_start,
+           |       make_timestamp(MAX(eus + gap_us)) AS session_end
+           |FROM sess
+           |GROUP BY user_id, sid
+           |HAVING SUM(CASE WHEN event_type = 'error'
+           |                THEN CAST(value AS DECIMAL(18,4))
+           |                ELSE CAST(0 AS DECIMAL(18,4)) END) <> 0""".stripMargin
+      )
+    ),
+
     // W1 + A1 + A2 + F1: event-time session window, incremental
     // conditional weighted count, window finalizer, HAVING != 0.
     Q(

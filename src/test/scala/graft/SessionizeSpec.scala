@@ -101,6 +101,33 @@ class SessionizeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out.map(_.getAs[Long]("denies")).sorted.toSeq == Seq(5L, 7L))
   }
 
+  test("dynamic gap: error events shorten the lull; earlier long gaps still extend") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val events = Seq(
+      // u1: error at 10:00 (gap 60 s) but a prior view at 09:59:30 with
+      // gap 600 s extends the session window to 10:09:30 — the 10:05
+      // event must MERGE (running-max semantics, not last-event-gap)
+      ("u1", "view", ts("2022-09-26 09:59:30")),
+      ("u1", "error", ts("2022-09-26 10:00:00")),
+      ("u1", "view", ts("2022-09-26 10:05:00")),
+      // u2: lone error at 10:00 (gap 60 s); next event at 10:05 is past
+      // 10:01 — NEW session (and the first, error-only session is kept)
+      ("u2", "error", ts("2022-09-26 10:00:00")),
+      ("u2", "error", ts("2022-09-26 10:05:00"))
+    ).toDF("user", "et", "t")
+    val out = Sessionize.deniedCountsDynamic(
+      events, "t", "user",
+      gapExpr = when(col("et") === "error", "60 seconds").otherwise("600 seconds"),
+      denied = col("et") === "error",
+      weight = lit(1L)
+    ).collect().map(r => (r.getString(0), r.getAs[Long]("denies"),
+      r.getAs[Timestamp]("session_start").toString)).sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      ("u1", 1L, "2022-09-26 09:59:30.0"),
+      ("u2", 1L, "2022-09-26 10:00:00.0"),
+      ("u2", 1L, "2022-09-26 10:05:00.0")))
+  }
+
   test("format projection matches the reference's output pattern") {
     val formatted = Sessionize
       .formatResults(Sessionize.auditDeniedCounts(fourEvents, 1200))
