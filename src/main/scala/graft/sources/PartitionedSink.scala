@@ -37,4 +37,36 @@ object PartitionedSink {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy("dt")
+
+  /** Upsert one batch into a date-partitioned table: DYNAMIC partition
+    * overwrite replaces only the `dt=` partitions present in the batch,
+    * leaving every other date untouched. This is the materialized-view
+    * maintenance primitive: corrected aggregates (e.g. sessions revised
+    * by late data) replace their day's output in place, at the cost of
+    * rewriting just that day — not the table.
+    */
+  def upsertBatchDatePartitioned(batch: DataFrame, tsCol: String, path: String): Unit =
+    withDt(batch, tsCol).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Streaming upsert sink via foreachBatch: each micro-batch
+    * overwrites only its own date partitions. Pair with Update output
+    * mode (re-emitted corrections) or Complete mode per-day rollups;
+    * exactly-once per partition comes from the overwrite being
+    * idempotent for a replayed batch.
+    */
+  def streamUpsertDatePartitioned(
+      df: DataFrame,
+      tsCol: String,
+      path: String,
+      checkpoint: String
+  ): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatchDatePartitioned(batch, tsCol, path)
+      }
 }
