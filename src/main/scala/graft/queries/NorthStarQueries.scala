@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Quantize, Sampling, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json `north_star`)
   * over the `documents` / `embeddings` tables: dedup (exact, Jaccard,
@@ -59,11 +59,12 @@ object NorthStarQueries {
 
   /** Shared CTE chain computing the 3-gram Jaccard near-dup pairs at
     * threshold 0.4, ending in `jpairs(id_a, id_b, n_a, n_b, n_common,
-    * jaccard)`. Mirrors `Dedup.jaccardPairs` exactly.
+    * jaccard)`. Mirrors `Dedup.jaccardPairs` exactly. `src` must expose
+    * (doc_id, text).
     */
-  private val JaccardCtes: String =
+  private def jaccardCtes(src: String): String =
     s"""toks AS (
-       |  SELECT doc_id AS id, $SqlToks AS t FROM documents
+       |  SELECT doc_id AS id, $SqlToks AS t FROM $src
        |), sh AS (
        |  SELECT DISTINCT id,
        |    list_reduce(
@@ -238,7 +239,7 @@ object NorthStarQueries {
         Dedup.jaccardPairs(Q.t(spark, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.4),
       Some(
-        s"""WITH $JaccardCtes
+        s"""WITH ${jaccardCtes("documents")}
            |SELECT id_a, id_b, n_a, n_b, n_common, jaccard
            |FROM jpairs""".stripMargin
       )
@@ -253,7 +254,7 @@ object NorthStarQueries {
         Dedup.nearDupClusters(Q.t(spark, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.4),
       Some(
-        s"""WITH RECURSIVE $JaccardCtes,
+        s"""WITH RECURSIVE ${jaccardCtes("documents")},
            |edges AS (
            |  SELECT id_a AS u, id_b AS v FROM jpairs
            |  UNION ALL SELECT id_b, id_a FROM jpairs
@@ -281,7 +282,7 @@ object NorthStarQueries {
           n = 3, threshold = 0.4)
           .select(col("doc_id"), col("lang"), col("n_chars")),
       Some(
-        s"""WITH RECURSIVE $JaccardCtes,
+        s"""WITH RECURSIVE ${jaccardCtes("documents")},
            |edges AS (
            |  SELECT id_a AS u, id_b AS v FROM jpairs
            |  UNION ALL SELECT id_b, id_a FROM jpairs
@@ -726,6 +727,93 @@ object NorthStarQueries {
           |FROM (SELECT vec_id, embedding,
           |        list_max(list_transform(embedding, v -> abs(v))) AS maxabs
           |      FROM embeddings)""".stripMargin
+      )
+    ),
+
+    // ------------------------------------------------- flagship pipeline
+
+    // The full pre-training corpus pipeline as ONE query — quality/lang
+    // filter → exact dedup → near-dup cluster drop → benchmark
+    // decontamination → deterministic split + shard routing. Every
+    // stage is the already-oracle-checked operator; this pins their
+    // COMPOSITION (each stage runs on the previous stage's survivors,
+    // which no per-stage gate exercises). Plan-wise the chain is:
+    // map-side filters → two grouped exchanges (digest, shingle) →
+    // dup-subgraph label propagation → broadcast screens → map-side
+    // routing; nothing corpus-sized ever sits in driver memory.
+    Q(
+      "q_corpus_pipeline",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val bench = docs.filter(col("doc_id") < 20)
+        val quality = docs.filter(
+          TextAnalysis.langId(col("text")) === col("lang") &&
+            TextAnalysis.tokenCount(col("text")).between(8, 4096) &&
+            TextAnalysis.qualityScore(col("text")) >= 0.5)
+        val exact = Dedup.dropExactDuplicates(quality, "doc_id", "text")
+        val canon = Dedup.dropNearDupClusterMembers(exact, "doc_id", "text", n = 3, threshold = 0.4)
+        val clean = Decontaminate.dropContaminated(canon, bench, "doc_id", "text", n = 5)
+        clean.select(
+          col("doc_id"), col("lang"),
+          Sampling.splitLabel(col("doc_id"), 10).as("split"),
+          Sampling.hashBucket(col("doc_id"), 64).as("shard"))
+      },
+      Some(
+        s"""WITH RECURSIVE m AS (
+           |  SELECT doc_id, lang, text,
+           |    $LangCaseSql AS lang_pred,
+           |    $QualityMetricsSql
+           |  FROM documents
+           |), qf AS (
+           |  SELECT doc_id, lang, text FROM m
+           |  WHERE lang_pred = lang AND n_tok BETWEEN 8 AND 4096
+           |    AND $QualityScoreSql >= 0.5
+           |), exq AS (
+           |  SELECT q.doc_id, q.lang, q.text FROM qf q
+           |  JOIN (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY sha256(text)) e USING (doc_id)
+           |), ${jaccardCtes("exq")},
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM jpairs
+           |  UNION ALL SELECT id_b, id_a FROM jpairs
+           |), reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           |), canon AS (
+           |  SELECT d.doc_id, d.lang, d.text FROM exq d
+           |  WHERE d.doc_id <= COALESCE((SELECT MIN(r.v) FROM reach r WHERE r.u = d.doc_id),
+           |                             d.doc_id)
+           |), btoks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM documents WHERE doc_id < 20
+           |), bsh5 AS (
+           |  SELECT DISTINCT
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM btoks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+           |), ctoks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM canon
+           |), csh5 AS (
+           |  SELECT DISTINCT id,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM ctoks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+           |), hits AS (
+           |  SELECT DISTINCT id FROM csh5 JOIN bsh5 USING (sh)
+           |)
+           |SELECT doc_id, lang,
+           |  CASE WHEN (((doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
+           |            % ${Sampling.P} % 100 < 10
+           |       THEN 'holdout' ELSE 'train' END AS split,
+           |  (((doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
+           |    % ${Sampling.P} % 64 AS shard
+           |FROM canon
+           |WHERE doc_id NOT IN (SELECT id FROM hits)""".stripMargin
       )
     )
   )
