@@ -41,6 +41,7 @@ object ScaleProbe {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val events = graft.queries.Q.events(spark, sfDir)
 
     Seq(1, 2, 4, 8).foreach { k =>
       val d = replicate(docs, "doc_id", k)
@@ -87,6 +88,19 @@ object ScaleProbe {
         val names = d.groupBy(col("text").substr(1, 20).as("name"))
           .agg(min(col("doc_id")).as("id"))
         graft.operators.FuzzyJoin.selfPairs(names, "id", "name", 2).count()
+      }
+      // event ops replicated by USER (new user ids per copy): both are
+      // key-partitioned — growth must be linear in users
+      val ev = (0 until k).map(c =>
+        events.withColumn("user_id", col("user_id") + lit(c * 100000L)))
+        .reduce(_ unionByName _)
+      time(s"resample_ffill x$k") {
+        graft.operators.TimeSeries.resampleFfill(
+          ev, "user_id", "ts", "value", "event_id", 3600L).count()
+      }
+      time(s"funnel x$k") {
+        graft.operators.Funnel.steps(
+          ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase")).count()
       }
     }
     spark.stop()

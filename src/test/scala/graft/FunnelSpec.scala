@@ -48,6 +48,24 @@ class FunnelSpec extends SparkSpec {
     assert(r.getInt(3) == 1)
   }
 
+  test("property: input row order/partitioning never changes funnel results") {
+    val rng = new scala.util.Random(7)
+    val types = Array("A", "B", "C", "X")
+    val evts = (1 to 400).map { i =>
+      ((i % 23).toLong, ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"),
+        types(rng.nextInt(types.length)))
+    }
+    def run(rows: Seq[(Long, java.sql.Timestamp, String)], parts: Int) =
+      Funnel.steps(rows.toDF("user_id", "ts", "event_type").repartition(parts),
+        "user_id", "ts", "event_type", Seq("A", "B", "C"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getInt(4))).toSet
+    val a = run(evts, 1)
+    val b = run(rng.shuffle(evts), 7)
+    assert(a == b)
+    assert(a.size == 23)
+  }
+
   test("funnel plans a single exchange (windows + final collapse share the user hash)") {
     val plan = Funnel.steps(events, "user_id", "ts", "event_type", Seq("A", "B", "C"))
       .queryExecution.executedPlan.toString

@@ -37,6 +37,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("property: zValue is monotone along each axis with the other fixed") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val coords = Gen.listOfN(60, Gen.choose(0L, 0xFFFFFFFFL))
+      .apply(Gen.Parameters.default, Seed(42L)).get.sorted.distinct
+    val df = coords.map(c => (c, 7L, c)).toDF("x", "fixed", "orig")
+    val zx = df.select(Layout.zValue(col("x"), col("fixed")).as("z"), col("orig"))
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0))
+    // unsigned comparison (bit 63 can be set when y's bit 31 is — here y=7, so plain)
+    assert(zx.toSeq == zx.sorted.toSeq, "z not monotone in x")
+    val zy = df.select(Layout.zValue(col("fixed"), col("x")).as("z"), col("orig"))
+      .collect().sortBy(_.getLong(1)).map(r => r.getLong(0) ^ Long.MinValue) // unsigned order
+    assert(zy.toSeq == zy.sorted.toSeq, "z not monotone in y (unsigned)")
+  }
+
   test("zValue ignores bits above 32 (documented domain)") {
     val got = Seq((0x100000001L, 2L)).toDF("x", "y")
       .select(Layout.zValue(col("x"), col("y"))).as[Long].head()
