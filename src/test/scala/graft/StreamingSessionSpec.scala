@@ -53,6 +53,42 @@ class StreamingSessionSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dynamic-gap sessions: same operator, per-event gap, Append emission") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.{col, lit, when}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    val events = input.toDF().toDF("user", "et", "t")
+      .withWatermark("t", "0 seconds")
+    val sessions = graft.operators.Sessionize.deniedCountsDynamic(
+      events, "t", "user",
+      gapExpr = when(col("et") === "error", "60 seconds").otherwise("600 seconds"),
+      denied = col("et") === "error",
+      weight = lit(1L))
+
+    val query = sessions.writeStream
+      .format("memory").queryName("dyn_sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ("u2", "error", ts("2022-09-26 10:00:00")), // 60 s gap → closes at 10:01
+        ("u2", "error", ts("2022-09-26 10:05:00"))  // new session
+      )
+      query.processAllAvailable()
+      input.addData(("flush", "view", ts("2022-09-28 00:00:00")))
+      query.processAllAvailable()
+
+      val out = spark.table("dyn_sessions_out")
+        .filter(col("user") === "u2").orderBy("session_start").collect()
+      assert(out.length == 2, s"got ${out.toSeq}")
+      assert(out.map(_.getAs[Long]("denies")).toSeq == Seq(1L, 1L))
+      // session end = event time + its own 60 s gap
+      assert(out(0).getAs[Timestamp]("session_end") == ts("2022-09-26 10:01:00"))
+    } finally query.stop()
+  }
+
   test("config loader parses reference keys and kafka.* passthrough") {
     val props = new Properties()
     props.setProperty("audit.path", "/data/audit")
