@@ -1148,6 +1148,22 @@ object ExtendedQueries {
       )
     ),
 
+    // Batch twin of StreamEnrich.withDim (stream-static broadcast
+    // enrichment): left join keeps un-matched stream rows.
+    Q(
+      "q_enrich_dim",
+      (spark, dir) =>
+        graft.streaming.StreamEnrich.withDim(
+          Q.events(spark, dir),
+          Q.t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey")
+          .select(col("event_id"), col("user_id"), col("c_mktsegment")),
+      Some(
+        """SELECT event_id, user_id, c_mktsegment
+          |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin
+      )
+    ),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): walk the synthetic
     // p DIV 10 part hierarchy to the root, counting ancestors — the
     // transitive-closure shape (BOM explosion, org charts).

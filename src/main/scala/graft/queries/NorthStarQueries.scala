@@ -730,6 +730,52 @@ object NorthStarQueries {
       )
     ),
 
+    // Multimodal composition: decode (stub) → feature vectors → int8
+    // quantization, the storage shape an embedding store ingests. Pins
+    // the float hand-off between the two operators: the oracle rebuilds
+    // the features from the rolling hash (exact 16-bit/65536 floats)
+    // and re-applies the quantization formula.
+    Q(
+      "q_multimodal_pipeline",
+      (spark, dir) => {
+        val feats = Multimodal.extractFeatures(
+          Q.t(spark, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload")
+          .select(col("media_id"), col("features"))
+        Quantize.toInt8(feats, "media_id", "features")
+      },
+      Some {
+        val vs = (0 until 8)
+          .map(j => s"(hu // ${BigInt(1) << (7 * j)}) % 65536")
+          .mkString("[", ", ", "]")
+        s"""WITH tb AS (
+           |  SELECT doc_id,
+           |    CASE WHEN text = '' THEN CAST([] AS HUGEINT[])
+           |         ELSE list_transform(str_split(text, ''), c -> CAST(ascii(c) AS HUGEINT)) END AS bs
+           |  FROM documents
+           |), rh AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(1125899906842597::HUGEINT, bs),
+           |      (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+           |  FROM tb
+           |), fl AS (
+           |  SELECT doc_id AS media_id,
+           |    list_transform($vs, v -> CAST(CAST(v AS DOUBLE) / 65536.0 AS FLOAT)) AS features
+           |  FROM rh
+           |), mx AS (
+           |  SELECT media_id, features,
+           |    list_max(list_transform(features, v -> abs(v))) AS maxabs
+           |  FROM fl
+           |)
+           |SELECT media_id,
+           |  list_transform(features, v -> CASE WHEN maxabs = 0 THEN 0
+           |    ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE) + 0.5) AS INT) END) AS qvec,
+           |  CAST(maxabs AS DOUBLE) / 127.0 AS scale
+           |FROM mx""".stripMargin
+      }
+    ),
+
     // ------------------------------------------------- flagship pipeline
 
     // The full pre-training corpus pipeline as ONE query — quality/lang
