@@ -52,8 +52,11 @@ object BloomPrune {
       expectedItems: Long = 1000000L
   ): DataFrame = {
     val bf = bloomOf(build, buildKey, expectedItems).scalar()
-    probe
+    val joined = probe
       .filter(mightContain(bf, probe(probeKey)))
       .join(build, probe(probeKey) === build(buildKey))
+    // same-named keys would leave an ambiguous duplicate column; keep
+    // the probe side (values are equal on joined rows)
+    if (probeKey == buildKey) joined.drop(build(buildKey)) else joined
   }
 }

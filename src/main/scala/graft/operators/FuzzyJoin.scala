@@ -30,11 +30,15 @@ object FuzzyJoin {
       maxDist: Int,
       maxGramFreq: Int = 1000
   ): DataFrame = {
+    // strings shorter than 3 chars have no 3-grams: guard explicitly —
+    // sequence(1, 0) is the DESCENDING [1, 0] in Spark, which would
+    // fabricate grams for 1–2-char strings and self-pair them
     val exploded = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= 3)
       .select(col("id"), col("s"),
         explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(col("s")) - 2, lit(0))),
+          sequence(lit(1), length(col("s")) - 2),
           i => col("s").substr(i, lit(3))))).as("g"))
 
     val buckets = exploded

@@ -64,9 +64,11 @@ object Layout {
     * Runs on file-listing METADATA (path, bytes) — tiny data even for a
     * 100 TB table (~10^6 rows), but the plan it emits is what keeps the
     * table's file count bounded. Group id is
-    * `floor((cumBytes − bytes) / targetBytes)`: a file starts a new
-    * group once the running total crosses the target, and any single
-    * file larger than the target gets its own group.
+    * `floor(startOffset / targetBytes)` where startOffset is the
+    * partition-local cumulative byte count before the file: groups are
+    * contiguous and average ~targetBytes, though a group containing an
+    * oversized file exceeds the target by that file's size (start-offset
+    * binning never splits a file).
     */
   def compactionGroups(
       files: DataFrame,

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * key-partitioned work with no corpus-wide sort. The grid explode is
   * bounded by (span / width) per key.
   *
-  * Timestamps must be at/after the epoch (integer `div` is used for
-  * bucketing; pre-1970 micros would floor differently across engines).
+  * Timestamps must be at/after the epoch: bucketing is integer `div`
+  * of epoch micros, and the truncating/flooring split on negative
+  * values differs across engines (Spark `div` truncates toward zero,
+  * DuckDB `//` floors).
   */
 object TimeSeries {
 
@@ -35,12 +37,14 @@ object TimeSeries {
       widthSec: Long
   ): DataFrame = {
     val widthUs = widthSec * 1000000L
+    // true integer `div` (not double `/` + cast): exact for any epoch
+    // micros, no 2^53 rounding
     val ev = df.select(
       col(keyCol).as("k"),
       col(tsCol).as("ts"),
       col(valueCol).as("v"),
       col(tieCol).as("tie"),
-      (unix_micros(col(tsCol)) / widthUs).cast("long").as("b"))
+      expr(s"unix_micros(`$tsCol`) div ${widthUs}L").as("b"))
 
     // last value per observed (key, bucket)
     val rn = Window.partitionBy(col("k"), col("b"))

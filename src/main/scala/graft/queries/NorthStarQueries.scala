@@ -439,7 +439,7 @@ object NorthStarQueries {
           |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
           |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
-          |WHERE sim = sim AND sim >= 0.45""".stripMargin
+          |WHERE NOT isnan(sim) AND sim >= 0.45""".stripMargin
       )
     ),
 
@@ -483,7 +483,7 @@ object NorthStarQueries {
            |SELECT id_a, id_b FROM (
            |  SELECT c.id_a, c.id_b, ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
            |  FROM cand c JOIN vecs a ON c.id_a = a.id JOIN vecs b ON c.id_b = b.id) t
-           |WHERE sim = sim AND sim >= 0.4""".stripMargin
+           |WHERE NOT isnan(sim) AND sim >= 0.4""".stripMargin
       }
     ),
 

@@ -58,18 +58,24 @@ object Q {
     * deleted recursively on JVM exit so repeated Bench/Verify runs don't
     * accumulate temp data. Unique per call: a shared path would race when
     * two processes (Bench + Verify) hit the same sf dir concurrently.
+    * One static shutdown hook drains a shared queue — repeated calls in
+    * a long-lived session (MicroBench reps) don't grow the hook list.
     */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    scratchDirs.forEach(rm(_))
+  }))
+
   def scratch(prefix: String): String = {
+    scratchHook
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_${prefix}_")
       .toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir)
-    }))
+    scratchDirs.add(dir)
     dir.getAbsolutePath
   }
 }

@@ -51,7 +51,11 @@ object StreamEnrich {
       .agg(collect_set(col("sh")).as("__bench_sh"))
     stream
       .crossJoin(broadcast(benchSet))
-      .filter(!arrays_overlap(Dedup.shingleHashes(col(textCol), n), col("__bench_sh")))
+      // coalesce: NULL text → NULL shingles → NULL overlap; the batch
+      // anti-join KEEPS such docs (they can't be flagged), so must we
+      .filter(coalesce(
+        !arrays_overlap(Dedup.shingleHashes(col(textCol), n), col("__bench_sh")),
+        lit(true)))
       .drop("__bench_sh")
   }
 }

@@ -25,6 +25,13 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out == Set((3L, 7L, 0)))
   }
 
+  test("strings shorter than 3 chars never pair (no fabricated grams)") {
+    // sequence(1, 0) is DESCENDING in Spark — without the length guard,
+    // 1–2-char strings would gram as themselves and self-pair
+    val rows = Seq((1L, "ab"), (2L, "ab"), (3L, ""), (4L, "a")).toDF("id", "name")
+    assert(FuzzyJoin.selfPairs(rows, "id", "name", maxDist = 2).count() == 0)
+  }
+
   test("hot grams above the frequency cap generate no candidates") {
     // 5 strings all sharing only the hot gram "aaa" (cap 4 excludes it)
     val rows = (1L to 5L).map(i => (i, s"aaa${i}zz${i}q")).toDF("id", "name")
