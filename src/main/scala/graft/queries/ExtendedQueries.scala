@@ -1164,6 +1164,31 @@ object ExtendedQueries {
       )
     ),
 
+    // Schema evolution: two parquet generations (the newer adds a
+    // column) read as one table via mergeSchema — the 100 TB reality
+    // where historical partitions predate today's schema. Old rows
+    // surface NULL for the new column.
+    Q(
+      "q_schema_evolution",
+      (spark, dir) => {
+        val tmp = Q.scratch("evo")
+        val cust = Q.t(spark, dir, "customer")
+        cust.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        cust.filter(col("c_custkey") % 2 =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        spark.read.option("mergeSchema", "true").parquet(tmp)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      },
+      Some(
+        """SELECT c_custkey, c_name,
+          |  CASE WHEN c_custkey % 2 <> 0 THEN c_acctbal END AS c_acctbal
+          |FROM customer""".stripMargin
+      )
+    ),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): walk the synthetic
     // p DIV 10 part hierarchy to the root, counting ancestors — the
     // transitive-closure shape (BOM explosion, org charts).
