@@ -61,6 +61,34 @@ class PipelineE2ESpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow backfill: processes the whole tree, then terminates itself") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("audit_backfill").toFile
+    writeTree(root)
+    // the closing record that pushes the watermark past both sessions —
+    // present BEFORE the query starts (a backfill over historical data)
+    val day2 = new java.io.File(root, "20210402")
+    day2.mkdirs()
+    Files.writeString(new java.io.File(day2, "audit-3.log").toPath,
+      auditLine("zz", "2021-04-02 10:00:00.000", 1, 1) + "\n")
+
+    val lines = graft.sources.AuditSource.stream(spark, root.getAbsolutePath)
+    val out = AuditSessionPipeline.formatted(lines, gapSeconds = 1200, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("backfill_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      // AvailableNow drains everything present at start, then STOPS on
+      // its own — the batch-catchup mode a backfill job uses
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+      val rows = spark.table("backfill_out").collect().map(_.getString(0)).sorted
+      assert(rows.length == 2, rows.toSeq)
+      assert(rows.exists(_.startsWith("user='bob' denies=2")), rows.toSeq)
+      assert(rows.exists(_.startsWith("user='wdyson' denies=10")), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming files sink: sessions land as parquet, exactly-once manifest") {
     val root = Files.createTempDirectory("audit_e2e_files").toFile
     writeTree(root)
