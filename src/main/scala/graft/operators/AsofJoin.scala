@@ -98,4 +98,54 @@ object AsofJoin {
       probeSide = 0, buildSide = 1,
       frame = _.rowsBetween(1, Window.unboundedFollowing),
       pick = c => first(c, ignoreNulls = true))
+
+  /** Nearest as-of (merge_asof "nearest"): whichever of the backward /
+    * forward matches is closer in time; exact ties go backward. Both
+    * directions ride ONE union and one key exchange — the second
+    * window only re-sorts within the same hash partitioning (ties need
+    * opposite side ordering, which a shared sort can't express).
+    */
+  def nearestTime(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      outCol: String
+  ): DataFrame = {
+    val probeCols = probe.columns
+    val pu = probe.select(
+      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(1).as("__side"),
+      struct(probeCols.map(col): _*).as("__row"))
+    val bu = build.select(
+      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(0).as("__side"))
+      .withColumn("__row", lit(null).cast(pu.schema("__row").dataType))
+
+    // backward: build (side 0) sorts before probe at ties; the
+    // strictly-previous frame then includes exact-tie build rows
+    val wBack = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // forward: probe sorts before build at ties (side desc), so the
+    // strictly-following frame includes exact-tie build rows
+    val wFwd = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(1, Window.unboundedFollowing)
+
+    val buildT = when(col("__side") === 0, col("__t"))
+    val back = col("__back")
+    val fwd = col("__fwd")
+    pu.unionByName(bu)
+      .withColumn("__back",
+        when(col("__t").isNotNull, last(buildT, ignoreNulls = true).over(wBack)))
+      .withColumn("__fwd",
+        when(col("__t").isNotNull, first(buildT, ignoreNulls = true).over(wFwd)))
+      .filter(col("__side") === 1)
+      .withColumn(outCol,
+        when(back.isNull, fwd)
+          .when(fwd.isNull, back)
+          .when(unix_micros(col("__t")) - unix_micros(back) <=
+            unix_micros(fwd) - unix_micros(col("__t")), back)
+          .otherwise(fwd))
+      .select(probeCols.map(c => col(s"__row.$c")) :+ col(outCol): _*)
+  }
 }

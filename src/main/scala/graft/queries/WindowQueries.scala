@@ -90,6 +90,34 @@ object WindowQueries {
       )
     ),
 
+    // Nearest as-of (merge_asof "nearest", ties backward): both
+    // directions in one union + one key exchange.
+    Q(
+      "q_asof_nearest",
+      (spark, dir) => {
+        val ev = Q.events(spark, dir)
+        AsofJoin.nearestTime(
+          probe = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          build = ev.filter(col("event_type") === "view"),
+          keyCol = "user_id", timeCol = "ts", outCol = "nearest_view_ts")
+      },
+      Some(
+        """SELECT event_id, user_id, ts,
+          |  CASE WHEN back IS NULL THEN fwd
+          |       WHEN fwd IS NULL THEN back
+          |       WHEN epoch_us(ts) - epoch_us(back) <= epoch_us(fwd) - epoch_us(ts) THEN back
+          |       ELSE fwd END AS nearest_view_ts
+          |FROM (
+          |  SELECT p.event_id, p.user_id, p.ts,
+          |    (SELECT max(v.ts) FROM events v
+          |     WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts) AS back,
+          |    (SELECT min(v.ts) FROM events v
+          |     WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts >= p.ts) AS fwd
+          |  FROM events p WHERE p.event_type = 'purchase') t""".stripMargin
+      )
+    ),
+
     // GROUPING SETS through the SQL frontend (finer than cube/rollup).
     Q(
       "q_grouping_sets",

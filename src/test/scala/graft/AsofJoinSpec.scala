@@ -84,6 +84,43 @@ class AsofJoinSpec extends SparkSpec {
     assert(fwd(2L).isEmpty)
   }
 
+  test("nearest: picks the closer side, exact ties go backward, single exchange") {
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 09:30 (30m) vs fwd 10:45 (45m) → back
+      (2L, 10L, ts("2024-01-01 10:40:00")), // back 09:30 (70m) vs fwd 10:45 (5m) → fwd
+      (3L, 10L, ts("2024-01-01 09:30:00")), // exact match both directions → itself
+      (4L, 11L, ts("2024-01-01 10:00:00")), // only forward exists
+      (5L, 12L, ts("2024-01-01 10:00:00"))  // no build rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:30:00")), (10L, ts("2024-01-01 10:45:00")),
+      (11L, ts("2024-01-01 23:00:00"))
+    ).toDF("user_id", "ts")
+
+    val df = AsofJoin.nearestTime(probe, build, "user_id", "ts", "m")
+    val out = df.collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Timestamp]("m"))).toMap
+    assert(out(1L).contains(ts("2024-01-01 09:30:00")))
+    assert(out(2L).contains(ts("2024-01-01 10:45:00")))
+    assert(out(3L).contains(ts("2024-01-01 09:30:00")))
+    assert(out(4L).contains(ts("2024-01-01 23:00:00")))
+    assert(out(5L).isEmpty)
+
+    // midpoint tie: 10:00 probe between 09:00 and 11:00 → backward wins
+    val tieProbe = Seq((9L, 20L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val tieBuild = Seq((20L, ts("2024-01-01 09:00:00")), (20L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "ts")
+    val tie = AsofJoin.nearestTime(tieProbe, tieBuild, "user_id", "ts", "m").head()
+    assert(tie.getAs[Timestamp]("m") == ts("2024-01-01 09:00:00"))
+
+    // count on a FRESH plan: after an action, AQE's final plan prints
+    // materialized shuffle stages and double-counts the exchange
+    val fresh = AsofJoin.nearestTime(probe, build, "user_id", "ts", "m")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(fresh.queryExecution.executedPlan.toString).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
   test("probe schema is preserved and row count unchanged") {
     val probe = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "x"))
       .toDF("event_id", "user_id", "ts", "payload")
