@@ -25,6 +25,32 @@ object AsofJoin {
     * and the first/last aggregate — everything else is identical, so
     * both directions share one source of truth.
     */
+  /** Tag + union the two inputs: probe rows carry their full row as a
+    * struct, build rows carry a NULL struct; both expose
+    * (__key, __t, __side, __row). Shared by every direction.
+    */
+  private def taggedUnion(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      probeSide: Int,
+      buildSide: Int
+  ): DataFrame = {
+    val pu = probe.select(
+      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(probeSide).as("__side"),
+      struct(probe.columns.map(col): _*).as("__row"))
+    val bu = build.select(
+      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(buildSide).as("__side"))
+      .withColumn("__row", lit(null).cast(pu.schema("__row").dataType))
+    pu.unionByName(bu)
+  }
+
+  /** Keep probe rows and unpack the packed probe struct + out columns. */
+  private def unpack(df: DataFrame, probeCols: Seq[String], probeSide: Int, outCols: Seq[String]): DataFrame =
+    df.filter(col("__side") === probeSide)
+      .select(probeCols.map(c => col(s"__row.$c")) ++ outCols.map(col): _*)
+
   private def unionKernel(
       probe: DataFrame,
       build: DataFrame,
@@ -36,18 +62,10 @@ object AsofJoin {
       frame: WindowSpec => WindowSpec,
       pick: Column => Column
   ): DataFrame = {
-    val probeCols = probe.columns
-    val pu = probe.select(
-      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(probeSide).as("__side"),
-      struct(probeCols.map(col): _*).as("__row"))
-    val bu = build.select(
-      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(buildSide).as("__side"))
-      .withColumn("__row", lit(null).cast(pu.schema("__row").dataType))
-
     val w = frame(Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__side").asc))
 
-    pu.unionByName(bu)
+    val annotated = taggedUnion(probe, build, keyCol, timeCol, probeSide, buildSide)
       // ASOF semantics: a probe row with NULL time matches nothing
       // (t >= NULL / t <= NULL are never true) — without the guard a
       // NULL would sort first and see every build row in a following
@@ -55,8 +73,7 @@ object AsofJoin {
       .withColumn(outCol,
         when(col("__t").isNotNull,
           pick(when(col("__side") === buildSide, col("__t"))).over(w)))
-      .filter(col("__side") === probeSide)
-      .select(probeCols.map(c => col(s"__row.$c")) :+ col(outCol): _*)
+    unpack(annotated, probe.columns.toSeq, probeSide, Seq(outCol))
   }
 
   /** Backward as-of: the latest build time ≤ each probe row's time,
@@ -112,14 +129,6 @@ object AsofJoin {
       timeCol: String,
       outCol: String
   ): DataFrame = {
-    val probeCols = probe.columns
-    val pu = probe.select(
-      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(1).as("__side"),
-      struct(probeCols.map(col): _*).as("__row"))
-    val bu = build.select(
-      col(keyCol).as("__key"), col(timeCol).as("__t"), lit(0).as("__side"))
-      .withColumn("__row", lit(null).cast(pu.schema("__row").dataType))
-
     // backward: build (side 0) sorts before probe at ties; the
     // strictly-previous frame then includes exact-tie build rows
     val wBack = Window.partitionBy(col("__key"))
@@ -134,18 +143,19 @@ object AsofJoin {
     val buildT = when(col("__side") === 0, col("__t"))
     val back = col("__back")
     val fwd = col("__fwd")
-    pu.unionByName(bu)
+    val annotated = taggedUnion(probe, build, keyCol, timeCol, probeSide = 1, buildSide = 0)
       .withColumn("__back",
         when(col("__t").isNotNull, last(buildT, ignoreNulls = true).over(wBack)))
       .withColumn("__fwd",
         when(col("__t").isNotNull, first(buildT, ignoreNulls = true).over(wFwd)))
-      .filter(col("__side") === 1)
+      // distance via direct subtraction: timestamps yield comparable
+      // day-time intervals, numerics stay numeric — any orderable
+      // subtractable time type works (matching the sibling kernels)
       .withColumn(outCol,
         when(back.isNull, fwd)
           .when(fwd.isNull, back)
-          .when(unix_micros(col("__t")) - unix_micros(back) <=
-            unix_micros(fwd) - unix_micros(col("__t")), back)
+          .when(col("__t") - back <= fwd - col("__t"), back)
           .otherwise(fwd))
-      .select(probeCols.map(c => col(s"__row.$c")) :+ col(outCol): _*)
+    unpack(annotated, probe.columns.toSeq, probeSide = 1, Seq(outCol))
   }
 }
