@@ -1148,6 +1148,36 @@ object ExtendedQueries {
       )
     ),
 
+    // Cohort retention: users grouped by first-activity week, counted
+    // per weeks-since-cohort — the standard retention matrix. Two
+    // aggregations over one user hash (first-week window reuses the
+    // partitioning of the distinct).
+    Q(
+      "q_cohort_retention",
+      (spark, dir) => {
+        val ev = Q.events(spark, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000L").as("week"))
+          .distinct()
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some(
+        """WITH uw AS (
+          |  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+          |  FROM events
+          |), cohort AS (
+          |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+          |)
+          |SELECT cohort_week, week - cohort_week AS week_offset,
+          |       COUNT(DISTINCT uw.user_id) AS n_users
+          |FROM uw JOIN cohort USING (user_id)
+          |GROUP BY cohort_week, week - cohort_week""".stripMargin
+      )
+    ),
+
     // Batch twin of StreamEnrich.withDim (stream-static broadcast
     // enrichment): left join keeps un-matched stream rows.
     Q(
