@@ -18,7 +18,8 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
     SessionQueries.all ++ RelationalQueries.all ++ WindowQueries.all ++
-      CompositeQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all
+      CompositeQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
+      TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

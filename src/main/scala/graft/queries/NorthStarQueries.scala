@@ -602,16 +602,19 @@ object NorthStarQueries {
 
     // MinHash signature values pinned directly (the LSH pair check
     // above exercises them indirectly; this hashes every lane of every
-    // signature through the gate).
+    // signature through the gate). posexplode'd to (doc_id, lane, sig_v)
+    // rows because the gate canonicalizer can't sort array cells.
     Q(
       "q_minhash_sigs",
       (spark, dir) =>
         Dedup.minhashSignatures(Q.t(spark, dir, "documents"), "doc_id", "text", n = 3, k = 32)
-          .withColumnRenamed("id", "doc_id")
-          .withColumnRenamed("signature", "sig"),
+          .select(
+            col("id").as("doc_id"),
+            posexplode(col("signature")).as(Seq("lane", "sig_v"))),
       Some(
         s"""WITH $MinhashSigCtes
-           |SELECT id AS doc_id, sig FROM sigs""".stripMargin
+           |SELECT id AS doc_id, CAST(i - 1 AS INT) AS lane, sig[i] AS sig_v
+           |FROM sigs, UNNEST(generate_series(1, len(sig))) AS u(i)""".stripMargin
       )
     ),
 
@@ -714,19 +717,27 @@ object NorthStarQueries {
 
     // Int8 embedding quantization: floor(x+0.5) rounding and fixed
     // double op order make every lane engine-exact; scale is one
-    // division.
+    // division. posexplode'd to (vec_id, lane, q, scale) rows for the
+    // gate (array cells aren't canonicalizable).
     Q(
       "q_quantize_int8",
       (spark, dir) =>
-        Quantize.toInt8(Q.t(spark, dir, "embeddings"), "vec_id", "embedding"),
+        Quantize.toInt8(Q.t(spark, dir, "embeddings"), "vec_id", "embedding")
+          .select(
+            col("vec_id"),
+            posexplode(col("qvec")).as(Seq("lane", "q")),
+            col("scale")),
       Some(
-        """SELECT vec_id,
-          |  list_transform(embedding, v -> CASE WHEN maxabs = 0 THEN 0
-          |    ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE) + 0.5) AS INT) END) AS qvec,
-          |  CAST(maxabs AS DOUBLE) / 127.0 AS scale
-          |FROM (SELECT vec_id, embedding,
-          |        list_max(list_transform(embedding, v -> abs(v))) AS maxabs
-          |      FROM embeddings)""".stripMargin
+        """SELECT vec_id, CAST(i - 1 AS INT) AS lane, qvec[i] AS q, scale
+          |FROM (
+          |  SELECT vec_id,
+          |    list_transform(embedding, v -> CASE WHEN maxabs = 0 THEN 0
+          |      ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE) + 0.5) AS INT) END) AS qvec,
+          |    CAST(maxabs AS DOUBLE) / 127.0 AS scale
+          |  FROM (SELECT vec_id, embedding,
+          |          list_max(list_transform(embedding, v -> abs(v))) AS maxabs
+          |        FROM embeddings)
+          |), UNNEST(generate_series(1, len(qvec))) AS u(i)""".stripMargin
       )
     ),
 
@@ -744,6 +755,10 @@ object NorthStarQueries {
           "doc_id", "payload")
           .select(col("media_id"), col("features"))
         Quantize.toInt8(feats, "media_id", "features")
+          .select(
+            col("media_id"),
+            posexplode(col("qvec")).as(Seq("lane", "q")),
+            col("scale"))
       },
       Some {
         val vs = (0 until 8)
@@ -767,12 +782,15 @@ object NorthStarQueries {
            |  SELECT media_id, features,
            |    list_max(list_transform(features, v -> abs(v))) AS maxabs
            |  FROM fl
+           |), qv AS (
+           |  SELECT media_id,
+           |    list_transform(features, v -> CASE WHEN maxabs = 0 THEN 0
+           |      ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE) + 0.5) AS INT) END) AS qvec,
+           |    CAST(maxabs AS DOUBLE) / 127.0 AS scale
+           |  FROM mx
            |)
-           |SELECT media_id,
-           |  list_transform(features, v -> CASE WHEN maxabs = 0 THEN 0
-           |    ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE) + 0.5) AS INT) END) AS qvec,
-           |  CAST(maxabs AS DOUBLE) / 127.0 AS scale
-           |FROM mx""".stripMargin
+           |SELECT media_id, CAST(i - 1 AS INT) AS lane, qvec[i] AS q, scale
+           |FROM qv, UNNEST(generate_series(1, len(qvec))) AS u(i)""".stripMargin
       }
     ),
 

@@ -90,9 +90,12 @@ object ScaleProbe {
         graft.operators.FuzzyJoin.selfPairs(names, "id", "name", 2).count()
       }
       // event ops replicated by USER (new user ids per copy): both are
-      // key-partitioned — growth must be linear in users
+      // key-partitioned — growth must be linear in users. Offset derives
+      // from the fixture's actual id range so copies can never collide.
+      val userStride =
+        events.agg(max(col("user_id"))).head.getLong(0) + 1L
       val ev = (0 until k).map(c =>
-        events.withColumn("user_id", col("user_id") + lit(c * 100000L)))
+        events.withColumn("user_id", col("user_id") + lit(c * userStride)))
         .reduce(_ unionByName _)
       time(s"resample_ffill x$k") {
         graft.operators.TimeSeries.resampleFfill(
