@@ -137,6 +137,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("tpch q19: OR-of-conjuncts derives pushed ranges on BOTH scans") {
+    val plan = physical(graft.SparkEntry.queries("q_tpch_q19")(spark, sf))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    // Catalyst must extract the per-side residuals of the disjunction:
+    // quantity ranges reach the lineitem scan, brand/size reach part —
+    // at 100 TB this is the difference between scanning l_quantity
+    // row-groups and scanning the whole fact table.
+    assert(pushed.contains("l_quantity"), plan)
+    assert(pushed.contains("p_brand"), plan)
+  }
+
+  test("tpch q4/q20/q21: correlation compiles to semi/anti joins, not aggregated subquery joins") {
+    val q4 = physical(graft.SparkEntry.queries("q_tpch_q4")(spark, sf))
+    assert(q4.contains("LeftSemi"), q4)
+    val q20 = physical(graft.SparkEntry.queries("q_tpch_q20")(spark, sf))
+    assert(q20.contains("LeftSemi"), q20)
+    val q21 = physical(graft.SparkEntry.queries("q_tpch_q21")(spark, sf))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    // the inequality correlation must not degrade to a cartesian product
+    Seq(q4, q20, q21).foreach(p => assert(!p.contains("CartesianProduct"), p))
+  }
+
+  test("tpch q13: left-join histogram pushes the priority filter into the orders scan") {
+    val plan = physical(graft.SparkEntry.queries("q_tpch_q13")(spark, sf))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_orderpriority"), plan)
+  }
+
+  test("tpch q7/q8: fixed-cardinality dims broadcast; no cartesian pair blowup") {
+    Seq("q_tpch_q7", "q_tpch_q8").foreach { n =>
+      val plan = physical(graft.SparkEntry.queries(n)(spark, sf))
+      assert(plan.contains("BroadcastExchange"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
   test("codegen kernels run inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = physical(Dedup.simhash(docs, "doc_id", "text"))
