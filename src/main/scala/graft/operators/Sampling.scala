@@ -95,6 +95,53 @@ object Sampling {
       .withColumn(rankCol, row_number().over(w))
   }
 
+  /** Mixture / temperature resampling: a fractional epoch factor per
+    * stratum (data curation's "2.5 epochs of wiki, 0.4 of web") —
+    * upsampling AND downsampling in one deterministic map-side pass.
+    * Each row is emitted `floor(f)` times, plus one extra copy when its
+    * id-hash bucket falls under the fractional remainder, with an
+    * `epoch` column (0-based copy index) so downstream packing /
+    * shuffling can interleave copies instead of clustering them.
+    *
+    * Fractions are snapped to `buckets`ths at PLAN time (Scala ints in
+    * the CASE chain), so the executed plan is pure integer arithmetic —
+    * engine-portable and retry-stable like every sampler here. The
+    * explode multiplies rows map-side; nothing shuffles, so at 100 TB
+    * the cost is one scan plus the output volume you asked for.
+    */
+  def mixtureResample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0,
+      buckets: Int = 100,
+      epochCol: String = "epoch"
+  ): DataFrame = {
+    require(!df.columns.contains(epochCol),
+      s"mixtureResample: input already has a '$epochCol' column; pass a different epochCol")
+    def parts(f: Double): (Int, Int) = {
+      require(f >= 0, s"mixtureResample: negative epoch factor $f")
+      val whole = math.floor(f).toInt
+      val fb = math.round((f - whole) * buckets).toInt
+      if (fb == buckets) (whole + 1, 0) else (whole, fb)
+    }
+    val (dw, dfb) = parts(defaultEpochs)
+    val (wholeC, fracC) = epochs.foldLeft((lit(dw), lit(dfb))) {
+      case ((wAcc, fAcc), (stratum, f)) =>
+        val (w0, f0) = parts(f)
+        (when(col(strataCol) === stratum, lit(w0)).otherwise(wAcc),
+          when(col(strataCol) === stratum, lit(f0)).otherwise(fAcc))
+    }
+    val nCopies =
+      wholeC + when(hashBucket(col(idCol), buckets) < fracC, 1).otherwise(0)
+    // sequence(0, n-1) DESCENDS for n-1 < 0 (Spark quirk) — guard
+    // zero-copy rows to an empty array so explode drops them.
+    val copies = when(nCopies >= 1, sequence(lit(0), nCopies - lit(1)))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn(epochCol, explode(copies))
+  }
+
   /** Stratified sampling: a different keep-rate per stratum (data
     * curation's "downsample the dominant source, keep all of the rare
     * one"). Rates are keep-buckets out of `buckets`; strata not listed

@@ -126,6 +126,68 @@ object TextAnalysis {
       i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
   }
 
+  /** Duplicate-token fraction: 1 − distinct/total over whitespace
+    * tokens — the cheapest repetition signal (Gopher-style "rep"
+    * quality filters, adapted to token granularity). 0.0 for empty
+    * docs. Pure map-side expression; the division is one deterministic
+    * double op (int/int), so it is oracle-exact.
+    */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n.cast("double"))
+  }
+
+  /** Duplicate n-gram fraction: 1 − distinct/total over token n-grams —
+    * catches looping/boilerplate passages that token-level dedup misses
+    * (e.g. "a b a b a b" has no hot token but every bigram repeats).
+    * Docs with fewer than n tokens score 0.0. Map-side; the n-gram
+    * array is built by index (sequence guarded against Spark's
+    * descending-sequence-for-negative-bounds quirk).
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    require(n >= 2, s"dupNgramFrac: need n >= 2, got $n")
+    val toks = tokens(text)
+    val total = size(toks) - lit(n - 1)
+    val grams = transform(
+      sequence(lit(1), total),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    when(size(toks) < n, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total.cast("double"))
+  }
+
+  /** Keep documents under both repetition thresholds — the composed
+    * curation filter. One scan, no shuffle.
+    */
+  def repetitionFilter(
+      df: DataFrame,
+      textCol: String,
+      maxDupTokFrac: Double,
+      maxDupNgramFrac: Double,
+      n: Int = 3
+  ): DataFrame =
+    df.filter(dupTokenFrac(col(textCol)) <= maxDupTokFrac &&
+      dupNgramFrac(col(textCol), n) <= maxDupNgramFrac)
+
+  /** Redact email-like and simple phone-like spans — the PII scrub
+    * pass a corpus pipeline runs before anything ships. Patterns stay
+    * within the regex subset Java and RE2 interpret identically
+    * (character classes, bounded counts, word boundaries), so the
+    * redaction is engine-portable. Map-side regexp_replace chain
+    * (replaces ALL matches in both engines).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def redactPii(
+      text: Column,
+      emailToken: String = "<EMAIL>",
+      phoneToken: String = "<PHONE>"
+  ): Column =
+    regexp_replace(regexp_replace(text, lit(EmailRe), lit(emailToken)),
+      lit(PhoneRe), lit(phoneToken))
+
   /** Adjacent token bigrams as (w1, w2) structs — n-gram LM counts,
     * collocation mining, contamination screens. Map-side expression;
     * a doc with t tokens yields t−1 bigrams.

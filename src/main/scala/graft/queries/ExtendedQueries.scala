@@ -520,6 +520,31 @@ object ExtendedQueries {
       )
     ),
 
+    // Mixture / temperature resampling: fractional per-language epoch
+    // factors (upsample zh 2.5x and de 1.75x, downsample en to 0.4x) in
+    // one map-side pass; the epoch copy-index rides along so packing
+    // can interleave copies. The oracle replays the integer bucket
+    // arithmetic and the generate_series copy expansion.
+    Q(
+      "q_mixture_resample",
+      (spark, dir) =>
+        Sampling.mixtureResample(
+          Q.t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          epochs = Map("en" -> 0.4, "zh" -> 2.5, "de" -> 1.75)),
+      Some(
+        s"""WITH n AS (
+           |  SELECT doc_id, lang,
+           |    CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 WHEN 'de' THEN 1 ELSE 1 END
+           |    + CASE WHEN (((doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 100
+           |             < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 50 WHEN 'de' THEN 75 ELSE 0 END
+           |           THEN 1 ELSE 0 END AS n
+           |  FROM documents)
+           |SELECT doc_id, lang, CAST(e AS INT) AS epoch
+           |FROM n, UNNEST(generate_series(0, n - 1)) AS u(e)""".stripMargin
+      )
+    ),
+
     // String function battery: pad / translate / reverse / repeat /
     // position / left / right.
     Q(

@@ -162,6 +162,50 @@ object NorthStarQueries {
       )
     ),
 
+    // Gopher-style repetition metrics per doc: duplicate-token and
+    // duplicate-3-gram fractions (the looping/boilerplate signal).
+    // Single deterministic int/int divisions — oracle-exact doubles.
+    Q(
+      "q_repetition_metrics",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.dupTokenFrac(col("text")).as("dup_tok_frac"),
+          TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_3gram_frac")),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $SqlToks AS t FROM documents)
+           |SELECT doc_id,
+           |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_tok_frac,
+           |  CASE WHEN len(t) < 3 THEN 0.0 ELSE
+           |    1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+           |                i -> array_to_string(t[i:i+2], ' ')))) AS DOUBLE)
+           |        / CAST(len(t) - 2 AS DOUBLE) END AS dup_3gram_frac
+           |FROM t""".stripMargin
+      )
+    ),
+
+    // PII scrub: email + phone spans redacted via an engine-portable
+    // regex subset. The fixture text carries no PII, so the query
+    // splices a synthetic contact tail onto each doc and redacts it —
+    // exercising multi-match replacement over every row.
+    Q(
+      "q_redact_pii",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.redactPii(
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com or 555-010-4242 now"))).as("clean")),
+      Some(
+        s"""SELECT doc_id,
+           |  regexp_replace(regexp_replace(
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-010-4242 now',
+           |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+           |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean
+           |FROM documents""".stripMargin
+      )
+    ),
+
     Q(
       "q_lang_id",
       (spark, dir) =>

@@ -34,6 +34,26 @@ class SamplingSpec extends SparkSpec {
     assert(n > 700 && n < 1300, s"got $n of 10000")
   }
 
+  test("mixture resample hits the per-stratum epoch factors and interleavable epochs") {
+    val rows = (0L until 6000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val out = Sampling.mixtureResample(rows, "id", "s",
+      epochs = Map("a" -> 2.5, "b" -> 0.4))
+    val counts = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    // 2000 per stratum: a ≈ 5000, b ≈ 800, c (default 1.0) = exactly 2000
+    assert(counts("a") > 4700 && counts("a") < 5300, counts.toString)
+    assert(counts("b") > 650 && counts("b") < 950, counts.toString)
+    assert(counts("c") == 2000, counts.toString)
+    // every surviving id carries a dense 0..n-1 epoch range
+    val epochs = out.filter(col("s") === "a").groupBy("id")
+      .agg(count(lit(1)).as("n"), max(col("epoch")).as("mx"), min(col("epoch")).as("mn"))
+      .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0)
+    assert(epochs.count() == 0)
+    // deterministic across evaluations
+    assert(out.count() == Sampling.mixtureResample(rows, "id", "s",
+      epochs = Map("a" -> 2.5, "b" -> 0.4)).count())
+  }
+
   test("property: split stays disjoint+exhaustive for arbitrary ids (incl. negatives)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

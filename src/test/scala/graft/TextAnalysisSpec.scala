@@ -99,4 +99,37 @@ class TextAnalysisSpec extends SparkSpec {
     val (tf, df, s) = out((1L, "apple"))
     assert(tf == 2L && df == 1L && math.abs(s - 2.0 * math.log(3.0)) < 1e-12)
   }
+
+  test("repetition fractions on crafted strings") {
+    def fracs(text: String): (Double, Double) = {
+      val r = one(text).select(
+        TextAnalysis.dupTokenFrac(col("text")).as("dt"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("dg")).head()
+      (r.getAs[Double]("dt"), r.getAs[Double]("dg"))
+    }
+    // all distinct: no repetition at either granularity
+    assert(fracs("a b c d") == ((0.0, 0.0)))
+    // "a b a b a b": every token repeats (2 distinct of 6) and every
+    // bigram repeats (2 distinct of 5) — the case token-dedup misses
+    val (dt, dg) = fracs("a b a b a b")
+    assert(math.abs(dt - (1.0 - 2.0 / 6.0)) < 1e-15)
+    assert(math.abs(dg - (1.0 - 2.0 / 5.0)) < 1e-15)
+    // shorter than n: defined as 0
+    assert(fracs("solo")._2 == 0.0)
+    // filter composes both thresholds
+    val docs = Seq("a b c d e f g h", "x x x x x x x x").toDF("text")
+    val kept = TextAnalysis.repetitionFilter(docs, "text", 0.5, 0.5, n = 2)
+      .collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("a b c d e f g h"))
+  }
+
+  test("PII redaction replaces every email and phone span") {
+    val out = one("mail a.b+c@ex-1.org then 555-010-4242 or d@e.io end")
+      .select(TextAnalysis.redactPii(col("text")).as("t")).head().getString(0)
+    assert(out == "mail <EMAIL> then <PHONE> or <EMAIL> end", out)
+    // non-matches survive: bare @, short TLD, 3-3-3 digits
+    val keep = "a@b c@d.x 12-345-678"
+    val out2 = one(keep).select(TextAnalysis.redactPii(col("text")).as("t")).head().getString(0)
+    assert(out2 == keep, out2)
+  }
 }
