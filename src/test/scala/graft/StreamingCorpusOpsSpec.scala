@@ -70,4 +70,51 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(batch.count(_._1 == 2L) == 1)
     } finally q.stop()
   }
+
+  test("mixture resampling multiplies a stream exactly like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0L until 300L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+
+    val in = MemoryStream[(Long, String)]
+    val resampled = Sampling.mixtureResample(
+      in.toDF().toDF("doc_id", "s"), "doc_id", "s", epochs = Map("a" -> 2.5, "b" -> 0.4))
+    val q = resampled.writeStream
+      .format("memory").queryName("sc_mix_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_mix_out")
+        .as[(Long, String, Int)].collect().sorted.toSeq
+      val batch = Sampling.mixtureResample(
+        data.toDF("doc_id", "s"), "doc_id", "s", epochs = Map("a" -> 2.5, "b" -> 0.4))
+        .as[(Long, String, Int)].collect().sorted.toSeq
+      assert(streamed == batch)
+      assert(batch.count(_._2 == "a") > 300 && batch.count(_._2 == "b") < 150)
+    } finally q.stop()
+  }
+
+  test("repetition filter and PII scrub run stateless on a stream, same rows as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, "clean doc with plenty of distinct words mail me a.b@ex.org today"),
+      (2L, "spam spam spam spam spam spam spam spam"))
+
+    val in = MemoryStream[(Long, String)]
+    val out = TextAnalysis.repetitionFilter(
+      in.toDF().toDF("doc_id", "text"), "text", maxDupTokFrac = 0.5, maxDupNgramFrac = 0.5)
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("clean"))
+    val q = out.writeStream
+      .format("memory").queryName("sc_rep_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("sc_rep_out").as[(Long, String)].collect().toSeq
+      assert(rows.map(_._1) == Seq(1L))
+      assert(rows.head._2.contains("<EMAIL>") && !rows.head._2.contains("@"), rows.head._2)
+    } finally q.stop()
+  }
 }
