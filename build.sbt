@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep "[success] Total time: ..." out of stdout so the bench JSON line
+// stays the final line of `sbt runMain graft.Bench` output (the driver
+// parses the last line)
+showSuccess := false
+// pass the forked JVM's stdout through unprefixed — sbt's default logged
+// output strategy would prepend "[info] " to the bench JSON line, which
+// breaks the driver's last-line JSON parse
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

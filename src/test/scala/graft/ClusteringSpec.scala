@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clustering
+
+/** Lloyd-step semantics: nearest-centroid assignment with deterministic
+  * tie-breaks, and member-mean centroid updates.
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(0.0f, 0.0f)),
+    (1L, Array(10.0f, 10.0f)),
+    (2L, Array(1.0f, 0.0f)),   // nearer centroid 0
+    (3L, Array(9.0f, 10.0f)),  // nearer centroid 1
+    (4L, Array(5.0f, 5.0f))    // equidistant -> ties to cluster 0
+  ).toDF("vec_id", "embedding")
+
+  test("assign picks the nearest centroid; ties break to the smallest cluster id") {
+    val cents = Clustering.initialCentroids(vecs, "vec_id", "embedding", 2)
+    assert(cents.collect().map(_.getLong(0)).toSet === Set(0L, 1L))
+    val out = Clustering.assign(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("assign reports the exact squared distance") {
+    val cents = Clustering.initialCentroids(vecs, "vec_id", "embedding", 2)
+    val d = Clustering.assign(vecs, "vec_id", "embedding", cents)
+      .filter(col("id") === 3L).select("dist2").as[Double].head()
+    assert(d === 1.0) // (9-10)^2 + (10-10)^2
+  }
+
+  test("updateStep means the members of each cluster per lane") {
+    val cents = Clustering.initialCentroids(vecs, "vec_id", "embedding", 2)
+    val up = Clustering.updateStep(vecs, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // cluster 0 members: {0,2,4} -> lane0 mean (0+1+5)/3 = 2, lane1 (0+0+5)/3
+    assert(up((0L, 0)) === ((2.0, 3L)))
+    assert(up((0L, 1)) === ((5.0 / 3.0, 3L)))
+    // cluster 1 members: {1,3} -> lane0 (10+9)/2, lane1 (10+10)/2
+    assert(up((1L, 0)) === ((9.5, 2L)))
+    assert(up((1L, 1)) === ((10.0, 2L)))
+  }
+
+  test("assign output is keyed by every input vector exactly once") {
+    val cents = Clustering.initialCentroids(vecs, "vec_id", "embedding", 2)
+    val ids = Clustering.assign(vecs, "vec_id", "embedding", cents)
+      .select("id").as[Long].collect().sorted
+    assert(ids === Array(0L, 1L, 2L, 3L, 4L))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-4 corpus statistics: character entropy, boilerplate n-grams,
+  * and corpus-unigram NLL scoring.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("charEntropy: uniform two-symbol string scores ln 2; constant string 0") {
+    val df = Seq((1L, "abab"), (2L, "aaaa"), (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - math.log(2.0)) < 1e-12)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+  }
+
+  test("charEntropy matches the direct -sum p ln p definition") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val counts = text.groupBy(identity).view.mapValues(_.length).toMap
+    val n = text.length.toDouble
+    val expected = counts.values.map { k => val p = k / n; -p * math.log(p) }.sum
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(TextAnalysis.charEntropy(col("text"))).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("boilerplateGrams finds only grams shared by >= minDocs distinct docs") {
+    val df = Seq(
+      (1L, "nav home about contact body one"),
+      (2L, "nav home about contact body two"),
+      (3L, "nav home about contact body three"),
+      (4L, "totally different text here"),
+      // repeated gram INSIDE one doc counts once (doc-distinct)
+      (5L, "x y z x y z x y z")
+    ).toDF("doc_id", "text")
+    val grams = TextAnalysis.boilerplateGrams(df, "text", n = 3, minDocs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grams.contains("nav home about"))
+    assert(grams("nav home about") === 3L)
+    assert(!grams.keys.exists(_.contains("x y z"))) // one doc only
+  }
+
+  test("boilerplateGrams: docs shorter than n yield no grams") {
+    val df = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.boilerplateGrams(df, "text", n = 3, minDocs = 1L).count() === 0L)
+  }
+
+  test("unigramNll: rare tokens score higher; token counts are exact") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(1L)._1 === 4L)
+    assert(out(2L)._1 === 4L)
+    // doc 2 contains the corpus-rare token -> higher avg surprisal
+    assert(out(2L)._2 > out(1L)._2)
+    // doc 1 is all-"common" (7 of 8 corpus tokens): avg_nll = ln(8/7)
+    assert(math.abs(out(1L)._2 - math.log(8.0 / 7.0)) < 1e-12)
+  }
+}
