@@ -212,26 +212,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
 
-  /** TF-IDF terms per document: (doc id, term, tf, df, tfidf) with
-    * tfidf = tf · ln(N / df). Two shuffles — term-per-doc counts, then
-    * document frequencies — both partial-aggregated; N arrives as a
-    * broadcast scalar (no driver-side action). Term noise is trimmed
-    * with `minTf` before the df join, which also caps the join's
-    * left side.
-    *
-    * Determinism: tf and df are exact longs; the double chain
-    * (N/df → ln → ·tf) is a fixed op order, and `ln` agrees
-    * bit-for-bit between the JVM and DuckDB on this domain (small
-    * integer ratios) — pinned by the oracle gate.
-    */
-  /** Shannon entropy (nats) of the character distribution of a document
-    * — the classic gibberish/compressibility screen (low entropy =
-    * repeated characters, high = random noise; natural text sits in a
-    * band). Pure map-side expression: distinct characters are sorted so
-    * the −p·ln p fold runs in a deterministic order, making the double
-    * oracle-exact. O(distinct_chars × len) per row — fine for the
-    * ~100-char alphabet of text; still scan-bound at corpus scale.
-    */
   /** ln(k) for k = 1..LnTableSize, baked once from StrictMath.log
     * (fdlibm — bit-identical on every platform, unlike Math.log's
     * hardware intrinsic). The Spark expression and the generated DuckDB
@@ -252,6 +232,13 @@ object TextAnalysis {
   def lnInt(k: Column): Column =
     coalesce(try_element_at(lit(LnTable.toArray), k), log(k.cast("double")))
 
+  /** Shannon entropy (nats) of the character distribution of a document
+    * — the classic gibberish/compressibility screen (low entropy =
+    * repeated characters, high = random noise; natural text sits in a
+    * band). Pure map-side expression; O(distinct_chars × len) per row —
+    * fine for the ~100-char alphabet of text, scan-bound at corpus
+    * scale.
+    */
   def charEntropy(text: Column): Column = {
     val chars = split(text, "")
     // H = ln n − (Σ_c k_c·ln k_c)/n: every ln argument is an INTEGER
@@ -330,6 +317,18 @@ object TextAnalysis {
       .withColumn("avg_nll", col("nll") / col("n_tokens").cast("double"))
   }
 
+  /** TF-IDF terms per document: (doc id, term, tf, df, tfidf) with
+    * tfidf = tf · ln(N / df). Two shuffles — term-per-doc counts, then
+    * document frequencies — both partial-aggregated; N arrives as a
+    * broadcast scalar (no driver-side action). Term noise is trimmed
+    * with `minTf` before the df join, which also caps the join's
+    * left side.
+    *
+    * Determinism: tf and df are exact longs; the double chain
+    * (N/df → ln → ·tf) is a fixed op order, and `ln` agrees
+    * bit-for-bit between the JVM and DuckDB on this domain (small
+    * integer ratios) — pinned by the oracle gate.
+    */
   def tfidf(docs: DataFrame, idCol: String, textCol: String, minTf: Long = 1): DataFrame = {
     val n = docs.select(count(lit(1)).as("__n"))
     val tf = docs
