@@ -47,6 +47,36 @@ object GraftMath {
     h
   }
 
+  /** Character-distribution Shannon entropy in one pass — the codegen
+    * twin of `TextAnalysis.charEntropyFold`: counts per distinct code
+    * point, then folds k·ln k in ASCENDING code-point order (identical
+    * to the fold's `sort_array` order for BMP text), with every ln read
+    * from the shared `lnTab` (1-based; StrictMath.log beyond it, the
+    * same fallback the declarative path uses). H = ln n − Σ/n; empty
+    * string → 0. One sorted int array per row instead of the fold's
+    * O(distinct × len) repeated `filter` scans.
+    */
+  def charEntropy(s: UTF8String, lnTab: Array[Double]): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val cps = str.codePoints().toArray
+    java.util.Arrays.sort(cps)
+    val n = cps.length
+    def ln(k: Int): Double =
+      if (k >= 1 && k <= lnTab.length) lnTab(k - 1)
+      else StrictMath.log(k.toDouble)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && cps(j) == cps(i)) j += 1
+      val k = j - i
+      sum += k.toDouble * ln(k)
+      i = j
+    }
+    ln(n) - sum / n.toDouble
+  }
+
   /** All token-n-gram shingle hashes of a document in one pass:
     * whitespace tokens (limit -1, like Spark's `split`), each window of
     * n tokens hashed with [[polyHash]] semantics over the

@@ -154,6 +154,31 @@ case class SrpSignature(child: Expression, planes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** `graft_char_entropy(string) -> double` — character-distribution
+  * Shannon entropy in one pass, ln values from a shared table; see
+  * [[GraftMath.charEntropy]].
+  */
+case class CharEntropy(child: Expression, lnTab: Seq[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  @transient private lazy val tabArr = lnTab.toArray
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.charEntropy(s.asInstanceOf[UTF8String], tabArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("lnTab", tabArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftMath.charEntropy($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** `graft_lang_id(string) -> string` — marker-token language ID in one
   * pass; see [[GraftMath.langId]].
   */
@@ -212,4 +237,8 @@ object GraftFunctions {
   /** One-pass marker-token language ID. */
   def langId(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
     ColumnBridge.column(LangId(e(c), langs, markers))
+
+  /** One-pass character-distribution entropy (table-driven ln). */
+  def charEntropy(c: Column, lnTab: Seq[Double]): Column =
+    ColumnBridge.column(CharEntropy(e(c), lnTab))
 }

@@ -39,6 +39,38 @@ object Dedup {
     docs.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Passage-level dedup: chunk every document into `window`-token
+    * passages at `stride` steps, fingerprint each passage
+    * ([[TextAnalysis.fingerprint]] rolling hash), and keep the first
+    * occurrence of each distinct passage — first = smallest
+    * (doc id, chunk id). The sub-document twin of [[exactGroups]]:
+    * catches documents that share paragraphs/sections without being
+    * full-text duplicates (quote farms, mirrored sections, templated
+    * pages). Returns surviving (id, chunk_id, phash) rows.
+    *
+    * One shuffle keyed by passage hash, and only (hash, id, chunk_id)
+    * tuples ride it — passage text never leaves the map side; the
+    * min-struct argmin partial-aggregates.
+    */
+  def dedupPassages(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int
+  ): DataFrame =
+    docs
+      .select(
+        col(idCol).as("id"),
+        posexplode(TextAnalysis.chunkTokens(col(textCol), window, stride))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("id"), col("chunk_id"),
+        TextAnalysis.fingerprint(col("chunk_text")).as("phash"))
+      .groupBy(col("phash"))
+      .agg(min(struct(col("id"), col("chunk_id"))).as("keep"))
+      .select(col("keep.id").as("id"), col("keep.chunk_id").as("chunk_id"),
+        col("phash"))
+
   /** Version dedup: keep exactly one row per key — the first under
     * `orderCols` (pass `desc` ordering for "latest wins", the standard
     * re-crawl / re-ingest policy). Include a unique tie-break column so

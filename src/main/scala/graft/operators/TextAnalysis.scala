@@ -235,15 +235,21 @@ object TextAnalysis {
   /** Shannon entropy (nats) of the character distribution of a document
     * — the classic gibberish/compressibility screen (low entropy =
     * repeated characters, high = random noise; natural text sits in a
-    * band). Pure map-side expression; O(distinct_chars × len) per row —
-    * fine for the ~100-char alphabet of text, scan-bound at corpus
-    * scale.
+    * band). H = ln n − (Σ_c k_c·ln k_c)/n with every ln an INTEGER-
+    * argument read from the shared [[LnTable]], so the value is
+    * bit-exact against the table-embedding oracle. Runs as the one-pass
+    * codegen kernel [[graft.functions.CharEntropy]]; the declarative
+    * fold ([[charEntropyFold]]) is the pinned semantic reference but
+    * re-scans the char array once per distinct character, interpreted.
     */
-  def charEntropy(text: Column): Column = {
+  def charEntropy(text: Column): Column =
+    graft.functions.GraftFunctions.charEntropy(text, LnTable)
+
+  /** Declarative twin of [[charEntropy]] — the fold the kernel is
+    * pinned against (sorted distinct chars, k·ln k left-fold, table ln).
+    */
+  private[graft] def charEntropyFold(text: Column): Column = {
     val chars = split(text, "")
-    // H = ln n − (Σ_c k_c·ln k_c)/n: every ln argument is an INTEGER
-    // count, so every ln comes from the shared table and the fold over
-    // SORTED distinct characters is bit-exact in both engines
     val contrib = (c: Column) => {
       val k = size(filter(chars, x => x === c))
       k.cast("double") * lnInt(k)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Normalize, TextAnalysis}
 
 /** Round-4 corpus-curation and embedding-clustering queries: character
   * entropy screens, cross-document boilerplate detection, unigram-LM
@@ -169,6 +169,67 @@ object CorpusQueries {
            |              (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS centroid_v,
            |  CAST(COUNT(*) AS BIGINT) AS n_members
            |FROM m GROUP BY cluster_id, lane""".stripMargin
+      )
+    ),
+
+    // Passage-level dedup: 32-token non-overlapping chunks,
+    // fingerprinted; first (doc, chunk) occurrence of each distinct
+    // passage survives. Sub-document twin of exact dedup.
+    Q(
+      "q_passage_dedup",
+      (spark, dir) =>
+        Dedup.dedupPassages(Q.t(spark, dir, "documents"),
+          "doc_id", "text", window = 32, stride = 32)
+          .withColumnRenamed("id", "doc_id"),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, $SqlToks AS t FROM documents
+           |), ch AS (
+           |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           |         array_to_string(t[i*32+1 : i*32+32], ' ') AS c
+           |  FROM toks, UNNEST(generate_series(0,
+           |    CASE WHEN len(t) > 32
+           |         THEN CAST(FLOOR((len(t) - 32 + 31) / 32.0) AS BIGINT)
+           |         ELSE 0 END)) AS u(i)
+           |), ph AS (
+           |  SELECT doc_id, chunk_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(str_split(c, ''), x -> CAST(ascii(x) AS BIGINT))),
+           |      (h, x) -> (h * 31 + x) % ${TextAnalysis.FingerprintMod}) AS phash
+           |  FROM ch
+           |)
+           |SELECT doc_id, chunk_id, phash FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY doc_id, chunk_id) AS rn
+           |  FROM ph)
+           |WHERE rn = 1""".stripMargin
+      )
+    ),
+
+    // Per-language z-score of document length — group-wise score
+    // calibration (exact integer moments broadcast back; fixed double
+    // op order makes every z bit-exact).
+    Q(
+      "q_score_normalize",
+      (spark, dir) =>
+        Normalize.zscoreByGroup(Q.t(spark, dir, "documents"),
+          groupCol = "lang", valueCol = "n_chars",
+          keep = Seq("doc_id", "lang", "n_chars")),
+      Some(
+        """WITH g AS (
+          |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sx,
+          |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2,
+          |         COUNT(*) AS n
+          |  FROM documents GROUP BY lang
+          |)
+          |SELECT doc_id, lang, n_chars,
+          |  CASE WHEN CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+          |       THEN 0.0
+          |       ELSE (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          |            / sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          |  END AS z
+          |FROM documents JOIN g USING (lang)""".stripMargin
       )
     ),
 

@@ -49,6 +49,47 @@ class CorpusStatsSpec extends SparkSpec {
     assert(TextAnalysis.boilerplateGrams(df, "text", n = 3, minDocs = 1L).count() === 0L)
   }
 
+  test("charEntropy kernel is bitwise-identical to the declarative fold") {
+    val texts = Seq("", "a", "abab", "the quick brown fox", "zzzzzz yyy x",
+      "key agg row scan slow fast table value part hash")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(
+      TextAnalysis.charEntropy(col("text")).as("k"),
+      TextAnalysis.charEntropyFold(col("text")).as("f")
+    ).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("dedupPassages keeps the first (doc, chunk) per distinct passage") {
+    val a = (1 to 32).map(i => s"tok$i").mkString(" ") // one full chunk
+    val b = (33 to 64).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$a $b"), // chunks: a, b
+      (2L, s"$b $a"), // both passages already seen -> fully deduped
+      (3L, a)         // duplicate of doc 1 chunk 0
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupPassages(df, "doc_id", "text", 32, 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out === Set((1L, 0), (1L, 1)))
+  }
+
+  test("zscoreByGroup: zero-variance group scores 0; z is exact") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L),          // mean 15, var 25, std 5
+      (3L, "b", 7L), (4L, "b", 7L)             // zero variance
+    ).toDF("doc_id", "lang", "n_chars")
+    val out = graft.operators.Normalize
+      .zscoreByGroup(df, "lang", "n_chars", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === -1.0)
+    assert(out(2L) === 1.0)
+    assert(out(3L) === 0.0)
+    assert(out(4L) === 0.0)
+  }
+
   test("unigramNll: rare tokens score higher; token counts are exact") {
     val df = Seq(
       (1L, "common common common common"),
