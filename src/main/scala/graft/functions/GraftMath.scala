@@ -116,6 +116,40 @@ object GraftMath {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** DISTINCT token n-grams of a document as space-joined strings, one
+    * pass — the codegen twin of
+    * `array_distinct(transform(sequence(...), i => array_join(slice(toks, i, n), " ")))`
+    * (three interpreted higher-order passes re-splitting the text).
+    * First-occurrence order, matching `array_distinct`. Empty when the
+    * doc has fewer than n tokens.
+    */
+  def distinctNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.toString.split("\\s+", -1)
+    val m = toks.length - n + 1
+    if (m <= 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    }
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** MinHash signature of a pre-hashed shingle set in one pass: k
     * universal-hash permutations h_j(x) = (x·a_j + b_j) mod p, minimum
     * per j. Null for an empty input (no shingles ⇒ no signature), so

@@ -154,6 +154,28 @@ case class SrpSignature(child: Expression, planes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** `graft_distinct_ngrams(string) -> array<string>` — distinct token
+  * n-grams in first-occurrence order, one pass; see
+  * [[GraftMath.distinctNgrams]].
+  */
+case class DistinctNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, "n must be >= 1")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_distinct_ngrams"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.distinctNgrams(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftMath.distinctNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctNgrams =
+    copy(child = newChild)
+}
+
 /** `graft_char_entropy(string) -> double` — character-distribution
   * Shannon entropy in one pass, ln values from a shared table; see
   * [[GraftMath.charEntropy]].
@@ -241,4 +263,8 @@ object GraftFunctions {
   /** One-pass character-distribution entropy (table-driven ln). */
   def charEntropy(c: Column, lnTab: Seq[Double]): Column =
     ColumnBridge.column(CharEntropy(e(c), lnTab))
+
+  /** Distinct token n-grams in first-occurrence order, one pass. */
+  def distinctNgrams(c: Column, n: Int): Column =
+    ColumnBridge.column(DistinctNgrams(e(c), n))
 }

@@ -274,18 +274,26 @@ object TextAnalysis {
     */
   def boilerplateGrams(docs: DataFrame, textCol: String, n: Int, minDocs: Long): DataFrame = {
     require(n >= 2, s"boilerplateGrams: need n >= 2, got $n")
-    val toks = tokens(col(textCol))
-    // guard: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark,
-    // so short docs must map to an empty gram array explicitly
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
     docs
-      .select(explode(array_distinct(grams)).as("gram"))
+      .select(explode(
+        graft.functions.GraftFunctions.distinctNgrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Declarative twin of the [[boilerplateGrams]] gram builder — the
+    * higher-order-function formulation the one-pass kernel
+    * ([[graft.functions.DistinctNgrams]]) is pinned against.
+    */
+  private[graft] def distinctNgramsFold(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark,
+    // so short docs must map to an empty gram array explicitly
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
   }
 
   /** Corpus-unigram negative log-likelihood per document — the

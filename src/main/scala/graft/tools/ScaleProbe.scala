@@ -105,6 +105,19 @@ object ScaleProbe {
         graft.operators.Funnel.steps(
           ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase")).count()
       }
+      // passage dedup: replicated docs contribute only duplicate
+      // passages, so surviving rows stay FLAT while scan cost grows
+      // linearly — the exact-collapse shape at sub-document granularity
+      time(s"passage_dedup x$k") {
+        Dedup.dedupPassages(d, "doc_id", "text", 32, 32).count()
+      }
+      // k-means assignment is map-side (broadcast centroid fold):
+      // growth must track the scan alone, no shuffle to inflate
+      time(s"kmeans_assign x$k") {
+        graft.operators.Clustering.assign(e, "vec_id", "embedding",
+          graft.operators.Clustering.initialCentroids(
+            emb, "vec_id", "embedding", 8)).count()
+      }
     }
     spark.stop()
   }

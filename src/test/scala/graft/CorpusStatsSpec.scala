@@ -44,6 +44,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!grams.keys.exists(_.contains("x y z"))) // one doc only
   }
 
+  test("distinctNgrams kernel equals the declarative fold") {
+    val texts = Seq("", "a", "a b", "a b c", "a b c d", "x y x y x y",
+      "nav home about contact nav home about")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(
+      graft.functions.GraftFunctions.distinctNgrams(col("text"), 3).as("k"),
+      TextAnalysis.distinctNgramsFold(col("text"), 3).as("f")
+    ).collect()
+    rows.foreach { r => assert(r.getSeq[String](0) === r.getSeq[String](1)) }
+  }
+
   test("boilerplateGrams: docs shorter than n yield no grams") {
     val df = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
     assert(TextAnalysis.boilerplateGrams(df, "text", n = 3, minDocs = 1L).count() === 0L)

@@ -117,4 +117,35 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(rows.head._2.contains("<EMAIL>") && !rows.head._2.contains("@"), rows.head._2)
     } finally q.stop()
   }
+
+  test("entropy screen scores a stream bitwise like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaa"),
+      (3L, "key agg row scan slow fast table value part"))
+
+    val in = MemoryStream[(Long, String)]
+    val scored = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("h"))
+    val q = scored.writeStream
+      .format("memory").queryName("sc_ent_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_ent_out").as[(Long, Double)].collect().toMap
+      val batch = data.toDF("doc_id", "text")
+        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("h"))
+        .as[(Long, Double)].collect().toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(streamed(k)) ==
+          java.lang.Double.doubleToLongBits(v))
+      }
+      // the screen separates degenerate repetition from natural text
+      assert(streamed(2L) == 0.0 && streamed(1L) > 2.0)
+    } finally q.stop()
+  }
 }
