@@ -182,4 +182,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("graft_simhash64") && l.trim.startsWith("*(")), plan)
   }
+
+  test("k-means assignment never shuffles the corpus side") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = physical(graft.operators.Clustering.assign(
+      emb, "vec_id", "embedding",
+      graft.operators.Clustering.initialCentroids(emb, "vec_id", "embedding", 8)))
+    // the only exchanges belong to the k-row centroid collapse + its
+    // broadcast; the corpus flows scan -> broadcast join -> project
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("group z-score broadcasts the moments, no second corpus shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = physical(graft.operators.Normalize.zscoreByGroup(
+      docs, "lang", "n_chars", Seq("doc_id", "lang", "n_chars")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly one hash exchange: the moments aggregation itself
+    assert(countOcc(plan, "Exchange hashpartitioning") == 1, plan)
+  }
+
+  test("boilerplate gram builder runs inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = physical(docs.select(
+      graft.functions.GraftFunctions.distinctNgrams(col("text"), 3).as("g")))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_distinct_ngrams") && l.trim.startsWith("*(")), plan)
+  }
 }
