@@ -233,6 +233,62 @@ object CorpusQueries {
       )
     ),
 
+    // The composed round-4 curation gate: entropy band + token
+    // repetition + per-language length calibration in one pass over the
+    // corpus (moments broadcast). Every score is bit-exact (table ln,
+    // single divisions), so the filter decisions are deterministic and
+    // the whole gate is oracle-checkable end to end.
+    Q(
+      "q_quality_gate",
+      (spark, dir) => {
+        val scored = Normalize.zscoreByGroup(Q.t(spark, dir, "documents"),
+          groupCol = "lang", valueCol = "n_chars",
+          keep = Seq("doc_id", "text"))
+          .select(col("doc_id"),
+            TextAnalysis.charEntropy(col("text")).as("entropy"),
+            TextAnalysis.dupTokenFrac(col("text")).as("dup_frac"),
+            col("z").as("z_len"))
+        scored.filter(col("entropy") >= 2.0 &&
+          col("dup_frac") <= 0.6 && abs(col("z_len")) <= 1.5)
+      },
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l),
+           |g AS (
+           |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sx,
+           |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2,
+           |         COUNT(*) AS n
+           |  FROM documents GROUP BY lang
+           |), scored AS (
+           |  SELECT doc_id,
+           |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |      l[len(cs)]
+           |      - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(list_sort(list_distinct(cs)), c ->
+           |            CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+           |            * l[len(list_filter(cs, x -> x = c))])),
+           |          (a, b) -> a + b)
+           |        / CAST(len(cs) AS DOUBLE)
+           |    END AS entropy,
+           |    CASE WHEN len(t) = 0 THEN 0.0
+           |         ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+           |    END AS dup_frac,
+           |    CASE WHEN CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+           |              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+           |         THEN 0.0
+           |         ELSE (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           |              / sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+           |                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    END AS z_len
+           |  FROM (SELECT doc_id, text, lang, n_chars,
+           |          str_split(text, '') AS cs, $SqlToks AS t
+           |        FROM documents)
+           |  JOIN g USING (lang) CROSS JOIN lnt
+           |)
+           |SELECT doc_id, entropy, dup_frac, z_len FROM scored
+           |WHERE entropy >= 2.0 AND dup_frac <= 0.6 AND abs(z_len) <= 1.5""".stripMargin
+      )
+    ),
+
     // ORC source/sink round-trip (the third columnar format after
     // parquet and CSV/JSON): write part to ORC, read it back. The
     // oracle checks against the original parquet values — a true
