@@ -87,6 +87,18 @@ object Clustering {
         col("best.dist2").as("dist2"))
   }
 
+  /** Reassemble [[updateStep]]'s (cluster, lane, value) rows into
+    * per-cluster centroid arrays — the input shape [[assign]] takes, so
+    * Lloyd iterations compose: assign → update → centroids → assign.
+    * k·dim rows aggregate to k rows; cost is independent of corpus size.
+    */
+  def centroidsFromUpdate(update: DataFrame): DataFrame =
+    update
+      .groupBy(col("cluster_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("lane"), col("centroid_v")))),
+        s => s("centroid_v")).as("centroid"))
+
   /** One Lloyd centroid-update step: per (cluster, lane), the mean of
     * member lane values — folded in vec-id order so the double sum is
     * engine-exact. Output: (cluster_id, lane, centroid_v, n_members).

@@ -31,31 +31,56 @@ object CorpusQueries {
   /** k for the Lloyd-step queries: first k vec_ids seed the centroids. */
   val KClusters = 8
 
-  /** DuckDB CTEs ending in `asg(vec_id, cluster_id, dist2)` — the Lloyd
-    * assignment, mirroring [[Clustering.assign]]: lane-ordered left-fold
-    * squared distance, argmin with smallest-cluster-id tie-break.
+  /** DuckDB CTE pair `dists$sfx` / `asg$sfx` computing the Lloyd
+    * assignment against centroid table `centCte(cluster_id, centroid)`,
+    * mirroring [[Clustering.assign]]: lane-ordered left-fold squared
+    * distance, argmin with smallest-cluster-id tie-break.
     */
-  private val AssignCtes: String = {
+  private def assignCtes(centCte: String, sfx: String): String = {
     val d2 =
       """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |        list_transform(generate_series(1, len(e.embedding)), i ->
         |          (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))
         |          * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))),
         |        (a, b) -> a + b)""".stripMargin
-    s"""cent AS (
-       |  SELECT vec_id AS cluster_id, embedding AS centroid
-       |  FROM embeddings ORDER BY vec_id LIMIT $KClusters
-       |), dists AS (
+    s"""dists$sfx AS (
        |  SELECT e.vec_id, c.cluster_id,
        |    $d2 AS dist2
-       |  FROM embeddings e CROSS JOIN cent c
-       |), asg AS (
+       |  FROM embeddings e CROSS JOIN $centCte c
+       |), asg$sfx AS (
        |  SELECT vec_id, cluster_id, dist2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
-       |    FROM dists)
+       |    FROM dists$sfx)
        |  WHERE rn = 1
        |)""".stripMargin
   }
+
+  /** Seed centroids + first assignment (`cent`, `dists`, `asg`). */
+  private val AssignCtes: String =
+    s"""cent AS (
+       |  SELECT vec_id AS cluster_id, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT $KClusters
+       |), ${assignCtes("cent", "")}""".stripMargin
+
+  /** Centroid update from `asg` (`upd`), reassembled per-cluster arrays
+    * (`cent2`), and the second assignment (`dists2`, `asg2`) — one full
+    * Lloyd iteration beyond [[AssignCtes]].
+    */
+  private val Iter2Ctes: String =
+    s"""$AssignCtes, m AS (
+       |  SELECT a.cluster_id, CAST(i - 1 AS INT) AS lane, e.vec_id,
+       |    CAST(e.embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings e JOIN asg a USING (vec_id),
+       |       UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+       |), upd AS (
+       |  SELECT cluster_id, lane,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+       |                (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS centroid_v
+       |  FROM m GROUP BY cluster_id, lane
+       |), cent2 AS (
+       |  SELECT cluster_id, list(centroid_v ORDER BY lane) AS centroid
+       |  FROM upd GROUP BY cluster_id
+       |), ${assignCtes("cent2", "2")}""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -231,6 +256,24 @@ object CorpusQueries {
           |  END AS z
           |FROM documents JOIN g USING (lang)""".stripMargin
       )
+    ),
+
+    // A full Lloyd iteration beyond q_kmeans_assign: update centroids
+    // from the first assignment, then re-assign against them — pins
+    // that iterative clustering composes without losing bit-exactness
+    // (the updated centroids are ordered-fold means; distances against
+    // them fold in lane order).
+    Q(
+      "q_kmeans_iter2",
+      (spark, dir) => {
+        val vecs = Q.t(spark, dir, "embeddings")
+        val c0 = Clustering.initialCentroids(vecs, "vec_id", "embedding", KClusters)
+        val c1 = Clustering.centroidsFromUpdate(
+          Clustering.updateStep(vecs, "vec_id", "embedding", c0))
+        Clustering.assign(vecs, "vec_id", "embedding", c1)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some(s"WITH $Iter2Ctes SELECT vec_id, cluster_id, dist2 FROM asg2")
     ),
 
     // The composed round-4 curation gate: entropy band + token
