@@ -40,7 +40,19 @@ object GraftExtensions {
     (
       FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(s) - one-pass 64-bit SimHash over whitespace tokens"),
-      (children: Seq[Expression]) => SimHash64(children(0))))
+      (children: Seq[Expression]) => SimHash64(children(0))),
+    (
+      FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(s) - character-distribution Shannon entropy (nats, shared ln table)"),
+      (children: Seq[Expression]) => CharEntropy(
+        children(0), graft.operators.TextAnalysis.LnTable)),
+    (
+      FunctionIdentifier("graft_distinct_ngrams"),
+      info("graft_distinct_ngrams",
+        "graft_distinct_ngrams(s, n) - distinct token n-grams in first-occurrence order"),
+      (children: Seq[Expression]) => DistinctNgrams(
+        children(0), children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register the SQL functions on an existing session (no
     * `spark.sql.extensions` rebuild needed).

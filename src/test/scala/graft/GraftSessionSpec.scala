@@ -49,5 +49,16 @@ class GraftSessionSpec extends SparkSpec {
 
     assert(viaSql.getLong(0) == viaApi.getLong(0))
     assert(viaSql.getLong(1) == viaApi.getLong(1))
+
+    val entSql = spark.sql(
+      "SELECT graft_char_entropy(text) AS h, graft_distinct_ngrams(text, 2) AS g FROM gs_docs")
+      .collect().head
+    val entApi = df.select(
+      graft.operators.TextAnalysis.charEntropy($"text").as("h"),
+      graft.functions.GraftFunctions.distinctNgrams($"text", 2).as("g"))
+      .collect().head
+    assert(java.lang.Double.doubleToLongBits(entSql.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(entApi.getDouble(0)))
+    assert(entSql.getSeq[String](1) == entApi.getSeq[String](1))
   }
 }
