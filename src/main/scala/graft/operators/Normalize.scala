@@ -30,7 +30,9 @@ object Normalize {
       valueCol: String,
       keep: Seq[String]
   ): DataFrame = {
-    val v = col(valueCol)
+    // widen before squaring: an IntegerType value column would wrap at
+    // v >= 46341 under Int multiplication before the Long sum
+    val v = col(valueCol).cast("long")
     val g = df.groupBy(col(groupCol)).agg(
       sum(v).as("__sx"),
       sum(v * v).as("__sx2"),

@@ -221,16 +221,20 @@ object TextAnalysis {
     * of integer inputs and ~7% of ratio inputs; even Math.log-vs-libm
     * drifts on 4 of the first 200k integers.)
     */
-  val LnTableSize = 1024
+  val LnTableSize = 16384
   val LnTable: IndexedSeq[Double] =
     (1 to LnTableSize).map(k => StrictMath.log(k.toDouble))
 
   /** ln of a positive integer column via the shared table (exact within
     * 1..LnTableSize); beyond the table falls back to runtime log — the
     * out-of-gate domain where cross-engine bit equality is best-effort.
+    * The guarded cast keeps out-of-range longs from tripping ANSI
+    * overflow before the fallback applies.
     */
-  def lnInt(k: Column): Column =
-    coalesce(try_element_at(lit(LnTable.toArray), k), log(k.cast("double")))
+  def lnInt(k: Column): Column = {
+    val idx = when(k.between(1, LnTableSize), k.cast("int"))
+    coalesce(try_element_at(lit(LnTable.toArray), idx), log(k.cast("double")))
+  }
 
   /** Shannon entropy (nats) of the character distribution of a document
     * — the classic gibberish/compressibility screen (low entropy =
@@ -315,12 +319,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val tc = tf.groupBy(col("term")).agg(sum(col("tf")).as("n"))
     val total = tc.select(sum(col("n")).as("__nn"))
+    // surprisal as ln(NN) − ln(n): the per-term ln reads the shared
+    // integer table (bit-exact for every term count ≤ LnTableSize);
+    // only the single corpus-total ln(NN) stays a runtime log, so the
+    // cross-engine drift surface is one value instead of one per term
     tf.join(tc, "term")
       .crossJoin(broadcast(total))
       .select(
         col("id"), col("term"), col("tf"),
         (col("tf").cast("double") *
-          log(col("__nn").cast("double") / col("n").cast("double"))).as("c"))
+          (log(col("__nn").cast("double")) - lnInt(col("n")))).as("c"))
       .groupBy(col("id"))
       .agg(
         sort_array(collect_list(struct(col("term"), col("c")))).as("cs"),

@@ -31,6 +31,50 @@ object CorpusQueries {
   /** k for the Lloyd-step queries: first k vec_ids seed the centroids. */
   val KClusters = 8
 
+  /** Table ln of an integer SQL expression, mirroring
+    * [[TextAnalysis.lnInt]]: list index out of range yields NULL, so
+    * COALESCE falls back to runtime ln exactly where the Spark side
+    * falls back to runtime log (beyond-table = best-effort domain, but
+    * never a silent NULL row drop).
+    */
+  private def lnSql(k: String): String =
+    s"COALESCE(l[$k], ln(CAST($k AS DOUBLE)))"
+
+  /** The entropy CASE over `cs` (the str_split character list) — shared
+    * verbatim by q_char_entropy and q_quality_gate so their oracles
+    * cannot drift.
+    */
+  private lazy val EntropySql: String =
+    s"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |    ${lnSql("len(cs)")}
+       |    - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(list_sort(list_distinct(cs)), c ->
+       |          CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+       |          * ${lnSql("len(list_filter(cs, x -> x = c))")})),
+       |        (a, b) -> a + b)
+       |      / CAST(len(cs) AS DOUBLE)
+       |  END""".stripMargin
+
+  /** Per-language length moments CTE + the z-score CASE over them —
+    * shared by q_score_normalize and q_quality_gate.
+    */
+  private val ZMomentsCte: String =
+    """g AS (
+      |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sx,
+      |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2,
+      |         COUNT(*) AS n
+      |  FROM documents GROUP BY lang
+      |)""".stripMargin
+
+  private val ZScoreSql: String =
+    """CASE WHEN CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+      |       THEN 0.0
+      |       ELSE (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |            / sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |  END""".stripMargin
+
   /** DuckDB CTE pair `dists$sfx` / `asg$sfx` computing the Lloyd
     * assignment against centroid table `centCte(cluster_id, centroid)`,
     * mirroring [[Clustering.assign]]: lane-ordered left-fold squared
@@ -96,15 +140,7 @@ object CorpusQueries {
       Some(
         s"""WITH lnt AS (SELECT $LnTabSql AS l)
            |SELECT doc_id,
-           |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           |    l[len(cs)]
-           |    - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list_transform(list_sort(list_distinct(cs)), c ->
-           |          CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
-           |          * l[len(list_filter(cs, x -> x = c))])),
-           |        (a, b) -> a + b)
-           |      / CAST(len(cs) AS DOUBLE)
-           |  END AS entropy
+           |  $EntropySql AS entropy
            |FROM (SELECT doc_id, text, str_split(text, '') AS cs FROM documents)
            |CROSS JOIN lnt""".stripMargin
       )
@@ -138,24 +174,25 @@ object CorpusQueries {
         TextAnalysis.unigramNll(Q.t(spark, dir, "documents"), "doc_id", "text")
           .withColumnRenamed("id", "doc_id"),
       Some(
-        """WITH tf AS (
-          |  SELECT id, term, COUNT(*) AS tf
-          |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)
-          |  GROUP BY id, term
-          |), tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term),
-          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM tc),
-          |contrib AS (
-          |  SELECT id, term, tf,
-          |    CAST(tf AS DOUBLE) * ln(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE)) AS c
-          |  FROM tf JOIN tc USING (term) CROSS JOIN tot
-          |)
-          |SELECT id AS doc_id, n_tokens, nll, nll / CAST(n_tokens AS DOUBLE) AS avg_nll
-          |FROM (
-          |  SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
-          |                (a, b) -> a + b) AS nll
-          |  FROM contrib GROUP BY id
-          |)""".stripMargin
+        s"""WITH lnt AS (SELECT $LnTabSql AS l),
+           |tf AS (
+           |  SELECT id, term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents)
+           |  GROUP BY id, term
+           |), tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM tc),
+           |contrib AS (
+           |  SELECT id, term, tf,
+           |    CAST(tf AS DOUBLE) * (ln(CAST(nn AS DOUBLE)) - ${lnSql("n")}) AS c
+           |  FROM tf JOIN tc USING (term) CROSS JOIN tot CROSS JOIN lnt
+           |)
+           |SELECT id AS doc_id, n_tokens, nll, nll / CAST(n_tokens AS DOUBLE) AS avg_nll
+           |FROM (
+           |  SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+           |                (a, b) -> a + b) AS nll
+           |  FROM contrib GROUP BY id
+           |)""".stripMargin
       )
     ),
 
@@ -240,21 +277,10 @@ object CorpusQueries {
           groupCol = "lang", valueCol = "n_chars",
           keep = Seq("doc_id", "lang", "n_chars")),
       Some(
-        """WITH g AS (
-          |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sx,
-          |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2,
-          |         COUNT(*) AS n
-          |  FROM documents GROUP BY lang
-          |)
-          |SELECT doc_id, lang, n_chars,
-          |  CASE WHEN CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
-          |            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
-          |       THEN 0.0
-          |       ELSE (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-          |            / sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
-          |                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-          |  END AS z
-          |FROM documents JOIN g USING (lang)""".stripMargin
+        s"""WITH $ZMomentsCte
+           |SELECT doc_id, lang, n_chars,
+           |  $ZScoreSql AS z
+           |FROM documents JOIN g USING (lang)""".stripMargin
       )
     ),
 
@@ -296,32 +322,13 @@ object CorpusQueries {
       },
       Some(
         s"""WITH lnt AS (SELECT $LnTabSql AS l),
-           |g AS (
-           |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sx,
-           |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2,
-           |         COUNT(*) AS n
-           |  FROM documents GROUP BY lang
-           |), scored AS (
+           |$ZMomentsCte, scored AS (
            |  SELECT doc_id,
-           |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           |      l[len(cs)]
-           |      - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |          list_transform(list_sort(list_distinct(cs)), c ->
-           |            CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
-           |            * l[len(list_filter(cs, x -> x = c))])),
-           |          (a, b) -> a + b)
-           |        / CAST(len(cs) AS DOUBLE)
-           |    END AS entropy,
+           |    $EntropySql AS entropy,
            |    CASE WHEN len(t) = 0 THEN 0.0
            |         ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
            |    END AS dup_frac,
-           |    CASE WHEN CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
-           |              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
-           |         THEN 0.0
-           |         ELSE (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-           |              / sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
-           |                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-           |    END AS z_len
+           |    $ZScoreSql AS z_len
            |  FROM (SELECT doc_id, text, lang, n_chars,
            |          str_split(text, '') AS cs, $SqlToks AS t
            |        FROM documents)

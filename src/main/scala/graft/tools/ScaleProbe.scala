@@ -90,13 +90,8 @@ object ScaleProbe {
         graft.operators.FuzzyJoin.selfPairs(names, "id", "name", 2).count()
       }
       // event ops replicated by USER (new user ids per copy): both are
-      // key-partitioned — growth must be linear in users. Offset derives
-      // from the fixture's actual id range so copies can never collide.
-      val userStride =
-        events.agg(max(col("user_id"))).head.getLong(0) + 1L
-      val ev = (0 until k).map(c =>
-        events.withColumn("user_id", col("user_id") + lit(c * userStride)))
-        .reduce(_ unionByName _)
+      // key-partitioned — growth must be linear in users
+      val ev = replicate(events, "user_id", k)
       time(s"resample_ffill x$k") {
         graft.operators.TimeSeries.resampleFfill(
           ev, "user_id", "ts", "value", "event_id", 3600L).count()
