@@ -21,6 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
+  /** Per-group moments of an integral column: (group, __sx, __sx2, __n).
+    * The reference-corpus statistics a scoring pass normalizes against.
+    */
+  def groupMoments(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // widen before squaring: an IntegerType value column would wrap at
+    // v >= 46341 under Int multiplication before the Long sum
+    val v = col(valueCol).cast("long")
+    df.groupBy(col(groupCol)).agg(
+      sum(v).as("__sx"),
+      sum(v * v).as("__sx2"),
+      count(lit(1)).as("__n"))
+  }
+
+  /** Score rows against PRECOMPUTED moments — the stream-static shape:
+    * moments come from a batch pass over the reference corpus and are
+    * broadcast into the (possibly streaming) scoring pass, which stays
+    * stateless. Output: `keep` columns plus `z`.
+    */
+  def zscoreAgainst(
+      df: DataFrame,
+      moments: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      keep: Seq[String]
+  ): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val mean = col("__sx").cast("double") / col("__n").cast("double")
+    val variance = col("__sx2").cast("double") / col("__n").cast("double") - mean * mean
+    val z: Column = when(variance <= 0, lit(0.0))
+      .otherwise((v.cast("double") - mean) / sqrt(variance))
+    df.join(broadcast(moments), groupCol)
+      .select(keep.map(col) :+ z.as("z"): _*)
+  }
+
   /** Per-group z-score of an integral column. Output: the input columns
     * in `keep` plus `z`. Degenerate groups (zero variance) score 0.
     */
@@ -29,19 +63,6 @@ object Normalize {
       groupCol: String,
       valueCol: String,
       keep: Seq[String]
-  ): DataFrame = {
-    // widen before squaring: an IntegerType value column would wrap at
-    // v >= 46341 under Int multiplication before the Long sum
-    val v = col(valueCol).cast("long")
-    val g = df.groupBy(col(groupCol)).agg(
-      sum(v).as("__sx"),
-      sum(v * v).as("__sx2"),
-      count(lit(1)).as("__n"))
-    val mean = col("__sx").cast("double") / col("__n").cast("double")
-    val variance = col("__sx2").cast("double") / col("__n").cast("double") - mean * mean
-    val z: Column = when(variance <= 0, lit(0.0))
-      .otherwise((v.cast("double") - mean) / sqrt(variance))
-    df.join(broadcast(g), groupCol)
-      .select(keep.map(col) :+ z.as("z"): _*)
-  }
+  ): DataFrame =
+    zscoreAgainst(df, groupMoments(df, groupCol, valueCol), groupCol, valueCol, keep)
 }

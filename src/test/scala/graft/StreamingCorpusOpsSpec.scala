@@ -148,4 +148,36 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(streamed(2L) == 0.0 && streamed(1L) > 2.0)
     } finally q.stop()
   }
+
+  test("z-score against batch moments scores a stream bitwise like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq( // the batch corpus the moments come from
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 33L), (4L, "b", 7L), (5L, "b", 9L))
+      .toDF("doc_id", "lang", "n_chars")
+    val moments = graft.operators.Normalize.groupMoments(reference, "lang", "n_chars")
+
+    val incoming = Seq((100L, "a", 15L), (101L, "b", 7L), (102L, "a", 40L))
+    val in = MemoryStream[(Long, String, Long)]
+    val scored = graft.operators.Normalize.zscoreAgainst(
+      in.toDF().toDF("doc_id", "lang", "n_chars"), moments,
+      "lang", "n_chars", keep = Seq("doc_id"))
+    val q = scored.writeStream
+      .format("memory").queryName("sc_z_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_z_out").as[(Long, Double)].collect().toMap
+      val batch = graft.operators.Normalize.zscoreAgainst(
+        incoming.toDF("doc_id", "lang", "n_chars"), moments,
+        "lang", "n_chars", keep = Seq("doc_id"))
+        .as[(Long, Double)].collect().toMap
+      assert(streamed.keySet == batch.keySet && streamed.keySet == Set(100L, 101L, 102L))
+      batch.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(streamed(k)) ==
+          java.lang.Double.doubleToLongBits(v))
+      }
+    } finally q.stop()
+  }
 }
