@@ -119,9 +119,24 @@ object Similarity {
       k: Int,
       nCells: Int,
       nProbe: Int
-  ): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+  ): DataFrame =
+    ivfTopKWith(corpus, queries, corpus.orderBy(col(idCol)).limit(nCells),
+      idCol, vecCol, k, nProbe)
 
+  /** IVF search against EXTERNAL centroids (exposing (idCol, vecCol)) —
+    * e.g. a trained coarse quantizer from [[Clustering]] Lloyd steps.
+    * Same plan shape: both centroid joins broadcast; the corpus
+    * shuffles once on its assigned cell.
+    */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
     val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cnorm"), col("centroid_id"))

@@ -302,6 +302,59 @@ object CorpusQueries {
       Some(s"WITH $Iter2Ctes SELECT vec_id, cluster_id, dist2 FROM asg2")
     ),
 
+    // IVF ANN with a TRAINED coarse quantizer: the Lloyd-iteration
+    // centroids (cast to float, the storage dtype) replace q_ann_ivf's
+    // first-k-by-id stand-ins — the composition the IVF operator
+    // documents as "swap in trained centroids at deployment". Oracle
+    // mirrors training, assignment, probing, and ranking end to end.
+    Q(
+      "q_ann_ivf_trained",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val c0 = Clustering.initialCentroids(emb, "vec_id", "embedding", KClusters)
+        val trained = Clustering.centroidsFromUpdate(
+          Clustering.updateStep(emb, "vec_id", "embedding", c0))
+          .select(col("cluster_id").as("vec_id"),
+            transform(col("centroid"), v => v.cast("float")).as("embedding"))
+        graft.operators.Similarity.ivfTopKWith(
+          emb, emb.filter(col("vec_id") < 8), trained,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH $Iter2Ctes, centf AS (
+           |  SELECT cluster_id AS ccid, list_transform(centroid, v -> CAST(v AS FLOAT)) AS ccvec
+           |  FROM cent2
+           |), assignedf AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS nvec, ccid AS cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.ccid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN centf c) t
+           |  WHERE rn = 1
+           |), probes AS (
+           |  SELECT query_id, qvec, cell FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.ccid AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings q CROSS JOIN centf c WHERE q.vec_id < 8) t
+           |  WHERE rn <= 2
+           |), scoredf AS (
+           |  SELECT p.query_id, a.neighbor_id, ${cos("p.qvec", "a.nvec")} AS sim
+           |  FROM probes p JOIN assignedf a USING (cell)
+           |  WHERE p.query_id <> a.neighbor_id
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+           |  FROM scoredf) t
+           |WHERE rnk <= 5""".stripMargin
+      }
+    ),
+
     // The composed round-4 curation gate: entropy band + token
     // repetition + per-language length calibration in one pass over the
     // corpus (moments broadcast). Every score is bit-exact (table ln,
