@@ -355,6 +355,74 @@ object CorpusQueries {
       }
     ),
 
+    // IVF recall against the exact brute-force baseline — the
+    // evaluation metric a vector index is tuned by. Integer overlap
+    // counts per query, so the oracle is exact regardless of float
+    // noise in the similarity values themselves (both rankings are
+    // reproduced bit-for-bit anyway).
+    Q(
+      "q_ivf_recall",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        val c0 = Clustering.initialCentroids(emb, "vec_id", "embedding", KClusters)
+        val trained = Clustering.centroidsFromUpdate(
+          Clustering.updateStep(emb, "vec_id", "embedding", c0))
+          .select(col("cluster_id").as("vec_id"),
+            transform(col("centroid"), v => v.cast("float")).as("embedding"))
+        val ivf = graft.operators.Similarity.ivfTopKWith(
+          emb, queries, trained, "vec_id", "embedding", k = 5, nProbe = 2)
+        val bf = graft.operators.Similarity.bruteForceTopK(
+          emb, queries, "vec_id", "embedding", k = 5)
+        bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_match"))
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH $Iter2Ctes, centf AS (
+           |  SELECT cluster_id AS ccid, list_transform(centroid, v -> CAST(v AS FLOAT)) AS ccvec
+           |  FROM cent2
+           |), assignedf AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS nvec, ccid AS cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.ccid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN centf c) t
+           |  WHERE rn = 1
+           |), probes AS (
+           |  SELECT query_id, qvec, cell FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.ccid AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings q CROSS JOIN centf c WHERE q.vec_id < 8) t
+           |  WHERE rn <= 2
+           |), ivf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT p.query_id, a.neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+           |        ${cos("p.qvec", "a.nvec")} DESC, a.neighbor_id ASC) AS rnk
+           |    FROM probes p JOIN assignedf a USING (cell)
+           |    WHERE p.query_id <> a.neighbor_id) t
+           |  WHERE rnk <= 5
+           |), bf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rnk
+           |    FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+           |    WHERE e.vec_id <> q.vec_id) t
+           |  WHERE rnk <= 5
+           |)
+           |SELECT query_id, COUNT(*) AS n_match
+           |FROM bf SEMI JOIN ivf USING (query_id, neighbor_id)
+           |GROUP BY query_id""".stripMargin
+      }
+    ),
+
     // The composed round-4 curation gate: entropy band + token
     // repetition + per-language length calibration in one pass over the
     // corpus (moments broadcast). Every score is bit-exact (table ln,
