@@ -73,10 +73,43 @@ object AuditSource {
 
   /** Compatibility pruning for bare `YYYYMMDD/` trees: extract the date
     * component from the file path; non-date paths always pass (matching
-    * `DateFileFilter.java:29-33`).
+    * `DateFileFilter.java:29-33`). Prunes AFTER listing — prefer
+    * [[batchPruned]] (enumeration-time skip) or the `dt=` layout.
     */
   def filterByPathDate(df: DataFrame, minDate: String): DataFrame = {
     val dateInPath = regexp_extract(input_file_name(), "/([0-9]{8})/", 1)
     df.filter(dateInPath === "" || dateInPath >= lit(minDate))
+  }
+
+  /** Enumeration-time pruning for bare `YYYYMMDD/` trees — full
+    * `DateFileFilter` parity: the listing itself never descends into
+    * below-min-date directories ([[DatePrunedFileIndex]]), so file
+    * splits and tasks scale with the surviving days only. Use when the
+    * tree cannot be re-laid-out Hive-style.
+    */
+  def batchPruned(spark: SparkSession, path: String, minDate: Option[String]): DataFrame =
+    batchPrunedWithIndex(spark, path, minDate)._1
+
+  /** As [[batchPruned]], also returning the index (tests assert which
+    * directories the walk visited).
+    */
+  private[graft] def batchPrunedWithIndex(
+      spark: SparkSession,
+      path: String,
+      minDate: Option[String]
+  ): (DataFrame, DatePrunedFileIndex) = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.text.TextFileFormat
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = new DatePrunedFileIndex(spark, new org.apache.hadoop.fs.Path(path), minDate)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = StructType(Seq(StructField("value", StringType))),
+      bucketSpec = None,
+      fileFormat = new TextFileFormat(),
+      options = Map.empty)(classic)
+    (classic.baseRelationToDataFrame(relation), index)
   }
 }

@@ -27,6 +27,53 @@ class AuditSourceSpec extends SparkSpec {
     assert(kept == Seq("b", "c"))
   }
 
+  test("DatePrunedFileIndex skips below-min-date dirs at listing time") {
+    val root = Files.createTempDirectory("audits_fi").toFile
+    for ((d, line) <- Seq(
+        "20210101" -> "old1", "20210115" -> "old2",
+        "20210301" -> "new1", "notadate" -> "misc",
+        "99999999" -> "baddate")) {
+      val dir = new java.io.File(root, d)
+      dir.mkdirs()
+      Files.writeString(new java.io.File(dir, "audit.log").toPath, line + "\n")
+    }
+    val (df, index) = AuditSource.batchPrunedWithIndex(
+      spark, root.getAbsolutePath, Some("20210201"))
+
+    // correctness: pruned rows gone, non-date and unparseable dirs pass
+    // (99999999 fails BASIC_ISO_DATE parse -> passes, DateFileFilter parity)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("baddate", "misc", "new1"))
+
+    // the load-bearing claim: the walk never ENTERED the old dirs —
+    // enumeration-time pruning, not row filtering after a full listing
+    val visited = index.visitedDirs.map(p => new org.apache.hadoop.fs.Path(p).getName)
+    assert(!visited.contains("20210101") && !visited.contains("20210115"))
+    assert(visited.contains("20210301") && visited.contains("notadate"))
+
+    // and the scan reads only surviving files
+    assert(index.inputFiles.length == 3)
+
+    // downstream relational ops compose on top of the custom index
+    assert(df.filter(org.apache.spark.sql.functions.col("value").startsWith("new"))
+      .count() == 1)
+  }
+
+  test("DatePrunedFileIndex without minDate lists everything; refresh sees new files") {
+    val root = Files.createTempDirectory("audits_fi2").toFile
+    val d1 = new java.io.File(root, "20210101"); d1.mkdirs()
+    Files.writeString(new java.io.File(d1, "a.log").toPath, "a\n")
+    val (df, index) = AuditSource.batchPrunedWithIndex(
+      spark, root.getAbsolutePath, None)
+    assert(df.count() == 1)
+
+    // the reference re-lists every poll interval; refresh() is that hook
+    val d2 = new java.io.File(root, "20210102"); d2.mkdirs()
+    Files.writeString(new java.io.File(d2, "b.log").toPath, "b\n")
+    index.refresh()
+    assert(index.inputFiles.length == 2)
+  }
+
   test("hive-partitioned dt tree prunes via partition filter") {
     val root = Files.createTempDirectory("audits_dt").toFile
     for ((d, line) <- Seq("20210101" -> "old", "20210301" -> "new")) {
