@@ -62,30 +62,37 @@ object Clustering {
     * fold keeps assignment scan-bound. Strict `<` + ascending cluster
     * order makes the first minimum win, i.e. smallest-id tie-break.
     */
+  /** One-row, broadcastable array of all centroids, sorted by id. */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(
+      sort_array(collect_list(struct(col("cluster_id"), col("centroid")))).as("cents"))
+
+  /** Map-side argmin fold over a broadcast centroid array: the
+    * (dist2, cluster_id) of the nearest centroid. Strict `<` + ascending
+    * cluster order = smallest-id tie-break.
+    */
+  private def nearest(vec: Column, cents: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(Double.MaxValue).as("dist2"), lit(-1L).as("cluster_id")),
+      (best, c) => {
+        val d = squaredDistance(vec, c("centroid"))
+        when(d < best("dist2"),
+          struct(d.as("dist2"), c("cluster_id").as("cluster_id")))
+          .otherwise(best)
+      })
+
   def assign(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame
-  ): DataFrame = {
-    val centArr = centroids.agg(
-      sort_array(collect_list(struct(col("cluster_id"), col("centroid")))).as("cents"))
+  ): DataFrame =
     vecs
-      .crossJoin(broadcast(centArr))
-      .select(
-        col(idCol).as("id"),
-        aggregate(
-          col("cents"),
-          struct(lit(Double.MaxValue).as("dist2"), lit(-1L).as("cluster_id")),
-          (best, c) => {
-            val d = squaredDistance(col(vecCol), c("centroid"))
-            when(d < best("dist2"),
-              struct(d.as("dist2"), c("cluster_id").as("cluster_id")))
-              .otherwise(best)
-          }).as("best"))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(col(idCol).as("id"), nearest(col(vecCol), col("cents")).as("best"))
       .select(col("id"), col("best.cluster_id").as("cluster_id"),
         col("best.dist2").as("dist2"))
-  }
 
   /** Reassemble [[updateStep]]'s (cluster, lane, value) rows into
     * per-cluster centroid arrays — the input shape [[assign]] takes, so
@@ -129,4 +136,41 @@ object Clustering {
           col("n_members").cast("double")).as("centroid_v"),
         col("n_members"))
   }
+
+  /** The PRODUCTION centroid-update step — same output shape as
+    * [[updateStep]], built for 100 TB:
+    *
+    *   - assignment is inlined (the broadcast argmin fold runs in the
+    *     same map stage that explodes lanes), so the corpus-sized
+    *     id-join [[updateStep]] pays is gone entirely;
+    *   - the mean is `sum/count` with map-side partials — reducer state
+    *     per (cluster, lane) is two scalars, independent of cluster
+    *     size, so a mega-cluster cannot OOM a task (the `collect_list`
+    *     in [[updateStep]] buffers a whole cluster's members per
+    *     reducer — its oracle-exactness tradeoff).
+    *
+    * One partial-aggregated shuffle total. The double sum is order-free,
+    * so results agree with [[updateStep]] only to fp rounding (~1e-12
+    * relative) — ClusteringSpec pins the agreement; the ordered-fold
+    * variant remains the oracle-gate path.
+    */
+  def updateStepAtScale(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame
+  ): DataFrame =
+    vecs
+      .crossJoin(broadcast(centroidArray(centroids)))
+      // fold in a generator-free projection (ExtractGenerator would strip
+      // the struct field aliases inside the lambda), then explode
+      .select(nearest(col(vecCol), col("cents")).as("best"), col(vecCol).as("vec"))
+      .select(col("best.cluster_id").as("cluster_id"),
+        posexplode(col("vec")).as(Seq("lane", "v")))
+      .groupBy(col("cluster_id"), col("lane"))
+      .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n_members"))
+      .select(
+        col("cluster_id"), col("lane"),
+        (col("s") / col("n_members").cast("double")).as("centroid_v"),
+        col("n_members"))
 }

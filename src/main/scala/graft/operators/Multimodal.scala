@@ -104,13 +104,25 @@ object Multimodal {
 
   /** Rebalance skewed blob sizes so each task sees ~targetBytes of
     * payload (pre-shuffle for the decode stage when inputs are skewed).
+    *
+    * The partition count comes from metadata, never a data scan: pass
+    * `totalBytes` when the pipeline knows it (ingest accounting, a
+    * manifest), else it falls back to Catalyst's plan-statistics size —
+    * file-footer metadata for file-backed inputs. An earlier version
+    * summed `length(payload)` with an extra job, which doubles the read
+    * at 100 TB; an estimate is exactly as good here, because the target
+    * is a task-sizing heuristic, not an exact quota.
     */
-  def rebalanceBySize(df: DataFrame, payloadCol: String, targetBytes: Long): DataFrame = {
-    // sum is null on an empty / all-null input — treat as 0 bytes
-    val totalBytes = df
-      .agg(coalesce(sum(length(col(payloadCol))), lit(0L)))
-      .head.getLong(0)
-    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+  def rebalanceBySize(
+      df: DataFrame,
+      payloadCol: String,
+      targetBytes: Long,
+      totalBytes: Option[Long] = None
+  ): DataFrame = {
+    val bytes = totalBytes.getOrElse(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong)
+    val parts = math.max(1L, bytes / targetBytes).toInt
     df.repartition(parts)
   }
 }

@@ -219,16 +219,25 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`.
-    * Exact (quadratic) — appropriate for moderate corpora or as the
-    * verifier behind an LSH candidate generator ([[srpNearDupPairs]] is
-    * the bucketed scale path).
+    * Exact (quadratic) — scoped as the VERIFIER behind an LSH candidate
+    * generator ([[srpNearDupPairs]] is the bucketed scale path), so the
+    * cartesian is bounded: a fail-fast guard refuses inputs larger than
+    * `maxRows` instead of silently launching an O(n²) job that dies at
+    * 100×. The guard scans at most maxRows+1 ids of one column — O(bound),
+    * not O(corpus) — and is the documented cost of keeping an unbounded
+    * cartesian out of every registered query.
     */
   def cosineNearDupPairs(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double
+      threshold: Double,
+      maxRows: Int = 200000
   ): DataFrame = {
+    val n = vectors.select(col(idCol)).limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"cosineNearDupPairs is the exact O(n^2) verifier; input exceeds $maxRows rows — " +
+        "use srpNearDupPairs (banded SRP-LSH) for corpus-scale near-dup detection")
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
       norm(col(vecCol)).as("norm_a"))
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),

@@ -469,7 +469,10 @@ object NorthStarQueries {
 
     // Oracle-safe despite the float threshold: the fixtures' closest
     // cosine sits ≥1e-4 from 0.45 while cross-engine sum-order noise is
-    // ~1e-15, so the id set is stable.
+    // ~1e-15, so the id set is stable. Verifier-scoped: the operator's
+    // maxRows guard fail-fasts above 200k rows, so this registration
+    // cannot launch an unbounded cartesian (q_embed_neardup_lsh is the
+    // scale path).
     Q(
       "q_embed_neardup",
       (spark, dir) =>

@@ -46,6 +46,46 @@ class ClusteringSpec extends SparkSpec {
     assert(up((1L, 1)) === ((10.0, 2L)))
   }
 
+  test("updateStepAtScale agrees with updateStep within fp rounding") {
+    // real fixture data: 500 x 64-dim embeddings, 8 trained-ish cells
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Clustering.initialCentroids(emb, "vec_id", "embedding", 8)
+    val exact = Clustering.updateStep(emb, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val scale = Clustering.updateStepAtScale(emb, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(scale.keySet === exact.keySet)
+    assert(scale.keySet.size === 8 * 64)
+    scale.foreach { case (k, (v, n)) =>
+      val (ev, en) = exact(k)
+      assert(n === en)
+      // order-free double sum vs ordered fold: same value to ~1e-12 rel
+      assert(math.abs(v - ev) <= 1e-9 * math.max(1.0, math.abs(ev)),
+        s"$k: $v vs $ev")
+    }
+  }
+
+  test("updateStepAtScale plan: one partial-aggregated shuffle, no join, no collect_list") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Clustering.initialCentroids(emb, "vec_id", "embedding", 8)
+    val plan = Clustering.updateStepAtScale(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    // exactly one corpus shuffle (the grouped mean); centroids ride a
+    // broadcast; nothing joins on id and no reducer buffers members
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    // the corpus-side (cluster, lane) reducer must be scalar sum/count —
+    // collect_list may appear only in the k-row centroid-array build
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("collect_list") && l.contains("lane")), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("assign output is keyed by every input vector exactly once") {
     val cents = Clustering.initialCentroids(vecs, "vec_id", "embedding", 2)
     val ids = Clustering.assign(vecs, "vec_id", "embedding", cents)

@@ -55,10 +55,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 1, 2, 3))
   }
 
-  test("rebalanceBySize targets ~targetBytes per partition") {
+  test("rebalanceBySize targets ~targetBytes per partition from a known total") {
     val df = Seq.tabulate(64)(i => (i.toLong, Array.fill(1000)(i.toByte)))
       .toDF("media_id", "payload")
-    val re = Multimodal.rebalanceBySize(df, "payload", targetBytes = 8000L)
+    val re = Multimodal.rebalanceBySize(df, "payload", targetBytes = 8000L,
+      totalBytes = Some(64000L))
     assert(re.rdd.getNumPartitions == 8) // 64 KB / 8 KB
+  }
+
+  test("rebalanceBySize derives the count from plan stats without scanning") {
+    // file-backed input: stats come from parquet footers, not a job
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val statsBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val re = Multimodal.rebalanceBySize(docs, "text",
+      targetBytes = (statsBytes / 4).toLong)
+    assert(re.rdd.getNumPartitions == 4)
   }
 }

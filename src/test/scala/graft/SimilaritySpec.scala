@@ -84,6 +84,19 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("cosineNearDupPairs refuses oversize inputs (verifier scope guard)") {
+    val d = vecs(
+      1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(1f, 1f)
+    )
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(d, "vec_id", "embedding", 0.5, maxRows = 2)
+    }
+    assert(e.getMessage.contains("srpNearDupPairs"))
+    // at-or-under the bound still runs
+    assert(Similarity.cosineNearDupPairs(d, "vec_id", "embedding", 0.99,
+      maxRows = 3).count() == 0)
+  }
+
   test("dot/norm/cosine column math is exact on known values") {
     val row = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 1.0f)))
       .toDF("a", "b")
