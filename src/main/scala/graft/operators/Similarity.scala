@@ -167,6 +167,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF top-k at SEVERAL nProbe settings in one pass — the
+    * recall/latency tuning sweep. Probe ranks are computed once up to
+    * `max(probes)`; each sweep point filters that shared rank column, so
+    * the corpus-side candidate join runs once, not once per setting.
+    * Output: (n_probe, query_id, neighbor_id, rank).
+    */
+  def ivfProbeSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probes: Seq[Int]
+  ): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val maxProbe = probes.max
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnorm"), col("centroid_id"))
+
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"),
+      norm(col(vecCol)).as("cent_norm"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probeRanks = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim",
+        dot(col("qvec"), col("centroid")) / (col("qnorm") * col("cent_norm")))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= maxProbe)
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("crank"),
+        col("cid").as("centroid_id"))
+      // fan the (query, probed cell) rows out to every sweep point that
+      // includes them — sweep metadata rides the tiny broadcast side
+      .withColumn("n_probe", explode(array(probes.map(lit(_)): _*)))
+      .filter(col("crank") <= col("n_probe"))
+
+    val w = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned
+      .join(broadcast(probeRanks), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed embedding near-duplicate pairs — the 100 TB path.
     *
     * Map-side `planes`-bit random-hyperplane signature per vector

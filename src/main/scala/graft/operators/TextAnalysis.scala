@@ -312,30 +312,46 @@ object TextAnalysis {
     * [[Clustering.updateStep]]). The corpus total N arrives by broadcast
     * scalar — no driver action.
     */
-  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The fully-PINNED per-doc surprisal components:
+    * (id, n_tokens, nll_tab) with nll_tab = Σ_terms tf·lnInt(count(term)),
+    * folded in term order. Every ln reads the shared integer table, so
+    * both columns are bit-exact across engines for ANY fixture — no
+    * runtime log anywhere (the cross-engine ln-drift surface is zero;
+    * see the LnTable notes on [[lnInt]]). The full score derives as
+    * nll = n_tokens·ln(NN) − nll_tab with NN = Σ n_tokens — which is
+    * what [[unigramNll]] does; gates should compare THESE columns.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val tc = tf.groupBy(col("term")).agg(sum(col("tf")).as("n"))
-    val total = tc.select(sum(col("n")).as("__nn"))
-    // surprisal as ln(NN) − ln(n): the per-term ln reads the shared
-    // integer table (bit-exact for every term count ≤ LnTableSize);
-    // only the single corpus-total ln(NN) stays a runtime log, so the
-    // cross-engine drift surface is one value instead of one per term
     tf.join(tc, "term")
-      .crossJoin(broadcast(total))
       .select(
         col("id"), col("term"), col("tf"),
-        (col("tf").cast("double") *
-          (log(col("__nn").cast("double")) - lnInt(col("n")))).as("c"))
+        (col("tf").cast("double") * lnInt(col("n"))).as("c"))
       .groupBy(col("id"))
       .agg(
         sort_array(collect_list(struct(col("term"), col("c")))).as("cs"),
         sum(col("tf")).as("n_tokens"))
       .select(
         col("id"), col("n_tokens"),
-        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("c")).as("nll"))
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("c")).as("nll_tab"))
+  }
+
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val parts = unigramSurprisal(docs, idCol, textCol)
+    // corpus total NN = Σ per-doc token counts; its single runtime
+    // ln(NN) lives HERE, in the user-facing derivation, not in the
+    // pinned gate columns ([[unigramSurprisal]])
+    val total = parts.select(sum(col("n_tokens")).as("__nn"))
+    parts
+      .crossJoin(broadcast(total))
+      .select(
+        col("id"), col("n_tokens"),
+        (col("n_tokens").cast("double") * log(col("__nn").cast("double")) -
+          col("nll_tab")).as("nll"))
       .withColumn("avg_nll", col("nll") / col("n_tokens").cast("double"))
   }
 

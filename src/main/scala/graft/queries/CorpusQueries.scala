@@ -166,12 +166,16 @@ object CorpusQueries {
     ),
 
     // Corpus-unigram NLL per document (perplexity proxy): tokens of
-    // globally-rare terms score high. Two partial-agg shuffles + a
-    // broadcast scalar; per-doc fold over terms in sorted order.
+    // globally-rare terms score high. Two partial-agg shuffles; per-doc
+    // fold over terms in sorted order. The gate compares the PINNED
+    // surprisal components (n_tokens, nll_tab = Σ tf·lnInt(n)) — every
+    // ln is a table read, so the entry survives fixture regeneration
+    // with no runtime-log drift; the full score derives downstream as
+    // nll = n_tokens·ln(ΣNN) − nll_tab (unigramNll does exactly this).
     Q(
       "q_unigram_nll",
       (spark, dir) =>
-        TextAnalysis.unigramNll(Q.t(spark, dir, "documents"), "doc_id", "text")
+        TextAnalysis.unigramSurprisal(Q.t(spark, dir, "documents"), "doc_id", "text")
           .withColumnRenamed("id", "doc_id"),
       Some(
         s"""WITH lnt AS (SELECT $LnTabSql AS l),
@@ -180,19 +184,15 @@ object CorpusQueries {
            |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents)
            |  GROUP BY id, term
            |), tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term),
-           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM tc),
            |contrib AS (
            |  SELECT id, term, tf,
-           |    CAST(tf AS DOUBLE) * (ln(CAST(nn AS DOUBLE)) - ${lnSql("n")}) AS c
-           |  FROM tf JOIN tc USING (term) CROSS JOIN tot CROSS JOIN lnt
+           |    CAST(tf AS DOUBLE) * ${lnSql("n")} AS c
+           |  FROM tf JOIN tc USING (term) CROSS JOIN lnt
            |)
-           |SELECT id AS doc_id, n_tokens, nll, nll / CAST(n_tokens AS DOUBLE) AS avg_nll
-           |FROM (
-           |  SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
-           |                (a, b) -> a + b) AS nll
-           |  FROM contrib GROUP BY id
-           |)""".stripMargin
+           |SELECT id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+           |              (a, b) -> a + b) AS nll_tab
+           |FROM contrib GROUP BY id""".stripMargin
       )
     ),
 
@@ -420,6 +420,81 @@ object CorpusQueries {
            |SELECT query_id, COUNT(*) AS n_match
            |FROM bf SEMI JOIN ivf USING (query_id, neighbor_id)
            |GROUP BY query_id""".stripMargin
+      }
+    ),
+
+    // The recall-vs-probes tuning curve as a first-class, regression-
+    // guarded artifact: total brute-force-top-5 hits across the 8 query
+    // vectors at nProbe ∈ {1, 2, 4}, from ONE candidate pass (probe
+    // ranks computed once to max(probes), each sweep point filters the
+    // shared rank). Integer hit counts, so the gate is float-immune;
+    // recall@k = n_match / 40 downstream.
+    Q(
+      "q_ivf_sweep",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        val c0 = Clustering.initialCentroids(emb, "vec_id", "embedding", KClusters)
+        val trained = Clustering.centroidsFromUpdate(
+          Clustering.updateStep(emb, "vec_id", "embedding", c0))
+          .select(col("cluster_id").as("vec_id"),
+            transform(col("centroid"), v => v.cast("float")).as("embedding"))
+        val swept = graft.operators.Similarity.ivfProbeSweep(
+          emb, queries, trained, "vec_id", "embedding", k = 5,
+          probes = Seq(1, 2, 4))
+        val bf = graft.operators.Similarity.bruteForceTopK(
+          emb, queries, "vec_id", "embedding", k = 5)
+        swept.join(bf.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("n_probe"))
+          .agg(count(lit(1)).as("n_match"))
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH $Iter2Ctes, centf AS (
+           |  SELECT cluster_id AS ccid, list_transform(centroid, v -> CAST(v AS FLOAT)) AS ccvec
+           |  FROM cent2
+           |), assignedf AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS nvec, ccid AS cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.ccid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN centf c) t
+           |  WHERE rn = 1
+           |), proberanks AS (
+           |  SELECT query_id, qvec, cell, rn AS crank FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.ccid AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings q CROSS JOIN centf c WHERE q.vec_id < 8) t
+           |  WHERE rn <= 4
+           |), swept AS (
+           |  SELECT pv.n_probe, p.query_id, p.qvec, p.cell
+           |  FROM proberanks p CROSS JOIN (VALUES (1), (2), (4)) pv(n_probe)
+           |  WHERE p.crank <= pv.n_probe
+           |), ivf AS (
+           |  SELECT n_probe, query_id, neighbor_id FROM (
+           |    SELECT s.n_probe, s.query_id, a.neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY s.n_probe, s.query_id ORDER BY
+           |        ${cos("s.qvec", "a.nvec")} DESC, a.neighbor_id ASC) AS rnk
+           |    FROM swept s JOIN assignedf a USING (cell)
+           |    WHERE s.query_id <> a.neighbor_id) t
+           |  WHERE rnk <= 5
+           |), bf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rnk
+           |    FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+           |    WHERE e.vec_id <> q.vec_id) t
+           |  WHERE rnk <= 5
+           |)
+           |SELECT n_probe, COUNT(*) AS n_match
+           |FROM ivf JOIN bf USING (query_id, neighbor_id)
+           |GROUP BY n_probe""".stripMargin
       }
     ),
 

@@ -181,6 +181,40 @@ object SessionQueries {
       )
     ),
 
+    // S2 proper: an ACTUAL dt=YYYYMMDD partition prune, load-bearing in
+    // the gate. The query round-trips events through a Hive-partitioned
+    // scratch layout (30 dt partitions), reads it back with a dt
+    // predicate, and REQUIREs the scan's PartitionFilters to carry it —
+    // Catalyst skips the below-min-date directories at listing time,
+    // the exact DateFileFilter effect the bare-tree path approximates.
+    // The oracle reads the same rows via the equivalent ts predicate
+    // (dt is the UTC day of ts, so a whole-day dt bound == a midnight
+    // ts bound).
+    Q(
+      "q_date_prune_partitioned",
+      (spark, dir) => {
+        val scratch = Q.scratch("dtprune")
+        Q.t(spark, dir, "events")
+          .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+          .write.mode("overwrite").partitionBy("dt").parquet(scratch)
+        val df = spark.read.parquet(scratch)
+          .filter(col("dt") >= lit(20240115))
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(
+          plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("dt") &&
+              l.contains("20240115")),
+          s"expected a dt partition filter at the scan:\n$plan")
+        df
+      },
+      Some(
+        """SELECT event_id, ts, user_id
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
+      )
+    ),
+
     // T1 analog (batch twin of the 2-day bounded-out-of-orderness
     // watermark): drop rows older than max event time minus 2 days.
     Q(

@@ -115,4 +115,21 @@ class CorpusStatsSpec extends SparkSpec {
     // doc 1 is all-"common" (7 of 8 corpus tokens): avg_nll = ln(8/7)
     assert(math.abs(out(1L)._2 - math.log(8.0 / 7.0)) < 1e-12)
   }
+
+  test("unigramSurprisal: pinned components reproduce the nll derivation") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare")
+    ).toDF("doc_id", "text")
+    val parts = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: common x7, rare x1 -> doc1 nll_tab = 4*ln(7); doc2 = 3*ln(7) + 1*ln(1)
+    assert(parts(1L)._1 === 4L)
+    assert(math.abs(parts(1L)._2 - 4.0 * math.log(7.0)) < 1e-12)
+    assert(math.abs(parts(2L)._2 - 3.0 * math.log(7.0)) < 1e-12)
+    // nll = n_tokens * ln(NN) - nll_tab, NN = 8
+    val nll = TextAnalysis.unigramNll(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(nll(1L) - (4.0 * math.log(8.0) - parts(1L)._2)) < 1e-12)
+  }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.operators.{Sampling, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.streaming.StreamingDedup
 
 /** The corpus-shaping operators are pure column expressions, so the
   * SAME code runs on streaming inputs unchanged (Spark's unified API —
@@ -68,6 +69,47 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       // 100 tokens, window 32, stride 16: chunks start at 0,16,...,80 (ceil(68/16)=5 → 6 chunks)
       assert(batch.count(_._1 == 1L) == 6)
       assert(batch.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+
+  test("passage dedup screens a stream exactly like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // doc 2 repeats doc 1's opening paragraph; doc 3 is fresh text
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val data = Seq(
+      (1L, shared + " " + (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 30).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" ")))
+
+    val in = MemoryStream[(Long, String)]
+    val deduped = StreamingDedup.passages(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      window = 20, stride = 20)
+    val q = deduped.writeStream
+      .format("memory").queryName("sc_passage_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_passage_out")
+      // survivor HASH SET matches the batch operator (which survivor row
+      // wins differs only by tie policy: min vs first-arrived)
+      val batchHashes = Dedup.dedupPassages(
+        data.toDF("doc_id", "text"), "doc_id", "text",
+        window = 20, stride = 20)
+        .select("phash").as[Long].collect().toSet
+      val streamHashes = streamed.select("phash").as[Long].collect().toSet
+      assert(streamHashes == batchHashes)
+      // each distinct passage hash survives exactly once
+      assert(streamed.count() == batchHashes.size)
+      // the two shared 20-token passages were deduped across docs:
+      // doc1: 4 passages (70 toks -> 20,20,20,10-tail), doc2 contributes
+      // only its fresh chunks, doc3 all 3
+      val perDoc = streamed.groupBy("id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(perDoc(1L) + perDoc.getOrElse(2L, 0L) + perDoc(3L) == batchHashes.size)
+      assert(perDoc.getOrElse(2L, 0L) < 4) // doc 2 lost its shared passages
     } finally q.stop()
   }
 
