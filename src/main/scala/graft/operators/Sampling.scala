@@ -66,6 +66,29 @@ object Sampling {
   def orderHash(id: Column): Column =
     pmod(pmod(id, lit(P)) * lit(2246822519L) + lit(604171L), lit(P))
 
+  /** Per-group cap: keep at most `n` rows per group, chosen by the
+    * independent id-hash order ([[orderHash]], id tie-break) — the
+    * web-curation "domain cap" (RefinedWeb-style): a crawl's hottest
+    * domains otherwise dominate the corpus, and hash order makes the
+    * kept subset unbiased w.r.t. crawl position or recency, unlike
+    * keep-first / keep-latest. Deterministic, so re-runs and retries
+    * keep identical rows.
+    *
+    * One shuffle on the group key; rank state is a single counter.
+    * Like [[graft.operators.Dedup.keepLatest]], a pathologically hot
+    * group sorts inside one task — for that regime pre-thin with
+    * [[sampleByHash]] (constant-fraction, map-side) before capping.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
+    val rn = Iterator.iterate("__rn")(_ + "_").dropWhile(df.columns.contains).next()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
+  }
+
   /** Deterministic sharded shuffle — the scalable way to "randomize"
     * training-corpus order: route each row to a shard by one hash, rank
     * within the shard by an independent second hash. Each shard sorts

@@ -83,6 +83,17 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid (by cosine).
     * `centroids` must be small (broadcast).
+    *
+    * ZERO corpus shuffles: the centroids collapse into one sorted array
+    * row, broadcast to every partition, and the argmax is a map-side
+    * left-fold over it — same shape as [[Clustering.assign]]. (An
+    * earlier version ranked a k-rows-per-vector expansion with a
+    * window over the vector id, which re-shuffled k× the corpus
+    * through an exchange — the dominant cost of every IVF build.)
+    * Strict `>` over the cid-ascending array = smallest-cid tie-break,
+    * matching the old rank ordering. A NaN cosine (zero-norm vector or
+    * centroid) is treated as worse than any real similarity.
+    * Output: the input columns + `centroidIdCol` (long).
     */
   def assignToCentroids(
       vectors: DataFrame,
@@ -91,19 +102,25 @@ object Similarity {
       vecCol: String,
       centroidIdCol: String = "centroid_id"
   ): DataFrame = {
-    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"),
-      norm(col(vecCol)).as("cent_norm"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("csim").desc, col("cid").asc)
+    val centArr = centroids
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"),
+        norm(col(vecCol)).as("cent_norm"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("centroid"), col("cent_norm"))))
+        .as("__cents"))
+    val best = aggregate(
+      col("__cents"),
+      struct(lit(-2.0).as("sim"), lit(-1L).as("cid")),
+      (b, c) => {
+        val s0 = dot(col(vecCol), c("centroid")) / (col("__vnorm") * c("cent_norm"))
+        val s = when(isnan(s0), lit(-2.0)).otherwise(s0)
+        when(s > b("sim"), struct(s.as("sim"), c("cid").as("cid"))).otherwise(b)
+      })
     vectors
-      .withColumn("vec_norm", norm(col(vecCol)))
-      .crossJoin(broadcast(cent))
-      .withColumn("csim",
-        dot(col(vecCol), col("centroid")) / (col("vec_norm") * col("cent_norm")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .drop("csim", "crank", "centroid", "cent_norm", "vec_norm")
-      .withColumnRenamed("cid", centroidIdCol)
+      .withColumn("__vnorm", norm(col(vecCol)))
+      .crossJoin(broadcast(centArr))
+      .withColumn("__best", best)
+      .withColumn(centroidIdCol, col("__best.cid"))
+      .drop("__cents", "__vnorm", "__best")
   }
 
   /** IVF-style ANN: probe the nProbe nearest centroid cells per query.
@@ -165,6 +182,45 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** SemDeDup-style semantic deduplication: assign every vector to a
+    * coarse centroid cell (broadcast argmax fold — zero corpus
+    * shuffle), then compare ONLY within-cell pairs and drop any vector
+    * that has a lower-id cell-mate with cosine ≥ `threshold`. Returns
+    * the surviving rows with all their columns.
+    *
+    * This is the trick that makes embedding-level dedup tractable: the
+    * quadratic term is confined to each cell (Σ|cell|² ≪ n² for any
+    * reasonable k), the cell join is an equi-join on the cell id —
+    * co-located after one shuffle of (cell, id, vec) tuples — and the
+    * final anti-join removes the dropped ids. Cross-cell near-dups are
+    * missed by construction (the recall/cost dial is k); the exact
+    * verifier for moderate inputs is [[cosineNearDupPairs]], the
+    * banded alternative [[srpNearDupPairs]].
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("centroid_id"))
+    val keep = assigned.select(col("centroid_id"), col("id").as("id_keep"),
+      col("vec").as("vec_a"), col("nrm").as("norm_a"))
+    val cand = assigned.select(col("centroid_id"), col("id").as("id_drop"),
+      col("vec").as("vec_b"), col("nrm").as("norm_b"))
+    val dropped = keep.join(cand, Seq("centroid_id"))
+      .filter(col("id_keep") < col("id_drop"))
+      .withColumn("sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
+      .select(col("id_drop").as(idCol))
+      .distinct()
+    vectors.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** IVF top-k at SEVERAL nProbe settings in one pass — the

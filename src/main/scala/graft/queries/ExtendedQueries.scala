@@ -727,6 +727,27 @@ object ExtendedQueries {
       }
     ),
 
+    // Per-source document cap (the web-curation "domain cap"): at most
+    // 10 docs per source, chosen by the independent id-hash order so
+    // the kept subset is unbiased w.r.t. ingest position. One shuffle
+    // on source; rank state is a counter.
+    Q(
+      "q_source_cap",
+      (spark, dir) =>
+        Sampling.capPerGroup(
+          Q.t(spark, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", n = 10),
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""SELECT doc_id, source FROM (
+           |  SELECT doc_id, source, ROW_NUMBER() OVER (
+           |    PARTITION BY source
+           |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |  FROM documents) t
+           |WHERE rn <= 10""".stripMargin
+      }
+    ),
+
     // The space-saving heavy-hitters Aggregator as a driver query.
     // With capacity >= column cardinality the sketch is provably exact
     // (no eviction ever fires), so the oracle is plain frequency top-k;

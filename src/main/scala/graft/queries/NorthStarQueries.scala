@@ -534,6 +534,44 @@ object NorthStarQueries {
       }
     ),
 
+    // SemDeDup-style semantic dedup: coarse cells (argmax-cosine over
+    // the first-16-by-id centroids, broadcast fold) confine the
+    // quadratic compare to within-cell pairs; a vector with a lower-id
+    // cell-mate at cosine >= 0.4 is dropped. Threshold float-safe for
+    // the gate: the nearest within-cell sim sits >= 1e-5 from 0.4 at
+    // both fixture scales vs ~1e-15 cross-engine noise.
+    Q(
+      "q_semantic_dedup",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        Similarity.semanticDedup(
+          emb, emb.orderBy(col("vec_id")).limit(16),
+          "vec_id", "embedding", threshold = 0.4)
+          .select(col("vec_id"))
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+           |), assigned AS (
+           |  SELECT vec_id, embedding AS nvec, cid AS cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) t
+           |  WHERE rn = 1
+           |)
+           |SELECT vec_id FROM assigned a
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM assigned b
+           |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+           |    AND ${cos("b.nvec", "a.nvec")} >= 0.4)""".stripMargin
+      }
+    ),
+
     // -------------------------------------------------------- multimodal
 
     Q(

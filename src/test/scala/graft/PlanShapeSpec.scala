@@ -194,6 +194,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("IVF centroid assignment never shuffles the corpus side") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = physical(Similarity.assignToCentroids(
+      emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding"))
+    // broadcast argmax fold, same shape as Clustering.assign — the old
+    // window-over-id ranking pushed k rows per vector through an exchange
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("group z-score broadcasts the moments, no second corpus shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = physical(graft.operators.Normalize.zscoreByGroup(

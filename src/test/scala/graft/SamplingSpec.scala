@@ -104,6 +104,27 @@ class SamplingSpec extends SparkSpec {
       rows, "id", "kind", Map("rare" -> 100), defaultKeep = 10).count())
   }
 
+  test("capPerGroup keeps at most n per group, deterministically, unbiased by id order") {
+    // 3 groups of very different sizes
+    val d = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 120L).map(i => (i, "mid")) ++
+      (120L until 125L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val capped = Sampling.capPerGroup(d, "src", "doc_id", n = 10)
+    val byGroup = capped.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(byGroup("big") === 10L)   // capped
+    assert(byGroup("mid") === 10L)   // capped
+    assert(byGroup("small") === 5L)  // under cap -> untouched
+    // deterministic across evaluations
+    val again = Sampling.capPerGroup(d, "src", "doc_id", n = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == capped.select("doc_id").as[Long].collect().sorted.toSeq)
+    // hash order, not id order: the kept "big" ids are not just 0..9
+    val keptBig = capped.filter(col("src") === "big")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptBig != (0L until 10L).toSeq)
+  }
+
   test("splitLabel agrees with the two-DataFrame split") {
     val labeled = ids
       .withColumn("split", Sampling.splitLabel(col("id"), 20))

@@ -84,6 +84,41 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDedup drops within-cell near-dups, keeps distinct cell-mates") {
+    // axis centroids; members sit at ~45 deg off-axis (cos ~0.70 to
+    // their centroid, well under the 0.99 threshold)
+    val d = vecs(
+      1L -> Seq(1f, 0f, 0f),          // centroid A (also a corpus row)
+      2L -> Seq(0f, 1f, 0f),          // centroid B
+      10L -> Seq(0.7f, 0.1f, 0.7f),   // cell A
+      11L -> Seq(0.7f, 0.09f, 0.71f), // cell A, cos(10,11) ~ 0.9999 -> dropped
+      12L -> Seq(0.1f, 0.7f, 0.7f),   // cell B
+      13L -> Seq(0.1f, 0.72f, 0.69f), // cell B, cos(12,13) ~ 0.9998 -> dropped
+      14L -> Seq(0.7f, 0.1f, -0.7f)   // cell A, cos(10,14) ~ 0.01 -> kept
+    )
+    val cents = d.filter(col("vec_id") <= 2L)
+    val kept = Similarity.semanticDedup(d, cents, "vec_id", "embedding", 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 10L, 12L, 14L))
+  }
+
+  test("semanticDedup matches the exact verifier restricted to shared cells") {
+    // on the real fixture: every dropped id must have a lower-id
+    // same-cell mate in the exact pair list, and every survivor none
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.orderBy(col("vec_id")).limit(16)
+    val kept = Similarity.semanticDedup(emb, cents, "vec_id", "embedding", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    val cells = Similarity.assignToCentroids(emb, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    val exactPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long)].collect()
+    val shouldDrop = exactPairs
+      .filter { case (a, b) => cells(a) == cells(b) }.map(_._2).toSet
+    assert(kept === cells.keySet -- shouldDrop)
+  }
+
   test("cosineNearDupPairs refuses oversize inputs (verifier scope guard)") {
     val d = vecs(
       1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(1f, 1f)
