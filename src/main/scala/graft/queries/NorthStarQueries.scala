@@ -964,6 +964,83 @@ object NorthStarQueries {
            |FROM canon
            |WHERE doc_id NOT IN (SELECT id FROM hits)""".stripMargin
       )
+    ),
+
+    // Round-5 curation chain — pins the NEW operators composing, and a
+    // cross-TABLE screen the other flagship doesn't have: quality/lang
+    // filter → exact dedup → per-source cap → semantic (embedding)
+    // dedup screen via doc_id = vec_id semi-join → split/shard routing.
+    // Plan: map-side filters → digest exchange → source-cap exchange →
+    // broadcast-fold cell assign + within-cell equi-join → semi join →
+    // map-side routing.
+    Q(
+      "q_curation_v2",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val emb = Q.t(spark, dir, "embeddings")
+        val quality = docs.filter(
+          TextAnalysis.langId(col("text")) === col("lang") &&
+            TextAnalysis.tokenCount(col("text")).between(8, 4096) &&
+            TextAnalysis.qualityScore(col("text")) >= 0.5)
+        val exact = Dedup.dropExactDuplicates(quality, "doc_id", "text")
+        val capped = Sampling.capPerGroup(exact, "source", "doc_id", n = 10)
+        val semKeep = Similarity.semanticDedup(
+          emb, emb.orderBy(col("vec_id")).limit(16),
+          "vec_id", "embedding", threshold = 0.4)
+          .select(col("vec_id").as("doc_id"))
+        capped.join(semKeep, Seq("doc_id"), "left_semi")
+          .select(
+            col("doc_id"), col("source"),
+            Sampling.splitLabel(col("doc_id"), 10).as("split"),
+            Sampling.hashBucket(col("doc_id"), 64).as("shard"))
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH m AS (
+           |  SELECT doc_id, source, lang, text,
+           |    $LangCaseSql AS lang_pred,
+           |    $QualityMetricsSql
+           |  FROM documents
+           |), qf AS (
+           |  SELECT doc_id, source, text FROM m
+           |  WHERE lang_pred = lang AND n_tok BETWEEN 8 AND 4096
+           |    AND $QualityScoreSql >= 0.5
+           |), exq AS (
+           |  SELECT q.doc_id, q.source FROM qf q
+           |  JOIN (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY sha256(text)) e USING (doc_id)
+           |), capped AS (
+           |  SELECT doc_id, source FROM (
+           |    SELECT doc_id, source, ROW_NUMBER() OVER (
+           |      PARTITION BY source
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |    FROM exq) t
+           |  WHERE rn <= 10
+           |), cent AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+           |), assigned AS (
+           |  SELECT vec_id, embedding AS nvec, cid AS cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) t
+           |  WHERE rn = 1
+           |), semkeep AS (
+           |  SELECT vec_id AS doc_id FROM assigned a
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM assigned b
+           |    WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+           |      AND ${cos("b.nvec", "a.nvec")} >= 0.4)
+           |)
+           |SELECT doc_id, source,
+           |  CASE WHEN ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 100 < 10
+           |       THEN 'holdout' ELSE 'train' END AS split,
+           |  ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 64 AS shard
+           |FROM capped SEMI JOIN semkeep USING (doc_id)""".stripMargin
+      }
     )
   )
 }

@@ -62,4 +62,51 @@ object StreamingDedup {
         TextAnalysis.fingerprint(col("chunk_text")).as("phash"))
       .dropDuplicates("phash")
   }
+
+  /** Stream-static semantic screen — drop arriving vectors that are
+    * near-duplicates (cosine ≥ `threshold`) of the EXISTING corpus,
+    * the production shape of [[graft.operators.Similarity.semanticDedup]]
+    * at ingest time: new data screens against the indexed corpus
+    * instead of re-deduping everything.
+    *
+    * Stateless by construction, so it runs in Append mode with no
+    * watermark: the static corpus collapses to one row per centroid
+    * cell (id, vec, norm structs), the stream joins its assigned cell
+    * (map-side broadcast argmax assignment + a stream-static equi-join),
+    * and the near-dup test is a higher-order `exists` over the
+    * cell-mate array — no streaming aggregation, no anti-join on a
+    * stream-derived set. Rows in cells with no corpus mates pass.
+    *
+    * Scale note: one row per cell must hold that cell's corpus vectors
+    * — size cells accordingly (more centroids → smaller cells), or
+    * pre-thin mates per cell; at 100 TB the right cell count makes
+    * this the same per-row cost as IVF probing.
+    */
+  def semanticScreen(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val ref = Similarity.assignToCentroids(corpus, centroids, idCol, vecCol)
+      .select(col("centroid_id"),
+        struct(col(idCol).cast("long").as("rid"), col(vecCol).as("rvec"),
+          Similarity.norm(col(vecCol)).as("rnrm")).as("r"))
+      .groupBy(col("centroid_id"))
+      .agg(sort_array(collect_list(col("r"))).as("__mates"))
+    val inc = Similarity.assignToCentroids(incoming, centroids, idCol, vecCol)
+      .withColumn("__nrm", Similarity.norm(col(vecCol)))
+    inc
+      .join(ref, Seq("centroid_id"), "left")
+      .filter(col("__mates").isNull || !exists(col("__mates"), r => {
+        val sim = Similarity.dot(col(vecCol), r("rvec")) /
+          (col("__nrm") * r("rnrm"))
+        r("rid") =!= col(idCol).cast("long") && !isnan(sim) && sim >= threshold
+      }))
+      .drop("__mates", "__nrm", "centroid_id")
+  }
 }

@@ -113,6 +113,22 @@ object ScaleProbe {
           graft.operators.Clustering.initialCentroids(
             emb, "vec_id", "embedding", 8)).count()
       }
+      // semantic dedup: replicas are exact cell-mates of their base
+      // vector, so within-cell pair work grows k^2 per cell — the
+      // survivors must stay FLAT (one per base vector) while the
+      // candidate cost demonstrates why cell count is the scale dial
+      time(s"semantic_dedup x$k") {
+        Similarity.semanticDedup(e,
+          emb.orderBy(col("vec_id")).limit(64),
+          "vec_id", "embedding", 0.99).count()
+      }
+      // production k-means update: one partial-aggregated shuffle,
+      // scalar reducer state — growth must be linear in the scan
+      time(s"kmeans_update_scale x$k") {
+        graft.operators.Clustering.updateStepAtScale(e, "vec_id", "embedding",
+          graft.operators.Clustering.initialCentroids(
+            emb, "vec_id", "embedding", 8)).count()
+      }
     }
     spark.stop()
   }

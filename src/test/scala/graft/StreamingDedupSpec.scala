@@ -64,4 +64,62 @@ class StreamingDedupSpec extends SparkSpec {
     assert(StreamingDedup.withinWatermark(df, Seq("event_id")).count() == 2)
     assert(StreamingDedup.exact(df, Seq("event_id")).count() == 2)
   }
+
+  test("semantic screen drops stream vectors near-duplicating the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus + axis centroids (same fixture shape as
+    // SimilaritySpec's semanticDedup test)
+    val corpus = Seq(
+      (10L, Array(0.7f, 0.1f, 0.7f)),   // cell A
+      (12L, Array(0.1f, 0.7f, 0.7f))    // cell B
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val screened = StreamingDedup.semanticScreen(
+      in.toDF().toDF("vec_id", "embedding"), corpus, cents,
+      "vec_id", "embedding", threshold = 0.99)
+    val q = screened.writeStream
+      .format("memory").queryName("sem_screen_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val arriving = Seq(
+        (100L, Array(0.7f, 0.09f, 0.71f)),  // cell A, dup of 10 -> dropped
+        (101L, Array(0.7f, 0.1f, -0.7f)),   // cell A, far from 10 -> kept
+        (102L, Array(0.1f, 0.72f, 0.69f)),  // cell B, dup of 12 -> dropped
+        (103L, Array(0.9f, 0.1f, 0.0f))     // cell A, cos(10,.) ~ 0.56 -> kept
+      )
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val kept = spark.table("sem_screen_out")
+        .select("vec_id").as[Long].collect().toSet
+      assert(kept === Set(101L, 103L))
+
+      // unified API: the SAME function on a bounded input agrees
+      val batchKept = StreamingDedup.semanticScreen(
+        arriving.toDF("vec_id", "embedding"), corpus, cents,
+        "vec_id", "embedding", threshold = 0.99)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batchKept === kept)
+    } finally q.stop()
+  }
+
+  test("semantic screen passes rows whose cell has no corpus mates") {
+    // corpus occupies only cell A; a cell-B arrival must pass the
+    // left-join null branch
+    val corpus = Seq((10L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val arrivals = Seq((200L, Array(0.05f, 0.95f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = StreamingDedup.semanticScreen(
+      arrivals, corpus, cents, "vec_id", "embedding", threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(200L))
+  }
 }
