@@ -572,6 +572,54 @@ object NorthStarQueries {
       }
     ),
 
+    // Batch twin of the stream-static semantic screen (the SAME
+    // function StreamingDedupSpec drives on a MemoryStream — unified
+    // API makes the exact join/exists semantics oracle-checkable):
+    // vectors < 100 arrive against the >= 100 corpus; a row is dropped
+    // when any same-cell corpus mate reaches cosine 0.4 (float-safe:
+    // nearest sim sits >= 1e-4 from the threshold at both scales).
+    Q(
+      "q_semantic_screen",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 100)
+        val incoming = emb.filter(col("vec_id") < 100)
+        graft.streaming.StreamingDedup.semanticScreen(
+          incoming, corpus, corpus.orderBy(col("vec_id")).limit(16),
+          "vec_id", "embedding", threshold = 0.4)
+          .select(col("vec_id"))
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           |  WHERE vec_id >= 100 ORDER BY vec_id LIMIT 16
+           |), corp AS (
+           |  SELECT vec_id, embedding AS nvec, cid AS cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 100) t
+           |  WHERE rn = 1
+           |), inc AS (
+           |  SELECT vec_id, embedding AS nvec, cid AS cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 100) t
+           |  WHERE rn = 1
+           |)
+           |SELECT vec_id FROM inc i
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM corp c
+           |  WHERE c.cell = i.cell AND c.vec_id <> i.vec_id
+           |    AND ${cos("c.nvec", "i.nvec")} >= 0.4)""".stripMargin
+      }
+    ),
+
     // -------------------------------------------------------- multimodal
 
     Q(

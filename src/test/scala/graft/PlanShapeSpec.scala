@@ -204,6 +204,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("semanticDedup: no cartesian — the pair join is an equi-join on the cell") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = physical(Similarity.semanticDedup(
+      emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding", 0.4))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // within-cell compare co-locates on centroid_id via hash exchange
+    // or broadcasts at this scale; either way no all-pairs operator
+    assert(plan.contains("centroid_id"), plan)
+  }
+
+  test("capPerGroup is a single shuffle on the group key (rank state only)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = physical(graft.operators.Sampling.capPerGroup(
+      docs.select(col("doc_id"), col("source")), "source", "doc_id", 10))
+    assert(countOcc(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("group z-score broadcasts the moments, no second corpus shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = physical(graft.operators.Normalize.zscoreByGroup(
