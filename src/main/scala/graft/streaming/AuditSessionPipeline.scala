@@ -130,6 +130,21 @@ object AuditSessionPipeline {
     }
   }
 
+  /** Batch-backfill twin of [[main]]'s source wiring: a one-shot
+    * reprocess of an audit tree ("rebuild sessions since min_date over
+    * years of history"). Unlike the streaming path — where Spark's file
+    * stream source owns the listing, so date pruning is a row filter —
+    * the batch path prunes at ENUMERATION time via
+    * [[graft.sources.DatePrunedFileIndex]]: below-min-date day
+    * directories are never even listed, which at backfill scale is the
+    * dominant saving. Feed the result to [[transform]]/[[formatted]].
+    */
+  def batchLines(spark: SparkSession, config: Config): DataFrame =
+    config.minDate match {
+      case Some(_) => AuditSource.batchPruned(spark, config.auditPath, config.minDate)
+      case None => AuditSource.batch(spark, config.auditPath)
+    }
+
   /** Full production wiring (the `App.main` analog). Blocks until
     * termination.
     */

@@ -135,4 +135,33 @@ class PipelineE2ESpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("reqUser") -> r.getAs[Long]("denies")).toMap
     assert(res == Map("wdyson" -> 10L, "bob" -> 2L))
   }
+
+  test("batch backfill with min_date: pruned listing -> parse -> sessionize") {
+    val root = Files.createTempDirectory("audit_e2e_prune").toFile
+    writeTree(root) // 20210401 with the 4-event scenario
+    // an older day that min_date must exclude at LISTING time — its
+    // denied events would otherwise add a third session
+    val oldDay = new java.io.File(root, "20210301")
+    oldDay.mkdirs()
+    Files.writeString(new java.io.File(oldDay, "audit-0.log").toPath,
+      auditLine("mallory", "2021-03-01 09:00:00.000", 0, 7) + "\n")
+
+    val props = new java.util.Properties()
+    props.setProperty("audit.path", root.getAbsolutePath)
+    props.setProperty("audit.min_date", "20210401")
+    props.setProperty("session.duration", "1200")
+    val config = AuditSessionPipeline.Config.fromProperties(props)
+
+    val lines = AuditSessionPipeline.batchLines(spark, config)
+    val res = AuditSessionPipeline.transform(lines, gapSeconds = 1200)
+      .collect().map(r => r.getAs[String]("reqUser") -> r.getAs[Long]("denies")).toMap
+    assert(res == Map("wdyson" -> 10L, "bob" -> 2L)) // mallory pruned
+
+    // and without min_date the excluded day IS processed
+    val all = AuditSessionPipeline.batchLines(
+      spark, config.copy(minDate = None))
+    val resAll = AuditSessionPipeline.transform(all, gapSeconds = 1200)
+      .collect().map(r => r.getAs[String]("reqUser") -> r.getAs[Long]("denies")).toMap
+    assert(resAll == Map("wdyson" -> 10L, "bob" -> 2L, "mallory" -> 7L))
+  }
 }
