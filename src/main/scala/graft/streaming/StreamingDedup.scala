@@ -16,7 +16,13 @@ import org.apache.spark.sql.DataFrame
   */
 object StreamingDedup {
 
-  /** Keep the first row per key; unbounded state. */
+  /** Keep the first row per key; unbounded state. On a STREAM "first"
+    * means first-arrived (well-defined). On a bounded DataFrame
+    * `dropDuplicates` keeps an ARBITRARY row per key — fine when rows
+    * with equal keys are identical (the exact-dup case); when they
+    * differ, batch callers who need a deterministic survivor should use
+    * [[graft.operators.Dedup.keepLatest]] with an explicit order.
+    */
   def exact(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.dropDuplicates(keyCols)
 
@@ -51,16 +57,25 @@ object StreamingDedup {
       window: Int,
       stride: Int
   ): DataFrame = {
-    import org.apache.spark.sql.functions.{col, posexplode}
+    import org.apache.spark.sql.functions.{col, min, posexplode, struct}
     import graft.operators.TextAnalysis
-    df
+    val fp = df
       .select(
         col(idCol).as("id"),
         posexplode(TextAnalysis.chunkTokens(col(textCol), window, stride))
           .as(Seq("chunk_id", "chunk_text")))
       .select(col("id"), col("chunk_id"),
         TextAnalysis.fingerprint(col("chunk_text")).as("phash"))
-      .dropDuplicates("phash")
+    if (df.isStreaming) fp.dropDuplicates("phash")
+    else
+      // bounded input: deterministic min-(id, chunk) survivor — exactly
+      // [[graft.operators.Dedup.dedupPassages]] (dropDuplicates on a
+      // batch DataFrame keeps an ARBITRARY row, which would make batch
+      // re-runs disagree with each other)
+      fp.groupBy(col("phash"))
+        .agg(min(struct(col("id"), col("chunk_id"))).as("keep"))
+        .select(col("keep.id").as("id"), col("keep.chunk_id").as("chunk_id"),
+          col("phash"))
   }
 
   /** Stream-static semantic screen — drop arriving vectors that are

@@ -110,6 +110,16 @@ class StreamingCorpusOpsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(perDoc(1L) + perDoc.getOrElse(2L, 0L) + perDoc(3L) == batchHashes.size)
       assert(perDoc.getOrElse(2L, 0L) < 4) // doc 2 lost its shared passages
+
+      // batch mode of the SAME function routes to the deterministic
+      // min-(id, chunk) survivor — identical rows to Dedup.dedupPassages
+      val viaBatch = StreamingDedup.passages(
+        data.toDF("doc_id", "text"), "doc_id", "text", window = 20, stride = 20)
+        .as[(Long, Int, Long)].collect().toSet
+      val viaOperator = Dedup.dedupPassages(
+        data.toDF("doc_id", "text"), "doc_id", "text", window = 20, stride = 20)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(viaBatch == viaOperator)
     } finally q.stop()
   }
 
