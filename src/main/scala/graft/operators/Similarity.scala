@@ -153,8 +153,30 @@ object Similarity {
       vecCol: String,
       k: Int,
       nProbe: Int
+  ): DataFrame =
+    ivfTopKIndexed(
+      assignToCentroids(corpus, centroids, idCol, vecCol),
+      queries, centroids, idCol, vecCol, k, nProbe)
+
+  /** IVF search over an ALREADY-ASSIGNED corpus (`indexed` carries a
+    * `centroid_id` column — e.g. read back from a layout written
+    * `partitionBy("centroid_id")`, the persisted-index deployment
+    * shape). With such a layout the probe join's centroid ids reach the
+    * scan as a DYNAMIC PARTITION PRUNING filter: each query batch reads
+    * only its probed nProbe cells' files, nProbe/nCells of the corpus —
+    * the IVF contract enforced by the storage layer itself
+    * (q_ann_ivf_persisted REQUIREs the pruning subquery in its scan).
+    */
+  def ivfTopKIndexed(
+      indexed: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
   ): DataFrame = {
-    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+    val assigned = indexed
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         norm(col(vecCol)).as("cnorm"), col("centroid_id"))
 
@@ -198,6 +220,14 @@ object Similarity {
     * missed by construction (the recall/cost dial is k); the exact
     * verifier for moderate inputs is [[cosineNearDupPairs]], the
     * banded alternative [[srpNearDupPairs]].
+    *
+    * Scan note: the self-join reads `vectors` twice (once per side) —
+    * deliberate, because the alternative one-scan form buffers a whole
+    * cell per row ([[graft.streaming.StreamingDedup.semanticScreen]]'s
+    * array shape), which caps cell size by executor memory. Pairs
+    * stream through the join here, so cells can be arbitrarily large;
+    * when the scan itself dominates, cache or pre-materialize the
+    * (id, vec, cell) projection upstream.
     */
   def semanticDedup(
       vectors: DataFrame,
