@@ -122,7 +122,20 @@ object Multimodal {
     val bytes = totalBytes.getOrElse(
       df.queryExecution.optimizedPlan.stats.sizeInBytes
         .min(BigInt(Long.MaxValue)).toLong)
-    val parts = math.max(1L, bytes / targetBytes).toInt
-    df.repartition(parts)
+    // Catalyst reports Long.MaxValue for unknown-stats plans (post-join,
+    // non-file-backed); with a small targetBytes the quotient can exceed
+    // Int range and `.toInt` would wrap to an arbitrary count. Unknown
+    // stats carry no sizing signal at all, so keep the input partitioning;
+    // otherwise clamp to a sane ceiling before narrowing.
+    if (bytes == Long.MaxValue && totalBytes.isEmpty) df
+    else {
+      val parts = math.min(math.max(1L, bytes / targetBytes), MaxRebalanceParts.toLong).toInt
+      df.repartition(parts)
+    }
   }
+
+  /** Ceiling for [[rebalanceBySize]]'s computed partition count — far above
+    * any real cluster's useful task count, far below Int overflow.
+    */
+  val MaxRebalanceParts: Int = 1 << 20
 }

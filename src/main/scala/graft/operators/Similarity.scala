@@ -94,6 +94,16 @@ object Similarity {
     * matching the old rank ordering. A NaN cosine (zero-norm vector or
     * centroid) is treated as worse than any real similarity.
     * Output: the input columns + `centroidIdCol` (long).
+    *
+    * EMPTY-CENTROIDS CONTRACT: with zero centroid rows the fold has
+    * nothing to beat the seed, so EVERY vector comes back with
+    * `centroidIdCol = -1` (the sentinel cell) rather than the
+    * zero-output a join formulation would give. Callers that persist
+    * the assignment (`partitionBy(centroid_id)`) or join on it must
+    * treat `-1` as "unassigned" — or validate centroids non-empty
+    * upstream, where a count is free (the centroid side is tiny by
+    * contract; this function stays a lazy transformation and will not
+    * spend an eager job on the check).
     */
   def assignToCentroids(
       vectors: DataFrame,
@@ -363,6 +373,12 @@ object Similarity {
     * 100×. The guard scans at most maxRows+1 ids of one column — O(bound),
     * not O(corpus) — and is the documented cost of keeping an unbounded
     * cartesian out of every registered query.
+    *
+    * NOTE: the guard is an EAGER Spark job at DataFrame-construction time
+    * (this function is not a lazy transformation): each call scans up to
+    * maxRows+1 ids, and an oversized input fails here, at plan build,
+    * rather than at execution. Callers composing lazy plans should call
+    * this last.
     */
   def cosineNearDupPairs(
       vectors: DataFrame,

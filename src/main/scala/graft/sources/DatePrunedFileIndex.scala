@@ -50,7 +50,16 @@ class DatePrunedFileIndex(
     */
   @volatile private[graft] var visitedDirs: Seq[String] = Nil
 
-  @volatile private var leafFiles: Seq[FileStatus] = listPruned()
+  /** Listed lazily on first use (not in the constructor), so building the
+    * relation is cheap; `refresh()` invalidates. The walk tracks visited
+    * canonical paths, so a symlink cycle in the tree terminates instead of
+    * hanging the driver.
+    */
+  @volatile private var cachedLeafFiles: Seq[FileStatus] = null
+  private def leafFiles: Seq[FileStatus] = {
+    if (cachedLeafFiles == null) cachedLeafFiles = listPruned()
+    cachedLeafFiles
+  }
 
   /** Mirrors `DateFileFilter.accept`: skip only when the name is a
     * well-formed BASIC_ISO_DATE older than minDate. Lexicographic
@@ -66,11 +75,24 @@ class DatePrunedFileIndex(
         } catch { case _: DateTimeParseException => true }
     }
 
+  /** Canonical identity of a directory for cycle detection: symlinks on a
+    * local filesystem resolve to their target, so a link loop revisits a
+    * path we have already walked and is skipped. Non-local schemes fall
+    * back to the qualified path string (object stores have no symlinks).
+    */
+  private def canonical(fs: org.apache.hadoop.fs.FileSystem, dir: Path): String =
+    if (dir.toUri.getScheme == null || dir.toUri.getScheme == "file")
+      try new java.io.File(dir.toUri.getPath).getCanonicalPath
+      catch { case _: java.io.IOException => fs.makeQualified(dir).toString }
+    else fs.makeQualified(dir).toString
+
   private def listPruned(): Seq[FileStatus] = {
     val fs = root.getFileSystem(hadoopConf)
     val visited = mutable.ArrayBuffer.empty[String]
+    val seen = mutable.HashSet.empty[String]
     val out = mutable.ArrayBuffer.empty[FileStatus]
     def walk(dir: Path): Unit = {
+      if (!seen.add(canonical(fs, dir))) return // symlink cycle / dup entry
       visited += dir.toString
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -101,7 +123,7 @@ class DatePrunedFileIndex(
   override def inputFiles: Array[String] =
     leafFiles.map(_.getPath.toString).toArray
 
-  override def refresh(): Unit = { leafFiles = listPruned() }
+  override def refresh(): Unit = { cachedLeafFiles = null }
 
   override def sizeInBytes: Long = leafFiles.map(_.getLen).sum
 

@@ -74,6 +74,19 @@ class AuditSourceSpec extends SparkSpec {
     assert(index.inputFiles.length == 2)
   }
 
+  test("DatePrunedFileIndex terminates on a symlink cycle") {
+    val root = Files.createTempDirectory("audits_loop").toFile
+    val day = new java.io.File(root, "20210301"); day.mkdirs()
+    Files.writeString(new java.io.File(day, "audit.log").toPath, "x\n")
+    // day/loop -> root: an unguarded recursive walk never terminates
+    Files.createSymbolicLink(
+      new java.io.File(day, "loop").toPath, root.toPath)
+    val (df, index) = AuditSource.batchPrunedWithIndex(
+      spark, root.getAbsolutePath, Some("20210101"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("x"))
+    assert(index.inputFiles.length == 1)
+  }
+
   test("hive-partitioned dt tree prunes via partition filter") {
     val root = Files.createTempDirectory("audits_dt").toFile
     for ((d, line) <- Seq("20210101" -> "old", "20210301" -> "new")) {

@@ -63,6 +63,24 @@ class MultimodalSpec extends SparkSpec {
     assert(re.rdd.getNumPartitions == 8) // 64 KB / 8 KB
   }
 
+  test("rebalanceBySize keeps input partitioning on unknown stats; clamps huge totals") {
+    // Catalyst's unknown-stats sentinel (Long.MaxValue) carries no sizing
+    // signal: the partitioning must pass through unchanged, not wrap
+    // through .toInt into an arbitrary count
+    val df = Seq.tabulate(8)(i => (i.toLong, s"payload$i")).toDF("media_id", "payload")
+      .repartition(5)
+    val joined = df.as("a").join(df.as("b"),
+      col("a.media_id") === col("b.media_id") + 1000) // no-match join: stats unknown
+    if (joined.queryExecution.optimizedPlan.stats.sizeInBytes == BigInt(Long.MaxValue)) {
+      val re = Multimodal.rebalanceBySize(joined, "a.payload", targetBytes = 1L)
+      assert(re.rdd.getNumPartitions == joined.rdd.getNumPartitions)
+    }
+    // explicit huge totals clamp to the ceiling instead of Int-wrapping
+    val clamped = Multimodal.rebalanceBySize(df, "payload",
+      targetBytes = 1L, totalBytes = Some(Long.MaxValue))
+    assert(clamped.rdd.getNumPartitions == Multimodal.MaxRebalanceParts)
+  }
+
   test("rebalanceBySize derives the count from plan stats without scanning") {
     // file-backed input: stats come from parquet footers, not a job
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
