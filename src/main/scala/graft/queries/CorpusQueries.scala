@@ -234,6 +234,62 @@ object CorpusQueries {
       )
     ),
 
+    // The PRODUCTION k-means update path (scalar-only reducer state, no
+    // id join, one partial-agg shuffle) under the oracle gate. Its
+    // double sum is order-FREE, which normally can't hash-match across
+    // engines — the gate makes it exact instead of ordered: lane values
+    // are first snapped to the 2^-20 grid (floor(x·2^20 + 0.5), exact in
+    // both engines: power-of-two scaling only shifts the exponent, floor
+    // yields an integer, the division is again a pure exponent shift).
+    // Every partial sum of grid values is then exactly representable
+    // (numerators stay ≪ 2^53: |x| < 1 ⇒ |k| < 2^20, ≤ 2^13 members ⇒
+    // sum < 2^33), so ANY accumulation order — Spark's partial-agg tree,
+    // DuckDB's — produces the identical double, and the final s/n is one
+    // deterministic IEEE division. Same trick as Q.dsum, in base 2.
+    // Assignment distances are exact by the same argument (squared-diff
+    // numerators < 2^48), so the cluster memberships agree too.
+    Q(
+      "q_kmeans_update_scale",
+      (spark, dir) => {
+        val grid = lit(1048576.0) // 2^20
+        val vecs = Q.t(spark, dir, "embeddings").select(
+          col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * grid + lit(0.5)).cast("double") / grid)
+            .as("embedding"))
+        Clustering.updateStepAtScale(vecs, "vec_id", "embedding",
+          Clustering.initialCentroids(vecs, "vec_id", "embedding", KClusters))
+      },
+      Some(
+        s"""WITH qe AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) / 1048576.0) AS qv
+           |  FROM embeddings
+           |), cent AS (
+           |  SELECT vec_id AS cluster_id, qv AS centroid FROM qe ORDER BY vec_id LIMIT $KClusters
+           |), dists AS (
+           |  SELECT e.vec_id, c.cluster_id,
+           |    list_sum(list_transform(generate_series(1, len(e.qv)), i ->
+           |      (e.qv[i] - c.centroid[i]) * (e.qv[i] - c.centroid[i]))) AS dist2
+           |  FROM qe e CROSS JOIN cent c
+           |), asg AS (
+           |  SELECT vec_id, cluster_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+           |    FROM dists) t
+           |  WHERE rn = 1
+           |), m AS (
+           |  SELECT a.cluster_id, CAST(i - 1 AS INT) AS lane, e.qv[i] AS v
+           |  FROM qe e JOIN asg a USING (vec_id),
+           |       UNNEST(generate_series(1, len(e.qv))) AS u(i)
+           |)
+           |SELECT cluster_id, lane,
+           |  SUM(v) / CAST(COUNT(*) AS DOUBLE) AS centroid_v,
+           |  CAST(COUNT(*) AS BIGINT) AS n_members
+           |FROM m GROUP BY cluster_id, lane""".stripMargin
+      )
+    ),
+
     // Passage-level dedup: 32-token non-overlapping chunks,
     // fingerprinted; first (doc, chunk) occurrence of each distinct
     // passage survives. Sub-document twin of exact dedup.
