@@ -552,8 +552,16 @@ object NorthStarQueries {
     ),
 
     // LSH-bucketed scale path (SRP signatures + banded buckets + exact
-    // verify). Wide 4-bit bands because the fixture has no true near-dups
-    // (max cosine ≈ 0.6); production near-dup thresholds use 16-bit bands.
+    // verify) at the PRODUCTION parameterization: 16-bit bands and an
+    // explicit hot-bucket cap — the configuration whose candidate count
+    // cannot go quadratic (expected bucket size n/2^16, and any bucket
+    // over maxBucket is dropped whole, oracle-mirrored). The fixture has
+    // no true near-dups (max cosine ≈ 0.51), so the query PLANTS them:
+    // lane-0-zeroed copies of the vec_id < 50 rows (representation-exact
+    // in both engines — no arithmetic, just a component swap), whose
+    // cosine to their source is 0.945-0.99996 at both sf fixtures vs
+    // ≤ 0.513 for every other pair — the 0.9 threshold splits the two
+    // populations by ≥ 0.045, 13 orders above cross-engine noise.
     // Exact oracle: the ±1 hyperplane components are algorithm
     // constants (xorshift64 stream, [[OracleSql.srpSignRows]]); every
     // double accumulation (plane sums, dot, norms) is an ordered left
@@ -563,35 +571,51 @@ object NorthStarQueries {
     // fixture-wide property (all sf embeddings are FLOAT[64]).
     Q(
       "q_embed_neardup_lsh",
-      (spark, dir) =>
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.filter(col("vec_id") < 50).select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
         Similarity.srpNearDupPairs(
-          Q.t(spark, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, planes = 64, bandBits = 4),
+          emb.unionAll(planted), "vec_id", "embedding",
+          threshold = 0.9, planes = 64, bandBits = 16, maxBucket = 64)
+      },
       Some {
         val dot = (a: String, b: String) => OracleSql.orderedSum(
           s"list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
         s"""WITH signs(j, sg) AS (VALUES ${OracleSql.srpSignRows(64, 64, graft.functions.GraftMath.SrpSeed)}),
+           |aug AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(generate_series(1, len(embedding)), i ->
+           |      CASE WHEN i = 1 THEN CAST(0.0 AS FLOAT) ELSE embedding[i] END)
+           |  FROM embeddings WHERE vec_id < 50
+           |),
            |planar AS (
            |  SELECT e.vec_id AS id, s.j,
            |    ${OracleSql.orderedSum("list_transform(generate_series(1, 64), i -> sg[i] * CAST(embedding[i] AS DOUBLE))")} AS s
-           |  FROM embeddings e CROSS JOIN signs s
+           |  FROM aug e CROSS JOIN signs s
            |), sigs AS (
            |  SELECT id, SUM(CASE WHEN s > 0 THEN power(2::HUGEINT, j)::HUGEINT ELSE 0 END) AS sig
            |  FROM planar GROUP BY id
            |), banded AS (
-           |  SELECT id, b, (sig // power(2::HUGEINT, b * 4)::HUGEINT) % 16 AS band_val
-           |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+           |  SELECT id, b, (sig // power(2::HUGEINT, b * 16)::HUGEINT) % 65536 AS band_val,
+           |    COUNT(*) OVER (PARTITION BY b, (sig // power(2::HUGEINT, b * 16)::HUGEINT) % 65536) AS bucket_n
+           |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
            |), cand AS (
            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
            |  FROM banded a JOIN banded b ON a.b = b.b AND a.band_val = b.band_val AND a.id < b.id
+           |  WHERE a.bucket_n <= 64
            |), vecs AS (
            |  SELECT vec_id AS id, embedding AS v, sqrt(${dot("embedding", "embedding")}) AS nrm
-           |  FROM embeddings
+           |  FROM aug
            |)
            |SELECT id_a, id_b FROM (
            |  SELECT c.id_a, c.id_b, ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
            |  FROM cand c JOIN vecs a ON c.id_a = a.id JOIN vecs b ON c.id_b = b.id) t
-           |WHERE NOT isnan(sim) AND sim >= 0.4""".stripMargin
+           |WHERE NOT isnan(sim) AND sim >= 0.9""".stripMargin
       }
     ),
 
