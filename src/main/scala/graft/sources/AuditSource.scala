@@ -81,6 +81,60 @@ object AuditSource {
     df.filter(dateInPath === "" || dateInPath >= lit(minDate))
   }
 
+  /** Glob alternation matching exactly the level-1 directory names the
+    * min-date rule keeps, so a file source can prune at LISTING time
+    * without freezing the directory set:
+    *
+    *   - 8-digit names `>= minDate` lexicographically — one branch per
+    *     digit position (the standard prefix-range decomposition), so
+    *     day directories created AFTER stream start still match (unlike
+    *     an enumerate-the-survivors-at-start glob, which would go stale
+    *     the first midnight);
+    *   - every non-8-digit name and every name containing a non-digit
+    *     (the reference passes names that don't parse as dates,
+    *     `DateFileFilter.java:29-33`).
+    *
+    * Hadoop compiles `{a,b,...}` to ONE regex alternation, so a name
+    * matching several branches lists once — no duplicate reads.
+    *
+    * Documented divergence (shared with [[filterByPathDate]], which
+    * keys on the same 8-digit shape): an all-digit 8-char name that is
+    * lexicographically below minDate but NOT a parseable date (e.g.
+    * `00001332`) is pruned here, while `DateFileFilter`'s parse-check
+    * would keep it. Every parseable date compares identically
+    * (lexicographic == chronological for BASIC_ISO_DATE), and 8-digit
+    * non-dates ABOVE the min (`99999999`) pass both.
+    */
+  private[graft] def minDateGlob(minDate: String): String = {
+    require(minDate.matches("[0-9]{8}"),
+      s"audit.min_date must be BASIC_ISO_DATE (YYYYMMDD), got: $minDate")
+    val ge = minDate +: (0 until 8).collect {
+      case i if minDate(i) < '9' =>
+        minDate.take(i) + s"[${(minDate(i) + 1).toChar}-9]" + "[0-9]" * (7 - i)
+    }
+    val nonDate = (1 to 7).map("?" * _) ++ Seq("*[^0-9]*", "[0-9]" * 9 + "*")
+    (ge ++ nonDate).mkString("{", ",", "}")
+  }
+
+  /** Streaming source with ENUMERATION-time date pruning for bare
+    * `YYYYMMDD/` trees: the [[minDateGlob]] pattern rides the load path,
+    * so the file-stream source's recurring poll never lists — let alone
+    * splits or schedules — a below-min-date day directory, while new
+    * surviving days appearing later still match. This is the streaming
+    * twin of [[batchPruned]] (the reference prunes during every poll,
+    * `DateFileFilter.java:19-38` wired at `App.java:39-41`); the glob
+    * prunes the day level, and [[filterByPathDate]] composes on top when
+    * date dirs can also appear deeper in the tree.
+    */
+  def streamPruned(
+      spark: SparkSession,
+      path: String,
+      minDate: String,
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame =
+    stream(spark, s"${path.stripSuffix("/")}/${minDateGlob(minDate)}",
+      maxFilesPerTrigger)
+
   /** Enumeration-time pruning for bare `YYYYMMDD/` trees — full
     * `DateFileFilter` parity: the listing itself never descends into
     * below-min-date directories ([[DatePrunedFileIndex]]), so file

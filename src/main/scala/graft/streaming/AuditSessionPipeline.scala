@@ -158,8 +158,14 @@ object AuditSessionPipeline {
       .fold(builder.master("local[*]"))(_ => builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // min-date pruning happens at LISTING time on every poll (the glob
+    // skips dead day dirs, matching the reference's per-poll
+    // DateFileFilter); the row filter composes on top only for date
+    // dirs nested deeper than the day level.
     val lines = config.minDate match {
-      case Some(d) => AuditSource.filterByPathDate(AuditSource.stream(spark, config.auditPath), d)
+      case Some(d) =>
+        AuditSource.filterByPathDate(
+          AuditSource.streamPruned(spark, config.auditPath, d), d)
       case None => AuditSource.stream(spark, config.auditPath)
     }
     val out = formatted(lines, config.gapSeconds)

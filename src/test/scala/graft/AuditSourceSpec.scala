@@ -87,6 +87,48 @@ class AuditSourceSpec extends SparkSpec {
     assert(index.inputFiles.length == 1)
   }
 
+  test("minDateGlob keeps exactly the names the min-date rule keeps") {
+    val glob = AuditSource.minDateGlob("20240315")
+    val p = new org.apache.hadoop.fs.GlobPattern(glob)
+    val kept = Seq("20240315", "20240316", "20240399", "20241231", "20250101",
+      "21000101", "99999999", // 8-digit above min (even unparseable) pass
+      "notadate", "abc", "2024031", "202403157", "dt=20240101", "a20240101")
+    val pruned = Seq("20240314", "20240101", "19991231", "00000000")
+    kept.foreach(n => assert(p.matches(n), s"expected glob to keep $n"))
+    pruned.foreach(n => assert(!p.matches(n), s"expected glob to prune $n"))
+  }
+
+  test("streamPruned never lists below-min-date dirs; new day dirs arrive mid-stream") {
+    val root = Files.createTempDirectory("audits_stream").toFile
+    def writeDay(day: String, lines: Seq[String]): Unit = {
+      val dir = new java.io.File(root, day); dir.mkdirs()
+      Files.writeString(new java.io.File(dir, s"audit_${day}.log").toPath,
+        lines.mkString("", "\n", "\n"))
+    }
+    writeDay("20210101", Seq("old1", "old2")) // below min: must never be LISTED
+    writeDay("20210301", Seq("new1"))
+    writeDay("notadate", Seq("misc"))
+
+    // no row filter anywhere in this query: rows from 20210101 can only
+    // be absent if the source's listing itself pruned the directory
+    val lines = AuditSource.streamPruned(spark, root.getAbsolutePath, "20210201")
+    val query = lines.writeStream
+      .format("memory").queryName("stream_pruned_e2e")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val batch1 = spark.table("stream_pruned_e2e").collect().map(_.getString(0)).sorted.toSeq
+      assert(batch1 == Seq("misc", "new1"))
+
+      // dynamism: a day dir created AFTER stream start still matches the
+      // range glob (an enumerate-at-start glob would miss it)
+      writeDay("20210401", Seq("later1"))
+      query.processAllAvailable()
+      val batch2 = spark.table("stream_pruned_e2e").collect().map(_.getString(0)).sorted.toSeq
+      assert(batch2 == Seq("later1", "misc", "new1"))
+    } finally query.stop()
+  }
+
   test("hive-partitioned dt tree prunes via partition filter") {
     val root = Files.createTempDirectory("audits_dt").toFile
     for ((d, line) <- Seq("20210101" -> "old", "20210301" -> "new")) {
