@@ -216,6 +216,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Incremental maintenance of a persisted IVF layout: assign a DELTA
+    * batch of new vectors against the SAME coarse centroids the index
+    * was built with, and append them into the existing
+    * `partitionBy(centroid_id)` parquet tree. Because cell assignment
+    * is a pure function of (vector, centroids), append-then-probe is
+    * EXACTLY rebuild-from-scratch on the union — no re-clustering, no
+    * rewrite of existing cells; each appended file lands inside its
+    * cell's directory, so dynamic partition pruning keeps skipping
+    * non-probed cells afterwards (q_ann_ivf_incremental pins both the
+    * equality and the pruning).
+    *
+    * At 100 TB this is the index lifecycle primitive: the nightly new
+    * batch costs one broadcast argmax over the delta plus one
+    * partitioned write — the existing corpus is never read or shuffled.
+    * Compaction of small appended files (e.g. [[graft.operators
+    * .Multimodal.rebalanceBySize]]-style sizing, or a per-cell
+    * rewrite) and centroid re-training are separate, coarser-cadence
+    * jobs; drift between frozen centroids and new data shows up as
+    * recall decay in [[ivfProbeSweep]]'s regression numbers, which is
+    * the signal to retrain.
+    */
+  def appendToIndex(
+      delta: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String
+  ): Unit =
+    assignToCentroids(delta, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
   /** SemDeDup-style semantic deduplication: assign every vector to a
     * coarse centroid cell (broadcast argmax fold — zero corpus
     * shuffle), then compare ONLY within-cell pairs and drop any vector

@@ -528,6 +528,71 @@ object NorthStarQueries {
       }
     ),
 
+    // The persisted index's LIFECYCLE: build the layout from a 400-row
+    // base, append the remaining vectors as a delta batch against the
+    // SAME frozen centroids (Similarity.appendToIndex — one broadcast
+    // argmax over the delta + one partitioned append; the base is never
+    // re-read), then probe the grown index. The oracle is the plain
+    // rebuild-on-the-union semantics (identical SQL to q_ann_ivf), so a
+    // green hash pins append+probe == rebuild-from-scratch; the plan
+    // require pins that appended files still probe through dynamic
+    // partition pruning.
+    Q(
+      "q_ann_ivf_incremental",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val cents = emb.orderBy(col("vec_id")).limit(16)
+        val scratch = Q.scratch("ivfincr")
+        Similarity.assignToCentroids(
+            emb.filter(col("vec_id") < 400), cents, "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(scratch)
+        Similarity.appendToIndex(
+          emb.filter(col("vec_id") >= 400), cents, "vec_id", "embedding", scratch)
+        val indexed = spark.read.parquet(scratch)
+        val out = Similarity.ivfTopKIndexed(
+          indexed, emb.filter(col("vec_id") < 8), cents,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        val plan = out.queryExecution.executedPlan.toString
+        require(
+          plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("dynamicpruning")),
+          s"expected dynamic partition pruning on the appended centroid_id layout:\n$plan")
+        out
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+           |), assigned AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS nvec, cid AS centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) t
+           |  WHERE rn = 1
+           |), probes AS (
+           |  SELECT query_id, qvec, centroid_id FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) t
+           |  WHERE rn <= 4
+           |), scored AS (
+           |  SELECT p.query_id, a.neighbor_id, ${cos("p.qvec", "a.nvec")} AS sim
+           |  FROM probes p JOIN assigned a USING (centroid_id)
+           |  WHERE p.query_id <> a.neighbor_id
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+           |  FROM scored) t
+           |WHERE rnk <= 5""".stripMargin
+      }
+    ),
+
     // Oracle-safe despite the float threshold: the fixtures' closest
     // cosine sits ≥1e-4 from 0.45 while cross-engine sum-order noise is
     // ~1e-15, so the id set is stable. Verifier-scoped: the operator's

@@ -73,6 +73,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SRP recall $recall")
   }
 
+  test("appendToIndex: append+probe equals rebuild-from-scratch on the union") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.orderBy(col("vec_id")).limit(16)
+    val queries = emb.filter(col("vec_id") < 8)
+
+    val path = graft.queries.Q.scratch("ivf_append_spec")
+    Similarity.assignToCentroids(
+        emb.filter(col("vec_id") < 300), cents, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    Similarity.appendToIndex(
+      emb.filter(col("vec_id") >= 300), cents, "vec_id", "embedding", path)
+    val grown = Similarity.ivfTopKIndexed(
+      spark.read.parquet(path), queries, cents, "vec_id", "embedding", k = 5, nProbe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+
+    val rebuilt = Similarity.ivfTopKWith(
+      emb, queries, cents, "vec_id", "embedding", k = 5, nProbe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(grown == rebuilt)
+  }
+
   test("cosine near-dup pairs finds exactly the planted duplicate") {
     val d = vecs(
       1L -> Seq(1f, 2f, 3f),
