@@ -748,6 +748,54 @@ object ExtendedQueries {
       }
     ),
 
+    // The skew-hardened composition of the two samplers: sampleByHash
+    // pre-thins map-side (constant fraction, no shuffle), THEN
+    // capPerGroup ranks within groups — over a deliberately hot-keyed
+    // frame (~90% of events share one group). The plan REQUIREs the two
+    // facts that make this survive a pathological group at 100×:
+    // (1) the pre-thin hash filter evaluates at the SCAN (it appears in
+    // the FileScan's DataFilters — below any exchange), and (2) Spark
+    // plans a PARTIAL WindowGroupLimit below the shuffle, so each map
+    // task forwards at most n rows per group and the post-shuffle sort
+    // sees O(n · mapTasks) rows for the hot group, never its full mass.
+    Q(
+      "q_source_cap_hot",
+      (spark, dir) => {
+        val ev = Q.t(spark, dir, "events").select(
+          col("event_id"),
+          when(col("event_id") % 10 < 9, lit("hot"))
+            .otherwise(concat(lit("e"), (col("event_id") % 10).cast("string")))
+            .as("grp"))
+        val thinned = Sampling.sampleByHash(ev, "event_id", keepBuckets = 10)
+        val out = Sampling.capPerGroup(thinned, "grp", "event_id", n = 20)
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("row_number(), 20, Partial"),
+          s"expected a map-side (Partial) WindowGroupLimit below the exchange:\n$plan")
+        require(
+          plan.linesIterator.exists(l => l.contains("DataFilters") && l.contains("pmod")),
+          s"expected the sampleByHash pre-thin to evaluate at the scan:\n$plan")
+        out
+      },
+      Some {
+        val pm = s"(event_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH ev AS (
+           |  SELECT event_id,
+           |    CASE WHEN event_id % 10 < 9 THEN 'hot'
+           |         ELSE 'e' || CAST(event_id % 10 AS VARCHAR) END AS grp
+           |  FROM events
+           |), thin AS (
+           |  SELECT * FROM ev
+           |  WHERE ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 100 < 10
+           |)
+           |SELECT event_id, grp FROM (
+           |  SELECT event_id, grp, ROW_NUMBER() OVER (
+           |    PARTITION BY grp
+           |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, event_id ASC) AS rn
+           |  FROM thin) t
+           |WHERE rn <= 20""".stripMargin
+      }
+    ),
+
     // The space-saving heavy-hitters Aggregator as a driver query.
     // With capacity >= column cardinality the sketch is provably exact
     // (no eviction ever fires), so the oracle is plain frequency top-k;
