@@ -11,7 +11,12 @@ import graft.operators.{Dedup, Similarity}
   * candidate generation). Near-linear growth validates the bucket-join
   * design; super-linear growth flags a quadratic leak.
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir]
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [copies] [opPrefixes]
+  *   copies     comma-separated multipliers (default 1,2,4,8)
+  *   opPrefixes comma-separated probe-label prefixes to run (default all)
+  * e.g. `ScaleProbe /root/testdata/sf0.1 1,16,32 semantic_dedup,kmeans_update,ivf`
+  * extends the evidence two more octaves for selected operators without
+  * paying for the whole battery at x32.
   */
 object ScaleProbe {
 
@@ -30,6 +35,13 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 4, 8))
+    val opPrefixes = args.lift(2).map(_.split(",").map(_.trim).toSeq)
+    def selected(label: String): Boolean =
+      opPrefixes.forall(_.exists(label.startsWith))
+    def probe(label: String)(body: => Long): Unit =
+      if (selected(label)) time(label)(body)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,28 +54,29 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val events = graft.queries.Q.events(spark, sfDir)
+    var lastIndexPath: String = null // handoff from ivf_persist_build to _probe
 
-    Seq(1, 2, 4, 8).foreach { k =>
+    copies.foreach { k =>
       val d = replicate(docs, "doc_id", k)
       val e = replicate(emb, "vec_id", k)
-      time(s"minhash_lsh x$k") {
+      probe(s"minhash_lsh x$k") {
         Dedup.minhashLshPairs(d, "doc_id", "text").count()
       }
-      time(s"jaccard x$k") {
+      probe(s"jaccard x$k") {
         Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.4).count()
       }
-      time(s"jaccard_collapsed x$k") {
+      probe(s"jaccard_collapsed x$k") {
         Dedup.nearDupPairsCollapsed(d, "doc_id", "text", 3, 0.4).count()
       }
-      time(s"simhash_pairs x$k") {
+      probe(s"simhash_pairs x$k") {
         Dedup.simhashPairs(d, "doc_id", "text").count()
       }
-      time(s"srp_neardup x$k") {
+      probe(s"srp_neardup x$k") {
         Similarity.srpNearDupPairs(e, "vec_id", "embedding", 0.99).count()
       }
       // exact-collapse first, THEN clusters over the collapsed corpus —
       // the production composition; stays flat under replication
-      time(s"clusters_collapsed x$k") {
+      probe(s"clusters_collapsed x$k") {
         Dedup.nearDupClusters(
           Dedup.dropExactDuplicates(d, "doc_id", "text"),
           "doc_id", "text", 3, 0.4).count()
@@ -71,20 +84,20 @@ object ScaleProbe {
       // replicas of a doc share a base id → k "versions" per key; the
       // representative shape (many keys, bounded versions per key)
       val nDocs = docs.count() // outside the timed block: unrelated work
-      time(s"keep_latest x$k") {
+      probe(s"keep_latest x$k") {
         val versioned = d.withColumn("base_id",
           pmod(col("doc_id"), lit(nDocs)))
         Dedup.keepLatest(versioned, Seq("base_id"), Seq(col("doc_id").desc)).count()
       }
       // broadcast-screen decontamination: bench side fixed, corpus ×k —
       // must scale with the corpus scan, not the product
-      time(s"decontaminate x$k") {
+      probe(s"decontaminate x$k") {
         graft.operators.Decontaminate.contaminatedDocs(
           d, docs.filter(col("doc_id") < 50), "doc_id", "text", 5).count()
       }
       // fuzzy join runs on the DISTINCT vocabulary — replication must
       // not grow it (the dedupe-the-vocab-not-the-rows design)
-      time(s"fuzzy_names x$k") {
+      probe(s"fuzzy_names x$k") {
         val names = d.groupBy(col("text").substr(1, 20).as("name"))
           .agg(min(col("doc_id")).as("id"))
         graft.operators.FuzzyJoin.selfPairs(names, "id", "name", 2).count()
@@ -92,23 +105,23 @@ object ScaleProbe {
       // event ops replicated by USER (new user ids per copy): both are
       // key-partitioned — growth must be linear in users
       val ev = replicate(events, "user_id", k)
-      time(s"resample_ffill x$k") {
+      probe(s"resample_ffill x$k") {
         graft.operators.TimeSeries.resampleFfill(
           ev, "user_id", "ts", "value", "event_id", 3600L).count()
       }
-      time(s"funnel x$k") {
+      probe(s"funnel x$k") {
         graft.operators.Funnel.steps(
           ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase")).count()
       }
       // passage dedup: replicated docs contribute only duplicate
       // passages, so surviving rows stay FLAT while scan cost grows
       // linearly — the exact-collapse shape at sub-document granularity
-      time(s"passage_dedup x$k") {
+      probe(s"passage_dedup x$k") {
         Dedup.dedupPassages(d, "doc_id", "text", 32, 32).count()
       }
       // k-means assignment is map-side (broadcast centroid fold):
       // growth must track the scan alone, no shuffle to inflate
-      time(s"kmeans_assign x$k") {
+      probe(s"kmeans_assign x$k") {
         graft.operators.Clustering.assign(e, "vec_id", "embedding",
           graft.operators.Clustering.initialCentroids(
             emb, "vec_id", "embedding", 8)).count()
@@ -117,18 +130,45 @@ object ScaleProbe {
       // vector, so within-cell pair work grows k^2 per cell — the
       // survivors must stay FLAT (one per base vector) while the
       // candidate cost demonstrates why cell count is the scale dial
-      time(s"semantic_dedup x$k") {
+      probe(s"semantic_dedup x$k") {
         Similarity.semanticDedup(e,
           emb.orderBy(col("vec_id")).limit(64),
           "vec_id", "embedding", 0.99).count()
       }
       // production k-means update: one partial-aggregated shuffle,
       // scalar reducer state — growth must be linear in the scan
-      time(s"kmeans_update_scale x$k") {
+      probe(s"kmeans_update_scale x$k") {
         graft.operators.Clustering.updateStepAtScale(e, "vec_id", "embedding",
           graft.operators.Clustering.initialCentroids(
             emb, "vec_id", "embedding", 8)).count()
       }
+      // persisted IVF: index build+write grows with the corpus; the
+      // PROBE must stay ~flat — dynamic partition pruning reads only
+      // the probed cells regardless of total index size
+      probe(s"ivf_persist_build x$k") {
+        val path = graft.queries.Q.scratch(s"probe_ivfidx_x$k")
+        Similarity.assignToCentroids(
+            e, emb.orderBy(col("vec_id")).limit(16), "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        lastIndexPath = path
+        spark.read.parquet(path).count()
+      }
+      // (selecting this probe without ivf_persist_build builds untimed)
+      if (selected(s"ivf_persist_probe x$k") && lastIndexPath == null) {
+        val path = graft.queries.Q.scratch(s"probe_ivfidx_x$k")
+        Similarity.assignToCentroids(
+            e, emb.orderBy(col("vec_id")).limit(16), "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        lastIndexPath = path
+      }
+      probe(s"ivf_persist_probe x$k") {
+        Similarity.ivfTopKIndexed(
+          spark.read.parquet(lastIndexPath),
+          emb.filter(col("vec_id") < 8),
+          emb.orderBy(col("vec_id")).limit(16),
+          "vec_id", "embedding", k = 5, nProbe = 4).count()
+      }
+      lastIndexPath = null // next multiplier rebuilds at its own scale
     }
     spark.stop()
   }
