@@ -355,6 +355,65 @@ object TextAnalysis {
       .withColumn("avg_nll", col("nll") / col("n_tokens").cast("double"))
   }
 
+  /** Okapi BM25 document scores for a fixed query-term set — the
+    * retrieval-ranking step past [[tfidf]] (and the lexical half of a
+    * hybrid lexical+vector retriever next to [[Similarity.ivfTopKWith]]).
+    * Output: (id, bm25) for every document containing at least one
+    * query term.
+    *
+    *   bm25(d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * with the Lucene IDF variant idf = ln(1 + (N−df+0.5)/(df+0.5)) —
+    * always non-negative (classic Okapi goes negative for df > N/2,
+    * which on small vocabularies is every term). The ratio telescopes
+    * to (2N+2)/(2df+1), so idf = lnInt(2N+2) − lnInt(2df+1): every log
+    * is an integer-table read ([[LnTable]] — the cross-engine runtime-ln
+    * drift surface is zero), tf/df/dl/N are exact longs, avgdl is one
+    * deterministic double division, and the per-document sum folds over
+    * terms in sorted order — the whole score is bit-exact across
+    * engines for N ≤ (LnTableSize−2)/2.
+    *
+    * Plan shape: the term filter runs map-side BEFORE any aggregation
+    * (only query-term hits shuffle — at 100 TB the (id, term) partial
+    * agg carries a few rows per document, not the corpus's token
+    * stream); df and the corpus stats are broadcast back; document
+    * length dl comes from the same map-side tokenization, no second
+    * scan or join.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tot"))
+    val tf = base
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("__tot").cast("double") / col("__n").cast("double")
+    val idf = lnInt(lit(2L) * col("__n") + lit(2L)) -
+      lnInt(lit(2L) * col("df") + lit(1L))
+    val c = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"), c.as("c"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("c")))).as("cs"))
+      .select(col("id"),
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("c")).as("bm25"))
+  }
+
   /** TF-IDF terms per document: (doc id, term, tf, df, tfidf) with
     * tfidf = tf · ln(N / df). Two shuffles — term-per-doc counts, then
     * document frequencies — both partial-aggregated; N arrives as a

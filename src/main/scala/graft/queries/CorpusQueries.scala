@@ -196,6 +196,44 @@ object CorpusQueries {
       )
     ),
 
+    // Okapi BM25 (Lucene IDF variant) for a fixed query — the retrieval
+    // ranking past TF-IDF. Bit-exact gate: idf telescopes to
+    // lnInt(2N+2) − lnInt(2df+1) (pure table reads), tf/df/dl/N are
+    // longs, avgdl is one deterministic division, per-doc sums fold in
+    // term order, and both engines evaluate the identical literal
+    // arithmetic (k1=1.2, b=0.75 appear as the same IEEE ops in the
+    // same association order on both sides).
+    Q(
+      "q_bm25",
+      (spark, dir) =>
+        TextAnalysis.bm25(Q.t(spark, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("join", "vector", "stream"))
+          .withColumnRenamed("id", "doc_id"),
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l),
+           |base AS (SELECT doc_id AS id, $SqlToks AS t FROM documents),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len(t)) AS BIGINT) AS tot FROM base),
+           |tok AS (SELECT id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM base),
+           |tf AS (
+           |  SELECT id, dl, term, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ('join', 'vector', 'stream')
+           |  GROUP BY id, dl, term
+           |), dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           |contrib AS (
+           |  SELECT id, term,
+           |    (${lnSql("2 * n + 2")} - ${lnSql("2 * df + 1")})
+           |      * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+           |      / (CAST(tf AS DOUBLE)
+           |         + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS c
+           |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats CROSS JOIN lnt
+           |)
+           |SELECT id AS doc_id,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+           |              (a, b) -> a + b) AS bm25
+           |FROM contrib GROUP BY id""".stripMargin
+      )
+    ),
+
     // Lloyd assignment over the embeddings table: nearest of the k
     // lowest-id centroids (broadcast), per-vector argmin.
     Q(

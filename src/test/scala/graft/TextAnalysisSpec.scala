@@ -83,6 +83,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!counts.contains(("or", "not"))) // count 1 < floor
   }
 
+  test("bm25 matches the hand-computed Lucene-IDF formula on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("a", "b"))
+      .as[(Long, Double)].collect().toMap
+
+    // N=2, avgdl=2.5; idf = ln(2N+2) - ln(2df+1) from the shared table
+    def ln(k: Int) = TextAnalysis.LnTable(k - 1)
+    def term(tf: Long, df: Long, dl: Long): Double =
+      (ln(2 * 2 + 2) - ln(2 * df.toInt + 1)) * (tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * (dl.toDouble / (5.0 / 2.0))))
+    val d1 = term(tf = 2, df = 1, dl = 3) + term(tf = 1, df = 2, dl = 3) // a + b
+    val d2 = term(tf = 1, df = 2, dl = 2) // b only
+    assert(math.abs(got(1L) - d1) < 1e-12, s"${got(1L)} vs $d1")
+    assert(math.abs(got(2L) - d2) < 1e-12, s"${got(2L)} vs $d2")
+    // more query-term mass -> higher rank; doc without any term absent
+    assert(got(1L) > got(2L) && got.size == 2)
+  }
+
   test("tfidf: rare terms outscore ubiquitous ones; df/tf exact") {
     val docs = Seq(
       (1L, "apple apple banana common"),
