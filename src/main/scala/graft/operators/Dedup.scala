@@ -39,6 +39,44 @@ object Dedup {
     docs.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** The persistable side of incremental exact dedup: one digest row per
+    * distinct text. 32-byte rows — the index a 100 TB corpus keeps so
+    * nightly deltas never re-read the corpus ([[dedupDeltaExact]]);
+    * append each delta's surviving digests to keep it current.
+    */
+  def digestIndex(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("digest")).distinct()
+
+  /** Incremental exact dedup — the corpus-maintenance twin of
+    * [[Similarity.appendToIndex]]: screen a DELTA batch against a
+    * persisted [[digestIndex]] without touching the corpus itself.
+    * Survivors are the delta's within-batch first occurrences (min id
+    * per digest) whose digest is not already indexed; because the
+    * digest is a pure function of the text, this equals the delta-side
+    * survivors of re-running [[dropExactDuplicates]] on corpus ∪ delta
+    * (when corpus ids precede delta ids) — pinned by DedupSpec and the
+    * q_dedup_incremental gate.
+    *
+    * Cost ∝ delta size + one digest-keyed join against the index: the
+    * delta shuffles twice ((digest) agg, (id) semi join) and the index
+    * join is a digest equi-join — co-partitioned after one shuffle of
+    * 32-byte keys, broadcastable while the index is small. The corpus
+    * text is never re-read, which is the entire point at 100 TB.
+    */
+  def dedupDeltaExact(
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame
+  ): DataFrame = {
+    val canon = delta
+      .groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(index, Seq("digest"), "left_anti")
+      .select(col(idCol))
+    delta.join(canon, Seq(idCol), "left_semi")
+  }
+
   /** Passage-level dedup: chunk every document into `window`-token
     * passages at `stride` steps, fingerprint each passage
     * ([[TextAnalysis.fingerprint]] rolling hash), and keep the first

@@ -277,6 +277,51 @@ object NorthStarQueries {
       )
     ),
 
+    // Incremental exact dedup — the corpus-maintenance lifecycle: the
+    // <400 corpus is collapsed to a PERSISTED digest index; the delta
+    // (the remaining docs + planted cross-batch copies of corpus texts
+    // + planted within-delta copies) is screened against it without the
+    // corpus ever being re-read. Survivors must equal the delta-side
+    // survivors of a full rerun on the union (the oracle computes
+    // exactly that shape): planted cross-batch copies die on the index
+    // anti-join, within-delta copies die on the min-id group, fresh
+    // texts survive.
+    Q(
+      "q_dedup_incremental",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") < 400)
+        val fresh = docs.filter(col("doc_id") >= 400)
+        val crossDup = docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        val innerDup = fresh.filter(col("doc_id") < 420)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        val delta = fresh.unionAll(crossDup).unionAll(innerDup)
+        val scratch = Q.scratch("digidx")
+        Dedup.digestIndex(corpus, "text")
+          .write.mode("overwrite").parquet(scratch)
+        Dedup.dedupDeltaExact(delta, "doc_id", "text",
+          spark.read.parquet(scratch))
+      },
+      Some(
+        """WITH delta AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+          |  UNION ALL
+          |  SELECT doc_id + 200000, text FROM documents WHERE doc_id >= 400 AND doc_id < 420
+          |), idx AS (
+          |  SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id < 400
+          |), canon AS (
+          |  SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id
+          |  FROM delta GROUP BY 1
+          |)
+          |SELECT d.doc_id, d.text FROM delta d
+          |JOIN (SELECT doc_id FROM canon WHERE digest NOT IN (SELECT digest FROM idx)) k
+          |  USING (doc_id)""".stripMargin
+      )
+    ),
+
     Q(
       "q_dedup_jaccard",
       (spark, dir) =>

@@ -31,6 +31,42 @@ class DedupSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L)))
   }
 
+  test("incremental exact dedup equals a full rerun; index append composes") {
+    val corpus = docs(
+      1L -> "alpha beta gamma",
+      2L -> "old survivor text"
+    )
+    val delta1 = docs(
+      10L -> "alpha beta gamma",  // cross-batch dup -> index kills it
+      11L -> "brand new text",
+      12L -> "brand new text",    // within-delta dup -> min id wins
+      13L -> "another fresh one"
+    )
+    val path = graft.queries.Q.scratch("digidx_spec")
+    Dedup.digestIndex(corpus, "text").write.mode("overwrite").parquet(path)
+
+    val kept1 = Dedup.dedupDeltaExact(delta1, "doc_id", "text",
+      spark.read.parquet(path)).select("doc_id").as[Long].collect().sorted
+    assert(kept1.sameElements(Array(11L, 13L)))
+
+    // pinned equivalence: delta-side survivors of a full rerun on the union
+    val full = Dedup.dropExactDuplicates(corpus.unionAll(delta1), "doc_id", "text")
+      .filter(col("doc_id") >= 10L).select("doc_id").as[Long].collect().sorted
+    assert(kept1.sameElements(full))
+
+    // lifecycle: append delta1 survivors' digests, screen a second delta
+    Dedup.digestIndex(
+        delta1.filter(col("doc_id").isin(kept1: _*)), "text")
+      .write.mode("append").parquet(path)
+    val delta2 = docs(
+      20L -> "brand new text",      // dup of an APPENDED digest -> dropped
+      21L -> "genuinely second-wave"
+    )
+    val kept2 = Dedup.dedupDeltaExact(delta2, "doc_id", "text",
+      spark.read.parquet(path)).select("doc_id").as[Long].collect().sorted
+    assert(kept2.sameElements(Array(21L)))
+  }
+
   test("jaccard pairs: identical docs score 1.0, disjoint docs don't pair") {
     val d = docs(
       1L -> "one two three four five six",
