@@ -433,6 +433,58 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
   }
 
+  /** Merge MinHash signatures by elementwise min — THE sketch property
+    * that makes MinHash distributable and incremental: the min of two
+    * docs' signatures IS the signature of the union of their shingle
+    * sets (each lane is a min over a permutation — min distributes over
+    * set union), so per-shard / per-batch / per-group sketches combine
+    * into exact corpus-level sketches without revisiting any text.
+    * DedupSpec pins the property against the explode-and-min-the-union
+    * formulation. Output: one (groupCol, sigCol) row per group.
+    *
+    * Plan: k (lane, v) rows per input signature through one
+    * partial-aggregated shuffle — mins combine map-side, so reducer
+    * state is k longs per group regardless of group size.
+    */
+  def mergeSignatures(
+      sigs: DataFrame,
+      groupCol: String,
+      sigCol: String = "signature"
+  ): DataFrame =
+    sigs
+      .select(col(groupCol), posexplode(col(sigCol)).as(Seq("lane", "v")))
+      .groupBy(col(groupCol), col("lane"))
+      .agg(min(col("v")).as("v"))
+      .groupBy(col(groupCol))
+      .agg(transform(sort_array(collect_list(struct(col("lane"), col("v")))),
+        s => s("v")).as(sigCol))
+
+  /** Estimated Jaccard overlap between GROUPS from their merged
+    * signatures ([[mergeSignatures]]) — e.g. content overlap between
+    * crawl sources or corpus snapshots, estimated from k·8 bytes per
+    * group instead of a cross-corpus shingle join. Groups are few by
+    * construction, so the pair join is a broadcast of sketch rows.
+    * Output: (group_a, group_b, n_eq, est_jaccard) with group_a <
+    * group_b; est_jaccard = agreeing lanes / k.
+    */
+  def signatureOverlap(
+      merged: DataFrame,
+      groupCol: String,
+      sigCol: String = "signature"
+  ): DataFrame = {
+    val a = merged.select(col(groupCol).as("group_a"), col(sigCol).as("sig_a"))
+    val b = merged.select(col(groupCol).as("group_b"), col(sigCol).as("sig_b"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_eq"),
+        size(col("sig_a")).as("__k"))
+      .select(col("group_a"), col("group_b"), col("n_eq"),
+        (col("n_eq").cast("double") / col("__k").cast("double")).as("est_jaccard"))
+  }
+
   /** MinHash+LSH candidate pairs: band the k-wide signature into
     * `bands` bands of k/bands rows; docs sharing any full band land in
     * the same bucket; bucket join yields candidates; estimated Jaccard =

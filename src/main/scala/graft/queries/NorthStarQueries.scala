@@ -946,6 +946,40 @@ object NorthStarQueries {
       )
     ),
 
+    // Cross-source content overlap from MERGED MinHash sketches: the
+    // elementwise-min merge is exact (min distributes over shingle-set
+    // union), so per-source sketches estimate source-pair Jaccard from
+    // k·8 bytes per source — no cross-corpus shingle join. Everything
+    // integer until the final n_eq/k division; gate is bit-exact.
+    Q(
+      "q_source_overlap",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val sigs = Dedup
+          .minhashSignatures(docs, "doc_id", "text", n = 3, k = 32)
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        Dedup.signatureOverlap(
+          Dedup.mergeSignatures(sigs, "source"), "source")
+          .withColumnRenamed("group_a", "source_a")
+          .withColumnRenamed("group_b", "source_b")
+      },
+      Some(
+        s"""WITH $MinhashSigCtes, ssig AS (
+           |  SELECT d.source, j, MIN(s.sig[j + 1]) AS v
+           |  FROM sigs s JOIN documents d ON s.id = d.doc_id,
+           |       UNNEST(generate_series(0, 31)) AS u(j)
+           |  GROUP BY d.source, j
+           |), msig AS (
+           |  SELECT source, list(v ORDER BY j) AS sig FROM ssig GROUP BY source
+           |)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  CAST(len(list_filter(generate_series(1, 32), i -> a.sig[i] = b.sig[i])) AS BIGINT) AS n_eq,
+           |  CAST(len(list_filter(generate_series(1, 32), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+           |    / CAST(32 AS DOUBLE) AS est_jaccard
+           |FROM msig a JOIN msig b ON a.source < b.source""".stripMargin
+      )
+    ),
+
     // Corpus bigram counts (n-gram LM / collocation shape): one explode
     // + one partial-agg shuffle.
     Q(

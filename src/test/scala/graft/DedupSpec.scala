@@ -67,6 +67,35 @@ class DedupSpec extends SparkSpec {
     assert(kept2.sameElements(Array(21L)))
   }
 
+  test("mergeSignatures equals the signature of the unioned shingle sets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 32)
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+    val merged = Dedup.mergeSignatures(sigs, "source")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Long]]("signature").toSeq).toMap
+
+    // the union-set semantics, computed the explicit way: relabel ids to
+    // the group and let the explode+min formulation pool all shingles
+    val unioned = Dedup.minhashSignaturesAgg(
+        docs.select(col("source").as("gid"), col("text")), "gid", "text", n = 3, k = 32)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Long]]("signature").toSeq).toMap
+    assert(merged == unioned)
+
+    // overlap estimator: est = agreeing lanes / k, symmetric pairs a < b
+    val ov = Dedup.signatureOverlap(Dedup.mergeSignatures(sigs, "source"), "source")
+      .collect()
+    assert(ov.forall(r => r.getString(0) < r.getString(1)))
+    ov.foreach { r =>
+      val (a, b) = (merged(r.getString(0)), merged(r.getString(1)))
+      val eq = a.zip(b).count { case (x, y) => x == y }
+      assert(r.getAs[Long]("n_eq") == eq.toLong)
+      assert(r.getAs[Double]("est_jaccard") == eq.toDouble / 32.0)
+    }
+  }
+
   test("jaccard pairs: identical docs score 1.0, disjoint docs don't pair") {
     val d = docs(
       1L -> "one two three four five six",
