@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Normalize, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Normalize, Retrieval, TextAnalysis}
 
 /** Round-4 corpus-curation and embedding-clustering queries: character
   * entropy screens, cross-document boilerplate detection, unigram-LM
@@ -231,6 +231,80 @@ object CorpusQueries {
            |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
            |              (a, b) -> a + b) AS bm25
            |FROM contrib GROUP BY id""".stripMargin
+      )
+    ),
+
+    // Hybrid retrieval: BM25 lexical ranks fused with cosine vector
+    // ranks by reciprocal-rank fusion (score-free — ranks, not scores,
+    // are the common scale). Both lists are top-50 via parallel
+    // per-partition top-k (TakeOrderedAndProject; the rank window runs
+    // over 50 rows only), then RRF sums 1/(60+rank) in list-name order
+    // — one IEEE division of exact integers per contribution, so the
+    // fused doubles are bit-exact across engines.
+    Q(
+      "q_hybrid_retrieval",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val emb = Q.t(spark, dir, "embeddings")
+        val lex = Retrieval.topKRanked(
+          TextAnalysis.bm25(docs, "doc_id", "text",
+            queryTerms = Seq("join", "vector", "stream")),
+          Seq(col("bm25").desc, col("id").asc), k = 50)
+          .select(col("id").as("doc_id"), col("rank"))
+        val vec = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq("bm25" -> lex, "ann" -> vec), "doc_id")
+      },
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l),
+           |base AS (SELECT doc_id AS id, $SqlToks AS t FROM documents),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len(t)) AS BIGINT) AS tot FROM base),
+           |tok AS (SELECT id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM base),
+           |tf AS (
+           |  SELECT id, dl, term, COUNT(*) AS tf FROM tok
+           |  WHERE term IN ('join', 'vector', 'stream')
+           |  GROUP BY id, dl, term
+           |), dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           |contrib AS (
+           |  SELECT id, term,
+           |    (${lnSql("2 * n + 2")} - ${lnSql("2 * df + 1")})
+           |      * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+           |      / (CAST(tf AS DOUBLE)
+           |         + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS c
+           |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats CROSS JOIN lnt
+           |), bmscore AS (
+           |  SELECT id AS doc_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+           |                (a, b) -> a + b) AS bm25
+           |  FROM contrib GROUP BY id
+           |), lex AS (
+           |  SELECT doc_id, rnk AS rank FROM (
+           |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+           |    FROM bmscore) t
+           |  WHERE rnk <= 50
+           |), qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+           |vecr AS (
+           |  SELECT doc_id, rnk AS rank FROM (
+           |    SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY
+           |      list_sum(list_transform(list_zip(q.v, e.embedding),
+           |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+           |      e.vec_id ASC) AS rnk
+           |    FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0) t
+           |  WHERE rnk <= 50
+           |), tagged AS (
+           |  SELECT doc_id, 'bm25' AS src, rank FROM lex
+           |  UNION ALL
+           |  SELECT doc_id, 'ann' AS src, rank FROM vecr
+           |)
+           |SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(1.0e0 / (60.0e0 + CAST(rank AS DOUBLE)) ORDER BY src)),
+           |    (a, b) -> a + b) AS rrf,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lists
+           |FROM tagged GROUP BY doc_id""".stripMargin
       )
     ),
 
