@@ -34,6 +34,24 @@ object Normalize {
       count(lit(1)).as("__n"))
   }
 
+  /** Merge per-group moment tables by summation — the aggregation-
+    * lifecycle primitive: moments are EXACT integer sums, so corpus
+    * statistics maintained as (Σx, Σx², n) per group update under
+    * appends without rescanning the corpus — merge the persisted table
+    * with the delta batch's moments and the result is bit-identical to
+    * a full recompute (q_zscore_incremental pins this through the
+    * z-score chain). Cost ∝ group count, not data size.
+    */
+  def mergeMoments(groupCol: String, tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "mergeMoments: need at least one moments table")
+    tables.reduce(_ unionByName _)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__sx")).as("__sx"),
+        sum(col("__sx2")).as("__sx2"),
+        sum(col("__n")).as("__n"))
+  }
+
   /** Score rows against PRECOMPUTED moments — the stream-static shape:
     * moments come from a batch pass over the reference corpus and are
     * broadcast into the (possibly streaming) scoring pass, which stays

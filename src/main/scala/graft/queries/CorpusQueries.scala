@@ -452,6 +452,35 @@ object CorpusQueries {
       )
     ),
 
+    // Incremental statistics maintenance: per-language moments of the
+    // < 400 corpus are PERSISTED; the delta batch's moments merge in by
+    // exact integer summation (no corpus rescan), and the union
+    // z-scores against the merged table. Because (Σx, Σx², n) are
+    // exact longs, merged == full recompute bit-for-bit — the oracle
+    // IS the plain full-corpus z-score.
+    Q(
+      "q_zscore_incremental",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val scratch = Q.scratch("moments")
+        Normalize.groupMoments(
+            docs.filter(col("doc_id") < 400), "lang", "n_chars")
+          .write.mode("overwrite").parquet(scratch)
+        val merged = Normalize.mergeMoments("lang", Seq(
+          spark.read.parquet(scratch),
+          Normalize.groupMoments(
+            docs.filter(col("doc_id") >= 400), "lang", "n_chars")))
+        Normalize.zscoreAgainst(docs, merged, "lang", "n_chars",
+          keep = Seq("doc_id", "lang", "n_chars"))
+      },
+      Some(
+        s"""WITH $ZMomentsCte
+           |SELECT doc_id, lang, n_chars,
+           |  $ZScoreSql AS z
+           |FROM documents JOIN g USING (lang)""".stripMargin
+      )
+    ),
+
     // A full Lloyd iteration beyond q_kmeans_assign: update centroids
     // from the first assignment, then re-assign against them — pins
     // that iterative clustering composes without losing bit-exactness

@@ -101,6 +101,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(4L) === 0.0)
   }
 
+  test("mergeMoments: merged partial moments equal a full recompute bitwise") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = graft.operators.Normalize
+    val merged = n.mergeMoments("lang", Seq(
+      n.groupMoments(docs.filter(col("doc_id") < 250), "lang", "n_chars"),
+      n.groupMoments(docs.filter(col("doc_id") >= 250), "lang", "n_chars")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(key(merged) == key(n.groupMoments(docs, "lang", "n_chars")))
+
+    // and z-scores against merged moments equal the one-pass operator
+    val viaMerged = n.zscoreAgainst(docs, merged, "lang", "n_chars", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val onePass = n.zscoreByGroup(docs, "lang", "n_chars", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaMerged == onePass)
+  }
+
   test("unigramNll: rare tokens score higher; token counts are exact") {
     val df = Seq(
       (1L, "common common common common"),
