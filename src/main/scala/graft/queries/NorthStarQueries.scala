@@ -1318,6 +1318,101 @@ object NorthStarQueries {
            |  ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 64 AS shard
            |FROM capped SEMI JOIN semkeep USING (doc_id)""".stripMargin
       }
+    ),
+
+    // The INCREMENTAL curation flagship — the nightly delta batch
+    // through the corpus-maintenance stack: exact-dedup screen against
+    // the PERSISTED corpus digest index (cross-batch copies die without
+    // the corpus being re-read; within-batch copies die on min-id) →
+    // quality gate (lang agreement + token band + score) → benchmark
+    // decontamination (broadcast shingle screen vs the bench set) →
+    // per-source cap. Plan: delta-only shuffles + one digest join
+    // against the index + map-side screens; corpus text is never
+    // scanned. The batch twin of what a streaming ingest pipeline runs
+    // per micro-batch.
+    Q(
+      "q_delta_pipeline",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val cols = Seq("doc_id", "text", "lang", "source")
+        val fresh = docs.filter(col("doc_id") >= 400).select(cols.map(col): _*)
+        val crossDup = docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            col("text"), col("lang"), col("source"))
+        val innerDup = fresh.filter(col("doc_id") < 420)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            col("text"), col("lang"), col("source"))
+        val delta = fresh.unionAll(crossDup).unionAll(innerDup)
+        val scratch = Q.scratch("digidx_pipe")
+        Dedup.digestIndex(docs.filter(col("doc_id") < 400), "text")
+          .write.mode("overwrite").parquet(scratch)
+        val screened = Dedup.dedupDeltaExact(delta, "doc_id", "text",
+          spark.read.parquet(scratch))
+        val quality = screened.filter(
+          TextAnalysis.langId(col("text")) === col("lang") &&
+            TextAnalysis.tokenCount(col("text")).between(8, 4096) &&
+            TextAnalysis.qualityScore(col("text")) >= 0.5)
+        val contaminated = Decontaminate.contaminatedDocs(
+            quality, docs.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
+          .select(col("id").as("doc_id"))
+        val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+        Sampling.capPerGroup(clean, "source", "doc_id", n = 10)
+          .select(col("doc_id"), col("source"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH delta AS (
+           |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 400
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id < 30
+           |  UNION ALL
+           |  SELECT doc_id + 200000, text, lang, source FROM documents WHERE doc_id >= 400 AND doc_id < 420
+           |), idx AS (
+           |  SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id < 400
+           |), screened AS (
+           |  SELECT d.* FROM delta d
+           |  JOIN (SELECT MIN(doc_id) AS doc_id FROM delta GROUP BY sha256(text)) c USING (doc_id)
+           |  WHERE sha256(d.text) NOT IN (SELECT digest FROM idx)
+           |), m AS (
+           |  SELECT doc_id, source, lang, text,
+           |    $LangCaseSql AS lang_pred,
+           |    $QualityMetricsSql
+           |  FROM screened
+           |), qf AS (
+           |  SELECT doc_id, source, text FROM m
+           |  WHERE lang_pred = lang AND n_tok BETWEEN 8 AND 4096
+           |    AND $QualityScoreSql >= 0.5
+           |), qtoks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM qf
+           |), btoks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM documents WHERE doc_id < 20
+           |), qsh AS (
+           |  SELECT DISTINCT id,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM qtoks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+           |), bench AS (
+           |  SELECT DISTINCT
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM btoks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+           |), clean AS (
+           |  SELECT doc_id, source FROM qf
+           |  WHERE doc_id NOT IN (SELECT DISTINCT id FROM qsh JOIN bench USING (sh))
+           |)
+           |SELECT doc_id, source FROM (
+           |  SELECT doc_id, source, ROW_NUMBER() OVER (
+           |    PARTITION BY source
+           |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |  FROM clean) t
+           |WHERE rn <= 10""".stripMargin
+      }
     )
   )
 }
