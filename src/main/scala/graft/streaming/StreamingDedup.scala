@@ -78,6 +78,35 @@ object StreamingDedup {
           col("phash"))
   }
 
+  /** Stream-static EXACT-dedup screen — drop arriving rows whose text
+    * digest already exists in the persisted corpus index
+    * ([[graft.operators.Dedup.digestIndex]]): the ingest-side half of
+    * incremental exact dedup ([[graft.operators.Dedup.dedupDeltaExact]]
+    * is the batch-delta shape). Stateless by construction — a
+    * stream-static left-anti join on the digest runs in Append mode
+    * with no watermark and no streaming state; the index side is read
+    * once per micro-batch planning, so appends to the index are picked
+    * up by file-source refresh semantics, not by stream state.
+    *
+    * Within-stream repeats are a separate concern by design (state vs
+    * statelessness): compose with [[exact]] or [[withinWatermark]] on
+    * the digest column when first-arrival semantics across the stream
+    * itself are needed.
+    */
+  def digestScreen(
+      incoming: DataFrame,
+      index: DataFrame,
+      textCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sha2}
+    val dcol = Iterator.iterate("__digest")(_ + "_")
+      .dropWhile(incoming.columns.contains).next()
+    incoming
+      .withColumn(dcol, sha2(col(textCol), 256))
+      .join(index.select(col("digest").as(dcol)), Seq(dcol), "left_anti")
+      .drop(dcol)
+  }
+
   /** Stream-static semantic screen — drop arriving vectors that are
     * near-duplicates (cosine ≥ `threshold`) of the EXISTING corpus,
     * the production shape of [[graft.operators.Similarity.semanticDedup]]

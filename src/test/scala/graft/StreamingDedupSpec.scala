@@ -65,6 +65,39 @@ class StreamingDedupSpec extends SparkSpec {
     assert(StreamingDedup.exact(df, Seq("event_id")).count() == 2)
   }
 
+  test("digest screen drops arriving rows already in the static index, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val path = graft.queries.Q.scratch("digidx_stream")
+    graft.operators.Dedup.digestIndex(corpus, "text")
+      .write.mode("overwrite").parquet(path)
+
+    val in = MemoryStream[(Long, String)]
+    val screened = StreamingDedup.digestScreen(
+      in.toDF().toDF("doc_id", "text"), spark.read.parquet(path), "text")
+    // stateless: Append mode with no watermark must be accepted
+    val q = screened.writeStream
+      .format("memory").queryName("digest_screen_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((10L, "seen before"), (11L, "novel text"))
+      q.processAllAvailable()
+      in.addData((12L, "also seen"), (13L, "another novel"))
+      q.processAllAvailable()
+      val rows = spark.table("digest_screen_out")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.map(_._1).sameElements(Array(11L, 13L)))
+    } finally q.stop()
+
+    // batch twin: same function, same survivors
+    val batch = Seq((10L, "seen before"), (11L, "novel text")).toDF("doc_id", "text")
+    val kept = StreamingDedup.digestScreen(batch, spark.read.parquet(path), "text")
+      .select("doc_id").as[Long].collect()
+    assert(kept.sameElements(Array(11L)))
+  }
+
   test("semantic screen drops stream vectors near-duplicating the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     // static corpus + axis centroids (same fixture shape as
