@@ -40,4 +40,135 @@ object Quantize {
     */
   def fromInt8(qvecCol: String, scaleCol: String): Column =
     transform(col(qvecCol), q => q.cast("double") * col(scaleCol))
+
+  // ------------------------------------------------- product quantization
+
+  /** Product-quantization codebooks: split the `dim`-dimensional space
+    * into `subspaces` blocks and take the first `nCodes` vectors' (by
+    * id) subvectors as each block's code centroids — the deterministic
+    * stand-in for per-subspace k-means that keeps results reproducible
+    * (swap in [[Clustering]]-trained sub-centroids at deployment, the
+    * same composition [[Similarity.ivfTopKWith]] documents). Output:
+    * (sub, code, centroid) — subspaces·nCodes tiny rows, broadcastable.
+    *
+    * PQ is the 100 TB embedding-store compression lever: a 64-float
+    * vector becomes `subspaces` small codes (here 8 bytes at
+    * nCodes ≤ 256), an 8-32× shrink of the stored corpus AND of every
+    * shuffle that moves it; search runs against per-query lookup
+    * tables ([[pqAdcTopK]]) instead of raw vectors.
+    */
+  def pqCodebooks(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      subspaces: Int,
+      nCodes: Int
+  ): DataFrame = {
+    require(dim % subspaces == 0, "subspaces must divide dim")
+    val d = dim / subspaces
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cid"))
+    vecs.orderBy(col(idCol)).limit(nCodes)
+      .select(col(idCol).as("cid"), col(vecCol).as("v"))
+      // nCodes rows: the single-partition rank window is bounded
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .select(col("code"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(col("v"), s * lit(d) + lit(1), lit(d))))
+          .as(Seq("sub", "centroid")))
+      .select(col("sub"), col("code"), col("centroid"))
+  }
+
+  /** Argmin fold over a code-ascending centroid array: smallest-code
+    * tie-break, same shape as the [[Clustering]] assignment fold —
+    * map-side, inside codegen, zero shuffles on the vector side.
+    */
+  private def nearestCode(subvec: Column, cents: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(Double.MaxValue).as("dist2"), lit(-1L).as("code")),
+      (best, c) => {
+        val dd = Clustering.squaredDistance(subvec, c("centroid"))
+        when(dd < best("dist2"), struct(dd.as("dist2"), c("code").as("code")))
+          .otherwise(best)
+      })("code")
+
+  /** PQ-encode every vector: per subspace, the code of the nearest
+    * sub-centroid (L2, smallest-code tie-break). Output: (id, sub,
+    * code) — `subspaces` rows per vector of two small longs, the
+    * compressed index a PQ store persists instead of the vectors.
+    * Broadcast codebooks + map-side fold: the corpus never shuffles.
+    */
+  def pqEncode(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      subspaces: Int
+  ): DataFrame = {
+    require(dim % subspaces == 0, "subspaces must divide dim")
+    val d = dim / subspaces
+    val cb = codebooks.groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("code"), col("centroid"))))
+        .as("cents"))
+    vecs
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(col(vecCol), s * lit(d) + lit(1), lit(d))))
+          .as(Seq("sub", "subvec")))
+      .join(broadcast(cb), "sub")
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        nearestCode(col("subvec"), col("cents")).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * query precomputes a (sub, code) → squared-distance lookup table
+    * against the codebooks (queries·subspaces·nCodes tiny rows,
+    * broadcast); a corpus vector's approximate distance is the sum of
+    * its codes' table entries, folded in subspace order so the double
+    * is engine-exact. Output: (query_id, neighbor_id, rank) by
+    * ascending ADC distance, id tie-break.
+    *
+    * The scale shape PQ exists for: the corpus side touches only its
+    * (id, sub, code) rows — the raw vectors never load, never shuffle —
+    * and per-query work is a broadcast-join + one partial-agg shuffle
+    * of code rows. Recall < 1 by construction (quantization error);
+    * QuantizeSpec pins it against the exact baseline.
+    */
+  def pqAdcTopK(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      subspaces: Int,
+      k: Int
+  ): DataFrame = {
+    require(dim % subspaces == 0, "subspaces must divide dim")
+    val d = dim / subspaces
+    val dtab = queries
+      .select(col(idCol).as("query_id"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(col(vecCol), s * lit(d) + lit(1), lit(d))))
+          .as(Seq("sub", "qsub")))
+      .join(codebooks.withColumn("sub", col("sub").cast("int")), "sub")
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
+        Clustering.squaredDistance(col("qsub"), col("centroid")).as("dd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("sub"), col("dd"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("dd")))).as("ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x("dd")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Normalize, Retrieval, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Normalize, Quantize, Retrieval, TextAnalysis}
 
 /** Round-4 corpus-curation and embedding-clustering queries: character
   * entropy screens, cross-document boilerplate detection, unigram-LM
@@ -125,6 +125,44 @@ object CorpusQueries {
        |  SELECT cluster_id, list(centroid_v ORDER BY lane) AS centroid
        |  FROM upd GROUP BY cluster_id
        |), ${assignCtes("cent2", "2")}""".stripMargin
+
+  /** Lane-ordered squared-L2 fold between two 8-long FLOAT slices —
+    * mirrors [[Clustering.squaredDistance]] exactly (cast, diff, square,
+    * left-fold in lane order).
+    */
+  private def PqFold(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, 8), i ->
+       |        (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |        * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+       |      (x, y) -> x + y)""".stripMargin
+
+  /** Shared PQ CTE chain: codebooks (`cb(sub, code, centroid)` — the
+    * first-16-by-id vectors' 8-dim subvectors) and the encoded corpus
+    * (`codes(id, sub, code)` — argmin by (dist2, code)), mirroring
+    * [[Quantize.pqCodebooks]]/[[Quantize.pqEncode]] at dim 64,
+    * 8 subspaces, 16 codes.
+    */
+  private lazy val PqCtes: String =
+    s"""cb AS (
+       |  SELECT s.sub, c.code, c.v[s.sub * 8 + 1 : s.sub * 8 + 8] AS centroid
+       |  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+       |               embedding AS v
+       |        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) t0) c
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+       |), sv AS (
+       |  SELECT e.vec_id AS id, s.sub, e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS subvec
+       |  FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+       |), pqd AS (
+       |  SELECT sv.id, sv.sub, cb.code,
+       |    ${PqFold("sv.subvec", "cb.centroid")} AS dist2
+       |  FROM sv JOIN cb USING (sub)
+       |), codes AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT id, sub, code, ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist2, code) AS rn
+       |    FROM pqd) t
+       |  WHERE rn = 1
+       |)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -449,6 +487,66 @@ object CorpusQueries {
            |SELECT doc_id, lang, n_chars,
            |  $ZScoreSql AS z
            |FROM documents JOIN g USING (lang)""".stripMargin
+      )
+    ),
+
+    // Product-quantization encode: 8 subspaces × 16 deterministic
+    // sub-centroids (first-16-by-id subvectors); per (vector, subspace)
+    // the nearest code by L2, smallest-code tie-break — the broadcast
+    // argmin fold, corpus never shuffles. 64 floats become 8 codes:
+    // the PQ store's compressed index. Distances are lane-ordered
+    // folds, bit-exact cross-engine (same discipline as q_kmeans_assign).
+    Q(
+      "q_pq_encode",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        Quantize.pqEncode(emb, "vec_id", "embedding",
+          Quantize.pqCodebooks(emb, "vec_id", "embedding",
+            dim = 64, subspaces = 8, nCodes = 16),
+          dim = 64, subspaces = 8)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some(s"WITH $PqCtes SELECT id AS vec_id, CAST(sub AS BIGINT) AS sub, code FROM codes")
+    ),
+
+    // PQ asymmetric-distance search: each query's (sub, code) lookup
+    // table joins the code rows — the raw corpus vectors never load.
+    // Approximate distance = the table entries summed in subspace
+    // order (bit-exact fold); rank by (adc, id). QuantizeSpec pins
+    // recall against the exact baseline.
+    Q(
+      "q_pq_adc",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val cb = Quantize.pqCodebooks(emb, "vec_id", "embedding",
+          dim = 64, subspaces = 8, nCodes = 16)
+        Quantize.pqAdcTopK(
+          Quantize.pqEncode(emb, "vec_id", "embedding", cb, dim = 64, subspaces = 8),
+          cb, emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          dim = 64, subspaces = 8, k = 10)
+      },
+      Some(
+        s"""WITH $PqCtes, qs AS (
+           |  SELECT q.vec_id AS query_id, s.sub, q.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsub
+           |  FROM embeddings q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |  WHERE q.vec_id < 4
+           |), dtab AS (
+           |  SELECT qs.query_id, qs.sub, cb.code,
+           |    ${PqFold("qs.qsub", "cb.centroid")} AS dd
+           |  FROM qs JOIN cb USING (sub)
+           |), adc AS (
+           |  SELECT d.query_id, c.id AS neighbor_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.dd ORDER BY d.sub)),
+           |                (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN dtab d ON c.sub = d.sub AND c.code = d.code
+           |  WHERE d.query_id <> c.id
+           |  GROUP BY d.query_id, c.id
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk
+           |  FROM adc) t
+           |WHERE rnk <= 10""".stripMargin
       )
     ),
 

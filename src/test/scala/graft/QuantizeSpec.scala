@@ -43,4 +43,53 @@ class QuantizeSpec extends SparkSpec {
       }
     }
   }
+
+  test("pqEncode assigns each subvector its nearest sub-centroid") {
+    // 1-D subspaces make the argmin hand-checkable: dim 4, 4 subspaces,
+    // codebooks from the first 2 vectors by id
+    val d = Seq(
+      (1L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.2f, 0.8f))
+    ).toDF("id", "vec")
+    val cb = Quantize.pqCodebooks(d, "id", "vec", dim = 4, subspaces = 4, nCodes = 2)
+    val codes = Quantize.pqEncode(d.filter(col("id") === 3L), "id", "vec", cb,
+      dim = 4, subspaces = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // 0.1->code0(0.0), 0.9->code1(1.0), 0.2->code1? sub2 centroids are
+    // (v1[3]=1.0 code0, v2[3]=0.0 code1): 0.2 nearer 0.0 -> code 1
+    assert(codes == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("pqAdcTopK recalls most exact neighbors on the fixture corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val cb = Quantize.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, subspaces = 8, nCodes = 16)
+    val codes = Quantize.pqEncode(emb, "vec_id", "embedding", cb,
+      dim = 64, subspaces = 8)
+    val approx = Quantize.pqAdcTopK(codes, cb, queries, "vec_id", "embedding",
+      dim = 64, subspaces = 8, k = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    // exact L2 top-5 (ADC approximates L2, not cosine)
+    val withNorm = emb.select(col("vec_id"), col("embedding"))
+    val exact = withNorm.as("a").crossJoin(withNorm.as("b"))
+      .filter(col("a.vec_id") < 8 && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("n"),
+        graft.operators.Clustering.squaredDistance(
+          col("a.embedding"), col("b.embedding")).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+          .orderBy(col("d2").asc, col("n").asc)))
+      .filter(col("rank") <= 5)
+      .select("q", "n").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    // quantized recall@20 of the exact top-5: well above the ~4% chance rate
+    val recalls = exact.map { case (q, e) => e.count(approx(q).contains).toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"PQ-ADC mean recall $mean")
+  }
 }
