@@ -300,6 +300,45 @@ object TextAnalysis {
         i => array_join(slice(toks, i, lit(n)), " "))))
   }
 
+  /** Bigram-conditional surprisal per document — the KenLM-style
+    * perplexity-proxy one order above [[unigramSurprisal]]: a document
+    * whose ADJACENT TOKEN PAIRS are globally rare (even when each token
+    * is common) scores high — the incoherent-text signal unigram models
+    * miss. The fully-pinned components: (id, n_bigrams, nll2_tab) with
+    *
+    *   nll2_tab = Σ_{doc's distinct (w1,w2)} tf·(lnInt(c1(w1)) − lnInt(c2(w1,w2)))
+    *
+    * where c2 = corpus occurrences of the pair and c1 = corpus
+    * occurrences of w1 as a bigram prefix — i.e. Σ tf·(−ln P(w2|w1))
+    * under the MLE bigram model, ≥ 0, higher = more surprising. Every ln is a
+    * [[LnTable]] read — zero runtime logs, bit-exact cross-engine
+    * while corpus counts stay ≤ [[LnTableSize]] (beyond the table the
+    * fallback is best-effort, same contract as [[lnInt]]); the per-doc
+    * sum folds over pairs in sorted order.
+    *
+    * Plan: two partial-agg shuffles (per-doc pair counts, corpus pair
+    * counts), a pair-keyed join; c1 derives from c2 by one more partial
+    * agg on the prefix — never a second scan of the corpus.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    tf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("id"), col("w1"), col("w2"), col("tf"),
+        (col("tf").cast("double") * (lnInt(col("n1")) - lnInt(col("n2")))).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("c")))).as("cs"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(
+        col("id"), col("n_bigrams"),
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("c")).as("nll2_tab"))
+  }
+
   /** Corpus-unigram negative log-likelihood per document — the
     * perplexity-proxy quality score (documents whose tokens are globally
     * rare score high). nll = Σ_tokens −ln(count(term)/N) computed as

@@ -234,6 +234,38 @@ object CorpusQueries {
       )
     ),
 
+    // Bigram-conditional surprisal (KenLM-proxy, one order above
+    // q_unigram_nll): -ln P(w2|w1) summed over a doc's pairs — the
+    // incoherent-text signal unigram models miss. Gate compares the
+    // fully-pinned (n_bigrams, nll2_tab): every ln is a table read,
+    // per-doc fold in (w1, w2) order.
+    Q(
+      "q_bigram_nll",
+      (spark, dir) =>
+        TextAnalysis.bigramSurprisal(Q.t(spark, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id"),
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l),
+           |bg AS (
+           |  SELECT doc_id AS id, t[i] AS w1, t[i + 1] AS w2
+           |  FROM (SELECT doc_id, $SqlToks AS t FROM documents),
+           |       UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+           |), tf AS (
+           |  SELECT id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY id, w1, w2
+           |), c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS n2 FROM tf GROUP BY w1, w2),
+           |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+           |contrib AS (
+           |  SELECT id, w1, w2, tf,
+           |    CAST(tf AS DOUBLE) * (${lnSql("n1")} - ${lnSql("n2")}) AS c
+           |  FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN lnt
+           |)
+           |SELECT id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY w1, w2)),
+           |              (a, b) -> a + b) AS nll2_tab
+           |FROM contrib GROUP BY id""".stripMargin
+      )
+    ),
+
     // Okapi BM25 (Lucene IDF variant) for a fixed query — the retrieval
     // ranking past TF-IDF. Bit-exact gate: idf telescopes to
     // lnInt(2N+2) − lnInt(2df+1) (pure table reads), tf/df/dl/N are

@@ -101,6 +101,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(4L) === 0.0)
   }
 
+  test("bigramSurprisal: rare pairs of common tokens score high; counts exact") {
+    // every token is globally common; doc 3's PAIRS are novel
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b a b a b"),
+      (3L, "b a b a b a") // reversed order -> mostly unseen-direction pairs? no: "b a" occurs in 1,2 too
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll2_tab"))).toMap
+    assert(out.values.forall(_._1 == 5L)) // 6 tokens -> 5 bigrams each
+    assert(out.values.forall(_._2 >= 0.0)) // -ln P is non-negative
+    // hand-check doc 1: pairs (a,b)x3, (b,a)x2; corpus c2(a,b)=8, c2(b,a)=7,
+    // c1(a)=8, c1(b)=7 -> nll = 3(ln8-ln8) + 2(ln7-ln7) = 0 (P=1 chains)
+    def ln(k: Int) = TextAnalysis.LnTable(k - 1)
+    assert(out(1L)._2 == 3.0 * (ln(8) - ln(8)) + 2.0 * (ln(7) - ln(7)))
+
+    // a genuinely rare pair: same tokens, one novel adjacency
+    val df2 = Seq(
+      (1L, "x y x y x y"), (2L, "x y x y x y"), (3L, "y y x y x y")
+    ).toDF("doc_id", "text")
+    val out2 = TextAnalysis.bigramSurprisal(df2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("nll2_tab")).toMap
+    assert(out2(3L) > out2(1L)) // doc 3 pays for the (y,y) novelty
+  }
+
   test("mergeMoments: merged partial moments equal a full recompute bitwise") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = graft.operators.Normalize
