@@ -153,6 +153,30 @@ object ScaleProbe {
         lastIndexPath = path
         spark.read.parquet(path).count()
       }
+      // BM25: query-term filter runs map-side, stats broadcast — growth
+      // must track the scan, not the token stream
+      probe(s"bm25 x$k") {
+        graft.operators.TextAnalysis.bm25(
+          d, "doc_id", "text", Seq("join", "vector", "stream")).count()
+      }
+      // incremental exact dedup: delta fixed, index ×k — cost must
+      // track the delta + a digest join, never re-reading the corpus
+      probe(s"dedup_delta x$k") {
+        val idx = Dedup.digestIndex(d, "text")
+        Dedup.dedupDeltaExact(
+          docs.limit(200), "doc_id", "text", idx).count()
+      }
+      // PQ encode: broadcast codebooks, map-side argmin — linear scan
+      probe(s"pq_encode x$k") {
+        graft.operators.Quantize.pqEncode(e, "vec_id", "embedding",
+          graft.operators.Quantize.pqCodebooks(emb, "vec_id", "embedding", 64, 8, 16),
+          64, 8).count()
+      }
+      // bigram surprisal: two partial-agg shuffles over pair counts —
+      // replicas add tf mass, distinct pairs stay flat
+      probe(s"bigram_nll x$k") {
+        graft.operators.TextAnalysis.bigramSurprisal(d, "doc_id", "text").count()
+      }
       // (selecting this probe without ivf_persist_build builds untimed)
       if (selected(s"ivf_persist_probe x$k") && lastIndexPath == null) {
         val path = graft.queries.Q.scratch(s"probe_ivfidx_x$k")
