@@ -138,4 +138,66 @@ class CurationPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------------------- dedupDeltaExact
+
+  // small text alphabet forces plenty of cross- and within-batch
+  // duplicates; disjoint id ranges mimic corpus-before-delta ingest order
+  private val docGen = for {
+    id <- Gen.choose(0L, 300L)
+    text <- Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+  } yield (id, text)
+
+  private val splitCorpusGen = for {
+    corpus <- Gen.listOf(docGen).map(_.distinctBy(_._1))
+    delta <- Gen.nonEmptyListOf(docGen)
+      .map(_.distinctBy(_._1).map { case (id, t) => (id + 1000L, t) })
+  } yield (corpus, delta)
+
+  test("dedupDeltaExact == delta-side survivors of a full union rerun") {
+    import graft.operators.Dedup
+    forAllSamples(splitCorpusGen, 12) { case (corpus, delta) =>
+      val corpusDf = corpus.toDF("doc_id", "text")
+      val deltaDf = delta.toDF("doc_id", "text")
+      val screened = Dedup.dedupDeltaExact(
+        deltaDf, "doc_id", "text", Dedup.digestIndex(corpusDf, "text"))
+        .as[(Long, String)].collect().toSet
+
+      // independent in-JVM reimplementation on the union
+      val union = corpus ++ delta
+      val survivors = union.groupBy(_._2).values.map(_.minBy(_._1)).toSet
+      val expected = survivors.filter(_._1 >= 1000L)
+      assert(screened == expected)
+    }
+  }
+
+  // ------------------------------------------------------- mergeSignatures
+
+  test("mergeSignatures: lane-min over member signatures, any grouping") {
+    import graft.operators.Dedup
+    val docTextGen = for {
+      id <- Gen.choose(0L, 60L)
+      grp <- Gen.oneOf("x", "y", "z")
+      ws <- Gen.listOfN(6, Gen.oneOf("ga", "gb", "gc", "gd", "ge"))
+    } yield (id, grp, ws.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docTextGen).map(_.distinctBy(_._1))
+
+    forAllSamples(corpusGen, 8) { rows =>
+      val df = rows.toDF("doc_id", "grp", "text")
+      val sigs = Dedup.minhashSignatures(df, "doc_id", "text", n = 3, k = 8)
+        .join(df.select(col("doc_id").as("id"), col("grp")), "id")
+      val perDoc = sigs.collect().map(r =>
+        r.getAs[String]("grp") ->
+          r.getAs[scala.collection.Seq[Long]]("signature").toSeq).toSeq
+      val merged = Dedup.mergeSignatures(sigs, "grp")
+        .collect().map(r => r.getString(0) ->
+          r.getAs[scala.collection.Seq[Long]]("signature").toSeq).toMap
+
+      perDoc.groupBy(_._1).foreach { case (g, members) =>
+        val laneMin = members.map(_._2).transpose.map(_.min)
+        assert(merged(g) == laneMin, s"group $g")
+      }
+      assert(merged.keySet == perDoc.map(_._1).toSet)
+    }
+  }
 }
