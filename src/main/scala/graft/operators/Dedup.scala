@@ -77,6 +77,54 @@ object Dedup {
     delta.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Incremental NEAR-dup screening — the MinHash analog of
+    * [[dedupDeltaExact]]: screen a delta batch against a PERSISTED
+    * signature index (the (id, signature) output of
+    * [[minhashSignatures]] — k·8 bytes per corpus doc, the only state
+    * near-dup maintenance needs; the corpus text is never re-read).
+    * A delta doc is dropped when it shares an LSH band with an indexed
+    * doc AND the full-signature agreement estimates Jaccard ≥
+    * `threshold`. Survivors keep all delta columns.
+    *
+    * Plan: delta signatures are one map-side codegen pass; both sides
+    * explode `bands` tiny (band, value) rows and meet in ONE equi-join
+    * on the band key — only signatures shuffle. Within-delta near-dups
+    * are a separate concern by design (screen semantics): compose with
+    * [[minhashLshPairs]] over the delta when needed. Threshold note:
+    * est_jaccard is an exact rational (agreeing lanes / k), so
+    * comparisons against representable thresholds (16/32 = 0.5) are
+    * deterministic across engines.
+    */
+  def neardupDeltaScreen(
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      n: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    def banded(sigs: DataFrame, idAs: String, sigAs: String) =
+      sigs.select(col("id").as(idAs), col("signature").as(sigAs),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("signature"), b * lit(rows) + lit(1), lit(rows))))
+          .as(Seq("band", "band_val")))
+    val cand = banded(minhashSignatures(delta, idCol, textCol, n, k), "did", "dsig")
+      .join(banded(index, "cid", "csig"), Seq("band", "band_val"))
+      .select(col("did"), col("dsig"), col("cid"), col("csig"))
+      .distinct()
+    val dropped = cand
+      .withColumn("n_eq",
+        size(filter(zip_with(col("dsig"), col("csig"), (x, y) => x === y), e => e)))
+      .filter(col("n_eq").cast("double") / lit(k.toDouble) >= threshold)
+      .select(col("did").as(idCol))
+      .distinct()
+    delta.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Passage-level dedup: chunk every document into `window`-token
     * passages at `stride` steps, fingerprint each passage
     * ([[TextAnalysis.fingerprint]] rolling hash), and keep the first

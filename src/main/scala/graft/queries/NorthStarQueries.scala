@@ -322,6 +322,74 @@ object NorthStarQueries {
       )
     ),
 
+    // Incremental NEAR-dup maintenance: the < 400 corpus is collapsed
+    // to a persisted MinHash SIGNATURE index (k·8 bytes/doc); the delta
+    // (fresh docs + planted near-dups — corpus texts with a token
+    // appended, high-Jaccard but not exact) is screened against it in
+    // one band equi-join. est_jaccard is an exact rational (lanes/32),
+    // so the 0.5 threshold compare is engine-deterministic; the oracle
+    // mirrors signatures, banding, and the screen end to end.
+    Q(
+      "q_neardup_incremental",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val fresh = docs.filter(col("doc_id") >= 400)
+        val planted = docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text"))
+        val delta = fresh.unionAll(planted)
+        val scratch = Q.scratch("sigidx")
+        Dedup.minhashSignatures(
+            docs.filter(col("doc_id") < 400), "doc_id", "text", n = 3, k = 32)
+          .write.mode("overwrite").parquet(scratch)
+        Dedup.neardupDeltaScreen(delta, "doc_id", "text",
+          spark.read.parquet(scratch))
+      },
+      Some {
+        def sigCtes(src: String, p: String) =
+          s"""${p}toks AS (
+             |  SELECT doc_id AS id, $SqlToks AS t FROM $src
+             |), ${p}sh AS (
+             |  SELECT id, list(shh) AS shs FROM (
+             |    SELECT id,
+             |      list_reduce(
+             |        list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
+             |                         c -> CAST(ascii(c) AS BIGINT))),
+             |        (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS shh
+             |    FROM ${p}toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
+             |  GROUP BY id
+             |), ${p}sigs AS (
+             |  SELECT id, list_transform(generate_series(0, 31), j ->
+             |    list_min(list_transform(shs, x ->
+             |      (x % ${Dedup.MinhashP} * ((2654435761 + 40503 * j) % ${Dedup.MinhashP})
+             |       + (2246822519 + 604171 * j) % ${Dedup.MinhashP}) % ${Dedup.MinhashP}))) AS sig
+             |  FROM ${p}sh
+             |), ${p}band AS (
+             |  SELECT id, b, sig[b * 4 + 1 : b * 4 + 4] AS bv, sig
+             |  FROM ${p}sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) ub
+             |)""".stripMargin
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+           |delta AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+           |  UNION ALL
+           |  SELECT doc_id + 300000, text || ' zz' FROM documents WHERE doc_id < 15
+           |),
+           |${sigCtes("corpus", "c")},
+           |${sigCtes("delta", "d")},
+           |cand AS (
+           |  SELECT DISTINCT d.id AS did, d.sig AS dsig, c.id AS cid, c.sig AS csig
+           |  FROM dband d JOIN cband c ON d.b = c.b AND d.bv = c.bv
+           |), dropped AS (
+           |  SELECT DISTINCT did FROM cand
+           |  WHERE CAST(len(list_filter(generate_series(1, 32), i -> dsig[i] = csig[i])) AS DOUBLE)
+           |        / CAST(32 AS DOUBLE) >= 0.5
+           |)
+           |SELECT doc_id, text FROM delta
+           |WHERE doc_id NOT IN (SELECT did FROM dropped)""".stripMargin
+      }
+    ),
+
     Q(
       "q_dedup_jaccard",
       (spark, dir) =>

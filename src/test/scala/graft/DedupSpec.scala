@@ -67,6 +67,32 @@ class DedupSpec extends SparkSpec {
     assert(kept2.sameElements(Array(21L)))
   }
 
+  test("neardupDeltaScreen drops near-dups of the indexed corpus, keeps novel") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val path = graft.queries.Q.scratch("sigidx_spec")
+    Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 32)
+      .write.mode("overwrite").parquet(path)
+
+    val nearDup = corpus.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val exactDup = corpus.filter(col("doc_id") === 50L)
+      .select((col("doc_id") + 6000L).as("doc_id"), col("text"))
+    val novel = Seq((9000L,
+      "totally unrelated fresh words nothing shared with anything indexed here"))
+      .toDF("doc_id", "text")
+    val delta = nearDup.unionAll(exactDup).unionAll(novel)
+
+    val kept = Dedup.neardupDeltaScreen(delta, "doc_id", "text",
+      spark.read.parquet(path)).select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(9000L))      // novel text passes
+    assert(!kept.contains(6050L))     // exact dup is trivially a near-dup
+    // appended-token copies are high-Jaccard: the screen catches most
+    val plantedKept = kept.count(id => id >= 5000L && id < 5010L)
+    assert(plantedKept <= 2, s"$plantedKept planted near-dups survived")
+  }
+
   test("mergeSignatures equals the signature of the unioned shingle sets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))
