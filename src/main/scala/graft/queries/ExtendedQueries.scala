@@ -796,6 +796,45 @@ object ExtendedQueries {
       }
     ),
 
+    // The training-export lifecycle: the deterministic sharded shuffle
+    // MATERIALIZED as the artifact trainers consume — written
+    // partitionBy(shard), so each data-parallel reader opens exactly
+    // its own shard's files. The plan REQUIREs that a one-shard read
+    // prunes at the file index (static partition pruning), the corpus
+    // twin of q_ann_ivf_persisted's layout-enforced probe; the gate
+    // then checks the full read-back against the shuffle oracle —
+    // pinning that the parquet round-trip through the partitioned
+    // layout loses nothing.
+    Q(
+      "q_training_export",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"))
+        val scratch = Q.scratch("export")
+        Sampling.deterministicShuffle(docs, "doc_id", shards = 8)
+          .write.mode("overwrite").partitionBy("shard").parquet(scratch)
+        val back = spark.read.parquet(scratch)
+        val one = back.filter(col("shard") === 3)
+        val plan = one.queryExecution.executedPlan.toString
+        require(
+          plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("shard")),
+          s"expected a shard-selective read to prune at the file index:\n$plan")
+        back.select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("rank"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""SELECT doc_id, shard, CAST(rank AS INT) AS rank FROM (
+           |  SELECT doc_id,
+           |    ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8 AS shard,
+           |    ROW_NUMBER() OVER (
+           |      PARTITION BY ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC,
+           |               doc_id ASC) AS rank
+           |  FROM documents) t""".stripMargin
+      }
+    ),
+
     // The space-saving heavy-hitters Aggregator as a driver query.
     // With capacity >= column cardinality the sketch is provably exact
     // (no eviction ever fires), so the oracle is plain frequency top-k;
