@@ -122,6 +122,80 @@ object Quantize {
         nearestCode(col("subvec"), col("cents")).as("code"))
   }
 
+  /** IVF-PQ search — the composition production ANN stores actually
+    * deploy (coarse inverted lists + PQ codes): queries probe their
+    * `nProbe` nearest coarse cells ([[Similarity.assignToCentroids]]'s
+    * broadcast-cosine ranking), and the candidates inside those cells
+    * are ranked by PQ asymmetric distance over their CODES — the raw
+    * corpus vectors are touched only at index-build time. Per query,
+    * work ∝ (corpus/nCells)·nProbe candidate code rows; memory ∝
+    * subspaces bytes per corpus vector.
+    *
+    * Output: (query_id, neighbor_id, rank) by ascending ADC distance,
+    * id tie-break — recall compounds the coarse-probe and quantization
+    * losses; QuantizeSpec pins it against the exact baseline.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      subspaces: Int,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % subspaces == 0, "subspaces must divide dim")
+    val d = dim / subspaces
+    val assigned = Similarity
+      .assignToCentroids(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val cent = centroids.select(col(idCol).as("cid"), col(vecCol).as("centroid"),
+      Similarity.norm(col(vecCol)).as("cent_norm"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        Similarity.norm(col(vecCol)).as("qnorm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim",
+        Similarity.dot(col("qvec"), col("centroid")) / (col("qnorm") * col("cent_norm")))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cid").as("centroid_id"))
+    val cand = assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks, dim, subspaces)
+      .withColumnRenamed("id", "neighbor_id")
+    val dtab = queries
+      .select(col(idCol).as("query_id"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(col(vecCol), s * lit(d) + lit(1), lit(d))))
+          .as(Seq("sub", "qsub")))
+      .join(codebooks.withColumn("sub", col("sub").cast("int")), "sub")
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
+        Clustering.squaredDistance(col("qsub"), col("centroid")).as("dd"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("dd")))).as("ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x("dd")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
     * query precomputes a (sub, code) → squared-distance lookup table
     * against the codebooks (queries·subspaces·nCodes tiny rows,

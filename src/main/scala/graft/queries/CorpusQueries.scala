@@ -582,6 +582,73 @@ object CorpusQueries {
       )
     ),
 
+    // IVF-PQ: the deployed ANN composition — queries probe their 4
+    // nearest coarse cells (broadcast cosine ranking), candidates
+    // inside those cells rank by PQ asymmetric distance over their
+    // CODES; raw vectors are touched only at build time. Coarse probe
+    // and codes reuse the machinery q_ann_ivf / q_pq_adc pin
+    // individually; this gate pins their composition.
+    Q(
+      "q_ivfpq",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        Quantize.ivfPqTopK(
+          emb, emb.filter(col("vec_id") < 4),
+          emb.orderBy(col("vec_id")).limit(16),
+          Quantize.pqCodebooks(emb, "vec_id", "embedding",
+            dim = 64, subspaces = 8, nCodes = 16),
+          "vec_id", "embedding", dim = 64, subspaces = 8, k = 10, nProbe = 4)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH $PqCtes, coarse AS (
+           |  SELECT vec_id AS ccid, embedding AS ccvec FROM embeddings ORDER BY vec_id LIMIT 16
+           |), assigned AS (
+           |  SELECT vec_id AS neighbor_id, ccid AS centroid_id FROM (
+           |    SELECT e.vec_id, c.ccid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN coarse c) t
+           |  WHERE rn = 1
+           |), probes AS (
+           |  SELECT query_id, centroid_id FROM (
+           |    SELECT q.vec_id AS query_id, c.ccid AS centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 4) t
+           |  WHERE rn <= 4
+           |), cand AS (
+           |  SELECT p.query_id, a.neighbor_id
+           |  FROM probes p JOIN assigned a USING (centroid_id)
+           |  WHERE p.query_id <> a.neighbor_id
+           |), qs AS (
+           |  SELECT q.vec_id AS query_id, s.sub, q.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsub
+           |  FROM embeddings q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |  WHERE q.vec_id < 4
+           |), dtab AS (
+           |  SELECT qs.query_id, qs.sub, cb.code,
+           |    ${PqFold("qs.qsub", "cb.centroid")} AS dd
+           |  FROM qs JOIN cb USING (sub)
+           |), adc AS (
+           |  SELECT ca.query_id, ca.neighbor_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.dd ORDER BY d.sub)),
+           |                (a, b) -> a + b) AS adc
+           |  FROM cand ca
+           |  JOIN codes c ON c.id = ca.neighbor_id
+           |  JOIN dtab d ON d.query_id = ca.query_id AND d.sub = c.sub AND d.code = c.code
+           |  GROUP BY ca.query_id, ca.neighbor_id
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk
+           |  FROM adc) t
+           |WHERE rnk <= 10""".stripMargin
+      }
+    ),
+
     // Incremental statistics maintenance: per-language moments of the
     // < 400 corpus are PERSISTED; the delta batch's moments merge in by
     // exact integer summation (no corpus rescan), and the union

@@ -92,4 +92,34 @@ class QuantizeSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"PQ-ADC mean recall $mean")
   }
+
+  test("ivfPqTopK recalls exact neighbors through coarse probe + codes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val approx = Quantize.ivfPqTopK(
+      emb, queries, emb.orderBy(col("vec_id")).limit(16),
+      Quantize.pqCodebooks(emb, "vec_id", "embedding", 64, 8, 16),
+      "vec_id", "embedding", dim = 64, subspaces = 8, k = 20, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    val exact = emb.select(col("vec_id"), col("embedding")).as("a")
+      .crossJoin(emb.select(col("vec_id"), col("embedding")).as("b"))
+      .filter(col("a.vec_id") < 8 && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("n"),
+        graft.operators.Clustering.squaredDistance(
+          col("a.embedding"), col("b.embedding")).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+          .orderBy(col("d2").asc, col("n").asc)))
+      .filter(col("rank") <= 5)
+      .select("q", "n").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    // coarse-probe loss compounds quantization loss; still far above chance
+    val recalls = exact.map { case (q, e) =>
+      e.count(approx.getOrElse(q, Set.empty).contains).toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.25, s"IVF-PQ mean recall $mean")
+  }
 }
