@@ -166,6 +166,21 @@ object ScaleProbe {
         Dedup.dedupDeltaExact(
           docs.limit(200), "doc_id", "text", idx).count()
       }
+      // near-dup delta screen: delta fixed, signature index ×k — the
+      // band join must track delta + index size, never corpus text
+      probe(s"neardup_delta x$k") {
+        val idx = Dedup.minhashSignatures(d, "doc_id", "text", 3, 32)
+        Dedup.neardupDeltaScreen(docs.limit(200), "doc_id", "text", idx).count()
+      }
+      // IVF-PQ: probes and lookup tables broadcast; candidate code rows
+      // are the only corpus-side traffic — growth tracks cell size
+      probe(s"ivfpq x$k") {
+        graft.operators.Quantize.ivfPqTopK(
+          e, emb.filter(col("vec_id") < 8),
+          emb.orderBy(col("vec_id")).limit(16),
+          graft.operators.Quantize.pqCodebooks(emb, "vec_id", "embedding", 64, 8, 16),
+          "vec_id", "embedding", 64, 8, k = 10, nProbe = 4).count()
+      }
       // PQ encode: broadcast codebooks, map-side argmin — linear scan
       probe(s"pq_encode x$k") {
         graft.operators.Quantize.pqEncode(e, "vec_id", "embedding",
