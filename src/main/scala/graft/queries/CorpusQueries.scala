@@ -649,6 +649,160 @@ object CorpusQueries {
       }
     ),
 
+    // One Lloyd step of per-subspace PQ codebook TRAINING — the
+    // production path out of first-N-by-id stand-in codebooks. Gated
+    // exactly like q_kmeans_update_scale: lanes snap to the 2^-20 grid
+    // upstream, so the order-FREE member sums are exact in any
+    // accumulation order (numerators < 2^20, ≤ 2^13 members ⇒ partial
+    // sums ≪ 2^53) and the assignment distances are exact rationals
+    // (squared-diff numerators < 2^45 over the 2^40 grid) — memberships
+    // and means hash-match across engines despite scalar-state,
+    // shuffle-once execution. Codes with no members emit no rows (both
+    // engines' GROUP BY agree); pqCodebooksFromUpdate carries them.
+    Q(
+      "q_pq_train",
+      (spark, dir) => {
+        val grid = lit(1048576.0) // 2^20
+        val emb = Q.t(spark, dir, "embeddings").select(
+          col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * grid + lit(0.5)).cast("double") / grid)
+            .as("embedding"))
+        Quantize.pqUpdateStep(emb, "vec_id", "embedding",
+          Quantize.pqCodebooks(emb, "vec_id", "embedding",
+            dim = 64, subspaces = 8, nCodes = 16),
+          dim = 64, subspaces = 8)
+      },
+      Some(
+        s"""WITH qe AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) / 1048576.0) AS qv
+           |  FROM embeddings
+           |), cbq AS (
+           |  SELECT s.sub, c.code, c.v[s.sub * 8 + 1 : s.sub * 8 + 8] AS centroid
+           |  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+           |               qv AS v
+           |        FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 16) t0) c
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |), svq AS (
+           |  SELECT e.vec_id AS id, s.sub, e.qv[s.sub * 8 + 1 : s.sub * 8 + 8] AS subvec
+           |  FROM qe e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |), pqdq AS (
+           |  SELECT sv.id, sv.sub, cb.code,
+           |    ${PqFold("sv.subvec", "cb.centroid")} AS dist2
+           |  FROM svq sv JOIN cbq cb USING (sub)
+           |), codesq AS (
+           |  SELECT id, sub, code FROM (
+           |    SELECT id, sub, code, ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist2, code) AS rn
+           |    FROM pqdq) t
+           |  WHERE rn = 1
+           |), m AS (
+           |  SELECT c.sub, c.code, CAST(i - 1 AS INT) AS lane, sv.subvec[i] AS v
+           |  FROM svq sv JOIN codesq c ON sv.id = c.id AND sv.sub = c.sub,
+           |       UNNEST(generate_series(1, 8)) AS u(i)
+           |)
+           |SELECT CAST(sub AS BIGINT) AS sub, code, lane,
+           |  SUM(v) / CAST(COUNT(*) AS DOUBLE) AS centroid_v,
+           |  CAST(COUNT(*) AS BIGINT) AS n_members
+           |FROM m GROUP BY sub, code, lane""".stripMargin
+      )
+    ),
+
+    // IVF-PQ with RESIDUAL encoding — corpus codes quantize
+    // (vector − assigned coarse centroid) and each query builds one
+    // distance table per probed cell against its own residual; the
+    // (cell, sub, code) equi-join is simultaneously the IVF candidate
+    // bound and the ADC lookup. Residual subtraction is float→double
+    // widening + IEEE subtraction (exact), so the whole chain stays
+    // engine-deterministic; codebooks here are the residual-space
+    // first-16-by-id stand-ins (training is gated by q_pq_train;
+    // QuantizeSpec pins the trained+residual recall win).
+    Q(
+      "q_ivfpq_residual",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val cents = emb.orderBy(col("vec_id")).limit(16)
+        val rcb = Quantize.pqCodebooks(
+          Quantize.residuals(emb, cents, "vec_id", "embedding"),
+          "vec_id", "resid", dim = 64, subspaces = 8, nCodes = 16)
+        Quantize.ivfPqResidualTopK(
+          emb, emb.filter(col("vec_id") < 4), cents, rcb,
+          "vec_id", "embedding", dim = 64, subspaces = 8, k = 10, nProbe = 4)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH coarse AS (
+           |  SELECT vec_id AS ccid, embedding AS ccvec FROM embeddings ORDER BY vec_id LIMIT 16
+           |), asgr AS (
+           |  SELECT vec_id, embedding, ccid, ccvec FROM (
+           |    SELECT e.vec_id, e.embedding, c.ccid, c.ccvec,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN coarse c) t
+           |  WHERE rn = 1
+           |), rv AS (
+           |  SELECT vec_id, ccid AS centroid_id,
+           |    list_transform(generate_series(1, 64), i ->
+           |      CAST(embedding[i] AS DOUBLE) - CAST(ccvec[i] AS DOUBLE)) AS rvec
+           |  FROM asgr
+           |), rcb AS (
+           |  SELECT s.sub, c.code, c.v[s.sub * 8 + 1 : s.sub * 8 + 8] AS centroid
+           |  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+           |               rvec AS v
+           |        FROM (SELECT vec_id, rvec FROM rv ORDER BY vec_id LIMIT 16) t0) c
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |), rsv AS (
+           |  SELECT r.vec_id AS id, r.centroid_id, s.sub,
+           |         r.rvec[s.sub * 8 + 1 : s.sub * 8 + 8] AS subvec
+           |  FROM rv r CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |), rpqd AS (
+           |  SELECT sv.id, sv.centroid_id, sv.sub, cb.code,
+           |    ${PqFold("sv.subvec", "cb.centroid")} AS dist2
+           |  FROM rsv sv JOIN rcb cb USING (sub)
+           |), rcodes AS (
+           |  SELECT id, centroid_id, sub, code FROM (
+           |    SELECT id, centroid_id, sub, code,
+           |      ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist2, code) AS rn
+           |    FROM rpqd) t
+           |  WHERE rn = 1
+           |), probes AS (
+           |  SELECT query_id, centroid_id, qres FROM (
+           |    SELECT q.vec_id AS query_id, c.ccid AS centroid_id,
+           |      list_transform(generate_series(1, 64), i ->
+           |        CAST(q.embedding[i] AS DOUBLE) - CAST(c.ccvec[i] AS DOUBLE)) AS qres,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 4) t
+           |  WHERE rn <= 4
+           |), qs AS (
+           |  SELECT p.query_id, p.centroid_id, s.sub,
+           |         p.qres[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsub
+           |  FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |), dtab AS (
+           |  SELECT qs.query_id, qs.centroid_id, qs.sub, cb.code,
+           |    ${PqFold("qs.qsub", "cb.centroid")} AS dd
+           |  FROM qs JOIN rcb cb USING (sub)
+           |), adc AS (
+           |  SELECT d.query_id, c.id AS neighbor_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.dd ORDER BY d.sub)),
+           |                (a, b) -> a + b) AS adc
+           |  FROM rcodes c
+           |  JOIN dtab d ON d.centroid_id = c.centroid_id AND d.sub = c.sub AND d.code = c.code
+           |  WHERE d.query_id <> c.id
+           |  GROUP BY d.query_id, c.id
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk
+           |  FROM adc) t
+           |WHERE rnk <= 10""".stripMargin
+      }
+    ),
+
     // Incremental statistics maintenance: per-language moments of the
     // < 400 corpus are PERSISTED; the delta batch's moments merge in by
     // exact integer summation (no corpus rescan), and the union
@@ -814,6 +968,94 @@ object CorpusQueries {
            |SELECT query_id, COUNT(*) AS n_match
            |FROM bf SEMI JOIN ivf USING (query_id, neighbor_id)
            |GROUP BY query_id""".stripMargin
+      }
+    ),
+
+    // The IVF retraining trigger — the drift story the index lifecycle
+    // documents (Similarity.appendToIndex: "recall decay is the signal
+    // to retrain") as an operator: recall of the frozen-centroid index
+    // on the BUILD-time corpus (< 400) vs on the APPENDED corpus (all
+    // rows, same frozen centroids), emitted as one decision row. The
+    // retrain flag is PURE INTEGER arithmetic (recall drop > 0.1 ⟺
+    // match-count drop > 4 out of 40), so the gate is float-immune;
+    // the recall doubles are single divisions of exact ints.
+    Q(
+      "q_ivf_drift",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        val base = emb.filter(col("vec_id") < 400)
+        val cents = base.orderBy(col("vec_id")).limit(16) // frozen at build
+        def matches(corpus: org.apache.spark.sql.DataFrame, as: String) = {
+          val ivf = graft.operators.Similarity.ivfTopKWith(
+            corpus, queries, cents, "vec_id", "embedding", k = 5, nProbe = 2)
+          val bf = graft.operators.Similarity.bruteForceTopK(
+            corpus, queries, "vec_id", "embedding", k = 5)
+          bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as(as))
+        }
+        matches(base, "n_match_before")
+          .crossJoin(matches(emb, "n_match_after"))
+          .select(
+            col("n_match_before"), col("n_match_after"),
+            (col("n_match_before").cast("double") / lit(40.0)).as("recall_before"),
+            (col("n_match_after").cast("double") / lit(40.0)).as("recall_after"),
+            (col("n_match_before") - col("n_match_after") > lit(4L)).as("retrain"))
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        // one recall pipeline per corpus scope, sharing the frozen coarse
+        // centroids (first 16 of the build-time corpus)
+        def scope(pred: String, sfx: String, outCol: String) =
+          s"""asg$sfx AS (
+             |  SELECT vec_id AS neighbor_id, embedding AS nvec, ccid AS cell FROM (
+             |    SELECT e.vec_id, e.embedding, c.ccid,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |        ${cos("e.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+             |    FROM embeddings e CROSS JOIN coarse c WHERE $pred) t
+             |  WHERE rn = 1
+             |), probes$sfx AS (
+             |  SELECT query_id, qvec, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.ccid AS cell,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        ${cos("q.embedding", "c.ccvec")} DESC, c.ccid ASC) AS rn
+             |    FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 8) t
+             |  WHERE rn <= 2
+             |), ivf$sfx AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT p.query_id, a.neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+             |        ${cos("p.qvec", "a.nvec")} DESC, a.neighbor_id ASC) AS rnk
+             |    FROM probes$sfx p JOIN asg$sfx a USING (cell)
+             |    WHERE p.query_id <> a.neighbor_id) t
+             |  WHERE rnk <= 5
+             |), bf$sfx AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        ${cos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rnk
+             |    FROM embeddings e
+             |    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+             |    WHERE e.vec_id <> q.vec_id AND $pred) t
+             |  WHERE rnk <= 5
+             |), n$sfx AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS $outCol
+             |  FROM bf$sfx SEMI JOIN ivf$sfx USING (query_id, neighbor_id)
+             |)""".stripMargin
+        s"""WITH coarse AS (
+           |  SELECT vec_id AS ccid, embedding AS ccvec FROM embeddings
+           |  WHERE vec_id < 400 ORDER BY vec_id LIMIT 16
+           |),
+           |${scope("e.vec_id < 400", "b", "n_match_before")},
+           |${scope("TRUE", "a", "n_match_after")}
+           |SELECT n_match_before, n_match_after,
+           |  CAST(n_match_before AS DOUBLE) / 40.0 AS recall_before,
+           |  CAST(n_match_after AS DOUBLE) / 40.0 AS recall_after,
+           |  (n_match_before - n_match_after) > 4 AS retrain
+           |FROM nb CROSS JOIN na""".stripMargin
       }
     ),
 
