@@ -39,13 +39,23 @@ object Dedup {
     docs.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** The 32-byte BINARY digest of a text column — the join/index key
+    * incremental dedup stores and shuffles. `sha2` alone returns
+    * 64-char hex (2× the bytes); unhex packs it back to the raw 32.
+    * [[exactGroups]] keeps hex for its user-facing output; everything
+    * that persists or joins digests uses this.
+    */
+  private def binaryDigest(textCol: String): Column =
+    unhex(sha2(col(textCol), 256))
+
   /** The persistable side of incremental exact dedup: one digest row per
-    * distinct text. 32-byte rows — the index a 100 TB corpus keeps so
-    * nightly deltas never re-read the corpus ([[dedupDeltaExact]]);
-    * append each delta's surviving digests to keep it current.
+    * distinct text. 32-byte binary rows — the index a 100 TB corpus
+    * keeps so nightly deltas never re-read the corpus
+    * ([[dedupDeltaExact]]); append each delta's surviving digests to
+    * keep it current.
     */
   def digestIndex(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(sha2(col(textCol), 256).as("digest")).distinct()
+    docs.select(binaryDigest(textCol).as("digest")).distinct()
 
   /** Incremental exact dedup — the corpus-maintenance twin of
     * [[Similarity.appendToIndex]]: screen a DELTA batch against a
@@ -70,7 +80,7 @@ object Dedup {
       index: DataFrame
   ): DataFrame = {
     val canon = delta
-      .groupBy(sha2(col(textCol), 256).as("digest"))
+      .groupBy(binaryDigest(textCol).as("digest"))
       .agg(min(col(idCol)).as(idCol))
       .join(index, Seq("digest"), "left_anti")
       .select(col(idCol))

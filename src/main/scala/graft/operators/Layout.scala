@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators for 100 TB table maintenance: Z-order (Morton)
@@ -88,5 +88,88 @@ object Layout {
       col(partitionCol), col(fileCol), col(bytesCol),
       floor((sum(col(bytesCol)).over(w) - col(bytesCol)) / targetBytes)
         .as("group_id"))
+  }
+
+  /** Driver-side twin of [[compactionGroups]] for one partition's
+    * listing (the input [[compactDir]] already holds as a local Seq):
+    * same start-offset binning — `floor(cumBytesBefore / targetBytes)`
+    * over name-sorted files — without spinning up a Spark job for
+    * metadata that fits in a driver list. LayoutSpec pins the two
+    * formulations against each other.
+    */
+  def planGroupsLocal(
+      files: Seq[(String, Long)],
+      targetBytes: Long
+  ): Seq[(String, Long)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    var cum = 0L
+    files.sortBy(_._1).map { case (name, bytes) =>
+      val g = cum / targetBytes
+      cum += bytes
+      (name, g)
+    }
+  }
+
+  /** EXECUTE a compaction plan on one partition directory — the
+    * maintenance job [[compactionGroups]] plans for: rewrite the
+    * directory's data files into ONE file per plan group, in place.
+    * Returns (filesBefore, filesAfter).
+    *
+    * Shape: the plan (file → group) is tiny driver metadata joined onto
+    * the rows BY SOURCE FILE NAME (`input_file_name`, matched on the
+    * basename — unique within a directory), so grouping respects the
+    * plan's contiguous, sort-preserving bins; one `repartition` on the
+    * group id moves each group's rows to a single task; the writer's
+    * `partitionBy` then emits exactly one file per group, and the
+    * promote step swaps the new files in for the old — the swap a real
+    * table format wraps in a commit protocol (non-transactional here:
+    * readers racing the swap can see a partial directory; run it like
+    * any table maintenance, fenced from readers or behind a format
+    * with atomic commit).
+    *
+    * Scale: data moves once through one shuffle bounded by the
+    * partition's bytes; everything else is listing metadata. Compacting
+    * many partitions = many independent `compactDir` calls (or the same
+    * join generalized over `partitionCol` — deliberately not done here
+    * to keep the blast radius one directory).
+    */
+  def compactDir(
+      spark: SparkSession,
+      partDir: String,
+      targetBytes: Long
+  ): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(partDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val before = dataFiles()
+    val plan = planGroupsLocal(
+      before.map(st => st.getPath.getName -> st.getLen), targetBytes)
+    val planDf = spark.createDataFrame(plan).toDF("__file", "__group")
+
+    val tmp = new Path(dir.getParent, s".compact_tmp_${dir.getName}")
+    fs.delete(tmp, true)
+    spark.read.parquet(partDir)
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(planDf), Seq("__file"))
+      .drop("__file")
+      .repartition(col("__group"))
+      .write.partitionBy("__group").mode("overwrite").parquet(tmp.toString)
+
+    // promote: move each group's single output file in, then drop the
+    // originals and the tmp tree (metadata ops ∝ file count)
+    val compacted = fs.listStatus(tmp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__group="))
+      .flatMap(d => fs.listStatus(d.getPath).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")))
+    compacted.zipWithIndex.foreach { case (st, i) =>
+      val ok = fs.rename(st.getPath, new Path(dir, f"compacted-$i%05d.parquet"))
+      require(ok, s"compactDir: failed to promote ${st.getPath}")
+    }
+    before.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(tmp, true)
+    (before.size, dataFiles().size)
   }
 }

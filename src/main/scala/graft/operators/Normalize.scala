@@ -23,19 +23,30 @@ object Normalize {
 
   /** Per-group moments of an integral column: (group, __sx, __sx2, __n).
     * The reference-corpus statistics a scoring pass normalizes against.
+    *
+    * Overflow bounds: `__sx` is a long sum — exact while Σ|x| < 2^63
+    * (|x| ≤ 1e9 needs ~9e9 rows per group to wrap; document counts and
+    * lengths stay far inside). `__sx2` would NOT: Σx² wraps Int64 at
+    * |x| ~ 1e5 over ~1e9 rows — silent z-score corruption at exactly
+    * the 100 TB regime this exists for — so it accumulates as
+    * DECIMAL(38,0): still exact integer arithmetic, still mergeable by
+    * summation ([[mergeMoments]]), headroom to Σx² < 10^38.
     */
   def groupMoments(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     // widen before squaring: an IntegerType value column would wrap at
-    // v >= 46341 under Int multiplication before the Long sum
+    // v >= 46341 under Int multiplication before the sum; the per-row
+    // square is exact in DECIMAL(18,0)² → (37,0) for |x| < 10^18
     val v = col(valueCol).cast("long")
+    val vd = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 0))
     df.groupBy(col(groupCol)).agg(
       sum(v).as("__sx"),
-      sum(v * v).as("__sx2"),
+      sum(vd * vd).as("__sx2"),
       count(lit(1)).as("__n"))
   }
 
   /** Merge per-group moment tables by summation — the aggregation-
-    * lifecycle primitive: moments are EXACT integer sums, so corpus
+    * lifecycle primitive: moments are EXACT integer sums (long Σx,
+    * decimal Σx² — see [[groupMoments]]'s overflow bounds), so corpus
     * statistics maintained as (Σx, Σx², n) per group update under
     * appends without rescanning the corpus — merge the persisted table
     * with the delta batch's moments and the result is bit-identical to

@@ -835,6 +835,59 @@ object ExtendedQueries {
       }
     ),
 
+    // Mixture-weighted training export — q_mixture_resample composed
+    // with the sharded materialization: the per-language epoch factors
+    // expand the corpus map-side (copies keyed by doc_id·4+epoch so
+    // every copy routes/ranks independently), the deterministic shuffle
+    // shards it, and the artifact lands partitionBy(shard) with the
+    // same static-pruning REQUIRE and full read-back hash check as
+    // q_training_export — the epochs-weighted corpus trainers actually
+    // consume, where each data-parallel reader opens only its shard.
+    Q(
+      "q_mixture_export",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+        val mixed = Sampling.mixtureResample(docs, "doc_id", "lang",
+          epochs = Map("en" -> 0.4, "zh" -> 2.5, "de" -> 1.75))
+          // epoch < 4 for every factor above, so this key is unique per copy
+          .withColumn("copy_id", col("doc_id") * 4 + col("epoch"))
+        val scratch = Q.scratch("mixexport")
+        Sampling.deterministicShuffle(mixed, "copy_id", shards = 8)
+          .write.mode("overwrite").partitionBy("shard").parquet(scratch)
+        val back = spark.read.parquet(scratch)
+        val plan = back.filter(col("shard") === 3)
+          .queryExecution.executedPlan.toString
+        require(
+          plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("shard")),
+          s"expected a shard-selective read to prune at the file index:\n$plan")
+        back.select(col("doc_id"), col("lang"), col("epoch"), col("copy_id"),
+          col("shard").cast("long").as("shard"), col("rank"))
+      },
+      Some {
+        val pm = s"(copy_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH n AS (
+           |  SELECT doc_id, lang,
+           |    CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 WHEN 'de' THEN 1 ELSE 1 END
+           |    + CASE WHEN (((doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 100
+           |             < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 50 WHEN 'de' THEN 75 ELSE 0 END
+           |           THEN 1 ELSE 0 END AS n
+           |  FROM documents
+           |), mixed AS (
+           |  SELECT doc_id, lang, CAST(e AS INT) AS epoch, doc_id * 4 + e AS copy_id
+           |  FROM n, UNNEST(generate_series(0, n - 1)) AS u(e)
+           |)
+           |SELECT doc_id, lang, epoch, copy_id, shard, CAST(rank AS INT) AS rank FROM (
+           |  SELECT doc_id, lang, epoch, copy_id,
+           |    ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8 AS shard,
+           |    ROW_NUMBER() OVER (
+           |      PARTITION BY ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC,
+           |               copy_id ASC) AS rank
+           |  FROM mixed) t""".stripMargin
+      }
+    ),
+
     // The space-saving heavy-hitters Aggregator as a driver query.
     // With capacity >= column cardinality the sketch is provably exact
     // (no eviction ever fires), so the oracle is plain frequency top-k;
@@ -1279,6 +1332,38 @@ object ExtendedQueries {
           |    - CAST(p_size AS BIGINT) * 1000) / 100000) AS BIGINT) AS group_id
           |FROM part""".stripMargin
       )
+    ),
+
+    // Compaction EXECUTED — the maintenance job q_compaction_plan only
+    // plans: the documents table lands partitioned by lang in many
+    // small files, the 'en' partition is rewritten to one file per
+    // start-offset group (Layout.compactDir: plan from listing
+    // metadata, one bounded shuffle, rename-promote). The gate REQUIREs
+    // the file count dropped and that a lang-selective read still
+    // prunes at the file index, then hash-checks the full read-back —
+    // compaction must be invisible to every query.
+    Q(
+      "q_compaction_exec",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+        val scratch = Q.scratch("compact_exec")
+        docs.repartition(8).write.partitionBy("lang")
+          .mode("overwrite").parquet(scratch)
+        val (nBefore, nAfter) =
+          Layout.compactDir(spark, s"$scratch/lang=en", targetBytes = 64 * 1024L)
+        require(nAfter < nBefore,
+          s"compaction must shrink the file count ($nBefore -> $nAfter)")
+        val back = spark.read.parquet(scratch)
+        val pruned = back.filter(col("lang") === "en")
+        val plan = pruned.queryExecution.executedPlan.toString
+        require(
+          plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("lang")),
+          s"expected the compacted layout to keep pruning lang-selective reads:\n$plan")
+        back.select(col("doc_id"), col("lang"), col("n_chars"))
+      },
+      Some("SELECT doc_id, lang, n_chars FROM documents")
     ),
 
     // Cohort retention: users grouped by first-activity week, counted

@@ -57,6 +57,56 @@ object NorthStarQueries {
       |    + least(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 4.0, 1.0) * 0.4
       |    + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.1""".stripMargin
 
+  /** Oracle for the incremental near-dup screens — shared VERBATIM by
+    * q_neardup_incremental (batch delta shape) and q_neardup_screen
+    * (stream-static shape run in batch mode): both drop a delta doc iff
+    * some indexed (< 400) doc shares an LSH band and full-signature
+    * agreement ≥ 1/2, so one SQL pins both.
+    */
+  private lazy val NeardupScreenOracle: String = {
+    def sigCtes(src: String, p: String) =
+      s"""${p}toks AS (
+         |  SELECT doc_id AS id, $SqlToks AS t FROM $src
+         |), ${p}sh AS (
+         |  SELECT id, list(shh) AS shs FROM (
+         |    SELECT id,
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
+         |                         c -> CAST(ascii(c) AS BIGINT))),
+         |        (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS shh
+         |    FROM ${p}toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
+         |  GROUP BY id
+         |), ${p}sigs AS (
+         |  SELECT id, list_transform(generate_series(0, 31), j ->
+         |    list_min(list_transform(shs, x ->
+         |      (x % ${Dedup.MinhashP} * ((2654435761 + 40503 * j) % ${Dedup.MinhashP})
+         |       + (2246822519 + 604171 * j) % ${Dedup.MinhashP}) % ${Dedup.MinhashP}))) AS sig
+         |  FROM ${p}sh
+         |), ${p}band AS (
+         |  SELECT id, b, sig[b * 4 + 1 : b * 4 + 4] AS bv, sig
+         |  FROM ${p}sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) ub
+         |)""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |delta AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text || ' zz' FROM documents WHERE doc_id < 15
+       |),
+       |${sigCtes("corpus", "c")},
+       |${sigCtes("delta", "d")},
+       |cand AS (
+       |  SELECT DISTINCT d.id AS did, d.sig AS dsig, c.id AS cid, c.sig AS csig
+       |  FROM dband d JOIN cband c ON d.b = c.b AND d.bv = c.bv
+       |), dropped AS (
+       |  SELECT DISTINCT did FROM cand
+       |  WHERE CAST(len(list_filter(generate_series(1, 32), i -> dsig[i] = csig[i])) AS DOUBLE)
+       |        / CAST(32 AS DOUBLE) >= 0.5
+       |)
+       |SELECT doc_id, text FROM delta
+       |WHERE doc_id NOT IN (SELECT did FROM dropped)""".stripMargin
+  }
+
   /** Shared CTE chain computing the 3-gram Jaccard near-dup pairs at
     * threshold 0.4, ending in `jpairs(id_a, id_b, n_a, n_b, n_common,
     * jaccard)`. Mirrors `Dedup.jaccardPairs` exactly. `src` must expose
@@ -345,49 +395,36 @@ object NorthStarQueries {
         Dedup.neardupDeltaScreen(delta, "doc_id", "text",
           spark.read.parquet(scratch))
       },
-      Some {
-        def sigCtes(src: String, p: String) =
-          s"""${p}toks AS (
-             |  SELECT doc_id AS id, $SqlToks AS t FROM $src
-             |), ${p}sh AS (
-             |  SELECT id, list(shh) AS shs FROM (
-             |    SELECT id,
-             |      list_reduce(
-             |        list_prepend(CAST(0 AS BIGINT),
-             |          list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
-             |                         c -> CAST(ascii(c) AS BIGINT))),
-             |        (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS shh
-             |    FROM ${p}toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
-             |  GROUP BY id
-             |), ${p}sigs AS (
-             |  SELECT id, list_transform(generate_series(0, 31), j ->
-             |    list_min(list_transform(shs, x ->
-             |      (x % ${Dedup.MinhashP} * ((2654435761 + 40503 * j) % ${Dedup.MinhashP})
-             |       + (2246822519 + 604171 * j) % ${Dedup.MinhashP}) % ${Dedup.MinhashP}))) AS sig
-             |  FROM ${p}sh
-             |), ${p}band AS (
-             |  SELECT id, b, sig[b * 4 + 1 : b * 4 + 4] AS bv, sig
-             |  FROM ${p}sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) ub
-             |)""".stripMargin
-        s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-           |delta AS (
-           |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
-           |  UNION ALL
-           |  SELECT doc_id + 300000, text || ' zz' FROM documents WHERE doc_id < 15
-           |),
-           |${sigCtes("corpus", "c")},
-           |${sigCtes("delta", "d")},
-           |cand AS (
-           |  SELECT DISTINCT d.id AS did, d.sig AS dsig, c.id AS cid, c.sig AS csig
-           |  FROM dband d JOIN cband c ON d.b = c.b AND d.bv = c.bv
-           |), dropped AS (
-           |  SELECT DISTINCT did FROM cand
-           |  WHERE CAST(len(list_filter(generate_series(1, 32), i -> dsig[i] = csig[i])) AS DOUBLE)
-           |        / CAST(32 AS DOUBLE) >= 0.5
-           |)
-           |SELECT doc_id, text FROM delta
-           |WHERE doc_id NOT IN (SELECT did FROM dropped)""".stripMargin
-      }
+      Some(NeardupScreenOracle)
+    ),
+
+    // The INGEST-side twin of q_neardup_incremental: the same planted
+    // delta screened by the stream-static shape
+    // (StreamingDedup.neardupScreen — per-band LEFT joins against the
+    // bucketed signature index + a higher-order exists, no streaming
+    // state) run here in batch mode. Same oracle: the two screens are
+    // semantically identical by construction (drop iff some indexed doc
+    // shares a band AND est_jaccard ≥ 1/2); StreamingDedupSpec pins the
+    // actual MemoryStream execution against the batch screen.
+    Q(
+      "q_neardup_screen",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val fresh = docs.filter(col("doc_id") >= 400)
+        val planted = docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text"))
+        val delta = fresh.unionAll(planted)
+        val scratch = Q.scratch("sigidx_screen")
+        Dedup.minhashSignatures(
+            docs.filter(col("doc_id") < 400), "doc_id", "text", n = 3, k = 32)
+          .write.mode("overwrite").parquet(scratch)
+        graft.streaming.StreamingDedup.neardupScreen(delta,
+          graft.streaming.StreamingDedup.bucketSignatureIndex(
+            spark.read.parquet(scratch), k = 32, bands = 8),
+          "text")
+      },
+      Some(NeardupScreenOracle)
     ),
 
     Q(

@@ -53,12 +53,19 @@ class DatePrunedFileIndex(
   /** Listed lazily on first use (not in the constructor), so building the
     * relation is cheap; `refresh()` invalidates. The walk tracks visited
     * canonical paths, so a symlink cycle in the tree terminates instead of
-    * hanging the driver.
+    * hanging the driver. The slow path synchronizes (double-checked on
+    * the volatile) so concurrent planning over one relation lists once
+    * instead of duplicating the walk.
     */
   @volatile private var cachedLeafFiles: Seq[FileStatus] = null
+  private val listLock = new Object
   private def leafFiles: Seq[FileStatus] = {
-    if (cachedLeafFiles == null) cachedLeafFiles = listPruned()
-    cachedLeafFiles
+    val cached = cachedLeafFiles
+    if (cached != null) cached
+    else listLock.synchronized {
+      if (cachedLeafFiles == null) cachedLeafFiles = listPruned()
+      cachedLeafFiles
+    }
   }
 
   /** Mirrors `DateFileFilter.accept`: skip only when the name is a

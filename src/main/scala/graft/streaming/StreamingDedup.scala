@@ -98,13 +98,99 @@ object StreamingDedup {
       index: DataFrame,
       textCol: String
   ): DataFrame = {
-    import org.apache.spark.sql.functions.{col, sha2}
+    import org.apache.spark.sql.functions.{col, sha2, unhex}
     val dcol = Iterator.iterate("__digest")(_ + "_")
       .dropWhile(incoming.columns.contains).next()
     incoming
-      .withColumn(dcol, sha2(col(textCol), 256))
+      // 32-byte binary digest — must match [[Dedup.digestIndex]]'s key
+      .withColumn(dcol, unhex(sha2(col(textCol), 256)))
       .join(index.select(col("digest").as(dcol)), Seq(dcol), "left_anti")
       .drop(dcol)
+  }
+
+  /** Pre-bucket a persisted MinHash signature index
+    * ([[graft.operators.Dedup.minhashSignatures]] output) for the
+    * stream-side near-dup screen: one row per (band, band_val) holding
+    * that bucket's full signatures. Persist THIS (e.g.
+    * `partitionBy("band")`) so each of [[neardupScreen]]'s per-band
+    * joins reads only its own band's files.
+    */
+  def bucketSignatureIndex(index: DataFrame, k: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    index
+      .select(col("signature"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("signature"), b * lit(rows) + lit(1), lit(rows))))
+          .as(Seq("band", "band_val")))
+      .groupBy(col("band"), col("band_val"))
+      .agg(collect_list(col("signature")).as("mates"))
+  }
+
+  /** Stream-static NEAR-dup screen — the ingest-time twin of
+    * [[graft.operators.Dedup.neardupDeltaScreen]]: drop arriving docs
+    * whose MinHash signature shares an LSH band with an indexed doc AND
+    * whose full-signature agreement estimates Jaccard ≥ `threshold`.
+    * Survivors keep all their columns; docs too short to shingle (null
+    * signature) pass, exactly like the batch screen.
+    *
+    * Stateless by construction, so it runs in Append mode with no
+    * watermark and no streaming state: the signature is one map-side
+    * codegen expression per arriving row (never shuffles the stream),
+    * and each of the `bands` band slices LEFT-joins its bucket of the
+    * static [[bucketSignatureIndex]] table — a row multiplies into
+    * nothing (one bucket row per key), and the drop test is a
+    * higher-order `exists` over the joined mate arrays. A band-exploded
+    * equi-join (the batch shape) would need a per-doc any-band
+    * aggregation — streaming state — which is exactly what this shape
+    * avoids.
+    *
+    * Scale note: the static side is the whole bucketed index (k·8
+    * bytes/doc plus bucket arrays) scanned once per band per
+    * micro-batch — broadcast-sized indexes are free; beyond that,
+    * persist the bucket table `partitionBy("band")` so each join prunes
+    * to its band, and screen in larger batch deltas
+    * ([[graft.operators.Dedup.neardupDeltaScreen]]) when the index
+    * outgrows memory. Same documented bound family as
+    * [[semanticScreen]]'s per-cell arrays (dial: more bands·rows →
+    * smaller buckets).
+    */
+  def neardupScreen(
+      incoming: DataFrame,
+      bucketed: DataFrame,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val scol = Iterator.iterate("__sig")(_ + "_")
+      .dropWhile(incoming.columns.contains).next()
+    val sig = graft.functions.GraftFunctions.minhashSig(
+      graft.functions.GraftFunctions
+        .ngramHashes(col(textCol), n, Dedup.StrHashMult, Dedup.StrHashMod),
+      (0 until k).map(Dedup.hashA), (0 until k).map(Dedup.hashB), Dedup.MinhashP)
+    val withSig = incoming.withColumn(scol, sig)
+    val joined = (0 until bands).foldLeft(withSig) { (cur, b) =>
+      val bucket = broadcast(bucketed.filter(col("band") === b)
+        .select(col("band_val").as(s"__bv_$b"), col("mates").as(s"__mates_$b")))
+      cur.join(bucket,
+        slice(cur(scol), b * rows + 1, rows) === col(s"__bv_$b"), "left")
+    }
+    val anyMatch = (0 until bands).map { b =>
+      col(s"__mates_$b").isNotNull && exists(col(s"__mates_$b"), m =>
+        size(filter(zip_with(col(scol), m, (x, y) => x === y), e => e))
+          .cast("double") / lit(k.toDouble) >= threshold)
+    }.reduce(_ || _)
+    joined
+      .filter(!anyMatch)
+      .drop(scol +: (0 until bands).flatMap(b =>
+        Seq(s"__bv_$b", s"__mates_$b")): _*)
   }
 
   /** Stream-static semantic screen — drop arriving vectors that are

@@ -50,6 +50,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -159,18 +160,83 @@ object ScaleProbe {
         graft.operators.TextAnalysis.bm25(
           d, "doc_id", "text", Seq("join", "vector", "stream")).count()
       }
-      // incremental exact dedup: delta fixed, index ×k — cost must
-      // track the delta + a digest join, never re-reading the corpus
-      probe(s"dedup_delta x$k") {
-        val idx = Dedup.digestIndex(d, "text")
-        Dedup.dedupDeltaExact(
-          docs.limit(200), "doc_id", "text", idx).count()
+      // incremental exact dedup: delta fixed, index ×k. The index is
+      // PERSISTED outside the timed block (the deployment shape — a
+      // nightly delta joins an existing index), so the timing shows the
+      // delta screen alone: delta + one digest join, corpus never read
+      if (selected(s"dedup_delta x$k")) {
+        val idxPath = graft.queries.Q.scratch(s"probe_digidx_x$k")
+        Dedup.digestIndex(d, "text").write.mode("overwrite").parquet(idxPath)
+        probe(s"dedup_delta x$k") {
+          Dedup.dedupDeltaExact(docs.limit(200), "doc_id", "text",
+            spark.read.parquet(idxPath)).count()
+        }
       }
       // near-dup delta screen: delta fixed, signature index ×k — the
-      // band join must track delta + index size, never corpus text
-      probe(s"neardup_delta x$k") {
-        val idx = Dedup.minhashSignatures(d, "doc_id", "text", 3, 32)
-        Dedup.neardupDeltaScreen(docs.limit(200), "doc_id", "text", idx).count()
+      // persisted-index read + band join must track delta + index
+      // size, never corpus text (index written outside the timing)
+      if (selected(s"neardup_delta x$k")) {
+        val sigPath = graft.queries.Q.scratch(s"probe_sigidx_x$k")
+        Dedup.minhashSignatures(d, "doc_id", "text", 3, 32)
+          .write.mode("overwrite").parquet(sigPath)
+        probe(s"neardup_delta x$k") {
+          Dedup.neardupDeltaScreen(docs.limit(200), "doc_id", "text",
+            spark.read.parquet(sigPath)).count()
+        }
+      }
+      // PQ codebook training: one Lloyd step over all subspaces —
+      // broadcast codebooks, map-side argmin fold, scalar-state
+      // (sub, code, lane) aggregation; growth must track the scan
+      probe(s"pq_train x$k") {
+        graft.operators.Quantize.pqUpdateStep(e, "vec_id", "embedding",
+          graft.operators.Quantize.pqCodebooks(
+            emb, "vec_id", "embedding", 64, 8, 16),
+          64, 8).count()
+      }
+      // residual IVF-PQ: codebooks + distance tables broadcast; only
+      // candidate (cell, sub, code) rows move — growth tracks cell size
+      probe(s"ivfpq_residual x$k") {
+        val cents = emb.orderBy(col("vec_id")).limit(16)
+        graft.operators.Quantize.ivfPqResidualTopK(
+          e, emb.filter(col("vec_id") < 8), cents,
+          graft.operators.Quantize.pqCodebooks(
+            graft.operators.Quantize.residuals(emb, cents, "vec_id", "embedding"),
+            "vec_id", "resid", 64, 8, 16),
+          "vec_id", "embedding", 64, 8, k = 10, nProbe = 4).count()
+      }
+      // flagship session window under a wide-key STREAM: k·2000 users ×
+      // 4 events through the Append-mode session agg. State rows before
+      // the watermark advances = one open session per user (the
+      // watermark bounds state by arrival rate × delay, independent of
+      // stream lifetime); the flush record then emits every denied
+      // session. Both state and wall time must grow linearly in users.
+      probe(s"session_state x$k") {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.OutputMode
+        implicit val sqlCtx = spark.sqlContext
+        val nUsers = k * 2000
+        val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        val input = MemoryStream[(Long, java.sql.Timestamp, Int)]
+        val evs = input.toDF().toDF("user_id", "ts", "result")
+          .withWatermark("ts", "0 seconds")
+        val sessions = graft.operators.Sessionize.deniedCounts(
+          evs, "ts", "user_id", "600 seconds",
+          denied = col("result") === 0, weight = lit(1L))
+        val q = sessions.writeStream.format("memory")
+          .queryName(s"probe_sessions_x$k")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          input.addData((0L until nUsers.toLong).flatMap(u =>
+            (0 until 4).map(i =>
+              (u, new java.sql.Timestamp(base + i * 60000L), ((u + i) % 2).toInt))))
+          q.processAllAvailable()
+          val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+          input.addData(Seq((-1L, new java.sql.Timestamp(base + 86400000L), 1)))
+          q.processAllAvailable()
+          val emitted = spark.table(s"probe_sessions_x$k").count()
+          println(f"[probe]   session_state x$k: users=$nUsers state_rows=$stateRows emitted=$emitted")
+          emitted
+        } finally q.stop()
       }
       // IVF-PQ: probes and lookup tables broadcast; candidate code rows
       // are the only corpus-side traffic — growth tracks cell size

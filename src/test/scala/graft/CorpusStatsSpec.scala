@@ -135,7 +135,7 @@ class CorpusStatsSpec extends SparkSpec {
       n.groupMoments(docs.filter(col("doc_id") >= 250), "lang", "n_chars")))
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        (r.getLong(1), r.getDecimal(2).toBigInteger, r.getLong(3))).toMap
     assert(key(merged) == key(n.groupMoments(docs, "lang", "n_chars")))
 
     // and z-scores against merged moments equal the one-pass operator

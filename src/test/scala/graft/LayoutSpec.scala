@@ -75,6 +75,51 @@ class LayoutSpec extends SparkSpec {
     assert(out(("b", 1L)) == 0L) // partitions bin independently
   }
 
+  test("planGroupsLocal matches the compactionGroups binning") {
+    val files = Seq(("f3", 40L), ("f1", 70L), ("f2", 50L), ("f4", 10L))
+    val local = Layout.planGroupsLocal(files, targetBytes = 100L).toMap
+    val viaSpark = Layout.compactionGroups(
+      files.map { case (f, b) => ("p", f, b) }.toDF("part", "file", "bytes"),
+      "part", "file", "bytes", targetBytes = 100L)
+      .select("file", "group_id").as[(String, Long)].collect().toMap
+    assert(local == viaSpark)
+    // start-offset binning: f1 starts at 0 -> g0, f2 at 70 -> g0,
+    // f3 at 120 -> g1, f4 at 160 -> g1
+    assert(local == Map("f1" -> 0L, "f2" -> 0L, "f3" -> 1L, "f4" -> 1L))
+  }
+
+  test("compactDir rewrites a partition to one file per group, preserving rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+    val root = graft.queries.Q.scratch("compact_spec")
+    docs.repartition(8).write.partitionBy("lang").mode("overwrite").parquet(root)
+
+    val enDir = s"$root/lang=en"
+    val fs = new org.apache.hadoop.fs.Path(enDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listData() = fs.listStatus(new org.apache.hadoop.fs.Path(enDir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val origFiles = listData()
+    assert(origFiles.size >= 4, s"fixture should write several small files, got ${origFiles.size}")
+    val total = origFiles.map(_.getLen).sum
+    val before = spark.read.parquet(root).orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+
+    val (nBefore, nAfter) = Layout.compactDir(spark, enDir, targetBytes = total / 3 + 1)
+    assert(nBefore == origFiles.size)
+    assert(nAfter < nBefore && nAfter >= 1, s"nAfter=$nAfter")
+    assert(listData().size == nAfter)
+
+    // rows byte-identical through the rewrite, partition pruning intact
+    val back = spark.read.parquet(root)
+    val after = back.orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(after == before)
+    val plan = back.filter($"lang" === "en").queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("lang")), plan)
+  }
+
   test("zOrderBy partitions cover compact ranges of both columns") {
     val n = 1 << 12
     // a 64x64 grid, shuffled input order

@@ -98,6 +98,57 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept.sameElements(Array(11L)))
   }
 
+  test("near-dup screen drops stream docs banding with the signature index, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 400)
+    val path = graft.queries.Q.scratch("sigidx_stream")
+    graft.operators.Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 32)
+      .write.mode("overwrite").parquet(path)
+    val bucketed = StreamingDedup.bucketSignatureIndex(
+      spark.read.parquet(path), k = 32, bands = 8)
+
+    // two micro-batches: fresh docs + planted near-dups of corpus texts
+    // (token appended — high Jaccard, not exact) + a too-short doc
+    val b1 = docs.filter($"doc_id" >= 400 && $"doc_id" < 420)
+      .as[(Long, String)].collect().toSeq
+    val planted = docs.filter($"doc_id" < 10).as[(Long, String)].collect()
+      .map { case (id, t) => (id + 300000L, t + " zz") }.toSeq
+    val b2 = planted :+ (999999L, "one two")
+
+    val in = MemoryStream[(Long, String)]
+    val screened = StreamingDedup.neardupScreen(
+      in.toDF().toDF("doc_id", "text"), bucketed, "text")
+    val q = screened.writeStream
+      .format("memory").queryName("neardup_screen_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      // stateless: no streaming state operator materialized
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+      val kept = spark.table("neardup_screen_out")
+        .select("doc_id").as[Long].collect().toSet
+
+      // parity: batch delta screen over the SAME union delta
+      val delta = (b1 ++ b2).toDF("doc_id", "text")
+      val batchKept = graft.operators.Dedup.neardupDeltaScreen(
+        delta, "doc_id", "text", spark.read.parquet(path))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === batchKept)
+      // the screen actually fires (most planted near-dups die; exact
+      // count is pinned by the parity assert above) and the too-short
+      // doc (null signature) passes
+      assert(planted.count { case (id, _) => !kept.contains(id) } >= 5)
+      assert(kept.contains(999999L))
+    } finally q.stop()
+  }
+
   test("semantic screen drops stream vectors near-duplicating the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     // static corpus + axis centroids (same fixture shape as
