@@ -27,12 +27,22 @@ object Bench {
       // time-to-exception as a healthy measurement)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // centisecond precision, trailing zeros stripped: full-precision
+    // doubles pushed the JSON line past ~5 KB, and a line that long can
+    // be truncated by output-capture buffers (BENCH_r04..06 all archived
+    // with a mid-line tail and parsed=null) — 10 ms resolution keeps the
+    // whole line well under 4 KiB while losing nothing a wall-clock
+    // benchmark can genuinely resolve
+    def ms3(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // stop() first so no Spark shutdown chatter can land after the JSON
     // line — the driver parses the LAST line of output as the result
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
