@@ -87,6 +87,24 @@ object Dedup {
     delta.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Purge deleted CONTENT from a persisted [[digestIndex]] — the
+    * takedown twin of the append lifecycle: drop the digests of the
+    * deleted texts so re-submissions of removed content are no longer
+    * screened out. One anti-join on the 32-byte key; the delete batch
+    * rides the broadcast side.
+    *
+    * Semantics note: the digest index stores CONTENT identity, not doc
+    * identity — purging a digest whose text also lives in a surviving
+    * document un-indexes that survivor too (its text would re-enter as
+    * novel on the next delta). When deletes are id-scoped rather than
+    * content-scoped, first anti-join the delete ids against the corpus
+    * to find texts with no surviving owner, and purge only those.
+    */
+  def purgeDigests(index: DataFrame, deletedDocs: DataFrame, textCol: String): DataFrame =
+    index.join(
+      broadcast(deletedDocs.select(binaryDigest(textCol).as("digest"))),
+      Seq("digest"), "left_anti")
+
   /** Incremental NEAR-dup screening — the MinHash analog of
     * [[dedupDeltaExact]]: screen a delta batch against a PERSISTED
     * signature index (the (id, signature) output of

@@ -247,6 +247,62 @@ object Similarity {
     assignToCentroids(delta, centroids, idCol, vecCol)
       .write.mode("append").partitionBy("centroid_id").parquet(path)
 
+  /** Purge deleted vectors from a persisted IVF layout — the
+    * right-to-be-forgotten / takedown primitive: rewrite ONLY the cells
+    * that contain deleted ids, via Spark's dynamic partition overwrite,
+    * leaving every other cell's files untouched. The complement of
+    * [[appendToIndex]] in the index lifecycle (append / purge /
+    * compact / retrain).
+    *
+    * Plan: one semi-join finds the affected cells, one anti-join drops
+    * the deleted rows; survivors land in a sibling staging dir first
+    * (Spark refuses to overwrite a path it is reading), then a second
+    * job re-writes them `partitionBy(centroid_id)` with
+    * `partitionOverwriteMode=dynamic`, which replaces exactly the
+    * partitions present in the written data. Work ∝ affected cells,
+    * not index size — the partition-pruned delete a real table format
+    * implements with deletion vectors + compaction.
+    *
+    * Bounds (documented, not silent): `deletes` is broadcast — the
+    * GDPR/takedown batch shape; drop the hint for pathological delete
+    * volumes. A cell whose EVERY row is deleted produces no survivor
+    * rows, so dynamic overwrite cannot touch it and its stale files
+    * remain — re-apply the delete list as a read-side anti-join until
+    * the next [[graft.operators.Layout.compactDir]] / full rewrite of
+    * that cell (the deletion-vector discipline). q_purge_index plants
+    * deletes with surviving cell-mates, REQUIREs untouched cells kept
+    * their files, and hash-checks the purged index against a rebuild
+    * from the filtered corpus.
+    */
+  def purgeFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deletes: DataFrame,
+      idCol: String
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val index = spark.read.parquet(path)
+    val affected = index.join(broadcast(deletes), Seq(idCol), "left_semi")
+      .select(col("centroid_id")).distinct()
+    val survivors = index
+      .join(broadcast(affected), Seq("centroid_id"), "left_semi")
+      .join(broadcast(deletes), Seq(idCol), "left_anti")
+
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no leading dot: Spark treats dot-prefixed roots as hidden in one
+    // listing path (reads still work, but with an "All paths were
+    // ignored" WARN) — a plain sibling name avoids the subtlety
+    val tmp = new Path(dir.getParent, s"purge_tmp_${dir.getName}")
+    fs.delete(tmp, true)
+    survivors.write.mode("overwrite").parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("centroid_id").parquet(path)
+    fs.delete(tmp, true)
+  }
+
   /** SemDeDup-style semantic deduplication: assign every vector to a
     * coarse centroid cell (broadcast argmax fold — zero corpus
     * shuffle), then compare ONLY within-cell pairs and drop any vector

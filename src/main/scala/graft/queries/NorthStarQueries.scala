@@ -743,6 +743,70 @@ object NorthStarQueries {
       }
     ),
 
+    // The index lifecycle's DELETE: purge a takedown batch (five
+    // non-centroid ids — their cells always retain at least the
+    // centroid's own row, so no cell empties out and the documented
+    // dynamic-overwrite empty-cell bound is not in play)
+    // from the persisted IVF layout via dynamic partition overwrite —
+    // only cells containing deleted ids are rewritten. The REQUIREs pin
+    // the partition-pruned-delete claim structurally: at least one cell
+    // changed AND at least one cell's files are byte-identical
+    // (name+len+mtime) through the purge — i.e., this was not a full
+    // rewrite. The hash gate then pins semantics: the purged index
+    // equals assignment of the FILTERED corpus against the same frozen
+    // centroids (deleted vectors stay part of the coarse geometry —
+    // centroids are statistics, not rows).
+    Q(
+      "q_purge_index",
+      (spark, dir) => {
+        import org.apache.hadoop.fs.Path
+        val emb = Q.t(spark, dir, "embeddings")
+        val cents = emb.orderBy(col("vec_id")).limit(16)
+        val scratch = Q.scratch("purgeidx")
+        Similarity.assignToCentroids(emb, cents, "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(scratch)
+
+        val root = new Path(scratch)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+          fs.listStatus(root).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+            .map(d => d.getPath.getName ->
+              fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+                .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+                .sortBy(_._1))
+            .toMap
+        val before = snapshot()
+        Similarity.purgeFromIndex(spark, scratch,
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+            .select(col("vec_id")), "vec_id")
+        val after = snapshot()
+        val changed = before.keySet.filter(k => before.get(k) != after.get(k))
+        require(changed.nonEmpty, "purge should rewrite the affected cells")
+        require((before.keySet -- changed).nonEmpty,
+          s"purge must NOT rewrite unaffected cells (all ${before.size} changed)")
+
+        spark.read.parquet(scratch)
+          .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+           |)
+           |SELECT vec_id, cid AS centroid_id FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${cos("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |  FROM embeddings e CROSS JOIN cent c
+           |  WHERE e.vec_id < 100 OR e.vec_id >= 105) t
+           |WHERE rn = 1""".stripMargin
+      }
+    ),
+
     // Oracle-safe despite the float threshold: the fixtures' closest
     // cosine sits ≥1e-4 from 0.45 while cross-engine sum-order noise is
     // ~1e-15, so the id set is stable. Verifier-scoped: the operator's

@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpec {
     val kept2 = Dedup.dedupDeltaExact(delta2, "doc_id", "text",
       spark.read.parquet(path)).select("doc_id").as[Long].collect().sorted
     assert(kept2.sameElements(Array(21L)))
+
+    // takedown: purge a digest and the content re-enters as novel
+    Dedup.purgeDigests(spark.read.parquet(path),
+        docs(99L -> "alpha beta gamma"), "text")
+      .write.mode("overwrite").parquet(path + "_purged")
+    val kept3 = Dedup.dedupDeltaExact(
+      docs(30L -> "alpha beta gamma", 31L -> "brand new text"),
+      "doc_id", "text", spark.read.parquet(path + "_purged"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept3.sameElements(Array(30L))) // purged text passes, indexed text still dies
   }
 
   test("neardupDeltaScreen drops near-dups of the indexed corpus, keeps novel") {

@@ -120,6 +120,49 @@ class LayoutSpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains("lang")), plan)
   }
 
+  test("compactDir on a persisted IVF cell: probe results and pruning survive") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.orderBy($"vec_id").limit(8)
+    val path = graft.queries.Q.scratch("ivf_compact")
+
+    // build, then append three small deltas into the same tree — the
+    // nightly-append lifecycle that accumulates small files per cell
+    Similarity.assignToCentroids(emb.filter($"vec_id" < 200), cents, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    Seq((200L, 300L), (300L, 400L), (400L, 500L)).foreach { case (lo, hi) =>
+      Similarity.appendToIndex(
+        emb.filter($"vec_id" >= lo && $"vec_id" < hi), cents, "vec_id", "embedding", path)
+    }
+
+    val queries = emb.filter($"vec_id" < 8)
+    def probe() = Similarity.ivfTopKIndexed(
+      spark.read.parquet(path), queries, cents, "vec_id", "embedding", k = 5, nProbe = 2)
+    val before = probe().orderBy("query_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+
+    // compact the busiest cell (cell of the first centroid exists by
+    // construction: centroid 0 is its own nearest centroid)
+    val cellDir = s"$path/centroid_id=0"
+    val fs = new org.apache.hadoop.fs.Path(cellDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(cellDir))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val filesBefore = nFiles
+    assert(filesBefore >= 3, s"appends should leave several files, got $filesBefore")
+    val (nB, nA) = graft.operators.Layout.compactDir(spark, cellDir, targetBytes = 1L << 26)
+    assert(nB == filesBefore && nA == 1, s"($nB, $nA)")
+
+    // probe results identical through the rewrite, and the probe still
+    // prunes to its cells via dynamic partition pruning
+    val after = probe().orderBy("query_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(after == before)
+    val plan = probe().queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+  }
+
   test("zOrderBy partitions cover compact ranges of both columns") {
     val n = 1 << 12
     // a 64x64 grid, shuffled input order
