@@ -803,6 +803,133 @@ object CorpusQueries {
       }
     ),
 
+    // The FULL production ANN composition under the hash gate: coarse
+    // IVF + residual encoding + TRAINED per-subspace codebooks. Inputs
+    // snap to the 2^-20 grid, so the whole chain is engine-exact end to
+    // end: residuals are exact grid differences (numerators < 2^21),
+    // the training step's order-free member sums stay < 2^34 ≪ 2^53
+    // (exact in any accumulation order), the mean is one IEEE division
+    // (bit-identical trained centroids in both engines), and every
+    // subsequent distance is a lane-ordered fold of identical doubles.
+    // Empty codes carry their seed centroid (pqCodebooksFromUpdate's
+    // COALESCE, mirrored in SQL). q_pq_train gates the training step in
+    // isolation; this entry pins that training, residual encoding, and
+    // the per-cell ADC search COMPOSE without losing determinism —
+    // the deployment configuration, not a fixture toy.
+    Q(
+      "q_ivfpq_trained",
+      (spark, dir) => {
+        val grid = lit(1048576.0) // 2^20
+        val qe = Q.t(spark, dir, "embeddings").select(
+          col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * grid + lit(0.5)).cast("double") / grid)
+            .as("embedding"))
+        val cents = qe.orderBy(col("vec_id")).limit(16)
+        val res = Quantize.residuals(qe, cents, "vec_id", "embedding")
+        val rcb = Quantize.pqTrainedCodebooks(res, "vec_id", "resid",
+          dim = 64, subspaces = 8, nCodes = 16, iters = 1)
+        Quantize.ivfPqResidualTopK(
+          qe, qe.filter(col("vec_id") < 4), cents, rcb,
+          "vec_id", "embedding", dim = 64, subspaces = 8, k = 10, nProbe = 4)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH qe AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) / 1048576.0) AS qv
+           |  FROM embeddings
+           |), coarse AS (
+           |  SELECT vec_id AS ccid, qv AS ccvec FROM qe ORDER BY vec_id LIMIT 16
+           |), asgr AS (
+           |  SELECT vec_id, qv, ccid, ccvec FROM (
+           |    SELECT e.vec_id, e.qv, c.ccid, c.ccvec,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.qv", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM qe e CROSS JOIN coarse c) t
+           |  WHERE rn = 1
+           |), rv AS (
+           |  SELECT vec_id, ccid AS centroid_id,
+           |    list_transform(generate_series(1, 64), i -> qv[i] - ccvec[i]) AS rvec
+           |  FROM asgr
+           |), rcbs AS (
+           |  SELECT s.sub, c.code, c.v[s.sub * 8 + 1 : s.sub * 8 + 8] AS centroid
+           |  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+           |               rvec AS v
+           |        FROM (SELECT vec_id, rvec FROM rv ORDER BY vec_id LIMIT 16) t0) c
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |), rsv AS (
+           |  SELECT r.vec_id AS id, r.centroid_id, s.sub,
+           |         r.rvec[s.sub * 8 + 1 : s.sub * 8 + 8] AS subvec
+           |  FROM rv r CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |), spqd AS (
+           |  SELECT sv.id, sv.sub, cb.code,
+           |    ${PqFold("sv.subvec", "cb.centroid")} AS dist2
+           |  FROM rsv sv JOIN rcbs cb USING (sub)
+           |), scodes AS (
+           |  SELECT id, sub, code FROM (
+           |    SELECT id, sub, code, ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist2, code) AS rn
+           |    FROM spqd) t
+           |  WHERE rn = 1
+           |), m AS (
+           |  SELECT c.sub, c.code, CAST(i - 1 AS INT) AS lane, sv.subvec[i] AS v
+           |  FROM rsv sv JOIN scodes c ON sv.id = c.id AND sv.sub = c.sub,
+           |       UNNEST(generate_series(1, 8)) AS u(i)
+           |), upd AS (
+           |  SELECT sub, code, lane, SUM(v) / CAST(COUNT(*) AS DOUBLE) AS centroid_v
+           |  FROM m GROUP BY sub, code, lane
+           |), tc AS (
+           |  SELECT sub, code, list(centroid_v ORDER BY lane) AS c FROM upd GROUP BY sub, code
+           |), rcbt AS (
+           |  SELECT s.sub, s.code, COALESCE(t.c, s.centroid) AS centroid
+           |  FROM rcbs s LEFT JOIN tc t ON s.sub = t.sub AND s.code = t.code
+           |), rpqd AS (
+           |  SELECT sv.id, sv.centroid_id, sv.sub, cb.code,
+           |    ${PqFold("sv.subvec", "cb.centroid")} AS dist2
+           |  FROM rsv sv JOIN rcbt cb USING (sub)
+           |), rcodes AS (
+           |  SELECT id, centroid_id, sub, code FROM (
+           |    SELECT id, centroid_id, sub, code,
+           |      ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist2, code) AS rn
+           |    FROM rpqd) t
+           |  WHERE rn = 1
+           |), probes AS (
+           |  SELECT query_id, centroid_id, qres FROM (
+           |    SELECT q.vec_id AS query_id, c.ccid AS centroid_id,
+           |      list_transform(generate_series(1, 64), i -> q.qv[i] - c.ccvec[i]) AS qres,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.qv", "c.ccvec")} DESC, c.ccid ASC) AS rn
+           |    FROM qe q CROSS JOIN coarse c WHERE q.vec_id < 4) t
+           |  WHERE rn <= 4
+           |), qs AS (
+           |  SELECT p.query_id, p.centroid_id, s.sub,
+           |         p.qres[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsub
+           |  FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+           |), dtab AS (
+           |  SELECT qs.query_id, qs.centroid_id, qs.sub, cb.code,
+           |    ${PqFold("qs.qsub", "cb.centroid")} AS dd
+           |  FROM qs JOIN rcbt cb USING (sub)
+           |), adc AS (
+           |  SELECT d.query_id, c.id AS neighbor_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.dd ORDER BY d.sub)),
+           |                (a, b) -> a + b) AS adc
+           |  FROM rcodes c
+           |  JOIN dtab d ON d.centroid_id = c.centroid_id AND d.sub = c.sub AND d.code = c.code
+           |  WHERE d.query_id <> c.id
+           |  GROUP BY d.query_id, c.id
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk
+           |  FROM adc) t
+           |WHERE rnk <= 10""".stripMargin
+      }
+    ),
+
     // Incremental statistics maintenance: per-language moments of the
     // < 400 corpus are PERSISTED; the delta batch's moments merge in by
     // exact integer summation (no corpus rescan), and the union
