@@ -97,13 +97,17 @@ object AuditSource {
     * Hadoop compiles `{a,b,...}` to ONE regex alternation, so a name
     * matching several branches lists once — no duplicate reads.
     *
-    * Documented divergence (shared with [[filterByPathDate]], which
-    * keys on the same 8-digit shape): an all-digit 8-char name that is
-    * lexicographically below minDate but NOT a parseable date (e.g.
-    * `00001332`) is pruned here, while `DateFileFilter`'s parse-check
-    * would keep it. Every parseable date compares identically
+    * Parse-check parity for 8-digit NON-dates: names whose month is not
+    * 01–12 or whose day is not 01–31 cannot parse, so `DateFileFilter`
+    * keeps them regardless of the min — six keep-branches below
+    * enumerate exactly those shapes (`00001332`, `20241490`, …).
+    * Residual documented divergence: day-vs-month-length and leap
+    * rules are not glob-expressible (`20210230` fails STRICT parse and
+    * the reference keeps it, but this glob prunes it when below min) —
+    * [[batchPruned]]/[[DatePrunedFileIndex]] run the real parse and
+    * have full parity. Every parseable date compares identically
     * (lexicographic == chronological for BASIC_ISO_DATE), and 8-digit
-    * non-dates ABOVE the min (`99999999`) pass both.
+    * non-dates ABOVE the min (`99999999`) pass both either way.
     */
   private[graft] def minDateGlob(minDate: String): String = {
     require(minDate.matches("[0-9]{8}"),
@@ -112,8 +116,17 @@ object AuditSource {
       case i if minDate(i) < '9' =>
         minDate.take(i) + s"[${(minDate(i) + 1).toChar}-9]" + "[0-9]" * (7 - i)
     }
-    val nonDate = (1 to 7).map("?" * _) ++ Seq("*[^0-9]*", "[0-9]" * 9 + "*")
-    (ge ++ nonDate).mkString("{", ",", "}")
+    val d = "[0-9]"
+    // 8-digit shapes that cannot be dates: month 00 / 13-99, day 00 / 32-99
+    val nonParse = Seq(
+      d * 4 + "00" + d * 2,
+      d * 4 + "1[3-9]" + d * 2,
+      d * 4 + "[2-9]" + d * 3,
+      d * 6 + "00",
+      d * 6 + "3[2-9]",
+      d * 6 + "[4-9]" + d)
+    val nonDate = (1 to 7).map("?" * _) ++ Seq("*[^0-9]*", d * 9 + "*")
+    (ge ++ nonParse ++ nonDate).mkString("{", ",", "}")
   }
 
   /** Streaming source with ENUMERATION-time date pruning for bare

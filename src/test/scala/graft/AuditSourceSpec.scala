@@ -92,8 +92,14 @@ class AuditSourceSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.GlobPattern(glob)
     val kept = Seq("20240315", "20240316", "20240399", "20241231", "20250101",
       "21000101", "99999999", // 8-digit above min (even unparseable) pass
-      "notadate", "abc", "2024031", "202403157", "dt=20240101", "a20240101")
-    val pruned = Seq("20240314", "20240101", "19991231", "00000000")
+      "notadate", "abc", "2024031", "202403157", "dt=20240101", "a20240101",
+      // below min but NOT parseable as dates -> DateFileFilter keeps them,
+      // and so do the nonParse branches (month 00/13-99, day 00/32-99)
+      "00000000", "00001332", "20231490", "20230100", "20230132")
+    val pruned = Seq("20240314", "20240101", "19991231",
+      // residual documented divergence: day invalid only BY MONTH LENGTH
+      // (needs a real parse; the glob prunes it below min)
+      "20230230")
     kept.foreach(n => assert(p.matches(n), s"expected glob to keep $n"))
     pruned.foreach(n => assert(!p.matches(n), s"expected glob to prune $n"))
   }
