@@ -827,10 +827,17 @@ object CorpusQueries {
             .as("embedding"))
         val cents = qe.orderBy(col("vec_id")).limit(16)
         val res = Quantize.residuals(qe, cents, "vec_id", "embedding")
-        val rcb = Quantize.pqTrainedCodebooks(res, "vec_id", "resid",
-          dim = 64, subspaces = 8, nCodes = 16, iters = 1)
+        // trained codebooks are PERSISTED then read back — the
+        // deployment shape (train once, search many), and it keeps the
+        // search plan from re-running the training lineage at each of
+        // the codebooks' two appearances (encode + distance tables)
+        val scratch = Q.scratch("rcbt")
+        Quantize.pqTrainedCodebooks(res, "vec_id", "resid",
+            dim = 64, subspaces = 8, nCodes = 16, iters = 1)
+          .write.mode("overwrite").parquet(scratch)
         Quantize.ivfPqResidualTopK(
-          qe, qe.filter(col("vec_id") < 4), cents, rcb,
+          qe, qe.filter(col("vec_id") < 4), cents,
+          spark.read.parquet(scratch),
           "vec_id", "embedding", dim = 64, subspaces = 8, k = 10, nProbe = 4)
       },
       Some {
