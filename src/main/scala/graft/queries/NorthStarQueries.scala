@@ -807,6 +807,78 @@ object NorthStarQueries {
       }
     ),
 
+    // The index-maintenance FLAGSHIP: four lifecycle days composed over
+    // one persisted layout — build (< 300), append the rest against the
+    // frozen centroids, purge a takedown batch via dynamic partition
+    // overwrite, compact the busiest cell to one file — then probe.
+    // Each step is individually gated (q_ann_ivf_incremental,
+    // q_purge_index, q_compaction_exec/LayoutSpec); this entry pins
+    // that they COMPOSE at the filesystem level (purge rewrites
+    // appended files correctly, compaction preserves the purged state,
+    // pruning survives all three rewrites). Oracle = one-shot
+    // assignment + probe of the filtered corpus: maintenance must be
+    // observationally equivalent to rebuilding from current truth.
+    Q(
+      "q_lifecycle_pipeline",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        val cents = emb.orderBy(col("vec_id")).limit(16)
+        val path = Q.scratch("lifecycle")
+        Similarity.assignToCentroids(
+            emb.filter(col("vec_id") < 300), cents, "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        Similarity.appendToIndex(
+          emb.filter(col("vec_id") >= 300), cents, "vec_id", "embedding", path)
+        Similarity.purgeFromIndex(spark, path,
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+            .select(col("vec_id")), "vec_id")
+        graft.operators.Layout.compactDir(
+          spark, s"$path/centroid_id=0", targetBytes = 1L << 26)
+        val out = Similarity.ivfTopKIndexed(
+          spark.read.parquet(path), emb.filter(col("vec_id") < 8), cents,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        val plan = out.queryExecution.executedPlan.toString
+        require(
+          plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("dynamicpruning")),
+          s"expected dynamic partition pruning to survive the maintenance chain:\n$plan")
+        out
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+           |), assigned AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS nvec, cid AS centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cos("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c
+           |    WHERE e.vec_id < 100 OR e.vec_id >= 105) t
+           |  WHERE rn = 1
+           |), probes AS (
+           |  SELECT query_id, qvec, centroid_id FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+           |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) t
+           |  WHERE rn <= 4
+           |), scored AS (
+           |  SELECT p.query_id, a.neighbor_id, ${cos("p.qvec", "a.nvec")} AS sim
+           |  FROM probes p JOIN assigned a USING (centroid_id)
+           |  WHERE p.query_id <> a.neighbor_id
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+           |  FROM scored) t
+           |WHERE rnk <= 5""".stripMargin
+      }
+    ),
+
     // Oracle-safe despite the float threshold: the fixtures' closest
     // cosine sits ≥1e-4 from 0.45 while cross-engine sum-order noise is
     // ~1e-15, so the id set is stable. Verifier-scoped: the operator's

@@ -94,6 +94,39 @@ class SimilaritySpec extends SparkSpec {
     assert(grown == rebuilt)
   }
 
+  test("purgeFromIndex rewrites only affected cells; empty-cell bound as documented") {
+    // two well-separated cells; cell 2's only member is the centroid row
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f)),
+      (11L, Array(0.95f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = corpus.filter($"vec_id" < 3)
+    val path = graft.queries.Q.scratch("purge_spec")
+    Similarity.assignToCentroids(corpus, cents, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    // typical purge: survivors remain in the affected cell
+    Similarity.purgeFromIndex(spark, path,
+      Seq(Tuple1(10L)).toDF("vec_id"), "vec_id")
+    assert(spark.read.parquet(path).select("vec_id").as[Long].collect().toSet
+      == Set(1L, 2L, 11L))
+
+    // documented bound: deleting a cell's LAST row cannot be expressed
+    // as a dynamic partition overwrite (no survivor rows reference the
+    // cell), so its stale file remains — the read-side anti-join is the
+    // remedy until compaction/full rewrite
+    Similarity.purgeFromIndex(spark, path,
+      Seq(Tuple1(2L)).toDF("vec_id"), "vec_id")
+    val after = spark.read.parquet(path).select("vec_id").as[Long].collect().toSet
+    assert(after == Set(1L, 2L, 11L)) // 2 is stale, exactly as documented
+    val screened = spark.read.parquet(path)
+      .join(Seq(Tuple1(2L)).toDF("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    assert(screened == Set(1L, 11L)) // the documented read-side remedy
+  }
+
   test("cosine near-dup pairs finds exactly the planted duplicate") {
     val d = vecs(
       1L -> Seq(1f, 2f, 3f),
