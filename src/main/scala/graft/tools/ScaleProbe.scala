@@ -204,6 +204,23 @@ object ScaleProbe {
             "vec_id", "resid", 64, 8, 16),
           "vec_id", "embedding", 64, 8, k = 10, nProbe = 4).count()
       }
+      // partition-pruned delete: index ×k built OUTSIDE the timing; the
+      // timed purge rewrites only the cells holding the 5 deleted ids,
+      // so cost tracks affected-cell bytes, not index size (returns the
+      // delete-batch size — a full read-back would re-scan the index
+      // and mask the flatness being demonstrated)
+      if (selected(s"ivf_purge x$k")) {
+        val p = graft.queries.Q.scratch(s"probe_purge_x$k")
+        Similarity.assignToCentroids(
+            e, emb.orderBy(col("vec_id")).limit(16), "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(p)
+        probe(s"ivf_purge x$k") {
+          Similarity.purgeFromIndex(spark, p,
+            emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+              .select(col("vec_id")), "vec_id")
+          5L
+        }
+      }
       // flagship session window under a wide-key STREAM: k·2000 users ×
       // 4 events through the Append-mode session agg. State rows before
       // the watermark advances = one open session per user (the
