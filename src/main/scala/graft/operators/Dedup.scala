@@ -433,6 +433,36 @@ object Dedup {
     docs.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** QUALITY-canonical near-dup dedup: keep one representative per
+    * cluster chosen by a quality column (highest wins, id tie-break)
+    * instead of smallest-id — what a curation pipeline actually wants:
+    * when five near-copies of a page exist, ship the best-scored one,
+    * not the one that happened to crawl first. Output: (cluster, id,
+    * the quality column) for each surviving representative.
+    *
+    * One window over cluster-grouped rows picks the argmax; cluster
+    * label propagation ([[nearDupClusters]]) confines its joins to the
+    * dup subgraph, so the added cost over min-id dedup is one shuffle
+    * of (id, cluster, quality) triples.
+    */
+  def canonicalByQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      qualityCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, n, threshold)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(qualityCol).desc, col("id").asc)
+    docs.select(col(idCol).as("id"), col(qualityCol))
+      .join(clusters, Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("id"), col(qualityCol))
+  }
+
   /** Greedy near-dup removal: drop every doc that is the larger-id side
     * of a qualifying pair (keeps the smallest id of each pair; the
     * cluster-exact variant is `nearDupClusters` + keep cluster == id).

@@ -165,6 +165,38 @@ object Sampling {
     df.withColumn(epochCol, explode(copies))
   }
 
+  /** Token-budget corpus assembly: keep documents in deterministic
+    * shuffle order until each shard's cumulative token count reaches
+    * `budgetPerShard` — "give me ~N tokens of this corpus,
+    * reproducibly". The budget divides across shards so every shard's
+    * running sum is an independent window (no global ordering, no
+    * single-partition state): at 100 TB each of the `shards` windows
+    * sorts only its own hash-routed slice, and the kept set is a pure
+    * function of ids — retries and re-runs select identical documents.
+    *
+    * Keeps the prefix of each shard's (orderHash, id) order whose
+    * running inclusive sum stays ≤ budget — the sum is monotone, so
+    * the kept set is a clean prefix ending just before the document
+    * that would cross the line. Output: input columns +
+    * (shard, cum_tokens).
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shards: Int,
+      budgetPerShard: Long
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("shard", hashBucket(col(idCol), shards))
+      .withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetPerShard)
+  }
+
   /** Stratified sampling: a different keep-rate per stratum (data
     * curation's "downsample the dominant source, keep all of the rare
     * one"). Rates are keep-buckets out of `buckets`; strata not listed

@@ -401,6 +401,58 @@ object Similarity {
       .select(col("n_probe"), col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Two-stage retrieval: a CHEAP prefix-dimension cosine generates
+    * `kCand` candidates per query, the full-dimension exact cosine
+    * reranks them to top-`k` — the retrieve-then-rerank shape every
+    * production stack uses (matryoshka-style truncated embeddings,
+    * then the expensive metric on survivors only).
+    *
+    * Plan: stage 1 is the [[bruteForceTopK]] shape on `slice(vec,
+    * 1, dPrefix)` — queries broadcast, corpus never shuffles, per-pair
+    * cost dPrefix/dim of the full metric. Stage 2 touches only
+    * queries·kCand candidate rows: they broadcast back onto the corpus
+    * by id, so the full-width vectors are read once and never shuffle
+    * either. Recall < 1 by construction (a true neighbor the prefix
+    * metric misses stays missed); tune kCand — SimilaritySpec pins
+    * recall against single-stage exact on the fixture.
+    */
+  def twoStageTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dPrefix: Int,
+      kCand: Int,
+      k: Int
+  ): DataFrame = {
+    val pc = corpus.select(col(idCol).as("neighbor_id"),
+      slice(col(vecCol), 1, dPrefix).as("pvec"))
+    val pq = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, dPrefix).as("qpvec"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("neighbor_id").asc)
+    val cand = pc.crossJoin(broadcast(pq))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("psim", dot(col("qpvec"), col("pvec")) /
+        (norm(col("qpvec")) * norm(col("pvec"))))
+      .withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= kCand)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val cFull = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnorm"))
+    val qFull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cFull.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .withColumn("sim", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed embedding near-duplicate pairs — the 100 TB path.
     *
     * Map-side `planes`-bit random-hyperplane signature per vector

@@ -545,6 +545,32 @@ object ExtendedQueries {
       )
     ),
 
+    // Token-budget corpus assembly: "give me ~N chars of corpus,
+    // reproducibly" — each shard keeps the prefix of its deterministic
+    // shuffle order whose running char count stays ≤ the per-shard
+    // budget. Pure integer window arithmetic (long cumulative sums, the
+    // engine-portable hash order), so the oracle is exact; at 100 TB
+    // the 8 windows sort only their own hash-routed slices.
+    Q(
+      "q_token_budget",
+      (spark, dir) =>
+        Sampling.tokenBudgetSample(
+          Q.t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", shards = 8, budgetPerShard = 5000L),
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""SELECT doc_id, n_chars, shard, cum_tokens FROM (
+           |  SELECT doc_id, n_chars,
+           |    ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8 AS shard,
+           |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+           |      PARTITION BY ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM documents) t
+           |WHERE cum_tokens <= 5000""".stripMargin
+      }
+    ),
+
     // String function battery: pad / translate / reverse / repeat /
     // position / left / right.
     Q(

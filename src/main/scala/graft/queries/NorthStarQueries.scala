@@ -492,6 +492,83 @@ object NorthStarQueries {
       )
     ),
 
+    // QUALITY-canonical near-dup dedup: one representative per cluster
+    // chosen by n_chars (argmax, id tie-break) instead of smallest id —
+    // ship the best near-copy, not the first-crawled one. Clusters come
+    // from the same min-label propagation q_dedup_clusters pins; the
+    // oracle reruns the recursive transitive closure and picks the same
+    // argmax (integer quality, so the window order is float-free).
+    Q(
+      "q_dedup_canonical",
+      (spark, dir) =>
+        Dedup.canonicalByQuality(Q.t(spark, dir, "documents"),
+          "doc_id", "text", "n_chars", n = 3, threshold = 0.4)
+          .withColumnRenamed("id", "doc_id"),
+      Some(
+        s"""WITH RECURSIVE ${jaccardCtes("documents")},
+           |edges AS (
+           |  SELECT id_a AS u, id_b AS v FROM jpairs
+           |  UNION ALL SELECT id_b, id_a FROM jpairs
+           |), reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           |), cl AS (
+           |  SELECT d.doc_id AS id,
+           |         LEAST(d.doc_id,
+           |               COALESCE((SELECT MIN(r.v) FROM reach r WHERE r.u = d.doc_id),
+           |                        d.doc_id)) AS cluster
+           |  FROM documents d
+           |)
+           |SELECT cluster, doc_id, n_chars FROM (
+           |  SELECT cl.cluster, d.doc_id, d.n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY cl.cluster
+           |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+           |  FROM documents d JOIN cl ON cl.id = d.doc_id) t
+           |WHERE rn = 1""".stripMargin
+      )
+    ),
+
+    // Two-stage retrieval: truncated-dimension (matryoshka-style)
+    // cosine generates 32 candidates per query at 1/4 the per-pair
+    // cost, the full 64-dim exact cosine reranks to top-5 — the
+    // retrieve-then-rerank shape. Both stages' ranks are
+    // engine-deterministic (ordered dot folds, id tie-breaks);
+    // SimilaritySpec pins recall vs single-stage exact.
+    Q(
+      "q_two_stage_rerank",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        Similarity.twoStageTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", dPrefix = 16, kCand = 32, k = 5)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH pc AS (
+           |  SELECT vec_id, embedding[1:16] AS p FROM embeddings
+           |), cand AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.p", "c.p")} DESC, c.vec_id ASC) AS rn
+           |    FROM pc c CROSS JOIN (SELECT * FROM pc WHERE vec_id < 8) q
+           |    WHERE c.vec_id <> q.vec_id) t
+           |  WHERE rn <= 32
+           |)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           |  SELECT ca.query_id, ca.neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY ca.query_id ORDER BY
+           |      ${cos("q.embedding", "c.embedding")} DESC, ca.neighbor_id ASC) AS rnk
+           |  FROM cand ca
+           |  JOIN embeddings c ON c.vec_id = ca.neighbor_id
+           |  JOIN embeddings q ON q.vec_id = ca.query_id) t
+           |WHERE rnk <= 5""".stripMargin
+      }
+    ),
+
     // Full MinHash+LSH oracle: signatures, banding, candidate pairs and
     // the estimated jaccard are all engine-portable integer arithmetic.
     // (Spark buckets band signatures through xxhash64 as a shuffle-key

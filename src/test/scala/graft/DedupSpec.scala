@@ -77,6 +77,21 @@ class DedupSpec extends SparkSpec {
     assert(kept3.sameElements(Array(30L))) // purged text passes, indexed text still dies
   }
 
+  test("canonicalByQuality keeps the best-quality cluster member, not min id") {
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (1L, base, 10L),               // cluster {1,2,3}: near-dups
+      (2L, base + " extra", 99L),    // best quality -> the representative
+      (3L, base + " more", 50L),
+      (9L, "completely different text with nothing shared here at all", 5L)
+    ).toDF("doc_id", "text", "quality")
+    val reps = Dedup.canonicalByQuality(docs, "doc_id", "text", "quality",
+      n = 3, threshold = 0.4)
+      .select("cluster", "id").as[(Long, Long)].collect().toMap
+    assert(reps(1L) == 2L)  // argmax quality, NOT the min-id member
+    assert(reps(9L) == 9L)  // singleton represents itself
+  }
+
   test("neardupDeltaScreen drops near-dups of the indexed corpus, keeps novel") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)

@@ -127,6 +127,28 @@ class SimilaritySpec extends SparkSpec {
     assert(screened == Set(1L, 11L)) // the documented read-side remedy
   }
 
+  test("twoStageTopK recalls most single-stage exact neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val staged = Similarity.twoStageTopK(emb, queries, "vec_id", "embedding",
+      dPrefix = 16, kCand = 64, k = 5)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recalls = exact.map { case (q, e) =>
+      e.count(staged.getOrElse(q, Set.empty).contains).toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    // this fixture's embeddings are synthetic — the first 16 dims are
+    // just 16 random dims (no matryoshka information ordering), the
+    // hardest case for a prefix screen; kCand=64 of 500 still recalls
+    // over half of the true top-5 vs 1% by chance. Real matryoshka
+    // embeddings concentrate information in the prefix and do far
+    // better at smaller kCand.
+    assert(mean >= 0.5, s"two-stage mean recall $mean")
+  }
+
   test("cosine near-dup pairs finds exactly the planted duplicate") {
     val d = vecs(
       1L -> Seq(1f, 2f, 3f),
