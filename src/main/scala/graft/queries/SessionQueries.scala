@@ -90,6 +90,40 @@ object SessionQueries {
       )
     ),
 
+    // Per-EVENT session attribution — the feature-engineering join
+    // that tags every event with its session's start and size: ALL
+    // sessions (no deny filter) from the same session_window
+    // aggregation, then an equi-join on the user with the range
+    // predicate as residual. The shuffle hashes on user_id and each
+    // user has few sessions, so there is no interval replication;
+    // every event matches exactly one session (sessions are disjoint
+    // and end = last event + gap).
+    Q(
+      "q_session_attribution",
+      (spark, dir) => {
+        val ev = Q.events(spark, dir)
+        val sessions = ev
+          .groupBy(session_window(col("ts"), s"$GapSeconds seconds").as("session"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session.start").as("session_start"),
+            col("session.end").as("session_end"), col("n_events"))
+        ev.select(col("event_id"), col("user_id"), col("ts"))
+          .join(sessions, Seq("user_id"))
+          .filter(col("ts") >= col("session_start") && col("ts") < col("session_end"))
+          .select(col("event_id"), col("user_id"), col("session_start"),
+            col("n_events"))
+      },
+      Some(
+        s"""${islands(GapSeconds)}, s AS (
+           |  SELECT user_id, sid, MIN(ts) AS session_start, COUNT(*) AS n_events
+           |  FROM sess GROUP BY user_id, sid
+           |)
+           |SELECT e.event_id, e.user_id, s.session_start, s.n_events
+           |FROM sess e JOIN s ON e.user_id = s.user_id AND e.sid = s.sid""".stripMargin
+      )
+    ),
+
     // W1 + A1 + A2 + F1: event-time session window, incremental
     // conditional weighted count, window finalizer, HAVING != 0.
     Q(
