@@ -27,14 +27,15 @@ object Bench {
       // time-to-exception as a healthy measurement)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // centisecond precision, trailing zeros stripped: full-precision
+    // decisecond precision, trailing zeros stripped: full-precision
     // doubles pushed the JSON line past ~5 KB, and a line that long can
     // be truncated by output-capture buffers (BENCH_r04..06 all archived
-    // with a mid-line tail and parsed=null) — 10 ms resolution keeps the
-    // whole line well under 4 KiB while losing nothing a wall-clock
-    // benchmark can genuinely resolve
+    // with a mid-line tail and parsed=null). 0.1 s resolution keeps the
+    // whole line comfortably under 4 KiB as the registry grows, and the
+    // documented run-to-run steal-time variance dwarfs it anyway —
+    // MicroBench medians are the fine-grained signal.
     def ms3(v: Double): String = {
-      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }

@@ -187,6 +187,10 @@ object Sampling {
       shards: Int,
       budgetPerShard: Long
   ): DataFrame = {
+    Seq("shard", "cum_tokens").foreach { c =>
+      require(!df.columns.contains(c),
+        s"tokenBudgetSample: input already has a '$c' column")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)

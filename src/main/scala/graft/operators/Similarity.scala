@@ -427,14 +427,18 @@ object Similarity {
   ): DataFrame = {
     val pc = corpus.select(col(idCol).as("neighbor_id"),
       slice(col(vecCol), 1, dPrefix).as("pvec"))
+      .withColumn("pnorm", norm(col("pvec")))
     val pq = queries.select(col(idCol).as("query_id"),
       slice(col(vecCol), 1, dPrefix).as("qpvec"))
+      .withColumn("qpnorm", norm(col("qpvec")))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("neighbor_id").asc)
     val cand = pc.crossJoin(broadcast(pq))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // norms hoisted to the per-row projections (bitwise identical
+      // values; a pair costs one dPrefix-wide dot, not a dot + 2 norms)
       .withColumn("psim", dot(col("qpvec"), col("pvec")) /
-        (norm(col("qpvec")) * norm(col("pvec"))))
+        (col("qpnorm") * col("pnorm")))
       .withColumn("crank", row_number().over(w1))
       .filter(col("crank") <= kCand)
       .select(col("query_id"), col("neighbor_id"))
