@@ -105,6 +105,16 @@ object Dedup {
       broadcast(deletedDocs.select(binaryDigest(textCol).as("digest"))),
       Seq("digest"), "left_anti")
 
+  /** Purge deleted docs from a persisted signature index
+    * ([[minhashSignatures]] output) — the near-dup member of the
+    * takedown family. Signatures are per-DOC state, so this is cleanly
+    * id-scoped (no shared-content subtlety like [[purgeDigests]]):
+    * one anti-join, delete batch broadcast, and near-dups of the
+    * removed doc re-enter as novel on the next screen.
+    */
+  def purgeSignatures(index: DataFrame, deletes: DataFrame, idCol: String): DataFrame =
+    index.join(broadcast(deletes.select(col(idCol).as("id"))), Seq("id"), "left_anti")
+
   /** Incremental NEAR-dup screening — the MinHash analog of
     * [[dedupDeltaExact]]: screen a delta batch against a PERSISTED
     * signature index (the (id, signature) output of

@@ -116,6 +116,16 @@ class DedupSpec extends SparkSpec {
     // appended-token copies are high-Jaccard: the screen catches most
     val plantedKept = kept.count(id => id >= 5000L && id < 5010L)
     assert(plantedKept <= 2, s"$plantedKept planted near-dups survived")
+
+    // takedown: purge doc 50 from the index and its exact copy re-enters
+    Dedup.purgeSignatures(spark.read.parquet(path),
+        corpus.filter(col("doc_id") === 50L).select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(path + "_purged")
+    val kept2 = Dedup.neardupDeltaScreen(delta, "doc_id", "text",
+      spark.read.parquet(path + "_purged"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2.contains(6050L)) // near-dups of the purged doc pass now
+    assert(kept2.count(id => id >= 5000L && id < 5010L) == plantedKept) // others unchanged
   }
 
   test("mergeSignatures equals the signature of the unioned shingle sets") {
