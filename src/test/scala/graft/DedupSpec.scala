@@ -93,8 +93,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("neardupDeltaScreen drops near-dups of the indexed corpus, keeps novel") {
+    // a synthetic doc with no near-dup among the real corpus docs — the
+    // purge assertion needs a doc whose ONLY index match is itself
+    // (fixture docs can have planted dup families)
+    val unique = "zebra quantum lighthouse marmalade puzzle violin eclipse " +
+      "tundra obsidian waffle nebula cricket harbor velvet sundial"
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+      .unionAll(Seq((777L, unique)).toDF("doc_id", "text"))
     val path = graft.queries.Q.scratch("sigidx_spec")
     Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 32)
       .write.mode("overwrite").parquet(path)
@@ -102,8 +108,7 @@ class DedupSpec extends SparkSpec {
     val nearDup = corpus.filter(col("doc_id") < 10)
       .select((col("doc_id") + 5000L).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"))
-    val exactDup = corpus.filter(col("doc_id") === 50L)
-      .select((col("doc_id") + 6000L).as("doc_id"), col("text"))
+    val exactDup = Seq((6777L, unique)).toDF("doc_id", "text")
     val novel = Seq((9000L,
       "totally unrelated fresh words nothing shared with anything indexed here"))
       .toDF("doc_id", "text")
@@ -112,20 +117,21 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.neardupDeltaScreen(delta, "doc_id", "text",
       spark.read.parquet(path)).select("doc_id").as[Long].collect().toSet
     assert(kept.contains(9000L))      // novel text passes
-    assert(!kept.contains(6050L))     // exact dup is trivially a near-dup
+    assert(!kept.contains(6777L))     // exact dup is trivially a near-dup
     // appended-token copies are high-Jaccard: the screen catches most
     val plantedKept = kept.count(id => id >= 5000L && id < 5010L)
     assert(plantedKept <= 2, s"$plantedKept planted near-dups survived")
 
-    // takedown: purge doc 50 from the index and its exact copy re-enters
+    // takedown: purge doc 777 from the index and its exact copy
+    // re-enters (777 was its only match); unrelated screening unchanged
     Dedup.purgeSignatures(spark.read.parquet(path),
-        corpus.filter(col("doc_id") === 50L).select("doc_id"), "doc_id")
+        Seq(Tuple1(777L)).toDF("doc_id"), "doc_id")
       .write.mode("overwrite").parquet(path + "_purged")
     val kept2 = Dedup.neardupDeltaScreen(delta, "doc_id", "text",
       spark.read.parquet(path + "_purged"))
       .select("doc_id").as[Long].collect().toSet
-    assert(kept2.contains(6050L)) // near-dups of the purged doc pass now
-    assert(kept2.count(id => id >= 5000L && id < 5010L) == plantedKept) // others unchanged
+    assert(kept2.contains(6777L))
+    assert(kept2.count(id => id >= 5000L && id < 5010L) == plantedKept)
   }
 
   test("mergeSignatures equals the signature of the unioned shingle sets") {
