@@ -22,6 +22,44 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Rolling z-score anomaly screen: each event scored against the
+    * trailing `window` observations of ITS key (current row excluded —
+    * an outlier must not dilute its own baseline). One window pass per
+    * key: at 100 TB this shuffles once on the key and each partition
+    * keeps `window` rows of frame state.
+    *
+    * Determinism discipline: frame sums accumulate in DECIMAL(18,4)
+    * (exact and order-free — the fixtures' values carry ≤ 4 fractional
+    * digits), and the per-row double chain (two divisions, multiply,
+    * subtract, sqrt, divide) is a fixed op order, so z is bit-exact
+    * across engines. Rows with fewer than 2 trailing observations, or
+    * a degenerate (zero-variance) baseline, score 0.
+    *
+    * Output: (keep columns) + z.
+    */
+  def rollingZscore(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      tieCol: String,
+      window: Int,
+      keep: Seq[String]
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-window, -1)
+    val vd = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val sx = sum(vd).over(w).cast("double")
+    val sx2 = sum(vd * vd).over(w).cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val mean = sx / n
+    val variance = sx2 / n - mean * mean
+    val z = when(n < 2.0 || variance <= 0.0, lit(0.0))
+      .otherwise((col(valueCol).cast("double") - mean) / sqrt(variance))
+    df.select(keep.map(col) :+ z.as("z"): _*)
+  }
+
   /** Resample to `widthSec`-wide buckets per key: the last observed
     * value in each bucket (ties on the timestamp broken by `tieCol`,
     * e.g. an event id), empty buckets between a key's first and last

@@ -545,6 +545,60 @@ object ExtendedQueries {
       )
     ),
 
+    // Rolling z-score anomaly screen: each event scored against its
+    // user's trailing-5 baseline (current row excluded). Decimal frame
+    // sums + fixed double op order make z bit-exact; degenerate
+    // baselines (n < 2 or zero variance) score 0 in both engines.
+    Q(
+      "q_rolling_zscore",
+      (spark, dir) =>
+        graft.operators.TimeSeries.rollingZscore(
+          Q.events(spark, dir), "user_id", "ts", "value", "event_id",
+          window = 5, keep = Seq("event_id", "user_id", "value")),
+      Some(
+        """SELECT event_id, user_id, value,
+          |  CASE WHEN n < 2.0 OR var <= 0.0 THEN 0.0
+          |       ELSE (CAST(value AS DOUBLE) - mean) / sqrt(var) END AS z
+          |FROM (
+          |  SELECT event_id, user_id, value, n, mean,
+          |         sx2 / n - mean * mean AS var
+          |  FROM (
+          |    SELECT event_id, user_id, value,
+          |      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+          |      CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx2,
+          |      CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+          |      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+          |        / CAST(COUNT(*) OVER w AS DOUBLE) AS mean
+          |    FROM events
+          |    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) t1) t2""".stripMargin
+      )
+    ),
+
+    // Source-intake profiling: per-column row/null/exact-distinct
+    // counts over the events table — all integer aggregates, so the
+    // gate is float-immune (the approximate twin at scale is
+    // q_approx_distinct / q_hll_distinct).
+    Q(
+      "q_profile",
+      (spark, dir) =>
+        graft.operators.Profile.columns(
+          Q.events(spark, dir), Seq("user_id", "event_type", "value")),
+      Some(
+        """SELECT 'user_id' AS "column", COUNT(*) AS n_rows,
+          |  CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS n_null,
+          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+          |UNION ALL
+          |SELECT 'event_type', COUNT(*),
+          |  CAST(COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT),
+          |  CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+          |UNION ALL
+          |SELECT 'value', COUNT(*),
+          |  CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT),
+          |  CAST(COUNT(DISTINCT value) AS BIGINT) FROM events""".stripMargin
+      )
+    ),
+
     // Token-budget corpus assembly: "give me ~N chars of corpus,
     // reproducibly" — each shard keeps the prefix of its deterministic
     // shuffle order whose running char count stays ≤ the per-shard
