@@ -84,6 +84,39 @@ object Normalize {
       .select(keep.map(col) :+ z.as("z"): _*)
   }
 
+  /** Keep each group's top `keepPpm`-per-million rows by a score
+    * column — rank-based threshold calibration ("keep the best decile
+    * per language"), the selection rule quality scores feed. Rank
+    * arithmetic only (no value-space percentile), so the kept set is
+    * engine-exact: a row survives iff its (score desc, id asc) rank is
+    * within ceil(n·keepPpm/1e6) of its group — integer ceiling
+    * division, deterministic ties.
+    *
+    * One window pass per group (shuffle on the group key); the group
+    * count rides the same partition, so no second aggregation job. At
+    * a pathologically hot group, pre-thin like [[graft.operators
+    * .Sampling.capPerGroup]] documents.
+    */
+  def topFractionByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      keepPpm: Long
+  ): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm in [0, 1e6]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val wr = w.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val rn = Iterator.iterate("__rn")(_ + "_").dropWhile(df.columns.contains).next()
+    val n = Iterator.iterate("__n")(_ + "_").dropWhile(df.columns.contains).next()
+    df.withColumn(rn, row_number().over(wr))
+      .withColumn(n, count(lit(1)).over(w))
+      // ceil(n·ppm / 1e6) via true integer `div` (Column `/` is double)
+      .filter(col(rn) <=
+        expr(s"(`$n` * ${keepPpm}L + 999999L) div 1000000L"))
+      .drop(rn, n)
+  }
+
   /** Per-group z-score of an integral column. Output: the input columns
     * in `keep` plus `z`. Degenerate groups (zero variance) score 0.
     */

@@ -505,6 +505,28 @@ object CorpusQueries {
       )
     ),
 
+    // Rank-based per-language selection: keep the top 10% of documents
+    // by length per language — the threshold-calibration rule a quality
+    // score feeds ("best decile per source"). Pure rank/integer
+    // arithmetic (ceil via integer div, desc-score id-asc tie-break),
+    // so the kept set is engine-exact with no value-space percentile.
+    Q(
+      "q_top_decile",
+      (spark, dir) =>
+        Normalize.topFractionByGroup(
+          Q.t(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          groupCol = "lang", scoreCol = "n_chars", idCol = "doc_id",
+          keepPpm = 100000L),
+      Some(
+        """SELECT doc_id, lang, n_chars FROM (
+          |  SELECT doc_id, lang, n_chars,
+          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn,
+          |    COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents) t
+          |WHERE rn <= (n * 100000 + 999999) // 1000000""".stripMargin
+      )
+    ),
+
     // Per-language z-score of document length — group-wise score
     // calibration (exact integer moments broadcast back; fixed double
     // op order makes every z bit-exact).

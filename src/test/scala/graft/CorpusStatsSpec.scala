@@ -127,6 +127,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out2(3L) > out2(1L)) // doc 3 pays for the (y,y) novelty
   }
 
+  test("Profile.columns: exact row/null/distinct per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("a"))
+    ).toDF("k", "s")
+    val prof = graft.operators.Profile.columns(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof("k") == ((4L, 1L, 2L)))
+    assert(prof("s") == ((4L, 1L, 2L)))
+  }
+
   test("mergeMoments: merged partial moments equal a full recompute bitwise") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = graft.operators.Normalize

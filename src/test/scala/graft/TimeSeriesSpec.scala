@@ -35,6 +35,23 @@ class TimeSeriesSpec extends SparkSpec {
     ))
   }
 
+  test("rollingZscore: trailing baseline excludes the current row; degenerate -> 0") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 01:00:00"), 10.0, 2L),  // n=1 trailing -> 0
+      (1L, ts("2024-01-01 02:00:00"), 10.0, 3L),  // baseline {10,10}: var 0 -> 0
+      (1L, ts("2024-01-01 03:00:00"), 16.0, 4L),  // baseline {10,10,10}: var 0 -> 0
+      (1L, ts("2024-01-01 04:00:00"), 13.0, 5L)   // baseline {10,10,10,16}
+    ).toDF("user_id", "ts", "value", "event_id")
+    val z = TimeSeries.rollingZscore(ev, "user_id", "ts", "value", "event_id",
+      window = 5, keep = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(z(1L) == 0.0 && z(2L) == 0.0 && z(3L) == 0.0 && z(4L) == 0.0)
+    // baseline mean 11.5, var = (100*3+256)/4 - 132.25 = 6.75
+    val expected = (13.0 - 11.5) / math.sqrt(556.0 / 4 - 11.5 * 11.5)
+    assert(math.abs(z(5L) - expected) < 1e-12, s"z=${z(5L)} expected=$expected")
+  }
+
   test("timestamp tie within a bucket breaks by the tie column") {
     val tied = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0, 1L),
