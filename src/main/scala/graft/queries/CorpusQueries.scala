@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Normalize, Quantize, Retrieval, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Normalize, Quantize, Retrieval, Sampling, TextAnalysis}
 
 /** Round-4 corpus-curation and embedding-clustering queries: character
   * entropy screens, cross-document boilerplate detection, unigram-LM
@@ -503,6 +503,75 @@ object CorpusQueries {
            |  FROM ph)
            |WHERE rn = 1""".stripMargin
       )
+    ),
+
+    // The per-language "dataset card": docs, total/mean chars, length
+    // extremes, distinct-text count — the summary table a corpus ships
+    // with. Exact integer sums + one deterministic division (Q.davg
+    // discipline); distinct texts via the digest (group on the hash,
+    // never the text — the 100 TB shape).
+    Q(
+      "q_corpus_card",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"),
+            (sum(col("n_chars").cast("long")).cast("double") /
+              count(lit(1)).cast("double")).as("mean_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            countDistinct(sha2(col("text"), 256)).as("n_distinct_texts")),
+      Some(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+          |  CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts
+          |FROM documents GROUP BY lang""".stripMargin
+      )
+    ),
+
+    // Source-balanced interleave: a global reading order that cycles
+    // through the languages round-robin (per-lang rank × stride +
+    // stable lang index) — the diversity-preserving corpus order
+    // packing consumes, without any global sort: one window per lang
+    // plus a broadcast of the tiny lang-index table.
+    Q(
+      "q_interleave",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+        val langIdx = docs.select(col("lang")).distinct()
+          .withColumn("lang_idx",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("lang"))).cast("long") - 1L)
+        val nLangs = langIdx.count() // tiny dimension, driver-side by design
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(graft.operators.Sampling.orderHash(col("doc_id")).asc,
+            col("doc_id").asc)
+        docs.join(broadcast(langIdx), Seq("lang"))
+          .withColumn("lang_rank", row_number().over(w).cast("long") - 1L)
+          .select(col("doc_id"), col("lang"),
+            (col("lang_rank") * nLangs + col("lang_idx")).as("global_order"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH li AS (
+           |  SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT) AS lang_idx
+           |  FROM (SELECT DISTINCT lang FROM documents)
+           |), nl AS (SELECT COUNT(*) AS n FROM li),
+           |r AS (
+           |  SELECT doc_id, lang,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) - 1
+           |      AS BIGINT) AS lang_rank
+           |  FROM documents
+           |)
+           |SELECT r.doc_id, r.lang,
+           |       CAST(r.lang_rank * nl.n + li.lang_idx AS BIGINT) AS global_order
+           |FROM r JOIN li USING (lang) CROSS JOIN nl""".stripMargin
+      }
     ),
 
     // Rank-based per-language selection: keep the top 10% of documents
