@@ -84,9 +84,17 @@ object StreamingDedup {
     * incremental exact dedup ([[graft.operators.Dedup.dedupDeltaExact]]
     * is the batch-delta shape). Stateless by construction — a
     * stream-static left-anti join on the digest runs in Append mode
-    * with no watermark and no streaming state; the index side is read
-    * once per micro-batch planning, so appends to the index are picked
-    * up by file-source refresh semantics, not by stream state.
+    * with no watermark and no streaming state.
+    *
+    * Index-growth semantics (spec-pinned): the static side's FILE
+    * LISTING is resolved when the streaming query starts and stays
+    * frozen — digests appended to the index parquet afterwards are NOT
+    * seen by later micro-batches of a running query (nor after
+    * `refreshByPath`; the resolved file index lives inside the query
+    * plan). To screen against a growing index, either restart the
+    * query at the maintenance cadence, or run this function inside
+    * `foreachBatch` over a FRESH `spark.read.parquet(indexPath)` per
+    * batch — the standard pattern, same stateless join per batch.
     *
     * Within-stream repeats are a separate concern by design (state vs
     * statelessness): compose with [[exact]] or [[withinWatermark]] on

@@ -149,6 +149,65 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("digest screen: frozen listing on a running query; foreachBatch re-read grows") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = graft.queries.Q.scratch("digidx_grow")
+    graft.operators.Dedup.digestIndex(
+        Seq((1L, "original corpus text")).toDF("doc_id", "text"), "text")
+      .write.mode("overwrite").parquet(path)
+
+    // 1) the built-in stream-static join: the static side's file
+    //    listing is resolved at query start and FROZEN — appended
+    //    digests are not seen by later micro-batches (the documented
+    //    bound; restart or foreachBatch is the remedy)
+    val in = MemoryStream[(Long, String)]
+    val screened = StreamingDedup.digestScreen(
+      in.toDF().toDF("doc_id", "text"), spark.read.parquet(path), "text")
+    val q = screened.writeStream
+      .format("memory").queryName("digest_grow_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((10L, "novel in batch one"), (11L, "original corpus text"))
+      q.processAllAvailable()
+      graft.operators.Dedup.digestIndex(
+          Seq((10L, "novel in batch one")).toDF("doc_id", "text"), "text")
+        .write.mode("append").parquet(path)
+      in.addData((20L, "novel in batch one"), (21L, "genuinely new"))
+      q.processAllAvailable()
+      val kept = spark.table("digest_grow_out")
+        .select("doc_id").as[Long].collect().sorted
+      // 20 SURVIVES despite the appended digest: frozen listing
+      assert(kept.sameElements(Array(10L, 20L, 21L)), kept.mkString(","))
+    } finally q.stop()
+
+    // 2) the growth-following deployment shape: foreachBatch re-reads
+    //    the index per micro-batch, so appends take effect immediately
+    val survivors = scala.collection.mutable.SortedSet.empty[Long]
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = in2.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = StreamingDedup.digestScreen(
+          batch, batch.sparkSession.read.parquet(path), "text")
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        survivors.synchronized { survivors ++= ids }: Unit
+      }
+      .start()
+    try {
+      in2.addData((40L, "second wave novel"), (41L, "novel in batch one"))
+      q2.processAllAvailable()
+      // 41 dies on the digest appended BEFORE q2 started; now append
+      // 40's digest and its copy dies in the very next batch
+      graft.operators.Dedup.digestIndex(
+          Seq((40L, "second wave novel")).toDF("doc_id", "text"), "text")
+        .write.mode("append").parquet(path)
+      in2.addData((50L, "second wave novel"), (51L, "brand new finale"))
+      q2.processAllAvailable()
+      assert(survivors.toSeq == Seq(40L, 51L), survivors.mkString(","))
+    } finally q2.stop()
+  }
+
   test("semantic screen drops stream vectors near-duplicating the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     // static corpus + axis centroids (same fixture shape as
