@@ -162,7 +162,9 @@ object StreamingDedup {
     * ([[graft.operators.Dedup.neardupDeltaScreen]]) when the index
     * outgrows memory. Same documented bound family as
     * [[semanticScreen]]'s per-cell arrays (dial: more bands·rows →
-    * smaller buckets).
+    * smaller buckets). Index-GROWTH semantics are [[digestScreen]]'s:
+    * the static listing freezes at query start — follow growth via
+    * foreachBatch re-reads or query restarts.
     */
   def neardupScreen(
       incoming: DataFrame,
@@ -218,7 +220,10 @@ object StreamingDedup {
     * Scale note: one row per cell must hold that cell's corpus vectors
     * — size cells accordingly (more centroids → smaller cells), or
     * pre-thin mates per cell; at 100 TB the right cell count makes
-    * this the same per-row cost as IVF probing.
+    * this the same per-row cost as IVF probing. Corpus-growth
+    * semantics are [[digestScreen]]'s: a file-backed corpus's listing
+    * freezes at query start — follow growth via foreachBatch re-reads
+    * or query restarts.
     */
   def semanticScreen(
       incoming: DataFrame,
