@@ -204,6 +204,21 @@ object ScaleProbe {
             "vec_id", "resid", 64, 8, 16),
           "vec_id", "embedding", 64, 8, k = 10, nProbe = 4).count()
       }
+      // rolling z-score: one key-partitioned window pass — replicating
+      // by USER adds keys, so growth must be linear in the scan with
+      // constant per-partition frame state
+      probe(s"rolling_zscore x$k") {
+        graft.operators.TimeSeries.rollingZscore(
+          ev, "user_id", "ts", "value", "event_id",
+          window = 5, keep = Seq("event_id")).count()
+      }
+      // rank-based per-group selection: the kept fraction is constant,
+      // so output AND wall must both track the corpus linearly
+      probe(s"top_decile x$k") {
+        graft.operators.Normalize.topFractionByGroup(
+          d.select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", "doc_id", keepPpm = 100000L).count()
+      }
       // partition-pruned delete: index ×k built OUTSIDE the timing; the
       // timed purge rewrites only the cells holding the 5 deleted ids,
       // so cost tracks affected-cell bytes, not index size (returns the
