@@ -48,6 +48,19 @@ object Dedup {
   private def binaryDigest(textCol: String): Column =
     unhex(sha2(col(textCol), 256))
 
+  /** Fail fast on a digest index persisted by the pre-round-7 format
+    * (64-char hex STRING keys): a string-vs-binary equi-join never
+    * matches after the implicit cast, so every duplicate would pass the
+    * screen with no error. Index-format break migration: one pass of
+    * `SELECT unhex(digest) AS digest` over the old index.
+    */
+  private[graft] def requireBinaryDigestIndex(index: DataFrame, op: String): Unit =
+    require(
+      index.schema("digest").dataType == org.apache.spark.sql.types.BinaryType,
+      s"$op: digest index key must be BINARY (32-byte unhex(sha2)); found " +
+        s"${index.schema("digest").dataType.simpleString} — a hex-string index " +
+        "from the old format matches nothing; migrate with SELECT unhex(digest) AS digest")
+
   /** The persistable side of incremental exact dedup: one digest row per
     * distinct text. 32-byte binary rows — the index a 100 TB corpus
     * keeps so nightly deltas never re-read the corpus
@@ -79,6 +92,7 @@ object Dedup {
       textCol: String,
       index: DataFrame
   ): DataFrame = {
+    requireBinaryDigestIndex(index, "dedupDeltaExact")
     val canon = delta
       .groupBy(binaryDigest(textCol).as("digest"))
       .agg(min(col(idCol)).as(idCol))
@@ -100,10 +114,12 @@ object Dedup {
     * content-scoped, first anti-join the delete ids against the corpus
     * to find texts with no surviving owner, and purge only those.
     */
-  def purgeDigests(index: DataFrame, deletedDocs: DataFrame, textCol: String): DataFrame =
+  def purgeDigests(index: DataFrame, deletedDocs: DataFrame, textCol: String): DataFrame = {
+    requireBinaryDigestIndex(index, "purgeDigests")
     index.join(
       broadcast(deletedDocs.select(binaryDigest(textCol).as("digest"))),
       Seq("digest"), "left_anti")
+  }
 
   /** Purge deleted docs from a persisted signature index
     * ([[minhashSignatures]] output) — the near-dup member of the

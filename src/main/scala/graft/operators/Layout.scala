@@ -145,28 +145,53 @@ object Layout {
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
     val before = dataFiles()
+    // Key the plan by the URI-ENCODED basename: `input_file_name()`
+    // carries the URI form of the path (a space reads back as %20),
+    // while `FileStatus.getName` is decoded — joining on the decoded
+    // name silently excludes every row from a file whose name needs
+    // escaping, and the promote step would then delete its original.
+    // `getPath.toUri.toString` is the same encoded form, and both sides
+    // take the segment after the last '/' (an encoded name cannot
+    // contain a raw '/').
     val plan = planGroupsLocal(
-      before.map(st => st.getPath.getName -> st.getLen), targetBytes)
+      before.map(st => st.getPath.toUri.toString.split('/').last -> st.getLen),
+      targetBytes)
     val planDf = spark.createDataFrame(plan).toDF("__file", "__group")
 
     val tmp = new Path(dir.getParent, s".compact_tmp_${dir.getName}")
     fs.delete(tmp, true)
     spark.read.parquet(partDir)
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
-      .join(broadcast(planDf), Seq("__file"))
+      .join(broadcast(planDf), Seq("__file"), "left")
       .drop("__file")
       .repartition(col("__group"))
       .write.partitionBy("__group").mode("overwrite").parquet(tmp.toString)
 
+    // Loss guard: the join is LEFT, so a plan miss cannot silently drop
+    // rows — an unmatched row carries a null __group and lands in the
+    // writer's default-value partition, whose mere presence aborts the
+    // promote before any original is deleted (a listing check, no extra
+    // scan or count job).
+    val outDirs = fs.listStatus(tmp).toSeq.filter(_.isDirectory)
+    require(
+      !outDirs.exists(_.getPath.getName.contains("HIVE_DEFAULT_PARTITION")),
+      s"compactDir: rows in $partDir matched no compaction-plan file " +
+        "(file-name join miss) — aborting before deleting originals")
+
     // promote: move each group's single output file in, then drop the
-    // originals and the tmp tree (metadata ops ∝ file count)
-    val compacted = fs.listStatus(tmp).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__group="))
+    // originals and the tmp tree (metadata ops ∝ file count). The target
+    // name embeds the tmp part-file's own name — unique per write job —
+    // so re-compacting a directory that already holds promoted files
+    // never collides (fs.rename returns false on an existing
+    // destination); compactDir is idempotent.
+    val compacted = outDirs
+      .filter(_.getPath.getName.startsWith("__group="))
       .flatMap(d => fs.listStatus(d.getPath).toSeq.filter(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet")))
     compacted.zipWithIndex.foreach { case (st, i) =>
-      val ok = fs.rename(st.getPath, new Path(dir, f"compacted-$i%05d.parquet"))
-      require(ok, s"compactDir: failed to promote ${st.getPath}")
+      val target = new Path(dir, f"compacted-$i%05d-${st.getPath.getName}")
+      val ok = fs.rename(st.getPath, target)
+      require(ok, s"compactDir: failed to promote ${st.getPath} to $target")
     }
     before.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)

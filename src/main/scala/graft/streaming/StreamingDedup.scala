@@ -107,6 +107,7 @@ object StreamingDedup {
       textCol: String
   ): DataFrame = {
     import org.apache.spark.sql.functions.{col, sha2, unhex}
+    graft.operators.Dedup.requireBinaryDigestIndex(index, "digestScreen")
     val dcol = Iterator.iterate("__digest")(_ + "_")
       .dropWhile(incoming.columns.contains).next()
     incoming

@@ -77,6 +77,24 @@ class DedupSpec extends SparkSpec {
     assert(kept3.sameElements(Array(30L))) // purged text passes, indexed text still dies
   }
 
+  test("stale hex-string digest index fails fast, not silently") {
+    // a pre-binary-format index (64-char hex keys) never equi-joins a
+    // binary digest — every dup would pass the screen unnoticed; the
+    // type guard turns that silent miss into an immediate error
+    val staleIndex = Seq("ab" * 32).toDF("digest")
+    val delta = docs(1L -> "anything")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupDeltaExact(delta, "doc_id", "text", staleIndex)
+    }
+    assert(e.getMessage.contains("unhex"))
+    intercept[IllegalArgumentException] {
+      Dedup.purgeDigests(staleIndex, delta, "text")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.digestScreen(delta, staleIndex, "text")
+    }
+  }
+
   test("canonicalByQuality keeps the best-quality cluster member, not min id") {
     val base = "the quick brown fox jumps over the lazy dog again and again ok"
     val docs = Seq(

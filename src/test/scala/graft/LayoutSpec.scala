@@ -120,6 +120,42 @@ class LayoutSpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains("lang")), plan)
   }
 
+  test("compactDir survives URI-escaped file names and is idempotent") {
+    import org.apache.hadoop.fs.Path
+    val root = graft.queries.Q.scratch("compact_uri")
+    val dir = s"$root/part"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listData() = fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    // rename one data file to a name that needs URI escaping: joining
+    // rows to the plan on the DECODED basename would miss every row of
+    // this file (input_file_name carries %20), delete the original, and
+    // silently lose its rows — the ADVICE hazard this pins
+    val victim = listData().head.getPath
+    assert(fs.rename(victim, new Path(dir, "with space " + victim.getName)))
+
+    val before = spark.read.parquet(dir).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    val (n1, m1) = Layout.compactDir(spark, dir, targetBytes = 1L << 26)
+    assert(n1 >= 4 && m1 == 1, s"($n1, $m1)")
+    val afterOnce = spark.read.parquet(dir).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(afterOnce == before, "rows must survive an escaped-name rewrite")
+
+    // re-compacting an already-compacted directory must not collide on
+    // promote names (rename to an existing destination returns false)
+    val (n2, m2) = Layout.compactDir(spark, dir, targetBytes = 1L << 26)
+    assert(n2 == 1 && m2 == 1, s"($n2, $m2)")
+    val afterTwice = spark.read.parquet(dir).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(afterTwice == before)
+  }
+
   test("compactDir on a persisted IVF cell: probe results and pruning survive") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
