@@ -197,4 +197,161 @@ object Layout {
     fs.delete(tmp, true)
     (before.size, dataFiles().size)
   }
+
+  /** What [[maintainTable]] did, per partition value: which partitions
+    * were rewritten, which came out fully emptied by the purge (their
+    * directories are removed — closing the dynamic-overwrite gap where
+    * a no-survivor partition keeps stale files), and which were left
+    * byte-untouched.
+    */
+  final case class MaintenanceReport(
+      affected: Seq[String],
+      emptied: Seq[String],
+      untouched: Seq[String],
+      filesBefore: Int,
+      filesAfter: Int)
+
+  /** The partition-sweeping maintenance job — [[compactDir]] and
+    * [[graft.operators.Similarity.purgeFromIndex]] generalized to the
+    * WHOLE table in one pass: purge a delete list and compact
+    * small-file partitions across every partition of a
+    * `partitionBy(partitionCol)` parquet layout, rewriting ONLY the
+    * partitions that need it.
+    *
+    * A partition is rewritten when it holds a deleted id (purge) or
+    * more than `maxFiles` data files (compaction); every other
+    * partition's files are left byte-identical. The sweep is one
+    * bounded Spark job over the AFFECTED partitions only:
+    *
+    *  1. one column-pruned scan of `idCol`/`partitionCol` finds the
+    *     purge-affected partitions (the listing finds compact-worthy
+    *     ones — driver metadata);
+    *  2. a partition-pruned read of the affected partitions anti-joins
+    *     the broadcast delete list;
+    *  3. survivors join the [[planGroupsLocal]] file→group plan (URI
+    *     -encoded basename within partition, same discipline as
+    *     [[compactDir]]) and move through ONE shuffle on the globally
+    *     unique group id into a staging tree laid out
+    *     `__gid=G/partitionCol=V` — exactly one file per group;
+    *  4. promote is pure metadata: rename each group file into its
+    *     final partition dir (names embed the write-job-unique part
+    *     name — idempotent), delete the originals, and remove the
+    *     directory of any partition the purge fully emptied.
+    *
+    * Data moves once (affected bytes through one shuffle + one write);
+    * untouched partitions cost only listing metadata. At 100 TB the
+    * nightly maintenance bill is ∝ churn, not table size. Same
+    * non-transactional caveat as [[compactDir]]: fence from readers or
+    * wrap in a table format's commit protocol. Partition values that
+    * need Hive dir-name escaping are not supported (the row↔dir value
+    * equality would need the escaping rules); ints, dates, and plain
+    * tokens — the usual partition keys — are fine.
+    */
+  def maintainTable(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      deletes: DataFrame,
+      idCol: String,
+      targetBytes: Long,
+      maxFiles: Int = 1
+  ): MaintenanceReport = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    def partDirs() = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    def dataFiles(d: Path) = fs.listStatus(d).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val before: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] =
+      partDirs().map(d => d.getPath.getName.stripPrefix(prefix) -> dataFiles(d.getPath)).toMap
+    val filesBefore = before.valuesIterator.map(_.size).sum
+
+    val compactWorthy = before.collect {
+      case (v, files) if files.size > maxFiles => v
+    }.toSet
+    val purgeAffected = spark.read.parquet(path)
+      .join(broadcast(deletes.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = (compactWorthy ++ purgeAffected).toSeq.sorted
+
+    if (affected.isEmpty)
+      return MaintenanceReport(Nil, Nil, before.keys.toSeq.sorted, filesBefore, filesBefore)
+
+    // file→group plan for the affected partitions, group ids unique
+    // across the whole sweep so one repartition column drives the write
+    var gid = -1L
+    val plan: Seq[(String, String, Long)] = affected.flatMap { v =>
+      val listed = before(v).map(st =>
+        st.getPath.toUri.toString.split('/').last -> st.getLen)
+      var lastGroup = -1L
+      planGroupsLocal(listed, targetBytes).map { case (name, g) =>
+        if (g != lastGroup) { gid += 1; lastGroup = g }
+        (v, name, gid)
+      }
+    }
+    val planDf = spark.createDataFrame(plan).toDF("__part", "__file", "__gid")
+
+    // input_file_name() only binds to a single source — stamp the file
+    // and partition keys straight off the scan, before any join
+    val survivors = spark.read.parquet(path)
+      .filter(col(partitionCol).cast("string").isin(affected: _*))
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__part", col(partitionCol).cast("string"))
+      .join(broadcast(deletes.select(col(idCol))), Seq(idCol), "left_anti")
+      .join(broadcast(planDf), Seq("__part", "__file"), "left")
+      .drop("__part", "__file")
+
+    val tmp = new Path(root.getParent, s"maint_tmp_${root.getName}")
+    fs.delete(tmp, true)
+    survivors
+      .repartition(col("__gid"))
+      .write.partitionBy("__gid", partitionCol).mode("overwrite")
+      .parquet(tmp.toString)
+
+    // same loss guard as compactDir: a survivor row that matched no
+    // plan file carries a null __gid and surfaces as the writer's
+    // default-value partition — abort before touching the originals
+    val gidDirs = fs.listStatus(tmp).toSeq.filter(_.isDirectory)
+    require(
+      !gidDirs.exists(_.getPath.getName.contains("HIVE_DEFAULT_PARTITION")),
+      s"maintainTable: rows in $path matched no plan file — aborting")
+
+    // promote: one rename per group file, then drop the affected
+    // partitions' original files; a partition with no surviving group
+    // was fully emptied by the purge — remove its directory outright
+    val producedParts = scala.collection.mutable.Set[String]()
+    gidDirs.filter(_.getPath.getName.startsWith("__gid=")).foreach { g =>
+      fs.listStatus(g.getPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .foreach { pd =>
+          val v = pd.getPath.getName.stripPrefix(prefix)
+          producedParts += v
+          val gidName = g.getPath.getName.stripPrefix("__gid=")
+          fs.listStatus(pd.getPath).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .foreach { st =>
+              val target = new Path(new Path(root, s"$prefix$v"),
+                s"maint-$gidName-${st.getPath.getName}")
+              require(fs.rename(st.getPath, target),
+                s"maintainTable: failed to promote ${st.getPath} to $target")
+            }
+        }
+    }
+    affected.foreach(v => before(v).foreach(st => fs.delete(st.getPath, false)))
+    val emptied = affected.filterNot(producedParts)
+    emptied.foreach(v => fs.delete(new Path(root, s"$prefix$v"), true))
+    fs.delete(tmp, true)
+
+    val filesAfter = partDirs().map(d => dataFiles(d.getPath).size).sum
+    MaintenanceReport(
+      affected = affected,
+      emptied = emptied,
+      untouched = before.keys.toSeq.filterNot(affected.contains).sorted,
+      filesBefore = filesBefore,
+      filesAfter = filesAfter)
+  }
 }

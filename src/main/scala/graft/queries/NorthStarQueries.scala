@@ -956,6 +956,67 @@ object NorthStarQueries {
       }
     ),
 
+    // The partition-sweeping maintenance job (Layout.maintainTable):
+    // purge + compaction across EVERY partition of a lang-partitioned
+    // documents layout in one bounded job. The scenario plants all four
+    // partition fates at once — emptied by purge (de: every doc
+    // deleted), purge-rewritten (fr), compacted (en, es: three appended
+    // small files each), untouched (zh) — and REQUIREs each
+    // structurally: zh's files byte-identical (name+len+mtime), de's
+    // directory removed (the dynamic-overwrite stale-file gap this job
+    // closes), en/es down to one file, and read-back partition pruning
+    // still live. Oracle = the purge predicate over the source table:
+    // maintenance must be observationally equivalent to filtering.
+    Q(
+      "q_maintain_table",
+      (spark, dir) => {
+        import org.apache.hadoop.fs.Path
+        val docs = Q.t(spark, dir, "documents").select("doc_id", "lang", "text")
+        val root = Q.scratch("mainttab")
+        val path = s"$root/docs"
+        docs.filter(!col("lang").isin("en", "es")).repartition(1)
+          .write.partitionBy("lang").mode("overwrite").parquet(path)
+        (0 until 3).foreach { k =>
+          docs.filter(col("lang").isin("en", "es") && col("doc_id") % 3 === k)
+            .repartition(1).write.partitionBy("lang").mode("append").parquet(path)
+        }
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def snapshot(lang: String) = fs.listStatus(new Path(s"$path/lang=$lang"))
+          .toSeq.filter(_.isFile)
+          .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+          .sortBy(_._1)
+        val zhBefore = snapshot("zh")
+
+        val deletes = docs
+          .filter(col("lang") === "de" ||
+            (col("lang") === "fr" && col("doc_id") % 10 === 3))
+          .select("doc_id")
+        val report = graft.operators.Layout.maintainTable(
+          spark, path, "lang", deletes, "doc_id",
+          targetBytes = 1L << 26, maxFiles = 2)
+        require(report.emptied == Seq("de"), s"emptied=${report.emptied}")
+        require(report.untouched == Seq("zh"), s"untouched=${report.untouched}")
+        require(snapshot("zh") == zhBefore,
+          "untouched partition's files must stay byte-identical")
+        require(!fs.exists(new Path(s"$path/lang=de")),
+          "fully-purged partition's directory must be removed")
+        require(snapshot("en").size == 1 && snapshot("es").size == 1,
+          "compacted partitions must come out as one file")
+
+        val out = spark.read.parquet(path).filter(col("lang") =!= "de")
+          .select(col("doc_id"), col("lang"))
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("lang")),
+          s"expected partition pruning to survive maintenance:\n$plan")
+        out
+      },
+      Some(
+        """SELECT doc_id, lang FROM documents
+          |WHERE NOT (lang = 'de' OR (lang = 'fr' AND doc_id % 10 = 3))""".stripMargin
+      )
+    ),
+
     // Oracle-safe despite the float threshold: the fixtures' closest
     // cosine sits ≥1e-4 from 0.45 while cross-engine sum-order noise is
     // ~1e-15, so the id set is stable. Verifier-scoped: the operator's

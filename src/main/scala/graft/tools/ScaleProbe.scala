@@ -236,6 +236,30 @@ object ScaleProbe {
           5L
         }
       }
+      // partition-sweeping maintenance: the layout grows ×k in BOTH
+      // rows and partition count (8k partitions), built OUTSIDE the
+      // timing; the timed sweep purges a fixed 4-partition delete
+      // batch with compaction off — rewrite cost must stay ~flat
+      // (∝ churn) while the only growing term is the column-pruned
+      // id scan that discovers the affected partitions
+      if (selected(s"maintain_table x$k")) {
+        val p = graft.queries.Q.scratch(s"probe_maint_x$k")
+        val table = s"$p/t"
+        val nParts = 8 * k
+        val parted = d.withColumn("part", pmod(col("doc_id"), lit(nParts)))
+        (0 until 3).foreach { s =>
+          parted.filter(pmod(col("doc_id"), lit(3)) === s).repartition(1)
+            .write.partitionBy("part")
+            .mode(if (s == 0) "overwrite" else "append").parquet(table)
+        }
+        probe(s"maintain_table x$k") {
+          val rep = graft.operators.Layout.maintainTable(spark, table, "part",
+            parted.filter(col("part") < 4 && pmod(col("doc_id"), lit(10)) === 3)
+              .select("doc_id"),
+            "doc_id", targetBytes = 1L << 26, maxFiles = 100)
+          rep.affected.size.toLong
+        }
+      }
       // flagship session window under a wide-key STREAM: k·2000 users ×
       // 4 events through the Append-mode session agg. State rows before
       // the watermark advances = one open session per user (the

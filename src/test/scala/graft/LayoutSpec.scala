@@ -156,6 +156,59 @@ class LayoutSpec extends SparkSpec {
     assert(afterTwice == before)
   }
 
+  test("maintainTable sweeps purge+compaction across partitions in one job") {
+    import org.apache.hadoop.fs.Path
+    val root = graft.queries.Q.scratch("maint_spec")
+    val path = s"$root/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+
+    // de/fr/zh: one file each; en/es: three appended small files — the
+    // nightly-append accumulation maintenance exists to clean up
+    docs.filter(!$"lang".isin("en", "es")).repartition(1)
+      .write.partitionBy("lang").mode("overwrite").parquet(path)
+    (0 until 3).foreach { k =>
+      docs.filter($"lang".isin("en", "es") && $"doc_id" % 3 === k)
+        .repartition(1).write.partitionBy("lang").mode("append").parquet(path)
+    }
+
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapshot(lang: String) = fs.listStatus(new Path(s"$path/lang=$lang")).toSeq
+      .filter(_.isFile).map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
+    val zhBefore = snapshot("zh")
+
+    // purge: every de doc (empties the partition) + some fr docs
+    val deletes = docs
+      .filter($"lang" === "de" || ($"lang" === "fr" && $"doc_id" % 10 === 3))
+      .select("doc_id")
+    val expected = docs.join(deletes, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang").orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+
+    val report = Layout.maintainTable(
+      spark, path, "lang", deletes, "doc_id", targetBytes = 1L << 26, maxFiles = 2)
+    assert(report.affected == Seq("de", "en", "es", "fr"), report.toString)
+    assert(report.emptied == Seq("de"), report.toString)
+    assert(report.untouched == Seq("zh"), report.toString)
+    assert(report.filesAfter < report.filesBefore, report.toString)
+
+    // untouched partition byte-identical; emptied partition's dir gone;
+    // compacted partitions down to one file each
+    assert(snapshot("zh") == zhBefore)
+    assert(!fs.exists(new Path(s"$path/lang=de")))
+    assert(snapshot("en").size == 1 && snapshot("es").size == 1)
+
+    // table content == purge semantics, and re-running is a no-op
+    val back = spark.read.parquet(path).select("doc_id", "lang")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(back == expected)
+    val again = Layout.maintainTable(
+      spark, path, "lang", deletes.filter(lit(false)), "doc_id",
+      targetBytes = 1L << 26, maxFiles = 2)
+    assert(again.affected.isEmpty && again.filesBefore == again.filesAfter)
+  }
+
   test("compactDir on a persisted IVF cell: probe results and pruning survive") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
