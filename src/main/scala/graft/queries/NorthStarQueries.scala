@@ -63,7 +63,10 @@ object NorthStarQueries {
     * some indexed (< 400) doc shares an LSH band and full-signature
     * agreement ≥ 1/2, so one SQL pins both.
     */
-  private lazy val NeardupScreenOracle: String = {
+  private lazy val NeardupScreenOracle: String = neardupScreenOracle()
+
+  private def neardupScreenOracle(
+      corpusWhere: String = "doc_id < 400"): String = {
     def sigCtes(src: String, p: String) =
       s"""${p}toks AS (
          |  SELECT doc_id AS id, $SqlToks AS t FROM $src
@@ -87,7 +90,7 @@ object NorthStarQueries {
          |  SELECT id, b, sig[b * 4 + 1 : b * 4 + 4] AS bv, sig
          |  FROM ${p}sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) ub
          |)""".stripMargin
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE $corpusWhere),
        |delta AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
        |  UNION ALL
@@ -425,6 +428,78 @@ object NorthStarQueries {
           "text")
       },
       Some(NeardupScreenOracle)
+    ),
+
+    // CONTENT takedown through the exact-dedup lifecycle: purge the
+    // digests of the deleted texts from the persisted index, then
+    // re-submit the whole corpus under fresh ids. Survivors are exactly
+    // the takedown's texts (their digests are gone — re-entry restored)
+    // collapsed to within-delta first occurrence; everything still
+    // indexed dies on the screen. Oracle mirrors index-minus-purged.
+    Q(
+      "q_purge_digests",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") < 400)
+        val scratch = Q.scratch("digpurge")
+        Dedup.digestIndex(corpus, "text")
+          .write.mode("overwrite").parquet(scratch)
+        Dedup.purgeDigests(spark.read.parquet(scratch),
+            corpus.filter(col("doc_id") % 7 === 0), "text")
+          .write.mode("overwrite").parquet(scratch + "_v2")
+        val delta = corpus
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        Dedup.dedupDeltaExact(delta, "doc_id", "text",
+          spark.read.parquet(scratch + "_v2"))
+      },
+      Some(
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+          |), idx AS (
+          |  SELECT DISTINCT sha256(text) AS digest FROM corpus
+          |  WHERE sha256(text) NOT IN
+          |    (SELECT sha256(text) FROM corpus WHERE doc_id % 7 = 0)
+          |), delta AS (
+          |  SELECT doc_id + 100000 AS doc_id, text FROM corpus
+          |), canon AS (
+          |  SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id
+          |  FROM delta GROUP BY 1
+          |)
+          |SELECT d.doc_id, d.text FROM delta d
+          |JOIN (SELECT doc_id FROM canon
+          |      WHERE digest NOT IN (SELECT digest FROM idx)) k
+          |  USING (doc_id)""".stripMargin
+      )
+    ),
+
+    // ID-scoped takedown through the NEAR-dup lifecycle: purge the
+    // deleted doc ids' rows from the persisted signature index, then
+    // run the standard delta screen. Near-dups of a removed doc
+    // re-enter as novel unless some OTHER indexed doc still screens
+    // them — the oracle is the shared screen SQL with the purged ids
+    // removed from the corpus side, so the hash pins exactly that
+    // semantics.
+    Q(
+      "q_purge_signatures",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val fresh = docs.filter(col("doc_id") >= 400)
+        val planted = docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text"))
+        val delta = fresh.unionAll(planted)
+        val scratch = Q.scratch("sigpurge")
+        Dedup.minhashSignatures(
+            docs.filter(col("doc_id") < 400), "doc_id", "text", n = 3, k = 32)
+          .write.mode("overwrite").parquet(scratch)
+        Dedup.purgeSignatures(spark.read.parquet(scratch),
+            docs.filter(col("doc_id") < 400 && col("doc_id") % 11 === 0),
+            "doc_id")
+          .write.mode("overwrite").parquet(scratch + "_v2")
+        Dedup.neardupDeltaScreen(delta, "doc_id", "text",
+          spark.read.parquet(scratch + "_v2"))
+      },
+      Some(neardupScreenOracle("doc_id < 400 AND doc_id % 11 <> 0"))
     ),
 
     Q(
