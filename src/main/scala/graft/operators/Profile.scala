@@ -27,4 +27,29 @@ object Profile {
           col("n_distinct"))
     }.reduce(_ unionAll _)
   }
+
+  /** The intake-scale profile: same (column, n_rows, n_null,
+    * n_distinct) report as [[columns]] from ONE scan of the table —
+    * every per-column counter and an HLL++ distinct sketch
+    * (`approx_count_distinct`, relative error `rsd`) ride a single
+    * aggregation into one wide row, which a map-side explode then
+    * unpivots back to one row per column. Profiling C columns of a
+    * 100 TB table costs one scan + one scalar-state shuffle instead of
+    * [[columns]]'s C scans and C exact-distinct expands; keep the
+    * exact variant for narrow tables where exactness matters more
+    * than passes.
+    */
+  def columnsFast(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "Profile.columnsFast: need at least one column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c")))
+    val entries = cols.map(c => struct(
+      lit(c).as("column"), col("n_rows"),
+      col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("p"))
+      .select("p.*")
+  }
 }

@@ -599,6 +599,45 @@ object ExtendedQueries {
       )
     ),
 
+    // Single-pass profiling at intake scale: the same report from ONE
+    // scan (all counters + HLL distinct sketches in one agg, unpivoted
+    // map-side). The plan REQUIRE pins the efficiency claim — exactly
+    // one scan node no matter how many columns are profiled; the gate
+    // follows the q_approx_distinct discipline: integer counters
+    // compare exactly, the HLL estimate is checked in-engine against
+    // the exact distinct (within 10%), so the oracle stays portable.
+    Q(
+      "q_profile_fast",
+      (spark, dir) => {
+        val ev = Q.events(spark, dir)
+        val cols = Seq("user_id", "event_type", "value")
+        val fast = graft.operators.Profile.columnsFast(ev, cols)
+        val plan = fast.queryExecution.executedPlan.toString
+        val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+        require(scans == 1,
+          s"columnsFast must profile all columns in ONE scan, found $scans:\n$plan")
+        val exact = graft.operators.Profile.columns(ev, cols)
+          .select(col("column"), col("n_distinct").as("n_exact"))
+        fast.join(exact, Seq("column"))
+          .select(col("column"), col("n_rows"), col("n_null"),
+            (abs(col("n_distinct") - col("n_exact")) <=
+              col("n_exact") * lit(0.1)).as("approx_ok"))
+      },
+      Some(
+        """SELECT 'user_id' AS "column", COUNT(*) AS n_rows,
+          |  CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS n_null,
+          |  TRUE AS approx_ok FROM events
+          |UNION ALL
+          |SELECT 'event_type', COUNT(*),
+          |  CAST(COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT),
+          |  TRUE FROM events
+          |UNION ALL
+          |SELECT 'value', COUNT(*),
+          |  CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT),
+          |  TRUE FROM events""".stripMargin
+      )
+    ),
+
     // Token-budget corpus assembly: "give me ~N chars of corpus,
     // reproducibly" — each shard keeps the prefix of its deterministic
     // shuffle order whose running char count stays ≤ the per-shard

@@ -139,6 +139,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(prof("s") == ((4L, 1L, 2L)))
   }
 
+  test("Profile.columnsFast: one-scan profile matches exact counters, HLL close") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("a"))
+    ).toDF("k", "s")
+    val prof = graft.operators.Profile.columnsFast(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // counters exact; at 2 distinct values the HLL estimate is exact too
+    assert(prof("k") == ((4L, 1L, 2L)))
+    assert(prof("s") == ((4L, 1L, 2L)))
+  }
+
   test("mergeMoments: merged partial moments equal a full recompute bitwise") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = graft.operators.Normalize
