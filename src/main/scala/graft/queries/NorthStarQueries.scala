@@ -65,10 +65,13 @@ object NorthStarQueries {
     */
   private lazy val NeardupScreenOracle: String = neardupScreenOracle()
 
-  private def neardupScreenOracle(
-      corpusWhere: String = "doc_id < 400"): String = {
-    def sigCtes(src: String, p: String) =
-      s"""${p}toks AS (
+  /** MinHash signature + band CTE chain over `src` (must expose
+    * doc_id, text), prefixed `p` — ends in `${p}band(id, b, bv, sig)`.
+    * Mirrors Dedup.minhashSignatures + the 8×4 banding exactly; shared
+    * by every near-dup screen oracle.
+    */
+  private def sigCtes(src: String, p: String): String =
+    s"""${p}toks AS (
          |  SELECT doc_id AS id, $SqlToks AS t FROM $src
          |), ${p}sh AS (
          |  SELECT id, list(shh) AS shs FROM (
@@ -90,6 +93,9 @@ object NorthStarQueries {
          |  SELECT id, b, sig[b * 4 + 1 : b * 4 + 4] AS bv, sig
          |  FROM ${p}sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) ub
          |)""".stripMargin
+
+  private def neardupScreenOracle(
+      corpusWhere: String = "doc_id < 400"): String =
     s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE $corpusWhere),
        |delta AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
@@ -108,7 +114,6 @@ object NorthStarQueries {
        |)
        |SELECT doc_id, text FROM delta
        |WHERE doc_id NOT IN (SELECT did FROM dropped)""".stripMargin
-  }
 
   /** Shared CTE chain computing the 3-gram Jaccard near-dup pairs at
     * threshold 0.4, ending in `jpairs(id_a, id_b, n_a, n_b, n_common,
@@ -1266,6 +1271,111 @@ object NorthStarQueries {
            |  SELECT 1 FROM corp c
            |  WHERE c.cell = i.cell AND c.vec_id <> i.vec_id
            |    AND ${cos("c.nvec", "i.nvec")} >= 0.4)""".stripMargin
+      }
+    ),
+
+    // The INGEST FLAGSHIP: all three stateless screens composed
+    // cheapest-first (StreamingDedup.ingestScreen — the same chain
+    // StreamingDedupSpec drives on a MemoryStream). The delta plants
+    // one victim population per stage: verbatim re-submissions die on
+    // the digest anti-join, " zz"-mutated texts die on the MinHash
+    // band screen, fresh-text/copied-embedding rows die on the
+    // semantic cell screen; fresh docs pass all three. The oracle
+    // mirrors each stage in sequence over the same joined
+    // documents×embeddings population, so one hash pins the whole
+    // composition, including the cheapest-first shrink order.
+    Q(
+      "q_ingest_pipeline",
+      (spark, dir) => {
+        val joined = Q.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .join(Q.t(spark, dir, "embeddings")
+            .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        val corpus = joined.filter(col("doc_id") < 400)
+        val exactP = corpus.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"), col("embedding"))
+        val nearP = corpus.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text"), col("embedding"))
+        val semP = corpus.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat(lit("sem planted doc "), col("doc_id")).as("text"), col("embedding"))
+        val incoming = joined.filter(col("doc_id") >= 400)
+          .unionAll(exactP).unionAll(nearP).unionAll(semP)
+
+        val digPath = Q.scratch("ing_dig")
+        val sigPath = Q.scratch("ing_sig")
+        Dedup.digestIndex(corpus, "text").write.mode("overwrite").parquet(digPath)
+        Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 32)
+          .write.mode("overwrite").parquet(sigPath)
+        graft.streaming.StreamingDedup.ingestScreen(
+          incoming,
+          spark.read.parquet(digPath),
+          graft.streaming.StreamingDedup.bucketSignatureIndex(
+            spark.read.parquet(sigPath), k = 32, bands = 8),
+          corpus.select(col("doc_id"), col("embedding")),
+          corpus.select(col("doc_id"), col("embedding"))
+            .orderBy(col("doc_id")).limit(16),
+          "doc_id", "text", "embedding")
+          .select(col("doc_id"))
+      },
+      Some {
+        val cos = (a: String, b: String) =>
+          s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH corpus AS (
+           |  SELECT d.doc_id, d.text, e.embedding
+           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           |  WHERE d.doc_id < 400
+           |), delta AS (
+           |  SELECT d.doc_id, d.text, e.embedding
+           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           |  WHERE d.doc_id >= 400
+           |  UNION ALL
+           |  SELECT doc_id + 500000 AS doc_id, text, embedding FROM corpus WHERE doc_id < 20
+           |  UNION ALL
+           |  SELECT doc_id + 300000, text || ' zz', embedding FROM corpus WHERE doc_id < 15
+           |  UNION ALL
+           |  SELECT doc_id + 700000, 'sem planted doc ' || CAST(doc_id AS VARCHAR), embedding
+           |  FROM corpus WHERE doc_id < 10
+           |), s1 AS (
+           |  SELECT * FROM delta
+           |  WHERE sha256(text) NOT IN (SELECT sha256(text) FROM corpus)
+           |),
+           |${sigCtes("corpus", "c")},
+           |${sigCtes("s1", "d")},
+           |cand AS (
+           |  SELECT DISTINCT d.id AS did, d.sig AS dsig, c.id AS cid, c.sig AS csig
+           |  FROM dband d JOIN cband c ON d.b = c.b AND d.bv = c.bv
+           |), dropped AS (
+           |  SELECT DISTINCT did FROM cand
+           |  WHERE CAST(len(list_filter(generate_series(1, 32), i -> dsig[i] = csig[i])) AS DOUBLE)
+           |        / CAST(32 AS DOUBLE) >= 0.5
+           |), s2 AS (
+           |  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT did FROM dropped)
+           |), cent AS (
+           |  SELECT doc_id AS ctid, embedding AS cvec FROM corpus ORDER BY doc_id LIMIT 16
+           |), corp_cell AS (
+           |  SELECT doc_id, embedding AS nvec, ctid AS cell FROM (
+           |    SELECT c0.doc_id, c0.embedding, ct.ctid,
+           |      ROW_NUMBER() OVER (PARTITION BY c0.doc_id ORDER BY
+           |        ${cos("c0.embedding", "ct.cvec")} DESC, ct.ctid ASC) AS rn
+           |    FROM corpus c0 CROSS JOIN cent ct) t
+           |  WHERE rn = 1
+           |), inc_cell AS (
+           |  SELECT doc_id, embedding AS nvec, ctid AS cell FROM (
+           |    SELECT s.doc_id, s.embedding, ct.ctid,
+           |      ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY
+           |        ${cos("s.embedding", "ct.cvec")} DESC, ct.ctid ASC) AS rn
+           |    FROM s2 s CROSS JOIN cent ct) t
+           |  WHERE rn = 1
+           |)
+           |SELECT doc_id FROM inc_cell i
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM corp_cell c
+           |  WHERE c.cell = i.cell AND c.doc_id <> i.doc_id
+           |    AND ${cos("c.nvec", "i.nvec")} >= 0.9)""".stripMargin
       }
     ),
 

@@ -204,6 +204,47 @@ object StreamingDedup {
         Seq(s"__bv_$b", s"__mates_$b")): _*)
   }
 
+  /** The composed stateless INGEST screen — the whole arrival-time
+    * dedup story in one chain, cheapest-first so each stage shrinks
+    * the stream before the next pays its cost:
+    *
+    *  1. [[digestScreen]] — exact content kill, one broadcast-able
+    *     anti-join on the 32-byte digest;
+    *  2. [[neardupScreen]] — MinHash band screen against the bucketed
+    *     signature index;
+    *  3. [[semanticScreen]] — embedding near-dup kill within the
+    *     assigned centroid cell.
+    *
+    * Every stage is a stream-static join, so the composition still
+    * runs in Append mode with NO watermark and NO streaming state —
+    * the whole pipeline is a per-row map + static joins, and the same
+    * DataFrame program is the oracle-checkable batch twin
+    * (q_ingest_pipeline). Index-growth semantics are [[digestScreen]]'s
+    * (static listings freeze at query start — foreachBatch re-reads or
+    * query restarts to follow growth); the scale bounds are each
+    * stage's own documented dials.
+    */
+  def ingestScreen(
+      incoming: DataFrame,
+      digests: DataFrame,
+      bucketedSigs: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      n: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      jaccardThreshold: Double = 0.5,
+      cosineThreshold: Double = 0.9
+  ): DataFrame =
+    semanticScreen(
+      neardupScreen(
+        digestScreen(incoming, digests, textCol),
+        bucketedSigs, textCol, n, k, bands, jaccardThreshold),
+      corpus, centroids, idCol, vecCol, cosineThreshold)
+
   /** Stream-static semantic screen — drop arriving vectors that are
     * near-duplicates (cosine ≥ `threshold`) of the EXISTING corpus,
     * the production shape of [[graft.operators.Similarity.semanticDedup]]

@@ -251,6 +251,61 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed ingest screen: digest, band, semantic stages each kill their victim") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val far = Array(0.5f, 0.5f, -0.5f, -0.5f) // cos ±0.5 to every axis
+    val corpus = Seq(
+      (1L, base + " one", Array(1f, 0f, 0f, 0f)),
+      (2L, base + " two", Array(0f, 1f, 0f, 0f)),
+      (3L, "completely different text with nothing shared here at all",
+        Array(0f, 0f, 1f, 0f)),
+      (4L, "fourth corpus document totally unlike the others in words",
+        Array(0f, 0f, 0f, 1f))
+    ).toDF("doc_id", "text", "embedding")
+    val digPath = graft.queries.Q.scratch("ing_dig_s")
+    val sigPath = graft.queries.Q.scratch("ing_sig_s")
+    graft.operators.Dedup.digestIndex(corpus, "text")
+      .write.mode("overwrite").parquet(digPath)
+    graft.operators.Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 32)
+      .write.mode("overwrite").parquet(sigPath)
+    val digests = spark.read.parquet(digPath)
+    val bucketed = StreamingDedup.bucketSignatureIndex(
+      spark.read.parquet(sigPath), 32, 8)
+
+    // victims carry FAR embeddings so a missed earlier stage cannot be
+    // silently rescued by the semantic stage — each kill is attributable
+    val incoming = Seq(
+      (10L, base + " one", far),                                   // digest kill
+      (11L, base + " two zz", far),                                // band kill
+      (12L, "novel words entirely fresh in this arriving row",
+        Array(0f, 0f, 1f, 0f)),                                    // semantic kill (dup of 3)
+      (13L, "another novel arrival with its own distinct phrasing", far) // survives
+    )
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      StreamingDedup.ingestScreen(df, digests, bucketed,
+        corpus.select($"doc_id", $"embedding"),
+        corpus.select($"doc_id", $"embedding"),
+        "doc_id", "text", "embedding")
+
+    val batchKept = screen(incoming.toDF("doc_id", "text", "embedding"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(batchKept.sameElements(Array(13L)), batchKept.mkString(","))
+
+    // the SAME composed chain runs as one stateless Append-mode stream
+    val in = MemoryStream[(Long, String, Array[Float])]
+    val q = screen(in.toDF().toDF("doc_id", "text", "embedding"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_out").as[Long].collect().sorted
+      assert(streamed.sameElements(batchKept), streamed.mkString(","))
+    } finally q.stop()
+  }
+
   test("semantic screen passes rows whose cell has no corpus mates") {
     // corpus occupies only cell A; a cell-B arrival must pass the
     // left-join null branch
