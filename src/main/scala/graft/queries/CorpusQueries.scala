@@ -1284,6 +1284,182 @@ object CorpusQueries {
       }
     ),
 
+    // PQ codebook DRIFT trigger — q_ivf_drift's integer decision shape
+    // composed with ADC recall, closing the retrain loop: codebooks
+    // Lloyd-trained on the < 400 build corpus (grid-snapped inputs so
+    // the training means are order-free-exact), then three recall
+    // measurements against exact-L2 top-5 (8 queries × 5 = 40 pairs):
+    // stale codebooks on the build corpus, stale codebooks after the
+    // append (the drift signal), and codebooks RETRAINED on the drifted
+    // corpus (the remediation). All counts are integers and the retrain
+    // flag is integer arithmetic, so the gate is float-immune; the
+    // oracle replays seed→assign→mean→coalesce training and the
+    // sub-ordered ADC fold for every scope.
+    Q(
+      "q_pq_drift",
+      (spark, dir) => {
+        val grid = lit(1048576.0) // 2^20
+        val qe = Q.t(spark, dir, "embeddings").select(
+          col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * grid + lit(0.5)).cast("double") / grid)
+            .as("embedding"))
+        val base = qe.filter(col("vec_id") < 400)
+        val queries = qe.filter(col("vec_id") < 8)
+        val stalePath = Q.scratch("pqdrift_s")
+        val freshPath = Q.scratch("pqdrift_r")
+        Quantize.pqTrainedCodebooks(base, "vec_id", "embedding",
+            dim = 64, subspaces = 8, nCodes = 16, iters = 1)
+          .write.mode("overwrite").parquet(stalePath)
+        Quantize.pqTrainedCodebooks(qe, "vec_id", "embedding",
+            dim = 64, subspaces = 8, nCodes = 16, iters = 1)
+          .write.mode("overwrite").parquet(freshPath)
+        val scb = spark.read.parquet(stalePath)
+        val rcb = spark.read.parquet(freshPath)
+        def top(corpus: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame) =
+          Quantize.pqAdcTopK(
+            Quantize.pqEncode(corpus, "vec_id", "embedding", cb, dim = 64, subspaces = 8),
+            cb, queries, "vec_id", "embedding", dim = 64, subspaces = 8, k = 5)
+        def bf(corpus: org.apache.spark.sql.DataFrame) = {
+          val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("d2").asc, col("neighbor_id").asc)
+          corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+            .crossJoin(broadcast(q))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              Clustering.squaredDistance(col("nv"), col("qv")).as("d2"))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 5)
+            .select(col("query_id"), col("neighbor_id"))
+        }
+        def matches(t: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame, as: String) =
+          b.join(t, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as(as))
+        matches(top(base, scb), bf(base), "n_match_before")
+          .crossJoin(matches(top(qe, scb), bf(qe), "n_match_after"))
+          .crossJoin(matches(top(qe, rcb), bf(qe), "n_match_retrained"))
+          .select(col("n_match_before"), col("n_match_after"),
+            col("n_match_retrained"),
+            (col("n_match_before") - col("n_match_after") > lit(2L)).as("retrain"))
+      },
+      Some {
+        val fold64 =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(generate_series(1, 64), i ->
+             |        (CAST(e.qv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+             |        * (CAST(e.qv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))),
+             |      (x, y) -> x + y)""".stripMargin
+        // seed → encode → per-(sub,code,lane) mean → coalesce: one Lloyd
+        // iteration over the scope `pred`, ending in ${p}cb(sub, code,
+        // centroid) — mirrors pqTrainedCodebooks(iters = 1)
+        def trainCtes(pred: String, p: String) =
+          s"""${p}cb0 AS (
+             |  SELECT s.sub, c.code, c.v[s.sub * 8 + 1 : s.sub * 8 + 8] AS centroid
+             |  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+             |               qv AS v
+             |        FROM (SELECT vec_id, qv FROM qe WHERE $pred ORDER BY vec_id LIMIT 16) t0) c
+             |  CROSS JOIN subs s
+             |), ${p}tsv AS (
+             |  SELECT vec_id AS id, s.sub, qv[s.sub * 8 + 1 : s.sub * 8 + 8] AS subvec
+             |  FROM qe CROSS JOIN subs s WHERE $pred
+             |), ${p}pqd0 AS (
+             |  SELECT sv.id, sv.sub, cb.code,
+             |    ${PqFold("sv.subvec", "cb.centroid")} AS dist2
+             |  FROM ${p}tsv sv JOIN ${p}cb0 cb USING (sub)
+             |), ${p}c0 AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT id, sub, code, ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist2, code) AS rn
+             |    FROM ${p}pqd0) t
+             |  WHERE rn = 1
+             |), ${p}m AS (
+             |  SELECT c.sub, c.code, CAST(i - 1 AS INT) AS lane, sv.subvec[i] AS v
+             |  FROM ${p}tsv sv JOIN ${p}c0 c ON sv.id = c.id AND sv.sub = c.sub,
+             |       UNNEST(generate_series(1, 8)) AS u(i)
+             |), ${p}upd AS (
+             |  SELECT sub, code, lane, SUM(v) / CAST(COUNT(*) AS DOUBLE) AS cv
+             |  FROM ${p}m GROUP BY sub, code, lane
+             |), ${p}tc AS (
+             |  SELECT sub, code, list(cv ORDER BY lane) AS c FROM ${p}upd GROUP BY sub, code
+             |), ${p}cb AS (
+             |  SELECT s.sub, s.code, COALESCE(t.c, s.centroid) AS centroid
+             |  FROM ${p}cb0 s LEFT JOIN ${p}tc t ON s.sub = t.sub AND s.code = t.code
+             |)""".stripMargin
+        // encode the scope with `cb`, build the query distance tables,
+        // rank by the sub-ordered ADC fold — ends in ${p}top
+        def evalCtes(cb: String, pred: String, p: String) =
+          s"""${p}esv AS (
+             |  SELECT vec_id AS id, s.sub, qv[s.sub * 8 + 1 : s.sub * 8 + 8] AS subvec
+             |  FROM qe CROSS JOIN subs s WHERE $pred
+             |), ${p}epqd AS (
+             |  SELECT sv.id, sv.sub, cb.code,
+             |    ${PqFold("sv.subvec", "cb.centroid")} AS dist2
+             |  FROM ${p}esv sv JOIN $cb cb USING (sub)
+             |), ${p}ec AS (
+             |  SELECT id, sub, code FROM (
+             |    SELECT id, sub, code, ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist2, code) AS rn
+             |    FROM ${p}epqd) t
+             |  WHERE rn = 1
+             |), ${p}dtab AS (
+             |  SELECT q.query_id, q.sub, cb.code,
+             |    ${PqFold("q.qsub", "cb.centroid")} AS dd
+             |  FROM qsubs q JOIN $cb cb USING (sub)
+             |), ${p}adc AS (
+             |  SELECT d.query_id, c.id AS neighbor_id,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.dd ORDER BY d.sub)),
+             |                (a, b) -> a + b) AS adc
+             |  FROM ${p}ec c JOIN ${p}dtab d ON c.sub = d.sub AND c.code = d.code
+             |  WHERE d.query_id <> c.id
+             |  GROUP BY d.query_id, c.id
+             |), ${p}top AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk
+             |    FROM ${p}adc) t
+             |  WHERE rnk <= 5
+             |)""".stripMargin
+        def bfCtes(pred: String, p: String) =
+          s"""${p}bf AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        $fold64 ASC, e.vec_id ASC) AS rnk
+             |    FROM (SELECT vec_id, qv FROM qe) e
+             |    CROSS JOIN (SELECT vec_id, qv FROM qe WHERE vec_id < 8) q
+             |    WHERE e.vec_id <> q.vec_id AND $pred) t
+             |  WHERE rnk <= 5
+             |)""".stripMargin
+        s"""WITH qe AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) / 1048576.0) AS qv
+           |  FROM embeddings
+           |), subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+           |qsubs AS (
+           |  SELECT vec_id AS query_id, s.sub, qv[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsub
+           |  FROM qe CROSS JOIN subs s WHERE vec_id < 8
+           |),
+           |${trainCtes("vec_id < 400", "s")},
+           |${trainCtes("TRUE", "r")},
+           |${evalCtes("scb", "vec_id < 400", "b")},
+           |${evalCtes("scb", "TRUE", "a")},
+           |${evalCtes("rcb", "TRUE", "t")},
+           |${bfCtes("e.vec_id < 400", "bb")},
+           |${bfCtes("TRUE", "ba")},
+           |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match_before
+           |       FROM bbbf SEMI JOIN btop USING (query_id, neighbor_id)),
+           |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match_after
+           |       FROM babf SEMI JOIN atop USING (query_id, neighbor_id)),
+           |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match_retrained
+           |       FROM babf SEMI JOIN ttop USING (query_id, neighbor_id))
+           |SELECT n_match_before, n_match_after, n_match_retrained,
+           |  (n_match_before - n_match_after) > 2 AS retrain
+           |FROM nb CROSS JOIN na CROSS JOIN nr""".stripMargin
+      }
+    ),
+
     // The recall-vs-probes tuning curve as a first-class, regression-
     // guarded artifact: total brute-force-top-5 hits across the 8 query
     // vectors at nProbe ∈ {1, 2, 4}, from ONE candidate pass (probe
