@@ -267,9 +267,10 @@ object Similarity {
     * GDPR/takedown batch shape; drop the hint for pathological delete
     * volumes. A cell whose EVERY row is deleted produces no survivor
     * rows, so dynamic overwrite cannot touch it and its stale files
-    * remain — re-apply the delete list as a read-side anti-join until
-    * the next [[graft.operators.Layout.compactDir]] / full rewrite of
-    * that cell (the deletion-vector discipline). q_purge_index plants
+    * remain — guard reads with [[withPurgePending]] until the next
+    * [[graft.operators.Layout.compactDir]] / [[graft.operators.Layout
+    * .maintainTable]] / full rewrite of that cell (the deletion-vector
+    * discipline). q_purge_index plants
     * deletes with surviving cell-mates, REQUIREs untouched cells kept
     * their files, and hash-checks the purged index against a rebuild
     * from the filtered corpus.
@@ -302,6 +303,22 @@ object Similarity {
       .partitionBy("centroid_id").parquet(path)
     fs.delete(tmp, true)
   }
+
+  /** Read-side guard for the purge→compaction window — the
+    * deletion-vector discipline as a composable function: re-apply a
+    * PENDING delete list to any read of the index. [[purgeFromIndex]]
+    * cannot touch a cell whose every row was deleted (dynamic overwrite
+    * only replaces partitions present in the written data), so that
+    * cell's stale files keep serving deleted rows until the next
+    * compaction or full rewrite (e.g.
+    * [[graft.operators.Layout.maintainTable]], which removes emptied
+    * cells outright). Until then, wrap reads in this guard. One
+    * broadcast anti-join on the id — the takedown-batch shape; after
+    * the rewrite it is a no-op and can be dropped. Generic over any
+    * id-keyed table, not just IVF layouts.
+    */
+  def withPurgePending(df: DataFrame, deletes: DataFrame, idCol: String): DataFrame =
+    df.join(broadcast(deletes.select(col(idCol))), Seq(idCol), "left_anti")
 
   /** SemDeDup-style semantic deduplication: assign every vector to a
     * coarse centroid cell (broadcast argmax fold — zero corpus

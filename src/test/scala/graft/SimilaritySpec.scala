@@ -208,6 +208,49 @@ class SimilaritySpec extends SparkSpec {
       maxRows = 3).count() == 0)
   }
 
+  test("withPurgePending screens a fully-emptied cell's stale rows until rewrite") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.orderBy($"vec_id").limit(8)
+    val path = graft.queries.Q.scratch("purge_guard")
+    Similarity.assignToCentroids(emb, cents, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    // delete EVERY member of cell 0 (nonempty by construction: centroid
+    // 0 is its own nearest centroid) — the dynamic-overwrite blind spot
+    val cell0Ids = spark.read.parquet(path).filter($"centroid_id" === 0)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(cell0Ids.nonEmpty)
+    val deletes = cell0Ids.toDF("vec_id")
+    Similarity.purgeFromIndex(spark, path, deletes, "vec_id")
+
+    // the emptied cell's stale files still serve the deleted rows…
+    val back = spark.read.parquet(path)
+    assert(back.filter($"centroid_id" === 0).count() == cell0Ids.size.toLong)
+    // …and the guard screens them: guarded read == rebuild from the
+    // filtered corpus against the same frozen centroids
+    val guarded = Similarity.withPurgePending(back, deletes, "vec_id")
+      .select($"vec_id", $"centroid_id".cast("long").as("centroid_id"))
+      .as[(Long, Long)].collect().toSet
+    val rebuilt = Similarity.assignToCentroids(
+        emb.filter(!$"vec_id".isin(cell0Ids: _*)), cents, "vec_id", "embedding")
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
+    assert(guarded == rebuilt)
+
+    // remediation: the maintenance sweep applies the delete list and
+    // removes the emptied cell outright — the guard becomes a no-op
+    val report = graft.operators.Layout.maintainTable(
+      spark, path, "centroid_id", deletes, "vec_id",
+      targetBytes = 1L << 26, maxFiles = 100)
+    assert(report.emptied == Seq("0"), report.toString)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$path/centroid_id=0")))
+    val after = spark.read.parquet(path)
+      .select($"vec_id", $"centroid_id".cast("long").as("centroid_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(after == rebuilt)
+  }
+
   test("dot/norm/cosine column math is exact on known values") {
     val row = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 1.0f)))
       .toDF("a", "b")
