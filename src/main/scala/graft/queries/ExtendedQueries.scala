@@ -1007,6 +1007,53 @@ object ExtendedQueries {
       }
     ),
 
+    // The last mile of the training-export story: token-budget
+    // assembly composed with sequence packing and the sharded
+    // materialization. One pass does all three — the budget window's
+    // inclusive running sum doubles as the packing prefix (bin =
+    // floor(exclusive-cum / 1024), zero extra window passes), then the
+    // kept-packed corpus lands partitionBy(shard) with the same
+    // static-pruning REQUIRE and full read-back hash as
+    // q_training_export. Per-shard budgets and bins mean no global
+    // sort anywhere: at 100 TB each shard's window sorts only its own
+    // hash-routed slice and each trainer reads only its shard's files.
+    Q(
+      "q_budget_export",
+      (spark, dir) => {
+        val kept = Sampling.tokenBudgetSample(
+          Q.t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", shards = 8, budgetPerShard = 5000L)
+        val packed = kept.withColumn("bin",
+          floor((col("cum_tokens") - col("n_chars")).cast("double") / 1024.0)
+            .cast("long"))
+        val scratch = Q.scratch("budgetexp")
+        packed.write.mode("overwrite").partitionBy("shard").parquet(scratch)
+        val back = spark.read.parquet(scratch)
+        val plan = back.filter(col("shard") === 3)
+          .queryExecution.executedPlan.toString
+        require(
+          plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("shard")),
+          s"expected a shard-selective read to prune at the file index:\n$plan")
+        back.select(col("doc_id"), col("n_chars"), col("cum_tokens"),
+          col("shard").cast("long").as("shard"), col("bin"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""SELECT doc_id, n_chars, cum_tokens, shard,
+           |  CAST(FLOOR((cum_tokens - n_chars) / 1024.0) AS BIGINT) AS bin
+           |FROM (
+           |  SELECT doc_id, n_chars,
+           |    ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8 AS shard,
+           |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+           |      PARTITION BY ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM documents) t
+           |WHERE cum_tokens <= 5000""".stripMargin
+      }
+    ),
+
     // The space-saving heavy-hitters Aggregator as a driver query.
     // With capacity >= column cardinality the sketch is provably exact
     // (no eviction ever fires), so the oracle is plain frequency top-k;
