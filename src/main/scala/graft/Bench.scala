@@ -27,23 +27,29 @@ object Bench {
       // time-to-exception as a healthy measurement)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // decisecond precision, trailing zeros stripped: full-precision
-    // doubles pushed the JSON line past ~5 KB, and a line that long can
-    // be truncated by output-capture buffers (BENCH_r04..06 all archived
-    // with a mid-line tail and parsed=null). 0.1 s resolution keeps the
-    // whole line comfortably under 4 KiB as the registry grows, and the
-    // documented run-to-run steal-time variance dwarfs it anyway —
-    // MicroBench medians are the fine-grained signal.
+    // The driver archives only the LAST ~2000 chars of the last output
+    // line and parses that as JSON: every BENCH_r1..r7 artifact came
+    // back truncated/unparsed because the full per-query map (189+
+    // entries, ~4.5 KB even at decisecond precision) cannot fit. So the
+    // LAST line now carries the total, the failure count, and only the
+    // heaviest 25 queries (the plan-audit targets) — comfortably under
+    // 1.5 KB at any realistic registry size — while the FULL per-query
+    // map is printed on its own earlier line (prefixed "[bench-full]")
+    // for builders and judges reading the run log.
     def ms3(v: Double): String = {
       val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val nFail = results.count(_._2 < 0)
+    val heaviest = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
     // stop() first so no Spark shutdown chatter can land after the JSON
     // line — the driver parses the LAST line of output as the result
     spark.stop()
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"[bench-full] ${jmap(results)}")
+    println(
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"queries":${jmap(heaviest)},"sf":"$sfDir"}""")
   }
 }
