@@ -225,7 +225,9 @@ object Layout {
     *
     *  1. one column-pruned scan of `idCol`/`partitionCol` finds the
     *     purge-affected partitions (the listing finds compact-worthy
-    *     ones — driver metadata);
+    *     ones — driver metadata); the collected result is at most one
+    *     value per partition — metadata-scale by definition, like the
+    *     listing itself, never row-scale;
     *  2. a partition-pruned read of the affected partitions anti-joins
     *     the broadcast delete list;
     *  3. survivors join the [[planGroupsLocal]] file→group plan (URI

@@ -236,6 +236,40 @@ object ScaleProbe {
           5L
         }
       }
+      // composed ingest screen: all three index surfaces grow ×k
+      // (replicas are exact+near+semantic dups of their base — worst
+      // case for every stage), built OUTSIDE the timing; the fixed
+      // 200-doc delta's screen must track index-read cost, never
+      // corpus-rescan cost (the semantic stage's per-cell mate arrays
+      // are the documented k× memory dial)
+      if (selected(s"ingest_screen x$k")) {
+        val joined = docs.select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+        val jk = replicate(joined, "doc_id", k)
+        val dig = graft.queries.Q.scratch(s"probe_ingdig_x$k")
+        val sig = graft.queries.Q.scratch(s"probe_ingsig_x$k")
+        Dedup.digestIndex(jk, "text").write.mode("overwrite").parquet(dig)
+        Dedup.minhashSignatures(jk, "doc_id", "text", 3, 32)
+          .write.mode("overwrite").parquet(sig)
+        // novel text + negated embeddings: the delta passes ALL three
+        // stages (an exact-dup delta dies at stage 1 and would leave
+        // stages 2-3 probing an empty stream)
+        val delta = joined.limit(200).select(col("doc_id"),
+          concat(lit("probe novel doc "), col("doc_id")).as("text"),
+          transform(col("embedding"), x => -x).as("embedding"))
+        probe(s"ingest_screen x$k") {
+          graft.streaming.StreamingDedup.ingestScreen(
+            delta,
+            spark.read.parquet(dig),
+            graft.streaming.StreamingDedup.bucketSignatureIndex(
+              spark.read.parquet(sig), k = 32, bands = 8),
+            jk.select(col("doc_id"), col("embedding")),
+            emb.orderBy(col("vec_id")).limit(16)
+              .select(col("vec_id").as("doc_id"), col("embedding")),
+            "doc_id", "text", "embedding").count()
+        }
+      }
       // partition-sweeping maintenance: the layout grows ×k in BOTH
       // rows and partition count (8k partitions), built OUTSIDE the
       // timing; the timed sweep purges a fixed 4-partition delete

@@ -178,9 +178,12 @@ class LayoutSpec extends SparkSpec {
       .sortBy(_._1)
     val zhBefore = snapshot("zh")
 
-    // purge: every de doc (empties the partition) + some fr docs
+    // purge: every de doc (empties the partition), some fr docs, and
+    // some en docs — en is BOTH purge-affected and compact-worthy, the
+    // overlap case (one rewrite must do both jobs at once)
     val deletes = docs
-      .filter($"lang" === "de" || ($"lang" === "fr" && $"doc_id" % 10 === 3))
+      .filter($"lang" === "de" ||
+        ($"lang".isin("fr", "en") && $"doc_id" % 10 === 3))
       .select("doc_id")
     val expected = docs.join(deletes, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang").orderBy("doc_id")
