@@ -824,6 +824,54 @@ object ExtendedQueries {
       )
     ),
 
+    // The packed-sequence ARTIFACT materialized: q_pack_sequences' bin
+    // assignment carried through to the actual training payload — per
+    // (lang, bin), member texts joined " <eos> " in doc_id order plus
+    // doc/token counts. One shuffle on the group key; per-group state
+    // is bounded by the bin's token budget, so payload assembly never
+    // holds more than one context window per reducer row. The ordered
+    // concat is a sort_array over (doc_id, text) structs — struct
+    // ordering is field-order lexicographic, so doc_id drives it —
+    // mirrored by the oracle's string_agg(… ORDER BY doc_id).
+    Q(
+      "q_pack_payload",
+      (spark, dir) => {
+        val nTok = TextAnalysis.tokenCount(col("text")).cast("long")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Q.t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"), nTok.as("n_tok"))
+          .withColumn("bin",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")).cast("double") / 4096.0)
+              .cast("long"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tok"),
+            concat_ws(" <eos> ",
+              transform(
+                sort_array(collect_list(struct(col("doc_id"), col("text")))),
+                s => s("text"))).as("payload"))
+      },
+      Some(
+        """SELECT lang, bin, COUNT(*) AS n_docs,
+          |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+          |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS payload
+          |FROM (
+          |  SELECT doc_id, lang, text, n_tok,
+          |    CAST(FLOOR((cum_tok - n_tok) / 4096.0) AS BIGINT) AS bin
+          |  FROM (
+          |    SELECT doc_id, lang, text,
+          |      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+          |      SUM(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)) OVER (
+          |        PARTITION BY lang ORDER BY doc_id ASC
+          |        ROWS UNBOUNDED PRECEDING) AS cum_tok
+          |    FROM documents) t1) t2
+          |GROUP BY lang, bin""".stripMargin
+      )
+    ),
+
     // Deterministic sharded shuffle: hash-route to shards, rank within
     // each shard by an independent hash — a reproducible corpus
     // permutation with no global sort and no seed.
