@@ -252,6 +252,68 @@ object Dedup {
     jaccardPairs(dropExactDuplicates(docs, idCol, textCol),
       idCol, textCol, n, threshold)
 
+  /** Exact-substring dedup core (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): for every candidate document
+    * pair, the longest token span shared VERBATIM — the statistic that
+    * catches copied passages which survive document-level near-dup
+    * screens. Returns (id_a, id_b, span_tokens) for pairs sharing at
+    * least `minSpan` consecutive tokens.
+    *
+    * Method: positional k-gram anchors. Every k-token window is hashed
+    * ([[shingleHashes]]'s polynomial family, position kept); anchors
+    * join on the hash, and a run of matches along one diagonal
+    * (pos_a − pos_b constant, positions consecutive) witnesses a shared
+    * span of run + k − 1 tokens. Runs are measured with the
+    * gaps-and-islands window trick: within (pair, diagonal), ordered by
+    * pos_a, `pos_a − row_number()` is constant exactly on consecutive
+    * stretches. All arithmetic is integer, so the result is
+    * engine-exact.
+    *
+    * Scale shape: the anchor join is one shuffle on the k-gram hash.
+    * Anchors whose hash appears in more than `maxDocFreq` documents are
+    * dropped BEFORE the join (broadcast anti-join against the hot set)
+    * — boilerplate k-grams pair everything with everything and carry no
+    * span signal; a true long span loses only its boilerplate-interior
+    * anchors and is still witnessed by its rarer ones. Run measurement
+    * shuffles only the surviving matched anchor pairs, partitioned by
+    * (pair, diagonal) — output-sized, not corpus-sized.
+    */
+  def sharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpan: Int = 12,
+      maxDocFreq: Int = 16
+  ): DataFrame = {
+    val anchors = docs
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions
+        .ngramHashes(col(textCol), k, StrHashMult, StrHashMod).as("shs"))
+      .select(col("id"), posexplode(col("shs")).as(Seq("pos", "sh")))
+    val hot = anchors
+      .groupBy(col("sh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("sh"))
+    val cold = anchors.join(broadcast(hot), Seq("sh"), "left_anti")
+    val matches = cold.as("a")
+      .join(cold.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("d"))
+    // Within (pair, diagonal) pos_a is unique (pos_b is pinned by the
+    // diagonal), so the window order is total and the islands exact.
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("pa"))
+    matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("grp"))
+      .agg((count(lit(1)) + lit(k - 1)).as("span"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("span")).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Token n-gram shingles (distinct), as strings. Declarative

@@ -220,4 +220,40 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), buckets) < rate)
   }
+
+  /** Temperature-based mixture allocation (the multilingual sampling
+    * rule of mBERT / XLM-R): group i receives budget share
+    * wᵢ / Σw where wᵢ = nᵢ^α — flatter than proportional, so
+    * low-resource groups are upsampled relative to their share.
+    * Returns (group, n, alloc) with Σ alloc ≤ budget.
+    *
+    * Engine-exact float discipline: α is fixed at 1/2 because `sqrt`
+    * is the one fractional power IEEE 754 requires to be correctly
+    * rounded — every engine agrees bit-for-bit (a general `pow(x, α)`
+    * does not). The normalizer folds the per-group weights in sorted
+    * group order (ordered fold — double addition is order-dependent),
+    * and allocations use floor, never round.
+    *
+    * Scale shape: one corpus scan with map-side partial aggregation
+    * into (group, n); everything after operates on |groups| rows —
+    * the normalizer collapses them to ONE array row that broadcasts
+    * back. Nothing corpus-sized shuffles twice.
+    */
+  def temperatureAlloc(df: DataFrame, groupCol: String, budget: Long): DataFrame = {
+    val weighted = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast("double")))
+    val z = weighted.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(groupCol), col("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")
+      ).as("z"))
+    weighted
+      .crossJoin(broadcast(z))
+      .select(
+        col(groupCol), col("n"),
+        floor(lit(budget.toDouble) * col("w") / col("z")).cast("long").as("alloc"))
+  }
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction — the tokenizer-training
+  * side of a training-data pipeline (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units"). One BPE merge step
+  * is: count every adjacent symbol pair across the corpus (weighted by
+  * word frequency) and join the most frequent pair into a new symbol.
+  *
+  * Scale shape: the ONLY corpus-sized stage is the word-frequency
+  * dictionary — one scan with map-side partial aggregation into
+  * (token, count), the classic word-count shuffle. Every stage after
+  * that (symbol split, pair expansion, pair aggregation, the argmax
+  * merge choice) operates on the DISTINCT-token dictionary, which is
+  * vocabulary-sized — millions of rows at web scale, not trillions —
+  * so iterating merges never rescans the corpus. The argmax plans as
+  * `TakeOrderedAndProject` (per-partition top-1, no global sort).
+  */
+object Vocab {
+
+  /** (token, count) word-frequency dictionary: one corpus scan,
+    * partial-agg shuffle on the token. Java `split` with its default
+    * -1 limit emits a trailing "" on boundary matches — filtered, as
+    * the corpus's other tokenizers do.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The dictionary with each token's current symbol sequence: starts
+    * as the character split (the BPE base vocabulary). `(c, s)` rows.
+    */
+  def symbols(docs: DataFrame, textCol: String): DataFrame =
+    tokenCounts(docs, textCol)
+      .select(col("c"), filter(split(col("t"), ""), ch => ch =!= "").as("s"))
+
+  /** Adjacent symbol-pair statistics over a `(c, s)` dictionary:
+    * each adjacent symbol pair weighted by the token's corpus count.
+    * Single-symbol tokens contribute nothing.
+    *
+    * The pair array is materialized as a named column in its own
+    * projection and exploded in the NEXT one: ExtractGenerator strips
+    * struct-field aliases from lambdas that share a projection with a
+    * generator.
+    */
+  def pairStats(dict: DataFrame): DataFrame = {
+    // The pair expression must be TOTAL: a `filter(size >= 2)` above the
+    // projection is not enough, because optimizer reordering around the
+    // generator can evaluate the projection on unfiltered rows — and
+    // `sequence(1, size - 1)` on a 1-symbol row is the DESCENDING [1, 0],
+    // whose element_at(s, 2) throws. The `when` guard makes short rows
+    // an empty pair array, which the explode then drops.
+    val paired = dict
+      .select(
+        col("c"),
+        when(size(col("s")) >= 2,
+          transform(
+            sequence(lit(1), size(col("s")) - 1),
+            i =>
+              struct(
+                element_at(col("s"), i).as("left_sym"),
+                element_at(col("s"), i + 1).as("right_sym"))
+          )).otherwise(array().cast("array<struct<left_sym:string,right_sym:string>>"))
+          .as("pairs"))
+    paired
+      .select(col("c"), explode(col("pairs")).as("p"))
+      .groupBy(col("p.left_sym").as("left_sym"), col("p.right_sym").as("right_sym"))
+      .agg(sum(col("c")).as("pair_count"))
+  }
+
+  /** Pair statistics straight from the corpus (first BPE iteration). */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame =
+    pairStats(symbols(docs, textCol))
+
+  /** The merge decision: the single most frequent pair, ties broken
+    * lexicographically so the choice is deterministic across runs and
+    * engines. `orderBy().limit(1)` plans `TakeOrderedAndProject` —
+    * each partition forwards its own best row; nothing global sorts.
+    */
+  def topMerge(pairs: DataFrame): DataFrame =
+    pairs
+      .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
+      .limit(1)
+
+  /** US (unit separator, U+001F) — joins symbol sequences into one
+    * string so a merge can run as a plain `replace`; never occurs in
+    * corpus text.
+    */
+  private val Sep = "\u001F"
+
+  /** Apply one merge to every token's symbol sequence. The `(left,
+    * right)` pair — a one-row DataFrame from [[topMerge]] — broadcasts;
+    * the merge itself is the non-regex `replace` on the separator-
+    * joined symbol string, whose non-overlapping left-to-right
+    * semantics (identical in every engine) are exactly BPE's greedy
+    * merge: in `a a a` with merge (a, a), the first two symbols join
+    * and the third survives.
+    *
+    * This is why BPE training fits Spark: each iteration is one
+    * broadcast + one map over the vocabulary-sized dictionary — the
+    * corpus is never rescanned after the initial word count.
+    */
+  def applyMerge(dict: DataFrame, merge: DataFrame): DataFrame =
+    dict
+      .crossJoin(broadcast(merge.select(col("left_sym"), col("right_sym"))))
+      .select(
+        col("c"),
+        split(
+          call_function("replace",
+            concat_ws(Sep, col("s")),
+            concat(col("left_sym"), lit(Sep), col("right_sym")),
+            concat(col("left_sym"), col("right_sym"))),
+          Sep).as("s"))
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Vocab}
+
+/** Tokenizer-training and corpus-curation gates added in round 8's
+  * back half: BPE vocabulary induction (pair statistics + the merge
+  * decision), the exact-substring shared-span dedup core, and
+  * temperature-based mixture allocation.
+  *
+  * Oracle discipline: BPE and shared-span are pure integer/string
+  * arithmetic (bit-exact by construction — the span oracle re-derives
+  * the SAME polynomial anchor hashes as the Spark plan, so even a hash
+  * collision cannot diverge the engines); the temperature allocation
+  * confines floats to IEEE-exact `sqrt`, one ordered fold, and a
+  * floored division — see [[Sampling.temperatureAlloc]].
+  */
+object TokenizerQueries {
+
+  /** Word-frequency → symbol-pair CTEs shared by the two BPE gates. */
+  private val BpeCtes: String =
+    """WITH tok AS (
+      |  SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS t FROM documents
+      |), tc AS (
+      |  SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t
+      |), sym AS (
+      |  SELECT c, str_split(t, '') AS s FROM tc WHERE len(str_split(t, '')) >= 2
+      |), p AS (
+      |  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, c
+      |  FROM sym, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+      |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // BPE merge statistics: adjacent symbol-pair frequencies weighted
+    // by word frequency. The corpus-sized stage is the word-count
+    // shuffle; the pair expansion runs on the distinct-token
+    // dictionary (vocabulary-sized). Pure integer counts — bit-exact.
+    Q(
+      "q_bpe_pairs",
+      (spark, dir) => Vocab.pairCounts(Q.t(spark, dir, "documents"), "text"),
+      Some(
+        s"""$BpeCtes
+           |SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+           |FROM p GROUP BY left_sym, right_sym""".stripMargin
+      )
+    ),
+
+    // The merge decision itself: argmax pair with a lexicographic
+    // tie-break — the symbol pair the next BPE merge would join.
+    // Plans TakeOrderedAndProject (per-partition top-1).
+    Q(
+      "q_bpe_merge",
+      (spark, dir) =>
+        Vocab.topMerge(Vocab.pairCounts(Q.t(spark, dir, "documents"), "text")),
+      Some(
+        s"""$BpeCtes, pc AS (
+           |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+           |  FROM p GROUP BY left_sym, right_sym
+           |)
+           |SELECT left_sym, right_sym, pair_count
+           |FROM pc ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1""".stripMargin
+      )
+    ),
+
+    // The second BPE iteration: apply the chosen merge to every
+    // token's symbol sequence (non-regex replace on a US-joined
+    // symbol string — greedy left-to-right in both engines) and
+    // recount pairs. Pins the iterate-without-corpus-rescan design:
+    // iteration 2 touches only the vocabulary-sized dictionary.
+    Q(
+      "q_bpe_iter2",
+      (spark, dir) => {
+        val dict = Vocab.symbols(Q.t(spark, dir, "documents"), "text")
+        Vocab.pairStats(
+          Vocab.applyMerge(dict, Vocab.topMerge(Vocab.pairStats(dict))))
+      },
+      Some(
+        s"""$BpeCtes, pc AS (
+           |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+           |  FROM p GROUP BY left_sym, right_sym
+           |), mg AS (
+           |  SELECT left_sym, right_sym FROM pc
+           |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+           |), sym2 AS (
+           |  SELECT c, str_split(
+           |    replace(array_to_string(s, chr(31)),
+           |            (SELECT left_sym || chr(31) || right_sym FROM mg),
+           |            (SELECT left_sym || right_sym FROM mg)),
+           |    chr(31)) AS s
+           |  FROM sym
+           |), p2 AS (
+           |  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, c
+           |  FROM sym2, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+           |  WHERE len(s) >= 2
+           |)
+           |SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+           |FROM p2 GROUP BY left_sym, right_sym""".stripMargin
+      )
+    ),
+
+    // Exact-substring dedup core: longest verbatim token span per
+    // candidate pair via positional 8-gram anchors + diagonal-run
+    // (gaps-and-islands) measurement. The oracle recomputes the SAME
+    // polynomial anchor hashes, so the gate is bit-exact even under
+    // hash collisions. At sf0.01 the fixture's planted near-dups give
+    // spans 23..93; one pair at 11 sits below minSpan=12 and pins the
+    // HAVING.
+    Q(
+      "q_shared_span",
+      (spark, dir) =>
+        Dedup.sharedSpans(Q.t(spark, dir, "documents"), "doc_id", "text",
+          k = 8, minSpan = 12, maxDocFreq = 16),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id AS id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+           |), anch AS (
+           |  SELECT id, i AS pos,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+7], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+           |), hot AS (
+           |  SELECT sh FROM anch GROUP BY sh HAVING COUNT(DISTINCT id) > 16
+           |), cold AS (
+           |  SELECT * FROM anch WHERE sh NOT IN (SELECT sh FROM hot)
+           |), m AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, a.pos - b.pos AS d
+           |  FROM cold a JOIN cold b USING (sh) WHERE a.id < b.id
+           |), isl AS (
+           |  SELECT id_a, id_b, d, pa,
+           |    pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d ORDER BY pa) AS grp
+           |  FROM m
+           |), runs AS (
+           |  SELECT id_a, id_b, COUNT(*) + 7 AS span
+           |  FROM isl GROUP BY id_a, id_b, d, grp
+           |)
+           |SELECT id_a, id_b, MAX(span) AS span_tokens
+           |FROM runs GROUP BY id_a, id_b
+           |HAVING MAX(span) >= 12""".stripMargin
+      )
+    ),
+
+    // Temperature-based mixture allocation: per-language budget shares
+    // at α = 1/2 over a 100k-document budget. sqrt is IEEE-correctly-
+    // rounded in both engines; the normalizer is an ordered fold in
+    // lang order; allocations floor.
+    Q(
+      "q_temperature_mix",
+      (spark, dir) =>
+        Sampling.temperatureAlloc(
+          Q.t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", budget = 100000L),
+      Some(
+        """WITH c AS (
+          |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+          |), z AS (
+          |  SELECT list_reduce(
+          |    list_prepend(CAST(0.0 AS DOUBLE),
+          |      (SELECT list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang) FROM c)),
+          |    (a, b) -> a + b) AS z
+          |)
+          |SELECT lang, n,
+          |  CAST(FLOOR(100000.0 * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT) AS alloc
+          |FROM c, z""".stripMargin
+      )
+    )
+  )
+}

@@ -72,6 +72,19 @@ object ScaleProbe {
       probe(s"simhash_pairs x$k") {
         Dedup.simhashPairs(d, "doc_id", "text").count()
       }
+      // Replicas share FULL spans, so matched-pair output grows ~k² by
+      // construction until the hot-anchor cap (docfreq > 16) starts
+      // dropping replicated grams — the guard that keeps boilerplate
+      // from pairing everything with everything at corpus scale.
+      probe(s"shared_span x$k") {
+        Dedup.sharedSpans(d, "doc_id", "text").count()
+      }
+      // Corpus-sized stage is the word-count shuffle (linear in k);
+      // the pair expansion runs on the distinct-token dictionary,
+      // whose size is constant under replication.
+      probe(s"bpe_pairs x$k") {
+        graft.operators.Vocab.pairCounts(d, "text").count()
+      }
       probe(s"srp_neardup x$k") {
         Similarity.srpNearDupPairs(e, "vec_id", "embedding", 0.99).count()
       }

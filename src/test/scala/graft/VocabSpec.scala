@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Vocab}
+
+/** BPE vocabulary induction, shared-span dedup, and temperature
+  * allocation invariants.
+  */
+class VocabSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pairCounts: hand-computed pair statistics on a tiny corpus") {
+    // "ab ab cd" + "ab" → token counts: ab=3, cd=1
+    // pairs: (a,b) weighted 3, (c,d) weighted 1
+    val docs = Seq("ab ab cd", "ab").toDF("text")
+    val got = Vocab.pairCounts(docs, "text")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 3L), ("c", "d", 1L)))
+  }
+
+  test("pairCounts: single-symbol tokens contribute nothing") {
+    val docs = Seq("a a a bc").toDF("text")
+    val got = Vocab.pairCounts(docs, "text")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("b", "c", 1L)))
+  }
+
+  test("topMerge: argmax with deterministic lexicographic tie-break") {
+    // (a,b) and (b,a) both count 2 → tie broken on left_sym: (a,b) wins
+    val docs = Seq("ab ab ba ba").toDF("text")
+    val got = Vocab.topMerge(Vocab.pairCounts(docs, "text"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 2L)))
+  }
+
+  test("topMerge plans TakeOrderedAndProject (no global sort)") {
+    val docs = Seq("ab cd", "ab").toDF("text")
+    val plan = Vocab.topMerge(Vocab.pairCounts(docs, "text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("applyMerge: greedy left-to-right, overlapping runs merge correctly") {
+    // corpus "aaa ab": merge argmax is (a,a) count 2 (beats (a,b) via count).
+    // Applying (a,a): "aaa" → [aa, a]; "ab" → [a, b].
+    // Recounted pairs: (aa,a)=1, (a,b)=1.
+    val docs = Seq("aaa ab").toDF("text")
+    val dict = Vocab.symbols(docs, "text")
+    val merge = Vocab.topMerge(Vocab.pairStats(dict))
+    assert(merge.as[(String, String, Long)].collect().toSeq == Seq(("a", "a", 2L)))
+    val iter2 = Vocab.pairStats(Vocab.applyMerge(dict, merge))
+      .as[(String, String, Long)].collect().toSet
+    assert(iter2 == Set(("aa", "a", 1L), ("a", "b", 1L)))
+  }
+
+  test("sharedSpans: exact span length on a planted 15-token overlap") {
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 x2 x3 $shared y1 y2"),
+      (2L, s"z1 $shared w1 w2 w3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpans(docs, "doc_id", "text", k = 8, minSpan = 12)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 15L)))
+  }
+
+  test("sharedSpans: overlaps below minSpan are excluded") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // span 10 < 12
+    val docs = Seq(
+      (1L, s"x1 x2 x3 $shared y1 y2"),
+      (2L, s"z1 $shared w1 w2 w3")
+    ).toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(docs, "doc_id", "text", k = 8, minSpan = 12).isEmpty)
+  }
+
+  test("sharedSpans: hot anchors (docfreq > cap) generate no candidates") {
+    // The same 20-token passage in 5 docs with cap 3: every anchor of
+    // the passage is hot, so no pair survives — the boilerplate guard.
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, s"head$i $passage tail$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(docs, "doc_id", "text", k = 8, minSpan = 12,
+      maxDocFreq = 3).isEmpty)
+    // With the cap above the passage's docfreq all 10 pairs appear.
+    assert(Dedup.sharedSpans(docs, "doc_id", "text", k = 8, minSpan = 12,
+      maxDocFreq = 16).count() == 10L)
+  }
+
+  test("temperatureAlloc: flattens shares, floors, and respects the budget") {
+    val rows = ((1L to 900L).map((_, "big")) ++ (901L to 1000L).map((_, "small")))
+      .toDF("id", "g")
+    val asMap = Sampling.temperatureAlloc(rows, "g", budget = 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nBig, aBig) = asMap("big")
+    val (nSmall, aSmall) = asMap("small")
+    assert(nBig == 900L && nSmall == 100L)
+    // sqrt temperature: shares 30/(30+10)=0.75 and 10/40=0.25
+    assert(aBig == 750L && aSmall == 250L)
+    assert(aBig + aSmall <= 1000L)
+    // flatter than proportional: small group's rate is upsampled
+    assert(aSmall.toDouble / nSmall > aBig.toDouble / nBig)
+  }
+
+  test("temperatureAlloc: uniform groups allocate equally") {
+    val rows = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val allocs = Sampling.temperatureAlloc(rows, "g", budget = 999L)
+      .collect().map(_.getLong(2)).toSeq
+    assert(allocs == Seq(333L, 333L, 333L))
+  }
+}
