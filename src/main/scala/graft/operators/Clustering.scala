@@ -94,6 +94,33 @@ object Clustering {
       .select(col("id"), col("best.cluster_id").as("cluster_id"),
         col("best.dist2").as("dist2"))
 
+  /** Per-cluster representative: the member nearest its centroid (ties
+    * → smallest id) plus the member count — the exemplar-selection step
+    * of coreset / cluster-based diversity sampling (keep one exemplar
+    * per semantic cell, weight it by cell size).
+    *
+    * Plan shape: [[assign]]'s zero-shuffle broadcast argmin fold, then
+    * ONE partially-aggregated shuffle — `min` over a (dist2, id) struct
+    * is a lexicographic argmin that combines map-side, so each map task
+    * forwards at most k rows; no per-cluster sort, no window exchange,
+    * and a hot cluster costs the same as a cold one. dist2 is the
+    * lane-ordered fold, so the argmin comparisons are engine-exact.
+    */
+  def coresetReps(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame
+  ): DataFrame =
+    assign(vecs, idCol, vecCol, centroids)
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct(col("dist2"), col("id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("cluster_id"), col("m.id").as("rep_id"),
+        col("m.dist2").as("dist2"), col("n_members"))
+
   /** Reassemble [[updateStep]]'s (cluster, lane, value) rows into
     * per-cluster centroid arrays — the input shape [[assign]] takes, so
     * Lloyd iterations compose: assign → update → centroids → assign.

@@ -36,6 +36,28 @@ object TextAnalysis {
 
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Linear quality-classifier logit in milli-units — model-based
+    * filtering (the fastText-style linear filter that follows the
+    * heuristic [[qualityScore]] pre-filter in a curation pipeline),
+    * distilled to exact arithmetic: integer milli-weights over the
+    * integer quality features make the logit pure Int64 — bit-exact in
+    * any engine and overflow-safe (features are document-sized). One
+    * map-side expression; the keep decision is `logit_milli >= 0`.
+    */
+  def classifierLogitMilli(
+      text: Column,
+      wTok: Long = 5L,
+      wStop: Long = 50L,
+      wPunct: Long = -40L,
+      wChar: Long = 1L,
+      biasMilli: Long = -800L
+  ): Column =
+    tokenCount(text).cast("long") * lit(wTok) +
+      stopwordCount(text).cast("long") * lit(wStop) +
+      punctCount(text).cast("long") * lit(wPunct) +
+      length(text).cast("long") * lit(wChar) +
+      lit(biasMilli)
+
   /** Heuristic quality score in [0,1]: length-normalized with stopword
     * and punctuation ratio terms (the usual cheap pre-filter before
     * model-based scoring). Single double division per term keeps the

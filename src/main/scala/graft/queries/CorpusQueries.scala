@@ -391,6 +391,29 @@ object CorpusQueries {
       Some(s"WITH $AssignCtes SELECT vec_id, cluster_id, dist2 FROM asg")
     ),
 
+    // Coreset / diversity-sampling exemplars: per cluster, the member
+    // nearest its centroid (ties → smallest id) plus the member count.
+    // Spark side is a map-side lexicographic struct-min (no window, no
+    // per-cluster sort); dist2 is the lane-ordered fold, so argmin
+    // comparisons are bit-exact.
+    Q(
+      "q_coreset_reps",
+      (spark, dir) => {
+        val vecs = Q.t(spark, dir, "embeddings")
+        Clustering.coresetReps(vecs, "vec_id", "embedding",
+          Clustering.initialCentroids(vecs, "vec_id", "embedding", KClusters))
+      },
+      Some(
+        s"""WITH $AssignCtes, reps AS (
+           |  SELECT cluster_id, vec_id, dist2,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY dist2, vec_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+           |  FROM asg)
+           |SELECT cluster_id, vec_id AS rep_id, dist2, n_members
+           |FROM reps WHERE rn = 1""".stripMargin
+      )
+    ),
+
     // One Lloyd centroid-update step: per (cluster, lane) member mean,
     // folded in vec-id order. k·dim result rows — reducer state is
     // independent of corpus size.

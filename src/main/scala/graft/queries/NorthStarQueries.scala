@@ -220,6 +220,37 @@ object NorthStarQueries {
       )
     ),
 
+    // Model-based filtering: linear quality-classifier inference (the
+    // fastText-shaped filter that follows the heuristic pre-filter).
+    // Integer milli-weights over the integer quality features keep the
+    // logit in pure Int64; the only double is one final /1000 division.
+    // keep is the logit's sign, emitted as 0/1.
+    Q(
+      "q_quality_classifier",
+      (spark, dir) =>
+        Q.t(spark, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.classifierLogitMilli(col("text")).as("lm"))
+          .select(
+            col("doc_id"),
+            (col("lm").cast("double") / lit(1000.0)).as("logit"),
+            (col("lm") >= 0).cast("int").as("keep")),
+      Some(
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    CAST(len($SqlToks) AS BIGINT) * 5
+           |    + CAST(${markerCount(TextAnalysis.DefaultStopwords)} AS BIGINT) * 50
+           |    + CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) * -40
+           |    + CAST(length(text) AS BIGINT) * 1
+           |    + -800 AS lm
+           |  FROM documents)
+           |SELECT doc_id, CAST(lm AS DOUBLE) / 1000.0 AS logit,
+           |  CAST(lm >= 0 AS INT) AS keep
+           |FROM m""".stripMargin
+      )
+    ),
+
     // Gopher-style repetition metrics per doc: duplicate-token and
     // duplicate-3-gram fractions (the looping/boilerplate signal).
     // Single deterministic int/int divisions — oracle-exact doubles.

@@ -32,6 +32,37 @@ class ClusteringSpec extends SparkSpec {
     assert(d === 1.0) // (9-10)^2 + (10-10)^2
   }
 
+  test("coresetReps: centroid-nearest exemplar per cluster, no window exchange") {
+    val cents = Clustering.initialCentroids(vecs, "vec_id", "embedding", 2)
+    val reps = Clustering.coresetReps(vecs, "vec_id", "embedding", cents)
+    val got = reps.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // cluster 0 = {0,2,4}: seed 0 itself is at distance 0; n=3
+    // cluster 1 = {1,3}: seed 1 at distance 0; n=2
+    assert(got === Map(0L -> (0L, 0.0, 3L), 1L -> (1L, 0.0, 2L)))
+    // argmin runs as a partial-agg struct-min, not a window
+    val plan = reps.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("coresetReps: distance ties break to the smallest member id") {
+    // two members equidistant from the seed: ids 2 and 3 both at dist2 1
+    val v = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Clustering.initialCentroids(v, "vec_id", "embedding", 1)
+    val rep = Clustering.coresetReps(v, "vec_id", "embedding", cents)
+      .filter(col("cluster_id") === 0L).collect().head
+    assert(rep.getLong(1) == 0L && rep.getLong(3) == 3L)
+    // drop the seed itself: tie between 2 and 3 → smallest id 2
+    val repNoSeed = Clustering.coresetReps(
+      v.filter(col("vec_id") =!= 0L), "vec_id", "embedding", cents)
+      .collect().head
+    assert(repNoSeed.getLong(1) == 2L && repNoSeed.getDouble(2) == 1.0)
+  }
+
   test("updateStep means the members of each cluster per lane") {
     val cents = Clustering.initialCentroids(vecs, "vec_id", "embedding", 2)
     val up = Clustering.updateStep(vecs, "vec_id", "embedding", cents)

@@ -24,6 +24,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_punct") == 3)
   }
 
+  test("classifierLogitMilli: hand-computed Int64 logit") {
+    // "the cat, sat. on the mat!": n_tok=6, n_stop=2 (the ×2; "on" is
+    // not in the set), n_punct=3, n_chars=25
+    // logit_milli = 6*5 + 2*50 + 3*(-40) + 25*1 - 800 = -765
+    val lm = one("the cat, sat. on the mat!")
+      .select(TextAnalysis.classifierLogitMilli(col("text")).as("lm"))
+      .as[Long].head()
+    assert(lm == -765L)
+  }
+
   test("stopword count uses the fixed set") {
     val n = one("the cat and the dog of war")
       .select(TextAnalysis.stopwordCount(col("text")).as("n")).head().getAs[Int]("n")
