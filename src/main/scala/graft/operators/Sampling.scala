@@ -221,6 +221,37 @@ object Sampling {
     df.filter(hashBucket(col(idCol), buckets) < rate)
   }
 
+  /** Curriculum staging: split each group into `stages` equal score
+    * bands — stage 0 = the group's best rows, the last stage its worst
+    * — so a training run can feed high-quality data first (curriculum
+    * ordering) or anneal mixtures per stage. Pure rank arithmetic
+    * (`stage = (rank−1)·stages div n`), same discipline as
+    * [[Normalize.topFractionByGroup]]: no value-space percentile, so
+    * band assignment is engine-exact and ties (score, then id) are
+    * deterministic.
+    *
+    * One window pass per group — rank and group count ride the same
+    * shuffle partition. Appends a `stage` column.
+    */
+  def curriculumStages(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      stages: Int
+  ): DataFrame = {
+    require(stages >= 1, "stages >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val wr = w.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val rn = Iterator.iterate("__rn")(_ + "_").dropWhile(df.columns.contains).next()
+    val n = Iterator.iterate("__n")(_ + "_").dropWhile(df.columns.contains).next()
+    df.withColumn(rn, row_number().over(wr))
+      .withColumn(n, count(lit(1)).over(w))
+      .withColumn("stage",
+        expr(s"((`$rn` - 1L) * ${stages}L) div `$n`").cast("int"))
+      .drop(rn, n)
+  }
+
   /** Temperature-based mixture allocation (the multilingual sampling
     * rule of mBERT / XLM-R): group i receives budget share
     * wᵢ / Σw where wᵢ = nᵢ^α — flatter than proportional, so

@@ -251,6 +251,39 @@ object NorthStarQueries {
       )
     ),
 
+    // Curriculum staging: each language's docs split into 4 quality
+    // bands by rank arithmetic (stage 0 = best quarter). The quality
+    // score is the engine-exact heuristic (pinned by q_text_quality),
+    // so ranking and band assignment are deterministic in both engines.
+    Q(
+      "q_curriculum",
+      (spark, dir) =>
+        graft.operators.Sampling.curriculumStages(
+          Q.t(spark, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              TextAnalysis.qualityScore(col("text")).as("quality")),
+          "lang", "quality", "doc_id", stages = 4)
+          .select(col("doc_id"), col("lang"), col("stage")),
+      Some(
+        s"""WITH m AS (
+           |  SELECT doc_id, lang,
+           |    $QualityMetricsSql
+           |  FROM documents
+           |), q AS (
+           |  SELECT doc_id, lang,
+           |    $QualityScoreSql
+           |      AS quality
+           |  FROM m
+           |), r AS (
+           |  SELECT doc_id, lang,
+           |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY lang) AS n
+           |  FROM q)
+           |SELECT doc_id, lang, CAST(((rn - 1) * 4) // n AS INT) AS stage
+           |FROM r""".stripMargin
+      )
+    ),
+
     // Gopher-style repetition metrics per doc: duplicate-token and
     // duplicate-3-gram fractions (the looping/boilerplate signal).
     // Single deterministic int/int divisions — oracle-exact doubles.

@@ -104,6 +104,18 @@ class VocabSpec extends SparkSpec {
     assert(aSmall.toDouble / nSmall > aBig.toDouble / nBig)
   }
 
+  test("curriculumStages: rank-arithmetic bands, best rows in stage 0") {
+    // one group of 10, score = id → best (highest score) is id 9
+    val rows = (0L until 10L).map(i => (i, "g", i.toDouble)).toDF("id", "g", "score")
+    val got = Sampling.curriculumStages(rows, "g", "score", "id", stages = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // rank by score desc: id 9 → rank 1 → stage 0; id 0 → rank 10 → stage 3
+    assert(got(9L) == 0 && got(0L) == 3)
+    // ((rank-1)*4) div 10 band sizes: 3, 2, 3, 2
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(0 -> 3, 1 -> 2, 2 -> 3, 3 -> 2))
+  }
+
   test("temperatureAlloc: uniform groups allocate equally") {
     val rows = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val allocs = Sampling.temperatureAlloc(rows, "g", budget = 999L)
