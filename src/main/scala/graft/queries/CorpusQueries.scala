@@ -40,6 +40,28 @@ object CorpusQueries {
   private def lnSql(k: String): String =
     s"COALESCE(l[$k], ln(CAST($k AS DOUBLE)))"
 
+  /** Unigram-surprisal CTE chain ending in `sur(id, n_tokens, nll_tab)`
+    * — shared verbatim by q_unigram_nll and q_hard_examples so the
+    * pinned surprisal components cannot drift between gates.
+    */
+  private lazy val UnigramSurCtes: String =
+    s"""lnt AS (SELECT $LnTabSql AS l),
+       |tf AS (
+       |  SELECT id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents)
+       |  GROUP BY id, term
+       |), tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT id, term, tf,
+       |    CAST(tf AS DOUBLE) * ${lnSql("n")} AS c
+       |  FROM tf JOIN tc USING (term) CROSS JOIN lnt
+       |), sur AS (
+       |  SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+       |                (a, b) -> a + b) AS nll_tab
+       |  FROM contrib GROUP BY id
+       |)""".stripMargin
+
   /** The entropy CASE over `cs` (the str_split character list) — shared
     * verbatim by q_char_entropy and q_quality_gate so their oracles
     * cannot drift.
@@ -216,21 +238,44 @@ object CorpusQueries {
         TextAnalysis.unigramSurprisal(Q.t(spark, dir, "documents"), "doc_id", "text")
           .withColumnRenamed("id", "doc_id"),
       Some(
-        s"""WITH lnt AS (SELECT $LnTabSql AS l),
-           |tf AS (
-           |  SELECT id, term, COUNT(*) AS tf
-           |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents)
-           |  GROUP BY id, term
-           |), tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term),
-           |contrib AS (
-           |  SELECT id, term, tf,
-           |    CAST(tf AS DOUBLE) * ${lnSql("n")} AS c
-           |  FROM tf JOIN tc USING (term) CROSS JOIN lnt
-           |)
-           |SELECT id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
-           |              (a, b) -> a + b) AS nll_tab
-           |FROM contrib GROUP BY id""".stripMargin
+        s"""WITH $UnigramSurCtes
+           |SELECT id AS doc_id, n_tokens, nll_tab FROM sur""".stripMargin
+      )
+    ),
+
+    // Loss-based data selection (hard-example mining): keep each
+    // language's hardest quartile by per-token surprisal. Ranking by
+    // the TABLE component rate (nll_tab / n_tokens, ascending) is
+    // monotone-equivalent to ranking by the true per-token NLL
+    // (nll/n_tok = lnΣN − nll_tab/n_tok — the corpus constant shifts,
+    // never reorders), so the gate stays pure table reads + one
+    // division + rank arithmetic.
+    Q(
+      "q_hard_examples",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val scored = TextAnalysis
+          .unigramSurprisal(docs, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("tab_rate", col("nll_tab") / col("n_tokens").cast("double"))
+          .withColumn("__hard", -col("tab_rate"))
+        Normalize.topFractionByGroup(scored, "lang", "__hard", "doc_id",
+          keepPpm = 250000L)
+          .select(col("doc_id"), col("lang"), col("tab_rate"))
+      },
+      Some(
+        s"""WITH $UnigramSurCtes, sc AS (
+           |  SELECT s.id AS doc_id, d.lang,
+           |    s.nll_tab / CAST(s.n_tokens AS DOUBLE) AS tab_rate
+           |  FROM sur s JOIN documents d ON s.id = d.doc_id
+           |), r AS (
+           |  SELECT doc_id, lang, tab_rate,
+           |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tab_rate ASC, doc_id ASC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY lang) AS n
+           |  FROM sc)
+           |SELECT doc_id, lang, tab_rate
+           |FROM r WHERE rn <= (n * 250000 + 999999) // 1000000""".stripMargin
       )
     ),
 
