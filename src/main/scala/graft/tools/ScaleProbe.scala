@@ -85,6 +85,25 @@ object ScaleProbe {
       probe(s"bpe_pairs x$k") {
         graft.operators.Vocab.pairCounts(d, "text").count()
       }
+      // Broadcast-fold assignment (scan-bound) + a k-row partial-agg
+      // struct-min: output is always |clusters| rows.
+      probe(s"coreset_reps x$k") {
+        graft.operators.Clustering.coresetReps(e, "vec_id", "embedding",
+          graft.operators.Clustering.initialCentroids(
+            e, "vec_id", "embedding", 8)).count()
+      }
+      // Surprisal (two partial-agg shuffles) + per-lang rank windows;
+      // kept set stays exactly a quarter of the corpus.
+      probe(s"hard_examples x$k") {
+        val sur = graft.operators.TextAnalysis
+          .unigramSurprisal(d, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("tab_rate", col("nll_tab") / col("n_tokens").cast("double"))
+          .withColumn("__hard", -col("tab_rate"))
+        graft.operators.Normalize.topFractionByGroup(
+          sur, "lang", "__hard", "doc_id", 250000L).count()
+      }
       probe(s"srp_neardup x$k") {
         Similarity.srpNearDupPairs(e, "vec_id", "embedding", 0.99).count()
       }
