@@ -21,16 +21,29 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot read natively. Read nanos as a long (legacy conf) and convert
-    * to a micros TimestampType — lossless here (generator emits whole
-    * microseconds; DuckDB applies the same ns→us truncation).
+  /** The events table's `ts` unit depends on the fixture generation:
+    * earlier driver testdata wrote parquet TIMESTAMP(NANOS) (which Spark
+    * cannot read natively — the legacy conf surfaces it as a nanos long),
+    * current testdata writes TIMESTAMP(MICROS) (a native TimestampType).
+    * Adapt on the observed schema instead of assuming either: a hardcoded
+    * nanos path threw on the micros fixture and silently killed every
+    * events-table query in round 8. The ns→us truncation is lossless here
+    * (generator emits whole microseconds; DuckDB truncates identically).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      // micros fixture surfaces as TIMESTAMP_NTZ (no UTC-adjust flag in the
+      // file). The session is pinned to UTC (GraftSession), so the cast to
+      // the instant type is wall-clock-identical — and downstream operators
+      // (session windows, unix_millis) require TimestampType.
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
+      case _                                           => col("ts")
+    }
+    raw
+      .withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
