@@ -106,6 +106,26 @@ object Clustering {
     * and a hot cluster costs the same as a cold one. dist2 is the
     * lane-ordered fold, so the argmin comparisons are engine-exact.
     */
+  /** Topic-balanced selection: keep at most `cap` members per cluster,
+    * closest-to-centroid first (ties → smallest id) — the per-topic
+    * quota pass of cluster-balanced data curation (cap the dominant
+    * semantic cells so one topic cannot swamp the mixture).
+    *
+    * Plan shape: one hash-partitioned window keyed by cluster — the
+    * sort is confined to each cluster's partition, nothing global
+    * sorts, and AQE splits a skewed (hot-topic) cluster's sort across
+    * tasks. dist2 comparisons reuse [[assign]]'s lane-ordered fold, so
+    * rank order — and therefore the kept set — is engine-exact.
+    */
+  def capPerCluster(assigned: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("dist2"), col("id"))
+    assigned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   def coresetReps(
       vecs: DataFrame,
       idCol: String,

@@ -52,4 +52,27 @@ object Profile {
       .select(explode(array(entries: _*)).as("p"))
       .select("p.*")
   }
+
+  /** k-anonymity audit: annotate every row with the size of its
+    * quasi-identifier group and whether that group clears `k` — the
+    * release gate for training exports carrying attributes that could
+    * re-identify a person when combined (Sweeney's k-anonymity model).
+    * Rows with `keep = false` are the ones a privacy-preserving export
+    * must suppress or generalize.
+    *
+    * Scale shape: quasi-identifier combinations are low-cardinality by
+    * construction (that is what makes them quasi-identifiers), so the
+    * group-size table partial-aggregates to a tiny frame that joins
+    * back by BROADCAST — the corpus is scanned twice but never
+    * shuffled. The window-count alternative would hash-partition the
+    * full corpus by group; this shape stays scan-bound at 100 TB.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "Profile.kAnonymity: need at least one quasi-identifier")
+    val groups = df
+      .groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("k_group"))
+    df.join(broadcast(groups), quasiIds)
+      .withColumn("keep", col("k_group") >= k)
+  }
 }

@@ -287,4 +287,51 @@ object Sampling {
         col(groupCol), col("n"),
         floor(lit(budget.toDouble) * col("w") / col("z")).cast("long").as("alloc"))
   }
+
+  /** Loss-driven domain reweighting (the DoReMi decision shape, Xie et
+    * al.: upweight domains whose model loss exceeds the easiest
+    * domain's): per group, mean per-row loss rate → excess over the
+    * minimum group mean → weight ∝ excess, normalized. Domains at the
+    * baseline get weight 0; if every domain sits exactly at baseline
+    * the weights fall back to uniform.
+    *
+    * Engine-exact float discipline: each row's double `rateCol` is
+    * snapped to the 2⁻²⁰ grid (floor to integer micro-units — one
+    * IEEE multiply + floor, identical everywhere), so the per-group
+    * SUM is integer arithmetic and order-free; the group mean is then
+    * ONE double division, the baseline a MIN over |groups| doubles,
+    * and the normalizer an ordered fold in group order — the same
+    * discipline as [[temperatureAlloc]] and q_kmeans_update_scale.
+    *
+    * Scale shape: one corpus-sized partial-agg shuffle into (group,
+    * Σsnapped, n); everything downstream operates on |groups| rows
+    * (the baseline and normalizer collapse to one broadcast row).
+    */
+  def excessLossWeights(df: DataFrame, groupCol: String, rateCol: String): DataFrame = {
+    val grid = 1048576.0 // 2^20
+    val grouped = df
+      .groupBy(col(groupCol))
+      .agg(
+        sum(floor(col(rateCol) * grid).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("mean_q", col("sq").cast("double") / col("n").cast("double"))
+    val base = grouped.agg(
+      min(col("mean_q")).as("mn"),
+      count(lit(1)).as("n_groups"))
+    val excess = grouped
+      .crossJoin(broadcast(base))
+      .withColumn("excess", col("mean_q") - col("mn"))
+    val z = excess.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(groupCol), col("excess")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("excess")
+      ).as("z"))
+    excess
+      .crossJoin(broadcast(z))
+      .select(
+        col(groupCol), col("n"),
+        when(col("z") === 0.0, lit(1.0) / col("n_groups").cast("double"))
+          .otherwise(col("excess") / col("z")).as("weight"))
+  }
 }

@@ -116,4 +116,57 @@ object Vocab {
             concat(col("left_sym"), lit(Sep), col("right_sym")),
             concat(col("left_sym"), col("right_sym"))),
           Sep).as("s"))
+
+  /** The dictionary after `iters` LEARNED merges: each iteration picks
+    * [[topMerge]] over the current pair statistics and applies it. The
+    * corpus is scanned exactly once (the initial word count); every
+    * iteration after that touches only the vocabulary-sized dictionary,
+    * so the loop cost is iters × (one broadcast + one dictionary map +
+    * one dictionary-sized partial-agg shuffle) regardless of corpus
+    * size — the property that makes BPE training viable at 100 TB.
+    */
+  def mergedDict(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    var dict = symbols(docs, textCol)
+    var i = 0
+    while (i < iters) {
+      dict = applyMerge(dict, topMerge(pairStats(dict)))
+      i += 1
+    }
+    dict
+  }
+
+  /** Tokenize the corpus with a trained dictionary: per document, the
+    * word count and the subword count under the dictionary's current
+    * segmentation. A merged token's surface form is the concatenation
+    * of its symbols (merges only ever join adjacent symbols), so the
+    * dictionary join key is rebuilt with `concat_ws("", s)` — no
+    * separate token column needs to ride through the merge loop.
+    *
+    * Scale shape: one corpus-sized explode (map-side) + one equi-join
+    * against the vocabulary-sized dictionary (broadcast here; swap to a
+    * shuffle join past ~a few GB of vocabulary) + one per-doc partial
+    * aggregation. The corpus never sorts and never carries arrays —
+    * only (id, token) pairs.
+    */
+  def encode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dict: DataFrame
+  ): DataFrame = {
+    val lookup = dict
+      .select(
+        concat_ws("", col("s")).as("__tok"),
+        size(col("s")).cast("long").as("n_sub"))
+      // distinct-token dictionary: one row per surface form by
+      // construction (tokenCounts groups by the token)
+    docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .join(broadcast(lookup), "__tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Normalize, Quantize, Retrieval, Sampling, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Normalize, Profile, Quantize, Retrieval, Sampling, TextAnalysis}
 
 /** Round-4 corpus-curation and embedding-clustering queries: character
   * entropy screens, cross-document boilerplate detection, unigram-LM
@@ -1655,6 +1655,102 @@ object CorpusQueries {
       },
       Some(
         "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part"
+      )
+    ),
+
+    // Topic-balanced selection: cap every k-means cell at 40 members,
+    // closest-to-centroid first — the per-topic quota pass that stops
+    // one dominant topic from swamping a curated mixture. One broadcast
+    // argmin (assignment, zero corpus shuffles) + one cluster-keyed
+    // window whose sort is confined to each cluster's partition. dist2
+    // is the lane-ordered fold, so the rank order — and therefore the
+    // kept set — is engine-exact.
+    Q(
+      "q_cluster_cap",
+      (spark, dir) => {
+        val vecs = Q.t(spark, dir, "embeddings")
+        val assigned = Clustering.assign(vecs, "vec_id", "embedding",
+          Clustering.initialCentroids(vecs, "vec_id", "embedding", KClusters))
+        Clustering.capPerCluster(assigned, cap = 40)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some(
+        s"""WITH $AssignCtes, r AS (
+           |  SELECT vec_id, cluster_id, dist2,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY dist2, vec_id) AS rn
+           |  FROM asg)
+           |SELECT vec_id, cluster_id, dist2 FROM r WHERE rn <= 40""".stripMargin
+      )
+    ),
+
+    // Loss-driven domain reweighting (the DoReMi decision shape):
+    // per-language mean surprisal rate → excess over the easiest
+    // language → normalized mixture weight. The per-doc rate snaps to
+    // the 2^-20 grid so the per-language sum is order-free integer
+    // arithmetic; the baseline and normalizer operate on |langs| rows
+    // (ordered fold in lang order — the q_temperature_mix discipline).
+    Q(
+      "q_doremi_weights",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val rated = TextAnalysis
+          .unigramSurprisal(docs, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("tab_rate", col("nll_tab") / col("n_tokens").cast("double"))
+        Sampling.excessLossWeights(rated, "lang", "tab_rate")
+      },
+      Some(
+        s"""WITH $UnigramSurCtes, g AS (
+           |  SELECT d.lang,
+           |    CAST(SUM(CAST(FLOOR(s.nll_tab / CAST(s.n_tokens AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+           |    COUNT(*) AS n
+           |  FROM sur s JOIN documents d ON s.id = d.doc_id
+           |  GROUP BY d.lang
+           |), m AS (
+           |  SELECT lang, n, CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q FROM g
+           |), b AS (
+           |  SELECT MIN(mean_q) AS mn, COUNT(*) AS n_groups FROM m
+           |), e AS (
+           |  SELECT lang, n, mean_q - mn AS excess, n_groups FROM m, b
+           |), z AS (
+           |  SELECT list_reduce(
+           |    list_prepend(CAST(0.0 AS DOUBLE), (SELECT list(excess ORDER BY lang) FROM e)),
+           |    (a, b) -> a + b) AS z
+           |)
+           |SELECT lang, n,
+           |  CASE WHEN z = 0 THEN 1.0 / CAST(n_groups AS DOUBLE)
+           |       ELSE excess / z END AS weight
+           |FROM e, z""".stripMargin
+      )
+    ),
+
+    // k-anonymity audit over the quasi-identifier triple (lang, source,
+    // 256-char length bucket): every document annotated with its group
+    // size and the k >= 5 release flag — the privacy gate a training
+    // export runs before shipping attribute-bearing rows. Group table
+    // partial-aggregates to quasi-identifier cardinality and joins back
+    // by broadcast; the corpus never shuffles.
+    Q(
+      "q_kanonymity",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        Profile.kAnonymity(
+          docs.select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars div 256").as("len_bucket")),
+          Seq("lang", "source", "len_bucket"), k = 5L)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("len_bucket"), col("k_group"), col("keep"))
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id, lang, source, n_chars // 256 AS len_bucket FROM documents
+          |), g AS (
+          |  SELECT lang, source, len_bucket, COUNT(*) AS k_group
+          |  FROM q GROUP BY lang, source, len_bucket
+          |)
+          |SELECT doc_id, lang, source, len_bucket, k_group, k_group >= 5 AS keep
+          |FROM q JOIN g USING (lang, source, len_bucket)""".stripMargin
       )
     )
   )

@@ -144,6 +144,67 @@ object TokenizerQueries {
       )
     ),
 
+    // Corpus tokenization with the trained vocabulary: apply TWO
+    // learned merges to the dictionary, then tokenize every document —
+    // per doc, its word count and subword count under the current
+    // segmentation. The corpus-sized stages are one explode and one
+    // per-doc aggregation; the trained dictionary (vocabulary-sized)
+    // joins in by broadcast, keyed on the surface form rebuilt from the
+    // merged symbols (concatenation is merge-invariant). Pure integer
+    // counts — bit-exact.
+    Q(
+      "q_bpe_encode",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        Vocab.encode(docs, "doc_id", "text",
+          Vocab.mergedDict(docs, "text", iters = 2))
+      },
+      Some(
+        s"""$BpeCtes, pc AS (
+           |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+           |  FROM p GROUP BY left_sym, right_sym
+           |), mg AS (
+           |  SELECT left_sym, right_sym FROM pc
+           |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+           |), sall AS (
+           |  SELECT t, c, str_split(t, '') AS s FROM tc
+           |), s2 AS (
+           |  SELECT t, c, str_split(
+           |    replace(array_to_string(s, chr(31)),
+           |            (SELECT left_sym || chr(31) || right_sym FROM mg),
+           |            (SELECT left_sym || right_sym FROM mg)),
+           |    chr(31)) AS s
+           |  FROM sall
+           |), p2 AS (
+           |  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, c
+           |  FROM s2, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+           |  WHERE len(s) >= 2
+           |), pc2 AS (
+           |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+           |  FROM p2 GROUP BY left_sym, right_sym
+           |), mg2 AS (
+           |  SELECT left_sym, right_sym FROM pc2
+           |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+           |), s3 AS (
+           |  SELECT t, str_split(
+           |    replace(array_to_string(s, chr(31)),
+           |            (SELECT left_sym || chr(31) || right_sym FROM mg2),
+           |            (SELECT left_sym || right_sym FROM mg2)),
+           |    chr(31)) AS s
+           |  FROM s2
+           |), lk AS (
+           |  SELECT t, CAST(len(s) AS BIGINT) AS n_sub FROM s3
+           |), wtok AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+           |  FROM documents
+           |)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+           |FROM wtok JOIN lk USING (t)
+           |GROUP BY doc_id""".stripMargin
+      )
+    ),
+
     // Temperature-based mixture allocation: per-language budget shares
     // at α = 1/2 over a 100k-document budget. sqrt is IEEE-correctly-
     // rounded in both engines; the normalizer is an ordered fold in

@@ -123,4 +123,15 @@ class ClusteringSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(ids === Array(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("capPerCluster: closest-first with (dist2, id) tie-break, per-cluster cap") {
+    val assigned = Seq(
+      (1L, 0L, 0.5), (2L, 0L, 0.1), (3L, 0L, 0.5), (4L, 0L, 0.9),
+      (5L, 1L, 0.2)
+    ).toDF("id", "cluster_id", "dist2")
+    val kept = Clustering.capPerCluster(assigned, cap = 2)
+      .select("id").as[Long].collect().toSet
+    // cluster 0: id 2 (0.1) then the 0.5 tie broken to id 1; id 3, 4 dropped
+    assert(kept == Set(1L, 2L, 5L))
+  }
 }

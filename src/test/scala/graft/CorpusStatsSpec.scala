@@ -152,6 +152,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(prof("s") == ((4L, 1L, 2L)))
   }
 
+  test("kAnonymity: group sizes and the k-threshold flag; broadcast join-back") {
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "de", "web"), (5L, "de", "books")
+    ).toDF("id", "lang", "source")
+    val out = graft.operators.Profile.kAnonymity(df, Seq("lang", "source"), k = 2L)
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("k_group"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(byId(1L) == ((3L, true)) && byId(2L) == ((3L, true)) && byId(3L) == ((3L, true)))
+    assert(byId(4L) == ((1L, false)) && byId(5L) == ((1L, false)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("mergeMoments: merged partial moments equal a full recompute bitwise") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = graft.operators.Normalize

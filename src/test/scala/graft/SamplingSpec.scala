@@ -132,4 +132,22 @@ class SamplingSpec extends SparkSpec {
     val (_, holdout) = Sampling.trainHoldout(ids, "id", 20)
     assert(byLabel == holdout.count())
   }
+
+  test("excessLossWeights: hard domain gets all the weight, baseline gets zero") {
+    val rated = Seq(
+      ("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0), ("c", 1.0)
+    ).toDF("lang", "rate")
+    val w = Sampling.excessLossWeights(rated, "lang", "rate")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w("a") == ((2L, 0.0)))
+    assert(w("c") == ((1L, 0.0)))
+    assert(w("b")._1 == 2L && math.abs(w("b")._2 - 1.0) < 1e-12)
+  }
+
+  test("excessLossWeights: all domains at baseline fall back to uniform") {
+    val rated = Seq(("a", 3.0), ("b", 3.0), ("c", 3.0)).toDF("lang", "rate")
+    val w = Sampling.excessLossWeights(rated, "lang", "rate")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+  }
 }

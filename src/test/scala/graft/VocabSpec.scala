@@ -55,6 +55,26 @@ class VocabSpec extends SparkSpec {
     assert(iter2 == Set(("aa", "a", 1L), ("a", "b", 1L)))
   }
 
+  test("encode: per-doc subword counts under a 1-merge and 2-merge dict") {
+    // tokenCounts: aa=2, b=1, aab=1 → merge1 = (a,a) [count 3 beats (a,b)=1]
+    // after merge1: aa→[aa], b→[b], aab→[aa,b]
+    // merge2 = (aa,b) [only pair left] → aab→[aab]
+    val docs = Seq((1L, "aa aa b"), (2L, "aab")).toDF("doc_id", "text")
+    val one = Vocab.encode(docs, "doc_id", "text", Vocab.mergedDict(docs, "text", 1))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one == Set((1L, 3L, 3L), (2L, 1L, 2L)))
+    val two = Vocab.encode(docs, "doc_id", "text", Vocab.mergedDict(docs, "text", 2))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(two == Set((1L, 3L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("encode: zero-merge dict tokenizes to characters") {
+    val docs = Seq((7L, "abc de")).toDF("doc_id", "text")
+    val got = Vocab.encode(docs, "doc_id", "text", Vocab.mergedDict(docs, "text", 0))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 2L, 5L)))
+  }
+
   test("sharedSpans: exact span length on a planted 15-token overlap") {
     val shared = (1 to 15).map(i => s"s$i").mkString(" ")
     val docs = Seq(
