@@ -89,6 +89,30 @@ object Sampling {
       .drop(rn)
   }
 
+  /** [[capPerGroup]] with a PER-GROUP quota: keep at most `alloc` rows
+    * of each group, chosen by the same unbiased id-hash order, where
+    * `quota` is a (groupCol, alloc) frame — the execution half of any
+    * mixture decision (temperature allocation, DoReMi reweighting, a
+    * hand-tuned budget table). Quotas are |groups|-sized, so they ride
+    * in by broadcast; the corpus pays the one group-keyed window
+    * shuffle and nothing else.
+    */
+  def quotaSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      quota: DataFrame
+  ): DataFrame = {
+    val rn = Iterator.iterate("__rn")(_ + "_").dropWhile(df.columns.contains).next()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
+    df.join(broadcast(quota), Seq(groupCol))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= col("alloc"))
+      .drop(rn, "alloc")
+  }
+
   /** Deterministic sharded shuffle — the scalable way to "randomize"
     * training-corpus order: route each row to a shard by one hash, rank
     * within the shard by an independent second hash. Each shard sorts

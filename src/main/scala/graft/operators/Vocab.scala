@@ -127,9 +127,23 @@ object Vocab {
     */
   def mergedDict(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
     var dict = symbols(docs, textCol)
+    if (iters <= 0) return dict
+    // Materialize the dictionary once per iteration: without the
+    // persist, Spark's lazy lineage re-runs the corpus-sized word-count
+    // shuffle for EVERY pairStats/applyMerge/encode use downstream —
+    // measured 12x superlinear at a x16 corpus. The persisted frame is
+    // vocabulary-sized (the whole point of BPE-on-Spark), so the
+    // count() that pins it is a bounded dictionary action, not a
+    // corpus action; each iteration's parent unpersists once its child
+    // is pinned.
+    dict = dict.persist()
+    dict.count(): Unit
     var i = 0
     while (i < iters) {
-      dict = applyMerge(dict, topMerge(pairStats(dict)))
+      val next = applyMerge(dict, topMerge(pairStats(dict))).persist()
+      next.count(): Unit
+      dict.unpersist()
+      dict = next
       i += 1
     }
     dict

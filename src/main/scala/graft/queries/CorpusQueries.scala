@@ -1725,6 +1725,62 @@ object CorpusQueries {
       )
     ),
 
+    // The DoReMi loop closed end-to-end: loss → weights → quotas →
+    // deterministic selection. Per-language excess-loss weights
+    // (q_doremi_weights' exact chain) turn a 200-doc budget into
+    // per-language quotas (floor of budget × weight — one IEEE multiply
+    // both engines share), and quotaSample keeps exactly that many docs
+    // per language in unbiased id-hash order. Baseline languages get
+    // quota 0 and vanish; the hardest language absorbs the budget. One
+    // corpus-sized window shuffle; weights/quotas ride broadcast.
+    Q(
+      "q_doremi_sample",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val rated = TextAnalysis
+          .unigramSurprisal(docs, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("tab_rate", col("nll_tab") / col("n_tokens").cast("double"))
+        val quota = Sampling.excessLossWeights(rated, "lang", "tab_rate")
+          .select(col("lang"),
+            floor(lit(200.0) * col("weight")).cast("long").as("alloc"))
+        Sampling.quotaSample(
+          docs.select(col("doc_id"), col("lang")), "lang", "doc_id", quota)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH $UnigramSurCtes, g AS (
+           |  SELECT d.lang,
+           |    CAST(SUM(CAST(FLOOR(s.nll_tab / CAST(s.n_tokens AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+           |    COUNT(*) AS n
+           |  FROM sur s JOIN documents d ON s.id = d.doc_id
+           |  GROUP BY d.lang
+           |), m AS (
+           |  SELECT lang, n, CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q FROM g
+           |), b AS (
+           |  SELECT MIN(mean_q) AS mn, COUNT(*) AS n_groups FROM m
+           |), e AS (
+           |  SELECT lang, n, mean_q - mn AS excess, n_groups FROM m, b
+           |), z AS (
+           |  SELECT list_reduce(
+           |    list_prepend(CAST(0.0 AS DOUBLE), (SELECT list(excess ORDER BY lang) FROM e)),
+           |    (a, b) -> a + b) AS z
+           |), qta AS (
+           |  SELECT lang,
+           |    CAST(FLOOR(200.0 * (CASE WHEN z = 0 THEN 1.0 / CAST(n_groups AS DOUBLE)
+           |                             ELSE excess / z END)) AS BIGINT) AS alloc
+           |  FROM e, z
+           |), r AS (
+           |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+           |    PARTITION BY lang
+           |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |  FROM documents)
+           |SELECT doc_id, lang FROM r JOIN qta USING (lang) WHERE rn <= alloc""".stripMargin
+      }
+    ),
+
     // k-anonymity audit over the quasi-identifier triple (lang, source,
     // 256-char length bucket): every document annotated with its group
     // size and the k >= 5 release flag — the privacy gate a training

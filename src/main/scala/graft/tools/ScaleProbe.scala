@@ -380,6 +380,47 @@ object ScaleProbe {
       probe(s"bigram_nll x$k") {
         graft.operators.TextAnalysis.bigramSurprisal(d, "doc_id", "text").count()
       }
+      // BPE corpus encoding: replication multiplies token counts but
+      // NOT the distinct-token dictionary, so dict training stays flat
+      // and the encode join grows with the scan alone
+      probe(s"bpe_encode x$k") {
+        graft.operators.Vocab.encode(d, "doc_id", "text",
+          graft.operators.Vocab.mergedDict(d, "text", iters = 2)).count()
+      }
+      // per-cluster cap: broadcast-argmin assignment (zero corpus
+      // shuffles) + one cluster-keyed window; output is capped at
+      // cap·k clusters, so rows stay FLAT while the scan grows
+      probe(s"cluster_cap x$k") {
+        graft.operators.Clustering.capPerCluster(
+          graft.operators.Clustering.assign(e, "vec_id", "embedding",
+            graft.operators.Clustering.initialCentroids(
+              emb, "vec_id", "embedding", 8)), cap = 40).count()
+      }
+      // k-anonymity: QI-group table partial-aggregates to group
+      // cardinality (flat under replication) and joins back broadcast —
+      // growth must track the scan
+      probe(s"kanonymity x$k") {
+        graft.operators.Profile.kAnonymity(
+          d.select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars div 256").as("len_bucket")),
+          Seq("lang", "source", "len_bucket"), k = 5L).count()
+      }
+      // DoReMi quota selection: surprisal rates (corpus-linear) fold to
+      // |langs| weights; the selection window is the only corpus-sized
+      // shuffle and the kept rows track the fixed budget, not the scan
+      probe(s"doremi_sample x$k") {
+        val rated = graft.operators.TextAnalysis
+          .unigramSurprisal(d, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("tab_rate", col("nll_tab") / col("n_tokens").cast("double"))
+        val quota = graft.operators.Sampling
+          .excessLossWeights(rated, "lang", "tab_rate")
+          .select(col("lang"),
+            floor(lit(200.0) * col("weight")).cast("long").as("alloc"))
+        graft.operators.Sampling.quotaSample(
+          d.select(col("doc_id"), col("lang")), "lang", "doc_id", quota).count()
+      }
       // (selecting this probe without ivf_persist_build builds untimed)
       if (selected(s"ivf_persist_probe x$k") && lastIndexPath == null) {
         val path = graft.queries.Q.scratch(s"probe_ivfidx_x$k")

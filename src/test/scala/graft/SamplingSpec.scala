@@ -133,6 +133,17 @@ class SamplingSpec extends SparkSpec {
     assert(byLabel == holdout.count())
   }
 
+  test("quotaSample: per-group quotas bind; hash order matches capPerGroup") {
+    val df = (1L to 20L).map(i => (i, if (i <= 12) "a" else "b")).toDF("id", "g")
+    val quota = Seq(("a", 3L), ("b", 0L)).toDF("g", "alloc")
+    val kept = Sampling.quotaSample(df, "g", "id", quota)
+    assert(kept.filter(col("g") === "b").count() == 0L)
+    // same selection as capPerGroup(n=3) restricted to group a
+    val viaCap = Sampling.capPerGroup(df.filter(col("g") === "a"), "g", "id", 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept.select("id").as[Long].collect().toSet == viaCap)
+  }
+
   test("excessLossWeights: hard domain gets all the weight, baseline gets zero") {
     val rated = Seq(
       ("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0), ("c", 1.0)
