@@ -252,6 +252,22 @@ object Dedup {
     jaccardPairs(dropExactDuplicates(docs, idCol, textCol),
       idCol, textCol, n, threshold)
 
+  /** [[nearDupPairsCollapsed]] for the asymmetric measure: exact-collapse
+    * first, then containment pairs among canonical documents — the
+    * production order for subset-duplication screening (exact copies
+    * are mutual containment-1.0 pairs, so the raw pairing is copies²
+    * per document; collapsed, cost tracks distinct content).
+    */
+  def containmentPairsCollapsed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame =
+    containmentPairs(dropExactDuplicates(docs, idCol, textCol),
+      idCol, textCol, n, threshold)
+
   /** Exact-substring dedup core (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better"): for every candidate document
     * pair, the longest token span shared VERBATIM — the statistic that
@@ -312,6 +328,42 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("span")).as("span_tokens"))
       .filter(col("span_tokens") >= minSpan)
+  }
+
+  /** Exact-substring dedup POLICY over [[sharedSpans]] (the decision
+    * half of Lee et al.'s deduplicate-substrings): for every pair whose
+    * longest shared verbatim span covers at least HALF of the smaller
+    * document's tokens, drop that smaller document (tie → drop the
+    * larger id, so the keep choice is deterministic). Survivors are
+    * returned as (id, n_tokens). The half-coverage test is pure integer
+    * arithmetic (2·span ≥ min(n_a, n_b)) — no float threshold to drift.
+    *
+    * Plan shape: [[sharedSpans]]'s output-sized pair frame joins token
+    * counts (map-side computed) twice, reduces to a DISTINCT victim
+    * set — pair-output-sized, in practice tiny — and anti-joins the
+    * corpus once. Nothing corpus-sized shuffles beyond the anchor join
+    * already inside sharedSpans.
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpan: Int = 12,
+      maxDocFreq: Int = 16
+  ): DataFrame = {
+    val nt = docs.select(col(idCol).as("id"),
+      graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val victims = sharedSpans(docs, idCol, textCol, k, minSpan, maxDocFreq)
+      .join(nt.select(col("id").as("id_a"), col("n_tokens").as("na")), "id_a")
+      .join(nt.select(col("id").as("id_b"), col("n_tokens").as("nb")), "id_b")
+      .filter(col("span_tokens") * 2 >= least(col("na"), col("nb")))
+      .select(
+        when(col("na") < col("nb"), col("id_a"))
+          .when(col("nb") < col("na"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    nt.join(victims, Seq("id"), "left_anti")
   }
 
   // ------------------------------------------------------------- shingles
@@ -418,6 +470,55 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double
+  ): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, n)
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) over the same
+    * shared-shingle candidates — the asymmetric measure that catches
+    * SUBSET duplication (one document quoted or embedded inside a
+    * larger one), which symmetric Jaccard structurally misses: a
+    * 100-shingle doc fully contained in a 1000-shingle doc scores
+    * jaccard 0.1 but containment 1.0. Same plan shape and hot-shingle
+    * semantics as [[jaccardPairs]] (two shuffles; hot shingles excluded
+    * from n_common only, so containment is a conservative lower bound
+    * on hot-shingle pairs).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, n)
+      .withColumn(
+        "containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double")
+      )
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_a", "n_b", "n_common", "containment")
+
+  /** The shared candidate core of [[jaccardPairs]]/[[containmentPairs]]:
+    * (id_a, id_b, n_a, n_b, n_common) for every shared-shingle pair,
+    * id_a < id_b. One map-side pass computes each doc's shingle-hash
+    * array AND its size; both ride the exploded rows into the bucket
+    * aggregation as (id, n_sh) structs, so pair rows emerge carrying
+    * their denominators — no sizes join, no second evaluation of the
+    * shingle pipeline, two shuffles total (bucket groupBy + pair
+    * groupBy).
+    */
+  private def sharedShingleCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
   ): DataFrame = {
     val exploded = docs
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("shs"))
@@ -430,21 +531,12 @@ object Dedup {
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
 
-    val pairs = bucketPairsRaw(buckets, MaxShingleFreq)
+    bucketPairsRaw(buckets, MaxShingleFreq)
       .select(
         col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
         col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
-
-    pairs
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-      .withColumn(
-        "jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double")
-      )
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
   }
 
   /** Near-duplicate clusters: connected components over the Jaccard

@@ -150,6 +150,40 @@ object NorthStarQueries {
        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
        |)""".stripMargin
 
+  /** [[jaccardCtes]]'s asymmetric twin ending in `cpairs` — same
+    * shared-shingle candidates and hot-cap semantics, containment
+    * (|A∩B| / min) instead of Jaccard.
+    */
+  private def containmentCtes(src: String, threshold: Double): String =
+    s"""toks AS (
+       |  SELECT doc_id AS id, $SqlToks AS t FROM $src
+       |), sh AS (
+       |  SELECT DISTINCT id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(array_to_string(t[i:i+2], ' '), ''),
+       |                       c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 131 + c) % ${Dedup.StrHashMod}) AS sh
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |), sizes AS (
+       |  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+       |), filtered AS (
+       |  SELECT * FROM (
+       |    SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS freq FROM sh)
+       |  WHERE freq <= ${Dedup.MaxShingleFreq}
+       |), common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+       |  FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |), cpairs AS (
+       |  SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+       |         CAST(n_common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+       |  FROM common
+       |  JOIN sizes sa ON sa.id = id_a
+       |  JOIN sizes sb ON sb.id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= $threshold
+       |)""".stripMargin
+
   /** Shared CTE chain ending in `sigs(id, sig)` — the k=32 MinHash
     * signature over 3-gram shingle hashes, mirroring
     * `Dedup.minhashSignatures` (docs with fewer than 3 tokens are
@@ -580,6 +614,24 @@ object NorthStarQueries {
         s"""WITH ${jaccardCtes("documents")}
            |SELECT id_a, id_b, n_a, n_b, n_common, jaccard
            |FROM jpairs""".stripMargin
+      )
+    ),
+
+    // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over the same
+    // shared-shingle candidates — catches a document QUOTED or embedded
+    // inside a larger one, which symmetric Jaccard structurally misses
+    // (a fully-contained 100-shingle doc in a 1000-shingle doc scores
+    // jaccard 0.1, containment 1.0). Same two-shuffle plan and
+    // hot-shingle lower-bound semantics as q_dedup_jaccard.
+    Q(
+      "q_containment",
+      (spark, dir) =>
+        Dedup.containmentPairs(Q.t(spark, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5),
+      Some(
+        s"""WITH ${containmentCtes("documents", 0.5)}
+           |SELECT id_a, id_b, n_a, n_b, n_common, containment
+           |FROM cpairs""".stripMargin
       )
     ),
 

@@ -18,6 +18,44 @@ import graft.operators.{Dedup, Sampling, Vocab}
   */
 object TokenizerQueries {
 
+  /** Positional-anchor shared-span CTE chain ending in
+    * `spans(id_a, id_b, span_tokens)` — shared by q_shared_span and
+    * q_span_dedup so the span measurement cannot drift between the
+    * observation gate and the policy gate. Re-derives the SAME
+    * polynomial anchor hashes as the Spark plan (bit-exact even under
+    * collisions).
+    */
+  private val SpanCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+       |), anch AS (
+       |  SELECT id, i AS pos,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(array_to_string(t[i:i+7], ' '), ''),
+       |                       c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+       |), hot AS (
+       |  SELECT sh FROM anch GROUP BY sh HAVING COUNT(DISTINCT id) > 16
+       |), cold AS (
+       |  SELECT * FROM anch WHERE sh NOT IN (SELECT sh FROM hot)
+       |), m AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, a.pos - b.pos AS d
+       |  FROM cold a JOIN cold b USING (sh) WHERE a.id < b.id
+       |), isl AS (
+       |  SELECT id_a, id_b, d, pa,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d ORDER BY pa) AS grp
+       |  FROM m
+       |), runs AS (
+       |  SELECT id_a, id_b, COUNT(*) + 7 AS span
+       |  FROM isl GROUP BY id_a, id_b, d, grp
+       |), spans AS (
+       |  SELECT id_a, id_b, MAX(span) AS span_tokens
+       |  FROM runs GROUP BY id_a, id_b
+       |  HAVING MAX(span) >= 12
+       |)""".stripMargin
+
   /** Word-frequency → symbol-pair CTEs shared by the two BPE gates. */
   private val BpeCtes: String =
     """WITH tok AS (
@@ -113,34 +151,37 @@ object TokenizerQueries {
         Dedup.sharedSpans(Q.t(spark, dir, "documents"), "doc_id", "text",
           k = 8, minSpan = 12, maxDocFreq = 16),
       Some(
-        s"""WITH toks AS (
-           |  SELECT doc_id AS id, regexp_split_to_array(text, '\\s+') AS t FROM documents
-           |), anch AS (
-           |  SELECT id, i AS pos,
-           |    list_reduce(
-           |      list_prepend(CAST(0 AS BIGINT),
-           |        list_transform(str_split(array_to_string(t[i:i+7], ' '), ''),
-           |                       c -> CAST(ascii(c) AS BIGINT))),
-           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
-           |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
-           |), hot AS (
-           |  SELECT sh FROM anch GROUP BY sh HAVING COUNT(DISTINCT id) > 16
-           |), cold AS (
-           |  SELECT * FROM anch WHERE sh NOT IN (SELECT sh FROM hot)
-           |), m AS (
-           |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, a.pos - b.pos AS d
-           |  FROM cold a JOIN cold b USING (sh) WHERE a.id < b.id
-           |), isl AS (
-           |  SELECT id_a, id_b, d, pa,
-           |    pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d ORDER BY pa) AS grp
-           |  FROM m
-           |), runs AS (
-           |  SELECT id_a, id_b, COUNT(*) + 7 AS span
-           |  FROM isl GROUP BY id_a, id_b, d, grp
+        s"""WITH $SpanCtes
+           |SELECT id_a, id_b, span_tokens FROM spans""".stripMargin
+      )
+    ),
+
+    // The exact-substring dedup POLICY over the shared-span
+    // measurement: drop the smaller document of any pair whose longest
+    // verbatim span covers at least half its tokens (2·span ≥ min
+    // tokens — integer arithmetic, no float threshold), tie → drop the
+    // larger id. Survivors as (id, n_tokens). The victim set is
+    // pair-output-sized and the corpus pays one anti-join.
+    Q(
+      "q_span_dedup",
+      (spark, dir) =>
+        Dedup.spanDedup(Q.t(spark, dir, "documents"), "doc_id", "text",
+          k = 8, minSpan = 12, maxDocFreq = 16),
+      Some(
+        s"""WITH $SpanCtes, nt AS (
+           |  SELECT doc_id AS id,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |), v AS (
+           |  SELECT DISTINCT CASE WHEN na.n_tokens < nb.n_tokens THEN s.id_a
+           |              WHEN nb.n_tokens < na.n_tokens THEN s.id_b
+           |              ELSE GREATEST(s.id_a, s.id_b) END AS id
+           |  FROM spans s
+           |  JOIN nt na ON na.id = s.id_a
+           |  JOIN nt nb ON nb.id = s.id_b
+           |  WHERE 2 * s.span_tokens >= LEAST(na.n_tokens, nb.n_tokens)
            |)
-           |SELECT id_a, id_b, MAX(span) AS span_tokens
-           |FROM runs GROUP BY id_a, id_b
-           |HAVING MAX(span) >= 12""".stripMargin
+           |SELECT id, n_tokens FROM nt WHERE id NOT IN (SELECT id FROM v)""".stripMargin
       )
     ),
 

@@ -69,6 +69,24 @@ object ScaleProbe {
       probe(s"jaccard_collapsed x$k") {
         Dedup.nearDupPairsCollapsed(d, "doc_id", "text", 3, 0.4).count()
       }
+      // containment shares jaccard's two-shuffle candidate core; the
+      // asymmetric measure admits more pairs (subset dups), so output
+      // grows with genuine containment mass, time with the same buckets
+      probe(s"containment x$k") {
+        Dedup.containmentPairs(d, "doc_id", "text", 3, 0.5).count()
+      }
+      // the production order: exact-collapse first — replicas (mutual
+      // containment-1.0 pairs) collapse away, so cost and output track
+      // DISTINCT content and must stay flat under replication
+      probe(s"containment_collapsed x$k") {
+        Dedup.containmentPairsCollapsed(d, "doc_id", "text", 3, 0.5).count()
+      }
+      // span policy: sharedSpans' anchor join + a pair-sized victim
+      // reduction + one corpus anti-join — survivors track distinct
+      // content, time tracks the anchor join
+      probe(s"span_dedup x$k") {
+        Dedup.spanDedup(d, "doc_id", "text").count()
+      }
       probe(s"simhash_pairs x$k") {
         Dedup.simhashPairs(d, "doc_id", "text").count()
       }

@@ -207,6 +207,22 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 9.0 / 11.0) < 1e-12)
   }
 
+  test("containment: a doc embedded in a larger one scores 1.0 where jaccard misses") {
+    // doc 1's 10 shingles are all inside doc 2 (30 shingles):
+    // containment = 10/10 = 1.0; jaccard = 10/30 ≈ 0.33 — below 0.4
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = (1 to 32).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> small, 2L -> big)
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.4)
+      .collect().isEmpty)
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    assert(p.getAs[Double]("containment") == 1.0)
+  }
+
   test("minhash LSH finds the planted near-dup and estimates its jaccard") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = ((1 to 38).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")

@@ -75,6 +75,19 @@ class VocabSpec extends SparkSpec {
     assert(got == Seq((7L, 2L, 5L)))
   }
 
+  test("spanDedup: the contained smaller doc is dropped, the host survives") {
+    val span = (1 to 15).map(i => s"s$i").mkString(" ")
+    val host = span + " " + (1 to 20).map(i => s"extra$i").mkString(" ")
+    val docs = Seq(
+      (1L, host),                                  // 35 tokens, survives
+      (2L, span),                                  // 15 tokens, 15-span: 30 >= 15 -> dropped
+      (3L, (1 to 18).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.spanDedup(docs, "doc_id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("sharedSpans: exact span length on a planted 15-token overlap") {
     val shared = (1 to 15).map(i => s"s$i").mkString(" ")
     val docs = Seq(
