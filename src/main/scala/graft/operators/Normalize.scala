@@ -127,4 +127,63 @@ object Normalize {
       keep: Seq[String]
   ): DataFrame =
     zscoreAgainst(df, groupMoments(df, groupCol, valueCol), groupCol, valueCol, keep)
+
+  /** Embedding-space outlier screen: each vector's max absolute
+    * per-lane z-score against the corpus's lane distribution — the
+    * out-of-distribution filter an embedding-bearing pipeline runs
+    * before clustering or ANN indexing trusts the geometry (a corrupt
+    * encoder batch or wrong-modality rows light up as |z| spikes on
+    * some lane).
+    *
+    * Determinism discipline: lane values snap to the 2⁻²⁰ grid (one
+    * IEEE multiply + floor), so per-lane Σx and Σx² are order-free
+    * integer sums; each z is then a fixed chain of two divisions, a
+    * multiply-subtract, IEEE sqrt, and a divide (identical in both
+    * engines), and the per-vector reduction is `array_max(abs(...))` —
+    * order-free. Degenerate lanes (variance ≤ 0) score 0.
+    *
+    * Scale shape: ONE corpus-sized partial-agg shuffle builds the
+    * dim-row lane-stats table (reducer state = dim longs — Σ(xq²) ≤
+    * 2⁴⁰ per row, so the long sum holds to ~8e6 rows per lane per map
+    * task and DECIMAL(38,0) is the swap past ~10¹² rows, as in
+    * [[groupMoments]]); the stats collapse to a single broadcast array
+    * row and scoring is a map-side fold over each vector — the corpus
+    * never shuffles for the score, the [[graft.operators.Clustering]]
+    * assignment shape.
+    */
+  def embeddingOutliers(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double
+  ): DataFrame = {
+    val grid = 1048576.0 // 2^20
+    val snapped = vecs.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("lane", "x")))
+      .select(col("lane"),
+        floor(col("x").cast("double") * grid).cast("long").as("xq"))
+    val stats = snapped
+      .groupBy(col("lane"))
+      .agg(
+        sum(col("xq")).as("sq"),
+        sum(col("xq") * col("xq")).as("sq2"),
+        count(lit(1)).as("n"))
+    val statsArr = stats.agg(
+      sort_array(collect_list(struct(col("lane"), col("sq"), col("sq2"), col("n"))))
+        .as("__lane_stats"))
+    vecs
+      .crossJoin(broadcast(statsArr))
+      .select(
+        col(idCol),
+        array_max(transform(sequence(lit(0), size(col(vecCol)) - 1), i => {
+          val s = element_at(col("__lane_stats"), i + 1)
+          val xq = floor(element_at(col(vecCol), i + 1).cast("double") * lit(grid))
+            .cast("long")
+          val mean = s("sq").cast("double") / s("n").cast("double")
+          val variance = s("sq2").cast("double") / s("n").cast("double") - mean * mean
+          abs(when(variance <= 0.0, lit(0.0))
+            .otherwise((xq.cast("double") - mean) / sqrt(variance)))
+        })).as("out_score"))
+      .withColumn("is_outlier", col("out_score") > tau)
+  }
 }

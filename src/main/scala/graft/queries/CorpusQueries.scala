@@ -1781,6 +1781,43 @@ object CorpusQueries {
       }
     ),
 
+    // Embedding-space outlier screen: max absolute per-lane z-score
+    // per vector — the OOD filter run before clustering/ANN trusts the
+    // geometry. Lane values snap to the 2^-20 grid (order-free integer
+    // moments), each z is a fixed IEEE chain, and the per-vector
+    // reduction is an order-free max — bit-exact. One corpus shuffle
+    // for the dim-row stats; scoring is map-side against the broadcast
+    // stats array.
+    Q(
+      "q_embed_outliers",
+      (spark, dir) =>
+        Normalize.embeddingOutliers(
+          Q.t(spark, dir, "embeddings"), "vec_id", "embedding", tau = 4.0),
+      Some(
+        """WITH x AS (
+          |  SELECT vec_id, i - 1 AS lane,
+          |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+          |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+          |), st AS (
+          |  SELECT lane, CAST(SUM(xq) AS BIGINT) AS sq,
+          |    CAST(SUM(xq * xq) AS BIGINT) AS sq2, COUNT(*) AS n
+          |  FROM x GROUP BY lane
+          |), zz AS (
+          |  SELECT vec_id, x.lane,
+          |    CASE WHEN CAST(sq2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |              - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+          |         THEN 0.0
+          |         ELSE ABS((CAST(xq AS DOUBLE) - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+          |              / sqrt(CAST(sq2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |                     - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))))
+          |    END AS az
+          |  FROM x JOIN st USING (lane)
+          |)
+          |SELECT vec_id, MAX(az) AS out_score, MAX(az) > 4.0 AS is_outlier
+          |FROM zz GROUP BY vec_id""".stripMargin
+      )
+    ),
+
     // k-anonymity audit over the quasi-identifier triple (lang, source,
     // 256-char length bucket): every document annotated with its group
     // size and the k >= 5 release flag — the privacy gate a training

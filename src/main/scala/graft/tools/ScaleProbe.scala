@@ -414,6 +414,13 @@ object ScaleProbe {
             graft.operators.Clustering.initialCentroids(
               emb, "vec_id", "embedding", 8)), cap = 40).count()
       }
+      // embedding outlier screen: one lane-keyed partial-agg shuffle
+      // (dim-row state) + map-side scoring against the broadcast stats
+      // array — growth must track the scan, output the vector count
+      probe(s"embed_outliers x$k") {
+        graft.operators.Normalize.embeddingOutliers(
+          e, "vec_id", "embedding", tau = 4.0).count()
+      }
       // k-anonymity: QI-group table partial-aggregates to group
       // cardinality (flat under replication) and joins back broadcast —
       // growth must track the scan

@@ -124,6 +124,17 @@ class ClusteringSpec extends SparkSpec {
     assert(ids === Array(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("capPerCluster plans a Partial WindowGroupLimit (hot-cluster safety)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = Clustering.assign(emb, "vec_id", "embedding",
+      Clustering.initialCentroids(emb, "vec_id", "embedding", 4))
+    val plan = Clustering.capPerCluster(assigned, cap = 40)
+      .queryExecution.executedPlan.toString
+    // each map task forwards at most cap rows per cluster below the
+    // exchange, so a hot topic's full mass never crosses the shuffle
+    assert(plan.contains("row_number(), 40, Partial"), plan)
+  }
+
   test("capPerCluster: closest-first with (dist2, id) tie-break, per-cluster cap") {
     val assigned = Seq(
       (1L, 0L, 0.5), (2L, 0L, 0.1), (3L, 0L, 0.5), (4L, 0L, 0.9),

@@ -152,6 +152,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(prof("s") == ((4L, 1L, 2L)))
   }
 
+  test("embeddingOutliers: a planted corrupt vector spikes, inliers stay low") {
+    // 40 inliers near the origin on both lanes; one vector far out on lane 1
+    val vecs = ((1L to 40L).map(i =>
+      (i, Array((i % 5).toFloat / 100f, (i % 7).toFloat / 100f))) :+
+      (99L, Array(0.02f, 50f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Normalize
+      .embeddingOutliers(vecs, "vec_id", "embedding", tau = 4.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(99L)._2, s"planted outlier not flagged: ${out(99L)}")
+    assert(out.filterKeys(_ != 99L).values.forall(!_._2),
+      "an inlier was flagged")
+    // scoring side is map-side: exactly one exchange (the lane-stats agg)
+    val plan = graft.operators.Normalize
+      .embeddingOutliers(vecs, "vec_id", "embedding", tau = 4.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("kAnonymity: group sizes and the k-threshold flag; broadcast join-back") {
     val df = Seq(
       (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
