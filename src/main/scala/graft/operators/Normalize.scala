@@ -156,28 +156,51 @@ object Normalize {
       idCol: String,
       vecCol: String,
       tau: Double
-  ): DataFrame = {
-    val grid = 1048576.0 // 2^20
-    val snapped = vecs.select(col(idCol),
-      posexplode(col(vecCol)).as(Seq("lane", "x")))
+  ): DataFrame =
+    scoreAgainstLaneStats(vecs, idCol, vecCol, laneStats(vecs, vecCol), tau)
+
+  private val Grid = 1048576.0 // 2^20
+
+  /** The reference half of [[embeddingOutliers]]: per-lane grid-snapped
+    * integer moments collapsed to ONE broadcastable array row (sorted
+    * by lane) — persist this next to an embedding corpus and every
+    * later scoring pass (batch or streaming) skips the stats shuffle.
+    */
+  def laneStats(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs
+      .select(posexplode(col(vecCol)).as(Seq("lane", "x")))
       .select(col("lane"),
-        floor(col("x").cast("double") * grid).cast("long").as("xq"))
-    val stats = snapped
+        floor(col("x").cast("double") * Grid).cast("long").as("xq"))
       .groupBy(col("lane"))
       .agg(
         sum(col("xq")).as("sq"),
         sum(col("xq") * col("xq")).as("sq2"),
         count(lit(1)).as("n"))
-    val statsArr = stats.agg(
-      sort_array(collect_list(struct(col("lane"), col("sq"), col("sq2"), col("n"))))
-        .as("__lane_stats"))
+      .agg(
+        sort_array(collect_list(struct(col("lane"), col("sq"), col("sq2"), col("n"))))
+          .as("__lane_stats"))
+
+  /** The scoring half of [[embeddingOutliers]] against a precomputed
+    * [[laneStats]] row. Pure map-side (one-row broadcast cross join +
+    * a per-vector fold), so the SAME call screens a STREAMING frame of
+    * arriving vectors against a static reference corpus — stateless,
+    * Append-mode, no watermark — mirroring the digest/near-dup/semantic
+    * ingest screens in [[graft.streaming.StreamingDedup]].
+    */
+  def scoreAgainstLaneStats(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stats: DataFrame,
+      tau: Double
+  ): DataFrame =
     vecs
-      .crossJoin(broadcast(statsArr))
+      .crossJoin(broadcast(stats))
       .select(
         col(idCol),
         array_max(transform(sequence(lit(0), size(col(vecCol)) - 1), i => {
           val s = element_at(col("__lane_stats"), i + 1)
-          val xq = floor(element_at(col(vecCol), i + 1).cast("double") * lit(grid))
+          val xq = floor(element_at(col(vecCol), i + 1).cast("double") * lit(Grid))
             .cast("long")
           val mean = s("sq").cast("double") / s("n").cast("double")
           val variance = s("sq2").cast("double") / s("n").cast("double") - mean * mean
@@ -185,5 +208,4 @@ object Normalize {
             .otherwise((xq.cast("double") - mean) / sqrt(variance)))
         })).as("out_score"))
       .withColumn("is_outlier", col("out_score") > tau)
-  }
 }

@@ -232,4 +232,39 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("lane-stats outlier screen scores a stream bit-identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // static reference corpus: 40 inliers; stats persisted once
+    val corpus = (1L to 40L).map(i =>
+      (i, Array((i % 5).toFloat / 100f, (i % 7).toFloat / 100f)))
+    val stats = graft.operators.Normalize
+      .laneStats(corpus.toDF("vec_id", "embedding"), "embedding")
+    // arriving vectors: one inlier-like, one corrupt on lane 1
+    val arriving = Seq((100L, Array(0.01f, 0.02f)), (101L, Array(0.02f, 50f)))
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val screened = graft.operators.Normalize.scoreAgainstLaneStats(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", stats, tau = 4.0)
+    val q = screened.writeStream
+      .format("memory").queryName("sc_outlier_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_outlier_out")
+        .as[(Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = graft.operators.Normalize.scoreAgainstLaneStats(
+        arriving.toDF("vec_id", "embedding"), "vec_id", "embedding", stats, tau = 4.0)
+        .as[(Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(streamed.keySet == Set(100L, 101L))
+      assert(!streamed(100L)._2 && streamed(101L)._2)
+      batch.foreach { case (k, (score, flag)) =>
+        assert(java.lang.Double.doubleToLongBits(streamed(k)._1) ==
+          java.lang.Double.doubleToLongBits(score))
+        assert(streamed(k)._2 == flag)
+      }
+    } finally q.stop()
+  }
 }
