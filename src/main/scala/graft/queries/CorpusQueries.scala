@@ -1671,8 +1671,16 @@ object CorpusQueries {
         val vecs = Q.t(spark, dir, "embeddings")
         val assigned = Clustering.assign(vecs, "vec_id", "embedding",
           Clustering.initialCentroids(vecs, "vec_id", "embedding", KClusters))
-        Clustering.capPerCluster(assigned, cap = 40)
+        val out = Clustering.capPerCluster(assigned, cap = 40)
           .withColumnRenamed("id", "vec_id")
+        // the hot-topic safety fact, asserted in the gate itself: each
+        // map task forwards at most cap rows per cluster BELOW the
+        // exchange, so a skewed topic's full mass never crosses the
+        // shuffle
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("row_number(), 40, Partial"),
+          s"expected a map-side (Partial) WindowGroupLimit below the exchange:\n$plan")
+        out
       },
       Some(
         s"""WITH $AssignCtes, r AS (
@@ -1828,12 +1836,19 @@ object CorpusQueries {
       "q_kanonymity",
       (spark, dir) => {
         val docs = Q.t(spark, dir, "documents")
-        Profile.kAnonymity(
+        val out = Profile.kAnonymity(
           docs.select(col("doc_id"), col("lang"), col("source"),
             expr("n_chars div 256").as("len_bucket")),
           Seq("lang", "source", "len_bucket"), k = 5L)
           .select(col("doc_id"), col("lang"), col("source"),
             col("len_bucket"), col("k_group"), col("keep"))
+        // the corpus-never-shuffles fact, asserted in the gate: the QI
+        // group table joins back by BROADCAST, and no exchange
+        // repartitions the corpus side by the group key
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          s"expected the group table to join back by broadcast:\n$plan")
+        out
       },
       Some(
         """WITH q AS (
