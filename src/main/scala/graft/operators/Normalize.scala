@@ -193,19 +193,28 @@ object Normalize {
       vecCol: String,
       stats: DataFrame,
       tau: Double
-  ): DataFrame =
+  ): DataFrame = {
+    val laneScore = array_max(transform(sequence(lit(0), size(col(vecCol)) - 1), i => {
+      val s = element_at(col("__lane_stats"), i + 1)
+      val xq = floor(element_at(col(vecCol), i + 1).cast("double") * lit(Grid))
+        .cast("long")
+      val mean = s("sq").cast("double") / s("n").cast("double")
+      val variance = s("sq2").cast("double") / s("n").cast("double") - mean * mean
+      abs(when(variance <= 0.0, lit(0.0))
+        .otherwise((xq.cast("double") - mean) / sqrt(variance)))
+    }))
     vecs
       .crossJoin(broadcast(stats))
       .select(
         col(idCol),
-        array_max(transform(sequence(lit(0), size(col(vecCol)) - 1), i => {
-          val s = element_at(col("__lane_stats"), i + 1)
-          val xq = floor(element_at(col(vecCol), i + 1).cast("double") * lit(Grid))
-            .cast("long")
-          val mean = s("sq").cast("double") / s("n").cast("double")
-          val variance = s("sq2").cast("double") / s("n").cast("double") - mean * mean
-          abs(when(variance <= 0.0, lit(0.0))
-            .otherwise((xq.cast("double") - mean) / sqrt(variance)))
-        })).as("out_score"))
+        // Total expression: an empty (or null) vector makes
+        // sequence(0, size - 1) DESCEND and element_at(vec, 1) throw —
+        // the same hazard Vocab.pairStats guards. This operator IS the
+        // screen for corrupt/wrong-modality rows, so a degenerate row
+        // must surface as a flagged outlier (+∞ score), not kill the
+        // batch job or the Append-mode stream.
+        when(size(col(vecCol)) > 0, laneScore)
+          .otherwise(lit(Double.PositiveInfinity)).as("out_score"))
       .withColumn("is_outlier", col("out_score") > tau)
+  }
 }

@@ -67,12 +67,93 @@ object Profile {
     * shuffled. The window-count alternative would hash-partition the
     * full corpus by group; this shape stays scan-bound at 100 TB.
     */
-  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+  def kAnonymity(
+      df: DataFrame,
+      quasiIds: Seq[String],
+      k: Long,
+      maxBroadcastGroups: Long = DefaultMaxBroadcastGroups
+  ): DataFrame = {
     require(quasiIds.nonEmpty, "Profile.kAnonymity: need at least one quasi-identifier")
     val groups = df
       .groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("k_group"))
-    df.join(broadcast(groups), quasiIds)
+    // QI cardinality is CALLER-controlled (a near-unique attribute or a
+    // too-fine bucket makes the "small by construction" claim false), and
+    // a force-broadcast of a huge group table OOMs the driver instead of
+    // degrading. Guard: persist the group table (bounded by the threshold
+    // in the path we keep it), count it, and only broadcast under the
+    // threshold — past it, fall back to a shuffle join and let AQE size
+    // it. The persisted small table is reused by the join itself.
+    val persisted = groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGroups = persisted.count()
+    val joinSide =
+      if (nGroups <= maxBroadcastGroups) broadcast(persisted)
+      else { persisted.unpersist(); groups }
+    df.join(joinSide, quasiIds)
       .withColumn("keep", col("k_group") >= k)
+  }
+
+  /** Past this many quasi-identifier combinations the group table stops
+    * riding a broadcast (≈ tens of MB of driver memory) and the join
+    * degrades to a shuffle. Far above any legitimate QI table.
+    */
+  val DefaultMaxBroadcastGroups: Long = 1L << 20
+
+  /** The k-anonymity REMEDY a release pipeline actually executes when
+    * [[kAnonymity]] flags rows: local-recoding GENERALIZATION. `levels`
+    * is a generalization ladder — level 0 the raw quasi-identifier set,
+    * each later level a coarsening (a wider bucket, a dropped
+    * attribute). Every row is assigned the FIRST level whose group —
+    * computed over ALL rows at that coarsening — reaches `k`; rows no
+    * level can save are suppressed (`gen_level = levels.size`,
+    * `keep = false`). Appends (gen_level, k_group, keep).
+    *
+    * Deterministic and engine-exact: each level's group table is plain
+    * integer counting over the whole corpus at that coarsening (no
+    * iterative re-partitioning), so the decision is a pure function of
+    * the data — oracle-checkable as a CASE over per-level counts.
+    *
+    * Scale shape: one small group table per ladder level, each joined
+    * back by broadcast (same [[kAnonymity]] guard per level) — L levels
+    * cost L broadcast joins over one corpus scan lineage; the corpus
+    * never shuffles.
+    */
+  def kAnonymityGeneralize(
+      df: DataFrame,
+      levels: Seq[Seq[(String, org.apache.spark.sql.Column)]],
+      k: Long,
+      maxBroadcastGroups: Long = DefaultMaxBroadcastGroups
+  ): DataFrame = {
+    require(levels.nonEmpty, "Profile.kAnonymityGeneralize: need at least one ladder level")
+    // materialize every level's QI columns once so group tables and the
+    // join-back key on identical child expressions
+    val withQi = levels.zipWithIndex.foldLeft(df) { case (acc, (lvl, i)) =>
+      lvl.foldLeft(acc) { case (a, (n, c)) => a.withColumn(s"__qi${i}_$n", c) }
+    }
+    val joined = levels.zipWithIndex.foldLeft(withQi) { case (acc, (lvl, i)) =>
+      val keys = lvl.map { case (n, _) => s"__qi${i}_$n" }
+      val g = withQi
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"__k$i"))
+      val persisted = g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val side =
+        if (persisted.count() <= maxBroadcastGroups) broadcast(persisted)
+        else { persisted.unpersist(); g }
+      acc.join(side, keys)
+    }
+    val genLevel = levels.indices.foldRight(lit(levels.size)) { (i, acc) =>
+      when(col(s"__k$i") >= k, lit(i)).otherwise(acc)
+    }
+    // suppressed rows report the LAST level's count — the best any
+    // generalization achieved — rather than a meaningless zero
+    val kAtLevel = levels.indices.foldRight(col(s"__k${levels.size - 1}")) { (i, acc) =>
+      when(col("gen_level") === i, col(s"__k$i")).otherwise(acc)
+    }
+    joined
+      .withColumn("gen_level", genLevel)
+      .withColumn("k_group", kAtLevel)
+      .withColumn("keep", col("gen_level") < levels.size)
+      .drop(levels.indices.flatMap(i =>
+        s"__k$i" +: levels(i).map { case (n, _) => s"__qi${i}_$n" }): _*)
   }
 }

@@ -124,6 +124,14 @@ object Vocab {
     * so the loop cost is iters × (one broadcast + one dictionary map +
     * one dictionary-sized partial-agg shuffle) regardless of corpus
     * size — the property that makes BPE training viable at 100 TB.
+    *
+    * OWNERSHIP: the returned frame is PERSISTED (that is the whole
+    * point — downstream consumers must not re-trigger the corpus word
+    * count), and the CALLER owns the unpersist: materialize the
+    * consuming result, then `dict.unpersist()` — the pattern the
+    * q_bpe_* gates and the ScaleProbe entries follow. Dropping the
+    * reference without unpersisting leaks one vocabulary-sized cached
+    * frame per call for the session's lifetime.
     */
   def mergedDict(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
     var dict = symbols(docs, textCol)
@@ -150,17 +158,25 @@ object Vocab {
   }
 
   /** Tokenize the corpus with a trained dictionary: per document, the
-    * word count and the subword count under the dictionary's current
-    * segmentation. A merged token's surface form is the concatenation
-    * of its symbols (merges only ever join adjacent symbols), so the
-    * dictionary join key is rebuilt with `concat_ws("", s)` — no
-    * separate token column needs to ride through the merge loop.
+    * word count, the subword count under the dictionary's current
+    * segmentation, and the out-of-vocabulary word count. A merged
+    * token's surface form is the concatenation of its symbols (merges
+    * only ever join adjacent symbols), so the dictionary join key is
+    * rebuilt with `concat_ws("", s)` — no separate token column needs
+    * to ride through the merge loop.
     *
-    * Scale shape: one corpus-sized explode (map-side) + one equi-join
-    * against the vocabulary-sized dictionary (broadcast here; swap to a
-    * shuffle join past ~a few GB of vocabulary) + one per-doc partial
-    * aggregation. The corpus never sorts and never carries arrays —
-    * only (id, token) pairs.
+    * OOV policy (encoding a corpus the dictionary wasn't trained on, or
+    * a dictionary trained on a sample): a word absent from the
+    * dictionary falls back to CHARACTER segmentation — its subword
+    * count is its character count, BPE's base vocabulary — and is
+    * counted in `n_oov`. `n_words` is therefore the true word count,
+    * never silently the in-vocabulary word count.
+    *
+    * Scale shape: one corpus-sized explode (map-side) + one left
+    * equi-join against the vocabulary-sized dictionary (broadcast here;
+    * swap to a shuffle join past ~a few GB of vocabulary) + one per-doc
+    * partial aggregation. The corpus never sorts and never carries
+    * arrays — only (id, token) pairs.
     */
   def encode(
       docs: DataFrame,
@@ -177,10 +193,76 @@ object Vocab {
     docs
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__tok"))
       .filter(col("__tok") =!= "")
-      .join(broadcast(lookup), "__tok")
+      .join(broadcast(lookup), Seq("__tok"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_words"),
-        sum(col("n_sub")).as("n_subwords"))
+        sum(coalesce(col("n_sub"), length(col("__tok")).cast("long")))
+          .as("n_subwords"),
+        count(when(col("n_sub").isNull, lit(1))).as("n_oov"))
+  }
+
+  /** Subword-id vocabulary for a trained dictionary: every distinct
+    * subword symbol with its dense deterministic id — the 1-based
+    * lexicographic rank among distinct symbols. Id 0 is RESERVED for
+    * the `<eos>` document separator downstream packers emit.
+    *
+    * The ranking window is global but runs over the DISTINCT-SYMBOL
+    * set (base characters + one new symbol per merge — vocabulary-
+    * sized by construction), never the corpus; at a multi-million-entry
+    * vocabulary swap the single-partition window for a sorted
+    * zipWithIndex.
+    */
+  def subwordIds(dict: DataFrame): DataFrame =
+    dict
+      .select(explode(col("s")).as("sym"))
+      .distinct()
+      .withColumn("tid",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("sym")))
+          .cast("long"))
+
+  /** The REAL tokenizer output — the per-document token-id sequence
+    * under the trained dictionary, emitted one row per id:
+    * (id, pos, token_id) with `pos` the 1-based position in the
+    * document's id stream and `token_id` the [[subwordIds]] rank of the
+    * emitted subword. Deterministic: word order × within-word symbol
+    * order, ids by lexicographic symbol rank.
+    *
+    * Precondition: a COVERING dictionary (trained on this corpus, or
+    * one whose surface forms cover it) — words absent from the
+    * dictionary are dropped here, because an id stream has no
+    * honest fallback for unknown SYMBOLS (use [[encode]]'s n_oov to
+    * audit coverage first).
+    *
+    * Scale shape: the dictionary side (surface form × symbol position ×
+    * id — still vocabulary-sized) broadcasts; the corpus pays one
+    * map-side explode and ONE doc-keyed window shuffle for the position
+    * ranking. Nothing corpus-sized sorts globally.
+    */
+  def encodeIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dict: DataFrame
+  ): DataFrame = {
+    val ids = subwordIds(dict).withColumnRenamed("sym", "__sym")
+    val lookup = dict
+      .select(
+        concat_ws("", col("s")).as("__tok"),
+        posexplode(col("s")).as(Seq("__q", "__sym")))
+      .join(ids, "__sym")
+      .select(col("__tok"), col("__q"), col("tid"))
+    val words = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("__p", "__tok")))
+      .filter(col("__tok") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__p").asc, col("__q").asc)
+    words
+      .join(broadcast(lookup), "__tok")
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("pos"), col("tid").as("token_id"))
   }
 }

@@ -40,26 +40,69 @@ object CorpusQueries {
   private def lnSql(k: String): String =
     s"COALESCE(l[$k], ln(CAST($k AS DOUBLE)))"
 
+  /** The unigram-surprisal chain over an arbitrary source CTE/table,
+    * suffix-namespaced so one query can rate TWO corpora (the DoReMi
+    * round-2 re-rating) — ends in `sur<sfx>(id, n_tokens, nll_tab)`.
+    * Requires `lnt` in scope (defined once by [[UnigramSurCtes]]).
+    */
+  private def unigramSurOver(src: String, sfx: String): String =
+    s"""tf$sfx AS (
+       |  SELECT id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM $src)
+       |  GROUP BY id, term
+       |), tc$sfx AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf$sfx GROUP BY term),
+       |contrib$sfx AS (
+       |  SELECT id, term, tf,
+       |    CAST(tf AS DOUBLE) * ${lnSql("n")} AS c
+       |  FROM tf$sfx JOIN tc$sfx USING (term) CROSS JOIN lnt
+       |), sur$sfx AS (
+       |  SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+       |                (a, b) -> a + b) AS nll_tab
+       |  FROM contrib$sfx GROUP BY id
+       |)""".stripMargin
+
   /** Unigram-surprisal CTE chain ending in `sur(id, n_tokens, nll_tab)`
     * — shared verbatim by q_unigram_nll and q_hard_examples so the
     * pinned surprisal components cannot drift between gates.
     */
   private lazy val UnigramSurCtes: String =
     s"""lnt AS (SELECT $LnTabSql AS l),
-       |tf AS (
-       |  SELECT id, term, COUNT(*) AS tf
-       |  FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents)
-       |  GROUP BY id, term
-       |), tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term),
-       |contrib AS (
-       |  SELECT id, term, tf,
-       |    CAST(tf AS DOUBLE) * ${lnSql("n")} AS c
-       |  FROM tf JOIN tc USING (term) CROSS JOIN lnt
-       |), sur AS (
-       |  SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
-       |                (a, b) -> a + b) AS nll_tab
-       |  FROM contrib GROUP BY id
+       |${unigramSurOver("documents", "")}""".stripMargin
+
+  /** The DoReMi excess-loss weight chain over a rated corpus: the
+    * SHIFTED loss rate −tab_rate (true per-token loss is
+    * ln ΣN − tab_rate; the corpus constant cancels in the excess, the
+    * q_hard_examples monotone trick, so the chain stays pure table
+    * reads) grid-snaps per group → excess over the easiest (lowest-
+    * loss) group → ordered-fold normalizer → weight. The HARDEST
+    * language takes the largest weight; baseline languages take 0.
+    * Ends in `w<sfx>(lang, n, weight)`. Shared by q_doremi_weights,
+    * q_doremi_sample and BOTH rounds of q_doremi_iter2 so the decision
+    * arithmetic cannot drift between the observation and the loop.
+    */
+  private def doremiWeightCtes(surCte: String, docSrc: String, sfx: String): String =
+    s"""g$sfx AS (
+       |  SELECT d.lang,
+       |    CAST(SUM(CAST(FLOOR(-(s.nll_tab / CAST(s.n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+       |    COUNT(*) AS n
+       |  FROM $surCte s JOIN $docSrc d ON s.id = d.doc_id
+       |  GROUP BY d.lang
+       |), m$sfx AS (
+       |  SELECT lang, n, CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q FROM g$sfx
+       |), b$sfx AS (
+       |  SELECT MIN(mean_q) AS mn, COUNT(*) AS n_groups FROM m$sfx
+       |), e$sfx AS (
+       |  SELECT lang, n, mean_q - mn AS excess, n_groups FROM m$sfx, b$sfx
+       |), z$sfx AS (
+       |  SELECT list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE), (SELECT list(excess ORDER BY lang) FROM e$sfx)),
+       |    (a, b) -> a + b) AS z
+       |), w$sfx AS (
+       |  SELECT lang, n,
+       |    CASE WHEN z = 0 THEN 1.0 / CAST(n_groups AS DOUBLE)
+       |         ELSE excess / z END AS weight
+       |  FROM e$sfx, z$sfx
        |)""".stripMargin
 
   /** The entropy CASE over `cs` (the str_split character list) — shared
@@ -1676,10 +1719,8 @@ object CorpusQueries {
         // the hot-topic safety fact, asserted in the gate itself: each
         // map task forwards at most cap rows per cluster BELOW the
         // exchange, so a skewed topic's full mass never crosses the
-        // shuffle
-        val plan = out.queryExecution.executedPlan.toString
-        require(plan.contains("row_number(), 40, Partial"),
-          s"expected a map-side (Partial) WindowGroupLimit below the exchange:\n$plan")
+        // shuffle (typed-node match — toString shapes aren't stable API)
+        Q.requireMapSideGroupLimit(out, cap = 40)
         out
       },
       Some(
@@ -1692,8 +1733,12 @@ object CorpusQueries {
     ),
 
     // Loss-driven domain reweighting (the DoReMi decision shape):
-    // per-language mean surprisal rate → excess over the easiest
-    // language → normalized mixture weight. The per-doc rate snaps to
+    // per-language mean loss rate → excess over the easiest language →
+    // normalized mixture weight, so the HARDEST language takes the
+    // largest weight. The rate fed in is the shifted loss −tab_rate
+    // (the ln ΣN corpus constant cancels in the excess — see
+    // doremiWeightCtes; round 10 fixed the sign, which previously
+    // upweighted the easiest language). The per-doc rate snaps to
     // the 2^-20 grid so the per-language sum is order-free integer
     // arithmetic; the baseline and normalizer operate on |langs| rows
     // (ordered fold in lang order — the q_temperature_mix discipline).
@@ -1705,31 +1750,12 @@ object CorpusQueries {
           .unigramSurprisal(docs, "doc_id", "text")
           .withColumnRenamed("id", "doc_id")
           .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-          .withColumn("tab_rate", col("nll_tab") / col("n_tokens").cast("double"))
-        Sampling.excessLossWeights(rated, "lang", "tab_rate")
+          .withColumn("loss_rate", -(col("nll_tab") / col("n_tokens").cast("double")))
+        Sampling.excessLossWeights(rated, "lang", "loss_rate")
       },
       Some(
-        s"""WITH $UnigramSurCtes, g AS (
-           |  SELECT d.lang,
-           |    CAST(SUM(CAST(FLOOR(s.nll_tab / CAST(s.n_tokens AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
-           |    COUNT(*) AS n
-           |  FROM sur s JOIN documents d ON s.id = d.doc_id
-           |  GROUP BY d.lang
-           |), m AS (
-           |  SELECT lang, n, CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q FROM g
-           |), b AS (
-           |  SELECT MIN(mean_q) AS mn, COUNT(*) AS n_groups FROM m
-           |), e AS (
-           |  SELECT lang, n, mean_q - mn AS excess, n_groups FROM m, b
-           |), z AS (
-           |  SELECT list_reduce(
-           |    list_prepend(CAST(0.0 AS DOUBLE), (SELECT list(excess ORDER BY lang) FROM e)),
-           |    (a, b) -> a + b) AS z
-           |)
-           |SELECT lang, n,
-           |  CASE WHEN z = 0 THEN 1.0 / CAST(n_groups AS DOUBLE)
-           |       ELSE excess / z END AS weight
-           |FROM e, z""".stripMargin
+        s"""WITH $UnigramSurCtes, ${doremiWeightCtes("sur", "documents", "")}
+           |SELECT lang, n, weight FROM w""".stripMargin
       )
     ),
 
@@ -1749,8 +1775,8 @@ object CorpusQueries {
           .unigramSurprisal(docs, "doc_id", "text")
           .withColumnRenamed("id", "doc_id")
           .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-          .withColumn("tab_rate", col("nll_tab") / col("n_tokens").cast("double"))
-        val quota = Sampling.excessLossWeights(rated, "lang", "tab_rate")
+          .withColumn("loss_rate", -(col("nll_tab") / col("n_tokens").cast("double")))
+        val quota = Sampling.excessLossWeights(rated, "lang", "loss_rate")
           .select(col("lang"),
             floor(lit(200.0) * col("weight")).cast("long").as("alloc"))
         Sampling.quotaSample(
@@ -1759,33 +1785,65 @@ object CorpusQueries {
       },
       Some {
         val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
-        s"""WITH $UnigramSurCtes, g AS (
-           |  SELECT d.lang,
-           |    CAST(SUM(CAST(FLOOR(s.nll_tab / CAST(s.n_tokens AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
-           |    COUNT(*) AS n
-           |  FROM sur s JOIN documents d ON s.id = d.doc_id
-           |  GROUP BY d.lang
-           |), m AS (
-           |  SELECT lang, n, CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q FROM g
-           |), b AS (
-           |  SELECT MIN(mean_q) AS mn, COUNT(*) AS n_groups FROM m
-           |), e AS (
-           |  SELECT lang, n, mean_q - mn AS excess, n_groups FROM m, b
-           |), z AS (
-           |  SELECT list_reduce(
-           |    list_prepend(CAST(0.0 AS DOUBLE), (SELECT list(excess ORDER BY lang) FROM e)),
-           |    (a, b) -> a + b) AS z
-           |), qta AS (
-           |  SELECT lang,
-           |    CAST(FLOOR(200.0 * (CASE WHEN z = 0 THEN 1.0 / CAST(n_groups AS DOUBLE)
-           |                             ELSE excess / z END)) AS BIGINT) AS alloc
-           |  FROM e, z
+        s"""WITH $UnigramSurCtes, ${doremiWeightCtes("sur", "documents", "")}, qta AS (
+           |  SELECT lang, CAST(FLOOR(200.0 * weight) AS BIGINT) AS alloc FROM w
            |), r AS (
            |  SELECT doc_id, lang, ROW_NUMBER() OVER (
            |    PARTITION BY lang
            |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
            |  FROM documents)
            |SELECT doc_id, lang FROM r JOIN qta USING (lang) WHERE rn <= alloc""".stripMargin
+      }
+    ),
+
+    // DoReMi iteration 2 — the loop closed ONE TURN FURTHER: the
+    // round-1 weights select the quota mixture, the unigram reference
+    // model is REBUILT from the selected corpus, every selected doc is
+    // re-rated under it, and the round-2 weights come out of the same
+    // excess-loss chain. This is the property DoReMi promises —
+    // iterating reweighting on the reweighted mixture converges (the
+    // engineered-corpus spec in SamplingSpec pins excess-spread
+    // shrinkage; the gate pins both rounds' numbers bit-exactly).
+    // Same discipline throughout: 2^-20 grid sums, |langs|-row
+    // baseline/normalizer, selection by integer hash rank. Two
+    // corpus-linear rating passes + two |langs|-row decisions; the only
+    // corpus-sized shuffle beyond rating is the selection window.
+    Q(
+      "q_doremi_iter2",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        def rated(d: org.apache.spark.sql.DataFrame) = TextAnalysis
+          .unigramSurprisal(d, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("loss_rate", -(col("nll_tab") / col("n_tokens").cast("double")))
+        val w1 = Sampling.excessLossWeights(rated(docs), "lang", "loss_rate")
+        val quota = w1.select(col("lang"),
+          floor(lit(200.0) * col("weight")).cast("long").as("alloc"))
+        val sel = Sampling.quotaSample(
+          docs.select(col("doc_id"), col("lang")), "lang", "doc_id", quota)
+        val selDocs = docs.join(sel.select("doc_id"), "doc_id")
+        val w2 = Sampling.excessLossWeights(rated(selDocs), "lang", "loss_rate")
+        w1.select(col("lang"), col("weight").as("w1"))
+          .join(w2.select(col("lang"), col("n").as("n_sel"),
+            col("weight").as("w2")), "lang")
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH $UnigramSurCtes, ${doremiWeightCtes("sur", "documents", "")}, qta AS (
+           |  SELECT lang, CAST(FLOOR(200.0 * weight) AS BIGINT) AS alloc FROM w
+           |), r AS (
+           |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+           |    PARTITION BY lang
+           |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |  FROM documents
+           |), sel AS (
+           |  SELECT doc_id, lang FROM r JOIN qta USING (lang) WHERE rn <= alloc
+           |), seldocs AS (
+           |  SELECT d.* FROM documents d JOIN sel s USING (doc_id)
+           |), ${unigramSurOver("seldocs", "2")}, ${doremiWeightCtes("sur2", "seldocs", "2")}
+           |SELECT w.lang, w.weight AS w1, w2.n AS n_sel, w2.weight AS w2
+           |FROM w JOIN w2 ON w.lang = w2.lang""".stripMargin
       }
     ),
 
@@ -1845,9 +1903,7 @@ object CorpusQueries {
         // the corpus-never-shuffles fact, asserted in the gate: the QI
         // group table joins back by BROADCAST, and no exchange
         // repartitions the corpus side by the group key
-        val plan = out.queryExecution.executedPlan.toString
-        require(plan.contains("BroadcastHashJoin"),
-          s"expected the group table to join back by broadcast:\n$plan")
+        Q.requireBroadcastJoin(out)
         out
       },
       Some(
@@ -1859,6 +1915,58 @@ object CorpusQueries {
           |)
           |SELECT doc_id, lang, source, len_bucket, k_group, k_group >= 5 AS keep
           |FROM q JOIN g USING (lang, source, len_bucket)""".stripMargin
+      )
+    ),
+
+    // The k-anonymity REMEDY: local-recoding generalization down a
+    // 3-level ladder — (lang, source, 256-char bucket) → (lang, source,
+    // 1024-char bucket) → (lang, source) — each row taking the FIRST
+    // level whose group clears k = 5, suppressed only when even the
+    // attribute drop can't save it. This is the suppress-vs-generalize
+    // decision a release pipeline executes over q_kanonymity's audit.
+    // Each level's group table stays QI-cardinality-sized and joins
+    // back by broadcast (guarded past 2^20 groups); the corpus never
+    // shuffles. Pure integer counts + CASE — bit-exact.
+    Q(
+      "q_kanonymity_generalize",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val out = Profile.kAnonymityGeneralize(
+          docs,
+          levels = Seq(
+            Seq("lang" -> col("lang"), "source" -> col("source"),
+              "b" -> expr("n_chars div 256")),
+            Seq("lang" -> col("lang"), "source" -> col("source"),
+              "b" -> expr("n_chars div 1024")),
+            Seq("lang" -> col("lang"), "source" -> col("source"))),
+          k = 5L)
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars div 256").as("len_bucket"),
+            col("gen_level"), col("k_group"), col("keep"))
+        Q.requireBroadcastJoin(out)
+        out
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id, lang, source, n_chars // 256 AS b0, n_chars // 1024 AS b1
+          |  FROM documents
+          |), g0 AS (
+          |  SELECT lang, source, b0, COUNT(*) AS k0 FROM q GROUP BY lang, source, b0
+          |), g1 AS (
+          |  SELECT lang, source, b1, COUNT(*) AS k1 FROM q GROUP BY lang, source, b1
+          |), g2 AS (
+          |  SELECT lang, source, COUNT(*) AS k2 FROM q GROUP BY lang, source
+          |)
+          |SELECT doc_id, lang, source, b0 AS len_bucket,
+          |  CASE WHEN k0 >= 5 THEN 0 WHEN k1 >= 5 THEN 1 WHEN k2 >= 5 THEN 2
+          |       ELSE 3 END AS gen_level,
+          |  CASE WHEN k0 >= 5 THEN k0 WHEN k1 >= 5 THEN k1 ELSE k2 END AS k_group,
+          |  (k0 >= 5 OR k1 >= 5 OR k2 >= 5) AS keep
+          |FROM q
+          |JOIN g0 USING (lang, source, b0)
+          |JOIN g1 USING (lang, source, b1)
+          |JOIN g2 USING (lang, source)""".stripMargin
       )
     )
   )

@@ -935,9 +935,8 @@ object ExtendedQueries {
             .as("grp"))
         val thinned = Sampling.sampleByHash(ev, "event_id", keepBuckets = 10)
         val out = Sampling.capPerGroup(thinned, "grp", "event_id", n = 20)
+        Q.requireMapSideGroupLimit(out, cap = 20)
         val plan = out.queryExecution.executedPlan.toString
-        require(plan.contains("row_number(), 20, Partial"),
-          s"expected a map-side (Partial) WindowGroupLimit below the exchange:\n$plan")
         require(
           plan.linesIterator.exists(l => l.contains("DataFilters") && l.contains("pmod")),
           s"expected the sampleByHash pre-thin to evaluate at the scan:\n$plan")

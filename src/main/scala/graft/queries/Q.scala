@@ -91,4 +91,47 @@ object Q {
     scratchDirs.add(dir)
     dir.getAbsolutePath
   }
+
+  /** Every physical node of the frame's executed plan, with AQE's
+    * wrapper unwrapped (AdaptiveSparkPlanExec is a leaf to `collect` —
+    * its current plan hangs off a field, not `children`). Gates assert
+    * scale-critical plan facts against TYPED nodes from this list
+    * instead of substring-matching `toString` output, whose shape is
+    * not a stable API across Spark versions.
+    */
+  def planNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other                    => other.children.flatMap(walk)
+    })
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** Gate assertion: a map-side (Partial-mode) WindowGroupLimit with
+    * exactly this cap sits in the plan — each map task forwards at most
+    * `cap` rows per group BELOW the exchange, so a pathologically hot
+    * group's full mass never crosses the shuffle.
+    */
+  def requireMapSideGroupLimit(df: DataFrame, cap: Int): Unit = {
+    import org.apache.spark.sql.execution.window.{Partial, WindowGroupLimitExec}
+    val hit = planNodes(df).exists {
+      case w: WindowGroupLimitExec => w.mode == Partial && w.limit == cap
+      case _                       => false
+    }
+    require(hit,
+      s"expected a map-side (Partial) WindowGroupLimit with limit=$cap below the exchange:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  /** Gate assertion: at least one broadcast hash join in the plan (the
+    * small side rides a broadcast; the big side never repartitions).
+    */
+  def requireBroadcastJoin(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val hit = planNodes(df).exists(_.isInstanceOf[BroadcastHashJoinExec])
+    require(hit,
+      s"expected a broadcast hash join in the plan:\n${df.queryExecution.executedPlan}")
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Sampling, Vocab}
@@ -69,6 +70,71 @@ object TokenizerQueries {
       |  FROM sym, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
       |)""".stripMargin
 
+  /** The TRAINED dictionary after two learned merges, as a CTE chain
+    * ending in `s3(t, s)` — shared verbatim by q_bpe_encode, q_bpe_ids
+    * and q_pack_ids so the dictionary the three gates encode under
+    * cannot drift. Mirrors [[Vocab.mergedDict]](iters = 2): argmax pair
+    * (lexicographic tie-break) applied via the same non-regex
+    * separator-joined replace, twice.
+    */
+  private val Dict2Ctes: String =
+    s"""$BpeCtes, pc AS (
+       |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+       |  FROM p GROUP BY left_sym, right_sym
+       |), mg AS (
+       |  SELECT left_sym, right_sym FROM pc
+       |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+       |), sall AS (
+       |  SELECT t, c, str_split(t, '') AS s FROM tc
+       |), s2 AS (
+       |  SELECT t, c, str_split(
+       |    replace(array_to_string(s, chr(31)),
+       |            (SELECT left_sym || chr(31) || right_sym FROM mg),
+       |            (SELECT left_sym || right_sym FROM mg)),
+       |    chr(31)) AS s
+       |  FROM sall
+       |), p2 AS (
+       |  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, c
+       |  FROM s2, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+       |  WHERE len(s) >= 2
+       |), pc2 AS (
+       |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+       |  FROM p2 GROUP BY left_sym, right_sym
+       |), mg2 AS (
+       |  SELECT left_sym, right_sym FROM pc2
+       |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+       |), s3 AS (
+       |  SELECT t, str_split(
+       |    replace(array_to_string(s, chr(31)),
+       |            (SELECT left_sym || chr(31) || right_sym FROM mg2),
+       |            (SELECT left_sym || right_sym FROM mg2)),
+       |    chr(31)) AS s
+       |  FROM s2
+       |)""".stripMargin
+
+  /** Subword-id + positional-lookup CTEs over the trained `s3`
+    * dictionary, ending in `lkt(t, q, tid)` and the word stream
+    * `wtok(doc_id, tok, p)` — shared by q_bpe_ids and q_pack_ids.
+    * Ids are 1-based lexicographic symbol ranks ([[Vocab.subwordIds]];
+    * id 0 is the reserved `<eos>`).
+    */
+  private val IdCtes: String =
+    s"""$Dict2Ctes, subv AS (
+       |  SELECT DISTINCT sym FROM (SELECT UNNEST(s) AS sym FROM s3)
+       |), tid AS (
+       |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) AS BIGINT) AS tid FROM subv
+       |), lk AS (
+       |  SELECT t, i AS q, s[i] AS sym
+       |  FROM s3, UNNEST(generate_series(1, len(s))) AS u(i)
+       |), lkt AS (
+       |  SELECT t, q, tid FROM lk JOIN tid USING (sym)
+       |), wtok AS (
+       |  SELECT doc_id, t[i] AS tok, i AS p
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents) d0,
+       |       UNNEST(generate_series(1, len(t))) AS u(i)
+       |  WHERE t[i] <> ''
+       |)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // BPE merge statistics: adjacent symbol-pair frequencies weighted
@@ -87,7 +153,10 @@ object TokenizerQueries {
 
     // The merge decision itself: argmax pair with a lexicographic
     // tie-break — the symbol pair the next BPE merge would join.
-    // Plans TakeOrderedAndProject (per-partition top-1).
+    // Plans TakeOrderedAndProject (per-partition top-1). Stays OFF the
+    // persisted mergedDict loop deliberately: the dictionary is
+    // consumed exactly once here, so the single-scan lineage is already
+    // optimal and a persist would only add cache traffic.
     Q(
       "q_bpe_merge",
       (spark, dir) =>
@@ -106,13 +175,20 @@ object TokenizerQueries {
     // token's symbol sequence (non-regex replace on a US-joined
     // symbol string — greedy left-to-right in both engines) and
     // recount pairs. Pins the iterate-without-corpus-rescan design:
-    // iteration 2 touches only the vocabulary-sized dictionary.
+    // the gate runs THROUGH mergedDict's persisted loop, so the corpus
+    // word count materializes exactly once (the unpersisted lineage
+    // re-ran it for every dictionary use — a 2-4x redundancy this
+    // routing kills); the result lands in scratch so the dict can be
+    // unpersisted before the gate returns.
     Q(
       "q_bpe_iter2",
       (spark, dir) => {
-        val dict = Vocab.symbols(Q.t(spark, dir, "documents"), "text")
-        Vocab.pairStats(
-          Vocab.applyMerge(dict, Vocab.topMerge(Vocab.pairStats(dict))))
+        val dict = Vocab.mergedDict(Q.t(spark, dir, "documents"), "text", iters = 1)
+        val out = Vocab.pairStats(dict)
+        val scratch = Q.scratch("bpeiter2")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
       },
       Some(
         s"""$BpeCtes, pc AS (
@@ -187,62 +263,128 @@ object TokenizerQueries {
 
     // Corpus tokenization with the trained vocabulary: apply TWO
     // learned merges to the dictionary, then tokenize every document —
-    // per doc, its word count and subword count under the current
-    // segmentation. The corpus-sized stages are one explode and one
-    // per-doc aggregation; the trained dictionary (vocabulary-sized)
-    // joins in by broadcast, keyed on the surface form rebuilt from the
-    // merged symbols (concatenation is merge-invariant). Pure integer
-    // counts — bit-exact.
+    // per doc, its word count, subword count and OOV count under the
+    // current segmentation (here n_oov pins to 0: the dictionary is
+    // trained on the same corpus — the cross-corpus OOV fallback is
+    // spec-pinned in VocabSpec). The corpus-sized stages are one
+    // explode and one per-doc aggregation; the trained dictionary
+    // (vocabulary-sized) joins in by broadcast, keyed on the surface
+    // form rebuilt from the merged symbols (concatenation is
+    // merge-invariant). Pure integer counts — bit-exact. The result
+    // lands in scratch so the persisted dict can be unpersisted before
+    // the gate returns (mergedDict's caller-owns-unpersist contract).
     Q(
       "q_bpe_encode",
       (spark, dir) => {
         val docs = Q.t(spark, dir, "documents")
-        Vocab.encode(docs, "doc_id", "text",
-          Vocab.mergedDict(docs, "text", iters = 2))
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val out = Vocab.encode(docs, "doc_id", "text", dict)
+        val scratch = Q.scratch("bpeenc")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
       },
       Some(
-        s"""$BpeCtes, pc AS (
-           |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
-           |  FROM p GROUP BY left_sym, right_sym
-           |), mg AS (
-           |  SELECT left_sym, right_sym FROM pc
-           |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
-           |), sall AS (
-           |  SELECT t, c, str_split(t, '') AS s FROM tc
-           |), s2 AS (
-           |  SELECT t, c, str_split(
-           |    replace(array_to_string(s, chr(31)),
-           |            (SELECT left_sym || chr(31) || right_sym FROM mg),
-           |            (SELECT left_sym || right_sym FROM mg)),
-           |    chr(31)) AS s
-           |  FROM sall
-           |), p2 AS (
-           |  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, c
-           |  FROM s2, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
-           |  WHERE len(s) >= 2
-           |), pc2 AS (
-           |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
-           |  FROM p2 GROUP BY left_sym, right_sym
-           |), mg2 AS (
-           |  SELECT left_sym, right_sym FROM pc2
-           |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
-           |), s3 AS (
-           |  SELECT t, str_split(
-           |    replace(array_to_string(s, chr(31)),
-           |            (SELECT left_sym || chr(31) || right_sym FROM mg2),
-           |            (SELECT left_sym || right_sym FROM mg2)),
-           |    chr(31)) AS s
-           |  FROM s2
-           |), lk AS (
+        s"""$Dict2Ctes, lk AS (
            |  SELECT t, CAST(len(s) AS BIGINT) AS n_sub FROM s3
            |), wtok AS (
-           |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
-           |  FROM documents
+           |  SELECT doc_id, t FROM (
+           |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+           |    FROM documents) w0
+           |  WHERE t <> ''
            |)
            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords
-           |FROM wtok JOIN lk USING (t)
+           |  CAST(SUM(COALESCE(n_sub, len(t))) AS BIGINT) AS n_subwords,
+           |  CAST(COUNT(CASE WHEN n_sub IS NULL THEN 1 END) AS BIGINT) AS n_oov
+           |FROM wtok LEFT JOIN lk USING (t)
            |GROUP BY doc_id""".stripMargin
+      )
+    ),
+
+    // The REAL tokenizer artifact: the per-document token-id SEQUENCE
+    // under the trained 2-merge dictionary — one row per emitted id,
+    // (doc_id, pos, token_id), ids = 1-based lexicographic subword
+    // ranks (0 reserved for <eos>). Lane-exploded like the MinHash /
+    // int8 gates so the oracle hash covers every position. Corpus pays
+    // one explode + one doc-keyed ranking window; the (surface form ×
+    // symbol position × id) lookup stays vocabulary-sized and rides a
+    // broadcast. Pure integer — bit-exact.
+    Q(
+      "q_bpe_ids",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val out = Vocab.encodeIds(docs, "doc_id", "text", dict)
+        val scratch = Q.scratch("bpeids")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""$IdCtes
+           |SELECT doc_id,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p, q) AS BIGINT) AS pos,
+           |  tid AS token_id
+           |FROM wtok JOIN lkt ON wtok.tok = lkt.t""".stripMargin
+      )
+    ),
+
+    // The tokenize→pack last mile with REAL ids: q_bpe_ids' id stream,
+    // an <eos> (id 0) appended per document, packed per-language into
+    // 2048-id bins by cumulative stream length (q_pack_sequences'
+    // exclusive-prefix binning), emitted as the flat trainable stream
+    // (lang, bin, seq_pos, token_id). Two corpus-sized window shuffles
+    // (the doc-keyed ranking inside encodeIds, then the lang/bin
+    // ranking); the dictionary side stays vocabulary-sized throughout.
+    Q(
+      "q_pack_ids",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val ids = Vocab.encodeIds(docs, "doc_id", "text", dict)
+        val stream = ids.unionByName(
+          docs.select(col("doc_id"), lit(Int.MaxValue.toLong).as("pos"),
+            lit(0L).as("token_id")))
+        val perDoc = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val wl = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bins = perDoc
+          .withColumn("__cum", sum(col("__n")).over(wl))
+          .select(col("doc_id"), col("lang"),
+            floor((col("__cum") - col("__n")).cast("double") / 2048.0)
+              .cast("long").as("bin"))
+        val wb = Window.partitionBy(col("lang"), col("bin"))
+          .orderBy(col("doc_id").asc, col("pos").asc)
+        val out = stream.join(bins, "doc_id")
+          .withColumn("seq_pos", row_number().over(wb).cast("long"))
+          .select(col("lang"), col("bin"), col("seq_pos"), col("token_id"))
+        val scratch = Q.scratch("packids")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""$IdCtes, e AS (
+           |  SELECT doc_id, p, q, tid FROM wtok JOIN lkt ON wtok.tok = lkt.t
+           |  UNION ALL
+           |  SELECT doc_id, 2147483647 AS p, 0 AS q, CAST(0 AS BIGINT) AS tid
+           |  FROM documents
+           |), nn AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+           |), bb AS (
+           |  SELECT doc_id, lang, CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin
+           |  FROM (
+           |    SELECT nn.doc_id, d.lang, nn.n,
+           |      SUM(nn.n) OVER (PARTITION BY d.lang ORDER BY nn.doc_id
+           |                      ROWS UNBOUNDED PRECEDING) AS cum
+           |    FROM nn JOIN documents d USING (doc_id)) t0
+           |)
+           |SELECT lang, bin,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin
+           |                          ORDER BY e.doc_id, p, q) AS BIGINT) AS seq_pos,
+           |  tid AS token_id
+           |FROM e JOIN bb USING (doc_id)""".stripMargin
       )
     ),
 

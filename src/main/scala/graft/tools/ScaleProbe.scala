@@ -402,8 +402,19 @@ object ScaleProbe {
       // NOT the distinct-token dictionary, so dict training stays flat
       // and the encode join grows with the scan alone
       probe(s"bpe_encode x$k") {
-        graft.operators.Vocab.encode(d, "doc_id", "text",
-          graft.operators.Vocab.mergedDict(d, "text", iters = 2)).count()
+        val dict = graft.operators.Vocab.mergedDict(d, "text", iters = 2)
+        val n = graft.operators.Vocab.encode(d, "doc_id", "text", dict).count()
+        dict.unpersist()
+        n
+      }
+      // token-id emission: the dictionary-side lookup (surface form x
+      // symbol position x id) is replication-INVARIANT; growth must
+      // track the corpus explode + the doc-keyed ranking window alone
+      probe(s"bpe_ids x$k") {
+        val dict = graft.operators.Vocab.mergedDict(d, "text", iters = 2)
+        val n = graft.operators.Vocab.encodeIds(d, "doc_id", "text", dict).count()
+        dict.unpersist()
+        n
       }
       // per-cluster cap: broadcast-argmin assignment (zero corpus
       // shuffles) + one cluster-keyed window; output is capped at
@@ -438,9 +449,9 @@ object ScaleProbe {
           .unigramSurprisal(d, "doc_id", "text")
           .withColumnRenamed("id", "doc_id")
           .join(d.select(col("doc_id"), col("lang")), "doc_id")
-          .withColumn("tab_rate", col("nll_tab") / col("n_tokens").cast("double"))
+          .withColumn("loss_rate", -(col("nll_tab") / col("n_tokens").cast("double")))
         val quota = graft.operators.Sampling
-          .excessLossWeights(rated, "lang", "tab_rate")
+          .excessLossWeights(rated, "lang", "loss_rate")
           .select(col("lang"),
             floor(lit(200.0) * col("weight")).cast("long").as("alloc"))
         graft.operators.Sampling.quotaSample(

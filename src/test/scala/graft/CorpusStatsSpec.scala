@@ -170,6 +170,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("embeddingOutliers: empty and null vectors surface as outliers, not crashes") {
+    // an empty (or null) embedding is exactly the corrupt/wrong-modality
+    // row this screen exists to catch — it must be FLAGGED (+inf score),
+    // not kill the job via the descending-sequence element_at hazard
+    val vecs = ((1L to 20L).map(i =>
+      (i, Array((i % 5).toFloat / 100f, (i % 7).toFloat / 100f))) :+
+      (77L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val withNull = vecs.unionByName(
+      Seq(88L).toDF("vec_id").select(col("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val out = graft.operators.Normalize
+      .embeddingOutliers(withNull, "vec_id", "embedding", tau = 4.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(77L) == ((Double.PositiveInfinity, true)), s"empty vec: ${out(77L)}")
+    assert(out(88L) == ((Double.PositiveInfinity, true)), s"null vec: ${out(88L)}")
+    assert(out.filterKeys(k => k != 77L && k != 88L).values.forall(!_._2))
+  }
+
   test("kAnonymity: group sizes and the k-threshold flag; broadcast join-back") {
     val df = Seq(
       (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
@@ -183,6 +201,50 @@ class CorpusStatsSpec extends SparkSpec {
     assert(byId(4L) == ((1L, false)) && byId(5L) == ((1L, false)))
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("kAnonymity: past the group-cardinality guard the join degrades, values identical") {
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "de", "web"), (5L, "de", "books")
+    ).toDF("id", "lang", "source")
+    val guarded = graft.operators.Profile
+      .kAnonymity(df, Seq("lang", "source"), k = 2L, maxBroadcastGroups = 0L)
+    // fallback path: no forced broadcast hint on the group table (AQE
+    // owns the join strategy); the audit's VALUES are unchanged
+    assert(!guarded.queryExecution.analyzed.toString.contains("broadcast"),
+      "fallback path must not carry a broadcast hint")
+    val byId = guarded.collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("k_group"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(byId(1L) == ((3L, true)) && byId(4L) == ((1L, false)))
+  }
+
+  test("kAnonymityGeneralize: first ladder level clearing k wins; else suppress") {
+    // k = 3; ladder: (lang, n div 10) -> (lang, n div 100) -> (lang)
+    val df = Seq(
+      (1L, "en", 5L), (2L, "en", 7L), (3L, "en", 9L), // level-0 group of 3
+      (4L, "en", 15L),  // level-0 group of 1; level-1 (en, 0) has all 4
+      (5L, "de", 250L)  // alone at every level -> suppressed
+    ).toDF("id", "lang", "n")
+    val out = graft.operators.Profile.kAnonymityGeneralize(
+      df,
+      levels = Seq(
+        Seq("lang" -> col("lang"), "b" -> expr("n div 10")),
+        Seq("lang" -> col("lang"), "b" -> expr("n div 100")),
+        Seq("lang" -> col("lang"))),
+      k = 3L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("gen_level"), r.getAs[Long]("k_group"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(out(1L) == ((0, 3L, true)) && out(2L) == ((0, 3L, true)) && out(3L) == ((0, 3L, true)))
+    assert(out(4L) == ((1, 4L, true)), s"generalized row: ${out(4L)}")
+    // suppressed: reports the LAST level's (best-achievable) group size
+    assert(out(5L) == ((3, 1L, false)), s"suppressed row: ${out(5L)}")
+    // helper columns are dropped
+    val cols = graft.operators.Profile.kAnonymityGeneralize(df,
+      Seq(Seq("lang" -> col("lang"))), k = 1L).columns.toSet
+    assert(cols == Set("id", "lang", "n", "gen_level", "k_group", "keep"))
   }
 
   test("mergeMoments: merged partial moments equal a full recompute bitwise") {

@@ -161,4 +161,50 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(w.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
   }
+
+  test("DoReMi iteration 2 converges: excess of the selected mixture shrinks") {
+    // Engineered corpus: 'easy' docs are all one common token, 'mid'
+    // docs mix it with a mid-frequency token, 'hard' docs are all
+    // unique tokens. Round 1 (loss = -tab_rate, the shifted true loss):
+    // hard takes most of the weight, easy takes 0 and vanishes from the
+    // quota. Re-rating the SELECTED corpus (model rebuilt from it)
+    // leaves every surviving doc with unique-only tokens -> all at
+    // baseline -> round-2 weights uniform, excess spread 0 < round 1's.
+    import org.apache.spark.sql.DataFrame
+    val docs = (
+      (1L to 4L).map(i => (i, "easy", "the the the the")) ++
+      (5L to 8L).map(i => (i, "mid", "the cat")) ++
+      (9L to 12L).map(i => (i, "hard", s"u${i}a u${i}b"))
+    ).toDF("doc_id", "lang", "text")
+    def rated(d: DataFrame): DataFrame = graft.operators.TextAnalysis
+      .unigramSurprisal(d, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("loss_rate", -(col("nll_tab") / col("n_tokens").cast("double")))
+    def spread(d: DataFrame): Double = {
+      val m = d.groupBy("lang").agg(avg("loss_rate").as("m"))
+        .select("m").as[Double].collect()
+      m.max - m.min
+    }
+    val rated1 = rated(docs)
+    val w1 = Sampling.excessLossWeights(rated1, "lang", "loss_rate")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w1("easy") == 0.0, s"easiest lang must sit at baseline: $w1")
+    assert(w1("hard") > w1("mid") && w1("mid") > 0.0,
+      s"hardest lang must take the largest weight: $w1")
+    val quota = Sampling.excessLossWeights(rated1, "lang", "loss_rate")
+      .select(col("lang"), floor(lit(6.0) * col("weight")).cast("long").as("alloc"))
+    val sel = Sampling.quotaSample(
+      docs.select(col("doc_id"), col("lang")), "lang", "doc_id", quota)
+    val selDocs = docs.join(sel.select("doc_id"), "doc_id")
+    assert(sel.filter(col("lang") === "easy").count() == 0L)
+    assert(sel.filter(col("lang") === "hard").count() == 4L)
+    val rated2 = rated(selDocs)
+    val w2 = Sampling.excessLossWeights(rated2, "lang", "loss_rate")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w2 == Map("mid" -> 0.5, "hard" -> 0.5),
+      s"selected mixture re-rates to baseline -> uniform: $w2")
+    assert(spread(rated2) < spread(rated1),
+      "excess spread of the selected mixture must shrink")
+  }
 }

@@ -61,18 +61,66 @@ class VocabSpec extends SparkSpec {
     // merge2 = (aa,b) [only pair left] → aab→[aab]
     val docs = Seq((1L, "aa aa b"), (2L, "aab")).toDF("doc_id", "text")
     val one = Vocab.encode(docs, "doc_id", "text", Vocab.mergedDict(docs, "text", 1))
-      .as[(Long, Long, Long)].collect().toSet
-    assert(one == Set((1L, 3L, 3L), (2L, 1L, 2L)))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(one == Set((1L, 3L, 3L, 0L), (2L, 1L, 2L, 0L)))
     val two = Vocab.encode(docs, "doc_id", "text", Vocab.mergedDict(docs, "text", 2))
-      .as[(Long, Long, Long)].collect().toSet
-    assert(two == Set((1L, 3L, 3L), (2L, 1L, 1L)))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(two == Set((1L, 3L, 3L, 0L), (2L, 1L, 1L, 0L)))
   }
 
   test("encode: zero-merge dict tokenizes to characters") {
     val docs = Seq((7L, "abc de")).toDF("doc_id", "text")
     val got = Vocab.encode(docs, "doc_id", "text", Vocab.mergedDict(docs, "text", 0))
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((7L, 2L, 5L)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 2L, 5L, 0L)))
+  }
+
+  test("encode: OOV words under a disjoint-corpus dictionary fall back to chars") {
+    // dictionary trained on corpus A; corpus B carries words A never saw
+    val trainDocs = Seq((1L, "aa aa b"), (2L, "aab")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(trainDocs, "text", 2)
+    // "aab" in-vocab (1 subword after 2 merges); "xyz" and "qq" are OOV
+    // → char fallback 3 + 2, counted in n_oov; n_words is the TRUE count
+    val other = Seq((9L, "aab xyz qq")).toDF("doc_id", "text")
+    val got = Vocab.encode(other, "doc_id", "text", dict)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    dict.unpersist()
+    assert(got == Seq((9L, 3L, 1L + 3L + 2L, 2L)))
+  }
+
+  test("subwordIds: dense 1-based lexicographic ranks, 0 reserved for <eos>") {
+    val docs = Seq((1L, "aa aa b"), (2L, "aab")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(docs, "text", 2)
+    // dict symbols after 2 merges: aa→[aa], b→[b], aab→[aab]
+    val ids = Vocab.subwordIds(dict)
+      .as[(String, Long)].collect().toMap
+    dict.unpersist()
+    assert(ids == Map("aa" -> 1L, "aab" -> 2L, "b" -> 3L))
+    assert(!ids.values.exists(_ == 0L), "id 0 is reserved for <eos>")
+  }
+
+  test("encodeIds: the per-doc token-id sequence under the trained dict") {
+    val docs = Seq((1L, "aa aa b"), (2L, "aab")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(docs, "text", 2)
+    // ids: aa=1, aab=2, b=3 → doc1 "aa aa b" = [1,1,3]; doc2 "aab" = [2]
+    val got = Vocab.encodeIds(docs, "doc_id", "text", dict)
+      .as[(Long, Long, Long)].collect().toSet
+    dict.unpersist()
+    assert(got == Set(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 3L),
+      (2L, 1L, 2L)))
+  }
+
+  test("encodeIds: multi-symbol words emit ids in within-word symbol order") {
+    // zero merges → every word is its character sequence; char ids are
+    // lexicographic ranks over the distinct chars {a=1, b=2, c=3}
+    val docs = Seq((5L, "cab ba")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(docs, "text", 0)
+    val got = Vocab.encodeIds(docs, "doc_id", "text", dict)
+      .orderBy("pos").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (5L, 1L, 3L), (5L, 2L, 1L), (5L, 3L, 2L), // c a b
+      (5L, 4L, 2L), (5L, 5L, 1L)))              // b a
   }
 
   test("spanDedup: the contained smaller doc is dropped, the host survives") {
