@@ -1567,6 +1567,70 @@ object NorthStarQueries {
       }
     ),
 
+    // REAL image decode, end to end: deterministic 8x6 PPM payloads are
+    // built per nation row (pixel m = (key*31 + m) mod 256 — closed
+    // form), then the pure-JVM P6 parser decodes the actual bytes and
+    // reports dimensions, per-channel integer moments, and the 9x8
+    // dHash (split into two 32-bit halves so signed-64 shifts never
+    // overflow in either engine). The oracle re-derives every pixel
+    // from the formula alone — so the gate proves encoder → bytes →
+    // decoder → stats is the identity on the formula, i.e. the decoder
+    // actually reads the raster, not a stub. Map-only (no shuffle
+    // beyond the group-by on 25 rows).
+    Q(
+      "q_image_decode",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val ppm = udf((k: Long) => Multimodal.syntheticPpm(k, 8, 6))
+        Multimodal.decodeImages(
+          blobs.withColumn("payload", ppm(col("media_id"))),
+          "media_id", "payload")
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS m,
+          |    (n_nationkey * 31 + i) % 256 AS v
+          |  FROM nation, UNNEST(generate_series(0, 143)) AS u(i)
+          |), ch AS (
+          |  SELECT media_id,
+          |    CAST(SUM(CASE WHEN m % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+          |    CAST(SUM(CASE WHEN m % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+          |    CAST(SUM(CASE WHEN m % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+          |    CAST(SUM(CASE WHEN m % 3 = 0 THEN v * v END) AS BIGINT) AS ssq_r,
+          |    CAST(SUM(CASE WHEN m % 3 = 1 THEN v * v END) AS BIGINT) AS ssq_g,
+          |    CAST(SUM(CASE WHEN m % 3 = 2 THEN v * v END) AS BIGINT) AS ssq_b
+          |  FROM px GROUP BY media_id
+          |), grid AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, gx, gy,
+          |    (((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 0) % 256)
+          |     + ((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 1) % 256)
+          |     + ((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 2) % 256)) // 3 AS gray
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 8)) AS ux(gx),
+          |       UNNEST(generate_series(0, 7)) AS uy(gy)
+          |), bits AS (
+          |  SELECT a.media_id, a.gx AS x, a.gy AS y
+          |  FROM grid a JOIN grid b
+          |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 AND b.gray > a.gray
+          |), dh AS (
+          |  SELECT media_id,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x < 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x)) END), 0) AS BIGINT) AS dhash_lo,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x >= 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) END), 0) AS BIGINT) AS dhash_hi
+          |  FROM bits GROUP BY media_id
+          |)
+          |SELECT ch.media_id, 'ppm' AS format, 8 AS width, 6 AS height,
+          |  CAST(48 AS BIGINT) AS n_pixels,
+          |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b,
+          |  CAST(COALESCE(dh.dhash_lo, 0) AS BIGINT) AS dhash_lo,
+          |  CAST(COALESCE(dh.dhash_hi, 0) AS BIGINT) AS dhash_hi
+          |FROM ch LEFT JOIN dh USING (media_id)""".stripMargin
+      )
+    ),
+
     // Video-style frame sampling plumbing: n evenly-strided 8-byte
     // slices per payload, one row per frame (hex-projected for the
     // gate; the binary plumbing itself is pinned by MultimodalSpec).

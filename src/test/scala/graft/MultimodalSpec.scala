@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal plumbing: schema, determinism, format sniff, frame
-  * sampling, and size-based rebalance. The decode itself is a documented
-  * stub; these tests pin the Spark-side contract a real codec drops into.
+  * sampling, and size-based rebalance — plus the REAL pure-JVM PPM
+  * decoder (golden-raster parse, integer moments, dHash halves,
+  * corrupt-payload fallback). The fake-feature generator remains only
+  * for the embedding-plumbing contract a heavier codec drops into.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -88,5 +90,70 @@ class MultimodalSpec extends SparkSpec {
     val re = Multimodal.rebalanceBySize(docs, "text",
       targetBytes = (statsBytes / 4).toLong)
     assert(re.rdd.getNumPartitions == 4)
+  }
+
+  test("decodePpm: golden 2x2 image parses to the exact raster") {
+    // hand-built P6: dims 2x2, raster = 12 known bytes (incl. a comment
+    // line and >1 whitespace runs — PPM's header grammar)
+    val raster = Array(
+      10, 20, 30,   40, 50, 60,
+      70, 80, 90,   200, 250, 255).map(_.toByte)
+    val header = "P6\n# a comment\n 2\t2\n255\n".getBytes("US-ASCII")
+    val Some((w, h, px)) = Multimodal.decodePpm(header ++ raster)
+    assert(w == 2 && h == 2)
+    assert(px.toSeq == raster.toSeq)
+  }
+
+  test("imageStats: moments and dHash halves on the golden image") {
+    val raster = Array(
+      10, 20, 30,   40, 50, 60,
+      70, 80, 90,   200, 250, 255).map(_.toByte)
+    val bytes = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster
+    val s = Multimodal.imageStats(5L, bytes)
+    assert(s.format == "ppm" && s.width == 2 && s.height == 2 && s.n_pixels == 4L)
+    assert((s.sum_r, s.sum_g, s.sum_b) == ((10 + 40 + 70 + 200L, 20 + 50 + 80 + 250L, 30 + 60 + 90 + 255L)))
+    assert(s.ssq_r == 100 + 1600 + 4900 + 40000L)
+    // gray: (0,0)=20 (1,0)=50 (0,1)=80 (1,1)=235; every right neighbor
+    // brighter -> for each gy, all gx bits set where sampled columns
+    // differ; the halves stay consistent with a direct recompute
+    def gray(x: Int, y: Int) = Seq(0, 1, 2).map(c => raster((y * 2 + x) * 3 + c) & 0xFF).sum / 3
+    var lo = 0L; var hi = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val sy = gy * 2 / 8
+      if (gray((gx + 1) * 2 / 9, sy) > gray(gx * 2 / 9, sy)) {
+        val j = gy * 8 + gx
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+    }
+    assert((s.dhash_lo, s.dhash_hi) == ((lo, hi)))
+  }
+
+  test("syntheticPpm round-trips through the decoder (encoder/decoder identity)") {
+    val bytes = Multimodal.syntheticPpm(seed = 3L, w = 8, h = 6)
+    val Some((w, h, px)) = Multimodal.decodePpm(bytes)
+    assert(w == 8 && h == 6)
+    assert(px.zipWithIndex.forall { case (b, m) => (b & 0xFF) == (3 * 31 + m) % 256 })
+  }
+
+  test("imageStats: corrupt payloads degrade to the sniffing fallback, never throw") {
+    val truncated = "P6\n100 100\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.imageStats(1L, truncated).format == "unknown")
+    assert(Multimodal.imageStats(2L, jpegHeader).format == "jpeg")
+    assert(Multimodal.imageStats(3L, Array[Byte]()).format == "unknown")
+    val wideMaxval = "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill[Byte](24)(0)
+    assert(Multimodal.imageStats(4L, wideMaxval).format == "unknown")
+  }
+
+  test("decodeImages: distributed decode matches the local function per row") {
+    val df = (0L until 10L).map(k => (k, Multimodal.syntheticPpm(k, 8, 6)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeImages(df, "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("sum_r"), r.getAs[Long]("dhash_lo"), r.getAs[Long]("dhash_hi"))))
+      .toMap
+    (0L until 10L).foreach { k =>
+      val local = Multimodal.imageStats(k, Multimodal.syntheticPpm(k, 8, 6))
+      assert(got(k) == ((local.sum_r, local.dhash_lo, local.dhash_hi)))
+    }
   }
 }
