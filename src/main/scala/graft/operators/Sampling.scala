@@ -113,6 +113,37 @@ object Sampling {
       .drop(rn, "alloc")
   }
 
+  /** [[quotaSample]]'s ARRIVAL-ORDER twin: admit the first `alloc` rows
+    * of each group in ascending `seqCol` order (ties broken on `idCol`)
+    * — quota ENFORCEMENT rather than unbiased selection. This is
+    * exactly what a streaming ingest enforcing the same quota table
+    * admits when rows arrive in `seqCol` order, so it serves as the
+    * oracle-checkable batch twin of
+    * [[graft.streaming.StreamingQuota.admit]] (spec-pinned equal on the
+    * same arrival sequence). Same scale shape as [[quotaSample]]: the
+    * |groups|-sized quota rides a broadcast, the corpus pays one
+    * group-keyed window shuffle. (The rank filter compares against the
+    * joined `alloc` column, not a literal, so no map-side
+    * WindowGroupLimit applies — a hot group's arrivals do cross the
+    * shuffle; pre-thin with [[sampleByHash]] in that regime.)
+    */
+  def quotaAdmit(
+      df: DataFrame,
+      groupCol: String,
+      seqCol: String,
+      idCol: String,
+      quota: DataFrame
+  ): DataFrame = {
+    val rn = Iterator.iterate("__rn")(_ + "_").dropWhile(df.columns.contains).next()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(seqCol).asc, col(idCol).asc)
+    df.join(broadcast(quota), Seq(groupCol))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= col("alloc"))
+      .drop(rn, "alloc")
+  }
+
   /** Deterministic sharded shuffle — the scalable way to "randomize"
     * training-corpus order: route each row to a shard by one hash, rank
     * within the shard by an independent second hash. Each shard sorts

@@ -1847,6 +1847,43 @@ object CorpusQueries {
       }
     ),
 
+    // Quota ADMISSION (arrival-order enforcement): the temperature
+    // allocation's per-language budgets enforced over documents
+    // arriving in doc_id order — the oracle-checkable batch twin of
+    // StreamingQuota.admit (MemoryStream-pinned equal in
+    // StreamingCorpusOpsSpec). Unlike q_doremi_sample's unbiased
+    // hash-order selection, admission order is ARRIVAL order — the
+    // semantics an ingest actually enforces. Quota rides a broadcast;
+    // the corpus pays one group-keyed window shuffle.
+    Q(
+      "q_quota_admit",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+        val quota = Sampling.temperatureAlloc(docs, "lang", budget = 300L)
+          .select(col("lang"), col("alloc"))
+        Sampling.quotaAdmit(docs, "lang", "doc_id", "doc_id", quota)
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+          |), z AS (
+          |  SELECT list_reduce(
+          |    list_prepend(CAST(0.0 AS DOUBLE),
+          |      (SELECT list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang) FROM c)),
+          |    (a, b) -> a + b) AS z
+          |), qta AS (
+          |  SELECT lang,
+          |    CAST(FLOOR(300.0 * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT) AS alloc
+          |  FROM c, z
+          |), r AS (
+          |  SELECT doc_id, lang,
+          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang FROM r JOIN qta USING (lang) WHERE rn <= alloc""".stripMargin
+      )
+    ),
+
     // Embedding-space outlier screen: max absolute per-lane z-score
     // per vector — the OOD filter run before clustering/ANN trusts the
     // geometry. Lane values snap to the 2^-20 grid (order-free integer

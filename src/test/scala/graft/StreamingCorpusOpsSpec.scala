@@ -267,4 +267,39 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming quota admission matches the batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingQuota
+    import graft.streaming.StreamingQuota.Arrival
+    val allocs = Map("a" -> 3L, "b" -> 1L) // "c" absent -> admits nothing
+    val batch1 = Seq(Arrival("a", 1, 1), Arrival("a", 2, 2),
+      Arrival("b", 3, 3), Arrival("c", 4, 4))
+    val batch2 = Seq(Arrival("a", 5, 5), Arrival("a", 6, 6), Arrival("b", 7, 7))
+    val in = MemoryStream[Arrival]
+    val q = StreamingQuota.admit(in.toDS(), allocs)
+      .writeStream.format("memory").queryName("sq_admit_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("sq_admit_out").as[Arrival].collect().toSet
+      // the state store carries the admitted count across batches: "a"
+      // admits 1,2 in batch 1 and only 5 in batch 2; "b" is exhausted
+      // after batch 1; "c" has no budget at all
+      assert(streamed == Set(Arrival("a", 1, 1), Arrival("a", 2, 2),
+        Arrival("a", 5, 5), Arrival("b", 3, 3)))
+      // unified API: the bounded branch admits the same set on the
+      // same total arrivals...
+      val all = batch1 ++ batch2
+      assert(StreamingQuota.admit(all.toDS(), allocs).collect().toSet == streamed)
+      // ...and so does the declarative window twin (the oracle-gated
+      // q_quota_admit shape)
+      val viaWindow = graft.operators.Sampling.quotaAdmit(
+        all.toDF(), "group", "seq", "id", allocs.toSeq.toDF("group", "alloc"))
+        .as[Arrival].collect().toSet
+      assert(viaWindow == streamed)
+    } finally q.stop()
+  }
 }
