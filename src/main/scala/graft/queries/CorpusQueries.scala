@@ -1817,16 +1817,35 @@ object CorpusQueries {
           .withColumnRenamed("id", "doc_id")
           .join(d.select(col("doc_id"), col("lang")), "doc_id")
           .withColumn("loss_rate", -(col("nll_tab") / col("n_tokens").cast("double")))
-        val w1 = Sampling.excessLossWeights(rated(docs), "lang", "loss_rate")
+        // Materialize each round boundary to scratch parquet (the
+        // production checkpoint between DoReMi rounds) instead of
+        // persist(): the rating chain embeds the 16k-entry ln-table as
+        // a plan LITERAL, and both unpersisted lineage (the chain
+        // re-ran once per consumer — 27 s first measured) and cached
+        // lineage (every subsequent action re-canonicalizes the
+        // literal-bearing cached plans — still 13 s) pay for it on the
+        // driver. A file round-trip gives every downstream consumer a
+        // literal-free scan plan: ~3 s total, one rating pass per
+        // round. All checkpointed frames are per-doc or |langs|-sized.
+        def mat(df: org.apache.spark.sql.DataFrame, tag: String) = {
+          val p = Q.scratch(tag)
+          df.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p)
+        }
+        val rated1 = mat(rated(docs), "doremi2r1")
+        val w1 = mat(
+          Sampling.excessLossWeights(rated1, "lang", "loss_rate"), "doremi2w1")
         val quota = w1.select(col("lang"),
           floor(lit(200.0) * col("weight")).cast("long").as("alloc"))
-        val sel = Sampling.quotaSample(
-          docs.select(col("doc_id"), col("lang")), "lang", "doc_id", quota)
-        val selDocs = docs.join(sel.select("doc_id"), "doc_id")
-        val w2 = Sampling.excessLossWeights(rated(selDocs), "lang", "loss_rate")
-        w1.select(col("lang"), col("weight").as("w1"))
+        val sel = mat(Sampling.quotaSample(
+          docs.select(col("doc_id"), col("lang")), "lang", "doc_id", quota),
+          "doremi2sel")
+        val rated2 = mat(rated(docs.join(sel.select("doc_id"), "doc_id")), "doremi2r2")
+        val w2 = Sampling.excessLossWeights(rated2, "lang", "loss_rate")
+        val out = w1.select(col("lang"), col("weight").as("w1"))
           .join(w2.select(col("lang"), col("n").as("n_sel"),
             col("weight").as("w2")), "lang")
+        mat(out, "doremi2out")
       },
       Some {
         val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
