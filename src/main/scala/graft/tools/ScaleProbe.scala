@@ -457,6 +457,17 @@ object ScaleProbe {
         graft.operators.Sampling.quotaSample(
           d.select(col("doc_id"), col("lang")), "lang", "doc_id", quota).count()
       }
+      // quota admission: |groups|-sized quota rides broadcast; the
+      // corpus pays one group-keyed window — admitted rows track the
+      // fixed budget, not the scan
+      probe(s"quota_admit x$k") {
+        val quota = graft.operators.Sampling
+          .temperatureAlloc(d.select(col("doc_id"), col("lang")), "lang", budget = 300L)
+          .select(col("lang"), col("alloc"))
+        graft.operators.Sampling.quotaAdmit(
+          d.select(col("doc_id"), col("lang")), "lang", "doc_id", "doc_id", quota)
+          .count()
+      }
       // (selecting this probe without ivf_persist_build builds untimed)
       if (selected(s"ivf_persist_probe x$k") && lastIndexPath == null) {
         val path = graft.queries.Q.scratch(s"probe_ivfidx_x$k")
