@@ -388,6 +388,89 @@ object TokenizerQueries {
       )
     ),
 
+    // The tokenizer ARTIFACT itself: the (subword, id) vocabulary table
+    // under the trained 2-merge dictionary — what a training run ships
+    // alongside the packed id streams so they stay decodable. Ids are
+    // the same 1-based lexicographic ranks q_bpe_ids/q_pack_ids encode
+    // with (0 = <eos>), pinned here directly rather than transitively.
+    Q(
+      "q_vocab_export",
+      (spark, dir) => {
+        val dict = Vocab.mergedDict(Q.t(spark, dir, "documents"), "text", iters = 2)
+        val out = Vocab.subwordIds(dict)
+        val scratch = Q.scratch("vocabexp")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""$IdCtes
+           |SELECT sym, tid FROM tid""".stripMargin
+      )
+    ),
+
+    // The tokenize→budget→shard flagship with REAL ids: per-doc subword
+    // counts under the trained dictionary drive the token-budget
+    // admission (3000 subwords per shard, hash-routed — each shard's
+    // running-sum window sorts only its own slice), the kept docs are
+    // re-encoded to id sequences, and the artifact lands
+    // partitionBy(shard) so each data-parallel trainer opens exactly
+    // its shard's files — REQUIREd to prune at the file index, the
+    // q_training_export discipline, then hash-checked on the full
+    // read-back. Every stage reuses an already-gated chain (encode,
+    // tokenBudgetSample, encodeIds), composed.
+    Q(
+      "q_ids_export",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val counts = Vocab.encode(docs, "doc_id", "text", dict)
+          .select(col("doc_id"), col("n_subwords"))
+        val kept = Sampling.tokenBudgetSample(
+          counts, "doc_id", "n_subwords", shards = 8, budgetPerShard = 3000L)
+        val ids = Vocab.encodeIds(
+          docs.join(kept.select("doc_id"), "doc_id"), "doc_id", "text", dict)
+        val out = ids.join(kept.select(col("doc_id"), col("shard")), "doc_id")
+        val scratch = Q.scratch("idsexp")
+        out.write.mode("overwrite").partitionBy("shard").parquet(scratch)
+        dict.unpersist()
+        val back = spark.read.parquet(scratch)
+        val one = back.filter(col("shard") === 3)
+        val plan = one.queryExecution.executedPlan.toString
+        require(
+          plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("shard")),
+          s"expected a shard-selective read to prune at the file index:\n$plan")
+        back.select(col("doc_id"), col("pos"), col("token_id"),
+          col("shard").cast("long").as("shard"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        val shardExpr = s"($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 8"
+        val orderExpr = s"($pm * 2246822519 + 604171) % ${Sampling.P}"
+        s"""$IdCtes, nsub AS (
+           |  SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+           |  FROM wtok JOIN (SELECT t, CAST(len(s) AS BIGINT) AS n_sub FROM s3) lk2
+           |    ON wtok.tok = lk2.t
+           |  GROUP BY doc_id
+           |), kept AS (
+           |  SELECT doc_id, shard FROM (
+           |    SELECT doc_id, $shardExpr AS shard,
+           |      CAST(SUM(n_subwords) OVER (
+           |        PARTITION BY $shardExpr
+           |        ORDER BY $orderExpr ASC, doc_id ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |    FROM nsub) t
+           |  WHERE cum <= 3000
+           |)
+           |SELECT e.doc_id,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY p, q) AS BIGINT) AS pos,
+           |  tid AS token_id, shard
+           |FROM (SELECT doc_id, p, q, tid FROM wtok JOIN lkt ON wtok.tok = lkt.t) e
+           |JOIN kept USING (doc_id)""".stripMargin
+      }
+    ),
+
     // Temperature-based mixture allocation: per-language budget shares
     // at α = 1/2 over a 100k-document budget. sqrt is IEEE-correctly-
     // rounded in both engines; the normalizer is an ordered fold in
