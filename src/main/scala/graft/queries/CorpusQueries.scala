@@ -1880,7 +1880,10 @@ object CorpusQueries {
         val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("lang"))
         val quota = Sampling.temperatureAlloc(docs, "lang", budget = 300L)
           .select(col("lang"), col("alloc"))
-        Sampling.quotaAdmit(docs, "lang", "doc_id", "doc_id", quota)
+        val out = Sampling.quotaAdmit(docs, "lang", "doc_id", "doc_id", quota)
+        // the |groups|-sized quota must ride a broadcast into the window
+        Q.requireBroadcastJoin(out)
+        out
       },
       Some(
         """WITH c AS (

@@ -315,6 +315,9 @@ object TokenizerQueries {
         val docs = Q.t(spark, dir, "documents")
         val dict = Vocab.mergedDict(docs, "text", iters = 2)
         val out = Vocab.encodeIds(docs, "doc_id", "text", dict)
+        // the dictionary-side lookup must ride a broadcast — the corpus
+        // never shuffles for the id join (typed-node gate assert)
+        Q.requireBroadcastJoin(out)
         val scratch = Q.scratch("bpeids")
         out.write.mode("overwrite").parquet(scratch)
         dict.unpersist()
@@ -359,6 +362,7 @@ object TokenizerQueries {
         val out = stream.join(bins, "doc_id")
           .withColumn("seq_pos", row_number().over(wb).cast("long"))
           .select(col("lang"), col("bin"), col("seq_pos"), col("token_id"))
+        Q.requireBroadcastJoin(out)
         val scratch = Q.scratch("packids")
         out.write.mode("overwrite").parquet(scratch)
         dict.unpersist()
@@ -431,6 +435,7 @@ object TokenizerQueries {
         val ids = Vocab.encodeIds(
           docs.join(kept.select("doc_id"), "doc_id"), "doc_id", "text", dict)
         val out = ids.join(kept.select(col("doc_id"), col("shard")), "doc_id")
+        Q.requireBroadcastJoin(out)
         val scratch = Q.scratch("idsexp")
         out.write.mode("overwrite").partitionBy("shard").parquet(scratch)
         dict.unpersist()
