@@ -364,29 +364,36 @@ object Sampling {
     */
   def excessLossWeights(df: DataFrame, groupCol: String, rateCol: String): DataFrame = {
     val grid = 1048576.0 // 2^20
-    val grouped = df
+    // The ONLY evaluation of the (possibly corpus-sized) input lineage:
+    // one partial-agg shuffle into (group, Σsnapped, n), collapsed to a
+    // single sorted array row. Baseline, normalizer and weights all
+    // derive from that one row — an earlier two-broadcast formulation
+    // (baseline agg × normalizer agg × final select) re-evaluated the
+    // input subtree three times, which tripled every caller's rating
+    // cost. Groups are decision-table-sized by contract (languages,
+    // sources, domains), so the one-row collect is bounded.
+    val packed = df
       .groupBy(col(groupCol))
       .agg(
         sum(floor(col(rateCol) * grid).cast("long")).as("sq"),
         count(lit(1)).as("n"))
-      .withColumn("mean_q", col("sq").cast("double") / col("n").cast("double"))
-    val base = grouped.agg(
-      min(col("mean_q")).as("mn"),
-      count(lit(1)).as("n_groups"))
-    val excess = grouped
-      .crossJoin(broadcast(base))
-      .withColumn("excess", col("mean_q") - col("mn"))
-    val z = excess.agg(
-      aggregate(
-        array_sort(collect_list(struct(col(groupCol), col("excess")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("excess")
-      ).as("z"))
-    excess
-      .crossJoin(broadcast(z))
+      .agg(sort_array(collect_list(struct(col(groupCol), col("sq"), col("n"))))
+        .as("gs"))
+    def mean(g: Column): Column = g("sq").cast("double") / g("n").cast("double")
+    packed
+      .withColumn("mn", array_min(transform(col("gs"), g => mean(g))))
+      .withColumn("n_groups", size(col("gs")))
+      // ordered fold of the excesses in group order (gs is sorted by
+      // the group key) — double addition is order-dependent, and this
+      // is the exact order the oracle's list(excess ORDER BY group)
+      // folds in
+      .withColumn("z",
+        aggregate(col("gs"), lit(0.0), (acc, g) => acc + (mean(g) - col("mn"))))
+      .select(explode(col("gs")).as("g"), col("mn"), col("n_groups"), col("z"))
       .select(
-        col(groupCol), col("n"),
+        col("g")(groupCol).as(groupCol),
+        col("g")("n").as("n"),
         when(col("z") === 0.0, lit(1.0) / col("n_groups").cast("double"))
-          .otherwise(col("excess") / col("z")).as("weight"))
+          .otherwise((mean(col("g")) - col("mn")) / col("z")).as("weight"))
   }
 }
