@@ -200,4 +200,95 @@ class CurationPropertySpec extends SparkSpec {
       assert(merged.keySet == perDoc.map(_._1).toSet)
     }
   }
+
+  // ---------------------------------------------------------- quotaAdmit
+
+  test("quotaAdmit: per-group counts, prefix-of-arrival, subset, determinism") {
+    val quotaGen = for {
+      a <- Gen.choose(0L, 5L); b <- Gen.choose(0L, 5L); c <- Gen.choose(0L, 5L)
+    } yield Map("a" -> a, "b" -> b, "c" -> c)
+    val cased = for { rows <- rowsGen; q <- quotaGen } yield (rows, q)
+    forAllSamples(cased, 12) { case (rows, allocs) =>
+      val df = rows.toDF("doc_id", "src")
+      val quota = allocs.toSeq.toDF("src", "alloc")
+      val out = Sampling.quotaAdmit(df, "src", "doc_id", "doc_id", quota)
+        .select("doc_id", "src").as[(Long, String)].collect().toSet
+      val byGroup = rows.groupBy(_._2)
+      byGroup.foreach { case (g, members) =>
+        val cap = allocs.getOrElse(g, 0L)
+        // exactly min(alloc, |group|) admitted, and they are the PREFIX
+        // of the group's arrival (seq = doc_id) order — the enforcement
+        // semantics, unlike capPerGroup's unbiased hash order
+        val expected = members.map(_._1).sorted.take(cap.toInt).toSet
+        assert(out.filter(_._2 == g).map(_._1) == expected, s"group $g")
+      }
+      assert(out.subsetOf(rows.toSet))
+      // "d" never has a quota row -> admits nothing even if present
+      assert(out.forall(_._2 != "d"))
+    }
+  }
+
+  // ------------------------------------------------ kAnonymityGeneralize
+
+  test("kAnonymityGeneralize: level minimality, release soundness, suppression") {
+    val genRow = for {
+      id <- Gen.choose(0L, 300L)
+      lang <- Gen.oneOf("en", "de")
+      n <- Gen.choose(0L, 300L)
+    } yield (id, lang, n)
+    forAllSamples(Gen.nonEmptyListOf(genRow).map(_.distinctBy(_._1)), 10) { rows =>
+      val k = 3L
+      val df = rows.toDF("id", "lang", "n")
+      val out = graft.operators.Profile.kAnonymityGeneralize(
+        df,
+        levels = Seq(
+          Seq("lang" -> col("lang"), "b" -> expr("n div 10")),
+          Seq("lang" -> col("lang"), "b" -> expr("n div 100")),
+          Seq("lang" -> col("lang"))),
+        k = k)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Int]("gen_level"), r.getAs[Long]("k_group"), r.getAs[Boolean]("keep"))))
+        .toMap
+      // independent reimplementation: per-row minimal clearing level
+      def key(r: (Long, String, Long), lvl: Int): Product = lvl match {
+        case 0 => (r._2, r._3 / 10); case 1 => (r._2, r._3 / 100); case _ => Tuple1(r._2)
+      }
+      val counts = (0 to 2).map(l => rows.groupBy(key(_, l)).map { case (kk, v) => kk -> v.size.toLong })
+      rows.foreach { r =>
+        val lvl = (0 to 2).find(l => counts(l)(key(r, l)) >= k).getOrElse(3)
+        val kg = if (lvl <= 2) counts(lvl)(key(r, lvl)) else counts(2)(key(r, 2))
+        assert(out(r._1) == ((lvl, kg, lvl <= 2)), s"row $r")
+      }
+      // release soundness: every released row's group at its level clears k
+      assert(out.values.forall { case (lvl, kg, keep) => !keep || (kg >= k && lvl <= 2) })
+    }
+  }
+
+  // -------------------------------------------------------- encodeIds
+
+  test("encodeIds: concatenating looked-up symbols reconstructs each document") {
+    // round-trip property on random word corpora: the id stream, mapped
+    // back through the (id -> symbol) table, must spell out exactly the
+    // whitespace-split document — the tokenizer loses nothing
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf("ab", "ba", "abc", "a", "cc"))
+      .map(_.take(6).mkString(" "))
+    val corpusGen2 = Gen.nonEmptyListOf(wordGen).map(_.take(8).zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    })
+    forAllSamples(corpusGen2, 8) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val dict = graft.operators.Vocab.mergedDict(docs, "text", iters = 2)
+      val symOf = graft.operators.Vocab.subwordIds(dict)
+        .as[(String, Long)].collect().map(_.swap).toMap
+      val ids = graft.operators.Vocab.encodeIds(docs, "doc_id", "text", dict)
+        .as[(Long, Long, Long)].collect()
+      dict.unpersist()
+      val rebuilt = ids.groupBy(_._1).view.mapValues(
+        _.sortBy(_._2).map(t => symOf(t._3)).mkString).toMap
+      rows.foreach { case (id, text) =>
+        assert(rebuilt.getOrElse(id, "") == text.split("\\s+").filter(_.nonEmpty).mkString,
+          s"doc $id")
+      }
+    }
+  }
 }
