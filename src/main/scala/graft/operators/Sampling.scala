@@ -362,6 +362,69 @@ object Sampling {
     * Σsnapped, n); everything downstream operates on |groups| rows
     * (the baseline and normalizer collapse to one broadcast row).
     */
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): cap every source at `maxEpochs` passes over its
+    * data and water-fill the remaining token budget UNIFORMLY over the
+    * uncapped sources — the fairness-first alternative to temperature
+    * sampling ([[temperatureAlloc]]) and loss-driven reweighting
+    * ([[excessLossWeights]]).
+    *
+    * Closed form over the ascending-capacity order (capacity c_i =
+    * size_i × maxEpochs; G groups; budget B): walking ranks i = 1..G,
+    * the candidate water level is Lᵢ = ⌊(B − Σ_{j<i} c_j) / (G−i+1)⌋,
+    * which strictly rises while groups stay capacity-limited (cᵢ < Lᵢ);
+    * at the first rank i* with c_{i*} ≥ L_{i*} the level freezes
+    * (every later group, having larger capacity, is level-limited at
+    * the same L), so alloc_i = min(cᵢ, L_{i*}) for every group — pure
+    * prefix-sum arithmetic, no sequential loop. If even the largest
+    * group is capacity-limited the whole corpus is allocated
+    * (L = +∞ sentinel). Integer floor throughout; the ≤ G tokens the
+    * floor leaves unallocated stay unallocated (never redistributed —
+    * determinism over exhaustiveness, as [[temperatureAlloc]]).
+    *
+    * Scale shape: one corpus scan with map-side partial aggregation
+    * into (group, size); every window after that runs over |groups|
+    * rows — a decision-table, not a corpus.
+    *
+    * @return (group, n, capacity, alloc) — n the summed `sizeCol`
+    */
+  def unimaxAlloc(
+      df: DataFrame,
+      groupCol: String,
+      sizeCol: String,
+      budget: Long,
+      maxEpochs: Int
+  ): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byCap = W.orderBy(col("capacity").asc, col(groupCol).asc)
+    val all = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val leveled = df
+      .groupBy(col(groupCol))
+      .agg(sum(col(sizeCol).cast("long")).as("n"))
+      .withColumn("capacity", col("n") * maxEpochs)
+      .withColumn("rk", row_number().over(byCap))
+      .withColumn("prefix",
+        coalesce(
+          sum(col("capacity")).over(byCap.rowsBetween(W.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("gg", count(lit(1)).over(all))
+      .withColumn("lvl",
+        floor((lit(budget) - col("prefix")) / (col("gg") - col("rk") + 1))
+          .cast("long"))
+      // the frozen water level: the candidate at the FIRST rank whose
+      // group is not capacity-limited (struct-min orders by rank, so
+      // the smallest-rk candidate wins — candidate levels at later
+      // ranks are computed from capacity prefixes, not allocations,
+      // and are meaningless once the level has frozen)
+      .withColumn("level",
+        min(when(col("capacity") >= col("lvl"),
+          struct(col("rk"), col("lvl")))).over(all).getField("lvl"))
+    leveled.select(
+      col(groupCol), col("n"), col("capacity"),
+      least(col("capacity"), coalesce(col("level"), col("capacity"))).as("alloc"))
+  }
+
   def excessLossWeights(df: DataFrame, groupCol: String, rateCol: String): DataFrame = {
     val grid = 1048576.0 // 2^20
     // The ONLY evaluation of the (possibly corpus-sized) input lineage:

@@ -81,6 +81,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: per
+    * anchor, the top-k most similar corpus vectors BELOW the positive
+    * band (`sim < maxSim`) — near enough to be informative negatives,
+    * far enough not to be latent duplicates/positives. The standard
+    * companion to [[Quantize]]'s two-tower training data: the band
+    * ceiling is the same threshold a SemDeDup pass would use for
+    * near-dup collapse, so mined negatives are guaranteed disjoint
+    * from what dedup removes.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — anchors broadcast,
+    * the corpus never shuffles (the ranking window keys on the anchor
+    * id, and only band-passing candidates enter it). For anchor sets
+    * past broadcast size, run the same band filter over
+    * [[ivfTopK]]'s probed candidates instead (ANN-candidates →
+    * band-filter → rank is the composition; the band filter is a
+    * map-side predicate either way).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxSim: Double
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnorm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .filter(col("sim") < maxSim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Assign every vector to its nearest centroid (by cosine).
     * `centroids` must be small (broadcast).
     *

@@ -265,4 +265,34 @@ object Vocab {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("pos"), col("tid").as("token_id"))
   }
+
+  /** Inverse of [[encodeIds]] under the same dictionary — reassemble
+    * each document's whitespace-stripped text from its token-id stream.
+    * The round trip `decodeIds(encodeIds(docs)) == strip-spaces(docs)`
+    * is the tokenizer's end-to-end integrity check: it holds only if
+    * the emitted ids cover every word, map to the right surface forms,
+    * and carry positions in exact document order.
+    *
+    * @param ids (idCol, pos, token_id) rows as [[encodeIds]] emits
+    * @return (idCol, text_nospace) — one row per document that has at
+    *         least one id
+    *
+    * Scale shape: the (token_id → symbol) vocabulary broadcasts; the
+    * corpus pays one doc-keyed aggregation (collect each doc's
+    * (pos, sym) pairs, sort in-row, concat). Per-doc state is the
+    * document's own id stream — the same order of memory the document
+    * text itself takes.
+    */
+  def decodeIds(ids: DataFrame, idCol: String, dict: DataFrame): DataFrame = {
+    val vocab = subwordIds(dict).withColumnRenamed("tid", "token_id")
+    ids
+      .join(broadcast(vocab), "token_id")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(
+          "",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("sym")))),
+            x => x.getField("sym"))).as("text_nospace"))
+  }
 }

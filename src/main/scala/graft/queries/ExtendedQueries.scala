@@ -1,10 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{BloomPrune, Dedup, Layout, Sampling, Skew, TextAnalysis}
+import graft.operators.{BloomPrune, Changelog, Dedup, Layout, Sampling, Skew, TextAnalysis}
 
 /** Round-2 coverage widening: the remaining relational / analytic
   * surface a user of a full engine expects — correlated subqueries,
@@ -1695,6 +1696,68 @@ object ExtendedQueries {
           |  SELECT o_orderkey, o_totalprice FROM orders
           |  WHERE o_custkey = c_custkey
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin
+      )
+    ),
+
+    // Change-data-capture application: a three-wave changelog (two
+    // update generations + a takedown wave, derived deterministically
+    // from the base table) folded into the orders snapshot by
+    // keep-latest-version with tombstone drop. ONE key-partitioned
+    // shuffle; the keep-latest ranking plans a map-side (Partial)
+    // WindowGroupLimit — asserted below — so a hot key's changelog
+    // history never crosses the exchange. The +100.0 price updates are
+    // single IEEE adds, deterministic in both engines.
+    Q(
+      "q_cdc_apply",
+      (spark, dir) => {
+        val base = Q.t(spark, dir, "orders")
+        def wave(pred: Column, seq: Long, op: String, price: Column, status: Column) =
+          base
+            .filter(pred)
+            .withColumn("o_totalprice", price)
+            .withColumn("o_orderstatus", status)
+            .withColumn("seq", lit(seq))
+            .withColumn("op", lit(op))
+        val log = wave(col("o_orderkey") % 7 === 0, 1L, "U",
+            col("o_totalprice") + 100.0, lit("U1"))
+          .unionByName(wave(col("o_orderkey") % 21 === 0, 2L, "U",
+            col("o_totalprice") + 200.0, lit("U2")))
+          .unionByName(wave(col("o_orderkey") % 11 === 0, 3L, "D",
+            col("o_totalprice"), col("o_orderstatus")))
+        val out = Changelog.applyLog(
+          base, log, Seq("o_orderkey"), "seq", "op")
+        Q.requireMapSideGroupLimit(out, 1)
+        out
+      },
+      Some(
+        """WITH log AS (
+          |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+          |         o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+          |         o_orderpriority, CAST(1 AS BIGINT) AS seq, 'U' AS op
+          |  FROM orders WHERE o_orderkey % 7 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 200.0,
+          |         o_orderdate, o_orderpriority, 2, 'U'
+          |  FROM orders WHERE o_orderkey % 21 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |         o_orderdate, o_orderpriority, 3, 'D'
+          |  FROM orders WHERE o_orderkey % 11 = 0
+          |), allv AS (
+          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |         o_orderdate, o_orderpriority,
+          |         CAST(-9223372036854775808 AS BIGINT) AS seq, 'U' AS op
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT * FROM log
+          |), ranked AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+          |                               ORDER BY seq DESC) AS rn
+          |  FROM allv
+          |)
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |       o_orderdate, o_orderpriority
+          |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin
       )
     )
   )

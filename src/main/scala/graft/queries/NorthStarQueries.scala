@@ -846,6 +846,38 @@ object NorthStarQueries {
       )
     ),
 
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-5 most similar vectors BELOW the 0.3 positive band — near
+    // enough to be informative negatives, disjoint from what a
+    // SemDeDup pass at the same threshold would collapse. Same plan
+    // as q_ann_cosine (anchors broadcast, corpus never shuffles) plus
+    // one map-side band predicate.
+    Q(
+      "q_hard_negatives",
+      (spark, dir) => {
+        val emb = Q.t(spark, dir, "embeddings")
+        Similarity.hardNegatives(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, maxSim = 0.3)
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+          |scored AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+          |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+          |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+          |)
+          |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+          |  SELECT query_id, neighbor_id,
+          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+          |  FROM scored WHERE sim < 0.3) t
+          |WHERE rnk <= 5""".stripMargin
+      )
+    ),
+
     // Full IVF oracle: centroid assignment, probing, and final ranking
     // mirrored in SQL (rank/ids only — sims stay internal).
     Q(

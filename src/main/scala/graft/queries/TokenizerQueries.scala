@@ -499,6 +499,71 @@ object TokenizerQueries {
           |  CAST(FLOOR(100000.0 * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT) AS alloc
           |FROM c, z""".stripMargin
       )
+    ),
+
+    // UniMax budget allocation: cap each language at 2 epochs over its
+    // character mass, water-fill the rest uniformly. Pure integer
+    // prefix-sum arithmetic over the |langs|-sized decision table (the
+    // corpus pays one partial-agg scan) — bit-exact. At sf0.01 the
+    // 250k budget caps the four small languages at capacity and level-
+    // limits en; at sf0.1 the same budget level-limits every language
+    // uniformly — both regimes of the closed form are exercised.
+    Q(
+      "q_unimax_mix",
+      (spark, dir) =>
+        Sampling.unimaxAlloc(
+          Q.t(spark, dir, "documents").select(col("lang"), col("n_chars")),
+          "lang", "n_chars", budget = 250000L, maxEpochs = 2),
+      Some(
+        """WITH c AS (
+          |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n,
+          |         CAST(SUM(n_chars) * 2 AS BIGINT) AS capacity
+          |  FROM documents GROUP BY lang
+          |), r AS (
+          |  SELECT lang, n, capacity,
+          |    ROW_NUMBER() OVER (ORDER BY capacity, lang) AS rk,
+          |    COALESCE(SUM(capacity) OVER (ORDER BY capacity, lang
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+          |    COUNT(*) OVER () AS gg
+          |  FROM c
+          |), l AS (
+          |  SELECT *, CAST(FLOOR((250000 - pfx) / (gg - rk + 1)) AS BIGINT) AS lvl
+          |  FROM r
+          |), lv AS (
+          |  SELECT arg_min(lvl, rk) AS level FROM l WHERE capacity >= lvl
+          |)
+          |SELECT lang, n, capacity,
+          |  LEAST(capacity, COALESCE(level, capacity)) AS alloc
+          |FROM l, lv""".stripMargin
+      )
+    ),
+
+    // The tokenizer's end-to-end integrity check: decode(encode(docs))
+    // must reproduce each document's whitespace-stripped text — the
+    // round trip holds only if encodeIds covers every word, maps each
+    // to the right subword surface forms, and carries positions in
+    // exact document order. The oracle is deliberately INDEPENDENT of
+    // the id chain: just strip the whitespace — any defect anywhere in
+    // dictionary training, id assignment, position ranking, or decode
+    // ordering hash-mismatches. Corpus cost: encodeIds' explode + one
+    // doc-keyed window, then decode's one doc-keyed aggregation.
+    Q(
+      "q_ids_roundtrip",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val out = Vocab.decodeIds(
+          Vocab.encodeIds(docs, "doc_id", "text", dict), "doc_id", dict)
+        val scratch = Q.scratch("idsrt")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        """SELECT doc_id, regexp_replace(text, '\s+', '', 'g') AS text_nospace
+          |FROM documents
+          |WHERE regexp_replace(text, '\s+', '', 'g') <> ''""".stripMargin
+      )
     )
   )
 }

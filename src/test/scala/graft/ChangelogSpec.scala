@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Changelog
+import graft.queries.Q
+
+/** CDC changelog application: keep-latest-version semantics, tombstone
+  * drop, insert of log-only keys, and the map-side WindowGroupLimit
+  * plan fact that makes hot keys safe at scale.
+  */
+class ChangelogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def base =
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "x")
+
+  test("latest upsert wins; tombstoned key drops; untouched key survives") {
+    val log = Seq(
+      (1L, "a1", 11, 1L, "U"),
+      (1L, "a2", 12, 2L, "U"),
+      (2L, "xx", 0, 5L, "D"),
+      (4L, "new", 40, 1L, "U") // insert: key absent from the base
+    ).toDF("k", "v", "x", "seq", "op")
+    val out = Changelog.applyLog(base, log, Seq("k"), "seq", "op")
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "a2", 12), (3L, "c", 30), (4L, "new", 40)))
+  }
+
+  test("a delete followed by a later upsert resurrects the key") {
+    val log = Seq(
+      (3L, "zz", 0, 1L, "D"),
+      (3L, "c2", 31, 2L, "U")
+    ).toDF("k", "v", "x", "seq", "op")
+    val out = Changelog.applyLog(base, log, Seq("k"), "seq", "op")
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "a", 10), (2L, "b", 20), (3L, "c2", 31)))
+  }
+
+  test("empty log returns the base unchanged") {
+    val log = Seq.empty[(Long, String, Int, Long, String)]
+      .toDF("k", "v", "x", "seq", "op")
+    val out = Changelog.applyLog(base, log, Seq("k"), "seq", "op")
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)))
+  }
+
+  test("base carrying the seq/op columns is rejected") {
+    val bad = base.withColumn("seq", lit(0L))
+    val log = Seq((1L, "a1", 11, 1L, "U")).toDF("k", "v", "x", "seq", "op")
+    intercept[IllegalArgumentException] {
+      Changelog.applyLog(bad, log, Seq("k"), "seq", "op")
+    }
+  }
+
+  test("keep-latest ranking plans a map-side (Partial) WindowGroupLimit") {
+    val log = Seq((1L, "a1", 11, 1L, "U")).toDF("k", "v", "x", "seq", "op")
+    val out = Changelog.applyLog(base, log, Seq("k"), "seq", "op")
+    out.count(): Unit
+    Q.requireMapSideGroupLimit(out, 1)
+  }
+}

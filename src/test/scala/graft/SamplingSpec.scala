@@ -207,4 +207,46 @@ class SamplingSpec extends SparkSpec {
     assert(spread(rated2) < spread(rated1),
       "excess spread of the selected mixture must shrink")
   }
+
+  test("unimaxAlloc: small sources cap at maxEpochs, the rest water-fill") {
+    // sizes 10/20/100 at 2 epochs → capacities 20/40/200; budget 150:
+    // L1 = 150/3 = 50 > 20 → a capped; L2 = 130/2 = 65 > 40 → b capped;
+    // L3 = 90 ≤ 200 → c level-limited at 90
+    val rows = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("g", "sz")
+    val got = Sampling.unimaxAlloc(rows, "g", "sz", budget = 150L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("a" -> (20L, 20L), "b" -> (40L, 40L), "c" -> (200L, 90L)))
+  }
+
+  test("unimaxAlloc: budget above total capacity allocates every capacity") {
+    val rows = Seq(("a", 10L), ("b", 20L)).toDF("g", "sz")
+    val got = Sampling.unimaxAlloc(rows, "g", "sz", budget = 1000L, maxEpochs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("a" -> 30L, "b" -> 60L))
+  }
+
+  test("unimaxAlloc: tight budget levels every source uniformly") {
+    val rows = Seq(("a", 100L), ("b", 200L), ("c", 300L)).toDF("g", "sz")
+    val got = Sampling.unimaxAlloc(rows, "g", "sz", budget = 90L, maxEpochs = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("a" -> 30L, "b" -> 30L, "c" -> 30L))
+    // total allocation never exceeds the budget
+    assert(got.values.sum <= 90L)
+  }
+
+  test("unimaxAlloc: allocation is monotone in capacity and budget-bounded") {
+    val rows = (0L until 1000L).map(i => (s"g${i % 7}", 1L + i % 13)).toDF("g", "sz")
+    val got = Sampling.unimaxAlloc(rows, "g", "sz", budget = 2000L, maxEpochs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._3).sum <= 2000L)
+    got.foreach { case (g, cap, alloc) =>
+      assert(alloc <= cap, s"$g allocated past capacity")
+    }
+    // larger capacity never receives less
+    val sorted = got.sortBy(_._2).toSeq
+    sorted.sliding(2).foreach {
+      case Seq((_, _, a1), (_, _, a2)) => assert(a1 <= a2)
+      case _                           =>
+    }
+  }
 }

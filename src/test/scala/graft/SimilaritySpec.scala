@@ -29,6 +29,31 @@ class SimilaritySpec extends SparkSpec {
     assert(top.sameElements(Array(2L, 4L, 3L)))
   }
 
+  test("hardNegatives: band ceiling excludes positives, ranks the rest") {
+    val d = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(2f, 0f, 0f),  // cos = 1.0 with 1 → positive, excluded
+      3L -> Seq(0f, 1f, 0f),  // cos = 0
+      4L -> Seq(1f, 1f, 0f),  // cos ≈ 0.707 → excluded at 0.6
+      5L -> Seq(1f, 2f, 0f)   // cos ≈ 0.447 → hardest admissible negative
+    )
+    val got = Similarity.hardNegatives(
+      d, d.filter(col("vec_id") === 1), "vec_id", "embedding", k = 2, maxSim = 0.6)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(5L, 3L))
+  }
+
+  test("hardNegatives with an open band equals brute-force top-k") {
+    val d = vecs((1L to 20L).map(i =>
+      i -> Seq((i % 5).toFloat + 1f, (i % 3).toFloat, (i % 7).toFloat)): _*)
+    val q = d.filter(col("vec_id") <= 2)
+    val hard = Similarity.hardNegatives(d, q, "vec_id", "embedding", k = 5, maxSim = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hard == brute)
+  }
+
   test("IVF with full probing equals brute force; partial probing recalls most") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)

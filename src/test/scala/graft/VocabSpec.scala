@@ -123,6 +123,26 @@ class VocabSpec extends SparkSpec {
       (5L, 4L, 2L), (5L, 5L, 1L)))              // b a
   }
 
+  test("decodeIds inverts encodeIds: whitespace-stripped text round-trips") {
+    val docs = Seq((1L, "aa aa b"), (2L, "aab"), (3L, "b  aa\tb")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(docs, "text", 2)
+    val got = Vocab
+      .decodeIds(Vocab.encodeIds(docs, "doc_id", "text", dict), "doc_id", dict)
+      .as[(Long, String)].collect().toMap
+    dict.unpersist()
+    assert(got == Map(1L -> "aaaab", 2L -> "aab", 3L -> "baab"))
+  }
+
+  test("decodeIds: doc with no tokens yields no row") {
+    val docs = Seq((1L, "ab"), (2L, "  \t ")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(docs, "text", 0)
+    val got = Vocab
+      .decodeIds(Vocab.encodeIds(docs, "doc_id", "text", dict), "doc_id", dict)
+      .as[(Long, String)].collect().toMap
+    dict.unpersist()
+    assert(got == Map(1L -> "ab"))
+  }
+
   test("spanDedup: the contained smaller doc is dropped, the host survives") {
     val span = (1 to 15).map(i => s"s$i").mkString(" ")
     val host = span + " " + (1 to 20).map(i => s"extra$i").mkString(" ")
