@@ -156,4 +156,42 @@ object Profile {
       .drop(levels.indices.flatMap(i =>
         s"__k$i" +: levels(i).map { case (n, _) => s"__qi${i}_$n" }): _*)
   }
+
+  /** Curation-decision audit — the "why was my document dropped"
+    * artifact: given the FULL input and each pipeline stage's survivor
+    * set (in stage order), attribute every input row to the FIRST
+    * stage that dropped it, or "kept". This is the per-row lineage
+    * record a takedown/appeal/debugging workflow reads; the flagship
+    * pipelines emit only the survivors, so without it the drop reason
+    * is unrecoverable.
+    *
+    * @param stages (stageName, survivors) in pipeline order — each
+    *               survivor frame must contain `idCol`; rows absent
+    *               from stage i's survivors (but present in stage
+    *               i-1's) are attributed to stage i's name
+    * @return (idCol, drop_stage)
+    *
+    * Scale shape: one id-keyed left join per stage, each carrying only
+    * (id, flag) — after the first exchange every join is co-partitioned
+    * on the id, and no payload column rides along. Cost is linear in
+    * stages × ids, never in document bytes.
+    */
+  def dropReasons(
+      all: DataFrame,
+      idCol: String,
+      stages: Seq[(String, DataFrame)]
+  ): DataFrame = {
+    require(stages.nonEmpty, "Profile.dropReasons: need at least one stage")
+    val flagged = stages.zipWithIndex.foldLeft(all.select(col(idCol))) {
+      case (acc, ((_, survivors), i)) =>
+        acc.join(
+          survivors.select(col(idCol)).withColumn(s"__s$i", lit(true)),
+          Seq(idCol), "left")
+    }
+    val attributed = stages.zipWithIndex.reverse.foldLeft(lit("kept")) {
+      case (tail, ((name, _), i)) =>
+        when(col(s"__s$i").isNull, lit(name)).otherwise(tail)
+    }
+    flagged.select(col(idCol), attributed.as("drop_stage"))
+  }
 }

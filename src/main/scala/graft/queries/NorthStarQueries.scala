@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, Dedup, Multimodal, Quantize, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Profile, Quantize, Sampling, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators (BASELINE.json `north_star`)
   * over the `documents` / `embeddings` tables: dedup (exact, Jaccard,
@@ -148,6 +148,62 @@ object NorthStarQueries {
        |  JOIN sizes sa ON sa.id = id_a
        |  JOIN sizes sb ON sb.id = id_b
        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+       |)""".stripMargin
+
+  /** The flagship pipeline's full CTE chain — quality/lang filter
+    * (`qf`), exact dedup (`exq`), near-dup canon (`canon`), benchmark
+    * contamination hits (`hits`) — shared VERBATIM by
+    * q_corpus_pipeline (which selects the survivors) and
+    * q_drop_reasons (which attributes every document to its dropping
+    * stage), so the audit cannot drift from the pipeline it explains.
+    */
+  private lazy val FlagshipCtes: String =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT doc_id, lang, text,
+       |    $LangCaseSql AS lang_pred,
+       |    $QualityMetricsSql
+       |  FROM documents
+       |), qf AS (
+       |  SELECT doc_id, lang, text FROM m
+       |  WHERE lang_pred = lang AND n_tok BETWEEN 8 AND 4096
+       |    AND $QualityScoreSql >= 0.5
+       |), exq AS (
+       |  SELECT q.doc_id, q.lang, q.text FROM qf q
+       |  JOIN (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY sha256(text)) e USING (doc_id)
+       |), ${jaccardCtes("exq")},
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM jpairs
+       |  UNION ALL SELECT id_b, id_a FROM jpairs
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), canon AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM exq d
+       |  WHERE d.doc_id <= COALESCE((SELECT MIN(r.v) FROM reach r WHERE r.u = d.doc_id),
+       |                             d.doc_id)
+       |), btoks AS (
+       |  SELECT doc_id AS id, $SqlToks AS t FROM documents WHERE doc_id < 20
+       |), bsh5 AS (
+       |  SELECT DISTINCT
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+       |                       c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+       |  FROM btoks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+       |), ctoks AS (
+       |  SELECT doc_id AS id, $SqlToks AS t FROM canon
+       |), csh5 AS (
+       |  SELECT DISTINCT id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+       |                       c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+       |  FROM ctoks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+       |), hits AS (
+       |  SELECT DISTINCT id FROM csh5 JOIN bsh5 USING (sh)
        |)""".stripMargin
 
   /** [[jaccardCtes]]'s asymmetric twin ending in `cpairs` — same
@@ -1961,53 +2017,7 @@ object NorthStarQueries {
           Sampling.hashBucket(col("doc_id"), 64).as("shard"))
       },
       Some(
-        s"""WITH RECURSIVE m AS (
-           |  SELECT doc_id, lang, text,
-           |    $LangCaseSql AS lang_pred,
-           |    $QualityMetricsSql
-           |  FROM documents
-           |), qf AS (
-           |  SELECT doc_id, lang, text FROM m
-           |  WHERE lang_pred = lang AND n_tok BETWEEN 8 AND 4096
-           |    AND $QualityScoreSql >= 0.5
-           |), exq AS (
-           |  SELECT q.doc_id, q.lang, q.text FROM qf q
-           |  JOIN (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY sha256(text)) e USING (doc_id)
-           |), ${jaccardCtes("exq")},
-           |edges AS (
-           |  SELECT id_a AS u, id_b AS v FROM jpairs
-           |  UNION ALL SELECT id_b, id_a FROM jpairs
-           |), reach(u, v) AS (
-           |  SELECT u, v FROM edges
-           |  UNION
-           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-           |), canon AS (
-           |  SELECT d.doc_id, d.lang, d.text FROM exq d
-           |  WHERE d.doc_id <= COALESCE((SELECT MIN(r.v) FROM reach r WHERE r.u = d.doc_id),
-           |                             d.doc_id)
-           |), btoks AS (
-           |  SELECT doc_id AS id, $SqlToks AS t FROM documents WHERE doc_id < 20
-           |), bsh5 AS (
-           |  SELECT DISTINCT
-           |    list_reduce(
-           |      list_prepend(CAST(0 AS BIGINT),
-           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
-           |                       c -> CAST(ascii(c) AS BIGINT))),
-           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
-           |  FROM btoks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
-           |), ctoks AS (
-           |  SELECT doc_id AS id, $SqlToks AS t FROM canon
-           |), csh5 AS (
-           |  SELECT DISTINCT id,
-           |    list_reduce(
-           |      list_prepend(CAST(0 AS BIGINT),
-           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
-           |                       c -> CAST(ascii(c) AS BIGINT))),
-           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
-           |  FROM ctoks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
-           |), hits AS (
-           |  SELECT DISTINCT id FROM csh5 JOIN bsh5 USING (sh)
-           |)
+        s"""$FlagshipCtes
            |SELECT doc_id, lang,
            |  CASE WHEN (((doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
            |            % ${Sampling.P} % 100 < 10
@@ -2016,6 +2026,44 @@ object NorthStarQueries {
            |    % ${Sampling.P} % 64 AS shard
            |FROM canon
            |WHERE doc_id NOT IN (SELECT id FROM hits)""".stripMargin
+      )
+    ),
+
+    // The flagship pipeline's AUDIT artifact: every document attributed
+    // to the first stage that dropped it ('quality' → 'exact_dup' →
+    // 'near_dup' → 'contaminated') or 'kept' — the "why was my document
+    // dropped" record a takedown/appeal workflow reads, which the
+    // survivor-only flagship output cannot answer. Stage survivor sets
+    // are the SAME operator calls as q_corpus_pipeline; the oracle
+    // shares the flagship's CTE chain verbatim. Plan: the pipeline's
+    // own cost + one id-keyed (id, flag) left join per stage.
+    Q(
+      "q_drop_reasons",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val bench = docs.filter(col("doc_id") < 20)
+        val quality = docs.filter(
+          TextAnalysis.langId(col("text")) === col("lang") &&
+            TextAnalysis.tokenCount(col("text")).between(8, 4096) &&
+            TextAnalysis.qualityScore(col("text")) >= 0.5)
+        val exact = Dedup.dropExactDuplicates(quality, "doc_id", "text")
+        val canon = Dedup.dropNearDupClusterMembers(exact, "doc_id", "text", n = 3, threshold = 0.4)
+        val clean = Decontaminate.dropContaminated(canon, bench, "doc_id", "text", n = 5)
+        Profile.dropReasons(docs, "doc_id", Seq(
+          "quality" -> quality,
+          "exact_dup" -> exact,
+          "near_dup" -> canon,
+          "contaminated" -> clean))
+      },
+      Some(
+        s"""$FlagshipCtes
+           |SELECT d.doc_id,
+           |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM qf) THEN 'quality'
+           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM exq) THEN 'exact_dup'
+           |       WHEN d.doc_id NOT IN (SELECT doc_id FROM canon) THEN 'near_dup'
+           |       WHEN d.doc_id IN (SELECT id FROM hits) THEN 'contaminated'
+           |       ELSE 'kept' END AS drop_stage
+           |FROM documents d""".stripMargin
       )
     ),
 
@@ -2188,6 +2236,49 @@ object NorthStarQueries {
            |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
            |  FROM clean) t
            |WHERE rn <= 10""".stripMargin
+      }
+    ),
+
+    // Leakage-safe evaluation split: hash-split into train/holdout,
+    // then DROP from train any document sharing a 5-shingle with a
+    // holdout document — the cross-split twin of benchmark
+    // decontamination, guarding eval integrity against near-verbatim
+    // overlap the random split cannot see. Plan: map-side split label,
+    // then one shingle-keyed anti-join of distinct (id, hash) pairs
+    // against the holdout's distinct shingle hashes; no text crosses
+    // the exchange.
+    Q(
+      "q_split_decontam",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val (train, holdout) = Sampling.trainHoldout(docs, "doc_id", holdoutBuckets = 10)
+        val safeTrain = Decontaminate.dropContaminated(train, holdout, "doc_id", "text", n = 5)
+        safeTrain.select(col("doc_id"), lit("train").as("split"))
+          .unionByName(holdout.select(col("doc_id"), lit("holdout").as("split")))
+      },
+      Some {
+        val pm = s"(((doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P}"
+        s"""WITH lbl AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN $pm % 100 < 10 THEN 'holdout' ELSE 'train' END AS split
+           |  FROM documents
+           |), toks AS (
+           |  SELECT doc_id AS id, split, $SqlToks AS t FROM lbl
+           |), sh5 AS (
+           |  SELECT DISTINCT id, split,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+           |), hsh AS (
+           |  SELECT DISTINCT sh FROM sh5 WHERE split = 'holdout'
+           |), leaky AS (
+           |  SELECT DISTINCT id FROM sh5 WHERE split = 'train' AND sh IN (SELECT sh FROM hsh)
+           |)
+           |SELECT doc_id, split FROM lbl
+           |WHERE split = 'holdout' OR doc_id NOT IN (SELECT id FROM leaky)""".stripMargin
       }
     )
   )

@@ -291,4 +291,30 @@ class CurationPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: dropReasons attributes each id to its FIRST dropping stage") {
+    val idsGen = Gen.listOfN(30, Gen.chooseNum(0L, 19L)).map(_.distinct)
+    forAllSamples(for {
+      all <- idsGen
+      s1 <- idsGen; s2 <- idsGen; s3 <- idsGen
+    } yield (all, s1, s2, s3), 25) { case (all, s1raw, s2raw, s3raw) =>
+      // enforce pipeline monotonicity: each stage survives a subset of
+      // the previous (as real pipelines do)
+      val s1 = s1raw.filter(all.contains)
+      val s2 = s2raw.filter(s1.contains)
+      val s3 = s3raw.filter(s2.contains)
+      import spark.implicits._
+      val got = graft.operators.Profile.dropReasons(
+        all.toDF("id"), "id",
+        Seq("a" -> s1.toDF("id"), "b" -> s2.toDF("id"), "c" -> s3.toDF("id")))
+        .as[(Long, String)].collect().toMap
+      val expect = all.map { id =>
+        id -> (if (!s1.contains(id)) "a"
+               else if (!s2.contains(id)) "b"
+               else if (!s3.contains(id)) "c"
+               else "kept")
+      }.toMap
+      assert(got == expect)
+    }
+  }
 }

@@ -302,4 +302,45 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(viaWindow == streamed)
     } finally q.stop()
   }
+
+  test("streaming changelog: last emit per key equals the batch snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingChangelog
+    import graft.streaming.StreamingChangelog.Change
+    val batch1 = Seq(Change(1, 1, "U", "a1"), Change(2, 1, "U", "b1"),
+      Change(1, 2, "U", "a2"))
+    // batch 2: update 2, delete 1, and a STALE out-of-order change for
+    // 2 (seq 0 — must not regress the stored version), plus a fresh key
+    val batch2 = Seq(Change(2, 3, "U", "b2"), Change(1, 4, "D", ""),
+      Change(2, 0, "U", "stale"), Change(3, 1, "U", "c1"))
+    val in = MemoryStream[Change]
+    val q = StreamingChangelog.latestVersions(in.toDS())
+      .writeStream.format("memory").queryName("sc_cdc_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("sc_cdc_out").as[Change].collect().toSet
+      // within one batch only the NEWEST version of a key emits
+      assert(afterB1 == Set(Change(1, 2, "U", "a2"), Change(2, 1, "U", "b1")))
+      in.addData(batch2: _*); q.processAllAvailable()
+      val emits = spark.table("sc_cdc_out").as[Change].collect().toSeq
+      // stale seq-0 change for key 2 emitted nothing
+      assert(!emits.contains(Change(2, 0, "U", "stale")))
+      // the last emit per key across the stream's lifetime...
+      val lastPerKey = emits.groupBy(_.key).map { case (_, v) => v.maxBy(_.seq) }.toSet
+      // ...equals the batch branch on the total log...
+      val all = batch1 ++ batch2
+      val batchTwin = StreamingChangelog.latestVersions(all.toDS()).collect().toSet
+      assert(lastPerKey == batchTwin)
+      // ...and dropping tombstones yields Changelog.applyLog's snapshot
+      // from an empty base
+      val emptyBase = Seq.empty[(Long, String)].toDF("key", "payload")
+      val applied = graft.operators.Changelog
+        .applyLog(emptyBase, all.toDF(), Seq("key"), "seq", "op")
+        .as[(Long, String)].collect().toSet
+      assert(lastPerKey.filter(_.op != "D").map(c => (c.key, c.payload)) == applied)
+      assert(applied == Set((2L, "b2"), (3L, "c1")))
+    } finally q.stop()
+  }
 }
