@@ -266,6 +266,81 @@ object Vocab {
       .select(col(idCol), col("pos"), col("tid").as("token_id"))
   }
 
+  /** [[subwordIds]] over the TRUE BPE vocabulary — the training
+    * alphabet UNION the merge-product symbols. A base character can be
+    * merged away from every final segmentation (e.g. after (a,a)→aa no
+    * token segments through a lone `a`), which drops it from
+    * [[subwordIds]]'s id space; real BPE vocabularies always retain
+    * the alphabet so fallback segmentation stays encodable. Ranks
+    * coincide with [[subwordIds]] whenever no character was fully
+    * merged away (the common case for natural corpora).
+    */
+  def subwordIdsWithAlphabet(dict: DataFrame): DataFrame =
+    dict
+      .select(explode(col("s")).as("sym"))
+      .unionByName(dict.select(
+        explode(filter(split(concat_ws("", col("s")), ""), ch => ch =!= ""))
+          .as("sym")))
+      .distinct()
+      .withColumn("tid",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("sym")))
+          .cast("long"))
+
+  /** [[encodeIds]] with CHARACTER FALLBACK for out-of-vocabulary
+    * words — the alphabet-level analogue of real BPE's byte fallback,
+    * lifting [[encodeIds]]'s covering-dictionary precondition: a word
+    * whose surface form is absent from the dictionary emits one id per
+    * CHARACTER. Ids come from [[subwordIdsWithAlphabet]] (alphabet +
+    * merge products), so every training-corpus character is encodable
+    * even when merges removed it from all final segmentations. Only
+    * characters outside the training corpus's alphabet are dropped
+    * (they have no id — audit coverage with [[encode]]'s `n_oov`
+    * first; a production system would extend the id space with a byte
+    * page).
+    *
+    * Scale shape: [[encodeIds]]'s plan plus one anti-join of the word
+    * stream against the vocabulary-sized surface-form set and a char
+    * explode of the (typically small) OOV remainder — both joins
+    * broadcast the dictionary side; the one corpus-keyed shuffle is
+    * still the doc-keyed position ranking.
+    */
+  def encodeIdsFallback(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dict: DataFrame
+  ): DataFrame = {
+    val ids = subwordIdsWithAlphabet(dict).withColumnRenamed("sym", "__sym")
+    val lookup = dict
+      .select(
+        concat_ws("", col("s")).as("__tok"),
+        posexplode(col("s")).as(Seq("__q", "__sym")))
+      .join(ids, "__sym")
+      .select(col("__tok"), col("__q"), col("tid"))
+    val words = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("__p", "__tok")))
+      .filter(col("__tok") =!= "")
+    val hits = words
+      .join(broadcast(lookup), "__tok")
+      .select(col(idCol), col("__p"), col("__q"), col("tid"))
+    val oovChars = words
+      .join(broadcast(lookup.select("__tok").distinct()), Seq("__tok"), "left_anti")
+      .select(col(idCol), col("__p"),
+        posexplode(filter(split(col("__tok"), ""), ch => ch =!= ""))
+          .as(Seq("__q", "__sym")))
+      .join(broadcast(ids), "__sym")
+      .select(col(idCol), col("__p"), col("__q"), col("tid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__p").asc, col("__q").asc)
+    hits
+      .unionByName(oovChars)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("pos"), col("tid").as("token_id"))
+  }
+
   /** Inverse of [[encodeIds]] under the same dictionary — reassemble
     * each document's whitespace-stripped text from its token-id stream.
     * The round trip `decodeIds(encodeIds(docs)) == strip-spaces(docs)`

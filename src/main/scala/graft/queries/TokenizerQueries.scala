@@ -57,10 +57,14 @@ object TokenizerQueries {
        |  HAVING MAX(span) >= 12
        |)""".stripMargin
 
-  /** Word-frequency → symbol-pair CTEs shared by the two BPE gates. */
-  private val BpeCtes: String =
-    """WITH tok AS (
-      |  SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS t FROM documents
+  /** Word-frequency → symbol-pair CTEs shared by the BPE gates,
+    * parameterized on the TRAINING source (`documents` for the
+    * same-corpus gates; a filtered subquery for the cross-corpus OOV
+    * gate).
+    */
+  private def bpeCtesFrom(src: String): String =
+    s"""WITH tok AS (
+      |  SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS t FROM $src
       |), tc AS (
       |  SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t
       |), sym AS (
@@ -70,15 +74,18 @@ object TokenizerQueries {
       |  FROM sym, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
       |)""".stripMargin
 
+  private val BpeCtes: String = bpeCtesFrom("documents")
+
   /** The TRAINED dictionary after two learned merges, as a CTE chain
     * ending in `s3(t, s)` — shared verbatim by q_bpe_encode, q_bpe_ids
     * and q_pack_ids so the dictionary the three gates encode under
     * cannot drift. Mirrors [[Vocab.mergedDict]](iters = 2): argmax pair
     * (lexicographic tie-break) applied via the same non-regex
-    * separator-joined replace, twice.
+    * separator-joined replace, twice. Parameterized on the training
+    * source like [[bpeCtesFrom]].
     */
-  private val Dict2Ctes: String =
-    s"""$BpeCtes, pc AS (
+  private def dict2CtesFrom(src: String): String =
+    s"""${bpeCtesFrom(src)}, pc AS (
        |  SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
        |  FROM p GROUP BY left_sym, right_sym
        |), mg AS (
@@ -116,11 +123,19 @@ object TokenizerQueries {
     * dictionary, ending in `lkt(t, q, tid)` and the word stream
     * `wtok(doc_id, tok, p)` — shared by q_bpe_ids and q_pack_ids.
     * Ids are 1-based lexicographic symbol ranks ([[Vocab.subwordIds]];
-    * id 0 is the reserved `<eos>`).
+    * id 0 is the reserved `<eos>`). Parameterized on the training
+    * source; the word stream always covers the FULL corpus.
+    * `withAlphabet` extends the id space with the training alphabet
+    * ([[Vocab.subwordIdsWithAlphabet]] — required for the char-fallback
+    * gate, whose ids must exist even for fully-merged-away characters).
     */
-  private val IdCtes: String =
-    s"""$Dict2Ctes, subv AS (
-       |  SELECT DISTINCT sym FROM (SELECT UNNEST(s) AS sym FROM s3)
+  private def idCtesFrom(src: String, withAlphabet: Boolean = false): String = {
+    val subvBody =
+      if (withAlphabet)
+        "SELECT UNNEST(s) AS sym FROM s3 UNION ALL SELECT UNNEST(str_split(t, '')) AS sym FROM s3"
+      else "SELECT UNNEST(s) AS sym FROM s3"
+    s"""${dict2CtesFrom(src)}, subv AS (
+       |  SELECT DISTINCT sym FROM ($subvBody)
        |), tid AS (
        |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) AS BIGINT) AS tid FROM subv
        |), lk AS (
@@ -134,6 +149,10 @@ object TokenizerQueries {
        |       UNNEST(generate_series(1, len(t))) AS u(i)
        |  WHERE t[i] <> ''
        |)""".stripMargin
+  }
+
+  private val Dict2Ctes: String = dict2CtesFrom("documents")
+  private val IdCtes: String = idCtesFrom("documents")
 
   val all: Seq[Q] = Seq(
 
@@ -535,6 +554,46 @@ object TokenizerQueries {
           |SELECT lang, n, capacity,
           |  LEAST(capacity, COALESCE(level, capacity)) AS alloc
           |FROM l, lv""".stripMargin
+      )
+    ),
+
+    // Cross-corpus id emission with character fallback: the dictionary
+    // trains on the EVEN documents only, then encodes the FULL corpus —
+    // odd documents' unseen words emit one id per character (the BPE
+    // base vocabulary) instead of silently vanishing, lifting
+    // encodeIds' covering-dictionary precondition. Same plan plus one
+    // anti-join + char explode of the OOV remainder; the one corpus
+    // shuffle is still the doc-keyed position ranking.
+    Q(
+      "q_bpe_ids_oov",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val dict = Vocab.mergedDict(docs.filter(col("doc_id") % 2 === 0), "text", iters = 2)
+        val out = Vocab.encodeIdsFallback(docs, "doc_id", "text", dict)
+        Q.requireBroadcastJoin(out)
+        val scratch = Q.scratch("bpeoov")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""${idCtesFrom("(SELECT text FROM documents WHERE doc_id % 2 = 0)", withAlphabet = true)},
+           |hits AS (
+           |  SELECT doc_id, p, q, tid FROM wtok JOIN lkt ON wtok.tok = lkt.t
+           |), oovc AS (
+           |  SELECT doc_id, p, i AS q, cs[i] AS sym FROM (
+           |    SELECT doc_id, p, str_split(tok, '') AS cs FROM wtok
+           |    WHERE tok NOT IN (SELECT DISTINCT t FROM lkt)
+           |  ) o, UNNEST(generate_series(1, len(cs))) AS u(i)
+           |), oovids AS (
+           |  SELECT doc_id, p, q, tid FROM oovc JOIN tid USING (sym)
+           |), merged AS (
+           |  SELECT * FROM hits UNION ALL SELECT * FROM oovids
+           |)
+           |SELECT doc_id,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p, q) AS BIGINT) AS pos,
+           |  tid AS token_id
+           |FROM merged""".stripMargin
       )
     ),
 

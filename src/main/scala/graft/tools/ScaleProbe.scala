@@ -54,6 +54,7 @@ object ScaleProbe {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val events = graft.queries.Q.events(spark, sfDir)
     var lastIndexPath: String = null // handoff from ivf_persist_build to _probe
 
@@ -467,6 +468,41 @@ object ScaleProbe {
         graft.operators.Sampling.quotaAdmit(
           d.select(col("doc_id"), col("lang")), "lang", "doc_id", "doc_id", quota)
           .count()
+      }
+      // CDC apply under GROWING VERSION DEPTH: k changelog versions per
+      // touched key (every 7th order). The snapshot output is pinned at
+      // the base key count regardless of k; the map-side
+      // WindowGroupLimit forwards at most one candidate per key per
+      // task, so wall time should track the log SCAN (linear in k),
+      // never the per-key version fan-in.
+      probe(s"cdc_apply x$k") {
+        val log = orders.filter(col("o_orderkey") % 7 === 0)
+          .crossJoin(broadcast(spark.range(k).select(col("id").as("__c"))))
+          .withColumn("o_totalprice", col("o_totalprice") + col("__c"))
+          .withColumn("seq", col("__c") + 1)
+          .withColumn("op", lit("U"))
+          .drop("__c")
+        graft.operators.Changelog
+          .applyLog(orders, log, Seq("o_orderkey"), "seq", "op").count()
+      }
+      // tokenize→detokenize round trip: decode adds one doc-keyed
+      // aggregation on top of bpe_ids' plan; the dictionary stays
+      // replication-invariant, so growth must track the id stream
+      probe(s"ids_roundtrip x$k") {
+        val dict = graft.operators.Vocab.mergedDict(d, "text", 2)
+        val n = graft.operators.Vocab.decodeIds(
+          graft.operators.Vocab.encodeIds(d, "doc_id", "text", dict),
+          "doc_id", dict).count()
+        dict.unpersist()
+        n
+      }
+      // leakage-safe split: both sides of the shingle anti-join grow
+      // with the corpus — shingle-keyed equi-join, near-linear like the
+      // decontamination screens
+      probe(s"split_decontam x$k") {
+        val (tr, ho) = graft.operators.Sampling.trainHoldout(d, "doc_id", 10)
+        graft.operators.Decontaminate
+          .dropContaminated(tr, ho, "doc_id", "text", n = 5).count()
       }
       // (selecting this probe without ivf_persist_build builds untimed)
       if (selected(s"ivf_persist_probe x$k") && lastIndexPath == null) {

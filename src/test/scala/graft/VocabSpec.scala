@@ -123,6 +123,30 @@ class VocabSpec extends SparkSpec {
       (5L, 4L, 2L), (5L, 5L, 1L)))              // b a
   }
 
+  test("encodeIdsFallback: OOV words emit char ids; unknown chars drop") {
+    // dict trained on "aa ab" → symbols {a, b, aa(?)...} with 2 merges
+    val train = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(train, "text", 2)
+    // "ba" is OOV (not a trained surface form) → chars b, a;
+    // "ax" contains x, outside the training alphabet → only a survives
+    val docs = Seq((9L, "aa ba ax")).toDF("doc_id", "text")
+    // after (a,a)->aa and (a,b)->ab, the lone chars a and b survive in
+    // NO final segmentation — only the alphabet-extended id space can
+    // encode the fallback (the exact hole subwordIdsWithAlphabet plugs)
+    val symToId = Vocab.subwordIdsWithAlphabet(dict)
+      .as[(String, Long)].collect().toMap
+    assert(symToId.keySet == Set("a", "b", "aa", "ab"))
+    val got = Vocab.encodeIdsFallback(docs, "doc_id", "text", dict)
+      .orderBy("pos").as[(Long, Long, Long)].collect().toSeq
+    dict.unpersist()
+    val idsOnly = got.map(_._3)
+    // "aa" in-vocab -> [aa]; "ba" OOV -> chars b, a; "ax" OOV -> a only
+    // (x is outside the training alphabet and drops)
+    assert(got.map(_._2) == (1L to idsOnly.size.toLong))
+    assert(idsOnly == Seq(
+      symToId("aa"), symToId("b"), symToId("a"), symToId("a")))
+  }
+
   test("decodeIds inverts encodeIds: whitespace-stripped text round-trips") {
     val docs = Seq((1L, "aa aa b"), (2L, "aab"), (3L, "b  aa\tb")).toDF("doc_id", "text")
     val dict = Vocab.mergedDict(docs, "text", 2)
