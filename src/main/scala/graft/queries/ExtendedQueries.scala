@@ -1759,6 +1759,66 @@ object ExtendedQueries {
           |       o_orderdate, o_orderpriority
           |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin
       )
+    ),
+
+    // CDC-composed corpus refresh: the snapshot-maintenance / dedup
+    // INTERPLAY the per-op gates can't see. The changelog's updates
+    // overwrite every 13th document's text with its successor's
+    // (creating fresh exact duplicates), and every 17th document is
+    // taken down (which can resurrect a doc its copy had shadowed);
+    // the refreshed snapshot is then exact-deduped. Pins that
+    // dedup-after-refresh reflects POST-update content — a pipeline
+    // deduping on stale digests keeps the wrong rows. Plan: applyLog's
+    // one key shuffle + the digest-grouped semi-join.
+    Q(
+      "q_cdc_refresh",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val nxt = docs.select(col("doc_id").as("__nid"), col("text").as("__ntext"))
+        val upd = docs
+          .filter(col("doc_id") % 13 === 0)
+          .join(nxt, col("__nid") === col("doc_id") + 1)
+          .select(col("doc_id"), col("__ntext").as("text"), col("lang"),
+            col("source"), length(col("__ntext")).cast("long").as("n_chars"))
+          .withColumn("seq", lit(1L))
+          .withColumn("op", lit("U"))
+        val del = docs
+          .filter(col("doc_id") % 17 === 0)
+          .withColumn("seq", lit(2L))
+          .withColumn("op", lit("D"))
+        val refreshed = Changelog.applyLog(
+          docs, upd.unionByName(del), Seq("doc_id"), "seq", "op")
+        Dedup.dropExactDuplicates(refreshed, "doc_id", "text")
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(
+        """WITH upd AS (
+          |  SELECT a.doc_id, b.text, a.lang, a.source,
+          |         CAST(len(b.text) AS BIGINT) AS n_chars,
+          |         CAST(1 AS BIGINT) AS seq, 'U' AS op
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |  WHERE a.doc_id % 13 = 0
+          |), del AS (
+          |  SELECT doc_id, text, lang, source, n_chars,
+          |         CAST(2 AS BIGINT), 'D'
+          |  FROM documents WHERE doc_id % 17 = 0
+          |), allv AS (
+          |  SELECT doc_id, text, lang, source, n_chars,
+          |         CAST(-9223372036854775808 AS BIGINT) AS seq, 'U' AS op
+          |  FROM documents
+          |  UNION ALL SELECT * FROM upd
+          |  UNION ALL SELECT * FROM del
+          |), ranked AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          |                               ORDER BY seq DESC) AS rn
+          |  FROM allv
+          |), refreshed AS (
+          |  SELECT doc_id, text, lang FROM ranked WHERE rn = 1 AND op <> 'D'
+          |)
+          |SELECT r.doc_id, r.lang FROM refreshed r
+          |JOIN (SELECT MIN(doc_id) AS doc_id FROM refreshed
+          |      GROUP BY sha256(text)) m USING (doc_id)""".stripMargin
+      )
     )
   )
 }

@@ -317,4 +317,30 @@ class CurationPropertySpec extends SparkSpec {
       assert(got == expect)
     }
   }
+
+  test("property: applyLog equals the scalar keep-latest-with-tombstones fold") {
+    import spark.implicits._
+    val baseGen = Gen.listOfN(12, Gen.chooseNum(0L, 9L)).map(_.distinct)
+    val logGen = Gen.listOfN(25, for {
+      k <- Gen.chooseNum(0L, 12L) // keys beyond the base → inserts
+      seq <- Gen.chooseNum(1L, 6L)
+      op <- Gen.oneOf("U", "D")
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, v, seq, op))
+    forAllSamples(baseGen.flatMap(b => logGen.map(b -> _)), 30) { case (baseKeys, logRaw) =>
+      // applyLog's contract: unique seq per key (CDC offsets)
+      val log = logRaw.groupBy(t => (t._1, t._3)).map(_._2.head).toSeq
+      val base = baseKeys.map(k => (k, s"base$k")).toDF("k", "v")
+      val got = graft.operators.Changelog
+        .applyLog(base, log.toDF("k", "v", "seq", "op"), Seq("k"), "seq", "op")
+        .as[(Long, String)].collect().toSet
+      val expect = (baseKeys.map(k => (k, s"base$k", Long.MinValue, "U")) ++ log)
+        .groupBy(_._1)
+        .map { case (_, versions) => versions.maxBy(_._3) }
+        .filter(_._4 != "D")
+        .map(v => (v._1, v._2))
+        .toSet
+      assert(got == expect)
+    }
+  }
 }
