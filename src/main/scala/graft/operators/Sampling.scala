@@ -256,6 +256,39 @@ object Sampling {
       .filter(col("cum_tokens") <= budgetPerShard)
   }
 
+  /** Close a SIZE-denominated allocation into an exact selection: per
+    * group, admit rows in deterministic hash order while the running
+    * sum of `sizeCol` stays within the group's `alloc` from the quota
+    * table — the selection step that turns [[unimaxAlloc]]'s (or
+    * [[temperatureAlloc]]'s) token budgets into an actual corpus
+    * subset, the way [[quotaSample]] closes ROW-denominated quotas.
+    * The first row of a group always admits only if it fits; the
+    * admitted set is a prefix of the group's hash order, so re-running
+    * on the same corpus reproduces it exactly.
+    *
+    * Scale shape: the |groups|-sized quota broadcasts; the corpus pays
+    * ONE group-keyed window shuffle (running sum + filter). Same
+    * hash-order discipline as [[quotaSample]]/[[tokenBudgetSample]].
+    */
+  def budgetedQuotaSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      sizeCol: String,
+      quota: DataFrame
+  ): DataFrame = {
+    val cum = Iterator.iterate("__cum")(_ + "_").dropWhile(df.columns.contains).next()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.join(broadcast(quota), Seq(groupCol))
+      .withColumn(cum, sum(col(sizeCol).cast("long")).over(w))
+      .filter(col(cum) <= col("alloc"))
+      .drop(cum, "alloc")
+  }
+
   /** Stratified sampling: a different keep-rate per stratum (data
     * curation's "downsample the dominant source, keep all of the rare
     * one"). Rates are keep-buckets out of `buckets`; strata not listed

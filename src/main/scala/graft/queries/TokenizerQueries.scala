@@ -597,6 +597,54 @@ object TokenizerQueries {
       )
     ),
 
+    // Close the UniMax loop: the water-filled per-language CHARACTER
+    // budgets drive an exact prefix selection — rows admit in
+    // deterministic hash order while the running character sum stays
+    // within the language's allocation. Decision table broadcasts; the
+    // corpus pays one lang-keyed window shuffle. Pure integers.
+    Q(
+      "q_unimax_sample",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val quota = Sampling
+          .unimaxAlloc(docs, "lang", "n_chars", budget = 250000L, maxEpochs = 2)
+          .select(col("lang"), col("alloc"))
+        Sampling.budgetedQuotaSample(docs, "lang", "doc_id", "n_chars", quota)
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH c AS (
+           |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n,
+           |         CAST(SUM(n_chars) * 2 AS BIGINT) AS capacity
+           |  FROM documents GROUP BY lang
+           |), r AS (
+           |  SELECT lang, n, capacity,
+           |    ROW_NUMBER() OVER (ORDER BY capacity, lang) AS rk,
+           |    COALESCE(SUM(capacity) OVER (ORDER BY capacity, lang
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+           |    COUNT(*) OVER () AS gg
+           |  FROM c
+           |), l AS (
+           |  SELECT *, CAST(FLOOR((250000 - pfx) / (gg - rk + 1)) AS BIGINT) AS lvl
+           |  FROM r
+           |), lv AS (
+           |  SELECT arg_min(lvl, rk) AS level FROM l WHERE capacity >= lvl
+           |), q AS (
+           |  SELECT lang, LEAST(capacity, COALESCE(level, capacity)) AS alloc
+           |  FROM l, lv
+           |), cum AS (
+           |  SELECT doc_id, lang, n_chars, alloc,
+           |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+           |      PARTITION BY lang
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+           |  FROM documents JOIN q USING (lang)
+           |)
+           |SELECT doc_id, lang, n_chars FROM cum WHERE cs <= alloc""".stripMargin
+      }
+    ),
+
     // The tokenizer's end-to-end integrity check: decode(encode(docs))
     // must reproduce each document's whitespace-stripped text — the
     // round trip holds only if encodeIds covers every word, maps each

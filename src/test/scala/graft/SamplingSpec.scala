@@ -208,6 +208,26 @@ class SamplingSpec extends SparkSpec {
       "excess spread of the selected mixture must shrink")
   }
 
+  test("budgetedQuotaSample: admits a hash-order prefix within each group's size budget") {
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("id", "g", "sz")
+    val quota = Seq(("a", 55L), ("b", 200L)).toDF("g", "alloc")
+    val got = Sampling.budgetedQuotaSample(rows, "g", "id", "sz", quota)
+      .as[(String, Long, Long)].collect()
+    val byG = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // 10-sized rows: budget 55 admits exactly 5 rows (50 chars); 200 admits 20
+    assert(byG == Map("a" -> 50L, "b" -> 200L))
+    // determinism: admitted sets reproduce exactly
+    val again = Sampling.budgetedQuotaSample(rows, "g", "id", "sz", quota)
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == got.toSet)
+    // a group absent from the quota admits nothing
+    val gotB = Sampling.budgetedQuotaSample(
+      rows, "g", "id", "sz", Seq(("a", 30L)).toDF("g", "alloc"))
+      .as[(String, Long, Long)].collect()
+    assert(gotB.forall(_._1 == "a") && gotB.length == 3)
+  }
+
   test("unimaxAlloc: small sources cap at maxEpochs, the rest water-fill") {
     // sizes 10/20/100 at 2 epochs → capacities 20/40/200; budget 150:
     // L1 = 150/3 = 50 > 20 → a capped; L2 = 130/2 = 65 > 40 → b capped;
