@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * IMAGE decode is REAL as of round 10: [[decodePpm]]/[[imageStats]]
-  * parse binary PPM (P6) in pure JVM — dimensions, per-channel moments,
-  * dHash — with the header-sniffing fallback for formats this
-  * environment ships no codec for (JPEG/PNG would drop in at the same
-  * mapPartitions seam). `decodeStub` remains only as the deterministic
-  * FAKE-feature generator for the embedding-plumbing gates, clearly so
-  * named.
+  * IMAGE decode is REAL as of round 10: [[decodePpm]] (binary P6) and
+  * [[decodeBmp]] (24-bit uncompressed BMP — bottom-up rows, B,G,R
+  * order and 4-byte row padding normalized away) parse in pure JVM to
+  * one common top-down RGB raster, from which [[imageStats]] derives
+  * dimensions, per-channel integer moments and the dHash; the
+  * header-sniffing fallback covers formats this environment ships no
+  * codec for (JPEG/PNG would drop in at the same mapPartitions seam).
+  * `decodeStub` remains only as the deterministic FAKE-feature
+  * generator for the embedding-plumbing gates, clearly so named.
   *
   * Scale notes: payloads stay columnar until the mapPartitions boundary;
   * the decode stage is map-only (no shuffle); `targetPartitionBytes`
@@ -137,18 +139,66 @@ object Multimodal {
     Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)))
   }
 
+  /** Decode a 24-bit uncompressed BMP (BITMAPINFOHEADER or larger,
+    * biCompression = 0) to the same top-down RGB raster [[decodePpm]]
+    * yields: rows are stored bottom-up (top-down when the height field
+    * is negative) in B,G,R byte order with each row padded to 4 bytes —
+    * all three quirks are normalized away here so every consumer
+    * ([[imageStats]]' moments and dHash) is format-agnostic.
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def le32(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    val dataOff = le32(10)
+    if (le32(14) < 40) return None // pre-BITMAPINFOHEADER variants
+    val w = le32(18)
+    val hRaw = le32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || le16(28) != 24 || le32(30) != 0) return None
+    if (w.toLong * h * 3 > Int.MaxValue) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || stride.toLong * h + dataOff > bytes.length) return None
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val ro = dataOff + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val so = ro + x * 3
+        val po = (y * w + x) * 3
+        px(po) = bytes(so + 2)
+        px(po + 1) = bytes(so + 1)
+        px(po + 2) = bytes(so)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Try every real decoder in order; the format tag records which one
+    * matched. */
+  def decodeImageBytes(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    decodePpm(bytes).map { case (w, h, px) => ("ppm", w, h, px) }
+      .orElse(decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) })
+
   /** Decode one payload to [[ImageStats]]: channel sums + sums of
     * squares and the difference hash (dHash: 9×8 nearest-neighbor
     * grayscale grid, bit j = gy·8+gx set when the right neighbor is
     * brighter). All-integer arithmetic — gray is (r+g+b) div 3,
     * sample coords are gx·w div 9 / gy·h div 8 — so the whole record
-    * is oracle-checkable in SQL. Non-PPM payloads keep the header
-    * sniff and zeroed stats (the labeled fallback replacing the
-    * retired decodeStub claims for images).
+    * is oracle-checkable in SQL, for every format [[decodeImageBytes]]
+    * handles. Undecodable payloads keep the header sniff and zeroed
+    * stats (the labeled fallback replacing the retired decodeStub
+    * claims for images).
     */
   def imageStats(id: Long, bytes: Array[Byte]): ImageStats =
-    decodePpm(bytes) match {
-      case Some((w, h, px)) =>
+    decodeImageBytes(bytes) match {
+      case Some((fmt, w, h, px)) =>
         var sr = 0L; var sg = 0L; var sb = 0L
         var qr = 0L; var qg = 0L; var qb = 0L
         val n = w * h
@@ -177,7 +227,7 @@ object Multimodal {
           }
           gy += 1
         }
-        ImageStats(id, "ppm", w, h, n.toLong, sr, sg, sb, qr, qg, qb, lo, hi)
+        ImageStats(id, fmt, w, h, n.toLong, sr, sg, sb, qr, qg, qb, lo, hi)
       case None =>
         val fmt =
           if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
@@ -208,6 +258,43 @@ object Multimodal {
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val px = Array.tabulate(w * h * 3)(m => ((seed * 31 + m) % 256).toByte)
     header ++ px
+  }
+
+  /** Closed-form 24-bit bottom-up BMP with the SAME logical pixel
+    * formula as [[syntheticPpm]] (RGB sample m = (seed·31+m) mod 256 in
+    * top-down order), so one oracle covers both decoders — the BMP
+    * encoding buries the formula under bottom-up rows, B,G,R order and
+    * row padding, exactly the quirks [[decodeBmp]] must normalize.
+    */
+  def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(seed >= 0 && w > 0 && h > 0, "syntheticBmp: non-negative seed, positive dims")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * h)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, out.length); p32(10, 54); p32(14, 40)
+    p32(18, w); p32(22, h)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      val ro = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        out(ro + x * 3) = ((seed * 31 + p + 2) % 256).toByte
+        out(ro + x * 3 + 1) = ((seed * 31 + p + 1) % 256).toByte
+        out(ro + x * 3 + 2) = ((seed * 31 + p) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Frame sampling shape for video-like payloads: n evenly-strided

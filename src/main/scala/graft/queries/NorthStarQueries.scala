@@ -1719,6 +1719,67 @@ object NorthStarQueries {
       )
     ),
 
+    // Second real image format: 24-bit BMP at 6×5 — dimensions chosen
+    // so the row stride (18 bytes) pads to 20, exercising the
+    // bottom-up + B,G,R + padding normalization decodeBmp performs.
+    // The synthetic payload buries the SAME closed-form pixel formula
+    // as the PPM gate under the BMP encoding, so the oracle re-derives
+    // every stat from the formula alone — only a decoder that
+    // correctly un-pads, re-flips and re-orders channels matches.
+    Q(
+      "q_image_decode_bmp",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val bmp = udf((k: Long) => Multimodal.syntheticBmp(k, 6, 5))
+        Multimodal.decodeImages(
+          blobs.withColumn("payload", bmp(col("media_id"))),
+          "media_id", "payload")
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS m,
+          |    (n_nationkey * 31 + i) % 256 AS v
+          |  FROM nation, UNNEST(generate_series(0, 89)) AS u(i)
+          |), ch AS (
+          |  SELECT media_id,
+          |    CAST(SUM(CASE WHEN m % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+          |    CAST(SUM(CASE WHEN m % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+          |    CAST(SUM(CASE WHEN m % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+          |    CAST(SUM(CASE WHEN m % 3 = 0 THEN v * v END) AS BIGINT) AS ssq_r,
+          |    CAST(SUM(CASE WHEN m % 3 = 1 THEN v * v END) AS BIGINT) AS ssq_g,
+          |    CAST(SUM(CASE WHEN m % 3 = 2 THEN v * v END) AS BIGINT) AS ssq_b
+          |  FROM px GROUP BY media_id
+          |), grid AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, gx, gy,
+          |    (((n_nationkey * 31 + (((gy * 5) // 8) * 6 + ((gx * 6) // 9)) * 3 + 0) % 256)
+          |     + ((n_nationkey * 31 + (((gy * 5) // 8) * 6 + ((gx * 6) // 9)) * 3 + 1) % 256)
+          |     + ((n_nationkey * 31 + (((gy * 5) // 8) * 6 + ((gx * 6) // 9)) * 3 + 2) % 256)) // 3 AS gray
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 8)) AS ux(gx),
+          |       UNNEST(generate_series(0, 7)) AS uy(gy)
+          |), bits AS (
+          |  SELECT a.media_id, a.gx AS x, a.gy AS y
+          |  FROM grid a JOIN grid b
+          |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 AND b.gray > a.gray
+          |), dh AS (
+          |  SELECT media_id,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x < 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x)) END), 0) AS BIGINT) AS dhash_lo,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x >= 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) END), 0) AS BIGINT) AS dhash_hi
+          |  FROM bits GROUP BY media_id
+          |)
+          |SELECT ch.media_id, 'bmp' AS format, 6 AS width, 5 AS height,
+          |  CAST(30 AS BIGINT) AS n_pixels,
+          |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b,
+          |  CAST(COALESCE(dh.dhash_lo, 0) AS BIGINT) AS dhash_lo,
+          |  CAST(COALESCE(dh.dhash_hi, 0) AS BIGINT) AS dhash_hi
+          |FROM ch LEFT JOIN dh USING (media_id)""".stripMargin
+      )
+    ),
+
     // Video-style frame sampling plumbing: n evenly-strided 8-byte
     // slices per payload, one row per frame (hex-projected for the
     // gate; the binary plumbing itself is pinned by MultimodalSpec).

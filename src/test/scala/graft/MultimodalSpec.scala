@@ -156,4 +156,43 @@ class MultimodalSpec extends SparkSpec {
       assert(got(k) == ((local.sum_r, local.dhash_lo, local.dhash_hi)))
     }
   }
+
+  test("decodeBmp normalizes bottom-up rows, BGR order and padding to PPM's raster") {
+    // same logical pixel formula, two encodings → identical stats
+    (0L until 6L).foreach { k =>
+      val viaPpm = Multimodal.imageStats(k, Multimodal.syntheticPpm(k, 6, 5))
+      val viaBmp = Multimodal.imageStats(k, Multimodal.syntheticBmp(k, 6, 5))
+      assert(viaBmp.format == "bmp" && viaPpm.format == "ppm")
+      assert(viaBmp.copy(format = "ppm") == viaPpm)
+    }
+    // exact raster identity, not just aggregate equality
+    val Some((w, h, pxB)) = Multimodal.decodeBmp(Multimodal.syntheticBmp(3L, 6, 5))
+    val Some((_, _, pxP)) = Multimodal.decodePpm(Multimodal.syntheticPpm(3L, 6, 5))
+    assert(w == 6 && h == 5 && pxB.sameElements(pxP))
+  }
+
+  test("decodeBmp: top-down (negative height) BMPs decode to the same raster") {
+    val bup = Multimodal.syntheticBmp(7L, 6, 5)
+    // flip to top-down: negate the height field and reverse row order
+    val tdown = bup.clone()
+    val neg = -5
+    tdown(22) = (neg & 0xFF).toByte; tdown(23) = ((neg >> 8) & 0xFF).toByte
+    tdown(24) = ((neg >> 16) & 0xFF).toByte; tdown(25) = ((neg >> 24) & 0xFF).toByte
+    val stride = 20
+    for (y <- 0 until 5; b <- 0 until stride)
+      tdown(54 + y * stride + b) = bup(54 + (4 - y) * stride + b)
+    val Some((_, _, a)) = Multimodal.decodeBmp(bup)
+    val Some((_, _, c)) = Multimodal.decodeBmp(tdown)
+    assert(a.sameElements(c))
+  }
+
+  test("decodeBmp: malformed payloads return None (wrong magic, depth, truncation)") {
+    val good = Multimodal.syntheticBmp(1L, 6, 5)
+    assert(Multimodal.decodeBmp("notabmp".getBytes).isEmpty)
+    val wrongDepth = good.clone(); wrongDepth(28) = 32.toByte
+    assert(Multimodal.decodeBmp(wrongDepth).isEmpty)
+    assert(Multimodal.decodeBmp(java.util.Arrays.copyOf(good, good.length - 4)).isEmpty)
+    // the stats path degrades to the sniff, never throws
+    assert(Multimodal.imageStats(1L, wrongDepth).format == "unknown")
+  }
 }
