@@ -39,6 +39,35 @@ object Dedup {
     docs.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Canonical text for normalization-aware exact dedup: trimmed,
+    * lower-cased, internal whitespace runs collapsed to one space.
+    * The practical "exact" notion — crawled copies of the same page
+    * routinely differ only in case and whitespace, which byte-exact
+    * digests treat as distinct documents. Purely map-side.
+    */
+  def normalizeText(c: Column): Column =
+    // collapse BEFORE trim: trim strips only spaces, so a trailing tab
+    // must first become a space to be stripped
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** [[exactGroups]] over the NORMALIZED text: one row per distinct
+    * normalized form with its first-id canonical and copy count. Same
+    * single digest-keyed partial-agg shuffle — the normalization adds
+    * only map-side work, so the 100 TB cost is identical to byte-exact
+    * grouping.
+    */
+  def normalizedGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(normalizeText(col(textCol)), 256).as("digest"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep one row per distinct NORMALIZED text (first by id). */
+  def dropNormalizedDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = normalizedGroups(docs, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    docs.join(canon, Seq(idCol), "left_semi")
+  }
+
   /** The 32-byte BINARY digest of a text column — the join/index key
     * incremental dedup stores and shuffles. `sha2` alone returns
     * 64-char hex (2× the bytes); unhex packs it back to the raw 32.

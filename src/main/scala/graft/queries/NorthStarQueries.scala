@@ -489,6 +489,42 @@ object NorthStarQueries {
       )
     ),
 
+    // Normalization-aware exact dedup: crawled copies of one page
+    // routinely differ only in case/whitespace, which byte-exact
+    // digests treat as distinct. The gate plants both variant kinds
+    // (upper-cased and whitespace-padded copies of real documents,
+    // ids offset so they sort AFTER their originals) and groups on
+    // the normalized digest — the canonical must be the ORIGINAL id
+    // and the copy count must see through the variants. Same one
+    // digest-keyed shuffle as q_dedup_exact; normalization is
+    // map-side.
+    Q(
+      "q_dedup_normalized",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val uppered = docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), upper(col("text")).as("text"))
+        val padded = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(lit("  "), regexp_replace(col("text"), " ", "   "), lit("\t")).as("text"))
+        Dedup.normalizedGroups(
+          docs.unionByName(uppered).unionByName(padded), "doc_id", "text")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 9 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, '  ' || replace(text, ' ', '   ') || chr(9)
+          |  FROM documents WHERE doc_id % 11 = 0
+          |)
+          |SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS digest,
+          |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+          |FROM aug GROUP BY 1""".stripMargin
+      )
+    ),
+
     // Incremental exact dedup — the corpus-maintenance lifecycle: the
     // <400 corpus is collapsed to a PERSISTED digest index; the delta
     // (the remaining docs + planted cross-batch copies of corpus texts

@@ -328,4 +328,23 @@ class DedupSpec extends SparkSpec {
 
     assert(kept.toSeq == Seq((1L, 11L, "v2"), (2L, 21L, "b"), (3L, 30L, "only")))
   }
+
+  test("normalized dedup collapses case/whitespace variants to the first id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello  world"),
+      (2L, "hello world"),       // whitespace+case variant of 1
+      (3L, "  HELLO\tWORLD \n"), // pad/tab/case variant of 1
+      (4L, "hello worlds")       // genuinely different
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .dropNormalizedDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    val groups = graft.operators.Dedup
+      .normalizedGroups(docs, "doc_id", "text")
+      .select("canonical_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 3L, 4L -> 1L))
+  }
 }
