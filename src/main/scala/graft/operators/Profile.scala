@@ -157,6 +157,33 @@ object Profile {
         s"__k$i" +: levels(i).map { case (n, _) => s"__qi${i}_$n" }): _*)
   }
 
+  /** Corpus snapshot diff — what changed between two versions of a
+    * table: per id, `added` (only in `after`), `removed` (only in
+    * `before`), `changed` (both, content digest differs) or
+    * `unchanged`. The release-notes / audit artifact a dataset
+    * versioning workflow derives before publishing an update.
+    *
+    * Scale shape: each side reduces map-side to (id, digest) — no
+    * payload crosses the exchange — then ONE full-outer id-keyed join.
+    */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    def digests(df: DataFrame, as: String) =
+      df.select(col(idCol), sha2(col(textCol), 256).as(as))
+    digests(before, "__da")
+      .join(digests(after, "__db"), Seq(idCol), "full_outer")
+      .select(
+        col(idCol),
+        when(col("__da").isNull, lit("added"))
+          .when(col("__db").isNull, lit("removed"))
+          .when(col("__da") =!= col("__db"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Curation-decision audit — the "why was my document dropped"
     * artifact: given the FULL input and each pipeline stage's survivor
     * set (in stage order), attribute every input row to the FIRST

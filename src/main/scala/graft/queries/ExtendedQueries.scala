@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{BloomPrune, Changelog, Dedup, Layout, Sampling, Skew, TextAnalysis}
+import graft.operators.{BloomPrune, Changelog, Dedup, Layout, Profile, Sampling, Skew, TextAnalysis}
 
 /** Round-2 coverage widening: the remaining relational / analytic
   * surface a user of a full engine expects — correlated subqueries,
@@ -1818,6 +1818,65 @@ object ExtendedQueries {
           |SELECT r.doc_id, r.lang FROM refreshed r
           |JOIN (SELECT MIN(doc_id) AS doc_id FROM refreshed
           |      GROUP BY sha256(text)) m USING (doc_id)""".stripMargin
+      )
+    ),
+
+    // Corpus snapshot diff: the release-notes artifact between two
+    // dataset versions — per id: added / removed / changed / unchanged.
+    // The "after" snapshot is the same CDC refresh as q_cdc_refresh,
+    // so the diff pins the changelog's observable effect end-to-end
+    // (every 17th doc removed; every 13th-with-a-successor changed —
+    // unless the takedown outranks it or the successor's text is
+    // byte-identical, both decided by digest, not by wave membership).
+    // Map-side digests, one full-outer id join; no text crosses the
+    // exchange.
+    Q(
+      "q_snapshot_diff",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val nxt = docs.select(col("doc_id").as("__nid"), col("text").as("__ntext"))
+        val upd = docs
+          .filter(col("doc_id") % 13 === 0)
+          .join(nxt, col("__nid") === col("doc_id") + 1)
+          .select(col("doc_id"), col("__ntext").as("text"), col("lang"),
+            col("source"), length(col("__ntext")).cast("long").as("n_chars"))
+          .withColumn("seq", lit(1L))
+          .withColumn("op", lit("U"))
+        val del = docs
+          .filter(col("doc_id") % 17 === 0)
+          .withColumn("seq", lit(2L))
+          .withColumn("op", lit("D"))
+        val after = Changelog.applyLog(
+          docs, upd.unionByName(del), Seq("doc_id"), "seq", "op")
+        Profile.snapshotDiff(docs, after, "doc_id", "text")
+      },
+      Some(
+        """WITH upd AS (
+          |  SELECT a.doc_id, b.text, CAST(1 AS BIGINT) AS seq, 'U' AS op
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |  WHERE a.doc_id % 13 = 0
+          |), del AS (
+          |  SELECT doc_id, text, CAST(2 AS BIGINT), 'D'
+          |  FROM documents WHERE doc_id % 17 = 0
+          |), allv AS (
+          |  SELECT doc_id, text,
+          |         CAST(-9223372036854775808 AS BIGINT) AS seq, 'U' AS op
+          |  FROM documents
+          |  UNION ALL SELECT * FROM upd
+          |  UNION ALL SELECT * FROM del
+          |), ranked AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          |                               ORDER BY seq DESC) AS rn
+          |  FROM allv
+          |), refreshed AS (
+          |  SELECT doc_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
+          |)
+          |SELECT doc_id,
+          |  CASE WHEN d.text IS NULL THEN 'added'
+          |       WHEN r.text IS NULL THEN 'removed'
+          |       WHEN sha256(d.text) <> sha256(r.text) THEN 'changed'
+          |       ELSE 'unchanged' END AS status
+          |FROM documents d FULL JOIN refreshed r USING (doc_id)""".stripMargin
       )
     )
   )

@@ -318,6 +318,16 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff covers all four statuses, including added") {
+    import spark.implicits._
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val after = Seq((1L, "a"), (2L, "B2"), (4L, "new")).toDF("id", "text")
+    val got = graft.operators.Profile.snapshotDiff(before, after, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("property: applyLog equals the scalar keep-latest-with-tombstones fold") {
     import spark.implicits._
     val baseGen = Gen.listOfN(12, Gen.chooseNum(0L, 9L)).map(_.distinct)
