@@ -352,4 +352,152 @@ object Multimodal {
     * any real cluster's useful task count, far below Int overflow.
     */
   val MaxRebalanceParts: Int = 1 << 20
+
+  /** A REAL decoded audio clip: format/layout metadata plus per-channel
+    * integer moments (mean/RMS derive as sum/n and ssq/n) and
+    * zero-crossing counts — the standard cheap audio-quality screens
+    * (silence ↔ near-zero ssq, clipping ↔ ssq near full-scale², noise
+    * ↔ high crossing rate). Stats are laid out for the FIRST TWO
+    * channels (c0/c1) so the record is fixed-shape; mono clips carry
+    * zeros in the c1 lanes. All-integer arithmetic (16-bit samples sum
+    * into longs) — oracle-checkable in SQL like [[ImageStats]].
+    */
+  final case class AudioStats(
+      media_id: Long,
+      format: String,
+      n_channels: Int,
+      sample_rate: Int,
+      n_frames: Long,
+      dur_ms: Long,
+      sum_c0: Long, ssq_c0: Long, zc_c0: Long,
+      sum_c1: Long, ssq_c1: Long, zc_c1: Long)
+
+  /** Pure-JVM RIFF/WAVE PCM decoder — the audio analog of [[decodePpm]],
+    * no codec dependency: `RIFF <size> WAVE`, then a chunk walk for
+    * `fmt ` (must be audioFormat 1 = integer PCM, 16 bits/sample) and
+    * `data` (little-endian interleaved frames). Trailing partial frames
+    * and odd-size chunk padding are handled per the RIFF spec; anything
+    * malformed — wrong magic, missing/short chunks, non-PCM, ≠16-bit,
+    * non-positive layout — returns None so corrupt payloads degrade to
+    * the header sniff instead of throwing mid-partition.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def tag(o: Int, s: String): Boolean =
+      bytes(o) == s(0).toByte && bytes(o + 1) == s(1).toByte &&
+        bytes(o + 2) == s(2).toByte && bytes(o + 3) == s(3).toByte
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    var i = 12
+    while (i + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz.toLong > bytes.length) return None
+      if (tag(i, "fmt ") && sz >= 16) {
+        if (le16(i + 8) != 1) return None // integer PCM only
+        channels = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0) return None
+    val frameBytes = channels * 2
+    val frames = dataLen / frameBytes // drop a trailing partial frame
+    val out = new Array[Short](frames * channels)
+    var s = 0
+    while (s < out.length) {
+      val o = dataOff + s * 2
+      out(s) = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+      s += 1
+    }
+    Some((channels, rate, out))
+  }
+
+  /** Decode one payload to [[AudioStats]]: per-channel sample sums,
+    * sums of squares and zero-crossing counts (a crossing at frame t>0
+    * when sign(s[t-1]) ≠ sign(s[t]), negatives vs non-negatives) over
+    * the first two channels; `dur_ms = frames·1000 div rate` (integer).
+    * Undecodable payloads keep a header sniff (mp3/ogg/flac magics) and
+    * zeroed stats — the same labeled-fallback contract as
+    * [[imageStats]].
+    */
+  def audioStats(id: Long, bytes: Array[Byte]): AudioStats =
+    decodeWav(bytes) match {
+      case Some((ch, rate, pcm)) =>
+        val frames = if (ch == 0) 0 else pcm.length / ch
+        val sums = new Array[Long](2); val ssqs = new Array[Long](2)
+        val zcs = new Array[Long](2)
+        var c = 0
+        while (c < math.min(ch, 2)) {
+          var t = 0
+          var prevNeg = false
+          while (t < frames) {
+            val v = pcm(t * ch + c).toLong
+            sums(c) += v; ssqs(c) += v * v
+            val neg = v < 0
+            if (t > 0 && neg != prevNeg) zcs(c) += 1
+            prevNeg = neg
+            t += 1
+          }
+          c += 1
+        }
+        AudioStats(id, "wav", ch, rate, frames.toLong,
+          frames.toLong * 1000L / rate,
+          sums(0), ssqs(0), zcs(0), sums(1), ssqs(1), zcs(1))
+      case None =>
+        val fmt =
+          if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') "mp3"
+          else if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g') "ogg"
+          else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a') "flac"
+          else "unknown"
+        AudioStats(id, fmt, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    }
+
+  /** Batch audio decode: (idCol: long, payloadCol: binary) →
+    * [[AudioStats]] rows, one iterator pass per partition — the same
+    * map-only, shuffle-free shape as [[decodeImages]].
+    */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaBlob]
+      .mapPartitions(_.map(b => audioStats(b.media_id, b.payload)))
+      .toDF()
+  }
+
+  /** Deterministic WAV fixture encoder (test/gate side): interleaved
+    * sample index i (= frame·channels + channel) carries the 16-bit
+    * value ((seed·31 + i)·97) mod 65536, interpreted signed (two's
+    * complement) — closed form, so a SQL oracle re-derives every sample
+    * the decoder must integrate. ·97 spreads consecutive indices across
+    * the signed range so sign alternates and zero-crossing counting is
+    * actually exercised.
+    */
+  def syntheticWav(seed: Long, channels: Int, sampleRate: Int, frames: Int): Array[Byte] = {
+    require(seed >= 0 && channels > 0 && sampleRate > 0 && frames > 0,
+      "syntheticWav: non-negative seed, positive layout")
+    val dataLen = frames * channels * 2
+    val out = new Array[Byte](44 + dataLen)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
+    tag(0, "RIFF"); p32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, channels)
+    p32(24, sampleRate); p32(28, sampleRate * channels * 2)
+    p16(32, channels * 2); p16(34, 16)
+    tag(36, "data"); p32(40, dataLen)
+    var i = 0
+    while (i < frames * channels) {
+      p16(44 + i * 2, (((seed * 31 + i) * 97) % 65536).toInt)
+      i += 1
+    }
+    out
+  }
 }

@@ -1816,6 +1816,63 @@ object NorthStarQueries {
       )
     ),
 
+    // REAL audio decode, end to end: deterministic RIFF/WAVE PCM-16
+    // payloads per nation row — interleaved sample i carries
+    // ((key·31+i)·97) mod 2^16 two's-complement — alternating mono
+    // (even keys) and stereo (odd keys) so the channel de-interleave is
+    // actually exercised. The pure-JVM chunk-walking parser decodes the
+    // BYTES and reports layout, per-channel integer moments and
+    // zero-crossing counts; the oracle re-derives every sample from the
+    // formula alone, so only a decoder that correctly walks chunks,
+    // sign-extends little-endian 16-bit samples and de-interleaves
+    // channels matches. Map-only (no shuffle beyond 25 rows).
+    Q(
+      "q_audio_decode_wav",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val wav = udf((k: Long) =>
+          Multimodal.syntheticWav(k, 1 + (k % 2).toInt, 8000, 96))
+        Multimodal.decodeAudio(
+          blobs.withColumn("payload", wav(col("media_id"))),
+          "media_id", "payload")
+      },
+      Some(
+        """WITH sg AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |    1 + CAST(n_nationkey % 2 AS INT) AS ch,
+          |    i // (1 + n_nationkey % 2) AS t,
+          |    i % (1 + n_nationkey % 2) AS c,
+          |    CASE WHEN ((n_nationkey * 31 + i) * 97) % 65536 >= 32768
+          |         THEN ((n_nationkey * 31 + i) * 97) % 65536 - 65536
+          |         ELSE ((n_nationkey * 31 + i) * 97) % 65536 END AS s
+          |  FROM nation, UNNEST(generate_series(0, 191)) AS u(i)
+          |  WHERE i < 96 * (1 + n_nationkey % 2)
+          |), agg AS (
+          |  SELECT media_id, ch,
+          |    CAST(COALESCE(SUM(CASE WHEN c = 0 THEN s END), 0) AS BIGINT) AS sum_c0,
+          |    CAST(COALESCE(SUM(CASE WHEN c = 0 THEN s * s END), 0) AS BIGINT) AS ssq_c0,
+          |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN s END), 0) AS BIGINT) AS sum_c1,
+          |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN s * s END), 0) AS BIGINT) AS ssq_c1
+          |  FROM sg GROUP BY media_id, ch
+          |), zc AS (
+          |  SELECT a.media_id, a.c,
+          |    CAST(SUM(CASE WHEN (a.s < 0) <> (b.s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS z
+          |  FROM sg a JOIN sg b
+          |    ON a.media_id = b.media_id AND a.c = b.c AND b.t = a.t + 1
+          |  GROUP BY a.media_id, a.c
+          |)
+          |SELECT agg.media_id, 'wav' AS format, CAST(ch AS INT) AS n_channels,
+          |  CAST(8000 AS INT) AS sample_rate,
+          |  CAST(96 AS BIGINT) AS n_frames, CAST(12 AS BIGINT) AS dur_ms,
+          |  sum_c0, ssq_c0, CAST(COALESCE(z0.z, 0) AS BIGINT) AS zc_c0,
+          |  sum_c1, ssq_c1, CAST(COALESCE(z1.z, 0) AS BIGINT) AS zc_c1
+          |FROM agg
+          |LEFT JOIN zc z0 ON z0.media_id = agg.media_id AND z0.c = 0
+          |LEFT JOIN zc z1 ON z1.media_id = agg.media_id AND z1.c = 1""".stripMargin
+      )
+    ),
+
     // Video-style frame sampling plumbing: n evenly-strided 8-byte
     // slices per payload, one row per frame (hex-projected for the
     // gate; the binary plumbing itself is pinned by MultimodalSpec).

@@ -195,4 +195,70 @@ class MultimodalSpec extends SparkSpec {
     // the stats path degrades to the sniff, never throws
     assert(Multimodal.imageStats(1L, wrongDepth).format == "unknown")
   }
+
+  test("decodeWav: golden mono clip parses to the exact samples") {
+    // 3 frames, 1 channel, hand-built: samples 100, -2, 32767
+    val pcm = Seq(100, -2, 32767)
+    val wav = Multimodal.syntheticWav(0L, 1, 8000, 3).clone()
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      wav(44 + i * 2) = (v & 0xFF).toByte
+      wav(44 + i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val Some((ch, rate, samples)) = Multimodal.decodeWav(wav)
+    assert(ch == 1 && rate == 8000)
+    assert(samples.toSeq == pcm.map(_.toShort))
+  }
+
+  test("syntheticWav round-trips through the decoder; stats match a scalar fold") {
+    for (channels <- Seq(1, 2)) {
+      val bytes = Multimodal.syntheticWav(5L, channels, 8000, 96)
+      val Some((ch, rate, pcm)) = Multimodal.decodeWav(bytes)
+      assert(ch == channels && rate == 8000 && pcm.length == 96 * channels)
+      // closed form: interleaved sample i = ((5*31 + i)*97) mod 2^16, signed
+      pcm.zipWithIndex.foreach { case (s, i) =>
+        assert(s == (((5L * 31 + i) * 97) % 65536).toShort)
+      }
+      val st = Multimodal.audioStats(9L, bytes)
+      assert(st.format == "wav" && st.n_channels == channels &&
+        st.n_frames == 96L && st.dur_ms == 12L)
+      val c0 = (0 until 96).map(t => pcm(t * ch).toLong)
+      assert(st.sum_c0 == c0.sum && st.ssq_c0 == c0.map(v => v * v).sum)
+      assert(st.zc_c0 == c0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+      if (channels == 2) {
+        val c1 = (0 until 96).map(t => pcm(t * ch + 1).toLong)
+        assert(st.sum_c1 == c1.sum && st.zc_c1 ==
+          c1.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+      } else assert(st.sum_c1 == 0L && st.ssq_c1 == 0L && st.zc_c1 == 0L)
+    }
+  }
+
+  test("decodeWav: malformed payloads return None; stats degrade to the sniff") {
+    val good = Multimodal.syntheticWav(1L, 1, 8000, 4)
+    assert(Multimodal.decodeWav("RIFFnotawave".getBytes).isEmpty)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // IEEE float format code
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(Multimodal.decodeWav(eightBit).isEmpty)
+    assert(Multimodal.decodeWav(java.util.Arrays.copyOf(good, 30)).isEmpty)
+    // chunk size past the buffer must not read out of bounds
+    val overLong = good.clone(); overLong(40) = 127
+    assert(Multimodal.decodeWav(overLong).isEmpty)
+    assert(Multimodal.audioStats(1L, "ID3andjunk".getBytes).format == "mp3")
+    assert(Multimodal.audioStats(1L, nonPcm).format == "unknown")
+  }
+
+  test("decodeAudio: distributed decode matches the local function per row") {
+    val df = Seq(
+      (0L, Multimodal.syntheticWav(0L, 1, 8000, 96)),
+      (1L, Multimodal.syntheticWav(1L, 2, 8000, 96)),
+      (2L, "ID3garbage".getBytes)
+    ).toDF("media_id", "payload")
+    val rows = Multimodal.decodeAudio(df, "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows(0L).getAs[String]("format") == "wav")
+    assert(rows(1L).getAs[Int]("n_channels") == 2)
+    assert(rows(2L).getAs[String]("format") == "mp3" && rows(2L).getAs[Long]("n_frames") == 0L)
+    val local = Multimodal.audioStats(1L, Multimodal.syntheticWav(1L, 2, 8000, 96))
+    assert(rows(1L).getAs[Long]("ssq_c1") == local.ssq_c1)
+  }
 }
