@@ -492,4 +492,97 @@ object Sampling {
         when(col("z") === 0.0, lit(1.0) / col("n_groups").cast("double"))
           .otherwise((mean(col("g")) - col("mn")) / col("z")).as("weight"))
   }
+
+  /** DSIR per-document importance log-ratios (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much more likely its hashed-unigram bag
+    * is under the TARGET distribution (docs matching `isTarget` — the
+    * high-quality corpus DSIR selects toward) than under the RAW
+    * distribution (the whole input). Features are token hash buckets
+    * (the paper's hashed n-grams — the device that makes the estimator
+    * vocabulary-free at 100 TB): bucket(tok) = polyhash(tok) mod
+    * `buckets`, add-one-smoothed counts.
+    *
+    * Emits (id, n_tokens, lr_tab) with
+    * `lr_tab = Σ_buckets tf(b) · (lnInt(ct(b) div s + 1) − lnInt(cr(b) div s + 1))`
+    * — the table-read part of the log importance weight. The full
+    * weight is `lr_tab + n_tokens · (ln(Tr+B) − ln(Tt+B))`: the second
+    * term is a corpus-wide constant per token, so PER-TOKEN-RATE
+    * ranking (`lr_tab / n_tokens`, what [[q_hard_examples]]-style
+    * selection consumes) is invariant to it — the same
+    * constant-cancels monotone trick as the DoReMi chain, keeping the
+    * whole decision inside the shared bit-exact ln table.
+    *
+    * `countScale` (s, default 4) floor-divides bucket counts before
+    * the table ln so the argument stays ≤ [[TextAnalysis.LnTableSize]]
+    * for up to s·16384 tokens per bucket even when hot terms collide
+    * in one bucket; the induced ln(s) shift cancels between the target
+    * and raw terms (up to floor rounding), and both engines floor
+    * identically.
+    *
+    * Scale shape: one corpus-sized (id, bucket) partial-agg shuffle;
+    * the bucket model collapses to a `buckets`-row decision table that
+    * rides a broadcast back over the per-doc counts; the per-doc fold
+    * is ordered by bucket (sorted struct array) so the double sum is
+    * engine-exact.
+    */
+  def dsirLogRatios(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 64,
+      countScale: Int = 4
+  ): DataFrame = {
+    require(buckets > 0 && countScale > 0, "dsirLogRatios: positive buckets/countScale")
+    val tf = docs
+      .select(
+        col(idCol).as("__id"),
+        isTarget.cast("boolean").as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b",
+        pmod(graft.functions.GraftFunctions
+          .polyHash(col("__tok"), 31L, TextAnalysis.FingerprintMod), lit(buckets.toLong)))
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__tf"), first(col("__t")).as("__t"))
+    val bucketTab = tf
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__t"), col("__tf")).otherwise(lit(0L))).as("__ct"),
+        sum(col("__tf")).as("__cr"))
+      .select(
+        col("__b"),
+        (TextAnalysis.lnInt(floor(col("__ct") / countScale) + 1) -
+          TextAnalysis.lnInt(floor(col("__cr") / countScale) + 1)).as("__delta"))
+    tf
+      .join(broadcast(bucketTab), "__b")
+      .groupBy(col("__id"))
+      .agg(
+        sum(col("__tf")).cast("long").as("n_tokens"),
+        aggregate(
+          sort_array(collect_list(struct(
+            col("__b"),
+            (col("__tf").cast("double") * col("__delta")).as("c")))),
+          lit(0.0), (acc, s) => acc + s("c")).as("lr_tab"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("lr_tab"))
+  }
+
+  /** Close DSIR into a selection: rank documents by the 2⁻²⁰-grid-
+    * snapped per-token importance rate (ties by id) and keep the top
+    * `budget` — the deterministic counterpart of the paper's Gumbel
+    * resampling step (importance ORDER is what the noise perturbs; the
+    * deterministic top-k is the noise-free limit, and the only
+    * reproducible contract a curation audit can pin). One
+    * TakeOrdered(k) over the rated corpus — no global sort.
+    */
+  def dsirSelect(
+      rated: DataFrame,
+      idCol: String,
+      budget: Int
+  ): DataFrame =
+    rated
+      .withColumn("rate_q",
+        floor(col("lr_tab") / col("n_tokens").cast("double") * 1048576.0).cast("long"))
+      .orderBy(col("rate_q").desc, col(idCol).asc)
+      .limit(budget)
 }

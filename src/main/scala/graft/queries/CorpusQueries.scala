@@ -105,6 +105,42 @@ object CorpusQueries {
        |  FROM e$sfx, z$sfx
        |)""".stripMargin
 
+  /** The DSIR hashed-unigram chain (token → 64-bucket polyhash →
+    * add-one-smoothed target/raw bucket model → per-doc log-ratio fold)
+    * — shared verbatim by q_dsir_weights and q_dsir_sample so the
+    * decision arithmetic cannot drift between the observation and the
+    * selection. Ends in `pd(doc_id, n_tokens, lr_tab)`; mirrors
+    * [[graft.operators.Sampling.dsirLogRatios]] with target
+    * `lang = 'en'`, 64 buckets, countScale 4.
+    */
+  private lazy val DsirCtes: String =
+    s"""lnt AS (SELECT $LnTabSql AS l),
+       |dtb AS (
+       |  SELECT doc_id, t,
+       |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
+       |  FROM (SELECT doc_id, lang = 'en' AS t,
+       |          unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |        FROM documents)
+       |), dtf AS (
+       |  SELECT doc_id, t, b, COUNT(*) AS tf FROM dtb GROUP BY 1, 2, 3
+       |), dbt AS (
+       |  SELECT b,
+       |    CAST(COALESCE(SUM(CASE WHEN t THEN tf END), 0) AS BIGINT) AS ct,
+       |    CAST(SUM(tf) AS BIGINT) AS cr
+       |  FROM dtf GROUP BY b
+       |), ddl AS (
+       |  SELECT b, ${lnSql("ct // 4 + 1")} - ${lnSql("cr // 4 + 1")} AS delta
+       |  FROM dbt CROSS JOIN lnt
+       |), pd AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(tf AS DOUBLE) * delta ORDER BY b)), (a, c) -> a + c) AS lr_tab
+       |  FROM dtf JOIN ddl USING (b) GROUP BY doc_id
+       |)""".stripMargin
+
   /** The entropy CASE over `cs` (the str_split character list) — shared
     * verbatim by q_char_entropy and q_quality_gate so their oracles
     * cannot drift.
@@ -2026,6 +2062,99 @@ object CorpusQueries {
           |JOIN g0 USING (lang, source, b0)
           |JOIN g1 USING (lang, source, b1)
           |JOIN g2 USING (lang, source)""".stripMargin
+      )
+    ),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    // language, documents split into head/middle/tail terciles of the
+    // unigram-LM perplexity proxy, keeping head+middle — the classic
+    // web-corpus curation cut. The surprisal table-rate is
+    // ANTI-monotone in perplexity (the q_hard_examples trick: the
+    // ln ΣN corpus constant cancels in ranking), so head = highest
+    // grid-snapped rate; ntile runs over (rate DESC, id) — fully
+    // tie-broken, engine-identical. One corpus-sized agg shuffle (the
+    // surprisal chain) + one lang-keyed window.
+    Q(
+      "q_ppl_buckets",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val rated = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+          .withColumn("rate_q",
+            floor(col("nll_tab") / col("n_tokens").cast("double") * lit(1048576.0))
+              .cast("long"))
+          .join(docs.select(col("doc_id"), col("lang")), col("id") === col("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("rate_q").desc, col("doc_id").asc)
+        rated
+          .withColumn("t", ntile(3).over(w))
+          .select(
+            col("doc_id"), col("lang"), col("rate_q"),
+            when(col("t") === 1, "head").when(col("t") === 2, "middle")
+              .otherwise("tail").as("bucket"),
+            (col("t") <= 2).as("keep"))
+      },
+      Some(
+        s"""WITH $UnigramSurCtes, r AS (
+           |  SELECT s.id AS doc_id, d.lang,
+           |    CAST(FLOOR(s.nll_tab / CAST(s.n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) AS rate_q
+           |  FROM sur s JOIN documents d ON s.id = d.doc_id
+           |), n AS (
+           |  SELECT doc_id, lang, rate_q,
+           |    ntile(3) OVER (PARTITION BY lang ORDER BY rate_q DESC, doc_id) AS t
+           |  FROM r
+           |)
+           |SELECT doc_id, lang, rate_q,
+           |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           |  t <= 2 AS keep
+           |FROM n""".stripMargin
+      )
+    ),
+
+    // DSIR importance rating (Xie et al. 2023): every document scored
+    // by the hashed-unigram log-likelihood ratio of the TARGET corpus
+    // (lang='en' — the distribution to select toward) vs the RAW
+    // corpus. The 64-bucket model collapses to a decision table riding
+    // a broadcast; the per-doc fold is bucket-ordered so the double
+    // sum is engine-exact; count-div-4 keeps every ln a shared-table
+    // read even when hot terms collide in a bucket (the ln 4 shift
+    // cancels between the target and raw terms).
+    Q(
+      "q_dsir_weights",
+      (spark, dir) =>
+        Sampling.dsirLogRatios(
+          Q.t(spark, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 64),
+      Some(
+        s"""WITH $DsirCtes
+           |SELECT doc_id, n_tokens, lr_tab FROM pd""".stripMargin
+      )
+    ),
+
+    // DSIR closed into a selection: top-300 documents by the grid-
+    // snapped per-token importance rate (ties by id) — the
+    // deterministic, audit-reproducible limit of the paper's Gumbel
+    // resampling. One TakeOrdered(k) over the rated corpus, no global
+    // sort; the corpus-constant term of the full weight cancels in
+    // rate ranking (the q_hard_examples monotone trick).
+    Q(
+      "q_dsir_sample",
+      (spark, dir) =>
+        Sampling.dsirSelect(
+          Sampling.dsirLogRatios(
+            Q.t(spark, dir, "documents"), "doc_id", "text",
+            isTarget = col("lang") === "en", buckets = 64),
+          "doc_id", budget = 300)
+          .select(col("doc_id"), col("rate_q")),
+      Some(
+        s"""WITH $DsirCtes
+           |SELECT doc_id, rate_q FROM (
+           |  SELECT doc_id,
+           |    CAST(FLOOR(lr_tab / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) AS rate_q,
+           |    row_number() OVER (
+           |      ORDER BY CAST(FLOOR(lr_tab / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) DESC,
+           |               doc_id) AS rn
+           |  FROM pd)
+           |WHERE rn <= 300""".stripMargin
       )
     )
   )

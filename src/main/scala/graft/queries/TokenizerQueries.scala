@@ -411,6 +411,77 @@ object TokenizerQueries {
       )
     ),
 
+    // The packed stream's ATTENTION-BOUNDARY map: per (lang, bin,
+    // doc_id), the document's first/last seq_pos inside its bin and
+    // its id count — the index a trainer consumes to reset attention
+    // (and loss masking) at document starts within a packed sequence.
+    // Binning assigns whole documents (exclusive-prefix rule), so each
+    // doc owns one contiguous [start_pos, end_pos] span; the map is
+    // the same chain as q_pack_ids collapsed by one group-by, sharing
+    // the IdCtes verbatim so the boundaries cannot drift from the
+    // stream they index.
+    Q(
+      "q_pack_boundaries",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val ids = Vocab.encodeIds(docs, "doc_id", "text", dict)
+        val stream = ids.unionByName(
+          docs.select(col("doc_id"), lit(Int.MaxValue.toLong).as("pos"),
+            lit(0L).as("token_id")))
+        val perDoc = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val wl = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bins = perDoc
+          .withColumn("__cum", sum(col("__n")).over(wl))
+          .select(col("doc_id"), col("lang"),
+            floor((col("__cum") - col("__n")).cast("double") / 2048.0)
+              .cast("long").as("bin"))
+        val wb = Window.partitionBy(col("lang"), col("bin"))
+          .orderBy(col("doc_id").asc, col("pos").asc)
+        val out = stream.join(bins, "doc_id")
+          .withColumn("seq_pos", row_number().over(wb).cast("long"))
+          .groupBy(col("lang"), col("bin"), col("doc_id"))
+          .agg(
+            min(col("seq_pos")).as("start_pos"),
+            max(col("seq_pos")).as("end_pos"),
+            count(lit(1)).as("n_ids"))
+        Q.requireBroadcastJoin(out)
+        val scratch = Q.scratch("packbounds")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""$IdCtes, e AS (
+           |  SELECT doc_id, p, q, tid FROM wtok JOIN lkt ON wtok.tok = lkt.t
+           |  UNION ALL
+           |  SELECT doc_id, 2147483647 AS p, 0 AS q, CAST(0 AS BIGINT) AS tid
+           |  FROM documents
+           |), nn AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+           |), bb AS (
+           |  SELECT doc_id, lang, CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin
+           |  FROM (
+           |    SELECT nn.doc_id, d.lang, nn.n,
+           |      SUM(nn.n) OVER (PARTITION BY d.lang ORDER BY nn.doc_id
+           |                      ROWS UNBOUNDED PRECEDING) AS cum
+           |    FROM nn JOIN documents d USING (doc_id)) t0
+           |), st AS (
+           |  SELECT lang, bin, e.doc_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin
+           |                            ORDER BY e.doc_id, p, q) AS BIGINT) AS seq_pos
+           |  FROM e JOIN bb USING (doc_id)
+           |)
+           |SELECT lang, bin, doc_id,
+           |  CAST(MIN(seq_pos) AS BIGINT) AS start_pos,
+           |  CAST(MAX(seq_pos) AS BIGINT) AS end_pos,
+           |  CAST(COUNT(*) AS BIGINT) AS n_ids
+           |FROM st GROUP BY lang, bin, doc_id""".stripMargin
+      )
+    ),
+
     // The tokenizer ARTIFACT itself: the (subword, id) vocabulary table
     // under the trained 2-merge dictionary — what a training run ships
     // alongside the packed id streams so they stay decodable. Ids are

@@ -269,4 +269,52 @@ class SamplingSpec extends SparkSpec {
       case _                           =>
     }
   }
+
+  test("dsirLogRatios: target-like documents outscore background documents") {
+    // target corpus speaks {alpha, beta}; background speaks {gamma, delta}.
+    // A fresh raw doc written in target words must take a higher
+    // per-token importance rate than one written in background words.
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta alpha beta", true)) ++
+        (21L to 60L).map(i => (i, "gamma delta gamma delta", false)) ++
+        Seq((100L, "alpha beta alpha", false), (101L, "gamma delta gamma", false))
+    ).toDF("id", "text", "is_tgt")
+    val rated = Sampling.dsirLogRatios(docs, "id", "text", col("is_tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rated(100L)._1 == 3L)
+    val rateTarget = rated(100L)._2 / rated(100L)._1
+    val rateBackground = rated(101L)._2 / rated(101L)._1
+    assert(rateTarget > rateBackground,
+      s"target-like rate $rateTarget must exceed background rate $rateBackground")
+  }
+
+  test("dsirLogRatios: deterministic across runs; countScale shift cancels in ordering") {
+    val docs = (1L to 50L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}", i % 4 == 0))
+      .toDF("id", "text", "t")
+    def rates(scale: Int) =
+      Sampling.dsirLogRatios(docs, "id", "text", col("t"), buckets = 32, countScale = scale)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2) / r.getLong(1)).toMap
+    val a = rates(1)
+    assert(rates(1) == a) // bit-identical rerun
+    // coarser count grids perturb values but keep the doc ORDERING close:
+    // the extreme docs stay extreme (selection consumes the order)
+    val b = rates(4)
+    val topA = a.toSeq.sortBy { case (id, r) => (-r, id) }.take(5).map(_._1).toSet
+    val topB = b.toSeq.sortBy { case (id, r) => (-r, id) }.take(5).map(_._1).toSet
+    assert((topA & topB).nonEmpty)
+  }
+
+  test("dsirSelect: budget binds, ranked by snapped rate with id ties") {
+    val docs = (
+      (1L to 10L).map(i => (i, "hot hot hot", true)) ++
+        (11L to 30L).map(i => (i, "cold cold cold", false))
+    ).toDF("id", "text", "t")
+    val rated = Sampling.dsirLogRatios(docs, "id", "text", col("t"), buckets = 16)
+    val kept = Sampling.dsirSelect(rated, "id", budget = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 10)
+    // the ten target-worded docs rank above every background doc
+    assert(kept == (1L to 10L).toSet)
+  }
 }
