@@ -526,6 +526,74 @@ object Sampling {
     * is ordered by bucket (sorted struct array) so the double sum is
     * engine-exact.
     */
+  /** The fitted DSIR bucket model on its own: (bucket, delta) with
+    * `delta = lnInt(ct div s + 1) − lnInt(cr div s + 1)` over the
+    * training corpus — the `buckets`-row artifact a production
+    * pipeline persists once and then applies map-side to arbitrary
+    * later corpora ([[dsirScore]]), decoupling model fitting from
+    * rating exactly as a trained quality classifier is. One
+    * (bucket)-keyed partial-agg shuffle over the training scan.
+    */
+  def dsirBucketModel(
+      docs: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 64,
+      countScale: Int = 4
+  ): DataFrame = {
+    require(buckets > 0 && countScale > 0, "dsirBucketModel: positive buckets/countScale")
+    docs
+      .select(
+        isTarget.cast("boolean").as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b",
+        pmod(graft.functions.GraftFunctions
+          .polyHash(col("__tok"), 31L, TextAnalysis.FingerprintMod), lit(buckets.toLong)))
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("__ct"),
+        count(lit(1)).as("__cr"))
+      .select(
+        col("__b"),
+        (TextAnalysis.lnInt(floor(col("__ct") / countScale) + 1) -
+          TextAnalysis.lnInt(floor(col("__cr") / countScale) + 1)).as("__delta"))
+  }
+
+  /** Collect a [[dsirBucketModel]] into the dense per-bucket delta
+    * array [[dsirScore]] consumes. Decision-table-sized by contract
+    * (`buckets` entries) — the one bounded driver materialization, the
+    * same shape as a quota table riding a closure. Buckets unseen in
+    * training keep delta 0 (= add-one smoothing of two zero counts).
+    */
+  def dsirModelArray(model: DataFrame, buckets: Int): Array[Double] = {
+    val out = new Array[Double](buckets)
+    model.select(col("__b").cast("int"), col("__delta").cast("double"))
+      .collect()
+      .foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** Map-side DSIR rating of a text column against a FITTED model
+    * (the dense delta array from [[dsirModelArray]]): the summed
+    * per-token bucket deltas, folded in token order — a pure
+    * projection, no shuffle, streaming-safe (a stream screen is this
+    * column in a `withColumn` on `readStream`). Divide by the token
+    * count for the rate that ranking/thresholds consume.
+    */
+  def dsirScore(text: Column, deltas: Seq[Double], buckets: Int): Column =
+    aggregate(
+      transform(
+        TextAnalysis.tokens(text),
+        t =>
+          coalesce(
+            try_element_at(
+              lit(deltas.toArray),
+              pmod(graft.functions.GraftFunctions
+                .polyHash(t, 31L, TextAnalysis.FingerprintMod), lit(buckets.toLong))
+                .cast("int") + 1),
+            lit(0.0))),
+      lit(0.0), (acc, d) => acc + d)
+
   def dsirLogRatios(
       docs: DataFrame,
       idCol: String,
@@ -538,24 +606,14 @@ object Sampling {
     val tf = docs
       .select(
         col(idCol).as("__id"),
-        isTarget.cast("boolean").as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
       .withColumn("__b",
         pmod(graft.functions.GraftFunctions
           .polyHash(col("__tok"), 31L, TextAnalysis.FingerprintMod), lit(buckets.toLong)))
       .groupBy(col("__id"), col("__b"))
-      .agg(count(lit(1)).as("__tf"), first(col("__t")).as("__t"))
-    val bucketTab = tf
-      .groupBy(col("__b"))
-      .agg(
-        sum(when(col("__t"), col("__tf")).otherwise(lit(0L))).as("__ct"),
-        sum(col("__tf")).as("__cr"))
-      .select(
-        col("__b"),
-        (TextAnalysis.lnInt(floor(col("__ct") / countScale) + 1) -
-          TextAnalysis.lnInt(floor(col("__cr") / countScale) + 1)).as("__delta"))
+      .agg(count(lit(1)).as("__tf"))
     tf
-      .join(broadcast(bucketTab), "__b")
+      .join(broadcast(dsirBucketModel(docs, textCol, isTarget, buckets, countScale)), "__b")
       .groupBy(col("__id"))
       .agg(
         sum(col("__tf")).cast("long").as("n_tokens"),

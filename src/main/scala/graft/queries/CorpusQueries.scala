@@ -2156,6 +2156,78 @@ object CorpusQueries {
            |  FROM pd)
            |WHERE rn <= 300""".stripMargin
       )
+    ),
+
+    // DSIR as a SCREEN: the bucket model is fitted on a training
+    // corpus (even doc_ids, target lang='en'), collapses to a 64-entry
+    // delta array, and every incoming document — including ones the
+    // model never saw — is rated MAP-SIDE by folding its tokens' bucket
+    // deltas in token order. No shuffle on the rating side, so the
+    // same column is the streaming screen (pinned stream==batch by
+    // StreamingCorpusOpsSpec); keep = rate above neutral (0): more
+    // target-like than background. The production inference shape:
+    // fit once, persist the decision table, rate anywhere.
+    Q(
+      "q_dsir_screen",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val model = Sampling.dsirBucketModel(
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          isTarget = col("lang") === "en", buckets = 64)
+        val deltas = Sampling.dsirModelArray(model, 64)
+        docs
+          .select(
+            col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+            Sampling.dsirScore(col("text"), deltas.toSeq, 64).as("score"))
+          .withColumn("rate_q",
+            floor(col("score") / col("n_tokens").cast("double") * lit(1048576.0))
+              .cast("long"))
+          .select(col("doc_id"), col("n_tokens"), col("rate_q"),
+            (col("rate_q") >= 0L).as("keep"))
+      },
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l),
+           |stb AS (
+           |  SELECT t,
+           |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
+           |  FROM (SELECT lang = 'en' AS t,
+           |          unnest(regexp_split_to_array(text, '\\s+')) AS tok
+           |        FROM documents WHERE doc_id % 2 = 0)
+           |), sbt AS (
+           |  SELECT b,
+           |    CAST(COALESCE(SUM(CASE WHEN t THEN 1 END), 0) AS BIGINT) AS ct,
+           |    CAST(COUNT(*) AS BIGINT) AS cr
+           |  FROM stb GROUP BY b
+           |), sdl AS (
+           |  SELECT b, ${lnSql("ct // 4 + 1")} - ${lnSql("cr // 4 + 1")} AS delta
+           |  FROM sbt CROSS JOIN lnt
+           |), wt AS (
+           |  SELECT doc_id, ts[i] AS tok, i AS p
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
+           |        FROM documents) d0,
+           |       UNNEST(generate_series(1, len(ts))) AS u(i)
+           |), wb AS (
+           |  SELECT doc_id, p,
+           |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
+           |  FROM wt
+           |), sc AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(COALESCE(delta, 0.0) ORDER BY p)), (a, c) -> a + c) AS score
+           |  FROM wb LEFT JOIN sdl USING (b) GROUP BY doc_id
+           |)
+           |SELECT doc_id, n_tokens,
+           |  CAST(FLOOR(score / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) AS rate_q,
+           |  CAST(FLOOR(score / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) >= 0 AS keep
+           |FROM sc""".stripMargin
+      )
     )
   )
 }

@@ -343,4 +343,40 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(applied == Set((2L, "b2"), (3L, "c1")))
     } finally q.stop()
   }
+
+  test("DSIR screen rates a stream bit-identically to batch (fitted model, map-side)") {
+    implicit val sqlCtx = spark.sqlContext
+    // fit the bucket model once on a static training corpus
+    val train = (
+      (1L to 20L).map(i => (i, "alpha beta alpha", true)) ++
+        (21L to 50L).map(i => (i, "gamma delta gamma", false))
+    ).toDF("doc_id", "text", "is_tgt")
+    val deltas = Sampling.dsirModelArray(
+      Sampling.dsirBucketModel(train, "text", col("is_tgt"), buckets = 32), 32)
+    // arrivals the model never saw: one target-like, one background-like
+    val arriving = Seq((100L, "alpha beta"), (101L, "gamma delta"))
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Sampling.dsirScore(col("text"), deltas.toSeq, 32).as("score"))
+
+    val in = MemoryStream[(Long, String)]
+    val q = screen(in.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("sc_dsir_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_dsir_out")
+        .as[(Long, Double)].collect().toMap
+      val batch = screen(arriving.toDF("doc_id", "text"))
+        .as[(Long, Double)].collect().toMap
+      assert(streamed.keySet == Set(100L, 101L))
+      assert(streamed(100L) > streamed(101L)) // target-like outranks background
+      batch.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(streamed(k)) ==
+          java.lang.Double.doubleToLongBits(v))
+      }
+    } finally q.stop()
+  }
 }
