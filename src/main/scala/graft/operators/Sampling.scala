@@ -554,9 +554,45 @@ object Sampling {
         sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("__ct"),
         count(lit(1)).as("__cr"))
       .select(
-        col("__b"),
+        col("__b"), col("__ct"), col("__cr"),
         (TextAnalysis.lnInt(floor(col("__ct") / countScale) + 1) -
           TextAnalysis.lnInt(floor(col("__cr") / countScale) + 1)).as("__delta"))
+  }
+
+  /** Scalar mirror of [[TextAnalysis.lnInt]] for driver-side decision-
+    * table arithmetic: the SAME shared table (so a model constant
+    * computed here folds bit-identically with column-side table reads),
+    * StrictMath.log beyond it.
+    */
+  private def lnIntScalar(k: Long): Double =
+    if (k >= 1 && k <= TextAnalysis.LnTableSize) TextAnalysis.LnTable((k - 1).toInt)
+    else StrictMath.log(k.toDouble)
+
+  /** [[dsirModelArray]] CENTERED at the raw/target mixture: each delta
+    * carries the per-token corpus constant `ln(Tr) − ln(Tt)` (totals
+    * summed from the model's own bucket counts — no extra scan), so
+    * the scored rate reads as a true log-likelihood ratio and 0 is the
+    * meaningful neutral point: positive = more target-like than the
+    * average raw token mix. The constant itself stays a shared-table
+    * read via the same count-scaling trick (totals div `totalScale`;
+    * the ln-scale shift cancels between the two terms), so the whole
+    * screen remains bit-exact cross-engine.
+    */
+  def dsirModelArrayCentered(
+      model: DataFrame,
+      buckets: Int,
+      totalScale: Long = 64L
+  ): Array[Double] = {
+    val rows = model
+      .select(col("__b").cast("int"), col("__ct").cast("long"),
+        col("__cr").cast("long"), col("__delta").cast("double"))
+      .collect()
+    val tt = rows.map(_.getLong(1)).sum
+    val tr = rows.map(_.getLong(2)).sum
+    val const = lnIntScalar(tr / totalScale + 1) - lnIntScalar(tt / totalScale + 1)
+    val out = Array.fill(buckets)(const)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(3) + const)
+    out
   }
 
   /** Collect a [[dsirBucketModel]] into the dense per-bucket delta

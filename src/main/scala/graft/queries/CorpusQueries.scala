@@ -2160,13 +2160,17 @@ object CorpusQueries {
 
     // DSIR as a SCREEN: the bucket model is fitted on a training
     // corpus (even doc_ids, target lang='en'), collapses to a 64-entry
-    // delta array, and every incoming document — including ones the
-    // model never saw — is rated MAP-SIDE by folding its tokens' bucket
-    // deltas in token order. No shuffle on the rating side, so the
-    // same column is the streaming screen (pinned stream==batch by
-    // StreamingCorpusOpsSpec); keep = rate above neutral (0): more
-    // target-like than background. The production inference shape:
-    // fit once, persist the decision table, rate anywhere.
+    // CENTERED delta array (each delta carries the ln(Tr)−ln(Tt)
+    // corpus constant, itself a shared-table read via totals-div-64),
+    // and every incoming document — including ones the model never
+    // saw — is rated MAP-SIDE by folding its tokens' bucket deltas in
+    // token order. No shuffle on the rating side, so the same column
+    // is the streaming screen (pinned stream==batch by
+    // StreamingCorpusOpsSpec); keep = rate above the NEUTRAL point 0:
+    // the centered rate is a true per-token log-likelihood ratio, so
+    // positive means more target-like than the average raw token mix.
+    // The production inference shape: fit once, persist the decision
+    // table, rate anywhere.
     Q(
       "q_dsir_screen",
       (spark, dir) => {
@@ -2174,7 +2178,7 @@ object CorpusQueries {
         val model = Sampling.dsirBucketModel(
           docs.filter(col("doc_id") % 2 === 0), "text",
           isTarget = col("lang") === "en", buckets = 64)
-        val deltas = Sampling.dsirModelArray(model, 64)
+        val deltas = Sampling.dsirModelArrayCentered(model, 64)
         docs
           .select(
             col("doc_id"),
@@ -2205,6 +2209,11 @@ object CorpusQueries {
            |), sdl AS (
            |  SELECT b, ${lnSql("ct // 4 + 1")} - ${lnSql("cr // 4 + 1")} AS delta
            |  FROM sbt CROSS JOIN lnt
+           |), tot AS (
+           |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM sbt
+           |), kon AS (
+           |  SELECT ${lnSql("tr // 64 + 1")} - ${lnSql("tt // 64 + 1")} AS konst
+           |  FROM tot CROSS JOIN lnt
            |), wt AS (
            |  SELECT doc_id, ts[i] AS tok, i AS p
            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
@@ -2220,8 +2229,8 @@ object CorpusQueries {
            |), sc AS (
            |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list(COALESCE(delta, 0.0) ORDER BY p)), (a, c) -> a + c) AS score
-           |  FROM wb LEFT JOIN sdl USING (b) GROUP BY doc_id
+           |      list(COALESCE(delta, 0.0) + konst ORDER BY p)), (a, c) -> a + c) AS score
+           |  FROM wb LEFT JOIN sdl USING (b) CROSS JOIN kon GROUP BY doc_id
            |)
            |SELECT doc_id, n_tokens,
            |  CAST(FLOOR(score / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) AS rate_q,

@@ -504,6 +504,49 @@ object ScaleProbe {
         graft.operators.Decontaminate
           .dropContaminated(tr, ho, "doc_id", "text", n = 5).count()
       }
+      // DSIR rating: the bucket model is replication-invariant (64
+      // rows at every factor — replicas change counts, not the bucket
+      // space); only the per-doc count shuffle and the broadcast
+      // join-back grow. Near-linear wall, weights-per-doc output.
+      probe(s"dsir_weights x$k") {
+        graft.operators.Sampling.dsirLogRatios(
+          d, "doc_id", "text", col("lang") === "en", buckets = 64).count()
+      }
+      // DSIR screen: fitting collapses to the 64-entry array once;
+      // rating is a pure map-side fold, so growth must track the scan
+      // alone (no shuffle on the rating side at any factor)
+      probe(s"dsir_screen x$k") {
+        val deltas = graft.operators.Sampling.dsirModelArrayCentered(
+          graft.operators.Sampling.dsirBucketModel(
+            d.filter(col("doc_id") % 2 === 0), "text",
+            col("lang") === "en", buckets = 64), 64)
+        d.select(col("doc_id"),
+          graft.operators.Sampling.dsirScore(col("text"), deltas.toSeq, 64)
+            .as("score")).filter(col("score") >= 0.0).count()
+      }
+      // WAV decode is map-only: payload synthesis + parse + moments,
+      // no shuffle — wall must track the row count exactly
+      probe(s"audio_decode x$k") {
+        val wav = udf((id: Long) =>
+          graft.operators.Multimodal.syntheticWav(id % 97, 1 + (id % 2).toInt, 8000, 96))
+        graft.operators.Multimodal.decodeAudio(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", wav(col("media_id"))),
+          "media_id", "payload").filter(col("ssq_c0") > 0).count()
+      }
+      // perplexity terciles: the surprisal chain's agg shuffle + one
+      // lang-keyed window — same shape as doremi's rating stage
+      probe(s"ppl_buckets x$k") {
+        val rated = graft.operators.TextAnalysis
+          .unigramSurprisal(d, "doc_id", "text")
+          .withColumn("rate_q",
+            floor(col("nll_tab") / col("n_tokens").cast("double") * lit(1048576.0))
+              .cast("long"))
+          .join(d.select(col("doc_id"), col("lang")), col("id") === col("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("rate_q").desc, col("doc_id").asc)
+        rated.withColumn("t", ntile(3).over(w)).filter(col("t") <= 2).count()
+      }
       // (selecting this probe without ivf_persist_build builds untimed)
       if (selected(s"ivf_persist_probe x$k") && lastIndexPath == null) {
         val path = graft.queries.Q.scratch(s"probe_ivfidx_x$k")

@@ -305,6 +305,23 @@ class SamplingSpec extends SparkSpec {
     assert((topA & topB).nonEmpty)
   }
 
+  test("dsirModelArrayCentered: 0 is the neutral point between target and background") {
+    val train = (
+      (1L to 30L).map(i => (i, "alpha beta alpha beta", true)) ++
+        (31L to 60L).map(i => (i, "gamma delta gamma delta", false))
+    ).toDF("id", "text", "t")
+    val deltas = Sampling.dsirModelArrayCentered(
+      Sampling.dsirBucketModel(train, "text", col("t"), buckets = 32), 32)
+    val scored = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("id", "text")
+      .select(col("id"), (Sampling.dsirScore(col("text"), deltas.toSeq, 32) / 2.0).as("rate"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // centered rate is a log-likelihood ratio: target words positive,
+    // background words negative, neutral at zero
+    assert(scored(1L) > 0.0, s"target-word rate ${scored(1L)} must be positive")
+    assert(scored(2L) < 0.0, s"background-word rate ${scored(2L)} must be negative")
+  }
+
   test("dsirSelect: budget binds, ranked by snapped rate with id ties") {
     val docs = (
       (1L to 10L).map(i => (i, "hot hot hot", true)) ++
