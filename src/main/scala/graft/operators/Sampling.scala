@@ -493,6 +493,47 @@ object Sampling {
           .otherwise((mean(col("g")) - col("mn")) / col("z")).as("weight"))
   }
 
+  /** Length-bucketed dynamic batching: assign each document to a
+    * fixed-size batch of similar-length peers, the standard
+    * padding-minimization step ahead of training/inference (every
+    * sequence in a batch pads to the batch max, so batching random
+    * lengths wastes compute proportional to the length spread).
+    * Documents bucket by `lenCol div bucketWidth` — bounding the
+    * within-batch spread by `bucketWidth − 1` — then batch in the
+    * unbiased [[orderHash]] order (id tie-break), `batchSize` rows per
+    * batch: deterministic, so retries rebuild identical batches.
+    *
+    * Returns the per-doc assignment (id, len, bucket, shard,
+    * batch_id); batches are keyed (bucket, shard, batch_id). The last
+    * batch of each (bucket, shard) may be short.
+    *
+    * Scale shape: ONE (bucket, shard)-keyed window shuffle. `shards`
+    * splits each bucket by id-hash so a hot length bucket (most
+    * corpora concentrate near the median) sorts across `shards` tasks
+    * instead of one — the salting discipline, at the cost of ≤ shards
+    * extra short batches per bucket.
+    */
+  def lengthBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      bucketWidth: Int,
+      batchSize: Int,
+      shards: Int = 1
+  ): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && shards > 0,
+      "lengthBatches: positive bucketWidth/batchSize/shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard"))
+      .orderBy(orderHash(col(idCol)).asc, col(idCol).asc)
+    df.select(
+        col(idCol), col(lenCol).cast("long").as("len"),
+        floor(col(lenCol).cast("double") / bucketWidth).cast("long").as("bucket"),
+        hashBucket(col(idCol), shards).as("shard"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - lit(1)).cast("double") / batchSize).cast("long"))
+  }
+
   /** DSIR per-document importance log-ratios (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every raw document by how much more likely its hashed-unigram bag

@@ -2158,6 +2158,56 @@ object CorpusQueries {
       )
     ),
 
+    // Length-bucketed dynamic batching with padding accounting: docs
+    // bucket by token-length div 16 (bounding within-batch spread, so
+    // padding waste is bounded per batch), shard by id-hash so a hot
+    // length bucket sorts across 4 tasks instead of one, then batch 8
+    // per (bucket, shard) in the unbiased hash order. The gate emits
+    // the per-batch padding ledger — n_docs·max_len − sum_len is the
+    // compute a trainer would burn on pad tokens, THE metric this
+    // operator exists to minimize. One (bucket, shard)-keyed window.
+    Q(
+      "q_length_batching",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("len"))
+        Sampling.lengthBatches(docs, "doc_id", "len",
+            bucketWidth = 16, batchSize = 8, shards = 4)
+          .groupBy(col("bucket"), col("shard"), col("batch_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max(col("len")).as("max_len"),
+            sum(col("len")).as("sum_len"),
+            (count(lit(1)) * max(col("len")) - sum(col("len"))).as("padding_waste"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS len
+           |  FROM documents
+           |), b AS (
+           |  SELECT doc_id, len, CAST(len // 16 AS BIGINT) AS bucket,
+           |    ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 4 AS shard
+           |  FROM d
+           |), r AS (
+           |  SELECT bucket, shard, len,
+           |    ROW_NUMBER() OVER (PARTITION BY bucket, shard
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |  FROM b
+           |), a AS (
+           |  SELECT bucket, shard, CAST((rn - 1) // 8 AS BIGINT) AS batch_id, len FROM r
+           |)
+           |SELECT bucket, shard, batch_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(MAX(len) AS BIGINT) AS max_len,
+           |  CAST(SUM(len) AS BIGINT) AS sum_len,
+           |  CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS padding_waste
+           |FROM a GROUP BY bucket, shard, batch_id""".stripMargin
+      }
+    ),
+
     // DSIR as a SCREEN: the bucket model is fitted on a training
     // corpus (even doc_ids, target lang='en'), collapses to a 64-entry
     // CENTERED delta array (each delta carries the ln(Tr)−ln(Tt)

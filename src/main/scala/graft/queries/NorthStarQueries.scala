@@ -1873,6 +1873,70 @@ object NorthStarQueries {
       )
     ),
 
+    // The audio decode→DECISION loop: the decoded stats drive the
+    // standard ingest screens — corrupt payloads (truncated header →
+    // sniff fallback) and digital silence (zero energy) are dropped,
+    // and the zero-crossing rate (per-mille of frame transitions) is
+    // the cheap noisiness signal a curation rule thresholds. The gate
+    // plants all three regimes (every 7th payload truncated, every
+    // 5th zeroed-out samples, the rest formula clips) so each decision
+    // path is exercised; the oracle re-derives the decisions from the
+    // sample formula alone. Map-only like the decode itself.
+    Q(
+      "q_audio_screen",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val wav = udf((k: Long) => {
+          val b = Multimodal.syntheticWav(k, 1 + (k % 2).toInt, 8000, 96)
+          if (k % 7 == 3) java.util.Arrays.copyOf(b, 20) // truncated mid-header
+          else {
+            if (k % 5 == 0) java.util.Arrays.fill(b, 44, b.length, 0.toByte)
+            b
+          }
+        })
+        Multimodal.decodeAudio(
+            blobs.withColumn("payload", wav(col("media_id"))),
+            "media_id", "payload")
+          .select(
+            col("media_id"), col("format"),
+            (col("format") === "wav" && col("ssq_c0") === 0L).as("is_silent"),
+            when(col("n_frames") > 1L,
+              floor((col("zc_c0") * 1000L).cast("double") / (col("n_frames") - 1L)))
+              .otherwise(0L).cast("long").as("zc_permille"),
+            (col("format") === "wav" && col("ssq_c0") > 0L).as("keep"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |    n_nationkey % 7 = 3 AS corrupt, n_nationkey % 5 = 0 AS silent
+          |  FROM nation
+          |), sg AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |    i // (1 + n_nationkey % 2) AS t,
+          |    CASE WHEN ((n_nationkey * 31 + i) * 97) % 65536 >= 32768
+          |         THEN ((n_nationkey * 31 + i) * 97) % 65536 - 65536
+          |         ELSE ((n_nationkey * 31 + i) * 97) % 65536 END AS s
+          |  FROM nation, UNNEST(generate_series(0, 191)) AS u(i)
+          |  WHERE n_nationkey % 7 <> 3 AND n_nationkey % 5 <> 0
+          |    AND i < 96 * (1 + n_nationkey % 2)
+          |    AND i % (1 + n_nationkey % 2) = 0
+          |), zc AS (
+          |  SELECT a.media_id,
+          |    CAST(SUM(CASE WHEN (a.s < 0) <> (b.s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS z
+          |  FROM sg a JOIN sg b ON a.media_id = b.media_id AND b.t = a.t + 1
+          |  GROUP BY a.media_id
+          |)
+          |SELECT base.media_id,
+          |  CASE WHEN corrupt THEN 'unknown' ELSE 'wav' END AS format,
+          |  NOT corrupt AND silent AS is_silent,
+          |  CAST(CASE WHEN corrupt THEN 0
+          |            ELSE COALESCE(zc.z, 0) * 1000 // 95 END AS BIGINT) AS zc_permille,
+          |  NOT corrupt AND NOT silent AS keep
+          |FROM base LEFT JOIN zc USING (media_id)""".stripMargin
+      )
+    ),
+
     // Video-style frame sampling plumbing: n evenly-strided 8-byte
     // slices per payload, one row per frame (hex-projected for the
     // gate; the binary plumbing itself is pinned by MultimodalSpec).

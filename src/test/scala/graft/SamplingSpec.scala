@@ -305,6 +305,33 @@ class SamplingSpec extends SparkSpec {
     assert((topA & topB).nonEmpty)
   }
 
+  test("lengthBatches: batch size bound, spread bound, and less waste than naive batching") {
+    // skewed lengths: most docs short, a long tail
+    val docs = (1L to 400L).map(i => (i, if (i % 10 == 0) 200L + i % 37 else 10L + i % 13))
+      .toDF("id", "len")
+    val assigned = Sampling.lengthBatches(docs, "id", "len",
+      bucketWidth = 16, batchSize = 8, shards = 2)
+    val batches = assigned.groupBy("bucket", "shard", "batch_id")
+      .agg(count(lit(1)).as("n"), max("len").as("mx"), min("len").as("mn"), sum("len").as("sm"))
+      .collect()
+    batches.foreach { r =>
+      assert(r.getAs[Long]("n") <= 8)
+      // within-batch spread bounded by the bucket width
+      assert(r.getAs[Long]("mx") - r.getAs[Long]("mn") < 16)
+    }
+    // every doc assigned exactly once
+    assert(assigned.count() == 400 && assigned.select("id").distinct().count() == 400)
+    // padding waste strictly below naive (unbucketed) hash-order batching
+    def waste(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("n") * r.getAs[Long]("mx") - r.getAs[Long]("sm")).sum
+    val naive = Sampling.lengthBatches(docs, "id", "len",
+      bucketWidth = 1000000, batchSize = 8, shards = 1)
+      .groupBy("bucket", "shard", "batch_id")
+      .agg(count(lit(1)).as("n"), max("len").as("mx"), sum("len").as("sm"))
+      .collect()
+    assert(waste(batches) < waste(naive))
+  }
+
   test("dsirModelArrayCentered: 0 is the neutral point between target and background") {
     val train = (
       (1L to 30L).map(i => (i, "alpha beta alpha beta", true)) ++
