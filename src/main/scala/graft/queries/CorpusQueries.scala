@@ -141,6 +141,55 @@ object CorpusQueries {
        |  FROM dtf JOIN ddl USING (b) GROUP BY doc_id
        |)""".stripMargin
 
+  /** The DSIR SCREEN chain (model fitted on even doc_ids, target
+    * lang='en', centered by the totals-div-64 constant, every doc
+    * rated by the token-order fold) — shared verbatim by q_dsir_screen
+    * and q_curation_v3 so the screen the flagship composes cannot
+    * drift from the gated one. Requires `lnt` in scope; ends in
+    * `sc(doc_id, n_tokens, score)` with score already centered.
+    */
+  private lazy val DsirScreenCtes: String =
+    s"""stb AS (
+       |  SELECT t,
+       |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
+       |  FROM (SELECT lang = 'en' AS t,
+       |          unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |        FROM documents WHERE doc_id % 2 = 0)
+       |), sbt AS (
+       |  SELECT b,
+       |    CAST(COALESCE(SUM(CASE WHEN t THEN 1 END), 0) AS BIGINT) AS ct,
+       |    CAST(COUNT(*) AS BIGINT) AS cr
+       |  FROM stb GROUP BY b
+       |), sdl AS (
+       |  SELECT b, ${lnSql("ct // 4 + 1")} - ${lnSql("cr // 4 + 1")} AS delta
+       |  FROM sbt CROSS JOIN lnt
+       |), tot AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM sbt
+       |), kon AS (
+       |  SELECT ${lnSql("tr // 64 + 1")} - ${lnSql("tt // 64 + 1")} AS konst
+       |  FROM tot CROSS JOIN lnt
+       |), wt AS (
+       |  SELECT doc_id, ts[i] AS tok, i AS p
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
+       |        FROM documents) d0,
+       |       UNNEST(generate_series(1, len(ts))) AS u(i)
+       |), wb AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
+       |  FROM wt
+       |), sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(COALESCE(delta, 0.0) + konst ORDER BY p)), (a, c) -> a + c) AS score
+       |  FROM wb LEFT JOIN sdl USING (b) CROSS JOIN kon GROUP BY doc_id
+       |)""".stripMargin
+
   /** The entropy CASE over `cs` (the str_split character list) — shared
     * verbatim by q_char_entropy and q_quality_gate so their oracles
     * cannot drift.
@@ -2242,51 +2291,86 @@ object CorpusQueries {
       },
       Some(
         s"""WITH lnt AS (SELECT $LnTabSql AS l),
-           |stb AS (
-           |  SELECT t,
-           |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
-           |      list_prepend(CAST(0 AS BIGINT),
-           |        list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-           |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
-           |  FROM (SELECT lang = 'en' AS t,
-           |          unnest(regexp_split_to_array(text, '\\s+')) AS tok
-           |        FROM documents WHERE doc_id % 2 = 0)
-           |), sbt AS (
-           |  SELECT b,
-           |    CAST(COALESCE(SUM(CASE WHEN t THEN 1 END), 0) AS BIGINT) AS ct,
-           |    CAST(COUNT(*) AS BIGINT) AS cr
-           |  FROM stb GROUP BY b
-           |), sdl AS (
-           |  SELECT b, ${lnSql("ct // 4 + 1")} - ${lnSql("cr // 4 + 1")} AS delta
-           |  FROM sbt CROSS JOIN lnt
-           |), tot AS (
-           |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM sbt
-           |), kon AS (
-           |  SELECT ${lnSql("tr // 64 + 1")} - ${lnSql("tt // 64 + 1")} AS konst
-           |  FROM tot CROSS JOIN lnt
-           |), wt AS (
-           |  SELECT doc_id, ts[i] AS tok, i AS p
-           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
-           |        FROM documents) d0,
-           |       UNNEST(generate_series(1, len(ts))) AS u(i)
-           |), wb AS (
-           |  SELECT doc_id, p,
-           |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
-           |      list_prepend(CAST(0 AS BIGINT),
-           |        list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-           |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
-           |  FROM wt
-           |), sc AS (
-           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list(COALESCE(delta, 0.0) + konst ORDER BY p)), (a, c) -> a + c) AS score
-           |  FROM wb LEFT JOIN sdl USING (b) CROSS JOIN kon GROUP BY doc_id
-           |)
+           |$DsirScreenCtes
            |SELECT doc_id, n_tokens,
            |  CAST(FLOOR(score / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) AS rate_q,
            |  CAST(FLOOR(score / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) >= 0 AS keep
            |FROM sc""".stripMargin
       )
+    ),
+
+    // Round-10 composed flagship: the NEW decision layer end to end —
+    // CCNet perplexity cut (drop each language's tail tercile) →
+    // centered DSIR screen (keep docs more target-like than the raw
+    // mix, model fitted on the even-id half) → length-bucketed
+    // batching of the survivors. Every stage is the SAME operator call
+    // as its standalone gate, and the oracle composes the gated CTE
+    // chains verbatim (UnigramSurCtes, DsirScreenCtes, the batching
+    // arithmetic), so the flagship cannot drift from its parts. Output
+    // is the per-survivor batch assignment — what a training run reads
+    // to build its padded batches.
+    Q(
+      "q_curation_v3",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val rated = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+          .withColumn("rate_q",
+            floor(col("nll_tab") / col("n_tokens").cast("double") * lit(1048576.0))
+              .cast("long"))
+          .join(docs.select(col("doc_id"), col("lang")), col("id") === col("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("rate_q").desc, col("doc_id").asc)
+        val pplKeep = rated.withColumn("t", ntile(3).over(w))
+          .filter(col("t") <= 2).select(col("doc_id"))
+        val deltas = Sampling.dsirModelArrayCentered(
+          Sampling.dsirBucketModel(
+            docs.filter(col("doc_id") % 2 === 0), "text",
+            isTarget = col("lang") === "en", buckets = 64), 64)
+        val surv = docs
+          .join(pplKeep, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("len"),
+            (Sampling.dsirScore(col("text"), deltas.toSeq, 64) /
+              size(TextAnalysis.tokens(col("text"))).cast("double")).as("rate"))
+          .filter(floor(col("rate") * lit(1048576.0)).cast("long") >= 0L)
+        Sampling.lengthBatches(surv.select(col("doc_id"), col("len")),
+            "doc_id", "len", bucketWidth = 16, batchSize = 8, shards = 4)
+          .select(col("doc_id"), col("len"), col("bucket"), col("shard"),
+            col("batch_id"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH $UnigramSurCtes, ppr AS (
+           |  SELECT s.id AS doc_id, d.lang,
+           |    CAST(FLOOR(s.nll_tab / CAST(s.n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) AS rate_q
+           |  FROM sur s JOIN documents d ON s.id = d.doc_id
+           |), ppk AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      ntile(3) OVER (PARTITION BY lang ORDER BY rate_q DESC, doc_id) AS t
+           |    FROM ppr)
+           |  WHERE t <= 2
+           |), $DsirScreenCtes, surv AS (
+           |  SELECT sc.doc_id,
+           |    CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS len
+           |  FROM sc
+           |  JOIN documents d ON sc.doc_id = d.doc_id
+           |  SEMI JOIN ppk ON sc.doc_id = ppk.doc_id
+           |  WHERE CAST(FLOOR(score / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) >= 0
+           |), sb AS (
+           |  SELECT doc_id, len, CAST(len // 16 AS BIGINT) AS bucket,
+           |    ($pm * ${Sampling.A} + ${Sampling.B}) % ${Sampling.P} % 4 AS shard
+           |  FROM surv
+           |), sr AS (
+           |  SELECT doc_id, len, bucket, shard,
+           |    ROW_NUMBER() OVER (PARTITION BY bucket, shard
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |  FROM sb
+           |)
+           |SELECT doc_id, len, bucket, shard,
+           |  CAST((rn - 1) // 8 AS BIGINT) AS batch_id
+           |FROM sr""".stripMargin
+      }
     )
   )
 }
