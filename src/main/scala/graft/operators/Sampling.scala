@@ -600,6 +600,30 @@ object Sampling {
           TextAnalysis.lnInt(floor(col("__cr") / countScale) + 1)).as("__delta"))
   }
 
+  /** Merge two [[dsirBucketModel]]s over disjoint corpora into the
+    * model of their union: bucket counts are ADDITIVE, so the merge is
+    * a full-outer count sum plus a delta recompute — and equals
+    * refitting on the union BIT-EXACTLY (the mergeable-sketch property
+    * that makes the model maintainable incrementally at 100 TB: fit
+    * per ingest batch, merge decision tables, never rescan history).
+    * Both sides are `buckets`-row decision tables, so the merge is
+    * driver-trivial work planned as one tiny join.
+    */
+  def dsirMergeModels(
+      a: DataFrame,
+      b: DataFrame,
+      countScale: Int = 4
+  ): DataFrame = {
+    val summed = a.select(col("__b"), col("__ct"), col("__cr"))
+      .unionByName(b.select(col("__b"), col("__ct"), col("__cr")))
+      .groupBy(col("__b"))
+      .agg(sum(col("__ct")).as("__ct"), sum(col("__cr")).as("__cr"))
+    summed.select(
+      col("__b"), col("__ct"), col("__cr"),
+      (TextAnalysis.lnInt(floor(col("__ct") / countScale) + 1) -
+        TextAnalysis.lnInt(floor(col("__cr") / countScale) + 1)).as("__delta"))
+  }
+
   /** Scalar mirror of [[TextAnalysis.lnInt]] for driver-side decision-
     * table arithmetic: the SAME shared table (so a model constant
     * computed here folds bit-identically with column-side table reads),

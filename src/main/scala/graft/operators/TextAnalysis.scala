@@ -36,6 +36,42 @@ object TextAnalysis {
 
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Per-script character counts — the routing signal a multilingual
+    * pipeline branches on before language ID (script is cheap and
+    * near-infallible; language within a script needs the model):
+    * Latin letters, ASCII digits, CJK unified ideographs, and the
+    * remainder. Counted by the length-difference regex trick (all
+    * codegen'd builtins, engine-portable `\x{...}` class syntax —
+    * Java regex and RE2 agree on it); `length` counts codepoints in
+    * both engines, so the arithmetic is cross-engine exact. Pure
+    * map-side expressions.
+    */
+  def latinCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Za-z]", ""))
+
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+
+  def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Dominant script class of a document: the largest of latin / cjk /
+    * digit / other (ties break in that fixed order), 'empty' for
+    * zero-length text. The branch decision itself — a CASE over the
+    * four counts, map-side.
+    */
+  def dominantScript(text: Column): Column = {
+    val lat = latinCount(text)
+    val cjk = cjkCount(text)
+    val dig = digitCount(text)
+    val oth = length(text) - lat - cjk - dig
+    when(length(text) === 0, "empty")
+      .when(lat >= cjk && lat >= dig && lat >= oth, "latin")
+      .when(cjk >= dig && cjk >= oth, "cjk")
+      .when(dig >= oth, "digit")
+      .otherwise("other")
+  }
+
   /** Linear quality-classifier logit in milli-units — model-based
     * filtering (the fastText-style linear filter that follows the
     * heuristic [[qualityScore]] pre-filter in a curation pipeline),

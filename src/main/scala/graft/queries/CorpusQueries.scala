@@ -2299,6 +2299,83 @@ object CorpusQueries {
       )
     ),
 
+    // Script detection — the routing signal ahead of language ID in a
+    // multilingual pipeline (script is cheap and near-infallible;
+    // language within a script needs the model). The fixture corpus is
+    // all-ASCII, so the gate synthesizes closed-form MIXED-SCRIPT text
+    // per nation row (Latin pairs, CJK ideographs from U+4E00+key,
+    // digits, punctuation — moduli chosen so latin/cjk/digit/empty all
+    // dominate somewhere) and the oracle re-derives every count and
+    // the dominant-script decision from the formula alone: only
+    // correct Unicode-range counting over real multibyte text matches.
+    // Map-side regex arithmetic, no shuffle.
+    Q(
+      "q_script_detect",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          "ab" * (k % 3).toInt +
+            (0x4e00 + k).toChar.toString * (k % 5).toInt +
+            "7" * (k % 4).toInt +
+            "!" * (k % 2).toInt)
+        Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"))
+          .withColumn("text", mk(col("id")))
+          .select(
+            col("id"),
+            length(col("text")).as("n_chars"),
+            TextAnalysis.latinCount(col("text")).as("latin"),
+            TextAnalysis.digitCount(col("text")).as("digit"),
+            TextAnalysis.cjkCount(col("text")).as("cjk"),
+            TextAnalysis.dominantScript(col("text")).as("script"))
+          .withColumn("other",
+            col("n_chars") - col("latin") - col("digit") - col("cjk"))
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS id,
+          |  CAST(2 * (n_nationkey % 3) + n_nationkey % 5
+          |       + n_nationkey % 4 + n_nationkey % 2 AS INT) AS n_chars,
+          |  CAST(2 * (n_nationkey % 3) AS INT) AS latin,
+          |  CAST(n_nationkey % 4 AS INT) AS digit,
+          |  CAST(n_nationkey % 5 AS INT) AS cjk,
+          |  CAST(n_nationkey % 2 AS INT) AS other,
+          |  CASE
+          |    WHEN 2 * (n_nationkey % 3) + n_nationkey % 5
+          |         + n_nationkey % 4 + n_nationkey % 2 = 0 THEN 'empty'
+          |    WHEN 2 * (n_nationkey % 3) >= n_nationkey % 5
+          |     AND 2 * (n_nationkey % 3) >= n_nationkey % 4
+          |     AND 2 * (n_nationkey % 3) >= n_nationkey % 2 THEN 'latin'
+          |    WHEN n_nationkey % 5 >= n_nationkey % 4
+          |     AND n_nationkey % 5 >= n_nationkey % 2 THEN 'cjk'
+          |    WHEN n_nationkey % 4 >= n_nationkey % 2 THEN 'digit'
+          |    ELSE 'other' END AS script
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // Incremental DSIR model maintenance: bucket counts are ADDITIVE,
+    // so merging the even-half and odd-half models must equal a refit
+    // on the full corpus BIT-EXACTLY — and the oracle IS the full-
+    // corpus refit (the shared DsirCtes model chain), so merge==refit
+    // is pinned in the hash itself. This is what lets the model live
+    // as a mergeable per-ingest-batch artifact at 100 TB: fit each
+    // delta, merge decision tables, never rescan history.
+    Q(
+      "q_dsir_merge",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        def half(p: Int) = Sampling.dsirBucketModel(
+          docs.filter(col("doc_id") % 2 === p), "text",
+          isTarget = col("lang") === "en", buckets = 64)
+        Sampling.dsirMergeModels(half(0), half(1))
+          .select(col("__b").as("b"), col("__ct").as("ct"),
+            col("__cr").as("cr"), col("__delta").as("delta"))
+      },
+      Some(
+        s"""WITH $DsirCtes
+           |SELECT b, ct, cr, delta FROM dbt JOIN ddl USING (b)""".stripMargin
+      )
+    ),
+
     // Round-10 composed flagship: the NEW decision layer end to end —
     // CCNet perplexity cut (drop each language's tail tercile) →
     // centered DSIR screen (keep docs more target-like than the raw

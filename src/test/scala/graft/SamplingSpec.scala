@@ -332,6 +332,22 @@ class SamplingSpec extends SparkSpec {
     assert(waste(batches) < waste(naive))
   }
 
+  test("dsirMergeModels: merging disjoint-half models equals refitting on the union") {
+    val docs = (1L to 60L).map(i => (i, s"w${i % 9} w${i % 4} w${i % 7}", i % 3 == 0))
+      .toDF("id", "text", "t")
+    def model(df: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirBucketModel(df, "text", col("t"), buckets = 32)
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toMap
+    val refit = asMap(model(docs))
+    val merged = asMap(Sampling.dsirMergeModels(
+      model(docs.filter(col("id") % 2 === 0)),
+      model(docs.filter(col("id") % 2 === 1))))
+    assert(merged == refit) // counts AND delta bit patterns
+  }
+
   test("dsirModelArrayCentered: 0 is the neutral point between target and background") {
     val train = (
       (1L to 30L).map(i => (i, "alpha beta alpha beta", true)) ++

@@ -161,4 +161,26 @@ class TextAnalysisSpec extends SparkSpec {
     val out2 = one(keep).select(TextAnalysis.redactPii(col("text")).as("t")).head().getString(0)
     assert(out2 == keep, out2)
   }
+
+  test("script counts and dominant script over real multibyte text") {
+    import spark.implicits._
+    def profile(s: String) = Seq(s).toDF("text").select(
+      TextAnalysis.latinCount(col("text")).as("lat"),
+      TextAnalysis.digitCount(col("text")).as("dig"),
+      TextAnalysis.cjkCount(col("text")).as("cjk"),
+      TextAnalysis.dominantScript(col("text")).as("script")
+    ).head()
+    val mixed = profile("ab中文cd7!")
+    assert(mixed.getAs[Int]("lat") == 4)
+    assert(mixed.getAs[Int]("dig") == 1)
+    assert(mixed.getAs[Int]("cjk") == 2)
+    assert(mixed.getAs[String]("script") == "latin")
+    assert(profile("一丁丂z").getAs[String]("script") == "cjk")
+    assert(profile("12345a").getAs[String]("script") == "digit")
+    assert(profile("").getAs[String]("script") == "empty")
+    assert(profile("!!!").getAs[String]("script") == "other")
+    // boundary codepoints of the CJK unified block
+    assert(profile("一鿿").getAs[Int]("cjk") == 2)
+    assert(profile("䷿ꀀ").getAs[Int]("cjk") == 0)
+  }
 }
