@@ -2169,10 +2169,15 @@ object CorpusQueries {
     // cancels between the target and raw terms).
     Q(
       "q_dsir_weights",
-      (spark, dir) =>
-        Sampling.dsirLogRatios(
+      (spark, dir) => {
+        val out = Sampling.dsirLogRatios(
           Q.t(spark, dir, "documents"), "doc_id", "text",
-          isTarget = col("lang") === "en", buckets = 64),
+          isTarget = col("lang") === "en", buckets = 64)
+        // the 64-row bucket model must ride a broadcast back over the
+        // per-doc counts — the corpus never shuffles for the model join
+        Q.requireBroadcastJoin(out)
+        out
+      },
       Some(
         s"""WITH $DsirCtes
            |SELECT doc_id, n_tokens, lr_tab FROM pd""".stripMargin
@@ -2187,13 +2192,18 @@ object CorpusQueries {
     // rate ranking (the q_hard_examples monotone trick).
     Q(
       "q_dsir_sample",
-      (spark, dir) =>
-        Sampling.dsirSelect(
+      (spark, dir) => {
+        val out = Sampling.dsirSelect(
           Sampling.dsirLogRatios(
             Q.t(spark, dir, "documents"), "doc_id", "text",
             isTarget = col("lang") === "en", buckets = 64),
           "doc_id", budget = 300)
-          .select(col("doc_id"), col("rate_q")),
+          .select(col("doc_id"), col("rate_q"))
+        // top-k must plan as TakeOrderedAndProject — per-partition
+        // heaps + driver merge, never a global sort
+        Q.requireTakeOrdered(out)
+        out
+      },
       Some(
         s"""WITH $DsirCtes
            |SELECT doc_id, rate_q FROM (
@@ -2278,7 +2288,7 @@ object CorpusQueries {
           docs.filter(col("doc_id") % 2 === 0), "text",
           isTarget = col("lang") === "en", buckets = 64)
         val deltas = Sampling.dsirModelArrayCentered(model, 64)
-        docs
+        val out = docs
           .select(
             col("doc_id"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
@@ -2288,6 +2298,11 @@ object CorpusQueries {
               .cast("long"))
           .select(col("doc_id"), col("n_tokens"), col("rate_q"),
             (col("rate_q") >= 0L).as("keep"))
+        // the rating side is a pure projection over the scan: the
+        // fitted model rode in as a literal array, so screening at
+        // 100 TB is shuffle-free by construction — pinned here
+        Q.requireNoShuffle(out)
+        out
       },
       Some(
         s"""WITH lnt AS (SELECT $LnTabSql AS l),
@@ -2317,7 +2332,7 @@ object CorpusQueries {
             (0x4e00 + k).toChar.toString * (k % 5).toInt +
             "7" * (k % 4).toInt +
             "!" * (k % 2).toInt)
-        Q.t(spark, dir, "nation")
+        val out = Q.t(spark, dir, "nation")
           .select(col("n_nationkey").cast("long").as("id"))
           .withColumn("text", mk(col("id")))
           .select(
@@ -2329,6 +2344,8 @@ object CorpusQueries {
             TextAnalysis.dominantScript(col("text")).as("script"))
           .withColumn("other",
             col("n_chars") - col("latin") - col("digit") - col("cjk"))
+        Q.requireNoShuffle(out) // routing signal is map-only
+        out
       },
       Some(
         """SELECT CAST(n_nationkey AS BIGINT) AS id,

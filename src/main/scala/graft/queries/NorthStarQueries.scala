@@ -1833,9 +1833,11 @@ object NorthStarQueries {
           .select(col("n_nationkey").cast("long").as("media_id"))
         val wav = udf((k: Long) =>
           Multimodal.syntheticWav(k, 1 + (k % 2).toInt, 8000, 96))
-        Multimodal.decodeAudio(
+        val out = Multimodal.decodeAudio(
           blobs.withColumn("payload", wav(col("media_id"))),
           "media_id", "payload")
+        Q.requireNoShuffle(out) // decode is map-only end to end
+        out
       },
       Some(
         """WITH sg AS (
@@ -1895,7 +1897,7 @@ object NorthStarQueries {
             b
           }
         })
-        Multimodal.decodeAudio(
+        val out = Multimodal.decodeAudio(
             blobs.withColumn("payload", wav(col("media_id"))),
             "media_id", "payload")
           .select(
@@ -1905,6 +1907,8 @@ object NorthStarQueries {
               floor((col("zc_c0") * 1000L).cast("double") / (col("n_frames") - 1L)))
               .otherwise(0L).cast("long").as("zc_permille"),
             (col("format") === "wav" && col("ssq_c0") > 0L).as("keep"))
+        Q.requireNoShuffle(out) // decode + decision, map-only
+        out
       },
       Some(
         """WITH base AS (

@@ -134,4 +134,26 @@ object Q {
     require(hit,
       s"expected a broadcast hash join in the plan:\n${df.queryExecution.executedPlan}")
   }
+
+  /** Gate assertion: the plan's top-k runs as TakeOrderedAndProject —
+    * per-partition heaps + one driver merge — never a global sort.
+    */
+  def requireTakeOrdered(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val hit = planNodes(df).exists(_.isInstanceOf[TakeOrderedAndProjectExec])
+    require(hit,
+      s"expected TakeOrderedAndProject (top-k without a global sort):\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  /** Gate assertion: ZERO shuffle exchanges anywhere in the plan — the
+    * query is map-only end to end (decode/screen/projection gates).
+    */
+  def requireNoShuffle(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = planNodes(df).filter(_.isInstanceOf[ShuffleExchangeLike])
+    require(shuffles.isEmpty,
+      s"expected a map-only plan, found ${shuffles.size} shuffle(s):\n" +
+        df.queryExecution.executedPlan)
+  }
 }
