@@ -157,6 +157,36 @@ object Vocab {
     dict
   }
 
+  /** The ordered merge-rule list — BPE's SECOND artifact (the
+    * `merges.txt` next to the vocabulary): rank i is the pair the i-th
+    * training iteration merged. Shipping the rules is what lets an
+    * external tokenizer re-apply the exact training segmentation to
+    * NEW text; the (subword, id) table alone cannot segment unseen
+    * words. Same training loop as [[mergedDict]] (persist-per-
+    * iteration, corpus scanned once); each rule is one bounded 1-row
+    * driver read per iteration — decision-table discipline.
+    */
+  def mergeRules(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = symbols(docs, textCol).persist()
+    dict.count(): Unit
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    var i = 0
+    while (i < iters) {
+      val m = topMerge(pairStats(dict))
+      val r = m.select(col("left_sym"), col("right_sym")).head()
+      rules += (((i + 1).toLong, r.getString(0), r.getString(1)))
+      val next = applyMerge(dict, m).persist()
+      next.count(): Unit
+      dict.unpersist()
+      dict = next
+      i += 1
+    }
+    dict.unpersist()
+    rules.toSeq.toDF("merge_rank", "left_sym", "right_sym")
+  }
+
   /** Tokenize the corpus with a trained dictionary: per document, the
     * word count, the subword count under the dictionary's current
     * segmentation, and the out-of-vocabulary word count. A merged

@@ -2369,6 +2369,63 @@ object CorpusQueries {
       )
     ),
 
+    // The v3 flagship's AUDIT artifact: every document attributed to
+    // the FIRST decision that dropped it — 'ppl_tail' (the language's
+    // perplexity tail tercile) → 'dsir_offtarget' (below the centered
+    // screen's neutral point) → 'kept'. Same Profile.dropReasons
+    // operator as the v1 audit; stage survivor sets are the SAME
+    // operator calls as q_curation_v3, and the oracle composes the
+    // gated CTE chains verbatim — the "why was my document dropped"
+    // record for the new decision layer.
+    Q(
+      "q_drop_reasons_v3",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val rated = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+          .withColumn("rate_q",
+            floor(col("nll_tab") / col("n_tokens").cast("double") * lit(1048576.0))
+              .cast("long"))
+          .join(docs.select(col("doc_id"), col("lang")), col("id") === col("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("rate_q").desc, col("doc_id").asc)
+        val pplKeep = rated.withColumn("t", ntile(3).over(w))
+          .filter(col("t") <= 2).select(col("doc_id"))
+        val pplKept = docs.join(pplKeep, Seq("doc_id"), "left_semi")
+        val deltas = Sampling.dsirModelArrayCentered(
+          Sampling.dsirBucketModel(
+            docs.filter(col("doc_id") % 2 === 0), "text",
+            isTarget = col("lang") === "en", buckets = 64), 64)
+        val dsirKept = pplKept.filter(
+          floor((Sampling.dsirScore(col("text"), deltas.toSeq, 64) /
+            size(TextAnalysis.tokens(col("text"))).cast("double")) * lit(1048576.0))
+            .cast("long") >= 0L)
+        Profile.dropReasons(docs, "doc_id", Seq(
+          "ppl_tail" -> pplKept,
+          "dsir_offtarget" -> dsirKept))
+      },
+      Some(
+        s"""WITH $UnigramSurCtes, ppr AS (
+           |  SELECT s.id AS doc_id, d.lang,
+           |    CAST(FLOOR(s.nll_tab / CAST(s.n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) AS rate_q
+           |  FROM sur s JOIN documents d ON s.id = d.doc_id
+           |), ppk AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      ntile(3) OVER (PARTITION BY lang ORDER BY rate_q DESC, doc_id) AS t
+           |    FROM ppr)
+           |  WHERE t <= 2
+           |), $DsirScreenCtes
+           |SELECT d.doc_id,
+           |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM ppk) THEN 'ppl_tail'
+           |       WHEN d.doc_id IN (
+           |         SELECT doc_id FROM sc
+           |         WHERE CAST(FLOOR(score / CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) < 0)
+           |         THEN 'dsir_offtarget'
+           |       ELSE 'kept' END AS drop_stage
+           |FROM documents d""".stripMargin
+      )
+    ),
+
     // Incremental DSIR model maintenance: bucket counts are ADDITIVE,
     // so merging the even-half and odd-half models must equal a refit
     // on the full corpus BIT-EXACTLY — and the oracle IS the full-

@@ -482,6 +482,24 @@ object TokenizerQueries {
       )
     ),
 
+    // BPE's SECOND artifact: the ordered merge-rule list (merges.txt)
+    // — what an external tokenizer needs to re-apply the training
+    // segmentation to NEW text (the (subword, id) table alone cannot
+    // segment unseen words). The oracle re-derives both ranks from the
+    // shared trained-dictionary chain (mg, mg2), so the rules cannot
+    // drift from the dictionary the other gates encode under.
+    Q(
+      "q_merges_export",
+      (spark, dir) =>
+        Vocab.mergeRules(Q.t(spark, dir, "documents"), "text", iters = 2),
+      Some(
+        s"""$Dict2Ctes
+           |SELECT CAST(1 AS BIGINT) AS merge_rank, left_sym, right_sym FROM mg
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT) AS merge_rank, left_sym, right_sym FROM mg2""".stripMargin
+      )
+    ),
+
     // The tokenizer ARTIFACT itself: the (subword, id) vocabulary table
     // under the trained 2-merge dictionary — what a training run ships
     // alongside the packed id streams so they stay decodable. Ids are
