@@ -374,12 +374,15 @@ object Multimodal {
 
   /** Pure-JVM RIFF/WAVE PCM decoder — the audio analog of [[decodePpm]],
     * no codec dependency: `RIFF <size> WAVE`, then a chunk walk for
-    * `fmt ` (must be audioFormat 1 = integer PCM, 16 bits/sample) and
-    * `data` (little-endian interleaved frames). Trailing partial frames
-    * and odd-size chunk padding are handled per the RIFF spec; anything
-    * malformed — wrong magic, missing/short chunks, non-PCM, ≠16-bit,
-    * non-positive layout — returns None so corrupt payloads degrade to
-    * the header sniff instead of throwing mid-partition.
+    * `fmt ` (must be audioFormat 1 = integer PCM; 16-bit signed or
+    * 8-bit unsigned samples) and `data` (little-endian interleaved
+    * frames). 8-bit samples normalize into the 16-bit signed space as
+    * (b − 128)·256, so every consumer sees one sample domain. Trailing
+    * partial frames and odd-size chunk padding are handled per the
+    * RIFF spec; anything malformed — wrong magic, missing/short
+    * chunks, non-PCM, unsupported depth, non-positive layout — returns
+    * None so corrupt payloads degrade to the header sniff instead of
+    * throwing mid-partition.
     */
   def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     def le32(o: Int): Int =
@@ -402,14 +405,17 @@ object Multimodal {
       } else if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
       i += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0) return None
-    val frameBytes = channels * 2
+    if (channels <= 0 || rate <= 0 || (bits != 16 && bits != 8) || dataOff < 0) return None
+    val sampleBytes = bits / 8
+    val frameBytes = channels * sampleBytes
     val frames = dataLen / frameBytes // drop a trailing partial frame
     val out = new Array[Short](frames * channels)
     var s = 0
     while (s < out.length) {
-      val o = dataOff + s * 2
-      out(s) = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+      val o = dataOff + s * sampleBytes
+      out(s) =
+        if (bits == 16) ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+        else (((bytes(o) & 0xFF) - 128) * 256).toShort
       s += 1
     }
     Some((channels, rate, out))

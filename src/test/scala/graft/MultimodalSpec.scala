@@ -237,14 +237,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav("RIFFnotawave".getBytes).isEmpty)
     val nonPcm = good.clone(); nonPcm(20) = 3 // IEEE float format code
     assert(Multimodal.decodeWav(nonPcm).isEmpty)
-    val eightBit = good.clone(); eightBit(34) = 8
-    assert(Multimodal.decodeWav(eightBit).isEmpty)
+    val depth24 = good.clone(); depth24(34) = 24 // unsupported depth
+    assert(Multimodal.decodeWav(depth24).isEmpty)
     assert(Multimodal.decodeWav(java.util.Arrays.copyOf(good, 30)).isEmpty)
     // chunk size past the buffer must not read out of bounds
     val overLong = good.clone(); overLong(40) = 127
     assert(Multimodal.decodeWav(overLong).isEmpty)
     assert(Multimodal.audioStats(1L, "ID3andjunk".getBytes).format == "mp3")
     assert(Multimodal.audioStats(1L, nonPcm).format == "unknown")
+  }
+
+  test("decodeWav: 8-bit unsigned PCM normalizes into the 16-bit signed space") {
+    // hand-build an 8-bit mono WAV: samples 0, 128, 255
+    val base = Multimodal.syntheticWav(0L, 1, 8000, 3)
+    val wav = java.util.Arrays.copyOf(base, 44 + 3) // 3 one-byte samples
+    wav(34) = 8 // bitsPerSample
+    // data chunk size + RIFF size shrink to the 8-bit payload
+    wav(40) = 3; wav(41) = 0; wav(42) = 0; wav(43) = 0
+    val riffSz = 36 + 3
+    wav(4) = (riffSz & 0xFF).toByte; wav(5) = ((riffSz >> 8) & 0xFF).toByte
+    wav(6) = 0; wav(7) = 0
+    wav(44) = 0; wav(45) = 128.toByte; wav(46) = 255.toByte
+    val Some((ch, rate, samples)) = Multimodal.decodeWav(wav)
+    assert(ch == 1 && rate == 8000)
+    assert(samples.toSeq == Seq((-128 * 256).toShort, 0.toShort, (127 * 256).toShort))
+    // stats flow through the same 16-bit domain
+    val st = Multimodal.audioStats(3L, wav)
+    assert(st.n_frames == 3L && st.sum_c0 == -128L * 256 + 0 + 127 * 256)
   }
 
   test("decodeAudio: distributed decode matches the local function per row") {

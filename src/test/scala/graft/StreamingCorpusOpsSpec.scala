@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, TextAnalysis}
 import graft.streaming.StreamingDedup
 
 /** The corpus-shaping operators are pure column expressions, so the
@@ -341,6 +341,34 @@ class StreamingCorpusOpsSpec extends SparkSpec {
         .as[(Long, String)].collect().toSet
       assert(lastPerKey.filter(_.op != "D").map(c => (c.key, c.payload)) == applied)
       assert(applied == Set((2L, "b2"), (3L, "c1")))
+    } finally q.stop()
+  }
+
+  test("audio decode runs on a stream identically to batch (map-only ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    val arriving = Seq(
+      (1L, Multimodal.syntheticWav(1L, 2, 8000, 96)),
+      (2L, Multimodal.syntheticWav(2L, 1, 8000, 96)),
+      (3L, "ID3corrupt".getBytes))
+    def decode(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeAudio(df, "media_id", "payload")
+        .select("media_id", "format", "n_channels", "n_frames", "ssq_c0", "zc_c0")
+
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = decode(in.toDF().toDF("media_id", "payload")).writeStream
+      .format("memory").queryName("sc_audio_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val streamed = rows(spark.table("sc_audio_out"))
+      val batch = rows(decode(arriving.toDF("media_id", "payload")))
+      assert(streamed == batch)
+      assert(streamed(1L)._1 == "wav" && streamed(3L)._1 == "mp3")
     } finally q.stop()
   }
 
