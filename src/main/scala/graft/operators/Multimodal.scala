@@ -473,6 +473,154 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-frame stats of a REAL decoded video: luma moments + chroma
+    * sums for every frame — the per-frame signal a scene-cut /
+    * black-frame / sampling stage consumes. One row per frame,
+    * fixed-shape, all-integer.
+    */
+  final case class FrameStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      frame_no: Int,
+      sum_y: Long, ssq_y: Long, sum_u: Long, sum_v: Long)
+
+  /** Pure-JVM Y4M (YUV4MPEG2) decoder — a REAL video container with no
+    * codec dependency (uncompressed planar YUV): ASCII stream header
+    * `YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<cs>`, then per frame a
+    * `FRAME[ params]\n` marker followed by raw planes. C444 (three
+    * w·h planes) and the C420 family (w·h luma + two w/2·h/2 chroma
+    * planes, even dims required) are supported; anything malformed —
+    * wrong magic, bad dims, unknown colorspace, short frame payload —
+    * returns None, the same degrade-don't-throw contract as the other
+    * decoders. Returns (w, h, fpsNum, fpsDen, colorspace, frames) with
+    * each frame's planes concatenated Y then U then V.
+    */
+  def decodeY4m(bytes: Array[Byte]): Option[(Int, Int, Int, Int, String, Seq[Array[Byte]])] = {
+    val magic = "YUV4MPEG2"
+    if (bytes.length < magic.length ||
+      !magic.zipWithIndex.forall { case (ch, j) => bytes(j) == ch.toByte }) return None
+    var i = magic.length
+    def readLine(): Option[String] = {
+      val start = i
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      if (i >= bytes.length) None
+      else {
+        val s = new String(bytes, start, i - start, "US-ASCII")
+        i += 1 // consume the newline
+        Some(s)
+      }
+    }
+    val header = readLine().getOrElse(return None)
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420"
+    header.trim.split(" ").filter(_.nonEmpty).foreach { tok =>
+      tok.head match {
+        case 'W' => w = tok.tail.toIntOption.getOrElse(-1)
+        case 'H' => h = tok.tail.toIntOption.getOrElse(-1)
+        case 'F' =>
+          val parts = tok.tail.split(":")
+          if (parts.length == 2) {
+            fn = parts(0).toIntOption.getOrElse(25)
+            fd = parts(1).toIntOption.getOrElse(1)
+          }
+        case 'C' => cs = tok.tail
+        case _   => // interlacing / aspect / extensions: ignored
+      }
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    val frameLen =
+      if (cs.startsWith("444")) 3L * w * h
+      else if (cs.startsWith("420")) {
+        if (w % 2 != 0 || h % 2 != 0) return None
+        w.toLong * h + 2L * (w / 2) * (h / 2)
+      } else return None
+    if (frameLen > Int.MaxValue) return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    while (i < bytes.length) {
+      val line = readLine().getOrElse(return None)
+      if (!line.startsWith("FRAME")) return None
+      if (i + frameLen > bytes.length) return None
+      frames += java.util.Arrays.copyOfRange(bytes, i, i + frameLen.toInt)
+      i += frameLen.toInt
+    }
+    Some((w, h, fn, fd, cs, frames.result()))
+  }
+
+  /** Decode one payload to per-frame [[FrameStats]]: luma sum / sum of
+    * squares and chroma sums per frame — all-integer, SQL-derivable.
+    * Undecodable payloads yield NO rows (the explode-side analog of
+    * the sniff fallback: a missing media_id in the output IS the
+    * corrupt signal, joinable back against the input for the drop
+    * ledger).
+    */
+  def videoFrameStats(id: Long, bytes: Array[Byte]): Seq[FrameStats] =
+    decodeY4m(bytes) match {
+      case None => Seq.empty
+      case Some((w, h, _, _, cs, frames)) =>
+        val ySize = w * h
+        val cSize = if (cs.startsWith("444")) ySize else (w / 2) * (h / 2)
+        frames.zipWithIndex.map { case (px, f) =>
+          var sy = 0L; var qy = 0L; var su = 0L; var sv = 0L
+          var m = 0
+          while (m < ySize) {
+            val v = px(m) & 0xFF
+            sy += v; qy += v.toLong * v
+            m += 1
+          }
+          m = 0
+          while (m < cSize) {
+            su += px(ySize + m) & 0xFF
+            sv += px(ySize + cSize + m) & 0xFF
+            m += 1
+          }
+          FrameStats(id, w, h, frames.length, f, sy, qy, su, sv)
+        }
+    }
+
+  /** Batch video decode: (idCol: long, payloadCol: binary) → one
+    * [[FrameStats]] row per decoded frame, one iterator pass per
+    * partition (flatMap — corrupt payloads contribute zero rows).
+    */
+  def decodeVideos(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaBlob]
+      .flatMap(b => videoFrameStats(b.media_id, b.payload))
+      .toDF()
+  }
+
+  /** Deterministic Y4M fixture encoder (test/gate side): C444, plane
+    * sample at (frame f, plane p, flat index m) carries
+    * (seed·31 + f·97 + p·53 + m) mod 256 — closed form per sample, so
+    * a SQL oracle re-derives every plane byte the decoder must
+    * integrate.
+    */
+  def syntheticY4m(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(seed >= 0 && w > 0 && h > 0 && frames > 0,
+      "syntheticY4m: non-negative seed, positive layout")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    val planeSize = w * h
+    var f = 0
+    while (f < frames) {
+      out.write(marker)
+      var p = 0
+      while (p < 3) {
+        var m = 0
+        while (m < planeSize) {
+          out.write(((seed * 31 + f * 97 + p * 53 + m) % 256).toInt)
+          m += 1
+        }
+        p += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic WAV fixture encoder (test/gate side): interleaved
     * sample index i (= frame·channels + channel) carries the 16-bit
     * value ((seed·31 + i)·97) mod 65536, interpreted signed (two's

@@ -1941,6 +1941,50 @@ object NorthStarQueries {
       )
     ),
 
+    // REAL video decode, end to end: Y4M (YUV4MPEG2 — uncompressed
+    // planar YUV, the one real video container needing no codec) per
+    // nation row, 3 frames of closed-form C444 planes; the pure-JVM
+    // parser walks the stream header and FRAME markers and reports
+    // per-frame luma moments + chroma sums — the signal a scene-cut /
+    // black-frame / frame-sampling stage consumes. Every 9th payload
+    // is truncated mid-frame: undecodable media contribute ZERO rows
+    // (the explode-side corrupt signal), which the oracle mirrors by
+    // excluding those keys. Map-only flatMap, REQUIREd shuffle-free.
+    Q(
+      "q_video_decode_y4m",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val y4m = udf((k: Long) => {
+          val b = Multimodal.syntheticY4m(k, 6, 4, 3)
+          if (k % 9 == 4) java.util.Arrays.copyOf(b, b.length - 10) else b
+        })
+        val out = Multimodal.decodeVideos(
+          blobs.withColumn("payload", y4m(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out) // decode is map-only end to end
+        out
+      },
+      Some(
+        """WITH fr AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, f, p, m,
+          |    (n_nationkey * 31 + f * 97 + p * 53 + m) % 256 AS v
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 2)) AS uf(f),
+          |       UNNEST(generate_series(0, 2)) AS up(p),
+          |       UNNEST(generate_series(0, 23)) AS um(m)
+          |  WHERE n_nationkey % 9 <> 4
+          |)
+          |SELECT media_id, CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+          |  CAST(3 AS INT) AS n_frames, CAST(f AS INT) AS frame_no,
+          |  CAST(SUM(CASE WHEN p = 0 THEN v END) AS BIGINT) AS sum_y,
+          |  CAST(SUM(CASE WHEN p = 0 THEN v * v END) AS BIGINT) AS ssq_y,
+          |  CAST(SUM(CASE WHEN p = 1 THEN v END) AS BIGINT) AS sum_u,
+          |  CAST(SUM(CASE WHEN p = 2 THEN v END) AS BIGINT) AS sum_v
+          |FROM fr GROUP BY media_id, f""".stripMargin
+      )
+    ),
+
     // Video-style frame sampling plumbing: n evenly-strided 8-byte
     // slices per payload, one row per frame (hex-projected for the
     // gate; the binary plumbing itself is pinned by MultimodalSpec).

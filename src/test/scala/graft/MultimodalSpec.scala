@@ -266,6 +266,31 @@ class MultimodalSpec extends SparkSpec {
     assert(st.n_frames == 3L && st.sum_c0 == -128L * 256 + 0 + 127 * 256)
   }
 
+  test("decodeY4m: golden C444 stream parses header, frames and planes exactly") {
+    val bytes = Multimodal.syntheticY4m(2L, 6, 4, 3)
+    val Some((w, h, fn, fd, cs, frames)) = Multimodal.decodeY4m(bytes)
+    assert(w == 6 && h == 4 && fn == 25 && fd == 1 && cs == "444")
+    assert(frames.length == 3 && frames.forall(_.length == 3 * 24))
+    // closed form: plane sample (f, p, m) = (2*31 + f*97 + p*53 + m) mod 256
+    for (f <- 0 until 3; p <- 0 until 3; m <- 0 until 24)
+      assert((frames(f)(p * 24 + m) & 0xFF) == ((2 * 31 + f * 97 + p * 53 + m) % 256))
+  }
+
+  test("decodeY4m: C420 plane sizes; malformed streams return None") {
+    // hand-build a 1-frame C420 2x2 stream: 4 luma + 1 U + 1 V bytes
+    val head = "YUV4MPEG2 W2 H2 F30:1 C420\nFRAME\n".getBytes("US-ASCII")
+    val y4m = head ++ Array[Byte](10, 20, 30, 40, 50, 60)
+    val Some((w, h, fn, _, cs, frames)) = Multimodal.decodeY4m(y4m)
+    assert(w == 2 && h == 2 && fn == 30 && cs == "420" && frames.head.length == 6)
+    val st = Multimodal.videoFrameStats(1L, y4m)
+    assert(st.length == 1 && st.head.sum_y == 100L && st.head.sum_u == 50L && st.head.sum_v == 60L)
+    // odd dims under 420 are invalid; unknown colorspace too; truncation too
+    assert(Multimodal.decodeY4m("YUV4MPEG2 W3 H2 C420\nFRAME\n123456".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m("YUV4MPEG2 W2 H2 C999\nFRAME\n123456".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(java.util.Arrays.copyOf(y4m, y4m.length - 2)).isEmpty)
+    assert(Multimodal.videoFrameStats(1L, "notavideo".getBytes).isEmpty)
+  }
+
   test("decodeAudio: distributed decode matches the local function per row") {
     val df = Seq(
       (0L, Multimodal.syntheticWav(0L, 1, 8000, 96)),
