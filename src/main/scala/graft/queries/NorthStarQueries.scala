@@ -1985,6 +1985,65 @@ object NorthStarQueries {
       )
     ),
 
+    // The video decode→DECISION loop: per-frame luma stats drive the
+    // standard screens — black frames (zero luma energy; every 6th
+    // media's middle frame is zeroed) and scene cuts (adjacent-frame
+    // luma jump ≥ 32 gray levels per pixel, integer-exact as
+    // |Δsum_y| ≥ 32·n_pixels via one media-keyed lag window — frames
+    // per media are bounded, so the window state is tiny at any
+    // corpus scale). The oracle re-derives both decisions from the
+    // plane formula and the planted zeroing alone.
+    Q(
+      "q_video_screen",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val y4m = udf((k: Long) => {
+          val b = Multimodal.syntheticY4m(k, 6, 4, 3)
+          if (k % 6 == 0) {
+            // zero frame 1's luma plane: header, then frame blocks of
+            // ("FRAME\n" = 6) + 3 planes x 24 bytes
+            val hdr = b.indexOf('\n'.toByte) + 1
+            val off = hdr + (6 + 72) + 6
+            java.util.Arrays.fill(b, off, off + 24, 0.toByte)
+          }
+          b
+        })
+        val frames = Multimodal.decodeVideos(
+          blobs.withColumn("payload", y4m(col("media_id"))),
+          "media_id", "payload")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("frame_no").asc)
+        frames
+          .withColumn("prev_sum_y", lag(col("sum_y"), 1).over(w))
+          .select(
+            col("media_id"), col("frame_no"),
+            col("sum_y"),
+            (col("sum_y") === 0L).as("is_black"),
+            when(col("prev_sum_y").isNull, lit(false))
+              .otherwise(abs(col("sum_y") - col("prev_sum_y")) >= lit(32L * 24L))
+              .as("is_cut"))
+      },
+      Some(
+        """WITH fr AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, f, m,
+          |    CASE WHEN n_nationkey % 6 = 0 AND f = 1 THEN 0
+          |         ELSE (n_nationkey * 31 + f * 97 + m) % 256 END AS v
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 2)) AS uf(f),
+          |       UNNEST(generate_series(0, 23)) AS um(m)
+          |), fs AS (
+          |  SELECT media_id, f, CAST(SUM(v) AS BIGINT) AS sum_y
+          |  FROM fr GROUP BY media_id, f
+          |)
+          |SELECT a.media_id, CAST(a.f AS INT) AS frame_no, a.sum_y,
+          |  a.sum_y = 0 AS is_black,
+          |  COALESCE(abs(a.sum_y - b.sum_y) >= 768, FALSE) AS is_cut
+          |FROM fs a LEFT JOIN fs b
+          |  ON a.media_id = b.media_id AND b.f = a.f - 1""".stripMargin
+      )
+    ),
+
     // Video-style frame sampling plumbing: n evenly-strided 8-byte
     // slices per payload, one row per frame (hex-projected for the
     // gate; the binary plumbing itself is pinned by MultimodalSpec).

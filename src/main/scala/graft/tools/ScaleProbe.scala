@@ -534,6 +534,16 @@ object ScaleProbe {
             .withColumn("payload", wav(col("media_id"))),
           "media_id", "payload").filter(col("ssq_c0") > 0).count()
       }
+      // video decode is a map-only flatMap: one synthetic 3-frame Y4M
+      // per doc row — wall must track the row count, output 3x rows
+      probe(s"video_decode x$k") {
+        val y4m = udf((id: Long) =>
+          graft.operators.Multimodal.syntheticY4m(id % 97, 6, 4, 3))
+        graft.operators.Multimodal.decodeVideos(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", y4m(col("media_id"))),
+          "media_id", "payload").filter(col("ssq_y") >= 0).count()
+      }
       // perplexity terciles: the surprisal chain's agg shuffle + one
       // lang-keyed window — same shape as doremi's rating stage
       probe(s"ppl_buckets x$k") {
