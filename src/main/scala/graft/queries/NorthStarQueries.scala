@@ -2044,6 +2044,90 @@ object NorthStarQueries {
       )
     ),
 
+    // The MEDIA DROP-LEDGER — the multimodal pillar's flagship: one
+    // ingest batch carrying all three modalities (PPM images, WAV
+    // clips, Y4M videos, with corrupt / silent / black-frame payloads
+    // planted per family) flows through its REAL decoder and decision
+    // screen, and the ledger attributes every media item to keep or
+    // its drop reason — the per-item audit record a takedown/appeal
+    // workflow reads for binary corpora, mirroring q_drop_reasons for
+    // text. Each modality's decisions are the SAME calls as its
+    // standalone screen gate; the oracle composes the three formula
+    // families. Map-only per modality + one union.
+    Q(
+      "q_media_ledger",
+      (spark, dir) => {
+        val keys = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        // images: every 5th payload corrupt
+        val ppm = udf((k: Long) => {
+          val b = Multimodal.syntheticPpm(k, 8, 6)
+          if (k % 5 == 2) java.util.Arrays.copyOf(b, 9) else b
+        })
+        val img = Multimodal.decodeImages(
+            keys.withColumn("payload", ppm(col("media_id"))), "media_id", "payload")
+          .select(lit("image").as("modality"), col("media_id"),
+            when(col("n_pixels") === 0L, "corrupt").otherwise("keep").as("reason"))
+        // audio: every 7th truncated, every 5th silenced
+        val wav = udf((k: Long) => {
+          val b = Multimodal.syntheticWav(k, 1 + (k % 2).toInt, 8000, 96)
+          if (k % 7 == 3) java.util.Arrays.copyOf(b, 20)
+          else {
+            if (k % 5 == 0) java.util.Arrays.fill(b, 44, b.length, 0.toByte)
+            b
+          }
+        })
+        val aud = Multimodal.decodeAudio(
+            keys.withColumn("payload", wav(col("media_id"))), "media_id", "payload")
+          .select(lit("audio").as("modality"), col("media_id"),
+            when(col("format") =!= "wav", "corrupt")
+              .when(col("ssq_c0") === 0L, "silent")
+              .otherwise("keep").as("reason"))
+        // video: every 9th truncated (zero rows), every 6th has a
+        // black frame — undecodable media surface via the left join
+        val y4m = udf((k: Long) => {
+          val b = Multimodal.syntheticY4m(k, 6, 4, 3)
+          if (k % 9 == 4) java.util.Arrays.copyOf(b, b.length - 10)
+          else {
+            if (k % 6 == 0) {
+              val hdr = b.indexOf('\n'.toByte) + 1
+              val off = hdr + (6 + 72) + 6
+              java.util.Arrays.fill(b, off, off + 24, 0.toByte)
+            }
+            b
+          }
+        })
+        val vidFrames = Multimodal.decodeVideos(
+            keys.withColumn("payload", y4m(col("media_id"))), "media_id", "payload")
+          .groupBy(col("media_id"))
+          .agg(sum(when(col("sum_y") === 0L, 1L).otherwise(0L)).as("n_black"))
+        val vid = keys
+          .join(vidFrames, Seq("media_id"), "left")
+          .select(lit("video").as("modality"), col("media_id"),
+            when(col("n_black").isNull, "corrupt")
+              .when(col("n_black") > 0L, "black_frames")
+              .otherwise("keep").as("reason"))
+        img.unionByName(aud).unionByName(vid)
+      },
+      Some(
+        """SELECT 'image' AS modality, CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE WHEN n_nationkey % 5 = 2 THEN 'corrupt' ELSE 'keep' END AS reason
+          |FROM nation
+          |UNION ALL
+          |SELECT 'audio', CAST(n_nationkey AS BIGINT),
+          |  CASE WHEN n_nationkey % 7 = 3 THEN 'corrupt'
+          |       WHEN n_nationkey % 5 = 0 THEN 'silent'
+          |       ELSE 'keep' END
+          |FROM nation
+          |UNION ALL
+          |SELECT 'video', CAST(n_nationkey AS BIGINT),
+          |  CASE WHEN n_nationkey % 9 = 4 THEN 'corrupt'
+          |       WHEN n_nationkey % 6 = 0 THEN 'black_frames'
+          |       ELSE 'keep' END
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // Video-style frame sampling plumbing: n evenly-strided 8-byte
     // slices per payload, one row per frame (hex-projected for the
     // gate; the binary plumbing itself is pinned by MultimodalSpec).
