@@ -2159,6 +2159,79 @@ object CorpusQueries {
       )
     ),
 
+    // q_ppl_buckets' 100 TB-SAFE twin: the ntile window ranks every
+    // document of a language inside one task — fine here, a hot-spot
+    // at web scale. The histogram method cuts the same terciles from
+    // the per-(lang, grid-rate) VALUE histogram: one partial-agg
+    // shuffle to the histogram, a lang-keyed window over DISTINCT grid
+    // values (≪ docs; coarsen the grid for a hard bound), thresholds
+    // collapse to |langs| rows riding a broadcast, assignment is
+    // map-side. Boundary ties share the earlier bucket (assignment is
+    // by VALUE, the only semantics a value threshold can have), so
+    // bucket sizes are ≥ the exact tercile rather than == — the
+    // documented, deterministic trade for unbounded scale.
+    Q(
+      "q_ppl_buckets_hist",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val rated = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+          .withColumn("rate_q",
+            floor(col("nll_tab") / col("n_tokens").cast("double") * lit(1048576.0))
+              .cast("long"))
+          .join(docs.select(col("doc_id"), col("lang")), col("id") === col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("rate_q"))
+        val hist = rated.groupBy(col("lang"), col("rate_q"))
+          .agg(count(lit(1)).as("n"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("rate_q").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val cum = hist.withColumn("c", sum(col("n")).over(wc))
+        val tot = hist.groupBy(col("lang")).agg(sum(col("n")).as("nn"))
+        val cuts = cum.join(tot, "lang")
+          .groupBy(col("lang"))
+          .agg(
+            max(when(col("c") >=
+              floor((col("nn") + 2) / 3.0).cast("long"), col("rate_q"))).as("t1"),
+            max(when(col("c") >=
+              floor((col("nn") * 2 + 2) / 3.0).cast("long"), col("rate_q"))).as("t2"))
+        val out = rated.join(broadcast(cuts), "lang")
+          .select(
+            col("doc_id"), col("lang"), col("rate_q"),
+            when(col("rate_q") >= col("t1"), "head")
+              .when(col("rate_q") >= col("t2"), "middle")
+              .otherwise("tail").as("bucket"))
+        Q.requireBroadcastJoin(out) // thresholds ride a broadcast
+        out
+      },
+      Some(
+        s"""WITH $UnigramSurCtes, r AS (
+           |  SELECT s.id AS doc_id, d.lang,
+           |    CAST(FLOOR(s.nll_tab / CAST(s.n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) AS rate_q
+           |  FROM sur s JOIN documents d ON s.id = d.doc_id
+           |), hist AS (
+           |  SELECT lang, rate_q, COUNT(*) AS n FROM r GROUP BY lang, rate_q
+           |), cum AS (
+           |  SELECT lang, rate_q,
+           |    SUM(n) OVER (PARTITION BY lang ORDER BY rate_q DESC
+           |                 ROWS UNBOUNDED PRECEDING) AS c
+           |  FROM hist
+           |), tot AS (
+           |  SELECT lang, CAST(SUM(n) AS BIGINT) AS nn FROM hist GROUP BY lang
+           |), cuts AS (
+           |  SELECT cum.lang,
+           |    MAX(CASE WHEN c >= (nn + 2) // 3 THEN rate_q END) AS t1,
+           |    MAX(CASE WHEN c >= (nn * 2 + 2) // 3 THEN rate_q END) AS t2
+           |  FROM cum JOIN tot USING (lang) GROUP BY cum.lang
+           |)
+           |SELECT doc_id, r.lang, rate_q,
+           |  CASE WHEN rate_q >= t1 THEN 'head'
+           |       WHEN rate_q >= t2 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM r JOIN cuts ON r.lang = cuts.lang""".stripMargin
+      )
+    ),
+
     // DSIR importance rating (Xie et al. 2023): every document scored
     // by the hashed-unigram log-likelihood ratio of the TARGET corpus
     // (lang='en' — the distribution to select toward) vs the RAW
