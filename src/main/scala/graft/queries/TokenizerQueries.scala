@@ -482,6 +482,127 @@ object TokenizerQueries {
       )
     ),
 
+    // The packed shard PAYLOAD as a contiguous byte stream: each
+    // (lang, bin) 2048-id sequence serialized to fixed-width 16-bit
+    // words (hex-projected for the gate — ids stay < 2^16 by vocab
+    // construction), the GPT-2-style .bin artifact a trainer memory-
+    // maps. One ordered fold per bin on top of the gated pack chain;
+    // the oracle re-serializes via string_agg over the same ordering.
+    Q(
+      "q_pack_blob",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val ids = Vocab.encodeIds(docs, "doc_id", "text", dict)
+        val stream = ids.unionByName(
+          docs.select(col("doc_id"), lit(Int.MaxValue.toLong).as("pos"),
+            lit(0L).as("token_id")))
+        val perDoc = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val wl = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bins = perDoc
+          .withColumn("__cum", sum(col("__n")).over(wl))
+          .select(col("doc_id"), col("lang"),
+            floor((col("__cum") - col("__n")).cast("double") / 2048.0)
+              .cast("long").as("bin"))
+        val wb = Window.partitionBy(col("lang"), col("bin"))
+          .orderBy(col("doc_id").asc, col("pos").asc)
+        val out = stream.join(bins, "doc_id")
+          .withColumn("seq_pos", row_number().over(wb).cast("long"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_ids"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(
+                  col("seq_pos"),
+                  format_string("%04x", col("token_id")).as("h")))),
+                x => x("h")),
+              "").as("blob_hex"))
+        Q.requireBroadcastJoin(out)
+        val scratch = Q.scratch("packblob")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""$IdCtes, e AS (
+           |  SELECT doc_id, p, q, tid FROM wtok JOIN lkt ON wtok.tok = lkt.t
+           |  UNION ALL
+           |  SELECT doc_id, 2147483647 AS p, 0 AS q, CAST(0 AS BIGINT) AS tid
+           |  FROM documents
+           |), nn AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id
+           |), bb AS (
+           |  SELECT doc_id, lang, CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin
+           |  FROM (
+           |    SELECT nn.doc_id, d.lang, nn.n,
+           |      SUM(nn.n) OVER (PARTITION BY d.lang ORDER BY nn.doc_id
+           |                      ROWS UNBOUNDED PRECEDING) AS cum
+           |    FROM nn JOIN documents d USING (doc_id)) t0
+           |), st AS (
+           |  SELECT lang, bin, tid,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin
+           |                            ORDER BY e.doc_id, p, q) AS BIGINT) AS seq_pos
+           |  FROM e JOIN bb USING (doc_id)
+           |)
+           |SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_ids,
+           |  string_agg(printf('%04x', tid), '' ORDER BY seq_pos) AS blob_hex
+           |FROM st GROUP BY lang, bin""".stripMargin
+      )
+    ),
+
+    // Tokenizer EVALUATION: per-language fertility (subwords per word)
+    // under the trained dictionary — the standard multilingual-equity
+    // metric (a language with high fertility pays more sequence
+    // positions per word, the imbalance UniMax/temperature mixing then
+    // corrects). Integer sums per language + ONE double division, so
+    // the ratio is engine-exact; OOV words count their character
+    // fallback, per encode's contract.
+    Q(
+      "q_tokenizer_fertility",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val enc = Vocab.encode(docs, "doc_id", "text", dict)
+        val out = enc
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_subwords")).as("n_subwords"),
+            sum(col("n_oov")).as("n_oov"))
+          .withColumn("fertility",
+            col("n_subwords").cast("double") / col("n_words").cast("double"))
+        val scratch = Q.scratch("fert")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""$Dict2Ctes, lk AS (
+           |  SELECT t, CAST(len(s) AS BIGINT) AS n_sub FROM s3
+           |), wtok AS (
+           |  SELECT doc_id, t FROM (
+           |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+           |    FROM documents) w0
+           |  WHERE t <> ''
+           |), agg AS (
+           |  SELECT d.lang,
+           |    CAST(COUNT(*) AS BIGINT) AS n_words,
+           |    CAST(SUM(COALESCE(n_sub, len(t))) AS BIGINT) AS n_subwords,
+           |    CAST(COUNT(CASE WHEN n_sub IS NULL THEN 1 END) AS BIGINT) AS n_oov
+           |  FROM wtok LEFT JOIN lk USING (t)
+           |  JOIN documents d USING (doc_id)
+           |  GROUP BY d.lang
+           |)
+           |SELECT lang, n_words, n_subwords, n_oov,
+           |  CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+           |FROM agg""".stripMargin
+      )
+    ),
+
     // BPE's SECOND artifact: the ordered merge-rule list (merges.txt)
     // — what an external tokenizer needs to re-apply the training
     // segmentation to NEW text (the (subword, id) table alone cannot
