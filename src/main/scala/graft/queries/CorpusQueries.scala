@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Normalize, Profile, Quantize, Retrieval, Sampling, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Normalize, Profile, Quantize, Retrieval, Sampling, TextAnalysis, Train}
 
 /** Round-4 corpus-curation and embedding-clustering queries: character
   * entropy screens, cross-document boilerplate detection, unigram-LM
@@ -188,6 +188,60 @@ object CorpusQueries {
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list(COALESCE(delta, 0.0) + konst ORDER BY p)), (a, c) -> a + c) AS score
        |  FROM wb LEFT JOIN sdl USING (b) CROSS JOIN kon GROUP BY doc_id
+       |)""".stripMargin
+
+  /** The batch-perceptron training chain (3 unrolled epochs over the
+    * integer feature frame `f`: token count, n_chars div 64, punct
+    * count; label +1 for n_chars ≥ 256 — a rule the features CAN
+    * express, so training demonstrably converges; the fixture's lang
+    * labels are unlearnable from text features by construction) —
+    * shared verbatim by
+    * q_perceptron_train and q_perceptron_screen so the screen applies
+    * exactly the weights the trace pins. Ends in `g1,g2,g3`, each
+    * (n_mis, wb, w1, w2, w3) = the epoch's misclassified count and
+    * post-update weights. Epoch 1 starts from zero weights (margin 0
+    * counts as misclassified, the classic rule), so g1's update is
+    * the class-weighted feature sum.
+    */
+  private lazy val PerceptronCtes: String =
+    s"""pf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_chars >= 256 THEN 1 ELSE -1 END AS y,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS f1,
+       |    CAST(n_chars // 64 AS BIGINT) AS f2,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS f3
+       |  FROM documents
+       |), g1 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_mis,
+       |    CAST(SUM(y) AS BIGINT) AS wb,
+       |    CAST(SUM(y * f1) AS BIGINT) AS w1,
+       |    CAST(SUM(y * f2) AS BIGINT) AS w2,
+       |    CAST(SUM(y * f3) AS BIGINT) AS w3
+       |  FROM pf
+       |), m2 AS (
+       |  SELECT y, f1, f2, f3, wb, w1, w2, w3,
+       |    (y * (wb + w1 * f1 + w2 * f2 + w3 * f3) <= 0) AS mis
+       |  FROM pf CROSS JOIN g1
+       |), g2 AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+       |    CAST(MAX(wb) + SUM(CASE WHEN mis THEN y ELSE 0 END) AS BIGINT) AS wb,
+       |    CAST(MAX(w1) + SUM(CASE WHEN mis THEN y * f1 ELSE 0 END) AS BIGINT) AS w1,
+       |    CAST(MAX(w2) + SUM(CASE WHEN mis THEN y * f2 ELSE 0 END) AS BIGINT) AS w2,
+       |    CAST(MAX(w3) + SUM(CASE WHEN mis THEN y * f3 ELSE 0 END) AS BIGINT) AS w3
+       |  FROM m2
+       |), m3 AS (
+       |  SELECT y, f1, f2, f3, wb, w1, w2, w3,
+       |    (y * (wb + w1 * f1 + w2 * f2 + w3 * f3) <= 0) AS mis
+       |  FROM pf CROSS JOIN g2
+       |), g3 AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+       |    CAST(MAX(wb) + SUM(CASE WHEN mis THEN y ELSE 0 END) AS BIGINT) AS wb,
+       |    CAST(MAX(w1) + SUM(CASE WHEN mis THEN y * f1 ELSE 0 END) AS BIGINT) AS w1,
+       |    CAST(MAX(w2) + SUM(CASE WHEN mis THEN y * f2 ELSE 0 END) AS BIGINT) AS w2,
+       |    CAST(MAX(w3) + SUM(CASE WHEN mis THEN y * f3 ELSE 0 END) AS BIGINT) AS w3
+       |  FROM m3
        |)""".stripMargin
 
   /** The entropy CASE over `cs` (the str_split character list) — shared
@@ -2229,6 +2283,162 @@ object CorpusQueries {
            |       WHEN rate_q >= t2 THEN 'middle'
            |       ELSE 'tail' END AS bucket
            |FROM r JOIN cuts ON r.lang = cuts.lang""".stripMargin
+      )
+    ),
+
+    // In-engine TRAINING of the linear curation filter: 3 epochs of
+    // the distributed batch perceptron over integer quality features,
+    // distilling the long-document rule (n_chars >= 256, exactly
+    // expressible by the f2 = n_chars div 64 feature, so the trainer
+    // demonstrably converges). Integer sums make every epoch update
+    // order-free and engine-exact (a float GD could never pin); the
+    // model lives driver-side as a |features|-row decision table and
+    // each epoch is ONE map-side aggregate over the corpus. The gate
+    // pins the full training TRACE — per-epoch misclassified counts
+    // and post-update weights — against 3 unrolled oracle epochs.
+    Q(
+      "q_perceptron_train",
+      (spark, dir) => {
+        val feats = Q.t(spark, dir, "documents").select(
+          when(col("n_chars") >= 256L, 1L).otherwise(-1L).as("y"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("f1"),
+          floor(col("n_chars") / 64).cast("long").as("f2"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("f3"))
+        Train.perceptronTrace(feats, Seq("f1", "f2", "f3"), "y", epochs = 3)
+      },
+      Some(
+        s"""WITH $PerceptronCtes
+           |SELECT CAST(1 AS INT) AS epoch, n_mis, wb AS w_bias, w1 AS w_1, w2 AS w_2, w3 AS w_3 FROM g1
+           |UNION ALL
+           |SELECT CAST(2 AS INT), n_mis, wb, w1, w2, w3 FROM g2
+           |UNION ALL
+           |SELECT CAST(3 AS INT), n_mis, wb, w1, w2, w3 FROM g3""".stripMargin
+      )
+    ),
+
+    // The CONVERGENT in-engine trainer: an optimal decision stump per
+    // feature by exhaustive integer threshold search over the value
+    // histogram (both polarities; the degenerate all-plus/all-minus
+    // stumps appear at t = min, so the search is complete). Where the
+    // batch perceptron above oscillates on noisy features, the stump
+    // provably finds the 0-error rule here (f2 = n_chars div 64
+    // separates the label exactly at 4) — the base learner a boosting
+    // loop would call. One (feature, value) partial-agg shuffle + a
+    // feature-keyed window over DISTINCT values, |features| rows out.
+    Q(
+      "q_stump_train",
+      (spark, dir) => {
+        val feats = Q.t(spark, dir, "documents").select(
+          when(col("n_chars") >= 256L, 1L).otherwise(-1L).as("y"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("f1"),
+          floor(col("n_chars") / 64).cast("long").as("f2"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("f3"))
+        Train.stumpTrain(feats, Seq("f1", "f2", "f3"), "y")
+      },
+      Some(
+        s"""WITH $PerceptronCtes, lf AS (
+           |  SELECT 'f1' AS feature, f1 AS v, y FROM pf
+           |  UNION ALL SELECT 'f2', f2, y FROM pf
+           |  UNION ALL SELECT 'f3', f3, y FROM pf
+           |), h AS (
+           |  SELECT feature, v,
+           |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           |    CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+           |  FROM lf GROUP BY feature, v
+           |), sc AS (
+           |  SELECT feature, v,
+           |    COALESCE(SUM(np) OVER (PARTITION BY feature ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS posBelow,
+           |    COALESCE(SUM(nn) OVER (PARTITION BY feature ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow,
+           |    SUM(np) OVER (PARTITION BY feature) AS p,
+           |    SUM(nn) OVER (PARTITION BY feature) AS ng
+           |  FROM h
+           |), cand AS (
+           |  SELECT feature, v AS thresh, 'ge' AS polarity,
+           |    CAST(posBelow + ng - negBelow AS BIGINT) AS n_err
+           |  FROM sc
+           |  UNION ALL
+           |  SELECT feature, v, 'lt',
+           |    CAST(p + ng - (posBelow + ng - negBelow) AS BIGINT)
+           |  FROM sc
+           |), best AS (
+           |  SELECT feature, thresh, polarity, n_err,
+           |    ROW_NUMBER() OVER (PARTITION BY feature
+           |      ORDER BY n_err, thresh, polarity) AS rf
+           |  FROM cand
+           |)
+           |SELECT feature, thresh, polarity, n_err,
+           |  ROW_NUMBER() OVER (ORDER BY n_err, feature, thresh, polarity) = 1 AS is_best
+           |FROM best WHERE rf = 1""".stripMargin
+      )
+    ),
+
+    // The trained stump APPLIED: the argmin (feature, threshold,
+    // polarity) rides back as literals and every document keeps or
+    // drops map-side — train→deploy inside one engine, non-degenerate
+    // by construction (the learned rule reproduces the label's 58/42
+    // split exactly at 0 training error).
+    Q(
+      "q_stump_screen",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val feats = docs.select(
+          col("doc_id"),
+          when(col("n_chars") >= 256L, 1L).otherwise(-1L).as("y"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("f1"),
+          floor(col("n_chars") / 64).cast("long").as("f2"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("f3"))
+        val best = Train.stumpTrain(feats, Seq("f1", "f2", "f3"), "y")
+          .filter(col("is_best")).head()
+        val (bf, bt, bp) = (best.getAs[String]("feature"),
+          best.getAs[Long]("thresh"), best.getAs[String]("polarity"))
+        feats.select(
+          col("doc_id"),
+          Train.stumpKeep(col(bf), bt, bp).as("keep"),
+          (Train.stumpKeep(col(bf), bt, bp) === (col("y") === 1L)).as("agree"))
+      },
+      Some(
+        s"""WITH $PerceptronCtes, lf AS (
+           |  SELECT 'f1' AS feature, f1 AS v, y FROM pf
+           |  UNION ALL SELECT 'f2', f2, y FROM pf
+           |  UNION ALL SELECT 'f3', f3, y FROM pf
+           |), h AS (
+           |  SELECT feature, v,
+           |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           |    CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+           |  FROM lf GROUP BY feature, v
+           |), sc AS (
+           |  SELECT feature, v,
+           |    COALESCE(SUM(np) OVER (PARTITION BY feature ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS posBelow,
+           |    COALESCE(SUM(nn) OVER (PARTITION BY feature ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow,
+           |    SUM(np) OVER (PARTITION BY feature) AS p,
+           |    SUM(nn) OVER (PARTITION BY feature) AS ng
+           |  FROM h
+           |), cand AS (
+           |  SELECT feature, v AS thresh, 'ge' AS polarity,
+           |    CAST(posBelow + ng - negBelow AS BIGINT) AS n_err
+           |  FROM sc
+           |  UNION ALL
+           |  SELECT feature, v, 'lt',
+           |    CAST(p + ng - (posBelow + ng - negBelow) AS BIGINT)
+           |  FROM sc
+           |), pick AS (
+           |  SELECT feature, thresh, polarity FROM cand
+           |  ORDER BY n_err, feature, thresh, polarity LIMIT 1
+           |)
+           |SELECT doc_id,
+           |  CASE WHEN polarity = 'ge'
+           |       THEN (CASE feature WHEN 'f1' THEN f1 WHEN 'f2' THEN f2 ELSE f3 END) >= thresh
+           |       ELSE (CASE feature WHEN 'f1' THEN f1 WHEN 'f2' THEN f2 ELSE f3 END) < thresh
+           |  END AS keep,
+           |  (CASE WHEN polarity = 'ge'
+           |        THEN (CASE feature WHEN 'f1' THEN f1 WHEN 'f2' THEN f2 ELSE f3 END) >= thresh
+           |        ELSE (CASE feature WHEN 'f1' THEN f1 WHEN 'f2' THEN f2 ELSE f3 END) < thresh
+           |   END) = (y = 1) AS agree
+           |FROM pf CROSS JOIN pick""".stripMargin
       )
     ),
 
