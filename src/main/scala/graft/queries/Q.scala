@@ -146,6 +146,24 @@ object Q {
         df.queryExecution.executedPlan)
   }
 
+  /** Gate assertion: at least one sort-merge join whose ENTIRE subtree
+    * contains no shuffle exchange — the co-located (bucketed) join:
+    * both sides arrive pre-partitioned on the join key, so the join
+    * itself moves no data.
+    */
+  def requireColocatedJoin(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val hit = planNodes(df).exists {
+      case j: SortMergeJoinExec =>
+        j.collect { case s: ShuffleExchangeLike => s }.isEmpty
+      case _ => false
+    }
+    require(hit,
+      s"expected a shuffle-free (co-located) sort-merge join:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   /** Gate assertion: ZERO shuffle exchanges anywhere in the plan — the
     * query is map-only end to end (decode/screen/projection gates).
     */

@@ -98,6 +98,50 @@ object RelationalQueries {
       )
     ),
 
+    // The co-located join: both sides land bucketed on the join key
+    // (bucketBy + sortBy — the pre-shuffle-once layout for 100 TB fact
+    // tables), broadcast forbidden, and the join is REQUIREd to run as
+    // a sort-merge with ZERO exchanges in its subtree — joining again
+    // tomorrow moves no data. The gate materializes under the pinned
+    // conf to scratch; oracle is the plain relational join.
+    Q(
+      "q_bucketed_join",
+      (spark, dir) => {
+        val tag = s"g${math.abs(dir.hashCode).toString.take(6)}"
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.sql(s"DROP TABLE IF EXISTS orders_bk_$tag")
+          spark.sql(s"DROP TABLE IF EXISTS customer_bk_$tag")
+          Q.t(spark, dir, "orders")
+            .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").saveAsTable(s"orders_bk_$tag")
+          Q.t(spark, dir, "customer")
+            .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .mode("overwrite").saveAsTable(s"customer_bk_$tag")
+          val out = spark.table(s"orders_bk_$tag")
+            .join(spark.table(s"customer_bk_$tag"),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(
+              count(lit(1)).as("n_orders"),
+              Q.dsum(col("o_totalprice")).as("sum_price"))
+          Q.requireColocatedJoin(out)
+          val scratch = Q.scratch("bktjoin")
+          out.write.mode("overwrite").parquet(scratch)
+          spark.read.parquet(scratch)
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        }
+      },
+      Some(
+        """SELECT c_mktsegment, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin
+      )
+    ),
+
     // Semi join: customers with at least one order (EXISTS).
     Q(
       "q_semi_join",

@@ -534,6 +534,16 @@ object ScaleProbe {
             .withColumn("payload", wav(col("media_id"))),
           "media_id", "payload").filter(col("ssq_c0") > 0).count()
       }
+      // stump training: the value histogram is replication-invariant
+      // (replicas add counts, not distinct values), so the window cost
+      // is FLAT and only the histogram scan grows
+      probe(s"stump_train x$k") {
+        val feats = d.select(
+          when(col("n_chars") >= 256L, 1L).otherwise(-1L).as("y"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("f1"),
+          floor(col("n_chars") / 64).cast("long").as("f2"))
+        graft.operators.Train.stumpTrain(feats, Seq("f1", "f2"), "y").count()
+      }
       // video decode is a map-only flatMap: one synthetic 3-frame Y4M
       // per doc row — wall must track the row count, output 3x rows
       probe(s"video_decode x$k") {
