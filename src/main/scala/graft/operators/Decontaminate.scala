@@ -43,6 +43,44 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits")) // shingleHashes is distinct per doc
       .filter(col("n_hits") >= minHits)
 
+  /** GRADED overlap instead of the binary drop: per corpus document,
+    * its distinct-shingle count, how many of those appear in the
+    * reference set, and the novelty ratio 1 − hits/shingles — the
+    * signal for policies between "any overlap drops" and "ignore"
+    * (quote-heavy docs, partial benchmark leaks, boilerplate overlap
+    * quantification). Same broadcast-shingle scale shape as
+    * [[contaminatedDocs]]; documents too short to carry one n-gram
+    * score novelty 1 with zero counts (nothing measurable overlaps).
+    * The ratio is one subtraction of one division — engine-exact.
+    */
+  def noveltyScores(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val marked = benchShingles(bench, textCol, n).withColumn("__hit", lit(1L))
+    val per = corpus
+      .select(col(idCol).as("__id"), explode(Dedup.shingleHashes(col(textCol), n)).as("sh"))
+      .join(broadcast(marked), Seq("sh"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+    corpus
+      .select(col(idCol).as("__id"))
+      .join(per, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(lit(1.0) -
+            col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** The clean corpus: drop contaminated documents (anti-join against
     * the flagged set — still broadcast-sized).
     */

@@ -2288,6 +2288,50 @@ object NorthStarQueries {
       )
     ),
 
+    // GRADED benchmark overlap: per document the distinct 5-shingle
+    // count, the number shared with the eval set, and novelty =
+    // 1 − hits/shingles — the signal for policies between "any
+    // overlap drops" (q_decontaminate) and "ignore": quantified
+    // partial leaks, quote-heavy docs, boilerplate overlap. Same
+    // broadcast-shingle shape; short docs (no full n-gram) score
+    // novelty 1 with zero counts.
+    Q(
+      "q_novelty_score",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        Decontaminate.noveltyScores(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 5)
+      },
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id AS id, $SqlToks AS t FROM documents
+           |), sh5 AS (
+           |  SELECT DISTINCT id,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(str_split(array_to_string(t[i:i+4], ' '), ''),
+           |                       c -> CAST(ascii(c) AS BIGINT))),
+           |      (h, c) -> (h * ${Dedup.StrHashMult} + c) % ${Dedup.StrHashMod}) AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+           |), bench AS (SELECT DISTINCT sh FROM sh5 WHERE id < 20)
+           |, per AS (
+           |  SELECT s.id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           |    CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |  FROM sh5 s LEFT JOIN bench b ON s.sh = b.sh
+           |  WHERE s.id >= 20 GROUP BY s.id
+           |)
+           |SELECT d.doc_id,
+           |  COALESCE(n_shingles, 0) AS n_shingles,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 1.0
+           |       ELSE 1.0 - CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+           |  END AS novelty
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.id
+           |WHERE d.doc_id >= 20""".stripMargin
+      )
+    ),
+
     // The streaming-shaped decontamination screen (broadcast shingle
     // set + per-row arrays_overlap, zero state — StreamEnrich) run in
     // batch mode: must keep exactly the NOT-EXISTS-clean documents.
