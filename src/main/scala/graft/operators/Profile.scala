@@ -221,4 +221,107 @@ object Profile {
     }
     flagged.select(col(idCol), attributed.as("drop_stage"))
   }
+
+  /** l-diversity release audit — k-anonymity's companion check
+    * (Machanavajjhala et al.): a quasi-identifier group whose rows all
+    * share one SENSITIVE value leaks that value even when the group is
+    * k-large, so each group must also carry at least `l` DISTINCT
+    * sensitive values. Appends per row the group's distinct-sensitive
+    * count (`l_distinct`) and `keep = l_distinct >= l`.
+    *
+    * Scale shape: the distinct count partial-aggregates over (QI,
+    * sensitive) — never more rows than the corpus, usually far fewer —
+    * then collapses to the QI-sized group table that joins back by
+    * broadcast under the same cardinality guard as [[kAnonymity]];
+    * the corpus itself never shuffles.
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiIds: Seq[String],
+      sensitiveCol: String,
+      l: Long,
+      maxBroadcastGroups: Long = DefaultMaxBroadcastGroups
+  ): DataFrame = {
+    require(quasiIds.nonEmpty, "Profile.lDiversity: need at least one quasi-identifier")
+    val groups = df
+      .groupBy(quasiIds.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("l_distinct"))
+    val persisted = groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joinSide =
+      if (persisted.count() <= maxBroadcastGroups) broadcast(persisted)
+      else { persisted.unpersist(); groups }
+    df.join(joinSide, quasiIds)
+      .withColumn("keep", col("l_distinct") >= l)
+  }
+
+  /** t-closeness release audit (Li et al.) with total-variation
+    * distance: a quasi-identifier group still leaks when its SENSITIVE
+    * values are diverse but skewed far from the corpus-wide
+    * distribution, so each group's distribution must sit within `t` of
+    * the global one. Emits ONE row per QI group — the release-gate
+    * decision table, not a corpus-sized frame — with the group size,
+    * the exact integer TVD numerator, the per-mille distance, and
+    * `keep`.
+    *
+    * Exactness: TVD = ½ Σ_v |cnt_gv/n_g − cnt_v/N| is evaluated in
+    * CROSS-MULTIPLIED integers — Σ_v |cnt_gv·N − cnt_v·n_g| compared
+    * against 2·t‰·n_g·N/1000 — so the decision is bit-exact in every
+    * engine (no float division until the reported per-mille, itself an
+    * integer floor). Sensitive values absent from a group contribute
+    * cnt_v·n_g without materializing (g, v) zero rows: their sum is
+    * (N − Σ_present cnt_v)·n_g.
+    *
+    * Scale shape: one partial-agg shuffle to (QI, v) counts (bounded by
+    * corpus rows, typically far smaller), the |values|-sized marginal
+    * table BROADCAST onto it, then a QI-keyed rollup of the already
+    * tiny (QI, v) frame. The corpus is scanned once and never
+    * shuffled by the group key.
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiIds: Seq[String],
+      sensitiveCol: String,
+      tPerMille: Long
+  ): DataFrame = {
+    require(quasiIds.nonEmpty, "Profile.tCloseness: need at least one quasi-identifier")
+    val qi = quasiIds.map(col)
+    // (QI, v) counts — the only corpus-sized aggregation (partial-agg
+    // shuffle); everything after operates on this already-small frame.
+    val gv = df
+      .groupBy(qi :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c_gv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groupSizes = gv
+      .groupBy(qi: _*)
+      .agg(sum(col("__c_gv")).as("n_group"))
+    val marginals = gv
+      .groupBy(col("__v"))
+      .agg(sum(col("__c_gv")).as("__c_v"))
+    val total = marginals.agg(sum(col("__c_v")).as("__n")) // one row
+    val out = gv
+      .join(broadcast(marginals), "__v")
+      .join(broadcast(groupSizes), quasiIds)
+      .crossJoin(broadcast(total))
+      .groupBy(qi: _*)
+      .agg(
+        first(col("n_group")).as("n_group"),
+        first(col("__n")).as("__n"),
+        sum(abs(col("__c_gv") * col("__n") - col("__c_v") * col("n_group")))
+          .as("__present_num"),
+        sum(col("__c_v")).as("__present_v"))
+      // sensitive values with no row in this group each contribute
+      // |0 − c_v·n_g| = c_v·n_g; summed: (N − Σ_present c_v)·n_g
+      .withColumn("tvd_num",
+        col("__present_num") + (col("__n") - col("__present_v")) * col("n_group"))
+      // integer floor-division (`div`), never float: 1000·num can pass
+      // 2^53 long before it overflows BIGINT, and a double quotient
+      // flooring at an integer boundary would be engine-dependent
+      .withColumn("tvd_pm",
+        expr("(1000 * tvd_num) div (2 * n_group * __n)"))
+      .withColumn("keep",
+        lit(1000L) * col("tvd_num") <=
+          lit(2L * tPerMille) * col("n_group") * col("__n"))
+      .select(qi ++ Seq(col("n_group"), col("tvd_num"), col("tvd_pm"), col("keep")): _*)
+    out
+  }
 }

@@ -2168,6 +2168,83 @@ object CorpusQueries {
       )
     ),
 
+    // l-diversity: k-anonymity's companion release audit — a QI group
+    // whose rows all share one SENSITIVE value leaks it even when the
+    // group is k-large. QI = (lang, 256-char bucket), sensitive =
+    // source, l = 8. The distinct-sensitive count partial-aggregates
+    // over (QI, source) and collapses to the QI-sized group table that
+    // joins back by BROADCAST (guarded past 2^20 groups, as
+    // q_kanonymity); the corpus never shuffles. Integer counts — exact.
+    Q(
+      "q_ldiversity",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val out = Profile.lDiversity(
+          docs.select(col("doc_id"), col("lang"),
+            expr("n_chars div 256").as("len_bucket"), col("source")),
+          Seq("lang", "len_bucket"), sensitiveCol = "source", l = 8L)
+          .select(col("doc_id"), col("lang"), col("len_bucket"),
+            col("l_distinct"), col("keep"))
+        Q.requireBroadcastJoin(out)
+        out
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT doc_id, lang, n_chars // 256 AS len_bucket, source FROM documents
+          |), g AS (
+          |  SELECT lang, len_bucket, COUNT(DISTINCT source) AS l_distinct
+          |  FROM q GROUP BY lang, len_bucket
+          |)
+          |SELECT doc_id, lang, len_bucket, l_distinct, l_distinct >= 8 AS keep
+          |FROM q JOIN g USING (lang, len_bucket)""".stripMargin
+      )
+    ),
+
+    // t-closeness with total-variation distance: the third rung of the
+    // release-audit ladder — a group passes only when its sensitive-
+    // value DISTRIBUTION sits within t of the corpus-wide one (diverse
+    // but skewed groups still leak). Evaluated entirely in cross-
+    // multiplied integers (Σ_v |c_gv·N − c_v·n_g| vs 2·t‰·n_g·N, and a
+    // `div` floor for the reported per-mille), so the decision table is
+    // bit-exact. ONE corpus-sized partial-agg shuffle to (QI, source)
+    // counts; marginals and group sizes ride broadcasts; output is the
+    // QI-sized release-gate table, not a corpus frame.
+    Q(
+      "q_tcloseness",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        Profile.tCloseness(
+          docs.select(col("lang"), expr("n_chars div 256").as("len_bucket"),
+            col("source")),
+          Seq("lang", "len_bucket"), sensitiveCol = "source", tPerMille = 400L)
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT lang, n_chars // 256 AS len_bucket, source FROM documents
+          |), gv AS (
+          |  SELECT lang, len_bucket, source, COUNT(*) AS c_gv
+          |  FROM q GROUP BY lang, len_bucket, source
+          |), gs AS (
+          |  SELECT lang, len_bucket, SUM(c_gv) AS n_g FROM gv GROUP BY lang, len_bucket
+          |), mv AS (
+          |  SELECT source, SUM(c_gv) AS c_v FROM gv GROUP BY source
+          |), tot AS (
+          |  SELECT SUM(c_v) AS n FROM mv
+          |), pres AS (
+          |  SELECT gv.lang, gv.len_bucket,
+          |    ANY_VALUE(n_g) AS n_g, ANY_VALUE(n) AS n,
+          |    SUM(ABS(c_gv * n - c_v * n_g)) AS pn, SUM(c_v) AS pv
+          |  FROM gv JOIN mv USING (source) JOIN gs USING (lang, len_bucket) CROSS JOIN tot
+          |  GROUP BY gv.lang, gv.len_bucket
+          |)
+          |SELECT lang, len_bucket, CAST(n_g AS BIGINT) AS n_group,
+          |  CAST(pn + (n - pv) * n_g AS BIGINT) AS tvd_num,
+          |  CAST((1000 * (pn + (n - pv) * n_g)) // (2 * n_g * n) AS BIGINT) AS tvd_pm,
+          |  1000 * (pn + (n - pv) * n_g) <= 2 * 400 * n_g * n AS keep
+          |FROM pres""".stripMargin
+      )
+    ),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per
     // language, documents split into head/middle/tail terciles of the
     // unigram-LM perplexity proxy, keeping head+middle — the classic
