@@ -92,6 +92,24 @@ object Q {
     dir.getAbsolutePath
   }
 
+  /** Drop a managed table AND its warehouse directory, covering the
+    * orphan case: a directory written by a PREVIOUS JVM whose
+    * in-memory-catalog entry died with that JVM. `DROP TABLE IF EXISTS`
+    * alone removes only what the current catalog knows; a later
+    * `saveAsTable` then dies with LOCATION_ALREADY_EXISTS on the
+    * orphaned dir (this silently cost `q_bucketed_join` its round-10
+    * correctness entry). Deleting the location explicitly makes
+    * create-or-replace gates idempotent across sessions.
+    */
+  def dropManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path =
+      new org.apache.hadoop.fs.Path(wh, name.toLowerCase(java.util.Locale.ROOT))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true): Unit }
+  }
+
   /** Every physical node of the frame's executed plan, with AQE's
     * wrapper unwrapped (AdaptiveSparkPlanExec is a leaf to `collect` —
     * its current plan hangs off a field, not `children`). Gates assert

@@ -111,8 +111,11 @@ object RelationalQueries {
         val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-          spark.sql(s"DROP TABLE IF EXISTS orders_bk_$tag")
-          spark.sql(s"DROP TABLE IF EXISTS customer_bk_$tag")
+          // dropManagedTable (not bare DROP TABLE): a warehouse dir left
+          // by a PREVIOUS JVM is invisible to this session's in-memory
+          // catalog and kills saveAsTable with LOCATION_ALREADY_EXISTS
+          Q.dropManagedTable(spark, s"orders_bk_$tag")
+          Q.dropManagedTable(spark, s"customer_bk_$tag")
           Q.t(spark, dir, "orders")
             .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
             .mode("overwrite").saveAsTable(s"orders_bk_$tag")
@@ -132,6 +135,11 @@ object RelationalQueries {
           spark.read.parquet(scratch)
         } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+          // leave no warehouse state behind: the result is already
+          // materialized to scratch, and a leftover dir is exactly the
+          // cross-session orphan the pre-clean above defends against
+          Q.dropManagedTable(spark, s"orders_bk_$tag")
+          Q.dropManagedTable(spark, s"customer_bk_$tag")
         }
       },
       Some(

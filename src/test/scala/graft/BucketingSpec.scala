@@ -27,6 +27,36 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("q_bucketed_join gate survives a pre-polluted warehouse and reruns clean") {
+    // Reproduce the round-10 failure mode: a PREVIOUS JVM wrote the
+    // bucketed tables, its in-memory catalog died with it, and the
+    // orphaned warehouse directories remain on disk. A bare
+    // `DROP TABLE IF EXISTS` cannot see them, so `saveAsTable` dies
+    // with LOCATION_ALREADY_EXISTS. The gate must pre-clean the
+    // locations themselves and leave no state behind.
+    val sf = "/root/testdata/sf0.001"
+    val tag = s"g${math.abs(sf.hashCode).toString.take(6)}"
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    wh.mkdirs()
+    for (t <- Seq(s"orders_bk_$tag", s"customer_bk_$tag")) {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`") // catalog must NOT know the orphan
+      val orphan = new java.io.File(wh, t)
+      orphan.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(orphan, "part-orphan.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      assert(orphan.exists())
+    }
+    val gate = graft.queries.RelationalQueries.all.find(_.name == "q_bucketed_join").get
+    // first run: must clear the orphans and succeed
+    assert(gate.run(spark, sf).count() > 0)
+    // second run in the same session: the create-or-replace path again
+    assert(gate.run(spark, sf).count() > 0)
+    // and the gate cleans up after itself — no orphan for the NEXT JVM
+    assert(!new java.io.File(wh, s"orders_bk_$tag").exists())
+    assert(!new java.io.File(wh, s"customer_bk_$tag").exists())
+  }
+
   test("same-bucketed tables sort-merge join without any exchange") {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS orders_b")
