@@ -80,17 +80,45 @@ object Profile {
     // QI cardinality is CALLER-controlled (a near-unique attribute or a
     // too-fine bucket makes the "small by construction" claim false), and
     // a force-broadcast of a huge group table OOMs the driver instead of
-    // degrading. Guard: persist the group table (bounded by the threshold
-    // in the path we keep it), count it, and only broadcast under the
-    // threshold — past it, fall back to a shuffle join and let AQE size
-    // it. The persisted small table is reused by the join itself.
-    val persisted = groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nGroups = persisted.count()
-    val joinSide =
-      if (nGroups <= maxBroadcastGroups) broadcast(persisted)
-      else { persisted.unpersist(); groups }
-    df.join(joinSide, quasiIds)
+    // degrading. guardedSide counts once and only broadcasts under the
+    // threshold, leaving nothing persisted behind.
+    val (side, _) = guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups)
+    // NULL-SAFE join: groupBy already treats NULL as a QI value (its own
+    // group), but a plain equi-join would silently DROP every NULL-QI row
+    // from the audit — a privacy gate failing open for exactly the rows
+    // with missing attributes. <=> matches the NULL group back.
+    df.join(side, nullSafeCond(quasiIds))
+      .drop(quasiIds.map(c => s"__g_$c"): _*)
       .withColumn("keep", col("k_group") >= k)
+  }
+
+  /** Rename a group table's join keys to `__g_`-prefixed names so an
+    * explicit null-safe join condition can reference both sides
+    * unambiguously (and fresh exprIds break the self-join lineage).
+    */
+  private def renameKeys(groups: DataFrame, keys: Seq[String]): DataFrame =
+    keys.foldLeft(groups)((a, c) => a.withColumnRenamed(c, s"__g_$c"))
+
+  private def nullSafeCond(keys: Seq[String]): org.apache.spark.sql.Column =
+    keys.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+
+  /** Count-guarded join side for a "small by construction" group table:
+    * materialize it once; when it holds at most `maxRows`, collect it to
+    * a driver-local relation — the identical driver footprint a
+    * `broadcast` would pay anyway when shipping the table — and
+    * broadcast that, leaving NOTHING persisted behind; past the guard,
+    * return the lazy frame for a shuffle join AQE will size. Returns
+    * the join side plus the observed cardinality.
+    */
+  private def guardedSide(small: DataFrame, maxRows: Long): (DataFrame, Long) = {
+    val persisted = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = persisted.count()
+      if (n <= maxRows)
+        (broadcast(small.sparkSession.createDataFrame(
+          persisted.collectAsList(), small.schema)), n)
+      else (small, n)
+    } finally { persisted.unpersist(): Unit }
   }
 
   /** Past this many quasi-identifier combinations the group table stops
@@ -135,11 +163,11 @@ object Profile {
       val g = withQi
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as(s"__k$i"))
-      val persisted = g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val side =
-        if (persisted.count() <= maxBroadcastGroups) broadcast(persisted)
-        else { persisted.unpersist(); g }
-      acc.join(side, keys)
+      val (side, _) = guardedSide(renameKeys(g, keys), maxBroadcastGroups)
+      // null-safe: a NULL quasi-identifier value is a group like any
+      // other — an equi-join would drop those rows from the remedy
+      acc.join(side, nullSafeCond(keys))
+        .drop(keys.map(c => s"__g_$c"): _*)
     }
     val genLevel = levels.indices.foldRight(lit(levels.size)) { (i, acc) =>
       when(col(s"__k$i") >= k, lit(i)).otherwise(acc)
@@ -246,11 +274,13 @@ object Profile {
     val groups = df
       .groupBy(quasiIds.map(col): _*)
       .agg(countDistinct(col(sensitiveCol)).as("l_distinct"))
-    val persisted = groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val joinSide =
-      if (persisted.count() <= maxBroadcastGroups) broadcast(persisted)
-      else { persisted.unpersist(); groups }
-    df.join(joinSide, quasiIds)
+    val (side, _) = guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups)
+    // null-safe join-back, as kAnonymity: NULL-QI rows stay in the audit
+    // (countDistinct ignores NULL sensitive values — a group whose only
+    // sensitive "values" are NULL reports l_distinct = 0 and fails
+    // closed, the conservative reading for a privacy gate)
+    df.join(side, nullSafeCond(quasiIds))
+      .drop(quasiIds.map(c => s"__g_$c"): _*)
       .withColumn("keep", col("l_distinct") >= l)
   }
 
@@ -264,64 +294,96 @@ object Profile {
     * `keep`.
     *
     * Exactness: TVD = ½ Σ_v |cnt_gv/n_g − cnt_v/N| is evaluated in
-    * CROSS-MULTIPLIED integers — Σ_v |cnt_gv·N − cnt_v·n_g| compared
-    * against 2·t‰·n_g·N/1000 — so the decision is bit-exact in every
-    * engine (no float division until the reported per-mille, itself an
-    * integer floor). Sensitive values absent from a group contribute
-    * cnt_v·n_g without materializing (g, v) zero rows: their sum is
-    * (N − Σ_present cnt_v)·n_g.
+    * CROSS-MULTIPLIED integers carried as DECIMAL(38,0) — Σ_v
+    * |cnt_gv·N − cnt_v·n_g| compared against 2·t‰·n_g·N/1000 — so the
+    * decision is bit-exact in every engine (no float division; the
+    * reported per-mille is an exact integral `div`). Plain Long math
+    * would silently wrap once 2000·n_g·N passes 2^63 (n_g·N ≈ 4.6e15,
+    * well inside a 100 TB corpus); Decimal(38,0) keeps the decision
+    * exact through ~10^17-row corpora (products stay under 10^38) —
+    * far past any real corpus. The REPORTED `tvd_num` column stays
+    * BIGINT for schema stability and saturates past 2^63; `keep` and
+    * `tvd_pm` are computed on the decimal value and never wrap.
+    * Sensitive values absent from a group contribute cnt_v·n_g without
+    * materializing (g, v) zero rows: their sum is (N − Σ_present
+    * cnt_v)·n_g. NULL sensitive values are a value like any other —
+    * the marginal join-back is null-safe, so all-NULL groups stay in
+    * the release gate instead of silently failing open.
     *
     * Scale shape: one partial-agg shuffle to (QI, v) counts (bounded by
     * corpus rows, typically far smaller), the |values|-sized marginal
-    * table BROADCAST onto it, then a QI-keyed rollup of the already
-    * tiny (QI, v) frame. The corpus is scanned once and never
-    * shuffled by the group key.
+    * table and QI-sized group table joined back by count-guarded
+    * broadcast, then a QI-keyed rollup of the already tiny (QI, v)
+    * frame. The corpus is scanned once and never shuffled by the group
+    * key. The guarded-small path returns a fully materialized local
+    * decision table and leaves nothing cached; past `maxBroadcastGroups`
+    * QI combinations the returned (persisted) table is the caller's to
+    * unpersist.
     */
   def tCloseness(
       df: DataFrame,
       quasiIds: Seq[String],
       sensitiveCol: String,
-      tPerMille: Long
+      tPerMille: Long,
+      maxBroadcastGroups: Long = DefaultMaxBroadcastGroups
   ): DataFrame = {
     require(quasiIds.nonEmpty, "Profile.tCloseness: need at least one quasi-identifier")
     val qi = quasiIds.map(col)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     // (QI, v) counts — the only corpus-sized aggregation (partial-agg
     // shuffle); everything after operates on this already-small frame.
     val gv = df
       .groupBy(qi :+ col(sensitiveCol).as("__v"): _*)
       .agg(count(lit(1)).as("__c_gv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val groupSizes = gv
-      .groupBy(qi: _*)
-      .agg(sum(col("__c_gv")).as("n_group"))
-    val marginals = gv
-      .groupBy(col("__v"))
-      .agg(sum(col("__c_gv")).as("__c_v"))
-    val total = marginals.agg(sum(col("__c_v")).as("__n")) // one row
-    val out = gv
-      .join(broadcast(marginals), "__v")
-      .join(broadcast(groupSizes), quasiIds)
-      .crossJoin(broadcast(total))
-      .groupBy(qi: _*)
-      .agg(
-        first(col("n_group")).as("n_group"),
-        first(col("__n")).as("__n"),
-        sum(abs(col("__c_gv") * col("__n") - col("__c_v") * col("n_group")))
-          .as("__present_num"),
-        sum(col("__c_v")).as("__present_v"))
-      // sensitive values with no row in this group each contribute
-      // |0 − c_v·n_g| = c_v·n_g; summed: (N − Σ_present c_v)·n_g
-      .withColumn("tvd_num",
-        col("__present_num") + (col("__n") - col("__present_v")) * col("n_group"))
-      // integer floor-division (`div`), never float: 1000·num can pass
-      // 2^53 long before it overflows BIGINT, and a double quotient
-      // flooring at an integer boundary would be engine-dependent
-      .withColumn("tvd_pm",
-        expr("(1000 * tvd_num) div (2 * n_group * __n)"))
-      .withColumn("keep",
-        lit(1000L) * col("tvd_num") <=
-          lit(2L * tPerMille) * col("n_group") * col("__n"))
-      .select(qi ++ Seq(col("n_group"), col("tvd_num"), col("tvd_pm"), col("keep")): _*)
-    out
+    try {
+      // N: one scalar off the cached gv — rides the plan as a literal,
+      // no crossJoin of a one-row frame needed
+      val n = gv.agg(sum(col("__c_gv"))).first().getLong(0)
+      val nd = lit(n).cast(d38)
+      val groupSizes = gv.groupBy(qi: _*).agg(sum(col("__c_gv")).as("n_group"))
+      val marginals =
+        gv.groupBy(col("__v").as("__mv")).agg(sum(col("__c_gv")).as("__c_v"))
+      val (gsSide, nQi) = guardedSide(renameKeys(groupSizes, quasiIds), maxBroadcastGroups)
+      val (mSide, _) = guardedSide(marginals, maxBroadcastGroups)
+      val out = gv
+        .join(mSide, col("__v") <=> col("__mv"))
+        .join(gsSide, nullSafeCond(quasiIds))
+        .groupBy(qi: _*)
+        .agg(
+          first(col("n_group")).as("n_group"),
+          sum(abs(col("__c_gv").cast(d38) * nd -
+            col("__c_v").cast(d38) * col("n_group").cast(d38)))
+            .as("__present_num"),
+          sum(col("__c_v")).as("__present_v"))
+        // sensitive values with no row in this group each contribute
+        // |0 − c_v·n_g| = c_v·n_g; summed: (N − Σ_present c_v)·n_g
+        .withColumn("__tvd_d",
+          col("__present_num") +
+            (nd - col("__present_v").cast(d38)) * col("n_group").cast(d38))
+        // exact integral division (`div` truncates; a decimal `/` would
+        // round at its result scale and can flip a floor at a boundary)
+        .withColumn("tvd_pm", expr(
+          s"(CAST(1000 AS DECIMAL(38,0)) * __tvd_d) div " +
+            s"(CAST(2 AS DECIMAL(38,0)) * CAST(n_group AS DECIMAL(38,0)) * " +
+            s"CAST(${n}L AS DECIMAL(38,0)))"))
+        .withColumn("keep",
+          lit(1000).cast(d38) * col("__tvd_d") <=
+            lit(2L * tPerMille).cast(d38) * col("n_group").cast(d38) * nd)
+        .select(qi ++ Seq(col("n_group"), col("__tvd_d").cast("long").as("tvd_num"),
+          col("tvd_pm"), col("keep")): _*)
+      if (nQi <= maxBroadcastGroups) {
+        // decision table bounded by the guard: localize it (same driver
+        // footprint the group-size broadcast already paid) so the
+        // corpus-sized gv cache can drop with ZERO residue
+        df.sparkSession.createDataFrame(out.collectAsList(), out.schema)
+      } else {
+        // QI cardinality past the guard: materialize through a persist
+        // the caller owns (documented above), then release gv
+        val p = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+    } finally { gv.unpersist(): Unit }
   }
 }

@@ -2111,8 +2111,11 @@ object CorpusQueries {
           |  SELECT lang, source, len_bucket, COUNT(*) AS k_group
           |  FROM q GROUP BY lang, source, len_bucket
           |)
-          |SELECT doc_id, lang, source, len_bucket, k_group, k_group >= 5 AS keep
-          |FROM q JOIN g USING (lang, source, len_bucket)""".stripMargin
+          |SELECT q.doc_id, q.lang, q.source, q.len_bucket, g.k_group,
+          |       g.k_group >= 5 AS keep
+          |FROM q JOIN g ON q.lang IS NOT DISTINCT FROM g.lang
+          |           AND q.source IS NOT DISTINCT FROM g.source
+          |           AND q.len_bucket IS NOT DISTINCT FROM g.len_bucket""".stripMargin
       )
     ),
 
@@ -2156,15 +2159,20 @@ object CorpusQueries {
           |), g2 AS (
           |  SELECT lang, source, COUNT(*) AS k2 FROM q GROUP BY lang, source
           |)
-          |SELECT doc_id, lang, source, b0 AS len_bucket,
+          |SELECT q.doc_id, q.lang, q.source, q.b0 AS len_bucket,
           |  CASE WHEN k0 >= 5 THEN 0 WHEN k1 >= 5 THEN 1 WHEN k2 >= 5 THEN 2
           |       ELSE 3 END AS gen_level,
           |  CASE WHEN k0 >= 5 THEN k0 WHEN k1 >= 5 THEN k1 ELSE k2 END AS k_group,
           |  (k0 >= 5 OR k1 >= 5 OR k2 >= 5) AS keep
           |FROM q
-          |JOIN g0 USING (lang, source, b0)
-          |JOIN g1 USING (lang, source, b1)
-          |JOIN g2 USING (lang, source)""".stripMargin
+          |JOIN g0 ON q.lang IS NOT DISTINCT FROM g0.lang
+          |       AND q.source IS NOT DISTINCT FROM g0.source
+          |       AND q.b0 IS NOT DISTINCT FROM g0.b0
+          |JOIN g1 ON q.lang IS NOT DISTINCT FROM g1.lang
+          |       AND q.source IS NOT DISTINCT FROM g1.source
+          |       AND q.b1 IS NOT DISTINCT FROM g1.b1
+          |JOIN g2 ON q.lang IS NOT DISTINCT FROM g2.lang
+          |       AND q.source IS NOT DISTINCT FROM g2.source""".stripMargin
       )
     ),
 
@@ -2195,8 +2203,10 @@ object CorpusQueries {
           |  SELECT lang, len_bucket, COUNT(DISTINCT source) AS l_distinct
           |  FROM q GROUP BY lang, len_bucket
           |)
-          |SELECT doc_id, lang, len_bucket, l_distinct, l_distinct >= 8 AS keep
-          |FROM q JOIN g USING (lang, len_bucket)""".stripMargin
+          |SELECT q.doc_id, q.lang, q.len_bucket, g.l_distinct,
+          |       g.l_distinct >= 8 AS keep
+          |FROM q JOIN g ON q.lang IS NOT DISTINCT FROM g.lang
+          |           AND q.len_bucket IS NOT DISTINCT FROM g.len_bucket""".stripMargin
       )
     ),
 
@@ -2204,11 +2214,13 @@ object CorpusQueries {
     // release-audit ladder — a group passes only when its sensitive-
     // value DISTRIBUTION sits within t of the corpus-wide one (diverse
     // but skewed groups still leak). Evaluated entirely in cross-
-    // multiplied integers (Σ_v |c_gv·N − c_v·n_g| vs 2·t‰·n_g·N, and a
-    // `div` floor for the reported per-mille), so the decision table is
-    // bit-exact. ONE corpus-sized partial-agg shuffle to (QI, source)
-    // counts; marginals and group sizes ride broadcasts; output is the
-    // QI-sized release-gate table, not a corpus frame.
+    // multiplied integers carried as DECIMAL(38,0) (Σ_v |c_gv·N −
+    // c_v·n_g| vs 2·t‰·n_g·N, and a `div` floor for the reported
+    // per-mille) — exact through ~10^17-row corpora where plain Long
+    // math would wrap at n_g·N ≈ 4.6e15; DuckDB's HUGEINT sums match
+    // bit-for-bit. ONE corpus-sized partial-agg shuffle to (QI, source)
+    // counts; marginals and group sizes ride count-guarded broadcasts;
+    // output is the QI-sized release-gate table, not a corpus frame.
     Q(
       "q_tcloseness",
       (spark, dir) => {
@@ -2234,7 +2246,10 @@ object CorpusQueries {
           |  SELECT gv.lang, gv.len_bucket,
           |    ANY_VALUE(n_g) AS n_g, ANY_VALUE(n) AS n,
           |    SUM(ABS(c_gv * n - c_v * n_g)) AS pn, SUM(c_v) AS pv
-          |  FROM gv JOIN mv USING (source) JOIN gs USING (lang, len_bucket) CROSS JOIN tot
+          |  FROM gv JOIN mv ON gv.source IS NOT DISTINCT FROM mv.source
+          |          JOIN gs ON gv.lang IS NOT DISTINCT FROM gs.lang
+          |                 AND gv.len_bucket IS NOT DISTINCT FROM gs.len_bucket
+          |          CROSS JOIN tot
           |  GROUP BY gv.lang, gv.len_bucket
           |)
           |SELECT lang, len_bucket, CAST(n_g AS BIGINT) AS n_group,

@@ -247,6 +247,68 @@ class CorpusStatsSpec extends SparkSpec {
     assert(cols == Set("id", "lang", "n", "gen_level", "k_group", "keep"))
   }
 
+  test("kAnonymity: NULL quasi-identifier rows form their own group, never dropped") {
+    // the round-10 advice finding: an equi-join back to the group table
+    // silently dropped NULL-QI rows — a privacy audit failing open for
+    // exactly the rows with missing attributes
+    val df = Seq(
+      (1L, Option.empty[String], "web"), (2L, Option.empty[String], "web"),
+      (3L, Some("en"), "web")
+    ).toDF("id", "lang", "source")
+    val out = graft.operators.Profile.kAnonymity(df, Seq("lang", "source"), k = 2L)
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("k_group"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(byId.size == 3, s"NULL-QI rows must stay in the audit: $byId")
+    assert(byId(1L) == ((2L, true)) && byId(2L) == ((2L, true)))
+    assert(byId(3L) == ((1L, false)))
+  }
+
+  test("lDiversity: NULL QI kept; all-NULL sensitive group fails closed") {
+    val df = Seq(
+      (1L, Option.empty[String], Some("a")), (2L, Option.empty[String], Some("b")),
+      (3L, Some("en"), Option.empty[String]), (4L, Some("en"), Option.empty[String])
+    ).toDF("id", "lang", "src")
+    val out = graft.operators.Profile.lDiversity(df, Seq("lang"), "src", l = 2L)
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("l_distinct"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(byId.size == 4, s"NULL-QI rows must stay in the audit: $byId")
+    assert(byId(1L) == ((2L, true)) && byId(2L) == ((2L, true)))
+    // countDistinct ignores NULLs: the all-NULL group reports 0 and
+    // FAILS the gate (conservative), instead of vanishing from it
+    assert(byId(3L) == ((0L, false)) && byId(4L) == ((0L, false)))
+  }
+
+  test("tCloseness: all-NULL-sensitive group stays in the gate; exact TVD; zero cache residue") {
+    val spark2 = spark
+    val before = spark2.sparkContext.getPersistentRDDs.keySet
+    val df = Seq(
+      ("A", Option.empty[String]), ("A", Option.empty[String]),
+      ("B", Some("x")), ("B", Some("y"))
+    ).toDF("g", "s")
+    // hand computation (N=4): group A holds only NULL sensitive values
+    // (c_gv=2, marginal c_v=2): present_num = |2*4-2*2| = 4, tvd_num =
+    // 4 + (4-2)*2 = 8, tvd_pm = 1000*8 div (2*2*4) = 500. Group B (x,y
+    // each c_gv=1, c_v=1): same numbers by symmetry. keep at t=500‰:
+    // 1000*8 <= 2*500*2*4 holds for both.
+    val out = graft.operators.Profile.tCloseness(df, Seq("g"), "s", tPerMille = 500L)
+    val rows = out.collect().map(r => r.getAs[String]("g") ->
+      ((r.getAs[Long]("n_group"), r.getAs[Long]("tvd_num"),
+        r.getAs[Long]("tvd_pm"), r.getAs[Boolean]("keep")))).toMap
+    assert(rows.size == 2, s"the all-NULL group must not vanish from the release gate: $rows")
+    assert(rows("A") == ((2L, 8L, 500L, true)), s"A: ${rows("A")}")
+    assert(rows("B") == ((2L, 8L, 500L, true)), s"B: ${rows("B")}")
+    // at t=400‰ the same groups fail: 8000 > 6400
+    val strict = graft.operators.Profile.tCloseness(df, Seq("g"), "s", tPerMille = 400L)
+      .collect().map(_.getAs[Boolean]("keep"))
+    assert(strict.forall(_ == false))
+    // the guarded-small path localizes the decision table and unpersists
+    // everything — a long-lived session accumulates NO cache from audits
+    val after = spark2.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked persisted RDDs: ${after -- before}")
+  }
+
   test("mergeMoments: merged partial moments equal a full recompute bitwise") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = graft.operators.Normalize
