@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,6 +154,76 @@ object TokenizerQueries {
 
   private val Dict2Ctes: String = dict2CtesFrom("documents")
   private val IdCtes: String = idCtesFrom("documents")
+
+  /** Per-document (lang, bin) assignment for the pack chain via a
+    * HIERARCHICAL two-level prefix sum. The naive shape —
+    * `Window.partitionBy(lang)` with a running sum over every document
+    * — serializes each language into ONE task, so a dominant language's
+    * whole doc list lands on a single core at 100×. Here the running
+    * sum decomposes exactly (integer math — bit-identical to the flat
+    * window, which is what the DuckDB oracles still compute):
+    *
+    *   1. bucket documents by id range (order-preserving: every id in
+    *      bucket b sorts before every id in b+1, so bucket-major order
+    *      IS doc_id order);
+    *   2. per-(lang, bucket) partial sums — a distributed partial-agg;
+    *   3. running offsets over the BUCKET-level frame only (the one
+    *      remaining per-lang serial step, 4–5 orders of magnitude
+    *      smaller than the doc frame; recurse the same trick if a
+    *      corpus ever outgrows it);
+    *   4. map-side add-back: offsets broadcast-join onto the per-doc
+    *      within-bucket running sums, which distribute across
+    *      (lang, bucket) partitions.
+    *
+    * Same discipline as q_cdc_apply's map-side group limit: never let
+    * one key's full mass serialize through one task.
+    */
+  private[graft] def packBins(stream: DataFrame, docs: DataFrame): DataFrame = {
+    val perDoc = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // bucket width from the OBSERVED id range (ids need not be dense):
+    // ~2^16 buckets keep the offset frame broadcast-sized while cutting
+    // the serial window by the same factor. One-row driver agg.
+    val r = perDoc.agg(min(col("doc_id")), max(col("doc_id"))).first()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val width = math.max(1L, (hi - lo + 1) / 65536L)
+    val bucketed = perDoc.withColumn("__bkt",
+      expr(s"(doc_id - ${lo}L) div ${width}L"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed
+      .groupBy(col("lang"), col("__bkt"))
+      .agg(sum(col("__n")).as("__s"))
+      .withColumn("__off", sum(col("__s")).over(wOff) - col("__s"))
+      .select(col("lang").as("__ol"), col("__bkt").as("__ob"), col("__off"))
+    val wIn = Window.partitionBy(col("lang"), col("__bkt"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("__cumin", sum(col("__n")).over(wIn))
+      .join(broadcast(offsets),
+        col("lang") === col("__ol") && col("__bkt") === col("__ob"))
+      .withColumn("__cum", col("__off") + col("__cumin"))
+      .select(col("doc_id"), col("lang"),
+        floor((col("__cum") - col("__n")).cast("double") / 2048.0)
+          .cast("long").as("bin"))
+  }
+
+  /** Shared tokenize→bin lineage for the three pack gates (ids with a
+    * per-doc <eos>, plus each doc's hierarchical bin assignment) — one
+    * definition so the stream, its boundary map, and its payload can
+    * never drift apart. Caller unpersists the returned dict.
+    */
+  private def packedLineage(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Q.t(spark, dir, "documents")
+    val dict = Vocab.mergedDict(docs, "text", iters = 2)
+    val ids = Vocab.encodeIds(docs, "doc_id", "text", dict)
+    val stream = ids.unionByName(
+      docs.select(col("doc_id"), lit(Int.MaxValue.toLong).as("pos"),
+        lit(0L).as("token_id")))
+    (stream, packBins(stream, docs), dict)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -351,7 +422,8 @@ object TokenizerQueries {
       )
     ),
 
-    // The tokenize→pack last mile with REAL ids: q_bpe_ids' id stream,
+    // The tokenize→pack last mile with REAL ids: q_bpe_ids' id stream
+    // binned by the HIERARCHICAL per-language prefix sum (packBins),
     // an <eos> (id 0) appended per document, packed per-language into
     // 2048-id bins by cumulative stream length (q_pack_sequences'
     // exclusive-prefix binning), emitted as the flat trainable stream
@@ -361,21 +433,7 @@ object TokenizerQueries {
     Q(
       "q_pack_ids",
       (spark, dir) => {
-        val docs = Q.t(spark, dir, "documents")
-        val dict = Vocab.mergedDict(docs, "text", iters = 2)
-        val ids = Vocab.encodeIds(docs, "doc_id", "text", dict)
-        val stream = ids.unionByName(
-          docs.select(col("doc_id"), lit(Int.MaxValue.toLong).as("pos"),
-            lit(0L).as("token_id")))
-        val perDoc = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        val wl = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val bins = perDoc
-          .withColumn("__cum", sum(col("__n")).over(wl))
-          .select(col("doc_id"), col("lang"),
-            floor((col("__cum") - col("__n")).cast("double") / 2048.0)
-              .cast("long").as("bin"))
+        val (stream, bins, dict) = packedLineage(spark, dir)
         val wb = Window.partitionBy(col("lang"), col("bin"))
           .orderBy(col("doc_id").asc, col("pos").asc)
         val out = stream.join(bins, "doc_id")
@@ -423,21 +481,7 @@ object TokenizerQueries {
     Q(
       "q_pack_boundaries",
       (spark, dir) => {
-        val docs = Q.t(spark, dir, "documents")
-        val dict = Vocab.mergedDict(docs, "text", iters = 2)
-        val ids = Vocab.encodeIds(docs, "doc_id", "text", dict)
-        val stream = ids.unionByName(
-          docs.select(col("doc_id"), lit(Int.MaxValue.toLong).as("pos"),
-            lit(0L).as("token_id")))
-        val perDoc = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        val wl = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val bins = perDoc
-          .withColumn("__cum", sum(col("__n")).over(wl))
-          .select(col("doc_id"), col("lang"),
-            floor((col("__cum") - col("__n")).cast("double") / 2048.0)
-              .cast("long").as("bin"))
+        val (stream, bins, dict) = packedLineage(spark, dir)
         val wb = Window.partitionBy(col("lang"), col("bin"))
           .orderBy(col("doc_id").asc, col("pos").asc)
         val out = stream.join(bins, "doc_id")
@@ -491,21 +535,7 @@ object TokenizerQueries {
     Q(
       "q_pack_blob",
       (spark, dir) => {
-        val docs = Q.t(spark, dir, "documents")
-        val dict = Vocab.mergedDict(docs, "text", iters = 2)
-        val ids = Vocab.encodeIds(docs, "doc_id", "text", dict)
-        val stream = ids.unionByName(
-          docs.select(col("doc_id"), lit(Int.MaxValue.toLong).as("pos"),
-            lit(0L).as("token_id")))
-        val perDoc = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        val wl = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val bins = perDoc
-          .withColumn("__cum", sum(col("__n")).over(wl))
-          .select(col("doc_id"), col("lang"),
-            floor((col("__cum") - col("__n")).cast("double") / 2048.0)
-              .cast("long").as("bin"))
+        val (stream, bins, dict) = packedLineage(spark, dir)
         val wb = Window.partitionBy(col("lang"), col("bin"))
           .orderBy(col("doc_id").asc, col("pos").asc)
         val out = stream.join(bins, "doc_id")

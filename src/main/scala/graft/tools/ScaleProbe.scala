@@ -554,6 +554,20 @@ object ScaleProbe {
             .withColumn("payload", y4m(col("media_id"))),
           "media_id", "payload").filter(col("ssq_y") >= 0).count()
       }
+      // pack-chain binning under the WORST skew: every document forced
+      // into ONE language, so a flat per-lang running-sum window would
+      // serialize the whole corpus through one task and scale linearly
+      // in total size on that single core. The hierarchical prefix sum
+      // (bucket partials -> bucket-level offsets -> map-side add) keeps
+      // the serial step on the ~2^16-row bucket frame only — wall must
+      // stay near-linear WITH PARALLELISM (i.e. flat per-row) at x16
+      probe(s"pack_bins_skew x$k") {
+        val one = d.withColumn("lang", lit("en"))
+        val stream = one.select(col("doc_id"),
+          explode(sequence(lit(1L), lit(64L))).as("pos"))
+        graft.queries.TokenizerQueries.packBins(stream, one)
+          .groupBy(col("bin")).count().count()
+      }
       // perplexity terciles: the surprisal chain's agg shuffle + one
       // lang-keyed window — same shape as doremi's rating stage
       probe(s"ppl_buckets x$k") {
