@@ -185,6 +185,294 @@ object Multimodal {
   def decodeImageBytes(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
     decodePpm(bytes).map { case (w, h, px) => ("ppm", w, h, px) }
       .orElse(decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) })
+      .orElse(decodeJpeg(bytes).map { case (w, h, px) => ("jpeg", w, h, px) })
+
+  /** Pure-JVM BASELINE-DCT JPEG decoder (ITU-T T.81 sequential DCT,
+    * Huffman, 8-bit) — the first COMPRESSED format the image pillar
+    * decodes, written against the public spec with no codec
+    * dependency: marker walk (DQT 8/16-bit, SOF0, DHT, DRI, SOS, APPn/
+    * COM skipped), canonical Huffman decode, entropy-coded scan with
+    * 0xFF00 unstuffing and RSTn restart handling, DC DPCM + AC
+    * run-length per block, dequantize, de-zigzag, separable double-
+    * precision IDCT with round-half-up + clamp, nearest-neighbor
+    * chroma upsampling for any (h,v) ≤ 2 sampling factors, and
+    * BT.601 YCbCr→RGB (1- and 3-component images). Yields the same
+    * top-down RGB raster as [[decodePpm]]/[[decodeBmp]], so every
+    * consumer stays format-agnostic. Progressive (SOF2), arithmetic
+    * coding, and 12-bit precision return None — payloads degrade to
+    * the sniffing fallback instead of throwing mid-partition.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes.length < 4 || bytes(0) != 0xFF.toByte || bytes(1) != 0xD8.toByte) return None
+    def u8(o: Int): Int = bytes(o) & 0xFF
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+
+    val quant = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    // Huffman tables [class 0=DC 1=AC][id]: decode via the canonical
+    // per-length (firstCode, firstIndex) arrays from the spec's
+    // Generate_size/code procedure
+    final case class Huff(minCode: Array[Int], maxCode: Array[Int],
+        valPtr: Array[Int], vals: Array[Byte])
+    val huff = Array.ofDim[Huff](2, 4)
+    def buildHuff(bits: Array[Int], vals: Array[Byte]): Huff = {
+      val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k; minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+      Huff(minCode, maxCode, valPtr, vals)
+    }
+
+    var w = 0; var h = 0
+    var nComp = 0
+    final case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
+    var comps: Array[Comp] = null
+    var restartInterval = 0
+
+    var p = 2
+    var sosAt = -1
+    var scanTables: Array[(Int, Int)] = null // (dcTbl, acTbl) per comp in scan order
+    var scanComps: Array[Int] = null         // index into comps
+    while (sosAt < 0) {
+      if (p + 4 > bytes.length) return None
+      if (u8(p) != 0xFF) return None
+      val marker = u8(p + 1)
+      if (marker == 0xD8) { p += 2 } // stray SOI
+      else {
+        val len = u16(p + 2)
+        if (p + 2 + len > bytes.length) return None
+        marker match {
+          case 0xDB => // DQT
+            var o = p + 4
+            while (o < p + 2 + len) {
+              val pq = u8(o) >> 4; val tq = u8(o) & 15
+              if (tq > 3) return None
+              var i = 0
+              if (pq == 0) { while (i < 64) { quant(tq)(i) = u8(o + 1 + i); i += 1 }; o += 65 }
+              else { while (i < 64) { quant(tq)(i) = u16(o + 1 + 2 * i); i += 1 }; o += 129 }
+            }
+          case 0xC0 => // SOF0 (baseline sequential)
+            if (u8(p + 4) != 8) return None // 8-bit precision only
+            h = u16(p + 5); w = u16(p + 7)
+            nComp = u8(p + 9)
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            comps = Array.tabulate(nComp) { i =>
+              val o = p + 10 + 3 * i
+              Comp(u8(o), u8(o + 1) >> 4, u8(o + 1) & 15, u8(o + 2))
+            }
+            if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 || c.vs > 2))
+              return None
+          case 0xC4 => // DHT
+            var o = p + 4
+            while (o < p + 2 + len) {
+              val tc = u8(o) >> 4; val th = u8(o) & 15
+              if (tc > 1 || th > 3) return None
+              val bits = Array.tabulate(16)(i => u8(o + 1 + i))
+              val n = bits.sum
+              val vals = java.util.Arrays.copyOfRange(bytes, o + 17, o + 17 + n)
+              huff(tc)(th) = buildHuff(bits, vals)
+              o += 17 + n
+            }
+          case 0xDD => restartInterval = u16(p + 4) // DRI
+          case 0xDA => // SOS
+            val ns = u8(p + 4)
+            if (comps == null || ns != nComp) return None
+            scanComps = new Array[Int](ns)
+            scanTables = new Array[(Int, Int)](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = u8(p + 5 + 2 * i); val tt = u8(p + 6 + 2 * i)
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              scanComps(i) = ci
+              scanTables(i) = (tt >> 4, tt & 15)
+              i += 1
+            }
+            sosAt = p + 2 + len
+          case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
+            return None // progressive/arithmetic/other SOF: unsupported
+          case _ => () // APPn, COM, others: skip
+        }
+        if (sosAt < 0) p += 2 + len
+      }
+    }
+
+    val hMax = comps.map(_.hs).max; val vMax = comps.map(_.vs).max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
+    // per-component plane at its own resolution (padded to whole MCUs)
+    val planeW = comps.map(c => mcusX * 8 * c.hs)
+    val planeH = comps.map(c => mcusY * 8 * c.vs)
+    val planes = Array.tabulate(nComp)(i => new Array[Byte](planeW(i) * planeH(i)))
+
+    // entropy-coded bit reader with byte unstuffing
+    var bp = sosAt
+    var acc = 0L; var nBits = 0
+    def readBit(): Int = {
+      if (nBits == 0) {
+        if (bp >= bytes.length) throw new IllegalStateException("eof")
+        var b = u8(bp); bp += 1
+        if (b == 0xFF) {
+          val b2 = if (bp < bytes.length) u8(bp) else 0xD9
+          if (b2 == 0x00) bp += 1
+          else b = 0 // hit a marker mid-read (truncated stream): pad with 0s
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      ((acc >> nBits) & 1L).toInt
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    def huffDecode(t: Huff): Int = {
+      var code = readBit(); var l = 1
+      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+        code = (code << 1) | readBit(); l += 1
+      }
+      if (l > 16) throw new IllegalStateException("bad huffman code")
+      t.vals(t.valPtr(l) + code - t.minCode(l)) & 0xFF
+    }
+
+    val Zigzag: Array[Int] = Array( // zigzag sequence -> (row*8+col)
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val Cos: Array[Array[Double]] =
+      Array.tabulate(8, 8)((t, f) => StrictMath.cos((2 * t + 1) * f * math.Pi / 16.0))
+    val C: Array[Double] = Array.tabulate(8)(f => if (f == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+    val dcPred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val out8 = new Array[Int](64)
+    def decodeBlock(ci: Int, si: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val (dcT, acT) = scanTables(si)
+      val qt = quant(comps(ci).tq)
+      val dc = huff(0)(dcT); val ac = huff(1)(acT)
+      if (dc == null || ac == null) throw new IllegalStateException("missing table")
+      val t = huffDecode(dc)
+      dcPred(ci) += extend(receive(t), t)
+      coef(0) = dcPred(ci) * qt(0)
+      var k = 1
+      while (k < 64) {
+        val rs = huffDecode(ac)
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) { if (r == 15) k += 16 else k = 64 }
+        else {
+          k += r
+          if (k > 63) throw new IllegalStateException("ac overflow")
+          coef(Zigzag(k)) = extend(receive(s), s) * qt(k)
+          k += 1
+        }
+      }
+      // separable would be faster; direct double IDCT keeps this
+      // audit-simple — decode is still map-only and per-block O(1)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var svv = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0) svv += C(u) * C(v) * f * Cos(x)(u) * Cos(y)(v)
+              u += 1
+            }
+            v += 1
+          }
+          val pix = math.round(svv / 4.0 + 128.0).toInt
+          out8(y * 8 + x) = if (pix < 0) 0 else if (pix > 255) 255 else pix
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align and consume the RSTn marker; DC predictors reset
+        nBits = 0
+        while (bp + 1 < bytes.length &&
+          !(u8(bp) == 0xFF && u8(bp + 1) >= 0xD0 && u8(bp + 1) <= 0xD7)) bp += 1
+        if (bp + 1 >= bytes.length) throw new IllegalStateException("missing RST")
+        bp += 2
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var si = 0
+      while (si < nComp) {
+        val ci = scanComps(si)
+        val c = comps(ci)
+        var by = 0
+        while (by < c.vs) {
+          var bx = 0
+          while (bx < c.hs) {
+            decodeBlock(ci, si)
+            val ox = (mx * c.hs + bx) * 8; val oy = (my * c.vs + by) * 8
+            val pw = planeW(ci)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((oy + yy) * pw + ox + xx) = out8(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        si += 1
+      }
+      mcu += 1
+    }
+
+    // upsample + color convert to the shared top-down RGB raster
+    val px = new Array[Byte](w * h * 3)
+    def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        if (nComp == 1) {
+          val yv = planes(0)((y * comps(0).vs / vMax) * planeW(0) +
+            (x * comps(0).hs / hMax)) & 0xFF
+          px(o) = yv.toByte; px(o + 1) = yv.toByte; px(o + 2) = yv.toByte
+        } else {
+          def samp(ci: Int): Int =
+            planes(ci)((y * comps(ci).vs / vMax) * planeW(ci) +
+              (x * comps(ci).hs / hMax)) & 0xFF
+          val yv = samp(0).toDouble
+          val cb = samp(1) - 128.0
+          val cr = samp(2) - 128.0
+          px(o) = clamp(math.round(yv + 1.402 * cr)).toByte
+          px(o + 1) = clamp(math.round(yv - 0.344136 * cb - 0.714136 * cr)).toByte
+          px(o + 2) = clamp(math.round(yv + 1.772 * cb)).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  } catch { case _: Exception => None }
 
   /** Decode one payload to [[ImageStats]]: channel sums + sums of
     * squares and the difference hash (dHash: 9×8 nearest-neighbor
@@ -295,6 +583,113 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  /** Deterministic baseline-JPEG fixture encoder: a REAL 4:2:0 YCbCr
+    * JPEG (SOI, DQT, SOF0, two DHTs, SOS, entropy-coded scan with byte
+    * stuffing, EOI) whose decoded pixels are CLOSED-FORM — so a SQL
+    * oracle re-derives every stat from the formula alone and only a
+    * decoder that actually walks markers, Huffman-decodes, dequantizes,
+    * runs the IDCT and converts color can match.
+    *
+    * The exactness trick: every luma block carries ONLY the DC
+    * coefficient and the (v=4,u=0) AC coefficient (zigzag 10). With a
+    * flat quant table of 8s the IDCT is exactly `128 + D + A·s(y)`
+    * with s(y) = +1 for y mod 4 ∈ {0,3} else −1 (the cos(π(2y+1)/4)
+    * basis column collapses to ±1/√2, cancelling the C(0)/√2 factor),
+    * and double-precision error (~1e-12) vanishes under round-to-int.
+    * Chroma blocks are all-zero → flat 128 → Cb=Cr neutral → R=G=B=Y
+    * exactly, so the 4:2:0 upsample and BT.601 convert are exercised
+    * with integer-exact output. Per 16×16 image of seed k, luma block
+    * b (MCU order) has D_b = (k·31+7b) mod 120 − 60 and
+    * A_b = (k+b) mod 16 − 8; DPCM across the four blocks is real.
+    */
+  def syntheticJpeg(seed: Long): Array[Byte] = {
+    require(seed >= 0, "syntheticJpeg: non-negative seed")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    // ---- headers ----
+    b16(0xFFD8) // SOI
+    b16(0xFFDB); b16(2 + 1 + 64); b(0) // DQT, 8-bit, id 0
+    (0 until 64).foreach(_ => b(8))    // flat 8s: dequant = 8·code
+    b16(0xFFC0); b16(8 + 3 * 3); b(8); b16(16); b16(16); b(3) // SOF0 16x16, 3 comps
+    b(1); b(0x22); b(0) // Y  h=2 v=2, quant 0
+    b(2); b(0x11); b(0) // Cb h=1 v=1
+    b(3); b(0x11); b(0) // Cr
+    // custom canonical Huffman tables (decoder is general; these are
+    // minimal). DC id0: symbols 0..6 at length 3, 7 at length 4.
+    val dcBits = Array(0, 0, 7, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = Array(0, 1, 2, 3, 4, 5, 6, 7)
+    // AC id0: EOB at length 2; (run=9,size=1..3) at length 3; (9,4) at 4
+    val acBits = Array(0, 1, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acVals = Array(0x00, 0x91, 0x92, 0x93, 0x94)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      b16(0xFFC4); b16(2 + 1 + 16 + vals.length); b(cls << 4)
+      bits.foreach(b); vals.foreach(b)
+    }
+    dht(0, dcBits, dcVals)
+    dht(1, acBits, acVals)
+    b16(0xFFDA); b16(6 + 2 * 3); b(3)
+    b(1); b(0x00); b(2); b(0x00); b(3); b(0x00) // all components use tables 0/0
+    b(0); b(63); b(0) // Ss, Se, Ah/Al
+    // ---- entropy-coded scan (one 16×16 MCU: 4 Y blocks, Cb, Cr) ----
+    var acc = 0; var n = 0
+    val body = new java.io.ByteArrayOutputStream()
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          body.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) body.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    // canonical codes for the tables above
+    def dcCode(cat: Int): (Int, Int) = if (cat <= 6) (cat, 3) else (0xE, 4)
+    def acCode(sym: Int): (Int, Int) = sym match {
+      case 0x00 => (0x0, 2)
+      case 0x91 => (0x2, 3)
+      case 0x92 => (0x3, 3)
+      case 0x93 => (0x4, 3)
+      case 0x94 => (0xA, 4)
+      case _    => throw new IllegalArgumentException(s"sym $sym")
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoeff(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    var dcPred = 0
+    var blk = 0
+    while (blk < 4) { // luma blocks in MCU order (row-major 2×2)
+      val d = ((seed * 31 + 7 * blk) % 120 - 60).toInt
+      val a = ((seed + blk) % 16 - 8).toInt
+      val diff = d - dcPred; dcPred = d
+      val cat = category(diff)
+      val (dc, dl) = dcCode(cat); putBits(dc, dl); putCoeff(diff, cat)
+      if (a != 0) {
+        val s = category(a)
+        val (ac, al) = acCode(0x90 | s); putBits(ac, al); putCoeff(a, s)
+      }
+      val (eob, el) = acCode(0x00); putBits(eob, el)
+      blk += 1
+    }
+    var c = 0
+    while (c < 2) { // Cb then Cr: DC diff 0, no AC → flat 128 after shift
+      val (dc, dl) = dcCode(0); putBits(dc, dl)
+      val (eob, el) = acCode(0x00); putBits(eob, el)
+      c += 1
+    }
+    if (n > 0) { // pad final byte with 1s per spec
+      acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      body.write(acc & 0xFF)
+      if ((acc & 0xFF) == 0xFF) body.write(0x00)
+    }
+    out.write(body.toByteArray)
+    b16(0xFFD9) // EOI
+    out.toByteArray
   }
 
   /** Frame sampling shape for video-like payloads: n evenly-strided

@@ -148,8 +148,16 @@ object CorpusQueries {
     * drift from the gated one. Requires `lnt` in scope; ends in
     * `sc(doc_id, n_tokens, score)` with score already centered.
     */
-  private lazy val DsirScreenCtes: String =
-    s"""stb AS (
+  private lazy val DsirScreenCtes: String = dsirScreenCtesFrom("doc_id % 2 = 0", "")
+
+  /** Parameterized twin of [[DsirScreenCtes]]: fit the bucket model on
+    * `WHERE $fitPred`, prefix every CTE alias with `$px` so two chains
+    * (e.g. the STALE model and a REFIT model, q_dsir_drift) coexist in
+    * one oracle. `dsirScreenCtesFrom("doc_id % 2 = 0", "")` reproduces
+    * the shared screen string byte-for-byte.
+    */
+  private def dsirScreenCtesFrom(fitPred: String, px: String): String =
+    s"""${px}stb AS (
        |  SELECT t,
        |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
@@ -157,37 +165,37 @@ object CorpusQueries {
        |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
        |  FROM (SELECT lang = 'en' AS t,
        |          unnest(regexp_split_to_array(text, '\\s+')) AS tok
-       |        FROM documents WHERE doc_id % 2 = 0)
-       |), sbt AS (
+       |        FROM documents WHERE $fitPred)
+       |), ${px}sbt AS (
        |  SELECT b,
        |    CAST(COALESCE(SUM(CASE WHEN t THEN 1 END), 0) AS BIGINT) AS ct,
        |    CAST(COUNT(*) AS BIGINT) AS cr
-       |  FROM stb GROUP BY b
-       |), sdl AS (
+       |  FROM ${px}stb GROUP BY b
+       |), ${px}sdl AS (
        |  SELECT b, ${lnSql("ct // 4 + 1")} - ${lnSql("cr // 4 + 1")} AS delta
-       |  FROM sbt CROSS JOIN lnt
-       |), tot AS (
-       |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM sbt
-       |), kon AS (
+       |  FROM ${px}sbt CROSS JOIN lnt
+       |), ${px}tot AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM ${px}sbt
+       |), ${px}kon AS (
        |  SELECT ${lnSql("tr // 64 + 1")} - ${lnSql("tt // 64 + 1")} AS konst
-       |  FROM tot CROSS JOIN lnt
-       |), wt AS (
+       |  FROM ${px}tot CROSS JOIN lnt
+       |), ${px}wt AS (
        |  SELECT doc_id, ts[i] AS tok, i AS p
        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts
        |        FROM documents) d0,
        |       UNNEST(generate_series(1, len(ts))) AS u(i)
-       |), wb AS (
+       |), ${px}wb AS (
        |  SELECT doc_id, p,
        |    CASE WHEN tok = '' THEN 0 ELSE list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
        |        list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
        |      (h, c) -> (h * 31 + c) % 1000000007) % 64 END AS b
-       |  FROM wt
-       |), sc AS (
+       |  FROM ${px}wt
+       |), ${px}sc AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list(COALESCE(delta, 0.0) + konst ORDER BY p)), (a, c) -> a + c) AS score
-       |  FROM wb LEFT JOIN sdl USING (b) CROSS JOIN kon GROUP BY doc_id
+       |  FROM ${px}wb LEFT JOIN ${px}sdl USING (b) CROSS JOIN ${px}kon GROUP BY doc_id
        |)""".stripMargin
 
   /** The batch-perceptron training chain (3 unrolled epochs over the
@@ -2822,6 +2830,81 @@ object CorpusQueries {
       Some(
         s"""WITH $DsirCtes
            |SELECT b, ct, cr, delta FROM dbt JOIN ddl USING (b)""".stripMargin
+      )
+    ),
+
+    // DSIR model-DRIFT trigger — closing the DSIR loop the way IVF/PQ
+    // already are (q_pq_drift): the STALE model (fitted on the even-id
+    // training half) rates both its own training corpus and the "new"
+    // odd-id batch; a keep-rate drop past 100‰ (cross-multiplied
+    // integers — no float thresholding) emits the integer refit
+    // decision, and the candidate refit model is built by MERGING the
+    // stale model with a batch-only fit (dsirMergeModels == full refit
+    // bit-exactly, the property q_dsir_merge pins) — never by
+    // rescanning history. The oracle runs the gated screen chain twice
+    // (stale fit pred, union fit pred) via the parameterized CTEs, so
+    // the drift decision cannot drift from the screen it monitors.
+    Q(
+      "q_dsir_drift",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val odd = docs.filter(col("doc_id") % 2 === 1)
+        // 64-row decision tables: localize the stale model once so the
+        // centered-array collect and the merge reuse one computation
+        val m0f = Sampling.dsirBucketModel(even, "text",
+          isTarget = col("lang") === "en", buckets = 64)
+        val m0 = spark.createDataFrame(m0f.collectAsList(), m0f.schema)
+        val m1 = Sampling.dsirMergeModels(
+          m0, Sampling.dsirBucketModel(odd, "text",
+            isTarget = col("lang") === "en", buckets = 64))
+        val stale = Sampling.dsirModelArrayCentered(m0, 64)
+        val refit = Sampling.dsirModelArrayCentered(m1, 64)
+        def kept(c: org.apache.spark.sql.DataFrame, deltas: Array[Double]) =
+          c.filter(
+            floor(Sampling.dsirScore(col("text"), deltas.toSeq, 64) /
+              size(TextAnalysis.tokens(col("text"))).cast("double") *
+              lit(1048576.0)).cast("long") >= 0L)
+        val out = even.agg(count(lit(1)).as("n_train"))
+          .crossJoin(kept(even, stale).agg(count(lit(1)).as("keep_train")))
+          .crossJoin(odd.agg(count(lit(1)).as("n_new")))
+          .crossJoin(kept(odd, stale).agg(count(lit(1)).as("keep_new")))
+          .crossJoin(kept(odd, refit).agg(count(lit(1)).as("keep_new_refit")))
+          .withColumn("refit",
+            lit(1000L) * (col("keep_train") * col("n_new") -
+              col("keep_new") * col("n_train")) >
+              lit(100L) * col("n_train") * col("n_new"))
+        out
+      },
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l),
+           |$DsirScreenCtes,
+           |${dsirScreenCtesFrom("TRUE", "r")},
+           |ks AS (
+           |  SELECT
+           |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_train,
+           |    SUM(CASE WHEN doc_id % 2 = 0 AND CAST(FLOOR(score /
+           |      CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) >= 0
+           |      THEN 1 ELSE 0 END) AS keep_train,
+           |    SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new,
+           |    SUM(CASE WHEN doc_id % 2 = 1 AND CAST(FLOOR(score /
+           |      CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) >= 0
+           |      THEN 1 ELSE 0 END) AS keep_new
+           |  FROM sc
+           |), kr AS (
+           |  SELECT SUM(CASE WHEN doc_id % 2 = 1 AND CAST(FLOOR(score /
+           |      CAST(n_tokens AS DOUBLE) * 1048576.0) AS BIGINT) >= 0
+           |      THEN 1 ELSE 0 END) AS keep_new_refit
+           |  FROM rsc
+           |)
+           |SELECT CAST(n_train AS BIGINT) AS n_train,
+           |  CAST(keep_train AS BIGINT) AS keep_train,
+           |  CAST(n_new AS BIGINT) AS n_new,
+           |  CAST(keep_new AS BIGINT) AS keep_new,
+           |  CAST(keep_new_refit AS BIGINT) AS keep_new_refit,
+           |  1000 * (keep_train * n_new - keep_new * n_train)
+           |    > 100 * n_train * n_new AS refit
+           |FROM ks CROSS JOIN kr""".stripMargin
       )
     ),
 

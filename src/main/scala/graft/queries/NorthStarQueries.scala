@@ -1816,6 +1816,69 @@ object NorthStarQueries {
       )
     ),
 
+    // Third image format — and the first COMPRESSED one: baseline-DCT
+    // JPEG, decoded by the pure-JVM T.81 pipeline (marker walk,
+    // canonical Huffman, DC DPCM + AC run-length, dequant, IDCT, 4:2:0
+    // chroma upsample, BT.601 color convert). The synthetic payloads
+    // are REAL 4:2:0 YCbCr JPEGs whose decoded pixels are closed-form
+    // (each luma block carries only DC and the zigzag-10 vertical-
+    // frequency-4 AC under a flat quant table, so the IDCT collapses
+    // to 128 + D_b + A_b*s(y) with integer-exact rounding; neutral
+    // chroma makes R=G=B=Y exactly) — the oracle re-derives every stat
+    // from the formula alone, so only a decoder that actually
+    // entropy-decodes and transforms the bytes can match. Map-only.
+    Q(
+      "q_image_decode_jpeg",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val jpg = udf((k: Long) => Multimodal.syntheticJpeg(k))
+        val out = Multimodal.decodeImages(
+          blobs.withColumn("payload", jpg(col("media_id"))),
+          "media_id", "payload")
+        out
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, x, y,
+          |    128 + ((n_nationkey * 31 + 7 * ((y // 8) * 2 + (x // 8))) % 120 - 60)
+          |        + ((n_nationkey + (y // 8) * 2 + (x // 8)) % 16 - 8)
+          |          * (CASE WHEN (y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS v
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 15)) AS ux(x),
+          |       UNNEST(generate_series(0, 15)) AS uy(y)
+          |), ch AS (
+          |  SELECT media_id,
+          |    CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS q
+          |  FROM px GROUP BY media_id
+          |), grid AS (
+          |  SELECT p.media_id, g.gx, g.gy, p.v AS gray
+          |  FROM (SELECT gx, gy
+          |        FROM UNNEST(generate_series(0, 8)) AS ux(gx),
+          |             UNNEST(generate_series(0, 7)) AS uy(gy)) g
+          |  JOIN px p ON p.x = (g.gx * 16) // 9 AND p.y = g.gy * 2
+          |), bits AS (
+          |  SELECT a.media_id, a.gx AS x, a.gy AS y
+          |  FROM grid a JOIN grid b
+          |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 AND b.gray > a.gray
+          |), dh AS (
+          |  SELECT media_id,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x < 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x)) END), 0) AS BIGINT) AS dhash_lo,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x >= 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) END), 0) AS BIGINT) AS dhash_hi
+          |  FROM bits GROUP BY media_id
+          |)
+          |SELECT ch.media_id, 'jpeg' AS format, 16 AS width, 16 AS height,
+          |  CAST(256 AS BIGINT) AS n_pixels,
+          |  s AS sum_r, s AS sum_g, s AS sum_b, q AS ssq_r, q AS ssq_g, q AS ssq_b,
+          |  CAST(COALESCE(dh.dhash_lo, 0) AS BIGINT) AS dhash_lo,
+          |  CAST(COALESCE(dh.dhash_hi, 0) AS BIGINT) AS dhash_hi
+          |FROM ch LEFT JOIN dh USING (media_id)""".stripMargin
+      )
+    ),
+
     // REAL audio decode, end to end: deterministic RIFF/WAVE PCM-16
     // payloads per nation row — interleaved sample i carries
     // ((key·31+i)·97) mod 2^16 two's-complement — alternating mono

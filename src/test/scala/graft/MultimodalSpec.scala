@@ -135,6 +135,44 @@ class MultimodalSpec extends SparkSpec {
     assert(px.zipWithIndex.forall { case (b, m) => (b & 0xFF) == (3 * 31 + m) % 256 })
   }
 
+  test("decodeJpeg: synthetic 4:2:0 baseline JPEG decodes to the closed-form raster") {
+    // the full pipeline — marker walk, canonical Huffman, DC DPCM, AC
+    // run-length at zigzag 10, dequant, IDCT, 4:2:0 upsample, BT.601
+    // convert — must reproduce 128 + D_b + A_b*s(y) exactly per pixel
+    for (seed <- Seq(0L, 1L, 7L, 24L, 119L)) {
+      val bytes = Multimodal.syntheticJpeg(seed)
+      val Some((w, h, px)) = Multimodal.decodeJpeg(bytes)
+      assert(w == 16 && h == 16, s"seed=$seed dims ${w}x$h")
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val b = (y / 8) * 2 + (x / 8)
+        val d = ((seed * 31 + 7 * b) % 120 - 60).toInt
+        val a = ((seed + b) % 16 - 8).toInt
+        val s = if ((y % 8) % 4 == 0 || (y % 8) % 4 == 3) 1 else -1
+        val v = 128 + d + a * s
+        val o = (y * 16 + x) * 3
+        assert((px(o) & 0xFF) == v && (px(o + 1) & 0xFF) == v && (px(o + 2) & 0xFF) == v,
+          s"seed=$seed ($x,$y): got ${px(o) & 0xFF}/${px(o + 1) & 0xFF}/${px(o + 2) & 0xFF}, want $v")
+      }
+    }
+  }
+
+  test("decodeJpeg: malformed/unsupported payloads return None, never throw") {
+    assert(Multimodal.decodeJpeg(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeJpeg(jpegHeader).isEmpty) // bare SOI, no SOF/SOS
+    val good = Multimodal.syntheticJpeg(3L)
+    assert(Multimodal.decodeJpeg(good).isDefined)
+    assert(Multimodal.decodeJpeg(good.take(40)).isEmpty) // truncated in headers
+    // progressive DCT (SOF2) is out of scope: reject, don't misdecode
+    val prog = good.clone()
+    val i = prog.indices.dropRight(1)
+      .find(j => (prog(j) & 0xFF) == 0xFF && (prog(j + 1) & 0xFF) == 0xC0).get
+    prog(i + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpeg(prog).isEmpty)
+    // imageStats degrades structurally-valid-prefix JPEGs to the sniff
+    assert(Multimodal.imageStats(9L, prog).format == "jpeg")
+    assert(Multimodal.imageStats(9L, prog).n_pixels == 0L)
+  }
+
   test("imageStats: corrupt payloads degrade to the sniffing fallback, never throw") {
     val truncated = "P6\n100 100\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
     assert(Multimodal.imageStats(1L, truncated).format == "unknown")
