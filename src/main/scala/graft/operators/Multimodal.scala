@@ -186,6 +186,7 @@ object Multimodal {
     decodePpm(bytes).map { case (w, h, px) => ("ppm", w, h, px) }
       .orElse(decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) })
       .orElse(decodeJpeg(bytes).map { case (w, h, px) => ("jpeg", w, h, px) })
+      .orElse(decodePng(bytes).map { case (w, h, px) => ("png", w, h, px) })
 
   /** Pure-JVM BASELINE-DCT JPEG decoder (ITU-T T.81 sequential DCT,
     * Huffman, 8-bit) — the first COMPRESSED format the image pillar
@@ -692,6 +693,192 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Pure-JVM PNG decoder — the second compressed image format, built
+    * on the JDK's zlib (`java.util.zip.Inflater`, part of the platform,
+    * not a dependency): signature check, chunk walk (IHDR, PLTE, IDAT
+    * concatenation, IEND), inflate, then per-scanline UNFILTERING of
+    * all five PNG filter types (None/Sub/Up/Average/Paeth, the Paeth
+    * predictor per the spec). Bit depth 8 with color types 0 (gray),
+    * 2 (RGB), 3 (palette), 4 (gray+alpha) and 6 (RGBA) decode to the
+    * shared top-down RGB raster (alpha is dropped — stats consumers
+    * read color mass); interlaced (Adam7), 1/2/4/16-bit and malformed
+    * payloads return None, the same degrade-don't-throw contract as
+    * every other decoder here.
+    */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 8 + 25 || !sig.indices.forall(j => (bytes(j) & 0xFF) == sig(j)))
+      return None
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    var w = 0; var h = 0; var colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var done = false
+    while (!done && p + 8 <= bytes.length) {
+      val len = be32(p)
+      if (len < 0 || p + 12 + len.toLong > bytes.length) return None
+      val ctype = new String(bytes, p + 4, 4, "US-ASCII")
+      ctype match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(p + 8); h = be32(p + 12)
+          val bitDepth = bytes(p + 16) & 0xFF
+          colorType = bytes(p + 17) & 0xFF
+          val (compression, filterM, interlace) =
+            (bytes(p + 18) & 0xFF, bytes(p + 19) & 0xFF, bytes(p + 20) & 0xFF)
+          if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
+            filterM != 0 || interlace != 0 ||
+            !Set(0, 2, 3, 4, 6).contains(colorType)) return None
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + len)
+        case "IDAT" => idat.write(bytes, p + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunks skipped
+      }
+      p += 12 + len // len + type + data + CRC
+    }
+    if (w == 0 || colorType < 0) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return None
+    // unfilter in place into a flat channel raster
+    val img = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xFF
+      val ro = y * (stride + 1) + 1
+      val oo = y * stride
+      var x = 0
+      while (x < stride) {
+        val rawv = raw(ro + x) & 0xFF
+        val a = if (x >= channels) img(oo + x - channels) & 0xFF else 0
+        val b = if (y > 0) img(oo - stride + x) & 0xFF else 0
+        val c = if (x >= channels && y > 0) img(oo - stride + x - channels) & 0xFF else 0
+        val rec = f match {
+          case 0 => rawv
+          case 1 => rawv + a
+          case 2 => rawv + b
+          case 3 => rawv + (a + b) / 2
+          case 4 => // Paeth
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            rawv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        img(oo + x) = (rec & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // expand to RGB
+    val px = new Array[Byte](w * h * 3)
+    var m = 0
+    while (m < w * h) {
+      colorType match {
+        case 0 | 4 =>
+          val g = img(m * channels)
+          px(3 * m) = g; px(3 * m + 1) = g; px(3 * m + 2) = g
+        case 2 | 6 =>
+          px(3 * m) = img(m * channels)
+          px(3 * m + 1) = img(m * channels + 1)
+          px(3 * m + 2) = img(m * channels + 2)
+        case 3 =>
+          if (palette == null) return None
+          val pi = (img(m) & 0xFF) * 3
+          if (pi + 2 >= palette.length) return None
+          px(3 * m) = palette(pi); px(3 * m + 1) = palette(pi + 1)
+          px(3 * m + 2) = palette(pi + 2)
+      }
+      m += 1
+    }
+    Some((w, h, px))
+  } catch { case _: Exception => None }
+
+  /** Deterministic PNG fixture encoder: a REAL zlib-deflated RGB PNG
+    * (CRC'd chunks, IHDR/IDAT/IEND) carrying the SAME logical pixel
+    * formula as [[syntheticPpm]] (sample m = (seed·31+m) mod 256), with
+    * row y forward-filtered by filter type y mod 5 — so all five
+    * unfilter paths (None/Sub/Up/Average/Paeth) are exercised and one
+    * oracle covers PPM, BMP and PNG.
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(seed >= 0 && w > 0 && h > 0, "syntheticPng: non-negative seed, positive dims")
+    val stride = w * 3
+    val img = Array.tabulate(h * stride)(m => ((seed * 31 + m) % 256).toByte)
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val v = img(y * stride + x) & 0xFF
+        val a = if (x >= 3) img(y * stride + x - 3) & 0xFF else 0
+        val b = if (y > 0) img((y - 1) * stride + x) & 0xFF else 0
+        val c = if (x >= 3 && y > 0) img((y - 1) * stride + x - 3) & 0xFF else 0
+        val filt = f match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + x) = (filt & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      buf.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length), 0, 4)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (RGB)
+    chunk("IHDR", ihdr)
+    chunk("IDAT", deflated)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Frame sampling shape for video-like payloads: n evenly-strided
     * byte slices per payload (8-byte samples in the stub; a real decoder
     * slices at container frame offsets), one row per sampled frame —
@@ -816,17 +1003,138 @@ object Multimodal {
     Some((channels, rate, out))
   }
 
+  /** The IMA/DVI ADPCM step-size table (89 entries) and index-advance
+    * table — the public constants every IMA decoder shares; mirrored
+    * verbatim in the q_audio_decode_ima oracle's literal list.
+    */
+  val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+    2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+  /** Pure-JVM IMA/DVI ADPCM WAV decoder (wFormatTag 0x11) — the first
+    * COMPRESSED audio format: 4-bit nibbles expand through the adaptive
+    * step-size state machine to the same 16-bit signed sample domain
+    * as [[decodeWav]], so every downstream screen is codec-agnostic.
+    * Block layout per the public spec: each `blockAlign`-sized block
+    * opens with a 4-byte header (initial predictor int16 LE, step
+    * index, reserved) whose predictor IS the block's first output
+    * sample, then data bytes carry two nibbles each, LOW nibble first.
+    * Mono only (the PCM path covers multi-channel de-interleave;
+    * stereo ADPCM adds 4-byte channel interleave and returns None
+    * here). Malformed payloads return None — degrade, don't throw.
+    */
+  def decodeWavIma(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def tag(o: Int, s: String): Boolean =
+      bytes(o) == s(0).toByte && bytes(o + 1) == s(1).toByte &&
+        bytes(o + 2) == s(2).toByte && bytes(o + 3) == s(3).toByte
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1
+    var i = 12
+    while (i + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz.toLong > bytes.length) return None
+      if (tag(i, "fmt ") && sz >= 16) {
+        if (le16(i + 8) != 0x11) return None // IMA/DVI ADPCM only
+        channels = le16(i + 10); rate = le32(i + 12)
+        blockAlign = le16(i + 20); bits = le16(i + 22)
+      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
+      i += 8 + sz + (sz & 1)
+    }
+    if (channels != 1 || rate <= 0 || bits != 4 || blockAlign < 5 || dataOff < 0)
+      return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var bo = 0
+    while (bo + 4 <= dataLen) {
+      val blockLen = math.min(blockAlign, dataLen - bo)
+      var pred = le16(dataOff + bo).toShort.toInt // sign-extended
+      var idx = bytes(dataOff + bo + 2) & 0xFF
+      if (idx > 88) return None
+      out += pred.toShort // the header predictor is the first sample
+      var j = 4
+      while (j < blockLen) {
+        val b = bytes(dataOff + bo + j) & 0xFF
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) b & 0x0F else (b >> 4) & 0x0F
+          val step = ImaStepTable(idx)
+          var diff = step >> 3
+          if ((nib & 4) != 0) diff += step
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 1) != 0) diff += step >> 2
+          pred = if ((nib & 8) != 0) math.max(-32768, pred - diff)
+                 else math.min(32767, pred + diff)
+          out += pred.toShort
+          idx = math.min(88, math.max(0,
+            idx + (if ((nib & 7) < 4) -1 else ((nib & 7) - 3) * 2)))
+          half += 1
+        }
+        j += 1
+      }
+      bo += blockLen
+    }
+    Some((1, rate, out.toArray))
+  }
+
+  /** Deterministic IMA ADPCM WAV fixture: mono 8000 Hz, ONE block —
+    * header predictor (seed·37 mod 256 − 128), step index seed mod 16,
+    * then 64 nibbles n_i = (seed+i) mod 16 (two per byte, low first).
+    * Every decoded sample is a pure function of (seed, i) through the
+    * public IMA state machine, so a recursive SQL oracle re-derives
+    * the whole clip.
+    */
+  def syntheticWavIma(seed: Long): Array[Byte] = {
+    require(seed >= 0, "syntheticWavIma: non-negative seed")
+    val nData = 32 // bytes -> 64 nibbles -> 65 samples with the header
+    val blockAlign = 4 + nData
+    val out = new Array[Byte](12 + 8 + 20 + 8 + blockAlign)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >>> 24).toByte
+    }
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def ptag(o: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
+    ptag(0, "RIFF"); p32(4, out.length - 8); ptag(8, "WAVE")
+    ptag(12, "fmt "); p32(16, 20)
+    p16(20, 0x11); p16(22, 1); p32(24, 8000)
+    p32(28, 8000 * blockAlign / 65); p16(32, blockAlign); p16(34, 4)
+    p16(36, 2); p16(38, 65) // cbSize, wSamplesPerBlock
+    ptag(40, "data"); p32(44, blockAlign)
+    val pred0 = ((seed * 37) % 256 - 128).toInt
+    p16(48, pred0 & 0xFFFF)
+    out(50) = (seed % 16).toByte; out(51) = 0
+    var j = 0
+    while (j < nData) {
+      val lo = ((seed + 2 * j) % 16).toInt
+      val hi = ((seed + 2 * j + 1) % 16).toInt
+      out(52 + j) = (lo | (hi << 4)).toByte
+      j += 1
+    }
+    out
+  }
+
   /** Decode one payload to [[AudioStats]]: per-channel sample sums,
     * sums of squares and zero-crossing counts (a crossing at frame t>0
     * when sign(s[t-1]) ≠ sign(s[t]), negatives vs non-negatives) over
     * the first two channels; `dur_ms = frames·1000 div rate` (integer).
-    * Undecodable payloads keep a header sniff (mp3/ogg/flac magics) and
-    * zeroed stats — the same labeled-fallback contract as
-    * [[imageStats]].
+    * PCM decodes tag "wav"; IMA ADPCM, "wav_ima". Undecodable payloads
+    * keep a header sniff (mp3/ogg/flac magics) and zeroed stats — the
+    * same labeled-fallback contract as [[imageStats]].
     */
   def audioStats(id: Long, bytes: Array[Byte]): AudioStats =
-    decodeWav(bytes) match {
-      case Some((ch, rate, pcm)) =>
+    decodeWav(bytes).map(d => ("wav", d))
+      .orElse(decodeWavIma(bytes).map(d => ("wav_ima", d))) match {
+      case Some((fmt, (ch, rate, pcm))) =>
         val frames = if (ch == 0) 0 else pcm.length / ch
         val sums = new Array[Long](2); val ssqs = new Array[Long](2)
         val zcs = new Array[Long](2)
@@ -844,7 +1152,7 @@ object Multimodal {
           }
           c += 1
         }
-        AudioStats(id, "wav", ch, rate, frames.toLong,
+        AudioStats(id, fmt, ch, rate, frames.toLong,
           frames.toLong * 1000L / rate,
           sums(0), ssqs(0), zcs(0), sums(1), ssqs(1), zcs(1))
       case None =>
@@ -866,6 +1174,121 @@ object Multimodal {
       .as[MediaBlob]
       .mapPartitions(_.map(b => audioStats(b.media_id, b.payload)))
       .toDF()
+  }
+
+  /** Pure-JVM MJPEG-in-AVI decoder — the first COMPRESSED video path:
+    * a RIFF/AVI container walk (recursing into LIST chunks, word-
+    * aligned sizes) collects the `00dc`/`00db` video chunks, each of
+    * which is a complete baseline JPEG decoded by [[decodeJpeg]] — the
+    * container and the codec compose, exactly how a real MJPEG file is
+    * laid out. Returns (w, h, top-down RGB frames); dimension-
+    * inconsistent or undecodable frames, or a frameless container,
+    * return None — the degrade-don't-throw contract throughout.
+    */
+  def decodeAviMjpeg(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = try {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= bytes.length && s.zipWithIndex.forall { case (c, j) => bytes(o + j) == c.toByte }
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz = le32(i + 4)
+        if (sz < 0 || i + 8 + sz.toLong > end) return // truncated: stop
+        if (tag(i, "LIST")) walk(i + 12, i + 8 + sz)
+        else if (tag(i, "00dc") || tag(i, "00db"))
+          chunks += java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + sz)
+        i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + le32(4).max(0)))
+    if (chunks.isEmpty) return None
+    val decoded = chunks.map(decodeJpeg)
+    if (decoded.exists(_.isEmpty)) return None
+    val fs = decoded.map(_.get)
+    val (w, h, _) = fs.head
+    if (fs.exists(f => f._1 != w || f._2 != h)) return None
+    Some((w, h, fs.map(_._3).toSeq))
+  } catch { case _: Exception => None }
+
+  /** Per decoded MJPEG frame: grayscale integer moments ((r+g+b) div 3
+    * per pixel, as [[imageStats]]' dHash gray) — the per-frame signal
+    * the scene-cut / black-frame screens consume, now from a
+    * compressed container. Fixed-shape, all-integer.
+    */
+  final case class MjpegFrameStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      frame_no: Int,
+      sum_gray: Long,
+      ssq_gray: Long)
+
+  /** Local per-payload MJPEG frame stats; empty on undecodable input. */
+  def mjpegFrameStats(id: Long, bytes: Array[Byte]): Seq[MjpegFrameStats] =
+    decodeAviMjpeg(bytes) match {
+      case Some((w, h, frames)) =>
+        frames.zipWithIndex.map { case (px, f) =>
+          var s = 0L; var q = 0L
+          var m = 0
+          val n = w * h
+          while (m < n) {
+            val g = ((px(3 * m) & 0xFF) + (px(3 * m + 1) & 0xFF) +
+              (px(3 * m + 2) & 0xFF)) / 3
+            s += g; q += g.toLong * g
+            m += 1
+          }
+          MjpegFrameStats(id, w, h, frames.size, f, s, q)
+        }
+      case None => Seq.empty
+    }
+
+  /** Batch MJPEG decode: one row per decoded frame, map-only (the same
+    * flatMap shape as [[decodeVideos]]).
+    */
+  def decodeVideosMjpeg(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaBlob]
+      .mapPartitions(_.flatMap(b => mjpegFrameStats(b.media_id, b.payload)))
+      .toDF()
+  }
+
+  /** Deterministic MJPEG/AVI fixture: a structurally real RIFF — LIST
+    * hdrl with an avih header chunk, LIST movi with one `00dc` chunk
+    * per frame — where frame f of seed k is `syntheticJpeg(k·7 + f)`,
+    * so every decoded pixel stays closed-form through the container
+    * AND the codec.
+    */
+  def syntheticAviMjpeg(seed: Long, frames: Int): Array[Byte] = {
+    require(seed >= 0 && frames > 0, "syntheticAviMjpeg: non-negative seed, positive frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >>> 24).toByte)
+    def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+      val pad = if (d.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      t.getBytes("US-ASCII") ++ le32(d.length) ++ d ++ pad
+    }
+    def list(t: String, d: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ le32(4 + d.length) ++ t.getBytes("US-ASCII") ++ d
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(66666), 0, avih, 0, 4)  // usec/frame (~15 fps)
+    System.arraycopy(le32(frames), 0, avih, 16, 4)
+    System.arraycopy(le32(1), 0, avih, 24, 4)     // one stream
+    System.arraycopy(le32(16), 0, avih, 32, 4)    // width
+    System.arraycopy(le32(16), 0, avih, 36, 4)    // height
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      (0 until frames).flatMap(f => chunk("00dc", syntheticJpeg(seed * 7 + f))).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    out.write(le32(body.length), 0, 4)
+    out.write(body, 0, body.length)
+    out.toByteArray
   }
 
   /** Per-frame stats of a REAL decoded video: luma moments + chroma

@@ -1879,6 +1879,67 @@ object NorthStarQueries {
       )
     ),
 
+    // Fourth image format, second COMPRESSED one: PNG via the JDK's
+    // zlib. The synthetic payloads are real deflated RGB PNGs carrying
+    // the SAME logical pixel formula as the PPM/BMP gates — with each
+    // row forward-filtered by type y mod 5, so matching requires
+    // correct inflate + all five unfilter paths (None/Sub/Up/Average/
+    // Paeth) — and the oracle is the PPM oracle with the format tag
+    // swapped: three encodings, one source of truth. Map-only.
+    Q(
+      "q_image_decode_png",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val png = udf((k: Long) => Multimodal.syntheticPng(k, 8, 6))
+        Multimodal.decodeImages(
+          blobs.withColumn("payload", png(col("media_id"))),
+          "media_id", "payload")
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS m,
+          |    (n_nationkey * 31 + i) % 256 AS v
+          |  FROM nation, UNNEST(generate_series(0, 143)) AS u(i)
+          |), ch AS (
+          |  SELECT media_id,
+          |    CAST(SUM(CASE WHEN m % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+          |    CAST(SUM(CASE WHEN m % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+          |    CAST(SUM(CASE WHEN m % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+          |    CAST(SUM(CASE WHEN m % 3 = 0 THEN v * v END) AS BIGINT) AS ssq_r,
+          |    CAST(SUM(CASE WHEN m % 3 = 1 THEN v * v END) AS BIGINT) AS ssq_g,
+          |    CAST(SUM(CASE WHEN m % 3 = 2 THEN v * v END) AS BIGINT) AS ssq_b
+          |  FROM px GROUP BY media_id
+          |), grid AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, gx, gy,
+          |    (((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 0) % 256)
+          |     + ((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 1) % 256)
+          |     + ((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 2) % 256)) // 3 AS gray
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 8)) AS ux(gx),
+          |       UNNEST(generate_series(0, 7)) AS uy(gy)
+          |), bits AS (
+          |  SELECT a.media_id, a.gx AS x, a.gy AS y
+          |  FROM grid a JOIN grid b
+          |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 AND b.gray > a.gray
+          |), dh AS (
+          |  SELECT media_id,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x < 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x)) END), 0) AS BIGINT) AS dhash_lo,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x >= 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) END), 0) AS BIGINT) AS dhash_hi
+          |  FROM bits GROUP BY media_id
+          |)
+          |SELECT ch.media_id, 'png' AS format, 8 AS width, 6 AS height,
+          |  CAST(48 AS BIGINT) AS n_pixels,
+          |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b,
+          |  CAST(COALESCE(dh.dhash_lo, 0) AS BIGINT) AS dhash_lo,
+          |  CAST(COALESCE(dh.dhash_hi, 0) AS BIGINT) AS dhash_hi
+          |FROM ch LEFT JOIN dh USING (media_id)""".stripMargin
+      )
+    ),
+
     // REAL audio decode, end to end: deterministic RIFF/WAVE PCM-16
     // payloads per nation row — interleaved sample i carries
     // ((key·31+i)·97) mod 2^16 two's-complement — alternating mono
@@ -1936,6 +1997,75 @@ object NorthStarQueries {
           |LEFT JOIN zc z0 ON z0.media_id = agg.media_id AND z0.c = 0
           |LEFT JOIN zc z1 ON z1.media_id = agg.media_id AND z1.c = 1""".stripMargin
       )
+    ),
+
+    // First COMPRESSED audio format: IMA/DVI ADPCM (WAV tag 0x11) —
+    // 4-bit nibbles expanding through the public adaptive step-size
+    // state machine. The oracle IS that state machine, run as a
+    // RECURSIVE CTE over the closed-form nibble sequence with the step
+    // table as a literal list: all-integer transitions (shifts as
+    // floor-divides, symmetric clamps), so only a decoder that walks
+    // the exact predictor/step-index automaton matches every sample's
+    // contribution to the moments and zero-crossing counts. Map-only.
+    Q(
+      "q_audio_decode_ima",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val ima = udf((k: Long) => Multimodal.syntheticWavIma(k))
+        val out = Multimodal.decodeAudio(
+          blobs.withColumn("payload", ima(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out) // decode is map-only end to end
+        out
+      },
+      Some {
+        val stepList = Multimodal.ImaStepTable.mkString("[", ", ", "]")
+        s"""WITH RECURSIVE stp AS (SELECT $stepList AS t),
+           |dec AS (
+           |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, 0 AS i,
+           |    CAST((n_nationkey * 37) % 256 - 128 AS BIGINT) AS pred,
+           |    CAST(n_nationkey % 16 AS BIGINT) AS idx
+           |  FROM nation
+           |  UNION ALL
+           |  SELECT media_id, i + 1,
+           |    CASE WHEN nib >= 8 THEN GREATEST(-32768, pred - diff)
+           |         ELSE LEAST(32767, pred + diff) END,
+           |    LEAST(88, GREATEST(0, idx +
+           |      CASE WHEN nib % 8 < 4 THEN -1 ELSE (nib % 8 - 3) * 2 END))
+           |  FROM (
+           |    SELECT media_id, i, pred, idx, (media_id + i) % 16 AS nib,
+           |      t[CAST(idx AS INT) + 1] // 8
+           |        + CASE WHEN ((media_id + i) % 16 // 4) % 2 = 1
+           |               THEN t[CAST(idx AS INT) + 1] ELSE 0 END
+           |        + CASE WHEN ((media_id + i) % 16 // 2) % 2 = 1
+           |               THEN t[CAST(idx AS INT) + 1] // 2 ELSE 0 END
+           |        + CASE WHEN (media_id + i) % 16 % 2 = 1
+           |               THEN t[CAST(idx AS INT) + 1] // 4 ELSE 0 END AS diff
+           |    FROM dec CROSS JOIN stp WHERE i < 64) s0
+           |),
+           |au AS (
+           |  SELECT media_id,
+           |    CAST(COUNT(*) AS BIGINT) AS n_frames,
+           |    CAST(SUM(pred) AS BIGINT) AS sum_c0,
+           |    CAST(SUM(pred * pred) AS BIGINT) AS ssq_c0
+           |  FROM dec GROUP BY media_id
+           |), zc AS (
+           |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS z
+           |  FROM (SELECT media_id, pred,
+           |          LAG(pred) OVER (PARTITION BY media_id ORDER BY i) AS prev
+           |        FROM dec) lagd
+           |  WHERE prev IS NOT NULL AND ((prev < 0) <> (pred < 0))
+           |  GROUP BY media_id
+           |)
+           |SELECT au.media_id, 'wav_ima' AS format, CAST(1 AS INT) AS n_channels,
+           |  CAST(8000 AS INT) AS sample_rate,
+           |  n_frames, CAST(n_frames * 1000 // 8000 AS BIGINT) AS dur_ms,
+           |  sum_c0, ssq_c0, CAST(COALESCE(zc.z, 0) AS BIGINT) AS zc_c0,
+           |  CAST(0 AS BIGINT) AS sum_c1, CAST(0 AS BIGINT) AS ssq_c1,
+           |  CAST(0 AS BIGINT) AS zc_c1
+           |FROM au LEFT JOIN zc ON zc.media_id = au.media_id""".stripMargin
+      }
     ),
 
     // The audio decode→DECISION loop: the decoded stats drive the
@@ -2045,6 +2175,52 @@ object NorthStarQueries {
           |  CAST(SUM(CASE WHEN p = 1 THEN v END) AS BIGINT) AS sum_u,
           |  CAST(SUM(CASE WHEN p = 2 THEN v END) AS BIGINT) AS sum_v
           |FROM fr GROUP BY media_id, f""".stripMargin
+      )
+    ),
+
+    // First COMPRESSED video path: MJPEG in a RIFF/AVI container —
+    // the container walk (LIST recursion, word alignment) collects
+    // 00dc chunks and the baseline-JPEG decoder expands each frame,
+    // codec and container composing exactly as a real MJPEG file.
+    // Frame f of media k is syntheticJpeg(7k+f), so every decoded
+    // pixel stays closed-form THROUGH both layers: the oracle
+    // re-derives per-frame grayscale moments from the IDCT formula
+    // (128 + D_b + A_b*s(y), R=G=B) alone. Every 8th payload is
+    // truncated inside movi: zero rows, mirrored by the oracle.
+    // Map-only flatMap, REQUIREd shuffle-free.
+    Q(
+      "q_video_decode_mjpeg",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val avi = udf((k: Long) => {
+          val b = Multimodal.syntheticAviMjpeg(k, 3)
+          if (k % 8 == 5) java.util.Arrays.copyOf(b, b.length - 40) else b
+        })
+        val out = Multimodal.decodeVideosMjpeg(
+          blobs.withColumn("payload", avi(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out) // decode is map-only end to end
+        out
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, f,
+          |    128 + (((n_nationkey * 7 + f) * 31
+          |            + 7 * ((y // 8) * 2 + (x // 8))) % 120 - 60)
+          |        + (((n_nationkey * 7 + f) + (y // 8) * 2 + (x // 8)) % 16 - 8)
+          |          * (CASE WHEN (y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS v
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 2)) AS uf(f),
+          |       UNNEST(generate_series(0, 15)) AS ux(x),
+          |       UNNEST(generate_series(0, 15)) AS uy(y)
+          |  WHERE n_nationkey % 8 <> 5
+          |)
+          |SELECT media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+          |  CAST(3 AS INT) AS n_frames, CAST(f AS INT) AS frame_no,
+          |  CAST(SUM(v) AS BIGINT) AS sum_gray,
+          |  CAST(SUM(v * v) AS BIGINT) AS ssq_gray
+          |FROM px GROUP BY media_id, f""".stripMargin
       )
     ),
 

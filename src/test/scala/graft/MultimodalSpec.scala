@@ -173,6 +173,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageStats(9L, prog).n_pixels == 0L)
   }
 
+  test("decodePng: synthetic RGB PNG with all five filters round-trips exactly") {
+    for ((w, h) <- Seq((8, 6), (5, 7), (1, 1), (16, 5))) {
+      val bytes = Multimodal.syntheticPng(seed = 11L, w, h)
+      val Some((dw, dh, px)) = Multimodal.decodePng(bytes)
+      assert(dw == w && dh == h)
+      assert(px.zipWithIndex.forall { case (b, m) => (b & 0xFF) == (11 * 31 + m) % 256 },
+        s"${w}x$h raster mismatch")
+    }
+    // and through the shared dispatcher with the right format tag
+    val s = Multimodal.imageStats(4L, Multimodal.syntheticPng(4L, 8, 6))
+    assert(s.format == "png" && s.width == 8 && s.height == 6)
+    // same formula as the PPM fixture -> identical stats across formats
+    val p = Multimodal.imageStats(4L, Multimodal.syntheticPpm(4L, 8, 6))
+    assert((s.sum_r, s.sum_g, s.sum_b, s.ssq_r, s.dhash_lo, s.dhash_hi) ==
+      ((p.sum_r, p.sum_g, p.sum_b, p.ssq_r, p.dhash_lo, p.dhash_hi)))
+  }
+
+  test("decodePng: grayscale, palette and alpha color types; malformed returns None") {
+    // hand-build a 2x1 gray (type 0) image: pixels 10, 200, filter None
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes("US-ASCII")); crc.update(d)
+      be32(d.length) ++ t.getBytes("US-ASCII") ++ d ++ be32(crc.getValue.toInt)
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val df = new java.util.zip.Deflater(); df.setInput(raw); df.finish()
+      val buf = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](256)
+      while (!df.finished()) buf.write(tmp, 0, df.deflate(tmp))
+      df.end(); buf.toByteArray
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def png(colorType: Int, raw: Array[Byte], plte: Option[Array[Byte]] = None) = {
+      val ihdr = be32(2) ++ be32(1) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+      sig ++ chunk("IHDR", ihdr) ++ plte.map(chunk("PLTE", _)).getOrElse(Array.emptyByteArray) ++
+        chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    }
+    val Some((_, _, gray)) = Multimodal.decodePng(png(0, Array[Byte](0, 10, 200.toByte)))
+    assert(gray.map(_ & 0xFF).toSeq == Seq(10, 10, 10, 200, 200, 200))
+    val Some((_, _, pal)) = Multimodal.decodePng(png(3, Array[Byte](0, 1, 0),
+      plte = Some(Array[Byte](9, 8, 7, 60, 70, 80.toByte))))
+    assert(pal.map(_ & 0xFF).toSeq == Seq(60, 70, 80, 9, 8, 7))
+    val Some((_, _, ga)) = Multimodal.decodePng(png(4, Array[Byte](0, 5, 99.toByte, 6, 99.toByte)))
+    assert(ga.map(_ & 0xFF).toSeq == Seq(5, 5, 5, 6, 6, 6)) // alpha dropped
+    val Some((_, _, rgba)) = Multimodal.decodePng(
+      png(6, Array[Byte](0, 1, 2, 3, 99.toByte, 4, 5, 6, 99.toByte)))
+    assert(rgba.map(_ & 0xFF).toSeq == Seq(1, 2, 3, 4, 5, 6))
+    // malformed: bad signature, truncated IDAT, interlaced flag
+    assert(Multimodal.decodePng(Array[Byte](1, 2, 3)).isEmpty)
+    val good = Multimodal.syntheticPng(1L, 4, 4)
+    assert(Multimodal.decodePng(good.dropRight(30)).isEmpty)
+    val inter = sig ++ chunk("IHDR", be32(2) ++ be32(1) ++ Array[Byte](8, 2, 0, 0, 1)) ++
+      chunk("IDAT", deflate(new Array[Byte](7))) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(inter).isEmpty)
+  }
+
   test("imageStats: corrupt payloads degrade to the sniffing fallback, never throw") {
     val truncated = "P6\n100 100\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
     assert(Multimodal.imageStats(1L, truncated).format == "unknown")
@@ -302,6 +358,41 @@ class MultimodalSpec extends SparkSpec {
     // stats flow through the same 16-bit domain
     val st = Multimodal.audioStats(3L, wav)
     assert(st.n_frames == 3L && st.sum_c0 == -128L * 256 + 0 + 127 * 256)
+  }
+
+  test("decodeWavIma: hand-walked IMA state machine matches; dispatcher tags wav_ima") {
+    // seed 0: pred0 = -128, idx0 = 0, nibbles 0,1,2,... — first steps
+    // walked by hand through the public step/index tables
+    val bytes = Multimodal.syntheticWavIma(0L)
+    val Some((ch, rate, pcm)) = Multimodal.decodeWavIma(bytes)
+    assert(ch == 1 && rate == 8000 && pcm.length == 65)
+    assert(pcm.take(10).map(_.toInt).toSeq ==
+      Seq(-128, -128, -127, -124, -120, -113, -101, -81, -40, -46))
+    val s = Multimodal.audioStats(3L, Multimodal.syntheticWavIma(3L))
+    assert(s.format == "wav_ima" && s.n_channels == 1 && s.n_frames == 65L)
+    assert(s.dur_ms == 65L * 1000 / 8000)
+    // PCM payloads keep their own tag; garbage keeps the sniff
+    assert(Multimodal.audioStats(1L, Multimodal.syntheticWav(1L, 1, 8000, 16)).format == "wav")
+    assert(Multimodal.decodeWavIma(Multimodal.syntheticWav(1L, 1, 8000, 16)).isEmpty)
+    assert(Multimodal.decodeWavIma(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeAviMjpeg: RIFF walk + per-frame JPEG decode; truncation yields None") {
+    val bytes = Multimodal.syntheticAviMjpeg(2L, 3)
+    val Some((w, h, frames)) = Multimodal.decodeAviMjpeg(bytes)
+    assert(w == 16 && h == 16 && frames.size == 3)
+    // container frame f must decode to exactly syntheticJpeg(2*7+f)
+    for (f <- 0 until 3) {
+      val Some((_, _, ref)) = Multimodal.decodeJpeg(Multimodal.syntheticJpeg(2L * 7 + f))
+      assert(frames(f).toSeq == ref.toSeq, s"frame $f diverges from the direct decode")
+    }
+    assert(Multimodal.decodeAviMjpeg(Array[Byte](1, 2, 3)).isEmpty)
+    // truncation inside movi: the LIST size check fails before any
+    // frame is collected -> zero frames -> None (corrupt-media signal)
+    assert(Multimodal.decodeAviMjpeg(bytes.dropRight(40)).isEmpty)
+    val stats = Multimodal.mjpegFrameStats(2L, bytes)
+    assert(stats.size == 3 && stats.forall(s => s.width == 16 && s.n_frames == 3))
+    assert(stats.map(_.frame_no) == Seq(0, 1, 2))
   }
 
   test("decodeY4m: golden C444 stream parses header, frames and planes exactly") {
