@@ -523,6 +523,52 @@ object TextAnalysis {
     * bit-for-bit between the JVM and DuckDB on this domain (small
     * integer ratios) — pinned by the oracle gate.
     */
+  /** HTML → text extraction — the FIRST step of a web-corpus pipeline
+    * (C4/RefinedWeb shape): drop `<script>`/`<style>` blocks and HTML
+    * comments wholesale, strip remaining tags, decode the common
+    * entities (`&amp;` LAST, so `&amp;lt;` correctly yields the
+    * literal `&lt;` rather than double-decoding), and collapse
+    * whitespace runs. Pure `regexp_replace` chain — codegen'd,
+    * map-only, scan-bound at 100 TB; every pattern avoids
+    * backreferences so it runs identically under Java regex and RE2.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Two-level public suffixes the registrable-domain heuristic knows
+    * about — the common ccTLD second-level registries. A production
+    * deployment swaps in the full Mozilla Public Suffix List (a data
+    * file, same logic).
+    */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "co.in", "co.nz", "com.cn", "com.mx")
+
+  /** Registrable domain ("eTLD+1") of a hostname: the last two labels,
+    * or three when the trailing pair is a known two-level public
+    * suffix — the key URL-level curation groups by (per-domain caps,
+    * blocklists, provenance stats). Pure array expressions, map-side.
+    */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".",
+      element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+    when(n <= 2, host)
+      .when(array_contains(lit(TwoLevelSuffixes.toArray), last2) && n >= 3, last3)
+      .otherwise(last2)
+  }
+
   def tfidf(docs: DataFrame, idCol: String, textCol: String, minTf: Long = 1): DataFrame = {
     val n = docs.select(count(lit(1)).as("__n"))
     val tf = docs

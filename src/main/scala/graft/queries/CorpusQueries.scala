@@ -2752,6 +2752,105 @@ object CorpusQueries {
       )
     ),
 
+    // HTML → text extraction — the step ZERO of a web-corpus pipeline
+    // (C4/RefinedWeb ingest raw HTML): script/style/comment blocks
+    // dropped wholesale, tags stripped, entities decoded (&amp; last,
+    // so &amp;lt; yields literal "&lt;"), whitespace collapsed. The
+    // gate wraps each document in a closed-form HTML shell (style +
+    // script + comment + attributes + every handled entity), strips
+    // it, and the oracle re-derives the clean text from the WRAPPING
+    // FORMULA alone — only a strip that removes exactly the right
+    // spans and decodes in the right order matches. Pure codegen'd
+    // regexp chain, REQUIREd shuffle-free.
+    Q(
+      "q_html_strip",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val html = concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script type=\"text/js\">var x = 1 < 2;</script></head>"),
+          lit("<body><!-- note --><h1 class=\"t\">T</h1><p>"),
+          col("text"),
+          lit("</p><p>&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
+            "</body></html>"))
+        val out = docs.select(
+          col("doc_id"),
+          TextAnalysis.stripHtml(html).as("clean_text"))
+          .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT doc_id,
+          |  TRIM(regexp_replace(
+          |    'T ' || text || ' &lt; <tag> "q" ''s'' end',
+          |    '\s+', ' ', 'g')) AS clean_text,
+          |  CAST(LENGTH(TRIM(regexp_replace(
+          |    'T ' || text || ' &lt; <tag> "q" ''s'' end',
+          |    '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+          |FROM documents""".stripMargin
+      )
+    ),
+
+    // URL provenance — the curation key a web pipeline filters and
+    // caps by BEFORE reading any document body: hosts parsed with
+    // Spark's parse_url, collapsed to the registrable domain (eTLD+1
+    // via the two-level-suffix heuristic — sub.dom.co.uk must yield
+    // dom.co.uk while sub.dom.com yields dom.com), per-domain corpus
+    // counts riding a broadcast back, and a literal blocklist
+    // predicate (the right plan for a small denylist — no join at
+    // all). URLs are closed-form from doc_id, so the oracle derives
+    // host AND domain from the generation formula alone — an
+    // independent check of the suffix logic. Corpus never shuffles;
+    // only the 15-row domain table aggregates.
+    Q(
+      "q_url_domains",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val subs = Seq("www", "blog", "cdn", "shop")
+        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        val tlds = Seq("com", "co.uk", "org")
+        val url = concat(
+          lit("https://"),
+          element_at(lit(subs.toArray), (col("doc_id") % 4).cast("int") + 1), lit("."),
+          element_at(lit(doms.toArray), (col("doc_id") % 5).cast("int") + 1), lit("."),
+          element_at(lit(tlds.toArray), (col("doc_id") % 3).cast("int") + 1),
+          lit("/p/"), col("doc_id"))
+        val parsed = docs.select(col("doc_id"), url.as("url"))
+          .withColumn("host", expr("parse_url(url, 'HOST')"))
+          .withColumn("domain", TextAnalysis.registrableDomain(col("host")))
+        val counts = parsed.groupBy(col("domain")).agg(count(lit(1)).as("n_domain"))
+        val out = parsed
+          .join(broadcast(counts), "domain")
+          .select(col("doc_id"), col("host"), col("domain"), col("n_domain"),
+            col("domain").isin("beta.co.uk", "delta.com", "epsilon.org")
+              .as("blocked"))
+        Q.requireBroadcastJoin(out)
+        out
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT doc_id,
+          |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www' WHEN 1 THEN 'blog'
+          |         WHEN 2 THEN 'cdn' ELSE 'shop' END AS sub,
+          |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+          |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END AS dom,
+          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+          |         ELSE 'org' END AS tld
+          |  FROM documents
+          |), h AS (
+          |  SELECT doc_id, sub || '.' || dom || '.' || tld AS host,
+          |         dom || '.' || tld AS domain
+          |  FROM u
+          |), c AS (
+          |  SELECT domain, COUNT(*) AS n_domain FROM h GROUP BY domain
+          |)
+          |SELECT h.doc_id, h.host, h.domain, c.n_domain,
+          |  h.domain IN ('beta.co.uk', 'delta.com', 'epsilon.org') AS blocked
+          |FROM h JOIN c USING (domain)""".stripMargin
+      )
+    ),
+
     // The v3 flagship's AUDIT artifact: every document attributed to
     // the FIRST decision that dropped it — 'ppl_tail' (the language's
     // perplexity tail tercile) → 'dsir_offtarget' (below the centered

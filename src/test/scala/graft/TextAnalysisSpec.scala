@@ -183,4 +183,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(profile("一鿿").getAs[Int]("cjk") == 2)
     assert(profile("䷿ꀀ").getAs[Int]("cjk") == 0)
   }
+
+  test("stripHtml: blocks dropped wholesale, tags stripped, entities decoded in order") {
+    import spark.implicits._
+    def strip(s: String): String =
+      Seq(s).toDF("h")
+        .select(graft.operators.TextAnalysis.stripHtml(col("h")).as("t"))
+        .head().getString(0)
+    assert(strip("<p>hello  <b>world</b></p>") == "hello world")
+    // script/style bodies vanish even when they contain < and >
+    assert(strip("<script>if (1 < 2) { x() }</script>after") == "after")
+    assert(strip("<style>p > a { c: 1 }</style>text") == "text")
+    assert(strip("a<!-- <b>dropped</b> -->b") == "a b")
+    // &amp; decodes LAST: &amp;lt; is the literal string "&lt;"
+    assert(strip("&amp;lt; &lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;!") ==
+      "&lt; <x> \"q\" 's' !")
+    assert(strip("  <div>  </div>  ") == "")
+  }
+
+  test("registrableDomain: eTLD+1 with two-level public suffixes") {
+    import spark.implicits._
+    def dom(h: String): String =
+      Seq(h).toDF("h")
+        .select(graft.operators.TextAnalysis.registrableDomain(col("h")).as("d"))
+        .head().getString(0)
+    assert(dom("www.example.com") == "example.com")
+    assert(dom("a.b.c.example.org") == "example.org")
+    assert(dom("www.example.co.uk") == "example.co.uk")
+    assert(dom("sub.shop.example.com.au") == "example.com.au")
+    assert(dom("example.com") == "example.com")
+    assert(dom("localhost") == "localhost")
+    // a bare two-level suffix is returned as-is (n <= 2 short-circuits
+    // before the suffix branch can ask for a missing third label)
+    assert(dom("co.uk") == "co.uk")
+  }
 }
