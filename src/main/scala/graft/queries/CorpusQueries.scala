@@ -2851,6 +2851,79 @@ object CorpusQueries {
       )
     ),
 
+    // The WEB-INGEST flagship: the step-zero chain a web corpus runs
+    // before any of the deeper curation — raw HTML → text extraction
+    // (the q_html_strip shell), URL-provenance screen (q_url_domains'
+    // registrable-domain blocklist), a token-count quality floor, and
+    // exact dedup keeping the min-id representative (duplicates are
+    // PLANTED: every doc_id % 10 = 3 document re-enters with id +
+    // 10^9, so the dedup stage provably drops the copies and keeps
+    // the originals). Every stage reuses the standalone gates'
+    // formulas and the oracle composes them verbatim. One digest-
+    // keyed window is the only corpus shuffle; the strip/URL/quality
+    // stages are map-only.
+    Q(
+      "q_web_pipeline",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val base = docs.unionByName(
+          docs.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        val html = concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script type=\"text/js\">var x = 1 < 2;</script></head>"),
+          lit("<body><!-- note --><h1 class=\"t\">T</h1><p>"),
+          col("text"),
+          lit("</p><p>&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
+            "</body></html>"))
+        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        val tlds = Seq("com", "co.uk", "org")
+        val domain = concat(
+          element_at(lit(doms.toArray), (col("doc_id") % 5).cast("int") + 1), lit("."),
+          element_at(lit(tlds.toArray), (col("doc_id") % 3).cast("int") + 1))
+        val screened = base
+          .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean_text"),
+            domain.as("domain"))
+          .filter(!col("domain").isin("beta.co.uk", "delta.com", "epsilon.org"))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("clean_text")).cast("long"))
+          .filter(col("n_tokens") >= 40L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("clean_text"), 256))
+        screened
+          .withColumn("keeper", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("domain"), col("n_tokens"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 3
+          |), cl AS (
+          |  SELECT doc_id,
+          |    TRIM(regexp_replace('T ' || text || ' &lt; <tag> "q" ''s'' end',
+          |                        '\s+', ' ', 'g')) AS clean_text,
+          |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+          |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
+          |    || '.' ||
+          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+          |         ELSE 'org' END AS domain
+          |  FROM base
+          |), scr AS (
+          |  SELECT doc_id, clean_text, domain,
+          |    CAST(len(regexp_split_to_array(clean_text, '\s+')) AS BIGINT) AS n_tokens
+          |  FROM cl
+          |  WHERE domain NOT IN ('beta.co.uk', 'delta.com', 'epsilon.org')
+          |    AND len(regexp_split_to_array(clean_text, '\s+')) >= 40
+          |), ded AS (
+          |  SELECT doc_id, domain, n_tokens,
+          |    MIN(doc_id) OVER (PARTITION BY clean_text) AS keeper
+          |  FROM scr
+          |)
+          |SELECT doc_id, domain, n_tokens FROM ded WHERE doc_id = keeper""".stripMargin
+      )
+    ),
+
     // The v3 flagship's AUDIT artifact: every document attributed to
     // the FIRST decision that dropped it — 'ppl_tail' (the language's
     // perplexity tail tercile) → 'dsir_offtarget' (below the centered

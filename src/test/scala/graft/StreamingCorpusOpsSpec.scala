@@ -41,6 +41,38 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HTML strip + quality floor screen a stream exactly like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0L until 40L).map(i => (i,
+      s"<html><script>var x = 1 < 2;</script><body><p>" +
+        (0 to i.toInt).map(j => s"w$j").mkString(" ") +
+        "</p>&amp; &lt;t&gt;</body></html>"))
+    def screen(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), TextAnalysis.stripHtml(col("text")).as("clean"))
+      .withColumn("n", TextAnalysis.tokenCount(col("clean")).cast("long"))
+      .filter(col("n") >= 20L)
+    val in = MemoryStream[(Long, String)]
+    val q = screen(in.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("sc_html_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_html_out")
+        .select("doc_id", "clean", "n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = screen(data.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // the screen bites: short docs dropped, survivors carry decoded
+      // entities and no tag/script residue
+      assert(batch.nonEmpty && batch.size < 40)
+      assert(batch.forall { case (_, c, _) =>
+        c.endsWith("& <t>") && !c.contains("var x") && !c.contains("<p>") })
+    } finally q.stop()
+  }
+
   test("context-window chunking explodes a stream exactly like the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val doc = (1 to 100).map(i => s"tok$i").mkString(" ")
