@@ -487,43 +487,130 @@ object Multimodal {
     */
   def imageStats(id: Long, bytes: Array[Byte]): ImageStats =
     decodeImageBytes(bytes) match {
-      case Some((fmt, w, h, px)) =>
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var qr = 0L; var qg = 0L; var qb = 0L
-        val n = w * h
-        var m = 0
-        while (m < n) {
-          val r = px(3 * m) & 0xFF; val g = px(3 * m + 1) & 0xFF; val b = px(3 * m + 2) & 0xFF
-          sr += r; sg += g; sb += b
-          qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
-          m += 1
-        }
-        def gray(x: Int, y: Int): Int = {
-          val o = (y * w + x) * 3
-          ((px(o) & 0xFF) + (px(o + 1) & 0xFF) + (px(o + 2) & 0xFF)) / 3
-        }
-        var lo = 0L; var hi = 0L
-        var gy = 0
-        while (gy < 8) {
-          val sy = gy * h / 8
-          var gx = 0
-          while (gx < 8) {
-            if (gray((gx + 1) * w / 9, sy) > gray(gx * w / 9, sy)) {
-              val j = gy * 8 + gx
-              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
-            }
-            gx += 1
-          }
-          gy += 1
-        }
-        ImageStats(id, fmt, w, h, n.toLong, sr, sg, sb, qr, qg, qb, lo, hi)
-      case None =>
-        val fmt =
-          if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
-          else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
-          else "unknown"
-        ImageStats(id, fmt, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      case Some((fmt, w, h, px)) => rasterStats(id, fmt, w, h, px)
+      case None                  => sniffedZeroStats(id, bytes)
     }
+
+  /** Moments + dHash of an already-decoded RGB raster — shared by the
+    * direct decode path and the resize path so every stats consumer
+    * sees one definition.
+    */
+  def rasterStats(id: Long, fmt: String, w: Int, h: Int, px: Array[Byte]): ImageStats = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
+    val n = w * h
+    var m = 0
+    while (m < n) {
+      val r = px(3 * m) & 0xFF; val g = px(3 * m + 1) & 0xFF; val b = px(3 * m + 2) & 0xFF
+      sr += r; sg += g; sb += b
+      qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+      m += 1
+    }
+    def gray(x: Int, y: Int): Int = {
+      val o = (y * w + x) * 3
+      ((px(o) & 0xFF) + (px(o + 1) & 0xFF) + (px(o + 2) & 0xFF)) / 3
+    }
+    var lo = 0L; var hi = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        if (gray((gx + 1) * w / 9, sy) > gray(gx * w / 9, sy)) {
+          val j = gy * 8 + gx
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    ImageStats(id, fmt, w, h, n.toLong, sr, sg, sb, qr, qg, qb, lo, hi)
+  }
+
+  private def sniffedZeroStats(id: Long, bytes: Array[Byte]): ImageStats = {
+    val fmt =
+      if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+      else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+      else "unknown"
+    ImageStats(id, fmt, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+  }
+
+  /** Box-average downsample by an integer factor: each output pixel is
+    * the per-channel integer mean (floor) of its f×f source block —
+    * the standard anti-aliased shrink a training pipeline runs before
+    * feature extraction. Requires f | w and f | h.
+    */
+  def downsampleBox(px: Array[Byte], w: Int, h: Int, f: Int): (Int, Int, Array[Byte]) = {
+    require(f > 0 && w % f == 0 && h % f == 0, s"downsampleBox: $f must divide ${w}x$h")
+    val rw = w / f; val rh = h / f
+    val out = new Array[Byte](rw * rh * 3)
+    var by = 0
+    while (by < rh) {
+      var bx = 0
+      while (bx < rw) {
+        var c = 0
+        while (c < 3) {
+          var s = 0
+          var dy = 0
+          while (dy < f) {
+            var dx = 0
+            while (dx < f) {
+              s += px(((by * f + dy) * w + bx * f + dx) * 3 + c) & 0xFF
+              dx += 1
+            }
+            dy += 1
+          }
+          out((by * rw + bx) * 3 + c) = (s / (f * f)).toByte
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    (rw, rh, out)
+  }
+
+  /** Nearest-neighbor resize to an arbitrary target — the cheap
+    * resize for thumbnails/grids (source coord = floor(t·src/tgt)).
+    */
+  def resizeNearest(px: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    require(tw > 0 && th > 0, "resizeNearest: positive target dims")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * w / tw
+        val so = (sy * w + sx) * 3; val oo = (y * tw + x) * 3
+        out(oo) = px(so); out(oo + 1) = px(so + 1); out(oo + 2) = px(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Batch decode→box-downsample→stats: the resize stage of a
+    * multimodal preprocessing pipeline, map-only like the decode
+    * itself. Payloads whose dimensions the factor does not divide (or
+    * that fail to decode) degrade to sniffed zero stats.
+    */
+  def decodeImagesResized(
+      df: DataFrame, idCol: String, payloadCol: String, factor: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaBlob]
+      .mapPartitions(_.map { b =>
+        decodeImageBytes(b.payload) match {
+          case Some((fmt, w, h, px)) if w % factor == 0 && h % factor == 0 =>
+            val (rw, rh, rpx) = downsampleBox(px, w, h, factor)
+            rasterStats(b.media_id, fmt, rw, rh, rpx)
+          case _ => sniffedZeroStats(b.media_id, b.payload)
+        }
+      })
+      .toDF()
+  }
 
   /** Batch image decode: (idCol: long, payloadCol: binary) →
     * [[ImageStats]] rows via one iterator pass per partition (same

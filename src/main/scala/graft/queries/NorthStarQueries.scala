@@ -1940,6 +1940,77 @@ object NorthStarQueries {
       )
     ),
 
+    // The RESIZE stage of multimodal preprocessing: decode → 2×2
+    // box-average downsample (per-channel integer mean, floor) → the
+    // shared raster stats — what a training pipeline runs before
+    // feature extraction so every image meets the model's input grid.
+    // The oracle re-derives every RESIZED pixel from the source pixel
+    // formula ((k·31+m) mod 256, averaged over each 2×2 block in
+    // integer math), then recomputes moments and the dHash on the
+    // 4×3 result — only a resize that averages exactly the right
+    // source block per channel matches. Map-only.
+    Q(
+      "q_image_resize",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val ppm = udf((k: Long) => Multimodal.syntheticPpm(k, 8, 6))
+        val out = Multimodal.decodeImagesResized(
+          blobs.withColumn("payload", ppm(col("media_id"))),
+          "media_id", "payload", factor = 2)
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH rp AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, bx, by, c,
+          |    (  (n_nationkey * 31 + ((2 * by) * 8 + 2 * bx) * 3 + c) % 256
+          |     + (n_nationkey * 31 + ((2 * by) * 8 + 2 * bx + 1) * 3 + c) % 256
+          |     + (n_nationkey * 31 + ((2 * by + 1) * 8 + 2 * bx) * 3 + c) % 256
+          |     + (n_nationkey * 31 + ((2 * by + 1) * 8 + 2 * bx + 1) * 3 + c) % 256
+          |    ) // 4 AS v
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 3)) AS ux(bx),
+          |       UNNEST(generate_series(0, 2)) AS uy(by),
+          |       UNNEST(generate_series(0, 2)) AS uc(c)
+          |), ch AS (
+          |  SELECT media_id,
+          |    CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+          |    CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+          |    CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+          |    CAST(SUM(CASE WHEN c = 0 THEN v * v END) AS BIGINT) AS ssq_r,
+          |    CAST(SUM(CASE WHEN c = 1 THEN v * v END) AS BIGINT) AS ssq_g,
+          |    CAST(SUM(CASE WHEN c = 2 THEN v * v END) AS BIGINT) AS ssq_b
+          |  FROM rp GROUP BY media_id
+          |), grid AS (
+          |  SELECT r.media_id, g.gx, g.gy, SUM(r.v) // 3 AS gray
+          |  FROM (SELECT gx, gy
+          |        FROM UNNEST(generate_series(0, 8)) AS ux(gx),
+          |             UNNEST(generate_series(0, 7)) AS uy(gy)) g
+          |  JOIN rp r ON r.bx = (g.gx * 4) // 9 AND r.by = (g.gy * 3) // 8
+          |  GROUP BY r.media_id, g.gx, g.gy
+          |), bits AS (
+          |  SELECT a.media_id, a.gx AS x, a.gy AS y
+          |  FROM grid a JOIN grid b
+          |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 AND b.gray > a.gray
+          |), dh AS (
+          |  SELECT media_id,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x < 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x)) END), 0) AS BIGINT) AS dhash_lo,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x >= 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) END), 0) AS BIGINT) AS dhash_hi
+          |  FROM bits GROUP BY media_id
+          |)
+          |SELECT ch.media_id, 'ppm' AS format, 4 AS width, 3 AS height,
+          |  CAST(12 AS BIGINT) AS n_pixels,
+          |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b,
+          |  CAST(COALESCE(dh.dhash_lo, 0) AS BIGINT) AS dhash_lo,
+          |  CAST(COALESCE(dh.dhash_hi, 0) AS BIGINT) AS dhash_hi
+          |FROM ch LEFT JOIN dh USING (media_id)""".stripMargin
+      )
+    ),
+
     // REAL audio decode, end to end: deterministic RIFF/WAVE PCM-16
     // payloads per nation row — interleaved sample i carries
     // ((key·31+i)·97) mod 2^16 two's-complement — alternating mono

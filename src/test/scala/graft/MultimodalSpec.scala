@@ -360,6 +360,36 @@ class MultimodalSpec extends SparkSpec {
     assert(st.n_frames == 3L && st.sum_c0 == -128L * 256 + 0 + 127 * 256)
   }
 
+  test("downsampleBox and resizeNearest: hand-checked rasters; resized stats pipeline") {
+    // 2x2 -> 1x1 box average: floor of the per-channel mean
+    val px = Array(
+      10, 20, 30,   14, 24, 34,
+      11, 21, 31,   13, 23, 33).map(_.toByte)
+    val (rw, rh, r) = Multimodal.downsampleBox(px, 2, 2, 2)
+    assert(rw == 1 && rh == 1)
+    assert(r.map(_ & 0xFF).toSeq == Seq(12, 22, 32))
+    // nearest: identity at same dims; 2x upscale replicates pixels
+    assert(Multimodal.resizeNearest(px, 2, 2, 2, 2).toSeq == px.toSeq)
+    val up = Multimodal.resizeNearest(Array[Byte](1, 2, 3), 1, 1, 2, 2)
+    assert(up.toSeq == Seq[Byte](1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3))
+    // distributed resize stage: factor-2 PPM stats equal a local
+    // decode + downsample + rasterStats
+    import spark.implicits._
+    val bytes = Multimodal.syntheticPpm(7L, 8, 6)
+    val viaDf = Multimodal.decodeImagesResized(
+      Seq((7L, bytes)).toDF("media_id", "payload"), "media_id", "payload", 2)
+      .as[Multimodal.ImageStats].head()
+    val Some((fmt, w, h, raster)) = Multimodal.decodeImageBytes(bytes)
+    val (dw, dh, dpx) = Multimodal.downsampleBox(raster, w, h, 2)
+    assert(viaDf == Multimodal.rasterStats(7L, fmt, dw, dh, dpx))
+    assert(viaDf.width == 4 && viaDf.height == 3)
+    // non-divisible dims degrade to sniffed zero stats, never throw
+    val odd = Multimodal.decodeImagesResized(
+      Seq((1L, Multimodal.syntheticPpm(1L, 5, 5))).toDF("media_id", "payload"),
+      "media_id", "payload", 2).as[Multimodal.ImageStats].head()
+    assert(odd.n_pixels == 0L && odd.format == "unknown")
+  }
+
   test("decodeWavIma: hand-walked IMA state machine matches; dispatcher tags wav_ima") {
     // seed 0: pred0 = -128, idx0 = 0, nibbles 0,1,2,... — first steps
     // walked by hand through the public step/index tables
