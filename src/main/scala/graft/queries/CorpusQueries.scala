@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Normalize, Profile, Quantize, Retrieval, Sampling, TextAnalysis, Train}
+import graft.operators.{Clustering, Dedup, Graph, Normalize, Profile, Quantize, Retrieval, Sampling, TextAnalysis, Train}
 
 /** Round-4 corpus-curation and embedding-clustering queries: character
   * entropy screens, cross-document boilerplate detection, unigram-LM
@@ -2848,6 +2848,75 @@ object CorpusQueries {
           |SELECT h.doc_id, h.host, h.domain, c.n_domain,
           |  h.domain IN ('beta.co.uk', 'delta.com', 'epsilon.org') AS blocked
           |FROM h JOIN c USING (domain)""".stripMargin
+      )
+    ),
+
+    // Domain-authority ranking over the link graph — the Common-Crawl
+    // provenance signal: INTEGER-exact PageRank in micro-units (ranks
+    // start at 10^6; per-edge share = (rank·850000) div (out·10^6),
+    // teleport 150000 — every step floor-divided integer math, so two
+    // unrolled iterations are bit-exact in both engines, the same
+    // discipline as the t-closeness/DSIR decision tables applied to
+    // an ITERATIVE GRAPH computation). The corpus-sized edge list
+    // (closed-form: each doc links its own domain to a shifted-id
+    // domain) collapses to the weighted adjacency in ONE shuffle;
+    // both iterations then run on the |domains|²-bounded frame.
+    Q(
+      "q_pagerank_domains",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        val tlds = Seq("com", "co.uk", "org")
+        def domainOf(id: org.apache.spark.sql.Column) = concat(
+          element_at(lit(doms.toArray), (id % 5).cast("int") + 1), lit("."),
+          element_at(lit(tlds.toArray), (id % 3).cast("int") + 1))
+        val edges = docs.select(
+          domainOf(col("doc_id")).as("src"),
+          concat(
+            element_at(lit(doms.toArray), ((col("doc_id") + 2) % 5).cast("int") + 1),
+            lit("."),
+            element_at(lit(tlds.toArray), ((col("doc_id") + 1) % 3).cast("int") + 1))
+            .as("dst"))
+        Graph.pageRankInt(edges, "src", "dst", iters = 2)
+      },
+      Some(
+        """WITH e0 AS (
+          |  SELECT
+          |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+          |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
+          |    || '.' ||
+          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+          |         ELSE 'org' END AS src,
+          |    CASE CAST((doc_id + 2) % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+          |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
+          |    || '.' ||
+          |    CASE CAST((doc_id + 1) % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+          |         ELSE 'org' END AS dst
+          |  FROM documents
+          |), adj AS (
+          |  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst
+          |), nodes AS (
+          |  SELECT src AS node FROM adj UNION SELECT dst FROM adj
+          |), deg AS (
+          |  SELECT src, SUM(w) AS outw FROM adj GROUP BY src
+          |), c1 AS (
+          |  SELECT a.dst AS node,
+          |    SUM(a.w * ((CAST(1000000 AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
+          |  FROM adj a JOIN deg d ON a.src = d.src GROUP BY a.dst
+          |), r1 AS (
+          |  SELECT n.node, 150000 + COALESCE(c1.m, 0) AS rank
+          |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+          |), c2 AS (
+          |  SELECT a.dst AS node,
+          |    SUM(a.w * ((CAST(r1.rank AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
+          |  FROM adj a JOIN deg d ON a.src = d.src
+          |  JOIN r1 ON r1.node = a.src
+          |  GROUP BY a.dst
+          |), r2 AS (
+          |  SELECT n.node, 150000 + COALESCE(c2.m, 0) AS rank
+          |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+          |)
+          |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin
       )
     ),
 

@@ -544,6 +544,16 @@ object ScaleProbe {
           floor(col("n_chars") / 64).cast("long").as("f2"))
         graft.operators.Train.stumpTrain(feats, Seq("f1", "f2"), "y").count()
       }
+      // compressed image decode (baseline JPEG: Huffman + IDCT per
+      // 16x16 payload) is map-only — wall must track the row count
+      probe(s"jpeg_decode x$k") {
+        val jpg = udf((id: Long) =>
+          graft.operators.Multimodal.syntheticJpeg(id % 97))
+        graft.operators.Multimodal.decodeImages(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", jpg(col("media_id"))),
+          "media_id", "payload").filter(col("n_pixels") > 0).count()
+      }
       // video decode is a map-only flatMap: one synthetic 3-frame Y4M
       // per doc row — wall must track the row count, output 3x rows
       probe(s"video_decode x$k") {
