@@ -322,7 +322,10 @@ object Multimodal {
         if (b == 0xFF) {
           val b2 = if (bp < bytes.length) u8(bp) else 0xD9
           if (b2 == 0x00) bp += 1
-          else b = 0 // hit a marker mid-read (truncated stream): pad with 0s
+          else { bp -= 1; b = 0 } // marker mid-read (truncated stream):
+          // hold bp AT the 0xFF so every further fill keeps yielding
+          // zero-padding instead of consuming the marker id as
+          // coefficient bits, and the RSTn scan still sees the marker
         }
         acc = b; nBits = 8
       }
@@ -606,7 +609,12 @@ object Multimodal {
           case Some((fmt, w, h, px)) if w % factor == 0 && h % factor == 0 =>
             val (rw, rh, rpx) = downsampleBox(px, w, h, factor)
             rasterStats(b.media_id, fmt, rw, rh, rpx)
-          case _ => sniffedZeroStats(b.media_id, b.payload)
+          case Some((fmt, _, _, _)) =>
+            // decodable but indivisible dims: keep the DECODED format
+            // tag (re-sniffing would mislabel PPM/BMP as "unknown" in
+            // per-format degrade metrics), zero the stats
+            ImageStats(b.media_id, fmt, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          case None => sniffedZeroStats(b.media_id, b.payload)
         }
       })
       .toDF()
@@ -833,15 +841,19 @@ object Multimodal {
     val stride = w * channels
     val raw = new Array[Byte]((stride + 1) * h)
     val inf = new java.util.zip.Inflater()
-    inf.setInput(idat.toByteArray)
-    var got = 0
-    while (got < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
-      got += n
-    }
-    inf.end()
-    if (got < raw.length) return None
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        // needsDictionary: a crafted FDICT stream would otherwise make
+        // inflate() return 0 forever (needsInput stays false) and
+        // busy-loop the executor task on one bad blob
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+      if (got < raw.length) return None
+    } finally inf.end() // release native zlib buffers on EVERY path
     // unfilter in place into a flat channel raster
     val img = new Array[Byte](stride * h)
     var y = 0

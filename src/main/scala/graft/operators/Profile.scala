@@ -338,8 +338,15 @@ object Profile {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // N: one scalar off the cached gv — rides the plan as a literal,
-      // no crossJoin of a one-row frame needed
-      val n = gv.agg(sum(col("__c_gv"))).first().getLong(0)
+      // no crossJoin of a one-row frame needed. sum() over ZERO rows is
+      // NULL: an empty audit input yields an empty decision table, not
+      // a driver NPE.
+      val nRow = gv.agg(sum(col("__c_gv"))).first()
+      if (nRow.isNullAt(0))
+        return gv.filter(lit(false)).select(qi ++ Seq(
+          lit(0L).as("n_group"), lit(0L).as("tvd_num"),
+          lit(0L).as("tvd_pm"), lit(false).as("keep")): _*)
+      val n = nRow.getLong(0)
       val nd = lit(n).cast(d38)
       val groupSizes = gv.groupBy(qi: _*).agg(sum(col("__c_gv")).as("n_group"))
       val marginals =

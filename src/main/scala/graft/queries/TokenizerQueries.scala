@@ -185,6 +185,11 @@ object TokenizerQueries {
     // ~2^16 buckets keep the offset frame broadcast-sized while cutting
     // the serial window by the same factor. One-row driver agg.
     val r = perDoc.agg(min(col("doc_id")), max(col("doc_id"))).first()
+    // min/max over ZERO rows are NULL: an empty corpus yields an empty
+    // bins frame (the flat-window shape's behavior), not a driver NPE
+    if (r.isNullAt(0))
+      return perDoc.filter(lit(false))
+        .select(col("doc_id"), col("lang"), lit(0L).as("bin"))
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val width = math.max(1L, (hi - lo + 1) / 65536L)
     val bucketed = perDoc.withColumn("__bkt",

@@ -309,6 +309,13 @@ class CorpusStatsSpec extends SparkSpec {
     assert((after -- before).isEmpty, s"leaked persisted RDDs: ${after -- before}")
   }
 
+  test("tCloseness: empty input yields an empty decision table, not a crash") {
+    val empty = Seq.empty[(String, Option[String])].toDF("g", "s")
+    val out = graft.operators.Profile.tCloseness(empty, Seq("g"), "s", tPerMille = 400L)
+    assert(out.columns.toSeq == Seq("g", "n_group", "tvd_num", "tvd_pm", "keep"))
+    assert(out.count() == 0L)
+  }
+
   test("mergeMoments: merged partial moments equal a full recompute bitwise") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = graft.operators.Normalize

@@ -171,6 +171,10 @@ class MultimodalSpec extends SparkSpec {
     // imageStats degrades structurally-valid-prefix JPEGs to the sniff
     assert(Multimodal.imageStats(9L, prog).format == "jpeg")
     assert(Multimodal.imageStats(9L, prog).n_pixels == 0L)
+    // a scan truncated mid-entropy-data must terminate (zero-padding
+    // holds bp AT the marker, never consuming the marker id as bits)
+    val cut = Multimodal.decodeJpeg(good.dropRight(4))
+    assert(cut.isEmpty || cut.get._1 == 16)
   }
 
   test("decodePng: synthetic RGB PNG with all five filters round-trips exactly") {
@@ -224,6 +228,13 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng(Array[Byte](1, 2, 3)).isEmpty)
     val good = Multimodal.syntheticPng(1L, 4, 4)
     assert(Multimodal.decodePng(good.dropRight(30)).isEmpty)
+    // a zlib stream demanding a preset dictionary (FDICT flag, valid
+    // header checksum 0x78 0x20) must return None, not busy-loop the
+    // inflate call forever
+    val fdictPng = sig ++ chunk("IHDR", be32(2) ++ be32(1) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", Array[Byte](0x78, 0x20, 0, 0, 0, 1)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(fdictPng).isEmpty)
     val inter = sig ++ chunk("IHDR", be32(2) ++ be32(1) ++ Array[Byte](8, 2, 0, 0, 1)) ++
       chunk("IDAT", deflate(new Array[Byte](7))) ++ chunk("IEND", Array.emptyByteArray)
     assert(Multimodal.decodePng(inter).isEmpty)
@@ -383,11 +394,12 @@ class MultimodalSpec extends SparkSpec {
     val (dw, dh, dpx) = Multimodal.downsampleBox(raster, w, h, 2)
     assert(viaDf == Multimodal.rasterStats(7L, fmt, dw, dh, dpx))
     assert(viaDf.width == 4 && viaDf.height == 3)
-    // non-divisible dims degrade to sniffed zero stats, never throw
+    // non-divisible dims degrade to zero stats but KEEP the decoded
+    // format tag (per-format degrade metrics stay attributable)
     val odd = Multimodal.decodeImagesResized(
       Seq((1L, Multimodal.syntheticPpm(1L, 5, 5))).toDF("media_id", "payload"),
       "media_id", "payload", 2).as[Multimodal.ImageStats].head()
-    assert(odd.n_pixels == 0L && odd.format == "unknown")
+    assert(odd.n_pixels == 0L && odd.format == "ppm")
   }
 
   test("decodeWavIma: hand-walked IMA state machine matches; dispatcher tags wav_ima") {

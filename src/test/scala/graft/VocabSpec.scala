@@ -247,4 +247,12 @@ class VocabSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSeq
     assert(allocs == Seq(333L, 333L, 333L))
   }
+
+  test("packBins: empty corpus yields an empty bins frame, not a crash") {
+    val stream = Seq.empty[(Long, Long, Long)].toDF("doc_id", "pos", "token_id")
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    val bins = graft.queries.TokenizerQueries.packBins(stream, docs)
+    assert(bins.columns.toSeq == Seq("doc_id", "lang", "bin"))
+    assert(bins.count() == 0L)
+  }
 }
