@@ -2920,6 +2920,114 @@ object CorpusQueries {
       )
     ),
 
+    // Authority-weighted selection — the graph signal CLOSED into a
+    // sampling decision: PageRank micro-ranks apportion a 100-doc
+    // budget across domains by exact integer largest-remainder
+    // (floor shares + the remainder to the largest fractional parts,
+    // domain tie-break — sums to the budget exactly), and
+    // Sampling.quotaSample executes the quota with the unbiased
+    // id-hash order. The 15-row rank/quota tables are driver-bounded
+    // decision tables (same justification as the DSIR model arrays);
+    // the corpus pays quotaSample's one domain-keyed window. The
+    // oracle recomputes rank → apportionment → selection end to end.
+    Q(
+      "q_authority_sample",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        val tlds = Seq("com", "co.uk", "org")
+        def domainOf(id: org.apache.spark.sql.Column) = concat(
+          element_at(lit(doms.toArray), (id % 5).cast("int") + 1), lit("."),
+          element_at(lit(tlds.toArray), (id % 3).cast("int") + 1))
+        val edges = docs.select(
+          domainOf(col("doc_id")).as("src"),
+          concat(
+            element_at(lit(doms.toArray), ((col("doc_id") + 2) % 5).cast("int") + 1),
+            lit("."),
+            element_at(lit(tlds.toArray), ((col("doc_id") + 1) % 3).cast("int") + 1))
+            .as("dst"))
+        val ranks = Graph.pageRankInt(edges, "src", "dst", iters = 2)
+          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        val budget = 100L
+        val tot = ranks.map(_._2).sum
+        val base = ranks.map { case (d, r) =>
+          (d, budget * r / tot, (budget * r) % tot) }
+        val rem = (budget - base.map(_._2).sum).toInt
+        val bump = base.sortBy { case (d, _, m) => (-m, d) }.take(rem).map(_._1).toSet
+        import spark.implicits._
+        val quota = base.map { case (d, a, _) =>
+          (d, a + (if (bump(d)) 1L else 0L)) }.toSeq.toDF("domain", "alloc")
+        Sampling.quotaSample(
+          docs.select(col("doc_id"), domainOf(col("doc_id")).as("domain")),
+          "domain", "doc_id", quota)
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH e0 AS (
+           |  SELECT
+           |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+           |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
+           |    || '.' ||
+           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+           |         ELSE 'org' END AS src,
+           |    CASE CAST((doc_id + 2) % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+           |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
+           |    || '.' ||
+           |    CASE CAST((doc_id + 1) % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+           |         ELSE 'org' END AS dst
+           |  FROM documents
+           |), adj AS (
+           |  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst
+           |), nodes AS (
+           |  SELECT src AS node FROM adj UNION SELECT dst FROM adj
+           |), deg AS (
+           |  SELECT src, SUM(w) AS outw FROM adj GROUP BY src
+           |), c1 AS (
+           |  SELECT a.dst AS node,
+           |    SUM(a.w * ((CAST(1000000 AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
+           |  FROM adj a JOIN deg d ON a.src = d.src GROUP BY a.dst
+           |), r1 AS (
+           |  SELECT n.node, 150000 + COALESCE(c1.m, 0) AS rank
+           |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+           |), c2 AS (
+           |  SELECT a.dst AS node,
+           |    SUM(a.w * ((CAST(r1.rank AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
+           |  FROM adj a JOIN deg d ON a.src = d.src
+           |  JOIN r1 ON r1.node = a.src
+           |  GROUP BY a.dst
+           |), r2 AS (
+           |  SELECT n.node, 150000 + COALESCE(c2.m, 0) AS rank
+           |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+           |), tot AS (
+           |  SELECT SUM(rank) AS t FROM r2
+           |), al AS (
+           |  SELECT node AS domain, (100 * rank) // t AS a, (100 * rank) % t AS m
+           |  FROM r2, tot
+           |), alq AS (
+           |  SELECT domain, a + CASE WHEN
+           |    ROW_NUMBER() OVER (ORDER BY m DESC, domain ASC) <=
+           |      (SELECT 100 - SUM(a) FROM al)
+           |    THEN 1 ELSE 0 END AS alloc
+           |  FROM al
+           |), tagged AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+           |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
+           |    || '.' ||
+           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+           |         ELSE 'org' END AS domain
+           |  FROM documents
+           |), rn AS (
+           |  SELECT doc_id, domain, alloc,
+           |    ROW_NUMBER() OVER (PARTITION BY domain
+           |      ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC,
+           |               doc_id ASC) AS r
+           |  FROM tagged JOIN alq USING (domain)
+           |)
+           |SELECT domain, doc_id FROM rn WHERE r <= alloc""".stripMargin
+      }
+    ),
+
     // The WEB-INGEST flagship: the step-zero chain a web corpus runs
     // before any of the deeper curation — raw HTML → text extraction
     // (the q_html_strip shell), URL-provenance screen (q_url_domains'
