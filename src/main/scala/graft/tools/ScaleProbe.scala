@@ -544,6 +544,18 @@ object ScaleProbe {
           floor(col("n_chars") / 64).cast("long").as("f2"))
         graft.operators.Train.stumpTrain(feats, Seq("f1", "f2"), "y").count()
       }
+      // integer PageRank: the corpus-sized edge list collapses to the
+      // |domains|^2 adjacency in ONE shuffle; both iterations run on
+      // the collapsed frame, so wall must track the collapse alone
+      probe(s"pagerank x$k") {
+        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        def dn(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
+        val edges = d.select(dn(col("doc_id")).as("src"),
+          dn(col("doc_id") + 2).as("dst"))
+        graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 2).count()
+      }
       // compressed image decode (baseline JPEG: Huffman + IDCT per
       // 16x16 payload) is map-only — wall must track the row count
       probe(s"jpeg_decode x$k") {
