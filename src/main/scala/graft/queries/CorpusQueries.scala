@@ -2851,6 +2851,75 @@ object CorpusQueries {
       )
     ),
 
+    // Count-Min sketch — the mergeable frequency estimator joining the
+    // HLL/moments/MinHash/DSIR summary family: d=4 hash rows × w=64
+    // buckets of exact integer counts, point estimate = MIN over the
+    // d counters (one-sided error: never undercounts). The gate
+    // builds PER-HALF sketches and MERGES them (cell-wise sum), while
+    // the ORACLE builds on the full corpus — the hash equality IS the
+    // merge==build pin (the q_dsir_merge discipline). Estimates are
+    // checked on the exact top-20 tokens (TakeOrdered, REQUIREd),
+    // rated map-side against the collected 256-cell decision table.
+    Q(
+      "q_countmin",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val merged = graft.operators.Sketch.countMinMerge(
+          graft.operators.Sketch.countMin(
+            docs.filter(col("doc_id") % 2 === 0), "text", 64),
+          graft.operators.Sketch.countMin(
+            docs.filter(col("doc_id") % 2 === 1), "text", 64))
+        val arr = graft.operators.Sketch.countMinArrays(merged, 64)
+        val top = docs
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+          .orderBy(col("true_count").desc, col("token").asc)
+          .limit(20)
+        // the top-k itself plans as TakeOrderedAndProject (per-partition
+        // heaps + one driver merge, never a global sort); the estimator
+        // projection on top can re-plan the limit, so assert on the
+        // top-k frame
+        Q.requireTakeOrdered(top)
+        top.select(col("token"), col("true_count"),
+          graft.operators.Sketch.countMinEstimate(col("token"), arr, 64)
+            .as("est_count"))
+          .withColumn("overestimate", col("est_count") >= col("true_count"))
+      },
+      Some {
+        def bucket(e: String, m: Long) =
+          s"""(CASE WHEN $e = '' THEN 0 ELSE list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(str_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h * $m + c) % 1000000007) END) % 64""".stripMargin
+        val mults = graft.operators.Sketch.CmsMults
+        val skRows = mults.zipWithIndex.map { case (m, i) =>
+          s"""SELECT $i AS i, b, COUNT(*) AS cnt
+             |  FROM (SELECT ${bucket("t", m)} AS b FROM tk) GROUP BY b""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        val estArms = mults.zipWithIndex.map { case (m, i) =>
+          s"""COALESCE((SELECT cnt FROM sk
+             |        WHERE sk.i = $i AND sk.b = ${bucket("tp.token", m)}), 0)""".stripMargin
+        }.mkString(",\n      ")
+        s"""WITH tk AS (
+           |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents
+           |), tf AS (
+           |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS true_count
+           |  FROM tk GROUP BY t
+           |), top AS (
+           |  SELECT token, true_count FROM tf
+           |  ORDER BY true_count DESC, token ASC LIMIT 20
+           |), sk AS (
+           |  $skRows
+           |)
+           |SELECT tp.token, tp.true_count,
+           |  CAST(LEAST(
+           |      $estArms) AS BIGINT) AS est_count,
+           |  LEAST(
+           |      $estArms) >= tp.true_count AS overestimate
+           |FROM top tp""".stripMargin
+      }
+    ),
+
     // Domain-authority ranking over the link graph — the Common-Crawl
     // provenance signal: INTEGER-exact PageRank in micro-units (ranks
     // start at 10^6; per-edge share = (rank·850000) div (out·10^6),
