@@ -2920,6 +2920,64 @@ object CorpusQueries {
       }
     ),
 
+    // The Count-Min sketch as a SCREEN — "fit once, rate anywhere",
+    // the DSIR/quality-classifier inference shape applied to
+    // frequency: the 256-cell table rides the closure and every
+    // document is rated MAP-SIDE by the max estimated frequency over
+    // its tokens (the hot-token/boilerplate signal a curation rule
+    // thresholds; also the skew-key detector for join salting). No
+    // shuffle on the rating side (REQUIREd), so the same column
+    // screens a stream — pinned by the MemoryStream twin in
+    // StreamingCorpusOpsSpec.
+    Q(
+      "q_cms_screen",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val arr = graft.operators.Sketch.countMinArrays(
+          graft.operators.Sketch.countMin(docs, "text", 64), 64)
+        val maxEst = aggregate(
+          transform(TextAnalysis.tokens(col("text")),
+            t => graft.operators.Sketch.countMinEstimate(t, arr, 64)),
+          lit(0L), (a, e) => greatest(a, e))
+        val out = docs.select(col("doc_id"), maxEst.as("max_est"))
+          .withColumn("hot", col("max_est") >= 1000L)
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some {
+        def bucket(e: String, m: Long) =
+          s"""(CASE WHEN $e = '' THEN 0 ELSE list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(str_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+             |      (h, c) -> (h * $m + c) % 1000000007) END) % 64""".stripMargin
+        val mults = graft.operators.Sketch.CmsMults
+        val skRows = mults.zipWithIndex.map { case (m, i) =>
+          s"""SELECT $i AS i, b, COUNT(*) AS cnt
+             |  FROM (SELECT ${bucket("t", m)} AS b FROM tk) GROUP BY b""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        val joins = mults.zipWithIndex.map { case (m, i) =>
+          s"LEFT JOIN sk s$i ON s$i.i = $i AND s$i.b = ${bucket("dt.t", m)}"
+        }.mkString("\n  ")
+        val leastExpr = mults.indices
+          .map(i => s"COALESCE(s$i.cnt, 0)").mkString("LEAST(", ", ", ")")
+        s"""WITH tk AS (
+           |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents
+           |), sk AS (
+           |  $skRows
+           |), dt AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+           |  FROM documents
+           |), de AS (
+           |  SELECT dt.doc_id, $leastExpr AS e
+           |  FROM dt
+           |  $joins
+           |)
+           |SELECT doc_id, CAST(MAX(e) AS BIGINT) AS max_est,
+           |  MAX(e) >= 1000 AS hot
+           |FROM de GROUP BY doc_id""".stripMargin
+      }
+    ),
+
     // Domain-authority ranking over the link graph — the Common-Crawl
     // provenance signal: INTEGER-exact PageRank in micro-units (ranks
     // start at 10^6; per-edge share = (rank·850000) div (out·10^6),

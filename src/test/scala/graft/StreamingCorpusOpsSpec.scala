@@ -73,6 +73,39 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count-min hot-token screen rates a stream exactly like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // fit on a batch corpus where "hot" dominates; rate a stream with
+    // the collected decision table — pure projection, stream-safe
+    val fitData = (0L until 50L).map(i => (i, s"hot cold$i other${i % 5}"))
+    val arr = graft.operators.Sketch.countMinArrays(
+      graft.operators.Sketch.countMin(fitData.toDF("doc_id", "text"), "text", 32), 32)
+    def screen(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      aggregate(
+        transform(graft.operators.TextAnalysis.tokens(col("text")),
+          t => graft.operators.Sketch.countMinEstimate(t, arr, 32)),
+        lit(0L), (a, e) => greatest(a, e)).as("max_est"))
+    val streamData = Seq((100L, "hot alone"), (101L, "coldish unseen words"))
+    val in = MemoryStream[(Long, String)]
+    val q = screen(in.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("sc_cms_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(streamData: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_cms_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = screen(streamData.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      // the fitted signal carries over: the doc containing the hot
+      // token rates at least its training frequency
+      assert(streamed(100L) >= 50L)
+    } finally q.stop()
+  }
+
   test("context-window chunking explodes a stream exactly like the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val doc = (1 to 100).map(i => s"tok$i").mkString(" ")
