@@ -3193,10 +3193,15 @@ object CorpusQueries {
           .filter(col("n_tokens") >= 40L)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(sha2(col("clean_text"), 256))
-        screened
+        val out = screened
           .withColumn("keeper", min(col("doc_id")).over(w))
           .filter(col("doc_id") === col("keeper"))
           .select(col("doc_id"), col("domain"), col("n_tokens"))
+        // the whole ingest chain moves the corpus across the wire
+        // exactly ONCE (the dedup window's digest exchange); strip,
+        // domain screen and quality floor are all map-side
+        Q.requireMaxShuffles(out, 1)
+        out
       },
       Some(
         """WITH base AS (

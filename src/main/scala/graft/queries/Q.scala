@@ -185,11 +185,17 @@ object Q {
   /** Gate assertion: ZERO shuffle exchanges anywhere in the plan — the
     * query is map-only end to end (decode/screen/projection gates).
     */
-  def requireNoShuffle(df: DataFrame): Unit = {
+  def requireNoShuffle(df: DataFrame): Unit = requireMaxShuffles(df, 0)
+
+  /** Gate assertion: at most `n` shuffle exchanges in the plan — the
+    * typed shuffle BUDGET for composed pipelines whose scale story is
+    * "the corpus crosses the wire exactly k times".
+    */
+  def requireMaxShuffles(df: DataFrame, n: Int): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val shuffles = planNodes(df).filter(_.isInstanceOf[ShuffleExchangeLike])
-    require(shuffles.isEmpty,
-      s"expected a map-only plan, found ${shuffles.size} shuffle(s):\n" +
+    require(shuffles.size <= n,
+      s"expected at most $n shuffle(s), found ${shuffles.size}:\n" +
         df.queryExecution.executedPlan)
   }
 }
