@@ -61,11 +61,21 @@ object Sketch {
     * materialization (same contract as the DSIR model arrays).
     */
   def countMinArrays(sketch: DataFrame, w: Int): Array[Array[Long]] = {
+    require(w > 0, "Sketch.countMinArrays: positive width")
     val out = Array.fill(CmsMults.size, w)(0L)
     sketch.select(col("row").cast("int"), col("bucket").cast("int"),
       col("cnt").cast("long"))
       .collect()
-      .foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      .foreach { r =>
+        val (row, b) = (r.getInt(0), r.getInt(1))
+        require(row >= 0 && row < CmsMults.size && b >= 0 && b < w,
+          s"Sketch.countMinArrays: cell ($row, $b) outside d=${CmsMults.size}, w=$w — " +
+            "was the sketch built with a different width?")
+        // SUM, not overwrite: an unaggregated union of sketches then
+        // behaves as the cell-wise merge instead of silently dropping
+        // counts (which would break the never-undercount guarantee)
+        out(row)(b) += r.getLong(2)
+      }
     out
   }
 

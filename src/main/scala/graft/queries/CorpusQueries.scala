@@ -150,6 +150,93 @@ object CorpusQueries {
     */
   private lazy val DsirScreenCtes: String = dsirScreenCtesFrom("doc_id % 2 = 0", "")
 
+  /** The closed-form domain link graph + two unrolled integer-PageRank
+    * iterations, shared by q_pagerank_domains (the observation) and
+    * q_authority_sample (the selection) so the rank arithmetic cannot
+    * drift between them — the DsirCtes discipline. Ends in
+    * `r2(node, rank)`; the paired Spark-side builders are
+    * [[graphDomainOf]]/[[graphEdges]].
+    */
+  private val GraphDoms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+  private val GraphTlds = Seq("com", "co.uk", "org")
+
+  private def graphDomainOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      element_at(lit(GraphDoms.toArray), (id % 5).cast("int") + 1), lit("."),
+      element_at(lit(GraphTlds.toArray), (id % 3).cast("int") + 1))
+
+  private def graphEdges(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(
+      graphDomainOf(col("doc_id")).as("src"),
+      concat(
+        element_at(lit(GraphDoms.toArray), ((col("doc_id") + 2) % 5).cast("int") + 1),
+        lit("."),
+        element_at(lit(GraphTlds.toArray), ((col("doc_id") + 1) % 3).cast("int") + 1))
+        .as("dst"))
+
+  /** dom picked by `domIdExpr % 5`, tld by `tldIdExpr % 3` — the dst
+    * side of the link graph shifts the two independently. */
+  // NOTE: no line in this fragment may BEGIN with whitespace + '|' —
+  // the embedding oracle's own stripMargin would eat one pipe of a
+  // line-leading '||' and corrupt the concat operator
+  private def domainSql(domIdExpr: String, tldIdExpr: String): String =
+    s"""CASE CAST(($domIdExpr) % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+       |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END ||
+       |    '.' ||
+       |    CASE CAST(($tldIdExpr) % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+       |         ELSE 'org' END""".stripMargin
+
+  private def domainSql(idExpr: String): String = domainSql(idExpr, idExpr)
+
+  /** Count-Min oracle fragments, parameterized on [[Sketch]]'s actual
+    * constants (mults, modulus) and the gate's width — shared by
+    * q_countmin and q_cms_screen so the SQL can never drift from the
+    * Spark-side hash. `cmsBucketSql` mirrors `Sketch.bucketOf`;
+    * `cmsSketchRowsSql` mirrors `Sketch.countMin` (one SELECT per hash
+    * row over a `tk(t)` token CTE).
+    */
+  private def cmsBucketSql(e: String, m: Long, w: Int): String =
+    s"""(CASE WHEN $e = '' THEN 0 ELSE list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * $m + c) % ${graft.operators.Sketch.CmsMod}) END) % $w""".stripMargin
+
+  private def cmsSketchRowsSql(w: Int): String =
+    graft.operators.Sketch.CmsMults.zipWithIndex.map { case (m, i) =>
+      s"""SELECT $i AS i, b, COUNT(*) AS cnt
+         |  FROM (SELECT ${cmsBucketSql("t", m, w)} AS b FROM tk) GROUP BY b""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+
+  private lazy val DomainRankCtes: String =
+    s"""e0 AS (
+       |  SELECT
+       |    ${domainSql("doc_id")} AS src,
+       |    ${domainSql("doc_id + 2", "doc_id + 1")} AS dst
+       |  FROM documents
+       |), adj AS (
+       |  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst
+       |), nodes AS (
+       |  SELECT src AS node FROM adj UNION SELECT dst FROM adj
+       |), deg AS (
+       |  SELECT src, SUM(w) AS outw FROM adj GROUP BY src
+       |), c1 AS (
+       |  SELECT a.dst AS node,
+       |    SUM(a.w * ((CAST(1000000 AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
+       |  FROM adj a JOIN deg d ON a.src = d.src GROUP BY a.dst
+       |), r1 AS (
+       |  SELECT n.node, 150000 + COALESCE(c1.m, 0) AS rank
+       |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+       |), c2 AS (
+       |  SELECT a.dst AS node,
+       |    SUM(a.w * ((CAST(r1.rank AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
+       |  FROM adj a JOIN deg d ON a.src = d.src
+       |  JOIN r1 ON r1.node = a.src
+       |  GROUP BY a.dst
+       |), r2 AS (
+       |  SELECT n.node, 150000 + COALESCE(c2.m, 0) AS rank
+       |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+       |)""".stripMargin
+
   /** Parameterized twin of [[DsirScreenCtes]]: fit the bucket model on
     * `WHERE $fitPred`, prefix every CTE alias with `$px` so two chains
     * (e.g. the STALE model and a REFIT model, q_dsir_drift) coexist in
@@ -2886,19 +2973,9 @@ object CorpusQueries {
           .withColumn("overestimate", col("est_count") >= col("true_count"))
       },
       Some {
-        def bucket(e: String, m: Long) =
-          s"""(CASE WHEN $e = '' THEN 0 ELSE list_reduce(
-             |      list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(str_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
-             |      (h, c) -> (h * $m + c) % 1000000007) END) % 64""".stripMargin
-        val mults = graft.operators.Sketch.CmsMults
-        val skRows = mults.zipWithIndex.map { case (m, i) =>
-          s"""SELECT $i AS i, b, COUNT(*) AS cnt
-             |  FROM (SELECT ${bucket("t", m)} AS b FROM tk) GROUP BY b""".stripMargin
-        }.mkString("\n  UNION ALL\n  ")
-        val estArms = mults.zipWithIndex.map { case (m, i) =>
+        val estArms = graft.operators.Sketch.CmsMults.zipWithIndex.map { case (m, i) =>
           s"""COALESCE((SELECT cnt FROM sk
-             |        WHERE sk.i = $i AND sk.b = ${bucket("tp.token", m)}), 0)""".stripMargin
+             |        WHERE sk.i = $i AND sk.b = ${cmsBucketSql("tp.token", m, 64)}), 0)""".stripMargin
         }.mkString(",\n      ")
         s"""WITH tk AS (
            |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents
@@ -2909,7 +2986,7 @@ object CorpusQueries {
            |  SELECT token, true_count FROM tf
            |  ORDER BY true_count DESC, token ASC LIMIT 20
            |), sk AS (
-           |  $skRows
+           |  ${cmsSketchRowsSql(64)}
            |)
            |SELECT tp.token, tp.true_count,
            |  CAST(LEAST(
@@ -2945,25 +3022,16 @@ object CorpusQueries {
         out
       },
       Some {
-        def bucket(e: String, m: Long) =
-          s"""(CASE WHEN $e = '' THEN 0 ELSE list_reduce(
-             |      list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(str_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
-             |      (h, c) -> (h * $m + c) % 1000000007) END) % 64""".stripMargin
         val mults = graft.operators.Sketch.CmsMults
-        val skRows = mults.zipWithIndex.map { case (m, i) =>
-          s"""SELECT $i AS i, b, COUNT(*) AS cnt
-             |  FROM (SELECT ${bucket("t", m)} AS b FROM tk) GROUP BY b""".stripMargin
-        }.mkString("\n  UNION ALL\n  ")
         val joins = mults.zipWithIndex.map { case (m, i) =>
-          s"LEFT JOIN sk s$i ON s$i.i = $i AND s$i.b = ${bucket("dt.t", m)}"
+          s"LEFT JOIN sk s$i ON s$i.i = $i AND s$i.b = ${cmsBucketSql("dt.t", m, 64)}"
         }.mkString("\n  ")
         val leastExpr = mults.indices
           .map(i => s"COALESCE(s$i.cnt, 0)").mkString("LEAST(", ", ", ")")
         s"""WITH tk AS (
            |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents
            |), sk AS (
-           |  $skRows
+           |  ${cmsSketchRowsSql(64)}
            |), dt AS (
            |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
            |  FROM documents
@@ -2990,60 +3058,12 @@ object CorpusQueries {
     // both iterations then run on the |domains|²-bounded frame.
     Q(
       "q_pagerank_domains",
-      (spark, dir) => {
-        val docs = Q.t(spark, dir, "documents")
-        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
-        val tlds = Seq("com", "co.uk", "org")
-        def domainOf(id: org.apache.spark.sql.Column) = concat(
-          element_at(lit(doms.toArray), (id % 5).cast("int") + 1), lit("."),
-          element_at(lit(tlds.toArray), (id % 3).cast("int") + 1))
-        val edges = docs.select(
-          domainOf(col("doc_id")).as("src"),
-          concat(
-            element_at(lit(doms.toArray), ((col("doc_id") + 2) % 5).cast("int") + 1),
-            lit("."),
-            element_at(lit(tlds.toArray), ((col("doc_id") + 1) % 3).cast("int") + 1))
-            .as("dst"))
-        Graph.pageRankInt(edges, "src", "dst", iters = 2)
-      },
+      (spark, dir) =>
+        Graph.pageRankInt(graphEdges(Q.t(spark, dir, "documents")),
+          "src", "dst", iters = 2),
       Some(
-        """WITH e0 AS (
-          |  SELECT
-          |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
-          |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
-          |    || '.' ||
-          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-          |         ELSE 'org' END AS src,
-          |    CASE CAST((doc_id + 2) % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
-          |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
-          |    || '.' ||
-          |    CASE CAST((doc_id + 1) % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-          |         ELSE 'org' END AS dst
-          |  FROM documents
-          |), adj AS (
-          |  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst
-          |), nodes AS (
-          |  SELECT src AS node FROM adj UNION SELECT dst FROM adj
-          |), deg AS (
-          |  SELECT src, SUM(w) AS outw FROM adj GROUP BY src
-          |), c1 AS (
-          |  SELECT a.dst AS node,
-          |    SUM(a.w * ((CAST(1000000 AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
-          |  FROM adj a JOIN deg d ON a.src = d.src GROUP BY a.dst
-          |), r1 AS (
-          |  SELECT n.node, 150000 + COALESCE(c1.m, 0) AS rank
-          |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node
-          |), c2 AS (
-          |  SELECT a.dst AS node,
-          |    SUM(a.w * ((CAST(r1.rank AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
-          |  FROM adj a JOIN deg d ON a.src = d.src
-          |  JOIN r1 ON r1.node = a.src
-          |  GROUP BY a.dst
-          |), r2 AS (
-          |  SELECT n.node, 150000 + COALESCE(c2.m, 0) AS rank
-          |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node
-          |)
-          |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin
+        s"""WITH $DomainRankCtes
+           |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin
       )
     ),
 
@@ -3061,19 +3081,7 @@ object CorpusQueries {
       "q_authority_sample",
       (spark, dir) => {
         val docs = Q.t(spark, dir, "documents")
-        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
-        val tlds = Seq("com", "co.uk", "org")
-        def domainOf(id: org.apache.spark.sql.Column) = concat(
-          element_at(lit(doms.toArray), (id % 5).cast("int") + 1), lit("."),
-          element_at(lit(tlds.toArray), (id % 3).cast("int") + 1))
-        val edges = docs.select(
-          domainOf(col("doc_id")).as("src"),
-          concat(
-            element_at(lit(doms.toArray), ((col("doc_id") + 2) % 5).cast("int") + 1),
-            lit("."),
-            element_at(lit(tlds.toArray), ((col("doc_id") + 1) % 3).cast("int") + 1))
-            .as("dst"))
-        val ranks = Graph.pageRankInt(edges, "src", "dst", iters = 2)
+        val ranks = Graph.pageRankInt(graphEdges(docs), "src", "dst", iters = 2)
           .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
         val budget = 100L
         val tot = ranks.map(_._2).sum
@@ -3085,47 +3093,12 @@ object CorpusQueries {
         val quota = base.map { case (d, a, _) =>
           (d, a + (if (bump(d)) 1L else 0L)) }.toSeq.toDF("domain", "alloc")
         Sampling.quotaSample(
-          docs.select(col("doc_id"), domainOf(col("doc_id")).as("domain")),
+          docs.select(col("doc_id"), graphDomainOf(col("doc_id")).as("domain")),
           "domain", "doc_id", quota)
       },
       Some {
         val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
-        s"""WITH e0 AS (
-           |  SELECT
-           |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
-           |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
-           |    || '.' ||
-           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-           |         ELSE 'org' END AS src,
-           |    CASE CAST((doc_id + 2) % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
-           |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
-           |    || '.' ||
-           |    CASE CAST((doc_id + 1) % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-           |         ELSE 'org' END AS dst
-           |  FROM documents
-           |), adj AS (
-           |  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst
-           |), nodes AS (
-           |  SELECT src AS node FROM adj UNION SELECT dst FROM adj
-           |), deg AS (
-           |  SELECT src, SUM(w) AS outw FROM adj GROUP BY src
-           |), c1 AS (
-           |  SELECT a.dst AS node,
-           |    SUM(a.w * ((CAST(1000000 AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
-           |  FROM adj a JOIN deg d ON a.src = d.src GROUP BY a.dst
-           |), r1 AS (
-           |  SELECT n.node, 150000 + COALESCE(c1.m, 0) AS rank
-           |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node
-           |), c2 AS (
-           |  SELECT a.dst AS node,
-           |    SUM(a.w * ((CAST(r1.rank AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
-           |  FROM adj a JOIN deg d ON a.src = d.src
-           |  JOIN r1 ON r1.node = a.src
-           |  GROUP BY a.dst
-           |), r2 AS (
-           |  SELECT n.node, 150000 + COALESCE(c2.m, 0) AS rank
-           |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node
-           |), tot AS (
+        s"""WITH $DomainRankCtes, tot AS (
            |  SELECT SUM(rank) AS t FROM r2
            |), al AS (
            |  SELECT node AS domain, (100 * rank) // t AS a, (100 * rank) % t AS m
@@ -3137,12 +3110,7 @@ object CorpusQueries {
            |    THEN 1 ELSE 0 END AS alloc
            |  FROM al
            |), tagged AS (
-           |  SELECT doc_id,
-           |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
-           |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
-           |    || '.' ||
-           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-           |         ELSE 'org' END AS domain
+           |  SELECT doc_id, ${domainSql("doc_id")} AS domain
            |  FROM documents
            |), rn AS (
            |  SELECT doc_id, domain, alloc,
@@ -3161,8 +3129,10 @@ object CorpusQueries {
     // registrable-domain blocklist), a token-count quality floor, and
     // exact dedup keeping the min-id representative (duplicates are
     // PLANTED: every doc_id % 10 = 3 document re-enters with id +
-    // 10^9, so the dedup stage provably drops the copies and keeps
-    // the originals). Every stage reuses the standalone gates'
+    // 1.5e9 — a multiple of 15, so the copy derives the SAME domain
+    // as its original and every copy provably leaves the output:
+    // blocked with its original, or deduped against the original's
+    // smaller id). Every stage reuses the standalone gates'
     // formulas and the oracle composes them verbatim. One digest-
     // keyed window is the only corpus shuffle; the strip/URL/quality
     // stages are map-only.
@@ -3172,7 +3142,7 @@ object CorpusQueries {
         val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
         val base = docs.unionByName(
           docs.filter(col("doc_id") % 10 === 3)
-            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+            .select((col("doc_id") + 1500000000L).as("doc_id"), col("text")))
         val html = concat(
           lit("<html><head><style>p{color:red}</style>" +
             "<script type=\"text/js\">var x = 1 < 2;</script></head>"),
@@ -3180,14 +3150,9 @@ object CorpusQueries {
           col("text"),
           lit("</p><p>&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
             "</body></html>"))
-        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
-        val tlds = Seq("com", "co.uk", "org")
-        val domain = concat(
-          element_at(lit(doms.toArray), (col("doc_id") % 5).cast("int") + 1), lit("."),
-          element_at(lit(tlds.toArray), (col("doc_id") % 3).cast("int") + 1))
         val screened = base
           .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean_text"),
-            domain.as("domain"))
+            graphDomainOf(col("doc_id")).as("domain"))
           .filter(!col("domain").isin("beta.co.uk", "delta.com", "epsilon.org"))
           .withColumn("n_tokens", TextAnalysis.tokenCount(col("clean_text")).cast("long"))
           .filter(col("n_tokens") >= 40L)
@@ -3204,32 +3169,28 @@ object CorpusQueries {
         out
       },
       Some(
-        """WITH base AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 3
-          |), cl AS (
-          |  SELECT doc_id,
-          |    TRIM(regexp_replace('T ' || text || ' &lt; <tag> "q" ''s'' end',
-          |                        '\s+', ' ', 'g')) AS clean_text,
-          |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
-          |         WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' ELSE 'epsilon' END
-          |    || '.' ||
-          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-          |         ELSE 'org' END AS domain
-          |  FROM base
-          |), scr AS (
-          |  SELECT doc_id, clean_text, domain,
-          |    CAST(len(regexp_split_to_array(clean_text, '\s+')) AS BIGINT) AS n_tokens
-          |  FROM cl
-          |  WHERE domain NOT IN ('beta.co.uk', 'delta.com', 'epsilon.org')
-          |    AND len(regexp_split_to_array(clean_text, '\s+')) >= 40
-          |), ded AS (
-          |  SELECT doc_id, domain, n_tokens,
-          |    MIN(doc_id) OVER (PARTITION BY clean_text) AS keeper
-          |  FROM scr
-          |)
-          |SELECT doc_id, domain, n_tokens FROM ded WHERE doc_id = keeper""".stripMargin
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1500000000, text FROM documents WHERE doc_id % 10 = 3
+           |), cl AS (
+           |  SELECT doc_id,
+           |    TRIM(regexp_replace('T ' || text || ' &lt; <tag> "q" ''s'' end',
+           |                        '\\s+', ' ', 'g')) AS clean_text,
+           |    ${domainSql("doc_id")} AS domain
+           |  FROM base
+           |), scr AS (
+           |  SELECT doc_id, clean_text, domain,
+           |    CAST(len(regexp_split_to_array(clean_text, '\\s+')) AS BIGINT) AS n_tokens
+           |  FROM cl
+           |  WHERE domain NOT IN ('beta.co.uk', 'delta.com', 'epsilon.org')
+           |    AND len(regexp_split_to_array(clean_text, '\\s+')) >= 40
+           |), ded AS (
+           |  SELECT doc_id, domain, n_tokens,
+           |    MIN(doc_id) OVER (PARTITION BY clean_text) AS keeper
+           |  FROM scr
+           |)
+           |SELECT doc_id, domain, n_tokens FROM ded WHERE doc_id = keeper""".stripMargin
       )
     ),
 

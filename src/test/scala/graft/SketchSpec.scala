@@ -46,9 +46,10 @@ class SketchSpec extends SparkSpec {
       assert(r.getAs[Long]("e") >= r.getAs[Long]("c"),
         s"undercount for ${r.getAs[String]("t")}: ${r.getAs[Long]("e")} < ${r.getAs[Long]("c")}")
     }
-    // the hot token (60 occurrences of tok0 via i%3==0 plus i%7==0
-    // overlaps) estimates at least its true mass but stays bounded by
-    // the row total
+    // tok0 (29 occurrences: 9 via i%7==0 plus 20 via i%3==0) estimates
+    // at least its true mass; every estimate is bounded by the per-row
+    // total mass (180 = 60 docs x 3 tokens), since no cell can exceed
+    // its row's sum
     assert(checked.map(_.getAs[Long]("e")).max <= 180L)
   }
 }
