@@ -209,6 +209,7 @@ object Multimodal {
     def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
 
     val quant = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    val quantDefined = new Array[Boolean](4)
     // Huffman tables [class 0=DC 1=AC][id]: decode via the canonical
     // per-length (firstCode, firstIndex) arrays from the spec's
     // Generate_size/code procedure
@@ -257,6 +258,7 @@ object Multimodal {
               var i = 0
               if (pq == 0) { while (i < 64) { quant(tq)(i) = u8(o + 1 + i); i += 1 }; o += 65 }
               else { while (i < 64) { quant(tq)(i) = u16(o + 1 + 2 * i); i += 1 }; o += 129 }
+              quantDefined(tq) = true
             }
           case 0xC0 => // SOF0 (baseline sequential)
             if (u8(p + 4) != 8) return None // 8-bit precision only
@@ -303,6 +305,12 @@ object Multimodal {
         if (sosAt < 0) p += 2 + len
       }
     }
+
+    // a stream that never defined a referenced DQT would otherwise
+    // dequantize against an all-zero table and "decode" to a flat-128
+    // raster — wrong-but-plausible stats; degrade like the missing-DHT
+    // path instead
+    if (comps.exists(c => !quantDefined(c.tq))) return None
 
     val hMax = comps.map(_.hs).max; val vMax = comps.map(_.vs).max
     val mcuW = 8 * hMax; val mcuH = 8 * vMax
@@ -601,6 +609,9 @@ object Multimodal {
     */
   def decodeImagesResized(
       df: DataFrame, idCol: String, payloadCol: String, factor: Int): DataFrame = {
+    // fail fast on the driver (mirroring downsampleBox's own guard)
+    // instead of an ArithmeticException inside executor tasks
+    require(factor > 0, s"Multimodal.decodeImagesResized: positive factor (got $factor)")
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
       .as[MediaBlob]

@@ -81,8 +81,10 @@ object Profile {
     // too-fine bucket makes the "small by construction" claim false), and
     // a force-broadcast of a huge group table OOMs the driver instead of
     // degrading. guardedSide counts once and only broadcasts under the
-    // threshold, leaving nothing persisted behind.
-    val (side, _) = guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups)
+    // threshold, leaving nothing persisted behind; past the guard the
+    // group table stays persisted for this lazy plan's lifetime (the
+    // alternative is re-aggregating the corpus at exactly its largest).
+    val (side, _, _) = guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups)
     // NULL-SAFE join: groupBy already treats NULL as a QI value (its own
     // group), but a plain equi-join would silently DROP every NULL-QI row
     // from the audit — a privacy gate failing open for exactly the rows
@@ -106,19 +108,26 @@ object Profile {
     * materialize it once; when it holds at most `maxRows`, collect it to
     * a driver-local relation — the identical driver footprint a
     * `broadcast` would pay anyway when shipping the table — and
-    * broadcast that, leaving NOTHING persisted behind; past the guard,
-    * return the lazy frame for a shuffle join AQE will size. Returns
-    * the join side plus the observed cardinality.
+    * broadcast that, leaving NOTHING persisted behind. Past the guard,
+    * return the PERSISTED frame for a shuffle join AQE will size: the
+    * over-threshold case is exactly when the input aggregation is
+    * largest, so discarding the materialization there would double-scan
+    * the corpus. The third element releases that persist — callers that
+    * materialize their output call it afterwards; callers returning a
+    * lazy plan own it for the plan's lifetime (documented per entry
+    * point; only reachable past `maxBroadcastGroups` combinations).
     */
-  private def guardedSide(small: DataFrame, maxRows: Long): (DataFrame, Long) = {
+  private def guardedSide(small: DataFrame, maxRows: Long): (DataFrame, Long, () => Unit) = {
     val persisted = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = persisted.count()
-      if (n <= maxRows)
-        (broadcast(small.sparkSession.createDataFrame(
-          persisted.collectAsList(), small.schema)), n)
-      else (small, n)
-    } finally { persisted.unpersist(): Unit }
+    val n =
+      try persisted.count()
+      catch { case t: Throwable => persisted.unpersist(); throw t }
+    if (n <= maxRows) {
+      val local = broadcast(small.sparkSession.createDataFrame(
+        persisted.collectAsList(), small.schema))
+      persisted.unpersist()
+      (local, n, () => ())
+    } else (persisted, n, () => { persisted.unpersist(): Unit })
   }
 
   /** Past this many quasi-identifier combinations the group table stops
@@ -163,7 +172,7 @@ object Profile {
       val g = withQi
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as(s"__k$i"))
-      val (side, _) = guardedSide(renameKeys(g, keys), maxBroadcastGroups)
+      val (side, _, _) = guardedSide(renameKeys(g, keys), maxBroadcastGroups)
       // null-safe: a NULL quasi-identifier value is a group like any
       // other — an equi-join would drop those rows from the remedy
       acc.join(side, nullSafeCond(keys))
@@ -274,7 +283,7 @@ object Profile {
     val groups = df
       .groupBy(quasiIds.map(col): _*)
       .agg(countDistinct(col(sensitiveCol)).as("l_distinct"))
-    val (side, _) = guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups)
+    val (side, _, _) = guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups)
     // null-safe join-back, as kAnonymity: NULL-QI rows stay in the audit
     // (countDistinct ignores NULL sensitive values — a group whose only
     // sensitive "values" are NULL reports l_distinct = 0 and fails
@@ -336,6 +345,10 @@ object Profile {
       .groupBy(qi :+ col(sensitiveCol).as("__v"): _*)
       .agg(count(lit(1)).as("__c_gv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // over-guard guardedSide persists survive until the decision table
+    // below has materialized (both return branches do), then release
+    // here with gv — zero residue either way
+    var sideReleases: List[() => Unit] = Nil
     try {
       // N: one scalar off the cached gv — rides the plan as a literal,
       // no crossJoin of a one-row frame needed. sum() over ZERO rows is
@@ -351,8 +364,9 @@ object Profile {
       val groupSizes = gv.groupBy(qi: _*).agg(sum(col("__c_gv")).as("n_group"))
       val marginals =
         gv.groupBy(col("__v").as("__mv")).agg(sum(col("__c_gv")).as("__c_v"))
-      val (gsSide, nQi) = guardedSide(renameKeys(groupSizes, quasiIds), maxBroadcastGroups)
-      val (mSide, _) = guardedSide(marginals, maxBroadcastGroups)
+      val (gsSide, nQi, relGs) = guardedSide(renameKeys(groupSizes, quasiIds), maxBroadcastGroups)
+      val (mSide, _, relM) = guardedSide(marginals, maxBroadcastGroups)
+      sideReleases = List(relGs, relM)
       val out = gv
         .join(mSide, col("__v") <=> col("__mv"))
         .join(gsSide, nullSafeCond(quasiIds))
@@ -377,7 +391,11 @@ object Profile {
         .withColumn("keep",
           lit(1000).cast(d38) * col("__tvd_d") <=
             lit(2L * tPerMille).cast(d38) * col("n_group").cast(d38) * nd)
-        .select(qi ++ Seq(col("n_group"), col("__tvd_d").cast("long").as("tvd_num"),
+        // try_cast + coalesce ACTUALLY saturates: a plain non-ANSI
+        // Decimal→Long overflow cast yields NULL, not Long.MaxValue
+        .select(qi ++ Seq(col("n_group"),
+          coalesce(expr("try_cast(__tvd_d AS BIGINT)"), lit(Long.MaxValue))
+            .as("tvd_num"),
           col("tvd_pm"), col("keep")): _*)
       if (nQi <= maxBroadcastGroups) {
         // decision table bounded by the guard: localize it (same driver
@@ -391,6 +409,6 @@ object Profile {
         p.count()
         p
       }
-    } finally { gv.unpersist(): Unit }
+    } finally { gv.unpersist(); sideReleases.foreach(_.apply()) }
   }
 }

@@ -102,10 +102,31 @@ object Q {
     * create-or-replace gates idempotent across sessions.
     */
   def dropManagedTable(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // resolve the REAL location from the catalog while the table still
+    // exists (covers qualified names and a non-default current
+    // database); the warehouse-path heuristic remains only for the
+    // orphan case, where no catalog entry survives to ask
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val catalogLoc: Option[org.apache.hadoop.fs.Path] =
+      try {
+        if (spark.catalog.tableExists(name)) {
+          val meta = spark.sessionState.catalog.getTableMetadata(ident)
+          if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+            Some(new org.apache.hadoop.fs.Path(meta.location))
+          else None // never delete data an EXTERNAL table points at
+        } else None
+      } catch { case _: Exception => None }
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path =
-      new org.apache.hadoop.fs.Path(wh, name.toLowerCase(java.util.Locale.ROOT))
+    val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    // orphan fallback mirrors the in-memory catalog's layout:
+    // wh/<table> for the default database, wh/<db>.db/<table> otherwise
+    val path = catalogLoc.getOrElse(
+      ident.database.filter(_ != "default") match {
+        case Some(db) => new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(wh, s"${lower(db)}.db"), lower(ident.table))
+        case None => new org.apache.hadoop.fs.Path(wh, lower(ident.table))
+      })
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) { fs.delete(path, true): Unit }
   }

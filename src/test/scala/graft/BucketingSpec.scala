@@ -57,6 +57,29 @@ class BucketingSpec extends SparkSpec {
     assert(!new java.io.File(wh, s"customer_bk_$tag").exists())
   }
 
+  test("dropManagedTable: qualified name in a non-default db deletes the real location") {
+    // the warehouse-path heuristic alone would compute wh/<db.table> —
+    // the wrong directory — for a qualified name; the fix resolves the
+    // location from the catalog while the table still exists
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_qdb")
+    spark.sql("DROP TABLE IF EXISTS graft_qdb.qt")
+    spark.range(5).write.mode("overwrite").saveAsTable("graft_qdb.qt")
+    val loc = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_qdb.qt")).location)
+    assert(loc.exists())
+    graft.queries.Q.dropManagedTable(spark, "graft_qdb.qt")
+    assert(!spark.catalog.tableExists("graft_qdb.qt"))
+    assert(!loc.exists(), s"location $loc must be deleted with the table")
+    // and the orphan case still works for the qualified layout
+    loc.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(loc, "part-orphan.parquet").toPath, Array[Byte](1))
+    graft.queries.Q.dropManagedTable(spark, "graft_qdb.qt")
+    assert(!loc.exists(), s"orphaned $loc must be cleared by the fallback")
+    spark.sql("DROP DATABASE IF EXISTS graft_qdb CASCADE")
+  }
+
   test("same-bucketed tables sort-merge join without any exchange") {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS orders_b")

@@ -175,6 +175,23 @@ class MultimodalSpec extends SparkSpec {
     // holds bp AT the marker, never consuming the marker id as bits)
     val cut = Multimodal.decodeJpeg(good.dropRight(4))
     assert(cut.isEmpty || cut.get._1 == 16)
+    // a stream whose components reference an undefined DQT must return
+    // None, not silently dequantize against a zero table (which would
+    // "decode" to a flat-128 raster — wrong-but-plausible stats)
+    val dqtLen = 2 + 2 + 1 + 64 // marker + len + pq/tq + 64 8-bit entries
+    val noDqt = good.take(2) ++ good.drop(2 + dqtLen)
+    assert((noDqt(2) & 0xFF) == 0xFF && (noDqt(3) & 0xFF) == 0xC0) // SOF0 next
+    assert(Multimodal.decodeJpeg(noDqt).isEmpty)
+  }
+
+  test("decodeImagesResized: non-positive factor fails fast on the driver") {
+    val df = Seq((1L, Multimodal.syntheticPpm(1L, 4, 4))).toDF("media_id", "payload")
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImagesResized(df, "media_id", "payload", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImagesResized(df, "media_id", "payload", -2)
+    }
   }
 
   test("decodePng: synthetic RGB PNG with all five filters round-trips exactly") {
