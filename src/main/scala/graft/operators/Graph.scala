@@ -14,61 +14,183 @@ import org.apache.spark.sql.functions._
   * which is bounded by |domains|² regardless of corpus size. No GraphX
   * and no RDDs needed: DataFrame joins ARE message passing here, and
   * Catalyst broadcasts the (tiny) rank vector onto the adjacency each
-  * round.
+  * round. The adjacency is ADDITIVE (edge counts sum), so it joins the
+  * engine's mergeable-summary family: maintain it per ingest batch
+  * with [[mergeAdj]] and never rescan history.
   */
 object Graph {
 
-  /** INTEGER-exact PageRank in micro-units: ranks start at 10^6, each
-    * iteration computes per-edge shares as
-    * `(rank(s) · 850000) div (out(s) · 10^6)` (floor division — the
-    * 0.85 damping factor in fixed-point) summed into each destination
-    * with edge multiplicity, plus the 0.15 teleport (150000 micro).
-    * Every step is integer arithmetic with explicit floors, so the
-    * result is bit-exact in ANY engine — the same discipline as the
-    * t-closeness and DSIR decision tables, applied to an iterative
-    * graph computation. Dangling-node mass is dropped (the standard
-    * simplification; ranks remain a valid authority ordering).
+  /** Collapse a corpus-sized multigraph edge list into its weighted
+    * adjacency `(src, dst, w)` — the ONE corpus shuffle of every
+    * operator in this class; everything downstream of the collapse is
+    * |domains|²-bounded. Duplicate edges weight the edge (exactness
+    * holds because identical edges have identical per-edge shares, so
+    * `w · floor == Σ-per-edge`).
+    */
+  def collapseEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Merge two weighted adjacencies by cell-wise sum. Edge counts are
+    * ADDITIVE, so merging per-batch collapses equals collapsing the
+    * concatenated corpora bit-exactly — the same mergeable-summary
+    * discipline as the Count-Min cells, moment sketches, and DSIR
+    * bucket models, applied to the graph layer.
+    */
+  def mergeAdj(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+
+  /** One integer-PageRank round over the collapsed graph: per-edge
+    * shares `(rank(s) · 850000) div (out(s) · 10^6)` (floor division —
+    * 0.85 damping in fixed-point micro-units) summed into each
+    * destination with edge weight, plus the 0.15 teleport (150000).
+    */
+  private def rankStep(adj: DataFrame, deg: DataFrame, nodes: DataFrame,
+      r: DataFrame): DataFrame = {
+    val contrib = adj
+      .join(deg, "src")
+      .join(r.select(col("node").as("src"), col("rank_micro")), "src")
+      .select(col("dst").as("node"),
+        (col("w") *
+          expr("(rank_micro * 850000L) div (__out * 1000000L)")).as("__share"))
+      .groupBy(col("node")).agg(sum(col("__share")).as("__in"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000L) + coalesce(col("__in"), lit(0L))).as("rank_micro"))
+  }
+
+  private def degreesOf(adj: DataFrame): DataFrame =
+    adj.groupBy(col("src")).agg(sum(col("w")).as("__out"))
+
+  private def nodesOf(adj: DataFrame): DataFrame =
+    adj.select(col("src").as("node"))
+      .unionByName(adj.select(col("dst").as("node")))
+      .distinct()
+
+  /** Persist + materialize an iteration frame, then REBASE its logical
+    * plan onto the materialized RDD. The persist alone reuses the DATA,
+    * but each round's logical plan would still embed every prior round
+    * — analysis cost and plan/explain strings grow per iteration and
+    * OOM the driver ~30 rounds deep (AQE logs the full explain string
+    * on every plan update). The RDD rebase makes every round's plan
+    * constant-size; recompute on cache eviction falls back to RDD
+    * lineage (swap for `localCheckpoint(true)` on clusters where
+    * eviction cascades matter). Returns (persistedHandle, rebasedFrame)
+    * — unpersist the handle once the next round is pinned.
+    */
+  private def pin(df: DataFrame): (DataFrame, DataFrame) = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count(): Unit
+    (p, df.sparkSession.createDataFrame(p.rdd, p.schema))
+  }
+
+  /** INTEGER-exact PageRank in micro-units over a collapsed adjacency
+    * `(src, dst, w)`: ranks start at 10^6; every step is integer
+    * arithmetic with explicit floors, so the result is bit-exact in
+    * ANY engine — the t-closeness/DSIR decision-table discipline
+    * applied to an iterative graph computation. Dangling-node mass is
+    * dropped (the standard simplification; ranks remain a valid
+    * authority ordering).
     *
     * Exactness bound: rank·850000 stays far inside Long for any graph
     * whose total in-weight per node is below ~10^10 — beyond that,
     * lift the multiplications to DECIMAL(38,0) as tCloseness does.
     *
-    * @param edges one row per link (multigraph; duplicates weight the
-    *              edge — exactness holds because identical edges have
-    *              identical shares, so weight·floor == Σ-per-edge)
-    * @return (node, rank_micro) after `iters` rounds
+    * Iteration lineage is CUT per round: each iteration's rank frame
+    * persists (it is |domains|-bounded — the whole point of collapsing
+    * first) and its predecessor unpersists once the child is pinned,
+    * exactly the [[Vocab.mergedDict]] cache discipline — without it,
+    * iteration k's plan embeds all k−1 prior rounds and analysis +
+    * recompute cost grow superlinearly past ~10 iterations. The
+    * RETURNED frame stays persisted; the caller owns its unpersist
+    * (gates route it through scratch parquet and release before
+    * returning, the mergedDict contract).
+    */
+  def pageRankFromAdj(adj: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "Graph.pageRankFromAdj: at least one iteration")
+    val adjP = adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adjP.count(): Unit
+    val nodes = nodesOf(adjP).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = degreesOf(adjP).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var (rP, rCut) = pin(nodes.withColumn("rank_micro", lit(1000000L)))
+    var i = 0
+    while (i < iters) {
+      val (nP, nCut) = pin(rankStep(adjP, deg, nodes, rCut))
+      rP.unpersist()
+      rP = nP; rCut = nCut
+      i += 1
+    }
+    adjP.unpersist(); nodes.unpersist(); deg.unpersist()
+    rP
+  }
+
+  /** [[pageRankFromAdj]] over a raw edge list (collapses first). Kept
+    * as the one-call form the fixed-iteration gates use; same
+    * caller-unpersists contract on the returned frame.
     */
   def pageRankInt(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iters: Int
-  ): DataFrame = {
-    require(iters >= 1, "Graph.pageRankInt: at least one iteration")
-    // collapse the corpus-sized multigraph ONCE; everything after is
-    // |domains|^2-bounded
-    val adj = edges
-      .groupBy(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .agg(count(lit(1)).as("__w"))
-    val nodes = adj.select(col("__src").as("node"))
-      .unionByName(adj.select(col("__dst").as("node")))
-      .distinct()
-    val deg = adj.groupBy(col("__src")).agg(sum(col("__w")).as("__out"))
-    var r = nodes.withColumn("rank_micro", lit(1000000L))
+  ): DataFrame =
+    pageRankFromAdj(collapseEdges(edges, srcCol, dstCol), iters)
+
+  /** Result of a convergence-looped rank computation: the final rank
+    * frame (persisted — caller unpersists), the number of iterations
+    * actually executed, and the last step's max per-node rank change.
+    */
+  final case class RankConvergence(ranks: DataFrame, itersRun: Int, lastDeltaMicro: Long)
+
+  /** PageRank run TO CONVERGENCE: iterate until the largest per-node
+    * rank change of a round is ≤ `tolMicro` (an integer criterion —
+    * with floor-divided integer shares the iteration reaches an exact
+    * fixed point, so `tolMicro = 0` is meaningful and deterministic),
+    * capped at `maxIters` as the backstop for graphs whose integer map
+    * oscillates. This is how real PageRank runs (20–50 rounds), which
+    * is exactly the regime where unbounded lineage kills the naive
+    * loop — here every round persists its |domains|-bounded rank frame
+    * and drops its predecessor, so per-iteration cost is flat.
+    *
+    * The per-round delta is ONE scalar aggregation over the two cached
+    * |domains|-bounded rank frames — a bounded driver action per
+    * iteration (decision-table discipline), not a corpus action.
+    */
+  def pageRankConverged(
+      adj: DataFrame,
+      maxIters: Int,
+      tolMicro: Long
+  ): RankConvergence = {
+    require(maxIters >= 1, "Graph.pageRankConverged: at least one iteration")
+    require(tolMicro >= 0, "Graph.pageRankConverged: non-negative tolerance")
+    val adjP = adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (adjP.isEmpty) {
+      adjP.unpersist()
+      return RankConvergence(
+        adj.sparkSession.emptyDataFrame
+          .withColumn("node", lit("")).withColumn("rank_micro", lit(0L))
+          .limit(0),
+        0, 0L)
+    }
+    val nodes = nodesOf(adjP).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = degreesOf(adjP).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var (rP, rCut) = pin(nodes.withColumn("rank_micro", lit(1000000L)))
     var i = 0
-    while (i < iters) {
-      val contrib = adj
-        .join(deg, "__src")
-        .join(r.select(col("node").as("__src"), col("rank_micro")), "__src")
-        .select(col("__dst").as("node"),
-          (col("__w") *
-            expr("(rank_micro * 850000L) div (__out * 1000000L)")).as("__share"))
-        .groupBy(col("node")).agg(sum(col("__share")).as("__in"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + coalesce(col("__in"), lit(0L))).as("rank_micro"))
+    var delta = Long.MaxValue
+    while (i < maxIters && delta > tolMicro) {
+      val (nP, nCut) = pin(rankStep(adjP, deg, nodes, rCut))
+      delta = nCut
+        .join(rCut.select(col("node"), col("rank_micro").as("__prev")), "node")
+        .agg(max(abs(col("rank_micro") - col("__prev"))))
+        .first().getLong(0)
+      rP.unpersist()
+      rP = nP; rCut = nCut
       i += 1
     }
-    r
+    adjP.unpersist(); nodes.unpersist(); deg.unpersist()
+    RankConvergence(rP, i, delta)
   }
 }

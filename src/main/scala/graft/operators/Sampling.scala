@@ -113,6 +113,50 @@ object Sampling {
       .drop(rn, "alloc")
   }
 
+  /** Exact integer largest-remainder apportionment of `budget` across
+    * groups proportional to `weightCol`, DISTRIBUTED: floor shares
+    * `(budget·w) div Σw` plus one unit to the groups with the largest
+    * remainders (`(budget·w) mod Σw`, group-name tie-break) until the
+    * allocations sum to exactly `budget`. The decision half of any
+    * weighted quota (authority-weighted sampling, mixture budgets).
+    *
+    * No driver collect: the remainder ranking and the residual bump are
+    * two window functions over the |groups|-sized weight frame —
+    * `row_number` by (remainder desc, group asc) and a global sum for
+    * the residual — so the step scales past driver-memory group counts
+    * (10⁷–10⁸ registrable domains). The global windows serialize the
+    * GROUPS frame through one task, which is orders of magnitude
+    * smaller than the corpus; past ~10⁸ groups, recurse the pack
+    * chain's hierarchical prefix-sum trick on the remainder rank.
+    *
+    * Precondition: weights non-negative with positive total (rows
+    * whose total is 0 would floor-divide by zero and null out).
+    * Returns (groupCol, alloc) — [[quotaSample]]'s quota shape.
+    */
+  def largestRemainder(
+      weights: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, "Sampling.largestRemainder: non-negative budget")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__m").desc, col(groupCol).asc)
+    weights
+      .select(col(groupCol), col(weightCol).cast("long").as("__wt"))
+      .withColumn("__t", sum(col("__wt")).over(wAll))
+      .withColumn("__a", expr(s"(${budget}L * __wt) div __t"))
+      .withColumn("__m", expr(s"(${budget}L * __wt) % __t"))
+      .withColumn("__resid", lit(budget) - sum(col("__a")).over(wAll))
+      .withColumn("__rn", row_number().over(wRank))
+      .select(col(groupCol),
+        (col("__a") + when(col("__rn") <= col("__resid"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** [[quotaSample]]'s ARRIVAL-ORDER twin: admit the first `alloc` rows
     * of each group in ascending `seqCol` order (ties broken on `idCol`)
     * — quota ENFORCEMENT rather than unbiased selection. This is

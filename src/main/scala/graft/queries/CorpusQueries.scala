@@ -165,14 +165,23 @@ object CorpusQueries {
       element_at(lit(GraphDoms.toArray), (id % 5).cast("int") + 1), lit("."),
       element_at(lit(GraphTlds.toArray), (id % 3).cast("int") + 1))
 
-  private def graphEdges(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private def graphEdgesFrom(docs: org.apache.spark.sql.DataFrame,
+      domShift: Int, tldShift: Int): org.apache.spark.sql.DataFrame =
     docs.select(
       graphDomainOf(col("doc_id")).as("src"),
       concat(
-        element_at(lit(GraphDoms.toArray), ((col("doc_id") + 2) % 5).cast("int") + 1),
+        element_at(lit(GraphDoms.toArray), ((col("doc_id") + domShift) % 5).cast("int") + 1),
         lit("."),
-        element_at(lit(GraphTlds.toArray), ((col("doc_id") + 1) % 3).cast("int") + 1))
+        element_at(lit(GraphTlds.toArray), ((col("doc_id") + tldShift) % 3).cast("int") + 1))
         .as("dst"))
+
+  private def graphEdges(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graphEdgesFrom(docs, 2, 1)
+
+  /** The drift batch links DIFFERENTLY (shifted dst formula) — the
+    * planted structural change q_pagerank_drift must detect. */
+  private def graphEdgesShifted(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graphEdgesFrom(docs, 3, 2)
 
   /** dom picked by `domIdExpr % 5`, tld by `tldIdExpr % 3` — the dst
     * side of the link graph shifts the two independently. */
@@ -207,35 +216,60 @@ object CorpusQueries {
          |  FROM (SELECT ${cmsBucketSql("t", m, w)} AS b FROM tk) GROUP BY b""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
 
-  private lazy val DomainRankCtes: String =
-    s"""e0 AS (
-       |  SELECT
+  /** The default closed-form edge source over the full documents
+    * table — the dst side shifts dom/tld independently (+2/+1). */
+  private val GraphEdgesSql: String =
+    s"""SELECT
        |    ${domainSql("doc_id")} AS src,
        |    ${domainSql("doc_id + 2", "doc_id + 1")} AS dst
-       |  FROM documents
-       |), adj AS (
-       |  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst
-       |), nodes AS (
-       |  SELECT src AS node FROM adj UNION SELECT dst FROM adj
-       |), deg AS (
-       |  SELECT src, SUM(w) AS outw FROM adj GROUP BY src
-       |), c1 AS (
+       |  FROM documents""".stripMargin
+
+  /** Graph-structure CTEs (edges → weighted adjacency → node set →
+    * out-degrees) from an arbitrary edge SELECT, every alias prefixed
+    * with `px` so multiple graphs coexist in one oracle (the
+    * dsirScreenCtesFrom discipline). The node set uses DISTINCT over a
+    * nested UNION ALL — NOT a top-level UNION, which DuckDB reparses
+    * as recursive-CTE syntax inside a WITH RECURSIVE (silently
+    * duplicating the node set; cost a debugging session).
+    */
+  private def domainGraphCtes(edgesSql: String, px: String): String =
+    s"""${px}e0 AS (
+       |  $edgesSql
+       |), ${px}adj AS (
+       |  SELECT src, dst, COUNT(*) AS w FROM ${px}e0 GROUP BY src, dst
+       |), ${px}nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM ${px}adj
+       |    UNION ALL
+       |    SELECT dst FROM ${px}adj)
+       |), ${px}deg AS (
+       |  SELECT src, SUM(w) AS outw FROM ${px}adj GROUP BY src
+       |)""".stripMargin
+
+  /** Two unrolled integer-PageRank iterations over a [[domainGraphCtes]]
+    * graph; ends in `${px}r2(node, rank)`. */
+  private def domainRankStepsSql(px: String): String =
+    s"""${px}c1 AS (
        |  SELECT a.dst AS node,
        |    SUM(a.w * ((CAST(1000000 AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
-       |  FROM adj a JOIN deg d ON a.src = d.src GROUP BY a.dst
-       |), r1 AS (
-       |  SELECT n.node, 150000 + COALESCE(c1.m, 0) AS rank
-       |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node
-       |), c2 AS (
+       |  FROM ${px}adj a JOIN ${px}deg d ON a.src = d.src GROUP BY a.dst
+       |), ${px}r1 AS (
+       |  SELECT n.node, 150000 + COALESCE(${px}c1.m, 0) AS rank
+       |  FROM ${px}nodes n LEFT JOIN ${px}c1 ON ${px}c1.node = n.node
+       |), ${px}c2 AS (
        |  SELECT a.dst AS node,
-       |    SUM(a.w * ((CAST(r1.rank AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
-       |  FROM adj a JOIN deg d ON a.src = d.src
-       |  JOIN r1 ON r1.node = a.src
+       |    SUM(a.w * ((CAST(${px}r1.rank AS BIGINT) * 850000) // (d.outw * 1000000))) AS m
+       |  FROM ${px}adj a JOIN ${px}deg d ON a.src = d.src
+       |  JOIN ${px}r1 ON ${px}r1.node = a.src
        |  GROUP BY a.dst
-       |), r2 AS (
-       |  SELECT n.node, 150000 + COALESCE(c2.m, 0) AS rank
-       |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+       |), ${px}r2 AS (
+       |  SELECT n.node, 150000 + COALESCE(${px}c2.m, 0) AS rank
+       |  FROM ${px}nodes n LEFT JOIN ${px}c2 ON ${px}c2.node = n.node
        |)""".stripMargin
+
+  private lazy val DomainRankCtes: String =
+    s"""${domainGraphCtes(GraphEdgesSql, "")},
+       |${domainRankStepsSql("")}""".stripMargin
 
   /** Parameterized twin of [[DsirScreenCtes]]: fit the bucket model on
     * `WHERE $fitPred`, prefix every CTE alias with `$px` so two chains
@@ -3058,13 +3092,151 @@ object CorpusQueries {
     // both iterations then run on the |domains|²-bounded frame.
     Q(
       "q_pagerank_domains",
-      (spark, dir) =>
-        Graph.pageRankInt(graphEdges(Q.t(spark, dir, "documents")),
-          "src", "dst", iters = 2),
+      (spark, dir) => {
+        // pageRankInt's iteration loop persists each round's
+        // |domains|-bounded rank frame (lineage cut); land the result
+        // in scratch so the final persist releases before the gate
+        // returns — the mergedDict caller-unpersists contract
+        val r = Graph.pageRankInt(graphEdges(Q.t(spark, dir, "documents")),
+          "src", "dst", iters = 2)
+        val scratch = Q.scratch("prdom")
+        r.write.mode("overwrite").parquet(scratch)
+        r.unpersist()
+        spark.read.parquet(scratch)
+      },
       Some(
         s"""WITH $DomainRankCtes
            |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin
       )
+    ),
+
+    // PageRank run TO CONVERGENCE — real rank jobs iterate 10-50
+    // rounds, exactly the regime where the naive loop's unbounded
+    // lineage kills analysis and recompute cost. pageRankConverged
+    // persists each round's |domains|-bounded rank frame and drops its
+    // predecessor (the mergedDict cache discipline), stopping on an
+    // INTEGER criterion: floor-divided integer shares reach an exact
+    // fixed point, so tol=0 terminates deterministically (11-13 rounds
+    // on this graph; maxIters=32 is the oscillation backstop). The
+    // oracle runs the SAME loop as a recursive CTE — contributions and
+    // each node's previous rank ride one self-reference via a
+    // self-marker row in adjx (recursive CTEs allow exactly one) —
+    // and stops at the same fixed point, pinning ranks AND the
+    // iteration count bit-exactly.
+    Q(
+      "q_pagerank_converged",
+      (spark, dir) => {
+        val res = Graph.pageRankConverged(
+          Graph.collapseEdges(graphEdges(Q.t(spark, dir, "documents")), "src", "dst"),
+          maxIters = 32, tolMicro = 0L)
+        val out = res.ranks.select(col("node"), col("rank_micro"),
+          lit(res.itersRun.toLong).as("iters_run"))
+        val scratch = Q.scratch("prconv")
+        out.write.mode("overwrite").parquet(scratch)
+        res.ranks.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""WITH RECURSIVE ${domainGraphCtes(GraphEdgesSql, "")},
+           |adjx AS (
+           |  SELECT src, dst, w FROM adj
+           |  UNION ALL
+           |  SELECT node, node, NULL FROM nodes
+           |), it AS (
+           |  SELECT 0 AS k, node, CAST(1000000 AS BIGINT) AS rank, 1 AS moving
+           |  FROM nodes
+           |  UNION ALL
+           |  SELECT * FROM (
+           |    SELECT k, node, rank,
+           |      CASE WHEN MAX(ABS(rank - prev)) OVER () > 0 AND k < 32
+           |           THEN 1 ELSE 0 END AS moving
+           |    FROM (
+           |      SELECT MAX(p.k) + 1 AS k, x.dst AS node,
+           |        150000 + COALESCE(SUM(CASE WHEN x.w IS NOT NULL
+           |          THEN x.w * ((p.rank * 850000) // (d.outw * 1000000)) END), 0) AS rank,
+           |        MAX(CASE WHEN x.w IS NULL THEN p.rank END) AS prev,
+           |        MAX(p.moving) AS moving
+           |      FROM it p JOIN adjx x ON x.src = p.node
+           |      LEFT JOIN deg d ON d.src = p.node
+           |      GROUP BY x.dst
+           |    ) g WHERE g.moving = 1
+           |  ) z
+           |)
+           |SELECT node, CAST(rank AS BIGINT) AS rank_micro,
+           |  CAST(k AS BIGINT) AS iters_run
+           |FROM it WHERE k = (SELECT MAX(k) FROM it)""".stripMargin
+      )
+    ),
+
+    // INCREMENTAL PageRank maintenance — the graph layer's closed
+    // drift loop, mirroring IVF/PQ/DSIR/CMS: the indexed history's
+    // adjacency is a MERGEABLE summary (edge counts are additive), so
+    // a new ingest batch collapses alone and merges cell-wise —
+    // history is never rescanned. The batch links DIFFERENTLY (shifted
+    // dst formula — a planted structural change); fresh ranks over the
+    // merged adjacency are compared against the STALE ranks the old
+    // half alone produces, and the integer per-mille trigger
+    // (Σ|Δrank|·1000 div Σstale ≥ 8) decides the refresh. The oracle
+    // recomputes the merged side from the CONCATENATED edge list, so a
+    // hash match pins merge == rebuild bit-exactly.
+    Q(
+      "q_pagerank_drift",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val adjBase = Graph.collapseEdges(
+          graphEdges(docs.filter(col("doc_id") % 2 === 0)), "src", "dst")
+        val adjDelta = Graph.collapseEdges(
+          graphEdgesShifted(docs.filter(col("doc_id") % 2 =!= 0)), "src", "dst")
+        val fresh = Graph.pageRankFromAdj(Graph.mergeAdj(adjBase, adjDelta), iters = 2)
+        val stale = Graph.pageRankFromAdj(adjBase, iters = 2)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        val out = fresh
+          .join(stale.select(col("node"), col("rank_micro").as("stale_micro")),
+            Seq("node"), "left")
+          // a node the stale model never saw carries the initial prior
+          .withColumn("stale_micro", coalesce(col("stale_micro"), lit(1000000L)))
+          .withColumn("__sa",
+            sum(abs(col("rank_micro") - col("stale_micro"))).over(wAll))
+          .withColumn("__ss", sum(col("stale_micro")).over(wAll))
+          .withColumn("drift_pm", expr("(__sa * 1000L) div __ss"))
+          .withColumn("refresh", col("drift_pm") >= 8L)
+          .select(col("node"), col("rank_micro"), col("stale_micro"),
+            col("drift_pm"), col("refresh"))
+        val scratch = Q.scratch("prdrift")
+        out.write.mode("overwrite").parquet(scratch)
+        fresh.unpersist(); stale.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some {
+        val baseEdges =
+          s"""SELECT
+             |    ${domainSql("doc_id")} AS src,
+             |    ${domainSql("doc_id + 2", "doc_id + 1")} AS dst
+             |  FROM documents WHERE doc_id % 2 = 0""".stripMargin
+        val fullEdges =
+          s"""$baseEdges
+             |  UNION ALL
+             |  SELECT
+             |    ${domainSql("doc_id")} AS src,
+             |    ${domainSql("doc_id + 3", "doc_id + 2")} AS dst
+             |  FROM documents WHERE doc_id % 2 = 1""".stripMargin
+        s"""WITH ${domainGraphCtes(baseEdges, "s")},
+           |${domainRankStepsSql("s")},
+           |${domainGraphCtes(fullEdges, "f")},
+           |${domainRankStepsSql("f")},
+           |j AS (
+           |  SELECT f.node, CAST(f.rank AS BIGINT) AS rank_micro,
+           |    CAST(COALESCE(s.rank, 1000000) AS BIGINT) AS stale_micro
+           |  FROM fr2 f LEFT JOIN sr2 s ON s.node = f.node
+           |)
+           |SELECT node, rank_micro, stale_micro,
+           |  CAST((SUM(ABS(rank_micro - stale_micro)) OVER () * 1000)
+           |       // (SUM(stale_micro) OVER ()) AS BIGINT) AS drift_pm,
+           |  (SUM(ABS(rank_micro - stale_micro)) OVER () * 1000)
+           |    // (SUM(stale_micro) OVER ()) >= 8 AS refresh
+           |FROM j""".stripMargin
+      }
     ),
 
     // Authority-weighted selection — the graph signal CLOSED into a
@@ -3073,28 +3245,29 @@ object CorpusQueries {
     // (floor shares + the remainder to the largest fractional parts,
     // domain tie-break — sums to the budget exactly), and
     // Sampling.quotaSample executes the quota with the unbiased
-    // id-hash order. The 15-row rank/quota tables are driver-bounded
-    // decision tables (same justification as the DSIR model arrays);
-    // the corpus pays quotaSample's one domain-keyed window. The
-    // oracle recomputes rank → apportionment → selection end to end.
+    // id-hash order. The apportionment is DISTRIBUTED
+    // (Sampling.largestRemainder: remainder rank + residual bump as
+    // two window functions over the |domains|-sized rank frame — zero
+    // corpus-side collect, so the quota step scales past
+    // driver-memory domain counts); the corpus pays quotaSample's one
+    // domain-keyed window. The quota lands in scratch so the rank
+    // loop's persist releases before the gate returns. The oracle
+    // recomputes rank → apportionment → selection end to end.
     Q(
       "q_authority_sample",
       (spark, dir) => {
         val docs = Q.t(spark, dir, "documents")
         val ranks = Graph.pageRankInt(graphEdges(docs), "src", "dst", iters = 2)
-          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-        val budget = 100L
-        val tot = ranks.map(_._2).sum
-        val base = ranks.map { case (d, r) =>
-          (d, budget * r / tot, (budget * r) % tot) }
-        val rem = (budget - base.map(_._2).sum).toInt
-        val bump = base.sortBy { case (d, _, m) => (-m, d) }.take(rem).map(_._1).toSet
-        import spark.implicits._
-        val quota = base.map { case (d, a, _) =>
-          (d, a + (if (bump(d)) 1L else 0L)) }.toSeq.toDF("domain", "alloc")
+        val quotaDf = Sampling.largestRemainder(
+          ranks.withColumnRenamed("node", "domain"), "domain", "rank_micro", 100L)
+        // the two-window apportionment shape, typed-asserted
+        Q.requireWindow(quotaDf)
+        val scratch = Q.scratch("authq")
+        quotaDf.write.mode("overwrite").parquet(scratch)
+        ranks.unpersist()
         Sampling.quotaSample(
           docs.select(col("doc_id"), graphDomainOf(col("doc_id")).as("domain")),
-          "domain", "doc_id", quota)
+          "domain", "doc_id", spark.read.parquet(scratch))
       },
       Some {
         val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"

@@ -203,6 +203,18 @@ object Q {
         df.queryExecution.executedPlan)
   }
 
+  /** Gate assertion: at least one window-function operator in the plan
+    * — the distributed formulation of a ranking/prefix-sum step (vs a
+    * driver-side collect-and-sort, which leaves no WindowExec behind).
+    */
+  def requireWindow(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val hit = planNodes(df).exists(_.isInstanceOf[WindowExec])
+    require(hit,
+      s"expected a window-function operator in the plan:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   /** Gate assertion: ZERO shuffle exchanges anywhere in the plan — the
     * query is map-only end to end (decode/screen/projection gates).
     */

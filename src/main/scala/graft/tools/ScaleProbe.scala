@@ -554,7 +554,23 @@ object ScaleProbe {
             org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
         val edges = d.select(dn(col("doc_id")).as("src"),
           dn(col("doc_id") + 2).as("dst"))
-        graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 2).count()
+        val r = graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 2)
+        val n = r.count(); r.unpersist(); n
+      }
+      // convergence-looped PageRank: per-iteration persist cuts the
+      // lineage, so 10+ rounds on the collapsed frame stay flat in the
+      // edge count — wall must track the one collapse shuffle
+      probe(s"pagerank_converged x$k") {
+        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        def dn(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
+        val edges = d.select(dn(col("doc_id")).as("src"),
+          dn(col("doc_id") + 2).as("dst"))
+        val res = graft.operators.Graph.pageRankConverged(
+          graft.operators.Graph.collapseEdges(edges, "src", "dst"),
+          maxIters = 32, tolMicro = 0L)
+        val n = res.ranks.count(); res.ranks.unpersist(); n
       }
       // compressed image decode (baseline JPEG: Huffman + IDCT per
       // 16x16 payload) is map-only — wall must track the row count

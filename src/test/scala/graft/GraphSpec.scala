@@ -17,19 +17,71 @@ class GraphSpec extends SparkSpec {
     //   r2: A = 1361250; B = 575000; C = 1063750
     val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
       .toDF("src", "dst")
-    val r = graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 2)
-      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val rdf = graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 2)
+    val r = rdf.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    rdf.unpersist()
     assert(r == Map("A" -> 1361250L, "B" -> 575000L, "C" -> 1063750L), r.toString)
   }
 
   test("pageRankInt: duplicated edges weight exactly like per-edge summation") {
     // two parallel A->B edges + A->C: B receives 2 shares of out=3
     val multi = Seq(("A", "B"), ("A", "B"), ("A", "C")).toDF("src", "dst")
-    val r = graft.operators.Graph.pageRankInt(multi, "src", "dst", iters = 1)
-      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val rdf = graft.operators.Graph.pageRankInt(multi, "src", "dst", iters = 1)
+    val r = rdf.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    rdf.unpersist()
     val share = (1000000L * 850000L) / (3L * 1000000L) // 283333
     assert(r("B") == 150000L + 2 * share && r("C") == 150000L + share, r.toString)
     // dangling nodes (B, C emit nothing) still appear with teleport-only
     assert(r("A") == 150000L)
+  }
+
+  test("mergeAdj: per-batch collapses merge to exactly the full-corpus collapse") {
+    val g = graft.operators.Graph
+    val all = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"), ("A", "B"), ("B", "C"))
+      .toDF("src", "dst")
+    val half1 = Seq(("A", "B"), ("A", "B"), ("B", "C")).toDF("src", "dst")
+    val half2 = Seq(("C", "A"), ("A", "B"), ("B", "C")).toDF("src", "dst")
+    val merged = g.mergeAdj(
+      g.collapseEdges(half1, "src", "dst"),
+      g.collapseEdges(half2, "src", "dst"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = g.collapseEdges(all, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged == full, s"merge != rebuild: $merged vs $full")
+  }
+
+  test("pageRankConverged: reaches the exact integer fixed point and reports iterations") {
+    // hand-simulated: this graph reaches its exact integer fixed point
+    // (delta 0 under floor-divided shares) at round 18
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "C"), ("C", "B"))
+      .toDF("src", "dst")
+    val adj = graft.operators.Graph.collapseEdges(edges, "src", "dst")
+    val res = graft.operators.Graph.pageRankConverged(adj, maxIters = 64, tolMicro = 0L)
+    val ranks = res.ranks.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(res.lastDeltaMicro == 0L, s"expected exact fixed point, delta=${res.lastDeltaMicro}")
+    assert(res.itersRun == 18, s"itersRun=${res.itersRun}")
+    assert(ranks == Map("A" -> 701751L, "B" -> 999995L, "C" -> 1298239L), ranks.toString)
+    // more rounds past the fixed point must not move any rank
+    val again = graft.operators.Graph.pageRankFromAdj(adj, iters = res.itersRun + 5)
+    val ranks2 = again.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    again.unpersist(); res.ranks.unpersist()
+    assert(ranks == ranks2, s"post-convergence iterations moved ranks: $ranks vs $ranks2")
+  }
+
+  test("pageRankConverged: maxIters caps a non-converged run; empty adjacency yields empty") {
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "C"), ("C", "B"))
+      .toDF("src", "dst")
+    val adj = graft.operators.Graph.collapseEdges(edges, "src", "dst")
+    val capped = graft.operators.Graph.pageRankConverged(adj, maxIters = 2, tolMicro = 0L)
+    assert(capped.itersRun == 2 && capped.lastDeltaMicro > 0L)
+    // capped run equals the fixed-iteration loop at the same count
+    val two = graft.operators.Graph.pageRankFromAdj(adj, iters = 2)
+    assert(capped.ranks.collect().map(_.toSeq).toSet == two.collect().map(_.toSeq).toSet)
+    capped.ranks.unpersist(); two.unpersist()
+
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val res = graft.operators.Graph.pageRankConverged(
+      graft.operators.Graph.collapseEdges(empty, "src", "dst"), 4, 0L)
+    assert(res.itersRun == 0 && res.ranks.count() == 0L)
   }
 }

@@ -377,4 +377,32 @@ class SamplingSpec extends SparkSpec {
     // the ten target-worded docs rank above every background doc
     assert(kept == (1L to 10L).toSet)
   }
+
+  test("largestRemainder: exact apportionment, distributed (windows, no collect)") {
+    // weights 5/3/2/1 over budget 7: floors 3/1/1/0 (total 11), resid 2
+    // remainders (7w mod 11): 2/10/3/7 -> bumps to b (10) and d (7)
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L), ("d", 1L)).toDF("g", "wt")
+    val alloc = Sampling.largestRemainder(w, "g", "wt", 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(alloc == Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L), alloc.toString)
+    assert(alloc.values.sum == 7L)
+
+    // remainder tie broken by group name ascending
+    val tie = Seq(("x", 1L), ("y", 1L), ("z", 2L)).toDF("g", "wt")
+    // budget 2: floors 0/0/1, remainders 2/2/0 -> one bump, to x (name asc)
+    val a2 = Sampling.largestRemainder(tie, "g", "wt", 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a2 == Map("x" -> 1L, "y" -> 0L, "z" -> 1L), a2.toString)
+
+    // the plan ranks remainders via window functions — the distributed
+    // shape (a driver collect-and-sort would leave no WindowExec)
+    graft.queries.Q.requireWindow(Sampling.largestRemainder(w, "g", "wt", 7L))
+
+    // allocations always sum to the budget (property over random-ish sizes)
+    for (budget <- Seq(0L, 1L, 10L, 97L)) {
+      val s = Sampling.largestRemainder(w, "g", "wt", budget)
+        .agg(org.apache.spark.sql.functions.sum("alloc")).head().getLong(0)
+      assert(s == budget, s"budget $budget allocated $s")
+    }
+  }
 }
