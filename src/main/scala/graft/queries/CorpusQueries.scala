@@ -3080,6 +3080,54 @@ object CorpusQueries {
       }
     ),
 
+    // CMS HEAVY HITTERS — the operator users actually run a frequency
+    // sketch for: top-k tokens above a mass threshold, over 100 TB,
+    // without shuffling the full term dictionary. Three stages:
+    // (1) the d·w-cell sketch (ONE corpus scan; the token mass N rides
+    // the build for free — Σ of any hash row's cells IS N, so the
+    // φ=1/200 threshold costs nothing extra); (2) a MAP-SIDE screen —
+    // only tokens whose CMS estimate reaches the threshold cross the
+    // wire, and CMS's one-sided error makes the screen LOSSLESS for
+    // true heavy hitters (estimates never undercount — the never-miss
+    // invariant, spec-pinned in TopKSketchSpec); (3) an exact count
+    // over the screened survivors kills the false positives, so the
+    // output is the TRUE top-k — which is why the oracle is plain
+    // exact SQL: any undercounting sketch would lose a heavy token
+    // and hash-mismatch. Top-k plans as TakeOrderedAndProject.
+    Q(
+      "q_cms_topk",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val w = 4096
+        val arr = graft.operators.Sketch.countMinArrays(
+          graft.operators.Sketch.countMin(docs, "text", w), w)
+        val thresh = math.max(1L, arr(0).sum / 200L)
+        val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val out = toks
+          .filter(graft.operators.Sketch.countMinEstimate(col("token"), arr, w) >= thresh)
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= thresh)
+          .orderBy(col("cnt").desc, col("token").asc)
+          .limit(20)
+        Q.requireTakeOrdered(out)
+        out
+      },
+      Some(
+        s"""WITH tk AS (
+           |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents
+           |), sk AS (
+           |  ${cmsSketchRowsSql(4096)}
+           |), th AS (
+           |  SELECT GREATEST(1, CAST(SUM(cnt) AS BIGINT) // 200) AS v
+           |  FROM sk WHERE i = 0
+           |), tf AS (
+           |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY t
+           |)
+           |SELECT token, cnt FROM tf, th WHERE cnt >= th.v
+           |ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
+      )
+    ),
+
     // Domain-authority ranking over the link graph — the Common-Crawl
     // provenance signal: INTEGER-exact PageRank in micro-units (ranks
     // start at 10^6; per-edge share = (rank·850000) div (out·10^6),

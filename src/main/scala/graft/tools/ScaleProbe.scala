@@ -572,6 +572,12 @@ object ScaleProbe {
           maxIters = 32, tolMicro = 0L)
         val n = res.ranks.count(); res.ranks.unpersist(); n
       }
+      // Count-Min build: one corpus scan with constant per-token
+      // fan-out into the d·w-cell table — wall must track the scan;
+      // the cell count never grows with the corpus
+      probe(s"countmin x$k") {
+        graft.operators.Sketch.countMin(d, "text", 64).count()
+      }
       // compressed image decode (baseline JPEG: Huffman + IDCT per
       // 16x16 payload) is map-only — wall must track the row count
       probe(s"jpeg_decode x$k") {

@@ -53,4 +53,37 @@ class TopKSketchSpec extends SparkSpec {
       assert(toks3.subsetOf(sketch(lang)), s"$lang: sketch missed ${toks3 -- sketch(lang)}")
     }
   }
+
+  test("CMS heavy-hitter screen never misses: est >= threshold for every true-heavy token") {
+    import graft.operators.{Sketch, TextAnalysis}
+    // skewed corpus: "hot" dominates, "warm" is mid, the rest is noise
+    val docs = (
+      (1L to 40L).map(i => (i, "hot hot hot warm")) ++
+        (41L to 80L).map(i => (i, s"n$i m$i hot"))
+    ).toDF("doc_id", "text")
+    val w = 32 // DELIBERATELY tiny: heavy collisions, to stress one-sidedness
+    val arr = Sketch.countMinArrays(Sketch.countMin(docs, "text", w), w)
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // token mass rides the sketch: any row's cell sum IS the count
+    assert(arr(0).sum == exact.values.sum)
+    for (thresh <- Seq(1L, 10L, 40L, 120L)) {
+      val passed = toks
+        .filter(Sketch.countMinEstimate(col("token"), arr, w) >= thresh)
+        .select("token").distinct().collect().map(_.getString(0)).toSet
+      val trueHeavy = exact.filter(_._2 >= thresh).keySet
+      assert(trueHeavy.subsetOf(passed),
+        s"thresh=$thresh: CMS screen missed ${trueHeavy -- passed} — one-sided error violated")
+    }
+    // and the full topk chain returns the exact heavy hitters
+    val thresh = 40L
+    val out = toks
+      .filter(Sketch.countMinEstimate(col("token"), arr, w) >= thresh)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thresh)
+      .orderBy(col("cnt").desc, col("token").asc).limit(5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("hot" -> 160L, "warm" -> 40L), out.toString)
+  }
 }
