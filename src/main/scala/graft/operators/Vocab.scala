@@ -371,6 +371,103 @@ object Vocab {
       .select(col(idCol), col("pos"), col("tid").as("token_id"))
   }
 
+  /** The byte page's id floor: byte b encodes as `ByteIdBase + b`
+    * (256 reserved ids), far above any realistic subword-rank space —
+    * real tokenizers pin their 256 byte tokens at fixed positions the
+    * same way (GPT-2's byte-level fallback). [[encodeIdsBytes]] guards
+    * that the trained vocabulary stays below the floor.
+    */
+  val ByteIdBase: Long = 1000000L
+
+  /** [[encodeIdsFallback]] upgraded to BYTE-LEVEL fallback — the
+    * GPT-2-style guarantee real pipelines need: a word absent from the
+    * dictionary emits one id per UTF-8 BYTE (`ByteIdBase + b`), so the
+    * round trip holds for ANY input — including characters outside the
+    * training alphabet, non-BMP/astral codepoints, and emoji — with
+    * nothing ever dropped. The byte page also sidesteps the surrogate
+    * hazard entirely: words are encoded to UTF-8 as whole strings, so
+    * astral pairs are never split.
+    *
+    * Scale shape: [[encodeIds]]'s plan plus one anti-join of the word
+    * stream against the broadcast surface-form set and a map-side byte
+    * explode of the OOV remainder (pure built-ins: `encode` → per-byte
+    * `substring`/`hex`/`conv` — no UDF); the one corpus-keyed shuffle
+    * remains the doc-keyed position ranking.
+    */
+  def encodeIdsBytes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dict: DataFrame
+  ): DataFrame = {
+    val ids = subwordIdsWithAlphabet(dict).withColumnRenamed("sym", "__sym")
+    // vocabulary-sized action (the dictionary is already materialized
+    // under mergedDict's persist): ids must stay below the byte page
+    val nSyms = ids.count()
+    require(nSyms < ByteIdBase,
+      s"Vocab.encodeIdsBytes: $nSyms subword ids collide with the byte page at $ByteIdBase")
+    val lookup = dict
+      .select(
+        concat_ws("", col("s")).as("__tok"),
+        posexplode(col("s")).as(Seq("__q", "__sym")))
+      .join(ids, "__sym")
+      .select(col("__tok"), col("__q"), col("tid"))
+    val words = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("__p", "__tok")))
+      .filter(col("__tok") =!= "")
+    val hits = words
+      .join(broadcast(lookup), "__tok")
+      .select(col(idCol), col("__p"), col("__q"), col("tid"))
+    val oovBytes = words
+      .join(broadcast(lookup.select("__tok").distinct()), Seq("__tok"), "left_anti")
+      .withColumn("__bin",
+        org.apache.spark.sql.functions.encode(col("__tok"), "UTF-8"))
+      .select(col(idCol), col("__p"),
+        posexplode(expr(
+          s"transform(sequence(1, length(__bin)), i -> " +
+            s"CAST(conv(hex(substring(__bin, i, 1)), 16, 10) AS BIGINT) + ${ByteIdBase}L)"))
+          .as(Seq("__q", "tid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__p").asc, col("__q").asc)
+    hits
+      .unionByName(oovBytes)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("pos"), col("tid").as("token_id"))
+  }
+
+  /** Inverse of [[encodeIdsBytes]]: subword ids resolve through the
+    * alphabet-extended vocabulary, byte-page ids (≥ [[ByteIdBase]])
+    * resolve to their raw byte. Every piece carries as HEX (a lone
+    * byte of a multi-byte character is not a valid string, so pieces
+    * cannot concatenate as text), the per-doc hex stream concatenates
+    * in position order, and ONE `unhex` + UTF-8 decode recovers the
+    * exact original bytes — which is what makes the round trip exact
+    * for astral-plane input.
+    *
+    * Scale shape: vocabulary broadcast + one doc-keyed aggregation,
+    * as [[decodeIds]].
+    */
+  def decodeIdsBytes(ids: DataFrame, idCol: String, dict: DataFrame): DataFrame = {
+    val vocab = subwordIdsWithAlphabet(dict)
+      .select(col("tid").as("token_id"),
+        hex(org.apache.spark.sql.functions.encode(col("sym"), "UTF-8")).as("__vhex"))
+    ids
+      .join(broadcast(vocab), Seq("token_id"), "left")
+      .withColumn("__piece", coalesce(col("__vhex"),
+        lpad(hex(col("token_id") - lit(ByteIdBase)), 2, "0")))
+      .groupBy(col(idCol))
+      .agg(
+        decode(
+          unhex(concat_ws(
+            "",
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("__piece")))),
+              x => x.getField("__piece")))),
+          "UTF-8").as("text_nospace"))
+  }
+
   /** Inverse of [[encodeIds]] under the same dictionary — reassemble
     * each document's whitespace-stripped text from its token-id stream.
     * The round trip `decodeIds(encodeIds(docs)) == strip-spaces(docs)`

@@ -916,6 +916,37 @@ object TokenizerQueries {
           |FROM documents
           |WHERE regexp_replace(text, '\s+', '', 'g') <> ''""".stripMargin
       )
+    ),
+
+    // BYTE-LEVEL fallback round trip — the GPT-2-style guarantee: the
+    // dictionary is trained on the PLAIN corpus, then every document
+    // is suffixed with words full of astral-plane codepoints (emoji,
+    // U+1D11E) the training alphabet has never seen. Character-level
+    // fallback would drop them (no id); the byte page encodes their
+    // exact UTF-8 bytes, so decode(encode(x)) == strip-whitespace(x)
+    // holds for ANY input — the oracle is id-chain-independent (plain
+    // regexp strip of the same suffixed text), so only a lossless
+    // encode→decode pipeline through both the subword AND byte paths
+    // can match it.
+    Q(
+      "q_bpe_ids_bytes",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val suffixed = docs.select(col("doc_id"),
+          concat(col("text"), lit(" zzé😀🚀x𝄞 😺")).as("text"))
+        val dict = Vocab.mergedDict(docs, "text", iters = 2)
+        val out = Vocab.decodeIdsBytes(
+          Vocab.encodeIdsBytes(suffixed, "doc_id", "text", dict), "doc_id", dict)
+        val scratch = Q.scratch("idsbytes")
+        out.write.mode("overwrite").parquet(scratch)
+        dict.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        """SELECT doc_id,
+          |  regexp_replace(text || ' zzé😀🚀x𝄞 😺', '\s+', '', 'g') AS text_nospace
+          |FROM documents""".stripMargin
+      )
     )
   )
 }

@@ -248,6 +248,43 @@ class VocabSpec extends SparkSpec {
     assert(allocs == Seq(333L, 333L, 333L))
   }
 
+  test("encodeIdsBytes/decodeIdsBytes: byte fallback round-trips astral-plane input exactly") {
+    import graft.operators.Vocab
+    val train = Seq((1L, "aa ab aa"), (2L, "ba ab")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(train, "text", iters = 1)
+    // apply to text the alphabet has never seen: emoji (surrogate
+    // pairs), astral musical symbol, accented latin — all OOV words
+    val docs = Seq(
+      (1L, "aa 😀🚀 ab"),
+      (2L, "𝄞clef ba café"),
+      (3L, "😺")
+    ).toDF("doc_id", "text")
+    val ids = Vocab.encodeIdsBytes(docs, "doc_id", "text", dict)
+    // byte-page ids sit at ByteIdBase+b; subword ids stay below
+    val tid = ids.select("token_id").collect().map(_.getLong(0))
+    assert(tid.exists(_ >= Vocab.ByteIdBase) && tid.exists(_ < Vocab.ByteIdBase))
+    val got = Vocab.decodeIdsBytes(ids, "doc_id", dict)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    dict.unpersist()
+    assert(got == Map(
+      1L -> "aa😀🚀ab",
+      2L -> "𝄞clefbacafé",
+      3L -> "😺"), got.toString)
+  }
+
+  test("encodeIdsBytes: positions are contiguous per document across both id paths") {
+    import graft.operators.Vocab
+    val train = Seq((1L, "aa ab")).toDF("doc_id", "text")
+    val dict = Vocab.mergedDict(train, "text", iters = 1)
+    val docs = Seq((7L, "aa 😀 ab")).toDF("doc_id", "text")
+    val pos = Vocab.encodeIdsBytes(docs, "doc_id", "text", dict)
+      .orderBy("pos").select("pos").collect().map(_.getLong(0)).toSeq
+    dict.unpersist()
+    assert(pos == (1L to pos.length.toLong), pos.toString)
+    // "aa"(1-2 syms) + 😀(4 bytes) + "ab"(syms) — the byte run sits between
+    assert(pos.length >= 6)
+  }
+
   test("packBins: empty corpus yields an empty bins frame, not a crash") {
     val stream = Seq.empty[(Long, Long, Long)].toDF("doc_id", "pos", "token_id")
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
