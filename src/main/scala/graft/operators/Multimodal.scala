@@ -1233,17 +1233,389 @@ object Multimodal {
     out
   }
 
+  /** CRC-8, polynomial x^8+x^2+x+1 (0x07), MSB-first, init 0 — the
+    * FLAC frame-header checksum. */
+  private def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xFF
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF else (crc << 1) & 0xFF; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), MSB-first, init 0 —
+    * the FLAC whole-frame checksum. */
+  private def flacCrc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xFF) << 8
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF else (crc << 1) & 0xFFFF; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** Pure-JVM FLAC decoder — the LOSSLESS compressed audio format, so
+    * (unlike MP3/AAC) its decode is closed-form oracle-able: rice-coded
+    * residuals reconstruct through fixed or LPC predictors to exact
+    * integer samples. Coverage per the public format spec
+    * (https://xiph.org/flac/format.html layouts): STREAMINFO + skipped
+    * metadata blocks; frames with any blocksize code (fixed table,
+    * 8/16-bit inline), sample-rate codes (STREAMINFO, fixed table, kHz
+    * and Hz inline forms), mono or independent stereo, 16-bit samples;
+    * subframe types CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders
+    * 1-32; 4- and 5-bit rice partitions incl. the escape (raw
+    * fixed-width) code; wasted-bits shifts; CRC-8 (header) and CRC-16
+    * (frame) both VERIFIED. Stereo decorrelation modes (left/mid/side)
+    * and 8/12/20/24-bit depths return None — degrade, don't throw —
+    * like every codec here. Returns (channels, rate, interleaved
+    * 16-bit samples), [[decodeWav]]'s exact contract, so every
+    * downstream screen is codec-agnostic.
+    */
+  def decodeFlac(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = try {
+    if (bytes.length < 42 || bytes(0) != 'f' || bytes(1) != 'L' ||
+      bytes(2) != 'a' || bytes(3) != 'C') return None
+    def u8(o: Int): Int = bytes(o) & 0xFF
+    // ---- metadata walk ----
+    var p = 4
+    var last = false
+    var rate = -1; var nCh = -1; var bps = -1; var total = -1L
+    while (!last) {
+      if (p + 4 > bytes.length) return None
+      val hdr = u8(p)
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7F
+      val blen = (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
+      if (p + 4 + blen > bytes.length) return None
+      if (btype == 0 && blen >= 34) { // STREAMINFO
+        val o = p + 4
+        rate = (u8(o + 10) << 12) | (u8(o + 11) << 4) | (u8(o + 12) >> 4)
+        nCh = ((u8(o + 12) >> 1) & 7) + 1
+        bps = (((u8(o + 12) & 1) << 4) | (u8(o + 13) >> 4)) + 1
+        total = ((u8(o + 13) & 0xF).toLong << 32) |
+          ((u8(o + 14).toLong << 24) | (u8(o + 15).toLong << 16) |
+            (u8(o + 16).toLong << 8) | u8(o + 17).toLong)
+      }
+      p += 4 + blen
+    }
+    if (rate <= 0 || nCh < 1 || nCh > 2 || bps != 16) return None
+
+    // ---- bit reader over the frame section ----
+    var bitPos = p * 8
+    val endBit = bytes.length * 8
+    def bitsLeft: Long = endBit.toLong - bitPos
+    def readBit(): Int = {
+      if (bitPos >= endBit) throw new IllegalStateException("eof")
+      val v = (u8(bitPos >> 3) >> (7 - (bitPos & 7))) & 1
+      bitPos += 1
+      v
+    }
+    def readBits(n: Int): Int = { // n <= 31
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      if (n > 0 && (v & (1 << (n - 1))) != 0) v - (1 << n) else v
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) {
+        q += 1
+        if (q > (1 << 20)) throw new IllegalStateException("runaway unary")
+      }
+      q
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var got = 0L
+    // ---- frame loop ----
+    while ((total <= 0L || got < total * nCh) && bitsLeft >= 40) {
+      val frameStart = bitPos >> 3
+      if (readBits(14) != 0x3FFE) return None // sync
+      if (readBit() != 0) return None         // reserved
+      readBit()                               // blocking strategy
+      val bsCode = readBits(4)
+      val srCode = readBits(4)
+      val chCode = readBits(4)
+      val ssCode = readBits(3)
+      if (readBit() != 0) return None
+      // coded frame/sample number: UTF-8-like variable length
+      val b0 = readBits(8)
+      val extra =
+        if ((b0 & 0x80) == 0) 0
+        else if ((b0 & 0xE0) == 0xC0) 1
+        else if ((b0 & 0xF0) == 0xE0) 2
+        else if ((b0 & 0xF8) == 0xF0) 3
+        else if ((b0 & 0xFC) == 0xF8) 4
+        else if ((b0 & 0xFE) == 0xFC) 5
+        else if (b0 == 0xFE) 6
+        else return None
+      var e = 0
+      while (e < extra) { if ((readBits(8) & 0xC0) != 0x80) return None; e += 1 }
+      val blockSize = bsCode match {
+        case 0  => return None // reserved
+        case 1  => 192
+        case n if n >= 2 && n <= 5 => 576 << (n - 2)
+        case 6  => readBits(8) + 1
+        case 7  => readBits(16) + 1
+        case n  => 256 << (n - 8)
+      }
+      val frameRate = srCode match {
+        case 0  => rate
+        case 1  => 88200
+        case 2  => 176400
+        case 3  => 192000
+        case 4  => 8000
+        case 5  => 16000
+        case 6  => 22050
+        case 7  => 24000
+        case 8  => 32000
+        case 9  => 44100
+        case 10 => 48000
+        case 11 => 96000
+        case 12 => readBits(8) * 1000
+        case 13 => readBits(16)
+        case 14 => readBits(16) * 10
+        case _  => return None
+      }
+      if (frameRate != rate) return None
+      val frameCh = chCode match {
+        case 0 => 1
+        case 1 => 2
+        case _ => return None // >2 or stereo decorrelation: unsupported
+      }
+      if (frameCh != nCh) return None
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 4 => 16
+        case _ => return None // 8/12/20/24-bit frames unsupported
+      }
+      if (frameBps != 16) return None
+      // CRC-8 over the header bytes read so far (reader is byte-aligned
+      // here: every inline field above is whole bytes past the first 4)
+      if ((bitPos & 7) != 0) return None
+      val crc8 = flacCrc8(bytes, frameStart, bitPos >> 3)
+      if (readBits(8) != crc8) return None
+
+      // ---- subframes ----
+      val chans = Array.ofDim[Int](frameCh, blockSize)
+      var c = 0
+      while (c < frameCh) {
+        if (readBit() != 0) return None // subframe pad bit
+        val sfType = readBits(6)
+        val wasted = if (readBit() == 1) readUnary() + 1 else 0
+        val eff = 16 - wasted
+        val s = chans(c)
+        def decodeResiduals(order: Int): Array[Int] = {
+          val res = new Array[Int](blockSize - order)
+          val method = readBits(2)
+          if (method > 1) throw new IllegalStateException("reserved residual method")
+          val pBits = if (method == 0) 4 else 5
+          val escape = if (method == 0) 0xF else 0x1F
+          val po = readBits(4)
+          val partitions = 1 << po
+          if (blockSize % partitions != 0) throw new IllegalStateException("bad partition order")
+          var idx = 0
+          var part = 0
+          while (part < partitions) {
+            val n = (blockSize >> po) - (if (part == 0) order else 0)
+            if (n < 0) throw new IllegalStateException("order exceeds first partition")
+            val param = readBits(pBits)
+            var j = 0
+            if (param == escape) {
+              val width = readBits(5)
+              while (j < n) { res(idx) = if (width == 0) 0 else readSigned(width); idx += 1; j += 1 }
+            } else {
+              while (j < n) {
+                val q = readUnary()
+                val u = (q << param) | readBits(param)
+                res(idx) = (u >>> 1) ^ -(u & 1) // zigzag
+                idx += 1; j += 1
+              }
+            }
+            part += 1
+          }
+          res
+        }
+        if (sfType == 0) { // CONSTANT
+          val v = readSigned(eff)
+          java.util.Arrays.fill(s, v)
+        } else if (sfType == 1) { // VERBATIM
+          var i = 0
+          while (i < blockSize) { s(i) = readSigned(eff); i += 1 }
+        } else if ((sfType & 0x38) == 0x08 && (sfType & 7) <= 4) { // FIXED
+          val order = sfType & 7
+          var i = 0
+          while (i < order) { s(i) = readSigned(eff); i += 1 }
+          val res = decodeResiduals(order)
+          i = order
+          while (i < blockSize) {
+            val pred = order match {
+              case 0 => 0L
+              case 1 => s(i - 1).toLong
+              case 2 => 2L * s(i - 1) - s(i - 2)
+              case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+              case 4 => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+            }
+            s(i) = (pred + res(i - order)).toInt
+            i += 1
+          }
+        } else if ((sfType & 0x20) != 0) { // LPC, order = low 5 bits + 1
+          val order = (sfType & 0x1F) + 1
+          var i = 0
+          while (i < order) { s(i) = readSigned(eff); i += 1 }
+          val precM1 = readBits(4)
+          if (precM1 == 0xF) return None
+          val prec = precM1 + 1
+          val shift = readSigned(5)
+          if (shift < 0) return None
+          val coefs = Array.fill(order)(readSigned(prec))
+          val res = decodeResiduals(order)
+          i = order
+          while (i < blockSize) {
+            var acc = 0L
+            var j = 0
+            while (j < order) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+            s(i) = ((acc >> shift) + res(i - order)).toInt
+            i += 1
+          }
+        } else return None
+        if (wasted > 0) {
+          var i = 0
+          while (i < blockSize) { s(i) = s(i) << wasted; i += 1 }
+        }
+        c += 1
+      }
+      // byte-align, then CRC-16 over the whole frame
+      while ((bitPos & 7) != 0) { if (readBit() != 0) return None }
+      val crc16 = flacCrc16(bytes, frameStart, bitPos >> 3)
+      if (readBits(16) != crc16) return None
+      // interleave
+      var t = 0
+      while (t < blockSize) {
+        var cc = 0
+        while (cc < frameCh) {
+          val v = chans(cc)(t)
+          if (v < -32768 || v > 32767) return None
+          out += v.toShort
+          cc += 1
+        }
+        t += 1
+      }
+      got += blockSize.toLong * frameCh
+    }
+    if (total > 0L && got != total * nCh) return None
+    Some((nCh, rate, out.toArray))
+  } catch { case _: Exception => None }
+
+  /** Deterministic FLAC fixture encoder: mono, 8000 Hz, 16-bit, one
+    * 64-sample frame whose samples are the closed form
+    * `s(k,i) = ((k·31 + i·17) mod 128) − 64 + (i mod 5)·9` — so the
+    * oracle re-derives every sample without touching the bitstream.
+    * EVEN seeds encode through a FIXED order-1 subframe (residuals =
+    * first differences), ODD seeds through an LPC order-2 subframe
+    * (coefs [2, −1], shift 0 — residuals = second differences), both
+    * rice-coded (4-bit method, one partition, param 7) — the two
+    * predictor families decode to the SAME samples, which is exactly
+    * the lossless guarantee. Real CRC-8/CRC-16 are computed, so the
+    * decoder's checksum verification runs for real.
+    */
+  def syntheticFlac(seed: Long): Array[Byte] = {
+    require(seed >= 0, "syntheticFlac: non-negative seed")
+    val n = 64
+    val s = Array.tabulate(n)(i => (((seed * 31 + i * 17) % 128) - 64 + (i % 5) * 9).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    // ---- stream header + STREAMINFO ----
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80); out.write(0); out.write(0); out.write(34) // last block, type 0, len 34
+    def w16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xFF) }
+    w16(n); w16(n) // min/max blocksize
+    out.write(0); out.write(0); out.write(0) // min framesize unknown
+    out.write(0); out.write(0); out.write(0) // max framesize unknown
+    val rate = 8000
+    out.write(rate >> 12); out.write((rate >> 4) & 0xFF)
+    out.write(((rate & 0xF) << 4) | (0 << 1) | (15 >> 4)) // ch-1=0, bps-1 high bit
+    out.write(((15 & 0xF) << 4) | 0) // bps-1 low nibble, total high 4 = 0
+    out.write(0); out.write(0); out.write(0); out.write(n) // total samples = 64
+    (0 until 16).foreach(_ => out.write(0)) // md5 unset
+    // ---- one frame ----
+    val frame = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nb = 0
+    def putBits(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) { frame.write(acc & 0xFF); acc = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def pad(): Unit = while (nb != 0) putBits(0, 1)
+    // header (byte-aligned by construction)
+    putBits(0x3FFE, 14); putBits(0, 1); putBits(0, 1) // sync, reserved, fixed-blocksize
+    putBits(6, 4)  // blocksize: 8-bit value follows
+    putBits(0, 4)  // sample rate: from STREAMINFO
+    putBits(0, 4)  // mono
+    putBits(4, 3); putBits(0, 1) // 16-bit, reserved
+    putBits(0, 8)  // frame number 0 (UTF-8 single byte)
+    putBits(n - 1, 8)
+    val hdr = frame.toByteArray
+    putBits(flacCrc8(hdr, 0, hdr.length), 8)
+    val param = 7
+    def putRice(v: Int): Unit = {
+      val u = (v << 1) ^ (v >> 31) // zigzag
+      val q = u >>> param
+      var i = 0
+      while (i < q) { putBits(0, 1); i += 1 }
+      putBits(1, 1)
+      putBits(u & ((1 << param) - 1), param)
+    }
+    if (seed % 2 == 0) {
+      // FIXED order 1
+      putBits(0, 1); putBits(0x09, 6); putBits(0, 1) // pad, type 001001, no wasted bits
+      putBits(s(0) & 0xFFFF, 16)                     // warmup
+      putBits(0, 2); putBits(0, 4); putBits(param, 4) // rice method 0, po 0, param
+      var i = 1
+      while (i < n) { putRice(s(i) - s(i - 1)); i += 1 }
+    } else {
+      // LPC order 2, coefs [2, -1], precision 4, shift 0
+      putBits(0, 1); putBits(0x21, 6); putBits(0, 1) // pad, type 100001 (order 2), no wasted
+      putBits(s(0) & 0xFFFF, 16); putBits(s(1) & 0xFFFF, 16)
+      putBits(3, 4)  // precision - 1
+      putBits(0, 5)  // shift
+      putBits(2 & 0xF, 4); putBits(-1 & 0xF, 4) // coefs, 4-bit signed
+      putBits(0, 2); putBits(0, 4); putBits(param, 4)
+      var i = 2
+      while (i < n) { putRice(s(i) - (2 * s(i - 1) - s(i - 2))); i += 1 }
+    }
+    pad()
+    val body = frame.toByteArray
+    val crc16 = flacCrc16(body, 0, body.length)
+    out.write(body, 0, body.length)
+    out.write(crc16 >> 8); out.write(crc16 & 0xFF)
+    out.toByteArray
+  }
+
   /** Decode one payload to [[AudioStats]]: per-channel sample sums,
     * sums of squares and zero-crossing counts (a crossing at frame t>0
     * when sign(s[t-1]) ≠ sign(s[t]), negatives vs non-negatives) over
     * the first two channels; `dur_ms = frames·1000 div rate` (integer).
-    * PCM decodes tag "wav"; IMA ADPCM, "wav_ima". Undecodable payloads
-    * keep a header sniff (mp3/ogg/flac magics) and zeroed stats — the
-    * same labeled-fallback contract as [[imageStats]].
+    * PCM decodes tag "wav"; IMA ADPCM, "wav_ima"; FLAC, "flac".
+    * Undecodable payloads keep a header sniff (mp3/ogg/flac magics)
+    * and zeroed stats — the same labeled-fallback contract as
+    * [[imageStats]].
     */
   def audioStats(id: Long, bytes: Array[Byte]): AudioStats =
     decodeWav(bytes).map(d => ("wav", d))
-      .orElse(decodeWavIma(bytes).map(d => ("wav_ima", d))) match {
+      .orElse(decodeWavIma(bytes).map(d => ("wav_ima", d)))
+      .orElse(decodeFlac(bytes).map(d => ("flac", d))) match {
       case Some((fmt, (ch, rate, pcm))) =>
         val frames = if (ch == 0) 0 else pcm.length / ch
         val sums = new Array[Long](2); val ssqs = new Array[Long](2)

@@ -2139,6 +2139,57 @@ object NorthStarQueries {
       }
     ),
 
+    // FLAC — the dominant LOSSLESS web audio format, and lossless is
+    // exactly what makes a compressed codec closed-form oracle-able:
+    // rice-coded residuals reconstruct through fixed/LPC predictors to
+    // EXACT integer samples, so the oracle re-derives every sample from
+    // the generation formula without touching the bitstream — only a
+    // decoder that walks metadata blocks, frame headers (CRC-8
+    // verified), subframe typing, rice partitions, both predictor
+    // families, and the frame CRC-16 reproduces them. Even nation keys
+    // encode through FIXED order-1 subframes, odd keys through LPC
+    // order-2 — two encodings, one sample stream, the lossless
+    // guarantee made test-visible. Map-only like every codec.
+    Q(
+      "q_audio_decode_flac",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val flac = udf((k: Long) => Multimodal.syntheticFlac(k))
+        val out = Multimodal.decodeAudio(
+          blobs.withColumn("payload", flac(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out) // decode is map-only end to end
+        out
+      },
+      Some(
+        """WITH sg AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i,
+          |    (n_nationkey * 31 + i * 17) % 128 - 64 + (i % 5) * 9 AS s
+          |  FROM nation, UNNEST(generate_series(0, 63)) AS u(i)
+          |), agg AS (
+          |  SELECT media_id,
+          |    CAST(SUM(s) AS BIGINT) AS sum_c0,
+          |    CAST(SUM(s * s) AS BIGINT) AS ssq_c0
+          |  FROM sg GROUP BY media_id
+          |), zc AS (
+          |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS z
+          |  FROM (SELECT media_id, s,
+          |          LAG(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+          |        FROM sg) lagd
+          |  WHERE prev IS NOT NULL AND ((prev < 0) <> (s < 0))
+          |  GROUP BY media_id
+          |)
+          |SELECT agg.media_id, 'flac' AS format, CAST(1 AS INT) AS n_channels,
+          |  CAST(8000 AS INT) AS sample_rate,
+          |  CAST(64 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS dur_ms,
+          |  sum_c0, ssq_c0, CAST(COALESCE(zc.z, 0) AS BIGINT) AS zc_c0,
+          |  CAST(0 AS BIGINT) AS sum_c1, CAST(0 AS BIGINT) AS ssq_c1,
+          |  CAST(0 AS BIGINT) AS zc_c1
+          |FROM agg LEFT JOIN zc ON zc.media_id = agg.media_id""".stripMargin
+      )
+    ),
+
     // The audio decode→DECISION loop: the decoded stats drive the
     // standard ingest screens — corrupt payloads (truncated header →
     // sniff fallback) and digital silence (zero energy) are dropped,

@@ -184,6 +184,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpeg(noDqt).isEmpty)
   }
 
+  test("decodeFlac: fixed and LPC subframes reconstruct the exact closed-form samples") {
+    for (seed <- Seq(0L, 1L, 2L, 7L, 24L)) { // both parities = both predictor families
+      val bytes = Multimodal.syntheticFlac(seed)
+      val Some((ch, rate, pcm)) = Multimodal.decodeFlac(bytes)
+      assert(ch == 1 && rate == 8000 && pcm.length == 64, s"seed=$seed")
+      for (i <- 0 until 64) {
+        val want = ((seed * 31 + i * 17) % 128 - 64 + (i % 5) * 9).toInt
+        assert(pcm(i) == want, s"seed=$seed sample $i: got ${pcm(i)}, want $want")
+      }
+    }
+  }
+
+  test("decodeFlac: corruption anywhere (magic, header CRC, frame CRC, truncation) degrades to None") {
+    val good = Multimodal.syntheticFlac(5L)
+    assert(Multimodal.decodeFlac(good).isDefined)
+    assert(Multimodal.decodeFlac(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeFlac("fLaX".getBytes ++ good.drop(4)).isEmpty)
+    assert(Multimodal.decodeFlac(good.take(50)).isEmpty) // truncated mid-frame
+    // flip one bit in the entropy-coded body: the frame CRC-16 must catch it
+    val flipped = good.clone()
+    flipped(good.length - 10) = (flipped(good.length - 10) ^ 0x10).toByte
+    assert(Multimodal.decodeFlac(flipped).isEmpty)
+    // corrupt the frame-header CRC byte itself
+    val hdrBad = good.clone()
+    val frameOff = 4 + 4 + 34 // magic + block header + STREAMINFO
+    hdrBad(frameOff + 6) = (hdrBad(frameOff + 6) ^ 0x01).toByte
+    assert(Multimodal.decodeFlac(hdrBad).isEmpty)
+    // audioStats: real decode tags "flac" with real stats; a corrupt
+    // payload with the magic keeps the sniff label and zeroed stats
+    assert(Multimodal.audioStats(1L, good).format == "flac")
+    assert(Multimodal.audioStats(1L, good).n_frames == 64L)
+    assert(Multimodal.audioStats(1L, flipped).format == "flac")
+    assert(Multimodal.audioStats(1L, flipped).n_frames == 0L)
+  }
+
   test("decodeImagesResized: non-positive factor fails fast on the driver") {
     val df = Seq((1L, Multimodal.syntheticPpm(1L, 4, 4))).toDF("media_id", "payload")
     intercept[IllegalArgumentException] {
