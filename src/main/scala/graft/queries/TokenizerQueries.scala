@@ -178,19 +178,31 @@ object TokenizerQueries {
     * Same discipline as q_cdc_apply's map-side group limit: never let
     * one key's full mass serialize through one task.
     */
+  /** Past this many (lang, bucket) offset rows — bounded above by
+    * |langs| · 2^16 — the offsets frame stops riding a broadcast
+    * (driver-memory risk at very high language/source counts) and the
+    * add-back join degrades to a shuffle join AQE sizes. The guard
+    * uses the BOUND, not an extra counting action: it is derived from
+    * the same one-row aggregate that sizes the buckets, errs
+    * conservative (actual offset rows ≤ the bound), and costs nothing.
+    */
+  private[graft] val MaxBroadcastOffsetRows: Long = 1L << 22
+
   private[graft] def packBins(stream: DataFrame, docs: DataFrame): DataFrame = {
     val perDoc = stream.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
     // bucket width from the OBSERVED id range (ids need not be dense):
     // ~2^16 buckets keep the offset frame broadcast-sized while cutting
-    // the serial window by the same factor. One-row driver agg.
-    val r = perDoc.agg(min(col("doc_id")), max(col("doc_id"))).first()
+    // the serial window by the same factor. One-row driver agg — the
+    // language count rides the same action for the broadcast guard.
+    val r = perDoc.agg(min(col("doc_id")), max(col("doc_id")),
+      countDistinct(col("lang"))).first()
     // min/max over ZERO rows are NULL: an empty corpus yields an empty
     // bins frame (the flat-window shape's behavior), not a driver NPE
     if (r.isNullAt(0))
       return perDoc.filter(lit(false))
         .select(col("doc_id"), col("lang"), lit(0L).as("bin"))
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (lo, hi, nLangs) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val width = math.max(1L, (hi - lo + 1) / 65536L)
     val bucketed = perDoc.withColumn("__bkt",
       expr(s"(doc_id - ${lo}L) div ${width}L"))
@@ -201,12 +213,17 @@ object TokenizerQueries {
       .agg(sum(col("__n")).as("__s"))
       .withColumn("__off", sum(col("__s")).over(wOff) - col("__s"))
       .select(col("lang").as("__ol"), col("__bkt").as("__ob"), col("__off"))
+    // the offsets frame is ≤ nLangs · 2^16 rows; force the broadcast
+    // only while that bound stays inside driver comfort, otherwise let
+    // the add-back run as a shuffle join (bit-identical result)
+    val offSide =
+      if (nLangs * 65536L <= MaxBroadcastOffsetRows) broadcast(offsets) else offsets
     val wIn = Window.partitionBy(col("lang"), col("__bkt"))
       .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed
       .withColumn("__cumin", sum(col("__n")).over(wIn))
-      .join(broadcast(offsets),
+      .join(offSide,
         col("lang") === col("__ol") && col("__bkt") === col("__ob"))
       .withColumn("__cum", col("__off") + col("__cumin"))
       .select(col("doc_id"), col("lang"),

@@ -285,6 +285,63 @@ class VocabSpec extends SparkSpec {
     assert(pos.length >= 6)
   }
 
+  test("packBins: 500-language corpus trips the broadcast guard, result bit-identical") {
+    // |langs| * 2^16 = 500 * 65536 >> MaxBroadcastOffsetRows, so the
+    // offsets add-back must degrade to a shuffle join — and the bin
+    // assignment must equal the flat per-lang running sum regardless
+    val nDocs = 1500
+    val docs = (0 until nDocs).map(i => (i.toLong, s"lang${i % 500}"))
+      .toDF("doc_id", "lang")
+    // per-doc token counts: 1 + doc_id % 700 (some docs span bins)
+    val stream = (0 until nDocs).flatMap { i =>
+      (0 until (1 + i % 700)).map(p => (i.toLong, p.toLong + 1L, 0L))
+    }.toDF("doc_id", "pos", "token_id")
+    assert(500L * 65536L > graft.queries.TokenizerQueries.MaxBroadcastOffsetRows)
+    val bins = graft.queries.TokenizerQueries.packBins(stream, docs)
+    // guard tripped: the broadcast is no longer FORCED by hint — a
+    // bound-busting offsets frame is left to AQE, which broadcasts
+    // only when the ACTUAL size fits (here it does; that's fine)
+    assert(packBinsJoinHints(bins).isEmpty,
+      "offsets must not carry a forced broadcast hint past the guard")
+    val got = bins.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // flat-window reference: per-lang running sum in doc_id order
+    val byLang = (0 until nDocs).groupBy(_ % 500)
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    byLang.values.foreach { ids =>
+      var cum = 0L
+      ids.sorted.foreach { i =>
+        val n = 1L + i % 700
+        expected(i.toLong) = (cum) / 2048L // bin of the doc's FIRST token
+        cum += n
+      }
+    }
+    assert(got.size == nDocs)
+    got.foreach { case (id, bin) =>
+      assert(bin == expected(id), s"doc $id: got bin $bin, want ${expected(id)}")
+    }
+  }
+
+  test("packBins: few-language corpus still broadcasts the offsets frame") {
+    val docs = (0 until 50).map(i => (i.toLong, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val stream = (0 until 50).map(i => (i.toLong, 1L, 0L)).toDF("doc_id", "pos", "token_id")
+    val bins = graft.queries.TokenizerQueries.packBins(stream, docs)
+    assert(packBinsJoinHints(bins).nonEmpty,
+      "offsets must carry the forced broadcast hint under the guard")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    assert(graft.queries.Q.planNodes(bins).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "offsets must broadcast under the guard")
+    assert(bins.count() == 50L)
+  }
+
+  /** Joins in the optimized plan carrying an explicit (hinted) join
+    * strategy — how the guard's force-broadcast decision is observed. */
+  private def packBinsJoinHints(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+
   test("packBins: empty corpus yields an empty bins frame, not a crash") {
     val stream = Seq.empty[(Long, Long, Long)].toDF("doc_id", "pos", "token_id")
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
