@@ -139,6 +139,45 @@ object Graph {
   ): DataFrame =
     pageRankFromAdj(collapseEdges(edges, srcCol, dstCol), iters)
 
+  /** Connected components of the collapsed adjacency, treated as
+    * UNDIRECTED — the domain-graph clustering a web pipeline runs for
+    * link-farm detection and per-site grouping. Min-label propagation:
+    * every round each node takes the minimum of its own label and its
+    * neighbors' (string order — matching SQL MIN), converging in
+    * O(component diameter) rounds; each round is one join + partial
+    * aggregation over the |domains|²-bounded symmetrized edge set,
+    * with the [[pin]] discipline keeping every round's plan
+    * constant-size. Returns (node, component) with components labeled
+    * by their lexicographically smallest member; the returned frame is
+    * persisted — caller unpersists ([[Vocab.mergedDict]] contract).
+    */
+  def connectedComponents(adj: DataFrame): DataFrame = {
+    val edges = adj.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(adj.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count(): Unit
+    var (lP, lCut) = pin(
+      nodesOf(adj).select(col("node"), col("node").as("component")))
+    var changed = 1L
+    while (changed > 0) {
+      val (nP, nCut) = pin(
+        edges
+          .join(lCut.select(col("node").as("v"), col("component").as("__c")), "v")
+          .groupBy(col("u").as("node")).agg(min(col("__c")).as("__nb"))
+          .join(lCut, "node")
+          .select(col("node"),
+            least(col("component"), col("__nb")).as("component"),
+            (col("__nb") < col("component")).as("__moved")))
+      changed = nCut.filter(col("__moved")).count()
+      lP.unpersist()
+      lP = nP; lCut = nCut.select(col("node"), col("component"))
+    }
+    val (outP, _) = pin(lCut)
+    lP.unpersist(); edges.unpersist()
+    outP
+  }
+
   /** Result of a convergence-looped rank computation: the final rank
     * frame (persisted — caller unpersists), the number of iterations
     * actually executed, and the last step's max per-node rank change.

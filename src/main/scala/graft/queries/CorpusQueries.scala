@@ -3344,6 +3344,67 @@ object CorpusQueries {
       }
     ),
 
+    // Connected components over the domain link graph — the second
+    // canonical graph operator (after rank): link-farm / site-group
+    // detection. The corpus filter keeps 8 of the 15 closed-form edge
+    // types, which splits the domain universe into SEVEN components
+    // (one of size 3), so the propagation genuinely merges labels
+    // across rounds rather than collapsing to one blob. Undirected
+    // min-label propagation to the fixed point on the
+    // |domains|²-bounded symmetrized edge set; the oracle runs the
+    // SAME propagation as a recursive CTE (neighbors' labels and each
+    // node's own label ride one self-reference via the marker-row
+    // trick) until no label moves.
+    Q(
+      "q_domain_components",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").filter(col("doc_id") % 15 < 8)
+        val cc = Graph.connectedComponents(
+          Graph.collapseEdges(graphEdges(docs), "src", "dst"))
+        val scratch = Q.scratch("domcc")
+        cc.write.mode("overwrite").parquet(scratch)
+        cc.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some {
+        val edgesSql =
+          s"""SELECT
+             |    ${domainSql("doc_id")} AS src,
+             |    ${domainSql("doc_id + 2", "doc_id + 1")} AS dst
+             |  FROM documents WHERE doc_id % 15 < 8""".stripMargin
+        s"""WITH RECURSIVE ${domainGraphCtes(edgesSql, "")},
+           |und AS (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT src AS u, dst AS v FROM adj
+           |    UNION ALL
+           |    SELECT dst, src FROM adj)
+           |), undx AS (
+           |  SELECT u, v, 1 AS isedge FROM und
+           |  UNION ALL
+           |  SELECT node, node, 0 FROM nodes
+           |), cc AS (
+           |  SELECT 0 AS k, node, node AS component, 1 AS moving FROM nodes
+           |  UNION ALL
+           |  SELECT * FROM (
+           |    SELECT k, node, component,
+           |      CASE WHEN MAX(CASE WHEN component < old THEN 1 ELSE 0 END)
+           |             OVER () = 1
+           |           THEN 1 ELSE 0 END AS moving
+           |    FROM (
+           |      SELECT MAX(p.k) + 1 AS k, x.u AS node,
+           |        MIN(p.component) AS component,
+           |        MAX(CASE WHEN x.isedge = 0 THEN p.component END) AS old,
+           |        MAX(p.moving) AS moving
+           |      FROM cc p JOIN undx x ON x.v = p.node
+           |      GROUP BY x.u
+           |    ) g WHERE g.moving = 1
+           |  ) z
+           |)
+           |SELECT node, component FROM cc
+           |WHERE k = (SELECT MAX(k) FROM cc)""".stripMargin
+      }
+    ),
+
     // The WEB-INGEST flagship: the step-zero chain a web corpus runs
     // before any of the deeper curation — raw HTML → text extraction
     // (the q_html_strip shell), URL-provenance screen (q_url_domains'

@@ -572,6 +572,20 @@ object ScaleProbe {
           maxIters = 32, tolMicro = 0L)
         val n = res.ranks.count(); res.ranks.unpersist(); n
       }
+      // connected components: corpus collapses to the adjacency in one
+      // shuffle; min-label rounds run on the collapsed frame — wall
+      // must track the collapse, not the edge-list multiplicity
+      probe(s"domain_cc x$k") {
+        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        def dn(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
+        val edges = d.filter(col("doc_id") % 15 < 8)
+          .select(dn(col("doc_id")).as("src"), dn(col("doc_id") + 2).as("dst"))
+        val cc = graft.operators.Graph.connectedComponents(
+          graft.operators.Graph.collapseEdges(edges, "src", "dst"))
+        val n = cc.count(); cc.unpersist(); n
+      }
       // Count-Min build: one corpus scan with constant per-token
       // fan-out into the d·w-cell table — wall must track the scan;
       // the cell count never grows with the corpus

@@ -35,6 +35,21 @@ class GraphSpec extends SparkSpec {
     assert(r("A") == 150000L)
   }
 
+  test("connectedComponents: undirected min-label propagation, multi-round chains") {
+    // a 4-node chain (D-C-B-A, directed edges against label order so
+    // propagation takes multiple rounds) + a 2-node island + implicit
+    // direction-independence (edge stored one way only)
+    val edges = Seq(("D", "C"), ("C", "B"), ("B", "A"), ("Y", "X"))
+      .toDF("src", "dst")
+    val cc = graft.operators.Graph.connectedComponents(
+      graft.operators.Graph.collapseEdges(edges, "src", "dst"))
+    val got = cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cc.unpersist()
+    assert(got == Map(
+      "A" -> "A", "B" -> "A", "C" -> "A", "D" -> "A",
+      "X" -> "X", "Y" -> "X"), got.toString)
+  }
+
   test("mergeAdj: per-batch collapses merge to exactly the full-corpus collapse") {
     val g = graft.operators.Graph
     val all = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"), ("A", "B"), ("B", "C"))

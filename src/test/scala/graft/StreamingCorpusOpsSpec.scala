@@ -472,4 +472,37 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("adjacency maintenance: streamed per-batch collapse merges to the batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    // the graph layer's mergeable-summary contract on a STREAM: each
+    // micro-batch collapses alone (Complete-mode streaming aggregation
+    // = the running adjacency), and the final state equals collapsing
+    // the full history in one batch — history never rescanned
+    val b1 = Seq(("a.com", "b.com"), ("a.com", "b.com"), ("b.com", "c.org"))
+    val b2 = Seq(("a.com", "b.com"), ("c.org", "a.com"))
+    val in = MemoryStream[(String, String)]
+    val agg = graft.operators.Graph.collapseEdges(
+      in.toDF().toDF("src", "dst"), "src", "dst")
+    val q = agg.writeStream
+      .format("memory").queryName("sc_adj_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("sc_adj_out")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Graph.collapseEdges(
+        (b1 ++ b2).toDF("src", "dst"), "src", "dst")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      // and mergeAdj over the per-batch collapses equals the same rebuild
+      val merged = graft.operators.Graph.mergeAdj(
+        graft.operators.Graph.collapseEdges(b1.toDF("src", "dst"), "src", "dst"),
+        graft.operators.Graph.collapseEdges(b2.toDF("src", "dst"), "src", "dst"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(merged == batch, s"merge $merged vs rebuild $batch")
+    } finally q.stop()
+  }
 }
