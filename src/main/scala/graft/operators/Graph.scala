@@ -220,16 +220,27 @@ object Graph {
     var i = 0
     var delta = Long.MaxValue
     while (i < maxIters && delta > tolMicro) {
-      val (nP, nCut) = pin(rankStep(adjP, deg, nodes, rCut))
-      delta = nCut
+      // ONE action per round: the step result carries its predecessor
+      // rank, so the max-|Δ| aggregation both materializes the persisted
+      // frame and reads off the convergence scalar — no separate count
+      val stepped = rankStep(adjP, deg, nodes, rCut)
         .join(rCut.select(col("node"), col("rank_micro").as("__prev")), "node")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      delta = stepped
         .agg(max(abs(col("rank_micro") - col("__prev"))))
         .first().getLong(0)
+      val nCut = adj.sparkSession
+        .createDataFrame(stepped.rdd, stepped.schema)
+        .select(col("node"), col("rank_micro"))
       rP.unpersist()
-      rP = nP; rCut = nCut
+      rP = stepped; rCut = nCut
       i += 1
     }
     adjP.unpersist(); nodes.unpersist(); deg.unpersist()
-    RankConvergence(rP, i, delta)
+    // one final pin projects the carried __prev away so the returned
+    // handle is a clean (node, rank_micro) frame the caller unpersists
+    val (outP, _) = pin(rP.select(col("node"), col("rank_micro")))
+    rP.unpersist()
+    RankConvergence(outP, i, delta)
   }
 }

@@ -309,6 +309,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert((after -- before).isEmpty, s"leaked persisted RDDs: ${after -- before}")
   }
 
+  test("tCloseness/kAnonymity: over-guard regime (shuffle join) — same decisions, released caches") {
+    val spark2 = spark
+    val before = spark2.sparkContext.getPersistentRDDs.keySet
+    val df = (1L to 40L).map(i => (s"g${i % 8}", s"v${i % 3}")).toDF("g", "s")
+    // force every guardedSide past the threshold: the group tables take
+    // the persisted-shuffle-join path instead of localize+broadcast
+    val over = graft.operators.Profile.tCloseness(df, Seq("g"), "s",
+      tPerMille = 500L, maxBroadcastGroups = 1L)
+    val overRows = over.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    over.unpersist() // over-guard output persist is documented caller-owned
+    val under = graft.operators.Profile.tCloseness(df, Seq("g"), "s", tPerMille = 500L)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(overRows == under, s"guard regime changed the decisions: $overRows vs $under")
+    // tCloseness materializes before returning, so its finally releases
+    // the guarded sides even in the over-guard regime (only the
+    // documented caller-owned output persist remained, released above)
+    val after = spark2.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked persisted RDDs: ${after -- before}")
+
+    val ka = graft.operators.Profile.kAnonymity(df, Seq("g"), k = 5L,
+      maxBroadcastGroups = 1L)
+    val kaRows = ka.collect()
+    val kaRef = graft.operators.Profile.kAnonymity(df, Seq("g"), k = 5L).collect()
+    assert(kaRows.map(_.toSeq).toSet == kaRef.map(_.toSeq).toSet)
+  }
+
   test("tCloseness: empty input yields an empty decision table, not a crash") {
     val empty = Seq.empty[(String, Option[String])].toDF("g", "s")
     val out = graft.operators.Profile.tCloseness(empty, Seq("g"), "s", tPerMille = 400L)
