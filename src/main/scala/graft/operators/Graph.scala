@@ -208,10 +208,11 @@ object Graph {
     val adjP = adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (adjP.isEmpty) {
       adjP.unpersist()
+      // derive the empty frame from the adjacency so the node column
+      // keeps its real type (string, long, ...) — a hardcoded-string
+      // schema would differ from the non-empty path's on typed ids
       return RankConvergence(
-        adj.sparkSession.emptyDataFrame
-          .withColumn("node", lit("")).withColumn("rank_micro", lit(0L))
-          .limit(0),
+        nodesOf(adj).withColumn("rank_micro", lit(1000000L)).limit(0),
         0, 0L)
     }
     val nodes = nodesOf(adjP).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -82,9 +82,10 @@ object Profile {
     // a force-broadcast of a huge group table OOMs the driver instead of
     // degrading. guardedSide counts once and only broadcasts under the
     // threshold, leaving nothing persisted behind; past the guard the
-    // group table stays persisted for this lazy plan's lifetime (the
-    // alternative is re-aggregating the corpus at exactly its largest).
-    val (side, _, _) = guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups)
+    // join degrades to a shuffle (keepPersisted=false: this audit
+    // returns a lazy plan, so nothing may stay cached without an owner).
+    val (side, _, _) =
+      guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups, keepPersisted = false)
     // NULL-SAFE join: groupBy already treats NULL as a QI value (its own
     // group), but a plain equi-join would silently DROP every NULL-QI row
     // from the audit — a privacy gate failing open for exactly the rows
@@ -109,15 +110,27 @@ object Profile {
     * a driver-local relation — the identical driver footprint a
     * `broadcast` would pay anyway when shipping the table — and
     * broadcast that, leaving NOTHING persisted behind. Past the guard,
-    * return the PERSISTED frame for a shuffle join AQE will size: the
-    * over-threshold case is exactly when the input aggregation is
-    * largest, so discarding the materialization there would double-scan
-    * the corpus. The third element releases that persist — callers that
-    * materialize their output call it afterwards; callers returning a
-    * lazy plan own it for the plan's lifetime (documented per entry
-    * point; only reachable past `maxBroadcastGroups` combinations).
+    * the behavior depends on who can release a cache:
+    *
+    *   - `keepPersisted = true` (callers that MATERIALIZE before
+    *     returning, e.g. tCloseness): return the persisted frame for a
+    *     shuffle join — the over-threshold case is exactly when the
+    *     input aggregation is largest, so discarding the
+    *     materialization would double-scan the corpus — and release it
+    *     via the returned thunk after materializing.
+    *   - `keepPersisted = false` (callers returning a LAZY plan, e.g.
+    *     kAnonymity/lDiversity): unpersist immediately and return the
+    *     lazy frame. The recompute (one extra aggregation scan) is the
+    *     accepted price of a leak-free contract — Spark's CacheManager
+    *     holds caches until an explicit unpersist, so a "plan-lifetime"
+    *     persist from a lazy-returning audit would accumulate across a
+    *     long-lived session with no owner to release it.
     */
-  private def guardedSide(small: DataFrame, maxRows: Long): (DataFrame, Long, () => Unit) = {
+  private def guardedSide(
+      small: DataFrame,
+      maxRows: Long,
+      keepPersisted: Boolean
+  ): (DataFrame, Long, () => Unit) = {
     val persisted = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n =
       try persisted.count()
@@ -127,7 +140,12 @@ object Profile {
         persisted.collectAsList(), small.schema))
       persisted.unpersist()
       (local, n, () => ())
-    } else (persisted, n, () => { persisted.unpersist(): Unit })
+    } else if (keepPersisted) {
+      (persisted, n, () => { persisted.unpersist(): Unit })
+    } else {
+      persisted.unpersist()
+      (small, n, () => ())
+    }
   }
 
   /** Past this many quasi-identifier combinations the group table stops
@@ -172,7 +190,8 @@ object Profile {
       val g = withQi
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as(s"__k$i"))
-      val (side, _, _) = guardedSide(renameKeys(g, keys), maxBroadcastGroups)
+      val (side, _, _) =
+        guardedSide(renameKeys(g, keys), maxBroadcastGroups, keepPersisted = false)
       // null-safe: a NULL quasi-identifier value is a group like any
       // other — an equi-join would drop those rows from the remedy
       acc.join(side, nullSafeCond(keys))
@@ -283,7 +302,8 @@ object Profile {
     val groups = df
       .groupBy(quasiIds.map(col): _*)
       .agg(countDistinct(col(sensitiveCol)).as("l_distinct"))
-    val (side, _, _) = guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups)
+    val (side, _, _) =
+      guardedSide(renameKeys(groups, quasiIds), maxBroadcastGroups, keepPersisted = false)
     // null-safe join-back, as kAnonymity: NULL-QI rows stay in the audit
     // (countDistinct ignores NULL sensitive values — a group whose only
     // sensitive "values" are NULL reports l_distinct = 0 and fails
@@ -364,9 +384,15 @@ object Profile {
       val groupSizes = gv.groupBy(qi: _*).agg(sum(col("__c_gv")).as("n_group"))
       val marginals =
         gv.groupBy(col("__v").as("__mv")).agg(sum(col("__c_gv")).as("__c_v"))
-      val (gsSide, nQi, relGs) = guardedSide(renameKeys(groupSizes, quasiIds), maxBroadcastGroups)
-      val (mSide, _, relM) = guardedSide(marginals, maxBroadcastGroups)
-      sideReleases = List(relGs, relM)
+      // register each release the moment its guardedSide returns — if
+      // the SECOND call throws mid-materialization, the first's
+      // over-guard persist must still release in the finally
+      val (gsSide, nQi, relGs) =
+        guardedSide(renameKeys(groupSizes, quasiIds), maxBroadcastGroups, keepPersisted = true)
+      sideReleases = relGs :: sideReleases
+      val (mSide, _, relM) =
+        guardedSide(marginals, maxBroadcastGroups, keepPersisted = true)
+      sideReleases = relM :: sideReleases
       val out = gv
         .join(mSide, col("__v") <=> col("__mv"))
         .join(gsSide, nullSafeCond(quasiIds))

@@ -145,11 +145,17 @@ object Sampling {
       .rowsBetween(Long.MinValue, Long.MaxValue)
     val wRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("__m").desc, col(groupCol).asc)
+    // budget·w and Σw both overflow Long at exactly the advertised
+    // scale (token-count weights ~10^12 over 10^7 groups with a 10^7
+    // budget → 10^19 > 2^63), so the products and the total run in
+    // DECIMAL(38,0) — the tCloseness lift; `div` stays exact integral
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     weights
-      .select(col(groupCol), col(weightCol).cast("long").as("__wt"))
-      .withColumn("__t", sum(col("__wt")).over(wAll))
-      .withColumn("__a", expr(s"(${budget}L * __wt) div __t"))
-      .withColumn("__m", expr(s"(${budget}L * __wt) % __t"))
+      .select(col(groupCol), col(weightCol).cast("long").cast(d38).as("__wt"))
+      .withColumn("__t", sum(col("__wt")).over(wAll).cast(d38))
+      .withColumn("__bw", lit(budget).cast(d38) * col("__wt"))
+      .withColumn("__a", expr("CAST(__bw div __t AS BIGINT)"))
+      .withColumn("__m", expr("__bw % __t"))
       .withColumn("__resid", lit(budget) - sum(col("__a")).over(wAll))
       .withColumn("__rn", row_number().over(wRank))
       .select(col(groupCol),

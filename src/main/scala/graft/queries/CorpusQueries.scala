@@ -3231,8 +3231,13 @@ object CorpusQueries {
       "q_pagerank_drift",
       (spark, dir) => {
         val docs = Q.t(spark, dir, "documents")
+        // the base half collapses ONCE (persisted) — both the merged
+        // re-rank and the stale rank consume the same materialization;
+        // a lazy frame would re-scan + re-shuffle the history exactly
+        // in the gate whose point is "history is never rescanned"
         val adjBase = Graph.collapseEdges(
           graphEdges(docs.filter(col("doc_id") % 2 === 0)), "src", "dst")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val adjDelta = Graph.collapseEdges(
           graphEdgesShifted(docs.filter(col("doc_id") % 2 =!= 0)), "src", "dst")
         val fresh = Graph.pageRankFromAdj(Graph.mergeAdj(adjBase, adjDelta), iters = 2)
@@ -3253,7 +3258,7 @@ object CorpusQueries {
             col("drift_pm"), col("refresh"))
         val scratch = Q.scratch("prdrift")
         out.write.mode("overwrite").parquet(scratch)
-        fresh.unpersist(); stale.unpersist()
+        fresh.unpersist(); stale.unpersist(); adjBase.unpersist()
         spark.read.parquet(scratch)
       },
       Some {

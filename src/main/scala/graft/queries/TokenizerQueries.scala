@@ -179,12 +179,14 @@ object TokenizerQueries {
     * one key's full mass serialize through one task.
     */
   /** Past this many (lang, bucket) offset rows — bounded above by
-    * |langs| · 2^16 — the offsets frame stops riding a broadcast
-    * (driver-memory risk at very high language/source counts) and the
-    * add-back join degrades to a shuffle join AQE sizes. The guard
-    * uses the BOUND, not an extra counting action: it is derived from
-    * the same one-row aggregate that sizes the buckets, errs
-    * conservative (actual offset rows ≤ the bound), and costs nothing.
+    * |langs| · nBuckets, where nBuckets is the ACTUAL bucket-id range
+    * under the floored width (up to ~2·2^16) — the offsets frame stops
+    * riding a broadcast (driver-memory risk at very high
+    * language/source counts) and the add-back join degrades to a
+    * shuffle join AQE sizes. The guard uses the BOUND, not an extra
+    * counting action: it is derived from the same one-row aggregate
+    * that sizes the buckets, errs conservative (actual offset rows ≤
+    * the bound), and costs nothing.
     */
   private[graft] val MaxBroadcastOffsetRows: Long = 1L << 22
 
@@ -204,6 +206,10 @@ object TokenizerQueries {
         .select(col("doc_id"), col("lang"), lit(0L).as("bin"))
     val (lo, hi, nLangs) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val width = math.max(1L, (hi - lo + 1) / 65536L)
+    // ACTUAL bucket-id range under the floored width — up to ~2·2^16,
+    // not 2^16 (width floors, so ids can run past 65535); the guard
+    // bound must use it or a frame 2x the cap would still broadcast
+    val nBuckets = (hi - lo) / width + 1L
     val bucketed = perDoc.withColumn("__bkt",
       expr(s"(doc_id - ${lo}L) div ${width}L"))
     val wOff = Window.partitionBy(col("lang")).orderBy(col("__bkt").asc)
@@ -213,11 +219,11 @@ object TokenizerQueries {
       .agg(sum(col("__n")).as("__s"))
       .withColumn("__off", sum(col("__s")).over(wOff) - col("__s"))
       .select(col("lang").as("__ol"), col("__bkt").as("__ob"), col("__off"))
-    // the offsets frame is ≤ nLangs · 2^16 rows; force the broadcast
-    // only while that bound stays inside driver comfort, otherwise let
-    // the add-back run as a shuffle join (bit-identical result)
+    // the offsets frame is ≤ nLangs · nBuckets rows; force the
+    // broadcast only while that bound stays inside driver comfort,
+    // otherwise let the add-back run as a shuffle join (bit-identical)
     val offSide =
-      if (nLangs * 65536L <= MaxBroadcastOffsetRows) broadcast(offsets) else offsets
+      if (nLangs * nBuckets <= MaxBroadcastOffsetRows) broadcast(offsets) else offsets
     val wIn = Window.partitionBy(col("lang"), col("__bkt"))
       .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

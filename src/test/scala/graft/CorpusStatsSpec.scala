@@ -335,6 +335,16 @@ class CorpusStatsSpec extends SparkSpec {
     val kaRows = ka.collect()
     val kaRef = graft.operators.Profile.kAnonymity(df, Seq("g"), k = 5L).collect()
     assert(kaRows.map(_.toSeq).toSet == kaRef.map(_.toSeq).toSet)
+    // lazy-returning audits must leak NOTHING even past the guard
+    // (keepPersisted=false: the shuffle side recomputes rather than
+    // sitting in the cache with no owner to release it)
+    val afterKa = spark2.sparkContext.getPersistentRDDs.keySet
+    assert((afterKa -- before).isEmpty, s"kAnonymity leaked: ${afterKa -- before}")
+    val ld = graft.operators.Profile.lDiversity(df, Seq("g"), "s", l = 2L,
+      maxBroadcastGroups = 1L)
+    ld.collect()
+    val afterLd = spark2.sparkContext.getPersistentRDDs.keySet
+    assert((afterLd -- before).isEmpty, s"lDiversity leaked: ${afterLd -- before}")
   }
 
   test("tCloseness: empty input yields an empty decision table, not a crash") {

@@ -290,11 +290,15 @@ class VocabSpec extends SparkSpec {
     // offsets add-back must degrade to a shuffle join — and the bin
     // assignment must equal the flat per-lang running sum regardless
     val nDocs = 1500
-    val docs = (0 until nDocs).map(i => (i.toLong, s"lang${i % 500}"))
+    // ids SPREAD over a wide range so the bucket-id range is the full
+    // ~2^16 — the guard bound is |langs| * actual buckets, and a dense
+    // id range would collapse to nDocs buckets and legitimately
+    // broadcast
+    val docs = (0 until nDocs).map(i => (i.toLong * 100000L, s"lang${i % 500}"))
       .toDF("doc_id", "lang")
-    // per-doc token counts: 1 + doc_id % 700 (some docs span bins)
+    // per-doc token counts: 1 + i % 700 (some docs span bins)
     val stream = (0 until nDocs).flatMap { i =>
-      (0 until (1 + i % 700)).map(p => (i.toLong, p.toLong + 1L, 0L))
+      (0 until (1 + i % 700)).map(p => (i.toLong * 100000L, p.toLong + 1L, 0L))
     }.toDF("doc_id", "pos", "token_id")
     assert(500L * 65536L > graft.queries.TokenizerQueries.MaxBroadcastOffsetRows)
     val bins = graft.queries.TokenizerQueries.packBins(stream, docs)
@@ -311,7 +315,7 @@ class VocabSpec extends SparkSpec {
       var cum = 0L
       ids.sorted.foreach { i =>
         val n = 1L + i % 700
-        expected(i.toLong) = (cum) / 2048L // bin of the doc's FIRST token
+        expected(i.toLong * 100000L) = cum / 2048L // bin of the doc's FIRST token
         cum += n
       }
     }
