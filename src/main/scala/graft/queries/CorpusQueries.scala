@@ -3349,6 +3349,54 @@ object CorpusQueries {
       }
     ),
 
+    // PROPORTIONAL STRATIFIED SPLIT — the bread-and-butter eval-set
+    // carve every pipeline runs: a 10% budget apportioned across
+    // languages by exact integer largest remainder (allocations sum to
+    // the budget and track each stratum's share to within one
+    // document — floor shares + remainder bumps, the SAME distributed
+    // two-window apportionment q_authority_sample exercises with rank
+    // weights, here with stratum counts), executed per-stratum by
+    // quotaSample's unbiased id-hash order so the held-out set is
+    // deterministic and uncorrelated with crawl position. Corpus cost:
+    // one groupBy for the counts + the one lang-keyed selection
+    // window; the |langs|-row quota rides a broadcast.
+    Q(
+      "q_stratified_split",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val budget = docs.count() / 10L // one bounded scalar action
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val quota = Sampling.largestRemainder(counts, "lang", "n", budget)
+        Sampling.quotaSample(
+          docs.select(col("doc_id"), col("lang")), "lang", "doc_id", quota)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some {
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH cnt AS (
+           |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+           |), tot AS (
+           |  SELECT CAST(SUM(n) AS BIGINT) AS t,
+           |    CAST(SUM(n) // 10 AS BIGINT) AS b
+           |  FROM cnt
+           |), al AS (
+           |  SELECT lang, (b * n) // t AS a, (b * n) % t AS m
+           |  FROM cnt, tot
+           |), alq AS (
+           |  SELECT lang, a + CASE WHEN
+           |    ROW_NUMBER() OVER (ORDER BY m DESC, lang ASC) <=
+           |      (SELECT MAX(b) FROM tot) - (SELECT SUM(a) FROM al)
+           |    THEN 1 ELSE 0 END AS alloc
+           |  FROM al
+           |), r AS (
+           |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+           |    PARTITION BY lang
+           |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |  FROM documents)
+           |SELECT doc_id, lang FROM r JOIN alq USING (lang) WHERE rn <= alloc""".stripMargin
+      }
+    ),
+
     // Connected components over the domain link graph — the second
     // canonical graph operator (after rank): link-farm / site-group
     // detection. The corpus filter keeps 8 of the 15 closed-form edge
