@@ -52,7 +52,16 @@ object GraftExtensions {
       info("graft_distinct_ngrams",
         "graft_distinct_ngrams(s, n) - distinct token n-grams in first-occurrence order"),
       (children: Seq[Expression]) => DistinctNgrams(
-        children(0), children(1).eval().asInstanceOf[Number].intValue())))
+        children(0), children(1).eval().asInstanceOf[Number].intValue())),
+    (
+      FunctionIdentifier("graft_gunzip"),
+      info("graft_gunzip",
+        "graft_gunzip(b) - inflate a gzip member to UTF-8 text; NULL on corruption"),
+      (children: Seq[Expression]) => GunzipUtf8(children(0))),
+    (
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization (UAX #15)"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
 
   /** Register the SQL functions on an existing session (no
     * `spark.sql.extensions` rebuild needed).

@@ -289,4 +289,46 @@ object GraftMath {
     }
     out
   }
+
+  /** Inflate a gzip member to UTF-8 text; null on any malformation
+    * (bad magic, truncated deflate stream, CRC mismatch — the
+    * GZIPInputStream verifies both CRC32 and ISIZE from the trailer).
+    * Bounded: refuses payloads that inflate past `MaxGunzipBytes`
+    * (decompression-bomb guard) by returning null rather than OOMing
+    * an executor.
+    */
+  val MaxGunzipBytes: Int = 1 << 26 // 64 MiB of text per document
+
+  def gunzipUtf8(bytes: Array[Byte]): UTF8String =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      var total = 0
+      while (n > 0) {
+        total += n
+        if (total > MaxGunzipBytes) return null
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      UTF8String.fromBytes(out.toByteArray)
+    } catch { case _: Exception => null }
+
+  /** Unicode NFC normalization (UAX #15 via the JDK) — the canonical
+    * text-canonicalization step before hashing/dedup: visually
+    * identical strings with different codepoint sequences (decomposed
+    * accents, compatibility singletons like U+212B) hash differently
+    * unless normalized first. Engine-exact: DuckDB's `nfc_normalize`
+    * implements the same standard algorithm, verified to agree.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: NFC-checking is much cheaper than normalizing
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -228,6 +228,54 @@ case class LangId(child: Expression, langs: Seq[String], markers: Seq[Seq[String
     copy(child = newChild)
 }
 
+/** `graft_gunzip(binary) -> string` — inflate a gzip member to UTF-8
+  * text inside codegen; NULL on any malformation (bad magic, truncated
+  * stream, CRC/ISIZE mismatch) or past the decompression-bomb bound —
+  * the compressed-text ingest path (WARC-style payloads) with the
+  * same degrade-don't-throw contract as the media codecs. See
+  * [[GraftMath.gunzipUtf8]].
+  */
+case class GunzipUtf8(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // corrupt payloads yield NULL
+  override def prettyName: String = "graft_gunzip"
+
+  override protected def nullSafeEval(b: Any): Any =
+    GraftMath.gunzipUtf8(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.GraftMath.gunzipUtf8($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): GunzipUtf8 =
+    copy(child = newChild)
+}
+
+/** `graft_nfc(string) -> string` — Unicode NFC normalization (UAX #15)
+  * inside codegen, with an isNormalized fast path; the canonical
+  * pre-hash/pre-dedup text normalization. See [[GraftMath.nfc]].
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftMath.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers (the library's public function surface). */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -267,4 +315,12 @@ object GraftFunctions {
   /** Distinct token n-grams in first-occurrence order, one pass. */
   def distinctNgrams(c: Column, n: Int): Column =
     ColumnBridge.column(DistinctNgrams(e(c), n))
+
+  /** Gzip-member → UTF-8 text; NULL on corruption or bomb bound. */
+  def gunzip(c: Column): Column =
+    ColumnBridge.column(GunzipUtf8(e(c)))
+
+  /** Unicode NFC normalization (UAX #15). */
+  def nfc(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(e(c)))
 }

@@ -2873,6 +2873,77 @@ object CorpusQueries {
       )
     ),
 
+    // COMPRESSED-TEXT ingest — web corpora arrive gzipped (WARC
+    // members); graft_gunzip is a native codegen Expression inflating
+    // each payload inside the fused stage with the codec family's
+    // degrade-don't-throw contract: corrupt members (every 7th payload
+    // truncated mid-stream — the CRC32/ISIZE trailer check catches it)
+    // yield NULL, never an executor exception, and a decompression-
+    // bomb bound caps the inflation. The oracle never sees the
+    // compressed bytes: it re-derives each document's character count
+    // from the original text, so only a decode that reproduces the
+    // exact payload matches. Map-only, REQUIREd shuffle-free.
+    Q(
+      "q_text_gunzip",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val gz = udf((id: Long, text: String) => {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(text.getBytes("UTF-8")); g.close()
+          val full = bos.toByteArray
+          if (id % 7 == 3) java.util.Arrays.copyOf(full, math.min(10, full.length))
+          else full
+        })
+        val out = docs
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions
+              .gunzip(gz(col("doc_id"), col("text"))).as("__txt"))
+          .select(col("doc_id"),
+            col("__txt").isNotNull.as("ok"),
+            coalesce(length(col("__txt")), lit(0)).cast("long").as("n_chars"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT doc_id, doc_id % 7 <> 3 AS ok,
+          |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE LENGTH(text) END AS BIGINT)
+          |    AS n_chars
+          |FROM documents""".stripMargin
+      )
+    ),
+
+    // Unicode NFC normalization — the canonical pre-hash text step:
+    // visually identical strings with different codepoint sequences
+    // (decomposed accents, compatibility singletons like ANGSTROM SIGN
+    // U+212B) hash differently unless normalized, silently defeating
+    // exact dedup. graft_nfc is a native codegen Expression (UAX #15
+    // via the JDK, isNormalized fast path); the gate plants decomposed
+    // sequences after every document and compares the FULL normalized
+    // text against DuckDB's independent nfc_normalize implementation
+    // of the same standard — two engines, one algorithm, bit-equal
+    // output. Map-only, REQUIREd shuffle-free.
+    Q(
+      "q_text_nfc",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        // e + COMBINING ACUTE, A + COMBINING RING, ANGSTROM SIGN,
+        // ga + COMBINING KATAKANA VOICED MARK (no composition exists)
+        val suffix = " e\u0301A\u030A\u212Bga\u3099"
+        val out = docs.select(col("doc_id"),
+          graft.functions.GraftFunctions
+            .nfc(concat(col("text"), lit(suffix))).as("norm_text"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT doc_id,
+          |  nfc_normalize(text || ' e' || chr(769) || 'A' || chr(778) ||
+          |                chr(8491) || 'ga' || chr(12441)) AS norm_text
+          |FROM documents""".stripMargin
+      )
+    ),
+
     // HTML → text extraction — the step ZERO of a web-corpus pipeline
     // (C4/RefinedWeb ingest raw HTML): script/style/comment blocks
     // dropped wholesale, tags stripped, entities decoded (&amp; last,

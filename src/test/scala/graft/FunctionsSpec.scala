@@ -117,4 +117,62 @@ class FunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
   }
+
+  test("GunzipUtf8: round trip, corrupt-payload NULL, bomb guard") {
+    import graft.functions.{GraftFunctions, GraftMath}
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val texts = Seq("hello gz world", "", "UTF-8: é 😀 𝄞", "x" * 100000)
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, gz(t)) }
+      .toDF("id", "payload")
+    val got = df.select(col("id"), GraftFunctions.gunzip(col("payload")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) => assert(got(i.toLong) == t, s"row $i") }
+    // corrupt forms all yield NULL, never throw: bad magic, truncation
+    // mid-deflate, and a flipped CRC byte
+    val good = gz("the payload the payload")
+    val badMagic = good.clone(); badMagic(0) = 0x00
+    val cut = java.util.Arrays.copyOf(good, good.length - 9)
+    val badCrc = good.clone()
+    badCrc(good.length - 5) = (badCrc(good.length - 5) ^ 0x01).toByte
+    val bads = Seq(badMagic, cut, badCrc, Array[Byte](), Array[Byte](31, -117))
+    val nulls = bads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+      .select(GraftFunctions.gunzip(col("payload")).as("t"))
+      .collect().map(_.isNullAt(0))
+    assert(nulls.forall(identity), "corrupt gzip must decode to NULL")
+    // decompression-bomb guard: a member inflating past the bound is NULL
+    val bomb = gz("y" * (GraftMath.MaxGunzipBytes + 1))
+    assert(GraftMath.gunzipUtf8(bomb) == null)
+  }
+
+  test("NfcNormalize agrees with the standard on composed/decomposed/singleton forms") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    val cases = Seq(
+      "é" -> "é", // combining acute composes
+      "Å" -> "Å", // combining ring composes
+      "Å" -> "Å", // ANGSTROM SIGN singleton
+      "ga゙" -> "ga゙", // no composition for a + voiced mark
+      "q̣̇" -> "q̣̇", // canonical reordering (ccc 220 < 230)
+      "already plain" -> "already plain",
+      "" -> "")
+    val got = cases.map(_._1).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+      .select(col("id"), GraftFunctions.nfc(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want,
+        s"NFC(${in.map(c => f"\\u${c.toInt}%04X").mkString}) mismatch")
+    }
+    // SQL surface: both functions registered
+    graft.functions.GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql("SELECT graft_nfc('é')").head().getString(0)
+    assert(viaSql == "é")
+  }
 }
