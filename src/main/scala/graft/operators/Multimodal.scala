@@ -187,6 +187,302 @@ object Multimodal {
       .orElse(decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, px) })
       .orElse(decodeJpeg(bytes).map { case (w, h, px) => ("jpeg", w, h, px) })
       .orElse(decodePng(bytes).map { case (w, h, px) => ("png", w, h, px) })
+      .orElse(decodeGif(bytes).map { case (w, h, px) => ("gif", w, h, px) })
+
+  /** Pure-JVM GIF decoder (87a/89a) — the third COMPRESSED image
+    * format, and like FLAC a LOSSLESS one, so its decode is closed-form
+    * oracle-able: the LZW-coded index stream reconstructs exactly,
+    * then maps through the palette. Coverage per the public spec:
+    * logical screen descriptor, global and local color tables,
+    * extension blocks skipped (graphic control, comment, application),
+    * the FIRST image descriptor decoded (animation frames beyond it
+    * are ignored), interlaced row ordering (the 8/8/4/2 four-pass
+    * scheme), and full GIF-LZW: variable code width (min+1 up to 12
+    * bits, LSB-first packing across data sub-blocks), dictionary
+    * growth with the deferred width bump, CLEAR-code reset, the KwKwK
+    * first-use case, and EOI. Malformed payloads (bad magic, truncated
+    * sub-blocks, out-of-range codes, missing color table) return None
+    * — degrade, don't throw. Returns top-down RGB.
+    */
+  def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u8(o: Int): Int = bytes(o) & 0xFF
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    var p = 6
+    p += 4 // logical screen w/h (frame dims come from the descriptor)
+    val lsdFlags = u8(p); p += 3 // flags, bg index, aspect
+    var globalPal: Array[Byte] = null
+    if ((lsdFlags & 0x80) != 0) {
+      val n = 2 << (lsdFlags & 7)
+      if (p + 3 * n > bytes.length) return None
+      globalPal = java.util.Arrays.copyOfRange(bytes, p, p + 3 * n)
+      p += 3 * n
+    }
+    while (p < bytes.length) {
+      u8(p) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          p += 2
+          while (p < bytes.length && u8(p) != 0) p += 1 + u8(p)
+          if (p >= bytes.length) return None
+          p += 1
+        case 0x2C => // image descriptor
+          if (p + 10 > bytes.length) return None
+          val w = le16(p + 5); val h = le16(p + 7)
+          val idFlags = u8(p + 9)
+          p += 10
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+          var pal = globalPal
+          if ((idFlags & 0x80) != 0) {
+            val n = 2 << (idFlags & 7)
+            if (p + 3 * n > bytes.length) return None
+            pal = java.util.Arrays.copyOfRange(bytes, p, p + 3 * n)
+            p += 3 * n
+          }
+          if (pal == null) return None
+          val interlaced = (idFlags & 0x40) != 0
+          if (p >= bytes.length) return None
+          val minCode = u8(p); p += 1
+          if (minCode < 2 || minCode > 11) return None
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (p < bytes.length && u8(p) != 0) {
+            val n = u8(p)
+            if (p + 1 + n > bytes.length) return None
+            data.write(bytes, p + 1, n)
+            p += 1 + n
+          }
+          if (p >= bytes.length) return None
+          val d = data.toByteArray
+          // ---- GIF-LZW decode, LSB-first bit packing ----
+          val clear = 1 << minCode
+          val eoi = clear + 1
+          val maxDict = 4096
+          val prefix = new Array[Int](maxDict)
+          val suffix = new Array[Byte](maxDict)
+          var dictSize = eoi + 1
+          var width = minCode + 1
+          var bitPos = 0
+          def readCode(): Int = {
+            if ((bitPos + width + 7) / 8 > d.length) return -1
+            var v = 0; var i = 0
+            while (i < width) {
+              val bp = bitPos + i
+              if ((bp >> 3) < d.length &&
+                ((d(bp >> 3) >> (bp & 7)) & 1) != 0) v |= (1 << i)
+              i += 1
+            }
+            bitPos += width
+            v
+          }
+          val out = new Array[Byte](w * h)
+          var outPos = 0
+          def emit(code: Int): Boolean = { // expand a code to out
+            // walk the chain into a scratch stack
+            var stack = List.empty[Byte]
+            var c = code
+            var guard = 0
+            while (c >= clear + 2) {
+              stack = suffix(c) :: stack
+              c = prefix(c)
+              guard += 1
+              if (guard > maxDict) return false
+            }
+            if (c >= clear) return false
+            stack = c.toByte :: stack
+            stack.foreach { b =>
+              if (outPos < out.length) { out(outPos) = b; outPos += 1 }
+            }
+            true
+          }
+          def firstSym(code: Int): Int = {
+            var c = code
+            var guard = 0
+            while (c >= clear + 2) {
+              c = prefix(c); guard += 1
+              if (guard > maxDict) return -1
+            }
+            c
+          }
+          var prev = -1
+          var done = false
+          while (!done && outPos < out.length) {
+            val code = readCode()
+            if (code < 0) return None
+            if (code == clear) {
+              dictSize = eoi + 1; width = minCode + 1; prev = -1
+            } else if (code == eoi) {
+              done = true
+            } else if (prev < 0) {
+              if (code >= clear) return None
+              if (!emit(code)) return None
+              prev = code
+            } else {
+              if (code > dictSize || (code < clear + 2 && code >= clear)) return None
+              if (code == dictSize) {
+                // KwKwK: the code being defined right now
+                val f = firstSym(prev)
+                if (f < 0 || dictSize >= maxDict) return None
+                prefix(dictSize) = prev; suffix(dictSize) = f.toByte
+                dictSize += 1
+                if (!emit(dictSize - 1)) return None
+              } else {
+                if (!emit(code)) return None
+                if (dictSize < maxDict) {
+                  val f = firstSym(code)
+                  if (f < 0) return None
+                  prefix(dictSize) = prev; suffix(dictSize) = f.toByte
+                  dictSize += 1
+                }
+              }
+              // GIF width timing (pinned externally by the ImageIO
+              // spec test): the decoder grows when its own table fills
+              // the current width; the ENCODER compensates for the
+              // one-entry decode lag by growing one entry later
+              if (dictSize == (1 << width) && width < 12) width += 1
+              prev = code
+            }
+          }
+          if (outPos != out.length) return None
+          // interlace reorder + palette map
+          val rows =
+            if (!interlaced) (0 until h).toArray
+            else {
+              val order = new Array[Int](h)
+              var r = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   y <- start until h by step) { order(r) = y; r += 1 }
+              order
+            }
+          val rgb = new Array[Byte](w * h * 3)
+          val nPal = pal.length / 3
+          var r = 0
+          while (r < h) {
+            val y = rows(r)
+            var x = 0
+            while (x < w) {
+              val idx = out(r * w + x) & 0xFF
+              if (idx >= nPal) return None
+              val o = (y * w + x) * 3
+              rgb(o) = pal(idx * 3); rgb(o + 1) = pal(idx * 3 + 1)
+              rgb(o + 2) = pal(idx * 3 + 2)
+              x += 1
+            }
+            r += 1
+          }
+          return Some((w, h, rgb))
+        case _ => return None
+      }
+    }
+    None
+  } catch { case _: Exception => None }
+
+  /** Deterministic GIF fixture encoder: a REAL GIF89a with a 128-color
+    * global palette (color i = ((i·37) mod 256, (i·59) mod 256,
+    * (i·83) mod 256)) and pixel index `(seed·31 + y·w + x·7) mod 128`
+    * at (x, y) — both closed form, so the oracle re-derives every RGB
+    * value. The index stream is compressed by a REAL LZW encoder
+    * (string-table build, variable width 8→12 with the deferred bump,
+    * CLEAR reset at table overflow, LSB-first packing into ≤255-byte
+    * sub-blocks), so the decoder's dictionary walk — including KwKwK
+    * and width growth — runs against genuinely compressed data.
+    * `interlaced = true` writes the four-pass row order.
+    */
+  def syntheticGif(seed: Long, w: Int, h: Int, interlaced: Boolean = false): Array[Byte] = {
+    require(seed >= 0 && w > 0 && h > 0, "syntheticGif: non-negative seed, positive dims")
+    val minCode = 7 // 128-entry palette
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16(w); le16(h)
+    out.write(0x80 | (minCode - 1)) // global table, 2^7 entries
+    out.write(0); out.write(0)      // bg index, aspect
+    var i = 0
+    while (i < clear) {
+      out.write((i * 37) % 256); out.write((i * 59) % 256); out.write((i * 83) % 256)
+      i += 1
+    }
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(minCode)
+    // pixel indices in STORED row order (interlaced: four-pass)
+    val rows =
+      if (!interlaced) (0 until h).toArray
+      else {
+        val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until h by step) order += y
+        order.toArray
+      }
+    val idx = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val y = rows(r)
+      var x = 0
+      while (x < w) {
+        idx(r * w + x) = ((seed * 31 + y.toLong * w + x.toLong * 7) % clear).toInt
+        x += 1
+      }
+      r += 1
+    }
+    // ---- real LZW encoder ----
+    val payload = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    def putCode(c: Int, width: Int): Unit = {
+      acc |= c.toLong << nb; nb += width
+      while (nb >= 8) { payload.write((acc & 0xFF).toInt); acc >>= 8; nb -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var dictSize = eoi + 1
+    var width = minCode + 1
+    putCode(clear, width)
+    var cur = idx(0)
+    var j = 1
+    while (j < idx.length) {
+      val k = idx(j)
+      dict.get((cur, k)) match {
+        case Some(c) => cur = c
+        case None =>
+          putCode(cur, width)
+          if (dictSize < 4096) {
+            dict((cur, k)) = dictSize
+            dictSize += 1
+            // one LATER than the decoder's bump: the decoder adds each
+            // entry one code behind, so its width grows after reading
+            // the code this encoder emits at the OLD width
+            if (dictSize == (1 << width) + 1 && width < 12) width += 1
+          } else {
+            // table full: emit CLEAR and restart the dictionary
+            putCode(clear, width)
+            dict = scala.collection.mutable.HashMap.empty
+            dictSize = eoi + 1
+            width = minCode + 1
+          }
+          cur = k
+      }
+      j += 1
+    }
+    putCode(cur, width)
+    putCode(eoi, width)
+    if (nb > 0) payload.write((acc & 0xFF).toInt)
+    // sub-blocks
+    val pb = payload.toByteArray
+    var o = 0
+    while (o < pb.length) {
+      val n = math.min(255, pb.length - o)
+      out.write(n)
+      out.write(pb, o, n)
+      o += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
 
   /** Pure-JVM BASELINE-DCT JPEG decoder (ITU-T T.81 sequential DCT,
     * Huffman, 8-bit) — the first COMPRESSED format the image pillar

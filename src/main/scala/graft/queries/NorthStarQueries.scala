@@ -1940,6 +1940,73 @@ object NorthStarQueries {
       )
     ),
 
+    // GIF — the third COMPRESSED image format, and like FLAC a
+    // LOSSLESS one, which is what makes it closed-form oracle-able:
+    // the LZW-coded index stream reconstructs exactly and maps through
+    // the closed-form palette, so the oracle re-derives every RGB
+    // value from the index formula alone — only a decoder that walks
+    // the variable-width LSB-first code stream (dictionary growth with
+    // the one-entry decode lag, KwKwK, CLEAR resets) matches. The
+    // fixture encoder is a REAL LZW compressor, and the codec pair is
+    // additionally pinned pixel-for-pixel against the JDK's own
+    // ImageIO GIF reader in MultimodalSpec — external conformance,
+    // not just self-consistency. Map-only like every codec.
+    Q(
+      "q_image_decode_gif",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val gif = udf((k: Long) => Multimodal.syntheticGif(k, 16, 16))
+        val out = Multimodal.decodeImages(
+          blobs.withColumn("payload", gif(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, x, y,
+          |    ((n_nationkey * 31 + y * 16 + x * 7) % 128 * 37) % 256 AS r,
+          |    ((n_nationkey * 31 + y * 16 + x * 7) % 128 * 59) % 256 AS g,
+          |    ((n_nationkey * 31 + y * 16 + x * 7) % 128 * 83) % 256 AS b
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 15)) AS ux(x),
+          |       UNNEST(generate_series(0, 15)) AS uy(y)
+          |), ch AS (
+          |  SELECT media_id,
+          |    CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+          |    CAST(SUM(b) AS BIGINT) AS sum_b,
+          |    CAST(SUM(r * r) AS BIGINT) AS ssq_r, CAST(SUM(g * g) AS BIGINT) AS ssq_g,
+          |    CAST(SUM(b * b) AS BIGINT) AS ssq_b
+          |  FROM px GROUP BY media_id
+          |), grid AS (
+          |  SELECT p.media_id, gx, gy, (p.r + p.g + p.b) // 3 AS gray
+          |  FROM (SELECT * FROM UNNEST(generate_series(0, 8)) AS ux(gx)) a,
+          |       (SELECT * FROM UNNEST(generate_series(0, 7)) AS uy(gy)) c,
+          |       px p
+          |  WHERE p.x = (gx * 16) // 9 AND p.y = (gy * 16) // 8
+          |), bits AS (
+          |  SELECT a.media_id, a.gx AS x, a.gy AS y
+          |  FROM grid a JOIN grid b
+          |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 AND b.gray > a.gray
+          |), dh AS (
+          |  SELECT media_id,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x < 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x)) END), 0) AS BIGINT) AS dhash_lo,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x >= 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) END), 0) AS BIGINT) AS dhash_hi
+          |  FROM bits GROUP BY media_id
+          |)
+          |SELECT ch.media_id, 'gif' AS format, 16 AS width, 16 AS height,
+          |  CAST(256 AS BIGINT) AS n_pixels,
+          |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b,
+          |  CAST(COALESCE(dh.dhash_lo, 0) AS BIGINT) AS dhash_lo,
+          |  CAST(COALESCE(dh.dhash_hi, 0) AS BIGINT) AS dhash_hi
+          |FROM ch LEFT JOIN dh USING (media_id)""".stripMargin
+      )
+    ),
+
     // The RESIZE stage of multimodal preprocessing: decode → 2×2
     // box-average downsample (per-channel integer mean, floor) → the
     // shared raster stats — what a training pipeline runs before

@@ -184,6 +184,56 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpeg(noDqt).isEmpty)
   }
 
+  test("decodeGif: LZW round trip matches the closed-form raster; ImageIO agrees") {
+    for (seed <- Seq(0L, 1L, 7L, 24L); (w, h) <- Seq((16, 16), (32, 32), (13, 9))) {
+      val bytes = Multimodal.syntheticGif(seed, w, h)
+      val got = Multimodal.decodeGif(bytes)
+      assert(got.isDefined, s"seed=$seed ${w}x$h failed to decode")
+      val Some((gw, gh, px)) = got
+      assert(gw == w && gh == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = ((seed * 31 + y.toLong * w + x.toLong * 7) % 128).toInt
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xFF) == (idx * 37) % 256 &&
+          (px(o + 1) & 0xFF) == (idx * 59) % 256 &&
+          (px(o + 2) & 0xFF) == (idx * 83) % 256,
+          s"seed=$seed ${w}x$h pixel ($x,$y)")
+      }
+      // external conformance: the JDK's own GIF reader must agree on
+      // every pixel — pins the LZW width timing to the real ecosystem,
+      // not just to this codec pair's self-consistency
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img != null) {
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          assert(((rgb >> 16) & 0xFF) == (px(o) & 0xFF) &&
+            ((rgb >> 8) & 0xFF) == (px(o + 1) & 0xFF) &&
+            (rgb & 0xFF) == (px(o + 2) & 0xFF),
+            s"ImageIO disagrees at seed=$seed ${w}x$h ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("decodeGif: interlaced four-pass rows land in the right place; corruption -> None") {
+    val bytes = Multimodal.syntheticGif(5L, 16, 16, interlaced = true)
+    val Some((_, _, px)) = Multimodal.decodeGif(bytes)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val idx = ((5L * 31 + y * 16 + x * 7) % 128).toInt
+      val o = (y * 16 + x) * 3
+      assert((px(o) & 0xFF) == (idx * 37) % 256, s"interlaced pixel ($x,$y)")
+    }
+    val good = Multimodal.syntheticGif(3L, 16, 16)
+    assert(Multimodal.decodeGif("GIX87a".getBytes ++ good.drop(6)).isEmpty)
+    assert(Multimodal.decodeGif(good.take(30)).isEmpty)   // truncated in palette
+    assert(Multimodal.decodeGif(good.dropRight(6)).isEmpty) // truncated mid-LZW
+    assert(Multimodal.decodeGif(Array[Byte]()).isEmpty)
+    // imageStats tags the format
+    assert(Multimodal.imageStats(1L, good).format == "gif")
+    assert(Multimodal.imageStats(1L, good).n_pixels == 256L)
+  }
+
   test("decodeFlac: fixed and LPC subframes reconstruct the exact closed-form samples") {
     for (seed <- Seq(0L, 1L, 2L, 7L, 24L)) { // both parities = both predictor families
       val bytes = Multimodal.syntheticFlac(seed)
