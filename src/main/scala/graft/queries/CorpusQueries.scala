@@ -3600,6 +3600,97 @@ object CorpusQueries {
       )
     ),
 
+    // The WARC-INGEST flagship — q_web_pipeline extended one stage
+    // EARLIER and one honesty level DEEPER: payloads arrive GZIPPED
+    // (how web corpora actually ship), so the chain is gunzip →
+    // HTML-strip → NFC-normalize → quality floor → domain screen →
+    // exact dedup on the NORMALIZED text. Three planted failure modes
+    // prove each stage: every 13th payload is truncated mid-gzip (the
+    // CRC check drops it at decode, never an exception); every
+    // doc_id%10=3 document re-enters shifted by 3·10^9 (a multiple of
+    // 15 — same domain as its original) with its dedup marker in
+    // DECOMPOSED form where the original's is composed — without the
+    // NFC stage the digests differ and every copy would leak through
+    // dedup; with it, a copy survives only when its original was
+    // corrupt-dropped (deterministic, oracle-mirrored). Gunzip, strip,
+    // NFC and the screens are all map-side (two of them native codegen
+    // expressions); the corpus crosses the wire exactly ONCE — the
+    // digest exchange — typed-asserted.
+    Q(
+      "q_warc_pipeline",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val base = docs
+          .select(col("doc_id"), concat(col("text"), lit(" z\u00e9")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + 3000000000L).as("doc_id"),
+              concat(col("text"), lit(" ze\u0301")).as("text")))
+        val html = concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script type=\"text/js\">var x = 1 < 2;</script></head>"),
+          lit("<body><!-- note --><h1 class=\"t\">T</h1><p>"),
+          col("text"),
+          lit("</p><p>&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
+            "</body></html>"))
+        val gz = udf((id: Long, s: String) => {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(s.getBytes("UTF-8")); g.close()
+          val full = bos.toByteArray
+          if (id % 13 == 5) java.util.Arrays.copyOf(full, math.min(10, full.length))
+          else full
+        })
+        val screened = base
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions
+              .gunzip(gz(col("doc_id"), html)).as("__html"))
+          .filter(col("__html").isNotNull)
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions
+              .nfc(TextAnalysis.stripHtml(col("__html"))).as("clean_text"),
+            graphDomainOf(col("doc_id")).as("domain"))
+          .filter(!col("domain").isin("beta.co.uk", "delta.com", "epsilon.org"))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("clean_text")).cast("long"))
+          .filter(col("n_tokens") >= 40L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("clean_text"), 256))
+        val out = screened
+          .withColumn("keeper", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("domain"), col("n_tokens"))
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        s"""WITH base AS (
+           |  SELECT doc_id, text || ' z' || chr(233) AS text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 3000000000, text || ' ze' || chr(769)
+           |  FROM documents WHERE doc_id % 10 = 3
+           |), ok AS (
+           |  SELECT * FROM base WHERE doc_id % 13 <> 5
+           |), cl AS (
+           |  SELECT doc_id,
+           |    nfc_normalize(
+           |      TRIM(regexp_replace('T ' || text || ' &lt; <tag> "q" ''s'' end',
+           |                          '\\s+', ' ', 'g'))) AS clean_text,
+           |    ${domainSql("doc_id")} AS domain
+           |  FROM ok
+           |), scr AS (
+           |  SELECT doc_id, clean_text, domain,
+           |    CAST(len(regexp_split_to_array(clean_text, '\\s+')) AS BIGINT) AS n_tokens
+           |  FROM cl
+           |  WHERE domain NOT IN ('beta.co.uk', 'delta.com', 'epsilon.org')
+           |    AND len(regexp_split_to_array(clean_text, '\\s+')) >= 40
+           |), ded AS (
+           |  SELECT doc_id, domain, n_tokens,
+           |    MIN(doc_id) OVER (PARTITION BY clean_text) AS keeper
+           |  FROM scr
+           |)
+           |SELECT doc_id, domain, n_tokens FROM ded WHERE doc_id = keeper""".stripMargin
+      )
+    ),
+
     // The v3 flagship's AUDIT artifact: every document attributed to
     // the FIRST decision that dropped it — 'ppl_tail' (the language's
     // perplexity tail tercile) → 'dsir_offtarget' (below the centered

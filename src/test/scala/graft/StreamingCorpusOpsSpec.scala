@@ -473,6 +473,45 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gunzip + NFC ingest screens a stream exactly like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // both are pure codegen column expressions — stateless, so the
+    // compressed-text ingest runs on a stream unchanged
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, gz("plain text")),
+      (2L, gz("decomposed é accent")),
+      (3L, Array[Byte](1, 2, 3)), // corrupt -> NULL -> dropped
+      (4L, gz("composed \u00e9 accent")))
+    def screen(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"),
+        graft.functions.GraftFunctions.gunzip(col("payload")).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("id"), graft.functions.GraftFunctions.nfc(col("t")).as("t"))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = screen(in.toDF().toDF("id", "payload")).writeStream
+      .format("memory").queryName("sc_gz_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(payloads: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sc_gz_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = screen(payloads.toDF("id", "payload"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      assert(!streamed.contains(3L), "corrupt member must drop on the stream too")
+      // NFC unified the two accent forms' byte sequences
+      assert(streamed(2L).contains("\u00e9") && streamed(4L).contains("\u00e9"))
+    } finally q.stop()
+  }
+
   test("adjacency maintenance: streamed per-batch collapse merges to the batch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     // the graph layer's mergeable-summary contract on a STREAM: each
