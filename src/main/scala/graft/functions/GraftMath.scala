@@ -314,7 +314,14 @@ object GraftMath {
         n = in.read(buf)
       }
       in.close()
-      UTF8String.fromBytes(out.toByteArray)
+      val arr = out.toByteArray
+      // the degrade contract is "NULL on any malformation" — that
+      // includes members whose content is not valid UTF-8 (a gzipped
+      // binary payload inflates fine); REPORT-mode decode rejects it
+      // instead of letting mangled bytes flow into length/sha2/nfc
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .decode(java.nio.ByteBuffer.wrap(arr)): Unit
+      UTF8String.fromBytes(arr)
     } catch { case _: Exception => null }
 
   /** Unicode NFC normalization (UAX #15 via the JDK) — the canonical

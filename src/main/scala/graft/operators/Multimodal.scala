@@ -262,16 +262,18 @@ object Multimodal {
           val maxDict = 4096
           val prefix = new Array[Int](maxDict)
           val suffix = new Array[Byte](maxDict)
+          // first byte of each entry's expansion, tracked at add time —
+          // no per-code chain walk (the sibling codecs' array style)
+          val firstB = new Array[Byte](maxDict)
           var dictSize = eoi + 1
           var width = minCode + 1
           var bitPos = 0
           def readCode(): Int = {
-            if ((bitPos + width + 7) / 8 > d.length) return -1
+            if (bitPos + width > d.length * 8) return -1
             var v = 0; var i = 0
             while (i < width) {
               val bp = bitPos + i
-              if ((bp >> 3) < d.length &&
-                ((d(bp >> 3) >> (bp & 7)) & 1) != 0) v |= (1 << i)
+              if (((d(bp >> 3) >> (bp & 7)) & 1) != 0) v |= (1 << i)
               i += 1
             }
             bitPos += width
@@ -279,33 +281,27 @@ object Multimodal {
           }
           val out = new Array[Byte](w * h)
           var outPos = 0
+          val stack = new Array[Byte](maxDict + 1) // preallocated expansion stack
           def emit(code: Int): Boolean = { // expand a code to out
-            // walk the chain into a scratch stack
-            var stack = List.empty[Byte]
+            var sp = 0
             var c = code
-            var guard = 0
             while (c >= clear + 2) {
-              stack = suffix(c) :: stack
+              if (sp >= maxDict) return false
+              stack(sp) = suffix(c); sp += 1
               c = prefix(c)
-              guard += 1
-              if (guard > maxDict) return false
             }
             if (c >= clear) return false
-            stack = c.toByte :: stack
-            stack.foreach { b =>
-              if (outPos < out.length) { out(outPos) = b; outPos += 1 }
+            stack(sp) = c.toByte; sp += 1
+            while (sp > 0) {
+              sp -= 1
+              if (outPos < out.length) { out(outPos) = stack(sp); outPos += 1 }
             }
             true
           }
-          def firstSym(code: Int): Int = {
-            var c = code
-            var guard = 0
-            while (c >= clear + 2) {
-              c = prefix(c); guard += 1
-              if (guard > maxDict) return -1
-            }
-            c
-          }
+          def firstOf(code: Int): Int =
+            if (code < clear) code
+            else if (code >= clear + 2 && code < dictSize) firstB(code) & 0xFF
+            else -1
           var prev = -1
           var done = false
           while (!done && outPos < out.length) {
@@ -323,17 +319,22 @@ object Multimodal {
               if (code > dictSize || (code < clear + 2 && code >= clear)) return None
               if (code == dictSize) {
                 // KwKwK: the code being defined right now
-                val f = firstSym(prev)
+                val f = firstOf(prev)
                 if (f < 0 || dictSize >= maxDict) return None
                 prefix(dictSize) = prev; suffix(dictSize) = f.toByte
+                firstB(dictSize) = firstOf(prev).toByte
                 dictSize += 1
                 if (!emit(dictSize - 1)) return None
               } else {
                 if (!emit(code)) return None
                 if (dictSize < maxDict) {
-                  val f = firstSym(code)
-                  if (f < 0) return None
+                  val f = firstOf(code)
+                  val fp = firstOf(prev)
+                  if (f < 0 || fp < 0) return None
                   prefix(dictSize) = prev; suffix(dictSize) = f.toByte
+                  // the entry expands as expansion(prev) + first(code),
+                  // so ITS first byte comes from the prefix chain
+                  firstB(dictSize) = fp.toByte
                   dictSize += 1
                 }
               }
@@ -347,15 +348,7 @@ object Multimodal {
           }
           if (outPos != out.length) return None
           // interlace reorder + palette map
-          val rows =
-            if (!interlaced) (0 until h).toArray
-            else {
-              val order = new Array[Int](h)
-              var r = 0
-              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
-                   y <- start until h by step) { order(r) = y; r += 1 }
-              order
-            }
+          val rows = gifRowOrder(h, interlaced)
           val rgb = new Array[Byte](w * h * 3)
           val nPal = pal.length / 3
           var r = 0
@@ -378,6 +371,34 @@ object Multimodal {
     }
     None
   } catch { case _: Exception => None }
+
+  /** Deterministic gzip fixture (gate/spec side): the text's gzip
+    * member, optionally truncated to `truncateTo` bytes to plant a
+    * corrupt member — ONE definition so the truncation convention
+    * cannot drift across the gunzip gates, specs and flagships.
+    */
+  def syntheticGzipText(s: String, truncateTo: Int = -1): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(s.getBytes("UTF-8")); g.close()
+    val full = bos.toByteArray
+    if (truncateTo >= 0) java.util.Arrays.copyOf(full, math.min(truncateTo, full.length))
+    else full
+  }
+
+  /** Storage row order of a GIF image: identity, or the four-pass
+    * 8/8/4/2 interlace sequence — ONE definition shared by decoder and
+    * fixture encoder so the pass table cannot drift one-sided.
+    */
+  private def gifRowOrder(h: Int, interlaced: Boolean): Array[Int] =
+    if (!interlaced) Array.tabulate(h)(identity)
+    else {
+      val order = new Array[Int](h)
+      var r = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+           y <- start until h by step) { order(r) = y; r += 1 }
+      order
+    }
 
   /** Deterministic GIF fixture encoder: a REAL GIF89a with a 128-color
     * global palette (color i = ((i·37) mod 256, (i·59) mod 256,
@@ -411,14 +432,7 @@ object Multimodal {
     out.write(if (interlaced) 0x40 else 0x00)
     out.write(minCode)
     // pixel indices in STORED row order (interlaced: four-pass)
-    val rows =
-      if (!interlaced) (0 until h).toArray
-      else {
-        val order = scala.collection.mutable.ArrayBuffer.empty[Int]
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
-             y <- start until h by step) order += y
-        order.toArray
-      }
+    val rows = gifRowOrder(h, interlaced)
     val idx = new Array[Int](w * h)
     var r = 0
     while (r < h) {
@@ -838,6 +852,7 @@ object Multimodal {
     val fmt =
       if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+      else if (bytes.length >= 3 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
       else "unknown"
     ImageStats(id, fmt, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
   }

@@ -2887,14 +2887,9 @@ object CorpusQueries {
       "q_text_gunzip",
       (spark, dir) => {
         val docs = Q.t(spark, dir, "documents")
-        val gz = udf((id: Long, text: String) => {
-          val bos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(bos)
-          g.write(text.getBytes("UTF-8")); g.close()
-          val full = bos.toByteArray
-          if (id % 7 == 3) java.util.Arrays.copyOf(full, math.min(10, full.length))
-          else full
-        })
+        val gz = udf((id: Long, text: String) =>
+          graft.operators.Multimodal.syntheticGzipText(
+            text, if (id % 7 == 3) 10 else -1))
         val out = docs
           .select(col("doc_id"),
             graft.functions.GraftFunctions
@@ -3632,14 +3627,9 @@ object CorpusQueries {
           col("text"),
           lit("</p><p>&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
             "</body></html>"))
-        val gz = udf((id: Long, s: String) => {
-          val bos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(bos)
-          g.write(s.getBytes("UTF-8")); g.close()
-          val full = bos.toByteArray
-          if (id % 13 == 5) java.util.Arrays.copyOf(full, math.min(10, full.length))
-          else full
-        })
+        val gz = udf((id: Long, s: String) =>
+          graft.operators.Multimodal.syntheticGzipText(
+            s, if (id % 13 == 5) 10 else -1))
         val screened = base
           .select(col("doc_id"),
             graft.functions.GraftFunctions

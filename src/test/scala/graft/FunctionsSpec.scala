@@ -120,12 +120,7 @@ class FunctionsSpec extends SparkSpec {
 
   test("GunzipUtf8: round trip, corrupt-payload NULL, bomb guard") {
     import graft.functions.{GraftFunctions, GraftMath}
-    def gz(s: String): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(s.getBytes("UTF-8")); g.close()
-      bos.toByteArray
-    }
+    def gz(s: String): Array[Byte] = graft.operators.Multimodal.syntheticGzipText(s)
     val texts = Seq("hello gz world", "", "UTF-8: é 😀 𝄞", "x" * 100000)
     import spark.implicits._
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, gz(t)) }
@@ -149,6 +144,12 @@ class FunctionsSpec extends SparkSpec {
     // decompression-bomb guard: a member inflating past the bound is NULL
     val bomb = gz("y" * (GraftMath.MaxGunzipBytes + 1))
     assert(GraftMath.gunzipUtf8(bomb) == null)
+    // a member whose CONTENT is not valid UTF-8 (a gzipped binary
+    // payload inflates fine) is malformed under the text contract: NULL
+    val binBos = new java.io.ByteArrayOutputStream()
+    val bg = new java.util.zip.GZIPOutputStream(binBos)
+    bg.write(Array[Byte](0xC3.toByte, 0x28, 0x00, 0xFF.toByte)); bg.close()
+    assert(GraftMath.gunzipUtf8(binBos.toByteArray) == null)
   }
 
   test("NfcNormalize agrees with the standard on composed/decomposed/singleton forms") {

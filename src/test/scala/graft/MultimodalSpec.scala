@@ -201,17 +201,18 @@ class MultimodalSpec extends SparkSpec {
       }
       // external conformance: the JDK's own GIF reader must agree on
       // every pixel — pins the LZW width timing to the real ecosystem,
-      // not just to this codec pair's self-consistency
+      // not just to this codec pair's self-consistency. The reader is
+      // always registered, so a null read can only mean the fixture
+      // bytes are malformed — exactly what this block exists to catch
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img != null) {
-        for (y <- 0 until h; x <- 0 until w) {
-          val rgb = img.getRGB(x, y)
-          val o = (y * w + x) * 3
-          assert(((rgb >> 16) & 0xFF) == (px(o) & 0xFF) &&
-            ((rgb >> 8) & 0xFF) == (px(o + 1) & 0xFF) &&
-            (rgb & 0xFF) == (px(o + 2) & 0xFF),
-            s"ImageIO disagrees at seed=$seed ${w}x$h ($x,$y)")
-        }
+      assert(img != null, s"ImageIO rejected the seed=$seed ${w}x$h fixture outright")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xFF) == (px(o) & 0xFF) &&
+          ((rgb >> 8) & 0xFF) == (px(o + 1) & 0xFF) &&
+          (rgb & 0xFF) == (px(o + 2) & 0xFF),
+          s"ImageIO disagrees at seed=$seed ${w}x$h ($x,$y)")
       }
     }
   }

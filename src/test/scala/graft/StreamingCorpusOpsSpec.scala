@@ -477,12 +477,7 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     // both are pure codegen column expressions — stateless, so the
     // compressed-text ingest runs on a stream unchanged
-    def gz(s: String): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(s.getBytes("UTF-8")); g.close()
-      bos.toByteArray
-    }
+    def gz(s: String): Array[Byte] = Multimodal.syntheticGzipText(s)
     val payloads = Seq(
       (1L, gz("plain text")),
       (2L, gz("decomposed é accent")),
