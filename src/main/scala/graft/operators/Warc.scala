@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WARC container parsing — the layer ABOVE the gzip member in a real
+  * web-archive ingest (ISO 28500: a WARC file is a concatenation of
+  * records, each `WARC/1.0` + CRLF header block + empty line + exactly
+  * Content-Length payload bytes + CRLF CRLF). [[records]] explodes
+  * each blob into typed per-record rows, completing the ingest story:
+  * container walk → (per-member gunzip) → HTML strip → curation.
+  *
+  * Degrade contract like every codec here: a malformed blob yields the
+  * records parsed BEFORE the malformation and stops — a truncated
+  * crawl file surfaces its intact prefix instead of failing the task.
+  * Byte-exact framing: payload extents come from Content-Length, never
+  * from delimiter scanning, so binary payloads cannot desync the walk.
+  */
+object Warc {
+
+  final case class WarcRecord(
+      media_id: Long,
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      body: String)
+
+  /** Parse one WARC blob into its records (intact prefix on
+    * malformation). Bodies are returned as UTF-8 text; a body that is
+    * not valid UTF-8 carries NULL (the [[graft.functions.GraftMath
+    * .gunzipUtf8]] text contract) while its framing fields remain.
+    */
+  def parseWarc(id: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var p = 0
+    var idx = 0
+    def lineEnd(from: Int): Int = { // index of the \r of the next CRLF
+      var i = from
+      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < bytes.length) i else -1
+    }
+    while (p < bytes.length) {
+      // version line
+      val ve = lineEnd(p)
+      if (ve < 0) return out.toSeq
+      val version = new String(bytes, p, ve - p, "US-ASCII")
+      if (!version.startsWith("WARC/")) return out.toSeq
+      p = ve + 2
+      // header block until empty line
+      var wType: String = null
+      var uri: String = null
+      var clen = -1L
+      var headerOk = true
+      var done = false
+      while (!done && headerOk) {
+        val he = lineEnd(p)
+        if (he < 0) { headerOk = false }
+        else if (he == p) { done = true; p += 2 } // empty line
+        else {
+          val line = new String(bytes, p, he - p, "UTF-8")
+          val ci = line.indexOf(':')
+          if (ci <= 0) headerOk = false
+          else {
+            val k = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+            val v = line.substring(ci + 1).trim
+            k match {
+              case "warc-type"       => wType = v
+              case "warc-target-uri" => uri = v
+              case "content-length" =>
+                clen = try v.toLong catch { case _: NumberFormatException => -1L }
+              case _ => ()
+            }
+            p = he + 2
+          }
+        }
+      }
+      if (!headerOk || clen < 0 || p + clen > bytes.length) return out.toSeq
+      val bodyBytes = java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
+      val body =
+        try {
+          java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .decode(java.nio.ByteBuffer.wrap(bodyBytes)): Unit
+          new String(bodyBytes, "UTF-8")
+        } catch { case _: Exception => null }
+      out += WarcRecord(id, idx, wType, uri, clen, body)
+      idx += 1
+      p += clen.toInt
+      // record separator CRLF CRLF (tolerate EOF right after the last body)
+      if (p == bytes.length) return out.toSeq
+      if (p + 4 <= bytes.length && bytes(p) == '\r' && bytes(p + 1) == '\n' &&
+        bytes(p + 2) == '\r' && bytes(p + 3) == '\n') p += 4
+      else return out.toSeq
+    }
+    out.toSeq
+  }
+
+  /** Batch container walk: (idCol: long, payloadCol: binary) → one row
+    * per parsed record — the same map-only, shuffle-free shape as
+    * [[Multimodal.decodeImages]].
+    */
+  def records(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) => parseWarc(id, payload) })
+      .toDF()
+  }
+
+  /** Deterministic WARC fixture: `nRecords` records whose fields are
+    * all closed-form in (seed, i) — type alternates response/request,
+    * URI from the shared domain formula shape, body
+    * `"payload <seed·7+i> content words"` — optionally keeping only
+    * the first `keepRecords` records' bytes plus 10 garbage bytes
+    * (planting a truncated crawl file whose intact prefix must still
+    * parse).
+    */
+  def syntheticWarc(seed: Long, nRecords: Int, keepRecords: Int = Int.MaxValue): Array[Byte] = {
+    require(seed >= 0 && nRecords >= 0, "syntheticWarc: non-negative seed/count")
+    val out = new java.io.ByteArrayOutputStream()
+    var cut = -1
+    var i = 0
+    while (i < nRecords) {
+      if (i == keepRecords) cut = out.size()
+      val body = s"payload ${seed * 7 + i} content words"
+      val rec =
+        s"WARC/1.0\r\n" +
+          s"WARC-Type: ${if (i % 2 == 0) "response" else "request"}\r\n" +
+          s"WARC-Target-URI: http://site${(seed + i) % 5}.example/p$i\r\n" +
+          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+          s"\r\n$body\r\n\r\n"
+      out.write(rec.getBytes("UTF-8"))
+      i += 1
+    }
+    val full = out.toByteArray
+    if (cut < 0) full
+    else java.util.Arrays.copyOf(full, cut + 10) // 10 garbage-ish bytes of the next record
+  }
+}

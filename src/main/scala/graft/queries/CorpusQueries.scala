@@ -3595,6 +3595,49 @@ object CorpusQueries {
       )
     ),
 
+    // WARC CONTAINER walk (ISO 28500) — the layer ABOVE the gzip
+    // member in a real web-archive ingest: each blob is a
+    // concatenation of `WARC/1.0` records (CRLF header block + exact
+    // Content-Length payload + separator), exploded into typed
+    // per-record rows. Byte-exact framing (payload extents from
+    // Content-Length, never delimiter scanning) and the intact-prefix
+    // degrade contract: every 5th blob is truncated mid-record-2, and
+    // exactly record 0 must surface — a torn crawl file yields its
+    // parseable prefix, not a task failure. All fields closed-form in
+    // (id, record index), so the oracle re-derives headers AND bodies
+    // without touching the byte layout. Map-only, REQUIREd
+    // shuffle-free.
+    Q(
+      "q_warc_records",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarc(
+          k, 3, if (k % 5 == 0) 1 else Int.MaxValue))
+        val out = graft.operators.Warc.records(
+          blobs.withColumn("payload", warc(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH recs AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS rec_idx
+          |  FROM nation, UNNEST(generate_series(0, 2)) AS u(i)
+          |  WHERE n_nationkey % 5 <> 0 OR i < 1
+          |)
+          |SELECT media_id, CAST(rec_idx AS INT) AS rec_idx,
+          |  CASE WHEN rec_idx % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+          |  'http://site' || CAST((media_id + rec_idx) % 5 AS VARCHAR) ||
+          |    '.example/p' || CAST(rec_idx AS VARCHAR) AS target_uri,
+          |  CAST(LENGTH('payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
+          |              ' content words') AS BIGINT) AS content_length,
+          |  'payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
+          |    ' content words' AS body
+          |FROM recs""".stripMargin
+      )
+    ),
+
     // The WARC-INGEST flagship — q_web_pipeline extended one stage
     // EARLIER and one honesty level DEEPER: payloads arrive GZIPPED
     // (how web corpora actually ship), so the chain is gunzip →

@@ -602,6 +602,16 @@ object ScaleProbe {
             .withColumn("payload", jpg(col("media_id"))),
           "media_id", "payload").filter(col("n_pixels") > 0).count()
       }
+      // GIF decode (LZW dictionary walk per 16x16 payload) is map-only
+      // like the sibling codecs — wall must track the row count
+      probe(s"gif_decode x$k") {
+        val gif = udf((id: Long) =>
+          graft.operators.Multimodal.syntheticGif(id % 97, 16, 16))
+        graft.operators.Multimodal.decodeImages(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", gif(col("media_id"))),
+          "media_id", "payload").filter(col("n_pixels") > 0).count()
+      }
       // video decode is a map-only flatMap: one synthetic 3-frame Y4M
       // per doc row — wall must track the row count, output 3x rows
       probe(s"video_decode x$k") {

@@ -184,6 +184,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpeg(noDqt).isEmpty)
   }
 
+  test("codec fuzz: every decoder degrades (never throws) on adversarial byte streams") {
+    // decoders run on UNTRUSTED crawl data; the degrade contract must
+    // hold for arbitrary bytes, not just truncations of valid fixtures.
+    // Deterministic xorshift stream: reproducible, no Random.
+    var s = 0x9E3779B97F4A7C15L
+    def nextByte(): Byte = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s & 0xFF).toByte
+    }
+    def arr(n: Int): Array[Byte] = Array.fill(n)(nextByte())
+    val magics = Seq(
+      Array[Byte](), "GIF89a".getBytes, "fLaC".getBytes, "RIFF".getBytes,
+      Array(0xFF, 0xD8).map(_.toByte), Array(0x89, 'P', 'N', 'G').map(_.toByte),
+      Array(31, -117, 8, 0).map(_.toByte), "P6\n".getBytes, "BM".getBytes)
+    for (n <- Seq(0, 1, 7, 64, 513, 4096); m <- magics; rep <- 1 to 4) {
+      val payload = m ++ arr(n)
+      // each must return cleanly — None/null/sniffed stats — not throw
+      Multimodal.decodeGif(payload)
+      Multimodal.decodeFlac(payload)
+      Multimodal.decodeJpeg(payload)
+      Multimodal.decodePng(payload)
+      Multimodal.decodePpm(payload)
+      Multimodal.decodeBmp(payload)
+      Multimodal.decodeWav(payload)
+      Multimodal.decodeWavIma(payload)
+      graft.functions.GraftMath.gunzipUtf8(payload)
+      Multimodal.imageStats(1L, payload)
+      Multimodal.audioStats(1L, payload)
+    }
+    // and bit-flip corruption of VALID fixtures at every position band
+    val fixtures = Seq(
+      Multimodal.syntheticGif(3L, 16, 16),
+      Multimodal.syntheticFlac(4L),
+      Multimodal.syntheticJpeg(5L),
+      Multimodal.syntheticPng(6L, 8, 6),
+      Multimodal.syntheticGzipText("corrupt me please, repeatedly"))
+    for (f <- fixtures; pos <- 0 until f.length by math.max(1, f.length / 50)) {
+      val mut = f.clone()
+      mut(pos) = (mut(pos) ^ (1 + (pos % 7))).toByte
+      Multimodal.imageStats(1L, mut)
+      Multimodal.audioStats(1L, mut)
+      graft.functions.GraftMath.gunzipUtf8(mut)
+    }
+  }
+
   test("decodeGif: LZW round trip matches the closed-form raster; ImageIO agrees") {
     for (seed <- Seq(0L, 1L, 7L, 24L); (w, h) <- Seq((16, 16), (32, 32), (13, 9))) {
       val bytes = Multimodal.syntheticGif(seed, w, h)

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Warc
+
+/** WARC container walk: byte-exact framing, intact-prefix degrade,
+  * binary-body text contract, and adversarial-input no-throw.
+  */
+class WarcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("parseWarc: full fixture round-trips every closed-form field") {
+    val recs = Warc.parseWarc(4L, Warc.syntheticWarc(4L, 3))
+    assert(recs.length == 3)
+    recs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.rec_idx == i)
+      assert(r.warc_type == (if (i % 2 == 0) "response" else "request"))
+      assert(r.target_uri == s"http://site${(4 + i) % 5}.example/p$i")
+      assert(r.body == s"payload ${4 * 7 + i} content words")
+      assert(r.content_length == r.body.getBytes("UTF-8").length.toLong)
+    }
+  }
+
+  test("parseWarc: truncation yields the intact prefix; framing is Content-Length-exact") {
+    // torn mid-record-2: exactly record 0 survives
+    val torn = Warc.syntheticWarc(7L, 3, keepRecords = 1)
+    val recs = Warc.parseWarc(7L, torn)
+    assert(recs.map(_.rec_idx) == Seq(0))
+    // a body CONTAINING header-like text must not desync the walk
+    // (framing comes from Content-Length, not delimiter scanning)
+    val tricky = "inner\r\n\r\nWARC/1.0\r\nfake: x\r\n\r\nstill body"
+    val blob =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        s"Content-Length: ${tricky.getBytes("UTF-8").length}\r\n\r\n$tricky\r\n\r\n" +
+        s"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: v\r\n" +
+        "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val two = Warc.parseWarc(1L, blob)
+    assert(two.length == 2)
+    assert(two(0).body == tricky && two(1).body == "ok")
+    // non-UTF-8 body: framing fields survive, body is NULL
+    val binBody = Array[Byte](0xC3.toByte, 0x28, 0x00)
+    val binBlob = ("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: w\r\n" +
+      "Content-Length: 3\r\n\r\n").getBytes("UTF-8") ++ binBody ++
+      "\r\n\r\n".getBytes("UTF-8")
+    val bin = Warc.parseWarc(2L, binBlob)
+    assert(bin.length == 1 && bin(0).content_length == 3L && bin(0).body == null)
+  }
+
+  test("parseWarc: adversarial bytes never throw; records() is map-only over a frame") {
+    var s = 0x2545F4914F6CDD1DL
+    def arr(n: Int): Array[Byte] = Array.fill(n) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s & 0xFF).toByte
+    }
+    for (n <- Seq(0, 3, 64, 777); pre <- Seq("", "WARC/1.0\r\n", "WARC/1.0\r\nContent-Length: 999999\r\n\r\n"))
+      Warc.parseWarc(1L, pre.getBytes("US-ASCII") ++ arr(n)): Unit
+    val df = Seq((1L, Warc.syntheticWarc(1L, 2)), (2L, Warc.syntheticWarc(2L, 0)))
+      .toDF("media_id", "payload")
+    val out = Warc.records(df, "media_id", "payload")
+    graft.queries.Q.requireNoShuffle(out)
+    assert(out.count() == 2L) // empty container contributes zero rows
+  }
+}
