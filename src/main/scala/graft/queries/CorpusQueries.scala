@@ -3638,6 +3638,56 @@ object CorpusQueries {
       )
     ),
 
+    // The REAL .warc.gz layout: a crawl file is CONCATENATED gzip
+    // members (conventionally one per record — boundaries need not
+    // align with anything), and the JDK inflater reads them as one
+    // stream, so graft_gunzip → container walk composes directly. The
+    // gate splits each closed-form container's bytes into three
+    // arbitrary-boundary gzip members; decode must reproduce the
+    // container byte-exactly before the record walk can parse it —
+    // same oracle discipline as q_warc_records (no truncation variant
+    // here; that contract is pinned there and in the specs). Map-only.
+    Q(
+      "q_warcgz_records",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warcgz = udf((k: Long) => {
+          val full = graft.operators.Warc.syntheticWarc(k, 3)
+          val cut1 = full.length / 3; val cut2 = 2 * full.length / 3
+          def member(a: Int, b: Int): Array[Byte] =
+            graft.operators.Multimodal.syntheticGzipText(
+              new String(java.util.Arrays.copyOfRange(full, a, b), "UTF-8"))
+          member(0, cut1) ++ member(cut1, cut2) ++ member(cut2, full.length)
+        })
+        val out = graft.operators.Warc.records(
+          blobs
+            .withColumn("payload", warcgz(col("media_id")))
+            .select(col("media_id"),
+              org.apache.spark.sql.functions.encode(
+                graft.functions.GraftFunctions.gunzip(col("payload")), "UTF-8")
+                .as("payload")),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH recs AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS rec_idx
+          |  FROM nation, UNNEST(generate_series(0, 2)) AS u(i)
+          |)
+          |SELECT media_id, CAST(rec_idx AS INT) AS rec_idx,
+          |  CASE WHEN rec_idx % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+          |  'http://site' || CAST((media_id + rec_idx) % 5 AS VARCHAR) ||
+          |    '.example/p' || CAST(rec_idx AS VARCHAR) AS target_uri,
+          |  CAST(LENGTH('payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
+          |              ' content words') AS BIGINT) AS content_length,
+          |  'payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
+          |    ' content words' AS body
+          |FROM recs""".stripMargin
+      )
+    ),
+
     // The WARC-INGEST flagship — q_web_pipeline extended one stage
     // EARLIER and one honesty level DEEPER: payloads arrive GZIPPED
     // (how web corpora actually ship), so the chain is gunzip →

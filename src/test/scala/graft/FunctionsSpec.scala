@@ -150,6 +150,15 @@ class FunctionsSpec extends SparkSpec {
     val bg = new java.util.zip.GZIPOutputStream(binBos)
     bg.write(Array[Byte](0xC3.toByte, 0x28, 0x00, 0xFF.toByte)); bg.close()
     assert(GraftMath.gunzipUtf8(binBos.toByteArray) == null)
+    // CONCATENATED members decode as their concatenation — the real
+    // .warc.gz layout (one member per record); boundaries need not
+    // align with anything
+    val multi = gz("first member ") ++ gz("second ") ++ gz("third")
+    assert(GraftMath.gunzipUtf8(multi).toString == "first member second third")
+    // truncation INSIDE a later member still yields NULL for the whole
+    // blob (all-or-nothing under the one-column contract)
+    val tornTail = gz("first member ") ++ gz("second ").dropRight(6)
+    assert(GraftMath.gunzipUtf8(tornTail) == null)
   }
 
   test("NfcNormalize agrees with the standard on composed/decomposed/singleton forms") {
