@@ -161,17 +161,23 @@ object Graph {
       nodesOf(adj).select(col("node"), col("node").as("component")))
     var changed = 1L
     while (changed > 0) {
-      val (nP, nCut) = pin(
-        edges
-          .join(lCut.select(col("node").as("v"), col("component").as("__c")), "v")
-          .groupBy(col("u").as("node")).agg(min(col("__c")).as("__nb"))
-          .join(lCut, "node")
-          .select(col("node"),
-            least(col("component"), col("__nb")).as("component"),
-            (col("__nb") < col("component")).as("__moved")))
-      changed = nCut.filter(col("__moved")).count()
+      // ONE action per round (the pageRankConverged discipline): the
+      // moved-count sum both materializes the persisted frame and reads
+      // off the convergence scalar — no second pass over the cache
+      val stepped = edges
+        .join(lCut.select(col("node").as("v"), col("component").as("__c")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("__c")).as("__nb"))
+        .join(lCut, "node")
+        .select(col("node"),
+          least(col("component"), col("__nb")).as("component"),
+          (col("__nb") < col("component")).as("__moved"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = stepped
+        .agg(coalesce(sum(col("__moved").cast("long")), lit(0L)))
+        .first().getLong(0)
+      val nCut = adj.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
       lP.unpersist()
-      lP = nP; lCut = nCut.select(col("node"), col("component"))
+      lP = stepped; lCut = nCut.select(col("node"), col("component"))
     }
     val (outP, _) = pin(lCut)
     lP.unpersist(); edges.unpersist()

@@ -211,7 +211,7 @@ object Multimodal {
     def u8(o: Int): Int = bytes(o) & 0xFF
     def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
     var p = 6
-    p += 4 // logical screen w/h (frame dims come from the descriptor)
+    val screenW = le16(p); val screenH = le16(p + 2); p += 4
     val lsdFlags = u8(p); p += 3 // flags, bg index, aspect
     var globalPal: Array[Byte] = null
     if ((lsdFlags & 0x80) != 0) {
@@ -230,10 +230,16 @@ object Multimodal {
           p += 1
         case 0x2C => // image descriptor
           if (p + 10 > bytes.length) return None
+          val left = le16(p + 1); val top = le16(p + 3)
           val w = le16(p + 5); val h = le16(p + 7)
           val idFlags = u8(p + 9)
           p += 10
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+          // frame-local geometry only covers the full screen: an offset
+          // or sub-screen frame would need background/disposal
+          // composition (and would diverge from this decoder's
+          // single-raster contract) — degrade, don't mis-frame
+          if (left != 0 || top != 0 || w != screenW || h != screenH) return None
           var pal = globalPal
           if ((idFlags & 0x80) != 0) {
             val n = 2 << (idFlags & 7)
@@ -292,9 +298,12 @@ object Multimodal {
             }
             if (c >= clear) return false
             stack(sp) = c.toByte; sp += 1
+            // a stream encoding more pixels than the raster holds is a
+            // malformation like any other — degrade, don't decode a prefix
+            if (outPos + sp > out.length) return false
             while (sp > 0) {
               sp -= 1
-              if (outPos < out.length) { out(outPos) = stack(sp); outPos += 1 }
+              out(outPos) = stack(sp); outPos += 1
             }
             true
           }

@@ -78,11 +78,10 @@ object Warc {
       if (!headerOk || clen < 0 || p + clen > bytes.length) return out.toSeq
       val bodyBytes = java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
       val body =
-        try {
+        try // strict decoder (throws on malformed) — its CharBuffer IS the text
           java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-            .decode(java.nio.ByteBuffer.wrap(bodyBytes)): Unit
-          new String(bodyBytes, "UTF-8")
-        } catch { case _: Exception => null }
+            .decode(java.nio.ByteBuffer.wrap(bodyBytes)).toString
+        catch { case _: Exception => null }
       out += WarcRecord(id, idx, wType, uri, clen, body)
       idx += 1
       p += clen.toInt

@@ -280,6 +280,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageStats(1L, good).n_pixels == 256L)
   }
 
+  test("decodeGif: offset/sub-screen frames and over-long LZW streams degrade to None") {
+    val good = Multimodal.syntheticGif(3L, 16, 16)
+    assert(Multimodal.decodeGif(good).isDefined)
+    // the image descriptor sits right after the 128-entry global palette
+    val desc = 6 + 4 + 3 + 3 * 128
+    assert((good(desc) & 0xFF) == 0x2C)
+    val offsetLeft = good.clone(); offsetLeft(desc + 1) = 1 // left = 1
+    assert(Multimodal.decodeGif(offsetLeft).isEmpty,
+      "a left-offset frame needs screen composition — must degrade, not mis-frame")
+    val offsetTop = good.clone(); offsetTop(desc + 3) = 2 // top = 2
+    assert(Multimodal.decodeGif(offsetTop).isEmpty)
+    val subScreen = good.clone(); subScreen(6) = 17 // logical screen w != frame w
+    assert(Multimodal.decodeGif(subScreen).isEmpty,
+      "a sub-screen frame needs background composition — must degrade")
+
+    // hand-built 2x1 GIF whose LZW stream expands to THREE pixels:
+    // clear, 0, then the KwKwK code 6 (= "00") — the second emit
+    // crosses the raster boundary mid-expansion, which must be a
+    // malformation like any other, not a silent prefix decode
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    le16(2); le16(1)
+    bos.write(0x81); bos.write(0); bos.write(0) // 4-entry global palette
+    for (i <- 0 until 4) { bos.write(i); bos.write(i); bos.write(i) }
+    bos.write(0x2C); le16(0); le16(0); le16(2); le16(1); bos.write(0)
+    bos.write(2) // min code size -> clear=4, eoi=5, width 3
+    bos.write(2); bos.write(0x84); bos.write(0x0B); bos.write(0) // codes 4,0,6,(5)
+    bos.write(0x3B)
+    assert(Multimodal.decodeGif(bos.toByteArray).isEmpty,
+      "over-long LZW expansion must degrade to None")
+  }
+
   test("decodeFlac: fixed and LPC subframes reconstruct the exact closed-form samples") {
     for (seed <- Seq(0L, 1L, 2L, 7L, 24L)) { // both parities = both predictor families
       val bytes = Multimodal.syntheticFlac(seed)
