@@ -89,4 +89,116 @@ object Sketch {
         try_element_at(lit(sketch(i)), bucketOf(token, m, w).cast("int") + 1),
         lit(0L))
     }.reduce(least(_, _))
+
+  // --- HyperLogLog -------------------------------------------------------
+  //
+  // Distinct counting over 100 TB without a distinct shuffle: m
+  // registers, each the MAX leading-zero rank of the hashes landing in
+  // its bucket (Flajolet et al. 2007). Registers are order-free MAXes,
+  // so per-shard register sets merge cell-wise and equal the full
+  // build bit-exactly — the same mergeable-summary contract as the
+  // Count-Min cells above, with MAX in place of SUM. Unlike the
+  // DataSketches-based q_hll_distinct (whose estimate is only
+  // checkable in its sparse-exact regime), this sketch is DETERMINISTIC
+  // end to end: registers derive from XXH64 (oracle-portable via the
+  // SimHash gates' HUGEINT emulation) and the estimate is all-integer
+  // (the α·m² numerator is a precomputed literal, Σ2^-M runs as a
+  // scaled integer sum, the division floors), so every register and
+  // the estimate itself are oracle-checkable in SQL at any
+  // cardinality.
+
+  /** m = 64 buckets (p = 6 index bits, the low bits of the hash). */
+  val HllBuckets: Int = 64
+
+  /** Rank-field width: 32 hash bits above the bucket index, so
+    * registers run 1..33 (33 = the all-zero field) and every scaled
+    * harmonic term 2^(33−M) — and their 64-bucket sum — stays in a
+    * long. The rank statistic needs a hash with real avalanche (the
+    * polynomial family's short-key outputs are small numbers whose
+    * leading-zero ranks read as astronomically rare — measured as a
+    * 10⁶× overestimate on integer keys), so the sketch hashes with
+    * XXH64 (Spark's codegen'd `xxhash64`, seed 42), whose
+    * HUGEINT-emulation oracle port is already validated bit-for-bit
+    * by the SimHash gates. Field ceiling: saturation becomes likely
+    * only near 2^32·m ≈ 2.7e11 distincts; beyond that a wider field
+    * needs decimal sums (documented boundary, same class as the
+    * 64-bit large-range correction).
+    */
+  val HllFieldBits: Int = 32
+
+  /** α_64·m²·2^(FieldBits+1) with α_64 = 709/1000 (Flajolet's constant
+    * for m = 64), floored once here so both engines divide the SAME
+    * integer numerator.
+    */
+  val HllAlphaNum: Long =
+    709L * HllBuckets * HllBuckets * (1L << (HllFieldBits + 1)) / 1000L
+
+  /** Linear-counting / raw-estimate switchover: the standard 2.5·m. */
+  val HllLcBound: Long = 5L * HllBuckets / 2L
+
+  /** Build the register set over a text column's whitespace tokens:
+    * ONE corpus scan — each token projects to its (bucket, rank) pair
+    * map-side, then one partial-agg shuffle folds the MAX into the
+    * ≤ m-row register table. Duplicate tokens are absorbed by the MAX
+    * (no distinct pass). Returns (bucket, register); absent buckets
+    * are empty (register 0).
+    */
+  def hllRegisters(docs: DataFrame, textCol: String): DataFrame = {
+    val h = xxhash64(col("__t"))
+    // low 6 bits index the bucket (sign-safe under two's complement);
+    // the next 32 bits are the rank field
+    val v = shiftrightunsigned(h, 6).bitwiseAND(lit(4294967295L))
+    val rho = when(v === 0L, lit(HllFieldBits + 1))
+      .otherwise(lit(HllFieldBits + 1) - length(bin(v)))
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(h.bitwiseAND(lit(HllBuckets - 1L)).as("bucket"),
+        rho.cast("long").as("__rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("__rho")).as("register"))
+  }
+
+  /** Merge register sets (same m): cell-wise MAX — equals building on
+    * the concatenated corpora bit-exactly (max is associative,
+    * commutative, idempotent), so per-batch sketches maintain the
+    * corpus cardinality without ever rescanning history.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket"))
+      .agg(max(col("register")).as("register"))
+
+  /** Cardinality estimate from a register set — ONE row out, never a
+    * collect: n_present and the scaled harmonic sum ride one agg over
+    * the ≤ m-row frame; empty buckets contribute 2^33 each. The raw
+    * estimate is the all-integer floor of α·m²·2^33 / S; below
+    * [[HllLcBound]] with empty buckets present, linear counting
+    * m·ln(m/V) takes over, its two ln reads coming from the shared
+    * [[TextAnalysis.LnTable]] so the float product is the identical
+    * IEEE operation in both engines. `method` pins which branch fired.
+    */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val m = HllBuckets.toLong
+    val k = HllFieldBits + 1
+    registers
+      .agg(
+        count(lit(1)).as("n_present"),
+        coalesce(sum(expr(s"shiftleft(1L, cast($k - register as int))")), lit(0L))
+          .as("__s_present"))
+      .select(
+        col("n_present"),
+        (lit(m) - col("n_present")).as("n_zero"),
+        (col("__s_present") + (lit(m) - col("n_present")) * lit(1L << k))
+          .as("s_sum"))
+      .withColumn("est_raw", expr(s"${HllAlphaNum}L div s_sum"))
+      .withColumn("method",
+        when(col("est_raw") <= HllLcBound && col("n_zero") > 0, lit("linear"))
+          .otherwise(lit("raw")))
+      .withColumn("est",
+        when(col("method") === "linear",
+          floor(lit(m.toDouble) *
+            (lit(TextAnalysis.LnTable(HllBuckets - 1)) -
+              TextAnalysis.lnInt(col("n_zero")))))
+          .otherwise(col("est_raw")))
+  }
 }

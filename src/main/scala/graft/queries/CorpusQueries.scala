@@ -204,11 +204,64 @@ object CorpusQueries {
     * `cmsSketchRowsSql` mirrors `Sketch.countMin` (one SELECT per hash
     * row over a `tk(t)` token CTE).
     */
-  private def cmsBucketSql(e: String, m: Long, w: Int): String =
+  private def polyHashSql(e: String, m: Long): String =
     s"""(CASE WHEN $e = '' THEN 0 ELSE list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
        |        list_transform(str_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |      (h, c) -> (h * $m + c) % ${graft.operators.Sketch.CmsMod}) END) % $w""".stripMargin
+       |      (h, c) -> (h * $m + c) % ${graft.operators.Sketch.CmsMod}) END)""".stripMargin
+
+  private def cmsBucketSql(e: String, m: Long, w: Int): String =
+    s"${polyHashSql(e, m)} % $w"
+
+  /** HLL register CTE chain over a token CTE `src(t)`, mirroring
+    * [[graft.operators.Sketch.hllRegisters]]: the unsigned XXH64 chain
+    * ([[OracleSql.xxh64Ctes]], the SimHash gates' validated port) ends
+    * in `xh(..., th)`; bucket = low 6 bits, rank field = the next 32,
+    * rank = 33 − length(bin(v)) using that both engines' `bin` drops
+    * leading zeros. Ends in `hregs(bucket, register)` — the chain must
+    * be spliced directly after a `WITH`-list comma.
+    */
+  private def hllRegistersSql(src: String): String = {
+    val m = graft.operators.Sketch.HllBuckets
+    val k = graft.operators.Sketch.HllFieldBits + 1
+    s"""hto AS (SELECT t AS id, t AS tok FROM $src),${OracleSql.xxh64Ctes("hto")},
+       |hregs AS (
+       |  SELECT CAST(th % $m AS BIGINT) AS bucket,
+       |    CAST(MAX(CASE WHEN (th // $m) % 4294967296 = 0 THEN $k
+       |             ELSE $k - LENGTH(bin(CAST((th // $m) % 4294967296 AS BIGINT))) END)
+       |      AS BIGINT) AS register
+       |  FROM xh GROUP BY 1
+       |)""".stripMargin
+  }
+
+  /** The HLL estimate over a `regs(bucket, register)` CTE, mirroring
+    * [[graft.operators.Sketch.hllEstimate]]: integer harmonic sum and
+    * floor-divided raw estimate; the linear-counting branch reads both
+    * lns from `lnt(l)` (must be in scope). Ends in
+    * `hest(n_present, n_zero, s_sum, est_raw, method, est)`.
+    */
+  private def hllEstimateSql(regs: String): String = {
+    val m = graft.operators.Sketch.HllBuckets
+    val k = graft.operators.Sketch.HllFieldBits + 1
+    s"""hsum AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+       |    CAST($m - COUNT(*) AS BIGINT) AS n_zero,
+       |    CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST($k - register AS INT)), 0)
+       |       + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << $k) AS BIGINT) AS s_sum
+       |  FROM $regs
+       |), hraw AS (
+       |  SELECT *, CAST(${graft.operators.Sketch.HllAlphaNum} // s_sum AS BIGINT) AS est_raw,
+       |    CASE WHEN ${graft.operators.Sketch.HllAlphaNum} // s_sum <= ${graft.operators.Sketch.HllLcBound}
+       |              AND n_zero > 0 THEN 'linear' ELSE 'raw' END AS method
+       |  FROM hsum
+       |), hest AS (
+       |  SELECT n_present, n_zero, s_sum, est_raw, method,
+       |    CAST(CASE WHEN method = 'linear'
+       |      THEN CAST(FLOOR(${m.toDouble}e0 * (l[$m] - l[CAST(n_zero AS INT)])) AS BIGINT)
+       |      ELSE est_raw END AS BIGINT) AS est
+       |  FROM hraw, lnt
+       |)""".stripMargin
+  }
 
   private def cmsSketchRowsSql(w: Int): String =
     graft.operators.Sketch.CmsMults.zipWithIndex.map { case (m, i) =>
@@ -3191,6 +3244,98 @@ object CorpusQueries {
            |)
            |SELECT token, cnt FROM tf, th WHERE cnt >= th.v
            |ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
+      )
+    ),
+
+    // Deterministic HyperLogLog — distinct counting as a MERGEABLE
+    // 64-register summary (the Count-Min discipline with MAX in place
+    // of SUM): register = max leading-zero rank of the shared
+    // polynomial hash per bucket. The gate counts distinct order keys
+    // (15k at sf0.01 — every bucket populated, ranks deep), building
+    // PER-HALF register sets and MERGING them cell-wise while the
+    // oracle derives every register from the full key stream in SQL —
+    // merge==build pinned on the registers THEMSELVES, not just an
+    // estimate (the built-in DataSketches q_hll_distinct can only be
+    // oracle-checked in its sparse-exact regime; this sketch is
+    // hash-checkable at any cardinality). One scan, 64 rows out.
+    Q(
+      "q_hll_registers",
+      (spark, dir) => {
+        val keys = Q.t(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k"),
+            col("o_orderkey").as("__id"))
+        graft.operators.Sketch.hllMerge(
+          graft.operators.Sketch.hllRegisters(
+            keys.filter(col("__id") % 2 === 0), "k"),
+          graft.operators.Sketch.hllRegisters(
+            keys.filter(col("__id") % 2 === 1), "k"))
+      },
+      Some(
+        s"""WITH tk AS (
+           |  SELECT CAST(o_orderkey AS VARCHAR) AS t FROM orders
+           |), ${hllRegistersSql("tk")}
+           |SELECT bucket, register FROM hregs""".stripMargin
+      )
+    ),
+
+    // The HLL ESTIMATE, all-integer: Σ2^-M runs as a scaled integer
+    // sum over the register frame (empty buckets contribute 2^25), the
+    // α·m²·2^25 numerator is one precomputed literal, and the division
+    // floors — so the estimate itself hash-matches, not just lands in
+    // a band. `method` pins that the order-key cardinality is in the
+    // RAW regime (documents' synthetic text has only ~31 distinct
+    // tokens — the linear gate below covers that end); err_pm records
+    // the per-mille error against the exact distinct count (both
+    // engines compute it, so the accuracy claim is part of the hash).
+    // One agg row out of the 64-row frame.
+    Q(
+      "q_hll_estimate",
+      (spark, dir) => {
+        val keys = Q.t(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k"))
+        val est = graft.operators.Sketch.hllEstimate(
+          graft.operators.Sketch.hllRegisters(keys, "k"))
+        val exact = keys.agg(countDistinct(col("k")).as("n_exact"))
+        est.crossJoin(exact)
+          .withColumn("err_pm", expr("abs(est - n_exact) * 1000L div n_exact"))
+          .withColumn("within_band", col("err_pm") <= 300L)
+      },
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l), tk AS (
+           |  SELECT CAST(o_orderkey AS VARCHAR) AS t FROM orders
+           |), ${hllRegistersSql("tk")}, ${hllEstimateSql("hregs")}, ex AS (
+           |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact FROM tk
+           |)
+           |SELECT e.*, ex.n_exact,
+           |  CAST(ABS(e.est - ex.n_exact) * 1000 // ex.n_exact AS BIGINT) AS err_pm,
+           |  ABS(e.est - ex.n_exact) * 1000 // ex.n_exact <= 300 AS within_band
+           |FROM hest e CROSS JOIN ex""".stripMargin
+      )
+    ),
+
+    // The LINEAR-COUNTING branch of the same estimator, pinned on a
+    // genuinely small corpus (nation-name tokens): most registers
+    // empty, est_raw under 2.5·m, so m·ln(m/V) takes over — both ln
+    // reads from the shared LnTable, the float product a single IEEE
+    // multiply in both engines, floored to an integer estimate.
+    Q(
+      "q_hll_linear",
+      (spark, dir) => {
+        val nat = Q.t(spark, dir, "nation")
+        val est = graft.operators.Sketch.hllEstimate(
+          graft.operators.Sketch.hllRegisters(nat, "n_name"))
+        val exact = nat
+          .select(explode(TextAnalysis.tokens(col("n_name"))).as("__t"))
+          .agg(countDistinct(col("__t")).as("n_exact"))
+        est.crossJoin(exact)
+      },
+      Some(
+        s"""WITH lnt AS (SELECT $LnTabSql AS l), tk AS (
+           |  SELECT unnest(regexp_split_to_array(n_name, '\\s+')) AS t FROM nation
+           |), ${hllRegistersSql("tk")}, ${hllEstimateSql("hregs")}, ex AS (
+           |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact FROM tk
+           |)
+           |SELECT e.*, ex.n_exact FROM hest e CROSS JOIN ex""".stripMargin
       )
     ),
 

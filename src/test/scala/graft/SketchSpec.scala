@@ -52,4 +52,68 @@ class SketchSpec extends SparkSpec {
     // its row's sum
     assert(checked.map(_.getAs[Long]("e")).max <= 180L)
   }
+
+  // --- HyperLogLog -------------------------------------------------------
+
+  private def keys(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map(i => s"key$i").toDF("k")
+
+  private def regs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    graft.operators.Sketch.hllRegisters(df, "k").collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+
+  test("hllRegisters: bucket and rank match the closed-form reference per token") {
+    val expected = (0 until 200).map { i =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"key$i"), 42L)
+      val v = (h >>> 6) & 0xFFFFFFFFL
+      val rho = if (v == 0L) 33L else 33L - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      (h & 63L, rho)
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(regs(keys(200)) == expected)
+  }
+
+  test("hllMerge: per-half register sets merge to exactly the full build") {
+    val df = keys(1000).withColumn("__i", monotonically_increasing_id())
+    val full = regs(keys(1000))
+    val merged = graft.operators.Sketch.hllMerge(
+      graft.operators.Sketch.hllRegisters(df.filter($"__i" % 2 === 0), "k"),
+      graft.operators.Sketch.hllRegisters(df.filter($"__i" % 2 === 1), "k"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+    assert(merged == full)
+    // duplicate-absorbing: re-merging the full set with itself is a no-op
+    val idem = graft.operators.Sketch.hllMerge(
+      graft.operators.Sketch.hllRegisters(df, "k"),
+      graft.operators.Sketch.hllRegisters(df, "k"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+    assert(idem == full)
+  }
+
+  private def estRow(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+    val r = graft.operators.Sketch.hllEstimate(
+      graft.operators.Sketch.hllRegisters(df, "k")).head()
+    (r.getAs[Long]("est"), r.getAs[String]("method"))
+  }
+
+  test("hllEstimate: raw-regime estimates land within 3 RSE across cardinalities") {
+    for (n <- Seq(1000, 10000, 50000)) {
+      val (est, method) = estRow(keys(n))
+      assert(method == "raw", s"n=$n fired $method")
+      val rse = 1.04 / math.sqrt(graft.operators.Sketch.HllBuckets.toDouble)
+      assert(math.abs(est - n).toDouble / n <= 3 * rse,
+        s"n=$n est=$est outside 3·RSE")
+    }
+  }
+
+  test("hllEstimate: small cardinalities take the linear-counting branch and stay tight") {
+    for (n <- Seq(1, 10, 60)) {
+      val (est, method) = estRow(keys(n))
+      assert(method == "linear", s"n=$n fired $method")
+      assert(math.abs(est - n) <= math.max(2L, n / 4L), s"n=$n est=$est")
+    }
+    // duplicates never move the registers: 10 distinct keys repeated
+    // 50x estimate exactly like 10 distinct keys
+    val dup = (0 until 500).map(i => s"key${i % 10}").toDF("k")
+    assert(estRow(dup) == estRow(keys(10)))
+  }
 }
