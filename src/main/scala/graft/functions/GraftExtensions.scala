@@ -61,7 +61,12 @@ object GraftExtensions {
     (
       FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization (UAX #15)"),
-      (children: Seq[Expression]) => NfcNormalize(children(0))))
+      (children: Seq[Expression]) => NfcNormalize(children(0))),
+    (
+      FunctionIdentifier("graft_url_canon"),
+      info("graft_url_canon",
+        "graft_url_canon(s) - RFC 3986 canonical http(s) URL; NULL out of contract"),
+      (children: Seq[Expression]) => UrlCanonicalize(children(0))))
 
   /** Register the SQL functions on an existing session (no
     * `spark.sql.extensions` rebuild needed).

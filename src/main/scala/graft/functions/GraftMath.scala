@@ -338,4 +338,110 @@ object GraftMath {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** RFC 3986 §6 URL normalization for http(s) URLs — the canonical
+    * form URL-level dedup and frontier bookkeeping key on: lowercase
+    * scheme and host, fragment stripped, default port removed,
+    * percent-encodings of unreserved characters decoded and remaining
+    * escapes uppercased (§6.2.2), dot-segments resolved (§5.2.4), and
+    * the empty path normalized to "/". Anything outside the contract —
+    * no scheme, non-http(s), empty or bracketed (IPv6) host, a
+    * non-numeric port — returns null, the codec family's degrade
+    * discipline (crawl URL fields are untrusted input).
+    */
+  def canonicalizeUrl(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val cIdx = str.indexOf("://")
+    if (cIdx <= 0) return null
+    val scheme = str.substring(0, cIdx).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return null
+    val rest = str.substring(cIdx + 3)
+    var aEnd = 0
+    while (aEnd < rest.length && rest.charAt(aEnd) != '/' &&
+      rest.charAt(aEnd) != '?' && rest.charAt(aEnd) != '#') aEnd += 1
+    val authority = rest.substring(0, aEnd)
+    if (authority.isEmpty) return null
+    val atIdx = authority.lastIndexOf('@')
+    val userinfo = if (atIdx >= 0) authority.substring(0, atIdx + 1) else ""
+    val hostport = authority.substring(atIdx + 1)
+    if (hostport.contains('[') || hostport.contains(']')) return null // IPv6 out of contract
+    val colonIdx = hostport.lastIndexOf(':')
+    val host = (if (colonIdx >= 0) hostport.substring(0, colonIdx) else hostport)
+      .toLowerCase(java.util.Locale.ROOT)
+    if (host.isEmpty) return null
+    val port = if (colonIdx >= 0) hostport.substring(colonIdx + 1) else ""
+    if (port.nonEmpty && !port.forall(_.isDigit)) return null
+    val keepPort = port.nonEmpty &&
+      !(scheme == "http" && port.toLong == 80L) &&
+      !(scheme == "https" && port.toLong == 443L)
+    val tail = rest.substring(aEnd)
+    val hashIdx = tail.indexOf('#')
+    val noFrag = if (hashIdx >= 0) tail.substring(0, hashIdx) else tail
+    val qIdx = noFrag.indexOf('?')
+    val rawPath = if (qIdx >= 0) noFrag.substring(0, qIdx) else noFrag
+    val query = if (qIdx >= 0) noFrag.substring(qIdx) else ""
+    val path0 = removeDotSegments(pctNormalize(rawPath))
+    val path = if (path0.isEmpty) "/" else path0
+    UTF8String.fromString(
+      scheme + "://" + userinfo + host +
+        (if (keepPort) ":" + port else "") + path + pctNormalize(query))
+  }
+
+  /** §6.2.2.2: decode %XX escapes of unreserved characters
+    * (ALPHA / DIGIT / '-' / '.' / '_' / '~'), uppercase the hex of
+    * every other escape; malformed escapes pass through literally
+    * (leniency — a strict reject would drop real crawl URLs over one
+    * stray '%').
+    */
+  private def pctNormalize(p: String): String = {
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val sb = new java.lang.StringBuilder(p.length)
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 2 < p.length &&
+        hex(p.charAt(i + 1)) >= 0 && hex(p.charAt(i + 2)) >= 0) {
+        val v = hex(p.charAt(i + 1)) * 16 + hex(p.charAt(i + 2))
+        val ch = v.toChar
+        if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
+          (ch >= '0' && ch <= '9') || ch == '-' || ch == '.' || ch == '_' || ch == '~')
+          sb.append(ch)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(p.charAt(i + 1)))
+          sb.append(Character.toUpperCase(p.charAt(i + 2)))
+        }
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** §5.2.4 remove_dot_segments, verbatim from the RFC's algorithm. */
+  private def removeDotSegments(p: String): String = {
+    val sb = new java.lang.StringBuilder(p.length)
+    var in = p
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val idx = sb.lastIndexOf("/")
+        sb.setLength(if (idx >= 0) idx else 0)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        var j = if (in.charAt(0) == '/') 1 else 0
+        while (j < in.length && in.charAt(j) != '/') j += 1
+        sb.append(in, 0, j)
+        in = in.substring(j)
+      }
+    }
+    sb.toString
+  }
 }

@@ -276,6 +276,32 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_url_canon(string) -> string` — RFC 3986 §6 normalization of
+  * an http(s) URL inside codegen; NULL for anything outside the
+  * contract (no scheme, non-http(s), bad host/port). The canonical key
+  * for URL-level dedup. See [[GraftMath.canonicalizeUrl]].
+  */
+case class UrlCanonicalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // out-of-contract URLs yield NULL
+  override def prettyName: String = "graft_url_canon"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.canonicalizeUrl(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.GraftMath.canonicalizeUrl($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalize =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers (the library's public function surface). */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -323,4 +349,8 @@ object GraftFunctions {
   /** Unicode NFC normalization (UAX #15). */
   def nfc(c: Column): Column =
     ColumnBridge.column(NfcNormalize(e(c)))
+
+  /** RFC 3986 canonical form of an http(s) URL; NULL out of contract. */
+  def urlCanon(c: Column): Column =
+    ColumnBridge.column(UrlCanonicalize(e(c)))
 }

@@ -59,4 +59,35 @@ object Changelog {
       .filter(col(rn) === 1 && col(opCol) =!= "D")
       .drop(rn, seqCol, opCol)
   }
+
+  /** Diff two snapshot VERSIONS of a keyed table — the audit twin of
+    * [[applyLog]] (what changed between dataset v1 and v2: the release
+    * note every curation cycle owes its consumers). Returns only the
+    * difference rows — (key, change ∈ added | removed | changed) —
+    * never the unchanged bulk.
+    *
+    * Scale shape: each side collapses to (key, 32-byte sha-256 digest)
+    * MAP-SIDE before the one full-outer key shuffle, so shuffle bytes
+    * are ∝ keys, not documents ([[Dedup]]'s digest-not-text
+    * discipline); unchanged keys drop in the post-join projection, so
+    * the output is ∝ the delta. With both snapshots bucketed on the
+    * key the exchange disappears entirely.
+    */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keyCol: String,
+      payloadCol: String
+  ): DataFrame = {
+    def side(df: DataFrame, h: String) =
+      df.select(col(keyCol).as("key"), sha2(col(payloadCol), 256).as(h))
+    side(before, "__hb")
+      .join(side(after, "__ha"), Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("__hb").isNull, "added")
+          .when(col("__ha").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .as("change"))
+      .filter(col("change").isNotNull)
+  }
 }

@@ -1553,6 +1553,106 @@ object Multimodal {
     out
   }
 
+  /** μ-law byte → 16-bit sample, the canonical CCITT/ITU-T G.711
+    * expansion: complement, mantissa·8 + 0x84 bias, segment shift,
+    * bias removal, sign (complemented bit 7 set = negative). Closed
+    * form — ((u%16)·8+132)·2^((u/16)%8) with u = 255−code — so a SQL
+    * oracle re-derives every sample arithmetically.
+    */
+  def ulawExpand(code: Int): Int = {
+    val u = ~code & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u >> 4) & 7
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → 16-bit sample (ITU-T G.711): XOR 0x55 (the even-bit
+    * inversion), segmented expansion — seg 0: m·16+8; seg ≥ 1:
+    * (m·16+264)·2^(seg−1) — bit 7 SET = positive.
+    */
+  def alawExpand(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 7
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Pure-JVM G.711 WAV decoder — telephony's standard companded 8-bit
+    * codecs (wFormatTag 7 = μ-law, 6 = A-law), byte-interleaved like
+    * 8-bit PCM so the multi-channel de-interleave is shared with
+    * [[decodeWav]]'s contract. Each byte expands through the
+    * closed-form segment/mantissa formula into the shared 16-bit
+    * signed sample domain. Returns the law's format tag alongside the
+    * (channels, rate, samples) triple; anything malformed — wrong
+    * magic, non-G.711 tag, non-8-bit samples, missing chunks —
+    * returns None so corrupt payloads degrade like every codec here.
+    */
+  def decodeWavG711(bytes: Array[Byte]): Option[(String, (Int, Int, Array[Short]))] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def tag(o: Int, s: String): Boolean =
+      bytes(o) == s(0).toByte && bytes(o + 1) == s(1).toByte &&
+        bytes(o + 2) == s(2).toByte && bytes(o + 3) == s(3).toByte
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var law = -1; var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    var i = 12
+    while (i + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz.toLong > bytes.length) return None
+      if (tag(i, "fmt ") && sz >= 16) {
+        law = le16(i + 8)
+        if (law != 6 && law != 7) return None // A-law / μ-law only
+        channels = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
+      i += 8 + sz + (sz & 1)
+    }
+    if (channels <= 0 || rate <= 0 || bits != 8 || dataOff < 0) return None
+    val frames = dataLen / channels // drop a trailing partial frame
+    val out = new Array[Short](frames * channels)
+    var s = 0
+    while (s < out.length) {
+      val c = bytes(dataOff + s) & 0xFF
+      out(s) = (if (law == 7) ulawExpand(c) else alawExpand(c)).toShort
+      s += 1
+    }
+    Some((if (law == 7) "wav_ulaw" else "wav_alaw", (channels, rate, out)))
+  }
+
+  /** Deterministic G.711 WAV fixture: code byte i = (seed·31 + i·7)
+    * mod 256, interleaved over `channels` at 8000 Hz — every decoded
+    * sample is the closed-form expansion of that byte, so the oracle
+    * re-derives the whole clip arithmetically.
+    */
+  def syntheticWavG711(seed: Long, law: Int, channels: Int, frames: Int): Array[Byte] = {
+    require(seed >= 0 && (law == 6 || law == 7) && channels > 0 && frames > 0,
+      "syntheticWavG711: non-negative seed, law 6/7, positive layout")
+    val nData = channels * frames
+    val out = new Array[Byte](12 + 8 + 16 + 8 + nData)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >>> 24).toByte
+    }
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def ptag(o: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
+    ptag(0, "RIFF"); p32(4, out.length - 8); ptag(8, "WAVE")
+    ptag(12, "fmt "); p32(16, 16)
+    p16(20, law); p16(22, channels); p32(24, 8000)
+    p32(28, 8000 * channels); p16(32, channels); p16(34, 8)
+    ptag(36, "data"); p32(40, nData)
+    var j = 0
+    while (j < nData) {
+      out(44 + j) = ((seed * 31 + j * 7) % 256).toByte
+      j += 1
+    }
+    out
+  }
+
   /** CRC-8, polynomial x^8+x^2+x+1 (0x07), MSB-first, init 0 — the
     * FLAC frame-header checksum. */
   private def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
@@ -1927,7 +2027,8 @@ object Multimodal {
     * sums of squares and zero-crossing counts (a crossing at frame t>0
     * when sign(s[t-1]) ≠ sign(s[t]), negatives vs non-negatives) over
     * the first two channels; `dur_ms = frames·1000 div rate` (integer).
-    * PCM decodes tag "wav"; IMA ADPCM, "wav_ima"; FLAC, "flac".
+    * PCM decodes tag "wav"; IMA ADPCM, "wav_ima"; G.711, "wav_ulaw" /
+    * "wav_alaw"; FLAC, "flac".
     * Undecodable payloads keep a header sniff (mp3/ogg/flac magics)
     * and zeroed stats — the same labeled-fallback contract as
     * [[imageStats]].
@@ -1935,6 +2036,7 @@ object Multimodal {
   def audioStats(id: Long, bytes: Array[Byte]): AudioStats =
     decodeWav(bytes).map(d => ("wav", d))
       .orElse(decodeWavIma(bytes).map(d => ("wav_ima", d)))
+      .orElse(decodeWavG711(bytes))
       .orElse(decodeFlac(bytes).map(d => ("flac", d))) match {
       case Some((fmt, (ch, rate, pcm))) =>
         val frames = if (ch == 0) 0 else pcm.length / ch

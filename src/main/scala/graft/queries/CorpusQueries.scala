@@ -3091,6 +3091,135 @@ object CorpusQueries {
       )
     ),
 
+    // RFC 3986 URL canonicalization (graft_url_canon, native codegen):
+    // the key every URL-level dedup and crawl-frontier table must
+    // agree on. Six messiness families planted by doc_id arm —
+    // uppercase scheme/host + default port + dot segments + an
+    // unreserved %-escape, a :443 https port, a KEPT non-default port
+    // with a reserved escape uppercased, a double dot-segment pop with
+    // a %-decoded query, a pathless authority, and an out-of-contract
+    // ftp URL that must yield NULL — and the oracle re-derives each
+    // canonical string from the construction formula, so only the
+    // full §6 pipeline (case, port, §5.2.4, §6.2.2.2) matches.
+    // Map-only, REQUIREd shuffle-free.
+    Q(
+      "q_url_canonicalize",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val url = expr(
+          """CASE CAST(doc_id % 6 AS INT)
+            |  WHEN 0 THEN concat('HTTP://WWW.Alpha', doc_id % 5, '.COM:80/a/./b/../c', doc_id % 7, '/%7Euser')
+            |  WHEN 1 THEN concat('https://shop.beta', doc_id % 5, '.org:443/p/', doc_id, '#frag')
+            |  WHEN 2 THEN concat('https://cdn.gamma', doc_id % 5, '.net:8443/x%2fy/', doc_id)
+            |  WHEN 3 THEN concat('http://Delta', doc_id % 5, '.com/a/b/c/../../d?q=%41', doc_id)
+            |  WHEN 4 THEN concat('https://eps', doc_id % 5, '.com')
+            |  ELSE concat('ftp://bogus.example/', doc_id)
+            |END""".stripMargin)
+        val out = docs.select(col("doc_id"), url.as("url"))
+          .withColumn("canon",
+            graft.functions.GraftFunctions.urlCanon(col("url")))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS arm,
+          |    CAST(doc_id % 5 AS VARCHAR) AS d5,
+          |    CAST(doc_id % 7 AS VARCHAR) AS d7,
+          |    CAST(doc_id AS VARCHAR) AS id
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |  CASE arm
+          |    WHEN 0 THEN 'HTTP://WWW.Alpha' || d5 || '.COM:80/a/./b/../c' || d7 || '/%7Euser'
+          |    WHEN 1 THEN 'https://shop.beta' || d5 || '.org:443/p/' || id || '#frag'
+          |    WHEN 2 THEN 'https://cdn.gamma' || d5 || '.net:8443/x%2fy/' || id
+          |    WHEN 3 THEN 'http://Delta' || d5 || '.com/a/b/c/../../d?q=%41' || id
+          |    WHEN 4 THEN 'https://eps' || d5 || '.com'
+          |    ELSE 'ftp://bogus.example/' || id
+          |  END AS url,
+          |  CASE arm
+          |    WHEN 0 THEN 'http://www.alpha' || d5 || '.com/a/c' || d7 || '/~user'
+          |    WHEN 1 THEN 'https://shop.beta' || d5 || '.org/p/' || id
+          |    WHEN 2 THEN 'https://cdn.gamma' || d5 || '.net:8443/x%2Fy/' || id
+          |    WHEN 3 THEN 'http://delta' || d5 || '.com/a/d?q=A' || id
+          |    WHEN 4 THEN 'https://eps' || d5 || '.com/'
+          |    ELSE NULL
+          |  END AS canon
+          |FROM m""".stripMargin
+      )
+    ),
+
+    // URL-level dedup ON the canonical form — the first dedup stage of
+    // a crawl pipeline (cheaper than any content hash: drop refetches
+    // of the same resource before touching the payload). Every
+    // document plants TWO url variants (the clean form plus one of
+    // four messiness families: case, default port, dot segments,
+    // fragment); only a correct canonicalizer collapses each pair, so
+    // the oracle can assert n_variants = 2 per canonical key from the
+    // clean formula alone. ONE canonical-keyed exchange, typed-
+    // asserted.
+    Q(
+      "q_url_dedup",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val clean = expr(
+          "concat('https://www.site', doc_id % 5, '.com/p/', doc_id)")
+        val messy = expr(
+          """CASE CAST(doc_id % 4 AS INT)
+            |  WHEN 0 THEN concat('HTTPS://WWW.SITE', doc_id % 5, '.COM/p/', doc_id)
+            |  WHEN 1 THEN concat('https://www.site', doc_id % 5, '.com:443/p/', doc_id)
+            |  WHEN 2 THEN concat('https://www.site', doc_id % 5, '.com/p/./x/../', doc_id)
+            |  ELSE concat('https://www.site', doc_id % 5, '.com/p/', doc_id, '#sec')
+            |END""".stripMargin)
+        val urls = docs.select(clean.as("url"))
+          .unionByName(docs.select(messy.as("url")))
+        val out = urls
+          .select(graft.functions.GraftFunctions.urlCanon(col("url")).as("canon"))
+          .groupBy(col("canon")).agg(count(lit(1)).as("n_variants"))
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """SELECT 'https://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+          |    || CAST(doc_id AS VARCHAR) AS canon,
+          |  CAST(2 AS BIGINT) AS n_variants
+          |FROM documents""".stripMargin
+      )
+    ),
+
+    // Snapshot DIFF between two dataset versions — the release-note
+    // primitive of a curation cycle (what did v2 add, remove, change
+    // vs v1), the audit twin of q_cdc_apply. Each side collapses to
+    // (key, sha-256 digest) MAP-SIDE before the one full-outer key
+    // shuffle (shuffle bytes ∝ keys, not documents), and unchanged
+    // keys drop in the projection so the output is ∝ the delta. The
+    // gate plants all three regimes by doc_id arm (every 7th±
+    // removed / changed / added under a collision-free key shift) and
+    // the oracle re-derives the classification from the arms alone.
+    Q(
+      "q_snapshot_diff",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val before = docs.select(col("doc_id"), col("text"))
+        val kept = docs.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 5, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        val added = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+        graft.operators.Changelog.snapshotDiff(
+          before, kept.unionByName(added), "doc_id", "text")
+      },
+      Some(
+        """SELECT doc_id AS key, 'removed' AS change FROM documents WHERE doc_id % 7 = 3
+          |UNION ALL
+          |SELECT doc_id, 'changed' FROM documents WHERE doc_id % 7 = 5
+          |UNION ALL
+          |SELECT doc_id + 2000000000, 'added' FROM documents WHERE doc_id % 7 = 0""".stripMargin
+      )
+    ),
+
     // Count-Min sketch — the mergeable frequency estimator joining the
     // HLL/moments/MinHash/DSIR summary family: d=4 hash rows × w=64
     // buckets of exact integer counts, point estimate = MIN over the

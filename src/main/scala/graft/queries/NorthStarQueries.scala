@@ -2257,6 +2257,79 @@ object NorthStarQueries {
       )
     ),
 
+    // G.711 μ-law / A-law — telephony's standard companded 8-bit
+    // codecs (WAV tags 7 / 6), the voice-call and IVR recording
+    // format a speech-data pipeline actually ingests. The expansion
+    // is CLOSED-FORM (segment/mantissa arithmetic, no state machine),
+    // so the oracle re-derives every 16-bit sample from the code-byte
+    // formula: μ-law as ((u%16)·8+132)·2^((u/16)%8) around the 0x84
+    // bias with u = 255−code, A-law via xor(code, 85) and the
+    // seg-0/seg-1/shift piecewise form. Even keys decode μ-law MONO,
+    // odd keys A-law STEREO, so both laws AND the byte-interleaved
+    // de-interleave are pinned. Map-only like every codec.
+    Q(
+      "q_audio_decode_g711",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val g711 = udf((k: Long) => Multimodal.syntheticWavG711(
+          k, if (k % 2 == 0) 7 else 6, 1 + (k % 2).toInt, 96))
+        val out = Multimodal.decodeAudio(
+          blobs.withColumn("payload", g711(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out) // decode is map-only end to end
+        out
+      },
+      Some(
+        """WITH ex AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |    n_nationkey % 2 AS par, i,
+          |    255 - (n_nationkey * 31 + i * 7) % 256 AS uu,
+          |    xor((n_nationkey * 31 + i * 7) % 256, 85) AS aa
+          |  FROM nation, UNNEST(generate_series(0, 191)) AS u(i)
+          |  WHERE i < 96 * (1 + n_nationkey % 2)
+          |), sg AS (
+          |  SELECT media_id, 1 + CAST(par AS INT) AS ch,
+          |    i // (1 + par) AS t, i % (1 + par) AS c,
+          |    CASE WHEN par = 0 THEN
+          |      CASE WHEN uu >= 128 THEN 132 - umag ELSE umag - 132 END
+          |    ELSE
+          |      CASE WHEN aa >= 128 THEN amag ELSE -amag END
+          |    END AS s
+          |  FROM (SELECT *,
+          |      ((uu % 16) * 8 + 132) *
+          |        (CAST(1 AS BIGINT) << CAST((uu // 16) % 8 AS INT)) AS umag,
+          |      CASE WHEN (aa // 16) % 8 = 0 THEN (aa % 16) * 16 + 8
+          |           ELSE ((aa % 16) * 16 + 264) *
+          |             (CAST(1 AS BIGINT) << CAST((aa // 16) % 8 - 1 AS INT))
+          |      END AS amag
+          |    FROM ex)
+          |), agg AS (
+          |  SELECT media_id, ch,
+          |    CAST(COALESCE(SUM(CASE WHEN c = 0 THEN s END), 0) AS BIGINT) AS sum_c0,
+          |    CAST(COALESCE(SUM(CASE WHEN c = 0 THEN s * s END), 0) AS BIGINT) AS ssq_c0,
+          |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN s END), 0) AS BIGINT) AS sum_c1,
+          |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN s * s END), 0) AS BIGINT) AS ssq_c1
+          |  FROM sg GROUP BY media_id, ch
+          |), zc AS (
+          |  SELECT a.media_id, a.c,
+          |    CAST(SUM(CASE WHEN (a.s < 0) <> (b.s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS z
+          |  FROM sg a JOIN sg b
+          |    ON a.media_id = b.media_id AND a.c = b.c AND b.t = a.t + 1
+          |  GROUP BY a.media_id, a.c
+          |)
+          |SELECT agg.media_id,
+          |  CASE WHEN agg.media_id % 2 = 0 THEN 'wav_ulaw' ELSE 'wav_alaw' END AS format,
+          |  CAST(ch AS INT) AS n_channels, CAST(8000 AS INT) AS sample_rate,
+          |  CAST(96 AS BIGINT) AS n_frames, CAST(12 AS BIGINT) AS dur_ms,
+          |  sum_c0, ssq_c0, CAST(COALESCE(z0.z, 0) AS BIGINT) AS zc_c0,
+          |  sum_c1, ssq_c1, CAST(COALESCE(z1.z, 0) AS BIGINT) AS zc_c1
+          |FROM agg
+          |LEFT JOIN zc z0 ON z0.media_id = agg.media_id AND z0.c = 0
+          |LEFT JOIN zc z1 ON z1.media_id = agg.media_id AND z1.c = 1""".stripMargin
+      )
+    ),
+
     // The audio decode→DECISION loop: the decoded stats drive the
     // standard ingest screens — corrupt payloads (truncated header →
     // sniff fallback) and digital silence (zero energy) are dropped,

@@ -60,4 +60,23 @@ class ChangelogSpec extends SparkSpec {
     out.count(): Unit
     Q.requireMapSideGroupLimit(out, 1)
   }
+
+  test("snapshotDiff: classifies added/removed/changed, never emits the unchanged bulk") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "t")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d"), (5L, "e")).toDF("k", "t")
+    val got = Changelog.snapshotDiff(v1, v2, "k", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // identical snapshots diff to empty — the unchanged bulk never
+    // reaches the output (the projection drops it, not a consumer)
+    assert(Changelog.snapshotDiff(v1, v1, "k", "t").isEmpty)
+    // applyLog/diff closure: diffing base against applyLog(base, log)
+    // recovers exactly the log's effect
+    val log = Seq((2L, "B2", 1L, "U"), (3L, "x", 2L, "D"), (5L, "e", 3L, "U"))
+      .toDF("k", "t", "seq", "op")
+    val applied = Changelog.applyLog(v1, log, Seq("k"), "seq", "op")
+    val viaLog = Changelog.snapshotDiff(v1, applied, "k", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaLog == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+  }
 }

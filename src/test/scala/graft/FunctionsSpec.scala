@@ -185,4 +185,42 @@ class FunctionsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT graft_nfc('é')").head().getString(0)
     assert(viaSql == "é")
   }
+
+  test("UrlCanonicalize: RFC 3986 normalization cases and the NULL degrade contract") {
+    import graft.functions.GraftMath
+    import org.apache.spark.unsafe.types.UTF8String
+    def canon(s: String): String =
+      Option(GraftMath.canonicalizeUrl(UTF8String.fromString(s)))
+        .map(_.toString).orNull
+    // case + default port + fragment
+    assert(canon("HTTP://ExAmPle.COM:80/A/b#frag") == "http://example.com/A/b")
+    assert(canon("https://example.com:443/") == "https://example.com/")
+    // non-default ports survive; path case is preserved
+    assert(canon("https://example.com:8443/Path") == "https://example.com:8443/Path")
+    // dot segments (§5.2.4), incl. popping past root
+    assert(canon("http://h.com/a/./b/../c") == "http://h.com/a/c")
+    assert(canon("http://h.com/../../x") == "http://h.com/x")
+    assert(canon("http://h.com/a/b/..") == "http://h.com/a/")
+    // percent normalization (§6.2.2.2): unreserved decodes, the rest
+    // uppercases, malformed escapes pass through; query included
+    assert(canon("http://h.com/%7Euser/%2fx?q=%41%zz") == "http://h.com/~user/%2Fx?q=A%zz")
+    // empty path -> "/", userinfo preserved
+    assert(canon("http://h.com") == "http://h.com/")
+    assert(canon("http://u:p@H.com/x") == "http://u:p@h.com/x")
+    // out of contract -> null: scheme-less, non-http(s), empty or
+    // bracketed host, junk port
+    assert(canon("example.com/x") == null)
+    assert(canon("ftp://example.com/x") == null)
+    assert(canon("http:///x") == null)
+    assert(canon("http://[::1]/x") == null)
+    assert(canon("http://h.com:8a/x") == null)
+    // idempotent on its own output
+    val once = canon("HTTP://WWW.X.COM:80/a/./b/../c/%7Eu?q=%41#f")
+    assert(canon(once) == once)
+    // SQL surface
+    graft.functions.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT graft_url_canon('HTTP://A.COM:80/x/../y')")
+      .head().getString(0) == "http://a.com/y")
+    assert(spark.sql("SELECT graft_url_canon('mailto:x@y.z')").head().isNullAt(0))
+  }
 }

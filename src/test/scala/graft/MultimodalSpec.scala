@@ -600,6 +600,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavIma(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("G.711 expanders: spec anchor codes; WAV round trip; degrade") {
+    // μ-law anchors from the G.711 segment table: 0xFF/0x7F are ±0,
+    // 0x80 is the positive max 32124, 0x00 the negative max -32124
+    assert(Multimodal.ulawExpand(0xFF) == 0)
+    assert(Multimodal.ulawExpand(0x7F) == 0)
+    assert(Multimodal.ulawExpand(0x80) == 32124)
+    assert(Multimodal.ulawExpand(0x00) == -32124)
+    // A-law anchors: 0xD5/0x55 are ±8 (the smallest magnitudes), 0xAA
+    // the positive max 32256, 0x2A the negative max -32256
+    assert(Multimodal.alawExpand(0xD5) == 8)
+    assert(Multimodal.alawExpand(0x55) == -8)
+    assert(Multimodal.alawExpand(0xAA) == 32256)
+    assert(Multimodal.alawExpand(0x2A) == -32256)
+    // every 8-bit code expands inside the 16-bit domain, and each law
+    // is injective on magnitude ladders (256 distinct outputs)
+    assert((0 to 255).map(Multimodal.ulawExpand).forall(s => s >= -32768 && s <= 32767))
+    assert((0 to 255).map(Multimodal.alawExpand).distinct.size == 256)
+
+    // stereo A-law round trip: de-interleave matches the formula
+    val st = Multimodal.syntheticWavG711(5L, 6, 2, 12)
+    val Some(("wav_alaw", (ch, rate, pcm))) = Multimodal.decodeWavG711(st)
+    assert(ch == 2 && rate == 8000 && pcm.length == 24)
+    for (i <- 0 until 24)
+      assert(pcm(i) == Multimodal.alawExpand(((5 * 31 + i * 7) % 256).toInt).toShort)
+    // mono μ-law through the dispatcher keeps its tag and layout
+    val s = Multimodal.audioStats(4L, Multimodal.syntheticWavG711(4L, 7, 1, 96))
+    assert(s.format == "wav_ulaw" && s.n_channels == 1 && s.n_frames == 96L)
+    // PCM and ADPCM payloads never match; garbage and truncation degrade
+    assert(Multimodal.decodeWavG711(Multimodal.syntheticWav(1L, 1, 8000, 16)).isEmpty)
+    assert(Multimodal.decodeWavG711(Multimodal.syntheticWavIma(1L)).isEmpty)
+    assert(Multimodal.decodeWavG711(java.util.Arrays.copyOf(st, 30)).isEmpty)
+  }
+
   test("decodeAviMjpeg: RIFF walk + per-frame JPEG decode; truncation yields None") {
     val bytes = Multimodal.syntheticAviMjpeg(2L, 3)
     val Some((w, h, frames)) = Multimodal.decodeAviMjpeg(bytes)
