@@ -106,6 +106,111 @@ object Warc {
       .toDF()
   }
 
+  final case class HttpRecord(
+      media_id: Long,
+      rec_idx: Int,
+      target_uri: String,
+      status: Int,
+      content_type: String,
+      charset: String,
+      payload: String)
+
+  /** Split a WARC response record's body into its HTTP layer — status
+    * line, Content-Type media type + charset parameter — and the
+    * payload after the header block. Real WARC `response` records
+    * store the full HTTP message, so this is the step between the
+    * container walk and the HTML strip: fetch-status and content-type
+    * are what the ingest screen filters on (200 + text types only).
+    * Returns None when the body is not an HTTP/1.x message (no status
+    * line, no header terminator, junk status code) — degrade, don't
+    * guess.
+    */
+  def parseHttp(body: String): Option[(Int, String, String, String)] = {
+    if (body == null || !body.startsWith("HTTP/")) return None
+    val headEnd = body.indexOf("\r\n\r\n")
+    if (headEnd < 0) return None
+    val lines = body.substring(0, headEnd).split("\r\n", -1)
+    val sl = lines(0).split(" ", 3)
+    if (sl.length < 2) return None
+    val status =
+      try sl(1).toInt catch { case _: NumberFormatException => return None }
+    var ctype: String = null
+    var charset: String = null
+    lines.iterator.drop(1).foreach { ln =>
+      val ci = ln.indexOf(':')
+      if (ci > 0 && ln.substring(0, ci).trim
+        .equalsIgnoreCase("content-type") && ctype == null) {
+        val v = ln.substring(ci + 1).trim
+        val sc = v.indexOf(';')
+        ctype = (if (sc >= 0) v.substring(0, sc) else v)
+          .trim.toLowerCase(java.util.Locale.ROOT)
+        val lower = v.toLowerCase(java.util.Locale.ROOT)
+        val cs = lower.indexOf("charset=")
+        if (cs >= 0)
+          charset = lower.substring(cs + 8).stripPrefix("\"")
+            .takeWhile(c => c != ';' && c != ' ' && c != '"').trim match {
+            case "" => null
+            case s  => s
+          }
+      }
+    }
+    Some((status, ctype, charset, body.substring(headEnd + 4)))
+  }
+
+  /** The HTTP layer of a [[records]] frame: one row per `response`
+    * record, carrying status / media type / charset / payload —
+    * status −1 and NULL fields when the body is not an HTTP message,
+    * so torn fetches stay visible to the drop-reasons audit instead
+    * of silently vanishing. Map-only like the container walk.
+    */
+  def httpResponses(recs: DataFrame): DataFrame = {
+    import recs.sparkSession.implicits._
+    recs
+      .filter(col("warc_type") === "response")
+      .select(col("media_id").cast("long"), col("rec_idx").cast("int"),
+        col("target_uri").cast("string"), col("body").cast("string"))
+      .as[(Long, Int, String, String)]
+      .map { case (id, idx, uri, body) =>
+        parseHttp(body) match {
+          case Some((st, ct, cs, pl)) => HttpRecord(id, idx, uri, st, ct, cs, pl)
+          case None                   => HttpRecord(id, idx, uri, -1, null, null, null)
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic WARC-with-HTTP fixture: like [[syntheticWarc]] but
+    * response bodies are full HTTP messages — status 200 except
+    * (seed+i) % 7 == 2 → 404; Content-Type `text/html; charset=utf-8`
+    * except (seed+i) % 5 == 3 → `image/png` (no charset); payload
+    * `"page <seed·7+i> body"` — every field closed-form in (seed, i).
+    */
+  def syntheticWarcHttp(seed: Long, nRecords: Int): Array[Byte] = {
+    require(seed >= 0 && nRecords >= 0, "syntheticWarcHttp: non-negative seed/count")
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < nRecords) {
+      val body =
+        if (i % 2 == 0) {
+          val status = if ((seed + i) % 7 == 2) "404 Not Found" else "200 OK"
+          val ct =
+            if ((seed + i) % 5 == 3) "image/png"
+            else "text/html; charset=utf-8"
+          s"HTTP/1.1 $status\r\nContent-Type: $ct\r\nServer: graft\r\n\r\n" +
+            s"page ${seed * 7 + i} body"
+        } else s"request ${seed * 7 + i}"
+      val rec =
+        s"WARC/1.0\r\n" +
+          s"WARC-Type: ${if (i % 2 == 0) "response" else "request"}\r\n" +
+          s"WARC-Target-URI: http://site${(seed + i) % 5}.example/p$i\r\n" +
+          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+          s"\r\n$body\r\n\r\n"
+      out.write(rec.getBytes("UTF-8"))
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic WARC fixture: `nRecords` records whose fields are
     * all closed-form in (seed, i) — type alternates response/request,
     * URI from the shared domain formula shape, body

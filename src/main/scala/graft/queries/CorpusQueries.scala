@@ -3188,6 +3188,81 @@ object CorpusQueries {
       )
     ),
 
+    // Crawl politeness: robots.txt parsed per RFC 9309 group structure
+    // and applied as the CONSERVATIVE longest-prefix screen (wildcard
+    // disallows widen to their literal prefix — never fetch what a
+    // rule meant to block; wildcard allows drop — never un-block what
+    // the site blocked; allow wins length ties; specific agent group
+    // used ALONE over '*'). Two robots families by domain parity plant
+    // six path arms whose decisions the oracle re-derives closed-form
+    // — incl. the arm that is only correct when the star group is
+    // IGNORED for domains carrying a graftbot group, and the arm that
+    // flips if a dropped wildcard allow were widened instead. Rules
+    // are a |domains|-bounded BROADCAST; one agg exchange rates the
+    // corpus.
+    Q(
+      "q_robots_screen",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Q.t(spark, dir, "documents")
+        val robotsEven =
+          """User-agent: *
+            |Disallow: /private
+            |Allow: /private/ok
+            |Disallow: /cgi*bin
+            |Allow: /wild*card
+            |Disallow: /wild
+            |Disallow:
+            |""".stripMargin
+        val robotsOdd =
+          """User-agent: *
+            |Disallow: /
+            |User-agent: GraftBot
+            |Disallow: /private
+            |Allow: /private/ok
+            |""".stripMargin
+        val robots = (0 until 5)
+          .map(m => (s"site$m.com", if (m % 2 == 0) robotsEven else robotsOdd))
+          .toDF("domain", "robots_txt")
+        val ruleRows = graft.operators.Robots.rules(robots, "domain", "robots_txt")
+        val urls = docs.select(col("doc_id"),
+          concat(lit("site"), col("doc_id") % 5, lit(".com")).as("domain"),
+          expr(
+            """CASE CAST(doc_id % 6 AS INT)
+              |  WHEN 0 THEN concat('/private/x', doc_id)
+              |  WHEN 1 THEN concat('/private/ok/', doc_id)
+              |  WHEN 2 THEN concat('/public/', doc_id)
+              |  WHEN 3 THEN concat('/cgi-bin/', doc_id)
+              |  WHEN 4 THEN concat('/wild-card/', doc_id)
+              |  ELSE concat('/index', doc_id)
+              |END""".stripMargin).as("path"))
+        val out = graft.operators.Robots.politenessScreen(urls, ruleRows, "GraftBot")
+        Q.requireBroadcastJoin(out)
+        out
+      },
+      Some(
+        """SELECT doc_id,
+          |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain,
+          |  CASE CAST(doc_id % 6 AS INT)
+          |    WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+          |    WHEN 1 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+          |    WHEN 2 THEN '/public/' || CAST(doc_id AS VARCHAR)
+          |    WHEN 3 THEN '/cgi-bin/' || CAST(doc_id AS VARCHAR)
+          |    WHEN 4 THEN '/wild-card/' || CAST(doc_id AS VARCHAR)
+          |    ELSE '/index' || CAST(doc_id AS VARCHAR)
+          |  END AS path,
+          |  CASE CAST(doc_id % 6 AS INT)
+          |    WHEN 0 THEN FALSE
+          |    WHEN 1 THEN TRUE
+          |    WHEN 2 THEN TRUE
+          |    WHEN 3 THEN (doc_id % 5) % 2 = 1
+          |    WHEN 4 THEN (doc_id % 5) % 2 = 1
+          |    ELSE TRUE
+          |  END AS allowed
+          |FROM documents""".stripMargin
+      )
+    ),
+
     // Snapshot DIFF between two dataset versions — the release-note
     // primitive of a curation cycle (what did v2 add, remove, change
     // vs v1), the audit twin of q_cdc_apply. Each side collapses to
@@ -3959,6 +4034,47 @@ object CorpusQueries {
           |  'payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
           |    ' content words' AS body
           |FROM recs""".stripMargin
+      )
+    ),
+
+    // The HTTP layer INSIDE the WARC response record — real crawls
+    // store the full HTTP message as the record body, so between the
+    // container walk and the HTML strip sits this parse: status line,
+    // Content-Type media type + charset parameter, and the payload
+    // after the header block. The fetch-status/content-type screen
+    // (200 + text/html only) is the first drop decision of every web
+    // corpus. All fields closed-form in (key, i): the oracle derives
+    // status (404 arm), media type (image/png arm, which also loses
+    // its charset), payload and the keep decision from the fixture
+    // formula alone. Map-only end to end, REQUIREd shuffle-free.
+    Q(
+      "q_warc_http",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcHttp(k, 6))
+        val out = graft.operators.Warc.httpResponses(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .withColumn("keep",
+            col("status") === 200 && col("content_type") === "text/html")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id, CAST(i AS INT) AS rec_idx,
+          |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR) ||
+          |    '.example/p' || CAST(i AS VARCHAR) AS target_uri,
+          |  CAST(CASE WHEN (n_nationkey + i) % 7 = 2 THEN 404 ELSE 200 END AS INT) AS status,
+          |  CASE WHEN (n_nationkey + i) % 5 = 3 THEN 'image/png'
+          |       ELSE 'text/html' END AS content_type,
+          |  CASE WHEN (n_nationkey + i) % 5 = 3 THEN NULL
+          |       ELSE 'utf-8' END AS charset,
+          |  'page ' || CAST(n_nationkey * 7 + i AS VARCHAR) || ' body' AS payload,
+          |  (n_nationkey + i) % 7 <> 2 AND (n_nationkey + i) % 5 <> 3 AS keep
+          |FROM nation, UNNEST(generate_series(0, 5)) AS u(i)
+          |WHERE i % 2 = 0""".stripMargin
       )
     ),
 

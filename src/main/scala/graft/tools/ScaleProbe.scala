@@ -592,6 +592,32 @@ object ScaleProbe {
       probe(s"countmin x$k") {
         graft.operators.Sketch.countMin(d, "text", 64).count()
       }
+      // HLL register build: one corpus scan, map-side bucket/rank
+      // projection, 64-row MAX agg — wall must track the scan; the
+      // register frame never grows with the corpus
+      probe(s"hll x$k") {
+        graft.operators.Sketch.hllRegisters(d, "text").count()
+      }
+      // URL canonicalization is a map-only codegen expression — wall
+      // must track the row count
+      probe(s"url_canon x$k") {
+        val url = concat(lit("HTTP://Site"), col("doc_id") % 97,
+          lit(".COM:80/a/./b/../p/"), col("doc_id"), lit("#f"))
+        d.select(graft.functions.GraftFunctions.urlCanon(url).as("c"))
+          .filter(col("c").isNotNull).count()
+      }
+      // snapshot diff: both sides collapse to (key, digest) map-side;
+      // ONE full-outer key shuffle of digest-sized rows — wall must
+      // track the scan + key shuffle, output stays ∝ the planted delta
+      probe(s"snapshot_diff x$k") {
+        val before = d.select(col("doc_id"), col("text"))
+        val after = d.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 5, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        graft.operators.Changelog.snapshotDiff(before, after, "doc_id", "text")
+          .count()
+      }
       // compressed image decode (baseline JPEG: Huffman + IDCT per
       // 16x16 payload) is map-only — wall must track the row count
       probe(s"jpeg_decode x$k") {

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Robots
+
+/** robots.txt parsing (RFC 9309 group structure) and the conservative
+  * politeness screen: group selection, longest-prefix decisions,
+  * allow-wins-ties, safe-direction wildcard handling, defaults.
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseRobots: groups, comments, multi-agent headers, directives mid-group") {
+    val txt =
+      """# a comment line
+        |User-agent: A
+        |User-agent: B
+        |Disallow: /x   # trailing comment
+        |Crawl-delay: 10
+        |Allow: /x/ok
+        |
+        |User-agent: *
+        |Disallow: /y
+        |Sitemap: http://s.example/map.xml
+        |Disallow: /z
+        |not a directive
+        |Disallow
+        |""".stripMargin
+    val got = Robots.parseRobots("d.com", txt)
+    // both agents of the first group carry both rules; the unknown
+    // directives and malformed lines neither emit nor break the group
+    assert(got.toSet == Set(
+      Robots.RobotsRule("d.com", "a", "disallow", "/x"),
+      Robots.RobotsRule("d.com", "b", "disallow", "/x"),
+      Robots.RobotsRule("d.com", "a", "allow", "/x/ok"),
+      Robots.RobotsRule("d.com", "b", "allow", "/x/ok"),
+      Robots.RobotsRule("d.com", "*", "disallow", "/y"),
+      Robots.RobotsRule("d.com", "*", "disallow", "/z")))
+    // a user-agent line AFTER rules starts a NEW group
+    val regroup = Robots.parseRobots("d.com",
+      "User-agent: a\nDisallow: /1\nUser-agent: b\nDisallow: /2\n")
+    assert(regroup.toSet == Set(
+      Robots.RobotsRule("d.com", "a", "disallow", "/1"),
+      Robots.RobotsRule("d.com", "b", "disallow", "/2")))
+    // rules before any user-agent line are dropped; null text is empty
+    assert(Robots.parseRobots("d.com", "Disallow: /x\n").isEmpty)
+    assert(Robots.parseRobots("d.com", null).isEmpty)
+  }
+
+  private def screen(rulesTxt: Map[String, String], agent: String,
+      urls: Seq[(Long, String, String)]): Map[Long, Boolean] = {
+    val rules = Robots.rules(
+      rulesTxt.toSeq.toDF("domain", "robots_txt"), "domain", "robots_txt")
+    Robots.politenessScreen(
+      urls.toDF("doc_id", "domain", "path"), rules, agent)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("allowed")).toMap
+  }
+
+  test("politenessScreen: longest prefix, allow-ties, wildcards, group selection, defaults") {
+    val txt = Map("d.com" ->
+      """User-agent: *
+        |Disallow: /private
+        |Allow: /private/ok
+        |Disallow: /cgi*bin
+        |Allow: /wild*card
+        |Disallow: /wild
+        |Disallow:
+        |""".stripMargin)
+    val got = screen(txt, "anybot", Seq(
+      (0L, "d.com", "/private/x"),      // disallowed
+      (1L, "d.com", "/private/ok/y"),   // longer allow wins
+      (2L, "d.com", "/public/z"),       // no rule -> default allowed
+      (3L, "d.com", "/cgi-bin/q"),      // wildcard disallow WIDENS to /cgi
+      (4L, "d.com", "/wild-card/r"),    // wildcard allow DROPS; /wild disallows
+      (5L, "e.com", "/private/x")))     // no robots for the domain -> allowed
+    assert(got == Map(0L -> false, 1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true))
+
+    // the specific agent's group is used ALONE when present
+    val grouped = Map("d.com" ->
+      "User-agent: *\nDisallow: /\nUser-agent: me\nDisallow: /private\n")
+    val sel = screen(grouped, "ME", Seq(
+      (0L, "d.com", "/public/x"), (1L, "d.com", "/private/x")))
+    assert(sel == Map(0L -> true, 1L -> false),
+      "star group must be ignored when the specific group exists")
+
+    // allow-wins-ties at EQUAL length; "Disallow: *" is the weakest
+    // match-all, outranked by any longer allow
+    val ties = Map("d.com" ->
+      "User-agent: *\nDisallow: /a/b\nAllow: /a/c\nDisallow: *\n")
+    val tied = screen(ties, "x", Seq(
+      (0L, "d.com", "/a/b1"), (1L, "d.com", "/a/c1"), (2L, "d.com", "/q")))
+    assert(tied == Map(0L -> false, 1L -> true, 2L -> false))
+  }
+}

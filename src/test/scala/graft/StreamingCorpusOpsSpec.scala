@@ -539,4 +539,35 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(merged == batch, s"merge $merged vs rebuild $batch")
     } finally q.stop()
   }
+
+  test("HLL registers: streamed Complete-mode build equals the batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    // the distinct-counting summary's streaming contract: the register
+    // MAX is a Complete-mode streaming aggregation (the running
+    // cardinality sketch), and its final state equals the one-shot
+    // batch build — duplicates across micro-batches are absorbed, the
+    // history never rescanned
+    val b1 = (0 until 400).map(i => s"key$i")
+    val b2 = (200 until 700).map(i => s"key$i") // half overlap
+    val in = MemoryStream[String]
+    val agg = graft.operators.Sketch.hllRegisters(in.toDF().toDF("t"), "t")
+    val q = agg.writeStream
+      .format("memory").queryName("sc_hll_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+      val streamed = m(spark.table("sc_hll_out"))
+      val batch = m(graft.operators.Sketch.hllRegisters((b1 ++ b2).toDF("t"), "t"))
+      assert(streamed == batch, "streamed registers must equal the batch rebuild")
+      // and the per-batch builds MERGE to the same state
+      val merged = m(graft.operators.Sketch.hllMerge(
+        graft.operators.Sketch.hllRegisters(b1.toDF("t"), "t"),
+        graft.operators.Sketch.hllRegisters(b2.toDF("t"), "t")))
+      assert(merged == batch)
+    } finally q.stop()
+  }
 }

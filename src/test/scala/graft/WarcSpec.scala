@@ -59,4 +59,44 @@ class WarcSpec extends SparkSpec {
     graft.queries.Q.requireNoShuffle(out)
     assert(out.count() == 2L) // empty container contributes zero rows
   }
+
+  test("parseHttp: status line, Content-Type/charset, payload; degrade on non-HTTP") {
+    val msg = "HTTP/1.1 301 Moved Permanently\r\nLocation: /x\r\n" +
+      "Content-Type: Text/HTML; charset=\"UTF-8\"; boundary=x\r\n\r\nbody text"
+    assert(Warc.parseHttp(msg) == Some((301, "text/html", "utf-8", "body text")))
+    // charset-less and parameter-less types; empty payload; only the
+    // FIRST Content-Type counts
+    assert(Warc.parseHttp("HTTP/1.0 200 OK\r\nContent-Type: image/png\r\n\r\n")
+      == Some((200, "image/png", null, "")))
+    assert(Warc.parseHttp(
+      "HTTP/1.1 200 OK\r\nContent-Type: a/b\r\nContent-Type: c/d\r\n\r\nx")
+      == Some((200, "a/b", null, "x")))
+    // degrade: null body, non-HTTP body, missing header terminator,
+    // junk status
+    assert(Warc.parseHttp(null).isEmpty)
+    assert(Warc.parseHttp("request 42").isEmpty)
+    assert(Warc.parseHttp("HTTP/1.1 200 OK\r\nNo: end").isEmpty)
+    assert(Warc.parseHttp("HTTP/1.1 xx OK\r\n\r\np").isEmpty)
+    // the distributed layer: responses parse, requests drop, torn
+    // bodies stay visible as status -1 rows
+    val torn = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: t\r\n" +
+      "Content-Length: 9\r\n\r\nnot http!\r\n\r\n").getBytes("UTF-8")
+    val frame = Seq(
+      (1L, Warc.syntheticWarcHttp(1L, 4)),
+      (2L, Warc.syntheticWarcHttp(2L, 4)),
+      (3L, torn)).toDF("media_id", "payload")
+    val http = Warc.httpResponses(Warc.records(frame, "media_id", "payload"))
+    graft.queries.Q.requireNoShuffle(http)
+    val rows = http.collect().map(r =>
+      (r.getAs[Long]("media_id"), r.getAs[Int]("rec_idx")) ->
+        (r.getAs[Int]("status"), r.getAs[String]("content_type"),
+          r.getAs[String]("payload"))).toMap
+    // requests dropped, responses keyed by (seed, i)
+    assert(rows.keySet == Set((1L, 0), (1L, 2), (2L, 0), (2L, 2), (3L, 0)))
+    assert(rows((1L, 0)) == (200, "text/html", "page 7 body"))
+    assert(rows((1L, 2)) == (200, "image/png", "page 9 body")) // (1+2)%5 == 3
+    assert(rows((2L, 0)) == (404, "text/html", "page 14 body")) // (2+0)%7 == 2
+    assert(rows((2L, 2)) == (200, "text/html", "page 16 body"))
+    assert(rows((3L, 0)) == (-1, null, null)) // torn fetch stays visible
+  }
 }
