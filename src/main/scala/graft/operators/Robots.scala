@@ -86,6 +86,47 @@ object Robots {
   private def effectivePrefix(path: Column): Column =
     regexp_replace(regexp_extract(path, "^[^*]*", 0), "\\$$", "")
 
+  /** Driver-side twin of the screen's group selection + conservative
+    * widening, for the BOUNDED-rules regime: (domain, prefix, isAllow)
+    * decision rows for `agent`. Shared semantics with
+    * [[politenessScreen]] — equivalence is spec-pinned, so the
+    * map-side column below can never drift from the distributed path.
+    */
+  def effectiveRules(parsed: Seq[RobotsRule], agent: String): Seq[(String, String, Boolean)] = {
+    val me = agent.toLowerCase(java.util.Locale.ROOT)
+    parsed.groupBy(_.domain).toSeq.sortBy(_._1).flatMap { case (d, rs) =>
+      val mine = rs.filter(_.agent == me)
+      val group = if (mine.nonEmpty) mine else rs.filter(_.agent == "*")
+      group.filter(_.path.nonEmpty).flatMap { r =>
+        if (r.rule == "disallow")
+          Some((d, r.path.takeWhile(_ != '*').stripSuffix("$"), false))
+        else if (!r.path.contains('*') && !r.path.endsWith("$"))
+          Some((d, r.path, true))
+        else None // wildcard/anchored allow: dropped, never widened
+      }
+    }
+  }
+
+  /** MAP-SIDE politeness decision against a bounded rule set riding
+    * the closure as literals — the "fit once, rate anywhere"
+    * inference shape (DSIR/CMS-screen discipline): no join, no
+    * shuffle, streaming-safe. Longest prefix wins, allow wins ties,
+    * no match → allowed — identical semantics to [[politenessScreen]].
+    */
+  def allowedColumn(rules: Seq[(String, String, Boolean)],
+      domain: Column, path: Column): Column =
+    if (rules.isEmpty) lit(true)
+    else {
+      val arr = array(rules.map { case (d, p, a) =>
+        struct(lit(d).as("d"), lit(p).as("p"), lit(a).as("a"))
+      }: _*)
+      val best = array_max(transform(
+        filter(arr, r => r.getField("d") === domain &&
+          path.startsWith(r.getField("p"))),
+        r => struct(length(r.getField("p")).as("l"), r.getField("a").as("a"))))
+      coalesce(best.getField("a"), lit(true))
+    }
+
   /** Rate every URL against parsed rules: returns `urls` plus
     * `allowed`. `urls` must carry a unique `idCol`, the registrable
     * `domainCol` and the URL `pathCol`; `rulesDf` is [[rules]]' output.

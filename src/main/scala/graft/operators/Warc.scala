@@ -211,6 +211,43 @@ object Warc {
     out.toByteArray
   }
 
+  /** Deterministic end-to-end CRAWL fixture: `nRecords` response
+    * records whose HTTP layer, target URI messiness and HTML payload
+    * are all closed-form in (seed, i) — the q_crawl_pipeline input.
+    * Status 404 at (seed+i) % 7 == 2, image/png at (seed+i) % 5 == 3;
+    * URI arm i % 4: 0 = uppercase+port+dot-segment mess, 1 = already
+    * canonical under the robots-blocked /a1 prefix, 2 = case+fragment
+    * mess, 3 = a differently-messy DUPLICATE of record i−1's canonical
+    * URL; payload `<html><body><h1>T<i></h1><p>page <seed·7+i> crawl
+    * words</p></body></html>`.
+    */
+  def syntheticWarcCrawl(seed: Long, nRecords: Int): Array[Byte] = {
+    require(seed >= 0 && nRecords >= 0, "syntheticWarcCrawl: non-negative seed/count")
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < nRecords) {
+      val m = (seed + i) % 5
+      val uri = (i % 4) match {
+        case 0 => s"HTTP://Site$m.EXAMPLE:80/a0/./p/$i"
+        case 1 => s"http://site$m.example/a1/p/$i"
+        case 2 => s"http://Site$m.EXAMPLE/a2/p/$i#x"
+        case _ => s"HTTP://site${(seed + i - 1) % 5}.example:80/a2/./p/${i - 1}"
+      }
+      val status = if ((seed + i) % 7 == 2) "404 Not Found" else "200 OK"
+      val ct =
+        if ((seed + i) % 5 == 3) "image/png" else "text/html; charset=utf-8"
+      val html = s"<html><body><h1>T$i</h1><p>page ${seed * 7 + i} " +
+        "crawl words</p></body></html>"
+      val body = s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n$html"
+      val rec =
+        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n"
+      out.write(rec.getBytes("UTF-8"))
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic WARC fixture: `nRecords` records whose fields are
     * all closed-form in (seed, i) — type alternates response/request,
     * URI from the shared domain formula shape, body

@@ -4078,6 +4078,87 @@ object CorpusQueries {
       )
     ),
 
+    // The CRAWL flagship — round 13's new layers composed end to end:
+    // WARC container walk → HTTP status/content-type screen → RFC 3986
+    // URL canonicalization → MAP-SIDE robots politeness (the bounded
+    // rule set rides the closure as literals — allowedColumn, the
+    // DSIR/CMS "fit once, rate anywhere" shape, spec-pinned equal to
+    // the distributed screen) → HTML strip → URL-level dedup on the
+    // canonical form. Everything before the dedup is map-side (two
+    // native codegen expressions, one broadcast-free politeness
+    // rating), so the corpus crosses the wire exactly ONCE — the
+    // canon-keyed keep-first exchange — typed-asserted. Planted
+    // regimes the oracle re-derives closed-form: 404s, image/png
+    // fetches, the robots-blocked /a1 arm, and arm-3 records whose
+    // differently-messy URI canonicalizes to the PREVIOUS record's
+    // URL — only correct canonicalization collapses them (keep-first
+    // by (media_id, rec_idx)), and cross-blob collisions dedup too.
+    Q(
+      "q_crawl_pipeline",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcCrawl(k, 8))
+        val robotsTxt = "User-agent: *\nDisallow: /a1\n"
+        val rules = graft.operators.Robots.effectiveRules(
+          (0 until 5).flatMap(m =>
+            graft.operators.Robots.parseRobots(s"site$m.example", robotsTxt)),
+          "graftbot")
+        val http = graft.operators.Warc.httpResponses(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .filter(col("status") === 200 && col("content_type") === "text/html")
+        val canoned = http
+          .withColumn("canon",
+            graft.functions.GraftFunctions.urlCanon(col("target_uri")))
+          .withColumn("__host", expr("parse_url(canon, 'HOST')"))
+          .withColumn("__path", expr("parse_url(canon, 'PATH')"))
+        val polite = canoned
+          .filter(graft.operators.Robots.allowedColumn(
+            rules, col("__host"), col("__path")))
+          .withColumn("text", TextAnalysis.stripHtml(col("payload")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canon"))
+          .orderBy(col("media_id").asc, col("rec_idx").asc)
+        val out = polite
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("media_id"), col("rec_idx"), col("canon"), col("text"))
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """WITH rows0 AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS rec_idx,
+          |    (n_nationkey + i) % 5 AS m, CAST(i % 4 AS INT) AS arm,
+          |    (n_nationkey + i - 1) % 5 AS mprev
+          |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |), rows1 AS (
+          |  SELECT media_id, rec_idx,
+          |    CASE WHEN arm = 3
+          |      THEN 'http://site' || CAST(mprev AS VARCHAR) || '.example/a2/p/'
+          |           || CAST(rec_idx - 1 AS VARCHAR)
+          |      ELSE 'http://site' || CAST(m AS VARCHAR) || '.example/a'
+          |           || CAST(arm AS VARCHAR) || '/p/' || CAST(rec_idx AS VARCHAR)
+          |    END AS canon,
+          |    CASE WHEN arm = 3 THEN 2 ELSE arm END AS eff_arm,
+          |    (media_id + rec_idx) % 7 <> 2 AND (media_id + rec_idx) % 5 <> 3 AS keep_http,
+          |    'T' || CAST(rec_idx AS VARCHAR) || ' page '
+          |      || CAST(media_id * 7 + rec_idx AS VARCHAR) || ' crawl words' AS text
+          |  FROM rows0
+          |), kept AS (
+          |  SELECT * FROM rows1 WHERE keep_http AND eff_arm <> 1
+          |), dd AS (
+          |  SELECT *, ROW_NUMBER() OVER (
+          |    PARTITION BY canon ORDER BY media_id, rec_idx) AS rn
+          |  FROM kept
+          |)
+          |SELECT media_id, CAST(rec_idx AS INT) AS rec_idx, canon, text
+          |FROM dd WHERE rn = 1""".stripMargin
+      )
+    ),
+
     // The WARC-INGEST flagship — q_web_pipeline extended one stage
     // EARLIER and one honesty level DEEPER: payloads arrive GZIPPED
     // (how web corpora actually ship), so the chain is gunzip →

@@ -606,6 +606,33 @@ object ScaleProbe {
         d.select(graft.functions.GraftFunctions.urlCanon(url).as("c"))
           .filter(col("c").isNotNull).count()
       }
+      // crawl flagship chain: WARC walk → HTTP screen → URL canon →
+      // map-side robots → HTML strip are all map-only; the single
+      // canon-keyed dedup exchange is the only shuffle — wall must
+      // track the blob count
+      probe(s"crawl_pipeline x$k") {
+        val warc = udf((id: Long) =>
+          graft.operators.Warc.syntheticWarcCrawl(id % 97, 4))
+        val rules = graft.operators.Robots.effectiveRules(
+          (0 until 5).flatMap(m => graft.operators.Robots.parseRobots(
+            s"site$m.example", "User-agent: *\nDisallow: /a1\n")),
+          "graftbot")
+        val http = graft.operators.Warc.httpResponses(
+          graft.operators.Warc.records(
+            d.select(col("doc_id").as("media_id"))
+              .withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .filter(col("status") === 200 && col("content_type") === "text/html")
+        val canoned = http
+          .withColumn("canon", graft.functions.GraftFunctions.urlCanon(col("target_uri")))
+          .withColumn("__host", expr("parse_url(canon, 'HOST')"))
+          .withColumn("__path", expr("parse_url(canon, 'PATH')"))
+        canoned
+          .filter(graft.operators.Robots.allowedColumn(rules, col("__host"), col("__path")))
+          .withColumn("text", graft.operators.TextAnalysis.stripHtml(col("payload")))
+          .groupBy(col("canon")).agg(min(col("media_id")).as("keep"))
+          .count()
+      }
       // snapshot diff: both sides collapse to (key, digest) map-side;
       // ONE full-outer key shuffle of digest-sized rows — wall must
       // track the scan + key shuffle, output stays ∝ the planted delta

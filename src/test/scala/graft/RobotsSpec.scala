@@ -93,4 +93,45 @@ class RobotsSpec extends SparkSpec {
       (0L, "d.com", "/a/b1"), (1L, "d.com", "/a/c1"), (2L, "d.com", "/q")))
     assert(tied == Map(0L -> false, 1L -> true, 2L -> false))
   }
+
+  test("allowedColumn: the map-side decision equals the distributed screen on every case") {
+    val texts = Map(
+      "d.com" ->
+        """User-agent: *
+          |Disallow: /private
+          |Allow: /private/ok
+          |Disallow: /cgi*bin
+          |Allow: /wild*card
+          |Disallow: /wild
+          |Disallow:
+          |""".stripMargin,
+      "e.com" ->
+        "User-agent: *\nDisallow: /\nUser-agent: me\nDisallow: /private\nAllow: /private/ok\n")
+    val paths = Seq("/private/x", "/private/ok/y", "/public", "/cgi-bin/q",
+      "/wild-card", "/", "/index")
+    val urls = (for {
+      (d, di) <- Seq("d.com", "e.com", "f.org").zipWithIndex
+      (p, pi) <- paths.zipWithIndex
+    } yield ((di * 100 + pi).toLong, d, p))
+    val parsed = texts.toSeq.flatMap { case (d, t) => Robots.parseRobots(d, t) }
+    for (agent <- Seq("me", "otherbot")) {
+      val viaScreen = screen(texts, agent, urls)
+      val rules = Robots.effectiveRules(parsed, agent)
+      val viaColumn = urls.toDF("doc_id", "domain", "path")
+        .withColumn("allowed",
+          Robots.allowedColumn(rules, col("domain"), col("path")))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("allowed")).toMap
+      assert(viaColumn == viaScreen, s"agent=$agent drifted between paths")
+      // the column is a pure projection — shuffle-free, streaming-safe
+      val plan = urls.toDF("doc_id", "domain", "path")
+        .select(Robots.allowedColumn(rules, col("domain"), col("path")))
+      graft.queries.Q.requireNoShuffle(plan)
+    }
+    // empty rule set: everything allowed
+    assert(Robots.effectiveRules(Nil, "x").isEmpty)
+    val allTrue = urls.toDF("doc_id", "domain", "path")
+      .withColumn("a", Robots.allowedColumn(Nil, col("domain"), col("path")))
+      .collect().forall(_.getAs[Boolean]("a"))
+    assert(allTrue)
+  }
 }
