@@ -180,6 +180,244 @@ object Multimodal {
     Some((w, h, px))
   }
 
+  /** PackBits decompression (the TIFF §9 / classic Mac RLE): control
+    * byte 0..127 copies n+1 literals, −1..−127 repeats the next byte
+    * 1−n times, −128 is a no-op. Strict: running past either buffer
+    * is a malformation (false), the degrade discipline every codec
+    * here shares.
+    */
+  private def unpackBits(src: Array[Byte], from: Int, until: Int,
+      dst: Array[Byte], dstOff: Int, need: Int): Boolean = {
+    var i = from
+    var o = dstOff
+    val end = dstOff + need
+    while (o < end) {
+      if (i >= until) return false
+      val nb = src(i); i += 1
+      if (nb == -128) () // no-op
+      else if (nb >= 0) {
+        val len = nb + 1
+        if (i + len > until || o + len > end) return false
+        System.arraycopy(src, i, dst, o, len); i += len; o += len
+      } else {
+        val len = 1 - nb
+        if (i >= until || o + len > end) return false
+        java.util.Arrays.fill(dst, o, o + len, src(i)); i += 1; o += len
+      }
+    }
+    true
+  }
+
+  /** Test seam for [[unpackBits]] (the −128 no-op path is not
+    * reachable through the ImageIO-interop fixtures). */
+  private[graft] def unpackBitsForTest(src: Array[Byte], from: Int,
+      until: Int, dst: Array[Byte], dstOff: Int, need: Int): Boolean =
+    unpackBits(src, from, until, dst, dstOff, need)
+
+  /** PackBits encoder for the TIFF fixture: repeat runs ≥ 2 become
+    * repeat tokens, everything else literal chunks. No −128 no-ops are
+    * emitted (ImageIO's decoder mishandles them — measured one-byte
+    * stream drift; the skip path is pinned at the [[unpackBits]] unit
+    * level instead). Round-trip correctness is spec-pinned; any valid
+    * encoding suffices for the gate because the decode target is the
+    * closed form.
+    */
+  def packBitsEncode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length + 8)
+    var i = 0
+    while (i < src.length) {
+      var j = i + 1
+      while (j < src.length && src(j) == src(i) && j - i < 128) j += 1
+      if (j - i >= 2) { out.write((1 - (j - i)) & 0xFF); out.write(src(i)); i = j }
+      else {
+        var k = i + 1
+        while (k < src.length && k - i < 128 &&
+          !(k + 1 < src.length && src(k) == src(k + 1))) k += 1
+        out.write(k - i - 1)
+        out.write(src, i, k - i)
+        i = k
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Pure-JVM baseline TIFF decoder — the archival/scanner format of
+    * the document-digitization corpora a multimodal pipeline ingests.
+    * Coverage per the public TIFF 6.0 layout: both byte orders
+    * (`II*`/`MM*`), the first IFD's entry walk (BYTE/SHORT/LONG
+    * values, inline when ≤ 4 bytes else offset-addressed), 8-bit
+    * grayscale (PhotometricInterpretation 1, SamplesPerPixel 1 —
+    * expanded r=g=b) and RGB (2 / 3), multi-strip assembly via
+    * RowsPerStrip/StripOffsets/StripByteCounts, and Compression 1
+    * (none) or 32773 (PackBits). Anything else — white-is-zero,
+    * palettes, tiles, LZW, other depths — returns None: degrade,
+    * don't guess, like every codec here.
+    */
+  def decodeTiff(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes.length < 8) return None
+    val le =
+      if (bytes(0) == 'I' && bytes(1) == 'I') true
+      else if (bytes(0) == 'M' && bytes(1) == 'M') false
+      else return None
+    def u16(o: Int): Int =
+      if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def u32(o: Int): Long =
+      if (le) u16(o).toLong | (u16(o + 2).toLong << 16)
+      else (u16(o).toLong << 16) | u16(o + 2).toLong
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    if (ifd + 2 + 12L * n + 4 > bytes.length) return None
+    val tags = scala.collection.mutable.Map.empty[Int, IndexedSeq[Long]]
+    var e = 0
+    while (e < n) {
+      val off = ifd.toInt + 2 + 12 * e
+      val tag = u16(off)
+      val typ = u16(off + 2)
+      val cnt = u32(off + 4)
+      val sz = typ match { case 1 => 1; case 3 => 2; case 4 => 4; case _ => 0 }
+      if (sz > 0) { // unsupported value types (rationals, ascii) are skipped
+        if (cnt < 0 || cnt > 65536) return None
+        val total = sz * cnt
+        val base =
+          if (total <= 4) off + 8L
+          else {
+            val o = u32(off + 8)
+            if (o + total > bytes.length) return None
+            o
+          }
+        tags(tag) = (0L until cnt).map { j =>
+          val vo = (base + sz * j).toInt
+          sz match {
+            case 1 => (bytes(vo) & 0xFF).toLong
+            case 2 => u16(vo).toLong
+            case _ => u32(vo)
+          }
+        }.toIndexedSeq
+      }
+      e += 1
+    }
+    def one(tag: Int, dflt: Long = -1L): Long =
+      tags.get(tag).flatMap(_.headOption).getOrElse(dflt)
+    val w = one(256).toInt
+    val h = one(257).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    val spp = one(277, 1L).toInt
+    if (spp != 1 && spp != 3) return None
+    val photo = one(262).toInt
+    if (!(spp == 1 && photo == 1) && !(spp == 3 && photo == 2)) return None
+    val bps = tags.getOrElse(258, IndexedSeq(8L))
+    if (bps.isEmpty || bps.exists(_ != 8L)) return None
+    val comp = one(259, 1L).toInt
+    if (comp != 1 && comp != 32773) return None
+    val rps = math.min(one(278, h.toLong), h.toLong).toInt
+    if (rps <= 0) return None
+    val offsets = tags.getOrElse(273, IndexedSeq.empty)
+    val counts = tags.getOrElse(279, IndexedSeq.empty)
+    val nStrips = (h + rps - 1) / rps
+    if (offsets.length != nStrips || counts.length != nStrips) return None
+    val raw = new Array[Byte](w * h * spp)
+    var s = 0
+    var row0 = 0
+    while (s < nStrips) {
+      val rows = math.min(rps, h - row0)
+      val need = rows * w * spp
+      val off = offsets(s)
+      val cnt = counts(s)
+      if (off < 0 || cnt < 0 || off + cnt > bytes.length) return None
+      val dstOff = row0 * w * spp
+      if (comp == 1) {
+        if (cnt < need) return None
+        System.arraycopy(bytes, off.toInt, raw, dstOff, need)
+      } else if (!unpackBits(bytes, off.toInt, (off + cnt).toInt, raw, dstOff, need))
+        return None
+      row0 += rows
+      s += 1
+    }
+    val px =
+      if (spp == 3) raw
+      else Array.tabulate(w * h * 3)(i => raw(i / 3))
+    Some((w, h, px))
+  } catch { case _: Exception => None }
+
+  /** Deterministic TIFF fixture sharing the codec family's pixel
+    * formulas: RGB sample i = (seed·31+i) mod 256 (the [[syntheticPpm]]
+    * formula), grayscale pixel m = (seed·31 + (m div 4)·4) mod 256
+    * (4-pixel runs so PackBits' repeat tokens are really exercised).
+    * RowsPerStrip 2 forces multi-strip assembly; offsets/counts and
+    * the 3-value BitsPerSample live in offset-addressed arrays, so
+    * both the inline and external entry paths are walked.
+    */
+  def syntheticTiff(seed: Long, w: Int, h: Int, gray: Boolean,
+      packBits: Boolean, bigEndian: Boolean): Array[Byte] = {
+    require(seed >= 0 && w > 0 && h > 0, "syntheticTiff: non-negative seed, positive dims")
+    val spp = if (gray) 1 else 3
+    val data =
+      if (gray) Array.tabulate(w * h)(m => ((seed * 31 + (m / 4) * 4) % 256).toByte)
+      else Array.tabulate(w * h * 3)(i => ((seed * 31 + i) % 256).toByte)
+    val rps = 2
+    val nStrips = (h + rps - 1) / rps
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      if (packBits)
+        // TIFF §9: rows are packed SEPARATELY, never across boundaries
+        (0 until rows).map { r =>
+          packBitsEncode(java.util.Arrays.copyOfRange(data,
+            (s * rps + r) * w * spp, (s * rps + r + 1) * w * spp))
+        }.reduce(_ ++ _)
+      else java.util.Arrays.copyOfRange(
+        data, s * rps * w * spp, s * rps * w * spp + rows * w * spp)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def p16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      else { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def p32(v: Int): Unit =
+      if (bigEndian) { p16((v >>> 16) & 0xFFFF); p16(v & 0xFFFF) }
+      else { p16(v & 0xFFFF); p16((v >>> 16) & 0xFFFF) }
+    out.write(if (bigEndian) 'M' else 'I'); out.write(if (bigEndian) 'M' else 'I')
+    p16(42); // magic
+    val stripOffs = strips.scanLeft(8)((acc, st) => acc + st.length)
+    var dataEnd = stripOffs.last
+    if (dataEnd % 2 == 1) dataEnd += 1 // word-align the IFD
+    p32(dataEnd)
+    strips.foreach(st => out.write(st))
+    if (stripOffs.last % 2 == 1) out.write(0)
+    // IFD: 9 ascending-tag entries; external arrays follow it
+    val nEntries = 9
+    val ifdEnd = dataEnd + 2 + 12 * nEntries + 4
+    val bpsOff = ifdEnd // 3 shorts when rgb (gray inlines)
+    val offsOff = ifdEnd + (if (gray) 0 else 6)
+    val cntsOff = offsOff + 4 * nStrips
+    def entry(tag: Int, typ: Int, cnt: Int, inline: => Unit): Unit = {
+      p16(tag); p16(typ); p32(cnt)
+      val before = out.size
+      inline
+      while (out.size < before + 4) out.write(0)
+    }
+    p16(nEntries)
+    entry(256, 4, 1, p32(w))
+    entry(257, 4, 1, p32(h))
+    if (gray) entry(258, 3, 1, p16(8)) else entry(258, 3, 3, p32(bpsOff))
+    entry(259, 3, 1, p16(if (packBits) 32773 else 1))
+    entry(262, 3, 1, p16(if (gray) 1 else 2))
+    if (nStrips == 1) entry(273, 4, 1, p32(stripOffs(0)))
+    else entry(273, 4, nStrips, p32(offsOff))
+    entry(277, 3, 1, p16(spp))
+    entry(278, 3, 1, p16(rps))
+    if (nStrips == 1) entry(279, 4, 1, p32(strips(0).length))
+    else entry(279, 4, nStrips, p32(cntsOff))
+    p32(0) // no next IFD
+    if (!gray) { p16(8); p16(8); p16(8) }
+    if (nStrips > 1) {
+      (0 until nStrips).foreach(s => p32(stripOffs(s)))
+      strips.foreach(st => p32(st.length))
+    }
+    out.toByteArray
+  }
+
   /** Try every real decoder in order; the format tag records which one
     * matched. */
   def decodeImageBytes(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
@@ -188,6 +426,7 @@ object Multimodal {
       .orElse(decodeJpeg(bytes).map { case (w, h, px) => ("jpeg", w, h, px) })
       .orElse(decodePng(bytes).map { case (w, h, px) => ("png", w, h, px) })
       .orElse(decodeGif(bytes).map { case (w, h, px) => ("gif", w, h, px) })
+      .orElse(decodeTiff(bytes).map { case (w, h, px) => ("tiff", w, h, px) })
 
   /** Pure-JVM GIF decoder (87a/89a) — the third COMPRESSED image
     * format, and like FLAC a LOSSLESS one, so its decode is closed-form
@@ -862,6 +1101,9 @@ object Multimodal {
       if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
       else if (bytes.length >= 3 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+      else if (bytes.length >= 4 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+          (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))) "tiff"
       else "unknown"
     ImageStats(id, fmt, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
   }

@@ -1755,6 +1755,78 @@ object NorthStarQueries {
       )
     ),
 
+    // TIFF — the archival/document-scan format (the corpora OCR
+    // pipelines ingest), and the codec matrix's CONTAINER-walk image
+    // format: byte-order-polymorphic header, IFD entry table with
+    // inline AND offset-addressed values, multi-strip assembly, and
+    // PackBits RLE. Even keys decode little-endian uncompressed RGB
+    // (the shared PPM pixel formula — one oracle arm covers both
+    // codecs), odd keys big-endian PackBits GRAYSCALE with 4-pixel
+    // runs (so the repeat tokens are real); RowsPerStrip 2 forces
+    // three strips either way. The JDK's own ImageIO TIFF reader
+    // conformance-pins all eight variant corners in the spec;
+    // map-only like every codec.
+    Q(
+      "q_image_decode_tiff",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val tif = udf((k: Long) => Multimodal.syntheticTiff(
+          k, 8, 6, gray = k % 2 == 1, packBits = k % 2 == 1, bigEndian = k % 2 == 1))
+        val out = Multimodal.decodeImages(
+          blobs.withColumn("payload", tif(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i % 3 AS c,
+          |    CASE WHEN n_nationkey % 2 = 0 THEN (n_nationkey * 31 + i) % 256
+          |         ELSE (n_nationkey * 31 + ((i // 3) // 4) * 4) % 256 END AS v
+          |  FROM nation, UNNEST(generate_series(0, 143)) AS u(i)
+          |), ch AS (
+          |  SELECT media_id,
+          |    CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+          |    CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+          |    CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+          |    CAST(SUM(CASE WHEN c = 0 THEN v * v END) AS BIGINT) AS ssq_r,
+          |    CAST(SUM(CASE WHEN c = 1 THEN v * v END) AS BIGINT) AS ssq_g,
+          |    CAST(SUM(CASE WHEN c = 2 THEN v * v END) AS BIGINT) AS ssq_b
+          |  FROM px GROUP BY media_id
+          |), grid AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, gx, gy,
+          |    CASE WHEN n_nationkey % 2 = 0 THEN
+          |      (((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 0) % 256)
+          |       + ((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 1) % 256)
+          |       + ((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 2) % 256)) // 3
+          |    ELSE (n_nationkey * 31 + ((((gy * 6) // 8) * 8 + ((gx * 8) // 9)) // 4) * 4) % 256
+          |    END AS gray
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 8)) AS ux(gx),
+          |       UNNEST(generate_series(0, 7)) AS uy(gy)
+          |), bits AS (
+          |  SELECT a.media_id, a.gx AS x, a.gy AS y
+          |  FROM grid a JOIN grid b
+          |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 AND b.gray > a.gray
+          |), dh AS (
+          |  SELECT media_id,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x < 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x)) END), 0) AS BIGINT) AS dhash_lo,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x >= 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) END), 0) AS BIGINT) AS dhash_hi
+          |  FROM bits GROUP BY media_id
+          |)
+          |SELECT ch.media_id, 'tiff' AS format, 8 AS width, 6 AS height,
+          |  CAST(48 AS BIGINT) AS n_pixels,
+          |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b,
+          |  CAST(COALESCE(dh.dhash_lo, 0) AS BIGINT) AS dhash_lo,
+          |  CAST(COALESCE(dh.dhash_hi, 0) AS BIGINT) AS dhash_hi
+          |FROM ch LEFT JOIN dh USING (media_id)""".stripMargin
+      )
+    ),
+
     // Second real image format: 24-bit BMP at 6×5 — dimensions chosen
     // so the row stride (18 bytes) pads to 20, exercising the
     // bottom-up + B,G,R + padding normalization decodeBmp performs.

@@ -197,7 +197,8 @@ class MultimodalSpec extends SparkSpec {
     val magics = Seq(
       Array[Byte](), "GIF89a".getBytes, "fLaC".getBytes, "RIFF".getBytes,
       Array(0xFF, 0xD8).map(_.toByte), Array(0x89, 'P', 'N', 'G').map(_.toByte),
-      Array(31, -117, 8, 0).map(_.toByte), "P6\n".getBytes, "BM".getBytes)
+      Array(31, -117, 8, 0).map(_.toByte), "P6\n".getBytes, "BM".getBytes,
+      Array[Byte]('I', 'I', 42, 0), Array[Byte]('M', 'M', 0, 42))
     for (n <- Seq(0, 1, 7, 64, 513, 4096); m <- magics; rep <- 1 to 4) {
       val payload = m ++ arr(n)
       // each must return cleanly — None/null/sniffed stats — not throw
@@ -209,6 +210,8 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeBmp(payload)
       Multimodal.decodeWav(payload)
       Multimodal.decodeWavIma(payload)
+      Multimodal.decodeWavG711(payload)
+      Multimodal.decodeTiff(payload)
       graft.functions.GraftMath.gunzipUtf8(payload)
       Multimodal.imageStats(1L, payload)
       Multimodal.audioStats(1L, payload)
@@ -219,6 +222,8 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.syntheticFlac(4L),
       Multimodal.syntheticJpeg(5L),
       Multimodal.syntheticPng(6L, 8, 6),
+      Multimodal.syntheticTiff(7L, 8, 6, true, true, true),
+      Multimodal.syntheticWavG711(8L, 7, 2, 24),
       Multimodal.syntheticGzipText("corrupt me please, repeatedly"))
     for (f <- fixtures; pos <- 0 until f.length by math.max(1, f.length / 50)) {
       val mut = f.clone()
@@ -598,6 +603,68 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioStats(1L, Multimodal.syntheticWav(1L, 1, 8000, 16)).format == "wav")
     assert(Multimodal.decodeWavIma(Multimodal.syntheticWav(1L, 1, 8000, 16)).isEmpty)
     assert(Multimodal.decodeWavIma(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeTiff: both endians, gray/RGB, PackBits/uncompressed; ImageIO conformance; degrade") {
+    // all four variant corners round-trip to the closed-form raster
+    for {
+      gray <- Seq(false, true)
+      pb <- Seq(false, true)
+      be <- Seq(false, true)
+    } {
+      val bytes = Multimodal.syntheticTiff(5L, 8, 6, gray, pb, be)
+      val Some((w, h, px)) = Multimodal.decodeTiff(bytes)
+      assert(w == 8 && h == 6, s"gray=$gray pb=$pb be=$be")
+      for (i <- 0 until 8 * 6 * 3) {
+        val want =
+          if (gray) ((5 * 31 + ((i / 3) / 4) * 4) % 256).toByte
+          else ((5 * 31 + i) % 256).toByte
+        assert(px(i) == want, s"px($i) gray=$gray pb=$pb be=$be")
+      }
+      // external conformance: the JDK's own ImageIO TIFF reader sees
+      // the SAME pixels (asserted non-null — a silent skip would
+      // vacuously pass)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO must read the fixture")
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val o = (y * 8 + x) * 3
+        if (gray) {
+          // getRGB would push gray samples through ICC gray->sRGB
+          // color management; the RAW raster sample is the spec target
+          assert(img.getRaster.getSample(x, y, 0) == (px(o) & 0xFF),
+            s"ImageIO sample ($x,$y) pb=$pb be=$be")
+        } else {
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xFF) == (px(o) & 0xFF) &&
+            ((rgb >> 8) & 0xFF) == (px(o + 1) & 0xFF) &&
+            (rgb & 0xFF) == (px(o + 2) & 0xFF),
+            s"ImageIO pixel ($x,$y) pb=$pb be=$be")
+        }
+      }
+    }
+    // dispatcher labels tiff; stats flow through the shared raster path
+    val s = Multimodal.imageStats(7L, Multimodal.syntheticTiff(7L, 8, 6, false, false, false))
+    assert(s.format == "tiff" && s.width == 8 && s.n_pixels == 48L)
+    // the -128 no-op skip (kept out of fixtures for ImageIO interop)
+    // is pinned at the unit level: [0x80, literal-2, a, b] -> a, b
+    val noop = Array[Byte](0x80.toByte, 1, 10, 20)
+    val dst = new Array[Byte](2)
+    assert(Multimodal.unpackBitsForTest(noop, 0, 4, dst, 0, 2) && dst.toSeq == Seq[Byte](10, 20))
+    // degrade: bad magic, wrong version, truncated IFD, truncated
+    // strip, over-long PackBits, unsupported depth
+    val good = Multimodal.syntheticTiff(3L, 8, 6, false, true, false)
+    assert(Multimodal.decodeTiff("II+ rest".getBytes("US-ASCII")).isEmpty)
+    val badMagic = good.clone(); badMagic(2) = 43
+    assert(Multimodal.decodeTiff(badMagic).isEmpty)
+    assert(Multimodal.decodeTiff(java.util.Arrays.copyOf(good, 9)).isEmpty)
+    assert(Multimodal.decodeTiff(java.util.Arrays.copyOf(good, 60)).isEmpty)
+    // truncated-strip corpus sniff keeps the tiff label with zero stats
+    assert(Multimodal.imageStats(1L, java.util.Arrays.copyOf(good, 60)).format == "tiff")
+    // adversarial: bit flips never throw (the fuzz spec covers more)
+    for (pos <- 0 until math.min(good.length, 64)) {
+      val mut = good.clone(); mut(pos) = (mut(pos) ^ 0x41).toByte
+      Multimodal.decodeTiff(mut): Unit
+    }
   }
 
   test("G.711 expanders: spec anchor codes; WAV round trip; degrade") {
