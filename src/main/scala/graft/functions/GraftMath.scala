@@ -370,10 +370,17 @@ object GraftMath {
       .toLowerCase(java.util.Locale.ROOT)
     if (host.isEmpty) return null
     val port = if (colonIdx >= 0) hostport.substring(colonIdx + 1) else ""
-    if (port.nonEmpty && !port.forall(_.isDigit)) return null
-    val keepPort = port.nonEmpty &&
-      !(scheme == "http" && port.toLong == 80L) &&
-      !(scheme == "https" && port.toLong == 443L)
+    // ASCII digits only (isDigit admits Unicode digit classes), bounded
+    // before parsing (a 20-digit port must degrade, not throw), valid
+    // TCP range, and leading zeros normalized so ':0081' == ':81'
+    if (port.nonEmpty && !port.forall(c => c >= '0' && c <= '9')) return null
+    val portVal =
+      if (port.isEmpty) -1
+      else if (port.length > 5) return null
+      else { val v = port.toInt; if (v > 65535) return null else v }
+    val keepPort = portVal >= 0 &&
+      !(scheme == "http" && portVal == 80) &&
+      !(scheme == "https" && portVal == 443)
     val tail = rest.substring(aEnd)
     val hashIdx = tail.indexOf('#')
     val noFrag = if (hashIdx >= 0) tail.substring(0, hashIdx) else tail
@@ -384,7 +391,7 @@ object GraftMath {
     val path = if (path0.isEmpty) "/" else path0
     UTF8String.fromString(
       scheme + "://" + userinfo + host +
-        (if (keepPort) ":" + port else "") + path + pctNormalize(query))
+        (if (keepPort) ":" + portVal else "") + path + pctNormalize(query))
   }
 
   /** §6.2.2.2: decode %XX escapes of unreserved characters
@@ -421,25 +428,35 @@ object GraftMath {
     sb.toString
   }
 
-  /** §5.2.4 remove_dot_segments, verbatim from the RFC's algorithm. */
+  /** §5.2.4 remove_dot_segments — the RFC algorithm walked with an
+    * index pointer instead of rebuilding the remaining input per
+    * segment (the substring form is O(n²) per row, a real cost inside
+    * a codegen expression fed adversarial crawl paths). The "/." and
+    * "/.." endings that the RFC rewrites to "/" append the slash and
+    * terminate directly — the equivalent continuation.
+    */
   private def removeDotSegments(p: String): String = {
     val sb = new java.lang.StringBuilder(p.length)
-    var in = p
-    while (in.nonEmpty) {
-      if (in.startsWith("../")) in = in.substring(3)
-      else if (in.startsWith("./")) in = in.substring(2)
-      else if (in.startsWith("/./")) in = "/" + in.substring(3)
-      else if (in == "/.") in = "/"
-      else if (in.startsWith("/../") || in == "/..") {
-        in = if (in == "/..") "/" else "/" + in.substring(4)
-        val idx = sb.lastIndexOf("/")
-        sb.setLength(if (idx >= 0) idx else 0)
-      } else if (in == "." || in == "..") in = ""
+    val n = p.length
+    var i = 0
+    def pop(): Unit = {
+      val idx = sb.lastIndexOf("/")
+      sb.setLength(if (idx >= 0) idx else 0)
+    }
+    while (i < n) {
+      if (p.startsWith("../", i)) i += 3
+      else if (p.startsWith("./", i)) i += 2
+      else if (p.startsWith("/./", i)) i += 2 // consume "/.", keep the '/'
+      else if (i + 2 == n && p.startsWith("/.", i)) { sb.append('/'); i = n }
+      else if (p.startsWith("/../", i)) { pop(); i += 3 }
+      else if (i + 3 == n && p.startsWith("/..", i)) { pop(); sb.append('/'); i = n }
+      else if ((i + 1 == n && p.charAt(i) == '.') ||
+        (i + 2 == n && p.startsWith("..", i))) i = n
       else {
-        var j = if (in.charAt(0) == '/') 1 else 0
-        while (j < in.length && in.charAt(j) != '/') j += 1
-        sb.append(in, 0, j)
-        in = in.substring(j)
+        var j = if (p.charAt(i) == '/') i + 1 else i
+        while (j < n && p.charAt(j) != '/') j += 1
+        sb.append(p, i, j)
+        i = j
       }
     }
     sb.toString

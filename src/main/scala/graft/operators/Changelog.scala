@@ -79,14 +79,18 @@ object Changelog {
       keyCol: String,
       payloadCol: String
   ): DataFrame = {
-    def side(df: DataFrame, h: String) =
-      df.select(col(keyCol).as("key"), sha2(col(payloadCol), 256).as(h))
-    side(before, "__hb")
-      .join(side(after, "__ha"), Seq("key"), "full_outer")
+    // explicit presence markers: a NULL payload hashes to NULL, which
+    // would otherwise be indistinguishable from an absent key (a row
+    // going text -> NULL must read 'changed', not 'removed')
+    def side(df: DataFrame, h: String, p: String) =
+      df.select(col(keyCol).as("key"), sha2(col(payloadCol), 256).as(h),
+        lit(true).as(p))
+    side(before, "__hb", "__pb")
+      .join(side(after, "__ha", "__pa"), Seq("key"), "full_outer")
       .select(col("key"),
-        when(col("__hb").isNull, "added")
-          .when(col("__ha").isNull, "removed")
-          .when(col("__ha") =!= col("__hb"), "changed")
+        when(col("__pb").isNull, "added")
+          .when(col("__pa").isNull, "removed")
+          .when(!(col("__ha") <=> col("__hb")), "changed")
           .as("change"))
       .filter(col("change").isNotNull)
   }

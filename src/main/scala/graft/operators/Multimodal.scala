@@ -312,6 +312,9 @@ object Multimodal {
     if (bps.isEmpty || bps.exists(_ != 8L)) return None
     val comp = one(259, 1L).toInt
     if (comp != 1 && comp != 32773) return None
+    // planar (separate-plane) layout would decode to a silently
+    // scrambled interleave under the chunky arraycopy below — degrade
+    if (one(284, 1L) != 1L) return None
     val rps = math.min(one(278, h.toLong), h.toLong).toInt
     if (rps <= 0) return None
     val offsets = tags.getOrElse(273, IndexedSeq.empty)
@@ -1638,28 +1641,47 @@ object Multimodal {
     * None so corrupt payloads degrade to the header sniff instead of
     * throwing mid-partition.
     */
-  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
-    def le32(o: Int): Int =
-      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
-        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
-    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+  /** Little-endian readers over a byte array — the RIFF family's
+    * shared primitives. */
+  private def wavLe16(bytes: Array[Byte], o: Int): Int =
+    (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+  private def wavLe32(bytes: Array[Byte], o: Int): Int =
+    wavLe16(bytes, o) | (wavLe16(bytes, o + 2) << 16)
+
+  /** The ONE RIFF/WAVE chunk walk all three WAV decoders (PCM, IMA
+    * ADPCM, G.711) share: word-aligned chunk sizes, bounds-checked,
+    * stopping once both `fmt ` (≥ 16 bytes) and `data` are found.
+    * Returns (fmtOff, dataOff, dataLen) with fmtOff at the fmt
+    * chunk's payload; None on malformation.
+    */
+  private def riffWaveChunks(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     def tag(o: Int, s: String): Boolean =
       bytes(o) == s(0).toByte && bytes(o + 1) == s(1).toByte &&
         bytes(o + 2) == s(2).toByte && bytes(o + 3) == s(3).toByte
     if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var channels = -1; var rate = -1; var bits = -1
+    var fmtOff = -1
     var dataOff = -1; var dataLen = -1
     var i = 12
-    while (i + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
-      val sz = le32(i + 4)
+    while (i + 8 <= bytes.length && (dataOff < 0 || fmtOff < 0)) {
+      val sz = wavLe32(bytes, i + 4)
       if (sz < 0 || i + 8 + sz.toLong > bytes.length) return None
-      if (tag(i, "fmt ") && sz >= 16) {
-        if (le16(i + 8) != 1) return None // integer PCM only
-        channels = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
-      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
+      if (tag(i, "fmt ") && sz >= 16) fmtOff = i + 8
+      else if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
       i += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    if (channels <= 0 || rate <= 0 || (bits != 16 && bits != 8) || dataOff < 0) return None
+    if (fmtOff < 0 || dataOff < 0) None else Some((fmtOff, dataOff, dataLen))
+  }
+
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    val (fmt, dataOff, dataLen) = riffWaveChunks(bytes) match {
+      case Some(t) => t
+      case None    => return None
+    }
+    if (wavLe16(bytes, fmt) != 1) return None // integer PCM only
+    val channels = wavLe16(bytes, fmt + 2)
+    val rate = wavLe32(bytes, fmt + 4)
+    val bits = wavLe16(bytes, fmt + 14)
+    if (channels <= 0 || rate <= 0 || (bits != 16 && bits != 8)) return None
     val sampleBytes = bits / 8
     val frameBytes = channels * sampleBytes
     val frames = dataLen / frameBytes // drop a trailing partial frame
@@ -1701,34 +1723,22 @@ object Multimodal {
     * here). Malformed payloads return None — degrade, don't throw.
     */
   def decodeWavIma(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
-    def le32(o: Int): Int =
-      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
-        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
-    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
-    def tag(o: Int, s: String): Boolean =
-      bytes(o) == s(0).toByte && bytes(o + 1) == s(1).toByte &&
-        bytes(o + 2) == s(2).toByte && bytes(o + 3) == s(3).toByte
-    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
-    var dataOff = -1; var dataLen = -1
-    var i = 12
-    while (i + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
-      val sz = le32(i + 4)
-      if (sz < 0 || i + 8 + sz.toLong > bytes.length) return None
-      if (tag(i, "fmt ") && sz >= 16) {
-        if (le16(i + 8) != 0x11) return None // IMA/DVI ADPCM only
-        channels = le16(i + 10); rate = le32(i + 12)
-        blockAlign = le16(i + 20); bits = le16(i + 22)
-      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
-      i += 8 + sz + (sz & 1)
+    val (fmt, dataOff, dataLen) = riffWaveChunks(bytes) match {
+      case Some(t) => t
+      case None    => return None
     }
-    if (channels != 1 || rate <= 0 || bits != 4 || blockAlign < 5 || dataOff < 0)
+    if (wavLe16(bytes, fmt) != 0x11) return None // IMA/DVI ADPCM only
+    val channels = wavLe16(bytes, fmt + 2)
+    val rate = wavLe32(bytes, fmt + 4)
+    val blockAlign = wavLe16(bytes, fmt + 12)
+    val bits = wavLe16(bytes, fmt + 14)
+    if (channels != 1 || rate <= 0 || bits != 4 || blockAlign < 5)
       return None
     val out = scala.collection.mutable.ArrayBuffer.empty[Short]
     var bo = 0
     while (bo + 4 <= dataLen) {
       val blockLen = math.min(blockAlign, dataLen - bo)
-      var pred = le16(dataOff + bo).toShort.toInt // sign-extended
+      var pred = wavLe16(bytes, dataOff + bo).toShort.toInt // sign-extended
       var idx = bytes(dataOff + bo + 2) & 0xFF
       if (idx > 88) return None
       out += pred.toShort // the header predictor is the first sample
@@ -1832,28 +1842,16 @@ object Multimodal {
     * returns None so corrupt payloads degrade like every codec here.
     */
   def decodeWavG711(bytes: Array[Byte]): Option[(String, (Int, Int, Array[Short]))] = {
-    def le32(o: Int): Int =
-      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
-        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
-    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
-    def tag(o: Int, s: String): Boolean =
-      bytes(o) == s(0).toByte && bytes(o + 1) == s(1).toByte &&
-        bytes(o + 2) == s(2).toByte && bytes(o + 3) == s(3).toByte
-    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var law = -1; var channels = -1; var rate = -1; var bits = -1
-    var dataOff = -1; var dataLen = -1
-    var i = 12
-    while (i + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
-      val sz = le32(i + 4)
-      if (sz < 0 || i + 8 + sz.toLong > bytes.length) return None
-      if (tag(i, "fmt ") && sz >= 16) {
-        law = le16(i + 8)
-        if (law != 6 && law != 7) return None // A-law / μ-law only
-        channels = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
-      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
-      i += 8 + sz + (sz & 1)
+    val (fmt, dataOff, dataLen) = riffWaveChunks(bytes) match {
+      case Some(t) => t
+      case None    => return None
     }
-    if (channels <= 0 || rate <= 0 || bits != 8 || dataOff < 0) return None
+    val law = wavLe16(bytes, fmt)
+    if (law != 6 && law != 7) return None // A-law / μ-law only
+    val channels = wavLe16(bytes, fmt + 2)
+    val rate = wavLe32(bytes, fmt + 4)
+    val bits = wavLe16(bytes, fmt + 14)
+    if (channels <= 0 || rate <= 0 || bits != 8) return None
     val frames = dataLen / channels // drop a trailing partial frame
     val out = new Array[Short](frames * channels)
     var s = 0

@@ -3453,8 +3453,11 @@ object CorpusQueries {
 
     // Deterministic HyperLogLog — distinct counting as a MERGEABLE
     // 64-register summary (the Count-Min discipline with MAX in place
-    // of SUM): register = max leading-zero rank of the shared
-    // polynomial hash per bucket. The gate counts distinct order keys
+    // of SUM): register = max leading-zero rank, per bucket, of XXH64
+    // (rank statistics need real avalanche — the polynomial family
+    // measured a 10^6x overestimate on short keys; the unsigned-
+    // HUGEINT oracle port is the SimHash gates' validated chain).
+    // The gate counts distinct order keys
     // (15k at sf0.01 — every bucket populated, ranks deep), building
     // PER-HALF register sets and MERGING them cell-wise while the
     // oracle derives every register from the full key stream in SQL —

@@ -70,6 +70,13 @@ class ChangelogSpec extends SparkSpec {
     // identical snapshots diff to empty — the unchanged bulk never
     // reaches the output (the projection drops it, not a consumer)
     assert(Changelog.snapshotDiff(v1, v1, "k", "t").isEmpty)
+    // NULL payloads are values, not absences: text -> NULL is changed,
+    // NULL -> text is changed, NULL -> NULL is unchanged
+    val nb = Seq((1L, "a"), (2L, null: String), (3L, null: String)).toDF("k", "t")
+    val na = Seq((1L, null: String), (2L, "b"), (3L, null: String)).toDF("k", "t")
+    val nulls = Changelog.snapshotDiff(nb, na, "k", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nulls == Map(1L -> "changed", 2L -> "changed"))
     // applyLog/diff closure: diffing base against applyLog(base, log)
     // recovers exactly the log's effect
     val log = Seq((2L, "B2", 1L, "U"), (3L, "x", 2L, "D"), (5L, "e", 3L, "U"))

@@ -214,6 +214,15 @@ class FunctionsSpec extends SparkSpec {
     assert(canon("http:///x") == null)
     assert(canon("http://[::1]/x") == null)
     assert(canon("http://h.com:8a/x") == null)
+    // ports are bounded untrusted input: overflow-length and
+    // out-of-range values degrade (no NumberFormatException escapes),
+    // Unicode digit classes are rejected, leading zeros normalize
+    assert(canon("http://h.com:99999999999999999999/x") == null)
+    assert(canon("http://h.com:65536/x") == null)
+    assert(canon("http://h.com:８１/x") == null) // fullwidth 81
+    assert(canon("http://h.com:0081/x") == "http://h.com:81/x")
+    assert(canon("http://h.com:0080/x") == "http://h.com/x")
+    assert(canon("http://h.com:65535/x") == "http://h.com:65535/x")
     // idempotent on its own output
     val once = canon("HTTP://WWW.X.COM:80/a/./b/../c/%7Eu?q=%41#f")
     assert(canon(once) == once)

@@ -660,6 +660,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeTiff(java.util.Arrays.copyOf(good, 60)).isEmpty)
     // truncated-strip corpus sniff keeps the tiff label with zero stats
     assert(Multimodal.imageStats(1L, java.util.Arrays.copyOf(good, 60)).format == "tiff")
+    // planar layout (tag 284 = 2) must degrade, not decode a scrambled
+    // interleave: rewrite the LE fixture's compression entry (index 3,
+    // tag 259) into PlanarConfiguration = 2
+    val rgbLe = Multimodal.syntheticTiff(3L, 8, 6, false, false, false)
+    assert(Multimodal.decodeTiff(rgbLe).isDefined)
+    val planar = rgbLe.clone()
+    val ifd = (planar(4) & 0xFF) | ((planar(5) & 0xFF) << 8) |
+      ((planar(6) & 0xFF) << 16) | ((planar(7) & 0xFF) << 24)
+    val e3 = ifd + 2 + 12 * 3
+    assert(((planar(e3) & 0xFF) | ((planar(e3 + 1) & 0xFF) << 8)) == 259)
+    planar(e3) = (284 & 0xFF).toByte; planar(e3 + 1) = (284 >> 8).toByte
+    planar(e3 + 8) = 2
+    assert(Multimodal.decodeTiff(planar).isEmpty,
+      "planar TIFF must degrade to None")
     // adversarial: bit flips never throw (the fuzz spec covers more)
     for (pos <- 0 until math.min(good.length, 64)) {
       val mut = good.clone(); mut(pos) = (mut(pos) ^ 0x41).toByte
