@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier scheduling — the step between the admitted frontier
+  * (robots-screened, canonicalized, deduped URLs) and the fetchers: a
+  * politeness-correct fetch plan. Politeness is PER HOST (one request
+  * per `Crawl-delay` interval, RFC 9309's de-facto companion
+  * directive), so the natural distributed shape is:
+  *
+  *   - shard hosts across workers by hash — a host's URLs must land on
+  *     ONE worker (politeness state is per-host), but hosts are
+  *     independent, so the host hash IS the parallelism axis;
+  *   - within a host, order URLs deterministically and assign slot
+  *     numbers 0,1,2,…; slot × delay is the host-local fetch offset.
+  *
+  * One shuffle total: the per-host window. The per-domain delay table
+  * is |domains|-bounded and rides the plan as literals (the
+  * map-side-decision discipline of [[Robots.allowedColumn]] /
+  * DSIR/CMS screens) — no join for the lookup, streaming-safe.
+  *
+  * Skew note for 100 TB: a giant host serializes on one task — that is
+  * politeness itself (a million URLs on one host fetch one per delay
+  * regardless of cluster size), not a plan defect; the scheduler's job
+  * is that OTHER hosts never wait on it, which host-hash sharding
+  * gives. The reference's audit pipeline has no crawl layer; this
+  * extends the engine's web-ingest family (`q_crawl_pipeline`).
+  */
+object Frontier {
+
+  /** Worker-sharding hash of a host — the polynomial family over the
+    * CMS modulus (sharding needs stability, not avalanche; the
+    * SQL-portable hash keeps the assignment oracle-checkable).
+    */
+  def workerOf(host: Column, workers: Int): Column =
+    pmod(graft.functions.GraftFunctions.polyHash(host, 31L, Sketch.CmsMod),
+      lit(workers.toLong)).cast("int")
+
+  /** Map-side per-domain delay lookup against a bounded delay table
+    * riding the closure as literals; absent domains take `defaultMs`.
+    */
+  def delayColumn(delays: Seq[(String, Long)], host: Column, defaultMs: Long): Column =
+    if (delays.isEmpty) lit(defaultMs)
+    else {
+      val m = map(delays.flatMap { case (d, ms) => Seq(lit(d), lit(ms)) }: _*)
+      coalesce(element_at(m, host), lit(defaultMs))
+    }
+
+  /** Assign each frontier URL its politeness slot and fetch offset:
+    * slot = rank within host (descending `priorityCol` first when
+    * given — authority-weighted crawl ordering, ties and the default
+    * broken by deterministic `urlCol` order), fetch_at_ms = slot ×
+    * host delay, worker = host-hash shard. Exactly ONE exchange — the
+    * per-host window; everything else is map-side. Input must carry
+    * `hostCol` (registrable host) and a unique `urlCol`; passthrough
+    * columns survive.
+    */
+  def schedule(
+      frontier: DataFrame,
+      delays: Seq[(String, Long)],
+      defaultDelayMs: Long,
+      workers: Int,
+      urlCol: String = "canon",
+      hostCol: String = "host",
+      priorityCol: Option[String] = None
+  ): DataFrame = {
+    require(workers > 0, "Frontier.schedule: positive worker count")
+    require(defaultDelayMs >= 0, "Frontier.schedule: non-negative default delay")
+    val order = priorityCol.toSeq.map(col(_).desc) :+ col(urlCol).asc
+    val w = Window.partitionBy(col(hostCol)).orderBy(order: _*)
+    frontier
+      .withColumn("slot", row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_at_ms",
+        col("slot") * delayColumn(delays, col(hostCol), defaultDelayMs))
+      .withColumn("worker", workerOf(col(hostCol), workers))
+  }
+}

@@ -184,6 +184,69 @@ object Graph {
     outP
   }
 
+  /** INTEGER-exact HITS (Kleinberg 1999) in micro-units over a
+    * collapsed adjacency `(src, dst, w)` — the authority signal's
+    * two-sided twin: authority = endorsed BY good hubs, hub = points
+    * AT good authorities, the pairing PageRank's single score can't
+    * separate (a link directory is a great hub and a terrible
+    * authority). Both scores start at 10^6; each round computes
+    * auth(n) = Σ_in w·hub, renormalizes by the round's MAX back to
+    * [0, 10^6] (max-normalization keeps every step in exact integer
+    * arithmetic — the decision-table discipline; L2 would force
+    * floats), then hub(n) = Σ_out w·auth' over the NEW authorities
+    * (the classic update order). Nodes without in-edges get authority
+    * 0, without out-edges hub 0.
+    *
+    * Exactness bound: Σ w·score stays inside Long while a node's total
+    * in/out weight is below ~9·10^12 (score ≤ 10^6) — same contract
+    * note as [[pageRankFromAdj]].
+    *
+    * Same scale shape as the siblings: the corpus collapsed first, the
+    * iterations are joins + partial aggs over the |domains|²-bounded
+    * frame, each round's (node, auth, hub) frame pins and drops its
+    * predecessor so lineage stays flat. The per-round max rides a
+    * broadcast crossJoin inside the plan — no extra driver action.
+    * Returned frame stays persisted; caller unpersists
+    * ([[Vocab.mergedDict]] contract).
+    */
+  def hitsInt(adj: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "Graph.hitsInt: at least one iteration")
+    val adjP = adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adjP.count(): Unit
+    val nodes = nodesOf(adjP).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def renorm(raw: DataFrame, outName: String): DataFrame = {
+      val mx = raw.agg(max(col("__v")).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("__mx") > 0,
+            coalesce(expr("__v * 1000000L div __mx"), lit(0L)))
+            .otherwise(lit(0L)).as(outName))
+    }
+    var (sP, sCut) = pin(nodes
+      .withColumn("auth_micro", lit(1000000L))
+      .withColumn("hub_micro", lit(1000000L)))
+    var i = 0
+    while (i < iters) {
+      val auth = renorm(
+        adjP.join(sCut.select(col("node").as("src"), col("hub_micro")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("w") * col("hub_micro")).as("__v")),
+        "auth_micro")
+      val hub = renorm(
+        adjP.join(auth.select(col("node").as("dst"), col("auth_micro")), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("w") * col("auth_micro")).as("__v")),
+        "hub_micro")
+      val (nP, nCut) = pin(auth.join(hub, "node"))
+      sP.unpersist()
+      sP = nP; sCut = nCut
+      i += 1
+    }
+    adjP.unpersist(); nodes.unpersist()
+    sP
+  }
+
   /** Result of a convergence-looped rank computation: the final rank
     * frame (persisted — caller unpersists), the number of iterations
     * actually executed, and the last step's max per-node rank change.

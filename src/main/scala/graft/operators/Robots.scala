@@ -35,14 +35,18 @@ object Robots {
 
   final case class RobotsRule(domain: String, agent: String, rule: String, path: String)
 
-  /** Parse one domain's robots.txt into (agent, rule, path) rows —
-    * every agent of a group carries the group's rules. Lenient like
-    * every untrusted-input parser here: malformed lines are skipped,
-    * never thrown on.
+  /** The shared RFC 9309 §2.2 group walk: one or more consecutive
+    * `User-agent:` lines open a group, rule lines fill it (and mark
+    * the group "opened", so a later `User-agent:` starts the NEXT
+    * group rather than joining). `Crawl-delay` is a de-facto group
+    * rule (Yandex/Bing semantics), so it both closes the header run
+    * AND reaches the sink — [[parseRobots]] discards it,
+    * [[parseCrawlDelays]] keeps only it; both see the identical group
+    * structure because the walk is shared.
     */
-  def parseRobots(domain: String, text: String): Seq[RobotsRule] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
-    if (text == null) return out.toSeq
+  private def walkGroups(text: String)(
+      sink: (List[String], String, String) => Unit): Unit = {
+    if (text == null) return
     var agents = List.empty[String]
     var inRules = false
     text.split("\n", -1).foreach { raw =>
@@ -57,15 +61,66 @@ object Robots {
             case "user-agent" =>
               if (inRules) { agents = Nil; inRules = false }
               agents ::= v.toLowerCase(java.util.Locale.ROOT)
-            case "allow" | "disallow" =>
+            case "allow" | "disallow" | "crawl-delay" =>
               inRules = true
-              agents.foreach(a => out += RobotsRule(domain, a, k, v))
-            case _ => () // sitemap, crawl-delay, unknown — ignored
+              sink(agents, k, v)
+            case _ => () // sitemap, unknown — ignored, group unbroken
           }
         }
       }
     }
+  }
+
+  /** Parse one domain's robots.txt into (agent, rule, path) rows —
+    * every agent of a group carries the group's rules. Lenient like
+    * every untrusted-input parser here: malformed lines are skipped,
+    * never thrown on.
+    */
+  def parseRobots(domain: String, text: String): Seq[RobotsRule] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    walkGroups(text) { (agents, k, v) =>
+      if (k != "crawl-delay") agents.foreach(a => out += RobotsRule(domain, a, k, v))
+    }
     out.toSeq
+  }
+
+  /** Parse one domain's `Crawl-delay:` directives into
+    * (domain, agent, delayMillis) rows — the same group walk as
+    * [[parseRobots]]. Values are decimal seconds (integers or up to
+    * millisecond precision), parsed with integer arithmetic;
+    * out-of-contract values (negative, non-numeric, absurd) are
+    * skipped, never thrown on, and delays cap at one hour — an
+    * untrusted site must not be able to park a crawler.
+    */
+  def parseCrawlDelays(domain: String, text: String): Seq[(String, String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val Num = "^([0-9]{1,7})(?:\\.([0-9]{1,3}))?$".r
+    walkGroups(text) { (agents, k, v) =>
+      if (k == "crawl-delay") v match {
+        case Num(whole, frac) =>
+          val ms = whole.toLong * 1000L +
+            (if (frac == null) 0L else (frac + "00").take(3).toLong)
+          val capped = math.min(ms, 3600000L)
+          agents.foreach(a => out += ((domain, a, capped)))
+        case _ => ()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Effective per-domain delay under RFC 9309 §2.2.1 group selection
+    * (specific agent's groups used ALONE when present, `*` groups only
+    * otherwise); several delays for the selected agent collapse to the
+    * MAX — the polite reading. Domains with no directive are absent —
+    * the scheduler's default applies.
+    */
+  def effectiveDelays(parsed: Seq[(String, String, Long)], agent: String): Seq[(String, Long)] = {
+    val me = agent.toLowerCase(java.util.Locale.ROOT)
+    parsed.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (d, rows) =>
+      val mine = rows.filter(_._2 == me)
+      val group = if (mine.nonEmpty) mine else rows.filter(_._2 == "*")
+      if (group.isEmpty) None else Some((d, group.map(_._3).max))
+    }
   }
 
   /** Batch parse: (domainCol: string, textCol: string) → one row per
@@ -105,6 +160,79 @@ object Robots {
         else None // wildcard/anchored allow: dropped, never widened
       }
     }
+  }
+
+  /** Extract `<loc>` URLs from a sitemap XML (sitemaps.org protocol —
+    * the other half of the frontier layer robots.txt points at via
+    * `Sitemap:` lines). Lenient tag scan, never a full XML parser:
+    * crawl-served sitemaps are untrusted input, so unterminated tags
+    * simply end the walk. The five predefined XML entities decode
+    * (URLs in sitemaps MUST entity-escape `&`); numeric character
+    * references are out of contract and pass through for the URL
+    * canonicalizer's own degrade handling.
+    */
+  def parseSitemapLocs(xml: String): Seq[String] = {
+    if (xml == null) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var done = false
+    while (!done) {
+      val s = xml.indexOf("<loc>", i)
+      val e = if (s < 0) -1 else xml.indexOf("</loc>", s + 5)
+      if (s < 0 || e < 0) done = true
+      else {
+        val raw = xml.substring(s + 5, e).trim
+        out += Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+          "&apos;" -> "'", "&amp;" -> "&") // amp LAST: && double-escapes stay correct
+          .foldLeft(raw) { case (t, (ent, ch)) => t.replace(ent, ch) }
+        i = e + 6
+      }
+    }
+    out.toSeq
+  }
+
+  /** Batch sitemap explode: (idCol: long, xmlCol: string) → one row
+    * per `<loc>` — map-only, the [[rules]] shape applied to the
+    * frontier's seed lists.
+    */
+  def sitemapUrls(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(xmlCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, xml) => parseSitemapLocs(xml).map(l => (id, l)) }
+      .toDF("media_id", "loc")
+  }
+
+  /** Batch crawl-delay parse: (domainCol, textCol) → one
+    * (domain, agent, delay_ms) row per directive — the [[rules]] shape
+    * for [[parseCrawlDelays]], map-only over the |domains|-bounded
+    * robots table.
+    */
+  def crawlDelays(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(domainCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (d, t) => parseCrawlDelays(d, t) }
+      .toDF("domain", "agent", "delay_ms")
+  }
+
+  /** Distributed twin of [[effectiveDelays]]: RFC 9309 §2.2.1 group
+    * selection (specific agent's delays used ALONE when present, `*`
+    * only otherwise) collapsed to the per-domain MAX — pure SQL
+    * (conditional max + coalesce), ONE shuffle over the
+    * |domains|-bounded delay frame, so at 100 TB the robots table
+    * never touches the corpus exchange. Domains with no directive are
+    * absent — the scheduler's default applies downstream.
+    */
+  def effectiveDelayFrame(delays: DataFrame, agent: String): DataFrame = {
+    val me = agent.toLowerCase(java.util.Locale.ROOT)
+    delays.groupBy(col("domain"))
+      .agg(
+        max(when(col("agent") === me, col("delay_ms"))).as("__mine"),
+        max(when(col("agent") === "*", col("delay_ms"))).as("__star"))
+      .select(col("domain"),
+        coalesce(col("__mine"), col("__star")).as("delay_ms"))
+      .filter(col("delay_ms").isNotNull)
   }
 
   /** MAP-SIDE politeness decision against a bounded rule set riding

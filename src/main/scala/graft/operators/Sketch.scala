@@ -168,6 +168,193 @@ object Sketch {
       .groupBy(col("bucket"))
       .agg(max(col("register")).as("register"))
 
+  // --- KMV (k-minimum-values / bottom-k theta) ---------------------------
+  //
+  // The set-operation counterpart of the HLL above: keep the K smallest
+  // DISTINCT hash values of the key stream (Bar-Yossef et al. 2002;
+  // the bottom-k form of the theta sketch). Distinct-count estimate
+  // from the Kth minimum's position in the hash space; but unlike HLL,
+  // two KMV register sets also estimate their INTERSECTION (and hence
+  // union/difference/Jaccard over distincts): the K smallest of A∪B
+  // are a uniform sample of the union, so the fraction of them present
+  // in BOTH sketches estimates |A∩B|/|A∪B| — cross-source overlap in
+  // DISTINCT KEYS, which MinHash (set Jaccard over shingles) and HLL
+  // (no intersections) don't give. Registers are an order statistic —
+  // merge = K smallest of the union of register sets, associative,
+  // commutative, idempotent, equal to the full build bit-exactly: the
+  // same mergeable-summary contract as every sketch here. Hash is the
+  // same XXH64 (seed 42) as HLL/SimHash — order statistics over the
+  // hash space need avalanche, and the unsigned-HUGEINT oracle port is
+  // already validated. All estimates are all-integer (exact integral
+  // division of a precomputed (K−1)·2^64 numerator), so registers AND
+  // estimates hash-match in SQL.
+
+  /** K = 64 registers: bounded frame, ~12.7% standard error on the
+    * distinct estimate (1/√(K−2)) — the screening regime; callers
+    * needing tighter bands raise K, everything below is K-generic.
+    */
+  val KmvK: Int = 64
+
+  /** (K−1)·2^64 — the estimate numerator, precomputed so both engines
+    * divide the same integer.
+    */
+  val KmvNum: java.math.BigDecimal =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(KmvK - 1L)
+      .multiply(java.math.BigInteger.ONE.shiftLeft(64)))
+
+  /** Signed two's-complement long → its unsigned value as
+    * DECIMAL(38,0) — the hash-space position both engines agree on.
+    */
+  private def unsignedDec(hv: Column): Column = {
+    val dec = hv.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    when(hv < 0, dec + lit(new java.math.BigDecimal("18446744073709551616")))
+      .otherwise(dec)
+  }
+
+  /** Sort key mapping signed longs to unsigned order: flip the sign
+    * bit — cheaper than decimal compare for the TakeOrdered path.
+    */
+  private def unsignedOrd(hv: Column): Column =
+    hv.bitwiseXOR(lit(Long.MinValue))
+
+  /** Build the register set over a key column: the K smallest distinct
+    * unsigned XXH64 values, as signed `hv` rows. ONE scan — map-side
+    * partial aggregation dedups per partition, the TakeOrdered keeps K
+    * per partition and reduces once (never a full sort); the K-row
+    * frame is the whole sketch.
+    */
+  def kmvSketch(df: DataFrame, keyCol: String): DataFrame =
+    df.select(xxhash64(col(keyCol)).as("hv"))
+      .groupBy(col("hv")).agg(lit(1))
+      .select(col("hv"))
+      .orderBy(unsignedOrd(col("hv")).asc)
+      .limit(KmvK)
+
+  /** Merge register sets: K smallest distinct of the union — equals
+    * building on the concatenated key streams bit-exactly (order
+    * statistics are associative/commutative/idempotent), so per-shard
+    * sketches maintain cross-source overlap without rescanning
+    * history.
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("hv")).agg(lit(1))
+      .select(col("hv"))
+      .orderBy(unsignedOrd(col("hv")).asc)
+      .limit(KmvK)
+
+  /** Distinct-count estimate from a register set — one agg row out.
+    * Fewer than K registers means the sketch holds EVERY distinct hash
+    * → the count is exact; otherwise n̂ = (K−1)·2^64 div U_K with U_K
+    * the Kth minimum's unsigned value (exact integral division — both
+    * engines floor the same quotient). `method` pins the branch.
+    */
+  def kmvEstimate(registers: DataFrame): DataFrame =
+    registers
+      .agg(count(lit(1)).as("n_present"),
+        max(unsignedDec(col("hv"))).as("__uk"))
+      .select(
+        col("n_present"),
+        when(col("n_present") < KmvK, lit("exact")).otherwise(lit("sampled"))
+          .as("method"),
+        when(col("n_present") < KmvK, col("n_present"))
+          .otherwise(expr(s"CAST('${KmvNum.toPlainString}' AS DECIMAL(38,0)) div __uk"))
+          .as("est"))
+
+  /** Per-GROUP register sets — one KMV sketch per value of `groupCol`
+    * in a single frame (group, hv): the engine-grade form that turns
+    * "two sketches" into a cross-source overlap MATRIX. Two exchanges,
+    * both ∝ DISTINCT (group, key) pairs, never the raw corpus: the
+    * dedup gets map-side partial aggregation, the per-group bottom-K
+    * window runs on the deduped frame. collect_set-per-group would be
+    * one exchange but holds every distinct hash of a group in one
+    * task's memory — the window form never does.
+    */
+  def kmvSketchBy(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(unsignedOrd(col("hv")).asc)
+    df.select(col(groupCol).as("group"), xxhash64(col(keyCol)).as("hv"))
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= KmvK)
+      .drop("__rk")
+  }
+
+  /** Pairwise distinct-key overlap matrix from per-group register sets
+    * ([[kmvSketchBy]]'s output): for every unordered group pair, merge
+    * the two register sets (K smallest of the union), count how many
+    * merged registers appear in BOTH, and estimate the intersection —
+    * the [[kmvIntersectEstimate]] math vectorized over all pairs.
+    * Every frame here is ≤ |groups|²·K rows — sketch-sized, so the
+    * matrix costs nothing against the corpus no matter the scale. One
+    * row per pair: (group_a, group_b, n_union_present, method,
+    * n_union_est, n_common, est).
+    */
+  def kmvOverlapMatrix(regs: DataFrame): DataFrame = {
+    val a = regs.select(col("group").as("ga"), col("hv"))
+    val b = regs.select(col("group").as("gb"), col("hv"))
+    val pairs = a.select(col("ga")).distinct()
+      .join(b.select(col("gb")).distinct(), col("ga") < col("gb"))
+    val unioned = a.join(broadcast(pairs), "ga")
+      .select(col("ga"), col("gb"), col("hv"))
+      .unionByName(b.join(broadcast(pairs), "gb")
+        .select(col("ga"), col("gb"), col("hv")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(unsignedOrd(col("hv")).asc)
+    val merged = unioned
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= KmvK)
+      .drop("__rk")
+    val common = merged
+      .join(broadcast(a.select(col("ga"), col("hv"))), Seq("ga", "hv"), "left_semi")
+      .join(broadcast(b.select(col("gb"), col("hv"))), Seq("gb", "hv"), "left_semi")
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_common"))
+    merged
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_union_present"),
+        max(unsignedDec(col("hv"))).as("__uk"))
+      .select(col("ga"), col("gb"), col("n_union_present"),
+        when(col("n_union_present") < KmvK, lit("exact")).otherwise(lit("sampled"))
+          .as("method"),
+        when(col("n_union_present") < KmvK, col("n_union_present"))
+          .otherwise(expr(s"CAST('${KmvNum.toPlainString}' AS DECIMAL(38,0)) div __uk"))
+          .as("n_union_est"))
+      .join(broadcast(common), Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("est",
+        when(col("method") === "exact", col("n_common"))
+          .otherwise(expr("CAST(n_common AS DECIMAL(38,0)) * " +
+            s"CAST(n_union_est AS DECIMAL(38,0)) div CAST($KmvK AS DECIMAL(38,0))")))
+      .withColumnRenamed("ga", "group_a")
+      .withColumnRenamed("gb", "group_b")
+  }
+
+  /** Intersection estimate across two sketches: L = the merged
+    * register set (a uniform K-sample of A∪B); c = |{h ∈ L : h in A's
+    * registers AND in B's registers}|; n̂_∩ = c·n̂_∪ div K — or exactly
+    * c when the union sketch is exact. Register frames are K-row, so
+    * every join here broadcasts; one row out:
+    * (n_union_est, n_common, est).
+    */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    val merged = kmvMerge(a, b)
+    val common = merged
+      .join(broadcast(a.select(col("hv").as("__ha"))), col("hv") === col("__ha"), "left_semi")
+      .join(broadcast(b.select(col("hv").as("__hb"))), col("hv") === col("__hb"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    kmvEstimate(merged)
+      .select(col("n_present").as("n_union_present"),
+        col("method"), col("est").as("n_union_est"))
+      .crossJoin(broadcast(common))
+      .withColumn("est",
+        when(col("method") === "exact", col("n_common"))
+          // decimal product: est_union is unbounded in principle, and
+          // the exact integral division must never overflow first
+          .otherwise(expr("CAST(n_common AS DECIMAL(38,0)) * " +
+            s"CAST(n_union_est AS DECIMAL(38,0)) div CAST($KmvK AS DECIMAL(38,0))")))
+  }
+
   /** Cardinality estimate from a register set — ONE row out, never a
     * collect: n_present and the scaled harmonic sum ride one agg over
     * the ≤ m-row frame; empty buckets contribute 2^33 each. The raw

@@ -263,6 +263,42 @@ object CorpusQueries {
        |)""".stripMargin
   }
 
+  /** KMV register CTE chain over a DISTINCT-key CTE `src(t)`,
+    * mirroring [[graft.operators.Sketch.kmvSketch]]: the unsigned
+    * XXH64 chain ([[OracleSql.xxh64Ctes]]) ends in `xh(id, tok, th)`;
+    * the registers are the K smallest distinct hashes. Ends in
+    * `kregs(th)` — th stays unsigned HUGEINT (plain ORDER BY is
+    * already unsigned order there); read sites re-sign to the Spark
+    * LongType value with [[kmvSignSql]].
+    */
+  private def kmvRegistersSql(src: String): String =
+    s"""kto AS (SELECT t AS id, t AS tok FROM $src),${OracleSql.xxh64Ctes("kto")},
+       |kregs AS (
+       |  SELECT DISTINCT th FROM xh ORDER BY th LIMIT ${graft.operators.Sketch.KmvK}
+       |)""".stripMargin
+
+  /** Unsigned HUGEINT hash → Spark's two's-complement BIGINT. */
+  private def kmvSignSql(e: String): String =
+    s"CAST(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - 18446744073709551616 ELSE ($e) END AS BIGINT)"
+
+  /** KMV estimate columns over a `regs(th)` CTE, mirroring
+    * [[graft.operators.Sketch.kmvEstimate]]: under K registers the
+    * sketch is exhaustive (exact count), else (K−1)·2^64 // U_K — the
+    * division all-HUGEINT, floored identically in both engines. Ends
+    * in `kest(n_present, method, est)`.
+    */
+  private def kmvEstimateSql(regs: String): String = {
+    val k = graft.operators.Sketch.KmvK
+    val num = graft.operators.Sketch.KmvNum.toPlainString
+    s"""kest AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+       |    CASE WHEN COUNT(*) < $k THEN 'exact' ELSE 'sampled' END AS method,
+       |    CAST(CASE WHEN COUNT(*) < $k THEN COUNT(*)
+       |         ELSE CAST($num AS HUGEINT) // MAX(th) END AS BIGINT) AS est
+       |  FROM $regs
+       |)""".stripMargin
+  }
+
   private def cmsSketchRowsSql(w: Int): String =
     graft.operators.Sketch.CmsMults.zipWithIndex.map { case (m, i) =>
       s"""SELECT $i AS i, b, COUNT(*) AS cnt
@@ -323,6 +359,32 @@ object CorpusQueries {
   private lazy val DomainRankCtes: String =
     s"""${domainGraphCtes(GraphEdgesSql, "")},
        |${domainRankStepsSql("")}""".stripMargin
+
+  /** One unrolled integer-HITS round over `adj`/`nodes` (must be in
+    * scope), mirroring [[graft.operators.Graph.hitsInt]]: authority
+    * from the previous round's hubs (`$hubPrev(node, h)`), max-
+    * renormalized to [0, 10^6] in exact integer arithmetic, then hubs
+    * from the NEW authorities. Emits CTEs `a$i(node, a)` and
+    * `h$i(node, h)`.
+    */
+  private def hitsStepSql(i: Int, hubPrev: String): String =
+    s"""a${i}r AS (
+       |  SELECT a.dst AS node, SUM(a.w * p.h) AS v
+       |  FROM adj a JOIN $hubPrev p ON p.node = a.src GROUP BY a.dst
+       |), a${i}m AS (SELECT MAX(v) AS mx FROM a${i}r
+       |), a$i AS (
+       |  SELECT n.node, CAST(CASE WHEN m.mx > 0
+       |    THEN COALESCE(r.v * 1000000 // m.mx, 0) ELSE 0 END AS BIGINT) AS a
+       |  FROM nodes n LEFT JOIN a${i}r r ON r.node = n.node CROSS JOIN a${i}m m
+       |), h${i}r AS (
+       |  SELECT a.src AS node, SUM(a.w * x.a) AS v
+       |  FROM adj a JOIN a$i x ON x.node = a.dst GROUP BY a.src
+       |), h${i}m AS (SELECT MAX(v) AS mx FROM h${i}r
+       |), h$i AS (
+       |  SELECT n.node, CAST(CASE WHEN m.mx > 0
+       |    THEN COALESCE(r.v * 1000000 // m.mx, 0) ELSE 0 END AS BIGINT) AS h
+       |  FROM nodes n LEFT JOIN h${i}r r ON r.node = n.node CROSS JOIN h${i}m m
+       |)""".stripMargin
 
   /** Parameterized twin of [[DsirScreenCtes]]: fit the bucket model on
     * `WHERE $fitPred`, prefix every CTE alias with `$px` so two chains
@@ -3263,6 +3325,208 @@ object CorpusQueries {
       )
     ),
 
+    // Sitemap-seeded FRONTIER — the crawl's other discovery path
+    // (robots.txt's `Sitemap:` lines point here): parse the sitemaps.
+    // org `<loc>` entries (XML entity decode — sitemap URLs MUST
+    // escape `&`), canonicalize, drop out-of-contract schemes, rate
+    // against the same robots rules MAP-SIDE, and dedup the admitted
+    // frontier. Arms per key: a normal URL that also appears as an
+    // exact duplicate (collapsed), an entity-escaped query with
+    // whitespace padding, a messy case/port/dot-segment form, a
+    // robots-blocked /a1 path, and an ftp loc the canonicalizer
+    // NULLs. Everything before the final distinct is map-only — ONE
+    // exchange, typed-asserted; the oracle re-derives the 3 admitted
+    // frontier rows per key closed-form.
+    Q(
+      "q_sitemap_frontier",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val sitemap = udf((k: Long) => {
+          def m(i: Long) = (k + i) % 5
+          s"""<?xml version="1.0"?><urlset>
+             |<url><loc>http://site${m(0)}.example/s/0/$k</loc></url>
+             |<url><loc> http://site${m(1)}.example/s/1/$k?a=1&amp;b=2 </loc></url>
+             |<url><loc>HTTP://Site${m(2)}.EXAMPLE:80/s/./2/$k</loc></url>
+             |<url><loc>http://site${m(3)}.example/a1/$k</loc></url>
+             |<url><loc>ftp://site${m(4)}.example/s/4/$k</loc></url>
+             |<url><loc>http://site${m(0)}.example/s/0/$k</loc></url>
+             |</urlset>""".stripMargin
+        })
+        val rules = graft.operators.Robots.effectiveRules(
+          (0 until 5).flatMap(mm =>
+            graft.operators.Robots.parseRobots(s"site$mm.example",
+              "User-agent: *\nDisallow: /a1\n")),
+          "graftbot")
+        val locs = graft.operators.Robots.sitemapUrls(
+          blobs.withColumn("xml", sitemap(col("media_id"))), "media_id", "xml")
+        val out = locs
+          .withColumn("canon",
+            graft.functions.GraftFunctions.urlCanon(col("loc")))
+          .filter(col("canon").isNotNull)
+          .filter(graft.operators.Robots.allowedColumn(rules,
+            expr("parse_url(canon, 'HOST')"), expr("parse_url(canon, 'PATH')")))
+          .select(col("media_id"), col("canon"))
+          .distinct()
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE i
+          |    WHEN 0 THEN 'http://site' || CAST(n_nationkey % 5 AS VARCHAR)
+          |      || '.example/s/0/' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 1 THEN 'http://site' || CAST((n_nationkey + 1) % 5 AS VARCHAR)
+          |      || '.example/s/1/' || CAST(n_nationkey AS VARCHAR) || '?a=1&b=2'
+          |    ELSE 'http://site' || CAST((n_nationkey + 2) % 5 AS VARCHAR)
+          |      || '.example/s/2/' || CAST(n_nationkey AS VARCHAR)
+          |  END AS canon
+          |FROM nation, UNNEST(generate_series(0, 2)) AS u(i)""".stripMargin
+      )
+    ),
+
+    // Crawl-delay extraction — the politeness INTERVAL half of RFC
+    // 9309's de-facto companion directive (the path screen is
+    // q_robots_screen): parse `Crawl-delay:` under the same shared
+    // group walk, select the effective per-domain delay under §2.2.1
+    // (specific agent's groups used ALONE when present, `*` only
+    // otherwise; several delays collapse to the MAX — the polite
+    // reading), all pure SQL over the |domains|-bounded robots frame.
+    // Arms per domain (d{n}.example by n%5): specific-agent group
+    // beats a laxer star group / star-only fractional seconds /
+    // two star groups take the max / an invalid value is skipped and
+    // a 90000 s value caps at one hour (untrusted sites must not park
+    // the crawler) / no directive at all → domain ABSENT (scheduler
+    // default applies). The oracle re-derives each arm closed-form.
+    Q(
+      "q_crawl_delays",
+      (spark, dir) => {
+        val robots = Q.t(spark, dir, "nation")
+          .select(concat(lit("d"), col("n_nationkey"), lit(".example")).as("domain"),
+            (col("n_nationkey") % 5).cast("int").as("__arm"))
+          .withColumn("txt",
+            when(col("__arm") === 0,
+              lit("User-agent: graftbot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 10\n"))
+            .when(col("__arm") === 1, lit("User-agent: *\nCrawl-delay: 1.5\n"))
+            .when(col("__arm") === 2,
+              lit("User-agent: *\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 0.5\n"))
+            .when(col("__arm") === 3,
+              lit("User-agent: *\nCrawl-delay: fast\nCrawl-delay: 90000\n"))
+            .otherwise(lit("User-agent: *\nDisallow: /tmp\n")))
+        graft.operators.Robots.effectiveDelayFrame(
+          graft.operators.Robots.crawlDelays(robots, "domain", "txt"), "graftbot")
+      },
+      Some(
+        """SELECT 'd' || CAST(n_nationkey AS VARCHAR) || '.example' AS domain,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 2000 WHEN 1 THEN 1500
+          |    WHEN 2 THEN 3000 ELSE 3600000 END AS BIGINT) AS delay_ms
+          |FROM nation WHERE n_nationkey % 5 <> 4""".stripMargin
+      )
+    ),
+
+    // Frontier SCHEDULING — the step between the admitted frontier and
+    // the fetchers: politeness is PER HOST (one request per
+    // crawl-delay interval), so a host's URLs must land together while
+    // hosts stay independent — the host IS the parallelism axis. slot
+    // = deterministic rank within host, fetch_at_ms = slot × the
+    // host's delay (map-side lookup against the |domains|-bounded
+    // delay table riding the plan as literals — no join), worker =
+    // host-hash shard. Exactly ONE exchange: the per-host window;
+    // a giant host serializing on one task is politeness itself, and
+    // host-sharding means other hosts never wait on it. The oracle
+    // re-runs the window, the delay CASE, and the polynomial shard
+    // hash closed-form.
+    Q(
+      "q_frontier_schedule",
+      (spark, dir) => {
+        val frontier = Q.t(spark, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("site"), (col("doc_id") % 5).cast("int"), lit(".example")).as("host"))
+          .withColumn("canon",
+            concat(lit("http://"), col("host"), lit("/p/"), col("doc_id")))
+        val delays = Seq("site0.example" -> 1000L, "site1.example" -> 250L)
+        val out = graft.operators.Frontier.schedule(
+          frontier, delays, defaultDelayMs = 500L, workers = 8)
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR) || '.example' AS host,
+           |    'http://site' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR)
+           |      || '.example/p/' || CAST(doc_id AS VARCHAR) AS canon
+           |  FROM documents
+           |), s AS (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY canon ASC)
+           |    - 1 AS BIGINT) AS slot
+           |  FROM f
+           |)
+           |SELECT *,
+           |  slot * CASE host WHEN 'site0.example' THEN 1000
+           |    WHEN 'site1.example' THEN 250 ELSE 500 END AS fetch_at_ms,
+           |  CAST(${polyHashSql("host", 31L)} % 8 AS INT) AS worker
+           |FROM s""".stripMargin
+      )
+    ),
+
+    // AUTHORITY-PRIORITIZED frontier — the composition a real crawler
+    // runs: a discovered URL inherits the PageRank of its REFERRING
+    // domain (a link from a high-authority page is fetched first), so
+    // within each host the politeness slots order by referrer
+    // authority DESC before the deterministic URL tiebreak. The rank
+    // table is the |domains|-bounded integer-exact PageRank (2
+    // unrolled rounds — the q_pagerank_domains frame), pinned and
+    // BROADCAST onto the frontier. Corpus-side: the raw edge stream
+    // collapses to the distinct (host, referrer) frontier in ONE
+    // exchange; the per-host window is the second and runs on the
+    // collapsed frame — both typed-asserted (≤ 2 total). URL host =
+    // the edge's dst domain, referrer = its src — both closed-form,
+    // so the oracle re-derives ranks, priorities, slots and shards
+    // end to end.
+    Q(
+      "q_frontier_priority",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents")
+        val ranks = Graph.pageRankInt(graphEdges(docs), "src", "dst", iters = 2)
+        val frontier = graphEdges(docs)
+          .select(col("dst").as("host"), col("src").as("referrer"))
+          .withColumn("canon",
+            concat(lit("http://"), col("host"), lit("/from/"), col("referrer")))
+          .distinct()
+          .join(broadcast(ranks.select(col("node").as("referrer"),
+            col("rank_micro").as("priority"))), Seq("referrer"))
+        val out = graft.operators.Frontier.schedule(
+          frontier, Nil, defaultDelayMs = 500L, workers = 8,
+          priorityCol = Some("priority"))
+        Q.requireMaxShuffles(out, 2)
+        val scratch = Q.scratch("frontpri")
+        out.write.mode("overwrite").parquet(scratch)
+        ranks.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""WITH $DomainRankCtes,
+           |f AS (
+           |  SELECT DISTINCT dst AS host, src AS referrer,
+           |    'http://' || dst || '/from/' || src AS canon
+           |  FROM adj
+           |), fr AS (
+           |  SELECT f.referrer, f.host, f.canon,
+           |    CAST(r.rank AS BIGINT) AS priority
+           |  FROM f JOIN r2 r ON r.node = f.referrer
+           |), s AS (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+           |    ORDER BY priority DESC, canon ASC) - 1 AS BIGINT) AS slot
+           |  FROM fr
+           |)
+           |SELECT *, slot * 500 AS fetch_at_ms,
+           |  CAST(${polyHashSql("host", 31L)} % 8 AS INT) AS worker
+           |FROM s""".stripMargin
+      )
+    ),
+
     // Snapshot DIFF between two dataset versions — the release-note
     // primitive of a curation cycle (what did v2 add, remove, change
     // vs v1), the audit twin of q_cdc_apply. Each side collapses to
@@ -3546,6 +3810,198 @@ object CorpusQueries {
       )
     ),
 
+    // KMV (k-minimum-values / bottom-k theta) REGISTERS — the sketch
+    // family's set-operation member: the K smallest distinct XXH64
+    // values of the key stream. Like q_hll_registers the gate builds
+    // PER-HALF sketches and merges (order statistics are associative/
+    // commutative/idempotent — merge == full build bit-exactly) while
+    // the oracle derives every register from the full key stream via
+    // the validated unsigned-HUGEINT XXH64 chain; pinned on the
+    // registers THEMSELVES. One scan, TakeOrdered (never a full
+    // sort), 64 rows out.
+    Q(
+      "q_kmv_registers",
+      (spark, dir) => {
+        val keys = Q.t(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k"),
+            col("o_orderkey").as("__id"))
+        graft.operators.Sketch.kmvMerge(
+          graft.operators.Sketch.kmvSketch(
+            keys.filter(col("__id") % 2 === 0), "k"),
+          graft.operators.Sketch.kmvSketch(
+            keys.filter(col("__id") % 2 === 1), "k"))
+      },
+      Some(
+        s"""WITH tk AS (
+           |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS t FROM orders
+           |), ${kmvRegistersSql("tk")}
+           |SELECT ${kmvSignSql("th")} AS hv FROM kregs""".stripMargin
+      )
+    ),
+
+    // The KMV ESTIMATE, all-integer: n̂ = (K−1)·2^64 // U_K with U_K
+    // the Kth minimum — exact integral division of a precomputed
+    // numerator, so the estimate itself hash-matches (the HLL-estimate
+    // discipline); under K distinct keys the sketch is exhaustive and
+    // the count EXACT (`method` pins the branch). err_pm records the
+    // per-mille error against the exact distinct count — at K=64 the
+    // theoretical RSE is 1/√(K−2) ≈ 12.7%, so the 400‰ band is ~3σ;
+    // both engines compute the band, making the accuracy claim part
+    // of the hash. One agg row out of the 64-row frame.
+    Q(
+      "q_kmv_estimate",
+      (spark, dir) => {
+        val keys = Q.t(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k"))
+        val est = graft.operators.Sketch.kmvEstimate(
+          graft.operators.Sketch.kmvSketch(keys, "k"))
+        val exact = keys.agg(countDistinct(col("k")).as("n_exact"))
+        est.crossJoin(exact)
+          .withColumn("err_pm", expr("abs(est - n_exact) * 1000L div n_exact"))
+          .withColumn("within_band", col("err_pm") <= 400L)
+      },
+      Some(
+        s"""WITH tk AS (
+           |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS t FROM orders
+           |), ${kmvRegistersSql("tk")}, ${kmvEstimateSql("kregs")}, ex AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM tk
+           |)
+           |SELECT e.*, ex.n_exact,
+           |  CAST(ABS(e.est - ex.n_exact) * 1000 // ex.n_exact AS BIGINT) AS err_pm,
+           |  ABS(e.est - ex.n_exact) * 1000 // ex.n_exact <= 400 AS within_band
+           |FROM kest e CROSS JOIN ex""".stripMargin
+      )
+    ),
+
+    // KMV INTERSECTION — what the family's other members can't do:
+    // |A∩B| in DISTINCT KEYS across two sources (HLL has no
+    // intersections; MinHash gives shingle-set Jaccard, not key
+    // overlap). The K smallest of A∪B are a uniform hash-sample of the
+    // union, so the fraction present in BOTH register sets estimates
+    // the overlap: n̂_∩ = c·n̂_∪ div K, all-integer. Sources: order keys
+    // coprime-filtered (A = keys ∤3, B = keys ∤2 → true overlap = keys
+    // ∤2 ∤3, 1/3 of the stream) — the oracle hashes the full key
+    // stream ONCE and derives both register sets, the merge, the
+    // common count, and the exact overlap closed-form. Register frames
+    // are K-row: every join broadcasts, one row out.
+    Q(
+      "q_kmv_intersect",
+      (spark, dir) => {
+        val keys = Q.t(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k"),
+            col("o_orderkey").as("__id"))
+        val a = graft.operators.Sketch.kmvSketch(
+          keys.filter(col("__id") % 3 =!= 0), "k")
+        val b = graft.operators.Sketch.kmvSketch(
+          keys.filter(col("__id") % 2 =!= 0), "k")
+        val exact = keys
+          .filter(col("__id") % 3 =!= 0 && col("__id") % 2 =!= 0)
+          .agg(countDistinct(col("k")).as("n_exact"))
+        graft.operators.Sketch.kmvIntersectEstimate(a, b)
+          .crossJoin(exact)
+          .withColumn("err_pm", expr("abs(est - n_exact) * 1000L div n_exact"))
+      },
+      Some(
+        s"""WITH tk AS (
+           |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS t FROM orders
+           |), ${kmvRegistersSql("tk")},
+           |kx AS MATERIALIZED (SELECT CAST(tok AS BIGINT) AS key, th FROM xh),
+           |ka AS (SELECT DISTINCT th FROM kx WHERE key % 3 <> 0
+           |       ORDER BY th LIMIT ${graft.operators.Sketch.KmvK}),
+           |kb AS (SELECT DISTINCT th FROM kx WHERE key % 2 <> 0
+           |       ORDER BY th LIMIT ${graft.operators.Sketch.KmvK}),
+           |mg AS (SELECT DISTINCT th FROM
+           |         (SELECT th FROM ka UNION ALL SELECT th FROM kb)
+           |       ORDER BY th LIMIT ${graft.operators.Sketch.KmvK}),
+           |${kmvEstimateSql("mg")},
+           |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM mg
+           |       WHERE th IN (SELECT th FROM ka) AND th IN (SELECT th FROM kb)),
+           |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM kx
+           |       WHERE key % 3 <> 0 AND key % 2 <> 0)
+           |SELECT e.n_present AS n_union_present, e.method,
+           |  e.est AS n_union_est, c.n_common,
+           |  CAST(CASE WHEN e.method = 'exact' THEN c.n_common
+           |       ELSE CAST(c.n_common AS HUGEINT) * e.est
+           |            // ${graft.operators.Sketch.KmvK} END AS BIGINT) AS est,
+           |  ex.n_exact,
+           |  CAST(ABS(CAST(CASE WHEN e.method = 'exact' THEN c.n_common
+           |       ELSE CAST(c.n_common AS HUGEINT) * e.est
+           |            // ${graft.operators.Sketch.KmvK} END AS BIGINT) - ex.n_exact)
+           |       * 1000 // ex.n_exact AS BIGINT) AS err_pm
+           |FROM kest e, cm c, ex""".stripMargin
+      )
+    ),
+
+    // KMV cross-source OVERLAP MATRIX — the two-sketch intersection
+    // vectorized over every unordered group pair in one frame: one
+    // KMV register set per order priority over the customer-key
+    // stream (kmvSketchBy — both exchanges ∝ distinct (group, key)
+    // pairs, never the corpus), then per-pair merge / common-count /
+    // estimate on the ≤|groups|²·K-row frames (kmvOverlapMatrix —
+    // every join broadcasts). Priorities share most customers, so
+    // every pair sits in the sampled regime; the oracle derives each
+    // register, merge and estimate from the full key stream via the
+    // validated XXH64 chain. 10 rows out.
+    Q(
+      "q_kmv_overlap_matrix",
+      (spark, dir) => {
+        val keyed = Q.t(spark, dir, "orders")
+          .select(col("o_orderpriority"),
+            col("o_custkey").cast("string").as("k"))
+        graft.operators.Sketch.kmvOverlapMatrix(
+          graft.operators.Sketch.kmvSketchBy(keyed, "k", "o_orderpriority"))
+      },
+      Some {
+        val k = graft.operators.Sketch.KmvK
+        val num = graft.operators.Sketch.KmvNum.toPlainString
+        s"""WITH tk AS (
+           |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS t FROM orders
+           |), ${kmvRegistersSql("tk")},
+           |gk AS MATERIALIZED (
+           |  SELECT DISTINCT o.o_orderpriority AS g, x.th
+           |  FROM orders o JOIN xh x ON CAST(o.o_custkey AS VARCHAR) = x.tok
+           |),
+           |sregs AS MATERIALIZED (
+           |  SELECT g, th FROM gk
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY th) <= $k
+           |),
+           |prs AS (
+           |  SELECT a.g AS ga, b.g AS gb
+           |  FROM (SELECT DISTINCT g FROM sregs) a,
+           |       (SELECT DISTINCT g FROM sregs) b
+           |  WHERE a.g < b.g
+           |),
+           |un AS (
+           |  SELECT DISTINCT p.ga, p.gb, s.th
+           |  FROM prs p JOIN sregs s ON s.g = p.ga OR s.g = p.gb
+           |),
+           |mg AS (
+           |  SELECT ga, gb, th FROM un
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY th) <= $k
+           |),
+           |cm AS (
+           |  SELECT m.ga, m.gb, CAST(COUNT(*) AS BIGINT) AS n_common FROM mg m
+           |  WHERE EXISTS (SELECT 1 FROM sregs s WHERE s.g = m.ga AND s.th = m.th)
+           |    AND EXISTS (SELECT 1 FROM sregs s WHERE s.g = m.gb AND s.th = m.th)
+           |  GROUP BY m.ga, m.gb
+           |),
+           |me AS (
+           |  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_union_present,
+           |    CASE WHEN COUNT(*) < $k THEN 'exact' ELSE 'sampled' END AS method,
+           |    CAST(CASE WHEN COUNT(*) < $k THEN COUNT(*)
+           |         ELSE CAST($num AS HUGEINT) // MAX(th) END AS BIGINT) AS n_union_est
+           |  FROM mg GROUP BY ga, gb
+           |)
+           |SELECT me.ga AS group_a, me.gb AS group_b, me.n_union_present,
+           |  me.method, me.n_union_est,
+           |  CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+           |  CAST(CASE WHEN me.method = 'exact' THEN COALESCE(cm.n_common, 0)
+           |       ELSE CAST(COALESCE(cm.n_common, 0) AS HUGEINT) * me.n_union_est
+           |            // $k END AS BIGINT) AS est
+           |FROM me LEFT JOIN cm ON me.ga = cm.ga AND me.gb = cm.gb""".stripMargin
+      }
+    ),
+
     // Domain-authority ranking over the link graph — the Common-Crawl
     // provenance signal: INTEGER-exact PageRank in micro-units (ranks
     // start at 10^6; per-edge share = (rank·850000) div (out·10^6),
@@ -3573,6 +4029,38 @@ object CorpusQueries {
       Some(
         s"""WITH $DomainRankCtes
            |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r2""".stripMargin
+      )
+    ),
+
+    // HITS hubs & authorities over the same domain graph — the
+    // two-sided signal PageRank's single score can't separate (a link
+    // directory is a great hub and a terrible authority; a cited
+    // reference the reverse). INTEGER-exact in micro-units: each round
+    // computes auth = Σ_in w·hub, max-renormalizes to [0, 10^6] (exact
+    // integer arithmetic — L2 would force floats), then hub = Σ_out
+    // w·auth over the NEW authorities (the classic update order). Two
+    // unrolled rounds are bit-exact in both engines; the corpus
+    // collapses to the weighted adjacency in ONE shuffle and every
+    // iteration runs on the |domains|²-bounded frame with per-round
+    // lineage cuts.
+    Q(
+      "q_hits_domains",
+      (spark, dir) => {
+        val r = Graph.hitsInt(
+          Graph.collapseEdges(graphEdges(Q.t(spark, dir, "documents")), "src", "dst"),
+          iters = 2)
+        val scratch = Q.scratch("hitsdom")
+        r.write.mode("overwrite").parquet(scratch)
+        r.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""WITH ${domainGraphCtes(GraphEdgesSql, "")},
+           |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+           |${hitsStepSql(1, "h0")},
+           |${hitsStepSql(2, "h1")}
+           |SELECT a2.node, a2.a AS auth_micro, h2.h AS hub_micro
+           |FROM a2 JOIN h2 ON h2.node = a2.node""".stripMargin
       )
     ),
 

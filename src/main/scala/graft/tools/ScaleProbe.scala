@@ -598,6 +598,24 @@ object ScaleProbe {
       probe(s"hll x$k") {
         graft.operators.Sketch.hllRegisters(d, "text").count()
       }
+      // KMV register build: one corpus scan, per-partition dedup +
+      // TakeOrdered (never a full sort) into the K-row frame — wall
+      // must track the scan; the frame never grows with the corpus
+      probe(s"kmv x$k") {
+        graft.operators.Sketch.kmvSketch(d, "text").count()
+      }
+      // frontier scheduling: ONE per-host window exchange; the delay
+      // table rides as literals — wall must track the URL count, and
+      // hosts spread (97 here) keep the window partitions parallel
+      probe(s"frontier x$k") {
+        val f = d.select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 97).cast("int"),
+            lit(".example")).as("host"))
+          .withColumn("canon",
+            concat(lit("http://"), col("host"), lit("/p/"), col("doc_id")))
+        graft.operators.Frontier.schedule(
+          f, Seq("site0.example" -> 1000L), 500L, workers = 32).count()
+      }
       // URL canonicalization is a map-only codegen expression — wall
       // must track the row count
       probe(s"url_canon x$k") {

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Frontier
+
+/** Crawl-frontier scheduling: per-host politeness slots, the literal
+  * delay lookup, host-hash worker sharding, and the one-exchange plan
+  * shape.
+  */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val frontier = Seq(
+    ("a.com", "http://a.com/1"), ("a.com", "http://a.com/3"),
+    ("a.com", "http://a.com/2"),
+    ("b.com", "http://b.com/x"), ("b.com", "http://b.com/y"),
+    ("c.com", "http://c.com/only")
+  ).toDF("host", "canon")
+
+  private val delays = Seq("a.com" -> 1000L, "b.com" -> 250L)
+
+  test("schedule: slots are a dense 0..n-1 rank per host in canon order") {
+    val got = Frontier.schedule(frontier, delays, defaultDelayMs = 500L, workers = 4)
+      .collect().map(r => (r.getAs[String]("canon"),
+        r.getAs[Long]("slot"), r.getAs[Long]("fetch_at_ms"))).toSet
+    assert(got == Set(
+      ("http://a.com/1", 0L, 0L), ("http://a.com/2", 1L, 1000L),
+      ("http://a.com/3", 2L, 2000L),
+      ("http://b.com/x", 0L, 0L), ("http://b.com/y", 1L, 250L),
+      // c.com has no directive: the scheduler default applies
+      ("http://c.com/only", 0L, 0L)))
+  }
+
+  test("schedule: worker shard is stable per host and within [0, workers)") {
+    val rows = Frontier.schedule(frontier, delays, 500L, workers = 4)
+      .select(col("host"), col("worker")).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Int]("worker")))
+    assert(rows.forall { case (_, w) => w >= 0 && w < 4 })
+    // one worker per host — politeness state never splits
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1))
+    // and the assignment is the documented polynomial hash, so a
+    // re-run (or another engine) shards identically
+    val expected = Frontier.schedule(frontier, delays, 500L, workers = 4)
+      .select(col("host"), col("worker")).distinct().collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Int]("worker"))).toSet
+    assert(rows.toSet == expected)
+  }
+
+  test("schedule: empty delay table means every host takes the default") {
+    val got = Frontier.schedule(frontier, Nil, defaultDelayMs = 100L, workers = 2)
+      .filter(col("host") === "a.com")
+      .collect().map(_.getAs[Long]("fetch_at_ms")).sorted.toSeq
+    assert(got == Seq(0L, 100L, 200L))
+  }
+
+  test("schedule: exactly ONE exchange — the per-host window") {
+    graft.queries.Q.requireMaxShuffles(
+      Frontier.schedule(frontier, delays, 500L, workers = 4), 1)
+  }
+
+  test("schedule: priority column orders slots DESC before the URL tiebreak") {
+    val pri = Seq(
+      ("a.com", "http://a.com/low", 10L),
+      ("a.com", "http://a.com/hi", 90L),
+      ("a.com", "http://a.com/alsohi", 90L) // tie -> canon order
+    ).toDF("host", "canon", "priority")
+    val got = Frontier.schedule(pri, delays, 500L, workers = 2,
+      priorityCol = Some("priority"))
+      .collect().map(r => r.getAs[String]("canon") -> r.getAs[Long]("slot")).toMap
+    assert(got == Map(
+      "http://a.com/alsohi" -> 0L, "http://a.com/hi" -> 1L,
+      "http://a.com/low" -> 2L), got.toString)
+    // still exactly one exchange
+    graft.queries.Q.requireMaxShuffles(
+      Frontier.schedule(pri, delays, 500L, 2, priorityCol = Some("priority")), 1)
+  }
+
+  test("schedule: contract guards") {
+    intercept[IllegalArgumentException] {
+      Frontier.schedule(frontier, delays, 500L, workers = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Frontier.schedule(frontier, delays, -1L, workers = 4)
+    }
+  }
+}

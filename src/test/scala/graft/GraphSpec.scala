@@ -50,6 +50,50 @@ class GraphSpec extends SparkSpec {
       "X" -> "X", "Y" -> "X"), got.toString)
   }
 
+  test("hitsInt: two rounds match the hand-walked max-normalized scores") {
+    // A->B, A->C, B->C, C->A; all weights 1; h0 = 1e6 everywhere.
+    // Round 1: auth_raw A=1e6 B=1e6 C=2e6, max 2e6 ->
+    //   auth A=500000 B=500000 C=1000000
+    //   hub_raw A=1.5e6 B=1e6 C=5e5, max 1.5e6 ->
+    //   hub A=1000000 B=666666 C=333333
+    // Round 2: auth_raw A=333333 B=1e6 C=1666666 ->
+    //   auth A=199999 B=600000 C=1000000
+    //   hub_raw A=1.6e6 B=1e6 C=199999 ->
+    //   hub A=1000000 B=625000 C=124999
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
+      .toDF("src", "dst")
+    val hdf = graft.operators.Graph.hitsInt(
+      graft.operators.Graph.collapseEdges(edges, "src", "dst"), iters = 2)
+    val got = hdf.collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("auth_micro"), r.getAs[Long]("hub_micro")))).toMap
+    hdf.unpersist()
+    assert(got == Map(
+      "A" -> ((199999L, 1000000L)),
+      "B" -> ((600000L, 625000L)),
+      "C" -> ((1000000L, 124999L))), got.toString)
+  }
+
+  test("hitsInt: sourceless nodes get authority 0, sinks get hub 0; weights count") {
+    val one = Seq(("A", "B")).toDF("src", "dst")
+    val hdf = graft.operators.Graph.hitsInt(
+      graft.operators.Graph.collapseEdges(one, "src", "dst"), iters = 2)
+    val got = hdf.collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("auth_micro"), r.getAs[Long]("hub_micro")))).toMap
+    hdf.unpersist()
+    assert(got == Map("A" -> ((0L, 1000000L)), "B" -> ((1000000L, 0L))), got.toString)
+    // duplicate edges weight the endorsement: A->B x2 vs C->B x1 makes
+    // A the stronger hub by exactly the weight ratio
+    val multi = Seq(("A", "B"), ("A", "B"), ("C", "B")).toDF("src", "dst")
+    val h2 = graft.operators.Graph.hitsInt(
+      graft.operators.Graph.collapseEdges(multi, "src", "dst"), iters = 1)
+    val g2 = h2.collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("hub_micro")).toMap
+    h2.unpersist()
+    assert(g2("A") == 1000000L && g2("C") == 500000L, g2.toString)
+  }
+
   test("mergeAdj: per-batch collapses merge to exactly the full-corpus collapse") {
     val g = graft.operators.Graph
     val all = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"), ("A", "B"), ("B", "C"))

@@ -94,6 +94,87 @@ class RobotsSpec extends SparkSpec {
     assert(tied == Map(0L -> false, 1L -> true, 2L -> false))
   }
 
+  test("parseCrawlDelays: shared group walk, fractions, caps, invalid skipped") {
+    val txt =
+      """User-agent: A
+        |User-agent: B
+        |Crawl-delay: 2
+        |Allow: /ok
+        |
+        |User-agent: *
+        |Crawl-delay: 1.5
+        |Crawl-delay: fast
+        |Crawl-delay: -3
+        |Crawl-delay: 90000
+        |""".stripMargin
+    val got = Robots.parseCrawlDelays("d.com", txt)
+    assert(got.toSet == Set(
+      ("d.com", "a", 2000L), ("d.com", "b", 2000L),
+      ("d.com", "*", 1500L),
+      ("d.com", "*", 3600000L))) // 90000 s caps at one hour
+    // crawl-delay CLOSES a header run: a later User-agent starts the
+    // NEXT group, exactly like allow/disallow (the shared walk)
+    val regroup = Robots.parseCrawlDelays("d.com",
+      "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nCrawl-delay: 2\n")
+    assert(regroup.toSet == Set(("d.com", "a", 1000L), ("d.com", "b", 2000L)))
+    // millisecond precision parses; sub-millisecond digits are out of
+    // the 3-digit regex contract and the directive is skipped
+    assert(Robots.parseCrawlDelays("d.com", "User-agent: *\nCrawl-delay: 0.25\n")
+      == Seq(("d.com", "*", 250L)))
+    assert(Robots.parseCrawlDelays("d.com", "User-agent: *\nCrawl-delay: 0.2500\n").isEmpty)
+    assert(Robots.parseCrawlDelays("d.com", null).isEmpty)
+  }
+
+  test("effectiveDelays + effectiveDelayFrame: group selection, max collapse, parity") {
+    val parsed =
+      Robots.parseCrawlDelays("a.com",
+        "User-agent: graftbot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 10\n") ++
+      Robots.parseCrawlDelays("b.com", "User-agent: *\nCrawl-delay: 1.5\n") ++
+      Robots.parseCrawlDelays("c.com",
+        "User-agent: *\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 0.5\n") ++
+      Robots.parseCrawlDelays("d.com", "User-agent: *\nDisallow: /x\n")
+    val eff = Robots.effectiveDelays(parsed, "GraftBot")
+    // specific agent's groups used ALONE (2000, not max(2000, 10000));
+    // star fallback; max collapse across star groups; d.com absent
+    assert(eff == Seq(("a.com", 2000L), ("b.com", 1500L), ("c.com", 3000L)))
+    // the distributed twin computes the identical table
+    val frame = Robots.effectiveDelayFrame(
+      parsed.toDF("domain", "agent", "delay_ms"), "graftbot")
+      .collect().map(r => (r.getAs[String]("domain"), r.getAs[Long]("delay_ms")))
+      .toSeq.sortBy(_._1)
+    assert(frame == eff)
+  }
+
+  test("parseSitemapLocs: loc extraction, entity decode, trim, lenient endings") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>http://a.com/x</loc><lastmod>2025-01-01</lastmod></url>
+        |<url><loc> http://a.com/q?a=1&amp;b=2 </loc></url>
+        |<url><loc>http://a.com/esc&amp;lt;tag</loc></url>
+        |</urlset>""".stripMargin
+    assert(Robots.parseSitemapLocs(xml) == Seq(
+      "http://a.com/x",
+      "http://a.com/q?a=1&b=2",
+      // a double-escaped &amp;lt; is a literal "&lt;", never "<"
+      "http://a.com/esc&lt;tag"))
+    // sitemap INDEX files use <sitemap><loc> — same extraction
+    assert(Robots.parseSitemapLocs(
+      "<sitemapindex><sitemap><loc>http://a.com/s1.xml</loc></sitemap></sitemapindex>")
+      == Seq("http://a.com/s1.xml"))
+    // unterminated loc ends the walk with the intact prefix; null is empty
+    assert(Robots.parseSitemapLocs(
+      "<url><loc>http://a.com/1</loc><url><loc>http://a.com/trunc")
+      == Seq("http://a.com/1"))
+    assert(Robots.parseSitemapLocs(null).isEmpty)
+    assert(Robots.parseSitemapLocs("no locs at all").isEmpty)
+    // distributed explode is map-only
+    val df = Robots.sitemapUrls(
+      Seq((1L, xml)).toDF("media_id", "xml"), "media_id", "xml")
+    graft.queries.Q.requireNoShuffle(df)
+    assert(df.count() == 3L)
+  }
+
   test("allowedColumn: the map-side decision equals the distributed screen on every case") {
     val texts = Map(
       "d.com" ->

@@ -116,4 +116,117 @@ class SketchSpec extends SparkSpec {
     val dup = (0 until 500).map(i => s"key${i % 10}").toDF("k")
     assert(estRow(dup) == estRow(keys(10)))
   }
+
+  // --- KMV (bottom-k theta) ----------------------------------------------
+
+  private def kmvRegs(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    graft.operators.Sketch.kmvSketch(df, "k").collect()
+      .map(_.getAs[Long]("hv")).toSeq.sortBy(_ ^ Long.MinValue)
+
+  test("kmvSketch: registers are exactly the K smallest distinct unsigned hashes") {
+    val k = graft.operators.Sketch.KmvK
+    val expected = (0 until 500).map { i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"key$i"), 42L)
+    }.distinct.sortBy(_ ^ Long.MinValue).take(k)
+    assert(kmvRegs(keys(500)) == expected)
+    // under K distinct keys the sketch is exhaustive
+    assert(kmvRegs(keys(10)).size == 10)
+    // duplicates never move the registers
+    val dup = (0 until 500).map(i => s"key${i % 10}").toDF("k")
+    assert(kmvRegs(dup) == kmvRegs(keys(10)))
+  }
+
+  test("kmvMerge: per-half merge == full build; idempotent; order statistic") {
+    val df = keys(1000).withColumn("__i", monotonically_increasing_id())
+    def sorted(r: org.apache.spark.sql.DataFrame): Seq[Long] =
+      r.collect().map(_.getAs[Long]("hv")).toSeq.sortBy(_ ^ Long.MinValue)
+    val full = kmvRegs(keys(1000))
+    val merged = sorted(graft.operators.Sketch.kmvMerge(
+      graft.operators.Sketch.kmvSketch(df.filter($"__i" % 2 === 0), "k"),
+      graft.operators.Sketch.kmvSketch(df.filter($"__i" % 2 === 1), "k")))
+    assert(merged == full)
+    val idem = sorted(graft.operators.Sketch.kmvMerge(
+      graft.operators.Sketch.kmvSketch(df, "k"),
+      graft.operators.Sketch.kmvSketch(df, "k")))
+    assert(idem == full)
+  }
+
+  test("kmvEstimate: exact under K, sampled within 3 RSE above") {
+    val k = graft.operators.Sketch.KmvK
+    def est(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = graft.operators.Sketch.kmvEstimate(
+        graft.operators.Sketch.kmvSketch(df, "k")).head()
+      (r.getAs[Long]("est"), r.getAs[String]("method"))
+    }
+    for (n <- Seq(1, 10, k - 1)) assert(est(keys(n)) == (n.toLong, "exact"))
+    val rse = 1.0 / math.sqrt((k - 2).toDouble)
+    for (n <- Seq(1000, 20000)) {
+      val (e, m) = est(keys(n))
+      assert(m == "sampled")
+      assert(math.abs(e - n).toDouble / n <= 3 * rse, s"n=$n est=$e outside 3·RSE")
+    }
+  }
+
+  test("kmvSketchBy: per-group registers equal the per-frame builds") {
+    val df = (0 until 3000).map { i =>
+      (s"g${i % 3}", s"key${i % (500 * (i % 3 + 1))}")
+    }.toDF("g", "k")
+    val by = graft.operators.Sketch.kmvSketchBy(df, "k", "g")
+      .collect().groupBy(_.getAs[String]("group"))
+      .map { case (g, rs) => g -> rs.map(_.getAs[Long]("hv")).toSeq.sortBy(_ ^ Long.MinValue) }
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = graft.operators.Sketch.kmvSketch(
+        df.filter($"g" === g).select($"k"), "k")
+        .collect().map(_.getAs[Long]("hv")).toSeq.sortBy(_ ^ Long.MinValue)
+      assert(by(g) == solo, s"group $g diverges from the per-frame build")
+    }
+  }
+
+  test("kmvOverlapMatrix: each pair matches the two-sketch intersect; disjoint pairs report 0") {
+    // g0 = 0..999, g1 = 500..1499 (overlap 500), g2 = 5000..5099 (disjoint)
+    val df = ((0 until 1000).map(i => ("g0", s"key$i")) ++
+      (500 until 1500).map(i => ("g1", s"key$i")) ++
+      (5000 until 5100).map(i => ("g2", s"key$i"))).toDF("g", "k")
+    val m = graft.operators.Sketch.kmvOverlapMatrix(
+      graft.operators.Sketch.kmvSketchBy(df, "k", "g"))
+      .collect().map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("est"), r.getAs[String]("method")))).toMap
+    assert(m.keySet == Set(("g0", "g1"), ("g0", "g2"), ("g1", "g2")))
+    // the matrix row reproduces the dedicated two-sketch estimate
+    val solo = graft.operators.Sketch.kmvIntersectEstimate(
+      graft.operators.Sketch.kmvSketch(df.filter($"g" === "g0").select($"k"), "k"),
+      graft.operators.Sketch.kmvSketch(df.filter($"g" === "g1").select($"k"), "k")).head()
+    assert(m(("g0", "g1")) ==
+      ((solo.getAs[Long]("n_common"), solo.getAs[Long]("est"), solo.getAs[String]("method"))))
+    // disjoint sources: zero common registers, zero estimate (the
+    // left-join fill path), regardless of regime
+    assert(m(("g0", "g2"))._1 == 0L && m(("g0", "g2"))._2 == 0L)
+    assert(m(("g1", "g2"))._1 == 0L && m(("g1", "g2"))._2 == 0L)
+  }
+
+  test("kmvIntersectEstimate: exact regime is exact; sampled overlap within band") {
+    // small disjoint + overlapping sets, all under K: the union sketch
+    // is exhaustive and the intersection estimate is the TRUE overlap
+    val a = (0 until 30).map(i => s"key$i").toDF("k")
+    val b = (20 until 50).map(i => s"key$i").toDF("k")
+    val r = graft.operators.Sketch.kmvIntersectEstimate(
+      graft.operators.Sketch.kmvSketch(a, "k"),
+      graft.operators.Sketch.kmvSketch(b, "k")).head()
+    assert(r.getAs[String]("method") == "exact")
+    assert(r.getAs[Long]("est") == 10L)
+    assert(r.getAs[Long]("n_common") == 10L)
+    // sampled regime: 12k ∪ 12k with a 6k overlap — estimate within
+    // 3·RSE·|union| of the truth (the sample is uniform over the union)
+    val bigA = (0 until 12000).map(i => s"key$i").toDF("k")
+    val bigB = (6000 until 18000).map(i => s"key$i").toDF("k")
+    val s = graft.operators.Sketch.kmvIntersectEstimate(
+      graft.operators.Sketch.kmvSketch(bigA, "k"),
+      graft.operators.Sketch.kmvSketch(bigB, "k")).head()
+    assert(s.getAs[String]("method") == "sampled")
+    val k = graft.operators.Sketch.KmvK
+    val band = 3.0 * 18000.0 / math.sqrt((k - 2).toDouble)
+    assert(math.abs(s.getAs[Long]("est") - 6000L) <= band,
+      s"intersect est=${s.getAs[Long]("est")} outside band $band")
+  }
 }
