@@ -2329,6 +2329,161 @@ object NorthStarQueries {
       )
     ),
 
+    // Audio INVENTORY without decode — the metadata pass a corpus
+    // pipeline runs over millions of blobs before deciding what to
+    // decode: ID3v2 tag text frames (title/artist; v2.3 plain-BE and
+    // v2.4 syncsafe frame sizes BOTH exercised — the classic interop
+    // trap — plus latin-1 AND UTF-8 encodings) and the MPEG-1 audio
+    // frame-header walk (all three layers, Layer I slot-padding,
+    // VBR detection, duration from pure header arithmetic — ~30 bytes
+    // read per frame regardless of payload size). Perceptual PCM
+    // stays the documented boundary (the ISO polyphase window is a
+    // numeric table, not a formula); the FRAMING layer is spec
+    // arithmetic and every column here is closed-form. Five arms:
+    // v2.3+CBR-MP3 / v2.4+VBR-MP2 / untagged padded Layer I /
+    // tag-only / not-MPEG-at-all. Map-only, shuffle-free.
+    Q(
+      "q_audio_inventory",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val mk = udf((k: Long) => graft.operators.AudioMeta.syntheticMpeg(k))
+        val out = graft.operators.AudioMeta.audioInventory(
+          blobs.withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out) // inventory is map-only end to end
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 3 THEN 3 ELSE 0 END AS INT) AS tag_ver,
+          |  CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 'Track ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 1 THEN 'Träck ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 3 THEN 'Silent ' || CAST(n_nationkey AS VARCHAR)
+          |  END AS title,
+          |  CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 'Artist ' || CAST(n_nationkey % 7 AS VARCHAR)
+          |  END AS artist,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS INT) AS layer,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 32000
+          |    ELSE 0 END AS INT) AS sample_rate,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 0 END AS INT) AS n_channels,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 6 WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 0 END AS BIGINT) AS n_frames,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 6912 WHEN 1 THEN 4608 WHEN 2 THEN 3072
+          |    ELSE 0 END AS BIGINT) AS n_samples,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 156 WHEN 1 THEN 96 WHEN 2 THEN 96
+          |    ELSE 0 END AS BIGINT) AS dur_ms,
+          |  CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 'cbr' WHEN 1 THEN 'vbr' WHEN 2 THEN 'cbr'
+          |    ELSE 'none' END AS bitrate_mode,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 128 WHEN 1 THEN 96 WHEN 2 THEN 256
+          |    ELSE 0 END AS INT) AS kbps_min,
+          |  CAST(CASE CAST(n_nationkey % 5 AS INT)
+          |    WHEN 0 THEN 128 WHEN 1 THEN 128 WHEN 2 THEN 256
+          |    ELSE 0 END AS INT) AS kbps_max
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // MP4/ISO-BMFF inventory — the web's video container, walked at
+    // the BOX level (size+type, largesize and run-to-end forms,
+    // recursion into moov/trak/mdia): major brand, movie timescale +
+    // duration (v0 AND v1 mvhd layouts), track count, handler kinds,
+    // and the video track's 16.16 presentation dimensions — everything
+    // a corpus triage pass needs before committing decode resources,
+    // from header arithmetic alone. Arms: isom v0 two-track A/V with
+    // seed-varied width / mp42 v1 64-bit-duration audio-only /
+    // not-BMFF degrade. Map-only.
+    Q(
+      "q_mp4_inventory",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val mk = udf((k: Long) => graft.operators.ContainerMeta.syntheticMp4(k))
+        val out = graft.operators.ContainerMeta.mp4Inventories(
+          blobs.withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' END AS brand,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 1000 WHEN 1 THEN 600 ELSE 0 END AS BIGINT) AS timescale,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 90000 + n_nationkey
+          |    WHEN 1 THEN 1234567890 + n_nationkey
+          |    ELSE 0 END AS BIGINT) AS duration,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 90000 + n_nationkey
+          |    WHEN 1 THEN CAST(1234567890 + n_nationkey AS BIGINT) * 1000 // 600
+          |    ELSE 0 END AS BIGINT) AS dur_ms,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_tracks,
+          |  CAST(n_nationkey % 3 AS INT) = 0 AS has_video,
+          |  CAST(n_nationkey % 3 AS INT) IN (0, 1) AS has_audio,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 640 + n_nationkey % 5 ELSE 0 END AS INT) AS width,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 360 ELSE 0 END AS INT) AS height
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // Ogg inventory — the other audio container family (Vorbis/Opus):
+    // page walk (magic, lacing table, granule positions) plus the
+    // first page's identification header. Duration comes from the
+    // LAST page's granule — Opus granules always tick at 48 kHz with
+    // pre-skip subtracting, Vorbis at the stream rate — so a torn
+    // download shows a shorter walk and duration, never a throw.
+    // Arms: Opus stereo pre-skip 312 / Vorbis with seed-varied
+    // channel count / not-Ogg degrade. Map-only.
+    Q(
+      "q_ogg_inventory",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val mk = udf((k: Long) => graft.operators.ContainerMeta.syntheticOgg(k))
+        val out = graft.operators.ContainerMeta.oggInventories(
+          blobs.withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 'opus' WHEN 1 THEN 'vorbis'
+          |    ELSE 'unknown' END AS codec,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 2 WHEN 1 THEN 1 + n_nationkey % 2
+          |    ELSE 0 END AS INT) AS n_channels,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 0 END AS INT) AS sample_rate,
+          |  CAST(CASE WHEN n_nationkey % 3 IN (0, 1) THEN 2 ELSE 0 END AS BIGINT) AS n_pages,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 48000 + n_nationkey
+          |    WHEN 1 THEN 22050 + n_nationkey
+          |    ELSE 0 END AS BIGINT) AS granule,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN (48000 + n_nationkey - 312) * 1000 // 48000
+          |    WHEN 1 THEN (22050 + n_nationkey) * 1000 // 44100
+          |    ELSE 0 END AS BIGINT) AS dur_ms
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // G.711 μ-law / A-law — telephony's standard companded 8-bit
     // codecs (WAV tags 7 / 6), the voice-call and IVR recording
     // format a speech-data pipeline actually ingests. The expansion

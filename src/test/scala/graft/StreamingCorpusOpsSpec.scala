@@ -570,4 +570,39 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(merged == batch)
     } finally q.stop()
   }
+
+  test("KMV registers: sharded bounded-state stream equals the batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    // the set-operation sketch's streaming contract: per-shard
+    // bottom-K state (≤ shards × K longs TOTAL, however many keys
+    // stream past), shard states collapsing to exactly the one-shot
+    // batch registers — order statistics absorb cross-batch duplicates
+    val b1 = (0 until 800).map(i => s"key$i")
+    val b2 = (400 until 1400).map(i => s"key$i") // half overlap
+    val in = MemoryStream[String]
+    val regs = graft.streaming.StreamingKmv.shardRegisters(
+      in.toDF().toDF("k"), "k", shards = 4)
+    val q = regs.toDF().writeStream
+      .format("memory").queryName("sc_kmv_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val table = spark.table("sc_kmv_out")
+      // bounded state: every emitted register set stays within K
+      assert(table.select(max(size(col("hvs")))).head.getInt(0)
+        <= graft.operators.Sketch.KmvK)
+      def s(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getAs[Long]("hv")).toSeq.sortBy(_ ^ Long.MinValue)
+      val streamed = s(graft.streaming.StreamingKmv.toSketch(table))
+      val batch = s(graft.operators.Sketch.kmvSketch((b1 ++ b2).toDF("k"), "k"))
+      assert(streamed == batch, "streamed registers must equal the batch rebuild")
+      // the unified API's batch branch collapses to the same sketch
+      val viaShards = s(graft.streaming.StreamingKmv.toSketch(
+        graft.streaming.StreamingKmv.shardRegisters(
+          (b1 ++ b2).toDF("k"), "k", shards = 4).toDF()))
+      assert(viaShards == batch)
+    } finally q.stop()
+  }
 }
