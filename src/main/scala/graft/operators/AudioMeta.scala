@@ -63,18 +63,33 @@ object AudioMeta {
     * Text frames (`T...`) decode encodings 0 (ISO-8859-1) and 3
     * (UTF-8); UTF-16 (1/2) and unknown encodings skip the frame, a
     * zero byte where a frame id should start is the padding region and
-    * ends the walk. None when no tag leads the payload.
+    * ends the walk. An extended header (flag 0x40; v2.3 sizes exclude
+    * their own 4 bytes, v2.4 syncsafe sizes include them) is skipped;
+    * an unsynchronised tag (flag 0x80) is out of contract — its frame
+    * sizes can't be trusted, so the whole tag is SKIPPED intact
+    * (frames empty, consumed length correct) rather than misparsed.
+    * None when no tag leads the payload.
     */
   def parseId3v2(bytes: Array[Byte]): Option[(Int, Seq[(String, String)], Int)] = {
     if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
       return None
     val ver = bytes(3) & 0xFF
     if (ver != 3 && ver != 4) return None
+    val flags = bytes(5) & 0xFF
     val size = syncsafe(bytes, 6)
     if (size < 0 || 10L + size > bytes.length) return None
     val end = 10 + size
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    if ((flags & 0x80) != 0) return Some((ver, out.toSeq, end)) // unsynchronised
     var i = 10
+    if ((flags & 0x40) != 0) { // extended header precedes the frames
+      if (i + 4 > end) return Some((ver, out.toSeq, end))
+      val esz =
+        if (ver == 4) syncsafe(bytes, i) // includes its own size field
+        else be32(bytes, i) + 4 // v2.3 size EXCLUDES the 4 size bytes
+      if (esz < 4 || i + esz.toLong > end) return Some((ver, out.toSeq, end))
+      i += esz
+    }
     var done = false
     while (!done && i + 10 <= end) {
       if (bytes(i) == 0) done = true // padding region

@@ -40,8 +40,6 @@ object ContainerMeta {
       width: Int,
       height: Int)
 
-  private def be16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xFF) << 8 | (b(o + 1) & 0xFF)
   private def be32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xFFL) << 24 | (b(o + 1) & 0xFFL) << 16 |
       (b(o + 2) & 0xFFL) << 8 | (b(o + 3) & 0xFFL)
@@ -93,7 +91,7 @@ object ContainerMeta {
           case "trak" =>
             nTracks += 1; trakW = 0; trakH = 0
             walk(body, boxEnd)
-          case "tkhd" =>
+          case "tkhd" if boxEnd - body >= 1 =>
             val v = bytes(body.toInt) & 0xFF
             // width/height are the LAST 8 bytes of the box (16.16)
             if (boxEnd - body >= (if (v == 1) 92 else 80)) {

@@ -40,11 +40,17 @@ object Frontier {
 
   /** Map-side per-domain delay lookup against a bounded delay table
     * riding the closure as literals; absent domains take `defaultMs`.
+    * Duplicate domains (e.g. merged robots refreshes) collapse to the
+    * MAX — the polite reading, matching [[Robots.effectiveDelays]] —
+    * instead of letting CreateMap throw DUPLICATED_MAP_KEY at task
+    * execution time.
     */
   def delayColumn(delays: Seq[(String, Long)], host: Column, defaultMs: Long): Column =
     if (delays.isEmpty) lit(defaultMs)
     else {
-      val m = map(delays.flatMap { case (d, ms) => Seq(lit(d), lit(ms)) }: _*)
+      val collapsed = delays.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (d, xs) => d -> xs.map(_._2).max }
+      val m = map(collapsed.flatMap { case (d, ms) => Seq(lit(d), lit(ms)) }: _*)
       coalesce(element_at(m, host), lit(defaultMs))
     }
 

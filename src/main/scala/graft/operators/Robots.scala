@@ -11,10 +11,18 @@ import org.apache.spark.sql.functions._
   * (RFC 9309 §2.2): one or more consecutive `User-agent:` lines open a
   * group, `Allow:`/`Disallow:` lines fill it, a `User-agent:` line
   * after rules starts the next group; `#` comments strip; unknown
-  * directives (Sitemap, Crawl-delay, …) are ignored without breaking
-  * the group. Agent selection per RFC 9309 §2.2.1: the group matching
-  * the product token is used ALONE when present, the `*` group only
-  * otherwise.
+  * directives (Sitemap, …) are ignored without breaking the group.
+  * `Crawl-delay` IS a group rule here (the RFC grammar's rule
+  * production covers "other" directives, and the engines that honor
+  * the directive — which group-scope it — need it attached), so it
+  * both closes a header run and reaches [[parseCrawlDelays]]. Note
+  * the politeness consequence: a specific-agent group containing ONLY
+  * a crawl-delay contributes no allow/disallow rows, so path
+  * screening for that agent falls back to the `*` group's rules — the
+  * conservative over-block direction (strict RFC group-used-alone
+  * would leave such an agent unrestricted). Agent selection per RFC
+  * 9309 §2.2.1: the group matching the product token is used ALONE
+  * when present, the `*` group only otherwise.
   *
   * Matching contract — CONSERVATIVE prefix semantics: the decision is
   * longest-effective-prefix wins, allow wins length ties (the RFC's

@@ -61,11 +61,23 @@ object StreamingKmv {
     val keyed = df
       .select(pmod(hv, lit(shards.toLong)).cast("int").as("shard"), hv.as("hv"))
       .as[Keyed]
-    if (!df.isStreaming)
-      keyed.groupByKey(_.shard).mapGroups { (s, it) =>
-        ShardRegs(s, 0L, bottomK(it.map(_.hv)))
-      }
-    else
+    if (!df.isStreaming) {
+      // dedup first (map-side partial aggregation) and pre-filter each
+      // shard to its bottom-K with a window, so the final per-shard
+      // group sees ≤ K rows — the raw key stream never funnels
+      // undeduped into `shards` tasks
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(col("hv").bitwiseXOR(lit(Long.MinValue)).asc)
+      keyed.toDF().distinct()
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= Sketch.KmvK)
+        .drop("__rk")
+        .as[Keyed]
+        .groupByKey(_.shard).mapGroups { (s, it) =>
+          ShardRegs(s, 0L, bottomK(it.map(_.hv)))
+        }
+    } else
       keyed.groupByKey(_.shard).flatMapGroupsWithState(
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (s: Int, it: Iterator[Keyed], state: GroupState[ShardRegs]) =>

@@ -45,6 +45,11 @@ class ContainerMetaSpec extends SparkSpec {
       java.util.Arrays.copyOfRange(base, 0, base.length - 20))
     assert(torn.brand == "isom")
     assert(torn.n_tracks < 2)
+    // a download cut EXACTLY at a box boundary leaving a bare zero-body
+    // tkhd header must keep the parsed prefix, not throw it away
+    val bare = base ++ Array[Byte](0, 0, 0, 8) ++ "tkhd".getBytes("ISO-8859-1")
+    val kept = ContainerMeta.mp4Inventory(9, bare)
+    assert(kept.brand == "isom" && kept.n_tracks == 2, kept.toString)
   }
 
   test("oggInventory: the three fixture arms produce the closed-form rows") {

@@ -76,6 +76,16 @@ class FrontierSpec extends SparkSpec {
       Frontier.schedule(pri, delays, 500L, 2, priorityCol = Some("priority")), 1)
   }
 
+  test("schedule: duplicate domains in the delay table collapse to the max") {
+    // merged robots refreshes can repeat a domain — the literal map
+    // must not throw DUPLICATED_MAP_KEY; the polite MAX wins
+    val got = Frontier.schedule(frontier,
+      Seq("a.com" -> 1000L, "a.com" -> 2000L, "b.com" -> 250L), 500L, workers = 2)
+      .filter(col("host") === "a.com")
+      .collect().map(_.getAs[Long]("fetch_at_ms")).sorted.toSeq
+    assert(got == Seq(0L, 2000L, 4000L))
+  }
+
   test("schedule: contract guards") {
     intercept[IllegalArgumentException] {
       Frontier.schedule(frontier, delays, 500L, workers = 0)

@@ -125,6 +125,20 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.parseCrawlDelays("d.com", null).isEmpty)
   }
 
+  test("a crawl-delay-only agent group still falls back to the * rules (conservative)") {
+    // "User-agent: slowbot / Crawl-delay: 10" opens a group whose only
+    // rule is the delay; parseRobots keeps no allow/disallow rows for
+    // slowbot, so the SCREEN's group selection falls back to the `*`
+    // rules and /private stays blocked — the over-block direction
+    // (strict RFC group-used-alone would leave slowbot unrestricted)
+    val txt = "User-agent: slowbot\nCrawl-delay: 10\n\nUser-agent: *\nDisallow: /private\n"
+    val rules = Robots.effectiveRules(Robots.parseRobots("d.com", txt), "slowbot")
+    assert(rules == Seq(("d.com", "/private", false)))
+    // while the DELAY selection sees the specific group used alone
+    assert(Robots.effectiveDelays(Robots.parseCrawlDelays("d.com", txt), "slowbot")
+      == Seq(("d.com", 10000L)))
+  }
+
   test("effectiveDelays + effectiveDelayFrame: group selection, max collapse, parity") {
     val parsed =
       Robots.parseCrawlDelays("a.com",
