@@ -1805,6 +1805,142 @@ object Multimodal {
     out
   }
 
+  /** MS ADPCM adaptation table — 16 entries indexed by the UNSIGNED
+    * nibble (public RIFF/WAVE spec, wFormatTag 2).
+    */
+  val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** The seven standard MS ADPCM predictor coefficient pairs
+    * (iCoef1, iCoef2) — the two-tap predictors every conformant
+    * encoder chooses among per block.
+    */
+  val MsCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  val MsCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+
+  /** Pure-JVM MS ADPCM WAV decoder (wFormatTag 2) — the third ADPCM
+    * family member, completing the WAV codec matrix (PCM, IMA, G.711
+    * μ/A, MS). Each `blockAlign` block opens with a per-channel header
+    * — predictor index (selects the two-tap coefficient pair), initial
+    * delta (int16), then the block's first two samples iSamp1/iSamp2
+    * (iSamp2 is the OLDER one and is emitted FIRST) — fields
+    * channel-interleaved; nibbles then stream HIGH half first,
+    * alternating channels. Per sample: predict (s1·c1 + s2·c2)/256
+    * (integer division truncating toward zero — both engines agree),
+    * add delta×signed-nibble, clamp to int16, adapt
+    * delta = max(16, table[nibble]·delta/256). The adaptation has no
+    * upper bound in the spec because conformant encoders never grow it
+    * — but an UNTRUSTED nibble stream multiplies delta by up to 3 per
+    * sample, overflowing any fixed width, so delta caps at 2^24 here
+    * (far above any real stream's range; keeps every product in
+    * bounded integer arithmetic in both engines). Malformed payloads —
+    * predictor index over 6, non-positive initial delta, bad layout —
+    * return None: degrade, don't throw.
+    */
+  def decodeWavMs(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    val (fmt, dataOff, dataLen) = riffWaveChunks(bytes) match {
+      case Some(t) => t
+      case None    => return None
+    }
+    if (wavLe16(bytes, fmt) != 2) return None // MS ADPCM only
+    val channels = wavLe16(bytes, fmt + 2)
+    val rate = wavLe32(bytes, fmt + 4)
+    val blockAlign = wavLe16(bytes, fmt + 12)
+    val bits = wavLe16(bytes, fmt + 14)
+    if (channels < 1 || channels > 2 || rate <= 0 || bits != 4 ||
+        blockAlign < 7 * channels)
+      return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var bo = 0
+    while (bo + 7 * channels <= dataLen) {
+      val blockLen = math.min(blockAlign, dataLen - bo)
+      val base = dataOff + bo
+      val c1 = new Array[Int](channels); val c2 = new Array[Int](channels)
+      val delta = new Array[Int](channels)
+      val s1 = new Array[Int](channels); val s2 = new Array[Int](channels)
+      var ch = 0
+      while (ch < channels) {
+        val p = bytes(base + ch) & 0xFF
+        if (p > 6) return None
+        c1(ch) = MsCoef1(p); c2(ch) = MsCoef2(p)
+        delta(ch) = wavLe16(bytes, base + channels + 2 * ch).toShort.toInt
+        if (delta(ch) <= 0) return None
+        s1(ch) = wavLe16(bytes, base + 3 * channels + 2 * ch).toShort.toInt
+        s2(ch) = wavLe16(bytes, base + 5 * channels + 2 * ch).toShort.toInt
+        ch += 1
+      }
+      // the two header samples lead the block, OLDER first
+      ch = 0; while (ch < channels) { out += s2(ch).toShort; ch += 1 }
+      ch = 0; while (ch < channels) { out += s1(ch).toShort; ch += 1 }
+      var j = 7 * channels
+      var nibIdx = 0
+      while (j < blockLen) {
+        val b = bytes(base + j) & 0xFF
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) (b >> 4) & 0x0F else b & 0x0F
+          val c = nibIdx % channels
+          val snib = if (nib >= 8) nib - 16 else nib
+          val pred = (s1(c) * c1(c) + s2(c) * c2(c)) / 256
+          val sample = math.min(32767, math.max(-32768, pred + delta(c) * snib))
+          out += sample.toShort
+          delta(c) = math.min(1 << 24,
+            math.max(16L, MsAdaptTable(nib).toLong * delta(c) / 256L)).toInt
+          s2(c) = s1(c); s1(c) = sample
+          nibIdx += 1
+          half += 1
+        }
+        j += 1
+      }
+      bo += blockLen
+    }
+    if (out.isEmpty) return None
+    Some((channels, rate, out.toArray))
+  }
+
+  /** Deterministic MS ADPCM WAV fixture: mono 8000 Hz, ONE block with
+    * predictor pair seed mod 7 (all seven coefficient pairs exercised
+    * across the key range), initial delta 16 + (seed·13 mod 240),
+    * header samples (seed·31 mod 256 − 128) / (seed·17 mod 256 − 128),
+    * then 64 nibbles n_i = (seed+i) mod 16 packed HIGH half first.
+    * Every decoded sample is a pure function of (seed, i) through the
+    * public predictor/adaptation arithmetic, so a recursive SQL oracle
+    * re-derives the whole clip.
+    */
+  def syntheticWavMs(seed: Long): Array[Byte] = {
+    require(seed >= 0, "syntheticWavMs: non-negative seed")
+    val nData = 32 // bytes -> 64 nibbles -> 66 samples with the header
+    val blockAlign = 7 + nData
+    val out = new Array[Byte](12 + 8 + 18 + 8 + blockAlign)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >>> 24).toByte
+    }
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def ptag(o: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
+    ptag(0, "RIFF"); p32(4, out.length - 8); ptag(8, "WAVE")
+    ptag(12, "fmt "); p32(16, 18)
+    p16(20, 2); p16(22, 1); p32(24, 8000)
+    p32(28, 8000 * blockAlign / 66); p16(32, blockAlign); p16(34, 4)
+    p16(36, 0) // cbSize 0: the canonical coefficient table is implied
+    ptag(38, "data"); p32(42, blockAlign)
+    val base = 46
+    out(base) = (seed % 7).toByte
+    p16(base + 1, (16 + (seed * 13) % 240).toInt)
+    p16(base + 3, ((seed * 31) % 256 - 128).toInt & 0xFFFF)
+    p16(base + 5, ((seed * 17) % 256 - 128).toInt & 0xFFFF)
+    var j = 0
+    while (j < nData) {
+      val hi = ((seed + 2 * j) % 16).toInt
+      val lo = ((seed + 2 * j + 1) % 16).toInt
+      out(base + 7 + j) = ((hi << 4) | lo).toByte
+      j += 1
+    }
+    out
+  }
+
   /** μ-law byte → 16-bit sample, the canonical CCITT/ITU-T G.711
     * expansion: complement, mantissa·8 + 0x84 bias, segment shift,
     * bias removal, sign (complemented bit 7 set = negative). Closed
@@ -2276,6 +2412,7 @@ object Multimodal {
   def audioStats(id: Long, bytes: Array[Byte]): AudioStats =
     decodeWav(bytes).map(d => ("wav", d))
       .orElse(decodeWavIma(bytes).map(d => ("wav_ima", d)))
+      .orElse(decodeWavMs(bytes).map(d => ("wav_ms", d)))
       .orElse(decodeWavG711(bytes))
       .orElse(decodeFlac(bytes).map(d => ("flac", d))) match {
       case Some((fmt, (ch, rate, pcm))) =>

@@ -168,6 +168,59 @@ object Sketch {
       .groupBy(col("bucket"))
       .agg(max(col("register")).as("register"))
 
+  /** Per-GROUP register sets in one frame (group, bucket, register) —
+    * mergeable GROUP-BY distinct counting (the deterministic,
+    * register-level-checkable cousin of `approx_count_distinct`'s
+    * grouped form): ONE scan, one partial-agg shuffle into the
+    * ≤ |groups|·m-cell frame, per-group sketches merging by cell-wise
+    * MAX exactly like the whole-frame build. Same tokenization and
+    * bucket/rank derivation as [[hllRegisters]].
+    */
+  def hllRegistersBy(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val h = xxhash64(col("__t"))
+    val v = shiftrightunsigned(h, 6).bitwiseAND(lit(4294967295L))
+    val rho = when(v === 0L, lit(HllFieldBits + 1))
+      .otherwise(lit(HllFieldBits + 1) - length(bin(v)))
+    docs
+      .select(col(groupCol).as("group"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col("group"), h.bitwiseAND(lit(HllBuckets - 1L)).as("bucket"),
+        rho.cast("long").as("__rho"))
+      .groupBy(col("group"), col("bucket"))
+      .agg(max(col("__rho")).as("register"))
+  }
+
+  /** Per-group estimates from a (group, bucket, register) frame — the
+    * [[hllEstimate]] math vectorized by group: one aggregation over
+    * the sketch frame, one row per group, never a collect.
+    */
+  def hllEstimateBy(registers: DataFrame): DataFrame = {
+    val m = HllBuckets.toLong
+    val k = HllFieldBits + 1
+    registers
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n_present"),
+        coalesce(sum(expr(s"shiftleft(1L, cast($k - register as int))")), lit(0L))
+          .as("__s_present"))
+      .select(
+        col("group"),
+        col("n_present"),
+        (lit(m) - col("n_present")).as("n_zero"),
+        (col("__s_present") + (lit(m) - col("n_present")) * lit(1L << k))
+          .as("s_sum"))
+      .withColumn("est_raw", expr(s"${HllAlphaNum}L div s_sum"))
+      .withColumn("method",
+        when(col("est_raw") <= HllLcBound && col("n_zero") > 0, lit("linear"))
+          .otherwise(lit("raw")))
+      .withColumn("est",
+        when(col("method") === "linear",
+          floor(lit(m.toDouble) *
+            (lit(TextAnalysis.LnTable(HllBuckets - 1)) -
+              TextAnalysis.lnInt(col("n_zero")))))
+          .otherwise(col("est_raw")))
+  }
+
   // --- KMV (k-minimum-values / bottom-k theta) ---------------------------
   //
   // The set-operation counterpart of the HLL above: keep the K smallest

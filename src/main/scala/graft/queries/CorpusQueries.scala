@@ -4002,6 +4002,73 @@ object CorpusQueries {
       }
     ),
 
+    // GROUPED HLL — distinct counting per group as ONE mergeable frame
+    // (group, bucket, register): the deterministic, register-level-
+    // checkable cousin of approx_count_distinct's GROUP BY form. One
+    // scan, one partial-agg shuffle into the ≤|groups|·64-cell frame;
+    // the estimate math runs vectorized by group (hllEstimateBy — one
+    // agg, never a collect). Gate: distinct customers per order
+    // priority, estimate AND per-mille error both hash-matched against
+    // the exact counts; the oracle derives every group's registers
+    // from the full key stream via the validated XXH64 chain.
+    Q(
+      "q_hll_groups",
+      (spark, dir) => {
+        val keyed = Q.t(spark, dir, "orders")
+          .select(col("o_orderpriority"),
+            col("o_custkey").cast("string").as("k"))
+        val est = graft.operators.Sketch.hllEstimateBy(
+          graft.operators.Sketch.hllRegistersBy(keyed, "k", "o_orderpriority"))
+        val exact = Q.t(spark, dir, "orders")
+          .groupBy(col("o_orderpriority").as("group"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        est.join(exact, "group")
+          .withColumn("err_pm", expr("abs(est - n_exact) * 1000L div n_exact"))
+      },
+      Some {
+        val m = graft.operators.Sketch.HllBuckets
+        val k = graft.operators.Sketch.HllFieldBits + 1
+        val an = graft.operators.Sketch.HllAlphaNum
+        val lc = graft.operators.Sketch.HllLcBound
+        s"""WITH lnt AS (SELECT $LnTabSql AS l), tk AS (
+           |  SELECT DISTINCT o_orderpriority AS g,
+           |    CAST(o_custkey AS VARCHAR) AS t FROM orders
+           |), hto AS (SELECT g AS id, t AS tok FROM tk),${OracleSql.xxh64Ctes("hto")},
+           |hgregs AS (
+           |  SELECT id AS g, CAST(th % $m AS BIGINT) AS bucket,
+           |    CAST(MAX(CASE WHEN (th // $m) % 4294967296 = 0 THEN $k
+           |             ELSE $k - LENGTH(bin(CAST((th // $m) % 4294967296 AS BIGINT))) END)
+           |      AS BIGINT) AS register
+           |  FROM xh GROUP BY 1, 2
+           |), hgsum AS (
+           |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_present,
+           |    CAST($m - COUNT(*) AS BIGINT) AS n_zero,
+           |    CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST($k - register AS INT)), 0)
+           |       + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << $k) AS BIGINT) AS s_sum
+           |  FROM hgregs GROUP BY g
+           |), hgraw AS (
+           |  SELECT *, CAST($an // s_sum AS BIGINT) AS est_raw,
+           |    CASE WHEN $an // s_sum <= $lc AND n_zero > 0
+           |         THEN 'linear' ELSE 'raw' END AS method
+           |  FROM hgsum
+           |), hgest AS (
+           |  SELECT g, n_present, n_zero, s_sum, est_raw, method,
+           |    CAST(CASE WHEN method = 'linear'
+           |      THEN CAST(FLOOR(${m.toDouble}e0 * (l[$m] - l[CAST(n_zero AS INT)])) AS BIGINT)
+           |      ELSE est_raw END AS BIGINT) AS est
+           |  FROM hgraw, lnt
+           |), ex AS (
+           |  SELECT o_orderpriority AS g,
+           |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           |  FROM orders GROUP BY 1
+           |)
+           |SELECT e.g AS "group", e.n_present, e.n_zero, e.s_sum, e.est_raw,
+           |  e.method, e.est, ex.n_exact,
+           |  CAST(ABS(e.est - ex.n_exact) * 1000 // ex.n_exact AS BIGINT) AS err_pm
+           |FROM hgest e JOIN ex ON ex.g = e.g""".stripMargin
+      }
+    ),
+
     // Domain-authority ranking over the link graph — the Common-Crawl
     // provenance signal: INTEGER-exact PageRank in micro-units (ranks
     // start at 10^6; per-edge share = (rank·850000) div (out·10^6),

@@ -2278,6 +2278,88 @@ object NorthStarQueries {
       }
     ),
 
+    // MS ADPCM (wFormatTag 2) — the third ADPCM family member,
+    // completing the WAV codec matrix (PCM, IMA, G.711 μ/A, MS): a
+    // TWO-TAP adaptive predictor — each block picks one of the seven
+    // standard (iCoef1, iCoef2) pairs; the fixture's seed mod 7
+    // exercises ALL SEVEN across the key range, including the
+    // negative-iCoef2 pairs whose prediction sum goes negative (both
+    // engines truncate integer division toward zero — verified, not
+    // assumed). The oracle runs the predictor/adaptation state machine
+    // as a recursive CTE from the same closed-form seeds, re-deriving
+    // every sample including the two header samples (OLDER first).
+    // Map-only like every codec.
+    Q(
+      "q_audio_decode_ms",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val wav = udf((k: Long) => Multimodal.syntheticWavMs(k))
+        val out = Multimodal.decodeAudio(
+          blobs.withColumn("payload", wav(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some {
+        val adapt = Multimodal.MsAdaptTable.mkString("[", ", ", "]")
+        val co1 = Multimodal.MsCoef1.mkString("[", ", ", "]")
+        val co2 = Multimodal.MsCoef2.mkString("[", ", ", "]")
+        s"""WITH RECURSIVE ad AS (SELECT $adapt AS t),
+           |cf AS (
+           |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+           |    CAST((n_nationkey * 31) % 256 - 128 AS BIGINT) AS s1,
+           |    CAST((n_nationkey * 17) % 256 - 128 AS BIGINT) AS s2,
+           |    CAST(16 + (n_nationkey * 13) % 240 AS BIGINT) AS delta,
+           |    ($co1)[CAST(n_nationkey % 7 AS INT) + 1] AS c1,
+           |    ($co2)[CAST(n_nationkey % 7 AS INT) + 1] AS c2
+           |  FROM nation
+           |), dec AS (
+           |  SELECT media_id, 0 AS i, s1, s2, delta, c1, c2 FROM cf
+           |  UNION ALL
+           |  SELECT media_id, i + 1,
+           |    LEAST(32767, GREATEST(-32768,
+           |      (s1 * c1 + s2 * c2) // 256 + delta * snib)),
+           |    s1,
+           |    LEAST(16777216, GREATEST(16, t[CAST(nib AS INT) + 1] * delta // 256)),
+           |    c1, c2
+           |  FROM (
+           |    SELECT d.*, ad.t, (d.media_id + d.i) % 16 AS nib,
+           |      CASE WHEN (d.media_id + d.i) % 16 >= 8
+           |           THEN (d.media_id + d.i) % 16 - 16
+           |           ELSE (d.media_id + d.i) % 16 END AS snib
+           |    FROM dec d CROSS JOIN ad WHERE d.i < 64) s0
+           |), seqd AS (
+           |  SELECT * FROM (
+           |    SELECT media_id, -1 AS pos, s2 AS v FROM cf
+           |    UNION ALL
+           |    SELECT media_id, 0 AS pos, s1 AS v FROM cf
+           |    UNION ALL
+           |    SELECT media_id, i AS pos, s1 AS v FROM dec WHERE i >= 1)
+           |), au AS (
+           |  SELECT media_id,
+           |    CAST(COUNT(*) AS BIGINT) AS n_frames,
+           |    CAST(SUM(v) AS BIGINT) AS sum_c0,
+           |    CAST(SUM(v * v) AS BIGINT) AS ssq_c0
+           |  FROM seqd GROUP BY media_id
+           |), zc AS (
+           |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS z
+           |  FROM (SELECT media_id, v,
+           |          LAG(v) OVER (PARTITION BY media_id ORDER BY pos) AS prev
+           |        FROM seqd) lagd
+           |  WHERE prev IS NOT NULL AND ((prev < 0) <> (v < 0))
+           |  GROUP BY media_id
+           |)
+           |SELECT au.media_id, 'wav_ms' AS format, CAST(1 AS INT) AS n_channels,
+           |  CAST(8000 AS INT) AS sample_rate,
+           |  n_frames, CAST(n_frames * 1000 // 8000 AS BIGINT) AS dur_ms,
+           |  sum_c0, ssq_c0, CAST(COALESCE(zc.z, 0) AS BIGINT) AS zc_c0,
+           |  CAST(0 AS BIGINT) AS sum_c1, CAST(0 AS BIGINT) AS ssq_c1,
+           |  CAST(0 AS BIGINT) AS zc_c1
+           |FROM au LEFT JOIN zc ON zc.media_id = au.media_id""".stripMargin
+      }
+    ),
+
     // FLAC — the dominant LOSSLESS web audio format, and lossless is
     // exactly what makes a compressed codec closed-form oracle-able:
     // rice-coded residuals reconstruct through fixed/LPC predictors to

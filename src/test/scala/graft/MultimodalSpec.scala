@@ -771,4 +771,53 @@ class MultimodalSpec extends SparkSpec {
     val local = Multimodal.audioStats(1L, Multimodal.syntheticWav(1L, 2, 8000, 96))
     assert(rows(1L).getAs[Long]("ssq_c1") == local.ssq_c1)
   }
+
+  test("decodeWavMs: hand-walked two-tap prediction, adaptation, header sample order") {
+    // seed 0: predictor pair 0 (c1=256, c2=0), delta 16, s1=s2=-128,
+    // nibbles 0,1,2,... -> hand-walked first samples
+    val Some((ch, rate, pcm)) = Multimodal.decodeWavMs(Multimodal.syntheticWavMs(0)): @unchecked
+    assert(ch == 1 && rate == 8000 && pcm.length == 66)
+    assert(pcm.take(8).toSeq == Seq[Short](-128, -128, -128, -112, -80, -32, 32, 127))
+    // all seven predictor pairs decode without throwing and keep the
+    // 66-sample block shape
+    for (s <- 0L until 7L) {
+      val Some((_, _, p)) = Multimodal.decodeWavMs(Multimodal.syntheticWavMs(s)): @unchecked
+      assert(p.length == 66, s"seed $s")
+    }
+  }
+
+  test("decodeWavMs: stereo field interleave and per-channel state; malformed degrade") {
+    // hand-built stereo block: headers (pred 0 / pred 2), deltas 16/20,
+    // s1 100/200, s2 -5/-6, one nibble byte 0x1F (ch0 nib 1, ch1 nib 15)
+    val b = new Array[Byte](12 + 8 + 18 + 8 + 16)
+    def p32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >>> 24).toByte
+    }
+    def p16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
+    def ptag(o: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (c, j) => b(o + j) = c.toByte }
+    ptag(0, "RIFF"); p32(4, b.length - 8); ptag(8, "WAVE")
+    ptag(12, "fmt "); p32(16, 18)
+    p16(20, 2); p16(22, 2); p32(24, 8000); p32(28, 8000)
+    p16(32, 16); p16(34, 4); p16(36, 0)
+    ptag(38, "data"); p32(42, 16)
+    val base = 46
+    b(base) = 0; b(base + 1) = 2 // predictors per channel
+    p16(base + 2, 16); p16(base + 4, 20) // deltas
+    p16(base + 6, 100); p16(base + 8, 200) // iSamp1
+    p16(base + 10, -5 & 0xFFFF); p16(base + 12, -6 & 0xFFFF) // iSamp2
+    b(base + 14) = 0x1F.toByte; b(base + 15) = 0
+    val Some((ch, _, pcm)) = Multimodal.decodeWavMs(b): @unchecked
+    // ch0: pred=(100*256)/256=100, +16*1 = 116; ch1: pair 2 is (0,0) so
+    // pred=0, +20*(-1) = -20; header samples lead OLDER first
+    assert(ch == 2)
+    assert(pcm.take(6).toSeq == Seq[Short](-5, -6, 100, 200, 116, -20))
+    // malformed: predictor index 7 / non-positive delta degrade to None
+    val bad1 = b.clone(); bad1(base) = 7
+    assert(Multimodal.decodeWavMs(bad1).isEmpty)
+    val bad3 = b.clone()
+    bad3(base + 2) = 0; bad3(base + 3) = 0
+    assert(Multimodal.decodeWavMs(bad3).isEmpty)
+  }
 }

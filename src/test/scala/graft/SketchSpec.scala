@@ -117,6 +117,35 @@ class SketchSpec extends SparkSpec {
     assert(estRow(dup) == estRow(keys(10)))
   }
 
+  test("hllRegistersBy/hllEstimateBy: per-group sketches equal the per-frame builds") {
+    val df = (0 until 3000).map { i =>
+      (s"g${i % 3}", s"key${i % (400 * (i % 3 + 1))}")
+    }.toDF("g", "k")
+    val by = graft.operators.Sketch.hllRegistersBy(df, "k", "g")
+      .collect().groupBy(_.getAs[String]("group"))
+      .map { case (g, rs) =>
+        g -> rs.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+      }
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = graft.operators.Sketch.hllRegisters(
+        df.filter($"g" === g).select($"k"), "k")
+        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+      assert(by(g) == solo, s"group $g registers diverge")
+    }
+    val ests = graft.operators.Sketch.hllEstimateBy(
+      graft.operators.Sketch.hllRegistersBy(df, "k", "g"))
+      .collect().map(r => r.getAs[String]("group") ->
+        ((r.getAs[Long]("est"), r.getAs[String]("method")))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = graft.operators.Sketch.hllEstimate(
+        graft.operators.Sketch.hllRegisters(
+          df.filter($"g" === g).select($"k"), "k")).head()
+      assert(ests(g) ==
+        ((solo.getAs[Long]("est"), solo.getAs[String]("method"))),
+        s"group $g estimate diverges")
+    }
+  }
+
   // --- KMV (bottom-k theta) ----------------------------------------------
 
   private def kmvRegs(df: org.apache.spark.sql.DataFrame): Seq[Long] =
