@@ -3527,6 +3527,118 @@ object CorpusQueries {
       )
     ),
 
+    // The CRAWL CYCLE composed end to end — both discovery paths into
+    // one politeness-correct fetch plan: WARC-crawled pages (HTTP
+    // screen → canonicalization → map-side robots) UNION sitemap
+    // seeds (loc extraction → canonicalization → the same screen),
+    // deduped once, then scheduled under the per-domain crawl-delays
+    // PARSED FROM THE SAME robots.txt files that provided the path
+    // rules (fractional-second directives; one site omits the
+    // directive and takes the scheduler default). Everything before
+    // the frontier dedup is map-only, so the corpus crosses the wire
+    // exactly twice — the distinct and the per-host window — both
+    // typed-asserted. The oracle re-derives both discovery sets
+    // closed-form, unions, and re-runs the window + delay CASE +
+    // shard hash.
+    Q(
+      "q_crawl_cycle",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        def robotsTxt(m: Int): String =
+          "User-agent: *\nDisallow: /a1\n" +
+            (if (m < 4) s"Crawl-delay: 0.${m + 1}\n" else "")
+        val parsed = (0 until 5).flatMap(m =>
+          graft.operators.Robots.parseRobots(s"site$m.example", robotsTxt(m)))
+        val rules = graft.operators.Robots.effectiveRules(parsed, "graftbot")
+        val delays = graft.operators.Robots.effectiveDelays(
+          (0 until 5).flatMap(m =>
+            graft.operators.Robots.parseCrawlDelays(s"site$m.example", robotsTxt(m))),
+          "graftbot")
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcCrawl(k, 8))
+        val crawled = graft.operators.Warc.httpResponses(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .filter(col("status") === 200 && col("content_type") === "text/html")
+          .withColumn("canon",
+            graft.functions.GraftFunctions.urlCanon(col("target_uri")))
+          .select(col("canon"))
+        val sitemap = udf((k: Long) => {
+          def m(i: Long) = (k + i) % 5
+          s"""<?xml version="1.0"?><urlset>
+             |<url><loc>http://site${m(0)}.example/s/0/$k</loc></url>
+             |<url><loc> http://site${m(1)}.example/s/1/$k?a=1&amp;b=2 </loc></url>
+             |<url><loc>HTTP://Site${m(2)}.EXAMPLE:80/s/./2/$k</loc></url>
+             |<url><loc>http://site${m(3)}.example/a1/$k</loc></url>
+             |<url><loc>ftp://site${m(4)}.example/s/4/$k</loc></url>
+             |</urlset>""".stripMargin
+        })
+        val seeded = graft.operators.Robots.sitemapUrls(
+          blobs.withColumn("xml", sitemap(col("media_id"))), "media_id", "xml")
+          .withColumn("canon",
+            graft.functions.GraftFunctions.urlCanon(col("loc")))
+          .select(col("canon"))
+        val frontier = crawled.unionByName(seeded)
+          .filter(col("canon").isNotNull)
+          .withColumn("host", expr("parse_url(canon, 'HOST')"))
+          .withColumn("__path", expr("parse_url(canon, 'PATH')"))
+          .filter(graft.operators.Robots.allowedColumn(
+            rules, col("host"), col("__path")))
+          .select(col("canon"), col("host"))
+          .distinct()
+        val out = graft.operators.Frontier.schedule(
+          frontier, delays, defaultDelayMs = 250L, workers = 8)
+        Q.requireMaxShuffles(out, 2)
+        out
+      },
+      Some(
+        s"""WITH rows0 AS (
+           |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS rec_idx,
+           |    (n_nationkey + i) % 5 AS m, CAST(i % 4 AS INT) AS arm,
+           |    (n_nationkey + i - 1) % 5 AS mprev
+           |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+           |), cr AS (
+           |  SELECT DISTINCT
+           |    CASE WHEN arm = 3
+           |      THEN 'http://site' || CAST(mprev AS VARCHAR) || '.example/a2/p/'
+           |           || CAST(rec_idx - 1 AS VARCHAR)
+           |      ELSE 'http://site' || CAST(m AS VARCHAR) || '.example/a'
+           |           || CAST(arm AS VARCHAR) || '/p/' || CAST(rec_idx AS VARCHAR)
+           |    END AS canon
+           |  FROM rows0
+           |  WHERE (media_id + rec_idx) % 7 <> 2 AND (media_id + rec_idx) % 5 <> 3
+           |    AND (CASE WHEN arm = 3 THEN 2 ELSE arm END) <> 1
+           |), sm AS (
+           |  SELECT DISTINCT CASE i
+           |    WHEN 0 THEN 'http://site' || CAST(n_nationkey % 5 AS VARCHAR)
+           |      || '.example/s/0/' || CAST(n_nationkey AS VARCHAR)
+           |    WHEN 1 THEN 'http://site' || CAST((n_nationkey + 1) % 5 AS VARCHAR)
+           |      || '.example/s/1/' || CAST(n_nationkey AS VARCHAR) || '?a=1&b=2'
+           |    ELSE 'http://site' || CAST((n_nationkey + 2) % 5 AS VARCHAR)
+           |      || '.example/s/2/' || CAST(n_nationkey AS VARCHAR)
+           |  END AS canon
+           |  FROM nation, UNNEST(generate_series(0, 2)) AS u(i)
+           |), fr AS (
+           |  SELECT DISTINCT canon FROM
+           |    (SELECT canon FROM cr UNION ALL SELECT canon FROM sm)
+           |), fh AS (
+           |  SELECT canon, split_part(substr(canon, 8), '/', 1) AS host FROM fr
+           |), s AS (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+           |    ORDER BY canon ASC) - 1 AS BIGINT) AS slot
+           |  FROM fh
+           |)
+           |SELECT *,
+           |  slot * CASE host
+           |    WHEN 'site0.example' THEN 100 WHEN 'site1.example' THEN 200
+           |    WHEN 'site2.example' THEN 300 WHEN 'site3.example' THEN 400
+           |    ELSE 250 END AS fetch_at_ms,
+           |  CAST(${polyHashSql("host", 31L)} % 8 AS INT) AS worker
+           |FROM s""".stripMargin
+      )
+    ),
+
     // Snapshot DIFF between two dataset versions — the release-note
     // primitive of a curation cycle (what did v2 add, remove, change
     // vs v1), the audit twin of q_cdc_apply. Each side collapses to

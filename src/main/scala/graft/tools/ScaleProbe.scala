@@ -624,6 +624,16 @@ object ScaleProbe {
         d.select(graft.functions.GraftFunctions.urlCanon(url).as("c"))
           .filter(col("c").isNotNull).count()
       }
+      // media inventory (ID3v2 + MPEG frame walk) is map-only header
+      // arithmetic — wall must track the row count
+      probe(s"media_inventory x$k") {
+        val mk = udf((id: Long) =>
+          graft.operators.AudioMeta.syntheticMpeg(id % 97))
+        graft.operators.AudioMeta.audioInventory(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload").filter(col("n_frames") >= 0).count()
+      }
       // crawl flagship chain: WARC walk → HTTP screen → URL canon →
       // map-side robots → HTML strip are all map-only; the single
       // canon-keyed dedup exchange is the only shuffle — wall must

@@ -571,6 +571,46 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crawl screen: the map-side canon + robots chain streams unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    // the frontier admission chain — canonicalize, NULL-degrade, rate
+    // against literal robots rules — is pure column expressions, so
+    // the SAME code screens a live crawl stream: streamed admissions
+    // equal the batch twin row for row
+    val rules = graft.operators.Robots.effectiveRules(
+      graft.operators.Robots.parseRobots("site0.example",
+        "User-agent: *\nDisallow: /a1\n") ++
+        graft.operators.Robots.parseRobots("site1.example",
+          "User-agent: *\nDisallow: /\n"),
+      "graftbot")
+    def screen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("canon", graft.functions.GraftFunctions.urlCanon(col("u")))
+        .filter(col("canon").isNotNull)
+        .filter(graft.operators.Robots.allowedColumn(rules,
+          expr("parse_url(canon, 'HOST')"), expr("parse_url(canon, 'PATH')")))
+        .select(col("canon"))
+    val urls = Seq(
+      "HTTP://Site0.EXAMPLE:80/ok/./page",  // messy but admitted
+      "http://site0.example/a1/blocked",    // robots-blocked
+      "http://site1.example/anything",      // whole site disallowed
+      "ftp://site0.example/x",              // canonicalizer NULLs
+      "http://site2.example/no/rules")      // unknown domain: allowed
+    val in = MemoryStream[String]
+    val q = screen(in.toDF().toDF("u")).writeStream
+      .format("memory").queryName("sc_crawl_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(urls: _*); q.processAllAvailable()
+      val streamed = spark.table("sc_crawl_out")
+        .collect().map(_.getString(0)).toSet
+      val batch = screen(urls.toDF("u")).collect().map(_.getString(0)).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        "http://site0.example/ok/page", "http://site2.example/no/rules"))
+    } finally q.stop()
+  }
+
   test("KMV registers: sharded bounded-state stream equals the batch build") {
     implicit val sqlCtx = spark.sqlContext
     // the set-operation sketch's streaming contract: per-shard
