@@ -54,6 +54,59 @@ object Frontier {
       coalesce(element_at(m, host), lit(defaultMs))
     }
 
+  /** Adaptive REVISIT scheduling over fetch history — the refresh
+    * policy of a continuous crawl: a URL that keeps changing is
+    * re-fetched at the base interval, one that hasn't changed in k
+    * consecutive fetches backs off exponentially (interval =
+    * baseMs·2^streak, capped at `maxMs` so a dormant page is still
+    * revisited). History rows carry (urlCol, tsCol millis, changedCol
+    * boolean — "this fetch differed from the previous", e.g. a
+    * [[Changelog.snapshotDiff]] verdict). ONE exchange — the per-URL
+    * window computing the unchanged streak since the last change —
+    * then everything is arithmetic: next_fetch_ms = last fetch +
+    * interval. All integer, so the policy is oracle-checkable.
+    *
+    * Scale shape: the window partitions by URL (maximum parallelism),
+    * and only each URL's LAST row survives — shuffle bytes ∝ history
+    * rows, output ∝ distinct URLs.
+    */
+  def revisitSchedule(
+      history: DataFrame,
+      baseMs: Long,
+      maxMs: Long,
+      urlCol: String = "canon",
+      tsCol: String = "fetch_ms",
+      changedCol: String = "changed"
+  ): DataFrame = {
+    require(baseMs > 0, "Frontier.revisitSchedule: positive base interval")
+    require(maxMs >= baseMs, "Frontier.revisitSchedule: maxMs >= baseMs")
+    val byUrl = Window.partitionBy(col(urlCol)).orderBy(col(tsCol).asc)
+    // streak = fetches since (and excluding) the most recent CHANGED
+    // fetch: a running count over the window, reset via max-ts-of-change
+    val out = history
+      .withColumn("__rn", row_number().over(byUrl))
+      .withColumn("__lastChangeRn",
+        max(when(col(changedCol), col("__rn"))).over(byUrl))
+      .withColumn("__lastRn", max(col("__rn")).over(
+        Window.partitionBy(col(urlCol))))
+      .filter(col("__rn") === col("__lastRn"))
+      .select(
+        col(urlCol),
+        col(tsCol).as("last_fetch_ms"),
+        (col("__rn") - coalesce(col("__lastChangeRn"), lit(0L))).cast("long")
+          .as("unchanged_streak"))
+      // interval = baseMs << streak, capped BEFORE the shift can
+      // overflow: past 2^(63-log2 base) the shift wraps, so the streak
+      // itself clamps to the cap's exponent first
+      .withColumn("__shift",
+        least(col("unchanged_streak"), lit(62L - (63 - java.lang.Long.numberOfLeadingZeros(baseMs)))))
+      .withColumn("interval_ms",
+        least(lit(maxMs), expr(s"shiftleft(${baseMs}L, cast(__shift as int))")))
+      .withColumn("next_fetch_ms", col("last_fetch_ms") + col("interval_ms"))
+      .drop("__shift")
+    out
+  }
+
   /** Assign each frontier URL its politeness slot and fetch offset:
     * slot = rank within host (descending `priorityCol` first when
     * given — authority-weighted crawl ordering, ties and the default

@@ -3639,6 +3639,46 @@ object CorpusQueries {
       )
     ),
 
+    // Adaptive REVISIT scheduling — the refresh policy of a continuous
+    // crawl: pages that keep changing re-fetch at the base interval,
+    // pages unchanged for k consecutive fetches back off as base·2^k,
+    // capped so dormant pages still revisit. ONE per-URL window
+    // derives the unchanged streak since the last change; the rest is
+    // integer arithmetic with the shift clamped BEFORE it can wrap —
+    // all oracle-checkable. Fixture: six fetches per URL with the last
+    // change at position n mod 6 (streaks 1..5 plus the never-rechanged
+    // arm), base 200 ms, cap 3.2 s — both the exponential ladder and
+    // the cap arms exercised closed-form.
+    Q(
+      "q_revisit_schedule",
+      (spark, dir) => {
+        val hist = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n"))
+          .select(col("n"), explode(sequence(lit(0), lit(5))).as("i"))
+          .select(
+            concat(lit("http://r"), col("n"), lit(".example/p")).as("canon"),
+            (col("n") * 10000L + col("i") * 100L).as("fetch_ms"),
+            (col("i") === 0 || col("i") < col("n") % 6).as("changed"))
+        val out = graft.operators.Frontier.revisitSchedule(
+          hist, baseMs = 200L, maxMs = 3200L)
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """SELECT
+          |  'http://r' || CAST(n_nationkey AS VARCHAR) || '.example/p' AS canon,
+          |  CAST(n_nationkey * 10000 + 500 AS BIGINT) AS last_fetch_ms,
+          |  CAST(CASE WHEN n_nationkey % 6 = 0 THEN 5
+          |       ELSE 6 - n_nationkey % 6 END AS BIGINT) AS unchanged_streak,
+          |  CAST(LEAST(3200, 200 * (1 << CAST(CASE WHEN n_nationkey % 6 = 0 THEN 5
+          |       ELSE 6 - n_nationkey % 6 END AS INT))) AS BIGINT) AS interval_ms,
+          |  CAST(n_nationkey * 10000 + 500
+          |     + LEAST(3200, 200 * (1 << CAST(CASE WHEN n_nationkey % 6 = 0 THEN 5
+          |       ELSE 6 - n_nationkey % 6 END AS INT))) AS BIGINT) AS next_fetch_ms
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // Snapshot DIFF between two dataset versions — the release-note
     // primitive of a curation cycle (what did v2 add, remove, change
     // vs v1), the audit twin of q_cdc_apply. Each side collapses to

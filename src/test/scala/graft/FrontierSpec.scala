@@ -86,6 +86,36 @@ class FrontierSpec extends SparkSpec {
     assert(got == Seq(0L, 2000L, 4000L))
   }
 
+  test("revisitSchedule: exponential backoff on unchanged streaks, capped; one exchange") {
+    val hist = Seq(
+      // hot page: every fetch changed -> streak 0, base interval
+      ("u/hot", 100L, true), ("u/hot", 200L, true), ("u/hot", 300L, true),
+      // cooling page: last change at the 2nd of 4 fetches -> streak 2
+      ("u/cool", 100L, true), ("u/cool", 200L, true),
+      ("u/cool", 300L, false), ("u/cool", 400L, false),
+      // dormant page: never changed across 12 fetches -> cap
+      ("u/dead", 100L, false), ("u/dead", 200L, false), ("u/dead", 300L, false),
+      ("u/dead", 400L, false), ("u/dead", 500L, false), ("u/dead", 600L, false),
+      ("u/dead", 700L, false), ("u/dead", 800L, false), ("u/dead", 900L, false),
+      ("u/dead", 1000L, false), ("u/dead", 1100L, false), ("u/dead", 1200L, false)
+    ).toDF("canon", "fetch_ms", "changed")
+    val got = Frontier.revisitSchedule(hist, baseMs = 100L, maxMs = 10000L)
+      .collect().map(r => r.getAs[String]("canon") ->
+        ((r.getAs[Long]("last_fetch_ms"), r.getAs[Long]("unchanged_streak"),
+          r.getAs[Long]("interval_ms"), r.getAs[Long]("next_fetch_ms")))).toMap
+    assert(got("u/hot") == ((300L, 0L, 100L, 400L)))
+    assert(got("u/cool") == ((400L, 2L, 400L, 800L)))
+    // 12 unchanged fetches: 100 << 12 = 409600, capped at 10000
+    assert(got("u/dead") == ((1200L, 12L, 10000L, 11200L)))
+    graft.queries.Q.requireMaxShuffles(
+      Frontier.revisitSchedule(hist, 100L, 10000L), 1)
+    // shift-overflow guard: a streak far past the cap exponent must
+    // never wrap negative
+    val long = (0 until 80).map(i => ("u/x", i * 10L, false)).toDF("canon", "fetch_ms", "changed")
+    val x = Frontier.revisitSchedule(long, 1L, Long.MaxValue / 4).head()
+    assert(x.getAs[Long]("interval_ms") > 0L)
+  }
+
   test("schedule: contract guards") {
     intercept[IllegalArgumentException] {
       Frontier.schedule(frontier, delays, 500L, workers = 0)
