@@ -228,18 +228,22 @@ object Graph {
       .withColumn("hub_micro", lit(1000000L)))
     var i = 0
     while (i < iters) {
-      val auth = renorm(
+      // pin the round's authorities before deriving hubs from them:
+      // auth feeds BOTH the hub update and the round's output join, and
+      // unpinned it would recompute (adjacency scan + broadcast agg)
+      // once per consumer — measured 3-4x per-round wall on the probe
+      val (aP, aCut) = pin(renorm(
         adjP.join(sCut.select(col("node").as("src"), col("hub_micro")), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("w") * col("hub_micro")).as("__v")),
-        "auth_micro")
+        "auth_micro"))
       val hub = renorm(
-        adjP.join(auth.select(col("node").as("dst"), col("auth_micro")), "dst")
+        adjP.join(aCut.select(col("node").as("dst"), col("auth_micro")), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("w") * col("auth_micro")).as("__v")),
         "hub_micro")
-      val (nP, nCut) = pin(auth.join(hub, "node"))
-      sP.unpersist()
+      val (nP, nCut) = pin(aCut.join(hub, "node"))
+      aP.unpersist(); sP.unpersist()
       sP = nP; sCut = nCut
       i += 1
     }

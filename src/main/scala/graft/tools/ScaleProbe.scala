@@ -586,6 +586,20 @@ object ScaleProbe {
           graft.operators.Graph.collapseEdges(edges, "src", "dst"))
         val n = cc.count(); cc.unpersist(); n
       }
+      // HITS: same collapse-bound shape as the pagerank probes — the
+      // corpus collapses to the weighted adjacency once; both update
+      // directions run on the |domains|²-bounded frame
+      probe(s"hits x$k") {
+        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        def dn(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
+        val edges = d.select(dn(col("doc_id")).as("src"),
+          dn(col("doc_id") + 2).as("dst"))
+        val h = graft.operators.Graph.hitsInt(
+          graft.operators.Graph.collapseEdges(edges, "src", "dst"), iters = 4)
+        val n = h.count(); h.unpersist(); n
+      }
       // Count-Min build: one corpus scan with constant per-token
       // fan-out into the d·w-cell table — wall must track the scan;
       // the cell count never grows with the corpus
