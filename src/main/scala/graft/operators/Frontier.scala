@@ -64,7 +64,10 @@ object Frontier {
     * [[Changelog.snapshotDiff]] verdict). ONE exchange — the per-URL
     * window computing the unchanged streak since the last change —
     * then everything is arithmetic: next_fetch_ms = last fetch +
-    * interval. All integer, so the policy is oracle-checkable.
+    * interval. All integer, so the policy is oracle-checkable. Tied
+    * timestamps order changed-LAST (a change observed at the same
+    * instant wins recency — the conservative reading: re-fetch
+    * sooner), keeping the schedule deterministic under ties.
     *
     * Scale shape: the window partitions by URL (maximum parallelism),
     * and only each URL's LAST row survives — shuffle bytes ∝ history
@@ -80,7 +83,8 @@ object Frontier {
   ): DataFrame = {
     require(baseMs > 0, "Frontier.revisitSchedule: positive base interval")
     require(maxMs >= baseMs, "Frontier.revisitSchedule: maxMs >= baseMs")
-    val byUrl = Window.partitionBy(col(urlCol)).orderBy(col(tsCol).asc)
+    val byUrl = Window.partitionBy(col(urlCol))
+      .orderBy(col(tsCol).asc, col(changedCol).asc)
     // streak = fetches since (and excluding) the most recent CHANGED
     // fetch: a running count over the window, reset via max-ts-of-change
     val out = history

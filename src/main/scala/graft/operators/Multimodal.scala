@@ -1672,6 +1672,41 @@ object Multimodal {
     if (fmtOff < 0 || dataOff < 0) None else Some((fmtOff, dataOff, dataLen))
   }
 
+  /** Shared RIFF/WAVE scaffold for the synthetic audio fixtures: the
+    * 12-byte RIFF header, a fmt chunk carrying the six standard fields
+    * plus `extra` bytes, and a `data` chunk header sized `dataLen`.
+    * Returns (buffer, dataOffset); callers fill the payload. ONE
+    * builder for all four WAV fixtures, so a header-offset mistake
+    * can't hide in a single codec's copy.
+    */
+  private def wavScaffold(fmtTag: Int, channels: Int, rate: Int,
+      byteRate: Int, blockAlign: Int, bits: Int, extra: Array[Byte],
+      dataLen: Int): (Array[Byte], Int) = {
+    val fmtLen = 16 + extra.length
+    val out = new Array[Byte](12 + 8 + fmtLen + 8 + dataLen)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >>> 24).toByte
+    }
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def ptag(o: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
+    ptag(0, "RIFF"); p32(4, out.length - 8); ptag(8, "WAVE")
+    ptag(12, "fmt "); p32(16, fmtLen)
+    p16(20, fmtTag); p16(22, channels); p32(24, rate)
+    p32(28, byteRate); p16(32, blockAlign); p16(34, bits)
+    System.arraycopy(extra, 0, out, 36, extra.length)
+    val dataHdr = 36 + extra.length
+    ptag(dataHdr, "data"); p32(dataHdr + 4, dataLen)
+    (out, dataHdr + 8)
+  }
+
+  /** Little-endian int16 write — the fixtures' payload companion to
+    * [[wavScaffold]]. */
+  private def wavPut16(buf: Array[Byte], o: Int, v: Int): Unit = {
+    buf(o) = v.toByte; buf(o + 1) = (v >> 8).toByte
+  }
+
   def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     val (fmt, dataOff, dataLen) = riffWaveChunks(bytes) match {
       case Some(t) => t
@@ -1778,28 +1813,17 @@ object Multimodal {
     require(seed >= 0, "syntheticWavIma: non-negative seed")
     val nData = 32 // bytes -> 64 nibbles -> 65 samples with the header
     val blockAlign = 4 + nData
-    val out = new Array[Byte](12 + 8 + 20 + 8 + blockAlign)
-    def p32(o: Int, v: Int): Unit = {
-      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
-      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >>> 24).toByte
-    }
-    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
-    def ptag(o: Int, s: String): Unit =
-      s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
-    ptag(0, "RIFF"); p32(4, out.length - 8); ptag(8, "WAVE")
-    ptag(12, "fmt "); p32(16, 20)
-    p16(20, 0x11); p16(22, 1); p32(24, 8000)
-    p32(28, 8000 * blockAlign / 65); p16(32, blockAlign); p16(34, 4)
-    p16(36, 2); p16(38, 65) // cbSize, wSamplesPerBlock
-    ptag(40, "data"); p32(44, blockAlign)
+    val (out, base) = wavScaffold(0x11, 1, 8000, 8000 * blockAlign / 65,
+      blockAlign, 4, Array[Byte](2, 0, 65, 0) /* cbSize, samples/block */,
+      blockAlign)
     val pred0 = ((seed * 37) % 256 - 128).toInt
-    p16(48, pred0 & 0xFFFF)
-    out(50) = (seed % 16).toByte; out(51) = 0
+    wavPut16(out, base, pred0 & 0xFFFF)
+    out(base + 2) = (seed % 16).toByte; out(base + 3) = 0
     var j = 0
     while (j < nData) {
       val lo = ((seed + 2 * j) % 16).toInt
       val hi = ((seed + 2 * j + 1) % 16).toInt
-      out(52 + j) = (lo | (hi << 4)).toByte
+      out(base + 4 + j) = (lo | (hi << 4)).toByte
       j += 1
     }
     out
@@ -1912,25 +1936,13 @@ object Multimodal {
     require(seed >= 0, "syntheticWavMs: non-negative seed")
     val nData = 32 // bytes -> 64 nibbles -> 66 samples with the header
     val blockAlign = 7 + nData
-    val out = new Array[Byte](12 + 8 + 18 + 8 + blockAlign)
-    def p32(o: Int, v: Int): Unit = {
-      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
-      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >>> 24).toByte
-    }
-    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
-    def ptag(o: Int, s: String): Unit =
-      s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
-    ptag(0, "RIFF"); p32(4, out.length - 8); ptag(8, "WAVE")
-    ptag(12, "fmt "); p32(16, 18)
-    p16(20, 2); p16(22, 1); p32(24, 8000)
-    p32(28, 8000 * blockAlign / 66); p16(32, blockAlign); p16(34, 4)
-    p16(36, 0) // cbSize 0: the canonical coefficient table is implied
-    ptag(38, "data"); p32(42, blockAlign)
-    val base = 46
+    val (out, base) = wavScaffold(2, 1, 8000, 8000 * blockAlign / 66,
+      blockAlign, 4, Array[Byte](0, 0) /* cbSize 0: canonical table implied */,
+      blockAlign)
     out(base) = (seed % 7).toByte
-    p16(base + 1, (16 + (seed * 13) % 240).toInt)
-    p16(base + 3, ((seed * 31) % 256 - 128).toInt & 0xFFFF)
-    p16(base + 5, ((seed * 17) % 256 - 128).toInt & 0xFFFF)
+    wavPut16(out, base + 1, (16 + (seed * 13) % 240).toInt)
+    wavPut16(out, base + 3, ((seed * 31) % 256 - 128).toInt & 0xFFFF)
+    wavPut16(out, base + 5, ((seed * 17) % 256 - 128).toInt & 0xFFFF)
     var j = 0
     while (j < nData) {
       val hi = ((seed + 2 * j) % 16).toInt
@@ -2008,22 +2020,11 @@ object Multimodal {
     require(seed >= 0 && (law == 6 || law == 7) && channels > 0 && frames > 0,
       "syntheticWavG711: non-negative seed, law 6/7, positive layout")
     val nData = channels * frames
-    val out = new Array[Byte](12 + 8 + 16 + 8 + nData)
-    def p32(o: Int, v: Int): Unit = {
-      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
-      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >>> 24).toByte
-    }
-    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
-    def ptag(o: Int, s: String): Unit =
-      s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
-    ptag(0, "RIFF"); p32(4, out.length - 8); ptag(8, "WAVE")
-    ptag(12, "fmt "); p32(16, 16)
-    p16(20, law); p16(22, channels); p32(24, 8000)
-    p32(28, 8000 * channels); p16(32, channels); p16(34, 8)
-    ptag(36, "data"); p32(40, nData)
+    val (out, base) = wavScaffold(law, channels, 8000, 8000 * channels,
+      channels, 8, Array.emptyByteArray, nData)
     var j = 0
     while (j < nData) {
-      out(44 + j) = ((seed * 31 + j * 7) % 256).toByte
+      out(base + j) = ((seed * 31 + j * 7) % 256).toByte
       j += 1
     }
     out
@@ -2403,8 +2404,8 @@ object Multimodal {
     * sums of squares and zero-crossing counts (a crossing at frame t>0
     * when sign(s[t-1]) ≠ sign(s[t]), negatives vs non-negatives) over
     * the first two channels; `dur_ms = frames·1000 div rate` (integer).
-    * PCM decodes tag "wav"; IMA ADPCM, "wav_ima"; G.711, "wav_ulaw" /
-    * "wav_alaw"; FLAC, "flac".
+    * PCM decodes tag "wav"; IMA ADPCM, "wav_ima"; MS ADPCM, "wav_ms";
+    * G.711, "wav_ulaw" / "wav_alaw"; FLAC, "flac".
     * Undecodable payloads keep a header sniff (mp3/ogg/flac magics)
     * and zeroed stats — the same labeled-fallback contract as
     * [[imageStats]].
@@ -2732,23 +2733,12 @@ object Multimodal {
     require(seed >= 0 && channels > 0 && sampleRate > 0 && frames > 0,
       "syntheticWav: non-negative seed, positive layout")
     val dataLen = frames * channels * 2
-    val out = new Array[Byte](44 + dataLen)
-    def p32(o: Int, v: Int): Unit = {
-      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
-      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >>> 24) & 0xFF).toByte
-    }
-    def p16(o: Int, v: Int): Unit = {
-      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
-    }
-    def tag(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (ch, j) => out(o + j) = ch.toByte }
-    tag(0, "RIFF"); p32(4, 36 + dataLen); tag(8, "WAVE")
-    tag(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, channels)
-    p32(24, sampleRate); p32(28, sampleRate * channels * 2)
-    p16(32, channels * 2); p16(34, 16)
-    tag(36, "data"); p32(40, dataLen)
+    val (out, base) = wavScaffold(1, channels, sampleRate,
+      sampleRate * channels * 2, channels * 2, 16, Array.emptyByteArray,
+      dataLen)
     var i = 0
     while (i < frames * channels) {
-      p16(44 + i * 2, (((seed * 31 + i) * 97) % 65536).toInt)
+      wavPut16(out, base + i * 2, (((seed * 31 + i) * 97) % 65536).toInt)
       i += 1
     }
     out

@@ -143,20 +143,27 @@ object Sketch {
     * (no distinct pass). Returns (bucket, register); absent buckets
     * are empty (register 0).
     */
-  def hllRegisters(docs: DataFrame, textCol: String): DataFrame = {
+  /** The (bucket, __rho) projection both register builders share —
+    * XXH64 of a token in `__t`: low 6 bits index the bucket
+    * (sign-safe under two's complement), the next 32 are the rank
+    * field; one hash chain so solo and grouped sketches can never
+    * drift.
+    */
+  private def hllBucketRho: Seq[Column] = {
     val h = xxhash64(col("__t"))
-    // low 6 bits index the bucket (sign-safe under two's complement);
-    // the next 32 bits are the rank field
     val v = shiftrightunsigned(h, 6).bitwiseAND(lit(4294967295L))
     val rho = when(v === 0L, lit(HllFieldBits + 1))
       .otherwise(lit(HllFieldBits + 1) - length(bin(v)))
+    Seq(h.bitwiseAND(lit(HllBuckets - 1L)).as("bucket"),
+      rho.cast("long").as("__rho"))
+  }
+
+  def hllRegisters(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .select(h.bitwiseAND(lit(HllBuckets - 1L)).as("bucket"),
-        rho.cast("long").as("__rho"))
+      .select(hllBucketRho: _*)
       .groupBy(col("bucket"))
       .agg(max(col("__rho")).as("register"))
-  }
 
   /** Merge register sets (same m): cell-wise MAX — equals building on
     * the concatenated corpora bit-exactly (max is associative,
@@ -176,23 +183,22 @@ object Sketch {
     * MAX exactly like the whole-frame build. Same tokenization and
     * bucket/rank derivation as [[hllRegisters]].
     */
-  def hllRegistersBy(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
-    val h = xxhash64(col("__t"))
-    val v = shiftrightunsigned(h, 6).bitwiseAND(lit(4294967295L))
-    val rho = when(v === 0L, lit(HllFieldBits + 1))
-      .otherwise(lit(HllFieldBits + 1) - length(bin(v)))
+  def hllRegistersBy(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
     docs
       .select(col(groupCol).as("group"),
         explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .select(col("group"), h.bitwiseAND(lit(HllBuckets - 1L)).as("bucket"),
-        rho.cast("long").as("__rho"))
+      .select(col("group") +: hllBucketRho: _*)
       .groupBy(col("group"), col("bucket"))
       .agg(max(col("__rho")).as("register"))
-  }
 
   /** Per-group estimates from a (group, bucket, register) frame — the
     * [[hllEstimate]] math vectorized by group: one aggregation over
-    * the sketch frame, one row per group, never a collect.
+    * the sketch frame, one row per group, never a collect. Groups
+    * absent from the register frame (every document tokenized to
+    * nothing) have no row here — the group key itself never reached
+    * the sketch; callers needing explicit zeros left-join their group
+    * universe (solo [[hllEstimate]]'s global aggregation, by contrast,
+    * returns an est=0 row for an empty frame).
     */
   def hllEstimateBy(registers: DataFrame): DataFrame = {
     val m = HllBuckets.toLong

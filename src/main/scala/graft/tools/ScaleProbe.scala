@@ -544,16 +544,18 @@ object ScaleProbe {
           floor(col("n_chars") / 64).cast("long").as("f2"))
         graft.operators.Train.stumpTrain(feats, Seq("f1", "f2"), "y").count()
       }
+      // one shared synthetic-domain mapping for all graph probes
+      def graphDomain(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.lit(
+            Array("alpha", "beta", "gamma", "delta", "epsilon")),
+          (c % 5).cast("int") + 1)
       // integer PageRank: the corpus-sized edge list collapses to the
       // |domains|^2 adjacency in ONE shuffle; both iterations run on
       // the collapsed frame, so wall must track the collapse alone
       probe(s"pagerank x$k") {
-        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
-        def dn(c: org.apache.spark.sql.Column) =
-          org.apache.spark.sql.functions.element_at(
-            org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
-        val edges = d.select(dn(col("doc_id")).as("src"),
-          dn(col("doc_id") + 2).as("dst"))
+        val edges = d.select(graphDomain(col("doc_id")).as("src"),
+          graphDomain(col("doc_id") + 2).as("dst"))
         val r = graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 2)
         val n = r.count(); r.unpersist(); n
       }
@@ -561,12 +563,8 @@ object ScaleProbe {
       // lineage, so 10+ rounds on the collapsed frame stay flat in the
       // edge count — wall must track the one collapse shuffle
       probe(s"pagerank_converged x$k") {
-        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
-        def dn(c: org.apache.spark.sql.Column) =
-          org.apache.spark.sql.functions.element_at(
-            org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
-        val edges = d.select(dn(col("doc_id")).as("src"),
-          dn(col("doc_id") + 2).as("dst"))
+        val edges = d.select(graphDomain(col("doc_id")).as("src"),
+          graphDomain(col("doc_id") + 2).as("dst"))
         val res = graft.operators.Graph.pageRankConverged(
           graft.operators.Graph.collapseEdges(edges, "src", "dst"),
           maxIters = 32, tolMicro = 0L)
@@ -576,12 +574,8 @@ object ScaleProbe {
       // shuffle; min-label rounds run on the collapsed frame — wall
       // must track the collapse, not the edge-list multiplicity
       probe(s"domain_cc x$k") {
-        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
-        def dn(c: org.apache.spark.sql.Column) =
-          org.apache.spark.sql.functions.element_at(
-            org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
         val edges = d.filter(col("doc_id") % 15 < 8)
-          .select(dn(col("doc_id")).as("src"), dn(col("doc_id") + 2).as("dst"))
+          .select(graphDomain(col("doc_id")).as("src"), graphDomain(col("doc_id") + 2).as("dst"))
         val cc = graft.operators.Graph.connectedComponents(
           graft.operators.Graph.collapseEdges(edges, "src", "dst"))
         val n = cc.count(); cc.unpersist(); n
@@ -590,12 +584,8 @@ object ScaleProbe {
       // corpus collapses to the weighted adjacency once; both update
       // directions run on the |domains|²-bounded frame
       probe(s"hits x$k") {
-        val doms = Seq("alpha", "beta", "gamma", "delta", "epsilon")
-        def dn(c: org.apache.spark.sql.Column) =
-          org.apache.spark.sql.functions.element_at(
-            org.apache.spark.sql.functions.lit(doms.toArray), (c % 5).cast("int") + 1)
-        val edges = d.select(dn(col("doc_id")).as("src"),
-          dn(col("doc_id") + 2).as("dst"))
+        val edges = d.select(graphDomain(col("doc_id")).as("src"),
+          graphDomain(col("doc_id") + 2).as("dst"))
         val h = graft.operators.Graph.hitsInt(
           graft.operators.Graph.collapseEdges(edges, "src", "dst"), iters = 4)
         val n = h.count(); h.unpersist(); n

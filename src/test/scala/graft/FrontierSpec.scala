@@ -114,6 +114,17 @@ class FrontierSpec extends SparkSpec {
     val long = (0 until 80).map(i => ("u/x", i * 10L, false)).toDF("canon", "fetch_ms", "changed")
     val x = Frontier.revisitSchedule(long, 1L, Long.MaxValue / 4).head()
     assert(x.getAs[Long]("interval_ms") > 0L)
+    // tied timestamps are deterministic: changed orders LAST (wins
+    // recency — the conservative re-fetch-sooner reading), so the
+    // streak is 0 regardless of input row order
+    for (rows <- Seq(
+      Seq(("u/t", 100L, false), ("u/t", 100L, true)),
+      Seq(("u/t", 100L, true), ("u/t", 100L, false)))) {
+      val t = Frontier.revisitSchedule(
+        rows.toDF("canon", "fetch_ms", "changed"), 100L, 10000L).head()
+      assert(t.getAs[Long]("unchanged_streak") == 0L &&
+        t.getAs[Long]("interval_ms") == 100L, rows.toString)
+    }
   }
 
   test("schedule: contract guards") {
