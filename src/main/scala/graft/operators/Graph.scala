@@ -199,7 +199,10 @@ object Graph {
     *
     * Exactness bound: Σ w·score stays inside Long while a node's total
     * in/out weight is below ~9·10^12 (score ≤ 10^6) — same contract
-    * note as [[pageRankFromAdj]].
+    * note as [[pageRankFromAdj]]. The renorm multiply (Σ · 10^6) runs
+    * in DECIMAL(38,0) — on Longs it would wrap silently (non-ANSI
+    * Spark) once a node's collapsed weight passed ~9·10^6, a mass a
+    * popular domain reaches long before the sum itself overflows.
     *
     * Same scale shape as the siblings: the corpus collapsed first, the
     * iterations are joins + partial aggs over the |domains|²-bounded
@@ -220,7 +223,13 @@ object Graph {
         .crossJoin(broadcast(mx))
         .select(col("node"),
           when(col("__mx") > 0,
-            coalesce(expr("__v * 1000000L div __mx"), lit(0L)))
+            // decimal multiply: __v ≤ total_w·10^6, and ×10^6 on Longs
+            // wraps past total_w ≈ 9.2e6 — the KMV-path discipline
+            // (exact integral division, floored identically; __v ≤ __mx
+            // so the quotient is back in [0, 10^6] and the cast is safe)
+            coalesce(expr(
+              "CAST(CAST(__v AS DECIMAL(38,0)) * 1000000 div CAST(__mx AS DECIMAL(38,0)) AS BIGINT)"),
+              lit(0L)))
             .otherwise(lit(0L)).as(outName))
     }
     var (sP, sCut) = pin(nodes

@@ -299,7 +299,15 @@ object Robots {
           .otherwise(col("path")))
       .select(col("domain").as("__rd"), col("rule").as("__rule"),
         col("__prefix"))
-    val passthrough = urls.columns.map(col)
+    // the rating collapses the join fan-out by idCol ALONE (the unique
+    // key is the group — grouping by every passthrough column would
+    // silently merge fully-duplicate rows and break on non-orderable
+    // column types); within a group every passthrough value is
+    // identical (the extra rows are rule-join copies of one input
+    // row), so first() re-attaches them deterministically. Rows
+    // sharing an idCol — outside the documented unique-id contract —
+    // collapse to one rated row.
+    val passthrough = urls.columns.filterNot(_ == idCol)
     urls
       .join(broadcast(effective),
         urls(domainCol) === col("__rd") &&
@@ -308,11 +316,13 @@ object Robots {
       // longest prefix wins; allow wins ties: max of (len, is_allow);
       // unmatched URLs contribute NULL (not a struct of nulls) so the
       // coalesce default applies
-      .groupBy(passthrough: _*)
-      .agg(max(when(col("__rule").isNotNull,
-        struct(length(col("__prefix")).as("l"),
-          (col("__rule") === "allow").as("a")))).as("__best"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__rule").isNotNull,
+          struct(length(col("__prefix")).as("l"),
+            (col("__rule") === "allow").as("a")))).as("__best"),
+        passthrough.map(c => first(col(c)).as(c)): _*)
       .withColumn("allowed", coalesce(col("__best.a"), lit(true)))
-      .drop("__best")
+      .select(urls.columns.map(col) :+ col("allowed"): _*)
   }
 }

@@ -3902,8 +3902,9 @@ object CorpusQueries {
     ),
 
     // The HLL ESTIMATE, all-integer: Σ2^-M runs as a scaled integer
-    // sum over the register frame (empty buckets contribute 2^25), the
-    // α·m²·2^25 numerator is one precomputed literal, and the division
+    // sum over the register frame (empty buckets contribute
+    // 2^(FieldBits+1) = 2^33), the α·m²·2^33 numerator is one
+    // precomputed literal, and the division
     // floors — so the estimate itself hash-matches, not just lands in
     // a band. `method` pins that the order-key cardinality is in the
     // RAW regime (documents' synthetic text has only ~31 distinct

@@ -94,6 +94,20 @@ class GraphSpec extends SparkSpec {
     assert(g2("A") == 1000000L && g2("C") == 500000L, g2.toString)
   }
 
+  test("hitsInt: renorm survives collapsed weights past the Long-multiply wrap point") {
+    // w = 2e7 on one edge: auth_raw(B) = 2e13, and the old Long renorm
+    // (__v * 1e6) wrapped to a negative at 2e19 — garbage scores. The
+    // decimal renorm keeps the exact quotient: B is the max, so
+    // auth(B) = 1e6 exactly; A keeps hub 1e6 as the only hub.
+    val adj = Seq(("A", "B", 20000000L)).toDF("src", "dst", "w")
+    val hdf = graft.operators.Graph.hitsInt(adj, iters = 2)
+    val got = hdf.collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("auth_micro"), r.getAs[Long]("hub_micro")))).toMap
+    hdf.unpersist()
+    assert(got == Map("A" -> ((0L, 1000000L)), "B" -> ((1000000L, 0L))), got.toString)
+  }
+
   test("mergeAdj: per-batch collapses merge to exactly the full-corpus collapse") {
     val g = graft.operators.Graph
     val all = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"), ("A", "B"), ("B", "C"))

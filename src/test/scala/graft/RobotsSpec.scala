@@ -189,6 +189,31 @@ class RobotsSpec extends SparkSpec {
     assert(df.count() == 3L)
   }
 
+  test("politenessScreen: groups by idCol — map-typed passthrough survives, duplicate ids collapse") {
+    // the rating must collapse the rule-join fan-out by the unique id
+    // ALONE: grouping by every column broke on non-orderable types
+    // (here a map column) and silently merged fully-duplicate rows
+    val rules = Robots.rules(
+      Seq(("d.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+        .toDF("domain", "robots_txt"), "domain", "robots_txt")
+    val urls = Seq(
+      (0L, "d.com", "/private/ok/x"), // BOTH rules match: 2-row fan-out
+      (1L, "d.com", "/private/no"),
+      (2L, "d.com", "/public"))
+      .toDF("doc_id", "domain", "path")
+      .withColumn("props", map(lit("k"), col("doc_id"))) // non-orderable
+    val out = Robots.politenessScreen(urls, rules, "anybot").collect()
+    assert(out.length == 3, out.mkString(";"))
+    val got = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Boolean]("allowed"), r.getAs[Map[String, Long]]("props")("k")))).toMap
+    assert(got == Map(0L -> ((true, 0L)), 1L -> ((false, 1L)), 2L -> ((true, 2L))),
+      got.toString)
+    // rows SHARING an id (outside the unique-id contract) collapse to one
+    val dup = Seq((7L, "d.com", "/public"), (7L, "d.com", "/public"))
+      .toDF("doc_id", "domain", "path")
+    assert(Robots.politenessScreen(dup, rules, "anybot").count() == 1L)
+  }
+
   test("allowedColumn: the map-side decision equals the distributed screen on every case") {
     val texts = Map(
       "d.com" ->
