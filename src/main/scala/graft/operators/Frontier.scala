@@ -111,6 +111,28 @@ object Frontier {
     out
   }
 
+  /** The shared slot/offset/shard tail of both schedule forms: slot =
+    * rank within host, fetch_at_ms = slot × `delay` (a Column valid on
+    * the input frame), worker = host-hash shard. ONE exchange — the
+    * per-host window.
+    */
+  private def assignSlots(
+      frontier: DataFrame,
+      delay: Column,
+      workers: Int,
+      urlCol: String,
+      hostCol: String,
+      priorityCol: Option[String]
+  ): DataFrame = {
+    require(workers > 0, "Frontier.schedule: positive worker count")
+    val order = priorityCol.toSeq.map(col(_).desc) :+ col(urlCol).asc
+    val w = Window.partitionBy(col(hostCol)).orderBy(order: _*)
+    frontier
+      .withColumn("slot", row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_at_ms", col("slot") * delay)
+      .withColumn("worker", workerOf(col(hostCol), workers))
+  }
+
   /** Assign each frontier URL its politeness slot and fetch offset:
     * slot = rank within host (descending `priorityCol` first when
     * given — authority-weighted crawl ordering, ties and the default
@@ -119,6 +141,14 @@ object Frontier {
     * per-host window; everything else is map-side. Input must carry
     * `hostCol` (registrable host) and a unique `urlCol`; passthrough
     * columns survive.
+    *
+    * The `delays` Seq rides the plan as a literal map — right for the
+    * BOUNDED regime (a politeness table small enough to hand around
+    * the driver, and the streaming-safe shape). A web-scale frontier
+    * has 10⁷–10⁸ registrable domains with crawl-delays, where a
+    * literal explodes plan size and driver memory — that regime uses
+    * [[scheduleJoined]], which JOINs the |domains|-bounded delay
+    * frame instead.
     */
   def schedule(
       frontier: DataFrame,
@@ -129,14 +159,67 @@ object Frontier {
       hostCol: String = "host",
       priorityCol: Option[String] = None
   ): DataFrame = {
-    require(workers > 0, "Frontier.schedule: positive worker count")
     require(defaultDelayMs >= 0, "Frontier.schedule: non-negative default delay")
-    val order = priorityCol.toSeq.map(col(_).desc) :+ col(urlCol).asc
-    val w = Window.partitionBy(col(hostCol)).orderBy(order: _*)
-    frontier
-      .withColumn("slot", row_number().over(w).cast("long") - 1L)
-      .withColumn("fetch_at_ms",
-        col("slot") * delayColumn(delays, col(hostCol), defaultDelayMs))
-      .withColumn("worker", workerOf(col(hostCol), workers))
+    assignSlots(frontier, delayColumn(delays, col(hostCol), defaultDelayMs),
+      workers, urlCol, hostCol, priorityCol)
+  }
+
+  /** Past this many domains the delay table stops riding a broadcast
+    * (≈ tens of MB of driver memory at 2^20 rows — the
+    * Profile.DefaultMaxBroadcastGroups discipline) and the lookup
+    * degrades to a shuffle join.
+    */
+  val DefaultMaxBroadcastDomains: Long = 1L << 20
+
+  /** [[schedule]] with the per-domain delay table as a DATAFRAME —
+    * `delayFrame` is (domain, delay_ms), [[Robots.effectiveDelayFrame]]'s
+    * shape — the web-scale form: a literal map explodes plan size at
+    * 10⁷–10⁸ registrable domains, a joined frame never enters the plan
+    * text. Count-guarded (the Profile.guardedSide discipline): at or
+    * under `maxBroadcastDomains` the counted frame collects to a
+    * driver-local relation and BROADCASTS (the identical driver
+    * footprint a broadcast would pay anyway — and the count/derivation
+    * job drops out of the output plan, so the frontier still pays
+    * exactly ONE exchange, the per-host window); past the guard it
+    * degrades to a shuffle join ON THE HOST, whose output partitioning
+    * the window then REUSES — the frontier crosses the wire once
+    * either way. Absent domains take `defaultDelayMs`.
+    */
+  def scheduleJoined(
+      frontier: DataFrame,
+      delayFrame: DataFrame,
+      defaultDelayMs: Long,
+      workers: Int,
+      urlCol: String = "canon",
+      hostCol: String = "host",
+      priorityCol: Option[String] = None,
+      maxBroadcastDomains: Long = DefaultMaxBroadcastDomains
+  ): DataFrame = {
+    require(defaultDelayMs >= 0, "Frontier.scheduleJoined: non-negative default delay")
+    val lookup = delayFrame.select(col("domain").as("__d"),
+      col("delay_ms").cast("long").as("__delay"))
+    val persisted = lookup.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n =
+      try persisted.count()
+      catch { case t: Throwable => persisted.unpersist(); throw t }
+    val side =
+      if (n <= maxBroadcastDomains) {
+        val local = broadcast(lookup.sparkSession.createDataFrame(
+          persisted.collectAsList(), lookup.schema))
+        persisted.unpersist()
+        local
+      } else {
+        // leak-free contract: unpersist and return the lazy frame — the
+        // recompute (one pass over the |domains|-bounded table) is the
+        // accepted price, exactly Profile.guardedSide keepPersisted=false
+        persisted.unpersist()
+        lookup
+      }
+    val joined = frontier
+      .join(side, frontier(hostCol) === col("__d"), "left")
+      .drop("__d")
+    assignSlots(joined, coalesce(col("__delay"), lit(defaultDelayMs)),
+      workers, urlCol, hostCol, priorityCol)
+      .drop("__delay")
   }
 }

@@ -3430,24 +3430,31 @@ object CorpusQueries {
     // crawl-delay interval), so a host's URLs must land together while
     // hosts stay independent — the host IS the parallelism axis. slot
     // = deterministic rank within host, fetch_at_ms = slot × the
-    // host's delay (map-side lookup against the |domains|-bounded
-    // delay table riding the plan as literals — no join), worker =
-    // host-hash shard. Exactly ONE exchange: the per-host window;
-    // a giant host serializing on one task is politeness itself, and
-    // host-sharding means other hosts never wait on it. The oracle
-    // re-runs the window, the delay CASE, and the polynomial shard
-    // hash closed-form.
+    // host's delay, worker = host-hash shard. The delay table rides as
+    // a DATAFRAME through the count-guarded broadcast join
+    // (scheduleJoined — the web-scale form: a CreateMap literal
+    // explodes plan size at 10⁷–10⁸ registrable domains; the guarded
+    // frame never enters the plan text), typed-asserted: a broadcast
+    // hash join AND exactly ONE exchange — the per-host window; the
+    // delay lookup costs the frontier nothing. A giant host
+    // serializing on one task is politeness itself, and host-sharding
+    // means other hosts never wait on it. The oracle re-runs the
+    // window, the delay CASE, and the polynomial shard hash
+    // closed-form.
     Q(
       "q_frontier_schedule",
       (spark, dir) => {
+        import spark.implicits._
         val frontier = Q.t(spark, dir, "documents")
           .select(col("doc_id"),
             concat(lit("site"), (col("doc_id") % 5).cast("int"), lit(".example")).as("host"))
           .withColumn("canon",
             concat(lit("http://"), col("host"), lit("/p/"), col("doc_id")))
         val delays = Seq("site0.example" -> 1000L, "site1.example" -> 250L)
-        val out = graft.operators.Frontier.schedule(
+          .toDF("domain", "delay_ms")
+        val out = graft.operators.Frontier.scheduleJoined(
           frontier, delays, defaultDelayMs = 500L, workers = 8)
+        Q.requireBroadcastJoin(out)
         Q.requireMaxShuffles(out, 1)
         out
       },
@@ -3529,32 +3536,41 @@ object CorpusQueries {
 
     // The CRAWL CYCLE composed end to end — both discovery paths into
     // one politeness-correct fetch plan: WARC-crawled pages (HTTP
-    // screen → canonicalization → map-side robots) UNION sitemap
-    // seeds (loc extraction → canonicalization → the same screen),
-    // deduped once, then scheduled under the per-domain crawl-delays
-    // PARSED FROM THE SAME robots.txt files that provided the path
-    // rules (fractional-second directives; one site omits the
-    // directive and takes the scheduler default). Everything before
-    // the frontier dedup is map-only, so the corpus crosses the wire
-    // exactly twice — the distinct and the per-host window — both
-    // typed-asserted. The oracle re-derives both discovery sets
-    // closed-form, unions, and re-runs the window + delay CASE +
-    // shard hash.
+    // screen → canonicalization) UNION sitemap seeds (loc extraction →
+    // canonicalization), rated-and-deduped by ONE politenessScreen
+    // exchange (the rating groupBy on the canonical URL IS the
+    // frontier dedup), then scheduled under the per-domain
+    // crawl-delays PARSED FROM THE SAME robots.txt files that provided
+    // the path rules (fractional-second directives; one site omits the
+    // directive and takes the scheduler default). Rules AND delays
+    // stay |domains|-bounded FRAMES end to end — the rules ride the
+    // screen's broadcast, the delays scheduleJoined's count-guarded
+    // broadcast (typed-asserted), so neither table ever enters the
+    // plan text (the web-scale shape; a CreateMap literal explodes at
+    // 10⁷–10⁸ domains). Everything before the screen is map-only, so
+    // the corpus crosses the wire exactly twice — the screen groupBy
+    // and the per-host window — both typed-asserted. The oracle
+    // re-derives both discovery sets closed-form, unions, and re-runs
+    // the window + delay CASE + shard hash.
     Q(
       "q_crawl_cycle",
       (spark, dir) => {
+        import spark.implicits._
         val blobs = Q.t(spark, dir, "nation")
           .select(col("n_nationkey").cast("long").as("media_id"))
         def robotsTxt(m: Int): String =
           "User-agent: *\nDisallow: /a1\n" +
             (if (m < 4) s"Crawl-delay: 0.${m + 1}\n" else "")
-        val parsed = (0 until 5).flatMap(m =>
-          graft.operators.Robots.parseRobots(s"site$m.example", robotsTxt(m)))
-        val rules = graft.operators.Robots.effectiveRules(parsed, "graftbot")
-        val delays = graft.operators.Robots.effectiveDelays(
-          (0 until 5).flatMap(m =>
-            graft.operators.Robots.parseCrawlDelays(s"site$m.example", robotsTxt(m))),
-          "graftbot")
+        // the FRAME forms end to end — rules and delays stay DataFrames
+        // (the web-scale shape: neither table ever enters the plan text;
+        // rules ride politenessScreen's broadcast, delays the
+        // count-guarded scheduleJoined broadcast)
+        val robotsDf = (0 until 5)
+          .map(m => (s"site$m.example", robotsTxt(m)))
+          .toDF("domain", "txt")
+        val ruleRows = graft.operators.Robots.rules(robotsDf, "domain", "txt")
+        val delayFrame = graft.operators.Robots.effectiveDelayFrame(
+          graft.operators.Robots.crawlDelays(robotsDf, "domain", "txt"), "graftbot")
         val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcCrawl(k, 8))
         val crawled = graft.operators.Warc.httpResponses(
           graft.operators.Warc.records(
@@ -3579,17 +3595,26 @@ object CorpusQueries {
           .withColumn("canon",
             graft.functions.GraftFunctions.urlCanon(col("loc")))
           .select(col("canon"))
-        val frontier = crawled.unionByName(seeded)
-          .filter(col("canon").isNotNull)
-          .withColumn("host", expr("parse_url(canon, 'HOST')"))
-          .withColumn("__path", expr("parse_url(canon, 'PATH')"))
-          .filter(graft.operators.Robots.allowedColumn(
-            rules, col("host"), col("__path")))
+        // politenessScreen's groupBy(canon) is BOTH the rating collapse
+        // and the frontier dedup — one exchange does the two jobs the
+        // literal path needed a filter + distinct for
+        val screened = graft.operators.Robots.politenessScreen(
+          crawled.unionByName(seeded)
+            .filter(col("canon").isNotNull)
+            .withColumn("host", expr("parse_url(canon, 'HOST')"))
+            .withColumn("__path", expr("parse_url(canon, 'PATH')")),
+          ruleRows, "graftbot",
+          idCol = "canon", domainCol = "host", pathCol = "__path")
+        val frontier = screened.filter(col("allowed"))
           .select(col("canon"), col("host"))
-          .distinct()
-        val out = graft.operators.Frontier.schedule(
-          frontier, delays, defaultDelayMs = 250L, workers = 8)
-        Q.requireMaxShuffles(out, 2)
+        val out = graft.operators.Frontier.scheduleJoined(
+          frontier, delayFrame, defaultDelayMs = 250L, workers = 8)
+        Q.requireBroadcastJoin(out)
+        // the CORPUS still crosses the wire exactly twice (screen
+        // groupBy + per-host window); the third exchange is
+        // politenessScreen's RFC group-selection window over the
+        // |domains|-bounded RULES frame — sketch-sized, never corpus
+        Q.requireMaxShuffles(out, 3)
         out
       },
       Some(

@@ -140,9 +140,15 @@ object Q {
     */
   def planNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // after execution AQE folds subtrees into materialized query
+      // stages whose plan hangs off a field (children is empty) — an
+      // assertion made post-collect must still see inside them.
+      // ReusedExchange stays a leaf: a reused exchange is ONE physical
+      // shuffle, and recursing would double-count it.
+      case s: QueryStageExec        => walk(s.plan)
       case other                    => other.children.flatMap(walk)
     })
     walk(df.queryExecution.executedPlan)

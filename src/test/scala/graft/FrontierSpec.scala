@@ -127,6 +127,63 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("scheduleJoined: under the guard the delay frame collects + broadcasts — literal parity, one exchange") {
+    val delayDf = delays.toDF("domain", "delay_ms")
+    val joined = Frontier.scheduleJoined(frontier, delayDf, defaultDelayMs = 500L, workers = 4)
+    val literal = Frontier.schedule(frontier, delays, defaultDelayMs = 500L, workers = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("canon"), r.getAs[Long]("slot"),
+        r.getAs[Long]("fetch_at_ms"), r.getAs[Int]("worker"))).toSet
+    assert(rows(joined) == rows(literal))
+    assert(joined.columns.toSeq == literal.columns.toSeq)
+    // the guarded side is a driver-local relation riding a broadcast:
+    // the lookup costs the frontier NOTHING — still exactly one
+    // exchange (the per-host window), plus the typed broadcast join
+    graft.queries.Q.requireBroadcastJoin(joined)
+    graft.queries.Q.requireMaxShuffles(joined, 1)
+  }
+
+  test("scheduleJoined: past the guard, 1e5 domains ride a shuffle join the window reuses — no plan literals") {
+    // the CreateMap-literal seam this form replaces: a web frontier has
+    // 10^7-10^8 registrable domains with crawl-delays, where a literal
+    // map explodes plan size and driver memory. Force the worst case:
+    // broadcast disabled entirely, guard far below the table.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val delayDf = spark.range(0, 100000).select(
+        concat(lit("h"), col("id"), lit(".com")).as("domain"),
+        (col("id") % 7 * 100L + 100L).as("delay_ms"))
+      val fr = spark.range(0, 2000).select(
+        concat(lit("h"), col("id") % 1000, lit(".com")).as("host"),
+        concat(lit("http://h"), col("id") % 1000, lit(".com/p/"), col("id")).as("canon"))
+        .unionByName(Seq(("nodelay.com", "http://nodelay.com/p"))
+          .toDF("host", "canon"))
+      val out = Frontier.scheduleJoined(fr, delayDf, defaultDelayMs = 500L,
+        workers = 8, maxBroadcastDomains = 1000L)
+      // the join shuffles BOTH sides on the host key and the per-host
+      // window REUSES that partitioning: the frontier crosses the wire
+      // once — two exchanges total, none of them the frontier twice
+      graft.queries.Q.requireMaxShuffles(out, 2)
+      assert(graft.queries.Q.planNodes(out).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+      // and the delay table never enters the plan TEXT — the literal
+      // seam is the regression target
+      assert(!out.queryExecution.executedPlan.toString.contains("h77777.com"))
+      // sampled closed-form: host h3.com delay = 3%7*100+100 = 400;
+      // its two urls order ".../p/1003" < ".../p/3" (string order)
+      val h3 = out.filter(col("host") === "h3.com").collect()
+        .map(r => r.getAs[String]("canon") -> r.getAs[Long]("fetch_at_ms")).toMap
+      assert(h3 == Map("http://h3.com/p/1003" -> 0L, "http://h3.com/p/3" -> 400L), h3.toString)
+      // absent domain takes the scheduler default
+      val nd = out.filter(col("host") === "nodelay.com").head()
+      assert(nd.getAs[Long]("fetch_at_ms") == 0L && nd.getAs[Long]("slot") == 0L)
+      val h9 = out.filter(col("host") === "h9.com").collect()
+        .map(_.getAs[Long]("fetch_at_ms")).sorted.toSeq
+      assert(h9 == Seq(0L, 300L), h9.toString) // 9%7*100+100 = 300
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("schedule: contract guards") {
     intercept[IllegalArgumentException] {
       Frontier.schedule(frontier, delays, 500L, workers = 0)
