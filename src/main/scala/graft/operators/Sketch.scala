@@ -136,6 +136,40 @@ object Sketch {
   /** Linear-counting / raw-estimate switchover: the standard 2.5·m. */
   val HllLcBound: Long = 5L * HllBuckets / 2L
 
+  /** The m = 64 default is the SCREENING regime (~13% three-sigma
+    * band, register-pinnable in a 64-row frame); production distinct
+    * counting runs the parameterized twins below at p = 12
+    * (m = 4096, ~1.6% standard error — the [[HllWideBits]] gate).
+    * Everything stays integer at any supported width: the numerator
+    * α·m²·2^33 peaks at ~1.04e17 for m = 4096 (inside Long), and the
+    * scaled harmonic sum peaks at m·2^33 = 2^45.
+    */
+  val HllWideBits: Int = 12
+
+  /** α_m·m²·2^(FieldBits+1) floored ONCE for a 2^bits-bucket sketch —
+    * the estimate numerator both engines divide (the [[HllAlphaNum]]
+    * contract, parameterized). α per Flajolet et al. 2007: 673/1000
+    * (m=16), 697/1000 (m=32), 709/1000 (m=64), 0.7213/(1+1.079/m)
+    * beyond — the large-m constant carried to nine fractional digits
+    * before the one floor, so the literal is a pure function of
+    * `bits` and splices identically into the oracle SQL.
+    */
+  def hllAlphaNumFor(bits: Int): Long = {
+    require(bits >= 4 && bits <= 14, "Sketch.hllAlphaNumFor: 16..16384 buckets")
+    val m = 1L << bits
+    val pow = BigInt(1) << (HllFieldBits + 1)
+    val alphaNano: Long = bits match {
+      case 4 => 673000000L
+      case 5 => 697000000L
+      case 6 => 709000000L
+      case _ => math.floor(7213e5 * m / (m + 1.079)).toLong
+    }
+    (BigInt(alphaNano) * m * m * pow / BigInt(1000000000L)).toLong
+  }
+
+  /** Linear-counting switchover for a 2^bits-bucket sketch: 2.5·m. */
+  def hllLcBoundFor(bits: Int): Long = 5L * (1L << bits) / 2L
+
   /** Build the register set over a text column's whitespace tokens:
     * ONE corpus scan — each token projects to its (bucket, rank) pair
     * map-side, then one partial-agg shuffle folds the MAX into the
@@ -149,21 +183,34 @@ object Sketch {
     * field; one hash chain so solo and grouped sketches can never
     * drift.
     */
-  private def hllBucketRho: Seq[Column] = {
+  private def hllBucketRho: Seq[Column] = hllBucketRhoFor(6)
+
+  private def hllBucketRhoFor(bits: Int): Seq[Column] = {
     val h = xxhash64(col("__t"))
-    val v = shiftrightunsigned(h, 6).bitwiseAND(lit(4294967295L))
+    val v = shiftrightunsigned(h, bits).bitwiseAND(lit(4294967295L))
     val rho = when(v === 0L, lit(HllFieldBits + 1))
       .otherwise(lit(HllFieldBits + 1) - length(bin(v)))
-    Seq(h.bitwiseAND(lit(HllBuckets - 1L)).as("bucket"),
+    Seq(h.bitwiseAND(lit((1L << bits) - 1L)).as("bucket"),
       rho.cast("long").as("__rho"))
   }
 
   def hllRegisters(docs: DataFrame, textCol: String): DataFrame =
+    hllRegistersP(docs, textCol, 6)
+
+  /** [[hllRegisters]] at an arbitrary precision p = `bits` (m = 2^p
+    * buckets; low p hash bits index the bucket, the next 32 are the
+    * rank field) — the production-width form: the same ONE scan + one
+    * partial-agg shuffle, a ≤ m-row register frame out, cell-wise-MAX
+    * mergeable via [[hllMerge]] at any width (merge never looks at m).
+    */
+  def hllRegistersP(docs: DataFrame, textCol: String, bits: Int): DataFrame = {
+    require(bits >= 4 && bits <= 14, "Sketch.hllRegistersP: 16..16384 buckets")
     docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .select(hllBucketRho: _*)
+      .select(hllBucketRhoFor(bits): _*)
       .groupBy(col("bucket"))
       .agg(max(col("__rho")).as("register"))
+  }
 
   /** Merge register sets (same m): cell-wise MAX — equals building on
     * the concatenated corpora bit-exactly (max is associative,
@@ -225,6 +272,33 @@ object Sketch {
             (lit(TextAnalysis.LnTable(HllBuckets - 1)) -
               TextAnalysis.lnInt(col("n_zero")))))
           .otherwise(col("est_raw")))
+  }
+
+  /** [[hllEstimateBy]] with an explicit group UNIVERSE — the left-join
+    * the GROUP-BY caveat demands, wrapped so composed gates can't
+    * forget it: a group whose documents all tokenized to nothing never
+    * reaches the sketch (the group key rides the tokens, and there are
+    * none), so its row is absent from the register frame. `universe`
+    * carries one `group` column (deduped here); absent groups fill
+    * with the EMPTY-SKETCH row — the exact values [[hllEstimate]]
+    * returns on an empty frame (n_present 0, n_zero m, s_sum m·2^33,
+    * the floored raw quotient, method linear, est 0) — so downstream
+    * code cannot tell a filled zero from a computed one.
+    */
+  def hllEstimateByComplete(registers: DataFrame, universe: DataFrame): DataFrame = {
+    val m = HllBuckets.toLong
+    val k = HllFieldBits + 1
+    val emptySum = m * (1L << k)
+    universe.select(col("group")).distinct()
+      .join(hllEstimateBy(registers), Seq("group"), "left")
+      .select(
+        col("group"),
+        coalesce(col("n_present"), lit(0L)).as("n_present"),
+        coalesce(col("n_zero"), lit(m)).as("n_zero"),
+        coalesce(col("s_sum"), lit(emptySum)).as("s_sum"),
+        coalesce(col("est_raw"), lit(HllAlphaNum / emptySum)).as("est_raw"),
+        coalesce(col("method"), lit("linear")).as("method"),
+        coalesce(col("est"), lit(0L)).as("est"))
   }
 
   // --- KMV (k-minimum-values / bottom-k theta) ---------------------------
@@ -414,6 +488,35 @@ object Sketch {
             s"CAST(n_union_est AS DECIMAL(38,0)) div CAST($KmvK AS DECIMAL(38,0))")))
   }
 
+  /** A-not-B (set DIFFERENCE) estimate across two sketches — the
+    * member that closes the set-operation family (union = the merge's
+    * estimate, intersection = [[kmvIntersectEstimate]], difference =
+    * here, all on the SAME merged sample): L = the merged register set
+    * (a uniform K-sample of A∪B); c = |{h ∈ L : h in A's registers AND
+    * NOT in B's}|; n̂_{A∖B} = c·n̂_∪ div K — or exactly c when the
+    * union sketch is exact (union exhaustive ⇒ both inputs
+    * exhaustive). Membership against the register sets is sound for
+    * every h ∈ L: the union's Kth minimum is ≤ either input's, so an
+    * element of L present in a source is always inside that source's
+    * bottom-K. Register frames are K-row, so every join broadcasts;
+    * one row out: (n_union_present, method, n_union_est, n_diff, est).
+    */
+  def kmvDifferenceEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    val merged = kmvMerge(a, b)
+    val diff = merged
+      .join(broadcast(a.select(col("hv").as("__ha"))), col("hv") === col("__ha"), "left_semi")
+      .join(broadcast(b.select(col("hv").as("__hb"))), col("hv") === col("__hb"), "left_anti")
+      .agg(count(lit(1)).as("n_diff"))
+    kmvEstimate(merged)
+      .select(col("n_present").as("n_union_present"),
+        col("method"), col("est").as("n_union_est"))
+      .crossJoin(broadcast(diff))
+      .withColumn("est",
+        when(col("method") === "exact", col("n_diff"))
+          .otherwise(expr("CAST(n_diff AS DECIMAL(38,0)) * " +
+            s"CAST(n_union_est AS DECIMAL(38,0)) div CAST($KmvK AS DECIMAL(38,0))")))
+  }
+
   /** Cardinality estimate from a register set — ONE row out, never a
     * collect: n_present and the scaled harmonic sum ride one agg over
     * the ≤ m-row frame; empty buckets contribute 2^33 each. The raw
@@ -423,9 +526,19 @@ object Sketch {
     * [[TextAnalysis.LnTable]] so the float product is the identical
     * IEEE operation in both engines. `method` pins which branch fired.
     */
-  def hllEstimate(registers: DataFrame): DataFrame = {
-    val m = HllBuckets.toLong
+  def hllEstimate(registers: DataFrame): DataFrame = hllEstimateP(registers, 6)
+
+  /** [[hllEstimate]] for a p = `bits` register frame — the identical
+    * all-integer math with the width-dependent constants swapped:
+    * numerator [[hllAlphaNumFor]], switchover [[hllLcBoundFor]], the
+    * linear branch's ln(m) read from the shared table (m ≤ 16384 by
+    * the builder guard). Still ONE agg row out of the ≤ m-row frame.
+    */
+  def hllEstimateP(registers: DataFrame, bits: Int): DataFrame = {
+    val m = 1L << bits
     val k = HllFieldBits + 1
+    val alphaNum = hllAlphaNumFor(bits)
+    val lcBound = hllLcBoundFor(bits)
     registers
       .agg(
         count(lit(1)).as("n_present"),
@@ -436,14 +549,14 @@ object Sketch {
         (lit(m) - col("n_present")).as("n_zero"),
         (col("__s_present") + (lit(m) - col("n_present")) * lit(1L << k))
           .as("s_sum"))
-      .withColumn("est_raw", expr(s"${HllAlphaNum}L div s_sum"))
+      .withColumn("est_raw", expr(s"${alphaNum}L div s_sum"))
       .withColumn("method",
-        when(col("est_raw") <= HllLcBound && col("n_zero") > 0, lit("linear"))
+        when(col("est_raw") <= lcBound && col("n_zero") > 0, lit("linear"))
           .otherwise(lit("raw")))
       .withColumn("est",
         when(col("method") === "linear",
           floor(lit(m.toDouble) *
-            (lit(TextAnalysis.LnTable(HllBuckets - 1)) -
+            (lit(TextAnalysis.LnTable((m - 1).toInt)) -
               TextAnalysis.lnInt(col("n_zero")))))
           .otherwise(col("est_raw")))
   }

@@ -221,8 +221,13 @@ object CorpusQueries {
     * leading zeros. Ends in `hregs(bucket, register)` — the chain must
     * be spliced directly after a `WITH`-list comma.
     */
-  private def hllRegistersSql(src: String): String = {
-    val m = graft.operators.Sketch.HllBuckets
+  private def hllRegistersSql(src: String): String = hllRegistersSqlP(src, 6)
+
+  /** [[hllRegistersSql]] at precision p = `bits` — the same chain with
+    * m = 2^bits, mirroring [[graft.operators.Sketch.hllRegistersP]].
+    */
+  private def hllRegistersSqlP(src: String, bits: Int): String = {
+    val m = 1L << bits
     val k = graft.operators.Sketch.HllFieldBits + 1
     s"""hto AS (SELECT t AS id, t AS tok FROM $src),${OracleSql.xxh64Ctes("hto")},
        |hregs AS (
@@ -240,9 +245,19 @@ object CorpusQueries {
     * lns from `lnt(l)` (must be in scope). Ends in
     * `hest(n_present, n_zero, s_sum, est_raw, method, est)`.
     */
-  private def hllEstimateSql(regs: String): String = {
-    val m = graft.operators.Sketch.HllBuckets
+  private def hllEstimateSql(regs: String): String = hllEstimateSqlP(regs, 6)
+
+  /** [[hllEstimateSql]] at precision p = `bits`, mirroring
+    * [[graft.operators.Sketch.hllEstimateP]] — the width-dependent
+    * constants come from the SAME functions the Spark side splices
+    * ([[graft.operators.Sketch.hllAlphaNumFor]]/`hllLcBoundFor`), so
+    * the two engines can never disagree on a literal.
+    */
+  private def hllEstimateSqlP(regs: String, bits: Int): String = {
+    val m = 1L << bits
     val k = graft.operators.Sketch.HllFieldBits + 1
+    val alphaNum = graft.operators.Sketch.hllAlphaNumFor(bits)
+    val lcBound = graft.operators.Sketch.hllLcBoundFor(bits)
     s"""hsum AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
        |    CAST($m - COUNT(*) AS BIGINT) AS n_zero,
@@ -250,8 +265,8 @@ object CorpusQueries {
        |       + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << $k) AS BIGINT) AS s_sum
        |  FROM $regs
        |), hraw AS (
-       |  SELECT *, CAST(${graft.operators.Sketch.HllAlphaNum} // s_sum AS BIGINT) AS est_raw,
-       |    CASE WHEN ${graft.operators.Sketch.HllAlphaNum} // s_sum <= ${graft.operators.Sketch.HllLcBound}
+       |  SELECT *, CAST($alphaNum // s_sum AS BIGINT) AS est_raw,
+       |    CASE WHEN $alphaNum // s_sum <= $lcBound
        |              AND n_zero > 0 THEN 'linear' ELSE 'raw' END AS method
        |  FROM hsum
        |), hest AS (
@@ -3988,6 +4003,53 @@ object CorpusQueries {
       )
     ),
 
+    // PRODUCTION-WIDTH HLL — m = 2^12 = 4096 buckets. m = 64 is the
+    // screening regime (~13% three-sigma band), kept above for its
+    // oracle-pinnable 64-row register frame; real distinct counting
+    // runs 4096+ buckets (~1.6% standard error). The all-integer
+    // estimate SURVIVES the widening (numerator α·m²·2^33 ≈ 1.04e17,
+    // harmonic sum ≤ m·2^33 = 2^45 — both inside Long), the
+    // width-dependent constants splice from ONE Scala function into
+    // BOTH engines (hllAlphaNumFor — the literal cannot drift), and
+    // the gate keeps the family's merge==build discipline: per-half
+    // builds, cell-wise-MAX merge, estimate on the merged frame.
+    // err_pm asserts the TIGHTER production band (≤ 50‰ vs the m=64
+    // gate's 300‰). Still one scan per half + one ≤4096-row
+    // partial-agg exchange; the register frame never grows with the
+    // corpus.
+    Q(
+      "q_hll_wide",
+      (spark, dir) => {
+        val bits = graft.operators.Sketch.HllWideBits
+        val keys = Q.t(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k"),
+            col("o_orderkey").as("__id"))
+        val merged = graft.operators.Sketch.hllMerge(
+          graft.operators.Sketch.hllRegistersP(
+            keys.filter(col("__id") % 2 === 0), "k", bits),
+          graft.operators.Sketch.hllRegistersP(
+            keys.filter(col("__id") % 2 === 1), "k", bits))
+        val est = graft.operators.Sketch.hllEstimateP(merged, bits)
+        val exact = keys.agg(countDistinct(col("k")).as("n_exact"))
+        est.crossJoin(exact)
+          .withColumn("err_pm", expr("abs(est - n_exact) * 1000L div n_exact"))
+          .withColumn("within_band", col("err_pm") <= 50L)
+      },
+      Some {
+        val bits = graft.operators.Sketch.HllWideBits
+        s"""WITH lnt AS (SELECT $LnTabSql AS l), tk AS (
+           |  SELECT CAST(o_orderkey AS VARCHAR) AS t FROM orders
+           |), ${hllRegistersSqlP("tk", bits)}, ${hllEstimateSqlP("hregs", bits)}, ex AS (
+           |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact FROM tk
+           |)
+           |SELECT e.*, ex.n_exact,
+           |  CAST(ABS(e.est - ex.n_exact) * 1000 // ex.n_exact AS BIGINT) AS err_pm,
+           |  CAST(ABS(e.est - ex.n_exact) * 1000 // ex.n_exact AS BIGINT) <= 50
+           |    AS within_band
+           |FROM hest e CROSS JOIN ex""".stripMargin
+      }
+    ),
+
     // KMV (k-minimum-values / bottom-k theta) REGISTERS — the sketch
     // family's set-operation member: the K smallest distinct XXH64
     // values of the key stream. Like q_hll_registers the gate builds
@@ -4107,6 +4169,67 @@ object CorpusQueries {
            |            // ${graft.operators.Sketch.KmvK} END AS BIGINT) - ex.n_exact)
            |       * 1000 // ex.n_exact AS BIGINT) AS err_pm
            |FROM kest e, cm c, ex""".stripMargin
+      )
+    ),
+
+    // KMV set DIFFERENCE (A-not-B) — the member that CLOSES the
+    // set-operation family on the SAME merged sample (union = the
+    // merge's estimate, intersection = q_kmv_intersect, difference =
+    // here): c = merged registers inside A's set but NOT B's;
+    // n̂_{A∖B} = c·n̂_∪ div K, exactly c when the union sketch is
+    // exhaustive. Membership against register sets is sound for every
+    // merged element (the union's Kth minimum is ≤ either input's).
+    // Same coprime fixture as the intersection — A = keys ∤3, B =
+    // keys ∤2, so A∖B = the even keys not divisible by 3 (1/3 of the
+    // stream) — and the oracle derives both register sets, the merge,
+    // the anti-membership count and the exact difference closed-form
+    // from ONE hashed key stream. K-row frames, every join
+    // broadcasts, one row out.
+    Q(
+      "q_kmv_difference",
+      (spark, dir) => {
+        val keys = Q.t(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("k"),
+            col("o_orderkey").as("__id"))
+        val a = graft.operators.Sketch.kmvSketch(
+          keys.filter(col("__id") % 3 =!= 0), "k")
+        val b = graft.operators.Sketch.kmvSketch(
+          keys.filter(col("__id") % 2 =!= 0), "k")
+        val exact = keys
+          .filter(col("__id") % 3 =!= 0 && col("__id") % 2 === 0)
+          .agg(countDistinct(col("k")).as("n_exact"))
+        graft.operators.Sketch.kmvDifferenceEstimate(a, b)
+          .crossJoin(exact)
+          .withColumn("err_pm", expr("abs(est - n_exact) * 1000L div n_exact"))
+      },
+      Some(
+        s"""WITH tk AS (
+           |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS t FROM orders
+           |), ${kmvRegistersSql("tk")},
+           |kx AS MATERIALIZED (SELECT CAST(tok AS BIGINT) AS key, th FROM xh),
+           |ka AS (SELECT DISTINCT th FROM kx WHERE key % 3 <> 0
+           |       ORDER BY th LIMIT ${graft.operators.Sketch.KmvK}),
+           |kb AS (SELECT DISTINCT th FROM kx WHERE key % 2 <> 0
+           |       ORDER BY th LIMIT ${graft.operators.Sketch.KmvK}),
+           |mg AS (SELECT DISTINCT th FROM
+           |         (SELECT th FROM ka UNION ALL SELECT th FROM kb)
+           |       ORDER BY th LIMIT ${graft.operators.Sketch.KmvK}),
+           |${kmvEstimateSql("mg")},
+           |dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_diff FROM mg
+           |       WHERE th IN (SELECT th FROM ka) AND th NOT IN (SELECT th FROM kb)),
+           |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM kx
+           |       WHERE key % 3 <> 0 AND key % 2 = 0)
+           |SELECT e.n_present AS n_union_present, e.method,
+           |  e.est AS n_union_est, d.n_diff,
+           |  CAST(CASE WHEN e.method = 'exact' THEN d.n_diff
+           |       ELSE CAST(d.n_diff AS HUGEINT) * e.est
+           |            // ${graft.operators.Sketch.KmvK} END AS BIGINT) AS est,
+           |  ex.n_exact,
+           |  CAST(ABS(CAST(CASE WHEN e.method = 'exact' THEN d.n_diff
+           |       ELSE CAST(d.n_diff AS HUGEINT) * e.est
+           |            // ${graft.operators.Sketch.KmvK} END AS BIGINT) - ex.n_exact)
+           |       * 1000 // ex.n_exact AS BIGINT) AS err_pm
+           |FROM kest e, dc d, ex""".stripMargin
       )
     ),
 

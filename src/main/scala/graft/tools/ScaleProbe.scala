@@ -608,6 +608,13 @@ object ScaleProbe {
       probe(s"kmv x$k") {
         graft.operators.Sketch.kmvSketch(d, "text").count()
       }
+      // production-width HLL (m=4096): the same one-scan shape — the
+      // register frame is 64x wider but still corpus-independent, so
+      // wall must stay flat alongside the m=64 probe
+      probe(s"hll_wide x$k") {
+        graft.operators.Sketch.hllRegistersP(
+          d, "text", graft.operators.Sketch.HllWideBits).count()
+      }
       // frontier scheduling: ONE per-host window exchange; the delay
       // table rides as literals — wall must track the URL count, and
       // hosts spread (97 here) keep the window partitions parallel

@@ -234,6 +234,88 @@ class SketchSpec extends SparkSpec {
     assert(m(("g1", "g2"))._1 == 0L && m(("g1", "g2"))._2 == 0L)
   }
 
+  test("hllRegistersP/hllEstimateP: the wide (m=4096) twin — merge==build, tighter band, m=64 delegation") {
+    val bits = graft.operators.Sketch.HllWideBits
+    val keys = (0 until 20000).map(i => s"key$i").toDF("t").select($"t".as("k"))
+    // merge == build bit-exactly on the registers themselves, at width
+    val full = graft.operators.Sketch.hllRegistersP(keys, "k", bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val halves = graft.operators.Sketch.hllMerge(
+      graft.operators.Sketch.hllRegistersP(
+        keys.filter(length($"k") % 2 === 0), "k", bits),
+      graft.operators.Sketch.hllRegistersP(
+        keys.filter(length($"k") % 2 =!= 0), "k", bits))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(halves == full)
+    assert(full.keySet.forall(b => b >= 0 && b < 4096L))
+    // production band: 3·RSE at m=4096 is ~4.9% — an order tighter
+    // than the m=64 screening gate's 30%
+    val est = graft.operators.Sketch.hllEstimateP(
+      graft.operators.Sketch.hllRegistersP(keys, "k", bits), bits).head()
+    assert(est.getAs[String]("method") == "raw")
+    assert(math.abs(est.getAs[Long]("est") - 20000L) <= 20000L * 0.049,
+      s"wide est=${est.getAs[Long]("est")}")
+    // the width-6 constants reproduce the original literals exactly
+    assert(graft.operators.Sketch.hllAlphaNumFor(6) == graft.operators.Sketch.HllAlphaNum)
+    assert(graft.operators.Sketch.hllLcBoundFor(6) == graft.operators.Sketch.HllLcBound)
+  }
+
+  test("hllEstimateByComplete: absent groups fill with the exact empty-sketch row") {
+    // g_empty's only document tokenizes to nothing (NULL text — the
+    // whitespace splitter yields [""] even for blank strings, so null
+    // is the true token-less case): the group key never reaches the
+    // sketch, and hllEstimateBy has NO row for it
+    val docs = Seq(("g_a", "alpha beta gamma"), ("g_empty", null: String))
+      .toDF("g", "text")
+    val regs = graft.operators.Sketch.hllRegistersBy(docs, "text", "g")
+    val bare = graft.operators.Sketch.hllEstimateBy(regs)
+    assert(bare.filter($"group" === "g_empty").isEmpty)
+    val universe = docs.select($"g".as("group"))
+    val full = graft.operators.Sketch.hllEstimateByComplete(regs, universe)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(full.keySet == Set("g_a", "g_empty"))
+    // the filled row equals hllEstimate on a genuinely empty frame,
+    // column for column — downstream can't tell fill from computation
+    val emptyRow = graft.operators.Sketch.hllEstimate(
+      graft.operators.Sketch.hllRegisters(
+        Seq.empty[String].toDF("text"), "text")).head()
+    val filled = full("g_empty")
+    for (c <- Seq("n_present", "n_zero", "s_sum", "est_raw", "est"))
+      assert(filled.getAs[Long](c) == emptyRow.getAs[Long](c), c)
+    assert(filled.getAs[String]("method") == emptyRow.getAs[String]("method"))
+    assert(filled.getAs[Long]("est") == 0L)
+    // present groups pass through untouched
+    assert(full("g_a").getAs[Long]("est") ==
+      bare.filter($"group" === "g_a").head().getAs[Long]("est"))
+  }
+
+  test("kmvDifferenceEstimate: exact regime is exact; sampled difference within band") {
+    // all under K: union exhaustive, difference exact
+    val a = (0 until 30).map(i => s"key$i").toDF("k")
+    val b = (20 until 50).map(i => s"key$i").toDF("k")
+    val r = graft.operators.Sketch.kmvDifferenceEstimate(
+      graft.operators.Sketch.kmvSketch(a, "k"),
+      graft.operators.Sketch.kmvSketch(b, "k")).head()
+    assert(r.getAs[String]("method") == "exact")
+    assert(r.getAs[Long]("n_diff") == 20L && r.getAs[Long]("est") == 20L)
+    // A ⊆ B: difference is zero in any regime
+    val sub = graft.operators.Sketch.kmvDifferenceEstimate(
+      graft.operators.Sketch.kmvSketch(a, "k"),
+      graft.operators.Sketch.kmvSketch(a.unionByName(b), "k")).head()
+    assert(sub.getAs[Long]("n_diff") == 0L && sub.getAs[Long]("est") == 0L)
+    // sampled regime: |A∖B| = 6000 of an 18000 union
+    val bigA = (0 until 12000).map(i => s"key$i").toDF("k")
+    val bigB = (6000 until 18000).map(i => s"key$i").toDF("k")
+    val s = graft.operators.Sketch.kmvDifferenceEstimate(
+      graft.operators.Sketch.kmvSketch(bigA, "k"),
+      graft.operators.Sketch.kmvSketch(bigB, "k")).head()
+    assert(s.getAs[String]("method") == "sampled")
+    val k = graft.operators.Sketch.KmvK
+    val band = 3.0 * 18000.0 / math.sqrt((k - 2).toDouble)
+    assert(math.abs(s.getAs[Long]("est") - 6000L) <= band,
+      s"difference est=${s.getAs[Long]("est")} outside band $band")
+  }
+
   test("kmvIntersectEstimate: exact regime is exact; sampled overlap within band") {
     // small disjoint + overlapping sets, all under K: the union sketch
     // is exhaustive and the intersection estimate is the TRUE overlap
