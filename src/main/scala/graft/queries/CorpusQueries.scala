@@ -3719,6 +3719,116 @@ object CorpusQueries {
       )
     ),
 
+    // The CONTINUOUS-CRAWL loop CLOSED — the composition a refresh
+    // crawler actually runs, each piece already gated solo: two fetch
+    // rounds of every page → Changelog.snapshotDiff verdicts on the
+    // payloads (the 'changed' flag is the DIFF FRAME's output, not a
+    // re-derivation — the loop is real) → Frontier.revisitSchedule
+    // turns the per-URL change history into backoff intervals →
+    // re-admission through the SAME canon + robots chain a first
+    // admission runs (the robots re-check archived crawls owe sites
+    // whose rules changed: /p/ban pages drop OUT of the refresh plan)
+    // → the next fetch plan, politeness slots ordered by URGENCY
+    // (earliest next_fetch first) under frame-joined crawl-delays.
+    // Fixture arms, all closed-form: text changes at id%3==0 (streak 0,
+    // base interval) vs unchanged (streak 1, doubled); id%7==0 URLs
+    // fall under the new robots ban; messy stored URLs (case, port,
+    // dot-segment) unify through graft_url_canon before the history
+    // window. The oracle re-derives the verdicts, streaks, intervals,
+    // admission and the slot/delay/shard plan across both crawl
+    // rounds. Corpus exchanges: diff join (2 sides) + verdict join +
+    // revisit window + screen groupBy + host window; the rules/delay
+    // frames stay |domains|-bounded (one tiny group-selection
+    // exchange) and NEVER enter the plan text.
+    Q(
+      "q_crawl_refresh",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Q.t(spark, dir, "documents")
+        // two snapshots of the fetched payloads
+        val v1 = docs.select(col("doc_id"), col("text"))
+        val v2 = docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        val verdicts = graft.operators.Changelog.snapshotDiff(v1, v2, "doc_id", "text")
+        // the fetch history, keyed by the CANONICAL url (stored forms
+        // are messy; the canon step is part of the loop)
+        val messy = concat(lit("HTTP://Site"), (col("doc_id") % 5).cast("int"),
+          lit(".EXAMPLE:80/p/./"),
+          when(col("doc_id") % 7 === 0, concat(lit("ban"), col("doc_id")))
+            .otherwise(col("doc_id").cast("string")))
+        val pages = docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.urlCanon(messy).as("canon"))
+        val f1 = pages.select(col("canon"),
+          (col("doc_id") * 1000L).as("fetch_ms"), lit(true).as("changed"))
+        val f2 = pages
+          .join(verdicts.filter(col("change") === "changed")
+            .select(col("key").as("doc_id"), lit(true).as("__chg")), Seq("doc_id"), "left")
+          .select(col("canon"), (col("doc_id") * 1000L + 60000L).as("fetch_ms"),
+            coalesce(col("__chg"), lit(false)).as("changed"))
+        val sched = graft.operators.Frontier.revisitSchedule(
+          f1.unionByName(f2), baseMs = 30000L, maxMs = 240000L)
+        // re-admission: the refreshed robots ban /p/ban and carry the
+        // per-site crawl-delays the NEXT plan schedules under
+        val robotsDf = (0 until 5).map(m => (s"site$m.example",
+          "User-agent: *\nDisallow: /p/ban\n" +
+            (if (m < 4) s"Crawl-delay: ${m + 1}\n" else "")))
+          .toDF("domain", "txt")
+        val ruleRows = graft.operators.Robots.rules(robotsDf, "domain", "txt")
+        val delayFrame = graft.operators.Robots.effectiveDelayFrame(
+          graft.operators.Robots.crawlDelays(robotsDf, "domain", "txt"), "graftbot")
+        val admitted = graft.operators.Robots.politenessScreen(
+          sched.withColumn("host", expr("parse_url(canon, 'HOST')"))
+            .withColumn("__path", expr("parse_url(canon, 'PATH')")),
+          ruleRows, "graftbot",
+          idCol = "canon", domainCol = "host", pathCol = "__path")
+          .filter(col("allowed"))
+          .withColumn("priority", -col("next_fetch_ms"))
+        val out = graft.operators.Frontier.scheduleJoined(
+          admitted, delayFrame, defaultDelayMs = 500L, workers = 8,
+          priorityCol = Some("priority"))
+          .select(col("canon"), col("host"), col("unchanged_streak"),
+            col("interval_ms"), col("next_fetch_ms"), col("slot"),
+            col("fetch_at_ms"), col("worker"))
+        Q.requireBroadcastJoin(out)
+        // 7 total: diff full-outer (2 sides) + verdict join (2) + the
+        // revisit window + the screen groupBy + the host window — the
+        // honest corpus count for a diff-driven refresh; the rules
+        // group-selection exchange rides the |domains|-bounded frame
+        // and AQE folds the broadcast sides out
+        Q.requireMaxShuffles(out, 7)
+        out
+      },
+      Some(
+        s"""WITH sched AS (
+           |  SELECT
+           |    'http://site' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR)
+           |      || '.example/p/' || CAST(doc_id AS VARCHAR) AS canon,
+           |    'site' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR) || '.example' AS host,
+           |    CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+           |      AS unchanged_streak,
+           |    CAST(CASE WHEN doc_id % 3 = 0 THEN 30000 ELSE 60000 END AS BIGINT)
+           |      AS interval_ms,
+           |    CAST(doc_id * 1000 + 60000 AS BIGINT) AS last_fetch_ms
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |), s AS (
+           |  SELECT canon, host, unchanged_streak, interval_ms,
+           |    last_fetch_ms + interval_ms AS next_fetch_ms,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+           |      ORDER BY last_fetch_ms + interval_ms ASC, canon ASC) - 1
+           |      AS BIGINT) AS slot
+           |  FROM sched
+           |)
+           |SELECT *,
+           |  slot * CASE host
+           |    WHEN 'site0.example' THEN 1000 WHEN 'site1.example' THEN 2000
+           |    WHEN 'site2.example' THEN 3000 WHEN 'site3.example' THEN 4000
+           |    ELSE 500 END AS fetch_at_ms,
+           |  CAST(${polyHashSql("host", 31L)} % 8 AS INT) AS worker
+           |FROM s""".stripMargin
+      )
+    ),
+
     // Snapshot DIFF between two dataset versions — the release-note
     // primitive of a curation cycle (what did v2 add, remove, change
     // vs v1), the audit twin of q_cdc_apply. Each side collapses to

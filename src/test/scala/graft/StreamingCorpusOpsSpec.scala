@@ -611,6 +611,58 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("revisit schedule: per-URL streak state streams to exactly the batch window") {
+    implicit val sqlCtx = spark.sqlContext
+    // the refresh loop's streaming half: fetch completions stream in,
+    // the two-long per-URL state tracks the unchanged streak, and the
+    // LATEST emit per canon equals the batch revisitSchedule over the
+    // concatenated history — ties (changed-last), resets, the
+    // exponential ladder and the cap all pinned across a batch split
+    val b1 = Seq(
+      ("u/hot", 100L, true), ("u/hot", 200L, true),
+      ("u/cool", 100L, true), ("u/cool", 200L, true),
+      ("u/dead", 100L, false), ("u/dead", 200L, false), ("u/dead", 300L, false),
+      ("u/dead", 400L, false), ("u/dead", 500L, false), ("u/dead", 600L, false))
+    val b2 = Seq(
+      ("u/hot", 300L, true),                          // still hot: streak 0
+      ("u/cool", 300L, false), ("u/cool", 400L, false), // cooled: streak 2
+      // same-ts tie INSIDE a batch, adversarial input order: the
+      // in-batch sort orders changed LAST, so the changed fetch wins
+      // recency and the streak is 0 (one emit — same-ts emits across
+      // batches would be indistinguishable to a latest-row reader)
+      ("u/tie", 100L, true), ("u/tie", 100L, false),
+      ("u/dead", 700L, false), ("u/dead", 800L, false),
+      ("u/dead", 900L, false), ("u/dead", 1000L, false),
+      ("u/dead", 1100L, false), ("u/dead", 1200L, false)) // 12 unchanged: cap
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = graft.streaming.StreamingRevisit.schedule(
+      in.toDF().toDF("canon", "fetch_ms", "changed"), baseMs = 100L, maxMs = 10000L)
+      .writeStream.format("memory").queryName("sc_revisit_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // Update sink appends every emit; latest per canon IS the schedule
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canon")).orderBy(col("last_fetch_ms").desc)
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[String]("canon") ->
+          ((r.getAs[Long]("last_fetch_ms"), r.getAs[Long]("unchanged_streak"),
+            r.getAs[Long]("interval_ms"), r.getAs[Long]("next_fetch_ms")))).toMap
+      val streamed = m(spark.table("sc_revisit_out")
+        .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1))
+      val batch = m(graft.streaming.StreamingRevisit.schedule(
+        (b1 ++ b2).toDF("canon", "fetch_ms", "changed"), 100L, 10000L))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // and the arms are the hand-walked values
+      assert(streamed("u/hot") == ((300L, 0L, 100L, 400L)))
+      assert(streamed("u/cool") == ((400L, 2L, 400L, 800L)))
+      assert(streamed("u/tie") == ((100L, 0L, 100L, 200L)))
+      assert(streamed("u/dead") == ((1200L, 12L, 10000L, 11200L)))
+    } finally q.stop()
+  }
+
   test("KMV registers: sharded bounded-state stream equals the batch build") {
     implicit val sqlCtx = spark.sqlContext
     // the set-operation sketch's streaming contract: per-shard
