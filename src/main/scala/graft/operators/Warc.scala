@@ -220,10 +220,25 @@ object Warc {
     * mess, 3 = a differently-messy DUPLICATE of record i−1's canonical
     * URL; payload `<html><body><h1>T<i></h1><p>page <seed·7+i> crawl
     * words</p></body></html>`.
+    *
+    * `withNonResponses` interleaves the record types a REAL
+    * Common-Crawl archive carries between responses: after response i,
+    * a `revisit` record (same target URI, digest-note body) at
+    * i % 3 == 1 and a `request` record (the outgoing GET) at
+    * i % 3 == 2 — both with non-HTTP bodies, both closed-form, so an
+    * ingest screen can be oracle-checked on counting-and-dropping them
+    * instead of silently assuming an all-response stream. The response
+    * records' bytes are IDENTICAL either way.
     */
-  def syntheticWarcCrawl(seed: Long, nRecords: Int): Array[Byte] = {
+  def syntheticWarcCrawl(seed: Long, nRecords: Int,
+      withNonResponses: Boolean = false): Array[Byte] = {
     require(seed >= 0 && nRecords >= 0, "syntheticWarcCrawl: non-negative seed/count")
     val out = new java.io.ByteArrayOutputStream()
+    def rec(wType: String, uri: String, body: String): Unit =
+      out.write(
+        (s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n")
+          .getBytes("UTF-8"))
     var i = 0
     while (i < nRecords) {
       val m = (seed + i) % 5
@@ -238,14 +253,41 @@ object Warc {
         if ((seed + i) % 5 == 3) "image/png" else "text/html; charset=utf-8"
       val html = s"<html><body><h1>T$i</h1><p>page ${seed * 7 + i} " +
         "crawl words</p></body></html>"
-      val body = s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n$html"
-      val rec =
-        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
-          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n"
-      out.write(rec.getBytes("UTF-8"))
+      rec("response", uri, s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n$html")
+      if (withNonResponses) {
+        if (i % 3 == 1) rec("revisit", uri, s"digest unchanged ${seed * 7 + i}")
+        if (i % 3 == 2) rec("request", uri, s"GET $uri HTTP/1.1")
+      }
       i += 1
     }
     out.toByteArray
+  }
+
+  /** The FULL-STREAM HTTP layer for drop-reason audits: one row per
+    * record of ANY type — `warc_type` rides through; `response`
+    * records carry their parsed HTTP layer exactly like
+    * [[httpResponses]] (status −1 for torn messages); non-response
+    * types (request, revisit, metadata, …) carry status 0 and NULL
+    * fields — they HAVE no HTTP response layer, and the audit
+    * classifies them by type alone. A screen built on this frame
+    * counts what it drops instead of silently assuming an all-response
+    * stream. Map-only like the container walk.
+    */
+  def httpLedger(recs: DataFrame): DataFrame = {
+    import recs.sparkSession.implicits._
+    recs
+      .select(col("media_id").cast("long"), col("rec_idx").cast("int"),
+        col("warc_type").cast("string"), col("target_uri").cast("string"),
+        col("body").cast("string"))
+      .as[(Long, Int, String, String, String)]
+      .map { case (id, idx, wType, uri, body) =>
+        if (wType == "response") parseHttp(body) match {
+          case Some((st, ct, cs, pl)) => (id, idx, wType, uri, st, ct, cs, pl)
+          case None                   => (id, idx, wType, uri, -1, null, null, null)
+        } else (id, idx, wType, uri, 0, null, null, null)
+      }
+      .toDF("media_id", "rec_idx", "warc_type", "target_uri",
+        "status", "content_type", "charset", "payload")
   }
 
   /** Deterministic WARC fixture: `nRecords` records whose fields are

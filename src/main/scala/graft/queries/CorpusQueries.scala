@@ -5067,7 +5067,12 @@ object CorpusQueries {
       (spark, dir) => {
         val blobs = Q.t(spark, dir, "nation")
           .select(col("n_nationkey").cast("long").as("media_id"))
-        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcCrawl(k, 8))
+        // the archive interleaves revisit/request records the way real
+        // Common-Crawl files do — the response screen must hold its
+        // output EXACTLY (same oracle) with them present; the ledger
+        // twin (q_crawl_ledger) counts what this silent filter drops
+        val warc = udf((k: Long) =>
+          graft.operators.Warc.syntheticWarcCrawl(k, 8, withNonResponses = true))
         val robotsTxt = "User-agent: *\nDisallow: /a1\n"
         val rules = graft.operators.Robots.effectiveRules(
           (0 until 5).flatMap(m =>
@@ -5099,6 +5104,92 @@ object CorpusQueries {
       },
       Some(
         """WITH rows0 AS (
+          |  -- i is the RESPONSE counter (drives URI/status/text arms);
+          |  -- rec_idx is the record's POSITION in the blob, shifted by
+          |  -- the interleaved revisit (j%3=1) / request (j%3=2)
+          |  -- records before it: i + 2*(i//3) + (i%3=2 ? 1 : 0)
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i,
+          |    i + 2 * (i // 3) + CASE WHEN i % 3 = 2 THEN 1 ELSE 0 END AS rec_idx,
+          |    (n_nationkey + i) % 5 AS m, CAST(i % 4 AS INT) AS arm,
+          |    (n_nationkey + i - 1) % 5 AS mprev
+          |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |), rows1 AS (
+          |  SELECT media_id, rec_idx,
+          |    CASE WHEN arm = 3
+          |      THEN 'http://site' || CAST(mprev AS VARCHAR) || '.example/a2/p/'
+          |           || CAST(i - 1 AS VARCHAR)
+          |      ELSE 'http://site' || CAST(m AS VARCHAR) || '.example/a'
+          |           || CAST(arm AS VARCHAR) || '/p/' || CAST(i AS VARCHAR)
+          |    END AS canon,
+          |    CASE WHEN arm = 3 THEN 2 ELSE arm END AS eff_arm,
+          |    (media_id + i) % 7 <> 2 AND (media_id + i) % 5 <> 3 AS keep_http,
+          |    'T' || CAST(i AS VARCHAR) || ' page '
+          |      || CAST(media_id * 7 + i AS VARCHAR) || ' crawl words' AS text
+          |  FROM rows0
+          |), kept AS (
+          |  SELECT * FROM rows1 WHERE keep_http AND eff_arm <> 1
+          |), dd AS (
+          |  SELECT *, ROW_NUMBER() OVER (
+          |    PARTITION BY canon ORDER BY media_id, rec_idx) AS rn
+          |  FROM kept
+          |)
+          |SELECT media_id, CAST(rec_idx AS INT) AS rec_idx, canon, text
+          |FROM dd WHERE rn = 1""".stripMargin
+      )
+    ),
+
+    // The crawl screen's DROP-REASONS LEDGER — the audit a real ingest
+    // owes its operators: every WARC record classified by the FIRST
+    // stage that drops it (revisit/request by type — real archives
+    // interleave them with responses; 404s; non-text content types;
+    // robots; losing a canonical-URL dedup race) or 'admitted', then
+    // ONE count per reason. Built on Warc.httpLedger (the full-stream
+    // HTTP layer: warc_type rides through, non-responses carry no
+    // parsed fields) so nothing is silently assumed response-shaped.
+    // The dedup rank rides a (reason-null, canon) window — candidates
+    // only — and the oracle re-derives every class closed-form from
+    // the fixture arms, including cross-blob canonical collisions.
+    // Two exchanges: the rank window + the count groupBy.
+    Q(
+      "q_crawl_ledger",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) =>
+          graft.operators.Warc.syntheticWarcCrawl(k, 8, withNonResponses = true))
+        val robotsTxt = "User-agent: *\nDisallow: /a1\n"
+        val rules = graft.operators.Robots.effectiveRules(
+          (0 until 5).flatMap(m =>
+            graft.operators.Robots.parseRobots(s"site$m.example", robotsTxt)),
+          "graftbot")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__early"), col("canon"))
+          .orderBy(col("media_id").asc, col("rec_idx").asc)
+        val out = graft.operators.Warc.httpLedger(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .withColumn("canon",
+            graft.functions.GraftFunctions.urlCanon(col("target_uri")))
+          .withColumn("__early",
+            when(col("warc_type") =!= "response", col("warc_type"))
+              .when(col("status") === -1, lit("torn"))
+              .when(col("status") =!= 200, lit("http_status"))
+              .when(col("content_type") =!= "text/html", lit("content_type"))
+              .when(col("canon").isNull, lit("canon"))
+              .when(!graft.operators.Robots.allowedColumn(rules,
+                expr("parse_url(canon, 'HOST')"),
+                expr("parse_url(canon, 'PATH')")), lit("robots")))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("reason",
+            coalesce(col("__early"),
+              when(col("__rn") > 1, lit("duplicate")).otherwise(lit("admitted"))))
+          .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+        Q.requireMaxShuffles(out, 2)
+        out
+      },
+      Some(
+        """WITH rows0 AS (
           |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS rec_idx,
           |    (n_nationkey + i) % 5 AS m, CAST(i % 4 AS INT) AS arm,
           |    (n_nationkey + i - 1) % 5 AS mprev
@@ -5111,20 +5202,28 @@ object CorpusQueries {
           |      ELSE 'http://site' || CAST(m AS VARCHAR) || '.example/a'
           |           || CAST(arm AS VARCHAR) || '/p/' || CAST(rec_idx AS VARCHAR)
           |    END AS canon,
-          |    CASE WHEN arm = 3 THEN 2 ELSE arm END AS eff_arm,
-          |    (media_id + rec_idx) % 7 <> 2 AND (media_id + rec_idx) % 5 <> 3 AS keep_http,
-          |    'T' || CAST(rec_idx AS VARCHAR) || ' page '
-          |      || CAST(media_id * 7 + rec_idx AS VARCHAR) || ' crawl words' AS text
+          |    CASE WHEN (media_id + rec_idx) % 7 = 2 THEN 'http_status'
+          |         WHEN (media_id + rec_idx) % 5 = 3 THEN 'content_type'
+          |         WHEN (CASE WHEN arm = 3 THEN 2 ELSE arm END) = 1 THEN 'robots'
+          |         ELSE NULL END AS early
           |  FROM rows0
-          |), kept AS (
-          |  SELECT * FROM rows1 WHERE keep_http AND eff_arm <> 1
-          |), dd AS (
-          |  SELECT *, ROW_NUMBER() OVER (
+          |), cand AS (
+          |  SELECT canon, ROW_NUMBER() OVER (
           |    PARTITION BY canon ORDER BY media_id, rec_idx) AS rn
-          |  FROM kept
+          |  FROM rows1 WHERE early IS NULL
+          |), reasons AS (
+          |  SELECT early AS reason FROM rows1 WHERE early IS NOT NULL
+          |  UNION ALL
+          |  SELECT CASE WHEN rn > 1 THEN 'duplicate' ELSE 'admitted' END FROM cand
+          |  UNION ALL
+          |  SELECT 'revisit' FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |  WHERE i % 3 = 1
+          |  UNION ALL
+          |  SELECT 'request' FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |  WHERE i % 3 = 2
           |)
-          |SELECT media_id, CAST(rec_idx AS INT) AS rec_idx, canon, text
-          |FROM dd WHERE rn = 1""".stripMargin
+          |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM reasons GROUP BY reason""".stripMargin
       )
     ),
 

@@ -99,4 +99,40 @@ class WarcSpec extends SparkSpec {
     assert(rows((2L, 2)) == (200, "text/html", "page 16 body"))
     assert(rows((3L, 0)) == (-1, null, null)) // torn fetch stays visible
   }
+
+  test("syntheticWarcCrawl withNonResponses: interleaved records parse; response bytes identical; httpLedger classifies") {
+    val plain = Warc.parseWarc(3L, Warc.syntheticWarcCrawl(3L, 6))
+    val mixed = Warc.parseWarc(3L, Warc.syntheticWarcCrawl(3L, 6, withNonResponses = true))
+    // response records are byte-field-identical either way — only the
+    // positions shift (revisit after i%3==1, request after i%3==2)
+    assert(plain.length == 6)
+    assert(mixed.count(_.warc_type == "response") == 6)
+    assert(mixed.count(_.warc_type == "revisit") == 2)  // i = 1, 4
+    assert(mixed.count(_.warc_type == "request") == 2)  // i = 2, 5
+    assert(mixed.filter(_.warc_type == "response").map(r =>
+      (r.target_uri, r.body)) == plain.map(r => (r.target_uri, r.body)))
+    // a revisit record shares its response's target URI
+    val rev = mixed.filter(_.warc_type == "revisit").head
+    assert(rev.target_uri == plain(1).target_uri)
+    // httpLedger: every record classified — responses parsed, torn
+    // responses status -1, non-responses status 0 with NULL fields
+    val torn = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: t\r\n" +
+      "Content-Length: 9\r\n\r\nnot http!\r\n\r\n").getBytes("UTF-8")
+    val frame = Seq(
+      (1L, Warc.syntheticWarcCrawl(1L, 3, withNonResponses = true)),
+      (2L, torn)).toDF("media_id", "payload")
+    val led = Warc.httpLedger(Warc.records(frame, "media_id", "payload"))
+    graft.queries.Q.requireNoShuffle(led)
+    val rows = led.collect().map(r => (r.getAs[Long]("media_id"),
+      r.getAs[Int]("rec_idx")) ->
+      ((r.getAs[String]("warc_type"), r.getAs[Int]("status"),
+        r.getAs[String]("content_type")))).toMap
+    assert(rows.size == 6) // 3 responses + revisit(i=1) + request(i=2) + torn
+    assert(rows((1L, 0))._1 == "response" && rows((1L, 0))._2 == 200)
+    assert(rows((1L, 2)) == (("revisit", 0, null)))
+    assert(rows((1L, 4)) == (("request", 0, null)))
+    assert(rows((2L, 0)) == (("response", -1, null))) // torn stays visible
+    // and the i=2 response ((1+2)%5==3) keeps its png classification
+    assert(rows((1L, 3)) == (("response", 200, "image/png")))
+  }
 }
