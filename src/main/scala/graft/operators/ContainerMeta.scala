@@ -200,6 +200,162 @@ object ContainerMeta {
     case _: Exception => OggInventory(id, "unknown", 0, 0, 0L, 0L, 0L)
   }
 
+  /** One Matroska/WebM blob's inventory — the EBML walk (the one
+    * dominant web container the layer didn't cover): doc type from the
+    * EBML header, timestamp scale + duration from Segment/Info, track
+    * kinds, codec ids, video dimensions and audio parameters from
+    * Segment/Tracks — all header arithmetic, no codec work. Duration
+    * is EBML's one float field (4- or 8-byte IEEE); dur_ms floors
+    * duration·scale/10^6 ns. `doc_type` null when the payload is not
+    * EBML.
+    */
+  final case class MkvInventory(
+      media_id: Long,
+      doc_type: String, // "webm" | "matroska" | null
+      timescale: Long, // nanoseconds per tick (EBML default 1000000)
+      dur_ms: Long,
+      n_tracks: Int,
+      has_video: Boolean,
+      has_audio: Boolean,
+      width: Int,
+      height: Int,
+      video_codec: String,
+      audio_codec: String,
+      n_channels: Int,
+      sample_rate: Int)
+
+  /** EBML vint length from its first byte: 1 + the leading-zero count
+    * (0x80.. → 1, 0x40.. → 2, …, 0x01 → 8); 0 is invalid.
+    */
+  private def vintLen(first: Int): Int =
+    if (first == 0) -1 else java.lang.Integer.numberOfLeadingZeros(first) - 23
+
+  /** Element ID at `o` (marker bits KEPT — Matroska ids are quoted
+    * with them) or null when truncated/invalid.
+    */
+  private def ebmlId(b: Array[Byte], o: Int, end: Int): (Long, Int) = {
+    if (o >= end) return null
+    val len = vintLen(b(o) & 0xFF)
+    if (len < 1 || len > 4 || o + len > end) return null
+    var v = 0L
+    var i = 0
+    while (i < len) { v = v << 8 | (b(o + i) & 0xFFL); i += 1 }
+    (v, len)
+  }
+
+  /** Element size at `o` (marker bit STRIPPED); −1 = the all-ones
+    * "unknown size" form (live-muxed Segments); null when truncated.
+    */
+  private def ebmlSize(b: Array[Byte], o: Int, end: Int): (Long, Int) = {
+    if (o >= end) return null
+    val first = b(o) & 0xFF
+    val len = vintLen(first)
+    if (len < 1 || len > 8 || o + len > end) return null
+    var v = (first & ((1 << (8 - len)) - 1)).toLong
+    var allOnes = v == ((1L << (8 - len)) - 1)
+    var i = 1
+    while (i < len) {
+      val x = b(o + i) & 0xFFL
+      allOnes &&= x == 0xFFL
+      v = v << 8 | x
+      i += 1
+    }
+    (if (allOnes) -1L else v, len)
+  }
+
+  private def ebmlUint(b: Array[Byte], o: Int, end: Int): Long = {
+    var v = 0L
+    var i = o
+    while (i < end && i - o < 8) { v = v << 8 | (b(i) & 0xFFL); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], o: Int, end: Int): Double =
+    if (end - o == 4) java.lang.Float.intBitsToFloat(be32(b, o).toInt).toDouble
+    else if (end - o == 8) java.lang.Double.longBitsToDouble(be64(b, o))
+    else 0.0
+
+  private def ebmlStr(b: Array[Byte], o: Int, end: Int): String =
+    new String(b, o, end - o, java.nio.charset.StandardCharsets.UTF_8)
+      .takeWhile(_ != '\u0000') // strings may be zero-padded to size
+
+  /** Inventory one Matroska/WebM payload: the EBML element walk, with
+    * the untrusted-input contract of every walk here — a size
+    * overrunning its enclosure (torn download) stops THAT level with
+    * the parsed prefix kept; unknown-size (all-ones) bodies run to the
+    * enclosure end (only meaningful for Segment — the live-muxed
+    * form); unknown elements skip by their declared size.
+    */
+  def mkvInventory(id: Long, bytes: Array[Byte]): MkvInventory = try {
+    var docType: String = null
+    var tsScale = 1000000L
+    var durF = 0.0
+    var nTracks = 0; var hasV = false; var hasA = false
+    var w = 0; var h = 0; var vCodec: String = null; var aCodec: String = null
+    var ch = 0; var rate = 0
+    var tType = 0L; var tCodec: String = null
+    var tw = 0; var th = 0; var tch = 0; var tRate = 0
+    def walk(start: Long, end: Long, ctx: String): Unit = {
+      var i = start
+      var ok = true
+      while (ok && i < end) {
+        val idR = ebmlId(bytes, i.toInt, end.toInt)
+        if (idR == null) ok = false
+        else {
+          val (idv, idLen) = idR
+          val szR = ebmlSize(bytes, i.toInt + idLen, end.toInt)
+          if (szR == null) ok = false
+          else {
+            val (sz, szLen) = szR
+            val body = i + idLen + szLen
+            // unknown size: runs to the enclosure end (Segment's
+            // live-mux form); a declared size past the enclosure is a
+            // torn download — stop this level, keep the prefix
+            val bodyEnd = if (sz < 0) end else body + sz
+            if (bodyEnd < body || bodyEnd > end) ok = false
+            else {
+              (ctx, idv) match {
+                case ("top", 0x1A45DFA3L)     => walk(body, bodyEnd, "ebml")
+                case ("ebml", 0x4282L)        => docType = ebmlStr(bytes, body.toInt, bodyEnd.toInt)
+                case ("top", 0x18538067L)     => walk(body, bodyEnd, "segment")
+                case ("segment", 0x1549A966L) => walk(body, bodyEnd, "info")
+                case ("info", 0x2AD7B1L)      => tsScale = ebmlUint(bytes, body.toInt, bodyEnd.toInt)
+                case ("info", 0x4489L)        => durF = ebmlFloat(bytes, body.toInt, bodyEnd.toInt)
+                case ("segment", 0x1654AE6BL) => walk(body, bodyEnd, "tracks")
+                case ("tracks", 0xAEL) =>
+                  tType = 0L; tCodec = null; tw = 0; th = 0; tch = 0; tRate = 0
+                  walk(body, bodyEnd, "track")
+                  nTracks += 1
+                  if (tType == 1L) { hasV = true; w = tw; h = th; vCodec = tCodec }
+                  if (tType == 2L) { hasA = true; ch = tch; rate = tRate; aCodec = tCodec }
+                case ("track", 0x83L) => tType = ebmlUint(bytes, body.toInt, bodyEnd.toInt)
+                case ("track", 0x86L) => tCodec = ebmlStr(bytes, body.toInt, bodyEnd.toInt)
+                case ("track", 0xE0L) => walk(body, bodyEnd, "video")
+                case ("track", 0xE1L) => walk(body, bodyEnd, "audio")
+                case ("video", 0xB0L) => tw = ebmlUint(bytes, body.toInt, bodyEnd.toInt).toInt
+                case ("video", 0xBAL) => th = ebmlUint(bytes, body.toInt, bodyEnd.toInt).toInt
+                case ("audio", 0xB5L) => tRate = ebmlFloat(bytes, body.toInt, bodyEnd.toInt).toInt
+                case ("audio", 0x9FL) => tch = ebmlUint(bytes, body.toInt, bodyEnd.toInt).toInt
+                case _                => () // unknown element: skip by size
+              }
+              i = bodyEnd
+            }
+          }
+        }
+      }
+    }
+    // only an EBML-led payload is in contract; everything else degrades
+    if (bytes.length >= 4 && (be32(bytes, 0) & 0xFFFFFFFFL) == 0x1A45DFA3L)
+      walk(0L, bytes.length.toLong, "top")
+    val durMs =
+      if (durF > 0 && tsScale > 0) (durF * tsScale / 1e6).toLong else 0L
+    MkvInventory(id, docType, if (docType == null) 0L else tsScale, durMs,
+      nTracks, hasV, hasA, w, h, vCodec, aCodec, ch, rate)
+  } catch {
+    case _: Exception =>
+      MkvInventory(id, null, 0L, 0L, 0, false, false, 0, 0, null, null, 0, 0)
+  }
+
   /** Batch walks: map-only, shuffle-free — the decodeAudio plan. */
   def mp4Inventories(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     import df.sparkSession.implicits._
@@ -214,6 +370,14 @@ object ContainerMeta {
     df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
       .as[Multimodal.MediaBlob]
       .mapPartitions(_.map(b => oggInventory(b.media_id, b.payload)))
+      .toDF()
+  }
+
+  def mkvInventories(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[Multimodal.MediaBlob]
+      .mapPartitions(_.map(b => mkvInventory(b.media_id, b.payload)))
       .toDF()
   }
 
@@ -316,6 +480,86 @@ object ContainerMeta {
         Array[Byte](0x58, 1)
       oggPage(0L, 0, head) ++
         oggPage(22050L + seed, 1, (0 until 40).map(i => ((seed + i) & 0x7D).toByte).toArray)
+    case _ =>
+      (0 until 32).map(i => ((seed + i) & 0x7D).toByte).toArray
+  }
+
+  // --- EBML builders ---
+
+  /** Minimal-vint size encoding (1 or 2 bytes — fixture bodies are
+    * small); −1 writes the 1-byte unknown-size form 0xFF.
+    */
+  private def eSize(n: Long): Array[Byte] =
+    if (n < 0) Array(0xFF.toByte)
+    else if (n < 0x7F) Array((0x80L | n).toByte) // 0x7F itself would read all-ones
+    else { require(n < 0x3FFF); Array((0x40L | (n >> 8)).toByte, (n & 0xFF).toByte) }
+
+  private def eEl(idBytes: Array[Byte], body: Array[Byte]): Array[Byte] =
+    idBytes ++ eSize(body.length.toLong) ++ body
+
+  private def eUint(v: Long, len: Int): Array[Byte] =
+    (0 until len).map(k => ((v >> (8 * (len - 1 - k))) & 0xFF).toByte).toArray
+
+  private def eF64(v: Double): Array[Byte] =
+    eUint(java.lang.Double.doubleToLongBits(v), 8)
+  private def eF32(v: Float): Array[Byte] =
+    eUint(java.lang.Float.floatToIntBits(v).toLong & 0xFFFFFFFFL, 4)
+
+  private val IdEbml = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)
+  private val IdSegment = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+  private val IdInfo = Array(0x15, 0x49, 0xA9, 0x66).map(_.toByte)
+  private val IdTracks = Array(0x16, 0x54, 0xAE, 0x6B).map(_.toByte)
+
+  private def mkvTrack(tType: Int, codec: String, extra: Array[Byte]): Array[Byte] =
+    eEl(Array(0xAE.toByte),
+      eEl(Array(0x83.toByte), eUint(tType.toLong, 1)) ++
+        eEl(Array(0x86.toByte), codec.getBytes("UTF-8")) ++ extra)
+
+  /** Four-arm Matroska/WebM fixture keyed on `seed % 4`:
+    * 0 — webm, UNKNOWN-size Segment (the live-muxed form): Info
+    *     (scale 1000000, f64 duration 90000+seed ms-ticks), V_VP9
+    *     video (1280+seed%7 × 720) + A_OPUS audio (2 ch, 48 kHz f64);
+    * 1 — matroska, KNOWN-size Segment: Info (scale 2000000, f32
+    *     duration 30000+seed%1000 — exactly representable), A_VORBIS
+    *     audio only (1+seed%2 ch, 44.1 kHz);
+    * 2 — arm 0 TRUNCATED 3 bytes into the Tracks id (a torn download:
+    *     doc type, scale and duration survive, tracks do not);
+    * 3 — not EBML at all.
+    */
+  def syntheticMkv(seed: Long): Array[Byte] = (seed % 4).toInt match {
+    case 0 | 2 =>
+      val header = eEl(IdEbml,
+        eEl(Array(0x42.toByte, 0x82.toByte), "webm".getBytes("UTF-8")))
+      val info = eEl(IdInfo,
+        eEl(Array(0x2A.toByte, 0xD7.toByte, 0xB1.toByte), eUint(1000000L, 4)) ++
+          eEl(Array(0x44.toByte, 0x89.toByte), eF64((90000L + seed).toDouble)))
+      val tracks = eEl(IdTracks,
+        mkvTrack(1, "V_VP9",
+          eEl(Array(0xE0.toByte),
+            eEl(Array(0xB0.toByte), eUint(1280L + seed % 7, 2)) ++
+              eEl(Array(0xBA.toByte), eUint(720L, 2)))) ++
+          mkvTrack(2, "A_OPUS",
+            eEl(Array(0xE1.toByte),
+              eEl(Array(0xB5.toByte), eF64(48000.0)) ++
+                eEl(Array(0x9F.toByte), eUint(2L, 1)))))
+      val full = header ++ IdSegment ++ eSize(-1L) ++ info ++ tracks
+      if (seed % 4 == 0) full
+      else java.util.Arrays.copyOf(full, header.length + IdSegment.length + 1 +
+        info.length + 3) // 3 bytes into the Tracks id: torn download
+    case 1 =>
+      val header = eEl(IdEbml,
+        eEl(Array(0x42.toByte, 0x82.toByte), "matroska".getBytes("UTF-8")))
+      val info = eEl(IdInfo,
+        eEl(Array(0x2A.toByte, 0xD7.toByte, 0xB1.toByte), eUint(2000000L, 4)) ++
+          eEl(Array(0x44.toByte, 0x89.toByte),
+            eF32((30000L + seed % 1000).toFloat)))
+      val tracks = eEl(IdTracks,
+        mkvTrack(2, "A_VORBIS",
+          eEl(Array(0xE1.toByte),
+            eEl(Array(0xB5.toByte), eF64(44100.0)) ++
+              eEl(Array(0x9F.toByte), eUint(1L + seed % 2, 1)))))
+      header ++ IdSegment ++ eSize((info.length + tracks.length).toLong) ++
+        info ++ tracks
     case _ =>
       (0 until 32).map(i => ((seed + i) & 0x7D).toByte).toArray
   }

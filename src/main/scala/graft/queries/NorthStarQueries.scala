@@ -2566,6 +2566,64 @@ object NorthStarQueries {
       )
     ),
 
+    // Matroska/WebM inventory — the EBML walk completing the
+    // container-inventory matrix (MP4 ✓, Ogg ✓, RIFF ✓, MKV/WebM here):
+    // vint-coded element ids/sizes, DocType from the EBML header,
+    // TimestampScale + float Duration from Segment/Info, track kinds,
+    // codec ids, video dimensions and audio parameters from
+    // Segment/Tracks — header arithmetic only, no codec work. Arms:
+    // webm with the UNKNOWN-size (live-muxed) Segment form, VP9+Opus
+    // A/V / matroska known-size audio-only with an f32 duration and a
+    // non-default timestamp scale / the webm arm TORN 3 bytes into the
+    // Tracks id (doc type, scale, duration survive; tracks don't — the
+    // intact-prefix contract) / not-EBML degrade. All integer-exact:
+    // fixture durations are exactly-representable floats. Map-only.
+    Q(
+      "q_mkv_inventory",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val mk = udf((k: Long) => graft.operators.ContainerMeta.syntheticMkv(k))
+        val out = graft.operators.ContainerMeta.mkvInventories(
+          blobs.withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 'webm' WHEN 1 THEN 'matroska'
+          |    WHEN 2 THEN 'webm' END AS doc_type,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 1000000 WHEN 1 THEN 2000000
+          |    WHEN 2 THEN 1000000 ELSE 0 END AS BIGINT) AS timescale,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 90000 + n_nationkey
+          |    WHEN 1 THEN 60000 + 2 * (n_nationkey % 1000)
+          |    WHEN 2 THEN 90000 + n_nationkey
+          |    ELSE 0 END AS BIGINT) AS dur_ms,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_tracks,
+          |  CAST(n_nationkey % 4 AS INT) = 0 AS has_video,
+          |  CAST(n_nationkey % 4 AS INT) IN (0, 1) AS has_audio,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 1280 + n_nationkey % 7 ELSE 0 END AS INT) AS width,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 720 ELSE 0 END AS INT) AS height,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 'V_VP9' END AS video_codec,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 'A_OPUS' WHEN 1 THEN 'A_VORBIS' END AS audio_codec,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 2 WHEN 1 THEN 1 + n_nationkey % 2
+          |    ELSE 0 END AS INT) AS n_channels,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 0 END AS INT) AS sample_rate
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // G.711 μ-law / A-law — telephony's standard companded 8-bit
     // codecs (WAV tags 7 / 6), the voice-call and IVR recording
     // format a speech-data pipeline actually ingests. The expansion

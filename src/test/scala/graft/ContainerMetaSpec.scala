@@ -98,4 +98,63 @@ class ContainerMetaSpec extends SparkSpec {
     assert(m.filter(col("has_video")).count() == 3L)
     assert(o.filter(col("codec") === "vorbis").count() == 3L)
   }
+
+  test("mkvInventory: the four fixture arms produce the closed-form rows") {
+    val r0 = ContainerMeta.mkvInventory(0, ContainerMeta.syntheticMkv(0))
+    assert(r0 == ContainerMeta.MkvInventory(0, "webm", 1000000L, 90000L,
+      2, true, true, 1280, 720, "V_VP9", "A_OPUS", 2, 48000), r0.toString)
+    val r1 = ContainerMeta.mkvInventory(5, ContainerMeta.syntheticMkv(5))
+    assert(r1 == ContainerMeta.MkvInventory(5, "matroska", 2000000L,
+      60010L, 1, false, true, 0, 0, null, "A_VORBIS", 2, 44100), r1.toString)
+    // the torn arm: doc type, scale and duration survive; tracks don't
+    val r2 = ContainerMeta.mkvInventory(6, ContainerMeta.syntheticMkv(6))
+    assert(r2 == ContainerMeta.MkvInventory(6, "webm", 1000000L, 90006L,
+      0, false, false, 0, 0, null, null, 0, 0), r2.toString)
+    val r3 = ContainerMeta.mkvInventory(3, ContainerMeta.syntheticMkv(3))
+    assert(r3 == ContainerMeta.MkvInventory(3, null, 0L, 0L,
+      0, false, false, 0, 0, null, null, 0, 0), r3.toString)
+  }
+
+  test("mkvInventory: vint forms, unknown sizes, torn files, adversarial bytes") {
+    // the webm arm's Segment is the 1-byte unknown-size form (0xFF);
+    // every other size is a 1- or 2-byte vint and ids span 1-4 bytes —
+    // the arm-0 closed-form row above already pins all of them. Here:
+    // truncation at EVERY prefix length must degrade, never throw, and
+    // whatever parses must be a prefix of the full inventory.
+    val full = ContainerMeta.syntheticMkv(4) // webm arm, seed 4
+    val want = ContainerMeta.mkvInventory(4, full)
+    for (cut <- 0 to full.length) {
+      val got = ContainerMeta.mkvInventory(4,
+        java.util.Arrays.copyOfRange(full, 0, cut))
+      assert(got.n_tracks <= want.n_tracks, s"cut=$cut")
+      if (got.doc_type != null) assert(got.doc_type == "webm", s"cut=$cut")
+    }
+    // and with the tail replaced by garbage instead of cut
+    for (cut <- Seq(5, 12, 20, 30, full.length - 5)) {
+      val garbled = full.clone()
+      for (i <- cut until full.length) garbled(i) = ((i * 37) & 0xFF).toByte
+      ContainerMeta.mkvInventory(4, garbled) // must not throw
+    }
+    // adversarial random bytes never throw (xorshift-deterministic)
+    var s = 0x9E3779B97F4A7C15L
+    for (trial <- 0 until 50) {
+      val n = (trial * 7) % 200
+      val junk = new Array[Byte](n)
+      for (i <- 0 until n) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        junk(i) = (s & 0xFF).toByte
+      }
+      ContainerMeta.mkvInventory(trial.toLong, junk) // must not throw
+      // and the same bytes behind a valid EBML magic: walk, degrade
+      ContainerMeta.mkvInventory(trial.toLong,
+        Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++ junk)
+    }
+    // distributed walk is map-only
+    val df = (0L until 8L).map(k => (k, ContainerMeta.syntheticMkv(k)))
+      .toDF("media_id", "mkv")
+    val inv = ContainerMeta.mkvInventories(df, "media_id", "mkv")
+    graft.queries.Q.requireNoShuffle(inv)
+    assert(inv.filter(col("doc_type") === "webm").count() == 4L) // arms 0 and 2
+    assert(inv.filter(col("has_video")).count() == 2L)
+  }
 }
