@@ -270,13 +270,23 @@ object Robots {
     * allow-wins-ties all happen here so the rules frame stays raw and
     * re-screenable under a different agent.
     */
+  /** Past this many effective rules the screen stops collecting them
+    * to a driver-local broadcast relation and the rating degrades to a
+    * shuffle join on the domain — the count-guard discipline of
+    * [[Frontier.scheduleJoined]] / Profile.guardedSide. A web-scale
+    * robots table (10⁷–10⁸ domains × a few rules) must never ride the
+    * driver.
+    */
+  val DefaultMaxBroadcastRules: Long = 1L << 20
+
   def politenessScreen(
       urls: DataFrame,
       rulesDf: DataFrame,
       agent: String,
       idCol: String = "doc_id",
       domainCol: String = "domain",
-      pathCol: String = "path"
+      pathCol: String = "path",
+      maxBroadcastRules: Long = DefaultMaxBroadcastRules
   ): DataFrame = {
     val me = agent.toLowerCase(java.util.Locale.ROOT)
     // RFC 9309 §2.2.1 group selection: specific group alone if present
@@ -299,6 +309,28 @@ object Robots {
           .otherwise(col("path")))
       .select(col("domain").as("__rd"), col("rule").as("__rule"),
         col("__prefix"))
+    // count-guarded side: at or under the guard the (counted) rules
+    // collect to a driver-local relation and ride a broadcast — the
+    // group-selection window drops out of the OUTPUT plan; past it the
+    // lazy frame shuffle-joins on the domain (recompute of the bounded
+    // derivation is the leak-free price — Profile.guardedSide
+    // keepPersisted=false)
+    val side = {
+      val persisted = effective.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n =
+        try persisted.count()
+        catch { case t: Throwable => persisted.unpersist(); throw t }
+      if (n <= maxBroadcastRules) {
+        val local = broadcast(urls.sparkSession.createDataFrame(
+          persisted.collectAsList(), effective.schema))
+        persisted.unpersist()
+        local
+      } else {
+        persisted.unpersist()
+        effective
+      }
+    }
     // the rating collapses the join fan-out by idCol ALONE (the unique
     // key is the group — grouping by every passthrough column would
     // silently merge fully-duplicate rows and break on non-orderable
@@ -309,7 +341,7 @@ object Robots {
     // collapse to one rated row.
     val passthrough = urls.columns.filterNot(_ == idCol)
     urls
-      .join(broadcast(effective),
+      .join(side,
         urls(domainCol) === col("__rd") &&
           col(pathCol).startsWith(col("__prefix")),
         "left")

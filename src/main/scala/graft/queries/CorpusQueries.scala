@@ -3625,11 +3625,12 @@ object CorpusQueries {
         val out = graft.operators.Frontier.scheduleJoined(
           frontier, delayFrame, defaultDelayMs = 250L, workers = 8)
         Q.requireBroadcastJoin(out)
-        // the CORPUS still crosses the wire exactly twice (screen
-        // groupBy + per-host window); the third exchange is
-        // politenessScreen's RFC group-selection window over the
-        // |domains|-bounded RULES frame — sketch-sized, never corpus
-        Q.requireMaxShuffles(out, 3)
+        // the corpus crosses the wire exactly twice: the screen's
+        // rating groupBy (the dedup) and the per-host window — the
+        // rules and delay frames both collapse into count-guarded
+        // broadcast relations, so their derivations never appear in
+        // the output plan
+        Q.requireMaxShuffles(out, 2)
         out
       },
       Some(
@@ -3791,12 +3792,13 @@ object CorpusQueries {
             col("interval_ms"), col("next_fetch_ms"), col("slot"),
             col("fetch_at_ms"), col("worker"))
         Q.requireBroadcastJoin(out)
-        // 7 total: diff full-outer (2 sides) + verdict join (2) + the
-        // revisit window + the screen groupBy + the host window — the
-        // honest corpus count for a diff-driven refresh; the rules
-        // group-selection exchange rides the |domains|-bounded frame
-        // and AQE folds the broadcast sides out
-        Q.requireMaxShuffles(out, 7)
+        // 6 total: diff full-outer (2 sides) + verdict join (2) + the
+        // revisit window + the screen groupBy + the host window (the
+        // screen groupBy re-partitions what the verdict join keyed, so
+        // one of the seven folds) — the honest corpus count for a
+        // diff-driven refresh; the rules/delay frames ride
+        // count-guarded broadcasts and never appear in the output plan
+        Q.requireMaxShuffles(out, 6)
         out
       },
       Some(

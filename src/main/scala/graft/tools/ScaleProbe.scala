@@ -627,6 +627,22 @@ object ScaleProbe {
         graft.operators.Frontier.schedule(
           f, Seq("site0.example" -> 1000L), 500L, workers = 32).count()
       }
+      // frame-joined frontier scheduling: the delay table is a 1e5-row
+      // DATAFRAME through the count-guarded broadcast (the web-scale
+      // form) — wall must track the URL count; the guarded collect is
+      // corpus-independent and must stay flat
+      probe(s"frontier_joined x$k") {
+        val f = d.select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 97).cast("int"),
+            lit(".example")).as("host"))
+          .withColumn("canon",
+            concat(lit("http://"), col("host"), lit("/p/"), col("doc_id")))
+        val delays = spark.range(0, 100000).select(
+          concat(lit("site"), col("id"), lit(".example")).as("domain"),
+          (col("id") % 7 * 100L + 100L).as("delay_ms"))
+        graft.operators.Frontier.scheduleJoined(
+          f, delays, 500L, workers = 32).count()
+      }
       // URL canonicalization is a map-only codegen expression — wall
       // must track the row count
       probe(s"url_canon x$k") {

@@ -214,6 +214,37 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.politenessScreen(dup, rules, "anybot").count() == 1L)
   }
 
+  test("politenessScreen: past the rules guard the rating degrades to a shuffle join — no plan literals") {
+    // a web-scale robots table (1e5 domains here; 1e7-1e8 in the wild)
+    // must never collect to the driver or enter the plan text — the
+    // same count-guard discipline as Frontier.scheduleJoined
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rules = spark.range(0, 100000).select(
+        concat(lit("d"), col("id"), lit(".com")).as("domain"),
+        lit("*").as("agent"), lit("disallow").as("rule"),
+        lit("/private").as("path"))
+      val urls = spark.range(0, 1000).select(
+        col("id").as("doc_id"),
+        concat(lit("d"), col("id") % 500, lit(".com")).as("domain"),
+        when(col("id") % 2 === 0, lit("/private/x"))
+          .otherwise(lit("/public/x")).as("path"))
+      val out = Robots.politenessScreen(urls, rules, "anybot",
+        maxBroadcastRules = 1000L)
+      // shuffle join on the domain + the rating groupBy — and the rule
+      // table never appears in the plan text
+      graft.queries.Q.requireMaxShuffles(out, 3)
+      assert(graft.queries.Q.planNodes(out).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+      assert(!out.queryExecution.executedPlan.toString.contains("d77777.com"))
+      val got = out.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Boolean]("allowed")).toMap
+      assert(got.size == 1000)
+      assert((0L until 1000L).forall(i => got(i) == (i % 2 != 0)), "closed-form drift")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("allowedColumn: the map-side decision equals the distributed screen on every case") {
     val texts = Map(
       "d.com" ->
