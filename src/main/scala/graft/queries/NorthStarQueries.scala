@@ -2624,6 +2624,98 @@ object NorthStarQueries {
       )
     ),
 
+    // MEDIA TRIAGE — the inventory layer doing its actual job: a MIXED
+    // container stream (MP4, Ogg, MKV/WebM interleaved by key) routed
+    // by pure header walks into the pipeline each item belongs to —
+    // video_pipeline / audio_pipeline / quarantine (torn or unknown) —
+    // with the measured duration riding along, BEFORE any decode
+    // resources commit. Every family's torn/junk arms land in
+    // quarantine (the mkv torn arm is the subtle one: doc type and
+    // duration parse, tracks don't — inventoried but unusable). All
+    // three walks + the union are map-only: the triage costs one scan,
+    // no shuffle, typed-asserted. The oracle re-derives container,
+    // decision and duration closed-form from the family x arm grid.
+    Q(
+      "q_media_triage",
+      (spark, dir) => {
+        val keys = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val mk = udf((k: Long) => (k % 3) match {
+          case 0 => graft.operators.ContainerMeta.syntheticMp4(k / 3)
+          case 1 => graft.operators.ContainerMeta.syntheticOgg(k / 3)
+          case _ => graft.operators.ContainerMeta.syntheticMkv(k / 3)
+        })
+        val blobs = keys.withColumn("payload", mk(col("media_id")))
+        val cm = graft.operators.ContainerMeta
+        val mp4 = cm.mp4Inventories(
+          blobs.filter(col("media_id") % 3 === 0), "media_id", "payload")
+          .select(col("media_id"),
+            when(col("brand").isNull, "unknown").otherwise("mp4").as("container"),
+            when(col("brand").isNull, "quarantine")
+              .when(col("has_video"), "video_pipeline")
+              .when(col("has_audio"), "audio_pipeline")
+              .otherwise("quarantine").as("decision"),
+            col("dur_ms"))
+        val ogg = cm.oggInventories(
+          blobs.filter(col("media_id") % 3 === 1), "media_id", "payload")
+          .select(col("media_id"),
+            when(col("codec") === "unknown", "unknown").otherwise("ogg").as("container"),
+            when(col("codec") === "unknown", "quarantine")
+              .otherwise("audio_pipeline").as("decision"),
+            col("dur_ms"))
+        val mkv = cm.mkvInventories(
+          blobs.filter(col("media_id") % 3 === 2), "media_id", "payload")
+          .select(col("media_id"),
+            when(col("doc_type").isNull, "unknown").otherwise("mkv").as("container"),
+            when(col("doc_type").isNull, "quarantine")
+              .when(col("has_video"), "video_pipeline")
+              .when(col("has_audio"), "audio_pipeline")
+              .otherwise("quarantine").as("decision"),
+            col("dur_ms"))
+        val out = mp4.unionByName(ogg).unionByName(mkv)
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |    CAST(n_nationkey % 3 AS INT) AS f,
+          |    n_nationkey // 3 AS s
+          |  FROM nation
+          |)
+          |SELECT media_id,
+          |  CASE
+          |    WHEN f = 0 THEN CASE WHEN s % 3 = 2 THEN 'unknown' ELSE 'mp4' END
+          |    WHEN f = 1 THEN CASE WHEN s % 3 = 2 THEN 'unknown' ELSE 'ogg' END
+          |    ELSE CASE WHEN s % 4 = 3 THEN 'unknown' ELSE 'mkv' END
+          |  END AS container,
+          |  CASE
+          |    WHEN f = 0 THEN CASE CAST(s % 3 AS INT)
+          |      WHEN 0 THEN 'video_pipeline' WHEN 1 THEN 'audio_pipeline'
+          |      ELSE 'quarantine' END
+          |    WHEN f = 1 THEN CASE WHEN s % 3 = 2 THEN 'quarantine'
+          |      ELSE 'audio_pipeline' END
+          |    ELSE CASE CAST(s % 4 AS INT)
+          |      WHEN 0 THEN 'video_pipeline' WHEN 1 THEN 'audio_pipeline'
+          |      ELSE 'quarantine' END
+          |  END AS decision,
+          |  CAST(CASE
+          |    WHEN f = 0 THEN CASE CAST(s % 3 AS INT)
+          |      WHEN 0 THEN 90000 + s
+          |      WHEN 1 THEN CAST(1234567890 + s AS BIGINT) * 1000 // 600
+          |      ELSE 0 END
+          |    WHEN f = 1 THEN CASE CAST(s % 3 AS INT)
+          |      WHEN 0 THEN (48000 + s - 312) * 1000 // 48000
+          |      WHEN 1 THEN (22050 + s) * 1000 // 44100
+          |      ELSE 0 END
+          |    ELSE CASE CAST(s % 4 AS INT)
+          |      WHEN 0 THEN 90000 + s WHEN 1 THEN 60000 + 2 * (s % 1000)
+          |      WHEN 2 THEN 90000 + s ELSE 0 END
+          |  END AS BIGINT) AS dur_ms
+          |FROM g""".stripMargin
+      )
+    ),
+
     // G.711 μ-law / A-law — telephony's standard companded 8-bit
     // codecs (WAV tags 7 / 6), the voice-call and IVR recording
     // format a speech-data pipeline actually ingests. The expansion
