@@ -463,6 +463,67 @@ object Sketch {
       .withColumnRenamed("gb", "group_b")
   }
 
+  /** The FULL set-operation table per group pair, vectorized — union,
+    * intersection AND both directed differences from ONE merged
+    * K-sample per pair ([[kmvOverlapMatrix]] completed by the
+    * [[kmvDifferenceEstimate]] members): every merged register
+    * classifies by membership in the two source register sets (sound
+    * for every merged element — the union's Kth minimum is ≤ either
+    * input's), the three class counts partition n_union_present, and
+    * each estimate is count·n̂_∪ div K (exact counts when the union
+    * sketch is exhaustive). Frames ≤ |groups|²·K rows — sketch-sized.
+    * One row per unordered pair: (group_a, group_b, n_union_present,
+    * method, n_union_est, n_common, n_a_only, n_b_only,
+    * est_intersect, est_a_only, est_b_only).
+    */
+  def kmvSetOpsMatrix(regs: DataFrame): DataFrame = {
+    val a = regs.select(col("group").as("ga"), col("hv"))
+    val b = regs.select(col("group").as("gb"), col("hv"))
+    val pairs = a.select(col("ga")).distinct()
+      .join(b.select(col("gb")).distinct(), col("ga") < col("gb"))
+    val unioned = a.join(broadcast(pairs), "ga")
+      .select(col("ga"), col("gb"), col("hv"))
+      .unionByName(b.join(broadcast(pairs), "gb")
+        .select(col("ga"), col("gb"), col("hv")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(unsignedOrd(col("hv")).asc)
+    val merged = unioned
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= KmvK)
+      .drop("__rk")
+    val flagged = merged
+      .join(broadcast(a.withColumn("__ina", lit(true))), Seq("ga", "hv"), "left")
+      .join(broadcast(b.withColumn("__inb", lit(true))), Seq("gb", "hv"), "left")
+      .select(col("ga"), col("gb"), col("hv"),
+        coalesce(col("__ina"), lit(false)).as("__ina"),
+        coalesce(col("__inb"), lit(false)).as("__inb"))
+    def estOf(c: String): Column =
+      when(col("method") === "exact", col(c))
+        .otherwise(expr(s"CAST($c AS DECIMAL(38,0)) * " +
+          s"CAST(n_union_est AS DECIMAL(38,0)) div CAST($KmvK AS DECIMAL(38,0))"))
+    flagged
+      .groupBy(col("ga"), col("gb"))
+      .agg(
+        count(lit(1)).as("n_union_present"),
+        max(unsignedDec(col("hv"))).as("__uk"),
+        sum(when(col("__ina") && col("__inb"), 1L).otherwise(0L)).as("n_common"),
+        sum(when(col("__ina") && !col("__inb"), 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(col("__inb") && !col("__ina"), 1L).otherwise(0L)).as("n_b_only"))
+      .withColumn("method",
+        when(col("n_union_present") < KmvK, lit("exact")).otherwise(lit("sampled")))
+      .withColumn("n_union_est",
+        when(col("method") === "exact", col("n_union_present"))
+          .otherwise(expr(s"CAST('${KmvNum.toPlainString}' AS DECIMAL(38,0)) div __uk")))
+      .withColumn("est_intersect", estOf("n_common"))
+      .withColumn("est_a_only", estOf("n_a_only"))
+      .withColumn("est_b_only", estOf("n_b_only"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_union_present"), col("method"), col("n_union_est"),
+        col("n_common"), col("n_a_only"), col("n_b_only"),
+        col("est_intersect"), col("est_a_only"), col("est_b_only"))
+  }
+
   /** Intersection estimate across two sketches: L = the merged
     * register set (a uniform K-sample of A∪B); c = |{h ∈ L : h in A's
     * registers AND in B's registers}|; n̂_∩ = c·n̂_∪ div K — or exactly

@@ -4415,6 +4415,87 @@ object CorpusQueries {
       }
     ),
 
+    // The KMV SET-OPERATIONS MATRIX — union, intersection and BOTH
+    // directed differences per group pair from ONE merged K-sample
+    // (the overlap matrix completed by the difference members): every
+    // merged register classifies by membership in the two source sets
+    // (sound — the union's Kth minimum is ≤ either input's), the
+    // three class counts PARTITION n_union_present, and each estimate
+    // is count·n̂_∪ div K (exact when the union sketch is
+    // exhaustive). "Which sources cover what the others miss" is the
+    // question a corpus-mixing decision actually asks; HLL cannot
+    // answer it at all. Frames ≤ |groups|²·K; the oracle re-derives
+    // every class count and estimate from the full key stream.
+    Q(
+      "q_kmv_setops_matrix",
+      (spark, dir) => {
+        val keyed = Q.t(spark, dir, "orders")
+          .select(col("o_orderpriority"),
+            col("o_custkey").cast("string").as("k"))
+        graft.operators.Sketch.kmvSetOpsMatrix(
+          graft.operators.Sketch.kmvSketchBy(keyed, "k", "o_orderpriority"))
+      },
+      Some {
+        val k = graft.operators.Sketch.KmvK
+        val num = graft.operators.Sketch.KmvNum.toPlainString
+        s"""WITH tk AS (
+           |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS t FROM orders
+           |), ${kmvRegistersSql("tk")},
+           |gk AS MATERIALIZED (
+           |  SELECT DISTINCT o.o_orderpriority AS g, x.th
+           |  FROM orders o JOIN xh x ON CAST(o.o_custkey AS VARCHAR) = x.tok
+           |),
+           |sregs AS MATERIALIZED (
+           |  SELECT g, th FROM gk
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY th) <= $k
+           |),
+           |prs AS (
+           |  SELECT a.g AS ga, b.g AS gb
+           |  FROM (SELECT DISTINCT g FROM sregs) a,
+           |       (SELECT DISTINCT g FROM sregs) b
+           |  WHERE a.g < b.g
+           |),
+           |un AS (
+           |  SELECT DISTINCT p.ga, p.gb, s.th
+           |  FROM prs p JOIN sregs s ON s.g = p.ga OR s.g = p.gb
+           |),
+           |mg AS (
+           |  SELECT ga, gb, th FROM un
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY th) <= $k
+           |),
+           |fl AS (
+           |  SELECT m.ga, m.gb, m.th,
+           |    EXISTS (SELECT 1 FROM sregs s WHERE s.g = m.ga AND s.th = m.th) AS ina,
+           |    EXISTS (SELECT 1 FROM sregs s WHERE s.g = m.gb AND s.th = m.th) AS inb
+           |  FROM mg m
+           |),
+           |cm AS (
+           |  SELECT ga, gb,
+           |    CAST(COUNT(*) AS BIGINT) AS n_union_present,
+           |    MAX(th) AS uk,
+           |    CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           |    CAST(SUM(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+           |    CAST(SUM(CASE WHEN inb AND NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+           |  FROM fl GROUP BY ga, gb
+           |)
+           |SELECT ga AS group_a, gb AS group_b, n_union_present,
+           |  CASE WHEN n_union_present < $k THEN 'exact' ELSE 'sampled' END AS method,
+           |  CAST(CASE WHEN n_union_present < $k THEN n_union_present
+           |       ELSE CAST($num AS HUGEINT) // uk END AS BIGINT) AS n_union_est,
+           |  n_common, n_a_only, n_b_only,
+           |  CAST(CASE WHEN n_union_present < $k THEN n_common
+           |       ELSE CAST(n_common AS HUGEINT) *
+           |            (CAST($num AS HUGEINT) // uk) // $k END AS BIGINT) AS est_intersect,
+           |  CAST(CASE WHEN n_union_present < $k THEN n_a_only
+           |       ELSE CAST(n_a_only AS HUGEINT) *
+           |            (CAST($num AS HUGEINT) // uk) // $k END AS BIGINT) AS est_a_only,
+           |  CAST(CASE WHEN n_union_present < $k THEN n_b_only
+           |       ELSE CAST(n_b_only AS HUGEINT) *
+           |            (CAST($num AS HUGEINT) // uk) // $k END AS BIGINT) AS est_b_only
+           |FROM cm""".stripMargin
+      }
+    ),
+
     // GROUPED HLL — distinct counting per group as ONE mergeable frame
     // (group, bucket, register): the deterministic, register-level-
     // checkable cousin of approx_count_distinct's GROUP BY form. One

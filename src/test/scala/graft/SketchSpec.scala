@@ -316,6 +316,37 @@ class SketchSpec extends SparkSpec {
       s"difference est=${s.getAs[Long]("est")} outside band $band")
   }
 
+  test("kmvSetOpsMatrix: class counts partition the sample; rows match the dedicated two-sketch ops") {
+    val df = (
+      (0 until 3000).map(i => ("g0", s"key$i")) ++
+        (1500 until 4500).map(i => ("g1", s"key$i")) ++
+        (9000 until 9020).map(i => ("g2", s"key$i"))
+      ).toDF("g", "k")
+    val m = graft.operators.Sketch.kmvSetOpsMatrix(
+      graft.operators.Sketch.kmvSketchBy(df, "k", "g"))
+      .collect().map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) -> r).toMap
+    assert(m.keySet == Set(("g0", "g1"), ("g0", "g2"), ("g1", "g2")))
+    // the three membership classes PARTITION every merged sample
+    for ((_, r) <- m)
+      assert(r.getAs[Long]("n_common") + r.getAs[Long]("n_a_only") +
+        r.getAs[Long]("n_b_only") == r.getAs[Long]("n_union_present"))
+    // the pair row reproduces the dedicated two-sketch operators
+    val a = graft.operators.Sketch.kmvSketch(df.filter($"g" === "g0").select($"k"), "k")
+    val b = graft.operators.Sketch.kmvSketch(df.filter($"g" === "g1").select($"k"), "k")
+    val i01 = graft.operators.Sketch.kmvIntersectEstimate(a, b).head()
+    val d01 = graft.operators.Sketch.kmvDifferenceEstimate(a, b).head()
+    val r01 = m(("g0", "g1"))
+    assert(r01.getAs[Long]("n_common") == i01.getAs[Long]("n_common"))
+    assert(r01.getAs[Long]("est_intersect") == i01.getAs[Long]("est"))
+    assert(r01.getAs[Long]("n_a_only") == d01.getAs[Long]("n_diff"))
+    assert(r01.getAs[Long]("est_a_only") == d01.getAs[Long]("est"))
+    // disjoint small pair: exact regime, differences are the set sizes
+    val r12 = m(("g1", "g2"))
+    assert(r12.getAs[String]("method") == "sampled") // g1 alone saturates K
+    val r02 = m(("g0", "g2"))
+    assert(r02.getAs[Long]("n_common") == 0L && r02.getAs[Long]("est_intersect") == 0L)
+  }
+
   test("kmvIntersectEstimate: exact regime is exact; sampled overlap within band") {
     // small disjoint + overlapping sets, all under K: the union sketch
     // is exhaustive and the intersection estimate is the TRUE overlap

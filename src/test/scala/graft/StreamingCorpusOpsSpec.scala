@@ -663,6 +663,49 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frontier politeness: per-host slot state streams to exactly the batch schedule") {
+    implicit val sqlCtx = spark.sqlContext
+    // the crawl family's last streaming twin: admitted URLs stream in,
+    // one long of per-host state hands out politeness slots, and the
+    // plan equals the batch window when per-host arrival respects
+    // canon order (the fetcher contract); the slot counter must
+    // CONTINUE across micro-batches
+    val delays = Seq("a.com" -> 1000L, "b.com" -> 250L)
+    val b1 = Seq(("http://a.com/1", "a.com"), ("http://b.com/x", "b.com"))
+    val b2 = Seq(("http://a.com/2", "a.com"), ("http://a.com/3", "a.com"),
+      ("http://b.com/y", "b.com"), ("http://c.com/only", "c.com"))
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingFrontier.schedule(
+      in.toDF().toDF("canon", "host"), delays, defaultDelayMs = 500L, workers = 4)
+      .writeStream.format("memory").queryName("sc_frontier_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[String]("canon") ->
+          ((r.getAs[Long]("slot"), r.getAs[Long]("fetch_at_ms"),
+            r.getAs[Int]("worker")))).toMap
+      val streamed = m(spark.table("sc_frontier_out"))
+      val batch = m(graft.streaming.StreamingFrontier.schedule(
+        (b1 ++ b2).toDF("canon", "host"), delays, 500L, 4)
+        .select(col("canon"), col("host"), col("slot"),
+          col("fetch_at_ms"), col("worker")))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // hand-walked: a.com slots 0,1,2 at 1000 ms; b.com at 250; c default
+      assert(streamed("http://a.com/3") == ((2L, 2000L, streamed("http://a.com/3")._3)))
+      assert(streamed("http://b.com/y") == ((1L, 250L, streamed("http://b.com/y")._3)))
+      assert(streamed("http://c.com/only")._2 == 0L)
+      // politeness invariant under ANY arrival: distinct slots per host
+      val slots = spark.table("sc_frontier_out")
+        .groupBy(col("host")).agg(countDistinct(col("slot")).as("d"),
+          count(lit(1)).as("n"))
+        .collect()
+      assert(slots.forall(r => r.getAs[Long]("d") == r.getAs[Long]("n")))
+    } finally q.stop()
+  }
+
   test("KMV registers: sharded bounded-state stream equals the batch build") {
     implicit val sqlCtx = spark.sqlContext
     // the set-operation sketch's streaming contract: per-shard
