@@ -212,26 +212,50 @@ object Graph {
     * Returned frame stays persisted; caller unpersists
     * ([[Vocab.mergedDict]] contract).
     */
+  /** Max-renormalize a raw `(node, __v)` score frame back to
+    * [0, 10^6] over the full node set (absent nodes score 0) — the
+    * HITS round's normalizer. Decimal multiply: __v ≤ total_w·10^6,
+    * and ×10^6 on Longs wraps past total_w ≈ 9.2e6 — the KMV-path
+    * discipline (exact integral division, floored identically; __v ≤
+    * __mx so the quotient is back in [0, 10^6] and the cast is safe).
+    * The per-round max rides a broadcast crossJoin inside the plan —
+    * no extra driver action.
+    */
+  private def renormOver(nodes: DataFrame)(raw: DataFrame, outName: String): DataFrame = {
+    val mx = raw.agg(max(col("__v")).as("__mx"))
+    nodes.join(raw, Seq("node"), "left")
+      .crossJoin(broadcast(mx))
+      .select(col("node"),
+        when(col("__mx") > 0,
+          coalesce(expr(
+            "CAST(CAST(__v AS DECIMAL(38,0)) * 1000000 div CAST(__mx AS DECIMAL(38,0)) AS BIGINT)"),
+            lit(0L)))
+          .otherwise(lit(0L)).as(outName))
+  }
+
+  /** One HITS round from the previous hub frame: renormed authorities
+    * (from in-edges) then renormed hubs (from out-edges over the NEW
+    * authorities) — the classic update order, all integer.
+    */
+  private def hitsStep(adjP: DataFrame, nodes: DataFrame, prevHub: DataFrame)
+      : (DataFrame, DataFrame => DataFrame) = {
+    val auth = renormOver(nodes)(
+      adjP.join(prevHub.select(col("node").as("src"), col("hub_micro")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("hub_micro")).as("__v")),
+      "auth_micro")
+    (auth, aCut => renormOver(nodes)(
+      adjP.join(aCut.select(col("node").as("dst"), col("auth_micro")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w") * col("auth_micro")).as("__v")),
+      "hub_micro"))
+  }
+
   def hitsInt(adj: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "Graph.hitsInt: at least one iteration")
     val adjP = adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adjP.count(): Unit
     val nodes = nodesOf(adjP).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def renorm(raw: DataFrame, outName: String): DataFrame = {
-      val mx = raw.agg(max(col("__v")).as("__mx"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"),
-          when(col("__mx") > 0,
-            // decimal multiply: __v ≤ total_w·10^6, and ×10^6 on Longs
-            // wraps past total_w ≈ 9.2e6 — the KMV-path discipline
-            // (exact integral division, floored identically; __v ≤ __mx
-            // so the quotient is back in [0, 10^6] and the cast is safe)
-            coalesce(expr(
-              "CAST(CAST(__v AS DECIMAL(38,0)) * 1000000 div CAST(__mx AS DECIMAL(38,0)) AS BIGINT)"),
-              lit(0L)))
-            .otherwise(lit(0L)).as(outName))
-    }
     var (sP, sCut) = pin(nodes
       .withColumn("auth_micro", lit(1000000L))
       .withColumn("hub_micro", lit(1000000L)))
@@ -241,17 +265,9 @@ object Graph {
       // auth feeds BOTH the hub update and the round's output join, and
       // unpinned it would recompute (adjacency scan + broadcast agg)
       // once per consumer — measured 3-4x per-round wall on the probe
-      val (aP, aCut) = pin(renorm(
-        adjP.join(sCut.select(col("node").as("src"), col("hub_micro")), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("w") * col("hub_micro")).as("__v")),
-        "auth_micro"))
-      val hub = renorm(
-        adjP.join(aCut.select(col("node").as("dst"), col("auth_micro")), "dst")
-          .groupBy(col("src").as("node"))
-          .agg(sum(col("w") * col("auth_micro")).as("__v")),
-        "hub_micro")
-      val (nP, nCut) = pin(aCut.join(hub, "node"))
+      val (auth, hubOf) = hitsStep(adjP, nodes, sCut)
+      val (aP, aCut) = pin(auth)
+      val (nP, nCut) = pin(aCut.join(hubOf(aCut), "node"))
       aP.unpersist(); sP.unpersist()
       sP = nP; sCut = nCut
       i += 1
@@ -325,5 +341,70 @@ object Graph {
     val (outP, _) = pin(rP.select(col("node"), col("rank_micro")))
     rP.unpersist()
     RankConvergence(outP, i, delta)
+  }
+
+  /** Result of a convergence-looped HITS run: the final
+    * (node, auth_micro, hub_micro) frame (persisted — caller
+    * unpersists), iterations executed, and the last round's max
+    * per-node HUB change.
+    */
+  final case class HitsConvergence(scores: DataFrame, itersRun: Int, lastDeltaMicro: Long)
+
+  /** HITS run TO CONVERGENCE — [[pageRankConverged]]'s twin for the
+    * two-score update: iterate [[hitsInt]] rounds until the largest
+    * per-node HUB change of a round is ≤ `tolMicro`, capped at
+    * `maxIters` (integer max-renorm dynamics can 2-cycle on
+    * adversarial graphs — the cap is the oscillation backstop, and
+    * the stopping rule is deterministic either way). The HUB delta
+    * alone decides: auth_k is a pure function of hub_{k−1}, so
+    * hub_k == hub_{k−1} makes the NEXT round reproduce the same
+    * (auth, hub) pair — the hub fixed point IS the pair's fixed
+    * point; a one-sided tolerance keeps the criterion one scalar.
+    *
+    * Same lineage discipline as the sibling: each round persists its
+    * |domains|-bounded frame and drops its predecessor; the delta is
+    * ONE bounded aggregation per round, never a corpus action.
+    */
+  def hitsConverged(adj: DataFrame, maxIters: Int, tolMicro: Long): HitsConvergence = {
+    require(maxIters >= 1, "Graph.hitsConverged: at least one iteration")
+    require(tolMicro >= 0, "Graph.hitsConverged: non-negative tolerance")
+    val adjP = adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (adjP.isEmpty) {
+      adjP.unpersist()
+      return HitsConvergence(
+        nodesOf(adj)
+          .withColumn("auth_micro", lit(1000000L))
+          .withColumn("hub_micro", lit(1000000L)).limit(0),
+        0, 0L)
+    }
+    val nodes = nodesOf(adjP).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var (sP, sCut) = pin(nodes
+      .withColumn("auth_micro", lit(1000000L))
+      .withColumn("hub_micro", lit(1000000L)))
+    var i = 0
+    var delta = Long.MaxValue
+    while (i < maxIters && delta > tolMicro) {
+      val (auth, hubOf) = hitsStep(adjP, nodes, sCut)
+      val (aP, aCut) = pin(auth) // round output feeds hub AND the join
+      // ONE action per round: the step result carries the previous hub,
+      // so the max-|Δ| aggregation both materializes the frame and
+      // reads off the convergence scalar
+      val stepped = aCut.join(hubOf(aCut), "node")
+        .join(sCut.select(col("node"), col("hub_micro").as("__prev")), "node")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      delta = stepped
+        .agg(max(abs(col("hub_micro") - col("__prev"))))
+        .first().getLong(0)
+      val nCut = adj.sparkSession
+        .createDataFrame(stepped.rdd, stepped.schema)
+        .select(col("node"), col("auth_micro"), col("hub_micro"))
+      aP.unpersist(); sP.unpersist()
+      sP = stepped; sCut = nCut
+      i += 1
+    }
+    adjP.unpersist(); nodes.unpersist()
+    val (outP, _) = pin(sP.select(col("node"), col("auth_micro"), col("hub_micro")))
+    sP.unpersist()
+    HitsConvergence(outP, i, delta)
   }
 }

@@ -4683,6 +4683,96 @@ object CorpusQueries {
       )
     ),
 
+    // HITS run TO CONVERGENCE — the two-score twin of
+    // q_pagerank_converged, closing the graph family's last open loop:
+    // iterate auth/hub rounds until the largest per-node HUB change is
+    // within 2.5% of the scale (hub delta alone decides — auth is a
+    // pure function of the previous hubs, so a settled hub settles
+    // the pair). Unlike PageRank's floor-divided shares, which hit an
+    // exact integer fixed point in ~12 rounds, HITS on this
+    // near-regular graph converges GEOMETRICALLY with a small
+    // eigengap — measured ~6%/round decay, delta still 1348 micro at
+    // round 64 — so exact-zero stopping never fires and the
+    // production rule is a tolerance sized to the score's consumer
+    // (frontier PRIORITIZATION needs ordering stability, not micro
+    // exactness; 2.5% stops at round 16 here). 64 rounds caps
+    // adversarial dynamics. Each round persists its
+    // |domains|-bounded frame and drops its predecessor; the delta is
+    // ONE bounded aggregation per round. The oracle runs the SAME loop
+    // as a recursive CTE — ONE reference to the iteration state (the
+    // auth step), with per-node carries (previous hub, the round's
+    // auth) smuggled through self-marker rows in adjx across BOTH
+    // aggregation hops — and stops at the same fixed point, pinning
+    // scores AND the iteration count bit-exactly.
+    Q(
+      "q_hits_converged",
+      (spark, dir) => {
+        val res = Graph.hitsConverged(
+          Graph.collapseEdges(graphEdges(Q.t(spark, dir, "documents")), "src", "dst"),
+          maxIters = 64, tolMicro = 25000L)
+        val out = res.scores.select(col("node"), col("auth_micro"),
+          col("hub_micro"), lit(res.itersRun.toLong).as("iters_run"))
+        val scratch = Q.scratch("hitsconv")
+        out.write.mode("overwrite").parquet(scratch)
+        res.scores.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some(
+        s"""WITH RECURSIVE ${domainGraphCtes(GraphEdgesSql, "")},
+           |adjx AS (
+           |  SELECT src, dst, w FROM adj
+           |  UNION ALL
+           |  SELECT node, node, NULL FROM nodes
+           |), it AS (
+           |  SELECT 0 AS k, node, CAST(1000000 AS BIGINT) AS a,
+           |    CAST(1000000 AS BIGINT) AS h, 1 AS moving
+           |  FROM nodes
+           |  UNION ALL
+           |  SELECT * FROM (
+           |    SELECT k, node, a, h,
+           |      CASE WHEN MAX(ABS(h - ph)) OVER () > 25000 AND k < 64
+           |           THEN 1 ELSE 0 END AS moving
+           |    FROM (
+           |      SELECT h2.k, h2.node, h2.a,
+           |        CAST(CASE WHEN MAX(h2.h_raw) OVER () > 0
+           |          THEN h2.h_raw * 1000000 // MAX(h2.h_raw) OVER ()
+           |          ELSE 0 END AS BIGINT) AS h,
+           |        h2.ph, h2.moving
+           |      FROM (
+           |        SELECT MAX(ga.k) AS k, x.src AS node,
+           |          COALESCE(SUM(CASE WHEN x.w IS NOT NULL
+           |            THEN x.w * ga.a END), 0) AS h_raw,
+           |          MAX(CASE WHEN x.w IS NULL THEN ga.a END) AS a,
+           |          MAX(CASE WHEN x.w IS NULL THEN ga.ph END) AS ph,
+           |          MAX(ga.moving) AS moving
+           |        FROM (
+           |          SELECT g.k, g.node,
+           |            CAST(CASE WHEN MAX(g.a_raw) OVER () > 0
+           |              THEN g.a_raw * 1000000 // MAX(g.a_raw) OVER ()
+           |              ELSE 0 END AS BIGINT) AS a,
+           |            g.ph, g.moving
+           |          FROM (
+           |            SELECT MAX(p.k) + 1 AS k, x.dst AS node,
+           |              COALESCE(SUM(CASE WHEN x.w IS NOT NULL
+           |                THEN x.w * p.h END), 0) AS a_raw,
+           |              MAX(CASE WHEN x.w IS NULL THEN p.h END) AS ph,
+           |              MAX(p.moving) AS moving
+           |            FROM it p JOIN adjx x ON x.src = p.node
+           |            GROUP BY x.dst
+           |          ) g
+           |        ) ga JOIN adjx x ON x.dst = ga.node
+           |        GROUP BY x.src
+           |      ) h2
+           |      WHERE h2.moving = 1
+           |    ) z
+           |  ) zz
+           |)
+           |SELECT node, a AS auth_micro, h AS hub_micro,
+           |  CAST(k AS BIGINT) AS iters_run
+           |FROM it WHERE k = (SELECT MAX(k) FROM it)""".stripMargin
+      )
+    ),
+
     // INCREMENTAL PageRank maintenance — the graph layer's closed
     // drift loop, mirroring IVF/PQ/DSIR/CMS: the indexed history's
     // adjacency is a MERGEABLE summary (edge counts are additive), so

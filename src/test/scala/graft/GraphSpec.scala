@@ -108,6 +108,39 @@ class GraphSpec extends SparkSpec {
     assert(got == Map("A" -> ((0L, 1000000L)), "B" -> ((1000000L, 0L))), got.toString)
   }
 
+  test("hitsConverged: stops at the hub fixed point and equals the unrolled run") {
+    val adj = graft.operators.Graph.collapseEdges(
+      Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")).toDF("src", "dst"),
+      "src", "dst")
+    val res = graft.operators.Graph.hitsConverged(adj, maxIters = 64, tolMicro = 0L)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("auth_micro"), r.getAs[Long]("hub_micro")))).toMap
+    val got = m(res.scores)
+    res.scores.unpersist()
+    // the converged run IS the unrolled run at itersRun rounds
+    val unrolled = graft.operators.Graph.hitsInt(adj, res.itersRun)
+    val want = m(unrolled)
+    unrolled.unpersist()
+    assert(got == want, s"itersRun=${res.itersRun}")
+    assert(res.itersRun >= 1 && res.itersRun < 64)
+    // hub fixed point: one more round reproduces the identical pair
+    assert(res.lastDeltaMicro == 0L)
+    val next = graft.operators.Graph.hitsInt(adj, res.itersRun + 1)
+    val wantNext = m(next)
+    next.unpersist()
+    assert(wantNext == want, "fixed pair must repeat")
+    // the cap is a backstop: maxIters 1 equals hitsInt(1)
+    val capped = graft.operators.Graph.hitsConverged(adj, maxIters = 1, tolMicro = 0L)
+    val one = graft.operators.Graph.hitsInt(adj, 1)
+    assert(m(capped.scores) == m(one) && capped.itersRun == 1)
+    capped.scores.unpersist(); one.unpersist()
+    // empty adjacency: empty frame, zero iterations
+    val empty = graft.operators.Graph.hitsConverged(
+      adj.filter(col("w") < 0L), maxIters = 4, tolMicro = 0L)
+    assert(empty.scores.isEmpty && empty.itersRun == 0)
+  }
+
   test("mergeAdj: per-batch collapses merge to exactly the full-corpus collapse") {
     val g = graft.operators.Graph
     val all = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"), ("A", "B"), ("B", "C"))
