@@ -196,8 +196,15 @@ object Frontier {
       maxBroadcastDomains: Long = DefaultMaxBroadcastDomains
   ): DataFrame = {
     require(defaultDelayMs >= 0, "Frontier.scheduleJoined: non-negative default delay")
-    val lookup = delayFrame.select(col("domain").as("__d"),
-      col("delay_ms").cast("long").as("__delay"))
+    // duplicate domains (merged robots refreshes) collapse to the MAX —
+    // the polite reading, the SAME semantics as the literal
+    // [[delayColumn]] path; without the collapse a duplicated domain
+    // would silently FAN OUT every frontier row it matches. One
+    // exchange over the |domains|-bounded frame (free under the guard:
+    // the frame is counted-and-collected anyway)
+    val lookup = delayFrame
+      .groupBy(col("domain").as("__d"))
+      .agg(max(col("delay_ms").cast("long")).as("__delay"))
     val persisted = lookup.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n =
       try persisted.count()

@@ -141,6 +141,15 @@ class FrontierSpec extends SparkSpec {
     // exchange (the per-host window), plus the typed broadcast join
     graft.queries.Q.requireBroadcastJoin(joined)
     graft.queries.Q.requireMaxShuffles(joined, 1)
+    // duplicate domains collapse to the MAX exactly like the literal
+    // path — and never fan out frontier rows
+    val dup = Frontier.scheduleJoined(frontier,
+      Seq("a.com" -> 1000L, "a.com" -> 2000L, "b.com" -> 250L)
+        .toDF("domain", "delay_ms"), 500L, workers = 2)
+    assert(dup.count() == frontier.count())
+    val dupA = dup.filter(col("host") === "a.com")
+      .collect().map(_.getAs[Long]("fetch_at_ms")).sorted.toSeq
+    assert(dupA == Seq(0L, 2000L, 4000L), dupA.toString)
   }
 
   test("scheduleJoined: past the guard, 1e5 domains ride a shuffle join the window reuses — no plan literals") {
