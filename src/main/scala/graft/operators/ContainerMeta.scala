@@ -347,8 +347,14 @@ object ContainerMeta {
     // only an EBML-led payload is in contract; everything else degrades
     if (bytes.length >= 4 && (be32(bytes, 0) & 0xFFFFFFFFL) == 0x1A45DFA3L)
       walk(0L, bytes.length.toLong, "top")
+    // doc type is the contract anchor: without it the payload is a
+    // torn/adversarial header, and timescale/duration must degrade
+    // TOGETHER (a (timescale=0, dur_ms>0) row would read as corrupt to
+    // any consumer re-deriving ticks from the pair)
     val durMs =
-      if (durF > 0 && tsScale > 0) (durF * tsScale / 1e6).toLong else 0L
+      if (docType != null && durF > 0 && tsScale > 0)
+        (durF * tsScale / 1e6).toLong
+      else 0L
     MkvInventory(id, docType, if (docType == null) 0L else tsScale, durMs,
       nTracks, hasV, hasA, w, h, vCodec, aCodec, ch, rate)
   } catch {

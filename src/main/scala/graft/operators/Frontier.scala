@@ -165,11 +165,10 @@ object Frontier {
   }
 
   /** Past this many domains the delay table stops riding a broadcast
-    * (≈ tens of MB of driver memory at 2^20 rows — the
-    * Profile.DefaultMaxBroadcastGroups discipline) and the lookup
-    * degrades to a shuffle join.
+    * and the lookup degrades to a shuffle join — [[Guard]]'s shared
+    * threshold.
     */
-  val DefaultMaxBroadcastDomains: Long = 1L << 20
+  val DefaultMaxBroadcastDomains: Long = Guard.DefaultMaxBroadcastRows
 
   /** [[schedule]] with the per-domain delay table as a DATAFRAME —
     * `delayFrame` is (domain, delay_ms), [[Robots.effectiveDelayFrame]]'s
@@ -205,23 +204,7 @@ object Frontier {
     val lookup = delayFrame
       .groupBy(col("domain").as("__d"))
       .agg(max(col("delay_ms").cast("long")).as("__delay"))
-    val persisted = lookup.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n =
-      try persisted.count()
-      catch { case t: Throwable => persisted.unpersist(); throw t }
-    val side =
-      if (n <= maxBroadcastDomains) {
-        val local = broadcast(lookup.sparkSession.createDataFrame(
-          persisted.collectAsList(), lookup.schema))
-        persisted.unpersist()
-        local
-      } else {
-        // leak-free contract: unpersist and return the lazy frame — the
-        // recompute (one pass over the |domains|-bounded table) is the
-        // accepted price, exactly Profile.guardedSide keepPersisted=false
-        persisted.unpersist()
-        lookup
-      }
+    val side = Guard.broadcastOrLazy(lookup, maxBroadcastDomains)
     val joined = frontier
       .join(side, frontier(hostCol) === col("__d"), "left")
       .drop("__d")

@@ -272,12 +272,11 @@ object Robots {
     */
   /** Past this many effective rules the screen stops collecting them
     * to a driver-local broadcast relation and the rating degrades to a
-    * shuffle join on the domain — the count-guard discipline of
-    * [[Frontier.scheduleJoined]] / Profile.guardedSide. A web-scale
-    * robots table (10⁷–10⁸ domains × a few rules) must never ride the
-    * driver.
+    * shuffle join on the domain ([[Guard]]'s shared threshold). A
+    * web-scale robots table (10⁷–10⁸ domains × a few rules) must never
+    * ride the driver.
     */
-  val DefaultMaxBroadcastRules: Long = 1L << 20
+  val DefaultMaxBroadcastRules: Long = Guard.DefaultMaxBroadcastRows
 
   def politenessScreen(
       urls: DataFrame,
@@ -312,25 +311,8 @@ object Robots {
     // count-guarded side: at or under the guard the (counted) rules
     // collect to a driver-local relation and ride a broadcast — the
     // group-selection window drops out of the OUTPUT plan; past it the
-    // lazy frame shuffle-joins on the domain (recompute of the bounded
-    // derivation is the leak-free price — Profile.guardedSide
-    // keepPersisted=false)
-    val side = {
-      val persisted = effective.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n =
-        try persisted.count()
-        catch { case t: Throwable => persisted.unpersist(); throw t }
-      if (n <= maxBroadcastRules) {
-        val local = broadcast(urls.sparkSession.createDataFrame(
-          persisted.collectAsList(), effective.schema))
-        persisted.unpersist()
-        local
-      } else {
-        persisted.unpersist()
-        effective
-      }
-    }
+    // lazy frame shuffle-joins on the domain
+    val side = Guard.broadcastOrLazy(effective, maxBroadcastRules)
     // the rating collapses the join fan-out by idCol ALONE (the unique
     // key is the group — grouping by every passthrough column would
     // silently merge fully-duplicate rows and break on non-orderable

@@ -423,45 +423,14 @@ object Sketch {
     * row per pair: (group_a, group_b, n_union_present, method,
     * n_union_est, n_common, est).
     */
-  def kmvOverlapMatrix(regs: DataFrame): DataFrame = {
-    val a = regs.select(col("group").as("ga"), col("hv"))
-    val b = regs.select(col("group").as("gb"), col("hv"))
-    val pairs = a.select(col("ga")).distinct()
-      .join(b.select(col("gb")).distinct(), col("ga") < col("gb"))
-    val unioned = a.join(broadcast(pairs), "ga")
-      .select(col("ga"), col("gb"), col("hv"))
-      .unionByName(b.join(broadcast(pairs), "gb")
-        .select(col("ga"), col("gb"), col("hv")))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ga"), col("gb")).orderBy(unsignedOrd(col("hv")).asc)
-    val merged = unioned
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= KmvK)
-      .drop("__rk")
-    val common = merged
-      .join(broadcast(a.select(col("ga"), col("hv"))), Seq("ga", "hv"), "left_semi")
-      .join(broadcast(b.select(col("gb"), col("hv"))), Seq("gb", "hv"), "left_semi")
-      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_common"))
-    merged
-      .groupBy(col("ga"), col("gb"))
-      .agg(count(lit(1)).as("n_union_present"),
-        max(unsignedDec(col("hv"))).as("__uk"))
-      .select(col("ga"), col("gb"), col("n_union_present"),
-        when(col("n_union_present") < KmvK, lit("exact")).otherwise(lit("sampled"))
-          .as("method"),
-        when(col("n_union_present") < KmvK, col("n_union_present"))
-          .otherwise(expr(s"CAST('${KmvNum.toPlainString}' AS DECIMAL(38,0)) div __uk"))
-          .as("n_union_est"))
-      .join(broadcast(common), Seq("ga", "gb"), "left")
-      .na.fill(0L, Seq("n_common"))
-      .withColumn("est",
-        when(col("method") === "exact", col("n_common"))
-          .otherwise(expr("CAST(n_common AS DECIMAL(38,0)) * " +
-            s"CAST(n_union_est AS DECIMAL(38,0)) div CAST($KmvK AS DECIMAL(38,0))")))
-      .withColumnRenamed("ga", "group_a")
-      .withColumnRenamed("gb", "group_b")
-  }
+  def kmvOverlapMatrix(regs: DataFrame): DataFrame =
+    // a projection of the full set-operation table — ONE merged-sample
+    // construction in the codebase, so the two matrices can never
+    // diverge (the membership-class counts partition the same sample)
+    kmvSetOpsMatrix(regs)
+      .select(col("group_a"), col("group_b"), col("n_union_present"),
+        col("method"), col("n_union_est"), col("n_common"),
+        col("est_intersect").as("est"))
 
   /** The FULL set-operation table per group pair, vectorized — union,
     * intersection AND both directed differences from ONE merged

@@ -138,21 +138,25 @@ object Q {
     * instead of substring-matching `toString` output, whose shape is
     * not a stable API across Spark versions.
     */
-  def planNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.SparkPlan
+  /** Recursive plan walk shared by [[planNodes]] and the subtree scans
+    * of individual gate assertions: after execution AQE folds subtrees
+    * into materialized query stages whose plan hangs off a field
+    * (children is empty) — an assertion made post-collect must still
+    * see inside them. ReusedExchange stays a leaf: a reused exchange
+    * is ONE physical shuffle, and recursing would double-count it.
+    */
+  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      // after execution AQE folds subtrees into materialized query
-      // stages whose plan hangs off a field (children is empty) — an
-      // assertion made post-collect must still see inside them.
-      // ReusedExchange stays a leaf: a reused exchange is ONE physical
-      // shuffle, and recursing would double-count it.
-      case s: QueryStageExec        => walk(s.plan)
-      case other                    => other.children.flatMap(walk)
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => walkPlan(a.executedPlan)
+      case s: QueryStageExec        => walkPlan(s.plan)
+      case other                    => other.children.flatMap(walkPlan)
     })
-    walk(df.queryExecution.executedPlan)
   }
+
+  def planNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    walkPlan(df.queryExecution.executedPlan)
 
   /** Gate assertion: a map-side (Partial-mode) WindowGroupLimit with
     * exactly this cap sits in the plan — each map task forwards at most
@@ -201,7 +205,11 @@ object Q {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val hit = planNodes(df).exists {
       case j: SortMergeJoinExec =>
-        j.collect { case s: ShuffleExchangeLike => s }.isEmpty
+        // the subtree scan must use the SAME stage-piercing walk as
+        // planNodes: post-collect a shuffled input hides inside a
+        // ShuffleQueryStage leaf, and a plain collect would certify a
+        // shuffled join as co-located
+        !walkPlan(j).drop(1).exists(_.isInstanceOf[ShuffleExchangeLike])
       case _ => false
     }
     require(hit,

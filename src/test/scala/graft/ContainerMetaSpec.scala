@@ -135,6 +135,18 @@ class ContainerMetaSpec extends SparkSpec {
       for (i <- cut until full.length) garbled(i) = ((i * 37) & 0xFF).toByte
       ContainerMeta.mkvInventory(4, garbled) // must not throw
     }
+    // an EBML-led payload whose header lacks a DocType but carries a
+    // parseable Segment/Info must degrade timescale AND dur_ms
+    // together — never an inconsistent (timescale=0, dur_ms>0) row
+    val noDocType = {
+      val f = ContainerMeta.syntheticMkv(4)
+      // arm 0 layout: [EBML hdr: id4 + size1 + [DocType el]] — blank the
+      // DocType element id (0x42 0x82 at offset 5) into an unknown id
+      val g = f.clone(); g(5) = 0x41.toByte
+      ContainerMeta.mkvInventory(4, g)
+    }
+    assert(noDocType.doc_type == null)
+    assert(noDocType.timescale == 0L && noDocType.dur_ms == 0L, noDocType.toString)
     // adversarial random bytes never throw (xorshift-deterministic)
     var s = 0x9E3779B97F4A7C15L
     for (trial <- 0 until 50) {
