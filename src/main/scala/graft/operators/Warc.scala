@@ -26,13 +26,42 @@ object Warc {
       content_length: Long,
       body: String)
 
+  /** The byte-level record: the SAME framing fields with the body kept
+    * as raw bytes — the input of the charset-aware text layer
+    * ([[httpTexts]]): a page whose body is not UTF-8 (≈10% of the web
+    * declares latin-1/windows-1252) must reach the decoder as bytes,
+    * not as an already-NULLed string.
+    */
+  final case class WarcRecordBytes(
+      media_id: Long,
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      body: Array[Byte])
+
   /** Parse one WARC blob into its records (intact prefix on
     * malformation). Bodies are returned as UTF-8 text; a body that is
     * not valid UTF-8 carries NULL (the [[graft.functions.GraftMath
     * .gunzipUtf8]] text contract) while its framing fields remain.
+    * Built on [[parseWarcBytes]] — the framing walk exists ONCE.
     */
-  def parseWarc(id: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+  def parseWarc(id: Long, bytes: Array[Byte]): Seq[WarcRecord] =
+    parseWarcBytes(id, bytes).map { r =>
+      val body =
+        try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .decode(java.nio.ByteBuffer.wrap(r.body)).toString
+        catch { case _: Exception => null }
+      WarcRecord(r.media_id, r.rec_idx, r.warc_type, r.target_uri,
+        r.content_length, body)
+    }
+
+  /** The byte-exact framing walk (ISO 28500): version line + header
+    * block + exactly Content-Length payload bytes + CRLF CRLF; a
+    * malformed blob yields the records parsed BEFORE the malformation.
+    */
+  def parseWarcBytes(id: Long, bytes: Array[Byte]): Seq[WarcRecordBytes] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecordBytes]
     var p = 0
     var idx = 0
     def lineEnd(from: Int): Int = { // index of the \r of the next CRLF
@@ -77,12 +106,7 @@ object Warc {
       }
       if (!headerOk || clen < 0 || p + clen > bytes.length) return out.toSeq
       val bodyBytes = java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
-      val body =
-        try // strict decoder (throws on malformed) — its CharBuffer IS the text
-          java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-            .decode(java.nio.ByteBuffer.wrap(bodyBytes)).toString
-        catch { case _: Exception => null }
-      out += WarcRecord(id, idx, wType, uri, clen, body)
+      out += WarcRecordBytes(id, idx, wType, uri, clen, bodyBytes)
       idx += 1
       p += clen.toInt
       // record separator CRLF CRLF (tolerate EOF right after the last body)
@@ -129,7 +153,17 @@ object Warc {
     if (body == null || !body.startsWith("HTTP/")) return None
     val headEnd = body.indexOf("\r\n\r\n")
     if (headEnd < 0) return None
-    val lines = body.substring(0, headEnd).split("\r\n", -1)
+    parseHttpHead(body.substring(0, headEnd)).map { case (st, ct, cs) =>
+      (st, ct, cs, body.substring(headEnd + 4))
+    }
+  }
+
+  /** The header-block parse both HTTP layers share: status line +
+    * first Content-Type (media type lowered; charset parameter,
+    * unquoted). None on junk status lines — degrade, don't guess.
+    */
+  private def parseHttpHead(head: String): Option[(Int, String, String)] = {
+    val lines = head.split("\r\n", -1)
     val sl = lines(0).split(" ", 3)
     if (sl.length < 2) return None
     val status =
@@ -154,7 +188,100 @@ object Warc {
           }
       }
     }
-    Some((status, ctype, charset, body.substring(headEnd + 4)))
+    Some((status, ctype, charset))
+  }
+
+  /** [[parseHttp]] on BYTES: the header block of an HTTP/1.x message
+    * is ASCII by grammar (decoded as ISO-8859-1 — byte-lossless), and
+    * the payload stays raw bytes for the charset-aware text layer.
+    */
+  def parseHttpBytes(body: Array[Byte]): Option[(Int, String, String, Array[Byte])] = {
+    if (body == null || body.length < 5 ||
+      body(0) != 'H' || body(1) != 'T' || body(2) != 'T' ||
+      body(3) != 'P' || body(4) != '/') return None
+    var i = 0
+    var headEnd = -1
+    while (headEnd < 0 && i + 3 < body.length) {
+      if (body(i) == '\r' && body(i + 1) == '\n' &&
+        body(i + 2) == '\r' && body(i + 3) == '\n') headEnd = i
+      i += 1
+    }
+    if (headEnd < 0) return None
+    parseHttpHead(new String(body, 0, headEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1)).map { case (st, ct, cs) =>
+      (st, ct, cs, java.util.Arrays.copyOfRange(body, headEnd + 4, body.length))
+    }
+  }
+
+  /** Charsets the ingest DECODES (the ones that cover real web text
+    * traffic next to UTF-8); everything else is out of contract and
+    * degrades to NULL rather than mojibake — a wrong decode poisons
+    * dedup digests and tokenizers silently, a NULL is visible to the
+    * drop-reasons audit.
+    */
+  private val KnownCharsets: Map[String, java.nio.charset.Charset] = {
+    import java.nio.charset.StandardCharsets._
+    Map(
+      "utf-8" -> UTF_8, "utf8" -> UTF_8,
+      "us-ascii" -> US_ASCII, "ascii" -> US_ASCII,
+      "iso-8859-1" -> ISO_8859_1, "latin-1" -> ISO_8859_1, "latin1" -> ISO_8859_1,
+      "windows-1252" -> java.nio.charset.Charset.forName("windows-1252"),
+      "cp1252" -> java.nio.charset.Charset.forName("windows-1252"))
+  }
+
+  /** Decode payload bytes under a DECLARED charset (null = the UTF-8
+    * default): strict decoders throughout, so a server LYING about its
+    * charset (utf-8-declared latin-1 bytes) yields NULL — visible to
+    * the audit — never silently-wrong text. Unknown charsets are out
+    * of contract → NULL.
+    */
+  def decodeCharset(bytes: Array[Byte], charset: String): String = {
+    if (bytes == null) return null
+    val name =
+      if (charset == null) "utf-8"
+      else charset.trim.toLowerCase(java.util.Locale.ROOT)
+    KnownCharsets.get(name) match {
+      case None => null
+      case Some(cs) =>
+        try cs.newDecoder().decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        catch { case _: Exception => null }
+    }
+  }
+
+  /** Batch byte-level container walk: one row per record with the body
+    * as BINARY — the charset-aware ingest's input. Map-only.
+    */
+  def recordsBinary(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) => parseWarcBytes(id, payload) })
+      .toDF()
+  }
+
+  /** The charset-AWARE text layer over a [[recordsBinary]] frame: one
+    * row per `response` record with the payload decoded under its OWN
+    * declared charset (Content-Type's charset parameter; absent =
+    * UTF-8). `text` is NULL when the message is torn (status −1), the
+    * charset is out of contract, or the bytes violate the declared
+    * encoding — every degrade visible, never mojibake. Map-only.
+    */
+  def httpTexts(recs: DataFrame): DataFrame = {
+    import recs.sparkSession.implicits._
+    recs
+      .filter(col("warc_type") === "response")
+      .select(col("media_id").cast("long"), col("rec_idx").cast("int"),
+        col("target_uri").cast("string"), col("body"))
+      .as[(Long, Int, String, Array[Byte])]
+      .map { case (id, idx, uri, body) =>
+        parseHttpBytes(body) match {
+          case Some((st, ct, cs, payload)) =>
+            (id, idx, uri, st, ct, cs, decodeCharset(payload, cs))
+          case None => (id, idx, uri, -1, null: String, null: String, null: String)
+        }
+      }
+      .toDF("media_id", "rec_idx", "target_uri", "status",
+        "content_type", "charset", "text")
   }
 
   /** The HTTP layer of a [[records]] frame: one row per `response`
@@ -288,6 +415,45 @@ object Warc {
       }
       .toDF("media_id", "rec_idx", "warc_type", "target_uri",
         "status", "content_type", "charset", "payload")
+  }
+
+  /** Deterministic CHARSET fixture: six response records per blob
+    * whose payload BYTES are written in the charset each declares —
+    * the decode matrix of [[httpTexts]], every arm closed-form in
+    * `seed`:
+    * 0 — utf-8 declared, utf-8 bytes (café);
+    * 1 — iso-8859-1 declared, latin-1 bytes (0xE9 — invalid UTF-8, so
+    *     the utf-8-only text layer NULLs it; the charset-aware one
+    *     decodes);
+    * 2 — windows-1252 declared, cp1252 bytes (€ = 0x80);
+    * 3 — NO charset parameter, ASCII bytes (the UTF-8 default);
+    * 4 — utf-8 DECLARED over latin-1 bytes (a lying server): the
+    *     strict decode fails → NULL, visible to the audit;
+    * 5 — shift_jis declared (out of contract) → NULL.
+    */
+  def syntheticWarcCharsets(seed: Long): Array[Byte] = {
+    require(seed >= 0, "syntheticWarcCharsets: non-negative seed")
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII, UTF_8}
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(i: Int, charset: String, payload: Array[Byte]): Unit = {
+      val ctype = "text/html" + (if (charset == null) "" else s"; charset=$charset")
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ctype".getBytes(US_ASCII)
+      val bodyLen = head.length + 4 + payload.length
+      out.write(
+        (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://cs$seed.example/p$i\r\n" +
+          s"Content-Length: $bodyLen\r\n\r\n").getBytes(US_ASCII))
+      out.write(head); out.write("\r\n\r\n".getBytes(US_ASCII))
+      out.write(payload); out.write("\r\n\r\n".getBytes(US_ASCII))
+    }
+    rec(0, "utf-8", s"caf\u00e9 page $seed".getBytes(UTF_8))
+    rec(1, "iso-8859-1", s"caf\u00e9 r\u00e9sum\u00e9 $seed".getBytes(ISO_8859_1))
+    rec(2, "windows-1252", s"price \u20ac$seed".getBytes(cp1252))
+    rec(3, null, s"plain page $seed".getBytes(US_ASCII))
+    rec(4, "utf-8", s"caf\u00e9 $seed".getBytes(ISO_8859_1))
+    rec(5, "shift_jis", s"nihongo $seed".getBytes(US_ASCII))
+    out.toByteArray
   }
 
   /** Deterministic WARC fixture: `nRecords` records whose fields are

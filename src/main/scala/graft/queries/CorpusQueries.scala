@@ -5220,6 +5220,52 @@ object CorpusQueries {
       )
     ),
 
+    // CHARSET-AWARE text extraction — the honesty gap the utf-8-only
+    // text layer leaves open: ~10% of the web declares
+    // latin-1/windows-1252, and those pages NULL out of a utf-8-only
+    // ingest. The byte-level walk (recordsBinary) keeps payloads as
+    // BYTES through the HTTP split (ASCII header grammar, decoded
+    // ISO-8859-1 byte-lossless), then decodes each page under its OWN
+    // declared charset with STRICT decoders — a server lying about
+    // its charset (utf-8-declared latin-1 bytes) yields NULL visible
+    // to the audit, never silently-wrong text that would poison dedup
+    // digests and tokenizers downstream; unknown charsets degrade the
+    // same way. Six arms per blob, each a different (declared charset
+    // × actual bytes) cell of the decode matrix, every expected
+    // string closed-form. Map-only end to end, typed-asserted.
+    Q(
+      "q_warc_charset",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcCharsets(k))
+        val out = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id, CAST(i AS INT) AS rec_idx,
+          |  'http://cs' || CAST(n_nationkey AS VARCHAR) || '.example/p'
+          |    || CAST(i AS VARCHAR) AS target_uri,
+          |  CAST(200 AS INT) AS status,
+          |  'text/html' AS content_type,
+          |  CASE CAST(i AS INT)
+          |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+          |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN NULL
+          |    WHEN 4 THEN 'utf-8' ELSE 'shift_jis' END AS charset,
+          |  CASE CAST(i AS INT)
+          |    WHEN 0 THEN 'caf\u00e9 page ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 1 THEN 'caf\u00e9 r\u00e9sum\u00e9 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 2 THEN 'price \u20ac' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 3 THEN 'plain page ' || CAST(n_nationkey AS VARCHAR)
+          |    ELSE NULL END AS text
+          |FROM nation, UNNEST(generate_series(0, 5)) AS u(i)""".stripMargin
+      )
+    ),
+
     // The CRAWL flagship — round 13's new layers composed end to end:
     // WARC container walk → HTTP status/content-type screen → RFC 3986
     // URL canonicalization → MAP-SIDE robots politeness (the bounded

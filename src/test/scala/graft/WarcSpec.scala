@@ -100,6 +100,45 @@ class WarcSpec extends SparkSpec {
     assert(rows((3L, 0)) == (-1, null, null)) // torn fetch stays visible
   }
 
+  test("charset-aware text layer: each page decodes under its OWN declared charset, strictly") {
+    // the decode matrix: utf-8 / latin-1 / cp1252 / default / a lying
+    // server / an out-of-contract charset — strict everywhere, so a
+    // wrong declaration is a visible NULL, never mojibake
+    val frame = Seq((3L, Warc.syntheticWarcCharsets(3L))).toDF("media_id", "payload")
+    val out = Warc.httpTexts(Warc.recordsBinary(frame, "media_id", "payload"))
+    graft.queries.Q.requireNoShuffle(out)
+    val rows = out.collect().map(r => r.getAs[Int]("rec_idx") ->
+      ((r.getAs[String]("charset"), r.getAs[String]("text")))).toMap
+    assert(rows(0) == (("utf-8", "café page 3")))
+    assert(rows(1) == (("iso-8859-1", "café résumé 3")))
+    assert(rows(2) == (("windows-1252", "price €3")))
+    assert(rows(3) == ((null, "plain page 3"))) // no declaration: utf-8 default
+    assert(rows(4) == (("utf-8", null)))        // lying server: strict fail
+    assert(rows(5) == (("shift_jis", null)))    // out of contract
+    // the utf-8-only layer NULLs the latin-1 page the charset-aware
+    // one decodes — the gap this layer closes
+    val utf8Only = Warc.httpResponses(Warc.records(frame, "media_id", "payload"))
+      .collect().map(r => r.getAs[Int]("rec_idx") -> r.getAs[String]("payload")).toMap
+    assert(utf8Only(1) == null && utf8Only(0) != null)
+    // decodeCharset contract corners
+    assert(Warc.decodeCharset("aéb".getBytes("ISO-8859-1"), "LATIN1") == "aéb")
+    assert(Warc.decodeCharset(Array[Byte](0x41, 0xE9.toByte), null) == null) // bad utf-8
+    assert(Warc.decodeCharset(Array.empty[Byte], "utf-8") == "")
+    assert(Warc.decodeCharset(null, "utf-8") == null)
+    // binary-safe framing survives the bytes walk: a payload full of
+    // CRLFCRLF and fake version lines must not desync record extents
+    val evil = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: t\r\n" +
+      // the 26-byte body IS "\r\n\r\nWARC/1.0\r\nfake: header" — a
+      // delimiter-scanning parser would desync on it; Content-Length
+      // framing must not
+      "Content-Length: 26\r\n\r\n" + "\r\n\r\nWARC/1.0\r\nfake: header" + "\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: u\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("US-ASCII")
+    val recs = Warc.parseWarcBytes(9L, evil)
+    assert(recs.length == 2 && recs(1).warc_type == "request",
+      recs.map(r => (r.warc_type, r.content_length)).toString)
+  }
+
   test("syntheticWarcCrawl withNonResponses: interleaved records parse; response bytes identical; httpLedger classifies") {
     val plain = Warc.parseWarc(3L, Warc.syntheticWarcCrawl(3L, 6))
     val mixed = Warc.parseWarc(3L, Warc.syntheticWarcCrawl(3L, 6, withNonResponses = true))
