@@ -2624,6 +2624,90 @@ object NorthStarQueries {
       )
     ),
 
+    // Gzip member inventory — the compressed-format boundary measured
+    // BEFORE any inflate commits CPU (RFC 1952): method, mtime, OS,
+    // the FNAME header, the walked header length, and the trailer's
+    // ISIZE — the decompressed size a scheduler bins work by — under
+    // the single-member contract (the web norm). Arms: named member /
+    // anonymous with FEXTRA+FHCRC (the skip fields) / torn mid-FNAME
+    // (fixed header fields survive, name and trailer degrade) / not
+    // gzip. Map-only.
+    Q(
+      "q_gzip_inventory",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val mk = udf((k: Long) => graft.operators.CompressedMeta.syntheticGzip(k))
+        val out = graft.operators.CompressedMeta.gzipInventories(
+          blobs.withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(n_nationkey % 4 AS INT) <> 3 AS is_gzip,
+          |  CAST(CASE WHEN n_nationkey % 4 = 3 THEN 0 ELSE 8 END AS INT) AS method,
+          |  CAST(CASE WHEN n_nationkey % 4 IN (0, 2)
+          |    THEN 1700000000 + n_nationkey ELSE 0 END AS BIGINT) AS mtime,
+          |  CAST(CASE WHEN n_nationkey % 4 = 3 THEN 0 ELSE 3 END AS INT) AS os,
+          |  CASE WHEN n_nationkey % 4 = 0
+          |    THEN 'f' || CAST(n_nationkey AS VARCHAR) || '.txt' END AS fname,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 11 + LENGTH('f' || CAST(n_nationkey AS VARCHAR) || '.txt')
+          |    WHEN 1 THEN 18 ELSE 0 END AS INT) AS header_len,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 20 + n_nationkey % 10
+          |    WHEN 1 THEN 40 + n_nationkey % 10
+          |    ELSE 0 END AS BIGINT) AS isize
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // Zstd frame inventory (RFC 8878) — the walk that makes zstd
+    // archives SCHEDULABLE without entropy decode: every block header
+    // carries its compressed extent, so frame count, declared content
+    // sizes (FCS), the WINDOW requirement (the decoder's memory
+    // bound — single-segment frames require exactly their content
+    // size), dictionary ids and checksum presence all read in
+    // O(blocks). Arms: single-segment raw-block frame with checksum /
+    // windowed+dictionary RLE frame + a skippable frame + a second
+    // single-segment frame / torn mid-block (the completed-frame
+    // contract yields nothing) / not zstd. Map-only.
+    Q(
+      "q_zstd_inventory",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val mk = udf((k: Long) => graft.operators.CompressedMeta.syntheticZstd(k))
+        val out = graft.operators.CompressedMeta.zstdInventories(
+          blobs.withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS BIGINT) AS n_frames,
+          |  CAST(CASE WHEN n_nationkey % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+          |    AS n_skippable,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS BIGINT) AS n_blocks,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 100 + n_nationkey % 100
+          |    WHEN 1 THEN 1000 + n_nationkey + 40 + n_nationkey % 10
+          |    ELSE 0 END AS BIGINT) AS content_size,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 100 + n_nationkey % 100
+          |    WHEN 1 THEN 2048 ELSE 0 END AS BIGINT) AS window_size,
+          |  CAST(CASE WHEN n_nationkey % 4 = 1
+          |    THEN 7 + n_nationkey % 5 ELSE 0 END AS BIGINT) AS dict_id,
+          |  CAST(n_nationkey % 4 AS INT) = 0 AS has_checksum
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // MEDIA TRIAGE — the inventory layer doing its actual job: a MIXED
     // container stream (MP4, Ogg, MKV/WebM interleaved by key) routed
     // by pure header walks into the pipeline each item belongs to —
