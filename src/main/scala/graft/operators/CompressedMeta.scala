@@ -48,26 +48,23 @@ object CompressedMeta {
       header_len: Int,
       isize: Long)
 
-  def gzipInventory(id: Long, bytes: Array[Byte]): GzipInventory = try {
-    if (bytes == null || bytes.length < 10 ||
-      (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B)
-      return GzipInventory(id, false, 0, 0L, 0, null, 0, 0L)
-    val method = bytes(2) & 0xFF
-    val flg = bytes(3) & 0xFF
-    val mtime = le32(bytes, 4)
-    val os = bytes(9) & 0xFF
-    var p = 10
+  /** The member-header walk at an OFFSET (shared by [[gzipInventory]]
+    * and the [[gunzipMembers]] loop without copying tails):
+    * (fname, header length RELATIVE to `off`) — header length 0 when
+    * the header is torn before completing.
+    */
+  private def gzipHeaderAt(bytes: Array[Byte], off: Int): (String, Int) = {
+    val flg = bytes(off + 3) & 0xFF
+    var p = off + 10
     var fname: String = null
-    def ok(n: Int): Boolean = p + n <= bytes.length
     if ((flg & 4) != 0) { // FEXTRA
-      if (!ok(2)) return GzipInventory(id, true, method, mtime, os, null, 0, 0L)
+      if (p + 2 > bytes.length) return (null, 0)
       val xlen = le16(bytes, p); p += 2 + xlen
     }
     if ((flg & 8) != 0) { // FNAME: zero-terminated latin-1
       val s = p
       while (p < bytes.length && bytes(p) != 0) p += 1
-      if (p >= bytes.length)
-        return GzipInventory(id, true, method, mtime, os, null, 0, 0L)
+      if (p >= bytes.length) return (null, 0)
       fname = new String(bytes, s, p - s, java.nio.charset.StandardCharsets.ISO_8859_1)
       p += 1
     }
@@ -76,10 +73,23 @@ object CompressedMeta {
       p += 1
     }
     if ((flg & 2) != 0) p += 2 // FHCRC
-    val headerLen = math.min(p, bytes.length)
+    if (p > bytes.length) (fname, 0) else (fname, p - off)
+  }
+
+  def gzipInventory(id: Long, bytes: Array[Byte]): GzipInventory = try {
+    if (bytes == null || bytes.length < 10 ||
+      (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B)
+      return GzipInventory(id, false, 0, 0L, 0, null, 0, 0L)
+    val method = bytes(2) & 0xFF
+    val mtime = le32(bytes, 4)
+    val os = bytes(9) & 0xFF
+    val (fname, headerLen) = gzipHeaderAt(bytes, 0)
     // trailer: CRC32 + ISIZE — only readable when the member is whole
-    val isize = if (bytes.length >= headerLen + 8) le32(bytes, bytes.length - 4) else 0L
-    GzipInventory(id, true, method, mtime, os, fname, headerLen, isize)
+    val isize =
+      if (headerLen > 0 && bytes.length >= headerLen + 8) le32(bytes, bytes.length - 4)
+      else 0L
+    GzipInventory(id, true, method, mtime, os,
+      if (headerLen == 0) null else fname, headerLen, isize)
   } catch {
     case _: Exception => GzipInventory(id, false, 0, 0L, 0, null, 0, 0L)
   }
@@ -189,6 +199,64 @@ object CompressedMeta {
     case _: Exception => ZstdInventory(id, 0L, 0L, 0L, 0L, 0L, 0L, false)
   }
 
+  /** Split a CONCATENATED-members gzip payload into its per-member
+    * decompressed outputs — the `.warc.gz` reading path: Common Crawl
+    * gzips ONE member PER RECORD so readers can seek, and a whole-file
+    * gunzip (GZIPInputStream transparently concatenates) loses exactly
+    * those boundaries. Each member: header walk ([[gzipInventory]]'s
+    * arithmetic) → raw-Inflater inflate (the member's compressed
+    * extent is only knowable BY inflating — RFC 1952 has no length
+    * field) → CRC32 + ISIZE trailer VERIFIED (a corrupt member and
+    * everything after it drops — the completed-prefix contract).
+    * `maxOutPerMember` caps expansion (a gzip bomb must not park an
+    * executor — the crawl-delay-cap discipline for untrusted input).
+    */
+  def gunzipMembers(bytes: Array[Byte],
+      maxOutPerMember: Int = 64 << 20): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    if (bytes == null) return out.toSeq
+    var i = 0
+    var stop = false
+    while (!stop && i + 10 <= bytes.length) {
+      val isGz = (bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B
+      val headerLen = if (isGz) gzipHeaderAt(bytes, i)._2 else 0
+      if (!isGz || headerLen == 0) stop = true
+      else {
+        val dataStart = i + headerLen
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, dataStart, bytes.length - dataStart)
+        val member = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        try {
+          while (!inf.finished() && !stop) {
+            val n = inf.inflate(buf)
+            if (n == 0 && !inf.finished()) stop = true // truncated stream
+            else {
+              member.write(buf, 0, n)
+              if (member.size() > maxOutPerMember) stop = true // bomb cap
+            }
+          }
+          if (!stop) {
+            val trailerAt = dataStart + inf.getBytesRead.toInt
+            if (trailerAt + 8 > bytes.length) stop = true
+            else {
+              val data = member.toByteArray
+              val crc = new java.util.zip.CRC32()
+              crc.update(data)
+              val okCrc = le32(bytes, trailerAt) == crc.getValue
+              val okSize = le32(bytes, trailerAt + 4) == (data.length.toLong & 0xFFFFFFFFL)
+              if (okCrc && okSize) { out += data; i = trailerAt + 8 }
+              else stop = true // corrupt member: drop it and the rest
+            }
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => stop = true
+        } finally inf.end()
+      }
+    }
+    out.toSeq
+  }
+
   /** Batch walks: map-only, shuffle-free — the inventory-layer plan. */
   def gzipInventories(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     import df.sparkSession.implicits._
@@ -210,6 +278,32 @@ object CompressedMeta {
 
   private def leBytes(v: Long, n: Int): Array[Byte] =
     (0 until n).map(k => ((v >>> (8 * k)) & 0xFF).toByte).toArray
+
+  /** Wrap raw bytes as one minimal gzip member (header flags 0, raw
+    * deflate, CRC32 + ISIZE trailer) — the `.warc.gz` fixtures'
+    * per-record builder.
+    */
+  def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x1F); out.write(0x8B); out.write(8); out.write(0)
+    out.write(leBytes(0L, 4), 0, 4)
+    out.write(0); out.write(3)
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    defl.setInput(data); defl.finish()
+    val buf = new Array[Byte](data.length + 64)
+    var done = false
+    while (!done) {
+      val n = defl.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+      done = defl.finished()
+    }
+    defl.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    out.write(leBytes(crc.getValue, 4), 0, 4)
+    out.write(leBytes(data.length.toLong, 4), 0, 4)
+    out.toByteArray
+  }
 
   /** Four-arm gzip fixture keyed on `seed % 4`:
     * 0 — FNAME member ("f<seed>.txt", mtime 1700000000+seed, OS 3,

@@ -248,6 +248,34 @@ object Warc {
     }
   }
 
+  /** The `.warc.gz` ingest — how Common Crawl actually ships archives:
+    * ONE gzip member PER RECORD (so readers can seek), which a
+    * whole-file gunzip silently flattens. Each blob splits into its
+    * members ([[CompressedMeta.gunzipMembers]] — CRC/ISIZE-verified,
+    * bomb-capped), each member parses as WARC, and `rec_idx`
+    * re-indexes sequentially across members so downstream order
+    * semantics (dedup keep-first) match the uncompressed path. A
+    * corrupt member drops it and everything after — the
+    * completed-prefix contract, end to end. Same output shape as
+    * [[records]]; map-only.
+    */
+  def recordsGz(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        var idx = 0
+        CompressedMeta.gunzipMembers(payload).iterator.flatMap { m =>
+          parseWarc(id, m).map { r =>
+            val out = r.copy(rec_idx = idx)
+            idx += 1
+            out
+          }
+        }
+      })
+      .toDF()
+  }
+
   /** Batch byte-level container walk: one row per record with the body
     * as BINARY — the charset-aware ingest's input. Map-only.
     */
@@ -354,10 +382,18 @@ object Warc {
     * `"page <seed·7+i> body"` — every field closed-form in (seed, i).
     */
   def syntheticWarcHttp(seed: Long, nRecords: Int): Array[Byte] = {
-    require(seed >= 0 && nRecords >= 0, "syntheticWarcHttp: non-negative seed/count")
     val out = new java.io.ByteArrayOutputStream()
-    var i = 0
-    while (i < nRecords) {
+    syntheticWarcHttpRecords(seed, nRecords).foreach(r => out.write(r, 0, r.length))
+    out.toByteArray
+  }
+
+  /** [[syntheticWarcHttp]]'s records INDIVIDUALLY — the `.warc.gz`
+    * fixture gzips one member per record from exactly these bytes, so
+    * the gz gate shares the plain gate's oracle verbatim.
+    */
+  def syntheticWarcHttpRecords(seed: Long, nRecords: Int): Seq[Array[Byte]] = {
+    require(seed >= 0 && nRecords >= 0, "syntheticWarcHttp: non-negative seed/count")
+    (0 until nRecords).map { i =>
       val body =
         if (i % 2 == 0) {
           val status = if ((seed + i) % 7 == 2) "404 Not Found" else "200 OK"
@@ -373,10 +409,8 @@ object Warc {
           s"WARC-Target-URI: http://site${(seed + i) % 5}.example/p$i\r\n" +
           s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
           s"\r\n$body\r\n\r\n"
-      out.write(rec.getBytes("UTF-8"))
-      i += 1
+      rec.getBytes("UTF-8")
     }
-    out.toByteArray
   }
 
   /** Deterministic end-to-end CRAWL fixture: `nRecords` response
@@ -456,6 +490,20 @@ object Warc {
       }
       .toDF("media_id", "rec_idx", "warc_type", "target_uri",
         "status", "content_type", "charset", "payload")
+  }
+
+  /** The `.warc.gz` fixture: [[syntheticWarcHttp]]'s records, each
+    * wrapped as its OWN gzip member and concatenated — byte-for-byte
+    * the Common-Crawl layout, carrying the identical logical records
+    * so the gz gate shares the plain gate's oracle verbatim.
+    */
+  def syntheticWarcGz(seed: Long, nRecords: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    syntheticWarcHttpRecords(seed, nRecords).foreach { r =>
+      val m = CompressedMeta.gzipMember(r)
+      out.write(m, 0, m.length)
+    }
+    out.toByteArray
   }
 
   /** Deterministic CHARSET fixture: six response records per blob

@@ -322,6 +322,24 @@ object CorpusQueries {
 
   /** The default closed-form edge source over the full documents
     * table — the dst side shifts dom/tld independently (+2/+1). */
+  /** Shared by q_warc_http and q_warc_gz — the gz fixture carries the
+    * IDENTICAL logical records one-gzip-member-per-record, so one
+    * oracle pins that compression is invisible to the HTTP layer.
+    */
+  private lazy val WarcHttpOracleSql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS media_id, CAST(i AS INT) AS rec_idx,
+      |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR) ||
+      |    '.example/p' || CAST(i AS VARCHAR) AS target_uri,
+      |  CAST(CASE WHEN (n_nationkey + i) % 7 = 2 THEN 404 ELSE 200 END AS INT) AS status,
+      |  CASE WHEN (n_nationkey + i) % 5 = 3 THEN 'image/png'
+      |       ELSE 'text/html' END AS content_type,
+      |  CASE WHEN (n_nationkey + i) % 5 = 3 THEN NULL
+      |       ELSE 'utf-8' END AS charset,
+      |  'page ' || CAST(n_nationkey * 7 + i AS VARCHAR) || ' body' AS payload,
+      |  (n_nationkey + i) % 7 <> 2 AND (n_nationkey + i) % 5 <> 3 AS keep
+      |FROM nation, UNNEST(generate_series(0, 5)) AS u(i)
+      |WHERE i % 2 = 0""".stripMargin
+
   private val GraphEdgesSql: String =
     s"""SELECT
        |    ${domainSql("doc_id")} AS src,
@@ -5270,20 +5288,36 @@ object CorpusQueries {
         Q.requireNoShuffle(out)
         out
       },
-      Some(
-        """SELECT CAST(n_nationkey AS BIGINT) AS media_id, CAST(i AS INT) AS rec_idx,
-          |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR) ||
-          |    '.example/p' || CAST(i AS VARCHAR) AS target_uri,
-          |  CAST(CASE WHEN (n_nationkey + i) % 7 = 2 THEN 404 ELSE 200 END AS INT) AS status,
-          |  CASE WHEN (n_nationkey + i) % 5 = 3 THEN 'image/png'
-          |       ELSE 'text/html' END AS content_type,
-          |  CASE WHEN (n_nationkey + i) % 5 = 3 THEN NULL
-          |       ELSE 'utf-8' END AS charset,
-          |  'page ' || CAST(n_nationkey * 7 + i AS VARCHAR) || ' body' AS payload,
-          |  (n_nationkey + i) % 7 <> 2 AND (n_nationkey + i) % 5 <> 3 AS keep
-          |FROM nation, UNNEST(generate_series(0, 5)) AS u(i)
-          |WHERE i % 2 = 0""".stripMargin
-      )
+      Some(WarcHttpOracleSql)
+    ),
+
+    // The .warc.gz INGEST — the layout Common Crawl actually ships:
+    // ONE gzip member PER RECORD, which a whole-file gunzip silently
+    // flattens into boundary-less text. recordsGz splits each blob
+    // into its members (raw-Inflater loop — RFC 1952 has no length
+    // field, so the member extent is only knowable BY inflating —
+    // with CRC32 + ISIZE verified per member and a bomb cap), parses
+    // each member as WARC, and re-indexes rec_idx across members so
+    // order semantics match the uncompressed path. The fixture gzips
+    // the IDENTICAL logical records as q_warc_http — so this gate
+    // shares that gate's oracle VERBATIM: compression must be
+    // invisible to the HTTP layer. Map-only.
+    Q(
+      "q_warc_gz",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcGz(k, 6))
+        val out = graft.operators.Warc.httpResponses(
+          graft.operators.Warc.recordsGz(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .withColumn("keep",
+            col("status") === 200 && col("content_type") === "text/html")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(WarcHttpOracleSql)
     ),
 
     // CHARSET-AWARE text extraction — the honesty gap the utf-8-only

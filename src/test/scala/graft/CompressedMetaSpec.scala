@@ -99,6 +99,45 @@ class CompressedMetaSpec extends SparkSpec {
     assert(CompressedMeta.zstdInventory(0, null).n_frames == 0L)
   }
 
+  test("gunzipMembers: per-member splitting, CRC/ISIZE verification, corrupt-member prefix, bomb cap") {
+    val parts = Seq("alpha", "beta bytes", "").map(_.getBytes("US-ASCII"))
+    val cat = parts.map(CompressedMeta.gzipMember).reduce(_ ++ _)
+    // a whole-file gunzip would flatten these; the member walk keeps
+    // the boundaries — byte-exact round trip including the EMPTY member
+    val got = CompressedMeta.gunzipMembers(cat)
+    assert(got.map(new String(_, "US-ASCII")) == Seq("alpha", "beta bytes", ""))
+    // a corrupt THIRD member (flipped CRC byte) drops it and the rest,
+    // keeping the verified prefix
+    val third = CompressedMeta.gzipMember("gamma".getBytes("US-ASCII"))
+    third(third.length - 6) = (third(third.length - 6) ^ 0x5A).toByte
+    val withBad = CompressedMeta.gzipMember("a".getBytes) ++
+      CompressedMeta.gzipMember("b".getBytes) ++ third ++
+      CompressedMeta.gzipMember("never".getBytes)
+    assert(CompressedMeta.gunzipMembers(withBad)
+      .map(new String(_, "US-ASCII")) == Seq("a", "b"))
+    // truncated mid-deflate: verified prefix only
+    val torn = cat.dropRight(parts(2).length + 30)
+    assert(CompressedMeta.gunzipMembers(torn).length <= 2)
+    // the bomb cap: a member expanding past the cap stops the walk
+    val big = CompressedMeta.gzipMember(new Array[Byte](1 << 16)) // 64 KiB of zeros
+    assert(CompressedMeta.gunzipMembers(big, maxOutPerMember = 1 << 10).isEmpty)
+    assert(CompressedMeta.gunzipMembers(big).length == 1)
+    assert(CompressedMeta.gunzipMembers(null).isEmpty)
+    // the .warc.gz path: per-record members parse to the SAME rows as
+    // the uncompressed container, rec_idx re-indexed across members
+    val plain = graft.operators.Warc.records(
+      Seq((1L, graft.operators.Warc.syntheticWarcHttp(1L, 6)))
+        .toDF("media_id", "payload"), "media_id", "payload")
+    val gz = graft.operators.Warc.recordsGz(
+      Seq((1L, graft.operators.Warc.syntheticWarcGz(1L, 6)))
+        .toDF("media_id", "payload"), "media_id", "payload")
+    graft.queries.Q.requireNoShuffle(gz)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Int]("rec_idx"), r.getAs[String]("warc_type"),
+        r.getAs[String]("target_uri"), r.getAs[String]("body"))).toSet
+    assert(rows(gz) == rows(plain))
+  }
+
   test("distributed inventories are map-only") {
     val df = (0L until 8L).map(k =>
       (k, CompressedMeta.syntheticGzip(k), CompressedMeta.syntheticZstd(k)))
