@@ -170,6 +170,35 @@ object Robots {
     }
   }
 
+  /** Effective rules under RFC 9309 §2.3.1 FETCH-STATUS semantics —
+    * what a crawler owes domains whose robots.txt didn't come back as
+    * a 2xx: "unavailable" (400–499) means crawling is UNRESTRICTED
+    * (the site chose not to publish rules — no rows here, and the
+    * screen's no-match default allows); "unreachable" (5xx, or a torn
+    * fetch encoded as status −1) MUST be treated as COMPLETE DISALLOW
+    * (a synthetic `*`/disallow-"/" row — the conservative direction:
+    * an origin in trouble must not be hammered). 2xx bodies parse
+    * normally. Input: (domainCol, statusCol, textCol); output:
+    * [[rules]]' (domain, agent, rule, path) shape, ready for
+    * [[politenessScreen]] / [[effectiveRules]]. Unfollowed 3xx rows
+    * land in the unavailable bucket (unrestricted) — redirect
+    * FOLLOWING is the fetch layer's job; what reaches this frame is
+    * the terminal status.
+    */
+  def rulesWithAvailability(
+      df: DataFrame,
+      domainCol: String,
+      statusCol: String,
+      textCol: String
+  ): DataFrame = {
+    val ok = df.filter(col(statusCol) >= 200 && col(statusCol) < 300)
+    val unreachable = df
+      .filter(col(statusCol) >= 500 || col(statusCol) === -1)
+      .select(col(domainCol).cast("string").as("domain"),
+        lit("*").as("agent"), lit("disallow").as("rule"), lit("/").as("path"))
+    rules(ok, domainCol, textCol).unionByName(unreachable)
+  }
+
   /** `Sitemap:` directives from a robots.txt — the frontier's
     * discovery POINTER ([[parseSitemapLocs]] parses what these point
     * AT). Per sitemaps.org the directive is location-INDEPENDENT —

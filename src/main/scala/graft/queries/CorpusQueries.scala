@@ -3358,6 +3358,54 @@ object CorpusQueries {
       )
     ),
 
+    // robots.txt FETCH-STATUS semantics (RFC 9309 §2.3.1) — the
+    // decision a crawler owes domains whose robots didn't come back
+    // 2xx: 4xx "unavailable" means the site chose not to publish
+    // rules → crawling UNRESTRICTED; 5xx (and torn fetches, status
+    // −1) "unreachable" → COMPLETE DISALLOW — an origin in trouble
+    // must not be hammered, the conservative direction. Four status
+    // arms × two path arms, the 200 arm keeping its parsed
+    // longest-prefix behavior, all rated by the same broadcast
+    // screen; the oracle re-derives every decision closed-form.
+    Q(
+      "q_robots_availability",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Q.t(spark, dir, "documents")
+        val fetches = (0 until 8).map { m =>
+          val status = (m % 4) match {
+            case 0 => 200
+            case 1 => 404
+            case 2 => 503
+            case _ => -1
+          }
+          (s"d$m.example", status,
+            if (status == 200) "User-agent: *\nDisallow: /private\n" else null)
+        }.toDF("domain", "status", "txt")
+        val ruleRows = graft.operators.Robots.rulesWithAvailability(
+          fetches, "domain", "status", "txt")
+        val urls = docs.select(col("doc_id"),
+          concat(lit("d"), col("doc_id") % 8, lit(".example")).as("domain"),
+          when(col("doc_id") % 2 === 0, lit("/private/x"))
+            .otherwise(lit("/public/y")).as("path"))
+        val out = graft.operators.Robots.politenessScreen(
+          urls, ruleRows, "graftbot")
+        Q.requireBroadcastJoin(out)
+        out
+      },
+      Some(
+        """SELECT doc_id,
+          |  'd' || CAST(doc_id % 8 AS VARCHAR) || '.example' AS domain,
+          |  CASE WHEN doc_id % 2 = 0 THEN '/private/x' ELSE '/public/y' END AS path,
+          |  CASE CAST(doc_id % 8 % 4 AS INT)
+          |    WHEN 0 THEN doc_id % 2 <> 0  -- parsed rules: /private blocked
+          |    WHEN 1 THEN TRUE             -- 4xx unavailable: unrestricted
+          |    ELSE FALSE                   -- 5xx / torn: complete disallow
+          |  END AS allowed
+          |FROM documents""".stripMargin
+      )
+    ),
+
     // Sitemap-seeded FRONTIER — the crawl's other discovery path
     // (robots.txt's `Sitemap:` lines point here): parse the sitemaps.
     // org `<loc>` entries (XML entity decode — sitemap URLs MUST

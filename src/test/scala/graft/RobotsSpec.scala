@@ -273,6 +273,33 @@ class RobotsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("rulesWithAvailability: RFC 9309 fetch-status semantics per bucket") {
+    val fetches = Seq(
+      ("ok.com", 200, "User-agent: *\nDisallow: /p\n"),
+      ("gone.com", 404, null: String),          // unavailable: unrestricted
+      ("moved.com", 301, null: String),         // terminal 3xx: unavailable
+      ("down.com", 503, null: String),          // unreachable: total disallow
+      ("torn.com", -1, null: String))           // torn fetch: total disallow
+      .toDF("domain", "status", "txt")
+    val rules = Robots.rulesWithAvailability(fetches, "domain", "status", "txt")
+      .collect().map(r => (r.getAs[String]("domain"), r.getAs[String]("rule"),
+        r.getAs[String]("path"))).toSet
+    assert(rules == Set(
+      ("ok.com", "disallow", "/p"),
+      ("down.com", "disallow", "/"),
+      ("torn.com", "disallow", "/")), rules.toString)
+    // rated end to end: the synthetic disallow-"/" blocks EVERY path
+    val urls = Seq(
+      (0L, "ok.com", "/p/x"), (1L, "ok.com", "/q"),
+      (2L, "gone.com", "/anything"), (3L, "moved.com", "/x"),
+      (4L, "down.com", "/x"), (5L, "torn.com", "/")).toDF("doc_id", "domain", "path")
+    val got = Robots.politenessScreen(urls,
+      Robots.rulesWithAvailability(fetches, "domain", "status", "txt"), "anybot")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(got == Map(0L -> false, 1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false), got.toString)
+  }
+
   test("allowedColumn: the map-side decision equals the distributed screen on every case") {
     val texts = Map(
       "d.com" ->

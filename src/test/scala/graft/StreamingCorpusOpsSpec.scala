@@ -663,6 +663,31 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test(".warc.gz ingest streams: per-record members split identically on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // recordsGz is a stateless map over blobs — the SAME code ingests
+    // a live .warc.gz stream; streamed rows equal the batch walk
+    val blobs = Seq(
+      (1L, graft.operators.Warc.syntheticWarcGz(1L, 4)),
+      (2L, graft.operators.Warc.syntheticWarcGz(2L, 4)))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.operators.Warc.recordsGz(
+      in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_warcgz_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("media_id"), r.getAs[Int]("rec_idx"),
+          r.getAs[String]("target_uri"), r.getAs[String]("body"))).toSet
+      val batch = rows(graft.operators.Warc.recordsGz(
+        blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_warcgz_out")) == batch)
+      assert(batch.size == 8)
+    } finally q.stop()
+  }
+
   test("frontier politeness: per-host slot state streams to exactly the batch schedule") {
     implicit val sqlCtx = spark.sqlContext
     // the crawl family's last streaming twin: admitted URLs stream in,
