@@ -643,6 +643,17 @@ object ScaleProbe {
         graft.operators.Frontier.scheduleJoined(
           f, delays, 500L, workers = 32).count()
       }
+      // .warc.gz ingest: member split + inflate + WARC parse, all
+      // map-only — wall must track the blob count (each doc row
+      // becomes one 6-record gz archive)
+      probe(s"warc_gz x$k") {
+        val warc = org.apache.spark.sql.functions.udf(
+          (id: Long) => graft.operators.Warc.syntheticWarcGz(id % 97, 6))
+        graft.operators.Warc.recordsGz(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", warc(col("media_id"))),
+          "media_id", "payload").count()
+      }
       // URL canonicalization is a map-only codegen expression — wall
       // must track the row count
       probe(s"url_canon x$k") {
