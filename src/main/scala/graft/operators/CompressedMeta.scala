@@ -37,6 +37,15 @@ object CompressedMeta {
     * web norm — Content-Encoding: gzip is one member); multi-member
     * files report the LAST member's trailer, which is all the trailer
     * can say without inflating. `fname` null unless FNAME present.
+    *
+    * `isize` is UNVERIFIED header arithmetic: the trailer position is
+    * only knowable for sure by inflating (RFC 1952 has no compressed-
+    * length field), so this walk reads the last 4 bytes AS the
+    * trailer. A payload torn mid-deflate-body therefore reports
+    * whatever bytes sit at its end as `isize` — a scheduler binning
+    * by it on untrusted input must treat it as a HINT, and anything
+    * that needs the verified size uses [[gunzipMembers]], whose
+    * CRC32+ISIZE check is authoritative.
     */
   final case class GzipInventory(
       media_id: Long,
@@ -209,13 +218,21 @@ object CompressedMeta {
     * field) → CRC32 + ISIZE trailer VERIFIED (a corrupt member and
     * everything after it drops — the completed-prefix contract).
     * `maxOutPerMember` caps expansion (a gzip bomb must not park an
-    * executor — the crawl-delay-cap discipline for untrusted input).
+    * executor — the crawl-delay-cap discipline for untrusted input),
+    * and `maxOutTotal` caps the WHOLE walk: deflate tops out near
+    * ~1000× expansion PER member, so a payload of many small maximal
+    * members would otherwise accumulate unbounded output in this
+    * one-task buffer even with every member individually under cap.
+    * Hitting either cap stops the walk and keeps the members completed
+    * BEFORE it — the same completed-prefix contract as corruption.
     */
   def gunzipMembers(bytes: Array[Byte],
-      maxOutPerMember: Int = 64 << 20): Seq[Array[Byte]] = {
+      maxOutPerMember: Int = 64 << 20,
+      maxOutTotal: Long = 256L << 20): Seq[Array[Byte]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     if (bytes == null) return out.toSeq
     var i = 0
+    var total = 0L
     var stop = false
     while (!stop && i + 10 <= bytes.length) {
       val isGz = (bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B
@@ -245,8 +262,11 @@ object CompressedMeta {
               crc.update(data)
               val okCrc = le32(bytes, trailerAt) == crc.getValue
               val okSize = le32(bytes, trailerAt + 4) == (data.length.toLong & 0xFFFFFFFFL)
-              if (okCrc && okSize) { out += data; i = trailerAt + 8 }
-              else stop = true // corrupt member: drop it and the rest
+              if (okCrc && okSize) {
+                total += data.length
+                if (total > maxOutTotal) stop = true // aggregate bomb cap
+                else { out += data; i = trailerAt + 8 }
+              } else stop = true // corrupt member: drop it and the rest
             }
           }
         } catch {

@@ -332,6 +332,13 @@ object Robots {
     * Group selection, widening/dropping, longest-prefix and
     * allow-wins-ties all happen here so the rules frame stays raw and
     * re-screenable under a different agent.
+    *
+    * CONTRACT: `idCol` must be UNIQUE per row. The screen collapses
+    * the rule-join fan-out by grouping on `idCol` alone and
+    * re-attaching every other column with `first()` — rows that share
+    * an id (outside the contract) silently collapse to ONE arbitrary
+    * rated row. Callers with non-unique ids attach a surrogate
+    * (`monotonically_increasing_id()`) first.
     */
   /** Past this many effective rules the screen stops collecting them
     * to a driver-local broadcast relation and the rating degrades to a

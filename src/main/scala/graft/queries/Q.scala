@@ -203,13 +203,22 @@ object Q {
   def requireColocatedJoin(df: DataFrame): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val hit = planNodes(df).exists {
       case j: SortMergeJoinExec =>
         // the subtree scan must use the SAME stage-piercing walk as
         // planNodes: post-collect a shuffled input hides inside a
         // ShuffleQueryStage leaf, and a plain collect would certify a
-        // shuffled join as co-located
-        !walkPlan(j).drop(1).exists(_.isInstanceOf[ShuffleExchangeLike])
+        // shuffled join as co-located. A ReusedExchangeExec is a leaf
+        // to the walk (one physical shuffle, counted at its original
+        // site) but for THIS existence check an AQE-reused shuffle
+        // feeding the join still means the join's input shuffled —
+        // treat a reused shuffle exchange as a shuffle here.
+        !walkPlan(j).drop(1).exists {
+          case _: ShuffleExchangeLike => true
+          case r: ReusedExchangeExec  => r.child.isInstanceOf[ShuffleExchangeLike]
+          case _                      => false
+        }
       case _ => false
     }
     require(hit,

@@ -123,6 +123,16 @@ class CompressedMetaSpec extends SparkSpec {
     assert(CompressedMeta.gunzipMembers(big, maxOutPerMember = 1 << 10).isEmpty)
     assert(CompressedMeta.gunzipMembers(big).length == 1)
     assert(CompressedMeta.gunzipMembers(null).isEmpty)
+    // the AGGREGATE bomb cap: every member individually under the
+    // per-member cap, but their cumulative output crosses the total
+    // budget — the walk keeps the members completed BEFORE the budget
+    // and stops (a concatenation of small maximal members must not
+    // accumulate unbounded output in one task)
+    val many = Array.fill(8)(CompressedMeta.gzipMember(new Array[Byte](1 << 12)))
+      .reduce(_ ++ _) // 8 × 4 KiB members = 32 KiB total
+    assert(CompressedMeta.gunzipMembers(many).length == 8)
+    assert(CompressedMeta.gunzipMembers(many,
+      maxOutPerMember = 1 << 16, maxOutTotal = (3 << 12) + 100).length == 3)
     // the .warc.gz path: per-record members parse to the SAME rows as
     // the uncompressed container, rec_idx re-indexed across members
     val plain = graft.operators.Warc.records(
