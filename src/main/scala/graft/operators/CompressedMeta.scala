@@ -228,9 +228,44 @@ object CompressedMeta {
     */
   def gunzipMembers(bytes: Array[Byte],
       maxOutPerMember: Int = 64 << 20,
-      maxOutTotal: Long = 256L << 20): Seq[Array[Byte]] = {
+      maxOutTotal: Long = 256L << 20): Seq[Array[Byte]] =
+    walkGzipMembers(bytes, maxOutPerMember, maxOutTotal)._1
+
+  /** STRICT whole-payload gunzip — the `Content-Encoding: gzip` body
+    * decoder: every member must verify (CRC32 + ISIZE) AND the walk
+    * must consume the payload EXACTLY to its last byte, else null.
+    * [[gunzipMembers]]' completed-prefix leniency is right for a
+    * container of independent records; an HTTP body is ONE message —
+    * a truncated or trailing-junk decode would hand downstream dedup
+    * digests and tokenizers silently-partial text, so the contract
+    * here is all-or-NULL (the charset layer's honesty discipline).
+    * Members concatenate (RFC 9110 permits multi-member gzip bodies).
+    */
+  def gunzipAll(bytes: Array[Byte],
+      maxOutPerMember: Int = 64 << 20,
+      maxOutTotal: Long = 256L << 20): Array[Byte] = {
+    if (bytes == null || bytes.length < 18) return null // header+trailer minimum
+    val (members, end, clean) = walkGzipMembers(bytes, maxOutPerMember, maxOutTotal)
+    if (!clean || end != bytes.length || members.isEmpty) null
+    else if (members.length == 1) members.head
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      members.foreach(m => out.write(m, 0, m.length))
+      out.toByteArray
+    }
+  }
+
+  /** The member walk both readers share: (verified members, offset the
+    * walk ended at, clean) — `clean` is true iff the walk never hit
+    * corruption, truncation, or a bomb cap (it may still end short of
+    * the payload's last byte on trailing non-gzip bytes; callers that
+    * need exact consumption check `end`).
+    */
+  private def walkGzipMembers(bytes: Array[Byte],
+      maxOutPerMember: Int,
+      maxOutTotal: Long): (Seq[Array[Byte]], Int, Boolean) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    if (bytes == null) return out.toSeq
+    if (bytes == null) return (out.toSeq, 0, true)
     var i = 0
     var total = 0L
     var stop = false
@@ -274,7 +309,7 @@ object CompressedMeta {
         } finally inf.end()
       }
     }
-    out.toSeq
+    (out.toSeq, i, !stop)
   }
 
   /** Batch walks: map-only, shuffle-free — the inventory-layer plan. */

@@ -153,16 +153,31 @@ object Warc {
     if (body == null || !body.startsWith("HTTP/")) return None
     val headEnd = body.indexOf("\r\n\r\n")
     if (headEnd < 0) return None
-    parseHttpHead(body.substring(0, headEnd)).map { case (st, ct, cs) =>
-      (st, ct, cs, body.substring(headEnd + 4))
+    parseHttpHead(body.substring(0, headEnd)).map { h =>
+      (h.status, h.contentType, h.charset, body.substring(headEnd + 4))
     }
   }
 
+  /** The parsed HTTP response head: status line + the headers the
+    * ingest decodes by. `transferEncoding` / `contentEncoding` /
+    * `location` are the first occurrence of their header, trimmed and
+    * lowercased (Location keeps its case — URLs are case-sensitive
+    * past the authority), null when absent.
+    */
+  final case class HttpHead(
+      status: Int,
+      contentType: String,
+      charset: String,
+      transferEncoding: String,
+      contentEncoding: String,
+      location: String)
+
   /** The header-block parse both HTTP layers share: status line +
     * first Content-Type (media type lowered; charset parameter,
-    * unquoted). None on junk status lines — degrade, don't guess.
+    * unquoted) + the message-framing headers ([[HttpHead]]). None on
+    * junk status lines — degrade, don't guess.
     */
-  private def parseHttpHead(head: String): Option[(Int, String, String)] = {
+  private def parseHttpHead(head: String): Option[HttpHead] = {
     val lines = head.split("\r\n", -1)
     val sl = lines(0).split(" ", 3)
     if (sl.length < 2) return None
@@ -170,32 +185,53 @@ object Warc {
       try sl(1).toInt catch { case _: NumberFormatException => return None }
     var ctype: String = null
     var charset: String = null
+    var te: String = null
+    var ce: String = null
+    var loc: String = null
     lines.iterator.drop(1).foreach { ln =>
       val ci = ln.indexOf(':')
-      if (ci > 0 && ln.substring(0, ci).trim
-        .equalsIgnoreCase("content-type") && ctype == null) {
-        val v = ln.substring(ci + 1).trim
-        val sc = v.indexOf(';')
-        ctype = (if (sc >= 0) v.substring(0, sc) else v)
-          .trim.toLowerCase(java.util.Locale.ROOT)
-        val lower = v.toLowerCase(java.util.Locale.ROOT)
-        val cs = lower.indexOf("charset=")
-        if (cs >= 0)
-          charset = lower.substring(cs + 8).stripPrefix("\"")
-            .takeWhile(c => c != ';' && c != ' ' && c != '"').trim match {
-            case "" => null
-            case s  => s
-          }
+      if (ci > 0) {
+        val name = ln.substring(0, ci).trim
+        lazy val value = ln.substring(ci + 1).trim
+        if (name.equalsIgnoreCase("content-type") && ctype == null) {
+          val v = value
+          val sc = v.indexOf(';')
+          ctype = (if (sc >= 0) v.substring(0, sc) else v)
+            .trim.toLowerCase(java.util.Locale.ROOT)
+          val lower = v.toLowerCase(java.util.Locale.ROOT)
+          val cs = lower.indexOf("charset=")
+          if (cs >= 0)
+            charset = lower.substring(cs + 8).stripPrefix("\"")
+              .takeWhile(c => c != ';' && c != ' ' && c != '"').trim match {
+              case "" => null
+              case s  => s
+            }
+        } else if (name.equalsIgnoreCase("transfer-encoding") && te == null)
+          te = value.toLowerCase(java.util.Locale.ROOT)
+        else if (name.equalsIgnoreCase("content-encoding") && ce == null)
+          ce = value.toLowerCase(java.util.Locale.ROOT)
+        else if (name.equalsIgnoreCase("location") && loc == null)
+          loc = value
       }
     }
-    Some((status, ctype, charset))
+    Some(HttpHead(status, ctype, charset, te, ce, loc))
   }
 
   /** [[parseHttp]] on BYTES: the header block of an HTTP/1.x message
     * is ASCII by grammar (decoded as ISO-8859-1 — byte-lossless), and
     * the payload stays raw bytes for the charset-aware text layer.
     */
-  def parseHttpBytes(body: Array[Byte]): Option[(Int, String, String, Array[Byte])] = {
+  def parseHttpBytes(body: Array[Byte]): Option[(Int, String, String, Array[Byte])] =
+    parseHttpBytesFull(body).map { case (h, raw) =>
+      (h.status, h.contentType, h.charset, raw)
+    }
+
+  /** [[parseHttpBytes]] with the FULL head ([[HttpHead]]) — the input
+    * of the on-the-wire decode chain ([[decodeHttpBody]]): the raw
+    * payload bytes here are the message AS TRANSFERRED, still chunked
+    * and/or content-coded.
+    */
+  def parseHttpBytesFull(body: Array[Byte]): Option[(HttpHead, Array[Byte])] = {
     if (body == null || body.length < 5 ||
       body(0) != 'H' || body(1) != 'T' || body(2) != 'T' ||
       body(3) != 'P' || body(4) != '/') return None
@@ -208,8 +244,116 @@ object Warc {
     }
     if (headEnd < 0) return None
     parseHttpHead(new String(body, 0, headEnd,
-      java.nio.charset.StandardCharsets.ISO_8859_1)).map { case (st, ct, cs) =>
-      (st, ct, cs, java.util.Arrays.copyOfRange(body, headEnd + 4, body.length))
+      java.nio.charset.StandardCharsets.ISO_8859_1)).map { h =>
+      (h, java.util.Arrays.copyOfRange(body, headEnd + 4, body.length))
+    }
+  }
+
+  /** RFC 9112 §7.1 chunked-transfer DE-FRAMING: hex chunk-size line
+    * (chunk extensions after ';' ignored per spec) + CRLF + exactly
+    * that many data bytes + CRLF, repeated; the 0-size last chunk is
+    * followed by an optional trailer section and the terminal CRLF.
+    * All-or-NULL: a torn chunk, junk size line, missing terminator,
+    * bytes past the terminal CRLF, or output past `maxOut` (the bomb
+    * cap) yields null — a partial de-chunk would hand downstream
+    * digests silently-partial text ([[CompressedMeta.gunzipAll]]'s
+    * honesty contract).
+    */
+  def dechunk(bytes: Array[Byte], maxOut: Int = 64 << 20): Array[Byte] = {
+    if (bytes == null) return null
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    def lineEnd(from: Int): Int = { // index of the \r of the next CRLF
+      var i = from
+      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < bytes.length) i else -1
+    }
+    while (true) {
+      val le = lineEnd(p)
+      if (le < 0) return null
+      val line = new String(bytes, p, le - p,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val size =
+        try java.lang.Long.parseLong(hex, 16)
+        catch { case _: NumberFormatException => return null }
+      if (size < 0 || size > maxOut.toLong - out.size) return null
+      p = le + 2
+      if (size == 0L) {
+        // trailer section: zero or more field lines, then the
+        // terminal CRLF; the message must end EXACTLY there
+        var done = false
+        while (!done) {
+          val te = lineEnd(p)
+          if (te < 0) return null
+          if (te == p) { // empty line — the terminal CRLF
+            if (p + 2 != bytes.length) return null
+            done = true
+          } else p = te + 2
+        }
+        return out.toByteArray
+      }
+      if (p + size + 2 > bytes.length) return null
+      out.write(bytes, p, size.toInt)
+      p += size.toInt
+      if (bytes(p) != '\r' || bytes(p + 1) != '\n') return null
+      p += 2
+    }
+    null // unreachable
+  }
+
+  /** Strict zlib inflate (RFC 1950 — what `Content-Encoding: deflate`
+    * means per RFC 9110): all-or-NULL like [[dechunk]] — corruption,
+    * truncation, trailing input, or output past the bomb cap yields
+    * null. Raw-deflate bodies (a known server bug) are out of contract
+    * and degrade the same visible way.
+    */
+  def inflateZlib(bytes: Array[Byte], maxOut: Int = 64 << 20): Array[Byte] = {
+    if (bytes == null) return null
+    val inf = new java.util.zip.Inflater(false)
+    inf.setInput(bytes)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return null // truncated/needs-dict
+        out.write(buf, 0, n)
+        if (out.size() > maxOut) return null // bomb cap
+      }
+      if (inf.getRemaining != 0) return null // trailing junk
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
+  /** Decode an HTTP payload from its ON-THE-WIRE form to entity bytes:
+    * Transfer-Encoding first (the message layer — `chunked` is the
+    * only one in contract), then Content-Encoding (`gzip`/`x-gzip` via
+    * the CRC-verified strict gunzip, `deflate` via strict zlib,
+    * `identity` a no-op). Raw WARC `response` records store responses
+    * exactly as transferred, so this is the step a real-archive ingest
+    * owes between the HTTP split and the charset decode. Any encoding
+    * outside the contract (br, zstd, compound lists, `chunked` in
+    * Content-Encoding) or any layer failing its strict decode yields
+    * null — visible to the drop-reasons audit, never silently-partial
+    * text.
+    */
+  def decodeHttpBody(payload: Array[Byte], transferEncoding: String,
+      contentEncoding: String, maxOut: Int = 64 << 20): Array[Byte] = {
+    val afterTe = transferEncoding match {
+      case null      => payload
+      case "chunked" => dechunk(payload, maxOut)
+      case _         => null
+    }
+    if (afterTe == null) null
+    else contentEncoding match {
+      case null | "identity" => afterTe
+      case "gzip" | "x-gzip" => CompressedMeta.gunzipAll(afterTe, maxOut, maxOut.toLong)
+      case "deflate"         => inflateZlib(afterTe, maxOut)
+      case _                 => null
     }
   }
 
@@ -317,15 +461,21 @@ object Warc {
   }
 
   /** The charset-AWARE text layer over a [[recordsBinary]] frame: one
-    * row per `response` record with the payload decoded under its OWN
-    * declared charset — the HTTP header's charset parameter first (the
-    * transport declaration wins per WHATWG), the `<meta>` prescan
-    * ([[metaCharset]]) when the header is silent, UTF-8 as the
-    * default. `charset` reports the EFFECTIVE declaration and
+    * row per `response` record with the ON-THE-WIRE payload decoded to
+    * entity bytes first ([[decodeHttpBody]] — chunked de-framing, then
+    * gzip/deflate content decoding; raw archives store responses as
+    * transferred), then to text under its OWN declared charset — the
+    * HTTP header's charset parameter first (the transport declaration
+    * wins per WHATWG), the `<meta>` prescan ([[metaCharset]], run on
+    * the DECODED bytes) when the header is silent, UTF-8 as the
+    * default. `transfer_encoding` / `content_encoding` report the wire
+    * codings (null = none), `charset` the EFFECTIVE declaration and
     * `charset_source` where it came from ('header' | 'meta' |
     * 'default'). `text` is NULL when the message is torn (status −1),
-    * the charset is out of contract, or the bytes violate the declared
-    * encoding — every degrade visible, never mojibake. Map-only.
+    * an encoding layer is out of contract or fails its strict decode
+    * (torn chunk, corrupt gzip), the charset is out of contract, or
+    * the bytes violate the declared encoding — every degrade visible,
+    * never mojibake or silently-partial text. Map-only.
     */
   def httpTexts(recs: DataFrame): DataFrame = {
     import recs.sparkSession.implicits._
@@ -335,22 +485,26 @@ object Warc {
         col("target_uri").cast("string"), col("body"))
       .as[(Long, Int, String, Array[Byte])]
       .map { case (id, idx, uri, body) =>
-        parseHttpBytes(body) match {
-          case Some((st, ct, headerCs, payload)) =>
+        parseHttpBytesFull(body) match {
+          case Some((h, raw)) =>
+            val payload = decodeHttpBody(raw, h.transferEncoding, h.contentEncoding)
             val (cs, src) =
-              if (headerCs != null) (headerCs, "header")
+              if (h.charset != null) (h.charset, "header")
               else metaCharset(payload) match {
                 case null => (null: String, "default")
                 case m    => (m, "meta")
               }
-            (id, idx, uri, st, ct, cs, src, decodeCharset(payload, cs))
+            (id, idx, uri, h.status, h.contentType,
+              h.transferEncoding, h.contentEncoding,
+              cs, src, decodeCharset(payload, cs))
           case None =>
-            (id, idx, uri, -1, null: String, null: String,
-              null: String, null: String)
+            (id, idx, uri, -1, null: String, null: String, null: String,
+              null: String, null: String, null: String)
         }
       }
-      .toDF("media_id", "rec_idx", "target_uri", "status",
-        "content_type", "charset", "charset_source", "text")
+      .toDF("media_id", "rec_idx", "target_uri", "status", "content_type",
+        "transfer_encoding", "content_encoding",
+        "charset", "charset_source", "text")
   }
 
   /** The HTTP layer of a [[records]] frame: one row per `response`
@@ -433,14 +587,18 @@ object Warc {
     * records' bytes are IDENTICAL either way.
     */
   def syntheticWarcCrawl(seed: Long, nRecords: Int,
-      withNonResponses: Boolean = false): Array[Byte] = {
+      withNonResponses: Boolean = false,
+      withEncodings: Boolean = false): Array[Byte] = {
     require(seed >= 0 && nRecords >= 0, "syntheticWarcCrawl: non-negative seed/count")
+    import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
     val out = new java.io.ByteArrayOutputStream()
-    def rec(wType: String, uri: String, body: String): Unit =
+    def rec(wType: String, uri: String, body: Array[Byte]): Unit = {
       out.write(
         (s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n" +
-          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n")
-          .getBytes("UTF-8"))
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8))
+      out.write(body)
+      out.write("\r\n\r\n".getBytes(US_ASCII))
+    }
     var i = 0
     while (i < nRecords) {
       val m = (seed + i) % 5
@@ -453,12 +611,26 @@ object Warc {
       val status = if ((seed + i) % 7 == 2) "404 Not Found" else "200 OK"
       val ct =
         if ((seed + i) % 5 == 3) "image/png" else "text/html; charset=utf-8"
-      val html = s"<html><body><h1>T$i</h1><p>page ${seed * 7 + i} " +
-        "crawl words</p></body></html>"
-      rec("response", uri, s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n$html")
+      val html = (s"<html><body><h1>T$i</h1><p>page ${seed * 7 + i} " +
+        "crawl words</p></body></html>").getBytes(UTF_8)
+      // withEncodings: the SAME logical entities arrive as a server
+      // would send them — identity / chunked / gzipped by i % 3 — so a
+      // decode-aware ingest produces IDENTICAL output either way
+      val (extra, wire) =
+        if (!withEncodings) ("", html)
+        else (i % 3) match {
+          case 0 => ("", html)
+          case 1 => ("\r\nTransfer-Encoding: chunked", chunkBody(html))
+          case _ => ("\r\nContent-Encoding: gzip", CompressedMeta.gzipMember(html))
+        }
+      val head = s"HTTP/1.1 $status\r\nContent-Type: $ct$extra\r\n\r\n"
+        .getBytes(US_ASCII)
+      rec("response", uri, head ++ wire)
       if (withNonResponses) {
-        if (i % 3 == 1) rec("revisit", uri, s"digest unchanged ${seed * 7 + i}")
-        if (i % 3 == 2) rec("request", uri, s"GET $uri HTTP/1.1")
+        if (i % 3 == 1)
+          rec("revisit", uri, s"digest unchanged ${seed * 7 + i}".getBytes(UTF_8))
+        if (i % 3 == 2)
+          rec("request", uri, s"GET $uri HTTP/1.1".getBytes(UTF_8))
       }
       i += 1
     }
@@ -552,6 +724,102 @@ object Warc {
     rec(7, "utf-8",
       (s"""<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">""" +
         s"caf\u00e9 hdr $seed").getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Wrap entity bytes in RFC 9112 chunked framing — the fixtures'
+    * encoder twin of [[dechunk]]: two chunks when the data splits
+    * (first chunk carries a chunk extension — readers must ignore it),
+    * a trailer field, the terminal CRLF. `tornAt >= 0` truncates the
+    * WIRE bytes at that offset (a torn chunk the decoder must NULL).
+    */
+  def chunkBody(data: Array[Byte], tornAt: Int = -1): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream()
+    val cut = math.min(data.length, math.max(1, data.length / 2))
+    def chunk(off: Int, len: Int, ext: String): Unit = {
+      out.write((java.lang.Long.toHexString(len.toLong) + ext + "\r\n")
+        .getBytes(US_ASCII))
+      out.write(data, off, len)
+      out.write("\r\n".getBytes(US_ASCII))
+    }
+    if (data.length == 0) ()
+    else if (cut == data.length) chunk(0, data.length, ";x=1")
+    else { chunk(0, cut, ";x=1"); chunk(cut, data.length - cut, "") }
+    out.write("0\r\nX-Trailer: t\r\n\r\n".getBytes(US_ASCII))
+    val full = out.toByteArray
+    if (tornAt >= 0 && tornAt < full.length) java.util.Arrays.copyOf(full, tornAt)
+    else full
+  }
+
+  /** Zlib-wrapped deflate (RFC 1950) — the fixtures' encoder twin of
+    * [[inflateZlib]].
+    */
+  def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(data); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](data.length + 64)
+    while (!defl.finished()) {
+      val n = defl.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    defl.end()
+    out.toByteArray
+  }
+
+  /** Deterministic ON-THE-WIRE ENCODING fixture: eight response
+    * records per blob whose payloads arrive as a real server would
+    * send them — the decode matrix of [[decodeHttpBody]] crossed with
+    * the charset layer, every arm closed-form in `seed`:
+    * 0 — identity, utf-8;
+    * 1 — Transfer-Encoding: chunked (two chunks, a chunk extension,
+    *     a trailer field), utf-8;
+    * 2 — Content-Encoding: gzip over iso-8859-1 BYTES (both layers
+    *     must decode for the text to surface);
+    * 3 — Content-Encoding: deflate (zlib-wrapped per RFC 9110) over
+    *     windows-1252 bytes;
+    * 4 — chunked OVER gzip (wire = chunk(gzip(entity)) — the layer
+    *     order RFC 9112 prescribes);
+    * 5 — chunked TORN mid-chunk → NULL text, framing fields survive;
+    * 6 — Content-Encoding: br (out of contract) → NULL;
+    * 7 — gzip with a corrupted CRC → the strict decode NULLs.
+    */
+  def syntheticWarcEncodings(seed: Long): Array[Byte] = {
+    require(seed >= 0, "syntheticWarcEncodings: non-negative seed")
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII, UTF_8}
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(i: Int, charset: String, te: String, ce: String,
+        wire: Array[Byte]): Unit = {
+      val head = new StringBuilder()
+        .append(s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$charset")
+      if (te != null) head.append(s"\r\nTransfer-Encoding: $te")
+      if (ce != null) head.append(s"\r\nContent-Encoding: $ce")
+      val hb = head.toString.getBytes(US_ASCII)
+      val bodyLen = hb.length + 4 + wire.length
+      out.write(
+        (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://enc$seed.example/p$i\r\n" +
+          s"Content-Length: $bodyLen\r\n\r\n").getBytes(US_ASCII))
+      out.write(hb); out.write("\r\n\r\n".getBytes(US_ASCII))
+      out.write(wire); out.write("\r\n\r\n".getBytes(US_ASCII))
+    }
+    rec(0, "utf-8", null, null, s"caf\u00e9 page $seed".getBytes(UTF_8))
+    rec(1, "utf-8", "chunked", null,
+      chunkBody(s"chunked caf\u00e9 $seed".getBytes(UTF_8)))
+    rec(2, "iso-8859-1", null, "gzip",
+      CompressedMeta.gzipMember(s"gz caf\u00e9 r\u00e9sum\u00e9 $seed".getBytes(ISO_8859_1)))
+    rec(3, "windows-1252", null, "deflate",
+      zlibDeflate(s"price \u20ac$seed".getBytes(cp1252)))
+    rec(4, "utf-8", "chunked", "gzip",
+      chunkBody(CompressedMeta.gzipMember(s"both caf\u00e9 $seed".getBytes(UTF_8))))
+    rec(5, "utf-8", "chunked", null,
+      chunkBody(s"torn caf\u00e9 $seed".getBytes(UTF_8), tornAt = 6))
+    rec(6, "utf-8", null, "br", s"brotli $seed".getBytes(US_ASCII))
+    val badGz = CompressedMeta.gzipMember(s"corrupt $seed".getBytes(US_ASCII))
+    badGz(badGz.length - 6) = (badGz(badGz.length - 6) ^ 0x5A).toByte
+    rec(7, "utf-8", null, "gzip", badGz)
     out.toByteArray
   }
 

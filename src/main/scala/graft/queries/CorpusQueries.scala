@@ -5400,6 +5400,8 @@ object CorpusQueries {
           |    || CAST(i AS VARCHAR) AS target_uri,
           |  CAST(200 AS INT) AS status,
           |  'text/html' AS content_type,
+          |  CAST(NULL AS VARCHAR) AS transfer_encoding,
+          |  CAST(NULL AS VARCHAR) AS content_encoding,
           |  CASE CAST(i AS INT)
           |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
           |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN NULL
@@ -5417,6 +5419,58 @@ object CorpusQueries {
           |      || CAST(n_nationkey AS VARCHAR) || '</body></html>'
           |    WHEN 7 THEN '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">caf\u00e9 hdr '
           |      || CAST(n_nationkey AS VARCHAR)
+          |    ELSE NULL END AS text
+          |FROM nation, UNNEST(generate_series(0, 7)) AS u(i)""".stripMargin
+      )
+    ),
+
+    // ON-THE-WIRE body decoding \u2014 what the charset layer left on the
+    // table: raw WARC archives store responses AS TRANSFERRED, so
+    // `Transfer-Encoding: chunked` framing (RFC 9112 \u00a77.1) and
+    // `Content-Encoding: gzip/deflate` bodies must de-frame and
+    // inflate BETWEEN the HTTP split and the charset decode or they
+    // strict-decode to NULL and the ingest silently loses the page.
+    // Eight arms per blob: identity, chunked (with a chunk extension
+    // and a trailer field \u2014 both must be ignored per spec), gzip over
+    // latin-1 bytes, zlib-deflate over cp1252 bytes, chunked OVER
+    // gzip (the RFC's layer order), a TORN chunk (\u2192 NULL, framing
+    // fields survive), an out-of-contract coding (br \u2192 NULL), and a
+    // corrupt-CRC gzip (the strict decode refuses \u2014 all-or-NULL,
+    // never silently-partial text). Map-only end to end.
+    Q(
+      "q_warc_encoding",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcEncodings(k))
+        val out = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id, CAST(i AS INT) AS rec_idx,
+          |  'http://enc' || CAST(n_nationkey AS VARCHAR) || '.example/p'
+          |    || CAST(i AS VARCHAR) AS target_uri,
+          |  CAST(200 AS INT) AS status,
+          |  'text/html' AS content_type,
+          |  CASE WHEN CAST(i AS INT) IN (1, 4, 5) THEN 'chunked'
+          |    ELSE NULL END AS transfer_encoding,
+          |  CASE CAST(i AS INT)
+          |    WHEN 2 THEN 'gzip' WHEN 3 THEN 'deflate' WHEN 4 THEN 'gzip'
+          |    WHEN 6 THEN 'br' WHEN 7 THEN 'gzip' ELSE NULL END AS content_encoding,
+          |  CASE CAST(i AS INT)
+          |    WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'windows-1252'
+          |    ELSE 'utf-8' END AS charset,
+          |  'header' AS charset_source,
+          |  CASE CAST(i AS INT)
+          |    WHEN 0 THEN 'caf\u00e9 page ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 1 THEN 'chunked caf\u00e9 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 2 THEN 'gz caf\u00e9 r\u00e9sum\u00e9 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 3 THEN 'price \u20ac' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 4 THEN 'both caf\u00e9 ' || CAST(n_nationkey AS VARCHAR)
           |    ELSE NULL END AS text
           |FROM nation, UNNEST(generate_series(0, 7)) AS u(i)""".stripMargin
       )
@@ -5445,16 +5499,22 @@ object CorpusQueries {
         // the archive interleaves revisit/request records the way real
         // Common-Crawl files do — the response screen must hold its
         // output EXACTLY (same oracle) with them present; the ledger
-        // twin (q_crawl_ledger) counts what this silent filter drops
+        // twin (q_crawl_ledger) counts what this silent filter drops.
+        // withEncodings: bodies arrive ON THE WIRE (identity / chunked
+        // / gzipped by record) — the byte-level ingest (recordsBinary
+        // → httpTexts) de-frames and inflates them, so the oracle hash
+        // is UNCHANGED from the plain-body fixture: transfer and
+        // content codings must be invisible to everything downstream
         val warc = udf((k: Long) =>
-          graft.operators.Warc.syntheticWarcCrawl(k, 8, withNonResponses = true))
+          graft.operators.Warc.syntheticWarcCrawl(k, 8,
+            withNonResponses = true, withEncodings = true))
         val robotsTxt = "User-agent: *\nDisallow: /a1\n"
         val rules = graft.operators.Robots.effectiveRules(
           (0 until 5).flatMap(m =>
             graft.operators.Robots.parseRobots(s"site$m.example", robotsTxt)),
           "graftbot")
-        val http = graft.operators.Warc.httpResponses(
-          graft.operators.Warc.records(
+        val http = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
             blobs.withColumn("payload", warc(col("media_id"))),
             "media_id", "payload"))
           .filter(col("status") === 200 && col("content_type") === "text/html")
@@ -5466,7 +5526,7 @@ object CorpusQueries {
         val polite = canoned
           .filter(graft.operators.Robots.allowedColumn(
             rules, col("__host"), col("__path")))
-          .withColumn("text", TextAnalysis.stripHtml(col("payload")))
+          .withColumn("text", TextAnalysis.stripHtml(col("text")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("canon"))
           .orderBy(col("media_id").asc, col("rec_idx").asc)

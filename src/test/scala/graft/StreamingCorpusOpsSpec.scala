@@ -765,4 +765,46 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(viaShards == batch)
     } finally q.stop()
   }
+
+  test("charset + encoding ingest runs on a stream identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the full byte-level honesty layer — recordsBinary → httpTexts —
+    // certified on the streaming API over BOTH decode matrices: the
+    // 8-cell charset matrix and the 8-cell on-the-wire encoding
+    // matrix (chunked/gzip/deflate/layered/torn). Map-only, so the
+    // chain must be streaming-legal with no extra plumbing.
+    val arriving = Seq(
+      (1L, graft.operators.Warc.syntheticWarcCharsets(1L)),
+      (2L, graft.operators.Warc.syntheticWarcCharsets(2L)),
+      (3L, graft.operators.Warc.syntheticWarcEncodings(3L)),
+      (4L, graft.operators.Warc.syntheticWarcEncodings(4L)))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Warc.httpTexts(
+        graft.operators.Warc.recordsBinary(df, "media_id", "payload"))
+
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = chain(in.toDF().toDF("media_id", "payload")).writeStream
+      .format("memory").queryName("sc_charset_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(arriving.take(2): _*)
+      q.processAllAvailable()
+      in.addData(arriving.drop(2): _*) // a later micro-batch
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("rec_idx")) ->
+          ((r.getAs[String]("charset"), r.getAs[String]("charset_source"),
+            r.getAs[String]("transfer_encoding"), r.getAs[String]("content_encoding"),
+            r.getAs[String]("text")))).toMap
+      val streamed = rows(spark.table("sc_charset_out"))
+      val batch = rows(chain(arriving.toDF("media_id", "payload")))
+      assert(streamed == batch)
+      assert(streamed.size == 32) // 8 arms × 4 blobs
+      // spot-pin one cell of each matrix on the STREAMED side
+      assert(streamed((1L, 1))._5 == "café résumé 1") // latin-1 decode
+      assert(streamed((3L, 4))._5 == "both café 3")   // chunked-over-gzip
+      assert(streamed((3L, 5))._5 == null)            // torn chunk stays NULL
+    } finally q.stop()
+  }
 }

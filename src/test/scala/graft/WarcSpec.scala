@@ -193,4 +193,88 @@ class WarcSpec extends SparkSpec {
     // and the i=2 response ((1+2)%5==3) keeps its png classification
     assert(rows((1L, 3)) == (("response", 200, "image/png")))
   }
+
+  test("dechunk: RFC 9112 framing corners — extensions, trailers, torn, junk") {
+    def b(s: String) = s.getBytes("US-ASCII")
+    // encoder round-trip including the chunk extension + trailer field
+    val data = "hello chunked world".getBytes("UTF-8")
+    assert(Warc.dechunk(Warc.chunkBody(data)).sameElements(data))
+    // empty body: just the last chunk + terminal CRLF
+    assert(Warc.dechunk(Warc.chunkBody(Array.emptyByteArray))
+      .sameElements(Array.emptyByteArray))
+    // uppercase hex sizes and no trailer
+    assert(new String(Warc.dechunk(b("A\r\n0123456789\r\n0\r\n\r\n")), "US-ASCII")
+      == "0123456789")
+    // torn mid-chunk, torn mid-size-line, junk size → all NULL
+    assert(Warc.dechunk(Warc.chunkBody(data, tornAt = 4)) == null)
+    assert(Warc.dechunk(b("A\r\n0123")) == null)
+    assert(Warc.dechunk(b("zz\r\nxx\r\n0\r\n\r\n")) == null)
+    // missing chunk-data CRLF, bytes past the terminal CRLF → NULL
+    assert(Warc.dechunk(b("3\r\nabcX\r\n0\r\n\r\n")) == null)
+    assert(Warc.dechunk(b("3\r\nabc\r\n0\r\n\r\njunk")) == null)
+    // bomb cap: declared size past maxOut refuses
+    assert(Warc.dechunk(b("FFFFFFFF\r\n"), maxOut = 1024) == null)
+    assert(Warc.dechunk(null) == null)
+    // strict zlib: round-trip, truncation, trailing junk, raw deflate
+    val z = Warc.zlibDeflate(data)
+    assert(Warc.inflateZlib(z).sameElements(data))
+    assert(Warc.inflateZlib(java.util.Arrays.copyOf(z, z.length - 3)) == null)
+    assert(Warc.inflateZlib(z ++ b("x")) == null)
+    assert(Warc.inflateZlib(b("not zlib at all")) == null)
+    assert(Warc.inflateZlib(null) == null)
+    // decodeHttpBody layer order: TE first, CE second; contract edges
+    val gz = graft.operators.CompressedMeta.gzipMember(data)
+    assert(Warc.decodeHttpBody(Warc.chunkBody(gz), "chunked", "gzip")
+      .sameElements(data))
+    assert(Warc.decodeHttpBody(data, null, "identity").sameElements(data))
+    assert(Warc.decodeHttpBody(data, "gzip", null) == null) // TE gzip: out of contract
+    assert(Warc.decodeHttpBody(data, null, "br") == null)
+    assert(Warc.decodeHttpBody(data, null, "gzip, identity") == null) // compound
+    // strict whole-payload gunzip: trailing junk refuses, members concat
+    assert(graft.operators.CompressedMeta.gunzipAll(gz ++ b("x")) == null)
+    assert(new String(graft.operators.CompressedMeta.gunzipAll(
+      graft.operators.CompressedMeta.gzipMember(b("ab")) ++
+        graft.operators.CompressedMeta.gzipMember(b("cd"))), "US-ASCII") == "abcd")
+  }
+
+  test("httpTexts decodes on-the-wire bodies: chunked, gzip, deflate, layered, torn") {
+    val frame = Seq((5L, Warc.syntheticWarcEncodings(5L)))
+      .toDF("media_id", "payload")
+    val out = Warc.httpTexts(Warc.recordsBinary(frame, "media_id", "payload"))
+    graft.queries.Q.requireNoShuffle(out)
+    val rows = out.collect().map(r => r.getAs[Int]("rec_idx") ->
+      ((r.getAs[String]("transfer_encoding"), r.getAs[String]("content_encoding"),
+        r.getAs[String]("text")))).toMap
+    assert(rows(0) == ((null, null, "café page 5")))
+    assert(rows(1) == (("chunked", null, "chunked café 5")))
+    assert(rows(2) == ((null, "gzip", "gz café résumé 5")))
+    assert(rows(3) == ((null, "deflate", "price €5")))
+    assert(rows(4) == (("chunked", "gzip", "both café 5")))
+    // degrades: torn chunk / out-of-contract coding / corrupt gzip all
+    // NULL the text while the framing fields stay visible
+    assert(rows(5) == (("chunked", null, null)))
+    assert(rows(6) == ((null, "br", null)))
+    assert(rows(7) == ((null, "gzip", null)))
+  }
+
+  test("crawl chain is encoding-invariant: wire codings decode to identical output") {
+    // the SAME logical archive, once with plain bodies and once as a
+    // server would transfer them (chunked / gzipped) — the byte-level
+    // ingest must produce row-identical decoded text
+    def chain(withEnc: Boolean) = {
+      val frame = Seq(
+        (1L, Warc.syntheticWarcCrawl(1L, 8, withNonResponses = true,
+          withEncodings = withEnc)),
+        (2L, Warc.syntheticWarcCrawl(2L, 8, withNonResponses = true,
+          withEncodings = withEnc))).toDF("media_id", "payload")
+      Warc.httpTexts(Warc.recordsBinary(frame, "media_id", "payload"))
+        .select("media_id", "rec_idx", "target_uri", "status",
+          "content_type", "charset", "text")
+        .collect().map(_.toSeq).toSet
+    }
+    val plain = chain(false)
+    val encoded = chain(true)
+    assert(plain == encoded)
+    assert(plain.nonEmpty)
+  }
 }
