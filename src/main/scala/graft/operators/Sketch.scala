@@ -231,12 +231,29 @@ object Sketch {
     * bucket/rank derivation as [[hllRegisters]].
     */
   def hllRegistersBy(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
+    hllRegistersByP(docs, textCol, groupCol, 6)
+
+  /** [[hllRegistersBy]] at production precision p = `bits` — the
+    * SPARSE grouped form: the frame carries only the (group, bucket)
+    * cells a token actually hit, so per-group distinct counting at
+    * m = 4096+ costs rows proportional to the DATA, not
+    * |groups|·4096 dense cells (a group that saw 10 tokens holds
+    * ≤ 10 rows however wide the sketch). Absent cells ARE the zero
+    * registers — [[hllEstimateByP]] recovers them arithmetically as
+    * m − n_present, the same contract the solo wide path uses. Still
+    * ONE scan + one partial-agg shuffle; cell-wise-MAX mergeable at
+    * any width.
+    */
+  def hllRegistersByP(docs: DataFrame, textCol: String, groupCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 4 && bits <= 14, "Sketch.hllRegistersByP: 16..16384 buckets")
     docs
       .select(col(groupCol).as("group"),
         explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .select(col("group") +: hllBucketRho: _*)
+      .select(col("group") +: hllBucketRhoFor(bits): _*)
       .groupBy(col("group"), col("bucket"))
       .agg(max(col("__rho")).as("register"))
+  }
 
   /** Per-group estimates from a (group, bucket, register) frame — the
     * [[hllEstimate]] math vectorized by group: one aggregation over
@@ -247,9 +264,24 @@ object Sketch {
     * universe (solo [[hllEstimate]]'s global aggregation, by contrast,
     * returns an est=0 row for an empty frame).
     */
-  def hllEstimateBy(registers: DataFrame): DataFrame = {
-    val m = HllBuckets.toLong
+  def hllEstimateBy(registers: DataFrame): DataFrame =
+    hllEstimateByP(registers, 6)
+
+  /** [[hllEstimateBy]] at precision p = `bits` — the grouped estimate
+    * over a SPARSE (group, bucket, register) frame: each group's
+    * m − n_present absent cells enter the harmonic sum as zero
+    * registers (weight 2^(k)) WITHOUT ever materializing — the
+    * all-integer math of [[hllEstimateP]] vectorized by group (one
+    * agg, never a collect), width constants from the shared
+    * [[hllAlphaNumFor]]/[[hllLcBoundFor]] so the literals splice
+    * identically into the oracle SQL.
+    */
+  def hllEstimateByP(registers: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 4 && bits <= 14, "Sketch.hllEstimateByP: 16..16384 buckets")
+    val m = 1L << bits
     val k = HllFieldBits + 1
+    val alphaNum = hllAlphaNumFor(bits)
+    val lcBound = hllLcBoundFor(bits)
     registers
       .groupBy(col("group"))
       .agg(
@@ -262,14 +294,14 @@ object Sketch {
         (lit(m) - col("n_present")).as("n_zero"),
         (col("__s_present") + (lit(m) - col("n_present")) * lit(1L << k))
           .as("s_sum"))
-      .withColumn("est_raw", expr(s"${HllAlphaNum}L div s_sum"))
+      .withColumn("est_raw", expr(s"${alphaNum}L div s_sum"))
       .withColumn("method",
-        when(col("est_raw") <= HllLcBound && col("n_zero") > 0, lit("linear"))
+        when(col("est_raw") <= lcBound && col("n_zero") > 0, lit("linear"))
           .otherwise(lit("raw")))
       .withColumn("est",
         when(col("method") === "linear",
           floor(lit(m.toDouble) *
-            (lit(TextAnalysis.LnTable(HllBuckets - 1)) -
+            (lit(TextAnalysis.LnTable((m - 1).toInt)) -
               TextAnalysis.lnInt(col("n_zero")))))
           .otherwise(col("est_raw")))
   }

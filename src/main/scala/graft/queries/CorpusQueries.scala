@@ -4695,6 +4695,81 @@ object CorpusQueries {
       }
     ),
 
+    // GROUPED HLL AT PRODUCTION WIDTH — m = 4096 per group, SPARSELY:
+    // the register frame carries only the (group, bucket) cells a key
+    // actually hit, so widening the sketch costs rows proportional to
+    // the DATA (≤ distinct keys per group), never |groups|·4096 dense
+    // cells — a million-group frame at m=64-data-density stays a
+    // million-row-scale frame however wide the precision. Each
+    // group's absent cells enter the harmonic sum arithmetically as
+    // m − n_present zero registers (the solo wide path's contract,
+    // vectorized by group). Width constants splice from the SAME
+    // Scala functions into both engines; err_pm asserts the
+    // production band (≤50‰) per group. One scan, one partial-agg
+    // shuffle, |groups| rows out.
+    Q(
+      "q_hll_groups_wide",
+      (spark, dir) => {
+        val bits = graft.operators.Sketch.HllWideBits
+        val keyed = Q.t(spark, dir, "orders")
+          .select(col("o_orderpriority"),
+            col("o_custkey").cast("string").as("k"))
+        val est = graft.operators.Sketch.hllEstimateByP(
+          graft.operators.Sketch.hllRegistersByP(
+            keyed, "k", "o_orderpriority", bits), bits)
+        val exact = Q.t(spark, dir, "orders")
+          .groupBy(col("o_orderpriority").as("group"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        est.join(exact, "group")
+          .withColumn("err_pm", expr("abs(est - n_exact) * 1000L div n_exact"))
+          .withColumn("within_band", col("err_pm") <= 50L)
+      },
+      Some {
+        val bits = graft.operators.Sketch.HllWideBits
+        val m = 1L << bits
+        val k = graft.operators.Sketch.HllFieldBits + 1
+        val an = graft.operators.Sketch.hllAlphaNumFor(bits)
+        val lc = graft.operators.Sketch.hllLcBoundFor(bits)
+        s"""WITH lnt AS (SELECT $LnTabSql AS l), tk AS (
+           |  SELECT DISTINCT o_orderpriority AS g,
+           |    CAST(o_custkey AS VARCHAR) AS t FROM orders
+           |), hto AS (SELECT g AS id, t AS tok FROM tk),${OracleSql.xxh64Ctes("hto")},
+           |hgregs AS (
+           |  SELECT id AS g, CAST(th % $m AS BIGINT) AS bucket,
+           |    CAST(MAX(CASE WHEN (th // $m) % 4294967296 = 0 THEN $k
+           |             ELSE $k - LENGTH(bin(CAST((th // $m) % 4294967296 AS BIGINT))) END)
+           |      AS BIGINT) AS register
+           |  FROM xh GROUP BY 1, 2
+           |), hgsum AS (
+           |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_present,
+           |    CAST($m - COUNT(*) AS BIGINT) AS n_zero,
+           |    CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST($k - register AS INT)), 0)
+           |       + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << $k) AS BIGINT) AS s_sum
+           |  FROM hgregs GROUP BY g
+           |), hgraw AS (
+           |  SELECT *, CAST($an // s_sum AS BIGINT) AS est_raw,
+           |    CASE WHEN $an // s_sum <= $lc AND n_zero > 0
+           |         THEN 'linear' ELSE 'raw' END AS method
+           |  FROM hgsum
+           |), hgest AS (
+           |  SELECT g, n_present, n_zero, s_sum, est_raw, method,
+           |    CAST(CASE WHEN method = 'linear'
+           |      THEN CAST(FLOOR(${m.toDouble}e0 * (l[$m] - l[CAST(n_zero AS INT)])) AS BIGINT)
+           |      ELSE est_raw END AS BIGINT) AS est
+           |  FROM hgraw, lnt
+           |), ex AS (
+           |  SELECT o_orderpriority AS g,
+           |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           |  FROM orders GROUP BY 1
+           |)
+           |SELECT e.g AS "group", e.n_present, e.n_zero, e.s_sum, e.est_raw,
+           |  e.method, e.est, ex.n_exact,
+           |  CAST(ABS(e.est - ex.n_exact) * 1000 // ex.n_exact AS BIGINT) AS err_pm,
+           |  ABS(e.est - ex.n_exact) * 1000 // ex.n_exact <= 50 AS within_band
+           |FROM hgest e JOIN ex ON ex.g = e.g""".stripMargin
+      }
+    ),
+
     // Domain-authority ranking over the link graph — the Common-Crawl
     // provenance signal: INTEGER-exact PageRank in micro-units (ranks
     // start at 10^6; per-edge share = (rank·850000) div (out·10^6),

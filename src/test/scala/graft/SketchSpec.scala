@@ -260,6 +260,44 @@ class SketchSpec extends SparkSpec {
     assert(graft.operators.Sketch.hllLcBoundFor(6) == graft.operators.Sketch.HllLcBound)
   }
 
+  test("hllRegistersByP/hllEstimateByP: sparse grouped wide — per-group == solo, sparse frame") {
+    val bits = graft.operators.Sketch.HllWideBits
+    // three groups of very different cardinality: a 4-key group (deep
+    // linear-counting), a 300-key group, a 20000-key group (past the
+    // 2.5·m = 10240 switchover → raw regime at m=4096)
+    val docs = ((0 until 4).map(i => ("g_small", s"s$i")) ++
+      (0 until 300).map(i => ("g_mid", s"m$i")) ++
+      (0 until 20000).map(i => ("g_big", s"b$i"))).toDF("g", "k")
+    val regs = graft.operators.Sketch.hllRegistersByP(docs, "k", "g", bits)
+    // SPARSE: the frame holds only hit cells — far under 3·4096 dense
+    // cells, and the small group carries at most its key count
+    val cells = regs.groupBy($"group").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cells("g_small") <= 4L)
+    assert(cells("g_mid") <= 300L)
+    // per-group estimate rows equal the SOLO wide path run on each
+    // group's keys alone, column for column — the sparse grouped math
+    // and the solo math are the same estimator
+    val grouped = graft.operators.Sketch.hllEstimateByP(regs, bits)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    for (g <- Seq("g_small", "g_mid", "g_big")) {
+      val solo = graft.operators.Sketch.hllEstimateP(
+        graft.operators.Sketch.hllRegistersP(
+          docs.filter($"g" === g).select($"k"), "k", bits), bits).head()
+      for (c <- Seq("n_present", "n_zero", "s_sum", "est_raw", "est"))
+        assert(grouped(g).getAs[Long](c) == solo.getAs[Long](c), s"$g.$c")
+      assert(grouped(g).getAs[String]("method") == solo.getAs[String]("method"), g)
+    }
+    assert(grouped("g_small").getAs[String]("method") == "linear")
+    assert(grouped("g_big").getAs[String]("method") == "raw")
+    // and bits=6 delegation: the sparse path IS the original grouped path
+    val r6 = graft.operators.Sketch.hllRegistersBy(docs, "k", "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val r6p = graft.operators.Sketch.hllRegistersByP(docs, "k", "g", 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r6 == r6p)
+  }
+
   test("hllEstimateByComplete: absent groups fill with the exact empty-sketch row") {
     // g_empty's only document tokenizes to nothing (NULL text — the
     // whitespace splitter yields [""] even for blank strings, so null
