@@ -199,6 +199,106 @@ object Robots {
     rules(ok, domainCol, textCol).unionByName(unreachable)
   }
 
+  /** Resolve 3xx REDIRECT CHAINS over a fetch ledger (RFC 9309
+    * §2.3.1.2: follow at least five consecutive redirects; past that a
+    * crawler MAY treat the file as unavailable). Input: one row per
+    * FETCH — `urlCol`, `statusCol`, `locationCol` (the Location header
+    * [[graft.operators.Warc.HttpHead]] captures; null when absent).
+    * Output: one row per input fetch — `start_url`, `final_url`,
+    * `final_status`, `hops`, `exhausted`.
+    *
+    * Semantics: a row is mid-chain iff its status is 3xx AND it
+    * carries a Location; each hop joins the Location back to the
+    * ledger. A Location pointing at a URL the ledger never fetched
+    * terminates with status −1 (the torn-fetch marker — the caller's
+    * unreachable semantics apply). A 3xx without Location is terminal
+    * as-is (malformed redirect). `exhausted` is true when the chain is
+    * STILL redirecting after `maxHops` hops — loops exhaust naturally
+    * (A→B→A never terminates), so no separate cycle detection is
+    * needed at the RFC's bound.
+    *
+    * Scale shape: `maxHops` (≤ ~5) chained left joins on the
+    * |fetches|-bounded ledger frame — the robots ledger is
+    * |domains|-sized, never corpus-sized, and each hop's join keys on
+    * the URL, so the corpus itself never enters this plan.
+    */
+  def resolveRedirects(
+      fetches: DataFrame,
+      urlCol: String,
+      statusCol: String,
+      locationCol: String,
+      maxHops: Int = 5
+  ): DataFrame = {
+    val base = fetches.select(
+      col(urlCol).cast("string").as("__u"),
+      col(statusCol).cast("int").as("__st"),
+      col(locationCol).cast("string").as("__loc"))
+    def redirecting(st: Column, loc: Column): Column =
+      st.between(300, 399) && loc.isNotNull
+    var cur = base.select(
+      col("__u").as("start_url"), col("__u").as("final_url"),
+      col("__st").as("final_status"), col("__loc"),
+      lit(0).as("hops"))
+    for (_ <- 1 to maxHops) {
+      val mid = redirecting(col("final_status"), col("__loc"))
+      val next = base.select(col("__u").as("__nu"),
+        col("__st").as("__nst"), col("__loc").as("__nloc"))
+      cur = cur
+        .join(next, mid && col("__loc") === col("__nu"), "left")
+        .select(
+          col("start_url"),
+          when(mid, coalesce(col("__nu"), col("__loc")))
+            .otherwise(col("final_url")).as("final_url"),
+          when(mid, coalesce(col("__nst"), lit(-1)))
+            .otherwise(col("final_status")).as("final_status"),
+          when(mid, col("__nloc")).otherwise(col("__loc")).as("__loc"),
+          when(mid, col("hops") + 1).otherwise(col("hops")).as("hops"))
+    }
+    cur.select(
+      col("start_url"), col("final_url"), col("final_status"), col("hops"),
+      redirecting(col("final_status"), col("__loc")).as("exhausted"))
+  }
+
+  /** Effective robots rules when robots.txt fetches REDIRECT — the
+    * composition [[resolveRedirects]] exists for: per RFC 9309
+    * §2.3.1.2 a robots.txt reached via redirects is VALID FOR THE
+    * ORIGINAL authority, so each domain's chain resolves to its
+    * terminal fetch, the terminal BODY parses under the ORIGINAL
+    * domain, and the terminal STATUS feeds [[rulesWithAvailability]]'s
+    * fetch-status semantics — with exhaustion (still 3xx after
+    * `maxHops`) mapped to UNAVAILABLE (the RFC's MAY, the unrestricted
+    * direction) and a chain ending at an unfetched URL mapped to
+    * status −1 (unreachable → complete disallow).
+    *
+    * `starts`: (domain, url) — each domain's robots.txt fetch URL.
+    * `fetches`: (url, status, location, text) — the fetch ledger,
+    * terminal bodies included. Output: [[rules]]' shape, ready for
+    * [[politenessScreen]].
+    */
+  def rulesViaRedirects(
+      starts: DataFrame,
+      fetches: DataFrame,
+      maxHops: Int = 5
+  ): DataFrame = {
+    val resolved = resolveRedirects(fetches, "url", "status", "location", maxHops)
+    val terminal = starts
+      .select(col("domain").cast("string").as("domain"),
+        col("url").cast("string").as("__start"))
+      .join(resolved, col("__start") === col("start_url"), "left")
+      .join(fetches.select(col("url").cast("string").as("__tu"),
+        col("text").cast("string").as("__text")),
+        col("final_url") === col("__tu"), "left")
+      .select(
+        col("domain"),
+        // exhausted chains are UNAVAILABLE per the RFC's MAY → the
+        // 4xx-class arm of the availability semantics (no rules);
+        // a start the ledger never fetched is unreachable (−1)
+        when(col("exhausted"), lit(404))
+          .otherwise(coalesce(col("final_status"), lit(-1))).as("status"),
+        col("__text").as("text"))
+    rulesWithAvailability(terminal, "domain", "status", "text")
+  }
+
   /** `Sitemap:` directives from a robots.txt — the frontier's
     * discovery POINTER ([[parseSitemapLocs]] parses what these point
     * AT). Per sitemaps.org the directive is location-INDEPENDENT —

@@ -3406,6 +3406,163 @@ object CorpusQueries {
       )
     ),
 
+    // 3xx REDIRECT-CHAIN resolution over the fetch ledger (RFC 9309
+    // §2.3.1.2: follow at least five consecutive redirects) — the hop
+    // between "we fetched these URLs" and "this is each URL's terminal
+    // answer". Six closed-form arms per domain: a direct 200, a 1-hop
+    // 301, a 3-hop mixed 302/301/307 chain ending 404, a PLANTED LOOP
+    // (A→B→A — exhausts the hop budget naturally, no cycle detector
+    // needed at the RFC bound), a dangling Location (target never
+    // fetched → status −1, the torn marker), and an OVER-LIMIT 6-hop
+    // chain (start exhausts; the start one hop in resolves with
+    // hops = 5 exactly). The resolver is maxHops chained left joins on
+    // the |fetches|-bounded ledger — the corpus never enters the plan;
+    // the oracle unrolls the identical five steps in SQL.
+    Q(
+      "q_redirect_resolve",
+      (spark, dir) => {
+        val led = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+          .select(col("k"), explode(expr("sequence(0, 6)")).as("j"))
+          .withColumn("a", col("k") % 6)
+          .withColumn("url",
+            concat(lit("http://d"), col("k"), lit(".example/r"), col("j")))
+          .withColumn("status",
+            when(col("a") === 1 && col("j") === 0, 301)
+              .when(col("a") === 2 && col("j") === 0, 302)
+              .when(col("a") === 2 && col("j") === 1, 301)
+              .when(col("a") === 2 && col("j") === 2, 307)
+              .when(col("a") === 2 && col("j") === 3, 404)
+              .when(col("a") === 3 && col("j") <= 1, 301)
+              .when(col("a") === 4 && col("j") === 0, 301)
+              .when(col("a") === 5 && col("j") <= 5, 301)
+              .otherwise(200))
+          .withColumn("location",
+            when(col("status").between(300, 399),
+              when(col("a") === 3 && col("j") === 1,
+                concat(lit("http://d"), col("k"), lit(".example/r0")))
+                .when(col("a") === 4,
+                  concat(lit("http://d"), col("k"), lit(".example/r9")))
+                .otherwise(concat(lit("http://d"), col("k"),
+                  lit(".example/r"), col("j") + 1)))
+              .otherwise(lit(null).cast("string")))
+        graft.operators.Robots.resolveRedirects(
+          led, "url", "status", "location", maxHops = 5)
+      },
+      Some {
+        val mid = "s.final_status BETWEEN 300 AND 399 AND s.loc IS NOT NULL"
+        val step = (i: Int) =>
+          s"""s$i AS (
+             |  SELECT s.start_url,
+             |    CASE WHEN $mid THEN COALESCE(n.url, s.loc)
+             |         ELSE s.final_url END AS final_url,
+             |    CASE WHEN $mid THEN COALESCE(n.status, -1)
+             |         ELSE s.final_status END AS final_status,
+             |    CASE WHEN $mid THEN n.loc ELSE s.loc END AS loc,
+             |    CASE WHEN $mid THEN s.hops + 1 ELSE s.hops END AS hops
+             |  FROM s${i - 1} s LEFT JOIN led n
+             |    ON $mid AND n.url = s.loc
+             |)""".stripMargin
+        s"""WITH led AS (
+           |  SELECT k, j, a,
+           |    'http://d' || CAST(k AS VARCHAR) || '.example/r' || CAST(j AS VARCHAR) AS url,
+           |    CASE WHEN a = 1 AND j = 0 THEN 301
+           |         WHEN a = 2 AND j = 0 THEN 302
+           |         WHEN a = 2 AND j = 1 THEN 301
+           |         WHEN a = 2 AND j = 2 THEN 307
+           |         WHEN a = 2 AND j = 3 THEN 404
+           |         WHEN a = 3 AND j <= 1 THEN 301
+           |         WHEN a = 4 AND j = 0 THEN 301
+           |         WHEN a = 5 AND j <= 5 THEN 301
+           |         ELSE 200 END AS status,
+           |    CASE WHEN (CASE WHEN a = 1 AND j = 0 THEN 301
+           |         WHEN a = 2 AND j = 0 THEN 302
+           |         WHEN a = 2 AND j = 1 THEN 301
+           |         WHEN a = 2 AND j = 2 THEN 307
+           |         WHEN a = 2 AND j = 3 THEN 404
+           |         WHEN a = 3 AND j <= 1 THEN 301
+           |         WHEN a = 4 AND j = 0 THEN 301
+           |         WHEN a = 5 AND j <= 5 THEN 301
+           |         ELSE 200 END) BETWEEN 300 AND 399
+           |      THEN CASE WHEN a = 3 AND j = 1
+           |             THEN 'http://d' || CAST(k AS VARCHAR) || '.example/r0'
+           |           WHEN a = 4
+           |             THEN 'http://d' || CAST(k AS VARCHAR) || '.example/r9'
+           |           ELSE 'http://d' || CAST(k AS VARCHAR) || '.example/r'
+           |                || CAST(j + 1 AS VARCHAR) END
+           |      ELSE NULL END AS loc
+           |  FROM (SELECT CAST(n_nationkey AS BIGINT) AS k, i AS j,
+           |          CAST(n_nationkey AS BIGINT) % 6 AS a
+           |        FROM nation, UNNEST(generate_series(0, 6)) AS u(i))
+           |), s0 AS (
+           |  SELECT url AS start_url, url AS final_url, status AS final_status,
+           |    loc, 0 AS hops
+           |  FROM led
+           |), ${(1 to 5).map(step).mkString(", ")}
+           |SELECT start_url, final_url, CAST(final_status AS INT) AS final_status,
+           |  CAST(hops AS INT) AS hops,
+           |  final_status BETWEEN 300 AND 399 AND loc IS NOT NULL AS exhausted
+           |FROM s5""".stripMargin
+      }
+    ),
+
+    // Robots rules THROUGH redirects — the composition the resolver
+    // exists for: per RFC 9309 §2.3.1.2 a robots.txt reached via
+    // redirects is VALID FOR THE ORIGINAL authority. Four arms per
+    // domain: a direct 200 (rules parse), a 301 to a DIFFERENT host
+    // whose 200 body must still bind to the ORIGINAL domain, a
+    // redirect LOOP (exhausts → unavailable → unrestricted, the RFC's
+    // MAY), and a 301 landing on a 503 (unreachable → complete
+    // disallow). Every decision re-derived closed-form by the oracle;
+    // the rules frame stays |domains|-bounded and rides the same
+    // broadcast screen.
+    Q(
+      "q_robots_redirect",
+      (spark, dir) => {
+        val nat = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"),
+            (col("n_nationkey") % 4).as("b"))
+        val dom = concat(lit("d"), col("k"), lit(".example"))
+        val robotsUrl = concat(lit("http://"), dom, lit("/robots.txt"))
+        val altUrl = concat(lit("http://alt"), col("k"), lit(".example/robots.txt"))
+        val tmpUrl = concat(lit("http://"), dom, lit("/tmp1"))
+        val errUrl = concat(lit("http://"), dom, lit("/err"))
+        val txt = "User-agent: *\nDisallow: /a1\n"
+        val starts = nat.select(dom.as("domain"), robotsUrl.as("url"))
+        val fetches = nat.select(robotsUrl.as("url"),
+            when(col("b") === 0, 200).otherwise(301).as("status"),
+            when(col("b") === 1, altUrl).when(col("b") === 2, tmpUrl)
+              .when(col("b") === 3, errUrl)
+              .otherwise(lit(null).cast("string")).as("location"),
+            when(col("b") === 0, txt).otherwise(lit(null).cast("string")).as("text"))
+          .unionByName(nat.select(altUrl.as("url"), lit(200).as("status"),
+            lit(null).cast("string").as("location"), lit(txt).as("text")))
+          .unionByName(nat.select(tmpUrl.as("url"), lit(301).as("status"),
+            robotsUrl.as("location"), lit(null).cast("string").as("text")))
+          .unionByName(nat.select(errUrl.as("url"), lit(503).as("status"),
+            lit(null).cast("string").as("location"),
+            lit(null).cast("string").as("text")))
+        val ruleRows = graft.operators.Robots.rulesViaRedirects(starts, fetches)
+        val urls = nat
+          .select(col("k"), explode(expr("sequence(0, 1)")).as("pi"))
+          .select((col("k") * 2 + col("pi")).as("doc_id"),
+            concat(lit("d"), col("k"), lit(".example")).as("domain"),
+            when(col("pi") === 0, lit("/a1/x")).otherwise(lit("/b/y")).as("path"))
+        graft.operators.Robots.politenessScreen(urls, ruleRows, "graftbot")
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) * 2 + pi AS doc_id,
+          |  'd' || CAST(n_nationkey AS VARCHAR) || '.example' AS domain,
+          |  CASE WHEN pi = 0 THEN '/a1/x' ELSE '/b/y' END AS path,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN TRUE   -- redirect loop: unavailable → unrestricted
+          |    WHEN 3 THEN FALSE  -- lands on 503: unreachable → disallow all
+          |    ELSE pi <> 0       -- parsed rules (direct or via redirect): /a1 blocked
+          |  END AS allowed
+          |FROM nation, UNNEST(generate_series(0, 1)) AS u(pi)""".stripMargin
+      )
+    ),
+
     // Sitemap-seeded FRONTIER — the crawl's other discovery path
     // (robots.txt's `Sitemap:` lines point here): parse the sitemaps.
     // org `<loc>` entries (XML entity decode — sitemap URLs MUST

@@ -340,4 +340,54 @@ class RobotsSpec extends SparkSpec {
       .collect().forall(_.getAs[Boolean]("a"))
     assert(allTrue)
   }
+
+  test("resolveRedirects: chains, loops, dangling targets, the hop budget") {
+    import spark.implicits._
+    val led = Seq(
+      ("u0", 301, "u1"), ("u1", 302, "u2"), ("u2", 200, null),
+      ("v0", 301, "v1"), ("v1", 301, "v0"),          // a 2-cycle
+      ("w0", 307, "w9"),                             // dangling target
+      ("x0", 303, null),                             // 3xx without Location
+      ("y0", 301, "y1"), ("y1", 301, "y2"), ("y2", 301, "y3"),
+      ("y3", 301, "y4"), ("y4", 301, "y5"), ("y5", 200, null))
+      .toDF("url", "status", "location")
+    val out = Robots.resolveRedirects(led, "url", "status", "location")
+      .collect().map(r => r.getAs[String]("start_url") ->
+        ((r.getAs[String]("final_url"), r.getAs[Int]("final_status"),
+          r.getAs[Int]("hops"), r.getAs[Boolean]("exhausted")))).toMap
+    assert(out("u0") == (("u2", 200, 2, false)))
+    assert(out("u1") == (("u2", 200, 1, false)))
+    assert(out("v0") == (("v1", 301, 5, true)))  // loop exhausts the budget
+    assert(out("w0") == (("w9", -1, 1, false)))  // unfetched target: torn
+    assert(out("x0") == (("x0", 303, 0, false))) // malformed: terminal as-is
+    assert(out("y0") == (("y5", 200, 5, false))) // exactly the RFC's 5 hops
+    // a tighter budget exhausts the same chain
+    val tight = Robots.resolveRedirects(led, "url", "status", "location", maxHops = 3)
+      .collect().map(r => r.getAs[String]("start_url") ->
+        r.getAs[Boolean]("exhausted")).toMap
+    assert(tight("y0") && !tight("u0"))
+  }
+
+  test("rulesViaRedirects: terminal body binds to the ORIGINAL authority") {
+    import spark.implicits._
+    val txt = "User-agent: *\nDisallow: /a1\n"
+    val starts = Seq(("orig.example", "http://orig.example/robots.txt"))
+      .toDF("domain", "url")
+    val fetches = Seq(
+      ("http://orig.example/robots.txt", 301, "http://cdn.example/r.txt", null),
+      ("http://cdn.example/r.txt", 200, null, txt))
+      .toDF("url", "status", "location", "text")
+    val rows = Robots.rulesViaRedirects(starts, fetches)
+      .collect().map(r => (r.getAs[String]("domain"), r.getAs[String]("rule"),
+        r.getAs[String]("path"))).toSet
+    // the rule row carries the ORIGINAL domain, not the CDN host
+    assert(rows == Set(("orig.example", "disallow", "/a1")))
+    // a start absent from the ledger is unreachable → disallow all
+    val missing = Robots.rulesViaRedirects(
+      Seq(("gone.example", "http://gone.example/robots.txt")).toDF("domain", "url"),
+      fetches)
+      .collect().map(r => (r.getAs[String]("domain"), r.getAs[String]("rule"),
+        r.getAs[String]("path"))).toSet
+    assert(missing == Set(("gone.example", "disallow", "/")))
+  }
 }
