@@ -374,6 +374,79 @@ object Robots {
       .toDF("media_id", "loc")
   }
 
+  /** Decode a fetched sitemap PAYLOAD to XML text: real sitemaps ship
+    * mostly gzipped (`.xml.gz` — sitemaps.org caps a file at 50k URLs
+    * / 50 MB UNCOMPRESSED, so the wire form compresses), so a payload
+    * opening with the gzip magic routes through the strict
+    * CRC-verified gunzip ([[CompressedMeta.gunzipAll]] — a torn
+    * sitemap is a visible null, never a half-parsed URL list), then
+    * strict UTF-8. Plain XML passes straight through. Null on any
+    * degrade.
+    */
+  def decodeSitemapPayload(payload: Array[Byte]): String = {
+    if (payload == null) return null
+    val xml =
+      if (payload.length >= 2 &&
+        (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
+        CompressedMeta.gunzipAll(payload)
+      else payload
+    if (xml == null) null
+    else
+      try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .decode(java.nio.ByteBuffer.wrap(xml)).toString
+      catch { case _: Exception => null }
+  }
+
+  /** Is this sitemap document an INDEX (sitemaps.org `<sitemapindex>`
+    * — its `<loc>`s point at CHILD sitemaps, not pages)? Lenient tag
+    * scan like [[parseSitemapLocs]].
+    */
+  def isSitemapIndex(xml: String): Boolean =
+    xml != null && xml.contains("<sitemapindex")
+
+  /** The FULL sitemap discovery hop: robots `Sitemap:` pointers →
+    * fetched payloads (gzipped or plain) → one INDEX level (per
+    * sitemaps.org an index lists child sitemaps; nesting deeper is out
+    * of protocol) → child payloads → page `<loc>`s. `pointers` is
+    * [[sitemapPointers]]' (domain, sitemap_url) output; `fetches` is
+    * (url, payload: binary) — the fetched bodies. Output:
+    * (domain, loc), one row per page URL discovered for the domain.
+    *
+    * Degrades: a pointer whose URL was never fetched, a torn gzip, or
+    * junk XML contributes nothing (the decode nulls, the loc scan
+    * yields empty). Scale shape: two joins on |sitemaps|-bounded
+    * frames (the 50k-locs/file protocol cap bounds the explode), the
+    * decodes map-only; the corpus never enters the plan.
+    */
+  def sitemapLocsVia(pointers: DataFrame, fetches: DataFrame): DataFrame = {
+    import pointers.sparkSession.implicits._
+    val decode = udf((p: Array[Byte]) => decodeSitemapPayload(p))
+    val fx = fetches.select(col("url").cast("string").as("__fu"),
+      decode(col("payload")).as("__xml"))
+    val level0 = pointers
+      .select(col("domain").cast("string"), col("sitemap_url").cast("string"))
+      .join(fx, col("sitemap_url") === col("__fu"), "left")
+      .select(col("domain"), col("__xml"))
+    // split by document kind: urlset locs are pages; index locs are
+    // CHILD sitemaps that fetch-and-parse one level down
+    val leaf = level0.as[(String, String)].flatMap { case (d, xml) =>
+      if (xml == null || isSitemapIndex(xml)) Nil
+      else parseSitemapLocs(xml).map(l => (d, l))
+    }
+    val children = level0.as[(String, String)].flatMap { case (d, xml) =>
+      if (xml == null || !isSitemapIndex(xml)) Nil
+      else parseSitemapLocs(xml).map(l => (d, l))
+    }.toDF("domain", "__child")
+    val viaIndex = children
+      .join(fx, col("__child") === col("__fu"), "left")
+      .select(col("domain"), col("__xml"))
+      .as[(String, String)].flatMap { case (d, xml) =>
+        if (xml == null || isSitemapIndex(xml)) Nil // nested index: out of protocol
+        else parseSitemapLocs(xml).map(l => (d, l))
+      }
+    leaf.union(viaIndex).toDF("domain", "loc")
+  }
+
   /** Batch crawl-delay parse: (domainCol, textCol) → one
     * (domain, agent, delay_ms) row per directive — the [[rules]] shape
     * for [[parseCrawlDelays]], map-only over the |domains|-bounded

@@ -3689,6 +3689,89 @@ object CorpusQueries {
       )
     ),
 
+    // Sitemap INDEX files + COMPRESSED sitemaps — how sitemaps
+    // actually ship: mostly `.xml.gz` (the protocol caps a file at
+    // 50k URLs / 50 MB UNCOMPRESSED, so the wire form compresses) and
+    // nested one level under `<sitemapindex>` (an index lists CHILD
+    // sitemaps; deeper nesting is out of protocol). The full chain:
+    // robots `Sitemap:` directive → gzipped INDEX (strict CRC-verified
+    // gunzip — a torn sitemap is a visible nothing, never a
+    // half-parsed URL list) → child sitemap fetches (gzipped urlsets)
+    // → page locs → canon seeds. Three arms per domain: a gzipped
+    // index with two gzipped children (4 pages), a PLAIN uncompressed
+    // urlset pointed at directly (2 pages — both document kinds route
+    // correctly), and a torn gzip (0 pages). Two joins on
+    // |sitemaps|-bounded frames; the decode map-only.
+    Q(
+      "q_sitemap_index",
+      (spark, dir) => {
+        val nat = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"),
+            (col("n_nationkey") % 3).as("c"))
+        val robots = nat.select(
+          concat(lit("d"), col("k"), lit(".example")).as("domain"),
+          concat(lit("User-agent: *\nDisallow: /a1\nSitemap: http://d"),
+            col("k"),
+            when(col("c") === 0, lit(".example/idx.xml.gz\n"))
+              .when(col("c") === 1, lit(".example/sm.xml\n"))
+              .otherwise(lit(".example/bad.xml.gz\n"))).as("txt"))
+        val pointers = graft.operators.Robots.sitemapPointers(robots, "domain", "txt")
+        // the deterministic "fetch": every domain's five possible
+        // bodies exist in the ledger; only the pointed-at ones matter
+        val mk = udf((k: Long, w: String) => {
+          import graft.operators.CompressedMeta.gzipMember
+          val base = s"http://d$k.example"
+          def urlset(j: String) =
+            (s"""<?xml version="1.0"?><urlset>""" +
+              s"<url><loc>$base/s/$j/a</loc></url>" +
+              s"<url><loc> $base/s/$j/b?x=1&amp;y=2 </loc></url></urlset>")
+              .getBytes("UTF-8")
+          w match {
+            case "idx" => gzipMember(
+              (s"""<?xml version="1.0"?><sitemapindex>""" +
+                s"<sitemap><loc>$base/sm0.xml.gz</loc></sitemap>" +
+                s"<sitemap><loc>$base/sm1.xml.gz</loc></sitemap></sitemapindex>")
+                .getBytes("UTF-8"))
+            case "sm0"   => gzipMember(urlset("0"))
+            case "sm1"   => gzipMember(urlset("1"))
+            case "plain" => urlset("p")
+            case _       => java.util.Arrays.copyOf(gzipMember(urlset("z")), 15)
+          }
+        })
+        val fetches = nat
+          .select(col("k"), explode(array(lit("idx"), lit("sm0"), lit("sm1"),
+            lit("plain"), lit("bad"))).as("w"))
+          .select(concat(lit("http://d"), col("k"),
+            when(col("w") === "idx", lit(".example/idx.xml.gz"))
+              .when(col("w") === "sm0", lit(".example/sm0.xml.gz"))
+              .when(col("w") === "sm1", lit(".example/sm1.xml.gz"))
+              .when(col("w") === "plain", lit(".example/sm.xml"))
+              .otherwise(lit(".example/bad.xml.gz"))).as("url"),
+            mk(col("k"), col("w")).as("payload"))
+        val out = graft.operators.Robots.sitemapLocsVia(pointers, fetches)
+          .select(col("domain"),
+            graft.functions.GraftFunctions.urlCanon(col("loc")).as("canon"))
+          .distinct()
+        Q.requireMaxShuffles(out, 4)
+        out
+      },
+      Some(
+        """WITH arms AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+          |    CAST(n_nationkey % 3 AS INT) AS c
+          |  FROM nation
+          |), pages AS (
+          |  SELECT k, '/s/' || CAST(j AS VARCHAR) AS pre
+          |  FROM arms, UNNEST(generate_series(0, 1)) AS u(j) WHERE c = 0
+          |  UNION ALL
+          |  SELECT k, '/s/p' FROM arms WHERE c = 1
+          |)
+          |SELECT DISTINCT 'd' || CAST(k AS VARCHAR) || '.example' AS domain,
+          |  'http://d' || CAST(k AS VARCHAR) || '.example' || pre || '/' || s AS canon
+          |FROM pages, (VALUES ('a'), ('b?x=1&y=2')) v(s)""".stripMargin
+      )
+    ),
+
     // Crawl-delay extraction — the politeness INTERVAL half of RFC
     // 9309's de-facto companion directive (the path screen is
     // q_robots_screen): parse `Crawl-delay:` under the same shared

@@ -368,6 +368,42 @@ class RobotsSpec extends SparkSpec {
     assert(tight("y0") && !tight("u0"))
   }
 
+  test("sitemapLocsVia: index hop, gzip decode, torn/unfetched/nested degrades") {
+    import spark.implicits._
+    import graft.operators.CompressedMeta.gzipMember
+    def urlset(locs: String*): String =
+      s"<urlset>${locs.map(l => s"<url><loc>$l</loc></url>").mkString}</urlset>"
+    def index(locs: String*): String =
+      s"<sitemapindex>${locs.map(l => s"<sitemap><loc>$l</loc></sitemap>").mkString}</sitemapindex>"
+    // decodeSitemapPayload: plain, gzipped, torn gzip, junk utf-8
+    assert(Robots.decodeSitemapPayload(urlset("u").getBytes("UTF-8")) == urlset("u"))
+    assert(Robots.decodeSitemapPayload(
+      gzipMember(urlset("u").getBytes("UTF-8"))) == urlset("u"))
+    assert(Robots.decodeSitemapPayload(
+      java.util.Arrays.copyOf(gzipMember(urlset("u").getBytes("UTF-8")), 14)) == null)
+    assert(Robots.decodeSitemapPayload(null) == null)
+    val pointers = Seq(
+      ("a.com", "http://a.com/idx.gz"),   // index → two children (one gz, one plain)
+      ("b.com", "http://b.com/flat.xml"), // plain urlset
+      ("c.com", "http://c.com/never"),    // never fetched
+      ("e.com", "http://e.com/nest.xml")) // index → index (out of protocol)
+      .toDF("domain", "sitemap_url")
+    val fetches = Seq(
+      ("http://a.com/idx.gz",
+        gzipMember(index("http://a.com/s1.gz", "http://a.com/s2.xml").getBytes("UTF-8"))),
+      ("http://a.com/s1.gz", gzipMember(urlset("http://a.com/p1").getBytes("UTF-8"))),
+      ("http://a.com/s2.xml", urlset("http://a.com/p2", "http://a.com/p3").getBytes("UTF-8")),
+      ("http://b.com/flat.xml", urlset("http://b.com/q1").getBytes("UTF-8")),
+      ("http://e.com/nest.xml", index("http://e.com/inner.xml").getBytes("UTF-8")),
+      ("http://e.com/inner.xml", index("http://e.com/deeper.xml").getBytes("UTF-8")))
+      .toDF("url", "payload")
+    val got = Robots.sitemapLocsVia(pointers, fetches)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("a.com", "http://a.com/p1"), ("a.com", "http://a.com/p2"),
+      ("a.com", "http://a.com/p3"), ("b.com", "http://b.com/q1")))
+  }
+
   test("rulesViaRedirects: terminal body binds to the ORIGINAL authority") {
     import spark.implicits._
     val txt = "User-agent: *\nDisallow: /a1\n"
