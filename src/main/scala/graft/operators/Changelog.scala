@@ -94,4 +94,39 @@ object Changelog {
           .as("change"))
       .filter(col("change").isNotNull)
   }
+
+  /** Change verdicts for a REFRESH-CRAWL round from the fetch STATUS
+    * first (the protocol's own signal), the payload diff second: real
+    * refresh crawlers send If-Modified-Since / If-None-Match, and a
+    * `304 Not Modified` row IS an unchanged verdict with NO payload
+    * to diff — forcing it through a content diff would misread the
+    * absent body as 'removed'. Rows with status 304 emit
+    * (key, 'unchanged') directly; rows with a 2xx body diff against
+    * `prev` via [[snapshotDiff]] (restricted to the keys this round
+    * actually re-fetched WITH a body, so conditional-GET keys can't
+    * leak into the diff as removals). Other statuses (4xx/5xx — fetch
+    * failures) get NO verdict here; the availability layer owns them.
+    *
+    * Scale shape: one semi-join to scope the diff + snapshotDiff's
+    * digest exchange; the 304 arm is map-only — exactly the rows the
+    * server saved the crawler from downloading also skip the digest
+    * machinery.
+    */
+  def fetchVerdicts(
+      prev: DataFrame,
+      fetches: DataFrame,
+      keyCol: String,
+      payloadCol: String,
+      statusCol: String
+  ): DataFrame = {
+    val ok = fetches
+      .filter(col(statusCol) >= 200 && col(statusCol) < 300)
+      .select(col(keyCol), col(payloadCol))
+    val notModified = fetches
+      .filter(col(statusCol) === 304)
+      .select(col(keyCol).as("key"), lit("unchanged").as("change"))
+    val prevScoped = prev.join(ok.select(col(keyCol)), Seq(keyCol), "left_semi")
+    snapshotDiff(prevScoped, ok, keyCol, payloadCol)
+      .unionByName(notModified)
+  }
 }

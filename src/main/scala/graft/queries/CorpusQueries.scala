@@ -4103,27 +4103,40 @@ object CorpusQueries {
     // whose rules changed: /p/ban pages drop OUT of the refresh plan)
     // → the next fetch plan, politeness slots ordered by URGENCY
     // (earliest next_fetch first) under frame-joined crawl-delays.
-    // Fixture arms, all closed-form: text changes at id%3==0 (streak 0,
-    // base interval) vs unchanged (streak 1, doubled); id%7==0 URLs
-    // fall under the new robots ban; messy stored URLs (case, port,
-    // dot-segment) unify through graft_url_canon before the history
-    // window. The oracle re-derives the verdicts, streaks, intervals,
-    // admission and the slot/delay/shard plan across both crawl
-    // rounds. Corpus exchanges: diff join (2 sides) + verdict join +
-    // revisit window + screen groupBy + host window; the rules/delay
-    // frames stay |domains|-bounded (one tiny group-selection
-    // exchange) and NEVER enter the plan text.
+    // 304-AWARE (RFC 9110 §15.4.5): round 2 arrives as the protocol
+    // delivers it — id%4==1 comes back `304 Not Modified` with NO
+    // BODY (the conditional-GET answer IS the unchanged verdict;
+    // forcing it through a content diff would misread the absent
+    // payload as 'removed'), the rest 200 with payloads diffed by
+    // snapshotDiff, changed at id%3==0. Fixture arms, all
+    // closed-form: changed (200, text differs — streak 0, base
+    // interval) vs unchanged (304 OR equal payload — streak 1,
+    // doubled); id%7==0 URLs fall under the new robots ban; messy
+    // stored URLs (case, port, dot-segment) unify through
+    // graft_url_canon before the history window. The oracle
+    // re-derives the verdicts, streaks, intervals, admission and the
+    // slot/delay/shard plan across both crawl rounds. Corpus
+    // exchanges: the diff-scoping semi-join + diff full-outer +
+    // verdict join + revisit window + screen groupBy + host window;
+    // the rules/delay frames stay |domains|-bounded (one tiny
+    // group-selection exchange) and NEVER enter the plan text.
     Q(
       "q_crawl_refresh",
       (spark, dir) => {
         import spark.implicits._
         val docs = Q.t(spark, dir, "documents")
-        // two snapshots of the fetched payloads
+        // round-1 snapshot, then round-2 FETCHES as the protocol
+        // delivers them: a refresh crawler sends If-Modified-Since,
+        // so id%4==1 comes back 304 Not Modified — an unchanged
+        // verdict WITH NO BODY (fetchVerdicts' status arm); the rest
+        // come back 200 with payloads, changed at id%3==0
         val v1 = docs.select(col("doc_id"), col("text"))
-        val v2 = docs.select(col("doc_id"),
+        val fetch2 = docs.select(col("doc_id"),
+          when(col("doc_id") % 4 === 1, 304).otherwise(200).as("status"),
           when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
-        val verdicts = graft.operators.Changelog.snapshotDiff(v1, v2, "doc_id", "text")
+        val verdicts = graft.operators.Changelog.fetchVerdicts(
+          v1, fetch2, "doc_id", "text", "status")
         // the fetch history, keyed by the CANONICAL url (stored forms
         // are messy; the canon step is part of the loop)
         val messy = concat(lit("HTTP://Site"), (col("doc_id") % 5).cast("int"),
@@ -4179,10 +4192,10 @@ object CorpusQueries {
            |    'http://site' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR)
            |      || '.example/p/' || CAST(doc_id AS VARCHAR) AS canon,
            |    'site' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR) || '.example' AS host,
-           |    CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
-           |      AS unchanged_streak,
-           |    CAST(CASE WHEN doc_id % 3 = 0 THEN 30000 ELSE 60000 END AS BIGINT)
-           |      AS interval_ms,
+           |    CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 4 <> 1 THEN 0 ELSE 1 END
+           |      AS BIGINT) AS unchanged_streak,
+           |    CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 4 <> 1 THEN 30000
+           |      ELSE 60000 END AS BIGINT) AS interval_ms,
            |    CAST(doc_id * 1000 + 60000 AS BIGINT) AS last_fetch_ms
            |  FROM documents WHERE doc_id % 7 <> 0
            |), s AS (

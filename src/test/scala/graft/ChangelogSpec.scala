@@ -86,4 +86,22 @@ class ChangelogSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaLog == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
   }
+
+  test("fetchVerdicts: 304 IS the unchanged verdict; 2xx bodies diff; failures get none") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("k", "t")
+    val fetches = Seq(
+      (1L, 200, "a"),            // re-fetched, equal → no diff row
+      (2L, 200, "b CHANGED"),    // re-fetched, differs → changed
+      (3L, 304, null: String),   // conditional GET: unchanged, NO body
+      (4L, 503, null: String),   // fetch failure: no verdict here
+      (6L, 200, "new page"))     // never seen → added
+      .toDF("k", "status", "t")
+    val got = Changelog.fetchVerdicts(prev, fetches, "k", "t", "status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the 304 row must NOT read as 'removed' (the naive diff would),
+    // and the 503/never-refetched keys (4, 5) get no verdict at all
+    assert(got == Map(2L -> "changed", 3L -> "unchanged", 6L -> "added"))
+  }
 }
