@@ -353,6 +353,7 @@ object Warc {
       case null | "identity" => afterTe
       case "gzip" | "x-gzip" => CompressedMeta.gunzipAll(afterTe, maxOut, maxOut.toLong)
       case "deflate"         => inflateZlib(afterTe, maxOut)
+      case "zstd"            => ZstdDecode.zstdAll(afterTe, maxOut, maxOut.toLong)
       case _                 => null
     }
   }
@@ -418,6 +419,58 @@ object Warc {
         }
       })
       .toDF()
+  }
+
+  /** The `.warc.zst` ingest — [[recordsGz]]'s twin for the format
+    * crawl archives are moving to: each blob splits into its zstd
+    * FRAMES ([[ZstdDecode.zstdMembers]] — full RFC 8878 decode,
+    * checksum-verified where present, bomb-capped, skippable frames
+    * skipped), each frame parses as WARC, and `rec_idx` re-indexes
+    * sequentially across frames. A corrupt frame drops it and
+    * everything after — the completed-prefix contract. Same output
+    * shape as [[records]]; map-only.
+    */
+  def recordsZst(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        var idx = 0
+        ZstdDecode.zstdMembers(payload).iterator.flatMap { m =>
+          parseWarc(id, m).map { r =>
+            val out = r.copy(rec_idx = idx)
+            idx += 1
+            out
+          }
+        }
+      })
+      .toDF()
+  }
+
+  /** The `.warc.zst` fixture: [[syntheticWarcHttp]]'s records, each
+    * wrapped as its OWN zstd frame and concatenated — the record-at-
+    * a-time layout's zstd form, carrying the identical logical records
+    * so the zst gate shares the plain gate's oracle verbatim. Frame
+    * shapes rotate by record (raw+checksum / multi-block raw /
+    * skippable-then-raw) so the walk's arms all run inside the gate.
+    */
+  def syntheticWarcZst(seed: Long, nRecords: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    syntheticWarcHttpRecords(seed, nRecords).zipWithIndex.foreach { case (r, i) =>
+      (i % 3) match {
+        case 0 =>
+          val f = ZstdDecode.zstdFrameRaw(r, checksum = true)
+          out.write(f, 0, f.length)
+        case 1 =>
+          val f = ZstdDecode.zstdFrameRaw(r, blockSize = 40) // multi-block
+          out.write(f, 0, f.length)
+        case _ =>
+          out.write(Array[Byte](0x50, 0x2A, 0x4D, 0x18, 2, 0, 0, 0, 7, 7), 0, 10)
+          val f = ZstdDecode.zstdFrameRaw(r)
+          out.write(f, 0, f.length)
+      }
+    }
+    out.toByteArray
   }
 
   /** Batch byte-level container walk: one row per record with the body
@@ -783,7 +836,10 @@ object Warc {
     *     order RFC 9112 prescribes);
     * 5 — chunked TORN mid-chunk → NULL text, framing fields survive;
     * 6 — Content-Encoding: br (out of contract) → NULL;
-    * 7 — gzip with a corrupted CRC → the strict decode NULLs.
+    * 7 — gzip with a corrupted CRC → the strict decode NULLs;
+    * 8 — Content-Encoding: zstd over a real compressed-block frame
+    *     (the coding RFC 8878 §7 registers; crawl archives are moving
+    *     to it).
     */
   def syntheticWarcEncodings(seed: Long): Array[Byte] = {
     require(seed >= 0, "syntheticWarcEncodings: non-negative seed")
@@ -820,6 +876,11 @@ object Warc {
     val badGz = CompressedMeta.gzipMember(s"corrupt $seed".getBytes(US_ASCII))
     badGz(badGz.length - 6) = (badGz(badGz.length - 6) ^ 0x5A).toByte
     rec(7, "utf-8", null, "gzip", badGz)
+    // 8 — Content-Encoding: zstd (RFC 8878 §7) over a REAL
+    //     compressed-block frame (RLE-mode sequence + window match)
+    rec(8, "utf-8", null, "zstd",
+      ZstdDecode.zstdFrameSequences(s"zs$seed ".getBytes(US_ASCII), 4,
+        "end".getBytes(US_ASCII), checksum = true))
     out.toByteArray
   }
 

@@ -5696,6 +5696,84 @@ object CorpusQueries {
       Some(WarcHttpOracleSql)
     ),
 
+    // The `.warc.zst` INGEST — the archive format crawl corpora are
+    // moving to, decoded by the PURE-JVM RFC 8878 decoder (raw/RLE/
+    // compressed blocks, Huffman literals, FSE sequences, XXH64
+    // checksums — certified against real-zstd golden bytes in
+    // ZstdDecodeSpec): each blob splits into its frames (skippable
+    // frames skipped, corrupt frames dropping the completed-prefix
+    // way), each frame parses as WARC, rec_idx re-indexes across
+    // frames. The fixture wraps the IDENTICAL logical records as
+    // q_warc_http one-frame-per-record (shapes rotating: checksummed /
+    // multi-block / skippable-prefixed) — so this gate shares that
+    // gate's oracle VERBATIM: the compression format must be invisible
+    // to the HTTP layer, exactly like q_warc_gz. Map-only.
+    Q(
+      "q_warc_zst",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcZst(k, 6))
+        val out = graft.operators.Warc.httpResponses(
+          graft.operators.Warc.recordsZst(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .withColumn("keep",
+            col("status") === 200 && col("content_type") === "text/html")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(WarcHttpOracleSql)
+    ),
+
+    // The zstd ENTROPY paths under an oracle: frames built by the
+    // fixture encoders — a compressed block with an RLE-coded SEQUENCE
+    // (LZ window match, overlap-safe copy) and a compressed block with
+    // HUFFMAN-coded literals (direct weights, 1- and 4-stream
+    // alternating by key) — decode distributively to closed-form text
+    // the oracle re-derives with repeat(). The golden real-zstd bytes
+    // in ZstdDecodeSpec certify the decoder against the reference
+    // implementation; THIS gate certifies the distributed plumbing
+    // stays map-only and the decode is deterministic under Verify.
+    Q(
+      "q_zstd_decode",
+      (spark, dir) => {
+        import spark.implicits._
+        val mk = udf((k: Long) => {
+          val seqF = graft.operators.ZstdDecode.zstdFrameSequences(
+            s"w${k % 7}x ".getBytes("US-ASCII"), (5 + k % 4).toInt,
+            s"end$k".getBytes("US-ASCII"), checksum = true)
+          val hufText = ("abacad" * (3 + (k % 3)).toInt).getBytes("US-ASCII")
+          val hufF = graft.operators.ZstdDecode.zstdFrameHuffman(
+            hufText, fourStream = k % 2 == 0, checksum = true)
+          seqF ++ hufF
+        })
+        val out = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("payload", mk(col("media_id")))
+          .select(col("media_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, p) =>
+            graft.operators.ZstdDecode.zstdMembers(p).zipWithIndex.map {
+              case (m, i) => (id, i, new String(m, "US-ASCII"))
+            }
+          }
+          .toDF("media_id", "member_idx", "text")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id, CAST(i AS INT) AS member_idx,
+          |  CASE CAST(i AS INT)
+          |    WHEN 0 THEN repeat('w' || CAST(n_nationkey % 7 AS VARCHAR) || 'x ',
+          |                       CAST(5 + n_nationkey % 4 AS INT))
+          |                || 'end' || CAST(n_nationkey AS VARCHAR)
+          |    ELSE repeat('abacad', CAST(3 + n_nationkey % 3 AS INT))
+          |  END AS text
+          |FROM nation, UNNEST(generate_series(0, 1)) AS u(i)""".stripMargin
+      )
+    ),
+
     // CHARSET-AWARE text extraction — the honesty gap the utf-8-only
     // text layer leaves open: ~10% of the web declares
     // latin-1/windows-1252, and those pages NULL out of a utf-8-only
@@ -5788,7 +5866,8 @@ object CorpusQueries {
           |    ELSE NULL END AS transfer_encoding,
           |  CASE CAST(i AS INT)
           |    WHEN 2 THEN 'gzip' WHEN 3 THEN 'deflate' WHEN 4 THEN 'gzip'
-          |    WHEN 6 THEN 'br' WHEN 7 THEN 'gzip' ELSE NULL END AS content_encoding,
+          |    WHEN 6 THEN 'br' WHEN 7 THEN 'gzip' WHEN 8 THEN 'zstd'
+          |    ELSE NULL END AS content_encoding,
           |  CASE CAST(i AS INT)
           |    WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'windows-1252'
           |    ELSE 'utf-8' END AS charset,
@@ -5799,8 +5878,9 @@ object CorpusQueries {
           |    WHEN 2 THEN 'gz caf\u00e9 r\u00e9sum\u00e9 ' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 3 THEN 'price \u20ac' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 4 THEN 'both caf\u00e9 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 8 THEN repeat('zs' || CAST(n_nationkey AS VARCHAR) || ' ', 4) || 'end'
           |    ELSE NULL END AS text
-          |FROM nation, UNNEST(generate_series(0, 7)) AS u(i)""".stripMargin
+          |FROM nation, UNNEST(generate_series(0, 8)) AS u(i)""".stripMargin
       )
     ),
 

@@ -654,6 +654,17 @@ object ScaleProbe {
             .withColumn("payload", warc(col("media_id"))),
           "media_id", "payload").count()
       }
+      // .warc.zst ingest: frame split + full RFC 8878 decode + WARC
+      // parse, all map-only — wall must track the blob count exactly
+      // like the gz twin (each doc row becomes one 6-record archive)
+      probe(s"warc_zst x$k") {
+        val warc = org.apache.spark.sql.functions.udf(
+          (id: Long) => graft.operators.Warc.syntheticWarcZst(id % 97, 6))
+        graft.operators.Warc.recordsZst(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", warc(col("media_id"))),
+          "media_id", "payload").count()
+      }
       // URL canonicalization is a map-only codegen expression — wall
       // must track the row count
       probe(s"url_canon x$k") {

@@ -800,7 +800,7 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       val streamed = rows(spark.table("sc_charset_out"))
       val batch = rows(chain(arriving.toDF("media_id", "payload")))
       assert(streamed == batch)
-      assert(streamed.size == 32) // 8 arms × 4 blobs
+      assert(streamed.size == 34) // 8 charset arms × 2 + 9 encoding arms × 2
       // spot-pin one cell of each matrix on the STREAMED side
       assert(streamed((1L, 1))._5 == "café résumé 1") // latin-1 decode
       assert(streamed((3L, 4))._5 == "both café 3")   // chunked-over-gzip

@@ -255,6 +255,8 @@ class WarcSpec extends SparkSpec {
     assert(rows(5) == (("chunked", null, null)))
     assert(rows(6) == ((null, "br", null)))
     assert(rows(7) == ((null, "gzip", null)))
+    // Content-Encoding: zstd — a real compressed-block frame inflates
+    assert(rows(8) == ((null, "zstd", "zs5 zs5 zs5 zs5 end")))
   }
 
   test("crawl chain is encoding-invariant: wire codings decode to identical output") {
