@@ -217,11 +217,41 @@ object Robots {
     * (A→B→A never terminates), so no separate cycle detection is
     * needed at the RFC's bound.
     *
+    * A URL fetched MORE THAN ONCE (retries, multiple crawl rounds)
+    * collapses to its most-successful row before the walk — status
+    * class 2xx < 3xx < 4xx < 5xx/torn, ties broken deterministically —
+    * so a stale failed fetch can neither fan chains out multiplicatively
+    * through the hop joins nor override a later success. Output is one
+    * row per DISTINCT url.
+    *
     * Scale shape: `maxHops` (≤ ~5) chained left joins on the
     * |fetches|-bounded ledger frame — the robots ledger is
     * |domains|-sized, never corpus-sized, and each hop's join keys on
     * the URL, so the corpus itself never enters this plan.
     */
+  /** Collapse duplicate fetches of one URL to the most-successful row:
+    * status class 2xx < 3xx < 4xx < everything else (5xx / torn), then
+    * status, then the remaining columns — a total deterministic order,
+    * so re-running the resolve over a multi-round ledger is stable.
+    * Expects the working column names (`__u`, `__st`, `__loc`, and
+    * optionally `__text`).
+    */
+  private def dedupFetches(base: DataFrame): DataFrame = {
+    val rank = when(col("__st").between(200, 299), 0)
+      .when(col("__st").between(300, 399), 1)
+      .when(col("__st").between(400, 499), 2)
+      .otherwise(3)
+    val rest = base.columns.filterNot(_ == "__u")
+      .map(c => coalesce(col(c).cast("string"), lit("")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"))
+      .orderBy((rank +: col("__st") +: rest.toSeq): _*)
+    base
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   def resolveRedirects(
       fetches: DataFrame,
       urlCol: String,
@@ -229,10 +259,10 @@ object Robots {
       locationCol: String,
       maxHops: Int = 5
   ): DataFrame = {
-    val base = fetches.select(
+    val base = dedupFetches(fetches.select(
       col(urlCol).cast("string").as("__u"),
       col(statusCol).cast("int").as("__st"),
-      col(locationCol).cast("string").as("__loc"))
+      col(locationCol).cast("string").as("__loc")))
     def redirecting(st: Column, loc: Column): Column =
       st.between(300, 399) && loc.isNotNull
     var cur = base.select(
@@ -280,13 +310,21 @@ object Robots {
       fetches: DataFrame,
       maxHops: Int = 5
   ): DataFrame = {
-    val resolved = resolveRedirects(fetches, "url", "status", "location", maxHops)
+    // one dedup serves both the chain walk and the terminal-text
+    // lookup — a URL fetched in several rounds must resolve to ONE
+    // (most-successful) row on both sides or the stale fetch's rules
+    // would union in next to the fresh ones
+    val deduped = dedupFetches(fetches.select(
+      col("url").cast("string").as("__u"),
+      col("status").cast("int").as("__st"),
+      col("location").cast("string").as("__loc"),
+      col("text").cast("string").as("__text")))
+    val resolved = resolveRedirects(deduped, "__u", "__st", "__loc", maxHops)
     val terminal = starts
       .select(col("domain").cast("string").as("domain"),
         col("url").cast("string").as("__start"))
       .join(resolved, col("__start") === col("start_url"), "left")
-      .join(fetches.select(col("url").cast("string").as("__tu"),
-        col("text").cast("string").as("__text")),
+      .join(deduped.select(col("__u").as("__tu"), col("__text")),
         col("final_url") === col("__tu"), "left")
       .select(
         col("domain"),
@@ -420,31 +458,37 @@ object Robots {
     */
   def sitemapLocsVia(pointers: DataFrame, fetches: DataFrame): DataFrame = {
     import pointers.sparkSession.implicits._
-    val decode = udf((p: Array[Byte]) => decodeSitemapPayload(p))
-    val fx = fetches.select(col("url").cast("string").as("__fu"),
-      decode(col("payload")).as("__xml"))
+    // join on the RAW payload and decode AFTER the join: each branch
+    // then gunzips only ITS matched rows — decoding inside the fetch
+    // frame would run the gunzip UDF over EVERY fetched payload once
+    // per plan branch (leaf, children, and the child re-join: ~3x the
+    // decompression CPU with no exchange to reuse)
+    val fxRaw = fetches.select(col("url").cast("string").as("__fu"),
+      col("payload").as("__payload"))
     val level0 = pointers
       .select(col("domain").cast("string"), col("sitemap_url").cast("string"))
-      .join(fx, col("sitemap_url") === col("__fu"), "left")
-      .select(col("domain"), col("__xml"))
-    // split by document kind: urlset locs are pages; index locs are
-    // CHILD sitemaps that fetch-and-parse one level down
-    val leaf = level0.as[(String, String)].flatMap { case (d, xml) =>
-      if (xml == null || isSitemapIndex(xml)) Nil
-      else parseSitemapLocs(xml).map(l => (d, l))
-    }
-    val children = level0.as[(String, String)].flatMap { case (d, xml) =>
-      if (xml == null || !isSitemapIndex(xml)) Nil
-      else parseSitemapLocs(xml).map(l => (d, l))
-    }.toDF("domain", "__child")
-    val viaIndex = children
-      .join(fx, col("__child") === col("__fu"), "left")
-      .select(col("domain"), col("__xml"))
-      .as[(String, String)].flatMap { case (d, xml) =>
+      .join(fxRaw, col("sitemap_url") === col("__fu"), "left")
+      .select(col("domain"), col("__payload"))
+      .as[(String, Array[Byte])]
+      // classify ONCE: urlset locs are pages (is_child false); index
+      // locs are CHILD sitemaps that fetch-and-parse one level down
+      .flatMap { case (d, payload) =>
+        val xml = decodeSitemapPayload(payload)
+        if (xml == null) Nil
+        else parseSitemapLocs(xml).map(l => (d, l, isSitemapIndex(xml)))
+      }
+      .toDF("domain", "loc", "__is_child")
+    val viaIndex = level0.filter(col("__is_child"))
+      .join(fxRaw, col("loc") === col("__fu"), "left")
+      .select(col("domain"), col("__payload"))
+      .as[(String, Array[Byte])].flatMap { case (d, payload) =>
+        val xml = decodeSitemapPayload(payload)
         if (xml == null || isSitemapIndex(xml)) Nil // nested index: out of protocol
         else parseSitemapLocs(xml).map(l => (d, l))
       }
-    leaf.union(viaIndex).toDF("domain", "loc")
+      .toDF("domain", "loc")
+    level0.filter(!col("__is_child")).select(col("domain"), col("loc"))
+      .unionByName(viaIndex)
   }
 
   /** Batch crawl-delay parse: (domainCol, textCol) → one

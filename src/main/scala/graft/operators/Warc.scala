@@ -274,10 +274,14 @@ object Warc {
       val line = new String(bytes, p, le - p,
         java.nio.charset.StandardCharsets.US_ASCII)
       val semi = line.indexOf(';')
-      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
-      val size =
-        try java.lang.Long.parseLong(hex, 16)
-        catch { case _: NumberFormatException => return null }
+      val hex = if (semi >= 0) line.substring(0, semi) else line
+      // strict RFC 9112 grammar: chunk-size is 1*HEXDIG — no sign, no
+      // padding (Long.parseLong would accept '+A' and '  A '); cap the
+      // digit count so the parse itself can't overflow
+      if (hex.isEmpty || hex.length > 12 ||
+        !hex.forall(c => (c >= '0' && c <= '9') ||
+          (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))) return null
+      val size = java.lang.Long.parseLong(hex, 16)
       if (size < 0 || size > maxOut.toLong - out.size) return null
       p = le + 2
       if (size == 0L) {

@@ -269,7 +269,13 @@ object ZstdDecode {
           if (bb.pos < 0) { ws += ft.symbol(s1); done = true }
         }
       }
-      if (!done) return null // 256+ weights: corrupt
+      if (!done) return null // runaway stream: corrupt
+      // ≤ 255 EXPLICIT weights (the alphabet is 256 symbols and one is
+      // the implicit last) — the alternating-state loop can append two
+      // symbols past its guard, so cap AFTER, not just in the guard: a
+      // 256th explicit weight would otherwise put symbol index 256
+      // into the literals table and decode as a wrapped byte
+      if (ws.length > 255) return null
       weights = ws.toArray
       consumed = 1 + hb
     } else {
@@ -372,13 +378,25 @@ object ZstdDecode {
     def appendRepeat(b: Byte, n: Int): Unit = {
       ensure(n); java.util.Arrays.fill(arr, len, len + n, b); len += n
     }
-    /** Overlap-safe match copy (offset may be < length). */
+    /** Overlap-safe match copy (offset may be < length). The common
+      * non-overlapping case is one arraycopy; overlaps double the
+      * copied span each pass (the decoded prefix is itself the source)
+      * — this loop is the `.warc.zst` ingest's hottest path.
+      */
     def copyMatch(offset: Int, n: Int): Boolean = {
       if (offset <= 0 || offset > len) return false
       ensure(n)
-      var i = 0
-      var src = len - offset
-      while (i < n) { arr(len + i) = arr(src); src += 1; i += 1 }
+      val src = len - offset
+      if (offset >= n) System.arraycopy(arr, src, arr, len, n)
+      else {
+        var done = offset
+        System.arraycopy(arr, src, arr, len, offset)
+        while (done < n) {
+          val step = math.min(done, n - done)
+          System.arraycopy(arr, len, arr, len + done, step)
+          done += step
+        }
+      }
       len += n
       true
     }

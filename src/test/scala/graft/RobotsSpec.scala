@@ -366,6 +366,30 @@ class RobotsSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("start_url") ->
         r.getAs[Boolean]("exhausted")).toMap
     assert(tight("y0") && !tight("u0"))
+    // a URL fetched TWICE (a stale 503 retry + a later 200) collapses
+    // to its most-successful row BEFORE the walk — one output row per
+    // distinct url, chains resolve through the success, and the stale
+    // failure cannot fan chains out through the hop joins
+    val dup = Seq(
+      ("a0", 301, "r.txt"),
+      ("r.txt", 503, null), ("r.txt", 200, null), ("r.txt", 503, null))
+      .toDF("url", "status", "location")
+    val viaDup = Robots.resolveRedirects(dup, "url", "status", "location")
+      .collect().map(r => r.getAs[String]("start_url") ->
+        ((r.getAs[String]("final_url"), r.getAs[Int]("final_status")))).toMap
+    assert(viaDup.size == 2) // one row per DISTINCT url
+    assert(viaDup("a0") == (("r.txt", 200)))
+    // ...and rulesViaRedirects takes the SUCCESSFUL fetch's rules, not
+    // a union of the stale failure's disallow-all with them
+    val dupRules = Robots.rulesViaRedirects(
+      Seq(("d.example", "http://d.example/robots.txt")).toDF("domain", "url"),
+      Seq(
+        ("http://d.example/robots.txt", 301, "http://cdn.example/r", null),
+        ("http://cdn.example/r", 503, null, null),
+        ("http://cdn.example/r", 200, null, "User-agent: *\nDisallow: /a1\n"))
+        .toDF("url", "status", "location", "text"))
+      .collect().map(r => (r.getAs[String]("rule"), r.getAs[String]("path"))).toSet
+    assert(dupRules == Set(("disallow", "/a1")))
   }
 
   test("sitemapLocsVia: index hop, gzip decode, torn/unfetched/nested degrades") {

@@ -215,6 +215,11 @@ class WarcSpec extends SparkSpec {
     // bomb cap: declared size past maxOut refuses
     assert(Warc.dechunk(b("FFFFFFFF\r\n"), maxOut = 1024) == null)
     assert(Warc.dechunk(null) == null)
+    // strict RFC 9112 chunk-size grammar (1*HEXDIG): a sign or padding
+    // that Long.parseLong would tolerate is out of grammar → NULL
+    assert(Warc.dechunk(b("+3\r\nabc\r\n0\r\n\r\n")) == null)
+    assert(Warc.dechunk(b(" 3 \r\nabc\r\n0\r\n\r\n")) == null)
+    assert(Warc.dechunk(b("0x3\r\nabc\r\n0\r\n\r\n")) == null)
     // strict zlib: round-trip, truncation, trailing junk, raw deflate
     val z = Warc.zlibDeflate(data)
     assert(Warc.inflateZlib(z).sameElements(data))
