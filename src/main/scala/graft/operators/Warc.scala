@@ -427,12 +427,15 @@ object Warc {
 
   /** The `.warc.zst` ingest — [[recordsGz]]'s twin for the format
     * crawl archives are moving to: each blob splits into its zstd
-    * FRAMES ([[ZstdDecode.zstdMembers]] — full RFC 8878 decode,
+    * FRAMES ([[ZstdDecode.zstdMembersAuto]] — full RFC 8878 decode,
     * checksum-verified where present, bomb-capped, skippable frames
-    * skipped), each frame parses as WARC, and `rec_idx` re-indexes
-    * sequentially across frames. A corrupt frame drops it and
-    * everything after — the completed-prefix contract. Same output
-    * shape as [[records]]; map-only.
+    * skipped, and the Common-Crawl convention of the DICTIONARY
+    * riding a leading 0x184D2A5D skippable frame handled in place;
+    * dictionary-less archives walk identically), each frame parses as
+    * WARC, and `rec_idx` re-indexes sequentially across frames. A
+    * corrupt frame drops it and everything after — the
+    * completed-prefix contract. Same output shape as [[records]];
+    * map-only.
     */
   def recordsZst(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     import df.sparkSession.implicits._
@@ -440,7 +443,7 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
         var idx = 0
-        ZstdDecode.zstdMembers(payload).iterator.flatMap { m =>
+        ZstdDecode.zstdMembersAuto(payload).iterator.flatMap { m =>
           parseWarc(id, m).map { r =>
             val out = r.copy(rec_idx = idx)
             idx += 1

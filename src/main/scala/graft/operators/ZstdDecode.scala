@@ -10,12 +10,17 @@ package graft.operators
   * corpora are moving to) ingest end-to-end without a native library.
   *
   * Untrusted-input contract as everywhere in the codec family: a
-  * corrupt, truncated, or out-of-contract frame (dictionary frames —
-  * we carry no dictionaries) decodes to null, NEVER a throw
-  * mid-partition, and never silently-partial output; the member walk
-  * ([[zstdMembers]]) keeps the frames completed BEFORE the corruption
-  * (the gunzip walk's completed-prefix contract). Bomb caps bound both
-  * per-frame and total expansion.
+  * corrupt, truncated, or out-of-contract frame (a dictionary frame
+  * with no/mismatched dictionary supplied) decodes to null, NEVER a
+  * throw mid-partition, and never silently-partial output; the member
+  * walk ([[zstdMembers]]) keeps the frames completed BEFORE the
+  * corruption (the gunzip walk's completed-prefix contract). Bomb
+  * caps bound both per-frame and total expansion. DICTIONARIES
+  * (RFC 8878 §5) are supported in both forms — structured (entropy
+  * tables + offsets + content) and raw-content — including the
+  * Common-Crawl `.warc.zst` convention of shipping the dictionary in
+  * a leading 0x184D2A5D skippable frame ([[zstdMembersAuto]]),
+  * optionally itself zstd-compressed.
   *
   * Every structure below is the RFC's: the backward bitstream
   * (§3.1.1.3.2.1), FSE table description and spread (§4.1), the
@@ -362,10 +367,16 @@ object ZstdDecode {
 
   // --- frame / block decode -------------------------------------------
 
-  /** Growable output buffer with random access for window matches. */
+  /** Growable output buffer with random access for window matches.
+    * `base` marks the end of a pre-seeded DICTIONARY prefix: matches
+    * may reach into it (RFC 8878 §5 — the dictionary content is
+    * window history), but it is not part of the produced output.
+    */
   private final class ByteBuf(hint: Int) {
     var arr = new Array[Byte](math.max(64, hint))
     var len = 0
+    var base = 0
+    def produced: Int = len - base
     private def ensure(n: Int): Unit =
       if (len + n > arr.length) {
         var cap = arr.length * 2
@@ -406,7 +417,10 @@ object ZstdDecode {
   /** Entropy state carried ACROSS blocks within one frame: treeless
     * literals reuse the Huffman table; sequence-table repeat mode
     * reuses whatever table each symbol kind last used; the three
-    * recent offsets start at 1/4/8.
+    * recent offsets start at 1/4/8. A DICTIONARY pre-loads all of it
+    * (RFC 8878 §5): its entropy tables serve the first block's
+    * treeless/repeat modes and its stored offsets replace the
+    * defaults.
     */
   private final class FrameState {
     var huf: HufTable = null
@@ -414,6 +428,55 @@ object ZstdDecode {
     var of: FseTable = null
     var ml: FseTable = null
     val rep: Array[Long] = Array(1L, 4L, 8L)
+  }
+
+  /** A parsed zstd dictionary (RFC 8878 §5). STRUCTURED dictionaries
+    * (magic 0xEC30A437) carry an id, pre-trained entropy tables
+    * (Huffman, then FSE offsets/match-lengths/literals-lengths), three
+    * starting repeat offsets, and window content; anything WITHOUT the
+    * magic is a raw-content dictionary (id 0, window content only).
+    */
+  final class ZstdDict private[ZstdDecode] (
+      val id: Long,
+      private[ZstdDecode] val huf: HufTable,
+      private[ZstdDecode] val of: FseTable,
+      private[ZstdDecode] val ml: FseTable,
+      private[ZstdDecode] val ll: FseTable,
+      private[ZstdDecode] val rep: Array[Long],
+      val content: Array[Byte])
+
+  /** Parse dictionary bytes; null on corruption (the codec family's
+    * degrade contract — a bad dictionary must not throw mid-task).
+    */
+  def parseDict(bytes: Array[Byte]): ZstdDict = try {
+    if (bytes == null) return null
+    def le32(o: Int): Long =
+      (bytes(o) & 0xFFL) | (bytes(o + 1) & 0xFFL) << 8 |
+        (bytes(o + 2) & 0xFFL) << 16 | (bytes(o + 3) & 0xFFL) << 24
+    if (bytes.length < 8 || le32(0) != 0xEC30A437L)
+      return new ZstdDict(0L, null, null, null, null, null, bytes)
+    val id = le32(4)
+    var p = 8
+    val hufR = readHufTable(bytes, p, bytes.length)
+    if (hufR == null) return null
+    p += hufR._2
+    val ofR = readFseTable(bytes, p, bytes.length, 31, 8)
+    if (ofR == null) return null
+    p += ofR._2
+    val mlR = readFseTable(bytes, p, bytes.length, 52, 9)
+    if (mlR == null) return null
+    p += mlR._2
+    val llR = readFseTable(bytes, p, bytes.length, 35, 9)
+    if (llR == null) return null
+    p += llR._2
+    if (p + 12 > bytes.length) return null
+    val rep = Array(le32(p), le32(p + 4), le32(p + 8))
+    p += 12
+    if (rep.exists(_ <= 0L)) return null
+    new ZstdDict(id, hufR._1, ofR._1, mlR._1, llR._1, rep,
+      java.util.Arrays.copyOfRange(bytes, p, bytes.length))
+  } catch {
+    case _: ArrayIndexOutOfBoundsException => null
   }
 
   /** Decode the literals section; ((literals, bytesConsumed)) or null. */
@@ -511,7 +574,7 @@ object ZstdDecode {
   /** Decode one compressed block into `out`; false on corruption. */
   private def decodeCompressedBlock(bytes: Array[Byte], from: Int, to: Int,
       fs: FrameState, out: ByteBuf, maxOut: Int): Boolean = {
-    val litR = decodeLiterals(bytes, from, to, fs, maxOut - out.len)
+    val litR = decodeLiterals(bytes, from, to, fs, maxOut - out.produced)
     if (litR == null) return false
     val (lits, litBytes) = litR
     var p = from + litBytes
@@ -529,7 +592,7 @@ object ZstdDecode {
       p += 3
     }
     if (nbSeq == 0) {
-      if (out.len + lits.length > maxOut) return false
+      if (out.produced + lits.length > maxOut) return false
       out.append(lits, 0, lits.length)
       return p == to // trailing junk in the block: corrupt
     }
@@ -605,7 +668,7 @@ object ZstdDecode {
       }
       // execute: ll literals, then the match
       if (litPos + ll > lits.length) return false
-      if (out.len + ll + ml > maxOut) return false
+      if (out.produced + ll + ml > maxOut) return false
       out.append(lits, litPos, ll)
       litPos += ll
       if (offset > out.len || offset > Int.MaxValue) return false
@@ -623,19 +686,26 @@ object ZstdDecode {
     }
     if (bb.pos != 0) return false // the stream must be consumed exactly
     val rest = lits.length - litPos
-    if (out.len + rest > maxOut) return false
+    if (out.produced + rest > maxOut) return false
     out.append(lits, litPos, rest)
     true
   }
 
   /** Decode ONE frame starting at `off`. Returns (decoded bytes, end
     * offset past the frame) or null on any corruption: bad magic, a
-    * dictionary requirement (unsupported — visible degrade), torn
-    * blocks, entropy corruption, a declared-content-size mismatch, a
-    * failed XXH64 content checksum, or the bomb cap.
+    * dictionary requirement with no/mismatched dictionary supplied,
+    * torn blocks, entropy corruption, a declared-content-size
+    * mismatch, a failed XXH64 content checksum, or the bomb cap.
+    *
+    * With `dict` supplied (RFC 8878 §5): its content pre-seeds the
+    * window (matches may reach into it), its entropy tables serve the
+    * first block's treeless/repeat modes, and its stored offsets
+    * replace the 1/4/8 defaults. A frame declaring a dictionary id
+    * must match a structured dict's id; raw-content dicts (id 0)
+    * serve any frame.
     */
   def decodeFrame(bytes: Array[Byte], off: Int,
-      maxOut: Int = 64 << 20): (Array[Byte], Int) = try {
+      maxOut: Int = 64 << 20, dict: ZstdDict = null): (Array[Byte], Int) = try {
     if (bytes == null || off + 4 > bytes.length) return null
     def le32(o: Int): Long =
       (bytes(o) & 0xFFL) | (bytes(o + 1) & 0xFFL) << 8 |
@@ -664,7 +734,10 @@ object ZstdDecode {
       var i = 0
       while (i < dictLen) { d |= (bytes(p + i) & 0xFFL) << (8 * i); i += 1 }
       p += dictLen
-      if (d != 0) return null // dictionary frames: out of contract
+      // a declared dictionary id needs the matching dictionary —
+      // decoding without it would be silently-wrong bytes, not degrade
+      if (d != 0 && (dict == null || (dict.id != 0L && dict.id != d)))
+        return null
     }
     var fcs = -1L
     if (fcsLen > 0) {
@@ -679,7 +752,18 @@ object ZstdDecode {
       if (fcs > maxOut) return null
     }
     val fs = new FrameState
-    val out = new ByteBuf(if (fcs >= 0) fcs.toInt else 4096)
+    val out = new ByteBuf(
+      (if (fcs >= 0) fcs.toInt else 4096) +
+        (if (dict != null) dict.content.length else 0))
+    if (dict != null) {
+      out.append(dict.content, 0, dict.content.length)
+      out.base = dict.content.length
+      fs.huf = dict.huf
+      fs.ll = dict.ll; fs.of = dict.of; fs.ml = dict.ml
+      if (dict.rep != null) {
+        fs.rep(0) = dict.rep(0); fs.rep(1) = dict.rep(1); fs.rep(2) = dict.rep(2)
+      }
+    }
     var last = false
     while (!last) {
       if (p + 3 > bytes.length) return null
@@ -691,11 +775,11 @@ object ZstdDecode {
       val bsize = hdr >>> 3
       btype match {
         case 0 =>
-          if (p + bsize > bytes.length || out.len + bsize > maxOut) return null
+          if (p + bsize > bytes.length || out.produced + bsize > maxOut) return null
           out.append(bytes, p, bsize)
           p += bsize
         case 1 =>
-          if (p + 1 > bytes.length || out.len + bsize > maxOut) return null
+          if (p + 1 > bytes.length || out.produced + bsize > maxOut) return null
           out.appendRepeat(bytes(p), bsize)
           p += 1
         case 2 =>
@@ -706,8 +790,9 @@ object ZstdDecode {
         case _ => return null // reserved block type
       }
     }
-    if (fcs >= 0 && out.len.toLong != fcs) return null
-    val data = out.toArray
+    if (fcs >= 0 && out.produced.toLong != fcs) return null
+    // the produced output excludes the dictionary prefix
+    val data = java.util.Arrays.copyOfRange(out.arr, out.base, out.len)
     if (hasCk) {
       if (p + 4 > bytes.length) return null
       val want = le32(p)
@@ -732,8 +817,48 @@ object ZstdDecode {
     */
   def zstdMembers(bytes: Array[Byte],
       maxOutPerFrame: Int = 64 << 20,
-      maxOutTotal: Long = 256L << 20): Seq[Array[Byte]] =
-    walkFrames(bytes, maxOutPerFrame, maxOutTotal)._1
+      maxOutTotal: Long = 256L << 20,
+      dict: ZstdDict = null): Seq[Array[Byte]] =
+    walkFrames(bytes, maxOutPerFrame, maxOutTotal, dict)._1
+
+  /** The Common-Crawl `.warc.zst` member walk: their convention ships
+    * the dictionary IN the archive — the first frame is a skippable
+    * frame with magic 0x184D2A5D whose content is the dictionary,
+    * either plain (raw or structured) or itself compressed as a
+    * dictionary-less zstd frame. This walk lifts it, parses it, and
+    * decodes the remaining frames under it; payloads WITHOUT the
+    * convention (no leading 0x184D2A5D frame) walk exactly like
+    * [[zstdMembers]], so one reader serves both layouts. A corrupt
+    * embedded dictionary degrades to NO members (every data frame
+    * needs it — emitting dictionary-less decodes would be
+    * silently-wrong bytes for any frame that references it).
+    */
+  def zstdMembersAuto(bytes: Array[Byte],
+      maxOutPerFrame: Int = 64 << 20,
+      maxOutTotal: Long = 256L << 20): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8) return Nil
+    def le32(o: Int): Long =
+      (bytes(o) & 0xFFL) | (bytes(o + 1) & 0xFFL) << 8 |
+        (bytes(o + 2) & 0xFFL) << 16 | (bytes(o + 3) & 0xFFL) << 24
+    if (le32(0) != 0x184D2A5DL)
+      return zstdMembers(bytes, maxOutPerFrame, maxOutTotal)
+    val sz = le32(4)
+    if (8 + sz > bytes.length) return Nil
+    val raw = java.util.Arrays.copyOfRange(bytes, 8, (8 + sz).toInt)
+    // the embedded dictionary may itself be zstd-compressed
+    val dictBytes =
+      if (raw.length >= 4 &&
+        ((raw(0) & 0xFFL) | (raw(1) & 0xFFL) << 8 |
+          (raw(2) & 0xFFL) << 16 | (raw(3) & 0xFFL) << 24) == 0xFD2FB528L) {
+        val r = decodeFrame(raw, 0, maxOutPerFrame)
+        if (r == null) return Nil
+        r._1
+      } else raw
+    val dict = parseDict(dictBytes)
+    if (dict == null) return Nil
+    zstdMembers(java.util.Arrays.copyOfRange(bytes, (8 + sz).toInt, bytes.length),
+      maxOutPerFrame, maxOutTotal, dict)
+  }
 
   /** STRICT whole-payload decode — the `Content-Encoding: zstd` body
     * decoder (RFC 8878 §7 registers the coding): every frame must
@@ -892,6 +1017,59 @@ object ZstdDecode {
     out.toByteArray
   }
 
+  /** A compressed-block frame whose FIRST match reaches INTO THE
+    * DICTIONARY window: one sequence with zero literals, offset =
+    * |period| (the dict content must END with `period`), match length
+    * = repeats·|period| — the copy starts in the dict prefix and
+    * self-extends across the boundary. Decoded output (given the
+    * dict) = `period` × `repeats` ++ `tail`. The runtime twin of what
+    * a real dictionary buys: bytes the frame never carries.
+    */
+  def zstdFrameDictSeq(period: Array[Byte], repeats: Int,
+      tail: Array[Byte], checksum: Boolean = false): Array[Byte] = {
+    require(period.nonEmpty && repeats >= 1, "zstdFrameDictSeq: need a match")
+    val ml = repeats * period.length
+    require(ml >= 3, "zstdFrameDictSeq: matches are >= 3 bytes")
+    val decoded = Array.fill(repeats)(period).flatten ++ tail
+    val mlCode = codeFor(MlBase, MlBits, ml)
+    val ofValue = period.length.toLong + 3L
+    val ofCode = highBit(ofValue.toInt)
+    val block = new java.io.ByteArrayOutputStream()
+    require(tail.length < 4096)
+    block.write(0 | (1 << 2) | ((tail.length & 0xF) << 4)) // raw literals, 12-bit size
+    block.write(tail.length >> 4)
+    block.write(tail, 0, tail.length)
+    block.write(1) // one sequence
+    block.write((1 << 6) | (1 << 4) | (1 << 2)) // RLE mode for LL/OF/ML
+    block.write(0) // llCode 0 → literals length 0
+    block.write(ofCode); block.write(mlCode)
+    val w = new BackBitsWriter
+    w.add(ofValue - (1L << ofCode), ofCode)
+    w.add((ml - MlBase(mlCode)).toLong, MlBits(mlCode))
+    val bs = w.toBytes
+    block.write(bs, 0, bs.length)
+    val body = block.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    val h = frameHead(decoded.length.toLong, checksum)
+    out.write(h, 0, h.length)
+    out.write(leBytes((body.length.toLong << 3) | (2L << 1) | 1L, 3), 0, 3)
+    out.write(body, 0, body.length)
+    if (checksum) out.write(leBytes(xxh32(decoded), 4), 0, 4)
+    out.toByteArray
+  }
+
+  /** Wrap dictionary bytes in the Common-Crawl `.warc.zst` leading
+    * skippable frame (magic 0x184D2A5D) — the layout
+    * [[zstdMembersAuto]] reads.
+    */
+  def dictFrame(dictBytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(leBytes(0x184D2A5DL, 4), 0, 4)
+    out.write(leBytes(dictBytes.length.toLong, 4), 0, 4)
+    out.write(dictBytes, 0, dictBytes.length)
+    out.toByteArray
+  }
+
   /** A compressed-block frame whose literals are HUFFMAN-coded with a
     * direct (4-bit) weight table over the fixed alphabet a/b/c/d
     * (weights 3/2/1/1 — 'd' is the spec's implicit last weight), zero
@@ -970,7 +1148,7 @@ object ZstdDecode {
   }
 
   private def walkFrames(bytes: Array[Byte], maxOutPerFrame: Int,
-      maxOutTotal: Long): (Seq[Array[Byte]], Int, Boolean) = {
+      maxOutTotal: Long, dict: ZstdDict = null): (Seq[Array[Byte]], Int, Boolean) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     if (bytes == null) return (out.toSeq, 0, true)
     var i = 0
@@ -980,7 +1158,7 @@ object ZstdDecode {
       val magic = (bytes(i) & 0xFFL) | (bytes(i + 1) & 0xFFL) << 8 |
         (bytes(i + 2) & 0xFFL) << 16 | (bytes(i + 3) & 0xFFL) << 24
       if (magic == 0xFD2FB528L) {
-        val r = decodeFrame(bytes, i, maxOutPerFrame)
+        val r = decodeFrame(bytes, i, maxOutPerFrame, dict)
         if (r == null) stop = true
         else {
           total += r._1.length

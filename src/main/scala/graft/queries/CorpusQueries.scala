@@ -5774,6 +5774,56 @@ object CorpusQueries {
       )
     ),
 
+    // DICTIONARY-framed zstd — the layout Common Crawl's .warc.zst
+    // actually ships: the dictionary rides the archive's FIRST
+    // skippable frame (magic 0x184D2A5D), and data frames reference
+    // its content as window history (bytes the frames never carry).
+    // Per key: a raw-content dictionary + one frame whose ONLY
+    // sequence matches INTO the dictionary across the window base and
+    // self-extends (repeats seed-parameterized), then a plain raw
+    // frame under the same walk — zstdMembersAuto lifts the dict,
+    // decodes both, and the oracle re-derives the texts with
+    // repeat(). Structured dictionaries (entropy tables + offsets)
+    // are certified against a real `zstd --train` dictionary and
+    // `zstd -D` frames in ZstdDecodeSpec. Map-only.
+    Q(
+      "q_zstd_dict",
+      (spark, dir) => {
+        import spark.implicits._
+        val mk = udf((k: Long) => {
+          import graft.operators.ZstdDecode._
+          val dictContent = s"Dk$k word ".getBytes("US-ASCII")
+          dictFrame(dictContent) ++
+            zstdFrameDictSeq(dictContent, (4 + k % 3).toInt,
+              s"tail$k".getBytes("US-ASCII"), checksum = true) ++
+            zstdFrameRaw(s"plain$k".getBytes("US-ASCII"), checksum = true)
+        })
+        val out = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("payload", mk(col("media_id")))
+          .select(col("media_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, p) =>
+            graft.operators.ZstdDecode.zstdMembersAuto(p).zipWithIndex.map {
+              case (m, i) => (id, i, new String(m, "US-ASCII"))
+            }
+          }
+          .toDF("media_id", "member_idx", "text")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id, CAST(i AS INT) AS member_idx,
+          |  CASE CAST(i AS INT)
+          |    WHEN 0 THEN repeat('Dk' || CAST(n_nationkey AS VARCHAR) || ' word ',
+          |                       CAST(4 + n_nationkey % 3 AS INT))
+          |                || 'tail' || CAST(n_nationkey AS VARCHAR)
+          |    ELSE 'plain' || CAST(n_nationkey AS VARCHAR)
+          |  END AS text
+          |FROM nation, UNNEST(generate_series(0, 1)) AS u(i)""".stripMargin
+      )
+    ),
+
     // CHARSET-AWARE text extraction — the honesty gap the utf-8-only
     // text layer leaves open: ~10% of the web declares
     // latin-1/windows-1252, and those pages NULL out of a utf-8-only

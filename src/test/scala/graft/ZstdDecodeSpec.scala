@@ -219,4 +219,128 @@ class ZstdDecodeSpec extends SparkSpec {
     val g1 = b64(G1B64)
     assert(ZstdDecode.zstdMembers(g1 ++ g1 ++ g1, maxOutTotal = 4000L).length == 2)
   }
+
+  private val DictB64: String =
+      "N6Qw7AlGABEfEBg7FDoAAAAAAAAAADAzAAAAAACAUntvKaWUYQQhBGMKAAAAAITPFAAANGDA" +
+      "gIEDAwNEFAZwMggGBgYGFBQGBgYGBgYGBgYGBgYGBgYGBhQGdpgmkXCbmdm2ASSoUONsGIYx" +
+      "xhhjjDHGGGOMmZmZmW0bAQAAAAQAAAAIAAAAZHMgcmVwZWF0ZWQgY29udGVudDwvcD48L2Jv" +
+      "ZHk+PC9odG1sPg0KDQpXQVJDLzEuMA0KV0FSQy1UeXBlOiByZXNwb25zZQ0KV0FSQy1UYXJn" +
+      "ZXQtVVJJOiBodHRwOi8vc2l0ZTMuZXhhbXBsZS9wNDMNCkNvbnRlbnQtTGVuZ3RoOiAxNTYN" +
+      "Cg0KSFRUUC8xLjEgMjAwIE9LDQpDb250ZW50LVR5cGU6IHRleHQvaHRtbDsgY2hhcnNldD11" +
+      "dGYtOA0KU2VydmVyOiBncmFmdA0KDQo8aHRtbD48Ym9keT48aDE+VDQzPC9oMT48cD5wYWdl" +
+      "IDMwMSBjcmF3bCB3b3JkcyByZXBlYXRlZCBjb250ZW50PC9wPjwvYm9keT48L2h0bWw+DQoN" +
+      "CldBUkMvMS4wDQpXQVJDLVR5cGU6IHJlc3BvbnNlDQpXQVJDLVRhcmdldC1VUkk6IGh0dHA6" +
+      "Ly9zaXRlMC5leGFtcGxlL3AyNQ0KQ29udGVudC1MZW5ndGg6IDE1Ng0KDQpIVFRQLzEuMSAy" +
+      "MDAgT0sNCkNvbnRlbnQtVHlwZTogdGV4dC9odG1sOyBjaGFyc2V0PXV0Zi04DQpTZXJ2ZXI6" +
+      "IGdyYWZ0DQoNCjxodG1sPjxib2R5PjxoMT5UMjU8L2gxPjxwPnBhZ2UgMTc1IGNyYXdsIHdv" +
+      "cmRzIHJlcGVhdGVkIGNvbnRlbnQ8L3A+PC9ib2R5PjwvaHRtbD4NCg0KV0FSQy8xLjANCldB" +
+      "UkMtVHlwZTogcmVzcG9uc2UNCldBUkMtVGFyZ2V0LVVSSTogaHR0cDovL3NpdGU0LmV4YW1w" +
+      "bGUvcDU0DQpDb250ZW50LUxlbmd0aDogMTU2DQoNCkhUVFAvMS4xIDIwMCBPSw0KQ29udGVu" +
+      "dC1UeXBlOiB0ZXh0L2h0bWw7IGNoYXJzZXQ9dXRmLTgNClNlcnZlcjogZ3JhZnQNCg0KPGh0" +
+      "bWw+PGJvZHk+PGgxPlQ1NDwvaDE+PHA+cGFnZSAzNzggY3Jhd2wgd29yZHMgcmVwZWF0ZWQg" +
+      "Y29udGVudDwvcD48L2JvZHk+PC9odG1sPg0KDQpXQVJDLzEuMA0KV0FSQy1UeXBlOiByZXNw" +
+      "b25zZQ0KV0FSQy1UYXJnZXQtVVJJOiBodHRwOi8vc2l0ZTEuZXhhbXBsZS9wMTENCkNvbnRl" +
+      "bnQtTGVuZ3RoOiAxNTUNCg0KSFRUUC8xLjEgMjAwIE9LDQpDb250ZW50LVR5cGU6IHRleHQv" +
+      "aHRtbDsgY2hhcnNldD11dGYtOA0KU2VydmVyOiBncmFmdA0KDQo8aHRtbD48Ym9keT48aDE+" +
+      "VDExPC9oMT48cD5wYWdlIDc3IGNyYXdsIGwgd29yZHMgcmVwZWF0ZWQgY29udGVudDwvcD48" +
+      "L2JvZHk+PC9odG1sPg0KDQpXQVJDLzEuMA0KV0FSQy1UeXBlOiByZXNwb25zZQ0KV0FSQy1U" +
+      "YXJnZXQtVVJJOiBodHRwOi8vc2l0ZTQuZXhhbXBsZS9wNA0KQ29udGVudC1MZW5ndGg6IDE1" +
+      "NA0KDQpIVFRQLzEuMSAyMDAgT0sNCkNvbnRlbnQtVHlwZTogdGV4dC9odG1sOyBjaGFyc2V0" +
+      "PXV0Zi04DQpTZXJ2ZXI6IGdyYWZ0DQoNCjxodG1sPjxib2R5PjxoMT5UNDwvaDE+PHA+cGFn" +
+      "ZSAyOCBjcmF3bCB3b3JkcyByZXBlYXRlZCBjb250ZW50PC9wPjwvYm9keT48L2h0bWw+DQoN" +
+      "CldBUkMvMS4wDQpXQVJDLVR5cGU6IHJlc3BvbnNlDQpXQVJDLVRhcmdldC1VUkk6IGh0dHA6" +
+      "Ly9zaXRlMi5leGFtcGxlL3AyMg0KQ29udGVudC1MZW5ndGg6IDE1Ng0KDQpIVFRQLzEuMSAy" +
+      "MDAgT0sNCkNvbnRlbnQtVHlwZTogdGV4dC9odG1sOyBjaGFyc2V0PXV0Zi04DQpTZXJ2ZXI6" +
+      "IGdyYWZ0DQoNCjxodG1sPjxib2R5PjxoMT5UMjI8L2gxPjxwPnBhZ2UgMTU0IGNyYXdsIHdv" +
+      "cmRzIHJlcGVhdGVkIGNvbnRlbnQ8L3A+PC9ib2R5PjwvaHRtbD4NCg0KV0FSQy8xLjANCldB" +
+      "UkMtVHlwZTogcmVzcG9uc2UNCldBUkMtVGFyZ2V0LVVSSTogaHR0cDovL3NpdGUwLmV4YW1w" +
+      "bGUvcDcwDQpDb250ZW50LUxlbmd0aDogMTU2DQoNCkhUVFAvMS4xIDIwMCBPSw0KQ29udGVu" +
+      "dC1UeXBlOiB0ZXh0L2h0bWw7IGNoYXJzZXQ9dXRmLTgNClNlcnZlcjogZ3JhZnQNCg0KPGh0" +
+      "bWw+PGJvZHk+PGgxPlQ3MDwvaDE+PHA+cGFnZSA0OTAgY3Jhd2wgd29yZHMgcmVwZWF0ZWQg" +
+      "Y29udGVudDwvcD48L2JvZHk+PC9odG1sPg0KDQpXQVJDLzEuMA0KV0FSQy1UeXBlOiByZXNw" +
+      "b25zZQ0KV0FSQy1UYXJnZXQtVVJJOiBodHRwOi8vc2l0ZTEuZXhhbXBsZS9wNg0KQ28="
+  private val D3PlainB64: String =
+      "V0FSQy8xLjANCldBUkMtVHlwZTogcmVzcG9uc2UNCldBUkMtVGFyZ2V0LVVSSTogaHR0cDov" +
+      "L3NpdGUzLmV4YW1wbGUvcDMNCkNvbnRlbnQtTGVuZ3RoOiAxNTQNCg0KSFRUUC8xLjEgMjAw" +
+      "IE9LDQpDb250ZW50LVR5cGU6IHRleHQvaHRtbDsgY2hhcnNldD11dGYtOA0KU2VydmVyOiBn" +
+      "cmFmdA0KDQo8aHRtbD48Ym9keT48aDE+VDM8L2gxPjxwPnBhZ2UgMjEgY3Jhd2wgd29yZHMg" +
+      "cmVwZWF0ZWQgY29udGVudDwvcD48L2JvZHk+PC9odG1sPg0KDQo="
+  private val D3CompB64: String =
+      "KLUv/QdgCUYAEY0AABgzMzEE/ChCj065YKYO4yI8qyZhNQ=="
+  private val D17PlainB64: String =
+      "V0FSQy8xLjANCldBUkMtVHlwZTogcmVzcG9uc2UNCldBUkMtVGFyZ2V0LVVSSTogaHR0cDov" +
+      "L3NpdGUyLmV4YW1wbGUvcDE3DQpDb250ZW50LUxlbmd0aDogMTU2DQoNCkhUVFAvMS4xIDIw" +
+      "MCBPSw0KQ29udGVudC1UeXBlOiB0ZXh0L2h0bWw7IGNoYXJzZXQ9dXRmLTgNClNlcnZlcjog" +
+      "Z3JhZnQNCg0KPGh0bWw+PGJvZHk+PGgxPlQxNzwvaDE+PHA+cGFnZSAxMTkgY3Jhd2wgd29y" +
+      "ZHMgcmVwZWF0ZWQgY29udGVudDwvcD48L2JvZHk+PC9odG1sPg0KDQo="
+  private val D17CompB64: String =
+      "KLUv/QdgCUYAEZUAADAxNzE3MTkE/KhKJMKBEia3b7NRKdU="
+  private val D42PlainB64: String =
+      "V0FSQy8xLjANCldBUkMtVHlwZTogcmVzcG9uc2UNCldBUkMtVGFyZ2V0LVVSSTogaHR0cDov" +
+      "L3NpdGUyLmV4YW1wbGUvcDQyDQpDb250ZW50LUxlbmd0aDogMTU2DQoNCkhUVFAvMS4xIDIw" +
+      "MCBPSw0KQ29udGVudC1UeXBlOiB0ZXh0L2h0bWw7IGNoYXJzZXQ9dXRmLTgNClNlcnZlcjog" +
+      "Z3JhZnQNCg0KPGh0bWw+PGJvZHk+PGgxPlQ0MjwvaDE+PHA+cGFnZSAyOTQgY3Jhd2wgd29y" +
+      "ZHMgcmVwZWF0ZWQgY29udGVudDwvcD48L2JvZHk+PC9odG1sPg0KDQo="
+  private val D42CompB64: String =
+      "KLUv/QdgCUYAEYUAACA0NDI5BPypuiSCgRIm13eVY7cw"
+
+  test("dictionaries: real CLI-trained dict decodes real dict-compressed frames") {
+    // the dictionary was produced by `zstd --train` over WARC-record
+    // samples and each frame by `zstd -9 -D` — structured-dictionary
+    // parsing (entropy tables incl. FSE-compressed Huffman weights,
+    // stored repeat offsets, window content) certified against bytes
+    // this codebase did not generate
+    val dict = ZstdDecode.parseDict(b64(DictB64))
+    assert(dict != null && dict.id != 0L)
+    val cases = Seq((b64(D3CompB64), b64(D3PlainB64)),
+      (b64(D17CompB64), b64(D17PlainB64)), (b64(D42CompB64), b64(D42PlainB64)))
+    for (((comp, plain), i) <- cases.zipWithIndex) {
+      // without the dictionary the frame must REFUSE (its header
+      // declares the dictionary id — decoding anyway would be
+      // silently-wrong bytes)
+      assert(ZstdDecode.decodeFrame(comp, 0) == null, s"case $i decoded dict-less")
+      val r = ZstdDecode.decodeFrame(comp, 0, dict = dict)
+      assert(r != null, s"case $i failed with dict")
+      assert(java.util.Arrays.equals(r._1, plain), s"case $i wrong bytes")
+    }
+    // the Common-Crawl layout: dictionary in a leading 0x184D2A5D
+    // skippable frame, then the data frames — one reader, no flags
+    val cc = ZstdDecode.dictFrame(b64(DictB64)) ++
+      cases.map(_._1).reduce(_ ++ _)
+    val members = ZstdDecode.zstdMembersAuto(cc)
+    assert(members.length == 3)
+    for (((_, plain), m) <- cases.zip(members))
+      assert(java.util.Arrays.equals(m, plain))
+    // ...and with the embedded dictionary itself zstd-COMPRESSED
+    val ccz = ZstdDecode.dictFrame(ZstdDecode.zstdFrameRaw(b64(DictB64))) ++
+      cases.map(_._1).reduce(_ ++ _)
+    assert(ZstdDecode.zstdMembersAuto(ccz).length == 3)
+    // a payload WITHOUT the convention walks exactly like zstdMembers
+    assert(ZstdDecode.zstdMembersAuto(b64(G1B64)).length == 1)
+    // corrupt embedded dictionary: NO members (a dict-less decode of
+    // frames that reference it would be wrong bytes, not degrade)
+    val badDict = b64(DictB64).clone
+    badDict(40) = (badDict(40) ^ 0x5A).toByte
+    ZstdDecode.zstdMembersAuto(ZstdDecode.dictFrame(badDict) ++ cases.head._1) // no throw
+    // mismatched id refuses
+    val otherBytes = b64(DictB64)
+    otherBytes(4) = (otherBytes(4) ^ 1).toByte
+    val other = ZstdDecode.parseDict(otherBytes)
+    if (other != null)
+      assert(ZstdDecode.decodeFrame(cases.head._1, 0, dict = other) == null)
+    // raw-content dictionaries: window-prefix matches reach into the
+    // dict across the base boundary and self-extend
+    val period = "dictword ".getBytes("US-ASCII")
+    val rawDict = ZstdDecode.parseDict("junk-prefix ".getBytes ++ period)
+    assert(rawDict != null && rawDict.id == 0L)
+    val f = ZstdDecode.zstdFrameDictSeq(period, 5, "tail!".getBytes, checksum = true)
+    val r = ZstdDecode.decodeFrame(f, 0, dict = rawDict)
+    assert(r != null && new String(r._1, "US-ASCII") == "dictword " * 5 + "tail!")
+    // the same frame WITHOUT the dict refuses (offset reaches past
+    // the window start)
+    assert(ZstdDecode.decodeFrame(f, 0) == null)
+    // every truncation of the dict parses or nulls, never throws
+    for (cut <- 0 until b64(DictB64).length by 7)
+      ZstdDecode.parseDict(java.util.Arrays.copyOf(b64(DictB64), cut))
+  }
 }
