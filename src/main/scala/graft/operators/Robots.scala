@@ -543,6 +543,112 @@ object Robots {
       coalesce(best.getField("a"), lit(true))
     }
 
+  // --- EXACT RFC 9309 wildcard matching -------------------------------
+  //
+  // The conservative screen above approximates `*`/`$` in the safe
+  // direction (widen disallows, drop wildcard allows). The exact
+  // matcher below implements the RFC's real semantics — `*` matches
+  // any octet sequence, a trailing `$` anchors the end, matching is
+  // prefix-anchored, and the MOST OCTETS rule path wins (allow on
+  // ties) — so a site's "Disallow: /\nAllow: /pub*" carve-out admits
+  // /pub pages the conservative screen would refuse.
+
+  /** Translate one rule path to the prefix-anchored Java regex the
+    * matcher evaluates: literal chars escaped, `*` → `.*`, ONE
+    * trailing `$` → the end anchor (a `$` elsewhere is literal per the
+    * RFC's grammar — only the final position designates end-of-match).
+    */
+  def robotsPatternRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\^$.|?+()[]{}".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString
+  }
+
+  /** Driver-side EXACT rule selection for `agent`: RFC 9309 §2.2.1
+    * group selection, empty-path no-ops dropped, patterns kept RAW —
+    * (domain, pattern, isAllow) rows for [[allowedColumnExact]].
+    */
+  def effectiveRulesExact(parsed: Seq[RobotsRule], agent: String): Seq[(String, String, Boolean)] = {
+    val me = agent.toLowerCase(java.util.Locale.ROOT)
+    parsed.groupBy(_.domain).toSeq.sortBy(_._1).flatMap { case (d, rs) =>
+      val mine = rs.filter(_.agent == me)
+      val group = if (mine.nonEmpty) mine else rs.filter(_.agent == "*")
+      group.filter(_.path.nonEmpty).map(r => (d, r.path, r.rule == "allow"))
+    }
+  }
+
+  /** MAP-SIDE exact politeness decision — [[allowedColumn]]'s twin
+    * under full wildcard semantics: the bounded rule set rides the
+    * closure as (domain, regex, octets, isAllow) literals; most-octets
+    * wins, allow wins ties, no match → allowed. Shuffle-free,
+    * streaming-safe.
+    */
+  def allowedColumnExact(rules: Seq[(String, String, Boolean)],
+      domain: Column, path: Column): Column =
+    if (rules.isEmpty) lit(true)
+    else {
+      val arr = array(rules.map { case (d, p, a) =>
+        struct(lit(d).as("d"), lit(robotsPatternRegex(p)).as("re"),
+          lit(p.length).as("l"), lit(a).as("a"))
+      }: _*)
+      val best = array_max(transform(
+        filter(arr, r => r.getField("d") === domain &&
+          regexp_like(path, r.getField("re"))),
+        r => struct(r.getField("l").as("l"), r.getField("a").as("a"))))
+      coalesce(best.getField("a"), lit(true))
+    }
+
+  /** Distributed EXACT screen — [[politenessScreen]]'s twin under full
+    * wildcard semantics: same unique-`idCol` contract and count-guarded
+    * rules side; the rating joins on the domain plus a per-rule regex
+    * match (patterns compile rule-side once per task), and the best
+    * match is max(octets, isAllow).
+    */
+  def politenessScreenExact(
+      urls: DataFrame,
+      rulesDf: DataFrame,
+      agent: String,
+      idCol: String = "doc_id",
+      domainCol: String = "domain",
+      pathCol: String = "path",
+      maxBroadcastRules: Long = DefaultMaxBroadcastRules
+  ): DataFrame = {
+    val me = agent.toLowerCase(java.util.Locale.ROOT)
+    val regexUdf = udf((p: String) => robotsPatternRegex(p))
+    val withSpec = rulesDf
+      .withColumn("__spec", max((col("agent") === me).cast("int"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))))
+      .filter(
+        (col("__spec") === 1 && col("agent") === me) ||
+          (col("__spec") === 0 && col("agent") === "*"))
+    val effective = withSpec
+      .filter(length(col("path")) > 0) // empty-path rules are RFC no-ops
+      .select(col("domain").as("__rd"), col("rule").as("__rule"),
+        regexUdf(col("path")).as("__re"), length(col("path")).as("__len"))
+    val side = Guard.broadcastOrLazy(effective, maxBroadcastRules)
+    val passthrough = urls.columns.filterNot(_ == idCol)
+    urls
+      .join(side,
+        urls(domainCol) === col("__rd") &&
+          regexp_like(col(pathCol), col("__re")),
+        "left")
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__rule").isNotNull,
+          struct(col("__len").as("l"),
+            (col("__rule") === "allow").as("a")))).as("__best"),
+        passthrough.map(c => first(col(c)).as(c)): _*)
+      .withColumn("allowed", coalesce(col("__best.a"), lit(true)))
+      .select(urls.columns.map(col) :+ col("allowed"): _*)
+  }
+
   /** Rate every URL against parsed rules: returns `urls` plus
     * `allowed`. `urls` must carry a unique `idCol`, the registrable
     * `domainCol` and the URL `pathCol`; `rulesDf` is [[rules]]' output.

@@ -3563,6 +3563,63 @@ object CorpusQueries {
       )
     ),
 
+    // EXACT RFC 9309 wildcard matching — the conservative screen's
+    // documented approximation upgraded to the protocol's REAL
+    // semantics: `*` matches any octet sequence, a trailing `$`
+    // anchors the end, and the MOST-OCTETS rule path wins (allow on
+    // ties). The fixture's robots combines a full disallow with a
+    // wildcard Allow carve-out ("Allow: /pub*" — a rule the
+    // conservative screen DROPS entirely), an anchored extension
+    // block ("/*.pdf$"), a mid-pattern wildcard ("/a/*/secret"), and
+    // an end-anchored allow ("/a/open$"). Eight path arms per doc;
+    // `allowed` is the exact distributed screen's verdict and
+    // `allowed_conservative` the safe approximation's — the rows
+    // where they differ ARE the approximation's documented
+    // over-block, now measurable. Broadcast screen, one agg exchange.
+    Q(
+      "q_robots_wildcard",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Q.t(spark, dir, "documents")
+        val robotsTxt = "User-agent: *\nDisallow: /\nAllow: /pub*\n" +
+          "Disallow: /*.pdf$\nDisallow: /a/*/secret\nAllow: /a/open$\n"
+        val parsed = (0 until 5).flatMap(m =>
+          graft.operators.Robots.parseRobots(s"w$m.example", robotsTxt))
+        val ruleRows = parsed.toDF()
+        val consRules = graft.operators.Robots.effectiveRules(parsed, "graftbot")
+        val urls = docs.select(col("doc_id"),
+          concat(lit("w"), col("doc_id") % 5, lit(".example")).as("domain"),
+          element_at(array(lit("/pub/x"), lit("/other"), lit("/pub/doc.pdf"),
+            lit("/a/b/secret"), lit("/a/open"), lit("/a/openx"),
+            lit("/pub/sub/file.pdf"), lit("/")),
+            (col("doc_id") % 8).cast("int") + 1).as("path"))
+        val out = graft.operators.Robots.politenessScreenExact(
+          urls, ruleRows, "graftbot")
+          .withColumn("allowed_conservative",
+            graft.operators.Robots.allowedColumn(consRules,
+              col("domain"), col("path")))
+        Q.requireBroadcastJoin(out)
+        out
+      },
+      Some(
+        """SELECT doc_id,
+          |  'w' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS domain,
+          |  CASE CAST(doc_id % 8 AS INT)
+          |    WHEN 0 THEN '/pub/x' WHEN 1 THEN '/other'
+          |    WHEN 2 THEN '/pub/doc.pdf' WHEN 3 THEN '/a/b/secret'
+          |    WHEN 4 THEN '/a/open' WHEN 5 THEN '/a/openx'
+          |    WHEN 6 THEN '/pub/sub/file.pdf' ELSE '/' END AS path,
+          |  -- exact: /pub* admits 0 (octets 5 > 1); /*.pdf$ (7) beats
+          |  -- /pub* (5) on 2 and 6; /a/*/secret blocks 3; /a/open$
+          |  -- admits exactly 4 and NOT the unanchored 5
+          |  CAST(doc_id % 8 AS INT) IN (0, 4) AS allowed,
+          |  -- the safe approximation drops both wildcard Allows and
+          |  -- widens every Disallow: everything refuses
+          |  FALSE AS allowed_conservative
+          |FROM documents""".stripMargin
+      )
+    ),
+
     // Sitemap-seeded FRONTIER — the crawl's other discovery path
     // (robots.txt's `Sitemap:` lines point here): parse the sitemaps.
     // org `<loc>` entries (XML entity decode — sitemap URLs MUST

@@ -392,6 +392,46 @@ class RobotsSpec extends SparkSpec {
     assert(dupRules == Set(("disallow", "/a1")))
   }
 
+  test("exact wildcard matching: map-side == distributed, regex corners") {
+    import spark.implicits._
+    // regex derivation: escapes, mid-pattern $ literal, ** collapse,
+    // trailing anchor
+    assert(Robots.robotsPatternRegex("/a*b$") == "^/a.*b$")
+    assert(Robots.robotsPatternRegex("/p?x=(1)") == "^/p\\?x=\\(1\\)")
+    assert(Robots.robotsPatternRegex("/a$b") == "^/a\\$b")
+    assert(Robots.robotsPatternRegex("/**z") == "^/.*.*z")
+    val txt = "User-agent: *\nDisallow: /\nAllow: /pub*\n" +
+      "Disallow: /*.pdf$\nDisallow: /a/*/secret\nAllow: /a/open$\n"
+    val parsed = Seq("d.com", "e.com").flatMap(d => Robots.parseRobots(d, txt))
+    val exact = Robots.effectiveRulesExact(parsed, "bot")
+    val paths = Seq("/pub/x", "/other", "/pub/doc.pdf", "/a/b/secret",
+      "/a/open", "/a/openx", "/pub/sub/file.pdf", "/", "/a$b")
+    val urls = (for ((d, di) <- Seq("d.com", "e.com").zipWithIndex;
+      (p, pi) <- paths.zipWithIndex) yield ((di * 100 + pi).toLong, d, p))
+      .toDF("doc_id", "domain", "path")
+    val viaColumn = urls
+      .withColumn("allowed",
+        Robots.allowedColumnExact(exact, col("domain"), col("path")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("allowed")).toMap
+    val viaScreen = Robots.politenessScreenExact(urls, parsed.toDF(), "bot")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(viaColumn == viaScreen, "map-side and distributed exact screens drifted")
+    // the carve-out the conservative screen cannot express: /pub*
+    // admits /pub/x over Disallow: /; the anchored allow admits
+    // /a/open and NOT /a/openx; /*.pdf$ (7 octets) outranks /pub* (5)
+    for (base <- Seq(0L, 100L)) {
+      assert(viaColumn(base + 0) && !viaColumn(base + 1))
+      assert(!viaColumn(base + 2) && !viaColumn(base + 3))
+      assert(viaColumn(base + 4) && !viaColumn(base + 5))
+      assert(!viaColumn(base + 6) && !viaColumn(base + 7))
+    }
+    // map-side exactness is shuffle-free (streaming-safe)
+    graft.queries.Q.requireNoShuffle(urls.select(
+      Robots.allowedColumnExact(exact, col("domain"), col("path"))))
+    // empty rules: everything allowed
+    assert(Robots.effectiveRulesExact(Nil, "x").isEmpty)
+  }
+
   test("sitemapLocsVia: index hop, gzip decode, torn/unfetched/nested degrades") {
     import spark.implicits._
     import graft.operators.CompressedMeta.gzipMember
