@@ -480,6 +480,99 @@ object Warc {
     out.toByteArray
   }
 
+  /** The WET reader — Common Crawl's EXTRACTED-TEXT sidecar: the same
+    * WARC container carrying one `warcinfo` header record and then
+    * `conversion` records whose bodies are the already-extracted plain
+    * text (UTF-8 by the format's contract; a body violating it rides
+    * as NULL from the container walk's strict decode — visible, never
+    * mojibake). One row per conversion record; map-only.
+    */
+  def wetTexts(recs: DataFrame): DataFrame =
+    recs
+      .filter(col("warc_type") === "conversion")
+      .select(col("media_id").cast("long"), col("rec_idx").cast("int"),
+        col("target_uri").cast("string"), col("body").cast("string").as("text"))
+
+  /** The WAT reader — Common Crawl's METADATA sidecar: `metadata`
+    * records whose bodies are JSON envelopes; the outlinks live at
+    * Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata
+    * .Links[] as (url, path) entries. One row PER LINK — the link
+    * graph's source, ready for [[Graph]]'s domain collapse. Parsing is
+    * Spark-native `from_json` (codegen'd, null-safe): a corrupt
+    * envelope or a record without links contributes nothing — the
+    * lenient degrade every untrusted-input parser here shares.
+    * Map-only.
+    */
+  def watLinks(recs: DataFrame): DataFrame = {
+    val schema = "STRUCT<Envelope: STRUCT<`Payload-Metadata`: " +
+      "STRUCT<`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: " +
+      "STRUCT<Links: ARRAY<STRUCT<url: STRING, path: STRING>>>>>>>"
+    recs
+      .filter(col("warc_type") === "metadata")
+      .select(col("media_id").cast("long"), col("rec_idx").cast("int"),
+        col("target_uri").cast("string").as("src_uri"),
+        from_json(col("body").cast("string"), schema,
+          Map.empty[String, String]).as("__j"))
+      .select(col("media_id"), col("rec_idx"), col("src_uri"),
+        explode(col("__j.Envelope.`Payload-Metadata`" +
+          ".`HTTP-Response-Metadata`.`HTML-Metadata`.Links")).as("__l"))
+      .select(col("media_id"), col("rec_idx"), col("src_uri"),
+        col("__l.url").as("href"), col("__l.path").as("link_path"))
+      .filter(col("href").isNotNull)
+  }
+
+  /** Deterministic WET fixture: a `warcinfo` record then `nRecords`
+    * conversion records, text closed-form in (seed, i).
+    */
+  def syntheticWet(seed: Long, nRecords: Int): Array[Byte] = {
+    require(seed >= 0 && nRecords >= 0, "syntheticWet: non-negative seed/count")
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(wType: String, uri: String, body: String): Unit =
+      out.write(
+        (s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n")
+          .getBytes("UTF-8"))
+    rec("warcinfo", s"wet$seed", "software: graft-wet")
+    (0 until nRecords).foreach { i =>
+      rec("conversion", s"http://site${(seed + i) % 5}.example/p$i",
+        s"wet text ${seed * 7 + i} extracted words")
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic WAT fixture: a `warcinfo` record then `nRecords`
+    * metadata records with JSON link envelopes — arm i % 4: 0/1 = two
+    * links, 2 = an envelope WITHOUT Links (head-only page), 3 =
+    * CORRUPT JSON (the parser must contribute nothing, not throw).
+    */
+  def syntheticWat(seed: Long, nRecords: Int): Array[Byte] = {
+    require(seed >= 0 && nRecords >= 0, "syntheticWat: non-negative seed/count")
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(wType: String, uri: String, body: String): Unit =
+      out.write(
+        (s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n")
+          .getBytes("UTF-8"))
+    rec("warcinfo", s"wat$seed", "software: graft-wat")
+    (0 until nRecords).foreach { i =>
+      val uri = s"http://site${(seed + i) % 5}.example/p$i"
+      val body = (i % 4) match {
+        case 3 => s"""{"Envelope": {"Payload-Metadata": {truncated $i"""
+        case 2 =>
+          s"""{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": """ +
+            s"""{"HTML-Metadata": {"Head": {"Title": "t$i"}}}}}}"""
+        case _ =>
+          val l1 = s"http://site${(seed + i + 1) % 5}.example/l/$i"
+          val l2 = s"http://site${(seed + i + 2) % 5}.example/l/${i}b"
+          s"""{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": """ +
+            s"""{"HTML-Metadata": {"Links": [{"path": "A@/href", "url": "$l1"}, """ +
+            s"""{"path": "A@/href", "url": "$l2"}]}}}}}"""
+      }
+      rec("metadata", uri, body)
+    }
+    out.toByteArray
+  }
+
   /** Batch byte-level container walk: one row per record with the body
     * as BINARY — the charset-aware ingest's input. Map-only.
     */

@@ -5831,6 +5831,70 @@ object CorpusQueries {
       )
     ),
 
+    // The WET sidecar — Common Crawl's extracted-text companion: the
+    // same WARC container, one warcinfo header record, then
+    // `conversion` records whose bodies ARE the extracted plain text.
+    // A pipeline consuming WET skips the whole HTTP/charset/strip
+    // chain — this reader is the entry point. Map-only.
+    Q(
+      "q_wet_text",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val wet = udf((k: Long) => graft.operators.Warc.syntheticWet(k, 6))
+        val out = graft.operators.Warc.wetTexts(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", wet(col("media_id"))),
+            "media_id", "payload"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(i + 1 AS INT) AS rec_idx,
+          |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR)
+          |    || '.example/p' || CAST(i AS VARCHAR) AS target_uri,
+          |  'wet text ' || CAST(n_nationkey * 7 + i AS VARCHAR)
+          |    || ' extracted words' AS text
+          |FROM nation, UNNEST(generate_series(0, 5)) AS u(i)""".stripMargin
+      )
+    ),
+
+    // The WAT sidecar — Common Crawl's metadata companion: `metadata`
+    // records carrying JSON envelopes whose HTML-Metadata.Links array
+    // is THE web link graph's source. One row per link via Spark's
+    // codegen'd from_json (null-safe: a corrupt envelope or a
+    // links-less head-only page contributes nothing, never a throw) —
+    // ready for the domain collapse the PageRank/HITS layer runs on.
+    // Map-only.
+    Q(
+      "q_wat_links",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val wat = udf((k: Long) => graft.operators.Warc.syntheticWat(k, 8))
+        val out = graft.operators.Warc.watLinks(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", wat(col("media_id"))),
+            "media_id", "payload"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(i + 1 AS INT) AS rec_idx,
+          |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR)
+          |    || '.example/p' || CAST(i AS VARCHAR) AS src_uri,
+          |  'http://site' || CAST((n_nationkey + i + j) % 5 AS VARCHAR)
+          |    || '.example/l/' || CAST(i AS VARCHAR)
+          |    || CASE WHEN j = 2 THEN 'b' ELSE '' END AS href,
+          |  'A@/href' AS link_path
+          |FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
+          |     UNNEST(generate_series(1, 2)) AS v(j)
+          |WHERE i % 4 < 2""".stripMargin
+      )
+    ),
+
     // DICTIONARY-framed zstd — the layout Common Crawl's .warc.zst
     // actually ships: the dictionary rides the archive's FIRST
     // skippable frame (magic 0x184D2A5D), and data frames reference
