@@ -5895,6 +5895,48 @@ object CorpusQueries {
       )
     ),
 
+    // ARCHIVE → LINK GRAPH → AUTHORITY, closed: the WAT sidecar's
+    // outlinks parse (watLinks), hosts extract with the native
+    // parse_url, the corpus collapses to the |domains|²-bounded
+    // weighted adjacency in ONE shuffle, and two integer-exact
+    // PageRank rounds run on the collapsed frame — the provenance
+    // signal a curation pipeline weighs sources by, derived from the
+    // archive format that actually ships link data. The oracle builds
+    // the identical closed-form edge list and runs the shared unrolled
+    // integer-rank CTEs.
+    Q(
+      "q_wat_graph",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val wat = udf((k: Long) => graft.operators.Warc.syntheticWat(k, 8))
+        val links = graft.operators.Warc.watLinks(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", wat(col("media_id"))),
+            "media_id", "payload"))
+        val edges = links.select(
+          expr("parse_url(src_uri, 'HOST')").as("src"),
+          expr("parse_url(href, 'HOST')").as("dst"))
+        val r = Graph.pageRankInt(edges, "src", "dst", iters = 2)
+        val scratch = Q.scratch("watrank")
+        r.write.mode("overwrite").parquet(scratch)
+        r.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some {
+        val edgesSql =
+          """SELECT
+            |    'site' || CAST((n_nationkey + i) % 5 AS VARCHAR) || '.example' AS src,
+            |    'site' || CAST((n_nationkey + i + j) % 5 AS VARCHAR) || '.example' AS dst
+            |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
+            |       UNNEST(generate_series(1, 2)) AS v(j)
+            |  WHERE i % 4 < 2""".stripMargin
+        s"""WITH ${domainGraphCtes(edgesSql, "wg")},
+           |${domainRankStepsSql("wg")}
+           |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM wgr2""".stripMargin
+      }
+    ),
+
     // DICTIONARY-framed zstd — the layout Common Crawl's .warc.zst
     // actually ships: the dictionary rides the archive's FIRST
     // skippable frame (magic 0x184D2A5D), and data frames reference
