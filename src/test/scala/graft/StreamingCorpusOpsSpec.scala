@@ -688,6 +688,50 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test(".warc.zst ingest streams: frames (incl. a dictionary blob) split identically") {
+    implicit val sqlCtx = spark.sqlContext
+    // recordsZst is the same stateless map shape — and blob 3 carries
+    // the Common-Crawl layout (leading dictionary skippable frame +
+    // a dict-REFERENCING frame whose first bytes come from the
+    // dictionary window, the way a shared-preamble dictionary actually
+    // pays off), so the dictionary path is certified on the streaming
+    // API too. The dict content is the record preamble itself.
+    val dictContent = "WARC/1.0\r\n".getBytes("US-ASCII")
+    val dictRec = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u3\r\n" +
+      "Content-Length: 9\r\n\r\n" + "dict body" + "\r\n\r\n").getBytes("US-ASCII")
+    // the frame's ONE sequence copies the 10-byte preamble from the
+    // dictionary window; the rest rides as literals — decoded == dictRec
+    val blob3 = graft.operators.ZstdDecode.dictFrame(dictContent) ++
+      graft.operators.ZstdDecode.zstdFrameDictSeq(dictContent, 1,
+        java.util.Arrays.copyOfRange(dictRec, dictContent.length, dictRec.length),
+        checksum = true)
+    val blobs = Seq(
+      (1L, graft.operators.Warc.syntheticWarcZst(1L, 4)),
+      (2L, graft.operators.Warc.syntheticWarcZst(2L, 4)),
+      (3L, blob3))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.operators.Warc.recordsZst(
+      in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_warczst_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs.take(2): _*); q.processAllAvailable()
+      in.addData(blobs.drop(2): _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("media_id"), r.getAs[Int]("rec_idx"),
+          r.getAs[String]("target_uri"), r.getAs[String]("body"))).toSet
+      val batch = rows(graft.operators.Warc.recordsZst(
+        blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      val streamed = rows(spark.table("sc_warczst_out"))
+      assert(streamed == batch)
+      assert(batch.size == 9) // 4 + 4 + the dictionary-framed record
+      assert(streamed.exists { case (id, _, uri, body) =>
+        id == 3L && uri == "u3" && body == "dict body"
+      })
+    } finally q.stop()
+  }
+
   test("frontier politeness: per-host slot state streams to exactly the batch schedule") {
     implicit val sqlCtx = spark.sqlContext
     // the crawl family's last streaming twin: admitted URLs stream in,
