@@ -608,8 +608,12 @@ object Robots {
   /** Distributed EXACT screen — [[politenessScreen]]'s twin under full
     * wildcard semantics: same unique-`idCol` contract and count-guarded
     * rules side; the rating joins on the domain plus a per-rule regex
-    * match (patterns compile rule-side once per task), and the best
-    * match is max(octets, isAllow).
+    * match, and the best match is max(octets, isAllow). Cost note: the
+    * regex evaluates per (url, candidate rule) pair with Spark's
+    * last-pattern compile cache, so the per-URL work is bounded by the
+    * domain's rule count (small in practice) — sites with huge rule
+    * sets can stay on the conservative prefix screen, whose join is
+    * pure startsWith.
     */
   def politenessScreenExact(
       urls: DataFrame,
