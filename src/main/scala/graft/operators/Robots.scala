@@ -52,12 +52,29 @@ object Robots {
     * [[parseCrawlDelays]] keeps only it; both see the identical group
     * structure because the walk is shared.
     */
+  /** RFC 9309 §2.5 parse limit: a crawler MUST process at least 500
+    * kibibytes of robots.txt and MAY stop there — the cap an untrusted
+    * site needs (a multi-gigabyte robots.txt must not park the parse
+    * task). The truncation lands on a LINE boundary at or past the
+    * cap, so the last counted rule is never half-parsed; everything
+    * beyond is ignored, which is the RFC's sanctioned behavior, not a
+    * silent degrade.
+    */
+  val ParseLimitBytes: Int = 500 * 1024
+
   private def walkGroups(text: String)(
       sink: (List[String], String, String) => Unit): Unit = {
     if (text == null) return
+    // §2.5 cap, cut at the next line boundary so no rule half-parses
+    val bounded =
+      if (text.length <= ParseLimitBytes) text
+      else {
+        val nl = text.indexOf('\n', ParseLimitBytes)
+        if (nl < 0) text else text.substring(0, nl)
+      }
     var agents = List.empty[String]
     var inRules = false
-    text.split("\n", -1).foreach { raw =>
+    bounded.split("\n", -1).foreach { raw =>
       val hash = raw.indexOf('#')
       val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
       if (line.nonEmpty) {

@@ -522,9 +522,15 @@ object Warc {
   }
 
   /** Deterministic WET fixture: a `warcinfo` record then `nRecords`
-    * conversion records, text closed-form in (seed, i).
+    * conversion records, text closed-form in (seed, i). `withArms`
+    * plants the regimes a WET CONSUMER screens for: i % 7 == 6 → a
+    * one-token text (fails any quality floor); else i % 5 == 4 → an
+    * exact DUPLICATE of record i−1's text (and the `seed·7 + i`
+    * formula collides ACROSS blobs too — e.g. seeds 1/7 and 2/0 — so
+    * dedup must be global, not per-blob).
     */
-  def syntheticWet(seed: Long, nRecords: Int): Array[Byte] = {
+  def syntheticWet(seed: Long, nRecords: Int,
+      withArms: Boolean = false): Array[Byte] = {
     require(seed >= 0 && nRecords >= 0, "syntheticWet: non-negative seed/count")
     val out = new java.io.ByteArrayOutputStream()
     def rec(wType: String, uri: String, body: String): Unit =
@@ -534,8 +540,12 @@ object Warc {
           .getBytes("UTF-8"))
     rec("warcinfo", s"wet$seed", "software: graft-wet")
     (0 until nRecords).foreach { i =>
-      rec("conversion", s"http://site${(seed + i) % 5}.example/p$i",
-        s"wet text ${seed * 7 + i} extracted words")
+      val text =
+        if (withArms && i % 7 == 6) "tiny"
+        else if (withArms && i % 5 == 4)
+          s"wet text ${seed * 7 + i - 1} extracted words"
+        else s"wet text ${seed * 7 + i} extracted words"
+      rec("conversion", s"http://site${(seed + i) % 5}.example/p$i", text)
     }
     out.toByteArray
   }

@@ -5860,6 +5860,61 @@ object CorpusQueries {
       )
     ),
 
+    // The WET CONSUMER pipeline — what a training-data job actually
+    // runs over the extracted-text sidecar: wetTexts → token-count
+    // quality floor (map-side) → GLOBAL exact dedup (one digest-keyed
+    // partial-agg exchange + the semi join back). Planted regimes:
+    // one-token records fail the floor; i%5==4 records duplicate
+    // their predecessor's text; and the text formula collides ACROSS
+    // blobs (seed·7+i — e.g. blobs 1 and 2 share 'wet text 14'), so a
+    // per-blob dedup would leak rows the oracle's global keep-first
+    // drops.
+    Q(
+      "q_wet_pipeline",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val wet = udf((k: Long) =>
+          graft.operators.Warc.syntheticWet(k, 8, withArms = true))
+        val texts = graft.operators.Warc.wetTexts(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", wet(col("media_id"))),
+            "media_id", "payload"))
+        val out = graft.operators.Dedup.dropExactDuplicates(
+          texts
+            .filter(TextAnalysis.tokenCount(col("text")) >= 3)
+            .withColumn("id", col("media_id") * 1000 + col("rec_idx")),
+          "id", "text")
+          .select(col("media_id"), col("rec_idx"), col("target_uri"), col("text"))
+        Q.requireMaxShuffles(out, 3)
+        out
+      },
+      Some(
+        """WITH recs AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |    CAST(i + 1 AS INT) AS rec_idx,
+          |    'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR)
+          |      || '.example/p' || CAST(i AS VARCHAR) AS target_uri,
+          |    CASE WHEN i % 7 = 6 THEN 'tiny'
+          |         WHEN i % 5 = 4 THEN 'wet text '
+          |           || CAST(n_nationkey * 7 + i - 1 AS VARCHAR) || ' extracted words'
+          |         ELSE 'wet text '
+          |           || CAST(n_nationkey * 7 + i AS VARCHAR) || ' extracted words'
+          |    END AS text
+          |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |), kept AS (
+          |  SELECT *, media_id * 1000 + rec_idx AS id FROM recs
+          |  WHERE i_split(text) >= 3
+          |), dd AS (
+          |  SELECT *, MIN(id) OVER (PARTITION BY text) AS cid FROM kept
+          |)
+          |SELECT media_id, rec_idx, target_uri, text
+          |FROM dd WHERE id = cid""".stripMargin
+          .replace("i_split(text) >= 3",
+            "len(regexp_split_to_array(text, '\\s+')) >= 3")
+      )
+    ),
+
     // The WAT sidecar — Common Crawl's metadata companion: `metadata`
     // records carrying JSON envelopes whose HTML-Metadata.Links array
     // is THE web link graph's source. One row per link via Spark's

@@ -392,6 +392,28 @@ class RobotsSpec extends SparkSpec {
     assert(dupRules == Set(("disallow", "/a1")))
   }
 
+  test("parse limit: rules past the RFC 9309 §2.5 500 KiB cap are ignored, boundary clean") {
+    // a directive fully BEFORE the cap applies; one fully PAST it is
+    // ignored; the line STRADDLING the cap still parses whole (the cut
+    // lands on the next line boundary — no half-parsed rule)
+    val pad = "# filler comment line\n" * (Robots.ParseLimitBytes / 22 + 1)
+    assert(pad.length > Robots.ParseLimitBytes)
+    val before = "User-agent: *\nDisallow: /early\n"
+    val txt = before + pad + "Disallow: /late\n"
+    val rules = Robots.parseRobots("d.com", txt)
+    assert(rules.map(_.path).contains("/early"))
+    assert(!rules.map(_.path).contains("/late"))
+    // straddling: place the cap INSIDE a rule line — it must parse whole
+    val head = before + ("#x\n" * ((Robots.ParseLimitBytes - before.length - 10) / 3))
+    val straddle = head + "Disallow: /straddling-rule-path\n"
+    assert(head.length < Robots.ParseLimitBytes &&
+      head.length + 20 > Robots.ParseLimitBytes)
+    assert(Robots.parseRobots("d.com", straddle)
+      .map(_.path).contains("/straddling-rule-path"))
+    // under the cap: untouched
+    assert(Robots.parseRobots("d.com", before).map(_.path) == Seq("/early"))
+  }
+
   test("exact wildcard matching: map-side == distributed, regex corners") {
     import spark.implicits._
     // regex derivation: escapes, mid-pattern $ literal, ** collapse,
