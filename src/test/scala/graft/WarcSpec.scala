@@ -264,6 +264,42 @@ class WarcSpec extends SparkSpec {
     assert(rows(8) == ((null, "zstd", "zs5 zs5 zs5 zs5 end")))
   }
 
+  test("encoding layer never throws: truncations, bit flips, random bytes") {
+    // the on-the-wire decode chain is the newest untrusted-input
+    // surface — drive it with every prefix of the encoding fixture,
+    // deterministic byte flips, and arbitrary garbage; parse failures
+    // must surface as NULL rows, never as a task-killing throw
+    val full = Warc.syntheticWarcEncodings(3L)
+    for (cut <- 0 until full.length by 13) {
+      val torn = java.util.Arrays.copyOf(full, cut)
+      Warc.httpTexts(Warc.recordsBinary(
+        Seq((1L, torn)).toDF("media_id", "payload"),
+        "media_id", "payload")).collect()
+    }
+    for (i <- full.indices by 29) {
+      val bad = full.clone; bad(i) = (bad(i) ^ 0x41).toByte
+      Warc.httpTexts(Warc.recordsBinary(
+        Seq((1L, bad)).toDF("media_id", "payload"),
+        "media_id", "payload")).collect()
+    }
+    // pure-garbage and pathological primitives
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      assert(Warc.dechunk(junk) == null || Warc.dechunk(junk) != null) // no throw
+      Warc.inflateZlib(junk)
+      Warc.decodeHttpBody(junk, "chunked", "gzip")
+      Warc.decodeHttpBody(junk, null, "zstd")
+      Warc.parseHttpBytesFull(junk)
+    }
+    // a valid message whose DECLARED lengths lie (Content-Length vs
+    // actual chunk frame) stays a visible NULL
+    val lying = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "FF\r\nshort").getBytes("US-ASCII")
+    assert(Warc.decodeHttpBody(
+      Warc.parseHttpBytesFull(lying).get._2, "chunked", null) == null)
+  }
+
   test("crawl chain is encoding-invariant: wire codings decode to identical output") {
     // the SAME logical archive, once with plain bodies and once as a
     // server would transfer them (chunked / gzipped) — the byte-level
