@@ -749,9 +749,19 @@ object Warc {
     * instead of silently assuming an all-response stream. The response
     * records' bytes are IDENTICAL either way.
     */
+  /** `badEncodingEvery` > 0 appends, after response i where
+    * i % badEncodingEvery == 1, an EXTRA response record under its own
+    * never-colliding URI whose body declares `Content-Encoding: br` —
+    * out of the decode contract, so a byte-path ledger must classify
+    * it by the 'encoding' drop stage (the string path would misread
+    * it as torn). Appended records shift only rec_idx, never the
+    * existing records' relative order, so every other classification
+    * count is unchanged.
+    */
   def syntheticWarcCrawl(seed: Long, nRecords: Int,
       withNonResponses: Boolean = false,
-      withEncodings: Boolean = false): Array[Byte] = {
+      withEncodings: Boolean = false,
+      badEncodingEvery: Int = 0): Array[Byte] = {
     require(seed >= 0 && nRecords >= 0, "syntheticWarcCrawl: non-negative seed/count")
     import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
     val out = new java.io.ByteArrayOutputStream()
@@ -795,6 +805,12 @@ object Warc {
         if (i % 3 == 2)
           rec("request", uri, s"GET $uri HTTP/1.1".getBytes(UTF_8))
       }
+      if (badEncodingEvery > 0 && i % badEncodingEvery == 1) {
+        val encHead = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=utf-8\r\nContent-Encoding: br\r\n\r\n").getBytes(US_ASCII)
+        rec("response", s"http://site$m.example/enc/$i",
+          encHead ++ s"brotli-bytes $i".getBytes(US_ASCII))
+      }
       i += 1
     }
     out.toByteArray
@@ -825,6 +841,43 @@ object Warc {
       }
       .toDF("media_id", "rec_idx", "warc_type", "target_uri",
         "status", "content_type", "charset", "payload")
+  }
+
+  /** [[httpLedger]]'s BYTE-PATH twin — the drop-reasons audit over
+    * ON-THE-WIRE archives: every record of any type rides through
+    * (non-responses status 0, torn messages −1), and response bodies
+    * run the full decode chain ([[decodeHttpBody]] + charset) so an
+    * encoded page classifies by its REAL fate — `text` NULL with a
+    * 200 status means the body failed its transfer/content/charset
+    * decode (the 'encoding' drop stage), where the string-path ledger
+    * would have misread the binary body as a torn fetch. Map-only.
+    */
+  def httpLedgerBytes(recs: DataFrame): DataFrame = {
+    import recs.sparkSession.implicits._
+    recs
+      .select(col("media_id").cast("long"), col("rec_idx").cast("int"),
+        col("warc_type").cast("string"), col("target_uri").cast("string"),
+        col("body"))
+      .as[(Long, Int, String, String, Array[Byte])]
+      .map { case (id, idx, wType, uri, body) =>
+        if (wType == "response") parseHttpBytesFull(body) match {
+          case Some((h, raw)) =>
+            val payload = decodeHttpBody(raw, h.transferEncoding, h.contentEncoding)
+            val cs =
+              if (h.charset != null) h.charset
+              else metaCharset(payload)
+            (id, idx, wType, uri, h.status, h.contentType,
+              h.transferEncoding, h.contentEncoding, cs,
+              decodeCharset(payload, cs))
+          case None =>
+            (id, idx, wType, uri, -1, null: String, null: String,
+              null: String, null: String, null: String)
+        } else (id, idx, wType, uri, 0, null: String, null: String,
+          null: String, null: String, null: String)
+      }
+      .toDF("media_id", "rec_idx", "warc_type", "target_uri", "status",
+        "content_type", "transfer_encoding", "content_encoding",
+        "charset", "text")
   }
 
   /** The `.warc.gz` fixture: [[syntheticWarcHttp]]'s records, each

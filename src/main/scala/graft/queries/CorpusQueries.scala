@@ -6338,6 +6338,100 @@ object CorpusQueries {
       )
     ),
 
+    // The drop-reasons ledger ON THE WIRE — q_crawl_ledger's byte-path
+    // twin over a mixed-encoding archive: the string-path ledger would
+    // misread a gzip- or brotli-encoded body (binary → the strict
+    // UTF-8 container decode NULLs it) as a TORN fetch; the byte path
+    // runs the real decode chain, so encoded-but-decodable records
+    // classify exactly as their plain twins and the out-of-contract
+    // `Content-Encoding: br` records (appended under their own URIs)
+    // land in the new 'encoding' stage — undecodable-body pages
+    // become a VISIBLE, counted loss instead of polluting the torn
+    // bucket. All other stage counts are byte-identical to the plain
+    // ledger's oracle arms.
+    Q(
+      "q_crawl_ledger_wire",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) =>
+          graft.operators.Warc.syntheticWarcCrawl(k, 8,
+            withNonResponses = true, withEncodings = true,
+            badEncodingEvery = 3))
+        val robotsTxt = "User-agent: *\nDisallow: /a1\n"
+        val rules = graft.operators.Robots.effectiveRules(
+          (0 until 5).flatMap(m =>
+            graft.operators.Robots.parseRobots(s"site$m.example", robotsTxt)),
+          "graftbot")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__early"), col("canon"))
+          .orderBy(col("media_id").asc, col("rec_idx").asc)
+        val out = graft.operators.Warc.httpLedgerBytes(
+          graft.operators.Warc.recordsBinary(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .withColumn("canon",
+            graft.functions.GraftFunctions.urlCanon(col("target_uri")))
+          .withColumn("__early",
+            when(col("warc_type") =!= "response", col("warc_type"))
+              .when(col("status") === -1, lit("torn"))
+              .when(col("status") =!= 200, lit("http_status"))
+              .when(col("content_type") =!= "text/html", lit("content_type"))
+              .when(col("text").isNull, lit("encoding"))
+              .when(col("canon").isNull, lit("canon"))
+              .when(!graft.operators.Robots.allowedColumn(rules,
+                expr("parse_url(canon, 'HOST')"),
+                expr("parse_url(canon, 'PATH')")), lit("robots")))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("reason",
+            coalesce(col("__early"),
+              when(col("__rn") > 1, lit("duplicate")).otherwise(lit("admitted"))))
+          .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+        Q.requireMaxShuffles(out, 2)
+        out
+      },
+      Some(
+        """WITH rows0 AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS rec_idx,
+          |    (n_nationkey + i) % 5 AS m, CAST(i % 4 AS INT) AS arm,
+          |    (n_nationkey + i - 1) % 5 AS mprev
+          |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |), rows1 AS (
+          |  SELECT media_id, rec_idx,
+          |    CASE WHEN arm = 3
+          |      THEN 'http://site' || CAST(mprev AS VARCHAR) || '.example/a2/p/'
+          |           || CAST(rec_idx - 1 AS VARCHAR)
+          |      ELSE 'http://site' || CAST(m AS VARCHAR) || '.example/a'
+          |           || CAST(arm AS VARCHAR) || '/p/' || CAST(rec_idx AS VARCHAR)
+          |    END AS canon,
+          |    CASE WHEN (media_id + rec_idx) % 7 = 2 THEN 'http_status'
+          |         WHEN (media_id + rec_idx) % 5 = 3 THEN 'content_type'
+          |         WHEN (CASE WHEN arm = 3 THEN 2 ELSE arm END) = 1 THEN 'robots'
+          |         ELSE NULL END AS early
+          |  FROM rows0
+          |), cand AS (
+          |  SELECT canon, ROW_NUMBER() OVER (
+          |    PARTITION BY canon ORDER BY media_id, rec_idx) AS rn
+          |  FROM rows1 WHERE early IS NULL
+          |), reasons AS (
+          |  SELECT early AS reason FROM rows1 WHERE early IS NOT NULL
+          |  UNION ALL
+          |  SELECT CASE WHEN rn > 1 THEN 'duplicate' ELSE 'admitted' END FROM cand
+          |  UNION ALL
+          |  SELECT 'revisit' FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |  WHERE i % 3 = 1
+          |  UNION ALL
+          |  SELECT 'request' FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |  WHERE i % 3 = 2
+          |  UNION ALL
+          |  SELECT 'encoding' FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |  WHERE i % 3 = 1
+          |)
+          |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM reasons GROUP BY reason""".stripMargin
+      )
+    ),
+
     // The WARC-INGEST flagship — q_web_pipeline extended one stage
     // EARLIER and one honesty level DEEPER: payloads arrive GZIPPED
     // (how web corpora actually ship), so the chain is gunzip →

@@ -264,6 +264,41 @@ class WarcSpec extends SparkSpec {
     assert(rows(8) == ((null, "zstd", "zs5 zs5 zs5 zs5 end")))
   }
 
+  test("httpLedgerBytes: full-stream audit rows; response rows equal httpTexts") {
+    val frame = Seq(
+      (1L, Warc.syntheticWarcCrawl(1L, 8, withNonResponses = true,
+        withEncodings = true, badEncodingEvery = 3)),
+      (2L, Warc.syntheticWarcEncodings(2L)))
+      .toDF("media_id", "payload")
+    val recs = Warc.recordsBinary(frame, "media_id", "payload")
+    val led = Warc.httpLedgerBytes(recs)
+    graft.queries.Q.requireNoShuffle(led)
+    // the two byte-path readers can never drift: the ledger's response
+    // rows equal httpTexts row for row on the shared columns
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("rec_idx")) ->
+        ((r.getAs[Int]("status"), r.getAs[String]("content_type"),
+          r.getAs[String]("transfer_encoding"), r.getAs[String]("content_encoding"),
+          r.getAs[String]("text")))).toMap
+    val viaLedger = key(led.filter(org.apache.spark.sql.functions.col("warc_type") === "response")
+      .select("media_id", "rec_idx", "status", "content_type",
+        "transfer_encoding", "content_encoding", "text"))
+    val viaTexts = key(Warc.httpTexts(recs)
+      .select("media_id", "rec_idx", "status", "content_type",
+        "transfer_encoding", "content_encoding", "text"))
+    assert(viaLedger == viaTexts)
+    // non-responses carry status 0; the br records are 200/text-html
+    // with NULL text — the 'encoding' classification's raw material,
+    // DISTINCT from torn (-1)
+    val all = led.collect()
+    assert(all.exists(r => r.getAs[String]("warc_type") == "revisit" &&
+      r.getAs[Int]("status") == 0))
+    assert(all.exists(r => r.getAs[String]("warc_type") == "response" &&
+      r.getAs[Int]("status") == 200 &&
+      r.getAs[String]("content_encoding") == "br" &&
+      r.getAs[String]("text") == null))
+  }
+
   test("encoding layer never throws: truncations, bit flips, random bytes") {
     // the on-the-wire decode chain is the newest untrusted-input
     // surface — drive it with every prefix of the encoding fixture,
