@@ -5992,6 +5992,98 @@ object CorpusQueries {
       }
     ),
 
+    // AUTHORITY-WEIGHTED CRAWL BUDGETS — where the WAT-derived rank
+    // actually bites the frontier: authority is a HOST-level signal
+    // (within one host's politeness window every URL shares it), so
+    // its operational form is the per-host DEPTH budget — high-rank
+    // hosts keep more politeness slots, low-rank hosts get a shallow
+    // crawl. Chain: WAT outlinks → domain PageRank (integer-exact on
+    // the |domains|²-bounded collapse) → budget = 1 + rank div 3·10^5
+    // → the frame-joined politeness schedule admits slot < budget.
+    // The oracle re-derives ranks via the shared unrolled CTEs and
+    // replays the slot window + budget cut closed-form.
+    Q(
+      "q_frontier_authority",
+      (spark, dir) => {
+        import spark.implicits._
+        // the n%5==0 blob subset makes the link graph ASYMMETRIC (all
+        // seeds share residue 0, so in-link mass skews across hosts) —
+        // differentiated ranks are the point: budgets must DIFFER
+        val blobs = Q.t(spark, dir, "nation")
+          .filter(col("n_nationkey") % 5 === 0)
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val wat = udf((k: Long) => graft.operators.Warc.syntheticWat(k, 8))
+        val links = graft.operators.Warc.watLinks(
+          graft.operators.Warc.records(
+            blobs.withColumn("payload", wat(col("media_id"))),
+            "media_id", "payload"))
+        val ranks = Graph.pageRankInt(
+          links.select(expr("parse_url(src_uri, 'HOST')").as("src"),
+            expr("parse_url(href, 'HOST')").as("dst")),
+          "src", "dst", iters = 2)
+        val frontier = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"),
+            explode(expr("sequence(0, 5)")).as("i"))
+          .select(
+            concat(lit("site"), (col("k") + col("i")) % 5,
+              lit(".example")).as("host"),
+            concat(lit("http://site"), (col("k") + col("i")) % 5,
+              lit(".example/f/"), col("k"), lit("/"), col("i")).as("canon"))
+        val delayFrame = (0 until 5)
+          .map(m => (s"site$m.example", (m + 1) * 100L))
+          .toDF("domain", "delay_ms")
+        val sched = graft.operators.Frontier.scheduleJoined(
+          frontier, delayFrame, defaultDelayMs = 500L, workers = 8)
+        val budget = ranks.select(col("node").as("host"),
+          col("rank_micro"), expr("1L + rank_micro div 300000").as("budget"))
+        val out = sched.join(budget, Seq("host"))
+          .filter(col("slot") < col("budget"))
+          .select(col("canon"), col("host"), col("slot"), col("fetch_at_ms"),
+            col("worker"), col("rank_micro"), col("budget"))
+        val scratch = Q.scratch("frontauth")
+        out.write.mode("overwrite").parquet(scratch)
+        ranks.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some {
+        val edgesSql =
+          """SELECT
+            |    'site' || CAST((n_nationkey + i) % 5 AS VARCHAR) || '.example' AS src,
+            |    'site' || CAST((n_nationkey + i + j) % 5 AS VARCHAR) || '.example' AS dst
+            |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
+            |       UNNEST(generate_series(1, 2)) AS v(j)
+            |  WHERE i % 4 < 2 AND n_nationkey % 5 = 0""".stripMargin
+        s"""WITH ${domainGraphCtes(edgesSql, "fa")},
+           |${domainRankStepsSql("fa")},
+           |fr AS (
+           |  SELECT
+           |    'site' || CAST((n_nationkey + i) % 5 AS VARCHAR) || '.example' AS host,
+           |    'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR)
+           |      || '.example/f/' || CAST(n_nationkey AS VARCHAR)
+           |      || '/' || CAST(i AS VARCHAR) AS canon
+           |  FROM nation, UNNEST(generate_series(0, 5)) AS u(i)
+           |), s AS (
+           |  SELECT host, canon,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY canon ASC) - 1
+           |      AS BIGINT) AS slot
+           |  FROM fr
+           |), b AS (
+           |  SELECT node AS host, CAST(rank AS BIGINT) AS rank_micro,
+           |    CAST(1 + rank // 300000 AS BIGINT) AS budget
+           |  FROM far2
+           |)
+           |SELECT s.canon, s.host, s.slot,
+           |  s.slot * CASE s.host
+           |    WHEN 'site0.example' THEN 100 WHEN 'site1.example' THEN 200
+           |    WHEN 'site2.example' THEN 300 WHEN 'site3.example' THEN 400
+           |    ELSE 500 END AS fetch_at_ms,
+           |  CAST(${polyHashSql("s.host", 31L)} % 8 AS INT) AS worker,
+           |  b.rank_micro, b.budget
+           |FROM s JOIN b ON b.host = s.host
+           |WHERE s.slot < b.budget""".stripMargin
+      }
+    ),
+
     // DICTIONARY-framed zstd — the layout Common Crawl's .warc.zst
     // actually ships: the dictionary rides the archive's FIRST
     // skippable frame (magic 0x184D2A5D), and data frames reference
