@@ -62,16 +62,23 @@ object Robots {
     */
   val ParseLimitBytes: Int = 500 * 1024
 
+  /** The §2.5 cap, cut at the next line boundary so no directive
+    * half-parses — shared by EVERY walker over the same untrusted
+    * document ([[walkGroups]] AND [[parseSitemapDirectives]]): one
+    * horizon, or the same robots.txt would be half-truncated for
+    * rules and unbounded for sitemap pointers.
+    */
+  private def boundedText(text: String): String =
+    if (text.length <= ParseLimitBytes) text
+    else {
+      val nl = text.indexOf('\n', ParseLimitBytes)
+      if (nl < 0) text else text.substring(0, nl)
+    }
+
   private def walkGroups(text: String)(
       sink: (List[String], String, String) => Unit): Unit = {
     if (text == null) return
-    // §2.5 cap, cut at the next line boundary so no rule half-parses
-    val bounded =
-      if (text.length <= ParseLimitBytes) text
-      else {
-        val nl = text.indexOf('\n', ParseLimitBytes)
-        if (nl < 0) text else text.substring(0, nl)
-      }
+    val bounded = boundedText(text)
     var agents = List.empty[String]
     var inRules = false
     bounded.split("\n", -1).foreach { raw =>
@@ -364,7 +371,7 @@ object Robots {
     */
   def parseSitemapDirectives(text: String): Seq[String] = {
     if (text == null) return Nil
-    text.split("\n", -1).toSeq.flatMap { raw =>
+    boundedText(text).split("\n", -1).toSeq.flatMap { raw =>
       val hash = raw.indexOf('#')
       val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
       val ci = line.indexOf(':')
@@ -613,7 +620,12 @@ object Robots {
     else {
       val arr = array(rules.map { case (d, p, a) =>
         struct(lit(d).as("d"), lit(robotsPatternRegex(p)).as("re"),
-          lit(p.length).as("l"), lit(a).as("a"))
+          // RFC 9309 "most octets": UTF-8 BYTES of the rule path (not
+          // UTF-16 units, not code points) — the distributed twin's
+          // octet_length must agree or the two screens drift on
+          // non-ASCII paths
+          lit(p.getBytes(java.nio.charset.StandardCharsets.UTF_8).length).as("l"),
+          lit(a).as("a"))
       }: _*)
       val best = array_max(transform(
         filter(arr, r => r.getField("d") === domain &&
@@ -652,7 +664,9 @@ object Robots {
     val effective = withSpec
       .filter(length(col("path")) > 0) // empty-path rules are RFC no-ops
       .select(col("domain").as("__rd"), col("rule").as("__rule"),
-        regexUdf(col("path")).as("__re"), length(col("path")).as("__len"))
+        regexUdf(col("path")).as("__re"),
+        // "most octets" = UTF-8 bytes, matching allowedColumnExact
+        expr("octet_length(path)").as("__len"))
     val side = Guard.broadcastOrLazy(effective, maxBroadcastRules)
     val passthrough = urls.columns.filterNot(_ == idCol)
     urls

@@ -521,6 +521,20 @@ object Warc {
       .filter(col("href").isNotNull)
   }
 
+  /** ONE WARC-record writer for every fixture (three fixtures used to
+    * carry byte-identical local copies of this framing): version line,
+    * type/URI headers, Content-Length, body, record separator.
+    */
+  private def writeRecord(out: java.io.ByteArrayOutputStream,
+      wType: String, uri: String, body: Array[Byte]): Unit = {
+    out.write(
+      (s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(body)
+    out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+  }
+
   /** Deterministic WET fixture: a `warcinfo` record then `nRecords`
     * conversion records, text closed-form in (seed, i). `withArms`
     * plants the regimes a WET CONSUMER screens for: i % 7 == 6 → a
@@ -534,10 +548,7 @@ object Warc {
     require(seed >= 0 && nRecords >= 0, "syntheticWet: non-negative seed/count")
     val out = new java.io.ByteArrayOutputStream()
     def rec(wType: String, uri: String, body: String): Unit =
-      out.write(
-        (s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n" +
-          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n")
-          .getBytes("UTF-8"))
+      writeRecord(out, wType, uri, body.getBytes("UTF-8"))
     rec("warcinfo", s"wet$seed", "software: graft-wet")
     (0 until nRecords).foreach { i =>
       val text =
@@ -559,10 +570,7 @@ object Warc {
     require(seed >= 0 && nRecords >= 0, "syntheticWat: non-negative seed/count")
     val out = new java.io.ByteArrayOutputStream()
     def rec(wType: String, uri: String, body: String): Unit =
-      out.write(
-        (s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n" +
-          s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n")
-          .getBytes("UTF-8"))
+      writeRecord(out, wType, uri, body.getBytes("UTF-8"))
     rec("warcinfo", s"wat$seed", "software: graft-wat")
     (0 until nRecords).foreach { i =>
       val uri = s"http://site${(seed + i) % 5}.example/p$i"
@@ -640,6 +648,32 @@ object Warc {
     * the bytes violate the declared encoding — every degrade visible,
     * never mojibake or silently-partial text. Map-only.
     */
+  /** The per-record response decode BOTH byte-path readers share
+    * ([[httpTexts]] and [[httpLedgerBytes]] — one implementation, so
+    * the text layer and the audit ledger can never drift): HTTP split
+    * → transfer/content decoding → effective charset (header wins,
+    * then the meta prescan, then the UTF-8 default) → strict text.
+    * Returns (status, contentType, transferEncoding, contentEncoding,
+    * charset, charsetSource, text); status −1 and nulls for a torn
+    * message.
+    */
+  private def decodeResponse(body: Array[Byte])
+      : (Int, String, String, String, String, String, String) =
+    parseHttpBytesFull(body) match {
+      case Some((h, raw)) =>
+        val payload = decodeHttpBody(raw, h.transferEncoding, h.contentEncoding)
+        val (cs, src) =
+          if (h.charset != null) (h.charset, "header")
+          else metaCharset(payload) match {
+            case null => (null: String, "default")
+            case m    => (m, "meta")
+          }
+        (h.status, h.contentType, h.transferEncoding, h.contentEncoding,
+          cs, src, decodeCharset(payload, cs))
+      case None =>
+        (-1, null, null, null, null, null, null)
+    }
+
   def httpTexts(recs: DataFrame): DataFrame = {
     import recs.sparkSession.implicits._
     recs
@@ -648,22 +682,8 @@ object Warc {
         col("target_uri").cast("string"), col("body"))
       .as[(Long, Int, String, Array[Byte])]
       .map { case (id, idx, uri, body) =>
-        parseHttpBytesFull(body) match {
-          case Some((h, raw)) =>
-            val payload = decodeHttpBody(raw, h.transferEncoding, h.contentEncoding)
-            val (cs, src) =
-              if (h.charset != null) (h.charset, "header")
-              else metaCharset(payload) match {
-                case null => (null: String, "default")
-                case m    => (m, "meta")
-              }
-            (id, idx, uri, h.status, h.contentType,
-              h.transferEncoding, h.contentEncoding,
-              cs, src, decodeCharset(payload, cs))
-          case None =>
-            (id, idx, uri, -1, null: String, null: String, null: String,
-              null: String, null: String, null: String)
-        }
+        val (st, ct, te, ce, cs, src, text) = decodeResponse(body)
+        (id, idx, uri, st, ct, te, ce, cs, src, text)
       }
       .toDF("media_id", "rec_idx", "target_uri", "status", "content_type",
         "transfer_encoding", "content_encoding",
@@ -765,13 +785,8 @@ object Warc {
     require(seed >= 0 && nRecords >= 0, "syntheticWarcCrawl: non-negative seed/count")
     import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
     val out = new java.io.ByteArrayOutputStream()
-    def rec(wType: String, uri: String, body: Array[Byte]): Unit = {
-      out.write(
-        (s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8))
-      out.write(body)
-      out.write("\r\n\r\n".getBytes(US_ASCII))
-    }
+    def rec(wType: String, uri: String, body: Array[Byte]): Unit =
+      writeRecord(out, wType, uri, body)
     var i = 0
     while (i < nRecords) {
       val m = (seed + i) % 5
@@ -860,18 +875,9 @@ object Warc {
         col("body"))
       .as[(Long, Int, String, String, Array[Byte])]
       .map { case (id, idx, wType, uri, body) =>
-        if (wType == "response") parseHttpBytesFull(body) match {
-          case Some((h, raw)) =>
-            val payload = decodeHttpBody(raw, h.transferEncoding, h.contentEncoding)
-            val cs =
-              if (h.charset != null) h.charset
-              else metaCharset(payload)
-            (id, idx, wType, uri, h.status, h.contentType,
-              h.transferEncoding, h.contentEncoding, cs,
-              decodeCharset(payload, cs))
-          case None =>
-            (id, idx, wType, uri, -1, null: String, null: String,
-              null: String, null: String, null: String)
+        if (wType == "response") {
+          val (st, ct, te, ce, cs, _, text) = decodeResponse(body)
+          (id, idx, wType, uri, st, ct, te, ce, cs, text)
         } else (id, idx, wType, uri, 0, null: String, null: String,
           null: String, null: String, null: String)
       }

@@ -426,15 +426,19 @@ object ZstdDecode {
   // --- frame / block decode -------------------------------------------
 
   /** Growable output buffer with random access for window matches.
-    * `base` marks the end of a pre-seeded DICTIONARY prefix: matches
-    * may reach into it (RFC 8878 §5 — the dictionary content is
-    * window history), but it is not part of the produced output.
+    * A DICTIONARY rides as a READ-ONLY window segment BELOW position 0
+    * (RFC 8878 §5 — its content is window history): matches whose
+    * offset reaches past the produced output read from it, but it is
+    * never copied into the buffer — a 100 KB dictionary over thousands
+    * of per-record frames must not cost O(|dict|) memory traffic per
+    * frame.
     */
-  private final class ByteBuf(hint: Int) {
+  private final class ByteBuf(hint: Int, dictC: Array[Byte]) {
+    private val dict: Array[Byte] =
+      if (dictC == null) Array.emptyByteArray else dictC
     var arr = new Array[Byte](math.max(64, hint))
     var len = 0
-    var base = 0
-    def produced: Int = len - base
+    def produced: Int = len
     private def ensure(n: Int): Unit =
       if (len + n > arr.length) {
         var cap = arr.length * 2
@@ -448,25 +452,37 @@ object ZstdDecode {
       ensure(n); java.util.Arrays.fill(arr, len, len + n, b); len += n
     }
     /** Overlap-safe match copy (offset may be < length). The common
-      * non-overlapping case is one arraycopy; overlaps double the
-      * copied span each pass (the decoded prefix is itself the source)
-      * — this loop is the `.warc.zst` ingest's hottest path.
+      * non-overlapping in-output case is one arraycopy; overlaps
+      * double the copied span each pass (the decoded prefix is itself
+      * the source); a match reaching into the dictionary segment (the
+      * rare case) copies byte-wise across the boundary — this loop is
+      * the `.warc.zst` ingest's hottest path.
       */
     def copyMatch(offset: Int, n: Int): Boolean = {
-      if (offset <= 0 || offset > len) return false
+      if (offset <= 0 || offset.toLong > len.toLong + dict.length) return false
       ensure(n)
       val src = len - offset
-      if (offset >= n) System.arraycopy(arr, src, arr, len, n)
-      else {
-        var done = offset
-        System.arraycopy(arr, src, arr, len, offset)
-        while (done < n) {
-          val step = math.min(done, n - done)
-          System.arraycopy(arr, len, arr, len + done, step)
-          done += step
+      if (src >= 0) {
+        if (offset >= n) System.arraycopy(arr, src, arr, len, n)
+        else {
+          var done = offset
+          System.arraycopy(arr, src, arr, len, offset)
+          while (done < n) {
+            val step = math.min(done, n - done)
+            System.arraycopy(arr, len, arr, len + done, step)
+            done += step
+          }
         }
+        len += n
+      } else {
+        var i = 0
+        while (i < n) {
+          val s = len + i - offset // source in produced space; < 0 → dict
+          arr(len + i) = if (s < 0) dict(dict.length + s) else arr(s)
+          i += 1
+        }
+        len += n
       }
-      len += n
       true
     }
     def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
@@ -729,7 +745,8 @@ object ZstdDecode {
       if (out.produced + ll + ml > maxOut) return false
       out.append(lits, litPos, ll)
       litPos += ll
-      if (offset > out.len || offset > Int.MaxValue) return false
+      if (offset > Int.MaxValue) return false
+      // window validity (incl. the dictionary segment) is copyMatch's
       if (!out.copyMatch(offset.toInt, ml)) return false
       // state updates (order LL, ML, OF), skipped after the last sequence
       if (i != nbSeq - 1) {
@@ -810,12 +827,9 @@ object ZstdDecode {
       if (fcs > maxOut) return null
     }
     val fs = new FrameState
-    val out = new ByteBuf(
-      (if (fcs >= 0) fcs.toInt else 4096) +
-        (if (dict != null) dict.content.length else 0))
+    val out = new ByteBuf(if (fcs >= 0) fcs.toInt else 4096,
+      if (dict != null) dict.content else null)
     if (dict != null) {
-      out.append(dict.content, 0, dict.content.length)
-      out.base = dict.content.length
       fs.huf = dict.huf
       fs.ll = dict.ll; fs.of = dict.of; fs.ml = dict.ml
       if (dict.rep != null) {
@@ -849,8 +863,7 @@ object ZstdDecode {
       }
     }
     if (fcs >= 0 && out.produced.toLong != fcs) return null
-    // the produced output excludes the dictionary prefix
-    val data = java.util.Arrays.copyOfRange(out.arr, out.base, out.len)
+    val data = out.toArray
     if (hasCk) {
       if (p + 4 > bytes.length) return null
       val want = le32(p)
