@@ -810,6 +810,41 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("byte-path drop-reasons ledger streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the audit layer must hold on a LIVE archive stream: full-stream
+    // rows (revisit/request status 0, torn −1, encoded bodies decoded,
+    // out-of-contract br → NULL text) equal the batch walk
+    val blobs = Seq(
+      (1L, graft.operators.Warc.syntheticWarcCrawl(1L, 8,
+        withNonResponses = true, withEncodings = true, badEncodingEvery = 3)),
+      (2L, graft.operators.Warc.syntheticWarcEncodings(2L)))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Warc.httpLedgerBytes(
+        graft.operators.Warc.recordsBinary(df, "media_id", "payload"))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = chain(in.toDF().toDF("media_id", "payload")).writeStream
+      .format("memory").queryName("sc_ledgerbytes_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs.take(1): _*); q.processAllAvailable()
+      in.addData(blobs.drop(1): _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("rec_idx")) ->
+          ((r.getAs[String]("warc_type"), r.getAs[Int]("status"),
+            r.getAs[String]("content_encoding"), r.getAs[String]("text")))).toMap
+      val streamed = rows(spark.table("sc_ledgerbytes_out"))
+      val batch = rows(chain(blobs.toDF("media_id", "payload")))
+      assert(streamed == batch)
+      // the 'encoding'-stage raw material survives the stream: a 200
+      // response with ce=br and NULL text
+      assert(streamed.values.exists(v =>
+        v._1 == "response" && v._2 == 200 && v._3 == "br" && v._4 == null))
+      assert(streamed.values.exists(v => v._1 == "revisit" && v._2 == 0))
+    } finally q.stop()
+  }
+
   test("charset + encoding ingest runs on a stream identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     // the full byte-level honesty layer — recordsBinary → httpTexts —
