@@ -102,15 +102,26 @@ object Changelog {
     * to diff — forcing it through a content diff would misread the
     * absent body as 'removed'. Rows with status 304 emit
     * (key, 'unchanged') directly; rows with a 2xx body diff against
-    * `prev` via [[snapshotDiff]] (restricted to the keys this round
-    * actually re-fetched WITH a body, so conditional-GET keys can't
-    * leak into the diff as removals). Other statuses (4xx/5xx — fetch
-    * failures) get NO verdict here; the availability layer owns them.
+    * `prev` by digest, [[snapshotDiff]]-style (map-side sha-256, so
+    * the join ships 32-byte digests, never bodies). Other statuses
+    * (4xx/5xx — fetch failures) get NO verdict here; the availability
+    * layer owns them.
     *
-    * Scale shape: one semi-join to scope the diff + snapshotDiff's
-    * digest exchange; the 304 arm is map-only — exactly the rows the
-    * server saved the crawler from downloading also skip the digest
-    * machinery.
+    * One verdict per key: if a round carries BOTH a 2xx and a 304 row
+    * for the same key (retry races, mirrored fetchers), the 2xx body
+    * is the fresher signal and wins — the 304 row is dropped rather
+    * than emitting a conflicting duplicate 'unchanged'. And a 304 for
+    * a key with NO prior snapshot has nothing to be unchanged against
+    * (a cache-poisoned or misdirected validator): it gets no verdict,
+    * same as the other protocol-anomaly statuses.
+    *
+    * Scale shape: one key-partitioned window picks the per-key row
+    * (map-side WindowGroupLimit — one candidate per key crosses the
+    * exchange), then ONE left join against prev's (key, digest)
+    * resolves every arm — the fetch side reuses the window's
+    * partitioning, so the join adds only prev's exchange. The 304 arm
+    * stays body-free: exactly the rows the server saved the crawler
+    * from downloading also skip the digest hashing.
     */
   def fetchVerdicts(
       prev: DataFrame,
@@ -119,14 +130,34 @@ object Changelog {
       payloadCol: String,
       statusCol: String
   ): DataFrame = {
-    val ok = fetches
-      .filter(col(statusCol) >= 200 && col(statusCol) < 300)
-      .select(col(keyCol), col(payloadCol))
-    val notModified = fetches
-      .filter(col(statusCol) === 304)
-      .select(col(keyCol).as("key"), lit("unchanged").as("change"))
-    val prevScoped = prev.join(ok.select(col(keyCol)), Seq(keyCol), "left_semi")
-    snapshotDiff(prevScoped, ok, keyCol, payloadCol)
-      .unionByName(notModified)
+    val is2xx = col(statusCol) >= 200 && col(statusCol) < 300
+    val rn = Iterator.iterate("__rn")(_ + "_")
+      .dropWhile(fetches.columns.contains).next()
+    val perKey = Window
+      .partitionBy(col(keyCol))
+      .orderBy(when(is2xx, 0).otherwise(1).asc, col(statusCol).asc,
+        col(payloadCol).asc_nulls_last)
+    val picked = fetches
+      .filter(is2xx || col(statusCol) === 304)
+      .withColumn(rn, row_number().over(perKey))
+      .filter(col(rn) === 1)
+      .select(col(keyCol).as("key"), col(statusCol).as("__st"),
+        // a 304 carries no body by definition — don't hash its NULL
+        when(is2xx, sha2(col(payloadCol), 256)).as("__ha"))
+    // explicit presence marker, as in snapshotDiff: a NULL payload
+    // hashes to NULL, which must still read as "key present in prev"
+    val prevSide = prev.select(col(keyCol).as("key"),
+      sha2(col(payloadCol), 256).as("__hb"), lit(true).as("__pb"))
+    picked
+      .join(prevSide, Seq("key"), "left")
+      .select(col("key"),
+        when(col("__st") === 304,
+          // first-seen 304 (no prior snapshot): no verdict
+          when(col("__pb").isNotNull, "unchanged"))
+          .otherwise(
+            when(col("__pb").isNull, "added")
+              .when(!(col("__ha") <=> col("__hb")), "changed"))
+          .as("change"))
+      .filter(col("change").isNotNull)
   }
 }

@@ -66,14 +66,30 @@ object Robots {
     * half-parses — shared by EVERY walker over the same untrusted
     * document ([[walkGroups]] AND [[parseSitemapDirectives]]): one
     * horizon, or the same robots.txt would be half-truncated for
-    * rules and unbounded for sitemap pointers.
+    * rules and unbounded for sitemap pointers. The budget is counted
+    * in UTF-8 OCTETS (the unit the wire document and the RFC's
+    * "500 kibibytes" speak in), not UTF-16 chars — a multibyte
+    * robots.txt stops at the same byte horizon an ASCII one does.
     */
-  private def boundedText(text: String): String =
-    if (text.length <= ParseLimitBytes) text
+  private def boundedText(text: String): String = {
+    val n = text.length
+    // ≤3 UTF-8 bytes per char (surrogate pairs: 2 chars -> 4 bytes),
+    // so short strings can never cross the byte horizon
+    if (n <= ParseLimitBytes / 3) return text
+    var bytes = 0
+    var i = 0
+    while (i < n && bytes < ParseLimitBytes) {
+      val c = text.charAt(i)
+      bytes += (if (c < 0x80) 1 else if (c < 0x800) 2
+        else if (Character.isSurrogate(c)) 2 else 3)
+      i += 1
+    }
+    if (i >= n) text
     else {
-      val nl = text.indexOf('\n', ParseLimitBytes)
+      val nl = text.indexOf('\n', i)
       if (nl < 0) text else text.substring(0, nl)
     }
+  }
 
   private def walkGroups(text: String)(
       sink: (List[String], String, String) => Unit): Unit = {

@@ -824,7 +824,10 @@ object ZstdDecode {
         case _ => le32(p) | le32(p + 4) << 32
       }
       p += fcsLen
-      if (fcs > maxOut) return null
+      // an 8-byte FCS with bit 63 set parses negative — a declared frame
+      // size >= 2^63 is out of contract, and letting it through would skip
+      // both this bomb pre-gate and the declared-size equality check below
+      if (fcs < 0 || fcs > maxOut) return null
     }
     val fs = new FrameState
     val out = new ByteBuf(if (fcs >= 0) fcs.toInt else 4096,
@@ -875,8 +878,11 @@ object ZstdDecode {
     }
     (data, p)
   } catch {
-    case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
-        _: OutOfMemoryError => null
+    // allocations are bounded by maxOut before they happen, so OOM here
+    // would be genuine executor heap exhaustion — let it propagate rather
+    // than masking it as a corrupt-frame degrade
+    case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+      null
   }
 
   /** Split a CONCATENATED-frames zstd payload into its per-frame

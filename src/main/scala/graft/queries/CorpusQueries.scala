@@ -4234,12 +4234,13 @@ object CorpusQueries {
             col("interval_ms"), col("next_fetch_ms"), col("slot"),
             col("fetch_at_ms"), col("worker"))
         Q.requireBroadcastJoin(out)
-        // 6 total: diff full-outer (2 sides) + verdict join (2) + the
-        // revisit window + the screen groupBy + the host window (the
-        // screen groupBy re-partitions what the verdict join keyed, so
-        // one of the seven folds) — the honest corpus count for a
-        // diff-driven refresh; the rules/delay frames ride
-        // count-guarded broadcasts and never appear in the output plan
+        // 6 total: fetchVerdicts' per-key window + its prev-side digest
+        // join (the fetch side reuses the window's partitioning) + the
+        // verdict join (2 sides) + the revisit window + the screen
+        // groupBy + the host window, minus the folds AQE finds — the
+        // honest corpus count for a diff-driven refresh; the
+        // rules/delay frames ride count-guarded broadcasts and never
+        // appear in the output plan
         Q.requireMaxShuffles(out, 6)
         out
       },

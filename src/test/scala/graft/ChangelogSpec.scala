@@ -104,4 +104,20 @@ class ChangelogSpec extends SparkSpec {
     // and the 503/never-refetched keys (4, 5) get no verdict at all
     assert(got == Map(2L -> "changed", 3L -> "unchanged", 6L -> "added"))
   }
+
+  test("fetchVerdicts: one verdict per key on 2xx+304 races; first-seen 304 gets none") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b")).toDF("k", "t")
+    val fetches = Seq(
+      (1L, 304, null: String), // retry race: the key ALSO has a 2xx row...
+      (1L, 200, "a CHANGED"),  // ...whose body is the fresher signal — wins
+      (2L, 304, null: String), // clean conditional GET → unchanged
+      (9L, 304, null: String)) // 304 with NO prior snapshot → no verdict
+      .toDF("k", "status", "t")
+    val got = Changelog.fetchVerdicts(prev, fetches, "k", "t", "status")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // exactly one verdict per key — no conflicting duplicates
+    assert(got.length == got.map(_._1).distinct.length)
+    assert(got.toMap == Map(1L -> "changed", 2L -> "unchanged"))
+  }
 }

@@ -414,6 +414,21 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.parseRobots("d.com", before).map(_.path) == Seq("/early"))
   }
 
+  test("parse limit counts UTF-8 octets, not UTF-16 chars") {
+    // 'é' is 1 char but 2 UTF-8 bytes: a comment pad whose CHAR length
+    // stays well under the cap while its BYTE length crosses it must
+    // still truncate at the byte horizon (r15 advice — the wire
+    // document and the RFC's "500 kibibytes" both speak in octets)
+    val line = "# " + ("é" * 20) + "\n" // 23 chars, 43 UTF-8 bytes
+    val pad = line * (Robots.ParseLimitBytes / 43 + 2)
+    assert(pad.length < Robots.ParseLimitBytes) // chars under the cap...
+    assert(pad.getBytes("UTF-8").length > Robots.ParseLimitBytes) // ...bytes over
+    val txt = "User-agent: *\nDisallow: /early\n" + pad + "Disallow: /late\n"
+    val rules = Robots.parseRobots("d.com", txt)
+    assert(rules.map(_.path).contains("/early"))
+    assert(!rules.map(_.path).contains("/late"))
+  }
+
   test("exact wildcard matching: map-side == distributed, regex corners") {
     import spark.implicits._
     // regex derivation: escapes, mid-pattern $ literal, ** collapse,

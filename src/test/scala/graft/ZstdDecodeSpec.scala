@@ -208,6 +208,17 @@ class ZstdDecodeSpec extends SparkSpec {
       assert(ZstdDecode.decodeFrame(java.util.Arrays.copyOf(sf, cut), 0) == null)
   }
 
+  test("frame declaring a >= 2^63 content size refuses at the header") {
+    // 8-byte FCS with bit 63 set parses as a negative Long; it must be
+    // rejected outright — letting it through would skip BOTH the bomb
+    // pre-gate and the declared-size equality check (r15 advice)
+    val f = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte,
+      0xE0.toByte, // FHD: 8-byte FCS + single-segment
+      0, 0, 0, 0, 0, 0, 0, 0x80.toByte, // FCS = 0x8000000000000000
+      1, 0, 0) // last raw block, size 0 — would decode empty if admitted
+    assert(ZstdDecode.decodeFrame(f, 0) == null)
+  }
+
   test("contract edges: dictionary frames refuse, bomb cap binds") {
     // frame header declaring dictionary id 7 -> out of contract
     val dict = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte,
