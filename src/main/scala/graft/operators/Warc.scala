@@ -362,20 +362,57 @@ object Warc {
     }
   }
 
-  /** Charsets the ingest DECODES (the ones that cover real web text
-    * traffic next to UTF-8); everything else is out of contract and
-    * degrades to NULL rather than mojibake — a wrong decode poisons
-    * dedup digests and tokenizers silently, a NULL is visible to the
-    * drop-reasons audit.
+  /** Charsets the ingest DECODES — the Western-European set plus the
+    * JDK-native CJK / Cyrillic / Greek / Turkish / Central-European
+    * families a global crawl actually carries (a Shift_JIS or GBK page
+    * is most of the non-Western web; NULLing it out loses the text
+    * wholesale). Keys are the lowercased labels servers and `<meta>`
+    * tags really send — IANA names plus their common aliases.
+    * Everything else is out of contract and degrades to NULL rather
+    * than mojibake — a wrong decode poisons dedup digests and
+    * tokenizers silently, a NULL is visible to the drop-reasons audit.
+    * Strict decoders throughout, same as the original set: `shift_jis`
+    * maps to strict JIS X 0208 (the cp932/windows-31j superset only
+    * under its OWN labels), `gb2312` to GBK (the WHATWG mapping —
+    * real gb2312-labeled pages use GBK extensions).
     */
   private val KnownCharsets: Map[String, java.nio.charset.Charset] = {
     import java.nio.charset.StandardCharsets._
+    def cs(n: String) = java.nio.charset.Charset.forName(n)
     Map(
       "utf-8" -> UTF_8, "utf8" -> UTF_8,
       "us-ascii" -> US_ASCII, "ascii" -> US_ASCII,
       "iso-8859-1" -> ISO_8859_1, "latin-1" -> ISO_8859_1, "latin1" -> ISO_8859_1,
-      "windows-1252" -> java.nio.charset.Charset.forName("windows-1252"),
-      "cp1252" -> java.nio.charset.Charset.forName("windows-1252"))
+      "windows-1252" -> cs("windows-1252"), "cp1252" -> cs("windows-1252"),
+      // Japanese
+      "shift_jis" -> cs("Shift_JIS"), "shift-jis" -> cs("Shift_JIS"),
+      "sjis" -> cs("Shift_JIS"), "x-sjis" -> cs("Shift_JIS"),
+      "windows-31j" -> cs("windows-31j"), "cp932" -> cs("windows-31j"),
+      "ms_kanji" -> cs("windows-31j"),
+      "euc-jp" -> cs("EUC-JP"), "x-euc-jp" -> cs("EUC-JP"),
+      "eucjp" -> cs("EUC-JP"),
+      // Korean
+      "euc-kr" -> cs("EUC-KR"), "ks_c_5601-1987" -> cs("EUC-KR"),
+      "ksc5601" -> cs("EUC-KR"),
+      "cp949" -> cs("x-windows-949"), "windows-949" -> cs("x-windows-949"),
+      // Chinese, simplified + traditional
+      "gbk" -> cs("GBK"), "x-gbk" -> cs("GBK"), "gb2312" -> cs("GBK"),
+      "gb_2312-80" -> cs("GBK"), "euc-cn" -> cs("GBK"),
+      "gb18030" -> cs("GB18030"),
+      "big5" -> cs("Big5"), "big-5" -> cs("Big5"),
+      "big5-hkscs" -> cs("Big5-HKSCS"),
+      // Cyrillic
+      "koi8-r" -> cs("KOI8-R"), "koi8" -> cs("KOI8-R"),
+      "koi8-u" -> cs("KOI8-U"),
+      "windows-1251" -> cs("windows-1251"), "cp1251" -> cs("windows-1251"),
+      "iso-8859-5" -> cs("ISO-8859-5"),
+      // Central European / Greek / Turkish / the euro-revised latin-1
+      "windows-1250" -> cs("windows-1250"), "cp1250" -> cs("windows-1250"),
+      "iso-8859-2" -> cs("ISO-8859-2"), "latin2" -> cs("ISO-8859-2"),
+      "latin-2" -> cs("ISO-8859-2"),
+      "iso-8859-7" -> cs("ISO-8859-7"), "greek" -> cs("ISO-8859-7"),
+      "iso-8859-9" -> cs("ISO-8859-9"), "latin5" -> cs("ISO-8859-9"),
+      "iso-8859-15" -> cs("ISO-8859-15"), "latin9" -> cs("ISO-8859-15"))
   }
 
   /** Decode payload bytes under a DECLARED charset (null = the UTF-8
@@ -769,14 +806,21 @@ object Warc {
     * instead of silently assuming an all-response stream. The response
     * records' bytes are IDENTICAL either way.
     */
-  /** `badEncodingEvery` > 0 appends, after response i where
-    * i % badEncodingEvery == 1, an EXTRA response record under its own
-    * never-colliding URI whose body declares `Content-Encoding: br` —
-    * out of the decode contract, so a byte-path ledger must classify
-    * it by the 'encoding' drop stage (the string path would misread
-    * it as torn). Appended records shift only rec_idx, never the
-    * existing records' relative order, so every other classification
-    * count is unchanged.
+  /** `badEncodingEvery` > 0 appends EXTRA response records under their
+    * own never-colliding URIs, one per residue of i mod
+    * badEncodingEvery:
+    * at == 1, a body declaring `Content-Encoding: br` — out of the
+    * decode contract, so a byte-path ledger must classify it by the
+    * 'encoding' drop stage (the string path would misread it as torn);
+    * at == 2, a `charset=shift_jis` page with REAL Shift_JIS bytes —
+    * in contract since the CJK family landed, so it must come out
+    * ADMITTED (this is the shrink of the charset drop bucket,
+    * measurable in the ledger);
+    * at == 0, a `charset=utf-7` page — still out of contract, so it
+    * must land in the 'charset' drop stage (distinct from 'encoding':
+    * the bytes arrived fine, the declared text encoding is the loss).
+    * Appended records shift only rec_idx, never the existing records'
+    * relative order, so every other classification count is unchanged.
     */
   def syntheticWarcCrawl(seed: Long, nRecords: Int,
       withNonResponses: Boolean = false,
@@ -825,6 +869,22 @@ object Warc {
           "charset=utf-8\r\nContent-Encoding: br\r\n\r\n").getBytes(US_ASCII)
         rec("response", s"http://site$m.example/enc/$i",
           encHead ++ s"brotli-bytes $i".getBytes(US_ASCII))
+      }
+      if (badEncodingEvery > 0 && i % badEncodingEvery == 2) {
+        val cjkHead = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=shift_jis\r\n\r\n").getBytes(US_ASCII)
+        // seed in the path: these must stay unique ACROSS blobs — they
+        // reach the dedup stage (unlike the early-dropping br/utf-7
+        // records) and collisions would demote them to 'duplicate'
+        rec("response", s"http://site$m.example/cjk/$seed/$i",
+          cjkHead ++ s"日本語 $i".getBytes(
+            java.nio.charset.Charset.forName("Shift_JIS")))
+      }
+      if (badEncodingEvery > 0 && i % badEncodingEvery == 0) {
+        val badCsHead = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=utf-7\r\n\r\n").getBytes(US_ASCII)
+        rec("response", s"http://site$m.example/cs/$i",
+          badCsHead ++ s"+ZeVnLIqe- $i".getBytes(US_ASCII))
       }
       i += 1
     }
@@ -912,11 +972,23 @@ object Warc {
     * 3 — NO charset parameter, ASCII bytes (the UTF-8 default);
     * 4 — utf-8 DECLARED over latin-1 bytes (a lying server): the
     *     strict decode fails → NULL, visible to the audit;
-    * 5 — shift_jis declared (out of contract) → NULL;
+    * 5 — shift_jis declared over ASCII bytes (ASCII is a Shift_JIS
+    *     subset, so the strict decode succeeds — this arm was the
+    *     out-of-contract NULL before the CJK family landed);
     * 6 — NO header charset, `<meta charset="iso-8859-1">` in the
     *     prescan window, latin-1 bytes — the meta fallback decodes;
     * 7 — header utf-8 AND a lying meta (iso-8859-1) over utf-8 bytes —
-    *     the transport declaration wins per WHATWG.
+    *     the transport declaration wins per WHATWG;
+    * 8-17 — the global-crawl families, each payload written in the
+    *     charset it declares (byte-verified: the fixture encodes with
+    *     the same JDK charset the decoder uses, and the expected text
+    *     is closed-form): shift_jis, euc-jp (via the meta prescan —
+    *     header silent), euc-kr, gb2312-labeled GBK, gb18030 (with a
+    *     4-byte sequence), big5, koi8-r, windows-1251, iso-8859-7,
+    *     iso-8859-2;
+    * 18 — shift_jis declared over bytes with an INVALID trail byte (a
+    *     lying/corrupt CJK server): strict decode fails → NULL — the
+    *     new families keep the never-mojibake contract.
     */
   def syntheticWarcCharsets(seed: Long): Array[Byte] = {
     require(seed >= 0, "syntheticWarcCharsets: non-negative seed")
@@ -946,6 +1018,33 @@ object Warc {
     rec(7, "utf-8",
       (s"""<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">""" +
         s"caf\u00e9 hdr $seed").getBytes(UTF_8))
+    def bytes(s: String, cs: String) =
+      s.getBytes(java.nio.charset.Charset.forName(cs))
+    rec(8, "shift_jis",
+      bytes(s"\u65e5\u672c\u8a9e\u30da\u30fc\u30b8 $seed", "Shift_JIS"))
+    rec(9, null, // header silent \u2014 the euc-jp declaration rides the meta prescan
+      bytes(s"""<meta charset="euc-jp">\u8a00\u8a9e\u30c6\u30b9\u30c8 $seed""",
+        "EUC-JP"))
+    rec(10, "euc-kr",
+      bytes(s"\ud55c\uad6d\uc5b4 \ud398\uc774\uc9c0 $seed", "EUC-KR"))
+    rec(11, "gb2312", // the WHATWG gb2312->GBK mapping, via an alias label
+      bytes(s"\u4e2d\u6587\u7f51\u9875 $seed", "GBK"))
+    rec(12, "gb18030", // U+0F00 needs a gb18030 FOUR-byte sequence
+      bytes(s"\u4e2d\u6587\u0f00\u9875 $seed", "GB18030"))
+    rec(13, "big5",
+      bytes(s"\u7e41\u9ad4\u4e2d\u6587 $seed", "Big5"))
+    rec(14, "koi8-r",
+      bytes(s"\u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 $seed",
+        "KOI8-R"))
+    rec(15, "windows-1251",
+      bytes(s"\u043a\u0438\u0440\u0438\u043b\u043b\u0438\u0446\u0430 $seed",
+        "windows-1251"))
+    rec(16, "iso-8859-7",
+      bytes(s"\u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac $seed", "ISO-8859-7"))
+    rec(17, "iso-8859-2",
+      bytes(s"\u010de\u0161tina str\u00e1nka $seed", "ISO-8859-2"))
+    rec(18, "shift_jis", // valid lead 0x85 + invalid trail 0x20: strict NULL
+      bytes(s"\u65e5\u672c\u8a9e", "Shift_JIS") ++ Array[Byte](0x85.toByte, 0x20))
     out.toByteArray
   }
 

@@ -6145,9 +6145,16 @@ object CorpusQueries {
     // its charset (utf-8-declared latin-1 bytes) yields NULL visible
     // to the audit, never silently-wrong text that would poison dedup
     // digests and tokenizers downstream; unknown charsets degrade the
-    // same way. Six arms per blob, each a different (declared charset
-    // × actual bytes) cell of the decode matrix, every expected
-    // string closed-form. Map-only end to end, typed-asserted.
+    // same way. Nineteen arms per blob, each a different (declared
+    // charset × actual bytes) cell of the decode matrix — the Western
+    // set, the header/meta/default precedence arms, and the
+    // global-crawl families (Shift_JIS, EUC-JP via the meta prescan,
+    // EUC-KR, gb2312-labeled GBK, GB18030 with a 4-byte sequence,
+    // Big5, KOI8-R, windows-1251, ISO-8859-7, ISO-8859-2) with
+    // byte-verified multibyte payloads, plus a corrupt-trail Shift_JIS
+    // arm proving the new families keep the strict never-mojibake
+    // contract. Every expected string closed-form. Map-only end to
+    // end, typed-asserted.
     Q(
       "q_warc_charset",
       (spark, dir) => {
@@ -6173,21 +6180,38 @@ object CorpusQueries {
           |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
           |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN NULL
           |    WHEN 4 THEN 'utf-8' WHEN 5 THEN 'shift_jis'
-          |    WHEN 6 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+          |    WHEN 6 THEN 'iso-8859-1' WHEN 7 THEN 'utf-8'
+          |    WHEN 8 THEN 'shift_jis' WHEN 9 THEN 'euc-jp'
+          |    WHEN 10 THEN 'euc-kr' WHEN 11 THEN 'gb2312'
+          |    WHEN 12 THEN 'gb18030' WHEN 13 THEN 'big5'
+          |    WHEN 14 THEN 'koi8-r' WHEN 15 THEN 'windows-1251'
+          |    WHEN 16 THEN 'iso-8859-7' WHEN 17 THEN 'iso-8859-2'
+          |    ELSE 'shift_jis' END AS charset,
           |  CASE CAST(i AS INT)
-          |    WHEN 3 THEN 'default' WHEN 6 THEN 'meta'
+          |    WHEN 3 THEN 'default' WHEN 6 THEN 'meta' WHEN 9 THEN 'meta'
           |    ELSE 'header' END AS charset_source,
           |  CASE CAST(i AS INT)
           |    WHEN 0 THEN 'caf\u00e9 page ' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 1 THEN 'caf\u00e9 r\u00e9sum\u00e9 ' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 2 THEN 'price \u20ac' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 3 THEN 'plain page ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 5 THEN 'nihongo ' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 6 THEN '<html><head><meta charset="iso-8859-1"></head><body>caf\u00e9 meta '
           |      || CAST(n_nationkey AS VARCHAR) || '</body></html>'
           |    WHEN 7 THEN '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">caf\u00e9 hdr '
           |      || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 8 THEN '\u65e5\u672c\u8a9e\u30da\u30fc\u30b8 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 9 THEN '<meta charset="euc-jp">\u8a00\u8a9e\u30c6\u30b9\u30c8 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 10 THEN '\ud55c\uad6d\uc5b4 \ud398\uc774\uc9c0 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 11 THEN '\u4e2d\u6587\u7f51\u9875 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 12 THEN '\u4e2d\u6587\u0f00\u9875 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 13 THEN '\u7e41\u9ad4\u4e2d\u6587 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 14 THEN '\u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 15 THEN '\u043a\u0438\u0440\u0438\u043b\u043b\u0438\u0446\u0430 ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 16 THEN '\u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 17 THEN '\u010de\u0161tina str\u00e1nka ' || CAST(n_nationkey AS VARCHAR)
           |    ELSE NULL END AS text
-          |FROM nation, UNNEST(generate_series(0, 7)) AS u(i)""".stripMargin
+          |FROM nation, UNNEST(generate_series(0, 18)) AS u(i)""".stripMargin
       )
     ),
 
@@ -6438,10 +6462,17 @@ object CorpusQueries {
     // runs the real decode chain, so encoded-but-decodable records
     // classify exactly as their plain twins and the out-of-contract
     // `Content-Encoding: br` records (appended under their own URIs)
-    // land in the new 'encoding' stage — undecodable-body pages
-    // become a VISIBLE, counted loss instead of polluting the torn
-    // bucket. All other stage counts are byte-identical to the plain
-    // ledger's oracle arms.
+    // land in the 'encoding' stage — undecodable-body pages become a
+    // VISIBLE, counted loss instead of polluting the torn bucket. The
+    // NULL-text stage is SPLIT by cause: a wire coding the chain can't
+    // inflate is 'encoding'; bytes that arrived fine but whose
+    // DECLARED charset is out of contract or fails its strict decode
+    // are 'charset' — two different remediations (add a decoder vs
+    // distrust the server). The shift_jis records planted next to the
+    // br ones prove the charset bucket SHRANK when the CJK family
+    // landed: they decode now, so they count in 'admitted', while the
+    // utf-7 records stay in 'charset'. All other stage counts are
+    // byte-identical to the plain ledger's oracle arms.
     Q(
       "q_crawl_ledger_wire",
       (spark, dir) => {
@@ -6470,7 +6501,9 @@ object CorpusQueries {
               .when(col("status") === -1, lit("torn"))
               .when(col("status") =!= 200, lit("http_status"))
               .when(col("content_type") =!= "text/html", lit("content_type"))
-              .when(col("text").isNull, lit("encoding"))
+              .when(col("text").isNull && col("content_encoding").isNotNull,
+                lit("encoding"))
+              .when(col("text").isNull, lit("charset"))
               .when(col("canon").isNull, lit("canon"))
               .when(!graft.operators.Robots.allowedColumn(rules,
                 expr("parse_url(canon, 'HOST')"),
@@ -6519,6 +6552,12 @@ object CorpusQueries {
           |  UNION ALL
           |  SELECT 'encoding' FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
           |  WHERE i % 3 = 1
+          |  UNION ALL
+          |  SELECT 'admitted' FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |  WHERE i % 3 = 2
+          |  UNION ALL
+          |  SELECT 'charset' FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+          |  WHERE i % 3 = 0
           |)
           |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n
           |FROM reasons GROUP BY reason""".stripMargin

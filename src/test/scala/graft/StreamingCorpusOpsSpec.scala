@@ -849,9 +849,10 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     // the full byte-level honesty layer — recordsBinary → httpTexts —
     // certified on the streaming API over BOTH decode matrices: the
-    // 8-cell charset matrix and the 8-cell on-the-wire encoding
-    // matrix (chunked/gzip/deflate/layered/torn). Map-only, so the
-    // chain must be streaming-legal with no extra plumbing.
+    // 19-cell charset matrix (incl. the CJK/Cyrillic families) and
+    // the 9-cell on-the-wire encoding matrix (chunked/gzip/deflate/
+    // layered/torn). Map-only, so the chain must be streaming-legal
+    // with no extra plumbing.
     val arriving = Seq(
       (1L, graft.operators.Warc.syntheticWarcCharsets(1L)),
       (2L, graft.operators.Warc.syntheticWarcCharsets(2L)),
@@ -879,11 +880,13 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       val streamed = rows(spark.table("sc_charset_out"))
       val batch = rows(chain(arriving.toDF("media_id", "payload")))
       assert(streamed == batch)
-      assert(streamed.size == 34) // 8 charset arms × 2 + 9 encoding arms × 2
+      assert(streamed.size == 56) // 19 charset arms × 2 + 9 encoding arms × 2
       // spot-pin one cell of each matrix on the STREAMED side
       assert(streamed((1L, 1))._5 == "café résumé 1") // latin-1 decode
       assert(streamed((3L, 4))._5 == "both café 3")   // chunked-over-gzip
       assert(streamed((3L, 5))._5 == null)            // torn chunk stays NULL
+      assert(streamed((2L, 8))._5 == "日本語ページ 2") // CJK family on a stream
+      assert(streamed((2L, 18))._5 == null)           // corrupt CJK stays NULL
     } finally q.stop()
   }
 }

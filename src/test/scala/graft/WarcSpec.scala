@@ -114,14 +114,37 @@ class WarcSpec extends SparkSpec {
     assert(rows(2) == (("windows-1252", "price €3")))
     assert(rows(3) == ((null, "plain page 3"))) // no declaration: utf-8 default
     assert(rows(4) == (("utf-8", null)))        // lying server: strict fail
-    assert(rows(5) == (("shift_jis", null)))    // out of contract
+    assert(rows(5) == (("shift_jis", "nihongo 3"))) // ASCII under Shift_JIS decodes
     // the meta prescan fallback: header silent, <meta charset> decodes
     assert(rows(6)._1 == "iso-8859-1" && rows(6)._2.contains("café meta 3"))
     // the transport declaration WINS over a lying meta
     assert(rows(7)._1 == "utf-8" && rows(7)._2.contains("café hdr 3"))
+    // the global-crawl families: every multibyte payload decodes to
+    // exactly the text the fixture encoded (byte-verified roundtrip)
+    assert(rows(8) == (("shift_jis", "日本語ページ 3")))
+    assert(rows(9)._1 == "euc-jp" && rows(9)._2.endsWith("言語テスト 3"))
+    assert(rows(10) == (("euc-kr", "한국어 페이지 3")))
+    assert(rows(11) == (("gb2312", "中文网页 3"))) // the WHATWG gb2312->GBK mapping
+    assert(rows(12) == (("gb18030", "中文ༀ页 3"))) // 4-byte gb18030 sequence
+    assert(rows(13) == (("big5", "繁體中文 3")))
+    assert(rows(14) == (("koi8-r", "русский текст 3")))
+    assert(rows(15) == (("windows-1251", "кириллица 3")))
+    assert(rows(16) == (("iso-8859-7", "ελληνικά 3")))
+    assert(rows(17) == (("iso-8859-2", "čeština stránka 3")))
+    // a corrupt/lying CJK body still NULLs — strict in the new families
+    assert(rows(18) == (("shift_jis", null)))
+    // alias labels map to the same decoders
+    assert(Warc.decodeCharset("日本".getBytes("Shift_JIS"), "SJIS") == "日本")
+    assert(Warc.decodeCharset("あ".getBytes("windows-31j"), "cp932") == "あ")
+    assert(Warc.decodeCharset("한".getBytes("EUC-KR"), "ks_c_5601-1987") == "한")
+    assert(Warc.decodeCharset("р".getBytes("KOI8-R"), "koi8") == "р")
+    assert(Warc.decodeCharset("ł".getBytes("windows-1250"), "cp1250") == "ł")
+    assert(Warc.decodeCharset("ğ".getBytes("ISO-8859-9"), "latin5") == "ğ")
+    assert(Warc.decodeCharset("€".getBytes("ISO-8859-15"), "latin9") == "€")
     val srcs = out.collect().map(r => r.getAs[Int]("rec_idx") ->
       r.getAs[String]("charset_source")).toMap
     assert(srcs(3) == "default" && srcs(6) == "meta" && srcs(7) == "header")
+    assert(srcs(9) == "meta" && srcs(8) == "header")
     // metaCharset corners: both meta forms, quote styles, the 1 KiB
     // prescan window, and absence
     assert(Warc.metaCharset("<META CHARSET='WINDOWS-1252'>x".getBytes("US-ASCII"))
