@@ -461,4 +461,239 @@ object GraftMath {
     }
     sb.toString
   }
+
+  /** RFC 3986 §5.2 reference resolution composed with the §6
+    * normalization above: resolve `ref` (an href/src attribute value
+    * as found in HTML) against `base` (an ABSOLUTE http(s) URL) and
+    * return the canonical target, or null when the target is out of
+    * the http(s) contract (mailto:, javascript:, data:, tel:, a
+    * malformed base) — the same NULL-degrade every URL kernel here
+    * shares, so out-of-contract links drop visibly from a link graph
+    * instead of throwing. Dot segments, default ports, case and
+    * fragments are handled by [[canonicalizeUrl]] on the composed
+    * target — resolution and normalization can never disagree.
+    */
+  def resolveUrl(base: UTF8String, ref: UTF8String): UTF8String = {
+    if (base == null || ref == null) return null
+    val r0 = ref.toString.trim
+    val b = base.toString
+    // ref carries its own scheme -> it IS the target (§5.2.2 strict)
+    var k = 0
+    var hasScheme = false
+    if (r0.nonEmpty && isAlpha(r0.charAt(0))) {
+      k = 1
+      while (k < r0.length && isSchemeChar(r0.charAt(k))) k += 1
+      hasScheme = k < r0.length && r0.charAt(k) == ':'
+    }
+    if (hasScheme) return canonicalizeUrl(UTF8String.fromString(r0))
+    // parse the base once: scheme://authority path ?query
+    val cIdx = b.indexOf("://")
+    if (cIdx <= 0) return null
+    val scheme = b.substring(0, cIdx)
+    val rest = b.substring(cIdx + 3)
+    var aEnd = 0
+    while (aEnd < rest.length && rest.charAt(aEnd) != '/' &&
+      rest.charAt(aEnd) != '?' && rest.charAt(aEnd) != '#') aEnd += 1
+    val authority = rest.substring(0, aEnd)
+    if (authority.isEmpty) return null
+    val tail0 = rest.substring(aEnd)
+    val hashIdx = tail0.indexOf('#')
+    val tail = if (hashIdx >= 0) tail0.substring(0, hashIdx) else tail0
+    val qIdx = tail.indexOf('?')
+    val bPath = if (qIdx >= 0) tail.substring(0, qIdx) else tail
+    val bQuery = if (qIdx >= 0) tail.substring(qIdx) else ""
+    val target =
+      if (r0.startsWith("//")) scheme + ":" + r0
+      else if (r0.isEmpty || r0.charAt(0) == '#')
+        scheme + "://" + authority + bPath + bQuery // same document
+      else if (r0.charAt(0) == '?') scheme + "://" + authority + bPath + r0
+      else if (r0.charAt(0) == '/') scheme + "://" + authority + r0
+      else { // §5.2.3 merge: replace the last base segment
+        val dir =
+          if (bPath.isEmpty) "/"
+          else bPath.substring(0, bPath.lastIndexOf('/') + 1)
+        scheme + "://" + authority + dir + r0
+      }
+    canonicalizeUrl(UTF8String.fromString(target))
+  }
+
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isSchemeChar(c: Char): Boolean =
+    isAlpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+
+  /** The first `<base href>` of an HTML document (the WHATWG rule:
+    * later base elements are ignored), raw and entity-decoded — may
+    * itself be relative, so callers resolve it against the page URL.
+    * Null when absent. Shares [[htmlLinks]]'s scanner so the two can
+    * never disagree on what a tag is.
+    */
+  def htmlBaseHref(html: UTF8String): UTF8String = {
+    var found: String = null
+    scanHtml(html.toString) { (tag, attr, value) =>
+      if (found == null && tag == "base" && attr == "href") found = value
+    }
+    if (found == null) null else UTF8String.fromString(found)
+  }
+
+  /** All outlink references of an HTML document, one pass: the
+    * `href`/`src` attribute values of its tags, in document order,
+    * entity-decoded (the five predefined entities plus numeric
+    * character references — attribute values legally escape `&` as
+    * `&amp;`), with comment blocks and `script`/`style` element
+    * CONTENT skipped (a JS string literal containing markup is not a
+    * link) and fragment-only references dropped (they can never leave
+    * the page). `<base href>` itself is not a link. Raw values —
+    * resolution against the (base-adjusted) page URL is
+    * [[resolveUrl]]'s job, so extraction stays resolution-agnostic.
+    */
+  def htmlLinks(html: UTF8String): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    scanHtml(html.toString) { (tag, attr, value) =>
+      if ((attr == "href" || attr == "src") && tag != "base" &&
+        value.nonEmpty && value.charAt(0) != '#')
+        out += UTF8String.fromString(value)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** The shared lenient tag scanner behind [[htmlLinks]] and
+    * [[htmlBaseHref]]: walks tags left to right, skipping `<!-- -->`
+    * comments and `<script>`/`<style>` content, and emits
+    * (tagName, attrName, entityDecodedValue) for every attribute with
+    * a value. Never throws on torn markup — an unterminated tag or
+    * comment simply ends the walk (untrusted crawl HTML).
+    */
+  private def scanHtml(h: String)(
+      sink: (String, String, String) => Unit): Unit = {
+    val n = h.length
+    var i = 0
+    while (i < n) {
+      val lt = h.indexOf('<', i)
+      if (lt < 0) return
+      if (h.startsWith("<!--", lt)) {
+        val end = h.indexOf("-->", lt + 4)
+        if (end < 0) return
+        i = end + 3
+      } else {
+        // tag name
+        var j = lt + 1
+        if (j < n && h.charAt(j) == '/') j += 1
+        val nameStart = j
+        while (j < n && (isAlpha(h.charAt(j)) ||
+          (h.charAt(j) >= '0' && h.charAt(j) <= '9'))) j += 1
+        val tag = h.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+        if (nameStart == j) { i = lt + 1 } // '<' that opens no tag: step past
+        else {
+          // attribute walk until '>' (or end of input)
+          var closed = -1
+          while (j < n && closed < 0) {
+            val c = h.charAt(j)
+            if (c == '>') closed = j
+            else if (c <= ' ' || c == '/') j += 1
+            else {
+              val aStart = j
+              while (j < n && h.charAt(j) != '=' && h.charAt(j) != '>' &&
+                h.charAt(j) > ' ' && h.charAt(j) != '/') j += 1
+              val attr = h.substring(aStart, j)
+                .toLowerCase(java.util.Locale.ROOT)
+              // skip ws before a possible '='
+              while (j < n && h.charAt(j) <= ' ') j += 1
+              if (j < n && h.charAt(j) == '=') {
+                j += 1
+                while (j < n && h.charAt(j) <= ' ') j += 1
+                if (j < n) {
+                  val q = h.charAt(j)
+                  val value =
+                    if (q == '"' || q == '\'') {
+                      val vEnd = h.indexOf(q, j + 1)
+                      if (vEnd < 0) return // torn attribute: end the walk
+                      val v = h.substring(j + 1, vEnd)
+                      j = vEnd + 1
+                      v
+                    } else {
+                      val vStart = j
+                      while (j < n && h.charAt(j) > ' ' && h.charAt(j) != '>')
+                        j += 1
+                      h.substring(vStart, j)
+                    }
+                  sink(tag, attr, decodeEntities(value.trim))
+                }
+              }
+            }
+          }
+          if (closed < 0) return // unterminated tag: end the walk
+          i = closed + 1
+          // script/style CONTENT is opaque — skip to the closing tag
+          if ((tag == "script" || tag == "style") &&
+            h.charAt(if (closed > 0) closed - 1 else 0) != '/') {
+            val close = "</" + tag
+            var k = indexOfIgnoreCase(h, close, i)
+            if (k < 0) return
+            val gt = h.indexOf('>', k)
+            if (gt < 0) return
+            i = gt + 1
+          }
+        }
+      }
+    }
+  }
+
+  private def indexOfIgnoreCase(h: String, needle: String, from: Int): Int = {
+    var i = from
+    val max = h.length - needle.length
+    while (i <= max) {
+      var k = 0
+      while (k < needle.length &&
+        Character.toLowerCase(h.charAt(i + k)) == needle.charAt(k)) k += 1
+      if (k == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The five predefined entities plus numeric character references —
+    * what attribute values legally carry; unknown/malformed references
+    * pass through literally (lenient, like the URL kernels).
+    */
+  private def decodeEntities(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      val c = v.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val semi = v.indexOf(';', i + 1)
+        if (semi < 0 || semi - i > 10) { sb.append(c); i += 1 }
+        else {
+          val name = v.substring(i + 1, semi)
+          val rep = name match {
+            case "amp"  => "&"
+            case "lt"   => "<"
+            case "gt"   => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case _ =>
+              if (name.length > 1 && name.charAt(0) == '#') {
+                val num =
+                  try {
+                    if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+                      Integer.parseInt(name.substring(2), 16)
+                    else Integer.parseInt(name.substring(1))
+                  } catch { case _: NumberFormatException => -1 }
+                if (num >= 0 && num <= 0x10FFFF &&
+                  !(num >= 0xD800 && num <= 0xDFFF))
+                  new String(Character.toChars(num))
+                else null
+              } else null
+          }
+          if (rep == null) { sb.append(c); i += 1 }
+          else { sb.append(rep); i = semi + 1 }
+        }
+      }
+    }
+    sb.toString
+  }
 }

@@ -302,6 +302,79 @@ case class UrlCanonicalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_url_resolve(base, ref) -> string` — RFC 3986 §5.2 reference
+  * resolution + §6 normalization inside codegen; NULL when the target
+  * is out of the http(s) contract (mailto:, javascript:, a malformed
+  * base). The link-graph edge constructor. See [[GraftMath.resolveUrl]].
+  */
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // out-of-contract targets yield NULL
+  override def prettyName: String = "graft_url_resolve"
+
+  override protected def nullSafeEval(b: Any, r: Any): Any =
+    GraftMath.resolveUrl(b.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"""
+         |${ev.value} = graft.functions.GraftMath.resolveUrl($b, $r);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolve =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_html_links(string) -> array<string>` — the href/src attribute
+  * values of an HTML document in one pass (entity-decoded, comments
+  * and script/style content skipped, fragment-only refs dropped). Raw
+  * references — resolve with [[UrlResolve]]. See [[GraftMath.htmlLinks]].
+  */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_html_links"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.htmlLinks(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftMath.htmlLinks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
+/** `graft_html_base(string) -> string` — the first `<base href>` of an
+  * HTML document (WHATWG: later bases are ignored), or NULL; may
+  * itself be relative. See [[GraftMath.htmlBaseHref]].
+  */
+case class HtmlBaseHref(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // absent base yields NULL
+  override def prettyName: String = "graft_html_base"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.htmlBaseHref(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.GraftMath.htmlBaseHref($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlBaseHref =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers (the library's public function surface). */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -353,4 +426,16 @@ object GraftFunctions {
   /** RFC 3986 canonical form of an http(s) URL; NULL out of contract. */
   def urlCanon(c: Column): Column =
     ColumnBridge.column(UrlCanonicalize(e(c)))
+
+  /** RFC 3986 §5.2 resolution of `ref` against `base`, canonicalized. */
+  def urlResolve(base: Column, ref: Column): Column =
+    ColumnBridge.column(UrlResolve(e(base), e(ref)))
+
+  /** href/src attribute values of an HTML document, one pass. */
+  def htmlLinks(c: Column): Column =
+    ColumnBridge.column(HtmlLinks(e(c)))
+
+  /** The first `<base href>` of an HTML document, or NULL. */
+  def htmlBase(c: Column): Column =
+    ColumnBridge.column(HtmlBaseHref(e(c)))
 }

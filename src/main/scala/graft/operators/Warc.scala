@@ -572,6 +572,61 @@ object Warc {
     out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
   }
 
+  /** Deterministic HTML-OUTLINK fixture: `nRecords` response records
+    * (200, text/html, utf-8) whose bodies plant the reference-
+    * resolution matrix closed-form in (seed, i). Page i lives at
+    * `http://site{(seed+i)%5}.example/d/p{i}`; arm i % 4:
+    * 0 — two ABSOLUTE links carrying the mess the canonicalizer
+    *     normalizes (case, :80, dot segment, fragment) to exactly the
+    *     WAT fixture's edge targets `site{(seed+i+j)%5}/l/{i}[b]`;
+    * 1 — the SAME two targets expressed through resolution: a
+    *     `<base href>` to the j=1 host rebasing a bare relative href,
+    *     and a PROTOCOL-RELATIVE src for the j=2 host;
+    * 2 — same-host relative resolution: a path-relative href (§5.2.3
+    *     merge), a `../` dot-segment href, and a query-only href with
+    *     an `&amp;` entity — plus the noise an extractor must ignore
+    *     (a commented-out link, a javascript: and a mailto: href, a
+    *     fragment-only href, a link inside a script body);
+    * 3 — torn markup (an attribute with no value, a tag truncated at
+    *     end of input): contributes nothing, never throws.
+    * Arms 0/1 reproduce [[syntheticWat]]'s `i % 4 < 2` edge set
+    * EXACTLY, so a graph gate over this fixture shares the WAT graph
+    * gate's closed-form rank oracle.
+    */
+  def syntheticWarcHtml(seed: Long, nRecords: Int): Array[Byte] = {
+    require(seed >= 0 && nRecords >= 0, "syntheticWarcHtml: non-negative seed/count")
+    import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nRecords).foreach { i =>
+      val m = (seed + i) % 5
+      val m1 = (seed + i + 1) % 5
+      val m2 = (seed + i + 2) % 5
+      val body = (i % 4) match {
+        case 0 =>
+          s"""<html><body><a href="HTTP://Site$m1.EXAMPLE:80/./l/$i#sec">t</a>""" +
+            s"""<img src="http://site$m2.example/l/${i}b"></body></html>"""
+        case 1 =>
+          s"""<html><head><base href="http://site$m1.example/l/"></head>""" +
+            s"""<body><a href="$i">t</a>""" +
+            s"""<script src="//site$m2.example/l/${i}b"></script></body></html>"""
+        case 2 =>
+          s"""<html><body><!-- <a href="http://noise.example/x">c</a> -->""" +
+            s"""<a href="l2/rel$i">r</a><a href="../l3/dot$i">d</a>""" +
+            s"""<a href="?q=$i&amp;r=2">q</a><a href="#top">f</a>""" +
+            s"""<a href="javascript:void(0)">j</a><a href="mailto:a@b.example">m</a>""" +
+            s"""<script>var s = "<a href='http://script.example/no'>";</script>""" +
+            "</body></html>"
+        case _ =>
+          s"""<html><a href=>broken</a><a name="x">n</a><a href"""
+      }
+      val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        .getBytes(US_ASCII)
+      writeRecord(out, "response", s"http://site$m.example/d/p$i",
+        head ++ body.getBytes(UTF_8))
+    }
+    out.toByteArray
+  }
+
   /** Deterministic WET fixture: a `warcinfo` record then `nRecords`
     * conversion records, text closed-form in (seed, i). `withArms`
     * plants the regimes a WET CONSUMER screens for: i % 7 == 6 → a

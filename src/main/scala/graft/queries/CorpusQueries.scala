@@ -5993,6 +5993,116 @@ object CorpusQueries {
       }
     ),
 
+    // HTML OUTLINK EXTRACTION — the link graph WITHOUT the WAT
+    // sidecar: a SELF-crawled archive has only the raw HTML it
+    // fetched, so the extraction itself must be an operator. Chain:
+    // byte-level container walk → charset-aware text → one-pass
+    // href/src scan (native codegen: entities decoded, comments and
+    // script/style bodies skipped, fragment-only refs dropped) →
+    // <base href> rebasing (a relative base resolves against the page
+    // URL first, per WHATWG) → RFC 3986 §5.2 reference resolution
+    // composed with the §6 canonical form (graft_url_resolve — the
+    // resolution kernel is certified against the RFC's own §5.4
+    // example matrix in HtmlSpec). Planted arms, all closed-form:
+    // messy-absolute links the canon normalizes, base-relative +
+    // protocol-relative links, same-host path-relative / dot-segment
+    // / query-only (&amp;-escaped) links, javascript:/mailto:/
+    // fragment/commented/script-body noise that must contribute
+    // NOTHING, and torn markup that must not throw. Map-only end to
+    // end — three codegen expressions and an explode, typed-asserted.
+    Q(
+      "q_html_links",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcHtml(k, 8))
+        val texts = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .select(col("media_id"), col("rec_idx"), col("target_uri"), col("text"))
+        val out = graft.operators.Html.outlinks(texts, "target_uri", "text")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id, CAST(i AS INT) AS rec_idx,
+          |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR)
+          |    || '.example/d/p' || CAST(i AS VARCHAR) AS target_uri,
+          |  'http://site' || CAST((n_nationkey + i + j) % 5 AS VARCHAR)
+          |    || '.example/l/' || CAST(i AS VARCHAR)
+          |    || CASE WHEN j = 2 THEN 'b' ELSE '' END AS href
+          |FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
+          |     UNNEST(generate_series(1, 2)) AS v(j)
+          |WHERE i % 4 < 2
+          |UNION ALL
+          |SELECT CAST(n_nationkey AS BIGINT), CAST(i AS INT),
+          |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR)
+          |    || '.example/d/p' || CAST(i AS VARCHAR),
+          |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR)
+          |    || '.example' || CASE k
+          |      WHEN 1 THEN '/d/l2/rel' || CAST(i AS VARCHAR)
+          |      WHEN 2 THEN '/l3/dot' || CAST(i AS VARCHAR)
+          |      ELSE '/d/p' || CAST(i AS VARCHAR) || '?q='
+          |        || CAST(i AS VARCHAR) || '&r=2' END
+          |FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
+          |     UNNEST(generate_series(1, 3)) AS w(k)
+          |WHERE i % 4 = 2""".stripMargin
+      )
+    ),
+
+    // ARCHIVE → LINK GRAPH → AUTHORITY from RAW HTML — q_wat_graph's
+    // twin with the extraction done HERE instead of read from the
+    // sidecar: syntheticWarcHtml's arms 0/1 plant EXACTLY the WAT
+    // fixture's cross-host edge set (absolute links in arm 0;
+    // base-relative + protocol-relative in arm 1 — resolution feeding
+    // the graph, not just the gate), and arm 2's same-host relative
+    // links become self-edges the weighted collapse carries. Same
+    // |domains|²-bounded one-shuffle collapse, same two integer-exact
+    // PageRank rounds, same unrolled rank CTEs — only the edge list
+    // differs by the planted self-edges.
+    Q(
+      "q_html_graph",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcHtml(k, 8))
+        val texts = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .select(col("media_id"), col("rec_idx"), col("target_uri"), col("text"))
+        val links = graft.operators.Html.outlinks(texts, "target_uri", "text")
+        val edges = links.select(
+          expr("parse_url(target_uri, 'HOST')").as("src"),
+          expr("parse_url(href, 'HOST')").as("dst"))
+        val r = Graph.pageRankInt(edges, "src", "dst", iters = 2)
+        val scratch = Q.scratch("htmlrank")
+        r.write.mode("overwrite").parquet(scratch)
+        r.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some {
+        val edgesSql =
+          """SELECT
+            |    'site' || CAST((n_nationkey + i) % 5 AS VARCHAR) || '.example' AS src,
+            |    'site' || CAST((n_nationkey + i + j) % 5 AS VARCHAR) || '.example' AS dst
+            |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
+            |       UNNEST(generate_series(1, 2)) AS v(j)
+            |  WHERE i % 4 < 2
+            |  UNION ALL
+            |  SELECT
+            |    'site' || CAST((n_nationkey + i) % 5 AS VARCHAR) || '.example',
+            |    'site' || CAST((n_nationkey + i) % 5 AS VARCHAR) || '.example'
+            |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
+            |       UNNEST(generate_series(1, 3)) AS w(k)
+            |  WHERE i % 4 = 2""".stripMargin
+        s"""WITH ${domainGraphCtes(edgesSql, "hg")},
+           |${domainRankStepsSql("hg")}
+           |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM hgr2""".stripMargin
+      }
+    ),
+
     // AUTHORITY-WEIGHTED CRAWL BUDGETS — where the WAT-derived rank
     // actually bites the frontier: authority is a HOST-level signal
     // (within one host's politeness window every URL shares it), so
