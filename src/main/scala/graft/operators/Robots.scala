@@ -700,6 +700,70 @@ object Robots {
       .select(urls.columns.map(col) :+ col("allowed"): _*)
   }
 
+  /** The MIGRATION-AUDIT screen: BOTH verdicts — `allowed` (exact
+    * RFC 9309 wildcard semantics, the authoritative admission) and
+    * `allowed_conservative` (the widened-prefix screen's answer) —
+    * from ONE rule join + ONE groupBy, the same wire shape as either
+    * screen alone. The per-row over-block delta
+    * (`allowed && !allowed_conservative`) is what promoting the exact
+    * matcher into a composed crawl recovers: pages a widened wildcard
+    * disallow would have dropped. Same unique-`idCol` contract and
+    * count-guarded rules side as [[politenessScreen]]; the join admits
+    * a rule row when EITHER semantics matches it, and each aggregate
+    * re-checks its own semantics, so neither verdict can see the
+    * other's candidates.
+    */
+  def politenessScreenAudit(
+      urls: DataFrame,
+      rulesDf: DataFrame,
+      agent: String,
+      idCol: String = "doc_id",
+      domainCol: String = "domain",
+      pathCol: String = "path",
+      maxBroadcastRules: Long = DefaultMaxBroadcastRules
+  ): DataFrame = {
+    val me = agent.toLowerCase(java.util.Locale.ROOT)
+    val regexUdf = udf((p: String) => robotsPatternRegex(p))
+    val withSpec = rulesDf
+      .withColumn("__spec", max((col("agent") === me).cast("int"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))))
+      .filter(
+        (col("__spec") === 1 && col("agent") === me) ||
+          (col("__spec") === 0 && col("agent") === "*"))
+    val effective = withSpec
+      .filter(length(col("path")) > 0) // empty-path rules are RFC no-ops
+      .select(col("domain").as("__rd"), col("rule").as("__rule"),
+        regexUdf(col("path")).as("__re"),
+        expr("octet_length(path)").as("__len"),
+        // the conservative arm's decision prefix: widened for
+        // disallows, raw for plain allows, NULL for wildcard/anchored
+        // allows (dropped, never widened — politenessScreen's rule)
+        when(col("rule") === "disallow", effectivePrefix(col("path")))
+          .when(!col("path").contains("*") && !col("path").endsWith("$"),
+            col("path")).as("__prefix"))
+    val side = Guard.broadcastOrLazy(effective, maxBroadcastRules)
+    val exactHit = regexp_like(col(pathCol), col("__re"))
+    val consHit = col("__prefix").isNotNull &&
+      col(pathCol).startsWith(col("__prefix"))
+    val passthrough = urls.columns.filterNot(_ == idCol)
+    urls
+      .join(side, urls(domainCol) === col("__rd") && (exactHit || consHit),
+        "left")
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__rule").isNotNull && exactHit,
+          struct(col("__len").as("l"),
+            (col("__rule") === "allow").as("a")))).as("__bx"),
+        (max(when(col("__rule").isNotNull && consHit,
+          struct(length(col("__prefix")).as("l"),
+            (col("__rule") === "allow").as("a")))).as("__bc") +:
+          passthrough.map(c => first(col(c)).as(c))): _*)
+      .withColumn("allowed", coalesce(col("__bx.a"), lit(true)))
+      .withColumn("allowed_conservative", coalesce(col("__bc.a"), lit(true)))
+      .select(urls.columns.map(col) :+ col("allowed") :+
+        col("allowed_conservative"): _*)
+  }
+
   /** Rate every URL against parsed rules: returns `urls` plus
     * `allowed`. `urls` must carry a unique `idCol`, the registrable
     * `domainCol` and the URL `pathCol`; `rulesDf` is [[rules]]' output.

@@ -4003,7 +4003,7 @@ object CorpusQueries {
         val blobs = Q.t(spark, dir, "nation")
           .select(col("n_nationkey").cast("long").as("media_id"))
         def robotsTxt(m: Int): String =
-          "User-agent: *\nDisallow: /a1\n" +
+          "User-agent: *\nDisallow: /a1\nDisallow: /a2/*/x$\n" +
             (if (m < 4) s"Crawl-delay: 0.${m + 1}\n" else "")
         // the FRAME forms end to end — rules and delays stay DataFrames
         // (the web-scale shape: neither table ever enters the plan text;
@@ -4039,10 +4039,13 @@ object CorpusQueries {
           .withColumn("canon",
             graft.functions.GraftFunctions.urlCanon(col("loc")))
           .select(col("canon"))
-        // politenessScreen's groupBy(canon) is BOTH the rating collapse
+        // the AUDIT screen's groupBy(canon) is BOTH the rating collapse
         // and the frontier dedup — one exchange does the two jobs the
-        // literal path needed a filter + distinct for
-        val screened = graft.operators.Robots.politenessScreen(
+        // literal path needed a filter + distinct for. Admission is
+        // the EXACT verdict; the conservative twin rides the SAME join
+        // and is recorded per row as `overblocked` — the /a2 pages the
+        // widened `/a2/*/x$` disallow would have cost this frontier
+        val screened = graft.operators.Robots.politenessScreenAudit(
           crawled.unionByName(seeded)
             .filter(col("canon").isNotNull)
             .withColumn("host", expr("parse_url(canon, 'HOST')"))
@@ -4050,7 +4053,8 @@ object CorpusQueries {
           ruleRows, "graftbot",
           idCol = "canon", domainCol = "host", pathCol = "__path")
         val frontier = screened.filter(col("allowed"))
-          .select(col("canon"), col("host"))
+          .select(col("canon"), col("host"),
+            (!col("allowed_conservative")).as("overblocked"))
         val out = graft.operators.Frontier.scheduleJoined(
           frontier, delayFrame, defaultDelayMs = 250L, workers = 8)
         Q.requireBroadcastJoin(out)
@@ -4093,7 +4097,8 @@ object CorpusQueries {
            |  SELECT DISTINCT canon FROM
            |    (SELECT canon FROM cr UNION ALL SELECT canon FROM sm)
            |), fh AS (
-           |  SELECT canon, split_part(substr(canon, 8), '/', 1) AS host FROM fr
+           |  SELECT canon, split_part(substr(canon, 8), '/', 1) AS host,
+           |    canon LIKE '%/a2/%' AS overblocked FROM fr
            |), s AS (
            |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
            |    ORDER BY canon ASC) - 1 AS BIGINT) AS slot
@@ -4211,28 +4216,35 @@ object CorpusQueries {
             coalesce(col("__chg"), lit(false)).as("changed"))
         val sched = graft.operators.Frontier.revisitSchedule(
           f1.unionByName(f2), baseMs = 30000L, maxMs = 240000L)
-        // re-admission: the refreshed robots ban /p/ban and carry the
-        // per-site crawl-delays the NEXT plan schedules under
+        // re-admission: the refreshed robots ban /p/ban, WILDCARD-ban
+        // /p/1*7$ (pages whose id starts with 1 and ends with 7 — the
+        // exact matcher reads it correctly and drops ONLY those, where
+        // the conservative widening to the /p/1 prefix would have
+        // dropped every id starting with 1), and carry the per-site
+        // crawl-delays the NEXT plan schedules under. Admission is the
+        // EXACT verdict (politenessScreenAudit); the conservative
+        // twin's per-row over-block rides the output as `overblocked`
         val robotsDf = (0 until 5).map(m => (s"site$m.example",
-          "User-agent: *\nDisallow: /p/ban\n" +
+          "User-agent: *\nDisallow: /p/ban\nDisallow: /p/1*7$\n" +
             (if (m < 4) s"Crawl-delay: ${m + 1}\n" else "")))
           .toDF("domain", "txt")
         val ruleRows = graft.operators.Robots.rules(robotsDf, "domain", "txt")
         val delayFrame = graft.operators.Robots.effectiveDelayFrame(
           graft.operators.Robots.crawlDelays(robotsDf, "domain", "txt"), "graftbot")
-        val admitted = graft.operators.Robots.politenessScreen(
+        val admitted = graft.operators.Robots.politenessScreenAudit(
           sched.withColumn("host", expr("parse_url(canon, 'HOST')"))
             .withColumn("__path", expr("parse_url(canon, 'PATH')")),
           ruleRows, "graftbot",
           idCol = "canon", domainCol = "host", pathCol = "__path")
           .filter(col("allowed"))
+          .withColumn("overblocked", !col("allowed_conservative"))
           .withColumn("priority", -col("next_fetch_ms"))
         val out = graft.operators.Frontier.scheduleJoined(
           admitted, delayFrame, defaultDelayMs = 500L, workers = 8,
           priorityCol = Some("priority"))
           .select(col("canon"), col("host"), col("unchanged_streak"),
             col("interval_ms"), col("next_fetch_ms"), col("slot"),
-            col("fetch_at_ms"), col("worker"))
+            col("fetch_at_ms"), col("worker"), col("overblocked"))
         Q.requireBroadcastJoin(out)
         // 6 total: fetchVerdicts' per-key window + its prev-side digest
         // join (the fetch side reuses the window's partitioning) + the
@@ -4254,14 +4266,18 @@ object CorpusQueries {
            |      AS BIGINT) AS unchanged_streak,
            |    CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 4 <> 1 THEN 30000
            |      ELSE 60000 END AS BIGINT) AS interval_ms,
-           |    CAST(doc_id * 1000 + 60000 AS BIGINT) AS last_fetch_ms
-           |  FROM documents WHERE doc_id % 7 <> 0
+           |    CAST(doc_id * 1000 + 60000 AS BIGINT) AS last_fetch_ms,
+           |    CAST(doc_id AS VARCHAR) LIKE '1%' AS overblocked
+           |  FROM documents
+           |  WHERE doc_id % 7 <> 0
+           |    AND NOT (CAST(doc_id AS VARCHAR) LIKE '1%7')
            |), s AS (
            |  SELECT canon, host, unchanged_streak, interval_ms,
            |    last_fetch_ms + interval_ms AS next_fetch_ms,
            |    CAST(ROW_NUMBER() OVER (PARTITION BY host
            |      ORDER BY last_fetch_ms + interval_ms ASC, canon ASC) - 1
-           |      AS BIGINT) AS slot
+           |      AS BIGINT) AS slot,
+           |    overblocked
            |  FROM sched
            |)
            |SELECT *,
@@ -6411,11 +6427,18 @@ object CorpusQueries {
         val warc = udf((k: Long) =>
           graft.operators.Warc.syntheticWarcCrawl(k, 8,
             withNonResponses = true, withEncodings = true))
-        val robotsTxt = "User-agent: *\nDisallow: /a1\n"
-        val rules = graft.operators.Robots.effectiveRules(
-          (0 until 5).flatMap(m =>
-            graft.operators.Robots.parseRobots(s"site$m.example", robotsTxt)),
-          "graftbot")
+        // admission is the EXACT RFC 9309 matcher (wildcards honored);
+        // the wildcard disallow below matches NO fixture path, so the
+        // admitted set is what a correct reading of the rules gives —
+        // while the CONSERVATIVE twin (emitted per row as
+        // `overblocked`) widens it to the /a2/ prefix and would have
+        // dropped every arm-2 page: the measurable cost the exact
+        // promotion recovers
+        val robotsTxt = "User-agent: *\nDisallow: /a1\nDisallow: /a2/*/x$\n"
+        val parsed = (0 until 5).flatMap(m =>
+          graft.operators.Robots.parseRobots(s"site$m.example", robotsTxt))
+        val rulesExact = graft.operators.Robots.effectiveRulesExact(parsed, "graftbot")
+        val rulesCons = graft.operators.Robots.effectiveRules(parsed, "graftbot")
         val http = graft.operators.Warc.httpTexts(
           graft.operators.Warc.recordsBinary(
             blobs.withColumn("payload", warc(col("media_id"))),
@@ -6427,8 +6450,11 @@ object CorpusQueries {
           .withColumn("__host", expr("parse_url(canon, 'HOST')"))
           .withColumn("__path", expr("parse_url(canon, 'PATH')"))
         val polite = canoned
-          .filter(graft.operators.Robots.allowedColumn(
-            rules, col("__host"), col("__path")))
+          .filter(graft.operators.Robots.allowedColumnExact(
+            rulesExact, col("__host"), col("__path")))
+          .withColumn("overblocked",
+            !graft.operators.Robots.allowedColumn(
+              rulesCons, col("__host"), col("__path")))
           .withColumn("text", TextAnalysis.stripHtml(col("text")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("canon"))
@@ -6436,7 +6462,8 @@ object CorpusQueries {
         val out = polite
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
-          .select(col("media_id"), col("rec_idx"), col("canon"), col("text"))
+          .select(col("media_id"), col("rec_idx"), col("canon"), col("text"),
+            col("overblocked"))
         Q.requireMaxShuffles(out, 1)
         out
       },
@@ -6471,7 +6498,8 @@ object CorpusQueries {
           |    PARTITION BY canon ORDER BY media_id, rec_idx) AS rn
           |  FROM kept
           |)
-          |SELECT media_id, CAST(rec_idx AS INT) AS rec_idx, canon, text
+          |SELECT media_id, CAST(rec_idx AS INT) AS rec_idx, canon, text,
+          |  eff_arm = 2 AS overblocked
           |FROM dd WHERE rn = 1""".stripMargin
       )
     ),

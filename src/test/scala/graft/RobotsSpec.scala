@@ -469,6 +469,38 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.effectiveRulesExact(Nil, "x").isEmpty)
   }
 
+  test("politenessScreenAudit: both verdicts equal their solo screens, per row") {
+    import spark.implicits._
+    // wildcard-rich rules where the two semantics genuinely diverge
+    val txt = "User-agent: *\nDisallow: /\nAllow: /pub*\n" +
+      "Disallow: /*.pdf$\nDisallow: /a/*/secret\nAllow: /a/open$\n"
+    val parsed = Seq("d.com", "e.com").flatMap(d => Robots.parseRobots(d, txt))
+    val paths = Seq("/pub/x", "/other", "/pub/doc.pdf", "/a/b/secret",
+      "/a/open", "/a/openx", "/pub/sub/file.pdf", "/", "/a$b")
+    val urls = (for ((d, di) <- Seq("d.com", "e.com").zipWithIndex;
+      (p, pi) <- paths.zipWithIndex) yield ((di * 100 + pi).toLong, d, p))
+      .toDF("doc_id", "domain", "path")
+    def byId(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean](c)).toMap
+    val audit = Robots.politenessScreenAudit(urls, parsed.toDF(), "bot")
+    assert(audit.columns.toSeq ==
+      urls.columns.toSeq ++ Seq("allowed", "allowed_conservative"))
+    // the exact verdict IS politenessScreenExact's, row for row
+    assert(byId(audit, "allowed") ==
+      byId(Robots.politenessScreenExact(urls, parsed.toDF(), "bot"), "allowed"))
+    // the conservative verdict IS politenessScreen's, row for row
+    assert(byId(audit, "allowed_conservative") ==
+      byId(Robots.politenessScreen(urls, parsed.toDF(), "bot"), "allowed"))
+    // and the fixture really exercises the over-block: /pub/x is
+    // exact-allowed (Allow: /pub*) but conservative-denied (the
+    // wildcard allow drops, Disallow: / widens to everything)
+    val over = audit.filter(col("allowed") && !col("allowed_conservative"))
+      .select("path").as[String].collect().toSet
+    assert(over == Set("/pub/x", "/a/open"))
+    // one join + one groupBy: the audit costs what either screen costs
+    graft.queries.Q.requireMaxShuffles(audit, 2)
+  }
+
   test("sitemapLocsVia: index hop, gzip decode, torn/unfetched/nested degrades") {
     import spark.implicits._
     import graft.operators.CompressedMeta.gzipMember
