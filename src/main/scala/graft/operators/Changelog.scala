@@ -160,4 +160,46 @@ object Changelog {
           .as("change"))
       .filter(col("change").isNotNull)
   }
+
+  /** The CONDITIONAL-GET plan for the next refresh round — the request
+    * side [[fetchVerdicts]]' 304 arm presupposes: from the fetch
+    * HISTORY (every round's rows, each carrying whatever validators
+    * the server sent — `ETag`, `Last-Modified`, or neither), derive
+    * per URL the LAST-KNOWN validators and whether the next request
+    * can revalidate (RFC 9110 §13.1.2-3: send `If-None-Match` when an
+    * entity tag is held — it outranks dates — and `If-Modified-Since`
+    * when a date is; a URL with neither takes a full fetch). A
+    * validator persists across rounds that don't re-send one (a 304
+    * carries none and confirms the held tag; a 200 without an ETag
+    * doesn't erase the one held) and updates when a newer row carries
+    * a replacement — "last known", not "last seen".
+    *
+    * Output: (key, if_none_match, if_modified_since,
+    * plan ∈ 'revalidate' | 'full').
+    *
+    * Scale shape: ONE key-partitioned aggregate with map-side partial
+    * combine — each validator is max(struct(time, value)) over the
+    * rows that carried one, so shuffle bytes are ∝ keys. No window,
+    * no join, no driver state.
+    */
+  def conditionalFetchPlan(
+      fetches: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      etagCol: String,
+      lastModifiedCol: String
+  ): DataFrame = {
+    def latest(c: String) =
+      max(when(col(c).isNotNull,
+        struct(col(timeCol).as("t"), col(c).as("v")))).getField("v")
+    fetches
+      .groupBy(col(keyCol).as("key"))
+      .agg(
+        latest(etagCol).as("if_none_match"),
+        latest(lastModifiedCol).as("if_modified_since"))
+      .withColumn("plan",
+        when(col("if_none_match").isNotNull ||
+          col("if_modified_since").isNotNull, "revalidate")
+          .otherwise("full"))
+  }
 }

@@ -4290,6 +4290,53 @@ object CorpusQueries {
       )
     ),
 
+    // The CONDITIONAL-GET request plan — the side of the refresh loop
+    // q_crawl_refresh's 304 arm presupposes: a crawler only RECEIVES
+    // 304s if it SENT validators, so the ledger must track the
+    // last-known ETag / Last-Modified per URL and emit which URLs
+    // revalidate vs re-fetch in full (RFC 9110 §13.1.2-3; ETag
+    // outranks dates, both ride when both are held). Fixture arms,
+    // closed-form per doc_id: etag-present (every 3rd) vs absent;
+    // round 2 arrives as a validator-less 304 (every 4th — the held
+    // tag must PERSIST) or as a 200 that replaces the tag (%5<>0) or
+    // re-sends none; Last-Modified on evens from round 1 only. ONE
+    // key aggregate with map-side combine — shuffle bytes ∝ URLs.
+    Q(
+      "q_refresh_conditional",
+      (spark, dir) => {
+        val docs = Q.t(spark, dir, "documents").select(col("doc_id"))
+        val r1 = docs.select(col("doc_id"),
+          (col("doc_id") * 1000L).as("t"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("W/\"v1-"), col("doc_id"), lit("\""))).as("etag"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("Mon-"), col("doc_id"))).as("lm"))
+        val r2 = docs.select(col("doc_id"),
+          (col("doc_id") * 1000L + 60000L).as("t"),
+          when(col("doc_id") % 4 =!= 1 && col("doc_id") % 3 === 0 &&
+            col("doc_id") % 5 =!= 0,
+            concat(lit("W/\"v2-"), col("doc_id"), lit("\""))).as("etag"),
+          lit(null).cast("string").as("lm"))
+        val out = graft.operators.Changelog.conditionalFetchPlan(
+          r1.unionByName(r2), "doc_id", "t", "etag", "lm")
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """SELECT doc_id AS key,
+          |  CASE WHEN doc_id % 3 = 0 THEN
+          |    CASE WHEN doc_id % 4 <> 1 AND doc_id % 5 <> 0
+          |      THEN 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"'
+          |      ELSE 'W/"v1-' || CAST(doc_id AS VARCHAR) || '"' END
+          |  END AS if_none_match,
+          |  CASE WHEN doc_id % 2 = 0
+          |    THEN 'Mon-' || CAST(doc_id AS VARCHAR) END AS if_modified_since,
+          |  CASE WHEN doc_id % 3 = 0 OR doc_id % 2 = 0
+          |    THEN 'revalidate' ELSE 'full' END AS plan
+          |FROM documents""".stripMargin
+      )
+    ),
+
     // Snapshot DIFF between two dataset versions — the release-note
     // primitive of a curation cycle (what did v2 add, remove, change
     // vs v1), the audit twin of q_cdc_apply. Each side collapses to

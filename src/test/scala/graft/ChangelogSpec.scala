@@ -120,4 +120,34 @@ class ChangelogSpec extends SparkSpec {
     assert(got.length == got.map(_._1).distinct.length)
     assert(got.toMap == Map(1L -> "changed", 2L -> "unchanged"))
   }
+
+  test("conditionalFetchPlan: last-known validators persist, update, and gate the plan") {
+    import spark.implicits._
+    val hist = Seq(
+      // key 1: etag in round 1, a 304-ish round 2 with NO validators —
+      // the held tag persists ("last known", not "last seen")
+      (1L, 100L, "W/\"e1\"", null: String),
+      (1L, 200L, null: String, null: String),
+      // key 2: etag replaced by a newer row
+      (2L, 100L, "W/\"e2a\"", null: String),
+      (2L, 200L, "W/\"e2b\"", null: String),
+      // key 3: only Last-Modified -> If-Modified-Since revalidation
+      (3L, 100L, null: String, "Mon, 01 Jan 2026"),
+      // key 4: no validators ever -> full fetch
+      (4L, 100L, null: String, null: String),
+      // key 5: both validators, from different rounds
+      (5L, 100L, null: String, "Tue, 02 Jan 2026"),
+      (5L, 200L, "W/\"e5\"", null: String)
+    ).toDF("k", "t", "etag", "lm")
+    val plan = Changelog.conditionalFetchPlan(hist, "k", "t", "etag", "lm")
+    Q.requireMaxShuffles(plan, 1)
+    val got = plan.collect().map(r => r.getAs[Long]("key") ->
+      ((r.getAs[String]("if_none_match"), r.getAs[String]("if_modified_since"),
+        r.getAs[String]("plan")))).toMap
+    assert(got(1L) == (("W/\"e1\"", null, "revalidate")))
+    assert(got(2L) == (("W/\"e2b\"", null, "revalidate")))
+    assert(got(3L) == ((null, "Mon, 01 Jan 2026", "revalidate")))
+    assert(got(4L) == ((null, null, "full")))
+    assert(got(5L) == (("W/\"e5\"", "Tue, 02 Jan 2026", "revalidate")))
+  }
 }
