@@ -1051,6 +1051,256 @@ object ZstdDecode {
     c
   }
 
+  // --- FSE/Huffman ENCODERS (fixture generation only) ------------------
+  //
+  // The minimal inverse of the decode path above, so runtime gates can
+  // synthesize FULLY entropy-coded frames (FSE-compressed Huffman
+  // weights, Compressed_Mode sequence tables, real state transitions)
+  // at any scale factor with a generation-formula oracle. Not a
+  // compressor: tables are hand-normalized, no LZ search — the bytes
+  // are VALID RFC 8878, certified by the decoder the CLI golden bytes
+  // certified, not size-optimal.
+
+  /** Forward LSB-first bit writer — [[FwdBits]]' inverse (FSE table
+    * descriptions).
+    */
+  private final class FwdBitsWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var bitPos = 0
+    def add(v: Int, n: Int): Unit = {
+      require(n >= 0 && (n == 0 || (v >>> n) == 0), "FwdBitsWriter: value fits")
+      var i = 0
+      while (i < n) {
+        val abs = bitPos + i
+        if ((abs >> 3) >= buf.length) buf += 0
+        if (((v >> i) & 1) != 0)
+          buf(abs >> 3) = (buf(abs >> 3) | (1 << (abs & 7))).toByte
+        i += 1
+      }
+      bitPos += n
+    }
+    def toBytes: Array[Byte] = buf.toArray
+  }
+
+  /** Write an FSE table description — [[readFseTable]]'s exact inverse
+    * (the FSE_writeNCount walk): `counts` are normalized counts summing
+    * to 2^accuracyLog (−1 = less-than-one), trailing zeros omitted by
+    * the remaining==1 stop, zero runs as 2-bit repeat flags.
+    */
+  private def writeFseTable(counts: Array[Int], accuracyLog: Int): Array[Byte] = {
+    val w = new FwdBitsWriter
+    w.add(accuracyLog - 5, 4)
+    val tableSize = 1 << accuracyLog
+    var remaining = tableSize + 1
+    var threshold = tableSize
+    var nbBits = accuracyLog + 1
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1) {
+      if (previous0) {
+        var z = 0
+        while (counts(charnum + z) == 0) z += 1 // a nonzero exists: remaining > 1
+        charnum += z
+        while (z >= 3) { w.add(3, 2); z -= 3 }
+        w.add(z, 2)
+        previous0 = false
+      }
+      val max = (2 * threshold - 1) - remaining
+      val c = counts(charnum)
+      charnum += 1
+      remaining -= (if (c < 0) -c else c)
+      var v = c + 1 // decoded-value mapping: −1→0, 0→1, k→k+1
+      if (v >= threshold) v += max
+      w.add(v, nbBits - (if (v < max) 1 else 0))
+      previous0 = v == 1
+      while (remaining > 1 && remaining < threshold) {
+        nbBits -= 1; threshold >>= 1
+      }
+    }
+    w.toBytes
+  }
+
+  /** Normalized counts for a used-symbol histogram: every used symbol
+    * gets ≥ 1, proportional otherwise, remainder on the most frequent —
+    * deterministic, sums to 2^accuracyLog.
+    */
+  private def normalizeCounts(hist: Seq[(Int, Int)], accuracyLog: Int): Array[Int] = {
+    require(hist.nonEmpty, "normalizeCounts: empty histogram")
+    val size = 1 << accuracyLog
+    val maxSym = hist.map(_._1).max
+    val counts = new Array[Int](maxSym + 1)
+    val total = hist.map(_._2).sum
+    var assigned = 0
+    hist.foreach { case (s, c) =>
+      counts(s) = math.max(1, c * size / total); assigned += counts(s)
+    }
+    val top = hist.maxBy { case (s, c) => (c, -s) }._1
+    counts(top) += size - assigned
+    require(counts(top) >= 1, "normalizeCounts: histogram too wide for the table")
+    counts
+  }
+
+  /** The decode-table entry of `sym` whose state range contains
+    * `nextState` — unique by the FSE tiling property.
+    */
+  private def fseEntryFor(t: FseTable, sym: Int, nextState: Int): Int = {
+    var u = 0
+    while (u < t.symbol.length) {
+      if (t.symbol(u) == sym && nextState >= t.newState(u) &&
+        nextState < t.newState(u) + (1 << t.nbBits(u))) return u
+      u += 1
+    }
+    require(false, s"fseEntryFor: no entry for symbol $sym covering $nextState")
+    -1
+  }
+
+  private def fseFirstEntry(t: FseTable, sym: Int): Int = {
+    var u = 0
+    while (u < t.symbol.length && t.symbol(u) != sym) u += 1
+    require(u < t.symbol.length, s"fseFirstEntry: symbol $sym not in table")
+    u
+  }
+
+  /** FSE-encode a Huffman WEIGHTS run for [[readHufTable]]'s
+    * two-alternating-states decode loop: states chosen backward through
+    * the tiling, stream exhaustion lands exactly at the read that makes
+    * the decoder append the final weight.
+    */
+  private def fseWeightStream(t: FseTable, weights: Array[Int]): Array[Byte] = {
+    val n = weights.length
+    require(n >= 2, "fseWeightStream: two weights minimum")
+    val v = new Array[Int](n)
+    v(n - 1) = fseFirstEntry(t, weights(n - 1))
+    v(n - 2) = fseFirstEntry(t, weights(n - 2))
+    var i = n - 3
+    while (i >= 0) { v(i) = fseEntryFor(t, weights(i), v(i + 2)); i -= 1 }
+    // the read AFTER the second-to-last emit is what exhausts the
+    // stream; a zero-bit read cannot exhaust and the decoder would run
+    // away — keep that state's bit width positive
+    require(t.nbBits(v(n - 2)) > 0,
+      "fseWeightStream: second-to-last weight needs a >0-bit state")
+    val w = new BackBitsWriter
+    w.add(v(0).toLong, t.accuracyLog)
+    w.add(v(1).toLong, t.accuracyLog)
+    var j = 1
+    while (j <= n - 2) { // read j updates the chain of v(j−1) to v(j+1)
+      w.add((v(j + 1) - t.newState(v(j - 1))).toLong, t.nbBits(v(j - 1)))
+      j += 1
+    }
+    w.toBytes
+  }
+
+  /** One fully ENTROPY-CODED frame, decoded output =
+    * `"abcd"·r1 ++ "bc"·r2 ++ "dd"` — closed-form for the oracle while
+    * walking the complete compressed-block path: Huffman literals under
+    * an FSE-COMPRESSED weight table (header < 128 — the mode the
+    * direct-weight fixture can't reach), two sequences under
+    * Compressed_Mode (FSE-described) LL/OF/ML tables with REAL state
+    * transitions between them, offset extra bits, ML extra bits once
+    * r1 pushes the match past the 0-extra-bit codes, and leftover
+    * literals after the last sequence.
+    */
+  def zstdFrameEntropy(r1: Int, r2: Int, checksum: Boolean = true): Array[Byte] = {
+    require(r1 >= 2 && r1 <= 12 && r2 >= 3 && r2 <= 17,
+      "zstdFrameEntropy: bounds (matches are >= 3 bytes: r2 >= 3)")
+    val decoded = ("abcd" * r1 + "bc" * r2 + "dd").getBytes("US-ASCII")
+    val lits = "abcdbcdd".getBytes("US-ASCII")
+    // --- literals: Huffman (a=3 b=2 c=1, implicit d=1), FSE weights ---
+    val code = Map[Byte, (Int, Int)](
+      'c'.toByte -> (0, 3), 'd'.toByte -> (1, 3),
+      'b'.toByte -> (1, 2), 'a'.toByte -> (1, 1))
+    val litStream = {
+      val w = new BackBitsWriter
+      lits.foreach { b => val (cv, nb) = code(b); w.add(cv.toLong, nb) }
+      w.toBytes
+    }
+    val weights = new Array[Int](100) // symbols 0..99, 'd'=100 implicit
+    weights('a'.toInt) = 3; weights('b'.toInt) = 2; weights('c'.toInt) = 1
+    val wCounts = normalizeCounts(
+      weights.groupBy(identity).map { case (s, g) => (s, g.length) }.toSeq, 5)
+    val wTable = buildFseTable(wCounts, 5)
+    require(wTable != null, "zstdFrameEntropy: weight table")
+    val wDesc = writeFseTable(wCounts, 5)
+    val wStream = fseWeightStream(wTable, weights)
+    val tree = new java.io.ByteArrayOutputStream()
+    require(wDesc.length + wStream.length < 128, "compressed-weights header")
+    tree.write(wDesc.length + wStream.length) // < 128: FSE-compressed
+    tree.write(wDesc, 0, wDesc.length)
+    tree.write(wStream, 0, wStream.length)
+    val rs = lits.length
+    val cs = tree.size() + litStream.length
+    require(rs < 1024 && cs < 1024)
+    val block = new java.io.ByteArrayOutputStream()
+    val lh = 2 | (0 << 2) | (rs << 4) | (cs << 14) // Compressed, sf0 1-stream
+    block.write(lh & 0xFF); block.write((lh >> 8) & 0xFF); block.write((lh >> 16) & 0xFF)
+    val tb = tree.toByteArray
+    block.write(tb, 0, tb.length)
+    block.write(litStream, 0, litStream.length)
+    // --- sequences: (ll, offset, ml) pairs, Compressed_Mode tables ---
+    val seqs = Array((4, 4L, 4 * (r1 - 1)), (2, 2L, 2 * (r2 - 1)))
+    val llCodes = seqs.map { case (ll, _, _) => codeFor(LlBase, LlBits, ll) }
+    val mlCodes = seqs.map { case (_, _, ml) => codeFor(MlBase, MlBits, ml) }
+    val ofValues = seqs.map { case (_, off, _) => off + 3L }
+    val ofCodes = ofValues.map(v => highBit(v.toInt))
+    def hist(xs: Array[Int]) =
+      xs.groupBy(identity).map { case (s, g) => (s, g.length) }.toSeq
+    val llCounts = normalizeCounts(hist(llCodes), 5)
+    val ofCounts = normalizeCounts(hist(ofCodes), 5)
+    val mlCounts = normalizeCounts(hist(mlCodes), 5)
+    val llT = buildFseTable(llCounts, 5)
+    val ofT = buildFseTable(ofCounts, 5)
+    val mlT = buildFseTable(mlCounts, 5)
+    require(llT != null && ofT != null && mlT != null, "sequence tables")
+    block.write(seqs.length) // nbSeq < 128
+    block.write((2 << 6) | (2 << 4) | (2 << 2)) // Compressed_Mode LL/OF/ML
+    val llDesc = writeFseTable(llCounts, 5)
+    val ofDesc = writeFseTable(ofCounts, 5)
+    val mlDesc = writeFseTable(mlCounts, 5)
+    block.write(llDesc, 0, llDesc.length)
+    block.write(ofDesc, 0, ofDesc.length)
+    block.write(mlDesc, 0, mlDesc.length)
+    // states backward through the tiling (the last sequence's states
+    // are free — no update follows it)
+    val n = seqs.length
+    val lSt = new Array[Int](n); val oSt = new Array[Int](n); val mSt = new Array[Int](n)
+    lSt(n - 1) = fseFirstEntry(llT, llCodes(n - 1))
+    oSt(n - 1) = fseFirstEntry(ofT, ofCodes(n - 1))
+    mSt(n - 1) = fseFirstEntry(mlT, mlCodes(n - 1))
+    var i = n - 2
+    while (i >= 0) {
+      lSt(i) = fseEntryFor(llT, llCodes(i), lSt(i + 1))
+      oSt(i) = fseEntryFor(ofT, ofCodes(i), oSt(i + 1))
+      mSt(i) = fseEntryFor(mlT, mlCodes(i), mSt(i + 1))
+      i -= 1
+    }
+    val w = new BackBitsWriter
+    w.add(lSt(0).toLong, llT.accuracyLog)
+    w.add(oSt(0).toLong, ofT.accuracyLog)
+    w.add(mSt(0).toLong, mlT.accuracyLog)
+    i = 0
+    while (i < n) {
+      w.add(ofValues(i) - (1L << ofCodes(i)), ofCodes(i))
+      w.add((seqs(i)._3 - MlBase(mlCodes(i))).toLong, MlBits(mlCodes(i)))
+      w.add((seqs(i)._1 - LlBase(llCodes(i))).toLong, LlBits(llCodes(i)))
+      if (i < n - 1) { // state updates in the decoder's LL, ML, OF order
+        w.add((lSt(i + 1) - llT.newState(lSt(i))).toLong, llT.nbBits(lSt(i)))
+        w.add((mSt(i + 1) - mlT.newState(mSt(i))).toLong, mlT.nbBits(mSt(i)))
+        w.add((oSt(i + 1) - ofT.newState(oSt(i))).toLong, ofT.nbBits(oSt(i)))
+      }
+      i += 1
+    }
+    val sb = w.toBytes
+    block.write(sb, 0, sb.length)
+    val body = block.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    val fh = frameHead(decoded.length.toLong, checksum)
+    out.write(fh, 0, fh.length)
+    out.write(leBytes((body.length.toLong << 3) | (2L << 1) | 1L, 3), 0, 3)
+    out.write(body, 0, body.length)
+    if (checksum) out.write(leBytes(xxh32(decoded), 4), 0, 4)
+    out.toByteArray
+  }
+
   /** A compressed-block frame with RAW literals and ONE RLE-mode-coded
     * sequence: decoded output = `period` × `repeats` ++ `tail` (the
     * classic LZ window match, closed-form for the oracle). Exercises

@@ -5849,13 +5849,17 @@ object CorpusQueries {
 
     // The zstd ENTROPY paths under an oracle: frames built by the
     // fixture encoders — a compressed block with an RLE-coded SEQUENCE
-    // (LZ window match, overlap-safe copy) and a compressed block with
+    // (LZ window match, overlap-safe copy), a compressed block with
     // HUFFMAN-coded literals (direct weights, 1- and 4-stream
-    // alternating by key) — decode distributively to closed-form text
-    // the oracle re-derives with repeat(). The golden real-zstd bytes
-    // in ZstdDecodeSpec certify the decoder against the reference
-    // implementation; THIS gate certifies the distributed plumbing
-    // stays map-only and the decode is deterministic under Verify.
+    // alternating by key), and a FULLY entropy-coded block (Huffman
+    // literals under FSE-COMPRESSED weights + Compressed_Mode
+    // FSE-described LL/OF/ML sequence tables with real state
+    // transitions, seed-parameterized via the minimal FSE writer) —
+    // decode distributively to closed-form text the oracle re-derives
+    // with repeat(). The golden real-zstd bytes in ZstdDecodeSpec
+    // certify the decoder against the reference implementation; THIS
+    // gate certifies the distributed plumbing stays map-only and the
+    // decode is deterministic under Verify.
     Q(
       "q_zstd_decode",
       (spark, dir) => {
@@ -5867,7 +5871,13 @@ object CorpusQueries {
           val hufText = ("abacad" * (3 + (k % 3)).toInt).getBytes("US-ASCII")
           val hufF = graft.operators.ZstdDecode.zstdFrameHuffman(
             hufText, fourStream = k % 2 == 0, checksum = true)
-          seqF ++ hufF
+          // the FULLY entropy-coded member: FSE-compressed Huffman
+          // weights + Compressed_Mode sequence tables with real state
+          // transitions, seed-parameterized — the arm the fixture
+          // encoders couldn't reach before the FSE writer landed
+          val entF = graft.operators.ZstdDecode.zstdFrameEntropy(
+            (2 + k % 11).toInt, (3 + k % 15).toInt, checksum = true)
+          seqF ++ hufF ++ entF
         })
         val out = Q.t(spark, dir, "nation")
           .select(col("n_nationkey").cast("long").as("media_id"))
@@ -5889,9 +5899,11 @@ object CorpusQueries {
           |    WHEN 0 THEN repeat('w' || CAST(n_nationkey % 7 AS VARCHAR) || 'x ',
           |                       CAST(5 + n_nationkey % 4 AS INT))
           |                || 'end' || CAST(n_nationkey AS VARCHAR)
-          |    ELSE repeat('abacad', CAST(3 + n_nationkey % 3 AS INT))
+          |    WHEN 1 THEN repeat('abacad', CAST(3 + n_nationkey % 3 AS INT))
+          |    ELSE repeat('abcd', CAST(2 + n_nationkey % 11 AS INT))
+          |      || repeat('bc', CAST(3 + n_nationkey % 15 AS INT)) || 'dd'
           |  END AS text
-          |FROM nation, UNNEST(generate_series(0, 1)) AS u(i)""".stripMargin
+          |FROM nation, UNNEST(generate_series(0, 2)) AS u(i)""".stripMargin
       )
     ),
 

@@ -208,6 +208,33 @@ class ZstdDecodeSpec extends SparkSpec {
       assert(ZstdDecode.decodeFrame(java.util.Arrays.copyOf(sf, cut), 0) == null)
   }
 
+  test("entropy-coded fixture: FSE weights + Compressed_Mode sequences round-trip") {
+    // the full entropy path in one synthesized frame: Huffman literals
+    // under an FSE-COMPRESSED weight table, two sequences under
+    // FSE-described LL/OF/ML tables with real state transitions — the
+    // decoder these bytes must satisfy is the one the CLI golden bytes
+    // certified
+    for (r1 <- 2 to 12; r2 <- 3 to 17) {
+      val f = ZstdDecode.zstdFrameEntropy(r1, r2)
+      val r = ZstdDecode.decodeFrame(f, 0)
+      assert(r != null, s"r1=$r1 r2=$r2 refused")
+      assert(new String(r._1, "US-ASCII") == "abcd" * r1 + "bc" * r2 + "dd",
+        s"r1=$r1 r2=$r2 wrong bytes")
+    }
+    // checksum honesty: with the XXH32 trailer, flipped payload bits
+    // are caught or decode identically — never silently-wrong bytes
+    val f = ZstdDecode.zstdFrameEntropy(5, 7)
+    val want = "abcd" * 5 + "bc" * 7 + "dd"
+    for (cut <- 0 until f.length)
+      assert(ZstdDecode.decodeFrame(java.util.Arrays.copyOf(f, cut), 0) == null)
+    for (i <- f.indices) {
+      val bad = f.clone; bad(i) = (bad(i) ^ 0x5A).toByte
+      val r = ZstdDecode.decodeFrame(bad, 0) // must not throw
+      assert(r == null || new String(r._1, "US-ASCII") == want,
+        s"flip at $i produced silently-wrong bytes")
+    }
+  }
+
   test("frame declaring a >= 2^63 content size refuses at the header") {
     // 8-byte FCS with bit 63 set parses as a negative Long; it must be
     // rejected outright — letting it through would skip BOTH the bomb
