@@ -340,10 +340,22 @@ object Warc {
     * `identity` a no-op). Raw WARC `response` records store responses
     * exactly as transferred, so this is the step a real-archive ingest
     * owes between the HTTP split and the charset decode. Any encoding
-    * outside the contract (br, zstd, compound lists, `chunked` in
+    * outside the contract (br, compound lists, `chunked` in
     * Content-Encoding) or any layer failing its strict decode yields
     * null — visible to the drop-reasons audit, never silently-partial
     * text.
+    *
+    * `Content-Encoding: br` (RFC 7932) is an EXPLICIT exclusion, not
+    * an oversight: a correct brotli decoder requires the RFC's
+    * ~120 KB static dictionary VERBATIM (back-references reach into it
+    * from ordinary streams — decoding without it yields silently-wrong
+    * bytes, the one failure mode this codebase never accepts), and
+    * this build environment carries neither those bytes nor any
+    * brotli implementation to certify golden fixtures against (the
+    * honesty bar the zstd decoder met via real CLI bytes). So `br`
+    * bodies degrade to NULL and land in the ledger's own 'encoding'
+    * drop stage — a counted, visible loss (`q_crawl_ledger_wire`) —
+    * until an environment ships the dictionary.
     */
   def decodeHttpBody(payload: Array[Byte], transferEncoding: String,
       contentEncoding: String, maxOut: Int = 64 << 20): Array[Byte] = {

@@ -1865,9 +1865,16 @@ object CorpusQueries {
             b: org.apache.spark.sql.DataFrame, as: String) =
           b.join(t, Seq("query_id", "neighbor_id"), "left_semi")
             .agg(count(lit(1)).as(as))
+        // the full-corpus exact top-5 feeds TWO recall pipelines
+        // (after + retrained) — pin it once like the codebooks, or the
+        // brute-force distance pass runs twice (the r15 bench-drift
+        // audit's finding)
+        val bfQePath = Q.scratch("pqdrift_bf")
+        bf(qe).write.mode("overwrite").parquet(bfQePath)
+        val bfQe = spark.read.parquet(bfQePath)
         matches(top(base, scb), bf(base), "n_match_before")
-          .crossJoin(matches(top(qe, scb), bf(qe), "n_match_after"))
-          .crossJoin(matches(top(qe, rcb), bf(qe), "n_match_retrained"))
+          .crossJoin(matches(top(qe, scb), bfQe, "n_match_after"))
+          .crossJoin(matches(top(qe, rcb), bfQe, "n_match_retrained"))
           .select(col("n_match_before"), col("n_match_after"),
             col("n_match_retrained"),
             (col("n_match_before") - col("n_match_after") > lit(2L)).as("retrain"))
