@@ -595,10 +595,12 @@ object Warc {
     *     `<base href>` to the j=1 host rebasing a bare relative href,
     *     and a PROTOCOL-RELATIVE src for the j=2 host;
     * 2 — same-host relative resolution: a path-relative href (§5.2.3
-    *     merge), a `../` dot-segment href, and a query-only href with
-    *     an `&amp;` entity — plus the noise an extractor must ignore
-    *     (a commented-out link, a javascript: and a mailto: href, a
-    *     fragment-only href, a link inside a script body);
+    *     merge), a `../` dot-segment href, a query-only href with an
+    *     `&amp;` entity, and a nav link that resolves to the PAGE
+    *     ITSELF (the already-crawled arm a frontier-discovery
+    *     anti-join must drop) — plus the noise an extractor must
+    *     ignore (a commented-out link, a javascript: and a mailto:
+    *     href, a fragment-only href, a link inside a script body);
     * 3 — torn markup (an attribute with no value, a tag truncated at
     *     end of input): contributes nothing, never throws.
     * Arms 0/1 reproduce [[syntheticWat]]'s `i % 4 < 2` edge set
@@ -624,7 +626,8 @@ object Warc {
         case 2 =>
           s"""<html><body><!-- <a href="http://noise.example/x">c</a> -->""" +
             s"""<a href="l2/rel$i">r</a><a href="../l3/dot$i">d</a>""" +
-            s"""<a href="?q=$i&amp;r=2">q</a><a href="#top">f</a>""" +
+            s"""<a href="?q=$i&amp;r=2">q</a><a href="p$i">nav</a>""" +
+            s"""<a href="#top">f</a>""" +
             s"""<a href="javascript:void(0)">j</a><a href="mailto:a@b.example">m</a>""" +
             s"""<script>var s = "<a href='http://script.example/no'>";</script>""" +
             "</body></html>"

@@ -6125,10 +6125,11 @@ object CorpusQueries {
           |    || '.example' || CASE k
           |      WHEN 1 THEN '/d/l2/rel' || CAST(i AS VARCHAR)
           |      WHEN 2 THEN '/l3/dot' || CAST(i AS VARCHAR)
-          |      ELSE '/d/p' || CAST(i AS VARCHAR) || '?q='
-          |        || CAST(i AS VARCHAR) || '&r=2' END
+          |      WHEN 3 THEN '/d/p' || CAST(i AS VARCHAR) || '?q='
+          |        || CAST(i AS VARCHAR) || '&r=2'
+          |      ELSE '/d/p' || CAST(i AS VARCHAR) END
           |FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
-          |     UNNEST(generate_series(1, 3)) AS w(k)
+          |     UNNEST(generate_series(1, 4)) AS w(k)
           |WHERE i % 4 = 2""".stripMargin
       )
     ),
@@ -6177,12 +6178,88 @@ object CorpusQueries {
             |    'site' || CAST((n_nationkey + i) % 5 AS VARCHAR) || '.example',
             |    'site' || CAST((n_nationkey + i) % 5 AS VARCHAR) || '.example'
             |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i),
-            |       UNNEST(generate_series(1, 3)) AS w(k)
+            |       UNNEST(generate_series(1, 4)) AS w(k)
             |  WHERE i % 4 = 2""".stripMargin
         s"""WITH ${domainGraphCtes(edgesSql, "hg")},
            |${domainRankStepsSql("hg")}
            |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM hgr2""".stripMargin
       }
+    ),
+
+    // LINK-FOLLOWING FRONTIER DISCOVERY — the loop a SELF-crawl runs
+    // that sitemap/WAT pipelines never needed: fetched pages → HTML
+    // outlink extraction (resolution and all) → canonical candidates →
+    // anti-join against what this round already fetched (arm 2's nav
+    // link resolves to its own page and must drop HERE — discovering
+    // an already-crawled URL is the common case, not a corner) → the
+    // per-host politeness schedule for the NEXT round. Exchanges: the
+    // candidate dedup, the anti-join's crawled side, the host window.
+    Q(
+      "q_html_frontier",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcHtml(k, 8))
+        val texts = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+          .select(col("media_id"), col("rec_idx"), col("target_uri"), col("text"))
+        val crawled = texts.select(
+          graft.functions.GraftFunctions.urlCanon(col("target_uri")).as("canon"))
+        val fresh = graft.operators.Html.outlinks(texts, "target_uri", "text")
+          .select(col("href").as("canon"))
+          .distinct()
+          .join(crawled, Seq("canon"), "left_anti")
+          .withColumn("host", expr("parse_url(canon, 'HOST')"))
+        val out = graft.operators.Frontier.schedule(
+          fresh, (0 until 5).map(m => (s"site$m.example", (m + 1) * 100L)),
+          defaultDelayMs = 500L, workers = 8)
+        Q.requireMaxShuffles(out, 4)
+        out
+      },
+      Some(
+        s"""WITH rows0 AS (
+           |  SELECT n_nationkey AS n, i
+           |  FROM nation, UNNEST(generate_series(0, 7)) AS u(i)
+           |), lnk AS (
+           |  SELECT 'http://site' || CAST((n + i + j) % 5 AS VARCHAR)
+           |    || '.example/l/' || CAST(i AS VARCHAR)
+           |    || CASE WHEN j = 2 THEN 'b' ELSE '' END AS canon
+           |  FROM rows0, UNNEST(generate_series(1, 2)) AS v(j)
+           |  WHERE i % 4 < 2
+           |  UNION ALL
+           |  SELECT 'http://site' || CAST((n + i) % 5 AS VARCHAR)
+           |    || '.example' || CASE k
+           |      WHEN 1 THEN '/d/l2/rel' || CAST(i AS VARCHAR)
+           |      WHEN 2 THEN '/l3/dot' || CAST(i AS VARCHAR)
+           |      WHEN 3 THEN '/d/p' || CAST(i AS VARCHAR) || '?q='
+           |        || CAST(i AS VARCHAR) || '&r=2'
+           |      ELSE '/d/p' || CAST(i AS VARCHAR) END
+           |  FROM rows0, UNNEST(generate_series(1, 4)) AS w(k)
+           |  WHERE i % 4 = 2
+           |), crawled AS (
+           |  SELECT DISTINCT 'http://site' || CAST((n + i) % 5 AS VARCHAR)
+           |    || '.example/d/p' || CAST(i AS VARCHAR) AS canon
+           |  FROM rows0
+           |), fresh AS (
+           |  SELECT DISTINCT canon FROM lnk
+           |  WHERE canon NOT IN (SELECT canon FROM crawled)
+           |), fh AS (
+           |  SELECT canon, split_part(substr(canon, 8), '/', 1) AS host FROM fresh
+           |), s AS (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+           |    ORDER BY canon ASC) - 1 AS BIGINT) AS slot
+           |  FROM fh
+           |)
+           |SELECT *,
+           |  slot * CASE host
+           |    WHEN 'site0.example' THEN 100 WHEN 'site1.example' THEN 200
+           |    WHEN 'site2.example' THEN 300 WHEN 'site3.example' THEN 400
+           |    ELSE 500 END AS fetch_at_ms,
+           |  CAST(${polyHashSql("host", 31L)} % 8 AS INT) AS worker
+           |FROM s""".stripMargin
+      )
     ),
 
     // AUTHORITY-WEIGHTED CRAWL BUDGETS — where the WAT-derived rank

@@ -162,13 +162,15 @@ class HtmlSpec extends SparkSpec {
         s"http://site$m1.example/l/$i", s"http://site$m2.example/l/${i}b"),
         s"arm ${i % 4} rec $i")
     }
-    // arm 2: same-host relative/dot/query resolution, noise ignored
+    // arm 2: same-host relative/dot/query/self-nav resolution, noise
+    // ignored
     for (i <- Seq(2, 6)) {
       val m = (3 + i) % 5
       assert(got(i) == Set(
         s"http://site$m.example/d/l2/rel$i",
         s"http://site$m.example/l3/dot$i",
-        s"http://site$m.example/d/p$i?q=$i&r=2"), s"arm 2 rec $i")
+        s"http://site$m.example/d/p$i?q=$i&r=2",
+        s"http://site$m.example/d/p$i"), s"arm 2 rec $i")
     }
     // arm 3: torn markup contributes nothing
     assert(!got.contains(3) && !got.contains(7))

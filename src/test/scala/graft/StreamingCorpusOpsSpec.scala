@@ -889,4 +889,40 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(streamed((2L, 18))._5 == null)           // corrupt CJK stays NULL
     } finally q.stop()
   }
+
+  test("HTML outlink extraction streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    // archive -> charset-aware text -> base-rebased RFC 3986 resolution
+    // is three codegen expressions and an explode — it must be
+    // streaming-legal with no extra plumbing, arm for arm
+    val blobs = Seq(
+      (1L, graft.operators.Warc.syntheticWarcHtml(1L, 8)),
+      (2L, graft.operators.Warc.syntheticWarcHtml(2L, 8)))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Html.outlinks(
+        graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(df, "media_id", "payload"))
+          .select(org.apache.spark.sql.functions.col("media_id"),
+            org.apache.spark.sql.functions.col("rec_idx"),
+            org.apache.spark.sql.functions.col("target_uri"),
+            org.apache.spark.sql.functions.col("text")),
+        "target_uri", "text")
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = chain(in.toDF().toDF("media_id", "payload")).writeStream
+      .format("memory").queryName("sc_htmllinks_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs.take(1): _*); q.processAllAvailable()
+      in.addData(blobs.drop(1): _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("media_id"),
+          r.getAs[Int]("rec_idx"), r.getAs[String]("href"))).toSet
+      val streamed = rows(spark.table("sc_htmllinks_out"))
+      val batch = rows(chain(blobs.toDF("media_id", "payload")))
+      assert(streamed == batch && streamed.nonEmpty)
+      // a base-rebased relative link resolved on the stream
+      assert(streamed.contains((1L, 1, "http://site3.example/l/1")))
+    } finally q.stop()
+  }
 }
