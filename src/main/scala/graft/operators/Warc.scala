@@ -170,7 +170,9 @@ object Warc {
       charset: String,
       transferEncoding: String,
       contentEncoding: String,
-      location: String)
+      location: String,
+      etag: String,
+      lastModified: String)
 
   /** The header-block parse both HTTP layers share: status line +
     * first Content-Type (media type lowered; charset parameter,
@@ -188,6 +190,8 @@ object Warc {
     var te: String = null
     var ce: String = null
     var loc: String = null
+    var etag: String = null
+    var lm: String = null
     lines.iterator.drop(1).foreach { ln =>
       val ci = ln.indexOf(':')
       if (ci > 0) {
@@ -212,9 +216,15 @@ object Warc {
           ce = value.toLowerCase(java.util.Locale.ROOT)
         else if (name.equalsIgnoreCase("location") && loc == null)
           loc = value
+        // validators keep their case: an ETag is an OPAQUE token (RFC
+        // 9110 §8.8.3) and If-None-Match must echo it byte-for-byte
+        else if (name.equalsIgnoreCase("etag") && etag == null)
+          etag = value
+        else if (name.equalsIgnoreCase("last-modified") && lm == null)
+          lm = value
       }
     }
-    Some(HttpHead(status, ctype, charset, te, ce, loc))
+    Some(HttpHead(status, ctype, charset, te, ce, loc, etag, lm))
   }
 
   /** [[parseHttp]] on BYTES: the header block of an HTTP/1.x message
@@ -1014,6 +1024,68 @@ object Warc {
       .toDF("media_id", "rec_idx", "warc_type", "target_uri", "status",
         "content_type", "transfer_encoding", "content_encoding",
         "charset", "text")
+  }
+
+  /** The VALIDATOR ledger of an archive — what a refresh crawler reads
+    * back from its own fetch history to plan conditional GETs: one row
+    * per `response` record with the status and the validators the
+    * server sent (`ETag` case-preserved — it is an opaque token the
+    * request must echo byte-for-byte; `Last-Modified` verbatim), NULL
+    * where absent or the message is torn (status −1). Feed to
+    * [[Changelog.conditionalFetchPlan]] keyed on the URI with
+    * `rec_idx` (or a real fetch time) as the recency order. Map-only.
+    */
+  def httpValidators(recs: DataFrame): DataFrame = {
+    import recs.sparkSession.implicits._
+    recs
+      .filter(col("warc_type") === "response")
+      .select(col("media_id").cast("long"), col("rec_idx").cast("int"),
+        col("target_uri").cast("string"), col("body"))
+      .as[(Long, Int, String, Array[Byte])]
+      .map { case (id, idx, uri, body) =>
+        parseHttpBytesFull(body) match {
+          case Some((h, _)) => (id, idx, uri, h.status, h.etag, h.lastModified)
+          case None         => (id, idx, uri, -1, null: String, null: String)
+        }
+      }
+      .toDF("media_id", "rec_idx", "target_uri", "status", "etag",
+        "last_modified")
+  }
+
+  /** Deterministic REFRESH-ARCHIVE fixture: two fetch ROUNDS of
+    * `nPages` pages in one blob (round-2 records follow round-1's, so
+    * `rec_idx` is the recency order), validators closed-form in
+    * (seed, i): round 1 sends `ETag W/"v1-seed-i"` at i%3==0 and
+    * `Last-Modified` at i%2==0; round 2 arrives as a validator-less
+    * 304 at i%4==1 (the held tag must persist), else a 200 that
+    * REPLACES the tag (i%5!=0) or re-sends none.
+    */
+  def syntheticWarcRefresh(seed: Long, nPages: Int): Array[Byte] = {
+    require(seed >= 0 && nPages >= 0, "syntheticWarcRefresh: non-negative args")
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream()
+    def uri(i: Int) = s"http://site${(seed + i) % 5}.example/r/$seed/$i"
+    def rec(i: Int, status: String, etag: String, lm: String): Unit = {
+      val head = new StringBuilder(s"HTTP/1.1 $status\r\nContent-Type: text/html")
+      if (etag != null) head ++= s"\r\nETag: $etag"
+      if (lm != null) head ++= s"\r\nLast-Modified: $lm"
+      head ++= "\r\n\r\n"
+      writeRecord(out, "response", uri(i),
+        (head.toString + (if (status.startsWith("200")) s"body $seed-$i" else ""))
+          .getBytes(US_ASCII))
+    }
+    (0 until nPages).foreach { i => // round 1
+      rec(i, "200 OK",
+        if (i % 3 == 0) s"""W/"v1-$seed-$i"""" else null,
+        if (i % 2 == 0) s"Mon, 0$i Jan 2026" else null)
+    }
+    (0 until nPages).foreach { i => // round 2
+      if (i % 4 == 1) rec(i, "304 Not Modified", null, null)
+      else rec(i, "200 OK",
+        if (i % 3 == 0 && i % 5 != 0) s"""W/"v2-$seed-$i"""" else null,
+        null)
+    }
+    out.toByteArray
   }
 
   /** The `.warc.gz` fixture: [[syntheticWarcHttp]]'s records, each

@@ -4344,6 +4344,52 @@ object CorpusQueries {
       )
     ),
 
+    // The conditional-GET plan FROM THE ARCHIVE — the loop closed at
+    // the byte level: a refresh crawler's validators live in its own
+    // fetch history's HTTP headers, so the chain is WARC container
+    // walk → httpValidators (ETag case-preserved — an opaque token the
+    // request must echo byte-for-byte; Last-Modified verbatim) →
+    // conditionalFetchPlan keyed on the URI with rec_idx as recency.
+    // Two fetch rounds per blob: held tags persist across
+    // validator-less 304s, newer 200s replace them, date-only pages
+    // revalidate by If-Modified-Since, validator-less pages re-fetch
+    // in full — every arm closed-form in (seed, i).
+    Q(
+      "q_refresh_archive",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val warc = udf((k: Long) => graft.operators.Warc.syntheticWarcRefresh(k, 6))
+        val ledger = graft.operators.Warc.httpValidators(
+          graft.operators.Warc.recordsBinary(
+            blobs.withColumn("payload", warc(col("media_id"))),
+            "media_id", "payload"))
+        val out = graft.operators.Changelog.conditionalFetchPlan(
+          ledger, "target_uri", "rec_idx", "etag", "last_modified")
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """SELECT
+          |  'http://site' || CAST((n_nationkey + i) % 5 AS VARCHAR)
+          |    || '.example/r/' || CAST(n_nationkey AS VARCHAR)
+          |    || '/' || CAST(i AS VARCHAR) AS key,
+          |  CASE WHEN i % 3 = 0 THEN
+          |    CASE WHEN i % 4 <> 1 AND i % 5 <> 0
+          |      THEN 'W/"v2-' || CAST(n_nationkey AS VARCHAR) || '-'
+          |        || CAST(i AS VARCHAR) || '"'
+          |      ELSE 'W/"v1-' || CAST(n_nationkey AS VARCHAR) || '-'
+          |        || CAST(i AS VARCHAR) || '"' END
+          |  END AS if_none_match,
+          |  CASE WHEN i % 2 = 0
+          |    THEN 'Mon, 0' || CAST(i AS VARCHAR) || ' Jan 2026'
+          |  END AS if_modified_since,
+          |  CASE WHEN i % 3 = 0 OR i % 2 = 0
+          |    THEN 'revalidate' ELSE 'full' END AS plan
+          |FROM nation, UNNEST(generate_series(0, 5)) AS u(i)""".stripMargin
+      )
+    ),
+
     // Snapshot DIFF between two dataset versions — the release-note
     // primitive of a curation cycle (what did v2 add, remove, change
     // vs v1), the audit twin of q_cdc_apply. Each side collapses to

@@ -322,6 +322,26 @@ class WarcSpec extends SparkSpec {
       r.getAs[String]("text") == null))
   }
 
+  test("httpValidators: case-preserved tags, absent validators, torn messages") {
+    val blob = Warc.syntheticWarcRefresh(2L, 6)
+    // append a torn response (no CRLFCRLF) under its own URI
+    val torn = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://t.example/x\r\nContent-Length: 9\r\n\r\n" +
+      "HTTP/1.1 " + "\r\n\r\n").getBytes("UTF-8")
+    val frame = Seq((2L, blob ++ torn)).toDF("media_id", "payload")
+    val rows = Warc.httpValidators(Warc.recordsBinary(frame, "media_id", "payload"))
+    graft.queries.Q.requireNoShuffle(rows)
+    val got = rows.collect().map(r => r.getAs[Int]("rec_idx") ->
+      ((r.getAs[Int]("status"), r.getAs[String]("etag"),
+        r.getAs[String]("last_modified")))).toMap
+    // round 1, page 0: both validators, ETag case/quoting preserved
+    assert(got(0) == ((200, "W/\"v1-2-0\"", "Mon, 00 Jan 2026")))
+    assert(got(1) == ((200, null, null)))           // page 1: none
+    assert(got(3) == ((200, "W/\"v1-2-3\"", null))) // page 3: tag only
+    assert(got(7) == ((304, null, null)))           // round 2: 304, no validators
+    assert(got(12) == ((-1, null, null)))           // torn: visible, not guessed
+  }
+
   test("encoding layer never throws: truncations, bit flips, random bytes") {
     // the on-the-wire decode chain is the newest untrusted-input
     // surface — drive it with every prefix of the encoding fixture,
