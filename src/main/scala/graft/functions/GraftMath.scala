@@ -526,12 +526,14 @@ object GraftMath {
     * later base elements are ignored), raw and entity-decoded — may
     * itself be relative, so callers resolve it against the page URL.
     * Null when absent. Shares [[htmlLinks]]'s scanner so the two can
-    * never disagree on what a tag is.
+    * never disagree on what a tag is; the scan STOPS at the first hit
+    * (base lives in head — this walk is ~O(head), not O(document)).
     */
   def htmlBaseHref(html: UTF8String): UTF8String = {
     var found: String = null
     scanHtml(html.toString) { (tag, attr, value) =>
-      if (found == null && tag == "base" && attr == "href") found = value
+      if (tag == "base" && attr == "href") { found = value; false }
+      else true
     }
     if (found == null) null else UTF8String.fromString(found)
   }
@@ -553,6 +555,7 @@ object GraftMath {
       if ((attr == "href" || attr == "src") && tag != "base" &&
         value.nonEmpty && value.charAt(0) != '#')
         out += UTF8String.fromString(value)
+      true
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
@@ -561,11 +564,17 @@ object GraftMath {
     * [[htmlBaseHref]]: walks tags left to right, skipping `<!-- -->`
     * comments and `<script>`/`<style>` content, and emits
     * (tagName, attrName, entityDecodedValue) for every attribute with
-    * a value. Never throws on torn markup — an unterminated tag or
+    * a value; a `false` from the sink stops the walk (the
+    * first-base-wins early exit). Closing tags emit nothing and never
+    * trigger the content skip — a stray `</script>` must not swallow
+    * the rest of the document — and a tag only counts as
+    * SELF-closing when the walk saw a standalone `/` right before
+    * `>` (an unquoted attribute value ending in '/' is data, not
+    * syntax). Never throws on torn markup — an unterminated tag or
     * comment simply ends the walk (untrusted crawl HTML).
     */
   private def scanHtml(h: String)(
-      sink: (String, String, String) => Unit): Unit = {
+      sink: (String, String, String) => Boolean): Unit = {
     val n = h.length
     var i = 0
     while (i < n) {
@@ -576,9 +585,10 @@ object GraftMath {
         if (end < 0) return
         i = end + 3
       } else {
-        // tag name
+        // tag name; a leading '/' marks a CLOSING tag
         var j = lt + 1
-        if (j < n && h.charAt(j) == '/') j += 1
+        val closing = j < n && h.charAt(j) == '/'
+        if (closing) j += 1
         val nameStart = j
         while (j < n && (isAlpha(h.charAt(j)) ||
           (h.charAt(j) >= '0' && h.charAt(j) <= '9'))) j += 1
@@ -587,11 +597,16 @@ object GraftMath {
         else {
           // attribute walk until '>' (or end of input)
           var closed = -1
+          var selfClose = false
           while (j < n && closed < 0) {
             val c = h.charAt(j)
             if (c == '>') closed = j
-            else if (c <= ' ' || c == '/') j += 1
+            else if (c == '/') { // standalone slash: self-close iff before '>'
+              selfClose = j + 1 < n && h.charAt(j + 1) == '>'
+              j += 1
+            } else if (c <= ' ') j += 1
             else {
+              selfClose = false
               val aStart = j
               while (j < n && h.charAt(j) != '=' && h.charAt(j) != '>' &&
                 h.charAt(j) > ' ' && h.charAt(j) != '/') j += 1
@@ -617,7 +632,8 @@ object GraftMath {
                         j += 1
                       h.substring(vStart, j)
                     }
-                  sink(tag, attr, decodeEntities(value.trim))
+                  if (!closing &&
+                    !sink(tag, attr, decodeEntities(value.trim))) return
                 }
               }
             }
@@ -625,10 +641,10 @@ object GraftMath {
           if (closed < 0) return // unterminated tag: end the walk
           i = closed + 1
           // script/style CONTENT is opaque — skip to the closing tag
-          if ((tag == "script" || tag == "style") &&
-            h.charAt(if (closed > 0) closed - 1 else 0) != '/') {
+          // (openers only: a closing or self-closed tag has no content)
+          if (!closing && !selfClose && (tag == "script" || tag == "style")) {
             val close = "</" + tag
-            var k = indexOfIgnoreCase(h, close, i)
+            val k = indexOfIgnoreCase(h, close, i)
             if (k < 0) return
             val gt = h.indexOf('>', k)
             if (gt < 0) return

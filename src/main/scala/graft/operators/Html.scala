@@ -16,9 +16,12 @@ import graft.functions.GraftFunctions
   * Scale shape: map-only end to end — three native codegen
   * expressions (`graft_html_links`, `graft_html_base`,
   * `graft_url_resolve`) and one `explode`; no UDF, no shuffle, no
-  * driver state. At 100 TB the extraction rides the same scan that
-  * read the archive; the first exchange a link-graph consumer pays is
-  * its own (the domain collapse), never this layer's.
+  * driver state. Per-page CPU is one full link scan plus the
+  * `<base>` probe, which early-exits at the first base element (base
+  * lives in head, so the probe is ~O(head), not a second full pass).
+  * At 100 TB the extraction rides the same scan that read the
+  * archive; the first exchange a link-graph consumer pays is its own
+  * (the domain collapse), never this layer's.
   */
 object Html {
 

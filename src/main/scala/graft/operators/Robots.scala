@@ -669,14 +669,8 @@ object Robots {
       pathCol: String = "path",
       maxBroadcastRules: Long = DefaultMaxBroadcastRules
   ): DataFrame = {
-    val me = agent.toLowerCase(java.util.Locale.ROOT)
     val regexUdf = udf((p: String) => robotsPatternRegex(p))
-    val withSpec = rulesDf
-      .withColumn("__spec", max((col("agent") === me).cast("int"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))))
-      .filter(
-        (col("__spec") === 1 && col("agent") === me) ||
-          (col("__spec") === 0 && col("agent") === "*"))
+    val withSpec = selectAgentGroup(rulesDf, agent)
     val effective = withSpec
       .filter(length(col("path")) > 0) // empty-path rules are RFC no-ops
       .select(col("domain").as("__rd"), col("rule").as("__rule"),
@@ -698,6 +692,21 @@ object Robots {
         passthrough.map(c => first(col(c)).as(c)): _*)
       .withColumn("allowed", coalesce(col("__best.a"), lit(true)))
       .select(urls.columns.map(col) :+ col("allowed"): _*)
+  }
+
+  /** RFC 9309 §2.2.1 group selection, the distributed form every
+    * screen shares (the specific group ALONE when present, else the
+    * `*` group): ONE implementation, so a group-selection fix can
+    * never reach one screen and miss another.
+    */
+  private def selectAgentGroup(rulesDf: DataFrame, agent: String): DataFrame = {
+    val me = agent.toLowerCase(java.util.Locale.ROOT)
+    rulesDf
+      .withColumn("__spec", max((col("agent") === me).cast("int"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))))
+      .filter(
+        (col("__spec") === 1 && col("agent") === me) ||
+          (col("__spec") === 0 && col("agent") === "*"))
   }
 
   /** The MIGRATION-AUDIT screen: BOTH verdicts — `allowed` (exact
@@ -722,14 +731,8 @@ object Robots {
       pathCol: String = "path",
       maxBroadcastRules: Long = DefaultMaxBroadcastRules
   ): DataFrame = {
-    val me = agent.toLowerCase(java.util.Locale.ROOT)
     val regexUdf = udf((p: String) => robotsPatternRegex(p))
-    val withSpec = rulesDf
-      .withColumn("__spec", max((col("agent") === me).cast("int"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))))
-      .filter(
-        (col("__spec") === 1 && col("agent") === me) ||
-          (col("__spec") === 0 && col("agent") === "*"))
+    val withSpec = selectAgentGroup(rulesDf, agent)
     val effective = withSpec
       .filter(length(col("path")) > 0) // empty-path rules are RFC no-ops
       .select(col("domain").as("__rd"), col("rule").as("__rule"),
@@ -795,14 +798,7 @@ object Robots {
       pathCol: String = "path",
       maxBroadcastRules: Long = DefaultMaxBroadcastRules
   ): DataFrame = {
-    val me = agent.toLowerCase(java.util.Locale.ROOT)
-    // RFC 9309 §2.2.1 group selection: specific group alone if present
-    val withSpec = rulesDf
-      .withColumn("__spec", max((col("agent") === me).cast("int"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))))
-      .filter(
-        (col("__spec") === 1 && col("agent") === me) ||
-          (col("__spec") === 0 && col("agent") === "*"))
+    val withSpec = selectAgentGroup(rulesDf, agent)
     val effective = withSpec
       // empty-path rules are RFC no-ops (checked on the ORIGINAL path:
       // "Disallow: *" must widen to the weakest match-all, not vanish)

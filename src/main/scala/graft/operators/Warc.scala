@@ -400,41 +400,43 @@ object Warc {
     */
   private val KnownCharsets: Map[String, java.nio.charset.Charset] = {
     import java.nio.charset.StandardCharsets._
-    def cs(n: String) = java.nio.charset.Charset.forName(n)
-    Map(
+    // the CJK/Cyrillic families live in the jdk.charsets module, not
+    // java.base — on a jlink-minimized JRE an absent family must fall
+    // back to the out-of-contract NULL degrade, not kill this object's
+    // initializer (which would take down pure-UTF-8 ingest with it)
+    def cs(labels: Seq[String], name: String): Seq[(String, java.nio.charset.Charset)] =
+      if (java.nio.charset.Charset.isSupported(name)) {
+        val c = java.nio.charset.Charset.forName(name)
+        labels.map(_ -> c)
+      } else Nil
+    (Seq(
       "utf-8" -> UTF_8, "utf8" -> UTF_8,
       "us-ascii" -> US_ASCII, "ascii" -> US_ASCII,
-      "iso-8859-1" -> ISO_8859_1, "latin-1" -> ISO_8859_1, "latin1" -> ISO_8859_1,
-      "windows-1252" -> cs("windows-1252"), "cp1252" -> cs("windows-1252"),
+      "iso-8859-1" -> ISO_8859_1, "latin-1" -> ISO_8859_1, "latin1" -> ISO_8859_1) ++
+      cs(Seq("windows-1252", "cp1252"), "windows-1252") ++
       // Japanese
-      "shift_jis" -> cs("Shift_JIS"), "shift-jis" -> cs("Shift_JIS"),
-      "sjis" -> cs("Shift_JIS"), "x-sjis" -> cs("Shift_JIS"),
-      "windows-31j" -> cs("windows-31j"), "cp932" -> cs("windows-31j"),
-      "ms_kanji" -> cs("windows-31j"),
-      "euc-jp" -> cs("EUC-JP"), "x-euc-jp" -> cs("EUC-JP"),
-      "eucjp" -> cs("EUC-JP"),
+      cs(Seq("shift_jis", "shift-jis", "sjis", "x-sjis"), "Shift_JIS") ++
+      cs(Seq("windows-31j", "cp932", "ms_kanji"), "windows-31j") ++
+      cs(Seq("euc-jp", "x-euc-jp", "eucjp"), "EUC-JP") ++
       // Korean
-      "euc-kr" -> cs("EUC-KR"), "ks_c_5601-1987" -> cs("EUC-KR"),
-      "ksc5601" -> cs("EUC-KR"),
-      "cp949" -> cs("x-windows-949"), "windows-949" -> cs("x-windows-949"),
-      // Chinese, simplified + traditional
-      "gbk" -> cs("GBK"), "x-gbk" -> cs("GBK"), "gb2312" -> cs("GBK"),
-      "gb_2312-80" -> cs("GBK"), "euc-cn" -> cs("GBK"),
-      "gb18030" -> cs("GB18030"),
-      "big5" -> cs("Big5"), "big-5" -> cs("Big5"),
-      "big5-hkscs" -> cs("Big5-HKSCS"),
+      cs(Seq("euc-kr", "ks_c_5601-1987", "ksc5601"), "EUC-KR") ++
+      cs(Seq("cp949", "windows-949"), "x-windows-949") ++
+      // Chinese, simplified + traditional (gb2312 -> GBK per WHATWG)
+      cs(Seq("gbk", "x-gbk", "gb2312", "gb_2312-80", "euc-cn"), "GBK") ++
+      cs(Seq("gb18030"), "GB18030") ++
+      cs(Seq("big5", "big-5"), "Big5") ++
+      cs(Seq("big5-hkscs"), "Big5-HKSCS") ++
       // Cyrillic
-      "koi8-r" -> cs("KOI8-R"), "koi8" -> cs("KOI8-R"),
-      "koi8-u" -> cs("KOI8-U"),
-      "windows-1251" -> cs("windows-1251"), "cp1251" -> cs("windows-1251"),
-      "iso-8859-5" -> cs("ISO-8859-5"),
+      cs(Seq("koi8-r", "koi8"), "KOI8-R") ++
+      cs(Seq("koi8-u"), "KOI8-U") ++
+      cs(Seq("windows-1251", "cp1251"), "windows-1251") ++
+      cs(Seq("iso-8859-5"), "ISO-8859-5") ++
       // Central European / Greek / Turkish / the euro-revised latin-1
-      "windows-1250" -> cs("windows-1250"), "cp1250" -> cs("windows-1250"),
-      "iso-8859-2" -> cs("ISO-8859-2"), "latin2" -> cs("ISO-8859-2"),
-      "latin-2" -> cs("ISO-8859-2"),
-      "iso-8859-7" -> cs("ISO-8859-7"), "greek" -> cs("ISO-8859-7"),
-      "iso-8859-9" -> cs("ISO-8859-9"), "latin5" -> cs("ISO-8859-9"),
-      "iso-8859-15" -> cs("ISO-8859-15"), "latin9" -> cs("ISO-8859-15"))
+      cs(Seq("windows-1250", "cp1250"), "windows-1250") ++
+      cs(Seq("iso-8859-2", "latin2", "latin-2"), "ISO-8859-2") ++
+      cs(Seq("iso-8859-7", "greek"), "ISO-8859-7") ++
+      cs(Seq("iso-8859-9", "latin5"), "ISO-8859-9") ++
+      cs(Seq("iso-8859-15", "latin9"), "ISO-8859-15")).toMap
   }
 
   /** Decode payload bytes under a DECLARED charset (null = the UTF-8
@@ -771,11 +773,15 @@ object Warc {
     * → transfer/content decoding → effective charset (header wins,
     * then the meta prescan, then the UTF-8 default) → strict text.
     * Returns (status, contentType, transferEncoding, contentEncoding,
-    * charset, charsetSource, text); status −1 and nulls for a torn
-    * message.
+    * charset, charsetSource, text, bodyDecoded); status −1 and nulls
+    * for a torn message. `bodyDecoded` splits a NULL text by CAUSE:
+    * false = the WIRE layer lost the body (torn chunk, corrupt gzip,
+    * out-of-contract coding), true = the bytes arrived fine and the
+    * CHARSET layer refused — two different remediations the audit
+    * ledger must not conflate.
     */
   private def decodeResponse(body: Array[Byte])
-      : (Int, String, String, String, String, String, String) =
+      : (Int, String, String, String, String, String, String, Boolean) =
     parseHttpBytesFull(body) match {
       case Some((h, raw)) =>
         val payload = decodeHttpBody(raw, h.transferEncoding, h.contentEncoding)
@@ -786,9 +792,9 @@ object Warc {
             case m    => (m, "meta")
           }
         (h.status, h.contentType, h.transferEncoding, h.contentEncoding,
-          cs, src, decodeCharset(payload, cs))
+          cs, src, decodeCharset(payload, cs), payload != null)
       case None =>
-        (-1, null, null, null, null, null, null)
+        (-1, null, null, null, null, null, null, false)
     }
 
   def httpTexts(recs: DataFrame): DataFrame = {
@@ -799,7 +805,7 @@ object Warc {
         col("target_uri").cast("string"), col("body"))
       .as[(Long, Int, String, Array[Byte])]
       .map { case (id, idx, uri, body) =>
-        val (st, ct, te, ce, cs, src, text) = decodeResponse(body)
+        val (st, ct, te, ce, cs, src, text, _) = decodeResponse(body)
         (id, idx, uri, st, ct, te, ce, cs, src, text)
       }
       .toDF("media_id", "rec_idx", "target_uri", "status", "content_type",
@@ -1016,14 +1022,14 @@ object Warc {
       .as[(Long, Int, String, String, Array[Byte])]
       .map { case (id, idx, wType, uri, body) =>
         if (wType == "response") {
-          val (st, ct, te, ce, cs, _, text) = decodeResponse(body)
-          (id, idx, wType, uri, st, ct, te, ce, cs, text)
+          val (st, ct, te, ce, cs, _, text, dec) = decodeResponse(body)
+          (id, idx, wType, uri, st, ct, te, ce, cs, text, dec)
         } else (id, idx, wType, uri, 0, null: String, null: String,
-          null: String, null: String, null: String)
+          null: String, null: String, null: String, false)
       }
       .toDF("media_id", "rec_idx", "warc_type", "target_uri", "status",
         "content_type", "transfer_encoding", "content_encoding",
-        "charset", "text")
+        "charset", "text", "body_decoded")
   }
 
   /** The VALIDATOR ledger of an archive — what a refresh crawler reads

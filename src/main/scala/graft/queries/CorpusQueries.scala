@@ -6828,7 +6828,11 @@ object CorpusQueries {
               .when(col("status") === -1, lit("torn"))
               .when(col("status") =!= 200, lit("http_status"))
               .when(col("content_type") =!= "text/html", lit("content_type"))
-              .when(col("text").isNull && col("content_encoding").isNotNull,
+              // the ledger's body_decoded marker splits NULL text by
+              // CAUSE: the wire layer lost the bytes (torn chunk,
+              // corrupt gzip, out-of-contract coding) vs the bytes
+              // arrived and the declared charset refused
+              .when(col("text").isNull && !col("body_decoded"),
                 lit("encoding"))
               .when(col("text").isNull, lit("charset"))
               .when(col("canon").isNull, lit("canon"))

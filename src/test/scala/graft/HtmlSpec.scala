@@ -115,6 +115,19 @@ class HtmlSpec extends SparkSpec {
     assert(links("a < b and c > d, no tags") == Seq.empty)
     // case-insensitive attributes and whitespace around '='
     assert(links("<a HREF = \"x1\"><img SRC\t=\tx2>") == Seq("x1", "x2"))
+    // a stray CLOSING </script> must not swallow the rest of the
+    // document: the XHTML self-closed opener leaves one behind
+    assert(links("""<script src="a.js"/>var x=1;</script><a href="after">r</a>""")
+      == Seq("a.js", "after"))
+    assert(links("""</script><a href="ok">r</a>""") == Seq("ok"))
+    // an unquoted src value ENDING in '/' is data, not a self-close —
+    // the script body stays opaque
+    assert(links("<script src=http://cdn.example/>" +
+      "var s = \"<a href='no'>\";</script><a href=ok2>") ==
+      Seq("http://cdn.example/", "ok2"))
+    // first-base early exit still returns the FIRST base under links
+    // appearing before it
+    assert(base("""<a href="pre"><base href="b1"><base href="b2">""") == "b1")
   }
 
   test("Html.outlinks: base rebasing, passthrough, NULL drops, map-only plan") {

@@ -320,6 +320,16 @@ class WarcSpec extends SparkSpec {
       r.getAs[Int]("status") == 200 &&
       r.getAs[String]("content_encoding") == "br" &&
       r.getAs[String]("text") == null))
+    // body_decoded splits NULL text by CAUSE: the wire layer lost the
+    // br body (false), while the utf-7 records' bytes arrived fine and
+    // the CHARSET layer refused (true) — the ledger's two remediation
+    // buckets must never conflate
+    assert(all.exists(r => r.getAs[String]("content_encoding") == "br" &&
+      !r.getAs[Boolean]("body_decoded")))
+    assert(all.exists(r => r.getAs[Int]("status") == 200 &&
+      r.getAs[String]("text") == null &&
+      r.getAs[String]("content_encoding") == null &&
+      r.getAs[Boolean]("body_decoded")))
   }
 
   test("httpValidators: case-preserved tags, absent validators, torn messages") {
