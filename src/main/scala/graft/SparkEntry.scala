@@ -19,7 +19,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     SessionQueries.all ++ RelationalQueries.all ++ WindowQueries.all ++
       CompositeQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
-      TpchQueries.all ++ CorpusQueries.all ++ TokenizerQueries.all
+      TpchQueries.all ++ CorpusQueries.all ++ TokenizerQueries.all ++
+      DumpQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,176 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
+import org.apache.commons.compress.compressors.xz.{XZCompressorInputStream, XZCompressorOutputStream}
+
+/** bzip2 + xz member decode — the compression formats PUBLISHED data
+  * dumps actually ship in, completing the ingest family next to gzip
+  * ([[CompressedMeta]]) and zstd ([[ZstdDecode]]): Wikipedia's
+  * `pages-articles-multistream.xml.bz2` is CONCATENATED byte-aligned
+  * bzip2 streams (one per article batch, so readers can seek via the
+  * companion offset index), and mirror tooling re-ships the same dumps
+  * as `.xz`. Both formats are already on the public classpath
+  * (Apache commons-compress + org.tukaani xz), so unlike zstd there is
+  * nothing to hand-build — what THIS layer owns is the multistream
+  * member walk, the bomb caps, and the untrusted-input contract the
+  * rest of the ingest family guarantees:
+  *
+  *   - member-wise decode with completed-prefix semantics: a torn or
+  *     corrupt stream drops ITSELF and everything after it, never a
+  *     throw mid-partition and never silently-partial text;
+  *   - per-member AND aggregate output budgets (a 10 KB bzip2 bomb
+  *     inflates to ~4 GB — RLE + Huffman is a better amplifier than
+  *     deflate), refusal is visible as a shortened member list;
+  *   - member boundaries are recovered from the DECODER's exact
+  *     consumption, not a signature scan: both formats end streams
+  *     byte-aligned (bzip2 pads the final bit-stream byte; xz pads the
+  *     footer to 4 bytes), so the byte after stream N's last consumed
+  *     byte IS stream N+1's first — a magic-bytes scan would false-
+  *     positive on compressed payload that happens to contain the
+  *     signature at a byte boundary.
+  *
+  * Map-only over (media_id, payload) rows, like every reader in the
+  * family. Reference scope: the reference engine ingests line JSON
+  * only (`App.java:136-162`); dump-compression ingest is north-star
+  * surface for the 100 TB corpus path.
+  */
+object DumpDecode {
+
+  /** bzip2 stream header: "BZh" + block-size digit '1'..'9'. */
+  private def bz2HeaderAt(bytes: Array[Byte], off: Int): Boolean =
+    off + 4 <= bytes.length &&
+      bytes(off) == 'B' && bytes(off + 1) == 'Z' && bytes(off + 2) == 'h' &&
+      bytes(off + 3) >= '1' && bytes(off + 3) <= '9'
+
+  /** xz stream header magic (6 bytes): FD '7zXZ' 00. */
+  private val XzMagic = Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0)
+
+  private def xzHeaderAt(bytes: Array[Byte], off: Int): Boolean =
+    off + 6 <= bytes.length && (0 until 6).forall(i => bytes(off + i) == XzMagic(i))
+
+  /** The shared member walk ([[CompressedMeta]]'s `walkGzipMembers`
+    * shape): (cleanly-decoded members, offset the walk ended at,
+    * clean). `clean` is true iff the walk never hit corruption,
+    * truncation, or a bomb cap — it may still end short of the
+    * payload's last byte on trailing non-stream bytes; callers that
+    * need exact consumption check `end`. `headerAt` gates each
+    * candidate offset, `open` builds the decompressor over the
+    * remaining bytes; the next offset is recovered from the wrapped
+    * stream's exact consumption (`in.available()` delta — both
+    * decoders pull from the underlying stream without read-ahead past
+    * their own framing).
+    */
+  private def walkMembers(
+      bytes: Array[Byte],
+      maxOutPerMember: Int,
+      maxOutTotal: Long,
+      headerAt: (Array[Byte], Int) => Boolean,
+      open: ByteArrayInputStream => java.io.InputStream): (Seq[Array[Byte]], Int, Boolean) = {
+    if (bytes == null) return (Seq.empty, 0, true)
+    val members = Vector.newBuilder[Array[Byte]]
+    var off = 0
+    var total = 0L
+    var clean = true
+    var done = false
+    while (!done && headerAt(bytes, off)) {
+      val in = new ByteArrayInputStream(bytes, off, bytes.length - off)
+      val before = in.available()
+      try {
+        val dec = open(in)
+        val out = new ByteArrayOutputStream()
+        val buf = new Array[Byte](64 << 10)
+        var over = false
+        var n = dec.read(buf)
+        while (n >= 0 && !over) {
+          if (out.size.toLong + n > maxOutPerMember || total + out.size + n > maxOutTotal) over = true
+          else { out.write(buf, 0, n); n = dec.read(buf) }
+        }
+        if (over) { clean = false; done = true } // budget refusal: keep prefix
+        else {
+          val m = out.toByteArray
+          members += m
+          total += m.length
+          val consumed = before - in.available()
+          if (consumed <= 0) { clean = false; done = true } // defensive: no progress
+          else off += consumed
+        }
+      } catch { case _: Exception => clean = false; done = true } // torn/corrupt
+    }
+    (members.result(), off, clean)
+  }
+
+  /** Split a multistream bzip2 payload into its decoded members, up to
+    * the first torn/corrupt/over-budget stream (completed-prefix).
+    * Wikipedia multistream dumps are exactly this layout (first member
+    * the `<mediawiki>` site-info header, then one member per ~100
+    * pages). Junk that doesn't start "BZh1".."BZh9" yields no members.
+    */
+  def bz2Members(bytes: Array[Byte],
+      maxOutPerMember: Int = 64 << 20,
+      maxOutTotal: Long = 256L << 20): Seq[Array[Byte]] =
+    walkMembers(bytes, maxOutPerMember, maxOutTotal, bz2HeaderAt,
+      in => new BZip2CompressorInputStream(in, false))._1
+
+  /** Split a multistream xz payload into its decoded members
+    * (completed-prefix, like [[bz2Members]]).
+    */
+  def xzMembers(bytes: Array[Byte],
+      maxOutPerMember: Int = 64 << 20,
+      maxOutTotal: Long = 256L << 20): Seq[Array[Byte]] =
+    walkMembers(bytes, maxOutPerMember, maxOutTotal, xzHeaderAt,
+      in => new XZCompressorInputStream(in, false))._1
+
+  /** STRICT whole-payload decode — the single-document contract
+    * ([[CompressedMeta.gunzipAll]]'s shape): every member must decode
+    * cleanly AND the walk must consume the payload exactly to its last
+    * byte, else null. Members concatenate.
+    */
+  private def decodeAll(walked: (Seq[Array[Byte]], Int, Boolean), len: Int): Array[Byte] = {
+    val (members, end, clean) = walked
+    if (!clean || end != len || members.isEmpty) null
+    else if (members.length == 1) members.head
+    else {
+      val out = new ByteArrayOutputStream()
+      members.foreach(m => out.write(m, 0, m.length))
+      out.toByteArray
+    }
+  }
+
+  /** All-or-NULL bzip2 decode of one payload (trailing junk → null). */
+  def bunzipAll(bytes: Array[Byte],
+      maxOutPerMember: Int = 64 << 20,
+      maxOutTotal: Long = 256L << 20): Array[Byte] = {
+    if (bytes == null || bytes.length < 14) return null // smallest empty stream
+    decodeAll(walkMembers(bytes, maxOutPerMember, maxOutTotal, bz2HeaderAt,
+      in => new BZip2CompressorInputStream(in, false)), bytes.length)
+  }
+
+  /** All-or-NULL xz decode of one payload (trailing junk → null). */
+  def unxzAll(bytes: Array[Byte],
+      maxOutPerMember: Int = 64 << 20,
+      maxOutTotal: Long = 256L << 20): Array[Byte] = {
+    if (bytes == null || bytes.length < 32) return null // header+footer+index minimum
+    decodeAll(walkMembers(bytes, maxOutPerMember, maxOutTotal, xzHeaderAt,
+      in => new XZCompressorInputStream(in, false)), bytes.length)
+  }
+
+  // ---- fixture encoders (tests + gates only; closed-form round-trips) ----
+
+  /** One bzip2 stream over `data` (smallest block size — fixtures are tiny). */
+  def bz2Member(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val bz = new BZip2CompressorOutputStream(out, 1)
+    bz.write(data); bz.close()
+    out.toByteArray
+  }
+
+  /** One xz stream over `data` (default LZMA2 preset). */
+  def xzMember(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val xz = new XZCompressorOutputStream(out)
+    xz.write(data); xz.close()
+    out.toByteArray
+  }
+}
