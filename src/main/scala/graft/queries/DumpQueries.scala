@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.DumpDecode
+import graft.operators.{DumpDecode, Multimodal, TarShard, TextAnalysis}
 
 /** Published-dump ingest gates: the bzip2/xz multistream decode layer
   * ([[graft.operators.DumpDecode]]), the tar-shard sample reader
@@ -102,6 +102,161 @@ object DumpQueries {
           |  END AS text
           |FROM nation, UNNEST(generate_series(0, 1)) AS u(i)
           |WHERE i = 0 OR n_nationkey % 2 = 0""".stripMargin
+      )
+    ),
+
+    // The tar-shard member INVENTORY — the measurement pass over a
+    // WebDataset shard before any sample assembly: one row per member
+    // with name/typeflag/size, checksum-verified headers, the GNU
+    // long-name arm in-gate (every k%5==0 shard carries a >100-char
+    // path that must resolve through the 'L' entry). Map-only.
+    Q(
+      "q_tar_entries",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val n = (2 + k % 3).toInt
+          val files = Seq((s"shard$k/", "5", Array.emptyByteArray)) ++
+            (0 until n).flatMap { i =>
+              Seq(
+                (f"shard$k/$i%06d.txt", "0", s"cap $k item $i".getBytes("US-ASCII")),
+                (f"shard$k/$i%06d.cls", "0", s"${(k + i) % 10}".getBytes("US-ASCII")))
+            } ++
+            (if (k % 5 == 0)
+              Seq((s"shard$k/" + "L" * 95 + "/x.json", "0", "{}".getBytes("US-ASCII")))
+            else Seq.empty)
+          TarShard.tar(files)
+        })
+        val out = TarShard.entryRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |items AS (SELECT k, CAST(i AS INT) AS i FROM n,
+          |          UNNEST(generate_series(0, 4)) u(i) WHERE i < 2 + k % 3)
+          |SELECT k AS media_id, CAST(0 AS INT) AS entry_idx,
+          |  'shard' || k || '/' AS name, '5' AS typeflag, CAST(0 AS BIGINT) AS size
+          |FROM n
+          |UNION ALL
+          |SELECT k, CAST(1 + 2 * i AS INT),
+          |  'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0') || '.txt', '0',
+          |  CAST(length('cap ' || k || ' item ' || i) AS BIGINT)
+          |FROM items
+          |UNION ALL
+          |SELECT k, CAST(2 + 2 * i AS INT),
+          |  'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0') || '.cls', '0',
+          |  CAST(1 AS BIGINT)
+          |FROM items
+          |UNION ALL
+          |SELECT k, CAST(5 + 2 * (k % 3) AS INT),
+          |  'shard' || k || '/' || repeat('L', 95) || '/x.json', '0', CAST(2 AS BIGINT)
+          |FROM n WHERE k % 5 = 0""".stripMargin
+      )
+    ),
+
+    // WebDataset SAMPLE assembly: consecutive same-stem members fold
+    // into one sample inside the per-shard walk (`000007.txt` +
+    // `000007.cls` = one record), so the reader is map-only — a sample
+    // never spans shards, so no shuffle exists at any scale. The
+    // long-name member forms its own single-part sample; the dot-less
+    // contract and run-break laws are pinned in TarShardSpec.
+    Q(
+      "q_tar_samples",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val n = (2 + k % 3).toInt
+          val files = (0 until n).flatMap { i =>
+            Seq(
+              (f"shard$k/$i%06d.txt", "0", s"cap $k item $i".getBytes("US-ASCII")),
+              (f"shard$k/$i%06d.cls", "0", s"${(k + i) % 10}".getBytes("US-ASCII")))
+          } ++
+            (if (k % 5 == 0)
+              Seq((s"shard$k/" + "L" * 95 + "/x.json", "0", "{}".getBytes("US-ASCII")))
+            else Seq.empty)
+          TarShard.tar(files)
+        })
+        val out = TarShard.sampleRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .withColumn("content", col("data").cast("string"))
+          .drop("data")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |items AS (SELECT k, CAST(i AS INT) AS i FROM n,
+          |          UNNEST(generate_series(0, 4)) u(i) WHERE i < 2 + k % 3)
+          |SELECT k AS media_id, i AS sample_idx,
+          |  'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0') AS sample_key,
+          |  'txt' AS ext, 'cap ' || k || ' item ' || i AS content
+          |FROM items
+          |UNION ALL
+          |SELECT k, i, 'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0'),
+          |  'cls', CAST((k + i) % 10 AS VARCHAR)
+          |FROM items
+          |UNION ALL
+          |SELECT k, CAST(2 + k % 3 AS INT),
+          |  'shard' || k || '/' || repeat('L', 95) || '/x', 'json', '{}'
+          |FROM n WHERE k % 5 = 0""".stripMargin
+      )
+    ),
+
+    // The multimodal WebDataset pipeline CLOSED: shard → samples →
+    // pair each sample's image part with its caption part → decode the
+    // image (the real BMP decoder from the media layer) → caption
+    // token count. One flatMap does shard-to-features; the only
+    // columns that survive are the training-table ones. Map-only.
+    Q(
+      "q_tar_pipeline",
+      (spark, dir) => {
+        import spark.implicits._
+        val mk = udf((k: Long) => {
+          val n = (2 + k % 2).toInt
+          TarShard.tar((0 until n).flatMap { i =>
+            Seq(
+              (f"$i%06d.bmp", "0",
+                Multimodal.syntheticBmp(k * 7 + i, (3 + (k + i) % 4).toInt, (2 + (k + 2 * i) % 3).toInt)),
+              (f"$i%06d.txt", "0", ("tok " * (2 + i) + "end").getBytes("US-ASCII")))
+          })
+        })
+        val shards = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("payload", mk(col("media_id")))
+        val out = shards
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, p) =>
+            TarShard.samples(TarShard.entries(p)).flatMap { s =>
+              val img = s.parts.collectFirst { case ("bmp", d) => d }
+              val cap = s.parts.collectFirst { case ("txt", d) => new String(d, "US-ASCII") }
+              for {
+                bytes <- img
+                (w, h, _) <- Multimodal.decodeBmp(bytes)
+                text <- cap
+              } yield (id, s.key, w, h, text)
+            }
+          }
+          .toDF("media_id", "sample_key", "width", "height", "caption")
+          .select(col("media_id"), col("sample_key"), col("width"), col("height"),
+            TextAnalysis.tokenCount(col("caption")).as("caption_tokens"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |items AS (SELECT k, CAST(i AS INT) AS i FROM n,
+          |          UNNEST(generate_series(0, 3)) u(i) WHERE i < 2 + k % 2)
+          |SELECT k AS media_id, lpad(CAST(i AS VARCHAR), 6, '0') AS sample_key,
+          |  CAST(3 + (k + i) % 4 AS INT) AS width,
+          |  CAST(2 + (k + 2 * i) % 3 AS INT) AS height,
+          |  CAST(3 + i AS INT) AS caption_tokens
+          |FROM items""".stripMargin
       )
     )
   )
