@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DumpDecode, Multimodal, TarShard, TextAnalysis}
+import graft.operators.{DumpDecode, Multimodal, TarShard, TextAnalysis, XmlDump}
 
 /** Published-dump ingest gates: the bzip2/xz multistream decode layer
   * ([[graft.operators.DumpDecode]]), the tar-shard sample reader
@@ -257,6 +258,162 @@ object DumpQueries {
           |  CAST(2 + (k + 2 * i) % 3 AS INT) AS height,
           |  CAST(3 + i AS INT) AS caption_tokens
           |FROM items""".stripMargin
+      )
+    ),
+
+    // XML-dump PAGE extraction: the four arms a pages-articles export
+    // really contains — a plain article, a redirect stub (the
+    // `<redirect>` target binds, not just the #REDIRECT body), a
+    // non-article namespace, and (every 4th key) an entity-bearing
+    // title that must XML-decode; every 3rd blob ends in a TORN page
+    // the walk must drop without losing the whole ones. The page id is
+    // pinned as the PRE-revision <id>. Map-only.
+    Q(
+      "q_wiki_pages",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          "<mediawiki xml:lang=\"en\">\n" +
+            XmlDump.pageXml(k * 10, 0, s"Page $k", None, s"Body [[Topic ${k % 5}]] of $k") +
+            XmlDump.pageXml(k * 10 + 1, 0, s"Redir $k", Some(s"Page $k"), s"#REDIRECT [[Page $k]]") +
+            XmlDump.pageXml(k * 10 + 2, 1, s"Talk:Page $k", None, s"talk $k") +
+            (if (k % 4 == 0) XmlDump.pageXml(k * 10 + 3, 0, s"A&B <$k>", None, s"e&e $k") else "") +
+            (if (k % 3 == 0) "  <page>\n    <title>Torn</title>\n    <ns>0</ns>" else "") +
+            "</mediawiki>"
+        })
+        val out = XmlDump.pageRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("xml", mk(col("media_id"))),
+          "media_id", "xml")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id, CAST(0 AS INT) AS page_idx, k * 10 AS page_id,
+          |  CAST(0 AS INT) AS ns, 'Page ' || k AS title, CAST(NULL AS VARCHAR) AS redirect,
+          |  'Body [[Topic ' || (k % 5) || ']] of ' || k AS text
+          |FROM n
+          |UNION ALL
+          |SELECT k, CAST(1 AS INT), k * 10 + 1, CAST(0 AS INT), 'Redir ' || k,
+          |  'Page ' || k, '#REDIRECT [[Page ' || k || ']]'
+          |FROM n
+          |UNION ALL
+          |SELECT k, CAST(2 AS INT), k * 10 + 2, CAST(1 AS INT), 'Talk:Page ' || k,
+          |  NULL, 'talk ' || k
+          |FROM n
+          |UNION ALL
+          |SELECT k, CAST(3 AS INT), k * 10 + 3, CAST(0 AS INT),
+          |  'A&B <' || k || '>', NULL, 'e&e ' || k
+          |FROM n WHERE k % 4 = 0""".stripMargin
+      )
+    ),
+
+    // The wikitext STRIP under the oracle: one composed article per
+    // key exercising every pass (heading, bold/italic quotes, nested
+    // template, piped + plain wiki links, ref body, external link,
+    // table, entity, residual tag — plus the media-link arm on odd
+    // keys), reduced to closed-form prose the oracle re-derives by
+    // concatenation. Whitespace is preserved exactly as the removals
+    // leave it — that's the documented contract. Map-only.
+    Q(
+      "q_wiki_text",
+      (spark, dir) => {
+        val strip = udf((k: Long) => XmlDump.stripWikitext(
+          s"== Heading $k ==\n'''Bold''' text {{tmpl|x=$k}}with [[Link $k|label $k]] " +
+            s"and [[Plain$k]], see <ref name=a>junk</ref>[https://e.com/$k ext $k] rest " +
+            s"{| tbl |} &amp; <b>tail</b>$k" +
+            (if (k % 2 == 1) s"\npix [[File:p$k.jpg|thumb|a [[l]] cap]] done" else "")))
+        val out = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("plain", strip(col("media_id")))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  'Heading ' || n_nationkey || chr(10) || 'Bold text with label ' || n_nationkey
+          |  || ' and Plain' || n_nationkey || ', see ext ' || n_nationkey
+          |  || ' rest  & tail' || n_nationkey
+          |  || CASE WHEN n_nationkey % 2 = 1 THEN chr(10) || 'pix  done' ELSE '' END AS plain
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // The dump pipeline CLOSED: multistream bzip2 blob (site-header
+    // member with no pages, then two page-batch members — Wikipedia's
+    // real layout) → member-wise page extraction with page_idx
+    // re-indexed across members → article screen (ns=0, non-redirect,
+    // body present) → wikitext strip → token count → GLOBAL exact
+    // dedup (texts collide across blobs by construction; keep-min by
+    // (media_id, page_id), copies counted). ONE shuffle total — the
+    // dedup window; everything upstream is map-only.
+    Q(
+      "q_wiki_pipeline",
+      (spark, dir) => {
+        import spark.implicits._
+        val mk = udf((k: Long) => {
+          val header = "<mediawiki xml:lang=\"en\">\n  <siteinfo>\n    <sitename>Fixture</sitename>\n  </siteinfo>\n"
+          val batch1 =
+            XmlDump.pageXml(k * 10, 0, s"Page $k",
+              None, s"'''Doc''' about [[Topic ${k % 5}|topic ${k % 5}]] with {{box|$k}} tail ${k % 5}") +
+              XmlDump.pageXml(k * 10 + 1, 0, s"Redir $k", Some(s"Page $k"), s"#REDIRECT [[Page $k]]")
+          val batch2 =
+            XmlDump.pageXml(k * 10 + 2, 1, s"Talk:Page $k", None, s"talk $k") +
+              (if (k % 4 == 0)
+                XmlDump.pageXml(k * 10 + 3, 0, s"More $k", None, s"Extra &amp; [[data]] {{t}} page ${k % 8}")
+              else "") +
+              (if (k % 3 == 0) "  <page>\n    <title>Torn</title>" else "")
+          DumpDecode.bz2Member(header.getBytes("UTF-8")) ++
+            DumpDecode.bz2Member(batch1.getBytes("UTF-8")) ++
+            DumpDecode.bz2Member(batch2.getBytes("UTF-8"))
+        })
+        val pages = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("payload", mk(col("media_id")))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, p) =>
+            DumpDecode.bz2Members(p)
+              .flatMap(m => XmlDump.pages(new String(m, "UTF-8")))
+              .zipWithIndex
+              .map { case (pg, i) => (id, i, pg.page_id, pg.ns, pg.title, pg.redirect, pg.text) }
+          }
+          .toDF("media_id", "page_idx", "page_id", "ns", "title", "redirect", "text")
+        val strip = udf((s: String) => XmlDump.stripWikitext(s))
+        val articles = pages
+          .filter(col("ns") === 0 && col("redirect").isNull && col("text").isNotNull)
+          .withColumn("plain", strip(col("text")))
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("plain")))
+        val byText = Window.partitionBy(col("plain"))
+        val out = articles
+          .withColumn("rn", row_number().over(byText.orderBy(col("media_id"), col("page_id"))))
+          .withColumn("copies", count(lit(1)).over(byText))
+          .where(col("rn") === 1)
+          .select(col("media_id"), col("page_id"), col("title"), col("n_tokens"), col("copies"))
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |arts AS (
+          |  SELECT k AS media_id, k * 10 AS page_id, 'Page ' || k AS title,
+          |    'Doc about topic ' || (k % 5) || ' with  tail ' || (k % 5) AS plain
+          |  FROM n
+          |  UNION ALL
+          |  SELECT k, k * 10 + 3, 'More ' || k,
+          |    'Extra & data  page ' || (k % 8)
+          |  FROM n WHERE k % 4 = 0
+          |), t AS (
+          |  SELECT media_id, page_id, title, plain,
+          |    CAST(len(regexp_split_to_array(plain, '\s+')) AS INT) AS n_tokens
+          |  FROM arts
+          |), d AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY plain ORDER BY media_id, page_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY plain) AS copies
+          |  FROM t
+          |)
+          |SELECT media_id, page_id, title, n_tokens, CAST(copies AS BIGINT) AS copies
+          |FROM d WHERE rn = 1""".stripMargin
       )
     )
   )
