@@ -925,4 +925,63 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(streamed.contains((1L, 1, "http://site3.example/l/1")))
     } finally q.stop()
   }
+
+  test("bz2 dump ingest streams: members → pages → strip identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{DumpDecode, XmlDump}
+    // the dump walk is a stateless map over blobs — the same flatMap
+    // shape ingests a live stream of multistream-bz2 page batches
+    def blob(k: Long): Array[Byte] =
+      DumpDecode.bz2Member("<mediawiki>\n".getBytes("UTF-8")) ++
+        DumpDecode.bz2Member((XmlDump.pageXml(k * 10, 0, s"Page $k", None,
+          s"'''B''' [[T|t]] $k") +
+          XmlDump.pageXml(k * 10 + 1, 1, s"Talk $k", None, "talk")).getBytes("UTF-8"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val pages = df.as[(Long, Array[Byte])].flatMap { case (id, p) =>
+        DumpDecode.bz2Members(p)
+          .flatMap(m => XmlDump.pages(new String(m, "UTF-8")))
+          .map(pg => (id, pg.page_id, pg.ns, XmlDump.stripWikitext(pg.text)))
+      }.toDF("media_id", "page_id", "ns", "plain")
+      pages.where(col("ns") === 0)
+    }
+    val blobs = Seq((1L, blob(1L)), (2L, blob(2L)))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = pipeline(in.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("sc_dump_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      val batch = rows(pipeline(blobs.toDF("media_id", "payload")))
+      assert(rows(spark.table("sc_dump_out")) == batch)
+      assert(batch == Set((1L, 10L, "B t 1"), (2L, 20L, "B t 2")))
+    } finally q.stop()
+  }
+
+  test("tar-shard samples stream: within-blob assembly needs no state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TarShard
+    // sample grouping happens INSIDE the per-blob walk, so streaming
+    // needs no stateful operator — a shard is one self-contained batch
+    def shard(k: Long): Array[Byte] = TarShard.tar(Seq(
+      (f"$k%06d.txt", "0", s"cap $k".getBytes("UTF-8")),
+      (f"$k%06d.cls", "0", s"${k % 10}".getBytes("UTF-8"))))
+    val blobs = Seq((1L, shard(1L)), (2L, shard(2L)))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = TarShard.sampleRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_tar_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(2), r.getString(3), new String(r.getAs[Array[Byte]](4), "UTF-8"))).toSet
+      val batch = rows(TarShard.sampleRows(blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_tar_out")) == batch)
+      assert(batch.contains((1L, "000001", "txt", "cap 1")))
+      assert(batch.size == 4)
+    } finally q.stop()
+  }
 }
