@@ -187,6 +187,50 @@ object XmlDump {
     out.result()
   }
 
+  /** Internal-link TARGETS of a wikitext body — the dump's edge list,
+    * extracted BEFORE [[stripWikitext]] erases the brackets. Every
+    * `[[…]]` open is scanned (so a link inside a media caption counts,
+    * as MediaWiki renders it); the target is the body up to the first
+    * `|`, normalized the way page titles collapse: `#fragment`
+    * stripped (a section link targets its page), underscores are
+    * spaces, space runs collapse, first letter upper-cases
+    * (MediaWiki's case-insensitive initial). Media/category links,
+    * fragment-only self links, empty and newline-bearing targets are
+    * dropped.
+    */
+  def wikiLinks(text: String, maxLinks: Int = 10000): Seq[String] = {
+    if (text == null) return Seq.empty
+    val out = Vector.newBuilder[String]
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    var n = 0
+    while (n < maxLinks) {
+      val open = text.indexOf("[[", i)
+      if (open < 0) return out.result()
+      i = open + 2
+      if (!DropLinkPrefixes.exists(p => lower.startsWith(p, open + 2))) {
+        val close = text.indexOf("]]", open + 2)
+        if (close >= 0) {
+          var body = text.substring(open + 2, close)
+          val pipe = body.indexOf('|')
+          if (pipe >= 0) body = body.substring(0, pipe)
+          val hash = body.indexOf('#')
+          if (hash >= 0) body = body.substring(0, hash)
+          body = body.replace('_', ' ').trim.replaceAll(" +", " ")
+          if (body.nonEmpty && body.indexOf('\n') < 0) {
+            val canon =
+              if (Character.isLowerCase(body.charAt(0)))
+                body.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + body.substring(1)
+              else body
+            out += canon
+            n += 1
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   // ---- wikitext → plain text ----
 
   /** Remove nested `open…close` regions (innermost-aware stack scan).

@@ -354,7 +354,7 @@ object CorpusQueries {
     * as recursive-CTE syntax inside a WITH RECURSIVE (silently
     * duplicating the node set; cost a debugging session).
     */
-  private def domainGraphCtes(edgesSql: String, px: String): String =
+  private[queries] def domainGraphCtes(edgesSql: String, px: String): String =
     s"""${px}e0 AS (
        |  $edgesSql
        |), ${px}adj AS (
@@ -370,7 +370,7 @@ object CorpusQueries {
 
   /** Two unrolled integer-PageRank iterations over a [[domainGraphCtes]]
     * graph; ends in `${px}r2(node, rank)`. */
-  private def domainRankStepsSql(px: String): String =
+  private[queries] def domainRankStepsSql(px: String): String =
     s"""${px}c1 AS (
        |  SELECT a.dst AS node,
        |    SUM(a.w * ((CAST(1000000 AS BIGINT) * 850000) // (d.outw * 1000000))) AS m

@@ -415,6 +415,49 @@ object DumpQueries {
           |SELECT media_id, page_id, title, n_tokens, CAST(copies AS BIGINT) AS copies
           |FROM d WHERE rn = 1""".stripMargin
       )
+    ),
+
+    // DUMP → INTERLINK GRAPH → AUTHORITY: q_wat_graph/q_html_graph's
+    // dump-side sibling — the edge list comes from WIKITEXT internal
+    // links (extracted before the strip erases them), with the title
+    // canonicalization the dump's own link semantics demand: fragment
+    // links target their page, underscores are spaces, the initial is
+    // case-insensitive, media/category links drop, a caption-embedded
+    // link counts. Same |titles|²-bounded one-shuffle collapse, same
+    // two integer-exact PageRank rounds, same unrolled rank CTEs.
+    Q(
+      "q_wiki_graph",
+      (spark, dir) => {
+        import spark.implicits._
+        val mk = udf((k: Long) =>
+          XmlDump.pageXml(k * 10, 0, s"Page ${k % 5}", None,
+            s"Intro [[Page ${(k + 1) % 5}]] mid [[Page ${(k + 2) % 5}|alias]] " +
+              s"see [[Page_${(k + 3) % 5}#History]] also [[page ${(k + 4) % 5}]] " +
+              "[[File:x.jpg|thumb|cap]][[Category:Z]] tail"))
+        val pages = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("xml", mk(col("media_id")))
+          .as[(Long, String)]
+          .flatMap { case (_, xml) =>
+            XmlDump.pages(xml).flatMap(pg =>
+              XmlDump.wikiLinks(pg.text).map(dst => (pg.title, dst)))
+          }
+          .toDF("src", "dst")
+        val r = graft.operators.Graph.pageRankInt(pages, "src", "dst", iters = 2)
+        val scratch = Q.scratch("wikirank")
+        r.write.mode("overwrite").parquet(scratch)
+        r.unpersist()
+        spark.read.parquet(scratch)
+      },
+      Some {
+        val edgesSql =
+          """SELECT 'Page ' || CAST(n_nationkey % 5 AS VARCHAR) AS src,
+            |    'Page ' || CAST((n_nationkey + j) % 5 AS VARCHAR) AS dst
+            |  FROM nation, UNNEST(generate_series(1, 4)) AS v(j)""".stripMargin
+        s"""WITH ${CorpusQueries.domainGraphCtes(edgesSql, "wg")},
+           |${CorpusQueries.domainRankStepsSql("wg")}
+           |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM wgr2""".stripMargin
+      }
     )
   )
 }

@@ -96,6 +96,20 @@ class XmlDumpSpec extends SparkSpec {
       "Heading 5\nBold text with label 5 and Plain5, see ext 5 rest  & tail5")
   }
 
+  test("wikiLinks: targets canonicalize; media links drop; captions count") {
+    val links = XmlDump.wikiLinks(
+      "a [[Alpha]] b [[Beta|label]] c [[Gamma#Sec]] d [[delta_one]] " +
+        "[[File:x.jpg|thumb|a [[Caption Link]] cap]] [[Category:Z]] " +
+        "[[#selfsec]] [[  ]] [[torn")
+    assert(links == Seq("Alpha", "Beta", "Gamma", "Delta one", "Caption Link"))
+    // fragment-only and empty targets drop; the torn open yields nothing
+    assert(XmlDump.wikiLinks("[[a\nb]]") == Seq.empty) // newline target = not a link
+    assert(XmlDump.wikiLinks(null) == Seq.empty)
+    assert(XmlDump.wikiLinks("[[x]]" * 50, maxLinks = 10).length == 10)
+    // space runs collapse and underscores normalize like titles do
+    assert(XmlDump.wikiLinks("[[a__b   c]]") == Seq("A b c"))
+  }
+
   test("pageRows: distributed walk is map-only; torn member keeps whole pages") {
     import spark.implicits._
     val xml1 = XmlDump.pageXml(10, 0, "A", None, "ta") + XmlDump.pageXml(11, 1, "B", None, "tb")
