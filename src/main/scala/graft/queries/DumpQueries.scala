@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DumpDecode, Multimodal, TarShard, TextAnalysis, XmlDump}
+import graft.operators.{DumpDecode, Multimodal, TarShard, TextAnalysis, XmlDump, ZipShard}
 
 /** Published-dump ingest gates: the bzip2/xz multistream decode layer
   * ([[graft.operators.DumpDecode]]), the tar-shard sample reader
@@ -15,6 +15,39 @@ import graft.operators.{DumpDecode, Multimodal, TarShard, TextAnalysis, XmlDump}
   * oracle re-derives the expected rows arithmetically.
   */
 object DumpQueries {
+
+  /** The shard sample layout q_tar_samples and q_zip_samples SHARE —
+    * identical logical members in the two containers, so one oracle
+    * proves the container is invisible to the WebDataset layer.
+    */
+  private val ShardSamplesOracleSql: String =
+    """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |items AS (SELECT k, CAST(i AS INT) AS i FROM n,
+      |          UNNEST(generate_series(0, 4)) u(i) WHERE i < 2 + k % 3)
+      |SELECT k AS media_id, i AS sample_idx,
+      |  'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0') AS sample_key,
+      |  'txt' AS ext, 'cap ' || k || ' item ' || i AS content
+      |FROM items
+      |UNION ALL
+      |SELECT k, i, 'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0'),
+      |  'cls', CAST((k + i) % 10 AS VARCHAR)
+      |FROM items
+      |UNION ALL
+      |SELECT k, CAST(2 + k % 3 AS INT),
+      |  'shard' || k || '/' || repeat('L', 95) || '/x', 'json', '{}'
+      |FROM n WHERE k % 5 = 0""".stripMargin
+
+  /** The shared logical member list behind [[ShardSamplesOracleSql]]. */
+  private def shardSampleMembers(k: Long): Seq[(String, Array[Byte])] = {
+    val n = (2 + k % 3).toInt
+    (0 until n).flatMap { i =>
+      Seq(
+        (f"shard$k/$i%06d.txt", s"cap $k item $i".getBytes("US-ASCII")),
+        (f"shard$k/$i%06d.cls", s"${(k + i) % 10}".getBytes("US-ASCII")))
+    } ++
+      (if (k % 5 == 0) Seq((s"shard$k/" + "L" * 95 + "/x.json", "{}".getBytes("US-ASCII")))
+      else Seq.empty)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -168,18 +201,8 @@ object DumpQueries {
     Q(
       "q_tar_samples",
       (spark, dir) => {
-        val mk = udf((k: Long) => {
-          val n = (2 + k % 3).toInt
-          val files = (0 until n).flatMap { i =>
-            Seq(
-              (f"shard$k/$i%06d.txt", "0", s"cap $k item $i".getBytes("US-ASCII")),
-              (f"shard$k/$i%06d.cls", "0", s"${(k + i) % 10}".getBytes("US-ASCII")))
-          } ++
-            (if (k % 5 == 0)
-              Seq((s"shard$k/" + "L" * 95 + "/x.json", "0", "{}".getBytes("US-ASCII")))
-            else Seq.empty)
-          TarShard.tar(files)
-        })
+        val mk = udf((k: Long) =>
+          TarShard.tar(shardSampleMembers(k).map { case (n, d) => (n, "0", d) }))
         val out = TarShard.sampleRows(
           Q.t(spark, dir, "nation")
             .select(col("n_nationkey").cast("long").as("media_id"))
@@ -190,23 +213,70 @@ object DumpQueries {
         Q.requireNoShuffle(out)
         out
       },
+      Some(ShardSamplesOracleSql)
+    ),
+
+    // The zip-shard member INVENTORY — the stream-order local-header
+    // walk (CRC-verified; the central directory is the clean stop, not
+    // the index): one row per member with name/method/size, the stored
+    // and deflated arms alternating by parity so both decode paths sit
+    // under the oracle. Map-only.
+    Q(
+      "q_zip_entries",
+      (spark, dir) => {
+        val mk = udf((k: Long) => ZipShard.zip(
+          shardSampleMembers(k), deflate = k % 2 == 0, descriptor = k % 4 == 0))
+        val out = ZipShard.entryRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
       Some(
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
           |items AS (SELECT k, CAST(i AS INT) AS i FROM n,
           |          UNNEST(generate_series(0, 4)) u(i) WHERE i < 2 + k % 3)
-          |SELECT k AS media_id, i AS sample_idx,
-          |  'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0') AS sample_key,
-          |  'txt' AS ext, 'cap ' || k || ' item ' || i AS content
+          |SELECT k AS media_id, CAST(2 * i AS INT) AS entry_idx,
+          |  'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0') || '.txt' AS name,
+          |  CAST(CASE WHEN k % 2 = 0 THEN 8 ELSE 0 END AS INT) AS method,
+          |  CAST(length('cap ' || k || ' item ' || i) AS BIGINT) AS size
           |FROM items
           |UNION ALL
-          |SELECT k, i, 'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0'),
-          |  'cls', CAST((k + i) % 10 AS VARCHAR)
+          |SELECT k, CAST(2 * i + 1 AS INT),
+          |  'shard' || k || '/' || lpad(CAST(i AS VARCHAR), 6, '0') || '.cls',
+          |  CAST(CASE WHEN k % 2 = 0 THEN 8 ELSE 0 END AS INT), CAST(1 AS BIGINT)
           |FROM items
           |UNION ALL
-          |SELECT k, CAST(2 + k % 3 AS INT),
-          |  'shard' || k || '/' || repeat('L', 95) || '/x', 'json', '{}'
+          |SELECT k, CAST(4 + 2 * (k % 3) AS INT),
+          |  'shard' || k || '/' || repeat('L', 95) || '/x.json',
+          |  CAST(CASE WHEN k % 2 = 0 THEN 8 ELSE 0 END AS INT), CAST(2 AS BIGINT)
           |FROM n WHERE k % 5 = 0""".stripMargin
       )
+    ),
+
+    // Zip sample assembly — q_tar_samples' oracle VERBATIM over the
+    // SAME logical members in the other container (descriptor-layout
+    // deflate, the streaming-zip corner): the container is provably
+    // invisible to the WebDataset layer, exactly like compression is
+    // invisible to the WARC layer (q_warc_gz/q_warc_zst). Map-only.
+    Q(
+      "q_zip_samples",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          ZipShard.zip(shardSampleMembers(k), deflate = true, descriptor = true))
+        val out = ZipShard.sampleRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .withColumn("content", col("data").cast("string"))
+          .drop("data")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(ShardSamplesOracleSql)
     ),
 
     // The multimodal WebDataset pipeline CLOSED: shard → samples →
