@@ -156,6 +156,31 @@ object DumpDecode {
       in => new XZCompressorInputStream(in, false)), bytes.length)
   }
 
+  /** Magic-sniffed whole-payload decompression — what a shard reader
+    * actually needs when a dataset mixes `.tar`, `.tar.gz`, `.tar.zst`
+    * and `.tar.bz2` shards: gzip (1F 8B), zstd (28 B5 2F FD), bzip2
+    * ("BZh1".."BZh9") and xz (FD "7zXZ" 00) dispatch to their
+    * all-or-NULL decoders; anything else passes through UNCHANGED
+    * (plain tar has no magic at offset 0 — its signature sits at byte
+    * 257). A corrupt compressed payload therefore returns null, never
+    * silently-partial bytes, while an uncompressed one is untouched.
+    */
+  def decompressAuto(bytes: Array[Byte],
+      maxOutPerMember: Int = 64 << 20,
+      maxOutTotal: Long = 256L << 20): Array[Byte] = {
+    if (bytes == null || bytes.length < 2) return bytes
+    if ((bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
+      CompressedMeta.gunzipAll(bytes, maxOutPerMember, maxOutTotal)
+    else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x28 && (bytes(1) & 0xFF) == 0xB5 &&
+      (bytes(2) & 0xFF) == 0x2F && (bytes(3) & 0xFF) == 0xFD)
+      ZstdDecode.zstdAll(bytes, maxOutPerMember, maxOutTotal)
+    else if (bz2HeaderAt(bytes, 0))
+      bunzipAll(bytes, maxOutPerMember, maxOutTotal)
+    else if (xzHeaderAt(bytes, 0))
+      unxzAll(bytes, maxOutPerMember, maxOutTotal)
+    else bytes
+  }
+
   // ---- fixture encoders (tests + gates only; closed-form round-trips) ----
 
   /** One bzip2 stream over `data` (smallest block size — fixtures are tiny). */

@@ -216,6 +216,40 @@ object DumpQueries {
       Some(ShardSamplesOracleSql)
     ),
 
+    // COMPRESSED tar shards under the shared oracle — the four ways a
+    // shard really arrives (`.tar`, `.tar.gz`, `.tar.zst` via the
+    // pure-JVM RFC 8878 decoder, `.tar.bz2`), rotating by key, all
+    // reduced by ONE magic-sniffed all-or-NULL decompression in front
+    // of the same walk: two compression layers and the container are
+    // simultaneously invisible to the sample layer. Map-only.
+    Q(
+      "q_tar_compressed",
+      (spark, dir) => {
+        import spark.implicits._
+        val mk = udf((k: Long) => {
+          val tarBytes = TarShard.tar(shardSampleMembers(k).map { case (n, d) => (n, "0", d) })
+          k % 4 match {
+            case 0 => tarBytes
+            case 1 => graft.operators.CompressedMeta.gzipMember(tarBytes)
+            case 2 => graft.operators.ZstdDecode.zstdFrameRaw(tarBytes, checksum = true)
+            case _ => DumpDecode.bz2Member(tarBytes)
+          }
+        })
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("payload", mk(col("media_id")))
+          .as[(Long, Array[Byte])]
+          .map { case (id, p) => (id, DumpDecode.decompressAuto(p)) }
+          .toDF("media_id", "payload")
+        val out = TarShard.sampleRows(blobs, "media_id", "payload")
+          .withColumn("content", col("data").cast("string"))
+          .drop("data")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(ShardSamplesOracleSql)
+    ),
+
     // The zip-shard member INVENTORY — the stream-order local-header
     // walk (CRC-verified; the central directory is the clean stop, not
     // the index): one row per member with name/method/size, the stored

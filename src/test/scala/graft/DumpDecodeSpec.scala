@@ -119,6 +119,22 @@ class DumpDecodeSpec extends SparkSpec {
     assert(DumpDecode.bz2Members(DumpDecode.xzMember(plain1)).isEmpty)
   }
 
+  test("decompressAuto: magic sniff dispatches all four formats; plain passes through") {
+    import graft.operators.{CompressedMeta, ZstdDecode}
+    val data = Array.tabulate(300)(i => ((i * 11 + 3) & 0xFF).toByte)
+    assert(java.util.Arrays.equals(DumpDecode.decompressAuto(CompressedMeta.gzipMember(data)), data))
+    assert(java.util.Arrays.equals(DumpDecode.decompressAuto(ZstdDecode.zstdFrameRaw(data, checksum = true)), data))
+    assert(java.util.Arrays.equals(DumpDecode.decompressAuto(DumpDecode.bz2Member(data)), data))
+    assert(java.util.Arrays.equals(DumpDecode.decompressAuto(DumpDecode.xzMember(data)), data))
+    // no known magic → UNCHANGED (plain tar's signature lives at byte 257)
+    assert(DumpDecode.decompressAuto(data) eq data)
+    assert(DumpDecode.decompressAuto(null) == null)
+    assert(DumpDecode.decompressAuto(Array[Byte](1)).length == 1)
+    // corrupt compressed payload → null, never silently-partial bytes
+    val gz = CompressedMeta.gzipMember(data); gz(gz.length - 2) = (gz(gz.length - 2) ^ 1).toByte
+    assert(DumpDecode.decompressAuto(gz) == null)
+  }
+
   test("adversarial: every truncation and every-16th bit-flip of goldens never throws") {
     val payloads = Seq(goldenBz2(1)._2, goldenXz(1)._2,
       goldenBz2(0)._2 ++ goldenBz2(1)._2, goldenXz(0)._2 ++ goldenXz(1)._2)
