@@ -665,6 +665,46 @@ object ScaleProbe {
             .withColumn("payload", warc(col("media_id"))),
           "media_id", "payload").count()
       }
+      // dump ingest: multistream bz2 split + page extraction +
+      // wikitext strip, all map-only — wall must track the blob count
+      // (each doc row becomes one 2-member dump with 3 pages)
+      probe(s"dump_pipeline x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.DumpDecode.bz2Member("<mediawiki>\n".getBytes("UTF-8")) ++
+            graft.operators.DumpDecode.bz2Member((0 until 3).map(i =>
+              graft.operators.XmlDump.pageXml(s * 10 + i, 0, s"Page $s-$i", None,
+                s"'''B''' [[T $s|t]] body {{x|$i}} of $s <ref>c</ref> tail $i"))
+              .mkString.getBytes("UTF-8"))
+        })
+        d.select(col("doc_id").as("media_id"))
+          .withColumn("payload", mk(col("media_id")))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, p) =>
+            graft.operators.DumpDecode.bz2Members(p)
+              .flatMap(m => graft.operators.XmlDump.pages(new String(m, "UTF-8")))
+              .map(pg => (id, pg.page_id, graft.operators.XmlDump.stripWikitext(pg.text)))
+          }.toDF("media_id", "page_id", "plain")
+          .filter(col("plain").isNotNull).count()
+      }
+      // tar/zip shard sample assembly: the whole group-by-stem lives
+      // inside the per-blob walk — wall must track the blob count
+      probe(s"shard_samples x$k") {
+        val tarMk = udf((id: Long) => graft.operators.TarShard.tar((0 until 4).flatMap(i =>
+          Seq((f"${id % 97}%06d_$i.txt", "0", s"cap $id $i".getBytes("UTF-8")),
+            (f"${id % 97}%06d_$i.cls", "0", "1".getBytes("UTF-8"))))))
+        val zipMk = udf((id: Long) => graft.operators.ZipShard.zip((0 until 4).flatMap(i =>
+          Seq((f"${id % 97}%06d_$i.txt", s"cap $id $i".getBytes("UTF-8")),
+            (f"${id % 97}%06d_$i.cls", "1".getBytes("UTF-8")))), descriptor = true))
+        val half = d.select(col("doc_id").as("media_id"))
+        graft.operators.TarShard.sampleRows(
+          half.filter(col("media_id") % 2 === 0).withColumn("payload", tarMk(col("media_id"))),
+          "media_id", "payload")
+          .unionByName(graft.operators.ZipShard.sampleRows(
+            half.filter(col("media_id") % 2 === 1).withColumn("payload", zipMk(col("media_id"))),
+            "media_id", "payload"))
+          .count()
+      }
       // URL canonicalization is a map-only codegen expression — wall
       // must track the row count
       probe(s"url_canon x$k") {
