@@ -246,14 +246,24 @@ object CompressedMeta {
       maxOutTotal: Long = 256L << 20): Array[Byte] = {
     if (bytes == null || bytes.length < 18) return null // header+trailer minimum
     val (members, end, clean) = walkGzipMembers(bytes, maxOutPerMember, maxOutTotal)
-    if (!clean || end != bytes.length || members.isEmpty) null
+    allOrNullConcat(members, clean && end == bytes.length)
+  }
+
+  /** The combine tail every all-or-NULL whole-payload decoder shares
+    * ([[gunzipAll]], [[ZstdDecode.zstdAll]], [[DumpDecode]]'s pair):
+    * every member decoded cleanly AND the walk consumed the payload
+    * exactly (`clean`), else null; members concatenate. One definition
+    * so the family's contract cannot silently diverge per format.
+    */
+  private[operators] def allOrNullConcat(
+      members: Seq[Array[Byte]], clean: Boolean): Array[Byte] =
+    if (!clean || members.isEmpty) null
     else if (members.length == 1) members.head
     else {
       val out = new java.io.ByteArrayOutputStream()
       members.foreach(m => out.write(m, 0, m.length))
       out.toByteArray
     }
-  }
 
   /** The member walk both readers share: (verified members, offset the
     * walk ended at, clean) — `clean` is true iff the walk never hit

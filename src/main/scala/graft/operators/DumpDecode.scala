@@ -123,19 +123,13 @@ object DumpDecode {
       in => new XZCompressorInputStream(in, false))._1
 
   /** STRICT whole-payload decode — the single-document contract
-    * ([[CompressedMeta.gunzipAll]]'s shape): every member must decode
-    * cleanly AND the walk must consume the payload exactly to its last
-    * byte, else null. Members concatenate.
+    * ([[CompressedMeta.allOrNullConcat]], the family's one combine
+    * tail): every member must decode cleanly AND the walk must consume
+    * the payload exactly to its last byte, else null.
     */
   private def decodeAll(walked: (Seq[Array[Byte]], Int, Boolean), len: Int): Array[Byte] = {
     val (members, end, clean) = walked
-    if (!clean || end != len || members.isEmpty) null
-    else if (members.length == 1) members.head
-    else {
-      val out = new ByteArrayOutputStream()
-      members.foreach(m => out.write(m, 0, m.length))
-      out.toByteArray
-    }
+    CompressedMeta.allOrNullConcat(members, clean && end == len)
   }
 
   /** All-or-NULL bzip2 decode of one payload (trailing junk → null). */

@@ -63,15 +63,9 @@ object XmlDump {
             case "quot" => "\""
             case "apos" => "'"
             case _ if name.startsWith("#x") || name.startsWith("#X") =>
-              try {
-                val cp = Integer.parseInt(name.substring(2), 16)
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
-              } catch { case _: Exception => null }
+              numericEntity(name.substring(2), 16)
             case _ if name.startsWith("#") =>
-              try {
-                val cp = Integer.parseInt(name.substring(1))
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
-              } catch { case _: Exception => null }
+              numericEntity(name.substring(1), 10)
             case _ => null
           }
           if (rep == null) { out.append(c); i += 1 }
@@ -82,6 +76,20 @@ object XmlDump {
     out.toString
   }
 
+  /** Numeric character reference → string, or null on junk. Surrogate
+    * code points are REJECTED (XML forbids them as character
+    * references; emitting a lone surrogate would build malformed
+    * UTF-16 that downstream UTF-8 encoding silently mangles to U+FFFD
+    * — worse than passing the reference through verbatim).
+    */
+  private def numericEntity(digits: String, radix: Int): String =
+    try {
+      val cp = Integer.parseInt(digits, radix)
+      if (Character.isValidCodePoint(cp) && (cp < 0xD800 || cp > 0xDFFF))
+        new String(Character.toChars(cp))
+      else null
+    } catch { case _: Exception => null }
+
   /** First `<tag>content</tag>` inside [from, until): decoded content,
     * or null when absent/torn. Attribute-bearing opens match too.
     */
@@ -91,7 +99,8 @@ object XmlDump {
       val open = s.indexOf("<" + tag, p)
       if (open < 0 || open >= until) return null
       val after = open + 1 + tag.length
-      if (after < until && (s.charAt(after) == '>' || s.charAt(after) == ' ')) {
+      if (after < until &&
+        (s.charAt(after) == '>' || s.charAt(after) == ' ' || s.charAt(after) == '/')) {
         val gt = s.indexOf('>', after)
         if (gt < 0 || gt >= until) return null
         if (s.charAt(gt - 1) == '/') return "" // self-closed
@@ -162,7 +171,8 @@ object XmlDump {
           if (t < 0 || t >= end) done = true
           else {
             val after = t + 5
-            if (after < end && (xml.charAt(after) == '>' || xml.charAt(after) == ' ')) last = t
+            if (after < end && (xml.charAt(after) == '>' || xml.charAt(after) == ' ' ||
+              xml.charAt(after) == '/')) last = t
             q = after
           }
         }
@@ -198,8 +208,11 @@ object XmlDump {
     * fragment-only self links, empty and newline-bearing targets are
     * dropped.
     */
-  def wikiLinks(text: String, maxLinks: Int = 10000): Seq[String] = {
-    if (text == null) return Seq.empty
+  def wikiLinks(text0: String, maxLinks: Int = 10000): Seq[String] = {
+    if (text0 == null) return Seq.empty
+    // comments first: a commented-out [[link]] is never rendered, so it
+    // must not become a graph edge
+    val text = removeComments(text0)
     val out = Vector.newBuilder[String]
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     var i = 0
@@ -315,31 +328,38 @@ object XmlDump {
     out.toString
   }
 
-  /** `[[target|label]]` → label, `[[target]]` → target — innermost
-    * first, so a label containing a link resolves inside-out. A `[[`
-    * with no close drops just the brackets (visible degrade, no loop).
+  /** `[[target|label]]` → label, `[[target]]` → target — resolved
+    * inside-out in ONE left-to-right pass (a bracket stack, the
+    * [[removeMediaLinks]] shape): labels containing links merge before
+    * their enclosing link resolves, and the pass is linear in the page
+    * size where a rebuild-per-link loop was quadratic (a hostile
+    * list-article with thousands of links must not pin an executor
+    * core). A `[[` with no close contributes its content without the
+    * brackets (visible degrade); a stray `]]` at depth 0 is prose.
     */
-  private def resolveWikiLinks(s0: String): String = {
-    var s = s0
-    var guard = 0
-    while (s.contains("[[") && guard < 10000) {
-      guard += 1
-      val close = s.indexOf("]]")
-      if (close < 0) { s = s.replace("[[", "") }
-      else {
-        val open = s.lastIndexOf("[[", close)
-        if (open < 0) s = s.substring(0, close) + s.substring(close + 2)
-        else {
-          val body = s.substring(open + 2, close)
-          // label = everything after the FIRST pipe (MediaWiki renders
-          // extra pipes literally inside the label)
-          val pipe = body.indexOf('|')
-          val kept = if (pipe >= 0) body.substring(pipe + 1) else body
-          s = s.substring(0, open) + kept + s.substring(close + 2)
-        }
-      }
+  private def resolveWikiLinks(s: String): String = {
+    if (s.indexOf("[[") < 0) return s
+    var frames = List(new java.lang.StringBuilder(s.length))
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("[[", i)) { frames = new java.lang.StringBuilder() :: frames; i += 2 }
+      else if (frames.lengthCompare(1) > 0 && s.startsWith("]]", i)) {
+        val body = frames.head.toString
+        frames = frames.tail
+        // label = everything after the FIRST pipe (MediaWiki renders
+        // extra pipes literally inside the label)
+        val pipe = body.indexOf('|')
+        frames.head.append(if (pipe >= 0) body.substring(pipe + 1) else body)
+        i += 2
+      } else { frames.head.append(s.charAt(i)); i += 1 }
     }
-    s
+    // torn opens: fold content outward, brackets dropped
+    while (frames.lengthCompare(1) > 0) {
+      val inner = frames.head.toString
+      frames = frames.tail
+      frames.head.append(inner)
+    }
+    frames.head.toString
   }
 
   /** `[scheme://url label]` → label, `[scheme://url]` → "". */
@@ -352,7 +372,7 @@ object XmlDump {
         (s.startsWith("http://", i + 1) || s.startsWith("https://", i + 1) ||
           s.startsWith("ftp://", i + 1) || s.startsWith("//", i + 1))) {
         val close = s.indexOf(']', i + 1)
-        if (close < 0) i += 1 // torn: keep the char, prose may follow
+        if (close < 0) { out.append(s.charAt(i)); i += 1 } // torn: keep the char
         else {
           val body = s.substring(i + 1, close)
           val sp = body.indexOf(' ')
@@ -364,15 +384,19 @@ object XmlDump {
     out.toString
   }
 
-  /** `== Heading ==` lines → their inner text. */
+  /** `== Heading ==` lines → their inner text (trailing whitespace
+    * after the closing run is legal — MediaWiki still renders the
+    * heading).
+    */
   private def stripHeadings(s: String): String =
     s.split("\n", -1).map { line =>
-      val t = line
+      var end = line.length
+      while (end > 0 && (line.charAt(end - 1) == ' ' || line.charAt(end - 1) == '\t')) end -= 1
       var a = 0
-      while (a < t.length && t.charAt(a) == '=') a += 1
-      var b = t.length
-      while (b > a && t.charAt(b - 1) == '=') b -= 1
-      if (a >= 1 && b < t.length && b > a) t.substring(a, b).trim
+      while (a < end && line.charAt(a) == '=') a += 1
+      var b = end
+      while (b > a && line.charAt(b - 1) == '=') b -= 1
+      if (a >= 1 && b < end && b > a) line.substring(a, b).trim
       else line
     }.mkString("\n")
 

@@ -117,9 +117,18 @@ object ZipShard {
                 var expectCrc = crc
                 var expectUsize = usize
                 if (hasDesc) {
-                  // descriptor: optional PK\x07\x08 sig, crc32, csize, usize
-                  if (next + 4 <= bytes.length && le32(bytes, next) == DescSig) next += 4
-                  if (next + 12 > bytes.length) { done = true; expectCrc = -1L }
+                  // descriptor: OPTIONAL PK\x07\x08 sig, crc32, csize,
+                  // usize. The sig is ambiguous — an entry whose real
+                  // CRC32 equals the sig value looks identical — so
+                  // both layouts are validated against the one fact the
+                  // inflate established (csize == bytes consumed) and
+                  // the consistent one wins (sig-ful preferred: it is
+                  // what every mainstream writer emits).
+                  def descAt(p: Int): Boolean =
+                    p + 12 <= bytes.length && le32(bytes, p + 4) == consumed
+                  if (next + 4 <= bytes.length && le32(bytes, next) == DescSig &&
+                    descAt(next + 4)) next += 4
+                  if (!descAt(next)) done = true // neither layout consistent: torn
                   else {
                     expectCrc = le32(bytes, next)
                     expectUsize = le32(bytes, next + 8)

@@ -947,13 +947,7 @@ object ZstdDecode {
       maxOutTotal: Long = 256L << 20): Array[Byte] = {
     if (bytes == null || bytes.length < 4) return null
     val (members, end, clean) = walkFrames(bytes, maxOutPerFrame, maxOutTotal)
-    if (!clean || end != bytes.length || members.isEmpty) null
-    else if (members.length == 1) members.head
-    else {
-      val out = new java.io.ByteArrayOutputStream()
-      members.foreach(m => out.write(m, 0, m.length))
-      out.toByteArray
-    }
+    CompressedMeta.allOrNullConcat(members, clean && end == bytes.length)
   }
 
   // --- fixture encoders -------------------------------------------------

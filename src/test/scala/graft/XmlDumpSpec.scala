@@ -110,6 +110,25 @@ class XmlDumpSpec extends SparkSpec {
     assert(XmlDump.wikiLinks("[[a__b   c]]") == Seq("A b c"))
   }
 
+  test("review findings: comment links, bare <text/>, heading tails, torn externals, surrogates") {
+    // a commented-out link is never rendered, so it is not an edge
+    assert(XmlDump.wikiLinks("a [[Real]] <!-- [[Old Target]] gone --> b") == Seq("Real"))
+    // bare self-closed <text/> is the documented "" — not null
+    val bare = "<page><title>E</title><ns>0</ns><id>4</id><revision><text/></revision></page>"
+    assert(XmlDump.pages(bare).head.text == "")
+    // heading lines with trailing whitespace still strip their markers
+    assert(XmlDump.stripWikitext("== History == \nbody") == "History\nbody")
+    assert(XmlDump.stripWikitext("== H ==\t") == "H")
+    // a torn external link keeps its '[' (prose may follow)
+    assert(XmlDump.stripWikitext("see [https://e.org details") == "see [https://e.org details")
+    // surrogate character references are invalid XML: pass through verbatim
+    assert(XmlDump.decodeEntities("&#xD800;x&#55296;") == "&#xD800;x&#55296;")
+    // the linear link resolver: nested, torn, stray, and pipe semantics
+    assert(XmlDump.stripWikitext("[[a|[[b]] c]] d") == "b c d")
+    assert(XmlDump.stripWikitext("x [[torn y") == "x torn y")
+    assert(XmlDump.stripWikitext("plain ]] stays [[L]]") == "plain ]] stays L")
+  }
+
   test("pageRows: distributed walk is map-only; torn member keeps whole pages") {
     import spark.implicits._
     val xml1 = XmlDump.pageXml(10, 0, "A", None, "ta") + XmlDump.pageXml(11, 1, "B", None, "tb")

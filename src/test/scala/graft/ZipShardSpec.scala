@@ -113,6 +113,22 @@ class ZipShardSpec extends SparkSpec {
     assert(ZipShard.samples(withDir).map(_.key) == Seq("b", "b"))
   }
 
+  test("review finding: the sig-less data-descriptor layout parses (spec allows it)") {
+    // mainstream writers emit PK\x07\x08 before the descriptor, but the
+    // signature is OPTIONAL — strip it and the walk must still resolve
+    // the boundary (the csize-vs-bytes-consumed cross-check, which also
+    // disambiguates an entry whose real CRC happens to equal the sig)
+    val members = sampleMembers.take(2)
+    val blob = ZipShard.zip(members, deflate = true, descriptor = true)
+    var p = 30 + members.head._1.length
+    while (!(blob(p) == 0x50 && blob(p + 1) == 0x4b && blob(p + 2) == 7 && blob(p + 3) == 8)) p += 1
+    val noSig = blob.take(p) ++ blob.drop(p + 4) // first entry's descriptor loses its sig
+    val es = ZipShard.entries(noSig)
+    assert(es.length == 2)
+    assert(java.util.Arrays.equals(es(0).data, members(0)._2))
+    assert(java.util.Arrays.equals(es(1).data, members(1)._2))
+  }
+
   test("adversarial: truncations, bit flips, and junk never throw") {
     val blobs = Seq(jdkZip(sampleMembers), ZipShard.zip(sampleMembers, descriptor = true))
     for (blob <- blobs) {
