@@ -93,7 +93,7 @@ object XmlDump {
   /** First `<tag>content</tag>` inside [from, until): decoded content,
     * or null when absent/torn. Attribute-bearing opens match too.
     */
-  private def firstElem(s: String, tag: String, from: Int, until: Int): String = {
+  private[operators] def firstElem(s: String, tag: String, from: Int, until: Int): String = {
     var p = from
     while (p < until) {
       val open = s.indexOf("<" + tag, p)

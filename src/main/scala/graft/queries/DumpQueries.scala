@@ -562,6 +562,51 @@ object DumpQueries {
            |${CorpusQueries.domainRankStepsSql("wg")}
            |SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM wgr2""".stripMargin
       }
+    ),
+
+    // FEED discovery — the second frontier channel next to sitemaps:
+    // RSS 2.0 and Atom rotating by key under ONE extractor (element-
+    // text links vs rel-screened href attributes — the dialect
+    // difference that actually bites), entity-decoded URLs, a torn
+    // trailing item on every 3rd feed dropped by the walk. Map-only;
+    // the rows feed the same canonicalize → dedup → politeness chain
+    // sitemap discovery pins. Reference: north-star crawl surface.
+    Q(
+      "q_feed_discovery",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val n = (2 + k % 2).toInt
+          val items = (0 until n).map { i =>
+            if (k % 2 == 0)
+              s"<item><title>Post $k-$i</title><link>http://d$k.example/p/$i?a=1&amp;b=2</link>" +
+                s"<pubDate>Mon, 0$i Jan 2026</pubDate></item>"
+            else
+              s"""<entry><title>Post $k-$i</title><link rel="self" href="http://d$k.example/feed"/>""" +
+                s"""<link href="http://d$k.example/p/$i?a=1&amp;b=2"/><updated>2026-01-0$i</updated></entry>"""
+          }.mkString("\n")
+          val torn = if (k % 3 == 0) (if (k % 2 == 0) "\n<item><title>torn" else "\n<entry><title>torn") else ""
+          if (k % 2 == 0) s"""<?xml version="1.0"?><rss><channel>$items$torn</channel></rss>"""
+          else s"""<?xml version="1.0"?><feed><link rel="self" href="http://d$k.example/feed"/>$items$torn</feed>"""
+        })
+        val out = graft.operators.Feeds.itemRows(
+          Q.t(spark, dir, "nation")
+            .select(concat(lit("d"), col("n_nationkey"), lit(".example")).as("domain"),
+              mk(col("n_nationkey").cast("long")).as("xml")),
+          "domain", "xml")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |items AS (SELECT k, CAST(i AS INT) AS i FROM n,
+          |          UNNEST(generate_series(0, 2)) u(i) WHERE i < 2 + k % 2)
+          |SELECT 'd' || k || '.example' AS domain, i AS item_idx,
+          |  'http://d' || k || '.example/p/' || i || '?a=1&b=2' AS url,
+          |  'Post ' || k || '-' || i AS title,
+          |  CASE WHEN k % 2 = 0 THEN 'Mon, 0' || i || ' Jan 2026'
+          |       ELSE '2026-01-0' || i END AS updated
+          |FROM items""".stripMargin
+      )
     )
   )
 }
