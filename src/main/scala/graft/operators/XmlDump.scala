@@ -36,9 +36,12 @@ object XmlDump {
   /** One extracted page. `page_id` is -1 when the id element is
     * missing/junk; `redirect` is the target title or null; `text` is
     * the LAST revision's raw wikitext ("" for a self-closed `<text/>`,
-    * null when absent or over budget).
+    * null when absent or over budget); `rev_id` is that same LAST
+    * revision's `<id>` (-1 when absent) — the monotone version an
+    * incremental dump merge keys on.
     */
-  final case class WikiPage(page_id: Long, ns: Int, title: String, redirect: String, text: String)
+  final case class WikiPage(page_id: Long, ns: Int, title: String, redirect: String,
+      text: String, rev_id: Long = -1L)
 
   /** XML entity decode: the five predefined + numeric (dec/hex), one
     * left-to-right pass so `&amp;lt;` correctly yields the four
@@ -190,7 +193,20 @@ object XmlDump {
         }
       }
 
-      out += WikiPage(pageId, ns, title, redirect, text)
+      // the LAST revision's own <id> — the version the text came from
+      val revId = {
+        var lastRev = -1
+        var q = revAt
+        while (q < end) {
+          val r = xml.indexOf("<revision>", q)
+          if (r < 0 || r >= end) q = end else { lastRev = r; q = r + 10 }
+        }
+        if (lastRev < 0) -1L
+        else Option(firstElem(xml, "id", lastRev, end))
+          .flatMap(_.trim.toLongOption).getOrElse(-1L)
+      }
+
+      out += WikiPage(pageId, ns, title, redirect, text, revId)
       n += 1
       p = close + 7
     }
@@ -432,8 +448,8 @@ object XmlDump {
     decodeEntities(s)
   }
 
-  /** Page rows per dump blob: (media_id, page_idx, page_id, ns, title,
-    * redirect, text). Map-only.
+  /** Page rows per dump blob: (media_id, page_idx, page_id, rev_id,
+    * ns, title, redirect, text). Map-only.
     */
   def pageRows(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -442,25 +458,56 @@ object XmlDump {
       .as[(Long, String)]
       .flatMap { case (id, xml) =>
         pages(xml).zipWithIndex.map { case (pg, i) =>
-          (id, i, pg.page_id, pg.ns, pg.title, pg.redirect, pg.text)
+          (id, i, pg.page_id, pg.rev_id, pg.ns, pg.title, pg.redirect, pg.text)
         }
       }
-      .toDF(idCol, "page_idx", "page_id", "ns", "title", "redirect", "text")
+      .toDF(idCol, "page_idx", "page_id", "rev_id", "ns", "title", "redirect", "text")
+  }
+
+  /** Incremental dump MERGE — how a corpus tracks a published dump
+    * between full exports: the add/changes generation wins per page
+    * when its revision id is NEWER, pages absent from the new
+    * generation carry forward, and every page gets a verdict the
+    * refresh audit counts (`added` / `updated` / `unchanged` /
+    * `carried`). Both inputs are [[pageRows]]-shaped (need `page_id` +
+    * `rev_id`); the winner's columns survive. One full-outer join on
+    * the page key — the dump-flavored sibling of the CDC apply, and
+    * at 100 TB the snapshot side arrives hash-partitioned by page_id
+    * from the previous merge, so only the (much smaller) delta side
+    * reshuffles.
+    */
+  def mergeDumps(oldPages: DataFrame, newPages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldPages.alias("o")
+    val n = newPages.alias("n")
+    val cols = newPages.columns.filter(_ != "page_id").toSeq
+    val verdict = when(col("o.page_id").isNull, "added")
+      .when(col("n.page_id").isNull, "carried")
+      .when(col("n.rev_id") > col("o.rev_id"), "updated")
+      .otherwise("unchanged")
+    n.join(o, col("n.page_id") === col("o.page_id"), "full_outer")
+      .select((coalesce(col("n.page_id"), col("o.page_id")).as("page_id") +:
+        cols.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)) :+
+        verdict.as("verdict")): _*)
   }
 
   // ---- fixture builder (tests + gates only) ----
 
-  /** One `<page>` element with XML-encoded content. */
-  def pageXml(id: Long, ns: Int, title: String, redirect: Option[String], text: String): String = {
+  /** One `<page>` element with XML-encoded content. `revId` defaults
+    * to the id-derived fixture convention.
+    */
+  def pageXml(id: Long, ns: Int, title: String, redirect: Option[String], text: String,
+      revId: Long = -1L): String = {
     def enc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
     val red = redirect.map(r => s"""    <redirect title="${enc(r)}" />\n""").getOrElse("")
+    val rid = if (revId >= 0) revId else id * 1000 + 1
     s"""  <page>
        |    <title>${enc(title)}</title>
        |    <ns>$ns</ns>
        |    <id>$id</id>
        |$red    <revision>
-       |      <id>${id * 1000 + 1}</id>
+       |      <id>$rid</id>
        |      <text bytes="${text.length}">${enc(text)}</text>
        |    </revision>
        |  </page>

@@ -204,7 +204,7 @@ object CorpusQueries {
     * `cmsSketchRowsSql` mirrors `Sketch.countMin` (one SELECT per hash
     * row over a `tk(t)` token CTE).
     */
-  private def polyHashSql(e: String, m: Long): String =
+  private[queries] def polyHashSql(e: String, m: Long): String =
     s"""(CASE WHEN $e = '' THEN 0 ELSE list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
        |        list_transform(str_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),

@@ -395,19 +395,23 @@ object DumpQueries {
       Some(
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
           |SELECT k AS media_id, CAST(0 AS INT) AS page_idx, k * 10 AS page_id,
+          |  k * 10000 + 1 AS rev_id,
           |  CAST(0 AS INT) AS ns, 'Page ' || k AS title, CAST(NULL AS VARCHAR) AS redirect,
           |  'Body [[Topic ' || (k % 5) || ']] of ' || k AS text
           |FROM n
           |UNION ALL
-          |SELECT k, CAST(1 AS INT), k * 10 + 1, CAST(0 AS INT), 'Redir ' || k,
+          |SELECT k, CAST(1 AS INT), k * 10 + 1, (k * 10 + 1) * 1000 + 1,
+          |  CAST(0 AS INT), 'Redir ' || k,
           |  'Page ' || k, '#REDIRECT [[Page ' || k || ']]'
           |FROM n
           |UNION ALL
-          |SELECT k, CAST(2 AS INT), k * 10 + 2, CAST(1 AS INT), 'Talk:Page ' || k,
+          |SELECT k, CAST(2 AS INT), k * 10 + 2, (k * 10 + 2) * 1000 + 1,
+          |  CAST(1 AS INT), 'Talk:Page ' || k,
           |  NULL, 'talk ' || k
           |FROM n
           |UNION ALL
-          |SELECT k, CAST(3 AS INT), k * 10 + 3, CAST(0 AS INT),
+          |SELECT k, CAST(3 AS INT), k * 10 + 3, (k * 10 + 3) * 1000 + 1,
+          |  CAST(0 AS INT),
           |  'A&B <' || k || '>', NULL, 'e&e ' || k
           |FROM n WHERE k % 4 = 0""".stripMargin
       )
@@ -606,6 +610,43 @@ object DumpQueries {
           |  CASE WHEN k % 2 = 0 THEN 'Mon, 0' || i || ' Jan 2026'
           |       ELSE '2026-01-0' || i END AS updated
           |FROM items""".stripMargin
+      )
+    ),
+
+    // INCREMENTAL dump merge — tracking a published dump between full
+    // exports: generation 1 re-exports page 1 with a NEWER revision id
+    // (the text follows it) and adds page 4; pages 0/2/3 carry
+    // forward. One full-outer join on the page key classifies every
+    // page (added/updated/carried) and the winner's columns survive —
+    // the dump-flavored CDC apply, revision ids doing what LSNs do.
+    Q(
+      "q_dump_delta",
+      (spark, dir) => {
+        val gen0 = udf((k: Long) =>
+          (0 until 4).map(i => XmlDump.pageXml(k * 100 + i, 0, s"P $k-$i", None, s"t$i of $k")).mkString)
+        val gen1 = udf((k: Long) =>
+          XmlDump.pageXml(k * 100 + 1, 0, s"P $k-1", None, s"t1 v2 of $k",
+            revId = (k * 100 + 1) * 1000 + 7) +
+            XmlDump.pageXml(k * 100 + 4, 0, s"P $k-4", None, s"t4 of $k"))
+        val keys = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        def rows(mk: org.apache.spark.sql.expressions.UserDefinedFunction) =
+          XmlDump.pageRows(keys.withColumn("xml", mk(col("media_id"))), "media_id", "xml")
+            .drop("media_id", "page_idx", "ns", "redirect")
+        val out = XmlDump.mergeDumps(rows(gen0), rows(gen1))
+          .select(col("page_id"), col("rev_id"), col("title"), col("verdict"))
+        Q.requireMaxShuffles(out, 2) // the full-outer join's two sides
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k * 100 + i AS page_id,
+          |  CASE WHEN i = 1 THEN (k * 100 + 1) * 1000 + 7
+          |       ELSE (k * 100 + i) * 1000 + 1 END AS rev_id,
+          |  'P ' || k || '-' || i AS title,
+          |  CASE WHEN i = 1 THEN 'updated' WHEN i = 4 THEN 'added'
+          |       ELSE 'carried' END AS verdict
+          |FROM n, UNNEST(generate_series(0, 4)) u(i)""".stripMargin
       )
     )
   )

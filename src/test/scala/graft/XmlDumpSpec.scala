@@ -26,7 +26,7 @@ class XmlDumpSpec extends SparkSpec {
       "</mediawiki>"
     val ps = XmlDump.pages(xml)
     assert(ps.length == 3)
-    assert(ps(0) == XmlDump.WikiPage(7, 0, "Alpha & Co", null, "Body of [[Alpha]]"))
+    assert(ps(0) == XmlDump.WikiPage(7, 0, "Alpha & Co", null, "Body of [[Alpha]]", 7001L))
     assert(ps(1).redirect == "Alpha & Co" && ps(1).page_id == 8)
     assert(ps(2).ns == 14)
     // revision <id> (7001) must NOT win over the page <id> (7)
@@ -137,10 +137,37 @@ class XmlDumpSpec extends SparkSpec {
     val df = Seq((1L, xml1), (2L, xml2)).toDF("media_id", "xml")
     val rows = XmlDump.pageRows(df, "media_id", "xml")
     graft.queries.Q.requireNoShuffle(rows)
-    val got = rows.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
-      r.getString(4), r.getString(5))).toSet
-    assert(got == Set((1L, 0, 10L, 0, "A", null), (1L, 1, 11L, 1, "B", null),
-      (2L, 0, 20L, 0, "C", "A")))
+    val got = rows.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getInt(4), r.getString(5), r.getString(6))).toSet
+    assert(got == Set((1L, 0, 10L, 10001L, 0, "A", null), (1L, 1, 11L, 11001L, 1, "B", null),
+      (2L, 0, 20L, 20001L, 0, "C", "A")))
+  }
+
+  test("rev_id: the LAST revision's id; missing revision degrades to -1") {
+    val multi =
+      """<page><title>T</title><ns>0</ns><id>3</id>
+        |<revision><id>31</id><text>old</text></revision>
+        |<revision><id>32</id><text>new</text></revision>
+        |</page>""".stripMargin
+    val p = XmlDump.pages(multi).head
+    assert(p.rev_id == 32L && p.text == "new")
+    assert(XmlDump.pages("<page><title>N</title><id>5</id></page>").head.rev_id == -1L)
+    assert(XmlDump.pages(XmlDump.pageXml(7, 0, "X", None, "t", revId = 42L)).head.rev_id == 42L)
+  }
+
+  test("mergeDumps: added/updated/carried/unchanged verdicts, winner columns survive") {
+    import spark.implicits._
+    val g0 = Seq((1L, 100L, "t1 old"), (2L, 200L, "t2"), (3L, 300L, "t3"))
+      .toDF("page_id", "rev_id", "text")
+    val g1 = Seq((1L, 107L, "t1 new"), (2L, 200L, "t2"), (4L, 400L, "t4"))
+      .toDF("page_id", "rev_id", "text")
+    val m = XmlDump.mergeDumps(g0, g1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(m == Set(
+      (1L, 107L, "t1 new", "updated"),
+      (2L, 200L, "t2", "unchanged"),
+      (3L, 300L, "t3", "carried"),
+      (4L, 400L, "t4", "added")))
   }
 
   test("adversarial: truncations and hostile blobs never throw") {
