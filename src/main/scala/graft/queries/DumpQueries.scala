@@ -648,6 +648,77 @@ object DumpQueries {
           |       ELSE 'carried' END AS verdict
           |FROM n, UNNEST(generate_series(0, 4)) u(i)""".stripMargin
       )
+    ),
+
+    // FEED-DRIVEN frontier — the freshness loop: feed items (same-host
+    // posts + one cross-host pointer each) → canonical candidates →
+    // anti-join against what this round already fetched (every 3rd
+    // key's first post is known — re-discovering a fetched URL is the
+    // common case) → the per-host politeness schedule, exactly the
+    // chain q_html_frontier and q_sitemap_frontier pin for their
+    // channels. Exchanges: the candidate dedup, the anti-join's
+    // crawled side, the host window.
+    Q(
+      "q_feed_frontier",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          s"""<?xml version="1.0"?><rss><channel>""" +
+            s"<item><link>http://site${k % 5}.example/p/${k}a</link></item>" +
+            s"<item><link>http://site${k % 5}.example/p/${k}b</link></item>" +
+            s"<item><link>http://site${(k + 1) % 5}.example/x/$k</link></item>" +
+            "</channel></rss>")
+        val keys = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val feeds = graft.operators.Feeds.itemRows(
+          keys.select(concat(lit("site"), col("k") % 5, lit(".example")).as("domain"),
+            mk(col("k")).as("xml")),
+          "domain", "xml")
+        val crawled = keys.filter(col("k") % 3 === 0)
+          .select(concat(lit("http://site"), col("k") % 5, lit(".example/p/"),
+            col("k"), lit("a")).as("canon"))
+        val fresh = feeds
+          .select(graft.functions.GraftFunctions.urlCanon(col("url")).as("canon"))
+          .distinct()
+          .join(crawled, Seq("canon"), "left_anti")
+          .withColumn("host", expr("parse_url(canon, 'HOST')"))
+        val out = graft.operators.Frontier.schedule(
+          fresh, (0 until 5).map(m => (s"site$m.example", (m + 1) * 100L)),
+          defaultDelayMs = 500L, workers = 8)
+        Q.requireMaxShuffles(out, 4)
+        out
+      },
+      Some(
+        s"""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+           |lnk AS (
+           |  SELECT 'http://site' || CAST(k % 5 AS VARCHAR) || '.example/p/'
+           |    || CAST(k AS VARCHAR) || s AS canon
+           |  FROM n, (VALUES ('a'), ('b')) v(s)
+           |  UNION ALL
+           |  SELECT 'http://site' || CAST((k + 1) % 5 AS VARCHAR) || '.example/x/'
+           |    || CAST(k AS VARCHAR)
+           |  FROM n
+           |), crawled AS (
+           |  SELECT 'http://site' || CAST(k % 5 AS VARCHAR) || '.example/p/'
+           |    || CAST(k AS VARCHAR) || 'a' AS canon
+           |  FROM n WHERE k % 3 = 0
+           |), fresh AS (
+           |  SELECT DISTINCT canon FROM lnk
+           |  WHERE canon NOT IN (SELECT canon FROM crawled)
+           |), fh AS (
+           |  SELECT canon, split_part(substr(canon, 8), '/', 1) AS host FROM fresh
+           |), s AS (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+           |    ORDER BY canon ASC) - 1 AS BIGINT) AS slot
+           |  FROM fh
+           |)
+           |SELECT *,
+           |  slot * CASE host
+           |    WHEN 'site0.example' THEN 100 WHEN 'site1.example' THEN 200
+           |    WHEN 'site2.example' THEN 300 WHEN 'site3.example' THEN 400
+           |    ELSE 500 END AS fetch_at_ms,
+           |  CAST(${CorpusQueries.polyHashSql("host", 31L)} % 8 AS INT) AS worker
+           |FROM s""".stripMargin
+      )
     )
   )
 }
