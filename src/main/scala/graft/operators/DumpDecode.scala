@@ -150,6 +150,50 @@ object DumpDecode {
       in => new XZCompressorInputStream(in, false)), bytes.length)
   }
 
+  /** Decode the ONE stream starting at `offset` (byte-aligned, as the
+    * multistream layout guarantees) — the random-access read the
+    * companion offset index exists for: a reader that wants 50 pages
+    * out of a 20 GB dump inflates only the members that contain them.
+    * Null on a torn/corrupt/over-budget stream or a junk offset.
+    */
+  def bz2MemberAt(bytes: Array[Byte], offset: Long,
+      maxOut: Int = 64 << 20): Array[Byte] = {
+    if (bytes == null || offset < 0 || offset > Int.MaxValue ||
+      !bz2HeaderAt(bytes, offset.toInt)) return null
+    val in = new ByteArrayInputStream(bytes, offset.toInt, bytes.length - offset.toInt)
+    try {
+      val dec = new BZip2CompressorInputStream(in, false)
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](64 << 10)
+      var n = dec.read(buf)
+      while (n >= 0) {
+        if (out.size.toLong + n > maxOut) return null // bomb: refuse
+        out.write(buf, 0, n)
+        n = dec.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: Exception => null }
+  }
+
+  /** Parse a multistream OFFSET INDEX (`offset:page_id:title` lines,
+    * the dump's companion file): the map from page to the byte offset
+    * of the stream that contains it. Junk lines drop; titles keep
+    * embedded colons (only the first two split).
+    */
+  def parseMultistreamIndex(text: String): Seq[(Long, Long, String)] = {
+    if (text == null) return Seq.empty
+    text.split("\n", -1).toSeq.flatMap { line =>
+      val c1 = line.indexOf(':')
+      val c2 = if (c1 < 0) -1 else line.indexOf(':', c1 + 1)
+      if (c2 < 0) None
+      else for {
+        off <- line.substring(0, c1).trim.toLongOption
+        pid <- line.substring(c1 + 1, c2).trim.toLongOption
+        if off >= 0 && line.length > c2 + 1
+      } yield (off, pid, line.substring(c2 + 1))
+    }
+  }
+
   /** Magic-sniffed whole-payload decompression — what a shard reader
     * actually needs when a dataset mixes `.tar`, `.tar.gz`, `.tar.zst`
     * and `.tar.bz2` shards: gzip (1F 8B), zstd (28 B5 2F FD), bzip2

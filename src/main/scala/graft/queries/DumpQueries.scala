@@ -719,6 +719,69 @@ object DumpQueries {
            |  CAST(${CorpusQueries.polyHashSql("host", 31L)} % 8 AS INT) AS worker
            |FROM s""".stripMargin
       )
+    ),
+
+    // RANDOM ACCESS through the multistream OFFSET INDEX — the reason
+    // the dump format concatenates streams at all: wanted pages map to
+    // stream byte offsets via the companion index, and ONLY those
+    // members inflate. The gate PROVES the selectivity: on every key
+    // whose first page-batch member is not wanted, that member's bytes
+    // are CORRUPTED in the fixture — a reader that touched it would
+    // degrade, and the output stays oracle-exact because this one
+    // never does. Map-only (index + payload ride the same row).
+    Q(
+      "q_dump_index",
+      (spark, dir) => {
+        import spark.implicits._
+        val out = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+          .as[Long]
+          .flatMap { k =>
+            val header = DumpDecode.bz2Member("<mediawiki>\n".getBytes("UTF-8"))
+            def batch(is: Range) = DumpDecode.bz2Member(
+              is.map(i => XmlDump.pageXml(k * 100 + i, 0, s"P $k-$i", None, s"t$i of $k"))
+                .mkString.getBytes("UTF-8"))
+            val m1 = batch(0 to 1)
+            val m2 = batch(2 to 3)
+            val off1 = header.length.toLong
+            val off2 = off1 + m1.length
+            val wanted = Set(k * 100 + k % 4, k * 100 + 2)
+            // the unselected member arrives CORRUPT — selective decode
+            // means nothing if the reader inflates it anyway
+            val m1Shipped =
+              if (k % 4 >= 2) { val c = m1.clone(); c(c.length / 2) = (c(c.length / 2) ^ 0x7F).toByte; c }
+              else m1
+            val payload = header ++ m1Shipped ++ m2
+            val indexText = (0 to 3).map { i =>
+              val off = if (i < 2) off1 else off2
+              s"$off:${k * 100 + i}:P $k-$i"
+            }.mkString("\n")
+            val idx = DumpDecode.parseMultistreamIndex(indexText)
+            val allOffs = idx.map(_._1).distinct.sorted
+            idx.filter(e => wanted(e._2)).map(_._1).distinct.sorted.flatMap { off =>
+              val member = DumpDecode.bz2MemberAt(payload, off)
+              if (member == null) Seq.empty
+              else XmlDump.pages(new String(member, "UTF-8"))
+                .filter(pg => wanted(pg.page_id))
+                .map(pg => (k, pg.page_id, pg.title, allOffs.indexOf(off) + 1))
+            }
+          }
+          .toDF("media_id", "page_id", "title", "member_ord")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |w AS (
+          |  SELECT k, CAST(k % 4 AS BIGINT) AS i FROM n
+          |  UNION
+          |  SELECT k, CAST(2 AS BIGINT) FROM n
+          |)
+          |SELECT k AS media_id, k * 100 + i AS page_id,
+          |  'P ' || k || '-' || i AS title,
+          |  CAST(1 + i // 2 AS INT) AS member_ord
+          |FROM w""".stripMargin
+      )
     )
   )
 }

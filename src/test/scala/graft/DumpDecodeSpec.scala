@@ -119,6 +119,30 @@ class DumpDecodeSpec extends SparkSpec {
     assert(DumpDecode.bz2Members(DumpDecode.xzMember(plain1)).isEmpty)
   }
 
+  test("bz2MemberAt + parseMultistreamIndex: random access decodes ONLY the target stream") {
+    val m0 = DumpDecode.bz2Member("header".getBytes("US-ASCII"))
+    val m1 = DumpDecode.bz2Member(plain1)
+    val m2 = DumpDecode.bz2Member(plain2)
+    // corrupt the middle member: offsets around it must still resolve
+    val bad = m1.clone(); bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x3C).toByte
+    val blob = m0 ++ bad ++ m2
+    assert(new String(DumpDecode.bz2MemberAt(blob, 0), "US-ASCII") == "header")
+    assert(java.util.Arrays.equals(DumpDecode.bz2MemberAt(blob, (m0.length + bad.length).toLong), plain2))
+    assert(DumpDecode.bz2MemberAt(blob, m0.length.toLong) == null) // the corrupt one, visibly
+    assert(DumpDecode.bz2MemberAt(blob, 3L) == null) // junk offset: no header there
+    assert(DumpDecode.bz2MemberAt(blob, -1L) == null)
+    assert(DumpDecode.bz2MemberAt(blob, blob.length.toLong) == null)
+    assert(DumpDecode.bz2MemberAt(null, 0L) == null)
+    assert(DumpDecode.bz2MemberAt(DumpDecode.bz2Member(Array.fill(100000)('a'.toByte)), 0L,
+      maxOut = 1024) == null) // bomb cap
+
+    val idx = DumpDecode.parseMultistreamIndex(
+      "0:10:Alpha\n612:11:Title: with colons\njunk line\n612:-:bad id\n:5:empty off\n612:12:")
+    assert(idx == Seq((0L, 10L, "Alpha"), (612L, 11L, "Title: with colons")))
+    assert(DumpDecode.parseMultistreamIndex(null).isEmpty)
+    assert(DumpDecode.parseMultistreamIndex("").isEmpty)
+  }
+
   test("decompressAuto: magic sniff dispatches all four formats; plain passes through") {
     import graft.operators.{CompressedMeta, ZstdDecode}
     val data = Array.tabulate(300)(i => ((i * 11 + 3) & 0xFF).toByte)

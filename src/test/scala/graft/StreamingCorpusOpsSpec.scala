@@ -960,6 +960,29 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("feed discovery streams: RSS and Atom items extract identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Feeds
+    val rss = "<rss><channel><item><link>http://a.example/1</link>" +
+      "<title>T1</title></item></channel></rss>"
+    val atom = """<feed><entry><link href="http://b.example/2"/><title>T2</title></entry></feed>"""
+    val blobs = Seq(("a.example", rss), ("b.example", atom))
+    val in = MemoryStream[(String, String)]
+    val q = Feeds.itemRows(in.toDF().toDF("domain", "xml"), "domain", "xml")
+      .writeStream.format("memory").queryName("sc_feed_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getString(2), r.getString(3))).toSet
+      val batch = rows(Feeds.itemRows(blobs.toDF("domain", "xml"), "domain", "xml"))
+      assert(rows(spark.table("sc_feed_out")) == batch)
+      assert(batch == Set(("a.example", "http://a.example/1", "T1"),
+        ("b.example", "http://b.example/2", "T2")))
+    } finally q.stop()
+  }
+
   test("tar-shard samples stream: within-blob assembly needs no state") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TarShard
