@@ -62,6 +62,23 @@ object DumpDecode {
     * decoders pull from the underlying stream without read-ahead past
     * their own framing).
     */
+  /** Drain one decompressor under an output cap: the decoded bytes, or
+    * null when the cap is hit (the shared read discipline of
+    * [[walkMembers]] and [[bz2MemberAt]]). Throws what the decoder
+    * throws — callers own the torn/corrupt policy.
+    */
+  private def drain(dec: java.io.InputStream, cap: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 << 10)
+    var n = dec.read(buf)
+    while (n >= 0) {
+      if (out.size.toLong + n > cap) return null
+      out.write(buf, 0, n)
+      n = dec.read(buf)
+    }
+    out.toByteArray
+  }
+
   private def walkMembers(
       bytes: Array[Byte],
       maxOutPerMember: Int,
@@ -78,18 +95,9 @@ object DumpDecode {
       val in = new ByteArrayInputStream(bytes, off, bytes.length - off)
       val before = in.available()
       try {
-        val dec = open(in)
-        val out = new ByteArrayOutputStream()
-        val buf = new Array[Byte](64 << 10)
-        var over = false
-        var n = dec.read(buf)
-        while (n >= 0 && !over) {
-          if (out.size.toLong + n > maxOutPerMember || total + out.size + n > maxOutTotal) over = true
-          else { out.write(buf, 0, n); n = dec.read(buf) }
-        }
-        if (over) { clean = false; done = true } // budget refusal: keep prefix
+        val m = drain(open(in), math.min(maxOutPerMember.toLong, maxOutTotal - total))
+        if (m == null) { clean = false; done = true } // budget refusal: keep prefix
         else {
-          val m = out.toByteArray
           members += m
           total += m.length
           val consumed = before - in.available()
@@ -161,18 +169,8 @@ object DumpDecode {
     if (bytes == null || offset < 0 || offset > Int.MaxValue ||
       !bz2HeaderAt(bytes, offset.toInt)) return null
     val in = new ByteArrayInputStream(bytes, offset.toInt, bytes.length - offset.toInt)
-    try {
-      val dec = new BZip2CompressorInputStream(in, false)
-      val out = new ByteArrayOutputStream()
-      val buf = new Array[Byte](64 << 10)
-      var n = dec.read(buf)
-      while (n >= 0) {
-        if (out.size.toLong + n > maxOut) return null // bomb: refuse
-        out.write(buf, 0, n)
-        n = dec.read(buf)
-      }
-      out.toByteArray
-    } catch { case _: Exception => null }
+    try drain(new BZip2CompressorInputStream(in, false), maxOut.toLong) // null on bomb
+    catch { case _: Exception => null }
   }
 
   /** Parse a multistream OFFSET INDEX (`offset:page_id:title` lines,
@@ -182,7 +180,8 @@ object DumpDecode {
     */
   def parseMultistreamIndex(text: String): Seq[(Long, Long, String)] = {
     if (text == null) return Seq.empty
-    text.split("\n", -1).toSeq.flatMap { line =>
+    text.split("\n", -1).toSeq.flatMap { raw =>
+      val line = if (raw.endsWith("\r")) raw.substring(0, raw.length - 1) else raw
       val c1 = line.indexOf(':')
       val c2 = if (c1 < 0) -1 else line.indexOf(':', c1 + 1)
       if (c2 < 0) None

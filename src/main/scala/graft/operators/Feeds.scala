@@ -28,19 +28,9 @@ object Feeds {
     */
   final case class FeedItem(url: String, title: String, updated: String)
 
-  /** The attribute value of `name="…"` inside tag text, or null. */
-  private def attr(tag: String, name: String): String = {
-    val at = tag.indexOf(name + "=\"")
-    if (at < 0) null
-    else {
-      val vs = at + name.length + 2
-      val ve = tag.indexOf('"', vs)
-      if (ve < 0) null else XmlDump.decodeEntities(tag.substring(vs, ve))
-    }
-  }
-
   /** Atom link resolution inside [from, until): the first
-    * `<link … href>` whose `rel` is absent or `alternate`.
+    * `<link … href>` whose `rel` is absent or `alternate`
+    * ([[XmlDump.attrValue]] — the shared lenient attribute parse).
     */
   private def atomHref(s: String, from: Int, until: Int): String = {
     var p = from
@@ -50,8 +40,8 @@ object Feeds {
       val gt = s.indexOf('>', open)
       if (gt < 0 || gt >= until) return null
       val tag = s.substring(open, gt)
-      val rel = attr(tag, "rel")
-      val href = attr(tag, "href")
+      val rel = XmlDump.attrValue(tag, "rel")
+      val href = XmlDump.attrValue(tag, "href")
       if (href != null && (rel == null || rel == "alternate")) return href
       p = gt + 1
     }

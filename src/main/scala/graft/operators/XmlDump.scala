@@ -109,11 +109,31 @@ object XmlDump {
         if (s.charAt(gt - 1) == '/') return "" // self-closed
         val close = s.indexOf("</" + tag + ">", gt + 1)
         if (close < 0 || close >= until) return null
-        return decodeEntities(s.substring(gt + 1, close))
+        val raw = s.substring(gt + 1, close)
+        // CDATA content is LITERAL — no entity decode (real feeds wrap
+        // titles/links this way constantly; dumps never do, harmlessly)
+        val t = raw.trim
+        if (t.startsWith("<![CDATA[") && t.endsWith("]]>"))
+          return t.substring(9, t.length - 3)
+        return decodeEntities(raw)
       }
       p = after // e.g. "<textarea" while looking for "<text"
     }
     null
+  }
+
+  /** Lenient `name="value"` attribute extraction from raw tag text
+    * (entity-decoded), shared by the redirect parser and the feed
+    * reader. Null when absent/torn.
+    */
+  private[operators] def attrValue(tag: String, name: String): String = {
+    val at = tag.indexOf(name + "=\"")
+    if (at < 0) null
+    else {
+      val vs = at + name.length + 2
+      val ve = tag.indexOf('"', vs)
+      if (ve < 0) null else decodeEntities(tag.substring(vs, ve))
+    }
   }
 
   /** Extract every complete `<page>` in document order (torn final
@@ -150,16 +170,7 @@ object XmlDump {
         else {
           val gt = xml.indexOf('>', r)
           if (gt < 0 || gt >= end) null
-          else {
-            val tag = xml.substring(r, gt)
-            val at = tag.indexOf("title=\"")
-            if (at < 0) null
-            else {
-              val vs = at + 7
-              val ve = tag.indexOf('"', vs)
-              if (ve < 0) null else decodeEntities(tag.substring(vs, ve))
-            }
-          }
+          else attrValue(xml.substring(r, gt), "title")
         }
       }
 
@@ -466,28 +477,36 @@ object XmlDump {
 
   /** Incremental dump MERGE — how a corpus tracks a published dump
     * between full exports: the add/changes generation wins per page
-    * when its revision id is NEWER, pages absent from the new
-    * generation carry forward, and every page gets a verdict the
-    * refresh audit counts (`added` / `updated` / `unchanged` /
-    * `carried`). Both inputs are [[pageRows]]-shaped (need `page_id` +
-    * `rev_id`); the winner's columns survive. One full-outer join on
-    * the page key — the dump-flavored sibling of the CDC apply, and
-    * at 100 TB the snapshot side arrives hash-partitioned by page_id
-    * from the previous merge, so only the (much smaller) delta side
-    * reshuffles.
+    * ONLY when its revision id is NEWER; pages absent from the new
+    * generation carry forward; a delta row whose revision is OLDER
+    * than the snapshot's is `stale` and loses WHOLE-ROW (replaying an
+    * out-of-order delta must never regress a page). Every page gets a
+    * verdict the refresh audit counts (`added` / `updated` /
+    * `unchanged` / `stale` / `carried`), and the winning GENERATION's
+    * row survives intact — never a per-column mix, which would stamp
+    * an old body with a new revision id (or resurrect a dropped
+    * redirect) and defeat the all-or-NULL visibility the text budget
+    * exists for. Both inputs are [[pageRows]]-shaped (need `page_id` +
+    * `rev_id`). One full-outer join on the page key — the
+    * dump-flavored sibling of the CDC apply; at 100 TB the snapshot
+    * side arrives hash-partitioned by page_id from the previous merge,
+    * so only the (much smaller) delta side reshuffles.
     */
   def mergeDumps(oldPages: DataFrame, newPages: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val o = oldPages.alias("o")
     val n = newPages.alias("n")
     val cols = newPages.columns.filter(_ != "page_id").toSeq
+    val newWins = col("o.page_id").isNull ||
+      (col("n.page_id").isNotNull && col("n.rev_id") > col("o.rev_id"))
     val verdict = when(col("o.page_id").isNull, "added")
       .when(col("n.page_id").isNull, "carried")
       .when(col("n.rev_id") > col("o.rev_id"), "updated")
+      .when(col("n.rev_id") < col("o.rev_id"), "stale")
       .otherwise("unchanged")
     n.join(o, col("n.page_id") === col("o.page_id"), "full_outer")
       .select((coalesce(col("n.page_id"), col("o.page_id")).as("page_id") +:
-        cols.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)) :+
+        cols.map(c => when(newWins, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)) :+
         verdict.as("verdict")): _*)
   }
 

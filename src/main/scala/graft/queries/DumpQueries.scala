@@ -615,10 +615,12 @@ object DumpQueries {
 
     // INCREMENTAL dump merge — tracking a published dump between full
     // exports: generation 1 re-exports page 1 with a NEWER revision id
-    // (the text follows it) and adds page 4; pages 0/2/3 carry
-    // forward. One full-outer join on the page key classifies every
-    // page (added/updated/carried) and the winner's columns survive —
-    // the dump-flavored CDC apply, revision ids doing what LSNs do.
+    // (the text follows it), adds page 4, and — on every 5th key —
+    // REPLAYS page 0 with an OLDER revision (the out-of-order delta):
+    // the snapshot's row must survive whole and the verdict reads
+    // 'stale', never a silent regression. Pages 0/2/3 otherwise carry
+    // forward. One full-outer join on the page key — the dump-flavored
+    // CDC apply, revision ids doing what LSNs do.
     Q(
       "q_dump_delta",
       (spark, dir) => {
@@ -627,7 +629,11 @@ object DumpQueries {
         val gen1 = udf((k: Long) =>
           XmlDump.pageXml(k * 100 + 1, 0, s"P $k-1", None, s"t1 v2 of $k",
             revId = (k * 100 + 1) * 1000 + 7) +
-            XmlDump.pageXml(k * 100 + 4, 0, s"P $k-4", None, s"t4 of $k"))
+            XmlDump.pageXml(k * 100 + 4, 0, s"P $k-4", None, s"t4 of $k") +
+            (if (k % 5 == 0)
+              XmlDump.pageXml(k * 100, 0, s"P $k-0 REGRESSED", None, s"t0 stale of $k",
+                revId = k * 100 * 1000) // OLDER than gen0's k*100*1000+1
+            else ""))
         val keys = Q.t(spark, dir, "nation")
           .select(col("n_nationkey").cast("long").as("media_id"))
         def rows(mk: org.apache.spark.sql.expressions.UserDefinedFunction) =
@@ -645,6 +651,7 @@ object DumpQueries {
           |       ELSE (k * 100 + i) * 1000 + 1 END AS rev_id,
           |  'P ' || k || '-' || i AS title,
           |  CASE WHEN i = 1 THEN 'updated' WHEN i = 4 THEN 'added'
+          |       WHEN i = 0 AND k % 5 = 0 THEN 'stale'
           |       ELSE 'carried' END AS verdict
           |FROM n, UNNEST(generate_series(0, 4)) u(i)""".stripMargin
       )

@@ -139,6 +139,9 @@ class DumpDecodeSpec extends SparkSpec {
     val idx = DumpDecode.parseMultistreamIndex(
       "0:10:Alpha\n612:11:Title: with colons\njunk line\n612:-:bad id\n:5:empty off\n612:12:")
     assert(idx == Seq((0L, 10L, "Alpha"), (612L, 11L, "Title: with colons")))
+    // CRLF index files: titles must not keep a trailing '\r'
+    assert(DumpDecode.parseMultistreamIndex("0:10:Alpha\r\n612:11:Beta\r\n") ==
+      Seq((0L, 10L, "Alpha"), (612L, 11L, "Beta")))
     assert(DumpDecode.parseMultistreamIndex(null).isEmpty)
     assert(DumpDecode.parseMultistreamIndex("").isEmpty)
   }

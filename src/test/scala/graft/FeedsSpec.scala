@@ -44,6 +44,16 @@ class FeedsSpec extends SparkSpec {
     assert(!items.exists(_.url.endsWith("/feed")))
   }
 
+  test("CDATA: wrapped titles and links unwrap LITERALLY (no entity decode inside)") {
+    val cd = "<item><title><![CDATA[A & B <raw>]]></title>" +
+      "<link><![CDATA[http://d.example/p?a=1&b=2]]></link></item>"
+    val items = Feeds.parseFeed(cd)
+    assert(items == Seq(Feeds.FeedItem("http://d.example/p?a=1&b=2", "A & B <raw>", null)))
+    // entity text OUTSIDE CDATA still decodes
+    assert(Feeds.parseFeed("<item><link>http://d.example/?x=1&amp;y=2</link></item>")
+      .head.url == "http://d.example/?x=1&y=2")
+  }
+
   test("budgets and degrades: maxItems caps; junk and null never throw") {
     val many = (0 until 20).map(i =>
       s"<item><link>http://d.example/$i</link></item>").mkString

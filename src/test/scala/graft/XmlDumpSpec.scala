@@ -155,19 +155,25 @@ class XmlDumpSpec extends SparkSpec {
     assert(XmlDump.pages(XmlDump.pageXml(7, 0, "X", None, "t", revId = 42L)).head.rev_id == 42L)
   }
 
-  test("mergeDumps: added/updated/carried/unchanged verdicts, winner columns survive") {
+  test("mergeDumps: verdicts; the winning GENERATION's row survives whole") {
     import spark.implicits._
-    val g0 = Seq((1L, 100L, "t1 old"), (2L, 200L, "t2"), (3L, 300L, "t3"))
-      .toDF("page_id", "rev_id", "text")
-    val g1 = Seq((1L, 107L, "t1 new"), (2L, 200L, "t2"), (4L, 400L, "t4"))
-      .toDF("page_id", "rev_id", "text")
+    val g0 = Seq((1L, 100L, "t1 old", "R"), (2L, 200L, "t2", null), (3L, 300L, "t3", null),
+      (5L, 500L, "t5 good", null))
+      .toDF("page_id", "rev_id", "text", "redirect")
+    val g1 = Seq((1L, 107L, "t1 new", null), (2L, 200L, "t2", null), (4L, 400L, "t4", null),
+      (5L, 490L, "t5 REGRESSED", null))
+      .toDF("page_id", "rev_id", "text", "redirect")
     val m = XmlDump.mergeDumps(g0, g1).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getString(4))).toSet
     assert(m == Set(
-      (1L, 107L, "t1 new", "updated"),
-      (2L, 200L, "t2", "unchanged"),
-      (3L, 300L, "t3", "carried"),
-      (4L, 400L, "t4", "added")))
+      // updated: gen1's row INCLUDING its null redirect (gen0's 'R' must
+      // not resurrect into a mixed-generation row)
+      (1L, 107L, "t1 new", null, "updated"),
+      (2L, 200L, "t2", null, "unchanged"),
+      (3L, 300L, "t3", null, "carried"),
+      (4L, 400L, "t4", null, "added"),
+      // stale: the out-of-order delta loses WHOLE-ROW — no regression
+      (5L, 500L, "t5 good", null, "stale")))
   }
 
   test("adversarial: truncations and hostile blobs never throw") {
