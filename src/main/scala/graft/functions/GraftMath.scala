@@ -531,7 +531,7 @@ object GraftMath {
     */
   def htmlBaseHref(html: UTF8String): UTF8String = {
     var found: String = null
-    scanHtml(html.toString) { (tag, attr, value) =>
+    scanHtml(html.toString) { (_, tag, attr, value) =>
       if (tag == "base" && attr == "href") { found = value; false }
       else true
     }
@@ -551,7 +551,7 @@ object GraftMath {
     */
   def htmlLinks(html: UTF8String): ArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[Any](8)
-    scanHtml(html.toString) { (tag, attr, value) =>
+    scanHtml(html.toString) { (_, tag, attr, value) =>
       if ((attr == "href" || attr == "src") && tag != "base" &&
         value.nonEmpty && value.charAt(0) != '#')
         out += UTF8String.fromString(value)
@@ -574,9 +574,10 @@ object GraftMath {
     * comment simply ends the walk (untrusted crawl HTML).
     */
   private def scanHtml(h: String)(
-      sink: (String, String, String) => Boolean): Unit = {
+      sink: (Int, String, String, String) => Boolean): Unit = {
     val n = h.length
     var i = 0
+    var tagIdx = -1 // ordinal of the current OPENING tag (sink correlation)
     while (i < n) {
       val lt = h.indexOf('<', i)
       if (lt < 0) return
@@ -595,6 +596,7 @@ object GraftMath {
         val tag = h.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
         if (nameStart == j) { i = lt + 1 } // '<' that opens no tag: step past
         else {
+          if (!closing) tagIdx += 1
           // attribute walk until '>' (or end of input)
           var closed = -1
           var selfClose = false
@@ -633,7 +635,7 @@ object GraftMath {
                       h.substring(vStart, j)
                     }
                   if (!closing &&
-                    !sink(tag, attr, decodeEntities(value.trim))) return
+                    !sink(tagIdx, tag, attr, decodeEntities(value.trim))) return
                 }
               }
             }
@@ -653,6 +655,53 @@ object GraftMath {
         }
       }
     }
+  }
+
+  /** Robots directive tokens → bitmask (1 = noindex, 2 = nofollow):
+    * comma/whitespace-separated, case-insensitive, `none` = both,
+    * everything else (`all`, `noarchive`, unknown) contributes
+    * nothing. Shared by the `<meta name=robots>` scan and the
+    * `X-Robots-Tag` header — the two places the same grammar arrives.
+    */
+  def robotsDirectiveMask(s: String): Int = {
+    if (s == null) return 0
+    var mask = 0
+    s.toLowerCase(java.util.Locale.ROOT).split("[,\\s]+").foreach {
+      case "noindex"  => mask |= 1
+      case "nofollow" => mask |= 2
+      case "none"     => mask |= 3
+      case _          => ()
+    }
+    mask
+  }
+
+  /** The combined robots directive mask of a document's
+    * `<meta name="robots" content="…">` tags (union — any tag saying
+    * noindex makes the page noindex; attribute ORDER inside the tag
+    * is free, which is why the scan correlates name/content by tag
+    * ordinal). Rides [[scanHtml]], so comment blocks and script/style
+    * content can't fake a meta tag.
+    */
+  def htmlMetaRobots(html: UTF8String): Int = {
+    var mask = 0
+    var curIdx = -1
+    var curName: String = null
+    var curContent: String = null
+    def flush(): Unit = {
+      if (curName != null && curName.equalsIgnoreCase("robots") && curContent != null)
+        mask |= robotsDirectiveMask(curContent)
+      curName = null; curContent = null
+    }
+    scanHtml(html.toString) { (idx, tag, attr, value) =>
+      if (tag == "meta") {
+        if (idx != curIdx) { flush(); curIdx = idx }
+        if (attr == "name") curName = value
+        else if (attr == "content") curContent = value
+      }
+      true
+    }
+    flush()
+    mask
   }
 
   private def indexOfIgnoreCase(h: String, needle: String, from: Int): Int = {

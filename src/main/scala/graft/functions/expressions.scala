@@ -375,6 +375,27 @@ case class HtmlBaseHref(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_html_meta_robots(string) -> int` — the combined robots
+  * directive bitmask (1 = noindex, 2 = nofollow) of a document's
+  * `<meta name="robots">` tags, attribute-order-free, inside codegen.
+  * See [[GraftMath.htmlMetaRobots]].
+  */
+case class HtmlMetaRobots(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_html_meta_robots"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.htmlMetaRobots(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftMath.htmlMetaRobots($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMetaRobots =
+    copy(child = newChild)
+}
+
 /** Column-level wrappers (the library's public function surface). */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -438,4 +459,10 @@ object GraftFunctions {
   /** The first `<base href>` of an HTML document, or NULL. */
   def htmlBase(c: Column): Column =
     ColumnBridge.column(HtmlBaseHref(e(c)))
+
+  /** Robots meta-directive bitmask of an HTML document (1 = noindex,
+    * 2 = nofollow).
+    */
+  def htmlMetaRobots(c: Column): Column =
+    ColumnBridge.column(HtmlMetaRobots(e(c)))
 }

@@ -172,7 +172,8 @@ object Warc {
       contentEncoding: String,
       location: String,
       etag: String,
-      lastModified: String)
+      lastModified: String,
+      xRobotsTag: String)
 
   /** The header-block parse both HTTP layers share: status line +
     * first Content-Type (media type lowered; charset parameter,
@@ -192,6 +193,7 @@ object Warc {
     var loc: String = null
     var etag: String = null
     var lm: String = null
+    var xr: String = null
     lines.iterator.drop(1).foreach { ln =>
       val ci = ln.indexOf(':')
       if (ci > 0) {
@@ -222,9 +224,13 @@ object Warc {
           etag = value
         else if (name.equalsIgnoreCase("last-modified") && lm == null)
           lm = value
+        // indexing directives are case-insensitive tokens (unlike the
+        // opaque validators above)
+        else if (name.equalsIgnoreCase("x-robots-tag") && xr == null)
+          xr = value.toLowerCase(java.util.Locale.ROOT)
       }
     }
-    Some(HttpHead(status, ctype, charset, te, ce, loc, etag, lm))
+    Some(HttpHead(status, ctype, charset, te, ce, loc, etag, lm, xr))
   }
 
   /** [[parseHttp]] on BYTES: the header block of an HTTP/1.x message
@@ -1056,6 +1062,32 @@ object Warc {
       }
       .toDF("media_id", "rec_idx", "target_uri", "status", "etag",
         "last_modified")
+  }
+
+  /** The INDEXABILITY view of an archive: one row per response with
+    * the header-side robots directive mask (`X-Robots-Tag`, RFC 9309's
+    * HTTP cousin — 1 = noindex, 2 = nofollow) and the decoded text the
+    * HTML-side `<meta name=robots>` scan runs on. A corpus screen ANDs
+    * both sources: a noindex page's text never enters the corpus, a
+    * nofollow page's links never enter the frontier. Torn fetches keep
+    * the −1/NULL degrade row. Map-only like every reader here.
+    */
+  def httpIndexability(recs: DataFrame): DataFrame = {
+    import recs.sparkSession.implicits._
+    recs
+      .filter(col("warc_type") === "response")
+      .select(col("media_id").cast("long"), col("rec_idx").cast("int"),
+        col("target_uri").cast("string"), col("body"))
+      .as[(Long, Int, String, Array[Byte])]
+      .map { case (id, idx, uri, body) =>
+        val xMask = parseHttpBytesFull(body) match {
+          case Some((h, _)) => graft.functions.GraftMath.robotsDirectiveMask(h.xRobotsTag)
+          case None         => 0
+        }
+        val (st, _, _, _, _, _, text, _) = decodeResponse(body)
+        (id, idx, uri, st, xMask, text)
+      }
+      .toDF("media_id", "rec_idx", "target_uri", "status", "x_mask", "text")
   }
 
   /** Deterministic REFRESH-ARCHIVE fixture: two fetch ROUNDS of

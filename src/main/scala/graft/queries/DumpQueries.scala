@@ -789,6 +789,74 @@ object DumpQueries {
           |  CAST(1 + i // 2 AS INT) AS member_ord
           |FROM w""".stripMargin
       )
+    ),
+
+    // INDEXING DIRECTIVES — robots' page-level half: `<meta
+    // name="robots">` in the HTML (attribute order free, case-free,
+    // `none` = both, multiple metas UNION) and the `X-Robots-Tag`
+    // header, ANDed into the two decisions a corpus pipeline makes —
+    // does the text enter the corpus (noindex), do the links enter the
+    // frontier (nofollow). The mask rides the same codegen'd scanner
+    // as link extraction, so a meta inside a comment or script body
+    // can't fake a directive. Map-only.
+    Q(
+      "q_html_noindex",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val meta = (k % 5) match {
+            case 0 => ""
+            case 1 => "<meta name=\"robots\" content=\"noindex\">"
+            case 2 => "<meta content=\"nofollow\" name=\"robots\">" // order swap
+            case 3 => "<META NAME=\"ROBOTS\" CONTENT=\"NONE\">" // none = both
+            case _ => "<meta name=\"robots\" content=\"noindex\">" +
+              "<meta name=\"robots\" content=\"nofollow\">" // union
+          }
+          val links = (0 until (2 + k % 2).toInt)
+            .map(i => s"""<a href="http://s$k.example/l$i">x</a>""").mkString
+          // a commented-out meta must NOT count (the scanner skips it)
+          val html = s"<html><head>$meta<!-- <meta name=robots content=noindex> -->" +
+            s"</head><body>$links</body></html>"
+          val xr = if (k % 7 == 0) "X-Robots-Tag: noindex\r\n" else ""
+          val body = s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n$xr\r\n$html"
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://s$k.example/page\r\n" +
+            s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+            s"\r\n$body\r\n\r\n").getBytes("UTF-8")
+        })
+        val ind = graft.operators.Warc.httpIndexability(
+          graft.operators.Warc.recordsBinary(
+            Q.t(spark, dir, "nation")
+              .select(col("n_nationkey").cast("long").as("media_id"))
+              .withColumn("payload", mk(col("media_id"))),
+            "media_id", "payload"))
+        val mask = col("x_mask").bitwiseOR(
+          graft.functions.GraftFunctions.htmlMetaRobots(col("text")))
+        val nofollow = mask.bitwiseAND(2) =!= 0
+        val out = ind.select(
+          col("media_id"),
+          (mask.bitwiseAND(1) =!= 0).as("noindex"),
+          nofollow.as("nofollow"),
+          when(nofollow, lit(0))
+            .otherwise(size(graft.functions.GraftFunctions.htmlLinks(col("text"))))
+            .as("links_followed"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |m AS (
+          |  SELECT k,
+          |    CASE k % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 3 END
+          |      | CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS mask
+          |  FROM n
+          |)
+          |SELECT k AS media_id,
+          |  (mask & 1) <> 0 AS noindex,
+          |  (mask & 2) <> 0 AS nofollow,
+          |  CAST(CASE WHEN (mask & 2) <> 0 THEN 0 ELSE 2 + k % 2 END AS INT)
+          |    AS links_followed
+          |FROM m""".stripMargin
+      )
     )
   )
 }

@@ -188,4 +188,28 @@ class HtmlSpec extends SparkSpec {
     // arm 3: torn markup contributes nothing
     assert(!got.contains(3) && !got.contains(7))
   }
+
+  test("htmlMetaRobots: attribute order, case, none, union, comment/script immunity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def m(s: String): Int = graft.functions.GraftMath.htmlMetaRobots(UTF8String.fromString(s))
+    assert(m("""<meta name="robots" content="noindex">""") == 1)
+    assert(m("""<meta content="nofollow" name="robots">""") == 2) // order swap
+    assert(m("""<META NAME="ROBOTS" CONTENT="NONE">""") == 3)
+    assert(m("""<meta name="robots" content="noindex, nofollow">""") == 3)
+    assert(m("""<meta name="robots" content="noindex"><meta name="robots" content="nofollow">""") == 3)
+    assert(m("""<meta name="robots" content="all"><meta name="keywords" content="noindex">""") == 0)
+    assert(m("""<meta name="description" content="x"><meta name="robots" content="noindex">""") == 1)
+    // two ADJACENT metas must not cross-pair name/content
+    assert(m("""<meta name="robots"><meta content="noindex">""") == 0)
+    assert(m("""<!-- <meta name="robots" content="noindex"> -->""") == 0)
+    assert(m("""<script>var s = '<meta name="robots" content="noindex">';</script>""") == 0)
+    assert(m("plain text") == 0)
+    assert(m("""<meta name="ROBOTS" content="NOINDEX, noarchive , unknown">""") == 1)
+    // directive mask directly (the X-Robots-Tag grammar)
+    import graft.functions.GraftMath.robotsDirectiveMask
+    assert(robotsDirectiveMask("noindex, nofollow") == 3)
+    assert(robotsDirectiveMask("none") == 3)
+    assert(robotsDirectiveMask("noarchive") == 0)
+    assert(robotsDirectiveMask(null) == 0)
+  }
 }
