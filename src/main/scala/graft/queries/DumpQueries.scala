@@ -857,6 +857,72 @@ object DumpQueries {
           |    AS links_followed
           |FROM m""".stripMargin
       )
+    ),
+
+    // MULTIMODAL sequence packing — the training-side consumer of the
+    // WebDataset reader: each sample costs its image's patch count
+    // (the vision-tower budget, w·h here with the tiny fixture dims)
+    // plus its caption tokens plus one separator, and samples pack
+    // into fixed-budget bins IN SHARD ORDER inside the per-blob walk —
+    // a shard is one sequence source, so packing is map-only and needs
+    // no cross-shard shuffle (the global text-side pack chain with its
+    // hierarchical prefix sum stays the cross-source tool). Greedy
+    // running-sum binning: a sample opens bin floor(cum_before/B).
+    Q(
+      "q_multimodal_pack",
+      (spark, dir) => {
+        import spark.implicits._
+        val budget = 30L
+        val mk = udf((k: Long) => {
+          val n = (3 + k % 3).toInt
+          TarShard.tar((0 until n).flatMap { i =>
+            Seq(
+              (f"$i%06d.bmp", "0",
+                Multimodal.syntheticBmp(k * 7 + i, (3 + (k + i) % 4).toInt, (2 + (k + 2 * i) % 3).toInt)),
+              (f"$i%06d.txt", "0", ("tok " * (2 + i) + "end").getBytes("US-ASCII")))
+          })
+        })
+        val out = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("payload", mk(col("media_id")))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, p) =>
+            var cum = 0L
+            TarShard.samples(TarShard.entries(p)).flatMap { s =>
+              for {
+                img <- s.parts.collectFirst { case ("bmp", d) => d }
+                (w, h, _) <- Multimodal.decodeBmp(img)
+                cap <- s.parts.collectFirst { case ("txt", d) => new String(d, "US-ASCII") }
+              } yield {
+                val tokens = cap.split("\\s+").length
+                val cost = w.toLong * h + tokens + 1
+                val bin = cum / budget
+                cum += cost
+                (id, s.key, cost, bin)
+              }
+            }
+          }
+          .toDF("media_id", "sample_key", "cost", "bin")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |items AS (SELECT k, CAST(i AS INT) AS i FROM n,
+          |          UNNEST(generate_series(0, 5)) u(i) WHERE i < 3 + k % 3),
+          |c AS (
+          |  SELECT k, i, lpad(CAST(i AS VARCHAR), 6, '0') AS sample_key,
+          |    (3 + (k + i) % 4) * (2 + (k + 2 * i) % 3) + (3 + i) + 1 AS cost
+          |  FROM items
+          |), r AS (
+          |  SELECT *, COALESCE(SUM(cost) OVER (PARTITION BY k ORDER BY i
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM c
+          |)
+          |SELECT k AS media_id, sample_key, CAST(cost AS BIGINT) AS cost,
+          |  CAST(cum_before // 30 AS BIGINT) AS bin
+          |FROM r""".stripMargin
+      )
     )
   )
 }
