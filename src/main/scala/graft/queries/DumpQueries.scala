@@ -923,6 +923,99 @@ object DumpQueries {
           |  CAST(cum_before // 30 AS BIGINT) AS bin
           |FROM r""".stripMargin
       )
+    ),
+
+    // THE SOURCE-UNION CAPSTONE: the three ingest families this engine
+    // reads — published dumps (bz2 XML → wikitext strip), crawl
+    // archives (WARC → HTTP → text), and dataset shards (tar →
+    // samples) — land in ONE corpus frame, deduped exactly ACROSS
+    // sources (texts collide across families by construction; the
+    // canonical-source rank breaks ties: dump beats crawl beats shard)
+    // with per-source admission accounting. Two shuffles total: the
+    // text-keyed dedup window and the per-source rollup; every reader
+    // upstream is the map-only walk its own gate already pins.
+    Q(
+      "q_corpus_union",
+      (spark, dir) => {
+        import spark.implicits._
+        val keys = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+
+        val dumpXml = udf((k: Long) => DumpDecode.bz2Member(
+          XmlDump.pageXml(k * 10, 0, s"D $k", None,
+            if (k % 2 == 0) s"common ${k % 4}" else s"'''dump''' only $k").getBytes("UTF-8")))
+        val dump = keys.withColumn("payload", dumpXml(col("media_id")))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, p) =>
+            DumpDecode.bz2Members(p)
+              .flatMap(m => XmlDump.pages(new String(m, "UTF-8")))
+              .map(pg => (id, XmlDump.stripWikitext(pg.text)))
+          }
+          .toDF("media_id", "text")
+          .withColumn("source", lit("dump"))
+
+        val warcMk = udf((k: Long) => {
+          val payload = if (k % 5 == 0) s"common ${k % 4}" else s"crawl only $k"
+          val body = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n" + payload
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://c$k.example/p\r\n" +
+            s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+            s"\r\n$body\r\n\r\n").getBytes("UTF-8")
+        })
+        val crawl = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            keys.withColumn("payload", warcMk(col("media_id"))), "media_id", "payload"))
+          .filter(col("status") === 200)
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("crawl"))
+
+        val tarMk = udf((k: Long) => TarShard.tar(Seq((f"$k%06d.txt", "0",
+          (if (k % 3 == 0) s"common ${k % 4}" else s"shard only $k").getBytes("UTF-8")))))
+        val shard = TarShard.sampleRows(
+          keys.withColumn("payload", tarMk(col("media_id"))), "media_id", "payload")
+          .filter(col("ext") === "txt")
+          .select(col("media_id"), col("data").cast("string").as("text"))
+          .withColumn("source", lit("shard"))
+
+        val all = dump.unionByName(crawl).unionByName(shard)
+          .withColumn("rank",
+            when(col("source") === "dump", 0)
+              .when(col("source") === "crawl", 1).otherwise(2))
+        val byText = Window.partitionBy(col("text"))
+          .orderBy(col("rank"), col("media_id"))
+        val out = all
+          .withColumn("rn", row_number().over(byText))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_in"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("docs_kept"))
+        Q.requireMaxShuffles(out, 2)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |rows0 AS (
+          |  SELECT 'dump' AS source, 0 AS rank, k,
+          |    CASE WHEN k % 2 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'dump only ' || k END AS text
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'crawl', 1, k,
+          |    CASE WHEN k % 5 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'crawl only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'shard', 2, k,
+          |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'shard only ' || k END
+          |  FROM n
+          |), r AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY rank, k) AS rn
+          |  FROM rows0
+          |)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in,
+          |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
+          |FROM r GROUP BY source""".stripMargin
+      )
     )
   )
 }
