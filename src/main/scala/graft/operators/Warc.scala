@@ -24,7 +24,9 @@ object Warc {
       warc_type: String,
       target_uri: String,
       content_length: Long,
-      body: String)
+      body: String,
+      payload_digest: String,
+      refers_to_uri: String)
 
   /** The byte-level record: the SAME framing fields with the body kept
     * as raw bytes — the input of the charset-aware text layer
@@ -38,7 +40,9 @@ object Warc {
       warc_type: String,
       target_uri: String,
       content_length: Long,
-      body: Array[Byte])
+      body: Array[Byte],
+      payload_digest: String,
+      refers_to_uri: String)
 
   /** Parse one WARC blob into its records (intact prefix on
     * malformation). Bodies are returned as UTF-8 text; a body that is
@@ -53,7 +57,7 @@ object Warc {
           .decode(java.nio.ByteBuffer.wrap(r.body)).toString
         catch { case _: Exception => null }
       WarcRecord(r.media_id, r.rec_idx, r.warc_type, r.target_uri,
-        r.content_length, body)
+        r.content_length, body, r.payload_digest, r.refers_to_uri)
     }
 
   /** The byte-exact framing walk (ISO 28500): version line + header
@@ -79,6 +83,8 @@ object Warc {
       // header block until empty line
       var wType: String = null
       var uri: String = null
+      var digest: String = null
+      var refersTo: String = null
       var clen = -1L
       var headerOk = true
       var done = false
@@ -96,6 +102,10 @@ object Warc {
             k match {
               case "warc-type"       => wType = v
               case "warc-target-uri" => uri = v
+              // the revisit-resolution pair (ISO 28500 §6.7.2): the
+              // payload digest names the ORIGINAL capture's content
+              case "warc-payload-digest"      => digest = v
+              case "warc-refers-to-target-uri" => refersTo = v
               case "content-length" =>
                 clen = try v.toLong catch { case _: NumberFormatException => -1L }
               case _ => ()
@@ -106,7 +116,7 @@ object Warc {
       }
       if (!headerOk || clen < 0 || p + clen > bytes.length) return out.toSeq
       val bodyBytes = java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
-      out += WarcRecordBytes(id, idx, wType, uri, clen, bodyBytes)
+      out += WarcRecordBytes(id, idx, wType, uri, clen, bodyBytes, digest, refersTo)
       idx += 1
       p += clen.toInt
       // record separator CRLF CRLF (tolerate EOF right after the last body)
@@ -1088,6 +1098,37 @@ object Warc {
         (id, idx, uri, st, xMask, text)
       }
       .toDF("media_id", "rec_idx", "target_uri", "status", "x_mask", "text")
+  }
+
+  /** REVISIT resolution (ISO 28500 §6.7.2, the identical-payload-digest
+    * profile Common Crawl ships): a `revisit` record says "this fetch
+    * returned the same payload as an earlier capture" and carries only
+    * the digest — the BODY lives in the original response. Resolution
+    * = join revisits to the first response sharing the digest
+    * (first by capture order, like every keep-first here), so a
+    * cross-crawl corpus reads round-N text without round-N bytes.
+    * Unresolvable revisits (digest never captured in the frame) keep
+    * NULL resolved columns — countable, never dropped silently.
+    * Exchanges: the digest join + the keep-first window on the
+    * (much smaller) response side.
+    */
+  def resolveRevisits(recs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val originals = recs
+      .filter(col("warc_type") === "response" && col("payload_digest").isNotNull)
+      .select(col("payload_digest").as("__d"), col("media_id").as("__om"),
+        col("rec_idx").as("__oi"), col("target_uri").as("resolved_from"),
+        col("body").as("resolved_body"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("__d")).orderBy(col("__om"), col("__oi"))))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__om", "__oi")
+    recs
+      .filter(col("warc_type") === "revisit" && col("payload_digest").isNotNull)
+      .select(col("media_id"), col("rec_idx"), col("target_uri"),
+        col("payload_digest"), col("refers_to_uri"))
+      .join(originals, col("payload_digest") === col("__d"), "left")
+      .drop("__d")
   }
 
   /** Deterministic REFRESH-ARCHIVE fixture: two fetch ROUNDS of

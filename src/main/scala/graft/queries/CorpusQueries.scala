@@ -5758,7 +5758,9 @@ object CorpusQueries {
           |  CAST(LENGTH('payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
           |              ' content words') AS BIGINT) AS content_length,
           |  'payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
-          |    ' content words' AS body
+          |    ' content words' AS body,
+          |  CAST(NULL AS VARCHAR) AS payload_digest,
+          |  CAST(NULL AS VARCHAR) AS refers_to_uri
           |FROM recs""".stripMargin
       )
     ),
@@ -5808,7 +5810,9 @@ object CorpusQueries {
           |  CAST(LENGTH('payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
           |              ' content words') AS BIGINT) AS content_length,
           |  'payload ' || CAST(media_id * 7 + rec_idx AS VARCHAR) ||
-          |    ' content words' AS body
+          |    ' content words' AS body,
+          |  CAST(NULL AS VARCHAR) AS payload_digest,
+          |  CAST(NULL AS VARCHAR) AS refers_to_uri
           |FROM recs""".stripMargin
       )
     ),

@@ -1016,6 +1016,65 @@ object DumpQueries {
           |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
           |FROM r GROUP BY source""".stripMargin
       )
+    ),
+
+    // WARC REVISIT resolution — cross-crawl dedup as the archive
+    // actually encodes it (ISO 28500 identical-payload-digest, what
+    // Common Crawl ships): round-2 `revisit` records carry only the
+    // payload digest; their TEXT lives in round-1's response. The
+    // resolver joins revisits to the first capture sharing the digest;
+    // a revisit whose digest was never captured keeps NULL resolved
+    // columns (countable, not silently dropped). Each blob carries
+    // both rounds, parity-keyed so both resolution multiplicities and
+    // the unresolvable arm sit under the oracle.
+    Q(
+      "q_warc_revisit",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          def rec(wType: String, uri: String, digest: String, refers: String, body: String) = {
+            val d = if (digest == null) "" else s"WARC-Payload-Digest: $digest\r\n"
+            val r = if (refers == null) "" else s"WARC-Refers-To-Target-URI: $refers\r\n"
+            s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n$d$r" +
+              s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n"
+          }
+          val round1 = (0 until 3).map(i =>
+            rec("response", s"http://r$k.example/p/$i", s"sha1:B$k-$i", null, s"orig $k $i")).mkString
+          val round2 = (0 until 3).filter(i => (k + i) % 2 == 0).map(i =>
+            rec("revisit", s"http://r$k.example/p/$i?v=2", s"sha1:B$k-$i",
+              s"http://r$k.example/p/$i", "")).mkString +
+            rec("revisit", s"http://r$k.example/gone", s"sha1:missing$k", null, "")
+          (round1 + round2).getBytes("UTF-8")
+        })
+        val out = graft.operators.Warc.resolveRevisits(
+          graft.operators.Warc.records(
+            Q.t(spark, dir, "nation")
+              .select(col("n_nationkey").cast("long").as("media_id"))
+              .withColumn("payload", mk(col("media_id"))),
+            "media_id", "payload"))
+        Q.requireMaxShuffles(out, 3)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |res AS (
+          |  SELECT k, CAST(i AS INT) AS i,
+          |    CAST(CASE WHEN k % 2 = 0 THEN 3 + i // 2 ELSE 3 END AS INT) AS rec_idx
+          |  FROM n, UNNEST(generate_series(0, 2)) u(i)
+          |  WHERE (k + i) % 2 = 0
+          |)
+          |SELECT k AS media_id, rec_idx,
+          |  'http://r' || k || '.example/p/' || i || '?v=2' AS target_uri,
+          |  'sha1:B' || k || '-' || i AS payload_digest,
+          |  'http://r' || k || '.example/p/' || i AS refers_to_uri,
+          |  'http://r' || k || '.example/p/' || i AS resolved_from,
+          |  'orig ' || k || ' ' || i AS resolved_body
+          |FROM res
+          |UNION ALL
+          |SELECT k, CAST(CASE WHEN k % 2 = 0 THEN 5 ELSE 4 END AS INT),
+          |  'http://r' || k || '.example/gone', 'sha1:missing' || k,
+          |  NULL, NULL, NULL
+          |FROM n""".stripMargin
+      )
     )
   )
 }

@@ -21,6 +21,31 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("revisit resolution: digest joins to the FIRST capture; unresolvable keeps NULLs") {
+    import spark.implicits._
+    def rec(wType: String, uri: String, digest: String, body: String) = {
+      val d = if (digest == null) "" else s"WARC-Payload-Digest: $digest\r\n"
+      s"WARC/1.0\r\nWARC-Type: $wType\r\nWARC-Target-URI: $uri\r\n$d" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+    }
+    // the SAME digest captured twice (media 1 then media 2): first wins
+    val blob1 = (rec("response", "http://a/1", "sha1:X", "first capture") +
+      rec("revisit", "http://a/1?v2", "sha1:X", "")).getBytes("UTF-8")
+    val blob2 = (rec("response", "http://b/1", "sha1:X", "second capture") +
+      rec("revisit", "http://b/gone", "sha1:NOPE", "") +
+      rec("revisit", "http://b/nodigest", null, "")).getBytes("UTF-8")
+    val recs = Warc.records(Seq((1L, blob1), (2L, blob2)).toDF("media_id", "payload"),
+      "media_id", "payload")
+    // parse carries the new headers
+    val parsed = Warc.parseWarc(1L, blob1)
+    assert(parsed(0).payload_digest == "sha1:X" && parsed(0).refers_to_uri == null)
+    val got = Warc.resolveRevisits(recs).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(5), r.getString(6))).toSet
+    assert(got == Set(
+      (1L, "http://a/1?v2", "http://a/1", "first capture"), // NOT "second capture"
+      (2L, "http://b/gone", null, null))) // digest-less revisit never emits
+  }
+
   test("parseWarc: truncation yields the intact prefix; framing is Content-Length-exact") {
     // torn mid-record-2: exactly record 0 survives
     val torn = Warc.syntheticWarc(7L, 3, keepRecords = 1)
