@@ -36,6 +36,94 @@ object Html {
     * envelopes. Fragment-only references never leave the page and are
     * dropped at extraction.
     */
+  /** `<a href>` ANCHOR pairs of one document: (raw href, the anchor's
+    * visible text — nested markup stripped, entities decoded,
+    * whitespace collapsed, capped). Anchor text is the label the WEB
+    * gives a page — the signal retrieval corpora and query-document
+    * pairs are built from — and it lives between tags, which the
+    * attribute-only scanner never captures, so this is its own lenient
+    * pass: case-insensitive `<a`/`</a>`, href-less and fragment-only
+    * anchors skipped, a torn anchor (no close) ends the walk, text
+    * budget per anchor. Empty text (image links) survives as "" — the
+    * href still carries graph signal.
+    */
+  def anchorPairs(html: String, maxAnchors: Int = 10000,
+      maxTextLen: Int = 512): Seq[(String, String)] = {
+    if (html == null) return Seq.empty
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    val out = Vector.newBuilder[(String, String)]
+    var i = 0
+    var n = 0
+    while (n < maxAnchors) {
+      val open = lower.indexOf("<a", i)
+      if (open < 0) return out.result()
+      val after = open + 2
+      if (after >= html.length ||
+        (html.charAt(after) != ' ' && html.charAt(after) != '>' &&
+          html.charAt(after) != '\t' && html.charAt(after) != '\n')) { i = after }
+      else {
+        val gt = html.indexOf('>', after)
+        if (gt < 0) return out.result() // torn open tag
+        // attr NAME matches case-free; the VALUE keeps its case (URLs)
+        val href = {
+          val at = lower.indexOf("href=\"", after)
+          if (at < 0 || at >= gt) null
+          else {
+            val vs = at + 6
+            val ve = html.indexOf('"', vs)
+            if (ve < 0 || ve > gt) null else XmlDump.decodeEntities(html.substring(vs, ve))
+          }
+        }
+        val close = lower.indexOf("</a", gt + 1)
+        if (close < 0) return out.result() // torn anchor
+        if (href != null && href.nonEmpty && href.charAt(0) != '#') {
+          // visible text: nested tags dropped, entities decoded,
+          // whitespace collapsed (display semantics), budget-capped
+          val raw = html.substring(gt + 1, close)
+          val sb = new java.lang.StringBuilder(math.min(raw.length, maxTextLen))
+          var p = 0
+          while (p < raw.length && sb.length < maxTextLen) {
+            val c = raw.charAt(p)
+            if (c == '<') {
+              val e = raw.indexOf('>', p + 1)
+              p = if (e < 0) raw.length else e + 1
+            } else { sb.append(c); p += 1 }
+          }
+          val text = XmlDump.decodeEntities(sb.toString)
+            .replaceAll("\\s+", " ").trim
+          out += ((href, text))
+          n += 1
+        }
+        i = close + 3
+      }
+    }
+    out.result()
+  }
+
+  /** One row PER ANCHOR of each page: every column of `pages` except
+    * `htmlCol`, plus the base-resolved canonical `href` and its
+    * `anchor` text — [[outlinks]]' shape with the label attached.
+    * Same NULL-drop contract for out-of-contract targets; map-only
+    * (the pair extraction explodes, resolution is the codegen
+    * expression).
+    */
+  def anchors(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val pass = pages.columns.filterNot(_ == htmlCol).map(col).toSeq
+    val pageCanon = GraftFunctions.urlCanon(col(urlCol))
+    val base = coalesce(
+      GraftFunctions.urlResolve(pageCanon, GraftFunctions.htmlBase(col(htmlCol))),
+      pageCanon)
+    val pairs = udf((h: String) => anchorPairs(h))
+    pages
+      .select(pass ++ Seq(
+        base.as("__base"),
+        explode(pairs(col(htmlCol))).as("__p")): _*)
+      .select(pass ++ Seq(
+        GraftFunctions.urlResolve(col("__base"), col("__p._1")).as("href"),
+        col("__p._2").as("anchor")): _*)
+      .filter(col("href").isNotNull)
+  }
+
   def outlinks(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
     val pass = pages.columns.filterNot(_ == htmlCol).map(col).toSeq
     val pageCanon = GraftFunctions.urlCanon(col(urlCol))

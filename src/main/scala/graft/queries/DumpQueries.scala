@@ -1075,6 +1075,53 @@ object DumpQueries {
           |  NULL, NULL, NULL
           |FROM n""".stripMargin
       )
+    ),
+
+    // ANCHOR-TEXT extraction — the label the web gives a page, the
+    // signal retrieval corpora and query-document pairs are built
+    // from: `<a href>` pairs with the anchor's VISIBLE text (nested
+    // markup stripped, entities decoded, whitespace collapsed),
+    // base-resolved like the link graph. Arms: plain, uppercase tag,
+    // nested markup, empty text (image link — href still carries graph
+    // signal), href-less and fragment-only anchors skipped. Map-only.
+    Q(
+      "q_html_anchors",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          s"""<html><head><base href="http://h$k.example/d/"></head><body>""" +
+            s"""<a href="p1">plain $k</a>""" +
+            s"""<A HREF="http://x$k.example/abs">nested <b>bold</b>  $k</A>""" +
+            s"""<a href="p2"><img src="i.png"></a>""" +
+            s"""<a name="n">skip me</a><a href="#frag">skip too</a>""" +
+            s"""<a href="p3">A &amp; B $k</a></body></html>""")
+        val pages = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("page_url", concat(lit("http://h"), col("media_id"),
+            lit(".example/index.html")))
+          .withColumn("html", mk(col("media_id")))
+        val out = graft.operators.Html.anchors(pages, "page_url", "html")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id,
+          |  'http://h' || k || '.example/index.html' AS page_url,
+          |  'http://h' || k || '.example/d/p1' AS href, 'plain ' || k AS anchor
+          |FROM n
+          |UNION ALL
+          |SELECT k, 'http://h' || k || '.example/index.html',
+          |  'http://x' || k || '.example/abs', 'nested bold ' || k
+          |FROM n
+          |UNION ALL
+          |SELECT k, 'http://h' || k || '.example/index.html',
+          |  'http://h' || k || '.example/d/p2', ''
+          |FROM n
+          |UNION ALL
+          |SELECT k, 'http://h' || k || '.example/index.html',
+          |  'http://h' || k || '.example/d/p3', 'A & B ' || k
+          |FROM n""".stripMargin
+      )
     )
   )
 }

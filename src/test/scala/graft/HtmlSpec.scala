@@ -189,6 +189,22 @@ class HtmlSpec extends SparkSpec {
     assert(!got.contains(3) && !got.contains(7))
   }
 
+  test("anchorPairs: visible text, case-free tags, skips, torn anchors, budgets") {
+    import graft.operators.Html.anchorPairs
+    assert(anchorPairs("""x<a href="u1">plain</a>y""") == Seq(("u1", "plain")))
+    assert(anchorPairs("""<A HREF="U2">nested <b>bold</b>  t</A>""") == Seq(("U2", "nested bold t")))
+    assert(anchorPairs("""<a href="u3"><img src="i.png"></a>""") == Seq(("u3", "")))
+    assert(anchorPairs("""<a name="n">no href</a><a href="#f">frag</a>""") == Seq.empty)
+    assert(anchorPairs("""<a href="u4">A &amp; B</a>""") == Seq(("u4", "A & B")))
+    // '<abbr' is not an anchor; a torn anchor ends the walk with the prefix
+    assert(anchorPairs("""<abbr href="x">t</abbr><a href="u5">ok</a><a href="u6">torn""") ==
+      Seq(("u5", "ok")))
+    assert(anchorPairs("""<a href="u">""" + "w " * 600 + "</a>").head._2.length <= 512)
+    assert(anchorPairs((1 to 30).map(i => s"""<a href="u$i">t</a>""").mkString,
+      maxAnchors = 7).length == 7)
+    assert(anchorPairs(null) == Seq.empty)
+  }
+
   test("htmlMetaRobots: attribute order, case, none, union, comment/script immunity") {
     import org.apache.spark.unsafe.types.UTF8String
     def m(s: String): Int = graft.functions.GraftMath.htmlMetaRobots(UTF8String.fromString(s))
