@@ -573,14 +573,36 @@ object GraftMath {
     * syntax). Never throws on torn markup — an unterminated tag or
     * comment simply ends the walk (untrusted crawl HTML).
     */
+  /** The full event view of [[scanHtml]]'s walk — same hardening
+    * (comment/script/style skipping, quoted-'>'-safe attribute parse,
+    * torn-markup stop), richer events: between-tag TEXT (raw, not
+    * entity-decoded), opening-tag completion (with the self-close
+    * flag), and closing tags. Anchor-text extraction rides this so it
+    * can never disagree with the link/meta scanners about what a tag
+    * is. Any callback returning false stops the walk.
+    */
+  private[graft] trait HtmlSink {
+    def attr(idx: Int, tag: String, name: String, value: String): Boolean = true
+    def open(idx: Int, tag: String, selfClose: Boolean): Boolean = true
+    def close(tag: String): Boolean = true
+    def text(s: String): Boolean = true
+  }
+
   private def scanHtml(h: String)(
-      sink: (Int, String, String, String) => Boolean): Unit = {
+      sink: (Int, String, String, String) => Boolean): Unit =
+    scanHtmlFull(h)(new HtmlSink {
+      override def attr(idx: Int, tag: String, name: String, value: String): Boolean =
+        sink(idx, tag, name, value)
+    })
+
+  private[graft] def scanHtmlFull(h: String)(sink: HtmlSink): Unit = {
     val n = h.length
     var i = 0
     var tagIdx = -1 // ordinal of the current OPENING tag (sink correlation)
     while (i < n) {
       val lt = h.indexOf('<', i)
-      if (lt < 0) return
+      if (lt < 0) { if (i < n) sink.text(h.substring(i)): Unit; return }
+      if (lt > i && !sink.text(h.substring(i, lt))) return
       if (h.startsWith("<!--", lt)) {
         val end = h.indexOf("-->", lt + 4)
         if (end < 0) return
@@ -594,8 +616,10 @@ object GraftMath {
         while (j < n && (isAlpha(h.charAt(j)) ||
           (h.charAt(j) >= '0' && h.charAt(j) <= '9'))) j += 1
         val tag = h.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
-        if (nameStart == j) { i = lt + 1 } // '<' that opens no tag: step past
-        else {
+        if (nameStart == j) { // '<' that opens no tag: it is TEXT; step past
+          if (!sink.text("<")) return
+          i = lt + 1
+        } else {
           if (!closing) tagIdx += 1
           // attribute walk until '>' (or end of input)
           var closed = -1
@@ -635,13 +659,15 @@ object GraftMath {
                       h.substring(vStart, j)
                     }
                   if (!closing &&
-                    !sink(tagIdx, tag, attr, decodeEntities(value.trim))) return
+                    !sink.attr(tagIdx, tag, attr, decodeEntities(value.trim))) return
                 }
               }
             }
           }
           if (closed < 0) return // unterminated tag: end the walk
           i = closed + 1
+          if (closing) { if (!sink.close(tag)) return }
+          else if (!sink.open(tagIdx, tag, selfClose)) return
           // script/style CONTENT is opaque — skip to the closing tag
           // (openers only: a closing or self-closed tag has no content)
           if (!closing && !selfClose && (tag == "script" || tag == "style")) {

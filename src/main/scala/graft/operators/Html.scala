@@ -25,78 +25,67 @@ import graft.functions.GraftFunctions
   */
 object Html {
 
-  /** One row PER OUTLINK of each page: every column of `pages` except
-    * `htmlCol`, plus `href` — the canonical absolute target. The
-    * page's `<base href>` (itself possibly relative — resolved against
-    * the page URL first, per WHATWG) rebases relative references;
-    * references that resolve outside the http(s) contract
-    * (javascript:, mailto:, data:, malformed) drop — the same visible
-    * NULL-degrade the URL kernels share — and pages with no resolvable
-    * links contribute nothing, like [[Warc.watLinks]]' links-less
-    * envelopes. Fragment-only references never leave the page and are
-    * dropped at extraction.
-    */
   /** `<a href>` ANCHOR pairs of one document: (raw href, the anchor's
     * visible text — nested markup stripped, entities decoded,
     * whitespace collapsed, capped). Anchor text is the label the WEB
     * gives a page — the signal retrieval corpora and query-document
-    * pairs are built from — and it lives between tags, which the
-    * attribute-only scanner never captures, so this is its own lenient
-    * pass: case-insensitive `<a`/`</a>`, href-less and fragment-only
-    * anchors skipped, a torn anchor (no close) ends the walk, text
-    * budget per anchor. Empty text (image links) survives as "" — the
-    * href still carries graph signal.
+    * pairs are built from — and it lives BETWEEN tags, so this rides
+    * [[GraftMath.scanHtmlFull]]'s event view of the SAME hardened
+    * scanner the link and meta extractors use (comments and
+    * script/style bodies can't fake an anchor, quoted `>` can't end a
+    * tag early, single-quoted/unquoted hrefs parse, `</abbr>` is not
+    * `</a>`). Href-less and fragment-only anchors skipped; a new `<a>`
+    * implicitly closes the previous (the browser rule — anchors never
+    * nest); a torn anchor at end of input is discarded (completed-
+    * prefix); empty text (image links) survives as "" — the href still
+    * carries graph signal.
     */
   def anchorPairs(html: String, maxAnchors: Int = 10000,
       maxTextLen: Int = 512): Seq[(String, String)] = {
     if (html == null) return Seq.empty
-    val lower = html.toLowerCase(java.util.Locale.ROOT)
     val out = Vector.newBuilder[(String, String)]
-    var i = 0
     var n = 0
-    while (n < maxAnchors) {
-      val open = lower.indexOf("<a", i)
-      if (open < 0) return out.result()
-      val after = open + 2
-      if (after >= html.length ||
-        (html.charAt(after) != ' ' && html.charAt(after) != '>' &&
-          html.charAt(after) != '\t' && html.charAt(after) != '\n')) { i = after }
-      else {
-        val gt = html.indexOf('>', after)
-        if (gt < 0) return out.result() // torn open tag
-        // attr NAME matches case-free; the VALUE keeps its case (URLs)
-        val href = {
-          val at = lower.indexOf("href=\"", after)
-          if (at < 0 || at >= gt) null
-          else {
-            val vs = at + 6
-            val ve = html.indexOf('"', vs)
-            if (ve < 0 || ve > gt) null else XmlDump.decodeEntities(html.substring(vs, ve))
-          }
-        }
-        val close = lower.indexOf("</a", gt + 1)
-        if (close < 0) return out.result() // torn anchor
-        if (href != null && href.nonEmpty && href.charAt(0) != '#') {
-          // visible text: nested tags dropped, entities decoded,
-          // whitespace collapsed (display semantics), budget-capped
-          val raw = html.substring(gt + 1, close)
-          val sb = new java.lang.StringBuilder(math.min(raw.length, maxTextLen))
-          var p = 0
-          while (p < raw.length && sb.length < maxTextLen) {
-            val c = raw.charAt(p)
-            if (c == '<') {
-              val e = raw.indexOf('>', p + 1)
-              p = if (e < 0) raw.length else e + 1
-            } else { sb.append(c); p += 1 }
-          }
-          val text = XmlDump.decodeEntities(sb.toString)
-            .replaceAll("\\s+", " ").trim
-          out += ((href, text))
-          n += 1
-        }
-        i = close + 3
+    var pendingHref: String = null // href attr of the tag being parsed
+    var pendingIdx = -1
+    var capturing = false
+    var href: String = null
+    val sb = new java.lang.StringBuilder
+    def flush(): Boolean = {
+      if (capturing) {
+        val text = graft.operators.XmlDump.decodeEntities(sb.toString)
+          .replaceAll("\\s+", " ").trim
+        out += ((href, if (text.length > maxTextLen) text.substring(0, maxTextLen) else text))
+        n += 1
+        capturing = false
+        sb.setLength(0)
       }
+      n < maxAnchors
     }
+    graft.functions.GraftMath.scanHtmlFull(html)(new graft.functions.GraftMath.HtmlSink {
+      override def attr(idx: Int, tag: String, name: String, value: String): Boolean = {
+        if (tag == "a" && name == "href") { pendingHref = value; pendingIdx = idx }
+        true
+      }
+      override def open(idx: Int, tag: String, selfClose: Boolean): Boolean = {
+        if (tag == "a") {
+          if (!flush()) return false // implicit close: anchors never nest
+          if (pendingIdx == idx && pendingHref != null &&
+            pendingHref.nonEmpty && pendingHref.charAt(0) != '#') {
+            capturing = true
+            href = pendingHref
+          }
+        }
+        pendingHref = null; pendingIdx = -1
+        true
+      }
+      override def close(tag: String): Boolean =
+        if (tag == "a") flush() else true
+      override def text(t: String): Boolean = {
+        if (capturing && sb.length < maxTextLen + 64) sb.append(t)
+        true
+      }
+    })
+    // a torn anchor (no close before end of input) is NOT emitted
     out.result()
   }
 
@@ -124,6 +113,17 @@ object Html {
       .filter(col("href").isNotNull)
   }
 
+  /** One row PER OUTLINK of each page: every column of `pages` except
+    * `htmlCol`, plus `href` — the canonical absolute target. The
+    * page's `<base href>` (itself possibly relative — resolved against
+    * the page URL first, per WHATWG) rebases relative references;
+    * references that resolve outside the http(s) contract
+    * (javascript:, mailto:, data:, malformed) drop — the same visible
+    * NULL-degrade the URL kernels share — and pages with no resolvable
+    * links contribute nothing, like [[Warc.watLinks]]' links-less
+    * envelopes. Fragment-only references never leave the page and are
+    * dropped at extraction.
+    */
   def outlinks(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
     val pass = pages.columns.filterNot(_ == htmlCol).map(col).toSeq
     val pageCanon = GraftFunctions.urlCanon(col(urlCol))

@@ -235,9 +235,12 @@ object Warc {
         else if (name.equalsIgnoreCase("last-modified") && lm == null)
           lm = value
         // indexing directives are case-insensitive tokens (unlike the
-        // opaque validators above)
-        else if (name.equalsIgnoreCase("x-robots-tag") && xr == null)
-          xr = value.toLowerCase(java.util.Locale.ROOT)
+        // opaque validators above), and servers legally emit ONE header
+        // PER DIRECTIVE — so repeats COMBINE instead of keep-first
+        else if (name.equalsIgnoreCase("x-robots-tag")) {
+          val v = value.toLowerCase(java.util.Locale.ROOT)
+          xr = if (xr == null) v else xr + ", " + v
+        }
       }
     }
     Some(HttpHead(status, ctype, charset, te, ce, loc, etag, lm, xr))
@@ -1090,12 +1093,17 @@ object Warc {
         col("target_uri").cast("string"), col("body"))
       .as[(Long, Int, String, Array[Byte])]
       .map { case (id, idx, uri, body) =>
-        val xMask = parseHttpBytesFull(body) match {
-          case Some((h, _)) => graft.functions.GraftMath.robotsDirectiveMask(h.xRobotsTag)
-          case None         => 0
+        // ONE header parse serves both the directive mask and the text
+        // decode (decodeResponse would re-parse the same head)
+        parseHttpBytesFull(body) match {
+          case Some((h, raw)) =>
+            val payload = decodeHttpBody(raw, h.transferEncoding, h.contentEncoding)
+            val cs = if (h.charset != null) h.charset else metaCharset(payload)
+            (id, idx, uri, h.status,
+              graft.functions.GraftMath.robotsDirectiveMask(h.xRobotsTag),
+              decodeCharset(payload, cs))
+          case None => (id, idx, uri, -1, 0, null: String)
         }
-        val (st, _, _, _, _, _, text, _) = decodeResponse(body)
-        (id, idx, uri, st, xMask, text)
       }
       .toDF("media_id", "rec_idx", "target_uri", "status", "x_mask", "text")
   }

@@ -205,6 +205,30 @@ class HtmlSpec extends SparkSpec {
     assert(anchorPairs(null) == Seq.empty)
   }
 
+  test("anchorPairs rides the hardened scanner: review-pass arms") {
+    import graft.operators.Html.anchorPairs
+    // </abbr> is not </a>: trailing text survives
+    assert(anchorPairs("""<a href="u"><abbr>API</abbr> docs</a>""") == Seq(("u", "API docs")))
+    // single-quoted and unquoted hrefs parse like the link scanner
+    assert(anchorPairs("<a href='u1'>s</a><a href=u2>q</a>") ==
+      Seq(("u1", "s"), ("u2", "q")))
+    // comments and script bodies cannot fake an anchor
+    assert(anchorPairs("""<!-- <a href="/old">dead</a> --><a href="u">live</a>""") ==
+      Seq(("u", "live")))
+    assert(anchorPairs("""<script>var x='<a href="spam">x</a>';</script>""") == Seq.empty)
+    // a quoted '>' does not end the open tag early
+    assert(anchorPairs("""<a href="u" title="x > y">label</a>""") == Seq(("u", "label")))
+    // data-href is not href
+    assert(anchorPairs("""<a data-href="/t" class="x">Click</a>""") == Seq.empty)
+    // CRLF-formatted attributes
+    assert(anchorPairs("<a\r\nhref=\"u\">label</a>") == Seq(("u", "label")))
+    // a new <a> implicitly closes the previous (anchors never nest)
+    assert(anchorPairs("""<a href="a">x<a href="b">y</a>""") ==
+      Seq(("a", "x"), ("b", "y")))
+    // a lone '<' inside anchor text is prose
+    assert(anchorPairs("""<a href="u">2 < 3</a>""") == Seq(("u", "2 < 3")))
+  }
+
   test("htmlMetaRobots: attribute order, case, none, union, comment/script immunity") {
     import org.apache.spark.unsafe.types.UTF8String
     def m(s: String): Int = graft.functions.GraftMath.htmlMetaRobots(UTF8String.fromString(s))

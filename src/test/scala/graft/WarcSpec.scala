@@ -21,6 +21,18 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("X-Robots-Tag: one header per directive COMBINES (servers emit repeats)") {
+    import spark.implicits._
+    val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "X-Robots-Tag: noindex\r\nX-Robots-Tag: NOFOLLOW\r\n\r\n<html>x</html>"
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/1\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n").getBytes("UTF-8")
+    val ind = Warc.httpIndexability(Warc.recordsBinary(
+      Seq((1L, rec)).toDF("media_id", "payload"), "media_id", "payload")).collect()
+    assert(ind.length == 1 && ind(0).getAs[Int]("x_mask") == 3)
+    assert(ind(0).getAs[String]("text") == "<html>x</html>")
+  }
+
   test("revisit resolution: digest joins to the FIRST capture; unresolvable keeps NULLs") {
     import spark.implicits._
     def rec(wType: String, uri: String, digest: String, body: String) = {
