@@ -1122,6 +1122,66 @@ object DumpQueries {
           |  'http://h' || k || '.example/d/p3', 'A & B ' || k
           |FROM n""".stripMargin
       )
+    ),
+
+    // The ANCHOR-TEXT CORPUS: per-target aggregation of what the web
+    // CALLS each page — the document expansion retrieval systems index
+    // next to body text. Targets collide across pages by construction
+    // (every page k links the shared hub under one of three labels
+    // keyed k%3, plus its own page under a unique label): per target,
+    // the incoming-anchor count, distinct label count, and the TOP
+    // label (most frequent, ties lexicographic — deterministic under
+    // the oracle). Empty labels (image links) are dropped HERE — they
+    // carry graph signal, not text. Two shuffles: the (href, anchor)
+    // rollup and the per-href top-label window.
+    Q(
+      "q_anchor_corpus",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          s"""<html><body><a href="http://hub.example/">${Seq("the hub", "hub site", "the hub")((k % 3).toInt)}</a>""" +
+            s"""<a href="http://p$k.example/">page $k label</a>""" +
+            s"""<a href="http://hub.example/"><img src="i.png"></a></body></html>""")
+        val pages = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("page_url", concat(lit("http://h"), col("media_id"), lit(".example/")))
+          .withColumn("html", mk(col("media_id")))
+        val anchors = graft.operators.Html.anchors(pages, "page_url", "html")
+          .filter(col("anchor") =!= "")
+        val byLabel = anchors.groupBy(col("href"), col("anchor"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("href"))
+          .orderBy(col("n").desc, col("anchor").asc)
+        val out = byLabel
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_anchors", sum(col("n")).over(Window.partitionBy(col("href"))))
+          .withColumn("n_labels", count(lit(1)).over(Window.partitionBy(col("href"))))
+          .where(col("rn") === 1)
+          .select(col("href"), col("n_anchors"), col("n_labels"),
+            col("anchor").as("top_label"))
+        Q.requireMaxShuffles(out, 2)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |a AS (
+          |  SELECT 'http://hub.example/' AS href,
+          |    CASE k % 3 WHEN 1 THEN 'hub site' ELSE 'the hub' END AS anchor
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'http://p' || k || '.example/', 'page ' || k || ' label' FROM n
+          |), g AS (
+          |  SELECT href, anchor, COUNT(*) AS cnt FROM a GROUP BY href, anchor
+          |), r AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY href
+          |      ORDER BY cnt DESC, anchor ASC) AS rn,
+          |    SUM(cnt) OVER (PARTITION BY href) AS n_anchors,
+          |    COUNT(*) OVER (PARTITION BY href) AS n_labels
+          |  FROM g
+          |)
+          |SELECT href, CAST(n_anchors AS BIGINT) AS n_anchors,
+          |  CAST(n_labels AS BIGINT) AS n_labels, anchor AS top_label
+          |FROM r WHERE rn = 1""".stripMargin
+      )
     )
   )
 }
