@@ -983,6 +983,29 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anchor extraction streams: pairs + base resolution identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Html
+    val html = """<html><head><base href="http://s.example/d/"></head>""" +
+      """<body><a href="p1">one</a><a href="http://x.example/a">two <b>b</b></a></body></html>"""
+    val pages = Seq((1L, "http://s.example/i.html", html))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Html.anchors(in.toDF().toDF("media_id", "page_url", "html"), "page_url", "html")
+      .writeStream.format("memory").queryName("sc_anchor_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(pages: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(2), r.getString(3))).toSet
+      val batch = rows(Html.anchors(pages.toDF("media_id", "page_url", "html"),
+        "page_url", "html"))
+      assert(rows(spark.table("sc_anchor_out")) == batch)
+      assert(batch == Set((1L, "http://s.example/d/p1", "one"),
+        (1L, "http://x.example/a", "two b")))
+    } finally q.stop()
+  }
+
   test("tar-shard samples stream: within-blob assembly needs no state") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TarShard
