@@ -37,13 +37,23 @@ object Feeds {
     while (p < until) {
       val open = s.indexOf("<link", p)
       if (open < 0 || open >= until) return null
-      val gt = s.indexOf('>', open)
-      if (gt < 0 || gt >= until) return null
-      val tag = s.substring(open, gt)
-      val rel = XmlDump.attrValue(tag, "rel")
-      val href = XmlDump.attrValue(tag, "href")
-      if (href != null && (rel == null || rel == "alternate")) return href
-      p = gt + 1
+      // name boundary: "<linkurl …>" (an extension element) is NOT a
+      // <link> — the char after must end the name, same screen the
+      // item/entry walk applies
+      val after = open + 5
+      if (after >= s.length ||
+        (s.charAt(after) != '>' && s.charAt(after) != ' ' && s.charAt(after) != '/' &&
+          s.charAt(after) != '\t' && s.charAt(after) != '\r' && s.charAt(after) != '\n')) {
+        p = after
+      } else {
+        val gt = s.indexOf('>', open)
+        if (gt < 0 || gt >= until) return null
+        val tag = s.substring(open, gt)
+        val rel = XmlDump.attrValue(tag, "rel")
+        val href = XmlDump.attrValue(tag, "href")
+        if (href != null && (rel == null || rel == "alternate")) return href
+        p = gt + 1
+      }
     }
     null
   }
@@ -55,10 +65,12 @@ object Feeds {
     if (xml == null) return Seq.empty
     val out = Vector.newBuilder[FeedItem]
     // one pass per dialect: a document is one or the other, and a
-    // malformed hybrid simply contributes whichever blocks complete
+    // malformed hybrid simply contributes whichever blocks complete —
+    // under ONE item budget across both passes (per-pass counters
+    // would let a hybrid emit 2× maxItems)
+    var n = 0
     for ((openTag, closeTag, atom) <- Seq(("<item", "</item>", false), ("<entry", "</entry>", true))) {
       var p = 0
-      var n = 0
       var done = false
       while (!done && n < maxItems) {
         val open = xml.indexOf(openTag, p)

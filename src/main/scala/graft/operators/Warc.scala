@@ -1131,8 +1131,11 @@ object Warc {
         Window.partitionBy(col("__d")).orderBy(col("__om"), col("__oi"))))
       .where(col("__rn") === 1)
       .drop("__rn", "__om", "__oi")
+    // DIGEST-LESS revisits stay too: a null key matches nothing in the
+    // left join, so they keep NULL resolved columns like any other
+    // unresolvable revisit — countable, never dropped silently
     recs
-      .filter(col("warc_type") === "revisit" && col("payload_digest").isNotNull)
+      .filter(col("warc_type") === "revisit")
       .select(col("media_id"), col("rec_idx"), col("target_uri"),
         col("payload_digest"), col("refers_to_uri"))
       .join(originals, col("payload_digest") === col("__d"), "left")

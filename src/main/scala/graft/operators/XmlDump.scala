@@ -124,16 +124,22 @@ object XmlDump {
 
   /** Lenient `name="value"` attribute extraction from raw tag text
     * (entity-decoded), shared by the redirect parser and the feed
-    * reader. Null when absent/torn.
+    * reader. The match is anchored at an attribute-NAME boundary (the
+    * char before must be whitespace), so `data-href="…"` never
+    * satisfies `href`. Null when absent/torn.
     */
   private[operators] def attrValue(tag: String, name: String): String = {
-    val at = tag.indexOf(name + "=\"")
-    if (at < 0) null
-    else {
-      val vs = at + name.length + 2
-      val ve = tag.indexOf('"', vs)
-      if (ve < 0) null else decodeEntities(tag.substring(vs, ve))
+    val needle = name + "=\""
+    var at = tag.indexOf(needle)
+    while (at >= 0) {
+      if (at > 0 && Character.isWhitespace(tag.charAt(at - 1))) {
+        val vs = at + needle.length
+        val ve = tag.indexOf('"', vs)
+        return if (ve < 0) null else decodeEntities(tag.substring(vs, ve))
+      }
+      at = tag.indexOf(needle, at + 1)
     }
+    null
   }
 
   /** Extract every complete `<page>` in document order (torn final
@@ -241,14 +247,13 @@ object XmlDump {
     // must not become a graph edge
     val text = removeComments(text0)
     val out = Vector.newBuilder[String]
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     var n = 0
     while (n < maxLinks) {
       val open = text.indexOf("[[", i)
       if (open < 0) return out.result()
       i = open + 2
-      if (!DropLinkPrefixes.exists(p => lower.startsWith(p, open + 2))) {
+      if (!hasDropPrefix(text, open + 2)) {
         val close = text.indexOf("]]", open + 2)
         if (close >= 0) {
           var body = text.substring(open + 2, close)
@@ -334,14 +339,20 @@ object XmlDump {
     */
   private val DropLinkPrefixes = Seq("file:", "image:", "category:")
 
+  /** Case-insensitive prefix test AT the original string's offsets —
+    * never against a `toLowerCase` copy, which is not length-preserving
+    * (U+0130 'İ' lowers to two chars) and would misalign every check
+    * after such a char in e.g. Turkish wikitext.
+    */
+  private def hasDropPrefix(s: String, at: Int): Boolean =
+    DropLinkPrefixes.exists(p => s.regionMatches(true, at, p, 0, p.length))
+
   private def removeMediaLinks(s: String): String = {
     if (s.indexOf("[[") < 0) return s
-    val lower = s.toLowerCase(java.util.Locale.ROOT)
     val out = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      if (s.startsWith("[[", i) &&
-        DropLinkPrefixes.exists(p => lower.startsWith(p, i + 2))) {
+      if (s.startsWith("[[", i) && hasDropPrefix(s, i + 2)) {
         var depth = 1
         var j = i + 2
         while (j < s.length && depth > 0) {
@@ -494,8 +505,13 @@ object XmlDump {
     */
   def mergeDumps(oldPages: DataFrame, newPages: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val o = oldPages.alias("o")
-    val n = newPages.alias("n")
+    // ID-LESS pages (the page_id = -1 parse degrade) never enter the
+    // join: an equality key shared by every degrade row would fan out
+    // M×N and make the verdict accounting meaningless. They pass
+    // through from BOTH generations with verdict `unkeyed` — still
+    // countable, never merged.
+    val o = oldPages.filter(col("page_id") =!= -1L).alias("o")
+    val n = newPages.filter(col("page_id") =!= -1L).alias("n")
     val cols = newPages.columns.filter(_ != "page_id").toSeq
     val newWins = col("o.page_id").isNull ||
       (col("n.page_id").isNotNull && col("n.rev_id") > col("o.rev_id"))
@@ -504,10 +520,14 @@ object XmlDump {
       .when(col("n.rev_id") > col("o.rev_id"), "updated")
       .when(col("n.rev_id") < col("o.rev_id"), "stale")
       .otherwise("unchanged")
-    n.join(o, col("n.page_id") === col("o.page_id"), "full_outer")
+    val merged = n.join(o, col("n.page_id") === col("o.page_id"), "full_outer")
       .select((coalesce(col("n.page_id"), col("o.page_id")).as("page_id") +:
         cols.map(c => when(newWins, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)) :+
         verdict.as("verdict")): _*)
+    val unkeyed = oldPages.unionByName(newPages)
+      .filter(col("page_id") === -1L)
+      .select((col("page_id") +: cols.map(col) :+ lit("unkeyed").as("verdict")): _*)
+    merged.unionByName(unkeyed)
   }
 
   // ---- fixture builder (tests + gates only) ----

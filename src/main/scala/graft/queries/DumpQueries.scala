@@ -633,6 +633,13 @@ object DumpQueries {
             (if (k % 5 == 0)
               XmlDump.pageXml(k * 100, 0, s"P $k-0 REGRESSED", None, s"t0 stale of $k",
                 revId = k * 100 * 1000) // OLDER than gen0's k*100*1000+1
+            else "") +
+            // every 4th key ships an ID-LESS page (page_id = -1 parse
+            // degrade): it must pass through as 'unkeyed', never fan
+            // out in the join
+            (if (k % 4 == 1)
+              s"  <page>\n    <title>NoId $k</title>\n    <ns>0</ns>\n" +
+                s"    <revision>\n      <id>5</id>\n      <text>anon $k</text>\n    </revision>\n  </page>\n"
             else ""))
         val keys = Q.t(spark, dir, "nation")
           .select(col("n_nationkey").cast("long").as("media_id"))
@@ -653,7 +660,10 @@ object DumpQueries {
           |  CASE WHEN i = 1 THEN 'updated' WHEN i = 4 THEN 'added'
           |       WHEN i = 0 AND k % 5 = 0 THEN 'stale'
           |       ELSE 'carried' END AS verdict
-          |FROM n, UNNEST(generate_series(0, 4)) u(i)""".stripMargin
+          |FROM n, UNNEST(generate_series(0, 4)) u(i)
+          |UNION ALL
+          |SELECT CAST(-1 AS BIGINT), CAST(5 AS BIGINT), 'NoId ' || k, 'unkeyed'
+          |FROM n WHERE k % 4 = 1""".stripMargin
       )
     ),
 
@@ -1042,7 +1052,10 @@ object DumpQueries {
           val round2 = (0 until 3).filter(i => (k + i) % 2 == 0).map(i =>
             rec("revisit", s"http://r$k.example/p/$i?v=2", s"sha1:B$k-$i",
               s"http://r$k.example/p/$i", "")).mkString +
-            rec("revisit", s"http://r$k.example/gone", s"sha1:missing$k", null, "")
+            rec("revisit", s"http://r$k.example/gone", s"sha1:missing$k", null, "") +
+            // DIGEST-LESS revisit (every 3rd key): countable NULLs, not
+            // a silent drop
+            (if (k % 3 == 0) rec("revisit", s"http://r$k.example/nodigest", null, null, "") else "")
           (round1 + round2).getBytes("UTF-8")
         })
         val out = graft.operators.Warc.resolveRevisits(
@@ -1073,7 +1086,11 @@ object DumpQueries {
           |SELECT k, CAST(CASE WHEN k % 2 = 0 THEN 5 ELSE 4 END AS INT),
           |  'http://r' || k || '.example/gone', 'sha1:missing' || k,
           |  NULL, NULL, NULL
-          |FROM n""".stripMargin
+          |FROM n
+          |UNION ALL
+          |SELECT k, CAST(CASE WHEN k % 2 = 0 THEN 6 ELSE 5 END AS INT),
+          |  'http://r' || k || '.example/nodigest', NULL, NULL, NULL, NULL
+          |FROM n WHERE k % 3 = 0""".stripMargin
       )
     ),
 

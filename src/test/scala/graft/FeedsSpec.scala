@@ -54,10 +54,25 @@ class FeedsSpec extends SparkSpec {
       .head.url == "http://d.example/?x=1&y=2")
   }
 
+  test("atomHref: <linkurl …> extension elements are not <link>; name-bounded attrs") {
+    val tricky = "<entry><title>T</title>" +
+      "<linkurl href=\"http://d.example/WRONG\"/>" +
+      "<link data-href=\"http://d.example/ALSO-WRONG\" href=\"http://d.example/right\"/>" +
+      "</entry>"
+    assert(Feeds.parseFeed(tricky) == Seq(Feeds.FeedItem("http://d.example/right", "T", null)))
+    // an entry with ONLY fakes yields no link → item drops
+    assert(Feeds.parseFeed("<entry><linkurl href=\"http://x/\"/></entry>").isEmpty)
+  }
+
   test("budgets and degrades: maxItems caps; junk and null never throw") {
     val many = (0 until 20).map(i =>
       s"<item><link>http://d.example/$i</link></item>").mkString
     assert(Feeds.parseFeed(many, maxItems = 7).length == 7)
+    // the budget is GLOBAL across both dialect passes — a hybrid
+    // document cannot emit 2× maxItems
+    val hybrid = (0 until 5).map(i => s"<item><link>http://d.example/r$i</link></item>").mkString +
+      (0 until 5).map(i => s"<entry><link href=\"http://d.example/a$i\"/></entry>").mkString
+    assert(Feeds.parseFeed(hybrid, maxItems = 7).length == 7)
     assert(Feeds.parseFeed(null).isEmpty)
     assert(Feeds.parseFeed("not a feed at all").isEmpty)
     assert(Feeds.parseFeed("<itemize>not an item</itemize>").isEmpty)

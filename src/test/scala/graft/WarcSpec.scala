@@ -55,7 +55,8 @@ class WarcSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2), r.getString(5), r.getString(6))).toSet
     assert(got == Set(
       (1L, "http://a/1?v2", "http://a/1", "first capture"), // NOT "second capture"
-      (2L, "http://b/gone", null, null))) // digest-less revisit never emits
+      (2L, "http://b/gone", null, null), // unknown digest keeps NULLs
+      (2L, "http://b/nodigest", null, null))) // digest-less keeps NULLs too
   }
 
   test("parseWarc: truncation yields the intact prefix; framing is Content-Length-exact") {

@@ -176,6 +176,41 @@ class XmlDumpSpec extends SparkSpec {
       (5L, 500L, "t5 good", null, "stale")))
   }
 
+  test("mergeDumps: id-less pages (page_id = -1) pass through 'unkeyed', never fan out") {
+    import spark.implicits._
+    val g0 = Seq((1L, 100L, "t1", null: String), (-1L, 5L, "anon old", null: String),
+      (-1L, 6L, "anon old 2", null: String))
+      .toDF("page_id", "rev_id", "text", "redirect")
+    val g1 = Seq((1L, 107L, "t1 new", null: String), (-1L, 7L, "anon new", null: String))
+      .toDF("page_id", "rev_id", "text", "redirect")
+    val m = XmlDump.mergeDumps(g0, g1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(4)))
+    // 2 + 1 id-less rows each carried verbatim — NOT 2×1 join fan-out
+    assert(m.count(_._1 == -1L) == 3)
+    assert(m.filter(_._1 == -1L).map(_._4).toSet == Set("unkeyed"))
+    assert(m.toSet.contains((1L, 107L, "t1 new", "updated")))
+  }
+
+  test("wikiLinks/media drop: prefix match survives non-length-preserving lowercase (U+0130)") {
+    // 'İ' (U+0130) toLowerCase is TWO chars — a pre-lowered copy would
+    // misalign every offset after it and misclassify these links
+    val t = "İstanbul [[File:x.jpg|c]] ve [[Ankara]] sonu"
+    assert(XmlDump.wikiLinks(t) == Seq("Ankara"))
+    assert(!XmlDump.stripWikitext(t).contains("x.jpg"))
+    // case-insensitivity itself still holds
+    assert(XmlDump.wikiLinks("[[FILE:a.png]] [[Image:b]] [[CATEGORY:c]] [[Real]]") == Seq("Real"))
+  }
+
+  test("attrValue: anchored at a name boundary — data-title never satisfies title") {
+    def page(redirectTag: String) =
+      s"<page><title>T</title><ns>0</ns><id>1</id>$redirectTag" +
+        "<revision><id>2</id><text>x</text></revision></page>"
+    assert(XmlDump.pages(page("<redirect data-title=\"wrong\" title=\"right\" />"))
+      .head.redirect == "right")
+    assert(XmlDump.pages(page("<redirect data-title=\"wrong\" />")).head.redirect == null)
+    assert(XmlDump.pages(page("<redirect\ttitle=\"tabbed\" />")).head.redirect == "tabbed")
+  }
+
   test("adversarial: truncations and hostile blobs never throw") {
     val xml = XmlDump.pageXml(1, 0, "T&x<y", Some("R\"q"), "a[[b|c]]{{d}}<ref>e") +
       XmlDump.pageXml(2, 3, "U", None, "plain")
