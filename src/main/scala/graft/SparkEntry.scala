@@ -20,7 +20,7 @@ object SparkEntry {
     SessionQueries.all ++ RelationalQueries.all ++ WindowQueries.all ++
       CompositeQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
       TpchQueries.all ++ CorpusQueries.all ++ TokenizerQueries.all ++
-      DumpQueries.all
+      DumpQueries.all ++ PdfQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,960 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+
+/** PDF text extraction — the last major real-world corpus source next
+  * to crawl archives ([[Warc]]), published dumps ([[XmlDump]]) and
+  * dataset shards ([[TarShard]]): papers, reports and books arrive as
+  * PDF, and a curation pipeline needs their prose in the same corpus
+  * frame. Pure-JVM, hand-rolled against the PUBLISHED spec
+  * (ISO 32000-1, the freely published PDF 1.7 reference), covering the
+  * honest subset a lenient batch reader can defend:
+  *
+  *   - classic cross-reference TABLES (`xref` … `trailer`), following
+  *     the `/Prev` chain so incremental updates resolve newest-first —
+  *     the PDF flavor of the dump merge's newest-revision-wins;
+  *   - the object grammar: dicts, arrays, names (with `#xx` escapes),
+  *     literal strings (octal escapes, nested parens, line
+  *     continuations, CR/CRLF → LF), hex strings, indirect refs,
+  *     streams with indirect `/Length` and an `endstream` rescue scan;
+  *   - `FlateDecode` via the JDK's zlib (`java.util.zip.Inflater` —
+  *     the same platform primitive the PNG path leans on), bounded by
+  *     a bomb cap;
+  *   - the page tree (inherited `/Resources`) and the text-showing
+  *     content operators: `Tj` `TJ` `'` `"` with `Td`/`TD`/`T*`/`Tm`
+  *     line structure, `Tf` font selection;
+  *   - the three simple-font byte encodings from Annex D:
+  *     WinAnsiEncoding, MacRomanEncoding and StandardEncoding
+  *     (the default when a Type1 font declares none).
+  *
+  * Everything outside that subset degrades to the family's visible
+  * NULL with a counted stage, never a guess: encrypted files
+  * (`encrypted` — strings/streams are ciphertext), CID-keyed Type0
+  * fonts (`cid_font` — multi-byte code spaces need CMaps), non-flate
+  * filters and predictors (`filter`), `/Differences` and unknown
+  * encodings (`encoding` — glyph-name maps are out of scope),
+  * cross-reference STREAMS (`xref` — until the classic path earns
+  * them), torn/hostile bytes (`parse`), text over budget (`budget`).
+  * The extraction itself is map-only over (media_id, payload) rows —
+  * at 100 TB the first exchange belongs to the consumer.
+  *
+  * Line structure rule (deterministic so oracles re-derive it):
+  * `Td`/`TD` with a non-zero ty, `T*`, `Tm`, `'`, `"` and page
+  * boundaries mark a pending line break, emitted lazily before the
+  * next shown string; a `TJ` kerning adjustment below -100 (thousandths
+  * of text space — a word gap, not a kern) becomes one space.
+  *
+  * Reference scope: the reference engine parses line JSON only
+  * (`App.java:136-162`); PDF ingest is north-star surface for the
+  * corpus path.
+  */
+object Pdf {
+
+  // ---- Annex D simple-font encodings (byte → char; NUL = undefined) ----
+
+  /** WinAnsiEncoding: Latin-1 with the 0x80–0x9F Windows window. */
+  val WinAnsi: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 32
+    while (i < 127) { t(i) = i.toChar; i += 1 }
+    // '.' marks the window's five UNDEFINED codes, zeroed below
+    val win = "€.‚ƒ„…†‡ˆ‰Š‹Œ.Ž." +
+      ".‘’“”•–—˜™š›œ.žŸ"
+    i = 0
+    while (i < 32) { t(0x80 + i) = win.charAt(i); i += 1 }
+    Seq(0x81, 0x8D, 0x8F, 0x90, 0x9D).foreach(c => t(c) = 0.toChar)
+    i = 0xA0
+    while (i <= 0xFF) { t(i) = i.toChar; i += 1 }
+    t
+  }
+
+  /** MacRomanEncoding (PDF Annex D's table — 0xDB is `currency`, the
+    * pre-euro slot; 0xF0, the Apple logo, maps to its conventional
+    * private-use point U+F8FF).
+    */
+  val MacRoman: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 32
+    while (i < 127) { t(i) = i.toChar; i += 1 }
+    val high =
+      "ÄÅÇÉÑÖÜáàâäãåçéè" + // 0x80
+        "êëíìîïñóòôöõúùûü" + // 0x90
+        "†°¢£§•¶ß®©™´¨≠ÆØ" + // 0xA0
+        "∞±≤≥¥µ∂∑∏π∫ªºΩæø" + // 0xB0
+        "¿¡¬√ƒ≈∆«»… ÀÃÕŒœ" + // 0xC0 (0xCA nbsp)
+        "–—“”‘’÷◊ÿŸ⁄¤‹›ﬁﬂ" + // 0xD0 (0xDB currency)
+        "‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔ" + // 0xE0
+        "ÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ" // 0xF0 (Apple logo = PUA)
+    i = 0
+    while (i < 128) { t(0x80 + i) = high.charAt(i); i += 1 }
+    t
+  }
+
+  /** Adobe StandardEncoding — the builtin default of the standard Type1
+    * fonts: ASCII except typographic quotes at 0x27/0x60, plus the
+    * published punctuation/accent/ligature upper half.
+    */
+  val Standard: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 32
+    while (i < 127) { t(i) = i.toChar; i += 1 }
+    t(0x27) = '’' // quoteright
+    t(0x60) = '‘' // quoteleft
+    val pairs = Seq(
+      0xA1 -> '¡', 0xA2 -> '¢', 0xA3 -> '£', 0xA4 -> '⁄',
+      0xA5 -> '¥', 0xA6 -> 'ƒ', 0xA7 -> '§', 0xA8 -> '¤',
+      0xA9 -> '\'', 0xAA -> '“', 0xAB -> '«', 0xAC -> '‹',
+      0xAD -> '›', 0xAE -> 'ﬁ', 0xAF -> 'ﬂ',
+      0xB1 -> '–', 0xB2 -> '†', 0xB3 -> '‡', 0xB4 -> '·',
+      0xB6 -> '¶', 0xB7 -> '•', 0xB8 -> '‚', 0xB9 -> '„',
+      0xBA -> '”', 0xBB -> '»', 0xBC -> '…', 0xBD -> '‰',
+      0xBF -> '¿',
+      0xC1 -> '`', 0xC2 -> '´', 0xC3 -> 'ˆ', 0xC4 -> '˜',
+      0xC5 -> '¯', 0xC6 -> '˘', 0xC7 -> '˙', 0xC8 -> '¨',
+      0xCA -> '˚', 0xCB -> '¸', 0xCD -> '˝', 0xCE -> '˛',
+      0xCF -> 'ˇ', 0xD0 -> '—',
+      0xE1 -> 'Æ', 0xE3 -> 'ª', 0xE8 -> 'Ł', 0xE9 -> 'Ø',
+      0xEA -> 'Œ', 0xEB -> 'º',
+      0xF1 -> 'æ', 0xF5 -> 'ı', 0xF8 -> 'ł', 0xF9 -> 'ø',
+      0xFA -> 'œ', 0xFB -> 'ß')
+    pairs.foreach { case (c, ch) => t(c) = ch }
+    t
+  }
+
+  // ---- object model ----
+
+  sealed trait PVal
+  case object PNull extends PVal
+  final case class PBool(b: Boolean) extends PVal
+  final case class PNum(d: Double) extends PVal
+  final case class PName(s: String) extends PVal
+  final case class PStr(bytes: Array[Byte]) extends PVal
+  final case class PArr(xs: Vector[PVal]) extends PVal
+  final case class PDict(m: Map[String, PVal]) extends PVal
+  final case class PRef(num: Int, gen: Int) extends PVal
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PVal
+
+  /** Thrown internally on malformed syntax; always caught at the
+    * extraction boundary and surfaced as the `parse` stage.
+    */
+  private final class Malformed(msg: String) extends Exception(msg)
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Byte-level lexer/parser over the whole file (objects) or one
+    * content stream (operators). `allowRefs = false` in content
+    * streams, where `R` is never an indirect reference.
+    */
+  private final class P(val b: Array[Byte], var pos: Int, val allowRefs: Boolean) {
+    def peek: Int = if (pos < b.length) b(pos) & 0xFF else -1
+    private def at(i: Int): Int = if (i < b.length) b(i) & 0xFF else -1
+
+    def skipWs(): Unit = {
+      var going = true
+      while (going) {
+        while (pos < b.length && isWs(b(pos) & 0xFF)) pos += 1
+        if (peek == '%') { // comment to EOL
+          while (pos < b.length && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else going = false
+      }
+    }
+
+    /** Run of regular (non-ws, non-delimiter) bytes — keywords and
+      * content operators (which may include `'`, `"`, `*`).
+      */
+    def keyword(): String = {
+      skipWs()
+      val start = pos
+      if (peek == '\'' || peek == '"') { pos += 1; return new String(b, start, 1, StandardCharsets.US_ASCII) }
+      while (pos < b.length && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF)) pos += 1
+      if (pos == start) throw new Malformed(s"keyword expected at $start")
+      new String(b, start, pos - start, StandardCharsets.US_ASCII)
+    }
+
+    /** True + consume when the next token is exactly `kw`. */
+    def tryKeyword(kw: String): Boolean = {
+      skipWs()
+      val save = pos
+      try { if (keyword() == kw) true else { pos = save; false } }
+      catch { case _: Malformed => pos = save; false }
+    }
+
+    def int(): Int = { val v = number(); if (v != Math.rint(v)) throw new Malformed("int expected"); v.toInt }
+    def long(): Long = { val v = number(); if (v != Math.rint(v)) throw new Malformed("int expected"); v.toLong }
+
+    private var lastWasInt = false
+    def number(): Double = {
+      skipWs()
+      val start = pos
+      if (peek == '+' || peek == '-') pos += 1
+      var digits = false
+      var dot = false
+      while (pos < b.length && ((b(pos) >= '0' && b(pos) <= '9') || b(pos) == '.')) {
+        if (b(pos) == '.') dot = true else digits = true
+        pos += 1
+      }
+      if (!digits && !dot) throw new Malformed(s"number expected at $start")
+      lastWasInt = !dot
+      java.lang.Double.parseDouble(new String(b, start, pos - start, StandardCharsets.US_ASCII))
+    }
+
+    def name(): String = {
+      skipWs()
+      if (peek != '/') throw new Malformed(s"name expected at $pos")
+      pos += 1
+      val sb = new java.lang.StringBuilder()
+      while (pos < b.length && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF)) {
+        if (b(pos) == '#' && pos + 2 < b.length) {
+          val hv = Character.digit(b(pos + 1), 16) * 16 + Character.digit(b(pos + 2), 16)
+          if (hv >= 0) { sb.append(hv.toChar); pos += 3 }
+          else { sb.append(b(pos).toChar); pos += 1 }
+        } else { sb.append((b(pos) & 0xFF).toChar); pos += 1 }
+      }
+      sb.toString
+    }
+
+    /** Literal string `(...)`: nested balanced parens, the eight
+      * escapes, 1-3 digit octal, backslash-EOL continuation, bare
+      * CR/CRLF normalized to LF.
+      */
+    def literalString(): Array[Byte] = {
+      if (peek != '(') throw new Malformed("string expected")
+      pos += 1
+      val out = new ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        if (pos >= b.length) throw new Malformed("torn string")
+        val c = b(pos) & 0xFF
+        pos += 1
+        c match {
+          case '(' => depth += 1; out.write('(')
+          case ')' => depth -= 1; if (depth > 0) out.write(')')
+          case '\\' =>
+            if (pos >= b.length) throw new Malformed("torn escape")
+            val e = b(pos) & 0xFF
+            pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (peek == '\n') pos += 1 // continuation
+              case '\n' => // continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && pos < b.length && b(pos) >= '0' && b(pos) <= '7') {
+                  v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xFF)
+              case other => out.write(other) // spec: stray backslash ignored
+            }
+          case '\r' =>
+            if (peek == '\n') pos += 1
+            out.write('\n') // EOL inside a string reads as LF
+          case other => out.write(other)
+        }
+      }
+      out.toByteArray
+    }
+
+    /** Hex string `<...>`: whitespace ignored, odd final digit padded
+      * with zero; junk hex is malformed.
+      */
+    def hexString(): Array[Byte] = {
+      if (peek != '<') throw new Malformed("hex string expected")
+      pos += 1
+      val out = new ByteArrayOutputStream()
+      var hi = -1
+      var done = false
+      while (!done) {
+        if (pos >= b.length) throw new Malformed("torn hex string")
+        val c = b(pos) & 0xFF
+        pos += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi * 16)
+          done = true
+        } else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) throw new Malformed("junk hex digit")
+          if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+        }
+      }
+      out.toByteArray
+    }
+
+    /** One object value (never consumes a trailing `stream` keyword). */
+    def value(depth: Int): PVal = {
+      if (depth > 64) throw new Malformed("nesting bomb")
+      skipWs()
+      peek match {
+        case -1 => throw new Malformed("eof")
+        case '(' => PStr(literalString())
+        case '/' => PName(name())
+        case '[' =>
+          pos += 1
+          val xs = Vector.newBuilder[PVal]
+          skipWs()
+          while (peek != ']') { xs += value(depth + 1); skipWs() }
+          pos += 1
+          PArr(xs.result())
+        case '<' =>
+          if (at(pos + 1) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, PVal]
+            skipWs()
+            while (!(peek == '>' && at(pos + 1) == '>')) {
+              val k = name()
+              m += k -> value(depth + 1)
+              skipWs()
+            }
+            pos += 2
+            PDict(m.result())
+          } else PStr(hexString())
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val v = number()
+          if (allowRefs && lastWasInt && v >= 0) {
+            // lookahead for "gen R"
+            val save = pos
+            try {
+              val g = number()
+              if (lastWasInt && g >= 0 && tryKeyword("R")) PRef(v.toInt, g.toInt)
+              else { pos = save; PNum(v) }
+            } catch { case _: Malformed => pos = save; PNum(v) }
+          } else PNum(v)
+        case _ =>
+          keyword() match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case other => throw new Malformed(s"unexpected token '$other'")
+          }
+      }
+    }
+  }
+
+  // ---- cross-reference tables ----
+
+  /** Last `startxref` offset in the file, or -1. */
+  private def lastStartxref(bytes: Array[Byte]): Long = {
+    val needle = "startxref".getBytes(StandardCharsets.US_ASCII)
+    var i = bytes.length - needle.length
+    while (i >= 0) {
+      var j = 0
+      while (j < needle.length && bytes(i + j) == needle(j)) j += 1
+      if (j == needle.length) {
+        val p = new P(bytes, i + needle.length, allowRefs = false)
+        return try p.long() catch { case _: Malformed => -1L }
+      }
+      i -= 1
+    }
+    -1L
+  }
+
+  /** Follow the classic-table chain from the last `startxref`:
+    * newest-first, `/Prev` adding only unseen objects — the
+    * incremental-update contract. Null when the offset lands on
+    * anything but an `xref` keyword (a cross-reference STREAM
+    * degrades here, visibly).
+    */
+  private def readXrefChain(bytes: Array[Byte], start: Long)
+      : (Map[Int, Long], PDict, Boolean) = {
+    val map = scala.collection.mutable.HashMap[Int, Long]()
+    var trailer0: PDict = null
+    var encrypted = false
+    var cur = start
+    var hops = 0
+    while (cur >= 0 && cur < bytes.length && hops < 32) {
+      val p = new P(bytes, cur.toInt, allowRefs = true)
+      if (!p.tryKeyword("xref")) return null
+      var inSections = true
+      while (inSections) {
+        if (p.tryKeyword("trailer")) inSections = false
+        else {
+          val first = p.int()
+          val count = p.int()
+          if (count < 0 || count > (1 << 22)) throw new Malformed("xref bomb")
+          var i = 0
+          while (i < count) {
+            val off = p.long()
+            p.int() // generation — single-generation contract
+            val kind = p.keyword()
+            if (kind == "n" && !map.contains(first + i)) map((first + i)) = off
+            else if (kind != "n" && kind != "f") throw new Malformed("junk xref entry")
+            i += 1
+          }
+        }
+      }
+      val tr = p.value(0) match {
+        case d: PDict => d
+        case _ => throw new Malformed("trailer dict expected")
+      }
+      if (trailer0 == null) trailer0 = tr
+      if (tr.m.contains("Encrypt")) encrypted = true
+      cur = tr.m.get("Prev") match {
+        case Some(PNum(d)) => d.toLong
+        case _ => -1L
+      }
+      hops += 1
+    }
+    if (trailer0 == null) null else (map.toMap, trailer0, encrypted)
+  }
+
+  // ---- document: object load + resolve ----
+
+  private final class Doc(bytes: Array[Byte], xref: Map[Int, Long]) {
+    private val cache = scala.collection.mutable.HashMap[Int, PVal]()
+
+    // NOT getOrElseUpdate: loading an object can recurse into obj()
+    // (an indirect /Length), and reentrant getOrElseUpdate on a
+    // mutable map is undefined behavior
+    def obj(num: Int, depth: Int): PVal = cache.get(num) match {
+      case Some(v) => v
+      case None =>
+        val v = load(num, depth)
+        cache(num) = v
+        v
+    }
+
+    private def load(num: Int, depth: Int): PVal = {
+      if (depth > 16) throw new Malformed("resolve cycle")
+      xref.get(num) match {
+        case None => PNull
+        case Some(off) if off < 0 || off >= bytes.length => PNull
+        case Some(off) =>
+          val p = new P(bytes, off.toInt, allowRefs = true)
+          val n = p.int()
+          p.int() // gen
+          if (!p.tryKeyword("obj") || n != num) throw new Malformed(s"object $num not at its offset")
+          val v = p.value(0)
+          v match {
+            case d: PDict if p.tryKeyword("stream") =>
+              // EOL after 'stream': CRLF or LF
+              if (p.peek == '\r') p.pos += 1
+              if (p.peek == '\n') p.pos += 1
+              val dataStart = p.pos
+              val len = resolve(d.m.getOrElse("Length", PNull), depth + 1) match {
+                case PNum(x) if x >= 0 => x.toLong
+                case _ => -1L
+              }
+              val end =
+                if (len >= 0 && dataStart + len <= bytes.length &&
+                  hasKeywordNear(bytes, (dataStart + len).toInt, "endstream")) dataStart + len
+                else rescueEndstream(bytes, dataStart) // lenient: scan
+              if (end < dataStart) throw new Malformed("torn stream")
+              PStream(d, java.util.Arrays.copyOfRange(bytes, dataStart, end.toInt))
+            case other => other
+          }
+      }
+    }
+
+    def resolve(v: PVal, depth: Int = 0): PVal = v match {
+      case PRef(n, _) =>
+        if (depth > 16) throw new Malformed("resolve cycle")
+        resolve(obj(n, depth + 1), depth + 1)
+      case other => other
+    }
+  }
+
+  /** `endstream` within a small whitespace window of `at`. */
+  private def hasKeywordNear(bytes: Array[Byte], at: Int, kw: String): Boolean = {
+    var i = at
+    val lim = math.min(bytes.length, at + 4)
+    while (i < lim && isWs(bytes(i) & 0xFF)) i += 1
+    val kb = kw.getBytes(StandardCharsets.US_ASCII)
+    if (i + kb.length > bytes.length) return false
+    var j = 0
+    while (j < kb.length && bytes(i + j) == kb(j)) j += 1
+    j == kb.length
+  }
+
+  /** Rescue for a wrong `/Length`: first `endstream` after `from`,
+    * one trailing EOL trimmed. -1 when absent.
+    */
+  private def rescueEndstream(bytes: Array[Byte], from: Int): Long = {
+    val needle = "endstream".getBytes(StandardCharsets.US_ASCII)
+    var i = from
+    while (i + needle.length <= bytes.length) {
+      var j = 0
+      while (j < needle.length && bytes(i + j) == needle(j)) j += 1
+      if (j == needle.length) {
+        var end = i
+        if (end > from && bytes(end - 1) == '\n') end -= 1
+        if (end > from && bytes(end - 1) == '\r') end -= 1
+        return end.toLong
+      }
+      i += 1
+    }
+    -1L
+  }
+
+  // ---- filters ----
+
+  /** Zlib inflate bounded by a bomb cap; trailing bytes after the
+    * deflate stream are tolerated (writers pad) but corruption is not.
+    */
+  private def inflate(data: Array[Byte], maxOut: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(false)
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return null
+        out.write(buf, 0, n)
+        if (out.size() > maxOut) return null
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
+  /** Stream bytes → decoded bytes, or the degrade stage. Only the
+    * identity and FlateDecode paths are in contract; predictors and
+    * every other filter degrade visibly.
+    */
+  private def decodeStream(ps: PStream, doc: Doc, maxOut: Int): Either[String, Array[Byte]] = {
+    val parms = ps.dict.m.get("DecodeParms").orElse(ps.dict.m.get("DP"))
+    doc.resolve(parms.getOrElse(PNull)) match {
+      case PNull => ()
+      case d: PDict if !d.m.contains("Predictor") => ()
+      case d: PDict => d.m("Predictor") match {
+        case PNum(p) if p <= 1 => ()
+        case _ => return Left("filter")
+      }
+      case _ => return Left("filter")
+    }
+    doc.resolve(ps.dict.m.getOrElse("Filter", PNull)) match {
+      case PNull => Right(ps.raw)
+      case PName("FlateDecode") =>
+        val out = inflate(ps.raw, maxOut)
+        if (out == null) Left("filter") else Right(out)
+      case PArr(xs) if xs.isEmpty => Right(ps.raw)
+      case PArr(xs) if xs == Vector(PName("FlateDecode")) =>
+        val out = inflate(ps.raw, maxOut)
+        if (out == null) Left("filter") else Right(out)
+      case _ => Left("filter")
+    }
+  }
+
+  // ---- page tree ----
+
+  /** Ordered leaf pages with their EFFECTIVE font resources
+    * (`/Resources` inherits down the tree per §7.7.3.4).
+    */
+  private def collectPages(doc: Doc, trailer: PDict): Either[String, Vector[(PDict, PDict)]] = {
+    val root = doc.resolve(trailer.m.getOrElse("Root", PNull)) match {
+      case d: PDict => d
+      case _ => return Left("parse")
+    }
+    val top = doc.resolve(root.m.getOrElse("Pages", PNull)) match {
+      case d: PDict => d
+      case _ => return Left("parse")
+    }
+    val out = Vector.newBuilder[(PDict, PDict)]
+    var n = 0
+    def fontsOf(res: PVal): PDict = doc.resolve(res) match {
+      case d: PDict => doc.resolve(d.m.getOrElse("Font", PNull)) match {
+        case f: PDict => f
+        case _ => PDict(Map.empty)
+      }
+      case _ => PDict(Map.empty)
+    }
+    def walk(node: PDict, inheritedRes: PVal, depth: Int): Unit = {
+      if (depth > 64) throw new Malformed("page tree bomb")
+      val res = node.m.getOrElse("Resources", inheritedRes)
+      doc.resolve(node.m.getOrElse("Kids", PNull)) match {
+        case PArr(kids) =>
+          kids.foreach { k =>
+            doc.resolve(k) match {
+              case kd: PDict =>
+                n += 1
+                if (n > 65536) throw new Malformed("page bomb")
+                walk(kd, res, depth + 1)
+              case _ => ()
+            }
+          }
+        case _ =>
+          if (node.m.get("Type").contains(PName("Page")) || node.m.contains("Contents"))
+            out += ((node, fontsOf(res)))
+      }
+    }
+    walk(top, PNull, 0)
+    Right(out.result())
+  }
+
+  /** Font dict → its byte decode table, or the degrade stage. */
+  private def fontEncoding(doc: Doc, fd: PVal): Either[String, Array[Char]] =
+    doc.resolve(fd) match {
+      case d: PDict =>
+        if (d.m.get("Subtype").contains(PName("Type0"))) Left("cid_font")
+        else doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
+          case PNull => Right(Standard)
+          case PName("WinAnsiEncoding") => Right(WinAnsi)
+          case PName("MacRomanEncoding") => Right(MacRoman)
+          case PName("StandardEncoding") => Right(Standard)
+          case e: PDict =>
+            if (e.m.contains("Differences")) Left("encoding")
+            else e.m.get("BaseEncoding") match {
+              case None => Right(Standard)
+              case Some(PName("WinAnsiEncoding")) => Right(WinAnsi)
+              case Some(PName("MacRomanEncoding")) => Right(MacRoman)
+              case Some(PName("StandardEncoding")) => Right(Standard)
+              case _ => Left("encoding")
+            }
+          case _ => Left("encoding")
+        }
+      case _ => Left("encoding")
+    }
+
+  // ---- content-stream interpreter ----
+
+  /** A `TJ` adjustment at or below this (thousandths of text space,
+    * negated) is a word gap → one space; smaller magnitudes are kerning
+    * and vanish. The fixture pins both sides of the threshold.
+    */
+  val WordGapThreshold: Double = -100.0
+
+  private final class TextState(sb: java.lang.StringBuilder, maxTextLen: Int,
+      fonts: Map[String, Either[String, Array[Char]]]) {
+    private var enc: Array[Char] = Standard
+    var pendingNewline = false
+
+    /** Error stage, or null. */
+    def show(bytes: Array[Byte]): String = {
+      if (pendingNewline && sb.length() > 0) sb.append('\n')
+      pendingNewline = false
+      var i = 0
+      while (i < bytes.length) {
+        val c = enc(bytes(i) & 0xFF)
+        sb.append(if (c == 0.toChar) '�' else c)
+        i += 1
+      }
+      if (sb.length() > maxTextLen) "budget" else null
+    }
+
+    def selectFont(name: String): String = fonts.get(name) match {
+      case Some(Right(t)) => enc = t; null
+      case Some(Left(stage)) => stage
+      case None => enc = Standard; null // lenient: unknown name → builtin
+    }
+  }
+
+  /** Run one page's content bytes through the text machine; error
+    * stage or null. Operators outside the text set clear operands and
+    * move on; inline images skip to `EI`.
+    */
+  private def runContent(content: Array[Byte], st: TextState): String = {
+    val p = new P(content, 0, allowRefs = false)
+    val ops = scala.collection.mutable.ArrayBuffer[PVal]()
+    def num(i: Int): Double = ops.lift(ops.length - i) match {
+      case Some(PNum(d)) => d
+      case _ => 0.0
+    }
+    def str(i: Int): Array[Byte] = ops.lift(ops.length - i) match {
+      case Some(PStr(b)) => b
+      case _ => Array.emptyByteArray
+    }
+    var err: String = null
+    while (err == null) {
+      p.skipWs()
+      val c = p.peek
+      if (c == -1) return null
+      else if (c == '(' || c == '/' || c == '[' || c == '<' ||
+        c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        try ops += p.value(0)
+        catch { case _: Malformed => return "parse" }
+      } else if (c == ']' || c == '>' || c == ')' || c == '{' || c == '}') {
+        p.pos += 1 // stray delimiter: lenient skip
+      } else {
+        val op = try p.keyword() catch { case _: Malformed => return "parse" }
+        op match {
+          case "Tf" => err = st.selectFont(ops.lift(ops.length - 2) match {
+            case Some(PName(n)) => n
+            case _ => ""
+          })
+          case "Td" | "TD" => if (num(1) != 0.0) st.pendingNewline = true
+          case "T*" | "Tm" => st.pendingNewline = true
+          case "Tj" => err = st.show(str(1))
+          case "'" => st.pendingNewline = true; err = st.show(str(1))
+          case "\"" => st.pendingNewline = true; err = st.show(str(1))
+          case "TJ" =>
+            ops.lastOption match {
+              case Some(PArr(xs)) =>
+                var i = 0
+                while (i < xs.length && err == null) {
+                  xs(i) match {
+                    case PStr(b) => err = st.show(b)
+                    case PNum(d) if d <= WordGapThreshold =>
+                      err = st.show(Array(' '.toByte))
+                    case _ => ()
+                  }
+                  i += 1
+                }
+              case _ => ()
+            }
+          case "BI" => // inline image: skip to a whitespace-bounded EI
+            var found = false
+            while (!found && p.pos + 2 <= content.length) {
+              if (content(p.pos) == 'E' && p.pos + 1 < content.length &&
+                content(p.pos + 1) == 'I' &&
+                (p.pos == 0 || isWs(content(p.pos - 1) & 0xFF)) &&
+                (p.pos + 2 >= content.length || isWs(content(p.pos + 2) & 0xFF))) {
+                p.pos += 2; found = true
+              } else p.pos += 1
+            }
+            if (!found) return null // torn inline image ends the page
+          case _ => ()
+        }
+        ops.clear()
+      }
+    }
+    err
+  }
+
+  // ---- extraction ----
+
+  /** One document's result: page count, extracted text (null on any
+    * degrade) and the stage (`ok` or the first degrade hit).
+    */
+  final case class PdfDoc(n_pages: Int, text: String, stage: String)
+
+  /** Whole-document text extraction — all-or-NULL with a counted
+    * stage; never throws on hostile bytes. Map-only when lifted over
+    * rows via [[textRows]].
+    */
+  def extractText(bytes: Array[Byte], maxTextLen: Int = 4 << 20,
+      maxStreamOut: Int = 64 << 20): PdfDoc = {
+    try {
+      if (bytes == null || bytes.length < 16 ||
+        !(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'))
+        return PdfDoc(0, null, "parse")
+      val sx = lastStartxref(bytes)
+      if (sx < 0 || sx >= bytes.length) return PdfDoc(0, null, "parse")
+      val chain = readXrefChain(bytes, sx)
+      if (chain == null) return PdfDoc(0, null, "xref")
+      val (xref, trailer, encrypted) = chain
+      val doc = new Doc(bytes, xref)
+      collectPages(doc, trailer) match {
+        case Left(stage) => PdfDoc(0, null, stage)
+        case Right(pages) =>
+          // structure is plaintext under standard security handlers, so
+          // the page COUNT stays honest; strings/streams are ciphertext
+          if (encrypted) return PdfDoc(pages.length, null, "encrypted")
+          val sb = new java.lang.StringBuilder()
+          var stage: String = null
+          pages.foreach { case (page, fontDict) =>
+            if (stage == null) {
+              val fonts = fontDict.m.map { case (n, fv) => n -> fontEncoding(doc, fv) }
+              val st = new TextState(sb, maxTextLen, fonts)
+              st.pendingNewline = true // pages are line-separated
+              val parts: Vector[PVal] = doc.resolve(page.m.getOrElse("Contents", PNull)) match {
+                case s: PStream => Vector(s)
+                case PArr(xs) => xs.map(doc.resolve(_))
+                case _ => Vector.empty
+              }
+              val content = new ByteArrayOutputStream()
+              parts.foreach { part =>
+                if (stage == null) part match {
+                  case s: PStream => decodeStream(s, doc, maxStreamOut) match {
+                    case Right(d) =>
+                      if (content.size() > 0) content.write('\n')
+                      content.write(d, 0, d.length)
+                    case Left(sg) => stage = sg
+                  }
+                  case _ => ()
+                }
+              }
+              if (stage == null) stage = runContent(content.toByteArray, st)
+              // carry the page boundary into the next page
+            }
+          }
+          if (stage != null) PdfDoc(pages.length, null, stage)
+          else PdfDoc(pages.length, sb.toString, "ok")
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => PdfDoc(0, null, "parse")
+    }
+  }
+
+  /** Extraction per document row: (media_id, n_pages, stage, text).
+    * Map-only.
+    */
+  def textRows(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(df(idCol).cast("long"), df(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        val d = extractText(b)
+        (id, d.n_pages, d.stage, d.text)
+      }
+      .toDF(idCol, "n_pages", "stage", "text")
+  }
+
+  // ---- fixture writer (tests + gates only) ----
+
+  /** Inverse of a decode table: char → lowest defined code. */
+  private def inverse(t: Array[Char]): Map[Char, Int] = {
+    var m = Map.empty[Char, Int]
+    var i = 255
+    while (i >= 32) { if (t(i) != 0.toChar) m += (t(i) -> i); i -= 1 }
+    m
+  }
+  private lazy val WinAnsiInv = inverse(WinAnsi)
+  private lazy val MacRomanInv = inverse(MacRoman)
+  private lazy val StandardInv = inverse(Standard)
+
+  private def invFor(encoding: String): Map[Char, Int] = encoding match {
+    case "WinAnsiEncoding" => WinAnsiInv
+    case "MacRomanEncoding" => MacRomanInv
+    case _ => StandardInv
+  }
+
+  /** `(…)`-literal for `s` under the named encoding: ASCII printable
+    * stays raw (parens/backslash escaped), everything else octal.
+    */
+  def lit(s: String, encoding: String = "WinAnsiEncoding"): String = {
+    val inv = invFor(encoding)
+    val sb = new java.lang.StringBuilder("(")
+    s.foreach { ch =>
+      val b = inv.getOrElse(ch, -1)
+      require(b >= 0, s"fixture char '$ch' not in $encoding")
+      if (b == '(' || b == ')' || b == '\\') { sb.append('\\'); sb.append(b.toChar) }
+      else if (b >= 32 && b < 127) sb.append(b.toChar)
+      else sb.append(f"\\${b}%03o")
+    }
+    sb.append(')').toString
+  }
+
+  /** `<…>`-hex literal for `s` under the named encoding. */
+  def hexLit(s: String, encoding: String = "WinAnsiEncoding"): String = {
+    val inv = invFor(encoding)
+    "<" + s.map { ch =>
+      val b = inv.getOrElse(ch, -1)
+      require(b >= 0, s"fixture char '$ch' not in $encoding")
+      f"$b%02X"
+    }.mkString + ">"
+  }
+
+  /** Standard one-string-per-line content ops: each line its own `Td`. */
+  def contentOps(lines: Seq[String], encoding: String = "WinAnsiEncoding"): Array[Byte] = {
+    val sb = new java.lang.StringBuilder("BT /F1 12 Tf 72 720 Td ")
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (i > 0) sb.append("0 -14 Td ")
+      sb.append(lit(l, encoding)).append(" Tj ")
+    }
+    sb.append("ET").toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** One fixture page: raw content-op bytes + the font its `/F1`
+    * declares. `cid = true` writes a Type0 font (the CID degrade arm).
+    */
+  final case class Page(content: Array[Byte], encoding: String = "WinAnsiEncoding",
+      cid: Boolean = false)
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data)
+    d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** `<< /Length … >> stream … endstream` body for an object. */
+  def streamBody(data: Array[Byte], flate: Boolean): Array[Byte] = {
+    val payload = if (flate) deflate(data) else data
+    val head = (s"<< /Length ${payload.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val tail = "\nendstream".getBytes(StandardCharsets.ISO_8859_1)
+    head ++ payload ++ tail
+  }
+
+  /** Deterministic classic-xref fixture writer: catalog, page tree,
+    * one content stream + one font per page, full xref table, trailer.
+    * `encrypted = true` adds a minimal `/Encrypt` dict (presence is
+    * what the reader honors — fixture strings stay plaintext, which is
+    * exactly why the reader must NOT attempt them).
+    */
+  def pdf(pages: Seq[Page], flate: Boolean = true, encrypted: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def obj(body: Array[Byte]): Int = {
+      val num = offsets.length + 1
+      offsets += out.size().toLong
+      w(s"$num 0 obj\n")
+      out.write(body, 0, body.length)
+      w("\nendobj\n")
+      num
+    }
+    def objS(body: String): Int = obj(body.getBytes(StandardCharsets.ISO_8859_1))
+
+    val n = pages.length
+    val kidNums = (0 until n).map(i => 3 + 3 * i)
+    objS(s"<< /Type /Catalog /Pages 2 0 R >>") // obj 1
+    objS(s"<< /Type /Pages /Kids [${kidNums.map(k => s"$k 0 R").mkString(" ")}] /Count $n >>") // obj 2
+    pages.foreach { pg =>
+      val pageNum = offsets.length + 1
+      objS(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 ${pageNum + 2} 0 R >> >> /Contents ${pageNum + 1} 0 R >>")
+      obj(streamBody(pg.content, flate))
+      if (pg.cid)
+        objS("<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H /Encoding /Identity-H >>")
+      else
+        objS(s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /${pg.encoding} >>")
+    }
+    val encObj = if (encrypted)
+      Some(objS("<< /Filter /Standard /V 1 /R 2 /O (xx) /U (yy) /P -44 >>"))
+    else None
+
+    val xrefOff = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R" +
+      encObj.map(e => s" /Encrypt $e 0 R").getOrElse("") + " >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Incremental update: append one replacement object + an xref
+    * section whose `/Prev` points at the original table — the reader
+    * must see the NEW generation (newest-first chain).
+    */
+  def pdfUpdate(orig: Array[Byte], objNum: Int, body: Array[Byte]): Array[Byte] = {
+    val prev = lastStartxref(orig)
+    require(prev >= 0, "pdfUpdate: original has no startxref")
+    val out = new ByteArrayOutputStream()
+    out.write(orig, 0, orig.length)
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val objOff = out.size()
+    w(s"$objNum 0 obj\n")
+    out.write(body, 0, body.length)
+    w("\nendobj\n")
+    val xrefOff = out.size()
+    w(s"xref\n$objNum 1\n")
+    w(f"$objOff%010d 00000 n \n")
+    w(s"trailer\n<< /Size ${objNum + 1} /Root 1 0 R /Prev $prev >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+}

@@ -935,15 +935,16 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the three ingest families this engine
+    // THE SOURCE-UNION CAPSTONE: the four ingest families this engine
     // reads — published dumps (bz2 XML → wikitext strip), crawl
-    // archives (WARC → HTTP → text), and dataset shards (tar →
-    // samples) — land in ONE corpus frame, deduped exactly ACROSS
-    // sources (texts collide across families by construction; the
-    // canonical-source rank breaks ties: dump beats crawl beats shard)
-    // with per-source admission accounting. Two shuffles total: the
-    // text-keyed dedup window and the per-source rollup; every reader
-    // upstream is the map-only walk its own gate already pins.
+    // archives (WARC → HTTP → text), PDFs (xref → content streams →
+    // text), and dataset shards (tar → samples) — land in ONE corpus
+    // frame, deduped exactly ACROSS sources (texts collide across
+    // families by construction; the canonical-source rank breaks
+    // ties: dump beats crawl beats pdf beats shard) with per-source
+    // admission accounting. Two shuffles total: the text-keyed dedup
+    // window and the per-source rollup; every reader upstream is the
+    // map-only walk its own gate already pins.
     Q(
       "q_corpus_union",
       (spark, dir) => {
@@ -979,6 +980,15 @@ object DumpQueries {
           .select(col("media_id"), col("text"))
           .withColumn("source", lit("crawl"))
 
+        val pdfMk = udf((k: Long) => graft.operators.Pdf.pdf(Seq(graft.operators.Pdf.Page(
+          graft.operators.Pdf.contentOps(Seq(
+            if (k % 7 == 0) s"common ${k % 4}" else s"pdf only $k"))))))
+        val pdfSrc = graft.operators.Pdf.textRows(
+          keys.withColumn("payload", pdfMk(col("media_id"))), "media_id", "payload")
+          .filter(col("stage") === "ok")
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("pdf"))
+
         val tarMk = udf((k: Long) => TarShard.tar(Seq((f"$k%06d.txt", "0",
           (if (k % 3 == 0) s"common ${k % 4}" else s"shard only $k").getBytes("UTF-8")))))
         val shard = TarShard.sampleRows(
@@ -987,10 +997,11 @@ object DumpQueries {
           .select(col("media_id"), col("data").cast("string").as("text"))
           .withColumn("source", lit("shard"))
 
-        val all = dump.unionByName(crawl).unionByName(shard)
+        val all = dump.unionByName(crawl).unionByName(pdfSrc).unionByName(shard)
           .withColumn("rank",
             when(col("source") === "dump", 0)
-              .when(col("source") === "crawl", 1).otherwise(2))
+              .when(col("source") === "crawl", 1)
+              .when(col("source") === "pdf", 2).otherwise(3))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1014,7 +1025,12 @@ object DumpQueries {
           |         ELSE 'crawl only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 2, k,
+          |  SELECT 'pdf', 2, k,
+          |    CASE WHEN k % 7 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'pdf only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'shard', 3, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pdf
+
+/** PDF ingest gates: the pure-JVM text extractor
+  * ([[graft.operators.Pdf]]) under the DuckDB oracle. Fixtures are
+  * closed-form from table keys — the writer builds real classic-xref
+  * PDFs (FlateDecode streams, Annex D encodings, incremental updates)
+  * whose extracted text the oracle re-derives arithmetically.
+  */
+object PdfQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // PDF TEXT extraction — the arms a real corpus actually ships:
+    // flate vs raw content (parity), the three Annex D encodings with
+    // high bytes that prove the tables (WinAnsi €/—/é on page 1,
+    // MacRoman π/≈ vs Standard ’ on page 2), TJ kerning vs word gaps,
+    // hex strings, and the three degrade families under the same
+    // oracle — torn bytes (k%11: the back half is gone, and a PDF's
+    // xref lives at the END), encrypted (k%7: structure stays
+    // readable so n_pages holds, text is ciphertext → NULL), and
+    // CID-keyed fonts (k%5: multi-byte code spaces are out of the
+    // honest subset). Map-only.
+    Q(
+      "q_pdf_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val page1 = ("BT /F1 12 Tf 72 720 Td " + Pdf.lit(s"Doc $k — café €") +
+            " Tj 0 -14 Td [" + Pdf.lit(s"A$k") + " -250 " + Pdf.lit("B") +
+            " -50 " + Pdf.lit("C") + "] TJ 0 -14 Td " + Pdf.hexLit(s"hex $k") +
+            " Tj ET").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val isCid = k % 11 != 0 && k % 7 != 0 && k % 5 == 0
+          val page2 =
+            if (k % 3 == 0)
+              Pdf.Page(Pdf.contentOps(Seq(s"π ≈ $k"), "MacRomanEncoding"), "MacRomanEncoding",
+                cid = isCid)
+            else
+              Pdf.Page(Pdf.contentOps(Seq(s"it’s $k"), "StandardEncoding"), "StandardEncoding",
+                cid = isCid)
+          val bytes = Pdf.pdf(Seq(Pdf.Page(page1), page2),
+            flate = k % 2 == 0,
+            encrypted = k % 11 != 0 && k % 7 == 0)
+          if (k % 11 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
+          else bytes
+        })
+        val out = Pdf.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id,
+          |  CAST(CASE WHEN k % 11 = 0 THEN 0 ELSE 2 END AS INT) AS n_pages,
+          |  CASE WHEN k % 11 = 0 THEN 'parse'
+          |       WHEN k % 7 = 0 THEN 'encrypted'
+          |       WHEN k % 5 = 0 THEN 'cid_font'
+          |       ELSE 'ok' END AS stage,
+          |  CASE WHEN k % 11 = 0 OR k % 7 = 0 OR k % 5 = 0 THEN NULL
+          |       ELSE 'Doc ' || k || ' — café €' || chr(10)
+          |         || 'A' || k || ' BC' || chr(10)
+          |         || 'hex ' || k || chr(10)
+          |         || CASE WHEN k % 3 = 0 THEN 'π ≈ ' || k
+          |            ELSE 'it’s ' || k END
+          |  END AS text
+          |FROM n""".stripMargin
+      )
+    ),
+
+    // INCREMENTAL updates — how PDFs are edited in place: appended
+    // objects + a new xref whose /Prev chains to the old table, newest
+    // generation winning per object (the dump merge's rev_id
+    // semantics, in xref form). Arms: untouched base (k%4 ∈ {3}),
+    // one update replacing the page's content stream (k even), TWO
+    // chained updates (k%4 == 1) — the reader must follow the whole
+    // /Prev chain and still take only the newest offset per object.
+    // Map-only.
+    Q(
+      "q_pdf_update",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val base = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq(s"v1 of $k")))))
+          // the writer's layout pins page 1's content stream at obj 4
+          if (k % 2 == 0)
+            Pdf.pdfUpdate(base, 4, Pdf.streamBody(Pdf.contentOps(Seq(s"v2 of $k")), flate = true))
+          else if (k % 4 == 1) {
+            val once = Pdf.pdfUpdate(base, 4,
+              Pdf.streamBody(Pdf.contentOps(Seq(s"v2 of $k")), flate = false))
+            Pdf.pdfUpdate(once, 4,
+              Pdf.streamBody(Pdf.contentOps(Seq(s"v3 of $k")), flate = true))
+          } else base
+        })
+        val out = Pdf.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(1 AS INT) AS n_pages, 'ok' AS stage,
+          |  CASE WHEN n_nationkey % 2 = 0 THEN 'v2 of ' || n_nationkey
+          |       WHEN n_nationkey % 4 = 1 THEN 'v3 of ' || n_nationkey
+          |       ELSE 'v1 of ' || n_nationkey END AS text
+          |FROM nation""".stripMargin
+      )
+    )
+  )
+}

@@ -1,0 +1,254 @@
+package graft
+
+import graft.operators.Pdf
+
+/** PDF text extraction: object grammar, classic xref + /Prev chains,
+  * FlateDecode, the text-operator machine, Annex D encodings
+  * (certified against the JDK's charsets where they exist), the
+  * degrade stages, and adversarial no-throw.
+  */
+class PdfSpec extends SparkSpec {
+
+  private def doc(lines: Seq[String], encoding: String = "WinAnsiEncoding",
+      flate: Boolean = true): Array[Byte] =
+    Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(lines, encoding), encoding)), flate = flate)
+
+  test("one page round-trips: flate and raw, lines joined by Td moves") {
+    for (flate <- Seq(true, false)) {
+      val d = Pdf.extractText(doc(Seq("Hello world", "second line"), flate = flate))
+      assert(d.stage == "ok" && d.n_pages == 1)
+      assert(d.text == "Hello world\nsecond line")
+    }
+  }
+
+  test("pages are line-separated; page order follows /Kids order") {
+    val b = Pdf.pdf(Seq(
+      Pdf.Page(Pdf.contentOps(Seq("page one"))),
+      Pdf.Page(Pdf.contentOps(Seq("page two", "more"))),
+      Pdf.Page(Pdf.contentOps(Seq("page three")))))
+    val d = Pdf.extractText(b)
+    assert(d.n_pages == 3 && d.stage == "ok")
+    assert(d.text == "page one\npage two\nmore\npage three")
+  }
+
+  test("literal strings: escapes, octal, nested parens, continuations, EOL normalization") {
+    def viaContent(raw: String): String = {
+      val ops = s"BT /F1 12 Tf 72 720 Td ($raw) Tj ET"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      Pdf.extractText(Pdf.pdf(Seq(Pdf.Page(ops)), flate = false)).text
+    }
+    assert(viaContent("""a\(b\)c\\d""") == "a(b)c\\d")
+    assert(viaContent("""oct \101\102 \61""") == "oct AB 1")
+    assert(viaContent("nested (parens) fine") == "nested (parens) fine")
+    assert(viaContent("broken\\\nline") == "brokenline") // continuation
+    assert(viaContent("hard\nline") == "hard�line") // raw EOL → LF byte, undefined in WinAnsi text
+  }
+
+  test("hex strings decode with odd-digit padding and embedded whitespace") {
+    val ops = "BT /F1 12 Tf 72 720 Td <48 65 6C6C 6F> Tj <4> Tj ET"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = Pdf.extractText(Pdf.pdf(Seq(Pdf.Page(ops)), flate = false))
+    assert(d.text == "Hello@") // <4> pads to 0x40
+  }
+
+  test("TJ arrays: word-gap threshold inserts a space, kerning vanishes") {
+    val ops = "BT /F1 12 Tf 72 720 Td [(A) -250 (B) -50 (C) 120 (D)] TJ ET"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = Pdf.extractText(Pdf.pdf(Seq(Pdf.Page(ops)), flate = false))
+    assert(d.text == "A BCD")
+  }
+
+  test("quote operators and T* start new lines; Td with ty=0 does not") {
+    val ops = ("BT /F1 12 Tf 14 TL 72 720 Td (first) Tj (second) ' " +
+      "10 0 Td (same) Tj T* (third) Tj ET")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = Pdf.extractText(Pdf.pdf(Seq(Pdf.Page(ops)), flate = false))
+    assert(d.text == "first\nsecondsame\nthird")
+  }
+
+  test("WinAnsi high bytes: euro, em-dash, accents round-trip through octal escapes") {
+    val s = "café — €99 “quoted”"
+    val d = Pdf.extractText(doc(Seq(s)))
+    assert(d.text == s)
+  }
+
+  test("MacRoman page decodes its own table; Standard maps typographic quotes") {
+    val mac = "π ≈ ∞ • Áé"
+    assert(Pdf.extractText(doc(Seq(mac), encoding = "MacRomanEncoding")).text == mac)
+    // Standard: 0x27 shows as U+2019 (the writer encodes U+2019 → 0x27)
+    val std = "it’s ‘fine’"
+    assert(Pdf.extractText(doc(Seq(std), encoding = "StandardEncoding")).text == std)
+  }
+
+  test("encoding tables certify against the JDK charsets where defined") {
+    // WinAnsi == windows-1252 on every code the table defines
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    for (b <- 32 until 256 if Pdf.WinAnsi(b) != 0.toChar) {
+      val jdk = new String(Array(b.toByte), cp1252)
+      assert(jdk.length == 1 && jdk.charAt(0) == Pdf.WinAnsi(b),
+        f"WinAnsi 0x$b%02X: table ${Pdf.WinAnsi(b).toInt}%04X vs JDK ${jdk.charAt(0).toInt}%04X")
+    }
+    // MacRoman vs x-MacRoman, skipping the two slots where the JDK
+    // tracks post-1998 Mac OS (0xDB € vs the spec's currency) — the
+    // PDF table is normative here
+    if (java.nio.charset.Charset.isSupported("x-MacRoman")) {
+      val macJdk = java.nio.charset.Charset.forName("x-MacRoman")
+      for (b <- 32 until 256 if b != 0xDB && Pdf.MacRoman(b) != 0.toChar) {
+        val jdk = new String(Array(b.toByte), macJdk)
+        assert(jdk.length == 1 && jdk.charAt(0) == Pdf.MacRoman(b),
+          f"MacRoman 0x$b%02X: table ${Pdf.MacRoman(b).toInt}%04X vs JDK ${jdk.charAt(0).toInt}%04X")
+      }
+    }
+    // Standard spot checks from the published table
+    assert(Pdf.Standard(0x27) == '’' && Pdf.Standard(0x60) == '‘')
+    assert(Pdf.Standard(0xAE) == 'ﬁ' && Pdf.Standard(0xD0) == '—')
+    assert(Pdf.Standard(0xE0) == 0.toChar) // undefined slot stays undefined
+  }
+
+  test("degrades: encrypted, CID font, unknown filter, predictor, xref stream, junk") {
+    val enc = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("secret")))), encrypted = true)
+    val de = Pdf.extractText(enc)
+    assert(de.stage == "encrypted" && de.text == null && de.n_pages == 1)
+
+    val cid = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("cid text")), cid = true)))
+    val dc = Pdf.extractText(cid)
+    assert(dc.stage == "cid_font" && dc.text == null && dc.n_pages == 1)
+
+    // unknown filter: patch the content object's /Filter name
+    val lzw = new String(Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("x")), "WinAnsiEncoding")), flate = false),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // raw content has no /Filter — force one in
+    val patched = lzw.replace("<< /Length", "<< /Filter /LZWDecode /Length")
+    val df = Pdf.extractText(patched.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // offsets shifted by the insert, so either filter or parse/xref is
+    // acceptable — but never text
+    assert(df.text == null)
+
+    assert(Pdf.extractText("%PDF-1.4 not really a pdf at all".getBytes("UTF-8")).stage == "parse")
+    assert(Pdf.extractText("garbage".getBytes("UTF-8")).stage == "parse")
+    assert(Pdf.extractText(null).stage == "parse")
+    assert(Pdf.extractText(Array.emptyByteArray).stage == "parse")
+  }
+
+  test("unknown filter degrades as 'filter' with offsets intact") {
+    // swap the filter NAME in place (same length) so offsets stay valid
+    val base = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("body")), "WinAnsiEncoding")), flate = true)
+    val s = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val swapped = s.replace("/Filter /FlateDecode", "/Filter /LZWDecodeXX")
+    assert(swapped.length == s.length && swapped != s)
+    val d = Pdf.extractText(swapped.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(d.stage == "filter" && d.text == null && d.n_pages == 1)
+  }
+
+  test("incremental update: the /Prev chain resolves newest-first") {
+    val base = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("version one")))))
+    assert(Pdf.extractText(base).text == "version one")
+    // object 4 is page 1's content stream in the writer's layout
+    val updated = Pdf.pdfUpdate(base, 4,
+      Pdf.streamBody(Pdf.contentOps(Seq("version two")), flate = true))
+    val d = Pdf.extractText(updated)
+    assert(d.stage == "ok" && d.text == "version two")
+    // a second update chains again
+    val v3 = Pdf.pdfUpdate(updated, 4,
+      Pdf.streamBody(Pdf.contentOps(Seq("version three")), flate = false))
+    assert(Pdf.extractText(v3).text == "version three")
+  }
+
+  test("indirect /Length resolves through the xref; rescue scan covers a wrong one") {
+    // hand-build a tiny PDF with an indirect Length
+    val content = "BT /F1 12 Tf 72 720 Td (ind) Tj ET"
+    val sb = new java.lang.StringBuilder()
+    val offs = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offs += sb.length()
+      sb.append(s"${offs.length} 0 obj\n$body\nendobj\n"): Unit
+    }
+    sb.append("%PDF-1.4\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 6 0 R >> >> /Contents 4 0 R >>")
+    obj(s"<< /Length 5 0 R >>\nstream\n$content\nendstream")
+    obj(s"${content.length}")
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val xref = sb.length()
+    sb.append(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val d = Pdf.extractText(sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(d.stage == "ok" && d.text == "ind")
+    // wrong Length (same WIDTH, so offsets stay true): rescue lands it
+    assert(content.length == 34)
+    val wrong = sb.toString.replace(s"5 0 obj\n${content.length}", s"5 0 obj\n77")
+    val dw = Pdf.extractText(wrong.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(dw.stage == "ok" && dw.text == "ind")
+  }
+
+  test("inline images skip to EI; graphics operators don't disturb text") {
+    val ops = ("BT /F1 12 Tf 72 720 Td (before) Tj ET " +
+      "q 1 0 0 1 10 10 cm BI /W 2 /H 2 /BPC 8 /CS /G ID )( EI Q " +
+      "BT /F1 12 Tf 72 700 Td (after) Tj ET")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = Pdf.extractText(Pdf.pdf(Seq(Pdf.Page(ops)), flate = false))
+    assert(d.stage == "ok" && d.text == "before\nafter")
+  }
+
+  test("contents array concatenates parts; text state persists across them") {
+    val part1 = "BT /F1 12 Tf 72 720 Td (part one ) Tj"
+    val part2 = "(and two) Tj ET" // Tf carries over from part 1
+    val sb = new java.lang.StringBuilder()
+    val offs = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offs += sb.length()
+      sb.append(s"${offs.length} 0 obj\n$body\nendobj\n"): Unit
+    }
+    sb.append("%PDF-1.4\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 6 0 R >> >> " +
+      "/Contents [4 0 R 5 0 R] >>")
+    obj(s"<< /Length ${part1.length} >>\nstream\n$part1\nendstream")
+    obj(s"<< /Length ${part2.length} >>\nstream\n$part2\nendstream")
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val xref = sb.length()
+    sb.append(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val d = Pdf.extractText(sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(d.stage == "ok" && d.text == "part one and two")
+  }
+
+  test("textRows: distributed walk is map-only; mixed outcomes coexist") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, doc(Seq("alpha"))),
+      (2L, Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("x")), cid = true)))),
+      (3L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val out = Pdf.textRows(rows, "media_id", "payload")
+    graft.queries.Q.requireNoShuffle(out)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 1, "ok", "alpha"),
+      (2L, 1, "cid_font", null),
+      (3L, 0, "parse", null)))
+  }
+
+  test("adversarial: truncation and bit flips never throw") {
+    val base = Pdf.pdf(Seq(
+      Pdf.Page(Pdf.contentOps(Seq("fuzz target", "line two"))),
+      Pdf.Page(Pdf.contentOps(Seq("π page"), "MacRomanEncoding"), "MacRomanEncoding")))
+    for (cut <- 0 to base.length by 13) {
+      val d = Pdf.extractText(java.util.Arrays.copyOfRange(base, 0, cut))
+      assert(d.stage == "ok" || d.text == null) // degraded docs never carry text
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val c = base.clone()
+      val i = rnd.nextInt(c.length)
+      c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+      Pdf.extractText(c) // must not throw
+    }
+    // nesting bombs
+    Pdf.extractText(("%PDF-1.4\n" + "[" * 10000 + "\nstartxref\n9\n%%EOF").getBytes("UTF-8"))
+    Pdf.extractText(("%PDF-1.4\nxref\n0 99999999\ntrailer\nstartxref\n9\n%%EOF").getBytes("UTF-8"))
+  }
+}
