@@ -42,6 +42,13 @@ object ZipShard {
   private def le32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xFFL) | (b(o + 1) & 0xFFL) << 8 |
       (b(o + 2) & 0xFFL) << 16 | (b(o + 3) & 0xFFL) << 24
+  private def le64(b: Array[Byte], o: Int): Long =
+    le32(b, o) | le32(b, o + 4) << 32
+  /** 4- or 8-byte LE read — the descriptor fields' width depends on
+    * whether the entry declared zip64.
+    */
+  private def leN(b: Array[Byte], o: Int, wide: Boolean): Long =
+    if (wide) le64(b, o) else le32(b, o)
 
   private val LocalSig = 0x04034b50L
   private val CentralSig = 0x02014b50L
@@ -70,14 +77,38 @@ object ZipShard {
         val method = le16(bytes, off + 8)
         val hasDesc = (flags & 0x08) != 0
         val crc = le32(bytes, off + 14)
-        val csize = le32(bytes, off + 18)
-        val usize = le32(bytes, off + 22)
+        var csize = le32(bytes, off + 18)
+        var usize = le32(bytes, off + 22)
         val nameLen = le16(bytes, off + 26)
         val extraLen = le16(bytes, off + 28)
         val dataAt = off + 30 + nameLen + extraLen
         if (dataAt > bytes.length) done = true // torn before data
         else {
           val name = new String(bytes, off + 30, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+          // zip64 (APPNOTE 4.5.3): the 0x0001 extended-information
+          // extra field carries 8-byte sizes when the 4-byte fields are
+          // saturated (0xFFFFFFFF) — without this, a >4 GiB member
+          // (model checkpoints routinely are) stops the walk. Its mere
+          // PRESENCE also widens a flag-bit-3 entry's data descriptor
+          // to 8-byte fields.
+          var isZip64 = false
+          var ep = off + 30 + nameLen
+          val extraEnd = ep + extraLen
+          while (ep + 4 <= extraEnd) {
+            val fid = le16(bytes, ep)
+            val fsz = le16(bytes, ep + 2)
+            if (fid == 0x0001 && ep + 4 + fsz <= extraEnd) {
+              isZip64 = true
+              var q = ep + 4
+              val fEnd = ep + 4 + fsz
+              if (usize == 0xFFFFFFFFL && q + 8 <= fEnd) { usize = le64(bytes, q); q += 8 }
+              if (csize == 0xFFFFFFFFL && q + 8 <= fEnd) { csize = le64(bytes, q); q += 8 }
+            }
+            ep += 4 + fsz
+          }
+          if (csize < 0 || usize < 0) { // a 2^63 "size" is a bomb claim
+            done = true
+          } else
           method match {
             case 0 if !hasDesc => // stored, sized up front
               if (csize != usize || dataAt + csize > bytes.length ||
@@ -118,21 +149,23 @@ object ZipShard {
                 var expectUsize = usize
                 if (hasDesc) {
                   // descriptor: OPTIONAL PK\x07\x08 sig, crc32, csize,
-                  // usize. The sig is ambiguous — an entry whose real
+                  // usize (8-byte fields when the entry declared zip64).
+                  // The sig is ambiguous — an entry whose real
                   // CRC32 equals the sig value looks identical — so
                   // both layouts are validated against the one fact the
                   // inflate established (csize == bytes consumed) and
                   // the consistent one wins (sig-ful preferred: it is
                   // what every mainstream writer emits).
+                  val w = if (isZip64) 8 else 4
                   def descAt(p: Int): Boolean =
-                    p + 12 <= bytes.length && le32(bytes, p + 4) == consumed
+                    p + 4 + 2 * w <= bytes.length && leN(bytes, p + 4, isZip64) == consumed
                   if (next + 4 <= bytes.length && le32(bytes, next) == DescSig &&
                     descAt(next + 4)) next += 4
                   if (!descAt(next)) done = true // neither layout consistent: torn
                   else {
                     expectCrc = le32(bytes, next)
-                    expectUsize = le32(bytes, next + 8)
-                    next += 12
+                    expectUsize = leN(bytes, next + 4 + w, isZip64)
+                    next += 4 + 2 * w
                   }
                 } else if (csize != consumed) done = true // header lied about the body
                 if (!done) {
@@ -195,10 +228,14 @@ object ZipShard {
   /** Minimal zip writer: stored (`deflate = false`) or raw-deflate
     * members, optional data-descriptor layout, then a central
     * directory + end record so real readers accept the bytes.
-    * Deterministic (zeroed times).
+    * `zip64 = true` writes every member in the zip64 LAYOUT —
+    * saturated 4-byte size fields, the 0x0001 extended-information
+    * extra field, 8-byte descriptor fields — which is structurally
+    * what a >4 GiB member looks like, without needing 4 GiB of
+    * fixture. Deterministic (zeroed times).
     */
   def zip(members: Seq[(String, Array[Byte])], deflate: Boolean = true,
-      descriptor: Boolean = false): Array[Byte] = {
+      descriptor: Boolean = false, zip64: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def w32(v: Long): Unit = {
@@ -228,13 +265,31 @@ object ZipShard {
           bo.toByteArray
         }
       val flags = if (descriptor && deflate) 0x08 else 0
-      w32(LocalSig); w16(20); w16(flags); w16(method); w16(0); w16(0)
-      if (flags != 0) { w32(0); w32(0); w32(0) }
+      def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32((v >> 32) & 0xFFFFFFFFL) }
+      // zip64 extra field: usize then csize, 8 bytes each (zeros under
+      // a descriptor — the trailing descriptor carries the real ones)
+      val extra = new ByteArrayOutputStream()
+      if (zip64) {
+        extra.write(0x01); extra.write(0x00); extra.write(16); extra.write(0)
+        var v = if (flags != 0) 0L else data.length.toLong
+        for (_ <- 0 until 8) { extra.write((v & 0xFF).toInt); v >>= 8 }
+        var c = if (flags != 0) 0L else body.length.toLong
+        for (_ <- 0 until 8) { extra.write((c & 0xFF).toInt); c >>= 8 }
+      }
+      val eb = extra.toByteArray
+      w32(LocalSig); w16(if (zip64) 45 else 20); w16(flags); w16(method); w16(0); w16(0)
+      if (flags != 0) { w32(0); w32(if (zip64) 0xFFFFFFFFL else 0); w32(if (zip64) 0xFFFFFFFFL else 0) }
+      else if (zip64) { w32(crc); w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) }
       else { w32(crc); w32(body.length.toLong); w32(data.length.toLong) }
-      w16(nb.length); w16(0)
+      w16(nb.length); w16(eb.length)
       out.write(nb, 0, nb.length)
+      out.write(eb, 0, eb.length)
       out.write(body, 0, body.length)
-      if (flags != 0) { w32(DescSig); w32(crc); w32(body.length.toLong); w32(data.length.toLong) }
+      if (flags != 0) {
+        w32(DescSig); w32(crc)
+        if (zip64) { w64(body.length.toLong); w64(data.length.toLong) }
+        else { w32(body.length.toLong); w32(data.length.toLong) }
+      }
       // central directory copy
       c32(CentralSig); c16(20); c16(20); c16(flags); c16(method); c16(0); c16(0)
       c32(crc); c32(body.length.toLong); c32(data.length.toLong)

@@ -254,12 +254,17 @@ object DumpQueries {
     // walk (CRC-verified; the central directory is the clean stop, not
     // the index): one row per member with name/method/size, the stored
     // and deflated arms alternating by parity so both decode paths sit
-    // under the oracle. Map-only.
+    // under the oracle; every 3rd key ships in the ZIP64 layout
+    // (saturated 4-byte sizes + the 0x0001 extra field, 8-byte
+    // descriptor fields where flag bit 3 is set) and the oracle is
+    // UNCHANGED — the >4 GiB wire format is invisible to the member
+    // layer. Map-only.
     Q(
       "q_zip_entries",
       (spark, dir) => {
         val mk = udf((k: Long) => ZipShard.zip(
-          shardSampleMembers(k), deflate = k % 2 == 0, descriptor = k % 4 == 0))
+          shardSampleMembers(k), deflate = k % 2 == 0, descriptor = k % 4 == 0,
+          zip64 = k % 3 == 0))
         val out = ZipShard.entryRows(
           Q.t(spark, dir, "nation")
             .select(col("n_nationkey").cast("long").as("media_id"))

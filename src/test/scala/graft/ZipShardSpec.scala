@@ -60,6 +60,47 @@ class ZipShardSpec extends SparkSpec {
     }
   }
 
+  test("zip64: the 0x0001 extra field and 8-byte descriptors walk; JDK reader agrees") {
+    for ((deflate, descriptor) <- Seq((true, false), (true, true), (false, false))) {
+      val blob = ZipShard.zip(sampleMembers, deflate = deflate, descriptor = descriptor,
+        zip64 = true)
+      // our stream-order walk resolves the saturated 4-byte fields
+      // through the extended-information field
+      val es = ZipShard.entries(blob)
+      assert(es.map(_.name) == sampleMembers.map(_._1), s"d=$deflate desc=$descriptor")
+      for (((name, data), e) <- sampleMembers.zip(es)) {
+        assert(e.usize == data.length.toLong, name)
+        assert(java.util.Arrays.equals(e.data, data), name)
+      }
+      // JDK certification for the non-descriptor layouts. The
+      // descriptor one is excluded on purpose: APPNOTE 4.3.9.2 widths
+      // the descriptor by the entry's declared zip64-ness (what this
+      // walk and the zip CLI do), while ZipInputStream.readEnd guesses
+      // from the ACTUAL inflated size — a long-standing JDK quirk that
+      // misreads spec-conformant 8-byte descriptors on small members.
+      if (!descriptor) {
+        val in = new ZipInputStream(new ByteArrayInputStream(blob))
+        for ((name, data) <- sampleMembers) {
+          val e = in.getNextEntry
+          assert(e.getName == name, s"JDK d=$deflate desc=$descriptor")
+          assert(java.util.Arrays.equals(in.readAllBytes(), data))
+        }
+      }
+    }
+    // a saturated size with NO zip64 extra field is a torn header, not
+    // a guess: the walk stops with the completed prefix
+    val blob = ZipShard.zip(sampleMembers, deflate = false, zip64 = true)
+    // find the first local header's extra field and blank its id
+    val extraAt = 30 + "000001.jpg".getBytes("UTF-8").length
+    val broken = blob.clone()
+    broken(extraAt) = 0x7F
+    assert(ZipShard.entries(broken).isEmpty)
+    // an absurd 2^63 zip64 size is a bomb claim, refused
+    val bomb = blob.clone()
+    bomb(extraAt + 4 + 7) = 0x80.toByte // usize high byte → negative
+    assert(ZipShard.entries(bomb).isEmpty)
+  }
+
   test("stored+descriptor is unknowable in stream order: the walk stops visibly") {
     // splice bit 3 into a STORED entry's flags: boundary now unknowable
     val blob = ZipShard.zip(sampleMembers.take(1), deflate = false)
