@@ -458,23 +458,33 @@ object Warc {
       cs(Seq("iso-8859-15", "latin9"), "ISO-8859-15")).toMap
   }
 
-  /** Decode payload bytes under a DECLARED charset (null = the UTF-8
-    * default): strict decoders throughout, so a server LYING about its
-    * charset (utf-8-declared latin-1 bytes) yields NULL — visible to
-    * the audit — never silently-wrong text. Unknown charsets are out
-    * of contract → NULL.
+  /** Decode payload bytes under a DECLARED charset: strict decoders
+    * throughout, so a server LYING about its charset (utf-8-declared
+    * latin-1 bytes) yields NULL — visible to the audit — never
+    * silently-wrong text. Unknown charsets are out of contract → NULL.
+    *
+    * UNDECLARED content (charset null — neither header nor meta) tries
+    * strict UTF-8 first (validity under the strict decoder is a strong
+    * statistical test: legacy single-byte text essentially never
+    * validates), then falls back to strict windows-1252 — the WHATWG
+    * default for declaration-less pages, and the superset Western
+    * servers that omit the parameter actually serve. Both attempts
+    * strict, no guessing heuristics: bytes invalid under both still
+    * NULL out visibly.
     */
   def decodeCharset(bytes: Array[Byte], charset: String): String = {
     if (bytes == null) return null
-    val name =
-      if (charset == null) "utf-8"
-      else charset.trim.toLowerCase(java.util.Locale.ROOT)
-    KnownCharsets.get(name) match {
-      case None => null
-      case Some(cs) =>
-        try cs.newDecoder().decode(java.nio.ByteBuffer.wrap(bytes)).toString
-        catch { case _: Exception => null }
-    }
+    def decode(name: String): String =
+      KnownCharsets.get(name) match {
+        case None => null
+        case Some(cs) =>
+          try cs.newDecoder().decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          catch { case _: Exception => null }
+      }
+    if (charset == null) {
+      val utf8 = decode("utf-8")
+      if (utf8 != null) utf8 else decode("windows-1252")
+    } else decode(charset.trim.toLowerCase(java.util.Locale.ROOT))
   }
 
   /** The `.warc.gz` ingest — how Common Crawl actually ships archives:
@@ -1220,7 +1230,13 @@ object Warc {
     *     iso-8859-2;
     * 18 — shift_jis declared over bytes with an INVALID trail byte (a
     *     lying/corrupt CJK server): strict decode fails → NULL — the
-    *     new families keep the never-mojibake contract.
+    *     new families keep the never-mojibake contract;
+    * 19 — NO declaration anywhere, latin-1 bytes (0xE9): invalid as
+    *     UTF-8, so the undeclared-content fallback ADMITS it as
+    *     windows-1252 (the WHATWG default) instead of NULLing;
+    * 20 — NO declaration, bytes invalid under BOTH utf-8 and cp1252
+    *     (0x90 is unmapped in windows-1252): the fallback is strict
+    *     too — NULL, never a guess.
     */
   def syntheticWarcCharsets(seed: Long): Array[Byte] = {
     require(seed >= 0, "syntheticWarcCharsets: non-negative seed")
@@ -1277,6 +1293,8 @@ object Warc {
       bytes(s"\u010de\u0161tina str\u00e1nka $seed", "ISO-8859-2"))
     rec(18, "shift_jis", // valid lead 0x85 + invalid trail 0x20: strict NULL
       bytes(s"\u65e5\u672c\u8a9e", "Shift_JIS") ++ Array[Byte](0x85.toByte, 0x20))
+    rec(19, null, s"legacy caf\u00e9 $seed".getBytes(ISO_8859_1))
+    rec(20, null, s"x $seed ".getBytes(US_ASCII) ++ Array[Byte](0x90.toByte))
     out.toByteArray
   }
 

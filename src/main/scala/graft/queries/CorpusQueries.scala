@@ -6505,9 +6505,10 @@ object CorpusQueries {
           |    WHEN 12 THEN 'gb18030' WHEN 13 THEN 'big5'
           |    WHEN 14 THEN 'koi8-r' WHEN 15 THEN 'windows-1251'
           |    WHEN 16 THEN 'iso-8859-7' WHEN 17 THEN 'iso-8859-2'
-          |    ELSE 'shift_jis' END AS charset,
+          |    WHEN 18 THEN 'shift_jis' ELSE NULL END AS charset,
           |  CASE CAST(i AS INT)
           |    WHEN 3 THEN 'default' WHEN 6 THEN 'meta' WHEN 9 THEN 'meta'
+          |    WHEN 19 THEN 'default' WHEN 20 THEN 'default'
           |    ELSE 'header' END AS charset_source,
           |  CASE CAST(i AS INT)
           |    WHEN 0 THEN 'caf\u00e9 page ' || CAST(n_nationkey AS VARCHAR)
@@ -6529,8 +6530,9 @@ object CorpusQueries {
           |    WHEN 15 THEN '\u043a\u0438\u0440\u0438\u043b\u043b\u0438\u0446\u0430 ' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 16 THEN '\u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac ' || CAST(n_nationkey AS VARCHAR)
           |    WHEN 17 THEN '\u010de\u0161tina str\u00e1nka ' || CAST(n_nationkey AS VARCHAR)
+          |    WHEN 19 THEN 'legacy caf\u00e9 ' || CAST(n_nationkey AS VARCHAR)
           |    ELSE NULL END AS text
-          |FROM nation, UNNEST(generate_series(0, 18)) AS u(i)""".stripMargin
+          |FROM nation, UNNEST(generate_series(0, 20)) AS u(i)""".stripMargin
       )
     ),
 

@@ -171,6 +171,13 @@ class WarcSpec extends SparkSpec {
     assert(rows(17) == (("iso-8859-2", "čeština stránka 3")))
     // a corrupt/lying CJK body still NULLs — strict in the new families
     assert(rows(18) == (("shift_jis", null)))
+    // UNDECLARED content: strict utf-8 first, then the WHATWG
+    // windows-1252 fallback — a declaration-less latin-1 page ADMITS
+    assert(rows(19) == ((null, "legacy café 3")))
+    // but the fallback is STRICT too: 0x90 is unmapped in cp1252
+    assert(rows(20) == ((null, null)))
+    assert(Warc.decodeCharset("mixé".getBytes("ISO-8859-1"), null) == "mixé")
+    assert(Warc.decodeCharset("utf ok é".getBytes("UTF-8"), null) == "utf ok é")
     // alias labels map to the same decoders
     assert(Warc.decodeCharset("日本".getBytes("Shift_JIS"), "SJIS") == "日本")
     assert(Warc.decodeCharset("あ".getBytes("windows-31j"), "cp932") == "あ")
@@ -202,7 +209,10 @@ class WarcSpec extends SparkSpec {
     assert(utf8Only(1) == null && utf8Only(0) != null)
     // decodeCharset contract corners
     assert(Warc.decodeCharset("aéb".getBytes("ISO-8859-1"), "LATIN1") == "aéb")
-    assert(Warc.decodeCharset(Array[Byte](0x41, 0xE9.toByte), null) == null) // bad utf-8
+    // bad utf-8 + NO declaration: the cp1252 fallback admits it
+    assert(Warc.decodeCharset(Array[Byte](0x41, 0xE9.toByte), null) == "Aé")
+    // bad utf-8 + a utf-8 DECLARATION: still NULL (only undeclared falls back)
+    assert(Warc.decodeCharset(Array[Byte](0x41, 0xE9.toByte), "utf-8") == null)
     assert(Warc.decodeCharset(Array.empty[Byte], "utf-8") == "")
     assert(Warc.decodeCharset(null, "utf-8") == null)
     // binary-safe framing survives the bytes walk: a payload full of
