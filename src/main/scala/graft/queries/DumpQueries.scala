@@ -1115,6 +1115,107 @@ object DumpQueries {
       )
     ),
 
+    // MAIN-CONTENT extraction — the Boilerpipe-class block model the
+    // quality screens need BEFORE they run: nav/footer/title chrome
+    // and link farms provably drop while article prose survives, under
+    // deterministic INTEGER thresholds the oracle re-derives literally
+    // (word floor 8, link density 3·link_chars ≤ chars). Arms per page:
+    // the title/nav/footer chrome (short), two content paragraphs (one
+    // carrying a small in-prose link — presence alone must not kill
+    // it), and an 8-anchor link farm that is LONG but link-dense.
+    // Map-only on the shared hardened scanner.
+    Q(
+      "q_main_content",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          s"<html><head><title>Site $k</title></head><body>" +
+            s"""<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact $k</a></nav>""" +
+            s"<article><p>${"alpha " * (8 + (k % 3)).toInt}end $k</p>" +
+            s"""<p>${"beta " * 8}<a href="/x">link $k</a> tail</p></article>""" +
+            s"""<aside>${(0 until 8).map(i => s"""<a href="/$i">ad$i promo $k</a>""").mkString(" ")}</aside>""" +
+            s"<footer>Copyright $k</footer></body></html>")
+        val out = graft.operators.Html.blockRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("html", mk(col("media_id"))),
+          "media_id", "html")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |b AS (
+          |  SELECT k, 0 AS block_idx, 'Site ' || k AS text, '' AS ltext FROM n
+          |  UNION ALL
+          |  SELECT k, 1, 'Home About Contact ' || k, 'HomeAboutContact ' || k FROM n
+          |  UNION ALL
+          |  SELECT k, 2, repeat('alpha ', CAST(8 + k % 3 AS INT)) || 'end ' || k, '' FROM n
+          |  UNION ALL
+          |  SELECT k, 3, repeat('beta ', 8) || 'link ' || k || ' tail', 'link ' || k FROM n
+          |  UNION ALL
+          |  SELECT k, 4,
+          |    (SELECT string_agg('ad' || i || ' promo ' || k, ' ' ORDER BY i)
+          |       FROM UNNEST(generate_series(0, 7)) u(i)),
+          |    (SELECT string_agg('ad' || i || ' promo ' || k, '' ORDER BY i)
+          |       FROM UNNEST(generate_series(0, 7)) u(i))
+          |  FROM n
+          |  UNION ALL
+          |  SELECT k, 5, 'Copyright ' || k, '' FROM n
+          |)
+          |SELECT k AS media_id, CAST(block_idx AS INT) AS block_idx,
+          |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+          |  CAST(length(text) AS INT) AS n_chars,
+          |  CAST(length(ltext) AS INT) AS n_link_chars,
+          |  len(string_split(text, ' ')) >= 8 AND 3 * length(ltext) <= length(text)
+          |    AS is_content,
+          |  text
+          |FROM b""".stripMargin
+      )
+    ),
+
+    // Main content COMPOSED into the ingest: WARC → HTTP/charset text
+    // layer → block segmentation → content-only text → token count —
+    // the stage order a web corpus needs (chrome cut BEFORE quality
+    // screens see the text, so boilerplate can't pad quality numbers).
+    // Map-only end to end.
+    Q(
+      "q_main_pipeline",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val html = s"<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About $k</a></nav>" +
+            s"<p>${"alpha " * (8 + (k % 3)).toInt}end $k</p>" +
+            s"""<p>${"beta " * 8}<a href="/x">link $k</a> tail</p>""" +
+            s"<footer>Copyright $k</footer></body></html>"
+          val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://m$k.example/p\r\n" +
+            s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+            s"\r\n$body\r\n\r\n").getBytes("UTF-8")
+        })
+        val main = udf((h: String) => graft.operators.Html.mainContent(h))
+        val out = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            Q.t(spark, dir, "nation")
+              .select(col("n_nationkey").cast("long").as("media_id"))
+              .withColumn("payload", mk(col("media_id"))),
+            "media_id", "payload"))
+          .filter(col("status") === 200)
+          .withColumn("main_text", main(col("text")))
+          .select(col("media_id"), col("main_text"),
+            TextAnalysis.tokenCount(col("main_text")).as("n_tokens"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id,
+          |  repeat('alpha ', CAST(8 + k % 3 AS INT)) || 'end ' || k || chr(10)
+          |    || repeat('beta ', 8) || 'link ' || k || ' tail' AS main_text,
+          |  CAST(21 + k % 3 AS INT) AS n_tokens
+          |FROM n""".stripMargin
+      )
+    ),
+
     // ANCHOR-TEXT extraction — the label the web gives a page, the
     // signal retrieval corpora and query-document pairs are built
     // from: `<a href>` pairs with the anchor's VISIBLE text (nested

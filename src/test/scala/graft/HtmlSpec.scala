@@ -229,6 +229,55 @@ class HtmlSpec extends SparkSpec {
     assert(anchorPairs("""<a href="u">2 < 3</a>""") == Seq(("u", "2 < 3")))
   }
 
+  test("blocks: block-tag segmentation, word floor, integer link-density rule") {
+    import graft.operators.Html
+    val html = "<html><head><title>Site 1</title></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<p>one two three four five six seven eight nine</p>" +
+      "<p>short text</p>" +
+      "<p>w w w w w w w w <a href=\"/x\">all of this anchor text is long</a></p>" +
+      "</body></html>"
+    val bs = Html.blocks(html)
+    assert(bs.map(_.text) == Seq("Site 1", "Home About",
+      "one two three four five six seven eight nine", "short text",
+      "w w w w w w w w all of this anchor text is long"))
+    assert(bs.map(_.is_content) == Seq(false, false, true, false, false))
+    // the link-farm block fails ONLY the density axis (words = 15 >= 8)
+    assert(bs(4).n_words == 15 && 3 * bs(4).n_link_chars > bs(4).n_chars)
+    // the nav fails ONLY the word floor (its density is ~1 too, but 2 < 8 decides)
+    assert(bs(1).n_words == 2)
+    // a long paragraph with one small link stays content
+    val mixed = Html.blocks("<p>alpha beta gamma delta epsilon zeta eta theta " +
+      "<a href=\"/y\">tiny</a> iota</p>")
+    assert(mixed.head.is_content && mixed.head.n_link_chars == 4)
+  }
+
+  test("blocks: comments/scripts can't fake prose; entities decode; br separates") {
+    import graft.operators.Html
+    assert(Html.blocks("<p>a b</p><!-- one two three four five six seven eight nine -->")
+      .forall(!_.is_content))
+    assert(Html.blocks("<script>var x = 'one two three four five six seven eight nine'</script><p>a</p>")
+      .map(_.text) == Seq("a"))
+    assert(Html.blocks("<p>A &amp; B</p>").head.text == "A & B")
+    assert(Html.blocks("line one<br>line two").map(_.text) == Seq("line one", "line two"))
+    // torn page keeps the completed trailing run
+    assert(Html.blocks("<p>head text").map(_.text) == Seq("head text"))
+    assert(Html.blocks(null).isEmpty && Html.blocks("").isEmpty)
+  }
+
+  test("mainContent: content blocks joined; chrome cut; null/empty contract") {
+    import graft.operators.Html
+    val html = "<nav><a href=\"/\">Home</a></nav>" +
+      "<p>one two three four five six seven eight nine</p>" +
+      "<p>ten eleven twelve thirteen fourteen fifteen sixteen seventeen</p>" +
+      "<footer>c</footer>"
+    assert(Html.mainContent(html) ==
+      "one two three four five six seven eight nine\n" +
+        "ten eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    assert(Html.mainContent("<nav>x</nav>") == "")
+    assert(Html.mainContent(null) == null)
+  }
+
   test("htmlMetaRobots: attribute order, case, none, union, comment/script immunity") {
     import org.apache.spark.unsafe.types.UTF8String
     def m(s: String): Int = graft.functions.GraftMath.htmlMetaRobots(UTF8String.fromString(s))
