@@ -1115,6 +1115,107 @@ object DumpQueries {
       )
     ),
 
+    // AVRO object-container ingest — the remaining mainstream dataset
+    // container next to parquet/tar/zip: sync-delimited blocks of
+    // binary records under a JSON schema, hand-walked in the scalar-
+    // record subset (certified against the Avro reference
+    // implementation both directions in AvroSpec). Arms: codec
+    // rotating null/deflate by parity with ONE oracle (the codec is
+    // invisible to the record layer), and every 5th key ships its
+    // FINAL block with a corrupt sync marker — that block drops
+    // whole (all-or-nothing: a half-decoded block would shift every
+    // later field) and the completed-block prefix stays oracle-exact.
+    // Map-only.
+    Q(
+      "q_avro_records",
+      (spark, dir) => {
+        val schema =
+          """{"type":"record","name":"R","fields":[
+            |{"name":"id","type":"long"},{"name":"name","type":"string"},
+            |{"name":"ok","type":"boolean"},{"name":"tag","type":"bytes"}]}""".stripMargin
+        val mk = udf((k: Long) => {
+          val n = (3 + k % 3).toInt
+          val recs = (0 until n).map(i => Seq(
+            graft.operators.Avro.AVLong(k * 100 + i),
+            graft.operators.Avro.AVStr(s"n $k $i"),
+            graft.operators.Avro.AVBool((k + i) % 2 == 0),
+            graft.operators.Avro.AVBytes(Array(i.toByte, (k % 7).toByte))))
+          val blob = graft.operators.Avro.ocf(schema, recs,
+            codec = if (k % 2 == 0) "deflate" else "null", blockSize = 2, seed = k)
+          if (k % 5 == 0) { // corrupt the final block's sync
+            val c = blob.clone()
+            c(c.length - 3) = (c(c.length - 3) ^ 0x55).toByte
+            c
+          } else blob
+        })
+        val out = graft.operators.Avro.recordRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |kept AS (
+          |  SELECT k, CASE WHEN k % 5 = 0
+          |    THEN CASE CAST(k % 3 AS INT) WHEN 2 THEN 4 ELSE 2 END
+          |    ELSE CAST(3 + k % 3 AS INT) END AS m
+          |  FROM n
+          |), r AS (
+          |  SELECT k, CAST(i AS INT) AS i FROM kept,
+          |  UNNEST(generate_series(0, 4)) u(i) WHERE i < m
+          |)
+          |SELECT k AS media_id, i AS rec_idx, 'id' AS field,
+          |  CAST(k * 100 + i AS VARCHAR) AS value FROM r
+          |UNION ALL
+          |SELECT k, i, 'name', 'n ' || k || ' ' || i FROM r
+          |UNION ALL
+          |SELECT k, i, 'ok',
+          |  CASE WHEN (k + i) % 2 = 0 THEN 'true' ELSE 'false' END FROM r
+          |UNION ALL
+          |SELECT k, i, 'tag', printf('%02x%02x', i, CAST(k % 7 AS INT)) FROM r""".stripMargin
+      )
+    ),
+
+    // The Avro degrade LEDGER: one row per document with its stage —
+    // ok / unknown codec / out-of-subset schema (a union field: the
+    // subset boundary is the whole-document degrade, never a guessed
+    // partial decode) / junk bytes — all countable. Map-only.
+    Q(
+      "q_avro_stages",
+      (spark, dir) => {
+        val okSchema =
+          """{"type":"record","name":"R","fields":[{"name":"id","type":"long"}]}"""
+        val unionSchema =
+          """{"type":"record","name":"R","fields":[{"name":"u","type":["null","string"]}]}"""
+        val mk = udf((k: Long) => (k % 4) match {
+          case 0 => graft.operators.Avro.ocf(okSchema,
+            (0 until 3).map(i => Seq(graft.operators.Avro.AVLong(k + i))), seed = k)
+          case 1 => graft.operators.Avro.ocf(okSchema,
+            (0 until 3).map(i => Seq(graft.operators.Avro.AVLong(i.toLong))),
+            codec = "snappy", seed = k)
+          case 2 => graft.operators.Avro.ocf(unionSchema, Seq.empty, seed = k)
+          case _ => s"junk $k".getBytes("UTF-8")
+        })
+        val out = graft.operators.Avro.docRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'ok' WHEN 1 THEN 'codec'
+          |       WHEN 2 THEN 'schema' ELSE 'parse' END AS stage,
+          |  CAST(CASE WHEN n_nationkey % 4 = 0 THEN 3 ELSE 0 END AS INT) AS n_records
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // MAIN-CONTENT extraction — the Boilerpipe-class block model the
     // quality screens need BEFORE they run: nav/footer/title chrome
     // and link farms provably drop while article prose survives, under
