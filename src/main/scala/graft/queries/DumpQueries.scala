@@ -1216,6 +1216,98 @@ object DumpQueries {
       )
     ),
 
+    // LICENSE detection — the code-corpus admission gate: SPDX tags
+    // (the author's machine-readable declaration, tier 'spdx') beat
+    // classic header phrases (tier 'header', family labels), both
+    // EXACT so no mis-ID can launder a restrictive license into the
+    // permissive bucket. Arms: line/block/hash/HTML comment tags, an
+    // expression tag, a conflict arm (tag beats phrase), four phrase
+    // families across comment styles with line wraps, a no-license
+    // arm, and a tag buried past the bounded scan window (headers
+    // live at the top of files; an unbounded scan is a CPU bomb).
+    // Map-only.
+    Q(
+      "q_license_detect",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 9) match {
+          case 0 => s"// SPDX-License-Identifier: MIT\ndef f$k(): pass"
+          case 1 => s"/* SPDX-License-Identifier: Apache-2.0 */\nint main$k;"
+          case 2 => "// SPDX-License-Identifier: BSD-3-Clause\n" +
+            s"// Permission is hereby granted, free of charge $k"
+          case 3 => s"# SPDX-License-Identifier: (MIT OR GPL-2.0-only)\nx = $k"
+          case 4 => s" * Permission is hereby granted, free of\n * charge, to person $k"
+          case 5 => s"""# Licensed under the Apache License, Version 2.0 (the "License") $k"""
+          case 6 => s"// Redistribution and use in source and binary forms $k"
+          case 7 => s"This program is free software: GNU General Public License v3 $k"
+          case _ => "plain code $k\n" + "pad\n" * 2000 + "// SPDX-License-Identifier: MIT"
+        })
+        val out = graft.operators.License.licenseRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("doc_id"))
+            .withColumn("text", mk(col("doc_id"))),
+          "doc_id", "text")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS doc_id,
+          |  CASE CAST(n_nationkey % 9 AS INT)
+          |    WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+          |    WHEN 2 THEN 'BSD-3-Clause' WHEN 3 THEN '(MIT OR GPL-2.0-only)'
+          |    WHEN 4 THEN 'MIT' WHEN 5 THEN 'Apache-2.0'
+          |    WHEN 6 THEN 'BSD' WHEN 7 THEN 'GPL' ELSE NULL END AS license,
+          |  CASE WHEN n_nationkey % 9 <= 3 THEN 'spdx'
+          |       WHEN n_nationkey % 9 <= 7 THEN 'header'
+          |       ELSE 'none' END AS tier
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // License MIXTURE accounting — detection feeding the existing
+    // source-cap machinery: per-license doc caps (at most 3 per
+    // license, unbiased id-hash order) exactly like the web-curation
+    // domain cap, with 'none' its own countable bucket. One shuffle
+    // (the cap window).
+    Q(
+      "q_license_mix",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 0 => s"// SPDX-License-Identifier: MIT\ncode $k"
+          case 1 => s"# Licensed under the Apache License, Version 2.0 $k"
+          case 2 => s"GNU General Public License applies $k"
+          case _ => s"no license here $k"
+        })
+        val lic = graft.operators.License.licenseRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("doc_id"))
+            .withColumn("text", mk(col("doc_id"))),
+          "doc_id", "text")
+          .withColumn("license", coalesce(col("license"), lit("none")))
+        val out = graft.operators.Sampling.capPerGroup(lic, "license", "doc_id", n = 3)
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some {
+        import graft.operators.Sampling
+        val pm = s"(doc_id % ${Sampling.P} + ${Sampling.P}) % ${Sampling.P}"
+        s"""WITH lic AS (
+           |  SELECT CAST(n_nationkey AS BIGINT) AS doc_id,
+           |    CASE CAST(n_nationkey % 4 AS INT)
+           |      WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+           |      WHEN 2 THEN 'GPL' ELSE 'none' END AS license,
+           |    CASE CAST(n_nationkey % 4 AS INT)
+           |      WHEN 0 THEN 'spdx' WHEN 3 THEN 'none' ELSE 'header' END AS tier
+           |  FROM nation
+           |)
+           |SELECT doc_id, license, tier FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY license
+           |    ORDER BY ($pm * 2246822519 + 604171) % ${Sampling.P} ASC, doc_id ASC) AS rn
+           |  FROM lic) t
+           |WHERE rn <= 3""".stripMargin
+      }
+    ),
+
     // MAIN-CONTENT extraction — the Boilerpipe-class block model the
     // quality screens need BEFORE they run: nav/footer/title chrome
     // and link farms provably drop while article prose survives, under
