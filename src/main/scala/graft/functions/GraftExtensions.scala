@@ -66,7 +66,12 @@ object GraftExtensions {
       FunctionIdentifier("graft_url_canon"),
       info("graft_url_canon",
         "graft_url_canon(s) - RFC 3986 canonical http(s) URL; NULL out of contract"),
-      (children: Seq[Expression]) => UrlCanonicalize(children(0))))
+      (children: Seq[Expression]) => UrlCanonicalize(children(0))),
+    (
+      FunctionIdentifier("graft_html_anchors"),
+      info("graft_html_anchors",
+        "graft_html_anchors(s) - <a href> pairs with visible anchor text"),
+      (children: Seq[Expression]) => HtmlAnchors(children(0))))
 
   /** Register the SQL functions on an existing session (no
     * `spark.sql.extensions` rebuild needed).

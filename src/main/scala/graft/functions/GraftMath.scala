@@ -560,6 +560,77 @@ object GraftMath {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** `<a href>` anchor pairs of one document — (raw href, visible
+    * anchor text: nested markup stripped, entities decoded, whitespace
+    * collapsed, capped) — on the same hardened scanner as the link and
+    * meta extractors. Href-less and fragment-only anchors skip; a new
+    * `<a>` implicitly closes the previous (anchors never nest); a torn
+    * anchor at end of input is discarded; empty text (image links)
+    * survives as "" — the href still carries graph signal.
+    */
+  def htmlAnchorPairs(html: String, maxAnchors: Int = 10000,
+      maxTextLen: Int = 512): Seq[(String, String)] = {
+    if (html == null) return Seq.empty
+    val out = scala.collection.immutable.Vector.newBuilder[(String, String)]
+    var n = 0
+    var pendingHref: String = null // href attr of the tag being parsed
+    var pendingIdx = -1
+    var capturing = false
+    var href: String = null
+    val sb = new java.lang.StringBuilder
+    def flush(): Boolean = {
+      if (capturing) {
+        val text = graft.operators.XmlDump.decodeEntities(sb.toString)
+          .replaceAll("\\s+", " ").trim
+        out += ((href, if (text.length > maxTextLen) text.substring(0, maxTextLen) else text))
+        n += 1
+        capturing = false
+        sb.setLength(0)
+      }
+      n < maxAnchors
+    }
+    scanHtmlFull(html)(new HtmlSink {
+      override def attr(idx: Int, tag: String, name: String, value: String): Boolean = {
+        if (tag == "a" && name == "href") { pendingHref = value; pendingIdx = idx }
+        true
+      }
+      override def open(idx: Int, tag: String, selfClose: Boolean): Boolean = {
+        if (tag == "a") {
+          if (!flush()) return false // implicit close: anchors never nest
+          if (pendingIdx == idx && pendingHref != null &&
+            pendingHref.nonEmpty && pendingHref.charAt(0) != '#') {
+            capturing = true
+            href = pendingHref
+          }
+        }
+        pendingHref = null; pendingIdx = -1
+        true
+      }
+      override def close(tag: String): Boolean =
+        if (tag == "a") flush() else true
+      override def text(t: String): Boolean = {
+        if (capturing && sb.length < maxTextLen + 64) sb.append(t)
+        true
+      }
+    })
+    // a torn anchor (no close before end of input) is NOT emitted
+    out.result()
+  }
+
+  /** [[htmlAnchorPairs]] as Catalyst data: array<struct<href, anchor>>
+    * — the codegen entry of `graft_html_anchors`, so anchor extraction
+    * stays off the Row-serialization path like its sibling link/meta
+    * extractors.
+    */
+  def htmlAnchors(html: UTF8String): ArrayData = {
+    val pairs = htmlAnchorPairs(html.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pairs.map { case (h, a) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(h), UTF8String.fromString(a))
+      }.toArray[Any])
+  }
+
   /** The shared lenient tag scanner behind [[htmlLinks]] and
     * [[htmlBaseHref]]: walks tags left to right, skipping `<!-- -->`
     * comments and `<script>`/`<style>` content, and emits

@@ -350,6 +350,32 @@ case class HtmlLinks(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_html_anchors(string) -> array<struct<href,anchor>>` — the
+  * `<a href>` pairs of an HTML document with their visible anchor text
+  * (nested markup stripped, entities decoded, whitespace collapsed) in
+  * one pass on the shared scanner. Raw hrefs — resolve with
+  * [[UrlResolve]]. See [[GraftMath.htmlAnchors]].
+  */
+case class HtmlAnchors(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_anchors"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMath.htmlAnchors(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftMath.htmlAnchors($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlAnchors =
+    copy(child = newChild)
+}
+
 /** `graft_html_base(string) -> string` — the first `<base href>` of an
   * HTML document (WHATWG: later bases are ignored), or NULL; may
   * itself be relative. See [[GraftMath.htmlBaseHref]].
@@ -455,6 +481,10 @@ object GraftFunctions {
   /** href/src attribute values of an HTML document, one pass. */
   def htmlLinks(c: Column): Column =
     ColumnBridge.column(HtmlLinks(e(c)))
+
+  /** `<a href>` pairs with visible anchor text: array<struct<href, anchor>>. */
+  def htmlAnchors(c: Column): Column =
+    ColumnBridge.column(HtmlAnchors(e(c)))
 
   /** The first `<base href>` of an HTML document, or NULL. */
   def htmlBase(c: Column): Column =

@@ -41,60 +41,16 @@ object Html {
     * carries graph signal.
     */
   def anchorPairs(html: String, maxAnchors: Int = 10000,
-      maxTextLen: Int = 512): Seq[(String, String)] = {
-    if (html == null) return Seq.empty
-    val out = Vector.newBuilder[(String, String)]
-    var n = 0
-    var pendingHref: String = null // href attr of the tag being parsed
-    var pendingIdx = -1
-    var capturing = false
-    var href: String = null
-    val sb = new java.lang.StringBuilder
-    def flush(): Boolean = {
-      if (capturing) {
-        val text = graft.operators.XmlDump.decodeEntities(sb.toString)
-          .replaceAll("\\s+", " ").trim
-        out += ((href, if (text.length > maxTextLen) text.substring(0, maxTextLen) else text))
-        n += 1
-        capturing = false
-        sb.setLength(0)
-      }
-      n < maxAnchors
-    }
-    graft.functions.GraftMath.scanHtmlFull(html)(new graft.functions.GraftMath.HtmlSink {
-      override def attr(idx: Int, tag: String, name: String, value: String): Boolean = {
-        if (tag == "a" && name == "href") { pendingHref = value; pendingIdx = idx }
-        true
-      }
-      override def open(idx: Int, tag: String, selfClose: Boolean): Boolean = {
-        if (tag == "a") {
-          if (!flush()) return false // implicit close: anchors never nest
-          if (pendingIdx == idx && pendingHref != null &&
-            pendingHref.nonEmpty && pendingHref.charAt(0) != '#') {
-            capturing = true
-            href = pendingHref
-          }
-        }
-        pendingHref = null; pendingIdx = -1
-        true
-      }
-      override def close(tag: String): Boolean =
-        if (tag == "a") flush() else true
-      override def text(t: String): Boolean = {
-        if (capturing && sb.length < maxTextLen + 64) sb.append(t)
-        true
-      }
-    })
-    // a torn anchor (no close before end of input) is NOT emitted
-    out.result()
-  }
+      maxTextLen: Int = 512): Seq[(String, String)] =
+    graft.functions.GraftMath.htmlAnchorPairs(html, maxAnchors, maxTextLen)
 
   /** One row PER ANCHOR of each page: every column of `pages` except
     * `htmlCol`, plus the base-resolved canonical `href` and its
     * `anchor` text — [[outlinks]]' shape with the label attached.
     * Same NULL-drop contract for out-of-contract targets; map-only
-    * (the pair extraction explodes, resolution is the codegen
-    * expression).
+    * AND fully codegen (`graft_html_anchors` + `graft_url_resolve` —
+    * no ScalaUDF, no Row serialization, same as the sibling link
+    * extractor).
     */
   def anchors(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
     val pass = pages.columns.filterNot(_ == htmlCol).map(col).toSeq
@@ -102,14 +58,13 @@ object Html {
     val base = coalesce(
       GraftFunctions.urlResolve(pageCanon, GraftFunctions.htmlBase(col(htmlCol))),
       pageCanon)
-    val pairs = udf((h: String) => anchorPairs(h))
     pages
       .select(pass ++ Seq(
         base.as("__base"),
-        explode(pairs(col(htmlCol))).as("__p")): _*)
+        explode(GraftFunctions.htmlAnchors(col(htmlCol))).as("__p")): _*)
       .select(pass ++ Seq(
-        GraftFunctions.urlResolve(col("__base"), col("__p._1")).as("href"),
-        col("__p._2").as("anchor")): _*)
+        GraftFunctions.urlResolve(col("__base"), col("__p.href")).as("href"),
+        col("__p.anchor").as("anchor")): _*)
       .filter(col("href").isNotNull)
   }
 

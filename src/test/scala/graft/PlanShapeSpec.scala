@@ -231,6 +231,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOcc(plan, "Exchange hashpartitioning") == 1, plan)
   }
 
+  test("anchor extraction is fully codegen: no ScalaUDF anywhere in the plan") {
+    import spark.implicits._
+    val pages = Seq((1L, "http://h.example/",
+      """<html><body><a href="p1">plain</a><a href="#f">skip</a></body></html>"""))
+      .toDF("media_id", "page_url", "html")
+    val out = graft.operators.Html.anchors(pages, "page_url", "html")
+    val udfs = out.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+    }.flatten
+    assert(udfs.isEmpty, s"anchor extraction must not ride a ScalaUDF:\n$udfs")
+    val plan = physical(out)
+    assert(plan.contains("graft_html_anchors"), plan)
+    // and the rows are the same ones the Scala API yields
+    assert(out.collect().map(r => (r.getString(2), r.getString(3))).toSeq ==
+      Seq(("http://h.example/p1", "plain")))
+  }
+
   test("boilerplate gram builder runs inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = physical(docs.select(
