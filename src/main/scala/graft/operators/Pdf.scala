@@ -13,9 +13,14 @@ import org.apache.spark.sql.DataFrame
   * (ISO 32000-1, the freely published PDF 1.7 reference), covering the
   * honest subset a lenient batch reader can defend:
   *
-  *   - classic cross-reference TABLES (`xref` … `trailer`), following
-  *     the `/Prev` chain so incremental updates resolve newest-first —
-  *     the PDF flavor of the dump merge's newest-revision-wins;
+  *   - BOTH cross-reference forms, following the `/Prev` chain so
+  *     incremental updates resolve newest-first (the PDF flavor of the
+  *     dump merge's newest-revision-wins): classic `xref` … `trailer`
+  *     tables AND the PDF 1.5+ cross-reference STREAMS (`/W` field
+  *     widths, `/Index` subsections, TIFF/PNG predictors, type-2
+  *     entries resolving through `/Type /ObjStm` object streams,
+  *     hybrid `/XRefStm` pointers) — what PDFs in the wild actually
+  *     carry since 2006;
   *   - the object grammar: dicts, arrays, names (with `#xx` escapes),
   *     literal strings (octal escapes, nested parens, line
   *     continuations, CR/CRLF → LF), hex strings, indirect refs,
@@ -34,10 +39,10 @@ import org.apache.spark.sql.DataFrame
   * NULL with a counted stage, never a guess: encrypted files
   * (`encrypted` — strings/streams are ciphertext), CID-keyed Type0
   * fonts (`cid_font` — multi-byte code spaces need CMaps), non-flate
-  * filters and predictors (`filter`), `/Differences` and unknown
-  * encodings (`encoding` — glyph-name maps are out of scope),
-  * cross-reference STREAMS (`xref` — until the classic path earns
-  * them), torn/hostile bytes (`parse`), text over budget (`budget`).
+  * filters and out-of-shape predictors (`filter`), `/Differences` and
+  * unknown encodings (`encoding` — glyph-name maps are out of scope),
+  * a startxref landing on neither table form (`xref`), torn/hostile
+  * bytes (`parse`), text over budget (`budget`).
   * The extraction itself is map-only over (media_id, payload) rows —
   * at 100 TB the first exchange belongs to the consumer.
   *
@@ -362,47 +367,168 @@ object Pdf {
     -1L
   }
 
-  /** Follow the classic-table chain from the last `startxref`:
+  /** One cross-reference entry: a direct byte offset, or (PDF 1.5+
+    * type-2) a slot inside an object stream (`objStm >= 0`).
+    */
+  private final case class XEntry(offset: Long, objStm: Int, idx: Int)
+
+  /** Parse `N G obj <value> [stream …]` at a byte offset. `lenOf`
+    * resolves the stream's /Length (a [[Doc]] follows refs; the
+    * xref-chain walker, which has no xref yet, accepts only DIRECT
+    * ints — exactly what §7.5.8 requires of an xref stream's own
+    * dict). The `endstream` rescue covers a lying /Length either way.
+    */
+  private def objAt(bytes: Array[Byte], off: Int, lenOf: PVal => Long): (Int, PVal) = {
+    val p = new P(bytes, off, allowRefs = true)
+    val n = p.int()
+    p.int() // gen
+    if (!p.tryKeyword("obj")) throw new Malformed("obj expected")
+    val v = p.value(0)
+    val out = v match {
+      case d: PDict if p.tryKeyword("stream") =>
+        // EOL after 'stream': CRLF or LF
+        if (p.peek == '\r') p.pos += 1
+        if (p.peek == '\n') p.pos += 1
+        val dataStart = p.pos
+        val len = lenOf(d.m.getOrElse("Length", PNull))
+        val end =
+          if (len >= 0 && dataStart + len <= bytes.length &&
+            hasKeywordNear(bytes, (dataStart + len).toInt, "endstream")) dataStart + len
+          else rescueEndstream(bytes, dataStart) // lenient: scan
+        if (end < dataStart) throw new Malformed("torn stream")
+        PStream(d, java.util.Arrays.copyOfRange(bytes, dataStart, end.toInt))
+      case other => other
+    }
+    (n, out)
+  }
+
+  /** Follow the cross-reference chain from the last `startxref`:
     * newest-first, `/Prev` adding only unseen objects — the
-    * incremental-update contract. Null when the offset lands on
-    * anything but an `xref` keyword (a cross-reference STREAM
-    * degrades here, visibly).
+    * incremental-update contract. BOTH table forms walk: the classic
+    * `xref` keyword table, and the PDF 1.5+ cross-reference STREAM
+    * (`/Type /XRef`: /W field widths, /Index subsections, type-1
+    * direct and type-2 in-object-stream entries), plus the hybrid
+    * `/XRefStm` pointer a classic trailer may carry. Null when the
+    * offset lands on neither — visible as the `xref` stage.
     */
   private def readXrefChain(bytes: Array[Byte], start: Long)
-      : (Map[Int, Long], PDict, Boolean) = {
-    val map = scala.collection.mutable.HashMap[Int, Long]()
+      : (Map[Int, XEntry], PDict, Boolean) = {
+    val map = scala.collection.mutable.HashMap[Int, XEntry]()
     var trailer0: PDict = null
     var encrypted = false
     var cur = start
     var hops = 0
-    while (cur >= 0 && cur < bytes.length && hops < 32) {
-      val p = new P(bytes, cur.toInt, allowRefs = true)
-      if (!p.tryKeyword("xref")) return null
-      var inSections = true
-      while (inSections) {
-        if (p.tryKeyword("trailer")) inSections = false
-        else {
-          val first = p.int()
-          val count = p.int()
-          if (count < 0 || count > (1 << 22)) throw new Malformed("xref bomb")
-          var i = 0
-          while (i < count) {
-            val off = p.long()
-            p.int() // generation — single-generation contract
-            val kind = p.keyword()
-            if (kind == "n" && !map.contains(first + i)) map((first + i)) = off
-            else if (kind != "n" && kind != "f") throw new Malformed("junk xref entry")
-            i += 1
+
+    def directLen(v: PVal): Long = v match {
+      case PNum(x) if x >= 0 => x.toLong
+      case _ => -1L
+    }
+
+    def addStreamEntries(ps: PStream): Unit = {
+      val dict = ps.dict
+      val data = decodeStream(ps, identity, 64 << 20) match {
+        case Right(d) => d
+        case Left(_) => throw new Malformed("xref stream filter")
+      }
+      val ws = dict.m.get("W") match {
+        case Some(PArr(xs)) if xs.length == 3 => xs.map {
+          case PNum(x) if x >= 0 && x <= 8 => x.toInt
+          case _ => throw new Malformed("junk /W")
+        }
+        case _ => throw new Malformed("missing /W")
+      }
+      val size = dict.m.get("Size") match {
+        case Some(PNum(x)) if x >= 0 => x.toLong
+        case _ => throw new Malformed("missing /Size")
+      }
+      val index: Seq[(Long, Long)] = dict.m.get("Index") match {
+        case Some(PArr(xs)) if xs.length % 2 == 0 =>
+          xs.grouped(2).map {
+            case Vector(PNum(a), PNum(b)) => (a.toLong, b.toLong)
+            case _ => throw new Malformed("junk /Index")
+          }.toSeq
+        case None => Seq((0L, size))
+        case _ => throw new Malformed("junk /Index")
+      }
+      val rw = ws.sum
+      if (rw <= 0) throw new Malformed("zero-width /W")
+      var pos = 0
+      def field(w: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < w) { v = (v << 8) | (data(pos) & 0xFF); pos += 1; i += 1 }
+        v
+      }
+      index.foreach { case (first, count) =>
+        if (count < 0 || count > (1 << 22)) throw new Malformed("xref bomb")
+        var i = 0L
+        while (i < count) {
+          if (pos + rw > data.length) throw new Malformed("torn xref stream")
+          val t = if (ws(0) == 0) 1L else field(ws(0)) // default type 1 per spec
+          val f2 = field(ws(1))
+          val f3 = field(ws(2))
+          val num = (first + i).toInt
+          if (!map.contains(num)) {
+            if (t == 1) map(num) = XEntry(f2, -1, 0)
+            else if (t == 2) map(num) = XEntry(-1L, f2.toInt, f3.toInt)
+            // type 0 (free) and unknown future types add nothing
           }
+          i += 1
         }
       }
-      val tr = p.value(0) match {
-        case d: PDict => d
-        case _ => throw new Malformed("trailer dict expected")
+    }
+
+    while (cur >= 0 && cur < bytes.length && hops < 32) {
+      val p = new P(bytes, cur.toInt, allowRefs = true)
+      var trailer: PDict = null
+      if (p.tryKeyword("xref")) {
+        var inSections = true
+        while (inSections) {
+          if (p.tryKeyword("trailer")) inSections = false
+          else {
+            val first = p.int()
+            val count = p.int()
+            if (count < 0 || count > (1 << 22)) throw new Malformed("xref bomb")
+            var i = 0
+            while (i < count) {
+              val off = p.long()
+              p.int() // generation — single-generation contract
+              val kind = p.keyword()
+              if (kind == "n" && !map.contains(first + i)) map((first + i)) = XEntry(off, -1, 0)
+              else if (kind != "n" && kind != "f") throw new Malformed("junk xref entry")
+              i += 1
+            }
+          }
+        }
+        trailer = p.value(0) match {
+          case d: PDict => d
+          case _ => throw new Malformed("trailer dict expected")
+        }
+        // hybrid-reference file: the classic trailer points at an xref
+        // STREAM carrying the type-2 entries (§7.5.8.4)
+        trailer.m.get("XRefStm") match {
+          case Some(PNum(x)) if x >= 0 && x < bytes.length =>
+            objAt(bytes, x.toInt, directLen)._2 match {
+              case s: PStream if s.dict.m.get("Type").contains(PName("XRef")) =>
+                addStreamEntries(s)
+              case _ => () // lenient: a junk hybrid pointer adds nothing
+            }
+          case _ => ()
+        }
+      } else {
+        // PDF 1.5+: the cross-reference table IS a stream object
+        val v = try objAt(bytes, cur.toInt, directLen)._2
+        catch { case _: Malformed => return null }
+        v match {
+          case s: PStream if s.dict.m.get("Type").contains(PName("XRef")) =>
+            addStreamEntries(s)
+            trailer = s.dict
+          case _ => return null
+        }
       }
-      if (trailer0 == null) trailer0 = tr
-      if (tr.m.contains("Encrypt")) encrypted = true
-      cur = tr.m.get("Prev") match {
+      if (trailer0 == null) trailer0 = trailer
+      if (trailer.m.contains("Encrypt")) encrypted = true
+      cur = trailer.m.get("Prev") match {
         case Some(PNum(d)) => d.toLong
         case _ => -1L
       }
@@ -413,12 +539,15 @@ object Pdf {
 
   // ---- document: object load + resolve ----
 
-  private final class Doc(bytes: Array[Byte], xref: Map[Int, Long]) {
+  private final class Doc(bytes: Array[Byte], xref: Map[Int, XEntry]) {
     private val cache = scala.collection.mutable.HashMap[Int, PVal]()
+    // parsed object streams: (decoded payload, (num, off) pairs, /First)
+    private val stmCache =
+      scala.collection.mutable.HashMap[Int, (Array[Byte], Seq[(Int, Int)], Int)]()
 
     // NOT getOrElseUpdate: loading an object can recurse into obj()
-    // (an indirect /Length), and reentrant getOrElseUpdate on a
-    // mutable map is undefined behavior
+    // (an indirect /Length, the enclosing ObjStm), and reentrant
+    // getOrElseUpdate on a mutable map is undefined behavior
     def obj(num: Int, depth: Int): PVal = cache.get(num) match {
       case Some(v) => v
       case None =>
@@ -427,35 +556,58 @@ object Pdf {
         v
     }
 
+    /** Decode + index one `/Type /ObjStm` container (cached — every
+      * compressed object in it shares the one inflate).
+      */
+    private def objStm(stmNum: Int, depth: Int): (Array[Byte], Seq[(Int, Int)], Int) =
+      stmCache.get(stmNum) match {
+        case Some(v) => v
+        case None =>
+          val v = obj(stmNum, depth) match {
+            case s: PStream if s.dict.m.get("Type").contains(PName("ObjStm")) =>
+              val nObjs = resolve(s.dict.m.getOrElse("N", PNull), depth) match {
+                case PNum(x) if x >= 0 && x <= (1 << 20) => x.toInt
+                case _ => throw new Malformed("junk ObjStm /N")
+              }
+              val first = resolve(s.dict.m.getOrElse("First", PNull), depth) match {
+                case PNum(x) if x >= 0 => x.toInt
+                case _ => throw new Malformed("junk ObjStm /First")
+              }
+              val payload = decodeStream(s, resolve(_, depth), 64 << 20) match {
+                case Right(d) => d
+                case Left(_) => throw new Malformed("ObjStm filter")
+              }
+              val hp = new P(payload, 0, allowRefs = false)
+              val pairs = (0 until nObjs).map(_ => (hp.int(), hp.int()))
+              (payload, pairs, first)
+            case _ => throw new Malformed("not an ObjStm")
+          }
+          stmCache(stmNum) = v
+          v
+      }
+
     private def load(num: Int, depth: Int): PVal = {
       if (depth > 16) throw new Malformed("resolve cycle")
       xref.get(num) match {
         case None => PNull
-        case Some(off) if off < 0 || off >= bytes.length => PNull
-        case Some(off) =>
-          val p = new P(bytes, off.toInt, allowRefs = true)
-          val n = p.int()
-          p.int() // gen
-          if (!p.tryKeyword("obj") || n != num) throw new Malformed(s"object $num not at its offset")
-          val v = p.value(0)
-          v match {
-            case d: PDict if p.tryKeyword("stream") =>
-              // EOL after 'stream': CRLF or LF
-              if (p.peek == '\r') p.pos += 1
-              if (p.peek == '\n') p.pos += 1
-              val dataStart = p.pos
-              val len = resolve(d.m.getOrElse("Length", PNull), depth + 1) match {
-                case PNum(x) if x >= 0 => x.toLong
-                case _ => -1L
-              }
-              val end =
-                if (len >= 0 && dataStart + len <= bytes.length &&
-                  hasKeywordNear(bytes, (dataStart + len).toInt, "endstream")) dataStart + len
-                else rescueEndstream(bytes, dataStart) // lenient: scan
-              if (end < dataStart) throw new Malformed("torn stream")
-              PStream(d, java.util.Arrays.copyOfRange(bytes, dataStart, end.toInt))
-            case other => other
-          }
+        case Some(e) if e.objStm >= 0 => // type-2: inside an object stream
+          val (payload, pairs, first) = objStm(e.objStm, depth + 1)
+          if (e.idx < 0 || e.idx >= pairs.length) throw new Malformed("ObjStm slot")
+          val (n, off) = pairs(e.idx)
+          if (n != num) throw new Malformed("ObjStm num mismatch")
+          if (first.toLong + off > payload.length || off < 0)
+            throw new Malformed("ObjStm offset")
+          val p = new P(payload, first + off, allowRefs = true)
+          p.value(0) // compressed objects are bare values, never streams
+        case Some(e) if e.offset < 0 || e.offset >= bytes.length => PNull
+        case Some(e) =>
+          val (n, v) = objAt(bytes, e.offset.toInt, lv =>
+            resolve(lv, depth + 1) match {
+              case PNum(x) if x >= 0 => x.toLong
+              case _ => -1L
+            })
+          if (n != num) throw new Malformed(s"object $num not at its offset")
+          v
       }
     }
 
@@ -522,29 +674,90 @@ object Pdf {
     } finally inf.end()
   }
 
-  /** Stream bytes → decoded bytes, or the degrade stage. Only the
-    * identity and FlateDecode paths are in contract; predictors and
-    * every other filter degrade visibly.
+  /** Undo a /Predictor over 8-bit single-component data: TIFF
+    * horizontal differencing (2) and the PNG row filters (10-15 —
+    * None/Sub/Up/Average/Paeth at bpp = 1, the same unfilter math the
+    * PNG decoder runs). Null on anything outside that shape — a wrong
+    * predictor guess would silently shear every row.
     */
-  private def decodeStream(ps: PStream, doc: Doc, maxOut: Int): Either[String, Array[Byte]] = {
-    val parms = ps.dict.m.get("DecodeParms").orElse(ps.dict.m.get("DP"))
-    doc.resolve(parms.getOrElse(PNull)) match {
-      case PNull => ()
-      case d: PDict if !d.m.contains("Predictor") => ()
-      case d: PDict => d.m("Predictor") match {
-        case PNum(p) if p <= 1 => ()
-        case _ => return Left("filter")
+  private def applyPredictor(data: Array[Byte], parms: PDict,
+      resolve: PVal => PVal): Array[Byte] = {
+    def num(k: String, dflt: Long): Long = resolve(parms.m.getOrElse(k, PNull)) match {
+      case PNum(x) => x.toLong
+      case PNull => dflt
+      case _ => -1L
+    }
+    val pred = num("Predictor", 1)
+    if (pred <= 1) return data
+    val columns = num("Columns", 1)
+    if (num("Colors", 1) != 1 || num("BitsPerComponent", 8) != 8 ||
+      columns <= 0 || columns > (1 << 20)) return null
+    val c = columns.toInt
+    if (pred == 2) { // TIFF: in-row horizontal differencing
+      val out = data.clone()
+      var r = 0
+      while (r + c <= out.length) {
+        var i = 1
+        while (i < c) { out(r + i) = (out(r + i) + out(r + i - 1)).toByte; i += 1 }
+        r += c
       }
+      out
+    } else if (pred >= 10 && pred <= 15) { // PNG: per-row filter byte
+      val rowLen = c + 1
+      if (data.length % rowLen != 0) return null
+      val rows = data.length / rowLen
+      val out = new Array[Byte](rows * c)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * rowLen) & 0xFF
+        var i = 0
+        while (i < c) {
+          val raw = data(r * rowLen + 1 + i) & 0xFF
+          val left = if (i > 0) out(r * c + i - 1) & 0xFF else 0
+          val up = if (r > 0) out((r - 1) * c + i) & 0xFF else 0
+          val ul = if (r > 0 && i > 0) out((r - 1) * c + i - 1) & 0xFF else 0
+          val rec = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case 4 =>
+              val p0 = left + up - ul
+              val pa = math.abs(p0 - left)
+              val pb = math.abs(p0 - up)
+              val pc = math.abs(p0 - ul)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => return null
+          }
+          out(r * c + i) = (rec & 0xFF).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    } else null
+  }
+
+  /** Stream bytes → decoded bytes, or the degrade stage. Identity and
+    * FlateDecode, then the published predictors (xref streams ship
+    * PNG-Up-predicted almost universally); every other filter degrades
+    * visibly. `resolve` follows indirect Filter/Parms values (identity
+    * in the xref-chain walker, where the spec requires direct ones).
+    */
+  private def decodeStream(ps: PStream, resolve: PVal => PVal,
+      maxOut: Int): Either[String, Array[Byte]] = {
+    val raw = resolve(ps.dict.m.getOrElse("Filter", PNull)) match {
+      case PNull => ps.raw
+      case PName("FlateDecode") => inflate(ps.raw, maxOut)
+      case PArr(xs) if xs.isEmpty => ps.raw
+      case PArr(xs) if xs == Vector(PName("FlateDecode")) => inflate(ps.raw, maxOut)
       case _ => return Left("filter")
     }
-    doc.resolve(ps.dict.m.getOrElse("Filter", PNull)) match {
-      case PNull => Right(ps.raw)
-      case PName("FlateDecode") =>
-        val out = inflate(ps.raw, maxOut)
-        if (out == null) Left("filter") else Right(out)
-      case PArr(xs) if xs.isEmpty => Right(ps.raw)
-      case PArr(xs) if xs == Vector(PName("FlateDecode")) =>
-        val out = inflate(ps.raw, maxOut)
+    if (raw == null) return Left("filter")
+    resolve(ps.dict.m.getOrElse("DecodeParms", ps.dict.m.getOrElse("DP", PNull))) match {
+      case PNull => Right(raw)
+      case d: PDict =>
+        val out = applyPredictor(raw, d, resolve)
         if (out == null) Left("filter") else Right(out)
       case _ => Left("filter")
     }
@@ -769,7 +982,7 @@ object Pdf {
               val content = new ByteArrayOutputStream()
               parts.foreach { part =>
                 if (stage == null) part match {
-                  case s: PStream => decodeStream(s, doc, maxStreamOut) match {
+                  case s: PStream => decodeStream(s, doc.resolve(_), maxStreamOut) match {
                     case Right(d) =>
                       if (content.size() > 0) content.write('\n')
                       content.write(d, 0, d.length)
@@ -932,6 +1145,143 @@ object Pdf {
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R" +
       encObj.map(e => s" /Encrypt $e 0 R").getOrElse("") + " >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** PDF 1.5+ fixture writer: the same document layout as [[pdf]]
+    * (identical object numbering, so the extracted text matches the
+    * classic writer's byte-for-byte) but the cross-reference is a
+    * STREAM — `/W [1 4 2]` rows, flate-compressed, optionally behind
+    * the PNG-Up predictor every real writer emits (`predictor`), and
+    * optionally with every non-stream object packed into ONE
+    * `/Type /ObjStm` object stream resolved through type-2 entries
+    * (`objStm`). Content streams stay direct (the spec forbids streams
+    * inside object streams).
+    */
+  def pdfXrefStream(pages: Seq[Page], flate: Boolean = true,
+      predictor: Boolean = false, objStm: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val n = pages.length
+    val kidNums = (0 until n).map(i => 3 + 3 * i)
+    def bodyOf(num: Int): String =
+      if (num == 1) "<< /Type /Catalog /Pages 2 0 R >>"
+      else if (num == 2)
+        s"<< /Type /Pages /Kids [${kidNums.map(k => s"$k 0 R").mkString(" ")}] /Count $n >>"
+      else {
+        val i = (num - 3) / 3
+        val pg = pages(i)
+        (num - 3) % 3 match {
+          case 0 => s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 ${num + 2} 0 R >> >> /Contents ${num + 1} 0 R >>"
+          case _ =>
+            if (pg.cid)
+              "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H /Encoding /Identity-H >>"
+            else
+              s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /${pg.encoding} >>"
+        }
+      }
+    val total = 2 + 3 * n
+    val stmNum = total + 1
+    val xrefNum = if (objStm) total + 2 else total + 1
+    // entry per object: (type, f2, f3)
+    val entries = scala.collection.mutable.HashMap[Int, (Int, Long, Long)]()
+    def writeObj(num: Int, body: Array[Byte]): Unit = {
+      entries(num) = (1, out.size().toLong, 0L)
+      w(s"$num 0 obj\n")
+      out.write(body, 0, body.length)
+      w("\nendobj\n")
+    }
+    val dictNums = Seq(1, 2) ++ (0 until n).flatMap(i => Seq(3 + 3 * i, 5 + 3 * i))
+    if (objStm) {
+      // pack every non-stream object into one ObjStm
+      val bodies = dictNums.map(bodyOf)
+      val offs = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+      val header = dictNums.zip(offs).map { case (nm, o) => s"$nm $o" }.mkString(" ") + "\n"
+      val payload = (header + bodies.mkString("\n")).getBytes(StandardCharsets.ISO_8859_1)
+      // /First points past the pair header
+      val first = header.length
+      val stmBody = {
+        val deflated = {
+          val d = new java.util.zip.Deflater()
+          d.setInput(payload); d.finish()
+          val bo = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+          d.end()
+          bo.toByteArray
+        }
+        (s"<< /Type /ObjStm /N ${dictNums.length} /First $first " +
+          s"/Filter /FlateDecode /Length ${deflated.length} >>\nstream\n")
+          .getBytes(StandardCharsets.ISO_8859_1) ++ deflated ++
+          "\nendstream".getBytes(StandardCharsets.ISO_8859_1)
+      }
+      writeObj(stmNum, stmBody)
+      dictNums.zipWithIndex.foreach { case (nm, idx) =>
+        entries(nm) = (2, stmNum.toLong, idx.toLong)
+      }
+    } else {
+      dictNums.take(2).foreach(nm => writeObj(nm, bodyOf(nm).getBytes(StandardCharsets.ISO_8859_1)))
+    }
+    pages.zipWithIndex.foreach { case (pg, i) =>
+      val pageNum = 3 + 3 * i
+      if (!objStm) writeObj(pageNum, bodyOf(pageNum).getBytes(StandardCharsets.ISO_8859_1))
+      writeObj(pageNum + 1, streamBody(pg.content, flate))
+      if (!objStm) writeObj(pageNum + 2, bodyOf(pageNum + 2).getBytes(StandardCharsets.ISO_8859_1))
+    }
+
+    // the cross-reference stream object, last
+    val xrefOff = out.size()
+    entries(xrefNum) = (1, xrefOff.toLong, 0L)
+    val size = xrefNum + 1
+    val cols = 7 // 1 + 4 + 2
+    val rows = new ByteArrayOutputStream()
+    def row(t: Int, f2: Long, f3: Long): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 24) & 0xFF).toInt); rows.write(((f2 >> 16) & 0xFF).toInt)
+      rows.write(((f2 >> 8) & 0xFF).toInt); rows.write((f2 & 0xFF).toInt)
+      rows.write(((f3 >> 8) & 0xFF).toInt); rows.write((f3 & 0xFF).toInt)
+    }
+    row(0, 0L, 0xFFFFL) // object 0: the free-list head
+    (1 until size).foreach { nm =>
+      val (t, f2, f3) = entries.getOrElse(nm, (0, 0L, 0L))
+      row(t, f2, f3)
+    }
+    val rawRows = rows.toByteArray
+    val predicted =
+      if (!predictor) rawRows
+      else { // PNG Up (predictor 12): per row, filter byte 2 + delta vs prior
+        val o = new ByteArrayOutputStream()
+        val nRows = rawRows.length / cols
+        var r = 0
+        while (r < nRows) {
+          o.write(2)
+          var i = 0
+          while (i < cols) {
+            val up = if (r > 0) rawRows((r - 1) * cols + i) & 0xFF else 0
+            o.write(((rawRows(r * cols + i) & 0xFF) - up) & 0xFF)
+            i += 1
+          }
+          r += 1
+        }
+        o.toByteArray
+      }
+    val deflatedRows = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(predicted); d.finish()
+      val bo = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end()
+      bo.toByteArray
+    }
+    val parms = if (predictor) s" /DecodeParms << /Predictor 12 /Columns $cols >>" else ""
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode$parms /Length ${deflatedRows.length} >>\nstream\n")
+    out.write(deflatedRows, 0, deflatedRows.length)
+    w("\nendstream\nendobj\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }

@@ -73,6 +73,43 @@ object PdfQueries {
       )
     ),
 
+    // The MODERN cross-reference layout — what PDFs in the wild carry
+    // since 1.5 (2006): the xref as a /Type /XRef STREAM with /W field
+    // widths, flate + the PNG-Up predictor rotating by parity, and
+    // (every 3rd key) the document's dict objects packed into a
+    // /Type /ObjStm object stream resolved through type-2 entries.
+    // The ORACLE IS SHARED logic with the classic writer's output —
+    // the same text regardless of which of the four layouts shipped —
+    // so the table form is provably invisible to extraction, exactly
+    // like compression is invisible to the WARC layer. Map-only.
+    Q(
+      "q_pdf_xref_stream",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val pages = Seq(
+            Pdf.Page(Pdf.contentOps(Seq(s"Doc $k modern", s"line ${k % 4}"))),
+            Pdf.Page(Pdf.contentOps(Seq(s"it’s $k"), "StandardEncoding"), "StandardEncoding"))
+          Pdf.pdfXrefStream(pages, flate = true,
+            predictor = k % 2 == 0, objStm = k % 3 == 0)
+        })
+        val out = Pdf.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(2 AS INT) AS n_pages, 'ok' AS stage,
+          |  'Doc ' || n_nationkey || ' modern' || chr(10)
+          |    || 'line ' || (n_nationkey % 4) || chr(10)
+          |    || 'it’s ' || n_nationkey AS text
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // INCREMENTAL updates — how PDFs are edited in place: appended
     // objects + a new xref whose /Prev chains to the old table, newest
     // generation winning per object (the dump merge's rev_id

@@ -183,6 +183,61 @@ class PdfSpec extends SparkSpec {
     assert(dw.stage == "ok" && dw.text == "ind")
   }
 
+  test("xref streams: /W rows, predictors, object streams — all four layouts extract") {
+    val pages = Seq(
+      Pdf.Page(Pdf.contentOps(Seq("modern xref", "second line"))),
+      Pdf.Page(Pdf.contentOps(Seq("it’s page two"), "StandardEncoding"), "StandardEncoding"))
+    val classic = Pdf.extractText(Pdf.pdf(pages))
+    assert(classic.stage == "ok")
+    for (pred <- Seq(false, true); ostm <- Seq(false, true)) {
+      val b = Pdf.pdfXrefStream(pages, predictor = pred, objStm = ostm)
+      val d = Pdf.extractText(b)
+      assert(d.stage == "ok", s"pred=$pred ostm=$ostm")
+      assert(d.n_pages == 2)
+      // the classic and stream writers extract IDENTICALLY
+      assert(d.text == classic.text, s"pred=$pred ostm=$ostm")
+    }
+    assert(classic.text == "modern xref\nsecond line\nit’s page two")
+  }
+
+  test("xref streams: degrades stay visible — bad predictor shape, torn stream") {
+    val b = Pdf.pdfXrefStream(Seq(Pdf.Page(Pdf.contentOps(Seq("x")))), predictor = true)
+    // corrupt the deflated xref rows: the chain is unreadable → 'xref'
+    // (">>\nstream\n" — a bare "stream\n" search would land inside the
+    // trailing "endstream")
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.lastIndexOf(">>\nstream\n") + 10
+    val torn = b.clone()
+    torn(at + 2) = (torn(at + 2) ^ 0x7F).toByte
+    val d = Pdf.extractText(torn)
+    assert(d.text == null && (d.stage == "parse" || d.stage == "xref"))
+    // truncation fuzz on all stream layouts never throws
+    for (ostm <- Seq(false, true)) {
+      val blob = Pdf.pdfXrefStream(Seq(Pdf.Page(Pdf.contentOps(Seq("fuzz", "two")))),
+        predictor = true, objStm = ostm)
+      for (cut <- 0 to blob.length by 11)
+        Pdf.extractText(java.util.Arrays.copyOfRange(blob, 0, cut))
+      val rnd = new scala.util.Random(11)
+      for (_ <- 0 until 150) {
+        val c = blob.clone()
+        val i = rnd.nextInt(c.length)
+        c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+        Pdf.extractText(c)
+      }
+    }
+  }
+
+  test("incremental update over an xref-stream base: the hybrid /Prev chain walks") {
+    val base = Pdf.pdfXrefStream(Seq(Pdf.Page(Pdf.contentOps(Seq("stream v1")))), objStm = true)
+    assert(Pdf.extractText(base).text == "stream v1")
+    // the classic-section update points /Prev at the xref STREAM:
+    // hop 1 classic, hop 2 stream — both forms in one chain
+    val updated = Pdf.pdfUpdate(base, 4,
+      Pdf.streamBody(Pdf.contentOps(Seq("stream v2")), flate = true))
+    val d = Pdf.extractText(updated)
+    assert(d.stage == "ok" && d.text == "stream v2")
+  }
+
   test("inline images skip to EI; graphics operators don't disturb text") {
     val ops = ("BT /F1 12 Tf 72 720 Td (before) Tj ET " +
       "q 1 0 0 1 10 10 cm BI /W 2 /H 2 /BPC 8 /CS /G ID )( EI Q " +

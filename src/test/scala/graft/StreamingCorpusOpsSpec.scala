@@ -880,7 +880,10 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       val streamed = rows(spark.table("sc_charset_out"))
       val batch = rows(chain(arriving.toDF("media_id", "payload")))
       assert(streamed == batch)
-      assert(streamed.size == 56) // 19 charset arms × 2 + 9 encoding arms × 2
+      assert(streamed.size == 60) // 21 charset arms × 2 + 9 encoding arms × 2
+      // the undeclared-charset fallback holds on a stream too
+      assert(streamed((1L, 19))._5 == "legacy café 1")
+      assert(streamed((2L, 20))._5 == null)
       // spot-pin one cell of each matrix on the STREAMED side
       assert(streamed((1L, 1))._5 == "café résumé 1") // latin-1 decode
       assert(streamed((3L, 4))._5 == "both café 3")   // chunked-over-gzip
