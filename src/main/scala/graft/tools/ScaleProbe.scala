@@ -705,6 +705,44 @@ object ScaleProbe {
             "media_id", "payload"))
           .count()
       }
+      // pdf text extraction: xref-stream parse + object-stream inflate
+      // + content-stream text walk, all map-only — wall must track the
+      // blob count (each doc row becomes one 2-page modern-layout PDF)
+      probe(s"pdf_text x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Pdf.pdfXrefStream(Seq(
+            graft.operators.Pdf.Page(graft.operators.Pdf.contentOps(
+              Seq(s"Doc $s body", s"line $s more words here"))),
+            graft.operators.Pdf.Page(graft.operators.Pdf.contentOps(
+              Seq(s"page two of $s")))),
+            predictor = true, objStm = true)
+        })
+        graft.operators.Pdf.textRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("stage") === "ok").count()
+      }
+      // avro container walk: block split + inflate + record decode,
+      // all map-only — wall must track the blob count (each doc row
+      // becomes one 6-record deflate container)
+      probe(s"avro_records x$k") {
+        val schema =
+          """{"type":"record","name":"R","fields":[{"name":"id","type":"long"},{"name":"s","type":"string"}]}"""
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Avro.ocf(schema,
+            (0 until 6).map(i => Seq(
+              graft.operators.Avro.AVLong(s * 10 + i),
+              graft.operators.Avro.AVStr(s"row $s $i"))),
+            codec = "deflate", blockSize = 3, seed = s)
+        })
+        graft.operators.Avro.recordRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload").count()
+      }
       // URL canonicalization is a map-only codegen expression — wall
       // must track the row count
       probe(s"url_canon x$k") {

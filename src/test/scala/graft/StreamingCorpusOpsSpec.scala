@@ -1033,4 +1033,83 @@ class StreamingCorpusOpsSpec extends SparkSpec {
       assert(batch.size == 4)
     } finally q.stop()
   }
+
+  test("pdf text extraction streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pdf
+    val blobs = Seq(
+      (1L, Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("alpha doc", "line two")))))),
+      (2L, Pdf.pdfXrefStream(Seq(Pdf.Page(Pdf.contentOps(Seq("modern")))),
+        predictor = true, objStm = true)),
+      (3L, Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("cid")), cid = true)))),
+      (4L, "junk".getBytes("UTF-8")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Pdf.textRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_pdf_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs.take(2): _*); q.processAllAvailable()
+      in.addData(blobs.drop(2): _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+      val batch = rows(Pdf.textRows(blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_pdf_out")) == batch)
+      assert(batch == Set(
+        (1L, 1, "ok", "alpha doc\nline two"),
+        (2L, 1, "ok", "modern"),
+        (3L, 1, "cid_font", null),
+        (4L, 0, "parse", null)))
+    } finally q.stop()
+  }
+
+  test("avro records + license detection + main content stream identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Avro, Html, License}
+    // three independent map-only extractors certified streaming-legal
+    // in one pass each
+    val schema = """{"type":"record","name":"R","fields":[{"name":"id","type":"long"}]}"""
+    val avroBlobs = Seq(
+      (1L, Avro.ocf(schema, Seq(Seq(Avro.AVLong(7L)), Seq(Avro.AVLong(8L))), codec = "deflate")),
+      (2L, "junk".getBytes("UTF-8")))
+    val inA = MemoryStream[(Long, Array[Byte])]
+    val qA = Avro.recordRows(inA.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_avro_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inA.addData(avroBlobs: _*); qA.processAllAvailable()
+      val got = spark.table("sc_avro_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+      assert(got == Set((1L, 0, "id", "7"), (1L, 1, "id", "8")))
+    } finally qA.stop()
+
+    val docs = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\nx"),
+      (2L, "no license"))
+    val inL = MemoryStream[(Long, String)]
+    val qL = License.licenseRows(inL.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("sc_lic_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inL.addData(docs: _*); qL.processAllAvailable()
+      val got = spark.table("sc_lic_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((1L, "MIT", "spdx"), (2L, null, "none")))
+    } finally qL.stop()
+
+    val pages = Seq((1L,
+      "<nav><a href=\"/\">Home</a></nav><p>one two three four five six seven eight nine</p>"))
+    val inM = MemoryStream[(Long, String)]
+    val qM = Html.blockRows(inM.toDF().toDF("media_id", "html"), "media_id", "html")
+      .writeStream.format("memory").queryName("sc_main_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inM.addData(pages: _*); qM.processAllAvailable()
+      val got = spark.table("sc_main_out").collect()
+        .map(r => (r.getInt(1), r.getBoolean(5), r.getString(6))).toSet
+      assert(got == Set(
+        (0, false, "Home"),
+        (1, true, "one two three four five six seven eight nine")))
+    } finally qM.stop()
+  }
 }
