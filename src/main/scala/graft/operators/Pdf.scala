@@ -207,7 +207,10 @@ object Pdf {
       }
       if (!digits && !dot) throw new Malformed(s"number expected at $start")
       lastWasInt = !dot
-      java.lang.Double.parseDouble(new String(b, start, pos - start, StandardCharsets.US_ASCII))
+      // "1.2.3"-style junk throws NumberFormatException — surface it as
+      // Malformed so lookahead restores cleanly instead of failing the doc
+      try java.lang.Double.parseDouble(new String(b, start, pos - start, StandardCharsets.US_ASCII))
+      catch { case _: NumberFormatException => throw new Malformed("junk number") }
     }
 
     def name(): String = {
@@ -961,12 +964,19 @@ object Pdf {
       if (chain == null) return PdfDoc(0, null, "xref")
       val (xref, trailer, encrypted) = chain
       val doc = new Doc(bytes, xref)
+      if (encrypted) {
+        // the stage must read 'encrypted' even when the page tree rides
+        // an (encrypted, hence unreadable) object stream — so the count
+        // is best-effort and the verdict never degrades to 'parse'
+        val n = try collectPages(doc, trailer) match {
+          case Right(ps) => ps.length
+          case Left(_) => 0
+        } catch { case scala.util.control.NonFatal(_) => 0 }
+        return PdfDoc(n, null, "encrypted")
+      }
       collectPages(doc, trailer) match {
         case Left(stage) => PdfDoc(0, null, stage)
         case Right(pages) =>
-          // structure is plaintext under standard security handlers, so
-          // the page COUNT stays honest; strings/streams are ciphertext
-          if (encrypted) return PdfDoc(pages.length, null, "encrypted")
           val sb = new java.lang.StringBuilder()
           var stage: String = null
           pages.foreach { case (page, fontDict) =>

@@ -227,6 +227,27 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  test("review finding: 'encrypted' verdict survives a ciphertext object stream") {
+    // in a real encrypted PDF the ObjStm payload is ciphertext, so the
+    // page tree is unreadable — the stage must still read 'encrypted'
+    // (count best-effort 0), never degrade to 'parse'
+    val b = Pdf.pdfXrefStream(Seq(Pdf.Page(Pdf.contentOps(Seq("secret")))), objStm = true)
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // splice /Encrypt into the xref stream's dict (the last object —
+    // no offset after it shifts)
+    val withEnc = s.replace("/Root 1 0 R /Filter", "/Encrypt 99 0 R /Root 1 0 R /Filter")
+    assert(withEnc != s)
+    val plain = Pdf.extractText(withEnc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(plain.stage == "encrypted" && plain.n_pages == 1 && plain.text == null)
+    // now the ObjStm payload is garbage (what real ciphertext looks
+    // like to a non-decrypting reader): count degrades, stage holds
+    val enc = withEnc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objStmData = withEnc.indexOf(">>\nstream\n") + 10
+    enc(objStmData + 1) = (enc(objStmData + 1) ^ 0x7F).toByte
+    val d = Pdf.extractText(enc)
+    assert(d.stage == "encrypted" && d.n_pages == 0 && d.text == null)
+  }
+
   test("incremental update over an xref-stream base: the hybrid /Prev chain walks") {
     val base = Pdf.pdfXrefStream(Seq(Pdf.Page(Pdf.contentOps(Seq("stream v1")))), objStm = true)
     assert(Pdf.extractText(base).text == "stream v1")
