@@ -812,7 +812,100 @@ object Pdf {
     Right(out.result())
   }
 
-  /** Font dict → its byte decode table, or the degrade stage. */
+  /** The Adobe Glyph List subset a re-encoded simple font actually
+    * references: every glyph NAME behind the three Annex D tables
+    * (letters are their own names; digits and punctuation are spelled
+    * out), the Latin-1 accents, the typographic set, and the published
+    * `uniXXXX` convention. Enough to resolve the `/Differences` arrays
+    * real Type1 re-encodings (TeX output, subset embeds) ship.
+    */
+  private val GlyphNames: Map[String, Char] = {
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine").zipWithIndex.map { case (n, i) => n -> ('0' + i).toChar }
+    val ascii = Seq(
+      "space" -> 0x20, "exclam" -> 0x21, "quotedbl" -> 0x22, "numbersign" -> 0x23,
+      "dollar" -> 0x24, "percent" -> 0x25, "ampersand" -> 0x26, "quotesingle" -> 0x27,
+      "parenleft" -> 0x28, "parenright" -> 0x29, "asterisk" -> 0x2A, "plus" -> 0x2B,
+      "comma" -> 0x2C, "hyphen" -> 0x2D, "period" -> 0x2E, "slash" -> 0x2F,
+      "colon" -> 0x3A, "semicolon" -> 0x3B, "less" -> 0x3C, "equal" -> 0x3D,
+      "greater" -> 0x3E, "question" -> 0x3F, "at" -> 0x40, "bracketleft" -> 0x5B,
+      "backslash" -> 0x5C, "bracketright" -> 0x5D, "asciicircum" -> 0x5E,
+      "underscore" -> 0x5F, "grave" -> 0x60, "braceleft" -> 0x7B, "bar" -> 0x7C,
+      "braceright" -> 0x7D, "asciitilde" -> 0x7E)
+    val typographic = Seq(
+      "quoteleft" -> 0x2018, "quoteright" -> 0x2019, "quotedblleft" -> 0x201C,
+      "quotedblright" -> 0x201D, "quotesinglbase" -> 0x201A, "quotedblbase" -> 0x201E,
+      "endash" -> 0x2013, "emdash" -> 0x2014, "bullet" -> 0x2022, "ellipsis" -> 0x2026,
+      "dagger" -> 0x2020, "daggerdbl" -> 0x2021, "perthousand" -> 0x2030,
+      "guilsinglleft" -> 0x2039, "guilsinglright" -> 0x203A, "fi" -> 0xFB01,
+      "fl" -> 0xFB02, "Euro" -> 0x20AC, "trademark" -> 0x2122, "florin" -> 0x192,
+      "fraction" -> 0x2044, "minus" -> 0x2212, "lozenge" -> 0x25CA,
+      "circumflex" -> 0x2C6, "caron" -> 0x2C7, "breve" -> 0x2D8, "dotaccent" -> 0x2D9,
+      "ring" -> 0x2DA, "ogonek" -> 0x2DB, "tilde" -> 0x2DC, "hungarumlaut" -> 0x2DD)
+    val latin1 = Seq(
+      "exclamdown" -> 0xA1, "cent" -> 0xA2, "sterling" -> 0xA3, "currency" -> 0xA4,
+      "yen" -> 0xA5, "brokenbar" -> 0xA6, "section" -> 0xA7, "dieresis" -> 0xA8,
+      "copyright" -> 0xA9, "ordfeminine" -> 0xAA, "guillemotleft" -> 0xAB,
+      "logicalnot" -> 0xAC, "registered" -> 0xAE, "macron" -> 0xAF, "degree" -> 0xB0,
+      "plusminus" -> 0xB1, "twosuperior" -> 0xB2, "threesuperior" -> 0xB3,
+      "acute" -> 0xB4, "mu" -> 0xB5, "paragraph" -> 0xB6, "periodcentered" -> 0xB7,
+      "cedilla" -> 0xB8, "onesuperior" -> 0xB9, "ordmasculine" -> 0xBA,
+      "guillemotright" -> 0xBB, "onequarter" -> 0xBC, "onehalf" -> 0xBD,
+      "threequarters" -> 0xBE, "questiondown" -> 0xBF,
+      "Agrave" -> 0xC0, "Aacute" -> 0xC1, "Acircumflex" -> 0xC2, "Atilde" -> 0xC3,
+      "Adieresis" -> 0xC4, "Aring" -> 0xC5, "AE" -> 0xC6, "Ccedilla" -> 0xC7,
+      "Egrave" -> 0xC8, "Eacute" -> 0xC9, "Ecircumflex" -> 0xCA, "Edieresis" -> 0xCB,
+      "Igrave" -> 0xCC, "Iacute" -> 0xCD, "Icircumflex" -> 0xCE, "Idieresis" -> 0xCF,
+      "Eth" -> 0xD0, "Ntilde" -> 0xD1, "Ograve" -> 0xD2, "Oacute" -> 0xD3,
+      "Ocircumflex" -> 0xD4, "Otilde" -> 0xD5, "Odieresis" -> 0xD6, "multiply" -> 0xD7,
+      "Oslash" -> 0xD8, "Ugrave" -> 0xD9, "Uacute" -> 0xDA, "Ucircumflex" -> 0xDB,
+      "Udieresis" -> 0xDC, "Yacute" -> 0xDD, "Thorn" -> 0xDE, "germandbls" -> 0xDF,
+      "agrave" -> 0xE0, "aacute" -> 0xE1, "acircumflex" -> 0xE2, "atilde" -> 0xE3,
+      "adieresis" -> 0xE4, "aring" -> 0xE5, "ae" -> 0xE6, "ccedilla" -> 0xE7,
+      "egrave" -> 0xE8, "eacute" -> 0xE9, "ecircumflex" -> 0xEA, "edieresis" -> 0xEB,
+      "igrave" -> 0xEC, "iacute" -> 0xED, "icircumflex" -> 0xEE, "idieresis" -> 0xEF,
+      "eth" -> 0xF0, "ntilde" -> 0xF1, "ograve" -> 0xF2, "oacute" -> 0xF3,
+      "ocircumflex" -> 0xF4, "otilde" -> 0xF5, "odieresis" -> 0xF6, "divide" -> 0xF7,
+      "oslash" -> 0xF8, "ugrave" -> 0xF9, "uacute" -> 0xFA, "ucircumflex" -> 0xFB,
+      "udieresis" -> 0xFC, "yacute" -> 0xFD, "thorn" -> 0xFE, "ydieresis" -> 0xFF,
+      "Ydieresis" -> 0x178, "OE" -> 0x152, "oe" -> 0x153, "Scaron" -> 0x160,
+      "scaron" -> 0x161, "Zcaron" -> 0x17D, "zcaron" -> 0x17E, "Lslash" -> 0x141,
+      "lslash" -> 0x142, "dotlessi" -> 0x131)
+    (digits ++ (ascii ++ typographic ++ latin1).map { case (n, c) => n -> c.toChar }).toMap
+  }
+
+  /** Glyph name → char: single ASCII letters are their own names, the
+    * `uniXXXX`/`uXXXX` conventions map directly, everything else via
+    * the table. 0 = unknown (the caller degrades — a guessed glyph
+    * would silently substitute text).
+    */
+  private def glyphChar(name: String): Char = {
+    if (name.length == 1) {
+      val c = name.charAt(0)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) return c
+    }
+    if ((name.length == 7 && name.startsWith("uni")) ||
+      (name.length == 5 && name.charAt(0) == 'u')) {
+      val hexAt = if (name.length == 7) 3 else 1
+      var v = 0
+      var i = hexAt
+      while (i < name.length) {
+        val d = Character.digit(name.charAt(i), 16)
+        if (d < 0) return GlyphNames.getOrElse(name, 0.toChar)
+        v = v * 16 + d
+        i += 1
+      }
+      if (v >= 0x20 && v < 0xD800) return v.toChar
+    }
+    GlyphNames.getOrElse(name, 0.toChar)
+  }
+
+  /** Font dict → its byte decode table, or the degrade stage. A
+    * `/Differences` array overlays the base table glyph by glyph
+    * (code, names…) — an UNRESOLVABLE glyph name degrades the font
+    * whole (`encoding`): substituting a guess would silently rewrite
+    * text.
+    */
   private def fontEncoding(doc: Doc, fd: PVal): Either[String, Array[Char]] =
     doc.resolve(fd) match {
       case d: PDict =>
@@ -823,12 +916,29 @@ object Pdf {
           case PName("MacRomanEncoding") => Right(MacRoman)
           case PName("StandardEncoding") => Right(Standard)
           case e: PDict =>
-            if (e.m.contains("Differences")) Left("encoding")
-            else e.m.get("BaseEncoding") match {
-              case None => Right(Standard)
-              case Some(PName("WinAnsiEncoding")) => Right(WinAnsi)
-              case Some(PName("MacRomanEncoding")) => Right(MacRoman)
-              case Some(PName("StandardEncoding")) => Right(Standard)
+            val base = e.m.get("BaseEncoding") match {
+              case None => Standard
+              case Some(PName("WinAnsiEncoding")) => WinAnsi
+              case Some(PName("MacRomanEncoding")) => MacRoman
+              case Some(PName("StandardEncoding")) => Standard
+              case _ => return Left("encoding")
+            }
+            doc.resolve(e.m.getOrElse("Differences", PNull)) match {
+              case PNull => Right(base)
+              case PArr(xs) =>
+                val t = base.clone()
+                var code = -1
+                xs.foreach {
+                  case PNum(c) if c >= 0 && c <= 255 => code = c.toInt
+                  case PName(g) if code >= 0 =>
+                    val ch = glyphChar(g)
+                    if (ch == 0.toChar) return Left("encoding")
+                    t(code) = ch
+                    code += 1
+                    if (code > 256) return Left("encoding")
+                  case _ => return Left("encoding")
+                }
+                Right(t)
               case _ => Left("encoding")
             }
           case _ => Left("encoding")
@@ -1084,10 +1194,23 @@ object Pdf {
   }
 
   /** One fixture page: raw content-op bytes + the font its `/F1`
-    * declares. `cid = true` writes a Type0 font (the CID degrade arm).
+    * declares. `cid = true` writes a Type0 font (the CID degrade arm);
+    * a non-empty `differences` writes an encoding DICT re-encoding
+    * those (code, glyph-name) slots over the base.
     */
   final case class Page(content: Array[Byte], encoding: String = "WinAnsiEncoding",
-      cid: Boolean = false)
+      cid: Boolean = false, differences: Seq[(Int, String)] = Nil)
+
+  /** The `/F1` font dict body a fixture page declares. */
+  private def fontBody(pg: Page): String =
+    if (pg.cid)
+      "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H /Encoding /Identity-H >>"
+    else if (pg.differences.nonEmpty)
+      s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding " +
+        s"<< /BaseEncoding /${pg.encoding} /Differences [" +
+        pg.differences.map { case (c, g) => s"$c /$g" }.mkString(" ") + "] >> >>"
+    else
+      s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /${pg.encoding} >>"
 
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
@@ -1140,10 +1263,7 @@ object Pdf {
       objS(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 ${pageNum + 2} 0 R >> >> /Contents ${pageNum + 1} 0 R >>")
       obj(streamBody(pg.content, flate))
-      if (pg.cid)
-        objS("<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H /Encoding /Identity-H >>")
-      else
-        objS(s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /${pg.encoding} >>")
+      objS(fontBody(pg))
     }
     val encObj = if (encrypted)
       Some(objS("<< /Filter /Standard /V 1 /R 2 /O (xx) /U (yy) /P -44 >>"))
@@ -1186,11 +1306,7 @@ object Pdf {
         (num - 3) % 3 match {
           case 0 => s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
             s"/Resources << /Font << /F1 ${num + 2} 0 R >> >> /Contents ${num + 1} 0 R >>"
-          case _ =>
-            if (pg.cid)
-              "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H /Encoding /Identity-H >>"
-            else
-              s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /${pg.encoding} >>"
+          case _ => fontBody(pg)
         }
       }
     val total = 2 + 3 * n

@@ -110,6 +110,41 @@ object PdfQueries {
       )
     ),
 
+    // RE-ENCODED simple fonts — the /Differences overlay TeX output
+    // and subset embeds actually ship: (code, glyph-name…) slots over
+    // a base encoding, resolved through the Adobe Glyph List subset
+    // (spelled-out names, letters, uniXXXX). Every 5th key names a
+    // glyph outside the list and the whole font degrades ('encoding')
+    // — substituting a guess would silently rewrite text. Map-only.
+    Q(
+      "q_pdf_differences",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val ops = s"BT /F1 12 Tf 72 720 Td (doc $k \\310\\311\\312\\313) Tj ET"
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val diffs =
+            if (k % 5 == 0) Seq((200, "nosuchglyph"))
+            else Seq((200, "Euro"), (201, "uni0142"), (202, "quotedblleft"), (203, "seven"))
+          Pdf.pdf(Seq(Pdf.Page(ops, differences = diffs)))
+        })
+        val out = Pdf.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CAST(1 AS INT) AS n_pages,
+          |  CASE WHEN n_nationkey % 5 = 0 THEN 'encoding' ELSE 'ok' END AS stage,
+          |  CASE WHEN n_nationkey % 5 = 0 THEN NULL
+          |       ELSE 'doc ' || n_nationkey || ' €ł“7' END AS text
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // INCREMENTAL updates — how PDFs are edited in place: appended
     // objects + a new xref whose /Prev chains to the old table, newest
     // generation winning per object (the dump merge's rev_id

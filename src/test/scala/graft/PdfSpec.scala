@@ -105,6 +105,22 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.Standard(0xE0) == 0.toChar) // undefined slot stays undefined
   }
 
+  test("/Differences re-encoding: AGL names, uniXXXX, letters, digits; unknown degrades") {
+    val diff = Seq((200, "Euro"), (201, "lslash"), (202, "uni0142"),
+      (203, "quotedblleft"), (204, "Q"), (205, "seven"))
+    val ops = "BT /F1 12 Tf 72 720 Td (x\\310\\311\\312\\313\\314\\315y) Tj ET"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = Pdf.extractText(Pdf.pdf(Seq(Pdf.Page(ops, differences = diff))))
+    assert(d.stage == "ok")
+    assert(d.text == "x€łł“Q7y")
+    // codes OUTSIDE the differences still read the base (WinAnsi 'x','y')
+    // — asserted by the x/y above. An unknown glyph degrades the font
+    // whole: substituting a guess would silently rewrite text
+    val bad = Pdf.pdf(Seq(Pdf.Page(ops, differences = Seq((200, "notarealglyph")))))
+    val db = Pdf.extractText(bad)
+    assert(db.stage == "encoding" && db.text == null && db.n_pages == 1)
+  }
+
   test("degrades: encrypted, CID font, unknown filter, predictor, xref stream, junk") {
     val enc = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("secret")))), encrypted = true)
     val de = Pdf.extractText(enc)
