@@ -1123,6 +1123,103 @@ object Pdf {
     }
   }
 
+  /** PDFDocEncoding (Annex D Table D.2) — what an /Info text string
+    * WITHOUT a UTF-16 BOM means: Latin-1 with the typographic set in
+    * 0x80–0x9F and the euro at 0xA0's neighbor block. Only the decode
+    * direction is needed (fixtures write through the inverse).
+    */
+  private val PdfDocHigh: Array[Char] = Array(
+    '•', '†', '‡', '…', '—', '–', 'ƒ', '⁄',
+    '‹', '›', '−', '‰', '„', '“', '”', '‘',
+    '’', '‚', '™', 'ﬁ', 'ﬂ', 'Ł', 'Œ', 'Š',
+    'Ÿ', 'Ž', 'ı', 'ł', 'œ', 'š', 'ž', 0.toChar)
+
+  /** One PDF TEXT STRING (§7.9.2.2): UTF-16BE when it leads with the
+    * FE FF BOM, PDFDocEncoding otherwise. Undefined slots → U+FFFD.
+    */
+  private[graft] def decodeTextString(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+      return new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach { b0 =>
+      val b = b0 & 0xFF
+      val c =
+        if (b >= 0x80 && b <= 0x9F) PdfDocHigh(b - 0x80)
+        else if (b == 0xA0) '€' // Table D.2 puts the euro at 240 octal
+        else b.toChar
+      sb.append(if (c == 0.toChar) '�' else c)
+    }
+    sb.toString
+  }
+
+  /** Fixture-side text-string literal: UTF-16BE with BOM
+    * (`utf16 = true`) or PDFDocEncoding, octal-escaped into `(…)`.
+    */
+  def textStringLit(s: String, utf16: Boolean): String = {
+    val bytes: Array[Byte] =
+      if (utf16) Array(0xFE.toByte, 0xFF.toByte) ++ s.getBytes(StandardCharsets.UTF_16BE)
+      else s.map { ch =>
+        if (ch < 0x80) ch.toByte
+        else if (ch == '€') 0xA0.toByte
+        else {
+          val hi = PdfDocHigh.indexOf(ch)
+          if (hi >= 0) (0x80 + hi).toByte
+          else { require(ch <= 0xFF, s"fixture char '$ch' not PDFDoc-encodable"); ch.toByte }
+        }
+      }.toArray
+    val sb = new java.lang.StringBuilder("(")
+    bytes.foreach { b0 =>
+      val b = b0 & 0xFF
+      if (b == '(' || b == ')' || b == '\\') { sb.append('\\'); sb.append(b.toChar) }
+      else if (b >= 32 && b < 127) sb.append(b.toChar)
+      else sb.append(f"\\$b%03o")
+    }
+    sb.append(')').toString
+  }
+
+  /** The document-information dictionary's Title/Author — the metadata
+    * a corpus keys dedup and provenance on. Null fields when absent or
+    * on any degrade (the text extractor's stages already count those).
+    */
+  def extractInfo(bytes: Array[Byte]): (String, String) = {
+    try {
+      if (bytes == null || bytes.length < 16 ||
+        !(bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'))
+        return (null, null)
+      val sx = lastStartxref(bytes)
+      if (sx < 0 || sx >= bytes.length) return (null, null)
+      val chain = readXrefChain(bytes, sx)
+      if (chain == null) return (null, null)
+      val (xref, trailer, _) = chain
+      val doc = new Doc(bytes, xref)
+      doc.resolve(trailer.m.getOrElse("Info", PNull)) match {
+        case d: PDict =>
+          def s(k: String): String = doc.resolve(d.m.getOrElse(k, PNull)) match {
+            case PStr(b) => decodeTextString(b)
+            case _ => null
+          }
+          (s("Title"), s("Author"))
+        case _ => (null, null)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => (null, null)
+    }
+  }
+
+  /** Document metadata per row: (media_id, title, author). Map-only. */
+  def infoRows(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(df(idCol).cast("long"), df(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        val (t, a) = extractInfo(b)
+        (id, t, a)
+      }
+      .toDF(idCol, "title", "author")
+  }
+
   /** Extraction per document row: (media_id, n_pages, stage, text).
     * Map-only.
     */
@@ -1239,7 +1336,8 @@ object Pdf {
     * what the reader honors — fixture strings stay plaintext, which is
     * exactly why the reader must NOT attempt them).
     */
-  def pdf(pages: Seq[Page], flate: Boolean = true, encrypted: Boolean = false): Array[Byte] = {
+  def pdf(pages: Seq[Page], flate: Boolean = true, encrypted: Boolean = false,
+      info: Option[(String, String)] = None, infoUtf16: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     w("%PDF-1.4\n%âãÏÓ\n")
@@ -1268,13 +1366,18 @@ object Pdf {
     val encObj = if (encrypted)
       Some(objS("<< /Filter /Standard /V 1 /R 2 /O (xx) /U (yy) /P -44 >>"))
     else None
+    val infoObj = info.map { case (title, author) =>
+      objS(s"<< /Title ${textStringLit(title, infoUtf16)} " +
+        s"/Author ${textStringLit(author, infoUtf16)} >>")
+    }
 
     val xrefOff = out.size()
     w(s"xref\n0 ${offsets.length + 1}\n")
     w("0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R" +
-      encObj.map(e => s" /Encrypt $e 0 R").getOrElse("") + " >>\n")
+      encObj.map(e => s" /Encrypt $e 0 R").getOrElse("") +
+      infoObj.map(i => s" /Info $i 0 R").getOrElse("") + " >>\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }

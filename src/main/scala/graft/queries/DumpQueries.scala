@@ -940,16 +940,17 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the four ingest families this engine
+    // THE SOURCE-UNION CAPSTONE: the five ingest families this engine
     // reads — published dumps (bz2 XML → wikitext strip), crawl
     // archives (WARC → HTTP → text), PDFs (xref → content streams →
-    // text), and dataset shards (tar → samples) — land in ONE corpus
-    // frame, deduped exactly ACROSS sources (texts collide across
-    // families by construction; the canonical-source rank breaks
-    // ties: dump beats crawl beats pdf beats shard) with per-source
-    // admission accounting. Two shuffles total: the text-keyed dedup
-    // window and the per-source rollup; every reader upstream is the
-    // map-only walk its own gate already pins.
+    // text), Avro containers (blocks → string records), and dataset
+    // shards (tar → samples) — land in ONE corpus frame, deduped
+    // exactly ACROSS sources (texts collide across families by
+    // construction; the canonical-source rank breaks ties:
+    // dump > crawl > pdf > avro > shard) with per-source admission
+    // accounting. Two shuffles total: the text-keyed dedup window and
+    // the per-source rollup; every reader upstream is the map-only
+    // walk its own gate already pins.
     Q(
       "q_corpus_union",
       (spark, dir) => {
@@ -994,6 +995,16 @@ object DumpQueries {
           .select(col("media_id"), col("text"))
           .withColumn("source", lit("pdf"))
 
+        val avroMk = udf((k: Long) => graft.operators.Avro.ocf(
+          """{"type":"record","name":"D","fields":[{"name":"text","type":"string"}]}""",
+          Seq(Seq(graft.operators.Avro.AVStr(
+            if (k % 11 == 0) s"common ${k % 4}" else s"avro only $k"))), seed = k))
+        val avroSrc = graft.operators.Avro.recordRows(
+          keys.withColumn("payload", avroMk(col("media_id"))), "media_id", "payload")
+          .filter(col("field") === "text")
+          .select(col("media_id"), col("value").as("text"))
+          .withColumn("source", lit("avro"))
+
         val tarMk = udf((k: Long) => TarShard.tar(Seq((f"$k%06d.txt", "0",
           (if (k % 3 == 0) s"common ${k % 4}" else s"shard only $k").getBytes("UTF-8")))))
         val shard = TarShard.sampleRows(
@@ -1002,11 +1013,13 @@ object DumpQueries {
           .select(col("media_id"), col("data").cast("string").as("text"))
           .withColumn("source", lit("shard"))
 
-        val all = dump.unionByName(crawl).unionByName(pdfSrc).unionByName(shard)
+        val all = dump.unionByName(crawl).unionByName(pdfSrc)
+          .unionByName(avroSrc).unionByName(shard)
           .withColumn("rank",
             when(col("source") === "dump", 0)
               .when(col("source") === "crawl", 1)
-              .when(col("source") === "pdf", 2).otherwise(3))
+              .when(col("source") === "pdf", 2)
+              .when(col("source") === "avro", 3).otherwise(4))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1035,7 +1048,12 @@ object DumpQueries {
           |         ELSE 'pdf only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 3, k,
+          |  SELECT 'avro', 3, k,
+          |    CASE WHEN k % 11 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'avro only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'shard', 4, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n

@@ -145,6 +145,42 @@ object PdfQueries {
       )
     ),
 
+    // DOCUMENT METADATA — the /Info Title/Author a corpus keys
+    // provenance and metadata dedup on, under BOTH text-string
+    // encodings the spec defines (§7.9.2.2): UTF-16BE behind the
+    // FE FF BOM on even keys (a Greek char proves the wide path),
+    // PDFDocEncoding otherwise (em-dash and curly quotes prove the
+    // 0x80–0x9F table), absent /Info staying countable NULLs.
+    // Map-only.
+    Q(
+      "q_pdf_info",
+      (spark, dir) => {
+        val mk = udf((k: Long) => Pdf.pdf(
+          Seq(Pdf.Page(Pdf.contentOps(Seq(s"body $k")))),
+          info =
+            if (k % 7 == 0) None
+            else if (k % 2 == 0) Some((s"π — $k", s"“$k”"))
+            else Some((s"Tít — $k", s"“$k”")),
+          infoUtf16 = k % 2 == 0))
+        val out = Pdf.infoRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE WHEN n_nationkey % 7 = 0 THEN NULL
+          |       WHEN n_nationkey % 2 = 0 THEN 'π — ' || n_nationkey
+          |       ELSE 'Tít — ' || n_nationkey END AS title,
+          |  CASE WHEN n_nationkey % 7 = 0 THEN NULL
+          |       ELSE '“' || n_nationkey || '”' END AS author
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // INCREMENTAL updates — how PDFs are edited in place: appended
     // objects + a new xref whose /Prev chains to the old table, newest
     // generation winning per object (the dump merge's rev_id

@@ -309,6 +309,20 @@ class PdfSpec extends SparkSpec {
     assert(d.stage == "ok" && d.text == "part one and two")
   }
 
+  test("/Info metadata: UTF-16BE and PDFDocEncoding text strings; absent stays null") {
+    val both = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("x")))),
+      info = Some(("Tít — “q”", "A € B")), infoUtf16 = false)
+    assert(Pdf.extractInfo(both) == (("Tít — “q”", "A € B")))
+    val wide = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("x")))),
+      info = Some(("π ≤ Ω", "日本")), infoUtf16 = true)
+    assert(Pdf.extractInfo(wide) == (("π ≤ Ω", "日本")))
+    assert(Pdf.extractInfo(Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("x")))))) == ((null, null)))
+    assert(Pdf.extractInfo("junk".getBytes("UTF-8")) == ((null, null)))
+    assert(Pdf.extractInfo(null) == ((null, null)))
+    // the raw decoder's corners: BOM-less bytes are PDFDoc, 0xA0 is €
+    assert(Pdf.decodeTextString(Array(0x8D.toByte, 0x41, 0x8E.toByte, 0xA0.toByte)) == "“A”€")
+  }
+
   test("textRows: distributed walk is map-only; mixed outcomes coexist") {
     import spark.implicits._
     val rows = Seq(
