@@ -1234,6 +1234,48 @@ object DumpQueries {
       )
     ),
 
+    // EPUB ingest — the books source, as a pure COMPOSITION of shipped
+    // layers: zip walk → container.xml → OPF manifest/spine (reading
+    // order is the SPINE's, not the archive's — the fixture stores
+    // chapters in archive order but the gate's rows follow itemrefs) →
+    // XHTML chapters → the same HTML strip and token count every web
+    // page takes. Every 4th key spines a chapter whose FILE is absent:
+    // its row survives with NULLs (a torn book loses chapters,
+    // countable, never silently reordered). Map-only.
+    Q(
+      "q_epub_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val n = (2 + k % 2).toInt
+          val chapters = (0 until n).map(i =>
+            (s"ch$i.xhtml",
+              s"<html><body><h1>Ch $i</h1><p>prose $k $i words here</p></body></html>"))
+          graft.operators.Epub.epub(chapters,
+            missing = if (k % 4 == 0) Set("ch1.xhtml") else Set.empty)
+        })
+        val out = graft.operators.Epub.chapterRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .select(col("media_id"), col("chapter_idx"), col("href"),
+            TextAnalysis.stripHtml(col("xhtml")).as("text"),
+            TextAnalysis.tokenCount(TextAnalysis.stripHtml(col("xhtml"))).as("n_tokens"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |ch AS (SELECT k, CAST(i AS INT) AS i FROM n,
+          |       UNNEST(generate_series(0, 2)) u(i) WHERE i < 2 + k % 2)
+          |SELECT k AS media_id, i AS chapter_idx, 'ch' || i || '.xhtml' AS href,
+          |  CASE WHEN k % 4 = 0 AND i = 1 THEN NULL
+          |       ELSE 'Ch ' || i || ' prose ' || k || ' ' || i || ' words here' END AS text,
+          |  CASE WHEN k % 4 = 0 AND i = 1 THEN NULL ELSE CAST(7 AS INT) END AS n_tokens
+          |FROM ch""".stripMargin
+      )
+    ),
+
     // LICENSE detection — the code-corpus admission gate: SPDX tags
     // (the author's machine-readable declaration, tier 'spdx') beat
     // classic header phrases (tier 'header', family labels), both
