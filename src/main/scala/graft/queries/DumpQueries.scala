@@ -1276,6 +1276,87 @@ object DumpQueries {
       )
     ),
 
+    // NOTEBOOK ingest — the .ipynb share of real code corpora: cells
+    // extract with their type, JOINED source (the format stores one
+    // string or a list of lines — both arms here), and the output
+    // COUNT (outputs are the classic notebook bloat: counted as
+    // signal, never admitted as text). Map-only on the executor-side
+    // lenient JSON.
+    Q(
+      "q_notebook_cells",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val outs = (0 until (k % 3).toInt)
+            .map(_ => """{"output_type": "stream"}""").mkString(",")
+          val lang = if (k % 2 == 0) "python" else "scala"
+          s"""{"nbformat": 4, "metadata": {"language_info": {"name": "$lang"}},""" +
+            """ "cells": [""" +
+            s"""{"cell_type": "markdown", "source": ["# Nb $k\\n", "prose $k"]},""" +
+            s"""{"cell_type": "code", "source": "print($k)", "outputs": [$outs]}""" +
+            (if (k % 4 == 0) s""",{"cell_type": "raw", "source": "r $k"}""" else "") +
+            "]}"
+        })
+        val out = graft.operators.Notebook.cellRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("json", mk(col("media_id"))),
+          "media_id", "json")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id, CAST(0 AS INT) AS cell_idx, 'markdown' AS cell_type,
+          |  '# Nb ' || k || chr(10) || 'prose ' || k AS source,
+          |  CAST(0 AS INT) AS n_outputs
+          |FROM n
+          |UNION ALL
+          |SELECT k, CAST(1 AS INT), 'code', 'print(' || k || ')', CAST(k % 3 AS INT)
+          |FROM n
+          |UNION ALL
+          |SELECT k, CAST(2 AS INT), 'raw', 'r ' || k, CAST(0 AS INT)
+          |FROM n WHERE k % 4 = 0""".stripMargin
+      )
+    ),
+
+    // The notebook degrade LEDGER: ok / junk JSON ('parse') / the
+    // 2015 worksheets layout ('format' — guessing the old shape would
+    // silently mis-join sources; note the LANGUAGE still extracts
+    // from metadata, countable per-language even for degraded docs) /
+    // a cell-less v4 ('format'). Map-only.
+    Q(
+      "q_notebook_stages",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 0 =>
+            s"""{"nbformat": 4, "metadata": {"kernelspec": {"language": "python"}},""" +
+              s""" "cells": [{"cell_type": "code", "source": "x = $k"},""" +
+              s"""{"cell_type": "markdown", "source": "m $k"}]}"""
+          case 1 => s"junk $k"
+          case 2 =>
+            s"""{"nbformat": 3, "metadata": {"language_info": {"name": "r"}},""" +
+              """ "worksheets": [{"cells": []}]}"""
+          case _ => s"""{"nbformat": 4, "metadata": {}}"""
+        })
+        val out = graft.operators.Notebook.docRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("json", mk(col("media_id"))),
+          "media_id", "json")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'ok' WHEN 1 THEN 'parse'
+          |       ELSE 'format' END AS stage,
+          |  CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'python' WHEN 2 THEN 'r'
+          |       ELSE NULL END AS language,
+          |  CAST(CASE WHEN n_nationkey % 4 = 0 THEN 2 ELSE 0 END AS INT) AS n_cells
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // LICENSE detection — the code-corpus admission gate: SPDX tags
     // (the author's machine-readable declaration, tier 'spdx') beat
     // classic header phrases (tier 'header', family labels), both
