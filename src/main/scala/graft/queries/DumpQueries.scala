@@ -940,17 +940,17 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the five ingest families this engine
+    // THE SOURCE-UNION CAPSTONE: the six ingest families this engine
     // reads — published dumps (bz2 XML → wikitext strip), crawl
     // archives (WARC → HTTP → text), PDFs (xref → content streams →
-    // text), Avro containers (blocks → string records), and dataset
-    // shards (tar → samples) — land in ONE corpus frame, deduped
-    // exactly ACROSS sources (texts collide across families by
-    // construction; the canonical-source rank breaks ties:
-    // dump > crawl > pdf > avro > shard) with per-source admission
-    // accounting. Two shuffles total: the text-keyed dedup window and
-    // the per-source rollup; every reader upstream is the map-only
-    // walk its own gate already pins.
+    // text), EPUB books (zip → OPF spine → chapters), Avro containers
+    // (blocks → string records), and dataset shards (tar → samples) —
+    // land in ONE corpus frame, deduped exactly ACROSS sources (texts
+    // collide across families by construction; the canonical-source
+    // rank breaks ties: dump > crawl > pdf > epub > avro > shard)
+    // with per-source admission accounting. Two shuffles total: the
+    // text-keyed dedup window and the per-source rollup; every reader
+    // upstream is the map-only walk its own gate already pins.
     Q(
       "q_corpus_union",
       (spark, dir) => {
@@ -995,6 +995,13 @@ object DumpQueries {
           .select(col("media_id"), col("text"))
           .withColumn("source", lit("pdf"))
 
+        val epubMk = udf((k: Long) => graft.operators.Epub.epub(Seq(
+          ("c0.xhtml", if (k % 9 == 0) s"common ${k % 4}" else s"epub only $k"))))
+        val epubSrc = graft.operators.Epub.chapterRows(
+          keys.withColumn("payload", epubMk(col("media_id"))), "media_id", "payload")
+          .select(col("media_id"), col("xhtml").as("text")) // fixture chapters are bare text
+          .withColumn("source", lit("epub"))
+
         val avroMk = udf((k: Long) => graft.operators.Avro.ocf(
           """{"type":"record","name":"D","fields":[{"name":"text","type":"string"}]}""",
           Seq(Seq(graft.operators.Avro.AVStr(
@@ -1014,12 +1021,13 @@ object DumpQueries {
           .withColumn("source", lit("shard"))
 
         val all = dump.unionByName(crawl).unionByName(pdfSrc)
-          .unionByName(avroSrc).unionByName(shard)
+          .unionByName(epubSrc).unionByName(avroSrc).unionByName(shard)
           .withColumn("rank",
             when(col("source") === "dump", 0)
               .when(col("source") === "crawl", 1)
               .when(col("source") === "pdf", 2)
-              .when(col("source") === "avro", 3).otherwise(4))
+              .when(col("source") === "epub", 3)
+              .when(col("source") === "avro", 4).otherwise(5))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1048,12 +1056,17 @@ object DumpQueries {
           |         ELSE 'pdf only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'avro', 3, k,
+          |  SELECT 'epub', 3, k,
+          |    CASE WHEN k % 9 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'epub only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'avro', 4, k,
           |    CASE WHEN k % 11 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'avro only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 4, k,
+          |  SELECT 'shard', 5, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n

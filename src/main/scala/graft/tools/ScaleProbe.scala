@@ -724,6 +724,20 @@ object ScaleProbe {
           "media_id", "payload")
           .filter(col("stage") === "ok").count()
       }
+      // epub walk: zip members + container/OPF parse + spine chapters,
+      // all map-only — wall must track the blob count (each doc row
+      // becomes one 3-chapter book)
+      probe(s"epub_chapters x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Epub.epub((0 until 3).map(i =>
+            (s"ch$i.xhtml", s"<html><body><p>book $s chapter $i prose</p></body></html>")))
+        })
+        graft.operators.Epub.chapterRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload").count()
+      }
       // avro container walk: block split + inflate + record decode,
       // all map-only — wall must track the blob count (each doc row
       // becomes one 6-record deflate container)

@@ -1063,6 +1063,38 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("epub chapters + notebook cells stream identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Epub, Notebook}
+    val books = Seq(
+      (1L, Epub.epub(Seq(("a.xhtml", "<p>one</p>"), ("b.xhtml", "<p>two</p>")))),
+      (2L, "junk".getBytes("UTF-8")))
+    val inE = MemoryStream[(Long, Array[Byte])]
+    val qE = Epub.chapterRows(inE.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_epub_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inE.addData(books: _*); qE.processAllAvailable()
+      val got = spark.table("sc_epub_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+      assert(got == Set((1L, 0, "a.xhtml", "<p>one</p>"), (1L, 1, "b.xhtml", "<p>two</p>")))
+    } finally qE.stop()
+
+    val nbs = Seq(
+      (1L, """{"nbformat": 4, "cells": [{"cell_type": "code", "source": "x = 1"}]}"""),
+      (2L, "junk"))
+    val inN = MemoryStream[(Long, String)]
+    val qN = Notebook.cellRows(inN.toDF().toDF("media_id", "json"), "media_id", "json")
+      .writeStream.format("memory").queryName("sc_nb_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inN.addData(nbs: _*); qN.processAllAvailable()
+      val got = spark.table("sc_nb_out").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+      assert(got == Set((1L, "code", "x = 1")))
+    } finally qN.stop()
+  }
+
   test("avro records + license detection + main content stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Avro, Html, License}
