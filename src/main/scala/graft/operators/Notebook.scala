@@ -70,12 +70,17 @@ object Notebook {
                 val source = c.get("source") match {
                   case Some(JStr(s)) => s
                   case Some(JArr(xs)) =>
+                    // all-or-NULL like the string form: a truncated
+                    // source would be silently-partial code
                     val sb = new java.lang.StringBuilder()
+                    var over = false
                     xs.foreach {
-                      case JStr(s) if sb.length < maxSourceLen => sb.append(s): Unit
+                      case JStr(s) =>
+                        if (!over && sb.length + s.length <= maxSourceLen) sb.append(s): Unit
+                        else over = true
                       case _ => ()
                     }
-                    sb.toString
+                    if (over) null else sb.toString
                   case _ => ""
                 }
                 val nOutputs = c.get("outputs") match {
@@ -84,7 +89,7 @@ object Notebook {
                 }
                 out += ((idx,
                   cellType,
-                  if (source.length > maxSourceLen) null else source, // all-or-NULL
+                  if (source != null && source.length > maxSourceLen) null else source,
                   nOutputs))
                 idx += 1
               case _ => () // a non-object cell is junk: skipped, countable via idx gap-free emit

@@ -55,6 +55,12 @@ class NotebookSpec extends SparkSpec {
     val big = """{"nbformat": 4, "cells": [{"cell_type": "code", "source": """" +
       "x" * 100 + """"}]}"""
     assert(Notebook.read(big, maxSourceLen = 50).cells.head._3 == null) // refused, visible
+    // a LIST source over budget is refused whole too — never truncated
+    // to silently-partial code (review finding)
+    val bigList = """{"nbformat": 4, "cells": [{"cell_type": "code", "source": [""" +
+      (0 until 10).map(_ => "\"" + "y" * 10 + "\"").mkString(",") + "]}]}"
+    assert(Notebook.read(bigList, maxSourceLen = 50).cells.head._3 == null)
+    assert(Notebook.read(bigList, maxSourceLen = 500).cells.head._3 == "y" * 100)
   }
 
   test("distributed views map-only; mixed outcomes; license composition works") {
