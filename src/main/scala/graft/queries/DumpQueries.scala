@@ -1289,6 +1289,72 @@ object DumpQueries {
       )
     ),
 
+    // MBOX/email ingest — mailing-list archives as a corpus source:
+    // From_-separated RFC 5322 messages whose subjects carry RFC 2047
+    // encoded-words and whose bodies arrive quoted-printable / base64
+    // in any declared charset — decoded through the SAME strict
+    // charset layer as web text. Arms per archive: plain ascii, a
+    // QP latin-1 body under a Q-encoded subject, a base64 UTF-8 CJK
+    // body under a B-encoded subject, a multipart whose FIRST
+    // text/plain wins over the html part, and (every 5th key) an
+    // html-only message whose text stays a countable NULL. Map-only.
+    Q(
+      "q_mbox_messages",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          def m(i: Int, headers: String, body: String) =
+            s"From a$k@x.example Thu Jan  1 00:00:00 2026\n" +
+              s"From: A$k <a$k@x.example>\nMessage-ID: <m$k-$i@x>\n$headers\n\n$body\n"
+          val b64 = java.util.Base64.getEncoder.encodeToString(s"日本 $k".getBytes("UTF-8"))
+          val sb64 = java.util.Base64.getEncoder.encodeToString(s"題 $k".getBytes("UTF-8"))
+          m(0, s"Subject: Plain $k\nContent-Type: text/plain; charset=us-ascii",
+            s"body $k") +
+            m(1, s"Subject: =?iso-8859-1?Q?caf=E9_$k?=\n" +
+              "Content-Type: text/plain; charset=iso-8859-1\n" +
+              "Content-Transfer-Encoding: quoted-printable",
+              s"r=E9sum=E9 $k") +
+            m(2, s"Subject: =?utf-8?B?$sb64?=\n" +
+              "Content-Type: text/plain; charset=utf-8\n" +
+              "Content-Transfer-Encoding: base64", b64) +
+            m(3, s"Subject: Multi $k\nContent-Type: multipart/alternative; boundary=BB",
+              "--BB\nContent-Type: text/html\n\n<p>html</p>\n" +
+                s"--BB\nContent-Type: text/plain; charset=us-ascii\n\nplain $k\n--BB--") +
+            (if (k % 5 == 0)
+              m(4, s"Subject: HtmlOnly $k\nContent-Type: text/html; charset=utf-8",
+                s"<p>only html $k</p>")
+            else "")
+        })
+        val out = graft.operators.Mbox.messageRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("mbox", mk(col("media_id"))),
+          "media_id", "mbox")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |m AS (
+          |  SELECT k, 0 AS i, 'Plain ' || k AS subject, 'body ' || k AS text FROM n
+          |  UNION ALL
+          |  SELECT k, 1, 'café ' || k, 'résumé ' || k FROM n
+          |  UNION ALL
+          |  SELECT k, 2, '題 ' || k, '日本 ' || k FROM n
+          |  UNION ALL
+          |  SELECT k, 3, 'Multi ' || k, 'plain ' || k || chr(10) FROM n
+          |  UNION ALL
+          |  SELECT k, 4, 'HtmlOnly ' || k, NULL FROM n WHERE k % 5 = 0
+          |)
+          |SELECT k AS media_id, CAST(i AS INT) AS msg_idx,
+          |  'A' || k || ' <a' || k || '@x.example>' AS "from",
+          |  subject,
+          |  CAST(NULL AS VARCHAR) AS "date",
+          |  '<m' || k || '-' || i || '@x>' AS message_id,
+          |  text
+          |FROM m""".stripMargin
+      )
+    ),
+
     // NOTEBOOK ingest — the .ipynb share of real code corpora: cells
     // extract with their type, JOINED source (the format stores one
     // string or a list of lines — both arms here), and the output
