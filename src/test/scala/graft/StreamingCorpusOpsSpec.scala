@@ -1095,6 +1095,30 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally qN.stop()
   }
 
+  test("mbox messages stream identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Mbox
+    val mb = "From a@x Thu Jan  1 00:00:00 2026\nSubject: s1\n\nbody one\n" +
+      "From b@x Thu Jan  1 00:00:00 2026\n" +
+      "Subject: =?iso-8859-1?Q?caf=E9?=\n" +
+      "Content-Type: text/plain; charset=iso-8859-1\n" +
+      "Content-Transfer-Encoding: quoted-printable\n\ncaf=E9\n"
+    val archives = Seq((1L, mb), (2L, "junk"))
+    val in = MemoryStream[(Long, String)]
+    val q = Mbox.messageRows(in.toDF().toDF("media_id", "mbox"), "media_id", "mbox")
+      .writeStream.format("memory").queryName("sc_mbox_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(archives: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(3), r.getString(6))).toSet
+      val batch = rows(Mbox.messageRows(archives.toDF("media_id", "mbox"), "media_id", "mbox"))
+      assert(rows(spark.table("sc_mbox_out")) == batch)
+      // the FINAL message keeps the archive's trailing newline
+      assert(batch == Set((1L, 0, "s1", "body one"), (1L, 1, "café", "café\n")))
+    } finally q.stop()
+  }
+
   test("avro records + license detection + main content stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Avro, Html, License}
