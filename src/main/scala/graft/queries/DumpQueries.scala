@@ -1289,6 +1289,98 @@ object DumpQueries {
       )
     ),
 
+    // CDXJ index ingest — how a 100 TB crawl is actually consumed:
+    // the published per-crawl index (SURT key, timestamp, JSON with
+    // filename/offset/length) parses line-wise with countable
+    // degrades — a junk line drops, a capture without offsets keeps
+    // -1 so the audit can count unplannable records. Map-only.
+    Q(
+      "q_cdx_index",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          def line(i: Int, extra: String) =
+            s"""com,site$k)/p$i 2026010$i {"url": "http://site$k.com/p$i", """ +
+              s""""filename": "crawl-$k.warc.gz"$extra}"""
+          ((0 until 3).map(i => line(i,
+            s""", "offset": "${i * 1000}", "length": "800", "status": "200", "mime": "text/html"""")) ++
+            Seq(
+              line(3, """, "offset": "50000", "length": "800", "status": "404", "mime": "text/html""""),
+              line(4, """, "offset": "60000", "length": "800", "status": "200", "mime": "image/png""""),
+              s"garbage line $k with no json",
+              line(5, ""))).mkString("\n")
+        })
+        val out = graft.operators.Cdx.indexRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("text", mk(col("media_id"))),
+          "media_id", "text")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |c AS (
+          |  SELECT k, CAST(i AS INT) AS i,
+          |    CAST(i * 1000 AS BIGINT) AS off, CAST(800 AS BIGINT) AS len,
+          |    200 AS status, 'text/html' AS mime
+          |  FROM n, UNNEST(generate_series(0, 2)) u(i)
+          |  UNION ALL SELECT k, 3, 50000, 800, 404, 'text/html' FROM n
+          |  UNION ALL SELECT k, 4, 60000, 800, 200, 'image/png' FROM n
+          |  UNION ALL SELECT k, 5, -1, -1, -1, NULL FROM n
+          |)
+          |SELECT k AS media_id, 'com,site' || k || ')/p' || i AS surt_key,
+          |  '2026010' || i AS ts, 'http://site' || k || '.com/p' || i AS url,
+          |  'crawl-' || k || '.warc.gz' AS filename,
+          |  off AS "offset", len AS "length", CAST(status AS INT) AS status, mime
+          |FROM c""".stripMargin
+      )
+    ),
+
+    // The SELECTIVE-FETCH PLAN — the index's whole point: wanted
+    // captures (200 + text/html; the 404, the image and the
+    // offset-less capture are all EXCLUDED) collapse into per-file
+    // merged byte ranges (gap ≤ mergeGap: over-reading a small gap
+    // beats another round trip — the batching every serious consumer
+    // of the public crawl implements). Two clusters per file prove
+    // the merge boundary; ONE shuffle (the per-file window).
+    Q(
+      "q_cdx_plan",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          def line(i: Int, off: Long, status: Int, mime: String) =
+            s"""com,site$k)/p$i 2026010$i {"url": "http://site$k.com/p$i", """ +
+              s""""filename": "crawl-$k.warc.gz", "offset": "$off", "length": "800", """ +
+              s""""status": "$status", "mime": "$mime"}"""
+          ((0 until 3).map(i => line(i, i * 1000L, 200, "text/html")) ++
+            (3 until 6).map(i => line(i, 100000L + (i - 3) * 1000L, 200, "text/html")) ++
+            Seq(
+              line(6, 50000L, 404, "text/html"),
+              line(7, 60000L, 200, "image/png"))).mkString("\n")
+        })
+        val idx = graft.operators.Cdx.indexRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("text", mk(col("media_id"))),
+          "media_id", "text")
+        val out = graft.operators.Cdx.fetchPlan(
+          idx.filter(col("status") === 200 && col("mime") === "text/html"),
+          mergeGap = 4096L)
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT 'crawl-' || k || '.warc.gz' AS filename,
+          |  CAST(0 AS BIGINT) AS range_start, CAST(2800 AS BIGINT) AS range_len,
+          |  CAST(3 AS BIGINT) AS n_records
+          |FROM n
+          |UNION ALL
+          |SELECT 'crawl-' || k || '.warc.gz', CAST(100000 AS BIGINT),
+          |  CAST(2800 AS BIGINT), CAST(3 AS BIGINT)
+          |FROM n""".stripMargin
+      )
+    ),
+
     // MBOX/email ingest — mailing-list archives as a corpus source:
     // From_-separated RFC 5322 messages whose subjects carry RFC 2047
     // encoded-words and whose bodies arrive quoted-printable / base64
