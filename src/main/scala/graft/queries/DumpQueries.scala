@@ -1381,6 +1381,72 @@ object DumpQueries {
       )
     ),
 
+    // SELECTIVE FETCH, PROVED: the index → plan → range-read → parse
+    // loop closed end to end, with every UNWANTED record's bytes
+    // CORRUPTED in the archive — q_dump_index's discipline on the
+    // WARC side: a reader that touched anything outside the planned
+    // ranges would degrade, and the output stays oracle-exact because
+    // this one never does. Exchanges: the plan's window + rollup and
+    // the broadcast of the (bounded) blob frame to its ranges.
+    Q(
+      "q_cdx_fetch",
+      (spark, dir) => {
+        import spark.implicits._
+        val mk = udf((k: Long) => {
+          val out = new java.io.ByteArrayOutputStream()
+          val entries = Vector.newBuilder[(Int, Long, Long, Int)]
+          (0 until 6).foreach { i =>
+            val status = if (i % 2 == 0) 200 else 404
+            val body = s"HTTP/1.1 $status X\r\nContent-Type: text/html; charset=utf-8\r\n\r\ntext $k $i"
+            val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://s$k.example/p$i\r\n" +
+              s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n")
+              .getBytes("UTF-8")
+            entries += ((i, out.size().toLong, rec.length.toLong, status))
+            out.write(rec, 0, rec.length)
+          }
+          val es = entries.result()
+          val blob = out.toByteArray
+          es.filter(_._4 != 200).foreach { case (_, off, len, _) =>
+            val mid = (off + len / 2).toInt
+            blob(mid) = (blob(mid) ^ 0x7F).toByte
+          }
+          val idxText = es.map { case (i, off, len, status) =>
+            s"""com,s$k)/p$i 2026010$i {"url": "http://s$k.example/p$i", """ +
+              s""""filename": "crawl-$k.warc.gz", "offset": "$off", "length": "$len", """ +
+              s""""status": "$status", "mime": "text/html"}"""
+          }.mkString("\n")
+          (blob, idxText)
+        })
+        val base = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+          .withColumn("fx", mk(col("media_id")))
+          .select(col("media_id"), col("fx._1").as("payload"), col("fx._2").as("idx_text"))
+        val idx = graft.operators.Cdx.indexRows(
+          base.select("media_id", "idx_text"), "media_id", "idx_text")
+        val plan = graft.operators.Cdx.fetchPlan(
+          idx.filter(col("status") === 200), mergeGap = 0L)
+          .withColumn("media_id",
+            regexp_extract(col("filename"), "crawl-(\\d+)", 1).cast("long"))
+        val out = plan
+          .join(broadcast(base.select(col("media_id"), col("payload"))), Seq("media_id"))
+          .select(col("media_id"), col("range_start"), col("range_len"), col("payload"))
+          .as[(Long, Long, Long, Array[Byte])]
+          .flatMap { case (id, start, len, payload) =>
+            val slice = java.util.Arrays.copyOfRange(payload, start.toInt, (start + len).toInt)
+            graft.operators.Warc.parseWarc(id, slice).map(r => (id, r.target_uri))
+          }
+          .toDF("media_id", "target_uri")
+        Q.requireMaxShuffles(out, 3)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  'http://s' || n_nationkey || '.example/p' || i AS target_uri
+          |FROM nation, (VALUES (0), (2), (4)) v(i)""".stripMargin
+      )
+    ),
+
     // MBOX/email ingest — mailing-list archives as a corpus source:
     // From_-separated RFC 5322 messages whose subjects carry RFC 2047
     // encoded-words and whose bodies arrive quoted-printable / base64
