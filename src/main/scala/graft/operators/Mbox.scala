@@ -177,13 +177,22 @@ object Mbox {
     out.toString
   }
 
-  /** Content-Type parameter extraction (lenient, quoted or bare). */
+  /** Content-Type parameter extraction (lenient, quoted or bare).
+    * Case-insensitive match AT the original string's offsets
+    * (regionMatches — a toLowerCase copy is not length-preserving and
+    * would misalign the value capture after e.g. U+0130).
+    */
   private def param(ct: String, name: String): String = {
     if (ct == null) return null
-    val lower = ct.toLowerCase(java.util.Locale.ROOT)
-    val at = lower.indexOf(name + "=")
+    val needle = name + "="
+    var at = -1
+    var i = 0
+    val max = ct.length - needle.length
+    while (at < 0 && i <= max) {
+      if (ct.regionMatches(true, i, needle, 0, needle.length)) at = i else i += 1
+    }
     if (at < 0) return null
-    var s = at + name.length + 1
+    val s = at + needle.length
     if (s < ct.length && ct.charAt(s) == '"') {
       val e = ct.indexOf('"', s + 1)
       if (e < 0) null else ct.substring(s + 1, e)

@@ -60,6 +60,16 @@ class MboxSpec extends SparkSpec {
     assert(Mbox.parseMessage("Content-Transfer-Encoding: uuencode\n\nxx").text == null)
   }
 
+  test("review finding: Content-Type params match case-insensitively at original offsets") {
+    // upper-case parameter names and a non-length-preserving char
+    // ahead of the param must not shift the value capture
+    val m = "Content-Type: text/plain; CHARSET=iso-8859-1\n" +
+      "Content-Transfer-Encoding: quoted-printable\n\ncaf=E9"
+    assert(Mbox.parseMessage(m).text == "café")
+    val tricky = "Content-Type: text/plain; x=\"İİİ\"; charset=us-ascii\n\nok"
+    assert(Mbox.parseMessage(tricky).text == "ok")
+  }
+
   test("multipart: the first text/plain wins; html-only and depth bombs stay NULL") {
     val mp = "Content-Type: multipart/alternative; boundary=\"BB\"\n\n" +
       "preamble\n--BB\nContent-Type: text/html\n\n<p>html</p>\n" +
