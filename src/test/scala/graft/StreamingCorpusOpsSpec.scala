@@ -1095,6 +1095,26 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally qN.stop()
   }
 
+  test("cdx index parse streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Cdx
+    val text =
+      """com,a)/ 2026 {"url": "http://a.com/", "filename": "f.warc.gz", "offset": "0", "length": "100", "status": "200", "mime": "text/html"}
+        |junk line
+        |com,b)/ 2026 {"url": "http://b.com/", "filename": "f.warc.gz", "offset": "200", "length": "50", "status": "404", "mime": "text/html"}""".stripMargin
+    val shards = Seq((1L, text))
+    val in = MemoryStream[(Long, String)]
+    val q = Cdx.indexRows(in.toDF().toDF("media_id", "text"), "media_id", "text")
+      .writeStream.format("memory").queryName("sc_cdx_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(shards: _*); q.processAllAvailable()
+      val got = spark.table("sc_cdx_out").collect()
+        .map(r => (r.getString(1), r.getLong(5), r.getInt(7))).toSet
+      assert(got == Set(("com,a)/", 0L, 200), ("com,b)/", 200L, 404)))
+    } finally q.stop()
+  }
+
   test("mbox messages stream identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Mbox
