@@ -115,6 +115,10 @@ object Html {
       val linkText = graft.operators.XmlDump.decodeEntities(link.toString)
         .replaceAll("\\s+", " ").trim
       sb.setLength(0); link.setLength(0)
+      // a block boundary implicitly closes an open anchor (HTML5 closes
+      // <a> at block elements; unclosed/self-closed anchors otherwise
+      // poison every later block's link density)
+      inAnchor = false
       if (text.nonEmpty) {
         val words = text.split(" ").length
         out += Block(n, text, words, text.length, linkText.length,
@@ -125,7 +129,7 @@ object Html {
     }
     graft.functions.GraftMath.scanHtmlFull(html)(new graft.functions.GraftMath.HtmlSink {
       override def open(idx: Int, tag: String, selfClose: Boolean): Boolean = {
-        if (tag == "a") inAnchor = true
+        if (tag == "a" && !selfClose) inAnchor = true
         if (BlockTags(tag)) flush() else true
       }
       override def close(tag: String): Boolean = {

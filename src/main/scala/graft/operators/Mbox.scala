@@ -189,7 +189,14 @@ object Mbox {
     var i = 0
     val max = ct.length - needle.length
     while (at < 0 && i <= max) {
-      if (ct.regionMatches(true, i, needle, 0, needle.length)) at = i else i += 1
+      // name boundary: `charset=` must not match inside `x-charset=`
+      // (same bug class as the XmlDump.attrValue / Feeds fixes)
+      val bounded = i == 0 || {
+        val c = ct.charAt(i - 1)
+        c == ';' || Character.isWhitespace(c)
+      }
+      if (bounded && ct.regionMatches(true, i, needle, 0, needle.length)) at = i
+      else i += 1
     }
     if (at < 0) return null
     val s = at + needle.length

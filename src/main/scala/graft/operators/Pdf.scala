@@ -1134,8 +1134,15 @@ object Pdf {
     '’', '‚', '™', 'ﬁ', 'ﬂ', 'Ł', 'Œ', 'Š',
     'Ÿ', 'Ž', 'ı', 'ł', 'œ', 'š', 'ž', 0.toChar)
 
+  /** Table D.2's 0x18–0x1F block: the spacing accents (breve, caron,
+    * circumflex, dot above, double acute, ogonek, ring above, tilde).
+    */
+  private val PdfDocAccents: Array[Char] = Array(
+    '˘', 'ˇ', 'ˆ', '˙', '˝', '˛', '˚', '˜')
+
   /** One PDF TEXT STRING (§7.9.2.2): UTF-16BE when it leads with the
-    * FE FF BOM, PDFDocEncoding otherwise. Undefined slots → U+FFFD.
+    * FE FF BOM, PDFDocEncoding otherwise. Undefined slots (0x7F, 0x9F,
+    * 0xAD) → U+FFFD.
     */
   private[graft] def decodeTextString(bytes: Array[Byte]): String = {
     if (bytes == null) return null
@@ -1145,7 +1152,9 @@ object Pdf {
     bytes.foreach { b0 =>
       val b = b0 & 0xFF
       val c =
-        if (b >= 0x80 && b <= 0x9F) PdfDocHigh(b - 0x80)
+        if (b >= 0x18 && b <= 0x1F) PdfDocAccents(b - 0x18)
+        else if (b == 0x7F || b == 0xAD) 0.toChar // undefined per Table D.2
+        else if (b >= 0x80 && b <= 0x9F) PdfDocHigh(b - 0x80)
         else if (b == 0xA0) '€' // Table D.2 puts the euro at 240 octal
         else b.toChar
       sb.append(if (c == 0.toChar) '�' else c)
@@ -1164,7 +1173,9 @@ object Pdf {
         else if (ch == '€') 0xA0.toByte
         else {
           val hi = PdfDocHigh.indexOf(ch)
+          val ac = PdfDocAccents.indexOf(ch)
           if (hi >= 0) (0x80 + hi).toByte
+          else if (ac >= 0) (0x18 + ac).toByte
           else { require(ch <= 0xFF, s"fixture char '$ch' not PDFDoc-encodable"); ch.toByte }
         }
       }.toArray

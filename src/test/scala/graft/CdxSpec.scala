@@ -18,6 +18,21 @@ class CdxSpec extends SparkSpec {
     assert(Cdx.surt(null) == null)
   }
 
+  test("advice finding: surt matches the public CDX canonicalization") {
+    // the WHOLE key lowercases — path case differences don't split captures
+    assert(Cdx.surt("http://Example.com/Path/File.HTML") == "com,example)/path/file.html")
+    // query parameters sort byte-wise
+    assert(Cdx.surt("http://x.com/p?b=2&a=1") == "com,x)/p?a=1&b=2")
+    assert(Cdx.surt("http://x.com/p?a=1&b=2") == "com,x)/p?a=1&b=2")
+    // session-token parameters strip; an all-session query drops the '?'
+    assert(Cdx.surt("http://x.com/p?a=1&jsessionid=ABC") == "com,x)/p?a=1")
+    assert(Cdx.surt("http://x.com/p?PHPSESSID=deadbeef") == "com,x)/p")
+    assert(Cdx.surt("http://x.com/p?aspsessionidqqrstt=xyz&z=9") == "com,x)/p?z=9")
+    // the servlet path-parameter form strips too
+    assert(Cdx.surt("http://x.com/page;jsessionid=ABC123?a=1") == "com,x)/page?a=1")
+    assert(Cdx.surt("http://x.com/page;jsessionid=ABC123") == "com,x)/page")
+  }
+
   test("parseLine: CDXJ string-numerics, missing fields -1, junk null") {
     val l = """com,site)/p 20260101000000 {"url": "http://site.com/p", """ +
       """"filename": "c.warc.gz", "offset": "345", "length": "800", """ +

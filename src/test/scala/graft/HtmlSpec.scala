@@ -265,6 +265,24 @@ class HtmlSpec extends SparkSpec {
     assert(Html.blocks(null).isEmpty && Html.blocks("").isEmpty)
   }
 
+  test("advice finding: unclosed/self-closed anchors don't poison later blocks") {
+    import graft.operators.Html
+    // an UNCLOSED <a> (HTML5 implicitly closes anchors at block
+    // elements) must not mark every later block's text as link chars
+    val unclosed = Html.blocks("<p><a href=\"/\">Home</p>" +
+      "<p>one two three four five six seven eight nine</p>")
+    assert(unclosed.map(_.text) == Seq("Home",
+      "one two three four five six seven eight nine"))
+    assert(unclosed(1).n_link_chars == 0 && unclosed(1).is_content)
+    // a SELF-CLOSED <a/> opens no anchor at all
+    val selfClosed = Html.blocks(
+      "<p><a href=\"/x\"/>one two three four five six seven eight nine</p>")
+    assert(selfClosed.head.n_link_chars == 0 && selfClosed.head.is_content)
+    // a properly closed anchor still counts within its own block
+    val closed = Html.blocks("<p>w w w w w w w w <a href=\"/x\">linked text run</a></p>")
+    assert(closed.head.n_link_chars == "linked text run".length)
+  }
+
   test("mainContent: content blocks joined; chrome cut; null/empty contract") {
     import graft.operators.Html
     val html = "<nav><a href=\"/\">Home</a></nav>" +

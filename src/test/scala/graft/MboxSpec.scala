@@ -70,6 +70,20 @@ class MboxSpec extends SparkSpec {
     assert(Mbox.parseMessage(tricky).text == "ok")
   }
 
+  test("advice finding: parameter names match only at a name boundary") {
+    // `charset=` must not match inside `x-charset=…`: the wrong value
+    // would reach the strict charset layer and refuse a valid body
+    val shadow = "Content-Type: text/plain; x-charset=klingon; charset=us-ascii\n\nok"
+    assert(Mbox.parseMessage(shadow).text == "ok")
+    // `boundary=` must not match inside `x-boundary=…` and split the
+    // multipart on the wrong token
+    val mpShadow = "Content-Type: multipart/alternative; x-boundary=WRONG; boundary=BB\n\n" +
+      "--WRONG\njunk\n--BB\nContent-Type: text/plain; charset=us-ascii\n\nright part\n--BB--"
+    assert(Mbox.parseMessage(mpShadow).text == "right part\n")
+    // the param at offset 0 of the value region still matches
+    assert(Mbox.parseMessage("Content-Type: text/plain;charset=us-ascii\n\nok").text == "ok")
+  }
+
   test("multipart: the first text/plain wins; html-only and depth bombs stay NULL") {
     val mp = "Content-Type: multipart/alternative; boundary=\"BB\"\n\n" +
       "preamble\n--BB\nContent-Type: text/html\n\n<p>html</p>\n" +

@@ -321,6 +321,27 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractInfo(null) == ((null, null)))
     // the raw decoder's corners: BOM-less bytes are PDFDoc, 0xA0 is €
     assert(Pdf.decodeTextString(Array(0x8D.toByte, 0x41, 0x8E.toByte, 0xA0.toByte)) == "“A”€")
+    // advice finding: Table D.2's 0x18–0x1F accent slots decode, and the
+    // undefined 0x7F / 0xAD slots emit U+FFFD, not raw passthrough
+    assert(Pdf.decodeTextString((0x18 to 0x1F).map(_.toByte).toArray) == "˘ˇˆ˙˝˛˚˜")
+    assert(Pdf.decodeTextString(Array(0x41, 0x7F.toByte, 0xAD.toByte, 0x42)) == "A��B")
+    // the fixture writer round-trips the accent block
+    assert(Pdf.decodeTextString(pdfDocBytes(Pdf.textStringLit("a˘b˜c", utf16 = false))) == "a˘b˜c")
+  }
+
+  /** Unescape one fixture `(…)` literal back to its raw bytes. */
+  private def pdfDocBytes(lit: String): Array[Byte] = {
+    val body = lit.substring(1, lit.length - 1)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < body.length) {
+      if (body.charAt(i) == '\\') {
+        if (i + 3 < body.length && body.charAt(i + 1).isDigit) {
+          out.write(Integer.parseInt(body.substring(i + 1, i + 4), 8)); i += 4
+        } else { out.write(body.charAt(i + 1).toInt); i += 2 }
+      } else { out.write(body.charAt(i).toInt); i += 1 }
+    }
+    out.toByteArray
   }
 
   test("textRows: distributed walk is map-only; mixed outcomes coexist") {
