@@ -940,17 +940,18 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the six ingest families this engine
+    // THE SOURCE-UNION CAPSTONE: the seven ingest families this engine
     // reads — published dumps (bz2 XML → wikitext strip), crawl
     // archives (WARC → HTTP → text), PDFs (xref → content streams →
-    // text), EPUB books (zip → OPF spine → chapters), Avro containers
+    // text), DOCX documents (zip → word/document.xml → paragraphs),
+    // EPUB books (zip → OPF spine → chapters), Avro containers
     // (blocks → string records), and dataset shards (tar → samples) —
     // land in ONE corpus frame, deduped exactly ACROSS sources (texts
     // collide across families by construction; the canonical-source
-    // rank breaks ties: dump > crawl > pdf > epub > avro > shard)
-    // with per-source admission accounting. Two shuffles total: the
-    // text-keyed dedup window and the per-source rollup; every reader
-    // upstream is the map-only walk its own gate already pins.
+    // rank breaks ties: dump > crawl > pdf > docx > epub > avro >
+    // shard) with per-source admission accounting. Two shuffles total:
+    // the text-keyed dedup window and the per-source rollup; every
+    // reader upstream is the map-only walk its own gate already pins.
     Q(
       "q_corpus_union",
       (spark, dir) => {
@@ -995,6 +996,14 @@ object DumpQueries {
           .select(col("media_id"), col("text"))
           .withColumn("source", lit("pdf"))
 
+        val docxMk = udf((k: Long) => graft.operators.Docx.docx(Seq(Seq(
+          if (k % 13 == 0) s"common ${k % 4}" else s"docx only $k"))))
+        val docxSrc = graft.operators.Docx.textRows(
+          keys.withColumn("payload", docxMk(col("media_id"))), "media_id", "payload")
+          .filter(col("stage") === "ok")
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("docx"))
+
         val epubMk = udf((k: Long) => graft.operators.Epub.epub(Seq(
           ("c0.xhtml", if (k % 9 == 0) s"common ${k % 4}" else s"epub only $k"))))
         val epubSrc = graft.operators.Epub.chapterRows(
@@ -1021,13 +1030,15 @@ object DumpQueries {
           .withColumn("source", lit("shard"))
 
         val all = dump.unionByName(crawl).unionByName(pdfSrc)
-          .unionByName(epubSrc).unionByName(avroSrc).unionByName(shard)
+          .unionByName(docxSrc).unionByName(epubSrc)
+          .unionByName(avroSrc).unionByName(shard)
           .withColumn("rank",
             when(col("source") === "dump", 0)
               .when(col("source") === "crawl", 1)
               .when(col("source") === "pdf", 2)
-              .when(col("source") === "epub", 3)
-              .when(col("source") === "avro", 4).otherwise(5))
+              .when(col("source") === "docx", 3)
+              .when(col("source") === "epub", 4)
+              .when(col("source") === "avro", 5).otherwise(6))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1056,17 +1067,22 @@ object DumpQueries {
           |         ELSE 'pdf only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'epub', 3, k,
+          |  SELECT 'docx', 3, k,
+          |    CASE WHEN k % 13 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'docx only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'epub', 4, k,
           |    CASE WHEN k % 9 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'epub only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'avro', 4, k,
+          |  SELECT 'avro', 5, k,
           |    CASE WHEN k % 11 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'avro only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 5, k,
+          |  SELECT 'shard', 6, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n
@@ -1286,6 +1302,50 @@ object DumpQueries {
           |       ELSE 'Ch ' || i || ' prose ' || k || ' ' || i || ' words here' END AS text,
           |  CASE WHEN k % 4 = 0 AND i = 1 THEN NULL ELSE CAST(7 AS INT) END AS n_tokens
           |FROM ch""".stripMargin
+      )
+    ),
+
+    // DOCX ingest — the last mainstream prose source (reports, theses,
+    // gray literature), as a pure COMPOSITION of shipped layers: the
+    // zip walk finds `word/document.xml`, the paragraph walk joins
+    // `<w:t>` runs with `<w:tab/>`/`<w:br/>` as explicit whitespace;
+    // the fixture plants a header PART whose text must never surface.
+    // Arms per k%4: two ok shapes (even keys carry an extra EMPTY
+    // paragraph — blank lines are prose too), an ENCRYPTED package
+    // (CFB signature — classified, never guessed at), and junk bytes.
+    // Map-only.
+    Q(
+      "q_docx_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 2 => graft.operators.Docx.encryptedFixture(k)
+          case 3 => s"junk $k".getBytes("UTF-8")
+          case _ => graft.operators.Docx.docx(
+            Seq(Seq("Doc ", s"$k intro"), Seq(s"a\tb $k")) ++
+              (if (k % 2 == 0) Seq(Seq.empty) else Seq.empty))
+        })
+        val out = graft.operators.Docx.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 'encrypted' WHEN 3 THEN 'zip' ELSE 'ok' END AS stage,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 0 WHEN 3 THEN 0
+          |    ELSE 2 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END
+          |  END AS INT) AS n_paragraphs,
+          |  CASE WHEN n_nationkey % 4 IN (2, 3) THEN NULL
+          |    ELSE 'Doc ' || n_nationkey || ' intro' || chr(10) ||
+          |      'a' || chr(9) || 'b ' || n_nationkey ||
+          |      CASE WHEN n_nationkey % 2 = 0 THEN chr(10) ELSE '' END
+          |  END AS text
+          |FROM nation""".stripMargin
       )
     ),
 

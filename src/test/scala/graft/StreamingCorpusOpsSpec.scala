@@ -1095,6 +1095,32 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally qN.stop()
   }
 
+  test("docx text extraction streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Docx
+    val blobs = Seq(
+      (1L, Docx.docx(Seq(Seq("alpha ", "doc"), Seq("tab\there")))),
+      (2L, Docx.encryptedFixture(2L)),
+      (3L, "junk".getBytes("UTF-8")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Docx.textRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_docx_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs.take(1): _*); q.processAllAvailable()
+      in.addData(blobs.drop(1): _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      val batch = rows(Docx.textRows(blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_docx_out")) == batch)
+      assert(batch == Set(
+        (1L, "ok", 2, "alpha doc\ntab\there"),
+        (2L, "encrypted", 0, null),
+        (3L, "zip", 0, null)))
+    } finally q.stop()
+  }
+
   test("cdx index parse streams identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Cdx
