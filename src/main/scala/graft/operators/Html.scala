@@ -172,6 +172,287 @@ object Html {
         "is_content", "text")
   }
 
+  /** HTML → MARKDOWN, structure-preserving — what modern LLM pipelines
+    * feed instead of flat prose: headings keep their level (`#`…),
+    * lists their nesting and order (`- ` / `1. `), code its fences,
+    * quotes their depth (`> `), tables their cells (pipe rows, with a
+    * `---` separator after each header row), links their targets
+    * (`[text](href)`), emphasis its weight (`**`/`*`), images their
+    * alt+src (`![alt](src)`), `<hr>` a `---` rule. Rides the SAME
+    * hardened scanner as every other HTML extractor (comments and
+    * script/style bodies can't fake structure), and the rules are
+    * DETERMINISTIC — no reflowing, no heuristics — so a DuckDB oracle
+    * re-derives the output closed-form.
+    *
+    * Line model: inline text collapses whitespace (entities decoded);
+    * every block boundary flushes one LINE; the result is the lines
+    * joined by NEWLINE. `<head>` content (title/meta) never surfaces —
+    * markdown is a BODY conversion. `<pre>` content is verbatim,
+    * line-for-line, between ``` fences (inline-code markers suppressed
+    * inside). Torn markup keeps the completed prefix.
+    *
+    * CONTENT MODE (`minWords > 0`) composes [[mainContent]]'s integer
+    * thresholds with the structure: a PLAIN paragraph line keeps iff
+    * `n_words >= minWords && 3*n_link_chars <= n_chars` (the blocks()
+    * rule, word counts on VISIBLE text — markers and hrefs don't
+    * dilute density); a STRUCTURAL line (heading, list item, quote,
+    * table row) keeps iff the density test alone passes — structure is
+    * allowed to be short, but a nav's link list or a link-farm table
+    * is still link-dense and drops; code fences always keep. With
+    * `minWords = 0` nothing is screened (pure conversion).
+    */
+  def markdown(html: String, minWords: Int = 0, maxLines: Int = 100000,
+      maxChars: Int = 16 << 20): String = {
+    if (html == null) return null
+    val G = graft.functions.GraftMath
+    val lines = Vector.newBuilder[String]
+    var nLines = 0
+    var total = 0
+
+    // inline state (one pending line)
+    val lineBuf = new java.lang.StringBuilder // with markdown markers
+    val textBuf = new java.lang.StringBuilder // visible text only
+    val linkBuf = new java.lang.StringBuilder // anchor-text only
+    var inAnchor = false
+    var pendingHref: String = null
+    var pendingSrc: String = null
+    var pendingAlt: String = null
+    // the open anchor's target (anchors never nest — browser rule)
+    var anchorHref: String = null
+
+    // block context
+    var heading = 0
+    var quoteDepth = 0
+    var listStack = List.empty[(Boolean, Int)] // (ordered, counter)
+    var pendingItem = false
+    var inHead = false
+    var inPre = false
+    val preBuf = new java.lang.StringBuilder
+
+    def collapse(s: String): String =
+      XmlDump.decodeEntities(s).replaceAll("\\s+", " ").trim
+
+    def emit(l: String): Boolean = {
+      lines += l; nLines += 1; total += l.length
+      nLines < maxLines && total < maxChars
+    }
+
+    def quotePrefix: String = "> " * quoteDepth
+
+    def flushLine(): Boolean = {
+      val body = collapse(lineBuf.toString)
+      val visible = collapse(textBuf.toString)
+      val link = collapse(linkBuf.toString)
+      lineBuf.setLength(0); textBuf.setLength(0); linkBuf.setLength(0)
+      inAnchor = false // a block boundary ends an anchor (the blocks() rule)
+      if (body.isEmpty) return true
+      val structural = heading > 0 || listStack.nonEmpty || quoteDepth > 0
+      val densityOk = 3 * link.length <= visible.length
+      val keep =
+        if (minWords == 0) true
+        else if (structural) densityOk
+        else {
+          val words = if (visible.isEmpty) 0 else visible.split(" ").length
+          words >= minWords && densityOk
+        }
+      if (!keep) { pendingItem = false; return true }
+      val marker =
+        if (heading > 0) "#" * heading + " "
+        else if (listStack.nonEmpty) {
+          val indent = "  " * (listStack.length - 1)
+          if (pendingItem) {
+            pendingItem = false
+            val (ordered, cnt) = listStack.head
+            indent + (if (ordered) s"$cnt. " else "- ")
+          } else "  " * listStack.length
+        } else ""
+      emit(quotePrefix + marker + body)
+    }
+
+    // table state
+    var inTable = false
+    var inCell = false
+    var rowHasTh = false
+    val cellBuf = new java.lang.StringBuilder
+    val cellTextBuf = new java.lang.StringBuilder
+    val cellLinkBuf = new java.lang.StringBuilder
+    val cells = scala.collection.mutable.ArrayBuffer[String]()
+    var rowTextLen = 0
+    var rowLinkLen = 0
+
+    def finishCell(): Unit = {
+      if (inCell) {
+        cells += collapse(cellBuf.toString).replace("|", "\\|")
+        rowTextLen += collapse(cellTextBuf.toString).length
+        rowLinkLen += collapse(cellLinkBuf.toString).length
+        cellBuf.setLength(0); cellTextBuf.setLength(0); cellLinkBuf.setLength(0)
+        inCell = false
+        inAnchor = false
+      }
+    }
+
+    def flushRow(): Boolean = {
+      finishCell()
+      if (cells.isEmpty) return true
+      val keep = minWords == 0 || 3 * rowLinkLen <= rowTextLen
+      var ok = true
+      if (keep) {
+        ok = emit(quotePrefix + cells.mkString("| ", " | ", " |"))
+        if (ok && rowHasTh)
+          ok = emit(quotePrefix + cells.map(_ => "---").mkString("| ", " | ", " |"))
+      }
+      cells.clear(); rowHasTh = false; rowTextLen = 0; rowLinkLen = 0
+      ok
+    }
+
+    def appendMarker(m: String): Unit =
+      if (inCell) cellBuf.append(m): Unit
+      else if (!inTable) lineBuf.append(m): Unit
+
+    val HeadingTags = Map("h1" -> 1, "h2" -> 2, "h3" -> 3, "h4" -> 4,
+      "h5" -> 5, "h6" -> 6)
+    val FlushTags = Set("p", "div", "section", "article", "main", "header",
+      "footer", "nav", "aside", "figure", "figcaption", "dl", "dt", "dd",
+      "form", "fieldset", "address", "body", "html", "br")
+
+    G.scanHtmlFull(html)(new G.HtmlSink {
+      override def attr(idx: Int, tag: String, name: String, value: String): Boolean = {
+        if (tag == "a" && name == "href") pendingHref = value
+        else if (tag == "img" && name == "src") pendingSrc = value
+        else if (tag == "img" && name == "alt") pendingAlt = value
+        true
+      }
+      override def open(idx: Int, tag: String, selfClose: Boolean): Boolean = {
+        if (tag == "head") { inHead = true; return true }
+        if (inHead) return true
+        if (inPre) return true // markup inside pre is content, scanner already tagged it
+        tag match {
+          case "a" =>
+            val href = pendingHref
+            pendingHref = null
+            if (!selfClose && href != null && href.nonEmpty && !href.startsWith("#")) {
+              inAnchor = true
+              appendMarker("[")
+              // stash the href for the close; anchors don't nest (browser rule)
+              pendingAlt = null
+              anchorHref = href
+            }
+            true
+          case "img" =>
+            val (src, alt) = (pendingSrc, if (pendingAlt == null) "" else pendingAlt)
+            pendingSrc = null; pendingAlt = null
+            if (src != null && src.nonEmpty) appendMarker(s"![$alt]($src)")
+            true
+          case "b" | "strong" => appendMarker("**"); true
+          case "i" | "em" => appendMarker("*"); true
+          case "code" => if (!inPre && !selfClose) appendMarker("`"); true
+          case "pre" =>
+            if (!flushLine()) false
+            else { if (!selfClose) { inPre = true; preBuf.setLength(0) }; true }
+          case "blockquote" =>
+            if (!flushLine()) false else { if (!selfClose) quoteDepth += 1; true }
+          case "ul" | "ol" =>
+            if (!flushLine()) false
+            else { if (!selfClose) listStack = (tag == "ol", 0) :: listStack; true }
+          case "li" =>
+            if (!flushLine()) false
+            else {
+              listStack match {
+                case (ordered, cnt) :: rest =>
+                  listStack = (ordered, cnt + 1) :: rest
+                  pendingItem = true
+                case Nil => () // li outside a list: plain line
+              }
+              true
+            }
+          case "hr" => if (!flushLine()) false else emit(quotePrefix + "---")
+          case "table" =>
+            if (!flushLine()) false else { if (!selfClose) inTable = true; true }
+          case "tr" => if (inTable) flushRow() else true
+          case "td" | "th" =>
+            if (inTable) { finishCell(); inCell = true; if (tag == "th") rowHasTh = true }
+            true
+          case t if HeadingTags.contains(t) =>
+            if (!flushLine()) false else { heading = HeadingTags(t); true }
+          case t if FlushTags(t) => flushLine()
+          case _ => true
+        }
+      }
+      override def close(tag: String): Boolean = {
+        if (tag == "head") { inHead = false; return true }
+        if (inHead) return true
+        if (inPre && tag != "pre") return true
+        tag match {
+          case "a" =>
+            if (inAnchor) {
+              inAnchor = false
+              appendMarker("](" + anchorHref + ")")
+            }
+            true
+          case "b" | "strong" => appendMarker("**"); true
+          case "i" | "em" => appendMarker("*"); true
+          case "code" => if (!inPre) appendMarker("`"); true
+          case "pre" =>
+            if (inPre) {
+              inPre = false
+              var ok = emit(quotePrefix + "```")
+              val content = XmlDump.decodeEntities(preBuf.toString)
+                .stripPrefix("\n").stripSuffix("\n")
+              if (ok) content.split("\n", -1).foreach { l =>
+                if (ok) ok = emit(quotePrefix + l)
+              }
+              if (ok) ok = emit(quotePrefix + "```")
+              ok
+            } else true
+          case "blockquote" =>
+            if (!flushLine()) false
+            else { if (quoteDepth > 0) quoteDepth -= 1; true }
+          case "ul" | "ol" =>
+            if (!flushLine()) false
+            else { if (listStack.nonEmpty) listStack = listStack.tail; true }
+          case "li" => flushLine()
+          case "table" =>
+            val ok = flushRow()
+            inTable = false; inCell = false
+            ok
+          case "tr" => if (inTable) flushRow() else true
+          case "td" | "th" => if (inTable) finishCell(); true
+          case t if HeadingTags.contains(t) =>
+            val ok = flushLine(); heading = 0; ok
+          case t if FlushTags(t) => flushLine()
+          case _ => true
+        }
+      }
+      override def text(t: String): Boolean = {
+        if (inHead) return true
+        if (inPre) { preBuf.append(t); return true }
+        if (inCell) {
+          cellBuf.append(t); cellTextBuf.append(t)
+          if (inAnchor) cellLinkBuf.append(t)
+        } else if (!inTable) {
+          lineBuf.append(t); textBuf.append(t)
+          if (inAnchor) linkBuf.append(t)
+        }
+        true
+      }
+    })
+    flushLine() // torn page keeps its completed trailing run
+    lines.result().mkString("\n")
+  }
+
+  /** One row per page: (passthrough idCol, markdown). Map-only typed
+    * walk — the justified stateful-scanner path, like [[blockRows]].
+    */
+  def markdownRows(df: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(df(idCol).cast("long"), df(htmlCol))
+      .as[(Long, String)]
+      .map { case (id, h) => (id, markdown(h, minWords)) }
+      .toDF(idCol, "markdown")
+  }
+
   /** One row PER OUTLINK of each page: every column of `pages` except
     * `htmlCol`, plus `href` — the canonical absolute target. The
     * page's `<base href>` (itself possibly relative — resolved against

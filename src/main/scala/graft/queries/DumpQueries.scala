@@ -1847,6 +1847,99 @@ object DumpQueries {
       )
     ),
 
+    // HTML → MARKDOWN, structure-preserving — what modern LLM
+    // pipelines feed instead of flat prose. One arm per structure the
+    // converter emits: heading level, inline emphasis, unordered +
+    // ordered lists with their markers, blockquote prefixes, a
+    // verbatim code fence, a piped table with its header separator,
+    // and an inline link. Deterministic rules (no reflowing), so the
+    // oracle re-derives the full markdown string literally. Map-only
+    // on the shared hardened scanner.
+    Q(
+      "q_html_markdown",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          s"<html><head><title>Chrome $k</title></head><body>" +
+            s"<h1>Title $k</h1>" +
+            s"<p>intro <b>bold</b> $k</p>" +
+            s"<ul><li>item one $k</li><li>item two</li></ul>" +
+            s"<ol><li>first</li></ol>" +
+            s"<blockquote><p>quoted $k</p></blockquote>" +
+            s"<pre>code($k)</pre>" +
+            s"<table><tr><th>A</th><th>B</th></tr><tr><td>x $k</td><td>1</td></tr></table>" +
+            s"""<p>see <a href="http://x$k.example/">link $k</a> end</p>""" +
+            "</body></html>")
+        val out = graft.operators.Html.markdownRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("html", mk(col("media_id"))),
+          "media_id", "html")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  '# Title ' || n_nationkey || chr(10) ||
+          |  'intro **bold** ' || n_nationkey || chr(10) ||
+          |  '- item one ' || n_nationkey || chr(10) ||
+          |  '- item two' || chr(10) ||
+          |  '1. first' || chr(10) ||
+          |  '> quoted ' || n_nationkey || chr(10) ||
+          |  '```' || chr(10) || 'code(' || n_nationkey || ')' || chr(10) || '```' || chr(10) ||
+          |  '| A | B |' || chr(10) || '| --- | --- |' || chr(10) ||
+          |  '| x ' || n_nationkey || ' | 1 |' || chr(10) ||
+          |  'see [link ' || n_nationkey || '](http://x' || n_nationkey || '.example/) end'
+          |  AS markdown
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // Main-content pipeline, MARKDOWN edition — the same WARC → HTTP/
+    // charset → chrome-cut chain as q_main_pipeline, but the tokenizer
+    // now feeds on STRUCTURE-PRESERVING markdown (content mode: the
+    // integer thresholds compose with the structure — the nav's link
+    // list and the two-word footer drop, the heading keeps its level).
+    // Map-only end to end.
+    Q(
+      "q_markdown_pipeline",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val html = s"<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About $k</a></nav>" +
+            s"<h1>Title $k</h1>" +
+            s"<p>${"alpha " * (8 + (k % 3)).toInt}end $k</p>" +
+            s"""<p>${"beta " * 8}<a href="/x">link $k</a> tail</p>""" +
+            s"<footer>Copyright $k</footer></body></html>"
+          val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://m$k.example/p\r\n" +
+            s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+            s"\r\n$body\r\n\r\n").getBytes("UTF-8")
+        })
+        val md = udf((h: String) => graft.operators.Html.markdown(h, minWords = 8))
+        val out = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            Q.t(spark, dir, "nation")
+              .select(col("n_nationkey").cast("long").as("media_id"))
+              .withColumn("payload", mk(col("media_id"))),
+            "media_id", "payload"))
+          .filter(col("status") === 200)
+          .withColumn("markdown", md(col("text")))
+          .select(col("media_id"), col("markdown"),
+            TextAnalysis.tokenCount(col("markdown")).as("n_tokens"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id,
+          |  '# Title ' || k || chr(10) ||
+          |  repeat('alpha ', CAST(8 + k % 3 AS INT)) || 'end ' || k || chr(10) ||
+          |  repeat('beta ', 8) || '[link ' || k || '](/x) tail' AS markdown,
+          |  CAST(24 + k % 3 AS INT) AS n_tokens
+          |FROM n""".stripMargin
+      )
+    ),
+
     // ANCHOR-TEXT extraction — the label the web gives a page, the
     // signal retrieval corpora and query-document pairs are built
     // from: `<a href>` pairs with the anchor's VISIBLE text (nested

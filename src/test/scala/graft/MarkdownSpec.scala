@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Html
+
+/** HTML → Markdown structure-preserving conversion: headings, lists,
+  * fences, quotes, tables, links, emphasis; the content-mode screen.
+  */
+class MarkdownSpec extends SparkSpec {
+
+  test("headings, paragraphs, emphasis, links, images, hr") {
+    val md = Html.markdown(
+      "<html><head><title>chrome</title></head><body>" +
+        "<h1>Title</h1><h2>Sub</h2>" +
+        "<p>plain <b>bold</b> and <em>it</em> text</p>" +
+        "<p>see <a href=\"http://x.example/p\">the page</a> here</p>" +
+        "<p><img src=\"i.png\" alt=\"pic\"></p>" +
+        "<hr>" +
+        "<p>A &amp; B</p></body></html>")
+    assert(md ==
+      "# Title\n## Sub\n" +
+        "plain **bold** and *it* text\n" +
+        "see [the page](http://x.example/p) here\n" +
+        "![pic](i.png)\n" +
+        "---\n" +
+        "A & B")
+    // head content (title) never surfaces
+    assert(!md.contains("chrome"))
+  }
+
+  test("lists: nesting, ordered counters, markers only on first line") {
+    val md = Html.markdown(
+      "<ul><li>one</li><li>two<ul><li>inner</li></ul></li></ul>" +
+        "<ol><li>first</li><li>second</li></ol>")
+    assert(md ==
+      "- one\n- two\n  - inner\n" +
+        "1. first\n2. second")
+  }
+
+  test("code: inline backticks, pre fences verbatim, markers suppressed inside") {
+    assert(Html.markdown("<p>use <code>f(x)</code> here</p>") == "use `f(x)` here")
+    val md = Html.markdown("<pre><code>line one\n  indented &lt;tag&gt;\n</code></pre>")
+    assert(md == "```\nline one\n  indented <tag>\n```")
+  }
+
+  test("blockquotes: depth prefixes, structures inside keep the prefix") {
+    val md = Html.markdown(
+      "<blockquote><p>quoted prose</p>" +
+        "<blockquote><p>deeper</p></blockquote></blockquote>")
+    assert(md == "> quoted prose\n> > deeper")
+    assert(Html.markdown("<blockquote><pre>x</pre></blockquote>") ==
+      "> ```\n> x\n> ```")
+  }
+
+  test("tables: pipe rows, separator after header row, pipe escaping") {
+    val md = Html.markdown(
+      "<table><tr><th>Name</th><th>N</th></tr>" +
+        "<tr><td>alpha</td><td>1</td></tr>" +
+        "<tr><td>a|b</td><td>2</td></tr></table>")
+    assert(md ==
+      "| Name | N |\n| --- | --- |\n| alpha | 1 |\n| a\\|b | 2 |")
+  }
+
+  test("hardening rides the shared scanner; torn markup keeps the prefix") {
+    // comments and script bodies can't fake structure
+    assert(Html.markdown("<p>a</p><!-- <h1>no</h1> --><script>var h='<h1>no</h1>'</script>") == "a")
+    // fragment-only and href-less anchors stay plain text
+    assert(Html.markdown("<p><a href=\"#top\">up</a> <a>bare</a></p>") == "up bare")
+    // torn page keeps completed lines plus the trailing run
+    assert(Html.markdown("<h1>done</h1><p>trailing tex") == "# done\ntrailing tex")
+    assert(Html.markdown(null) == null)
+    assert(Html.markdown("") == "")
+  }
+
+  test("content mode composes the mainContent thresholds with structure") {
+    val html = "<body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" + // link-dense: drops
+      "<h1>Real Title</h1>" + // short but not linky: keeps (structural)
+      "<p>one two three four five six seven eight nine</p>" + // keeps
+      "<p>short</p>" + // word floor: drops
+      "<ul><li>point one made here</li><li><a href=\"/x\">menu link</a></li></ul>" +
+      "<pre>code()</pre>" + // fences always keep
+      "</body>"
+    val md = Html.markdown(html, minWords = 8)
+    assert(md ==
+      "# Real Title\n" +
+        "one two three four five six seven eight nine\n" +
+        "- point one made here\n" +
+        "```\ncode()\n```")
+    // a link-farm table row drops; a data row keeps
+    val t = Html.markdown(
+      "<table><tr><td>plain data value</td></tr>" +
+        "<tr><td><a href=\"/1\">x1</a><a href=\"/2\">x2</a></td></tr></table>",
+      minWords = 8)
+    assert(t == "| plain data value |")
+  }
+
+  test("markdownRows: distributed walk map-only") {
+    import spark.implicits._
+    val df = Seq((1L, "<h1>T</h1><p>body text</p>"), (2L, null: String))
+      .toDF("media_id", "html")
+    val out = Html.markdownRows(df, "media_id", "html")
+    graft.queries.Q.requireNoShuffle(out)
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "# T\nbody text"), (2L, null)))
+  }
+}

@@ -1095,6 +1095,29 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally qN.stop()
   }
 
+  test("html markdown conversion streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Html
+    val pages = Seq(
+      (1L, "<h1>T</h1><ul><li>a</li><li>b</li></ul>"),
+      (2L, "<blockquote><p>q</p></blockquote><pre>c()</pre>"))
+    val in = MemoryStream[(Long, String)]
+    val q = Html.markdownRows(in.toDF().toDF("media_id", "html"), "media_id", "html")
+      .writeStream.format("memory").queryName("sc_md_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(pages: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = rows(Html.markdownRows(pages.toDF("media_id", "html"), "media_id", "html"))
+      assert(rows(spark.table("sc_md_out")) == batch)
+      assert(batch == Set(
+        (1L, "# T\n- a\n- b"),
+        (2L, "> q\n```\nc()\n```")))
+    } finally q.stop()
+  }
+
   test("docx text extraction streams identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Docx
