@@ -33,12 +33,17 @@ import org.apache.spark.sql.DataFrame
   *     line structure, `Tf` font selection;
   *   - the three simple-font byte encodings from Annex D:
   *     WinAnsiEncoding, MacRomanEncoding and StandardEncoding
-  *     (the default when a Type1 font declares none).
+  *     (the default when a Type1 font declares none);
+  *   - CID-keyed Type0 fonts in the DOMINANT modern form: /Encoding
+  *     /Identity-H (2-byte codes) with an embedded /ToUnicode CMap
+  *     (`bfchar`/`bfrange` per §9.10.3) — what most PDFs produced
+  *     after ~2010 actually ship.
   *
   * Everything outside that subset degrades to the family's visible
   * NULL with a counted stage, never a guess: encrypted files
-  * (`encrypted` — strings/streams are ciphertext), CID-keyed Type0
-  * fonts (`cid_font` — multi-byte code spaces need CMaps), non-flate
+  * (`encrypted` — strings/streams are ciphertext), Type0 fonts with
+  * any OTHER CMap arrangement or no ToUnicode at all (`cid_font` —
+  * a glyph stream without its map is unreadable), non-flate
   * filters and out-of-shape predictors (`filter`), `/Differences` and
   * unknown encodings (`encoding` — glyph-name maps are out of scope),
   * a startxref landing on neither table form (`xref`), torn/hostile
@@ -900,21 +905,156 @@ object Pdf {
     GlyphNames.getOrElse(name, 0.toChar)
   }
 
-  /** Font dict → its byte decode table, or the degrade stage. A
+  /** A font's decode machine: a SIMPLE byte→char table (the three
+    * Annex D encodings, possibly /Differences-overlaid) or a CID map
+    * (Identity-H 2-byte codes → UTF-16 text via the embedded
+    * /ToUnicode CMap — the dominant post-2010 form).
+    */
+  private sealed trait FontDec
+  private final case class SimpleDec(table: Array[Char]) extends FontDec
+  private final case class CidDec(map: Map[Int, String]) extends FontDec
+
+  /** Parse a /ToUnicode CMap's `bfchar`/`bfrange` sections into a
+    * CID → text map; None when the CMap is outside the published
+    * subset (src codes wider than 2 bytes, odd-length UTF-16 dst,
+    * unbounded ranges) — the font then keeps degrading as `cid_font`,
+    * never a guessed decode. Lenient about everything else in the
+    * PostScript wrapper (the usual /CIDInit boilerplate is skipped,
+    * not parsed).
+    */
+  private[graft] def parseToUnicode(s: String, maxEntries: Int = 65536): Option[Map[Int, String]] = {
+    val out = scala.collection.mutable.HashMap[Int, String]()
+    var i = 0
+    def ws(): Unit = { while (i < s.length && s.charAt(i) <= ' ') i += 1 }
+    // next <hex> token, or null at a non-hex token (section keyword / `[`)
+    def hex(): Array[Byte] = {
+      ws()
+      if (i >= s.length || s.charAt(i) != '<') return null
+      val e = s.indexOf('>', i + 1)
+      if (e < 0) return null
+      val body = s.substring(i + 1, e).filterNot(_ <= ' ')
+      i = e + 1
+      if (body.exists(c => Character.digit(c, 16) < 0)) return Array.emptyByteArray
+      val padded = if (body.length % 2 == 1) body + "0" else body
+      padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    }
+    def code(b: Array[Byte]): Int =
+      if (b.length == 1) b(0) & 0xFF
+      else ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+    def utf16(b: Array[Byte]): String =
+      if (b.length % 2 != 0) null
+      else new String(b, StandardCharsets.UTF_16BE)
+    var going = true
+    while (going) {
+      val bc = s.indexOf("beginbfchar", i)
+      val br = s.indexOf("beginbfrange", i)
+      if (bc < 0 && br < 0) going = false
+      else if (br < 0 || (bc >= 0 && bc < br)) {
+        i = bc + "beginbfchar".length
+        var inSec = true
+        while (inSec) {
+          val src = hex()
+          if (src == null) inSec = false // endbfchar (or junk) ends the section
+          else {
+            val dst = hex()
+            if (dst == null) return None // dangling src: malformed
+            if (src.length < 1 || src.length > 2) return None
+            val d = utf16(dst)
+            if (d == null) return None
+            out(code(src)) = d
+            if (out.size > maxEntries) return None
+          }
+        }
+        val end = s.indexOf("endbfchar", i)
+        if (end < 0) return None
+        i = end + "endbfchar".length
+      } else {
+        i = br + "beginbfrange".length
+        var inSec = true
+        while (inSec) {
+          val lo = hex()
+          if (lo == null) inSec = false
+          else {
+            val hi = hex()
+            if (hi == null) return None
+            if (lo.length < 1 || lo.length > 2 || hi.length != lo.length) return None
+            val (l, h) = (code(lo), code(hi))
+            if (h < l || h - l + 1 > maxEntries) return None
+            ws()
+            if (i < s.length && s.charAt(i) == '[') {
+              i += 1
+              var c = l
+              while (c <= h) {
+                val dst = hex()
+                if (dst == null) return None
+                val d = utf16(dst)
+                if (d == null || d.isEmpty) return None
+                out(c) = d
+                c += 1
+              }
+              ws()
+              if (i >= s.length || s.charAt(i) != ']') return None
+              i += 1
+            } else {
+              val dst = hex()
+              if (dst == null) return None
+              val d = utf16(dst)
+              if (d == null || d.isEmpty) return None
+              // the LAST code unit increments across the range (§9.10.3)
+              var c = l
+              while (c <= h) {
+                val off = c - l
+                out(c) = d.substring(0, d.length - 1) +
+                  (d.charAt(d.length - 1) + off).toChar
+                c += 1
+              }
+            }
+            if (out.size > maxEntries) return None
+          }
+        }
+        val end = s.indexOf("endbfrange", i)
+        if (end < 0) return None
+        i = end + "endbfrange".length
+      }
+    }
+    Some(out.toMap)
+  }
+
+  /** Font dict → its decode machine, or the degrade stage. A
     * `/Differences` array overlays the base table glyph by glyph
     * (code, names…) — an UNRESOLVABLE glyph name degrades the font
     * whole (`encoding`): substituting a guess would silently rewrite
-    * text.
+    * text. A Type0 font decodes iff it is Identity-H (2-byte codes)
+    * WITH an embedded /ToUnicode CMap in the published subset; every
+    * other CMap arrangement keeps the counted `cid_font` degrade.
     */
-  private def fontEncoding(doc: Doc, fd: PVal): Either[String, Array[Char]] =
+  private def fontEncoding(doc: Doc, fd: PVal,
+      maxStreamOut: Int): Either[String, FontDec] =
     doc.resolve(fd) match {
       case d: PDict =>
-        if (d.m.get("Subtype").contains(PName("Type0"))) Left("cid_font")
+        if (d.m.get("Subtype").contains(PName("Type0"))) {
+          doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
+            case PName("Identity-H") =>
+              doc.resolve(d.m.getOrElse("ToUnicode", PNull)) match {
+                case s: PStream =>
+                  decodeStream(s, doc.resolve(_), maxStreamOut) match {
+                    case Right(bytes) =>
+                      parseToUnicode(new String(bytes, StandardCharsets.ISO_8859_1)) match {
+                        case Some(m) => Right(CidDec(m))
+                        case None => Left("cid_font")
+                      }
+                    case Left(_) => Left("cid_font")
+                  }
+                case _ => Left("cid_font") // no ToUnicode: nothing to decode with
+              }
+            case _ => Left("cid_font") // non-Identity-H CMaps stay degrades
+          }
+        }
         else doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
-          case PNull => Right(Standard)
-          case PName("WinAnsiEncoding") => Right(WinAnsi)
-          case PName("MacRomanEncoding") => Right(MacRoman)
-          case PName("StandardEncoding") => Right(Standard)
+          case PNull => Right(SimpleDec(Standard))
+          case PName("WinAnsiEncoding") => Right(SimpleDec(WinAnsi))
+          case PName("MacRomanEncoding") => Right(SimpleDec(MacRoman))
+          case PName("StandardEncoding") => Right(SimpleDec(Standard))
           case e: PDict =>
             val base = e.m.get("BaseEncoding") match {
               case None => Standard
@@ -924,7 +1064,7 @@ object Pdf {
               case _ => return Left("encoding")
             }
             doc.resolve(e.m.getOrElse("Differences", PNull)) match {
-              case PNull => Right(base)
+              case PNull => Right(SimpleDec(base))
               case PArr(xs) =>
                 val t = base.clone()
                 var code = -1
@@ -938,7 +1078,7 @@ object Pdf {
                     if (code > 256) return Left("encoding")
                   case _ => return Left("encoding")
                 }
-                Right(t)
+                Right(SimpleDec(t))
               case _ => Left("encoding")
             }
           case _ => Left("encoding")
@@ -955,19 +1095,33 @@ object Pdf {
   val WordGapThreshold: Double = -100.0
 
   private final class TextState(sb: java.lang.StringBuilder, maxTextLen: Int,
-      fonts: Map[String, Either[String, Array[Char]]]) {
-    private var enc: Array[Char] = Standard
+      fonts: Map[String, Either[String, FontDec]]) {
+    private var enc: FontDec = SimpleDec(Standard)
     var pendingNewline = false
 
     /** Error stage, or null. */
     def show(bytes: Array[Byte]): String = {
       if (pendingNewline && sb.length() > 0) sb.append('\n')
       pendingNewline = false
-      var i = 0
-      while (i < bytes.length) {
-        val c = enc(bytes(i) & 0xFF)
-        sb.append(if (c == 0.toChar) '�' else c)
-        i += 1
+      enc match {
+        case SimpleDec(table) =>
+          var i = 0
+          while (i < bytes.length) {
+            val c = table(bytes(i) & 0xFF)
+            sb.append(if (c == 0.toChar) '�' else c)
+            i += 1
+          }
+        case CidDec(map) =>
+          // Identity-H: 2-byte big-endian codes; an unmapped code or a
+          // torn trailing byte is the visible U+FFFD, like an undefined
+          // simple-encoding slot
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val code = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+            sb.append(map.getOrElse(code, "�"))
+            i += 2
+          }
+          if (i < bytes.length) sb.append('�')
       }
       if (sb.length() > maxTextLen) "budget" else null
     }
@@ -975,7 +1129,7 @@ object Pdf {
     def selectFont(name: String): String = fonts.get(name) match {
       case Some(Right(t)) => enc = t; null
       case Some(Left(stage)) => stage
-      case None => enc = Standard; null // lenient: unknown name → builtin
+      case None => enc = SimpleDec(Standard); null // lenient: unknown name → builtin
     }
   }
 
@@ -1091,7 +1245,8 @@ object Pdf {
           var stage: String = null
           pages.foreach { case (page, fontDict) =>
             if (stage == null) {
-              val fonts = fontDict.m.map { case (n, fv) => n -> fontEncoding(doc, fv) }
+              val fonts = fontDict.m.map { case (n, fv) =>
+                n -> fontEncoding(doc, fv, maxStreamOut) }
               val st = new TextState(sb, maxTextLen, fonts)
               st.pendingNewline = true // pages are line-separated
               val parts: Vector[PVal] = doc.resolve(page.m.getOrElse("Contents", PNull)) match {
@@ -1301,18 +1456,58 @@ object Pdf {
     sb.append("ET").toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 
+  /** Fixture /ToUnicode CMap text: the standard /CIDInit wrapper, one
+    * `bfchar` per (cid, text) pair and one `bfrange` per (lo, hi,
+    * startText) triple — the two section forms §9.10.3 publishes.
+    */
+  def toUnicodeCMap(bfchar: Seq[(Int, String)],
+      bfrange: Seq[(Int, Int, String)] = Nil): String = {
+    def hx(s: String): String =
+      "<" + s.getBytes(StandardCharsets.UTF_16BE).map(b => f"${b & 0xFF}%02X").mkString + ">"
+    val sb = new java.lang.StringBuilder(
+      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "/CMapName /Fixture-UCS def\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    if (bfchar.nonEmpty) {
+      sb.append(s"${bfchar.length} beginbfchar\n")
+      bfchar.foreach { case (c, t) => sb.append(f"<$c%04X> ${hx(t)}\n") }
+      sb.append("endbfchar\n"): Unit
+    }
+    if (bfrange.nonEmpty) {
+      sb.append(s"${bfrange.length} beginbfrange\n")
+      bfrange.foreach { case (lo, hi, t) => sb.append(f"<$lo%04X> <$hi%04X> ${hx(t)}\n") }
+      sb.append("endbfrange\n"): Unit
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend").toString
+  }
+
+  /** Content ops for a CID page: each line a sequence of 2-byte codes,
+    * shown as one hex string per `Tj` (the Identity-H form).
+    */
+  def cidContentOps(lines: Seq[Seq[Int]]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder("BT /F1 12 Tf 72 720 Td ")
+    lines.zipWithIndex.foreach { case (codes, i) =>
+      if (i > 0) sb.append("0 -14 Td ")
+      sb.append(codes.map(c => f"$c%04X").mkString("<", "", ">")).append(" Tj ")
+    }
+    sb.append("ET").toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
   /** One fixture page: raw content-op bytes + the font its `/F1`
-    * declares. `cid = true` writes a Type0 font (the CID degrade arm);
-    * a non-empty `differences` writes an encoding DICT re-encoding
+    * declares. `cid = true` writes a Type0 font — WITH `toUnicode`
+    * (raw CMap text) it carries the embedded /ToUnicode stream the
+    * reader decodes through; without, it is the counted degrade arm.
+    * A non-empty `differences` writes an encoding DICT re-encoding
     * those (code, glyph-name) slots over the base.
     */
   final case class Page(content: Array[Byte], encoding: String = "WinAnsiEncoding",
-      cid: Boolean = false, differences: Seq[(Int, String)] = Nil)
+      cid: Boolean = false, differences: Seq[(Int, String)] = Nil,
+      toUnicode: Option[String] = None)
 
   /** The `/F1` font dict body a fixture page declares. */
-  private def fontBody(pg: Page): String =
+  private def fontBody(pg: Page, toUniObj: Option[Int] = None): String =
     if (pg.cid)
-      "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H /Encoding /Identity-H >>"
+      "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H /Encoding /Identity-H" +
+        toUniObj.map(o => s" /ToUnicode $o 0 R").getOrElse("") + " >>"
     else if (pg.differences.nonEmpty)
       s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding " +
         s"<< /BaseEncoding /${pg.encoding} /Differences [" +
@@ -1364,7 +1559,11 @@ object Pdf {
     def objS(body: String): Int = obj(body.getBytes(StandardCharsets.ISO_8859_1))
 
     val n = pages.length
-    val kidNums = (0 until n).map(i => 3 + 3 * i)
+    // a page takes 3 objects (page, contents, font) + 1 when its font
+    // embeds a /ToUnicode CMap stream
+    val kidNums = pages.scanLeft(3) { (acc, pg) =>
+      acc + 3 + (if (pg.toUnicode.isDefined) 1 else 0)
+    }.init
     objS(s"<< /Type /Catalog /Pages 2 0 R >>") // obj 1
     objS(s"<< /Type /Pages /Kids [${kidNums.map(k => s"$k 0 R").mkString(" ")}] /Count $n >>") // obj 2
     pages.foreach { pg =>
@@ -1372,7 +1571,11 @@ object Pdf {
       objS(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 ${pageNum + 2} 0 R >> >> /Contents ${pageNum + 1} 0 R >>")
       obj(streamBody(pg.content, flate))
-      objS(fontBody(pg))
+      val toUniObj = pg.toUnicode.map(_ => pageNum + 3)
+      objS(fontBody(pg, toUniObj))
+      pg.toUnicode.foreach { cm =>
+        obj(streamBody(cm.getBytes(StandardCharsets.ISO_8859_1), flate))
+      }
     }
     val encObj = if (encrypted)
       Some(objS("<< /Filter /Standard /V 1 /R 2 /O (xx) /U (yy) /P -44 >>"))
@@ -1405,6 +1608,8 @@ object Pdf {
     */
   def pdfXrefStream(pages: Seq[Page], flate: Boolean = true,
       predictor: Boolean = false, objStm: Boolean = false): Array[Byte] = {
+    require(pages.forall(_.toUnicode.isEmpty),
+      "pdfXrefStream's fixed 3-objects-per-page numbering has no ToUnicode slot; use pdf()")
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     w("%PDF-1.5\n%âãÏÓ\n")

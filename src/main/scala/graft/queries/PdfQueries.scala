@@ -18,12 +18,14 @@ object PdfQueries {
     // flate vs raw content (parity), the three Annex D encodings with
     // high bytes that prove the tables (WinAnsi €/—/é on page 1,
     // MacRoman π/≈ vs Standard ’ on page 2), TJ kerning vs word gaps,
-    // hex strings, and the three degrade families under the same
-    // oracle — torn bytes (k%11: the back half is gone, and a PDF's
-    // xref lives at the END), encrypted (k%7: structure stays
-    // readable so n_pages holds, text is ciphertext → NULL), and
-    // CID-keyed fonts (k%5: multi-byte code spaces are out of the
-    // honest subset). Map-only.
+    // hex strings, and the degrade families under the same oracle —
+    // torn bytes (k%11: the back half is gone, and a PDF's xref lives
+    // at the END), encrypted (k%7: structure stays readable so
+    // n_pages holds, text is ciphertext → NULL), and CID-keyed fonts
+    // (k%5) — which since the ToUnicode reader SPLIT by CMap
+    // presence: even cid keys embed the CMap and their text EXTRACTS,
+    // odd cid keys ship bare Identity-H and keep the counted
+    // `cid_font` NULL. Map-only.
     Q(
       "q_pdf_text",
       (spark, dir) => {
@@ -34,7 +36,12 @@ object PdfQueries {
             " Tj ET").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
           val isCid = k % 11 != 0 && k % 7 != 0 && k % 5 == 0
           val page2 =
-            if (k % 3 == 0)
+            if (isCid && k % 2 == 0) {
+              val t = s"cid $k"
+              Pdf.Page(Pdf.cidContentOps(Seq(t.map(_.toInt))), cid = true,
+                toUnicode = Some(Pdf.toUnicodeCMap(
+                  t.distinct.map(c => c.toInt -> c.toString))))
+            } else if (k % 3 == 0)
               Pdf.Page(Pdf.contentOps(Seq(s"π ≈ $k"), "MacRomanEncoding"), "MacRomanEncoding",
                 cid = isCid)
             else
@@ -60,13 +67,14 @@ object PdfQueries {
           |  CAST(CASE WHEN k % 11 = 0 THEN 0 ELSE 2 END AS INT) AS n_pages,
           |  CASE WHEN k % 11 = 0 THEN 'parse'
           |       WHEN k % 7 = 0 THEN 'encrypted'
-          |       WHEN k % 5 = 0 THEN 'cid_font'
+          |       WHEN k % 5 = 0 AND k % 2 <> 0 THEN 'cid_font'
           |       ELSE 'ok' END AS stage,
-          |  CASE WHEN k % 11 = 0 OR k % 7 = 0 OR k % 5 = 0 THEN NULL
+          |  CASE WHEN k % 11 = 0 OR k % 7 = 0 OR (k % 5 = 0 AND k % 2 <> 0) THEN NULL
           |       ELSE 'Doc ' || k || ' — café €' || chr(10)
           |         || 'A' || k || ' BC' || chr(10)
           |         || 'hex ' || k || chr(10)
-          |         || CASE WHEN k % 3 = 0 THEN 'π ≈ ' || k
+          |         || CASE WHEN k % 5 = 0 THEN 'cid ' || k
+          |            WHEN k % 3 = 0 THEN 'π ≈ ' || k
           |            ELSE 'it’s ' || k END
           |  END AS text
           |FROM n""".stripMargin
@@ -142,6 +150,57 @@ object PdfQueries {
           |  CASE WHEN n_nationkey % 5 = 0 THEN NULL
           |       ELSE 'doc ' || n_nationkey || ' €ł“7' END AS text
           |FROM nation""".stripMargin
+      )
+    ),
+
+    // CID/Type0 FONTS through the ToUnicode CMap — the dominant
+    // post-2010 PDF form (Identity-H 2-byte codes, the embedded
+    // §9.10.3 CMap as the decode map). Arms per k%4: a bfchar CMap
+    // whose entries include a MULTI-CHAR ligature expansion and CJK
+    // (0), a bfrange covering the digit block — the last code unit
+    // increments across the range (1), an UNMAPPED code surfacing as
+    // the visible U+FFFD like an undefined simple-encoding slot (2),
+    // and a bare Identity-H font with no CMap at all keeping the
+    // counted `cid_font` degrade (3). Map-only.
+    Q(
+      "q_pdf_cid",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 0 =>
+            val t = s"日本 $k"
+            Pdf.pdf(Seq(Pdf.Page(
+              Pdf.cidContentOps(Seq(1 +: t.map(_.toInt))), cid = true,
+              toUnicode = Some(Pdf.toUnicodeCMap(
+                (1 -> "ffi") +: t.distinct.map(c => c.toInt -> c.toString))))))
+          case 1 =>
+            Pdf.pdf(Seq(Pdf.Page(
+              Pdf.cidContentOps(Seq(s"$k".map(_.toInt))), cid = true,
+              toUnicode = Some(Pdf.toUnicodeCMap(Nil, Seq((0x30, 0x39, "0")))))))
+          case 2 =>
+            Pdf.pdf(Seq(Pdf.Page(
+              Pdf.cidContentOps(Seq(Seq(0x41, 0x9999))), cid = true,
+              toUnicode = Some(Pdf.toUnicodeCMap(Seq(0x41 -> "A"))))))
+          case _ =>
+            Pdf.pdf(Seq(Pdf.Page(Pdf.cidContentOps(Seq(Seq(0x41))), cid = true)))
+        })
+        val out = Pdf.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id, CAST(1 AS INT) AS n_pages,
+          |  CASE WHEN k % 4 = 3 THEN 'cid_font' ELSE 'ok' END AS stage,
+          |  CASE CAST(k % 4 AS INT)
+          |    WHEN 0 THEN 'ffi日本 ' || k
+          |    WHEN 1 THEN CAST(k AS VARCHAR)
+          |    WHEN 2 THEN 'A' || chr(65533)
+          |    ELSE NULL END AS text
+          |FROM n""".stripMargin
       )
     ),
 

@@ -121,6 +121,56 @@ class PdfSpec extends SparkSpec {
     assert(db.stage == "encoding" && db.text == null && db.n_pages == 1)
   }
 
+  test("CID/Type0 via ToUnicode: bfchar, bfrange forms, mixed pages, degrades hold") {
+    // bfchar: explicit pairs, incl. a multi-char ligature expansion
+    val cm1 = Pdf.toUnicodeCMap(Seq(3 -> "H", 4 -> "i", 5 -> " ", 6 -> "日", 7 -> "ﬁ"))
+    val p1 = Pdf.pdf(Seq(Pdf.Page(
+      Pdf.cidContentOps(Seq(Seq(3, 4, 5, 6), Seq(7, 4))),
+      cid = true, toUnicode = Some(cm1))))
+    val d1 = Pdf.extractText(p1)
+    assert(d1.stage == "ok" && d1.text == "Hi 日\nﬁi")
+
+    // bfrange: contiguous block — the LAST code unit increments
+    val cm2 = Pdf.toUnicodeCMap(Nil, Seq((0x0010, 0x0019, "a")))
+    val p2 = Pdf.pdf(Seq(Pdf.Page(
+      Pdf.cidContentOps(Seq(Seq(0x10, 0x12, 0x19))),
+      cid = true, toUnicode = Some(cm2))))
+    assert(Pdf.extractText(p2).text == "acj")
+
+    // unmapped code and a torn odd byte are U+FFFD, not a degrade
+    val p3 = Pdf.pdf(Seq(Pdf.Page(
+      Pdf.cidContentOps(Seq(Seq(3, 0x99))),
+      cid = true, toUnicode = Some(Pdf.toUnicodeCMap(Seq(3 -> "x"))))))
+    assert(Pdf.extractText(p3).text == "x�")
+
+    // a CMap'd page and a simple-encoding page coexist in one doc
+    val mixed = Pdf.pdf(Seq(
+      Pdf.Page(Pdf.cidContentOps(Seq(Seq(3))), cid = true,
+        toUnicode = Some(Pdf.toUnicodeCMap(Seq(3 -> "cid page")))),
+      Pdf.Page(Pdf.contentOps(Seq("plain page")))))
+    val dm = Pdf.extractText(mixed)
+    assert(dm.stage == "ok" && dm.text == "cid page\nplain page" && dm.n_pages == 2)
+
+    // no ToUnicode at all: still the counted degrade
+    assert(Pdf.extractText(Pdf.pdf(Seq(Pdf.Page(
+      Pdf.cidContentOps(Seq(Seq(3))), cid = true)))).stage == "cid_font")
+  }
+
+  test("parseToUnicode: published subset edges; out-of-subset returns None") {
+    assert(Pdf.parseToUnicode("no sections at all") == Some(Map.empty))
+    // array-form bfrange
+    val arr = "2 beginbfrange\n<0001> <0002> [<0041> <0042>]\nendbfrange"
+    assert(Pdf.parseToUnicode(arr) == Some(Map(1 -> "A", 2 -> "B")))
+    // 1-byte codes are in-subset
+    assert(Pdf.parseToUnicode("1 beginbfchar\n<41> <0058>\nendbfchar") == Some(Map(0x41 -> "X")))
+    // out of subset: 3-byte src, odd-BYTE dst (5 hex digits pad to 3
+    // bytes — not UTF-16), inverted range, torn section
+    assert(Pdf.parseToUnicode("1 beginbfchar\n<000041> <0041>\nendbfchar").isEmpty)
+    assert(Pdf.parseToUnicode("1 beginbfchar\n<0041> <00410>\nendbfchar").isEmpty)
+    assert(Pdf.parseToUnicode("1 beginbfrange\n<0002> <0001> <0041>\nendbfrange").isEmpty)
+    assert(Pdf.parseToUnicode("1 beginbfchar\n<0041> <0041>").isEmpty) // no end marker
+  }
+
   test("degrades: encrypted, CID font, unknown filter, predictor, xref stream, junk") {
     val enc = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("secret")))), encrypted = true)
     val de = Pdf.extractText(enc)
