@@ -68,6 +68,11 @@ object GraftExtensions {
         "graft_url_canon(s) - RFC 3986 canonical http(s) URL; NULL out of contract"),
       (children: Seq[Expression]) => UrlCanonicalize(children(0))),
     (
+      FunctionIdentifier("graft_surt"),
+      info("graft_surt",
+        "graft_surt(s) - SURT index key of an http(s) URL (public CDX canonicalization)"),
+      (children: Seq[Expression]) => SurtKey(children(0))),
+    (
       FunctionIdentifier("graft_html_anchors"),
       info("graft_html_anchors",
         "graft_html_anchors(s) - <a href> pairs with visible anchor text"),

@@ -329,6 +329,34 @@ case class UrlResolve(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_surt(string) -> string` — the SURT index key of an http(s)
+  * URL inside codegen (reversed host labels, default-port/www drops,
+  * whole-key lowercasing, sorted query with session params stripped —
+  * the public CDX canonicalization); NULL out of contract. The join
+  * key for lookups against CDXJ indexes. See
+  * [[graft.operators.Cdx.surt]].
+  */
+case class SurtKey(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // out-of-contract URLs yield NULL
+  override def prettyName: String = "graft_surt"
+
+  override protected def nullSafeEval(s: Any): Any =
+    graft.operators.Cdx.surtUtf8(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.operators.Cdx.surtUtf8($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SurtKey =
+    copy(child = newChild)
+}
+
 /** `graft_html_links(string) -> array<string>` — the href/src attribute
   * values of an HTML document in one pass (entity-decoded, comments
   * and script/style content skipped, fragment-only refs dropped). Raw
@@ -477,6 +505,10 @@ object GraftFunctions {
   /** RFC 3986 §5.2 resolution of `ref` against `base`, canonicalized. */
   def urlResolve(base: Column, ref: Column): Column =
     ColumnBridge.column(UrlResolve(e(base), e(ref)))
+
+  /** SURT index key of an http(s) URL; NULL out of contract. */
+  def surtKey(c: Column): Column =
+    ColumnBridge.column(SurtKey(e(c)))
 
   /** href/src attribute values of an HTML document, one pass. */
   def htmlLinks(c: Column): Column =

@@ -1441,6 +1441,62 @@ object DumpQueries {
       )
     ),
 
+    // INDEX LOOKUP — the consumption pattern the CDX family exists
+    // for: wanted URLs join the index on SURT keys through the NATIVE
+    // `graft_surt` expression (no ScalaUDF — PlanShapeSpec pins it),
+    // so any spelling the public canonicalization reaches finds its
+    // captures: a www + default-port spelling, an UPPERCASE path
+    // (whole-key lowercasing), and a jsessionid-carrying spelling all
+    // land; an ftp URL (NULL key) and an unindexed host match
+    // nothing. The wanted side broadcasts — at 100 TB the index is
+    // the big side and never moves. Zero shuffles.
+    Q(
+      "q_cdx_lookup",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          def line(i: Int, extra: String) =
+            s"""com,site$k)/p$i 2026010$i {"url": "http://site$k.com/p$i", """ +
+              s""""filename": "crawl-$k.warc.gz"$extra}"""
+          (0 until 3).map(i => line(i,
+            s""", "offset": "${i * 1000}", "length": "800", "status": "200", "mime": "text/html""""))
+            .mkString("\n")
+        })
+        val idx = graft.operators.Cdx.indexRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("text", mk(col("media_id"))),
+          "media_id", "text")
+        val wanted = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+          .select(explode(array(
+            concat(lit("http://www.site"), col("k"), lit(".com/p0")),
+            concat(lit("HTTP://SITE"), col("k"), lit(".COM:80/P1")),
+            concat(lit("http://site"), col("k"), lit(".com/p1?jsessionid=ABC")),
+            concat(lit("ftp://site"), col("k"), lit(".com/p0")),
+            concat(lit("http://other"), col("k"), lit(".example/zz"))))
+            .as("url_wanted"))
+        val out = graft.operators.Cdx.lookup(broadcast(wanted), "url_wanted", idx)
+          .select(col("media_id"), col("url_wanted"), col("surt_key"),
+            col("offset"), col("status"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |w AS (
+          |  SELECT k, 'http://www.site' || k || '.com/p0' AS url_wanted, 0 AS cap FROM n
+          |  UNION ALL
+          |  SELECT k, 'HTTP://SITE' || k || '.COM:80/P1', 1 FROM n
+          |  UNION ALL
+          |  SELECT k, 'http://site' || k || '.com/p1?jsessionid=ABC', 1 FROM n
+          |)
+          |SELECT k AS media_id, url_wanted,
+          |  'com,site' || k || ')/p' || cap AS surt_key,
+          |  CAST(cap * 1000 AS BIGINT) AS "offset", 200 AS status
+          |FROM w""".stripMargin
+      )
+    ),
+
     // SELECTIVE FETCH, PROVED: the index → plan → range-read → parse
     // loop closed end to end, with every UNWANTED record's bytes
     // CORRUPTED in the archive — q_dump_index's discipline on the

@@ -250,6 +250,32 @@ class PlanShapeSpec extends SparkSpec {
       Seq(("http://h.example/p1", "plain")))
   }
 
+  test("CDX lookup keys ride native codegen: no ScalaUDF, broadcast join, no shuffle") {
+    import spark.implicits._
+    val idx = Seq((1L, "com,site)/p0", "2026", "http://site.com/p0", "c.warc.gz",
+      0L, 800L, 200, "text/html"))
+      .toDF("media_id", "surt_key", "ts", "url", "filename", "offset", "length",
+        "status", "mime")
+    val wanted = Seq("http://WWW.Site.com/p0", "ftp://x/").toDF("url_wanted")
+    val out = graft.operators.Cdx.lookup(
+      org.apache.spark.sql.functions.broadcast(wanted), "url_wanted", idx)
+    val udfs = out.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+    }.flatten
+    assert(udfs.isEmpty, s"surt keys must not ride a ScalaUDF:\n$udfs")
+    // the key is the native expression (constant-folded away over this
+    // literal local table — visible pre-optimization, and foldability
+    // itself is something a ScalaUDF never gets)
+    assert(out.queryExecution.analyzed.toString.contains("graft_surt"))
+    val plan = physical(out)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    graft.queries.Q.requireNoShuffle(out)
+    assert(out.collect().map(_.getAs[String]("url_wanted")).toSeq ==
+      Seq("http://WWW.Site.com/p0"))
+  }
+
   test("boilerplate gram builder runs inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = physical(docs.select(
