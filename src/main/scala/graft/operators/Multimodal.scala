@@ -430,6 +430,7 @@ object Multimodal {
       .orElse(decodePng(bytes).map { case (w, h, px) => ("png", w, h, px) })
       .orElse(decodeGif(bytes).map { case (w, h, px) => ("gif", w, h, px) })
       .orElse(decodeTiff(bytes).map { case (w, h, px) => ("tiff", w, h, px) })
+      .orElse(decodeWebp(bytes).map { case (w, h, px) => ("webp", w, h, px) })
 
   /** Pure-JVM GIF decoder (87a/89a) — the third COMPRESSED image
     * format, and like FLAC a LOSSLESS one, so its decode is closed-form
@@ -1107,6 +1108,9 @@ object Multimodal {
       else if (bytes.length >= 4 &&
         ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
           (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))) "tiff"
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+        bytes(10) == 'B' && bytes(11) == 'P') "webp"
       else "unknown"
     ImageStats(id, fmt, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
   }
@@ -2742,5 +2746,548 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  // ------------------------------------------------------------------
+  // WebP (VP8L lossless) — the most common current web image format.
+  // Pure-JVM against the published WebP Lossless Bitstream
+  // Specification, in the PNG/GIF discipline (lossless, so the decode
+  // is closed-form oracle-able). Coverage: the RIFF/WEBP chunk walk,
+  // the VP8L header, BOTH prefix-code forms (simple 1-/2-symbol and
+  // normal canonical codes behind the 19-symbol code-length code with
+  // its 16/17/18 repeats and the max_symbol budget), LZ77 backward
+  // references (length/distance prefix values + extra bits, plain
+  // distances AND the 120-entry close-neighborhood plane map), the
+  // color cache (the spec's 0x1e35a7bd multiplicative hash), and the
+  // SUBTRACT_GREEN transform inverse. Out of subset, degrading to
+  // None like every codec here: VP8 lossy frames (perceptual — the
+  // honest boundary the audio family also draws), VP8X metadata
+  // wrappers without a VP8L frame, the PREDICTOR/COLOR/
+  // COLOR_INDEXING transforms, and spatially-varying meta prefix
+  // codes. Returns top-down RGB.
+  // ------------------------------------------------------------------
+
+  /** LSB-first bit reader over a byte window (the VP8L bit order). */
+  private final class LBits(b: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bit = 0
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= end) throw new IllegalStateException("vp8l: past end")
+        v |= ((b(pos) >> bit) & 1) << i
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** One prefix code: explicit (symbol, code, len) rows — canonical
+    * for normal codes, first-listed-gets-0 for simple codes. Decoding
+    * walks bit-by-bit against the first-code-of-length table.
+    */
+  private class PrefixCode(lens: Array[Int], syms: Array[Int]) {
+    // per length 1..15: count, first canonical code, offset into sorted
+    private val count = new Array[Int](16)
+    lens.foreach { l => if (l > 0) count(l) += 1 }
+    private val firstCode = new Array[Int](16)
+    private val offset = new Array[Int](16)
+    private var c = 0
+    private var off = 0
+    (1 to 15).foreach { l =>
+      firstCode(l) = c
+      offset(l) = off
+      c = (c + count(l)) << 1
+      off += count(l)
+    }
+    private val sorted: Array[Int] = {
+      val idx = syms.indices.filter(i => lens(i) > 0).sortBy(i => (lens(i), syms(i)))
+      idx.map(syms).toArray
+    }
+    val nSymbols: Int = sorted.length
+
+    def next(br: LBits): Int = {
+      if (nSymbols == 1) return sorted(0) // 0-bit code
+      var code = 0
+      var len = 0
+      while (len < 15) {
+        code = (code << 1) | br.read(1)
+        len += 1
+        val d = code - firstCode(len)
+        if (d >= 0 && d < count(len)) return sorted(offset(len) + d)
+      }
+      throw new IllegalStateException("vp8l: bad code")
+    }
+  }
+
+  /** The code-length code's symbol order (the spec's
+    * kCodeLengthCodeOrder).
+    */
+  private val Vp8lClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** The close-neighborhood distance map: codes 1..120 are 2D offsets
+    * (x, y) relative to the current pixel; dist = x + y·xsize (≥ 1).
+    */
+  private val Vp8lDistMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+  /** Length/distance prefix value: codes 0–3 are 1–4 directly; above,
+    * (code−2)>>1 extra bits over the offset (2+(code&1))<<extra.
+    */
+  private def vp8lLzValue(code: Int, br: LBits): Int = {
+    if (code < 0) throw new IllegalStateException("vp8l: bad lz code")
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.read(extra) + 1
+    }
+  }
+
+  /** Read one prefix code (simple or normal). */
+  private def vp8lReadCode(br: LBits, alphabetSize: Int): PrefixCode = {
+    if (br.read(1) == 1) { // simple
+      val numSymbols = br.read(1) + 1
+      val first8 = br.read(1)
+      val s0 = br.read(if (first8 == 1) 8 else 1)
+      // single-symbol simple codes consume 0 bits — PrefixCode's
+      // nSymbols==1 fast path does exactly that
+      if (numSymbols == 1) new PrefixCode(Array(1), Array(s0))
+      else {
+        val s1 = br.read(8)
+        // first-listed symbol gets code 0: feed symbols in code order
+        // with equal lengths and force the order via a direct table
+        new PrefixCode(Array(1, 1), Array(s0, s1)) {
+          override def next(b2: LBits): Int = if (b2.read(1) == 0) s0 else s1
+        }
+      }
+    } else {
+      val numCl = 4 + br.read(4)
+      if (numCl > 19) throw new IllegalStateException("vp8l: cl count")
+      val clLens = new Array[Int](19)
+      (0 until numCl).foreach(i => clLens(Vp8lClOrder(i)) = br.read(3))
+      val clCode = new PrefixCode(clLens, Array.tabulate(19)(identity))
+      if (clCode.nSymbols == 0) throw new IllegalStateException("vp8l: empty cl code")
+      var budget = alphabetSize
+      if (br.read(1) == 1) { // max_symbol present
+        val nbits = 2 + 2 * br.read(3)
+        budget = 2 + br.read(nbits)
+        if (budget > alphabetSize) throw new IllegalStateException("vp8l: max_symbol")
+      }
+      val lens = new Array[Int](alphabetSize)
+      var sym = 0
+      var prev = 8
+      while (sym < alphabetSize && budget > 0) {
+        budget -= 1
+        clCode.next(br) match {
+          case l if l < 16 =>
+            lens(sym) = l; sym += 1
+            if (l != 0) prev = l
+          case 16 =>
+            val rep = 3 + br.read(2)
+            (0 until rep).foreach { _ =>
+              if (sym < alphabetSize) { lens(sym) = prev; sym += 1 }
+            }
+          case 17 =>
+            sym += 3 + br.read(3)
+          case _ => // 18
+            sym += 11 + br.read(7)
+        }
+      }
+      if (sym > alphabetSize) throw new IllegalStateException("vp8l: lengths overflow")
+      new PrefixCode(lens, Array.tabulate(alphabetSize)(identity))
+    }
+  }
+
+  /** VP8L payload → top-down RGB, or None outside the subset. */
+  private def decodeVp8l(bytes: Array[Byte], start: Int, len: Int,
+      maxPixels: Int): Option[(Int, Int, Array[Byte])] = {
+    val br = new LBits(bytes, start, start + len)
+    if (br.read(8) != 0x2F) return None
+    val w = br.read(14) + 1
+    val h = br.read(14) + 1
+    br.read(1) // alpha hint (informational)
+    if (br.read(3) != 0) return None // version must be 0
+    if (w.toLong * h > maxPixels) return None
+    var subtractGreen = false
+    while (br.read(1) == 1) {
+      br.read(2) match {
+        case 2 => subtractGreen = true
+        case _ => return None // predictor/color/indexing out of subset
+      }
+    }
+    var cacheBits = 0
+    if (br.read(1) == 1) {
+      cacheBits = br.read(4)
+      if (cacheBits < 1 || cacheBits > 11) return None
+    }
+    if (br.read(1) == 1) return None // spatially-varying meta codes out of subset
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val green = vp8lReadCode(br, 256 + 24 + cacheSize)
+    val red = vp8lReadCode(br, 256)
+    val blue = vp8lReadCode(br, 256)
+    val alpha = vp8lReadCode(br, 256)
+    val dist = vp8lReadCode(br, 40)
+    val argb = new Array[Int](w * h)
+    val cache = if (cacheBits > 0) new Array[Int](cacheSize) else null
+    def insert(px: Int): Unit =
+      if (cache != null) cache((0x1e35a7bd * px) >>> (32 - cacheBits)) = px
+    var n = 0
+    while (n < w * h) {
+      val s = green.next(br)
+      if (s < 256) {
+        val g = s
+        val r = red.next(br)
+        val b = blue.next(br)
+        val a = alpha.next(br)
+        val px = (a << 24) | (r << 16) | (g << 8) | b
+        argb(n) = px; insert(px); n += 1
+      } else if (s < 256 + 24) {
+        val length = vp8lLzValue(s - 256, br)
+        val dCode = vp8lLzValue(dist.next(br), br)
+        val d =
+          if (dCode > 120) dCode - 120
+          else {
+            val (dx, dy) = Vp8lDistMap(dCode - 1)
+            math.max(1, dy * w + dx)
+          }
+        if (d > n || n + length > w * h) return None
+        var i = 0
+        while (i < length) {
+          argb(n) = argb(n - d); insert(argb(n)); n += 1; i += 1
+        }
+      } else {
+        val idx = s - 256 - 24
+        if (idx >= cacheSize) return None
+        argb(n) = cache(idx); n += 1
+      }
+    }
+    // ARGB → RGB with the subtract-green inverse
+    val px = new Array[Byte](w * h * 3)
+    var m = 0
+    while (m < w * h) {
+      val v = argb(m)
+      val g = (v >> 8) & 0xFF
+      var r = (v >> 16) & 0xFF
+      var b = v & 0xFF
+      if (subtractGreen) { r = (r + g) & 0xFF; b = (b + g) & 0xFF }
+      px(m * 3) = r.toByte; px(m * 3 + 1) = g.toByte; px(m * 3 + 2) = b.toByte
+      m += 1
+    }
+    Some((w, h, px))
+  }
+
+  def decodeWebp(bytes: Array[Byte], maxPixels: Int = 1 << 22): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes == null || bytes.length < 20) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P')) return None
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val tag = new String(bytes, p, 4, "US-ASCII")
+      val clen = (bytes(p + 4) & 0xFF) | ((bytes(p + 5) & 0xFF) << 8) |
+        ((bytes(p + 6) & 0xFF) << 16) | ((bytes(p + 7) & 0xFF) << 24)
+      if (clen < 0 || p + 8 + clen.toLong > bytes.length) return None
+      if (tag == "VP8L") return decodeVp8l(bytes, p + 8, clen, maxPixels)
+      if (tag == "VP8 ") return None // lossy: the perceptual honest boundary
+      p += 8 + clen + (clen & 1) // chunks pad to even size
+    }
+    None // VP8X wrapper without a VP8L frame, or no image chunk at all
+  } catch { case _: Exception => None }
+
+  // ---- VP8L fixture encoder (tests + gates only) ----
+
+  private final class LBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var bit = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << bit
+        bit += 1
+        if (bit == 8) { out.write(cur); cur = 0; bit = 0 }
+        i += 1
+      }
+    }
+    /** A prefix code's bits go MSB-first (tree descent order). */
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { write((code >> i) & 1, 1); i -= 1 }
+    }
+    def result(): Array[Byte] = {
+      if (bit > 0) { out.write(cur); cur = 0; bit = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Depth-bounded Huffman code lengths over `freq` (index = symbol);
+    * zero-count symbols get length 0; a single used symbol gets
+    * length 1 (the incomplete-but-unambiguous DEFLATE convention).
+    */
+  private def huffmanLengths(freq: Array[Long], maxLen: Int = 15): Array[Int] = {
+    val used = freq.indices.filter(freq(_) > 0)
+    val lens = new Array[Int](freq.length)
+    if (used.isEmpty) return lens
+    if (used.length == 1) { lens(used.head) = 1; return lens }
+    // simple two-queue Huffman over (weight, members)
+    case class Node(weight: Long, members: List[Int])
+    var queue = used.map(s => Node(freq(s), List(s))).sortBy(n => (n.weight, n.members.head)).toList
+    val depth = new Array[Int](freq.length)
+    while (queue.length > 1) {
+      val a :: b :: rest = queue: @unchecked
+      (a.members ++ b.members).foreach(s => depth(s) += 1)
+      val merged = Node(a.weight + b.weight, a.members ++ b.members)
+      queue = (merged :: rest).sortBy(n => (n.weight, n.members.head))
+    }
+    require(used.forall(depth(_) <= maxLen),
+      s"huffmanLengths: depth exceeds $maxLen (pathological fixture histogram)")
+    used.foreach(s => lens(s) = depth(s))
+    lens
+  }
+
+  /** Canonical codes for `lens` (assigned (len asc, symbol asc)). */
+  private def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val codes = new Array[Int](lens.length)
+    var code = 0
+    (1 to 15).foreach { l =>
+      lens.indices.foreach { s =>
+        if (lens(s) == l) { codes(s) = code; code += 1 }
+      }
+      code <<= 1
+    }
+    codes
+  }
+
+  /** Write one prefix code header (simple when ≤2 distinct symbols all
+    * ≤255, normal otherwise) and return (lens, codes) for emission.
+    */
+  private def vp8lWriteCode(bw: LBitWriter, freq: Array[Long]): (Array[Int], Array[Int]) = {
+    val used = freq.indices.filter(freq(_) > 0)
+    if (used.nonEmpty && used.length <= 2 && used.forall(_ <= 255)) {
+      bw.write(1, 1) // simple
+      bw.write(used.length - 1, 1)
+      bw.write(1, 1) // first symbol in 8 bits
+      bw.write(used.head, 8)
+      if (used.length == 2) bw.write(used(1), 8)
+      val lens = new Array[Int](freq.length)
+      val codes = new Array[Int](freq.length)
+      if (used.length == 1) lens(used.head) = 0 // 0-bit
+      else {
+        lens(used.head) = 1; codes(used.head) = 0
+        lens(used(1)) = 1; codes(used(1)) = 1
+      }
+      (lens, codes)
+    } else {
+      val lens = huffmanLengths(freq)
+      val codes = canonicalCodes(lens)
+      bw.write(0, 1) // normal
+      // code-length code over the literal lengths (no 16/17/18 runs —
+      // fixture-size streams don't need them)
+      val clFreq = new Array[Long](19)
+      lens.foreach(l => clFreq(l) += 1)
+      val clLens = huffmanLengths(clFreq, maxLen = 7)
+      val clCodes = canonicalCodes(clLens)
+      val maxPos = Vp8lClOrder.indices.filter(i => clLens(Vp8lClOrder(i)) > 0).max
+      val numCl = math.max(4, maxPos + 1)
+      bw.write(numCl - 4, 4)
+      (0 until numCl).foreach(i => bw.write(clLens(Vp8lClOrder(i)), 3))
+      bw.write(0, 1) // no max_symbol: all alphabet entries follow
+      lens.foreach(l => bw.writeCode(clCodes(l), clLens(l)))
+      (lens, codes)
+    }
+  }
+
+  /** Inverse of [[vp8lLzValue]]: value → (prefix code, extra bits,
+    * extra value).
+    */
+  private def vp8lLzCode(v: Int): (Int, Int, Int) = {
+    require(v >= 1, "vp8l lz value >= 1")
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      val u = v - 1
+      var e = 1
+      while ((4 << e) <= u) e += 1
+      // u in [2^(e+1), 2^(e+2)) given 2^(e+1) = 2<<e
+      if (u < (3 << e)) (2 * e + 2, e, u - (2 << e))
+      else (2 * e + 3, e, u - (3 << e))
+    }
+  }
+
+  /** VP8L fixture encoder over top-down RGB pixels. Options: the
+    * SUBTRACT_GREEN transform, a color cache (`cacheBits`), and
+    * greedy whole-row LZ77 (`lz77Rows`: a row equal to its
+    * predecessor is emitted as one length-w/distance-w backreference
+    * — `plainDistance` picks the raw >120 distance form vs the
+    * close-neighborhood plane code (0,1)). Alpha is constant 255.
+    */
+  def webpVp8l(w: Int, h: Int, rgb: Array[Byte], subtractGreen: Boolean = false,
+      cacheBits: Int = 0, lz77Rows: Boolean = false,
+      plainDistance: Boolean = true): Array[Byte] = {
+    require(rgb.length == w * h * 3, "webpVp8l: raster shape")
+    val n = w * h
+    // literal plan: per pixel either (g,r,b) literal, cache ref, or a
+    // row backref token (recorded once at the row's first pixel)
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = new Array[Int](math.max(1, cacheSize))
+    val cacheValid = new Array[Boolean](math.max(1, cacheSize))
+    sealed trait Tok
+    case class Lit(g: Int, r: Int, b: Int) extends Tok
+    case class CacheRef(idx: Int) extends Tok
+    case object RowRef extends Tok
+    val toks = scala.collection.mutable.ArrayBuffer[Tok]()
+    var m = 0
+    while (m < n) {
+      val y = m / w
+      if (lz77Rows && m % w == 0 && y > 0 &&
+        (0 until w * 3).forall(i => rgb((y - 1) * w * 3 + i) == rgb(y * w * 3 + i))) {
+        toks += RowRef
+        // backrefs insert their pixels into the cache model too
+        (0 until w).foreach { x =>
+          val px = argbAt(rgb, (y * w + x), subtractGreen)
+          if (cacheSize > 0) {
+            val idx = (0x1e35a7bd * px) >>> (32 - cacheBits)
+            cache(idx) = px; cacheValid(idx) = true
+          }
+        }
+        m += w
+      } else {
+        val px = argbAt(rgb, m, subtractGreen)
+        val idx = if (cacheSize > 0) (0x1e35a7bd * px) >>> (32 - cacheBits) else 0
+        if (cacheSize > 0 && cacheValid(idx) && cache(idx) == px) toks += CacheRef(idx)
+        else {
+          toks += Lit((px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF)
+          if (cacheSize > 0) { cache(idx) = px; cacheValid(idx) = true }
+        }
+        m += 1
+      }
+    }
+    // histograms
+    val greenF = new Array[Long](256 + 24 + cacheSize)
+    val redF = new Array[Long](256)
+    val blueF = new Array[Long](256)
+    val alphaF = new Array[Long](256)
+    val distF = new Array[Long](40)
+    val (lenCode, _, _) = vp8lLzCode(w)
+    val distVal = if (plainDistance) w + 120 else 1 // plane code 1 = (0,1) = one row up
+    val (distCode, _, _) = vp8lLzCode(distVal)
+    toks.foreach {
+      case Lit(g, r, b) =>
+        greenF(g) += 1; redF(r) += 1; blueF(b) += 1; alphaF(255) += 1
+      case CacheRef(idx) => greenF(256 + 24 + idx) += 1
+      case RowRef => greenF(256 + lenCode) += 1; distF(distCode) += 1
+    }
+    if (distF.forall(_ == 0)) distF(0) = 1 // unused code still needs a header
+    if (alphaF.forall(_ == 0)) alphaF(255) = 1
+    if (redF.forall(_ == 0)) redF(0) = 1
+    if (blueF.forall(_ == 0)) blueF(0) = 1
+    val bw = new LBitWriter
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14); bw.write(h - 1, 14)
+    bw.write(0, 1) // no alpha
+    bw.write(0, 3) // version
+    if (subtractGreen) { bw.write(1, 1); bw.write(2, 2) } // one transform
+    bw.write(0, 1) // end of transforms
+    if (cacheBits > 0) { bw.write(1, 1); bw.write(cacheBits, 4) } else bw.write(0, 1)
+    bw.write(0, 1) // no meta prefix
+    val (gL, gC) = vp8lWriteCode(bw, greenF)
+    val (rL, rC) = vp8lWriteCode(bw, redF)
+    val (bL, bC) = vp8lWriteCode(bw, blueF)
+    val (aL, aC) = vp8lWriteCode(bw, alphaF)
+    val (dL, dC) = vp8lWriteCode(bw, distF)
+    toks.foreach {
+      case Lit(g, r, b) =>
+        bw.writeCode(gC(g), gL(g))
+        bw.writeCode(rC(r), rL(r))
+        bw.writeCode(bC(b), bL(b))
+        bw.writeCode(aC(255), aL(255))
+      case CacheRef(idx) =>
+        val s = 256 + 24 + idx
+        bw.writeCode(gC(s), gL(s))
+      case RowRef =>
+        val (lc, le, lv) = vp8lLzCode(w)
+        bw.writeCode(gC(256 + lc), gL(256 + lc))
+        bw.write(lv, le)
+        val (dc, de, dv) = vp8lLzCode(distVal)
+        bw.writeCode(dC(dc), dL(dc))
+        bw.write(dv, de)
+    }
+    val payload = bw.result()
+    // RIFF wrapper (chunks pad to even)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    val padded = payload.length + (payload.length & 1)
+    out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + padded)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8L".getBytes("US-ASCII")); le32(payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** The pixel's ARGB as stored (after the subtract-green forward
+    * transform when enabled); alpha fixed at 255.
+    */
+  private def argbAt(rgb: Array[Byte], m: Int, subtractGreen: Boolean): Int = {
+    val r0 = rgb(m * 3) & 0xFF
+    val g = rgb(m * 3 + 1) & 0xFF
+    val b0 = rgb(m * 3 + 2) & 0xFF
+    val r = if (subtractGreen) (r0 - g) & 0xFF else r0
+    val b = if (subtractGreen) (b0 - g) & 0xFF else b0
+    (255 << 24) | (r << 16) | (g << 8) | b
+  }
+
+  /** A LOSSY WebP stub: a well-formed RIFF/WEBP container whose image
+    * chunk is a "VP8 " (perceptual) frame — what the decoder must
+    * classify as webp and DEGRADE on, never guess at (the ISO-table
+    * honest boundary the audio family also draws).
+    */
+  def webpLossyStub(seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    val body = new Array[Byte](24)
+    var s = seed
+    body.indices.foreach { i =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      body(i) = ((s >>> 33) & 0xFF).toByte
+    }
+    out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + body.length)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8 ".getBytes("US-ASCII")); le32(body.length)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** WebP twin of [[syntheticPng]]/[[syntheticPpm]]: the SAME logical
+    * pixel formula ((seed·31+m) mod 256) behind the VP8L bitstream, so
+    * the family's one oracle covers a fourth compressed encoding.
+    */
+  def syntheticWebp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(seed >= 0 && w > 0 && h > 0, "syntheticWebp: non-negative seed, positive dims")
+    val px = Array.tabulate(w * h * 3)(m => ((seed * 31 + m) % 256).toByte)
+    webpVp8l(w, h, px, subtractGreen = seed % 2 == 0)
   }
 }

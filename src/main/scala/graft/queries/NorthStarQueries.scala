@@ -2012,6 +2012,70 @@ object NorthStarQueries {
       )
     ),
 
+    // WebP — the most common CURRENT web image format, fifth in the
+    // family and LOSSLESS (VP8L), so closed-form oracle-able like
+    // PNG/GIF: the payloads are real VP8L bitstreams (prefix codes —
+    // normal canonical ones behind the code-length code — with the
+    // SUBTRACT_GREEN transform rotating by key parity) carrying the
+    // SAME logical pixel formula as PPM/BMP/PNG, and the oracle is
+    // the PNG oracle with the format tag swapped: four encodings, one
+    // source of truth. Map-only.
+    Q(
+      "q_image_decode_webp",
+      (spark, dir) => {
+        val blobs = Q.t(spark, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("media_id"))
+        val webp = udf((k: Long) => Multimodal.syntheticWebp(k, 8, 6))
+        val out = Multimodal.decodeImages(
+          blobs.withColumn("payload", webp(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, i AS m,
+          |    (n_nationkey * 31 + i) % 256 AS v
+          |  FROM nation, UNNEST(generate_series(0, 143)) AS u(i)
+          |), ch AS (
+          |  SELECT media_id,
+          |    CAST(SUM(CASE WHEN m % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+          |    CAST(SUM(CASE WHEN m % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+          |    CAST(SUM(CASE WHEN m % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+          |    CAST(SUM(CASE WHEN m % 3 = 0 THEN v * v END) AS BIGINT) AS ssq_r,
+          |    CAST(SUM(CASE WHEN m % 3 = 1 THEN v * v END) AS BIGINT) AS ssq_g,
+          |    CAST(SUM(CASE WHEN m % 3 = 2 THEN v * v END) AS BIGINT) AS ssq_b
+          |  FROM px GROUP BY media_id
+          |), grid AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS media_id, gx, gy,
+          |    (((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 0) % 256)
+          |     + ((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 1) % 256)
+          |     + ((n_nationkey * 31 + (((gy * 6) // 8) * 8 + ((gx * 8) // 9)) * 3 + 2) % 256)) // 3 AS gray
+          |  FROM nation,
+          |       UNNEST(generate_series(0, 8)) AS ux(gx),
+          |       UNNEST(generate_series(0, 7)) AS uy(gy)
+          |), bits AS (
+          |  SELECT a.media_id, a.gx AS x, a.gy AS y
+          |  FROM grid a JOIN grid b
+          |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 AND b.gray > a.gray
+          |), dh AS (
+          |  SELECT media_id,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x < 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x)) END), 0) AS BIGINT) AS dhash_lo,
+          |    CAST(COALESCE(SUM(CASE WHEN y * 8 + x >= 32
+          |      THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) END), 0) AS BIGINT) AS dhash_hi
+          |  FROM bits GROUP BY media_id
+          |)
+          |SELECT ch.media_id, 'webp' AS format, 8 AS width, 6 AS height,
+          |  CAST(48 AS BIGINT) AS n_pixels,
+          |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b,
+          |  CAST(COALESCE(dh.dhash_lo, 0) AS BIGINT) AS dhash_lo,
+          |  CAST(COALESCE(dh.dhash_hi, 0) AS BIGINT) AS dhash_hi
+          |FROM ch LEFT JOIN dh USING (media_id)""".stripMargin
+      )
+    ),
+
     // GIF — the third COMPRESSED image format, and like FLAC a
     // LOSSLESS one, which is what makes it closed-form oracle-able:
     // the LZW-coded index stream reconstructs exactly and maps through
@@ -2709,30 +2773,38 @@ object NorthStarQueries {
     ),
 
     // MEDIA TRIAGE — the inventory layer doing its actual job: a MIXED
-    // container stream (MP4, Ogg, MKV/WebM interleaved by key) routed
-    // by pure header walks into the pipeline each item belongs to —
-    // video_pipeline / audio_pipeline / quarantine (torn or unknown) —
-    // with the measured duration riding along, BEFORE any decode
-    // resources commit. Every family's torn/junk arms land in
-    // quarantine (the mkv torn arm is the subtle one: doc type and
-    // duration parse, tracks don't — inventoried but unusable). All
-    // three walks + the union are map-only: the triage costs one scan,
-    // no shuffle, typed-asserted. The oracle re-derives container,
-    // decision and duration closed-form from the family x arm grid.
+    // container stream (MP4, Ogg, MKV/WebM, and — since the VP8L
+    // decoder landed — WebP images, interleaved by key) routed by pure
+    // header walks into the pipeline each item belongs to —
+    // video_pipeline / audio_pipeline / image_pipeline / quarantine
+    // (torn, lossy-VP8 or unknown) — with the measured duration riding
+    // along, BEFORE any decode resources commit. Every family's
+    // torn/junk arms land in quarantine (the mkv torn arm is the
+    // subtle one: doc type and duration parse, tracks don't —
+    // inventoried but unusable; the webp lossy arm sniffs as webp but
+    // has no decodable pixels). All four walks + the union are
+    // map-only: the triage costs one scan, no shuffle, typed-asserted.
+    // The oracle re-derives container, decision and duration
+    // closed-form from the family x arm grid.
     Q(
       "q_media_triage",
       (spark, dir) => {
         val keys = Q.t(spark, dir, "nation")
           .select(col("n_nationkey").cast("long").as("media_id"))
-        val mk = udf((k: Long) => (k % 3) match {
-          case 0 => graft.operators.ContainerMeta.syntheticMp4(k / 3)
-          case 1 => graft.operators.ContainerMeta.syntheticOgg(k / 3)
-          case _ => graft.operators.ContainerMeta.syntheticMkv(k / 3)
+        val mk = udf((k: Long) => (k % 4) match {
+          case 0 => graft.operators.ContainerMeta.syntheticMp4(k / 4)
+          case 1 => graft.operators.ContainerMeta.syntheticOgg(k / 4)
+          case 2 => graft.operators.ContainerMeta.syntheticMkv(k / 4)
+          case _ => ((k / 4) % 3) match {
+            case 0 => Multimodal.syntheticWebp(k / 4, 4, 4)
+            case 1 => Multimodal.webpLossyStub(k / 4)
+            case _ => s"junk media ${k / 4}".getBytes("UTF-8")
+          }
         })
         val blobs = keys.withColumn("payload", mk(col("media_id")))
         val cm = graft.operators.ContainerMeta
         val mp4 = cm.mp4Inventories(
-          blobs.filter(col("media_id") % 3 === 0), "media_id", "payload")
+          blobs.filter(col("media_id") % 4 === 0), "media_id", "payload")
           .select(col("media_id"),
             when(col("brand").isNull, "unknown").otherwise("mp4").as("container"),
             when(col("brand").isNull, "quarantine")
@@ -2741,14 +2813,14 @@ object NorthStarQueries {
               .otherwise("quarantine").as("decision"),
             col("dur_ms"))
         val ogg = cm.oggInventories(
-          blobs.filter(col("media_id") % 3 === 1), "media_id", "payload")
+          blobs.filter(col("media_id") % 4 === 1), "media_id", "payload")
           .select(col("media_id"),
             when(col("codec") === "unknown", "unknown").otherwise("ogg").as("container"),
             when(col("codec") === "unknown", "quarantine")
               .otherwise("audio_pipeline").as("decision"),
             col("dur_ms"))
         val mkv = cm.mkvInventories(
-          blobs.filter(col("media_id") % 3 === 2), "media_id", "payload")
+          blobs.filter(col("media_id") % 4 === 2), "media_id", "payload")
           .select(col("media_id"),
             when(col("doc_type").isNull, "unknown").otherwise("mkv").as("container"),
             when(col("doc_type").isNull, "quarantine")
@@ -2756,22 +2828,30 @@ object NorthStarQueries {
               .when(col("has_audio"), "audio_pipeline")
               .otherwise("quarantine").as("decision"),
             col("dur_ms"))
-        val out = mp4.unionByName(ogg).unionByName(mkv)
+        val webp = Multimodal.decodeImages(
+          blobs.filter(col("media_id") % 4 === 3), "media_id", "payload")
+          .select(col("media_id"),
+            when(col("format") === "webp", "webp").otherwise("unknown").as("container"),
+            when(col("format") === "webp" && col("n_pixels") > 0, "image_pipeline")
+              .otherwise("quarantine").as("decision"),
+            lit(0L).as("dur_ms"))
+        val out = mp4.unionByName(ogg).unionByName(mkv).unionByName(webp)
         Q.requireNoShuffle(out)
         out
       },
       Some(
         """WITH g AS (
           |  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
-          |    CAST(n_nationkey % 3 AS INT) AS f,
-          |    n_nationkey // 3 AS s
+          |    CAST(n_nationkey % 4 AS INT) AS f,
+          |    n_nationkey // 4 AS s
           |  FROM nation
           |)
           |SELECT media_id,
           |  CASE
           |    WHEN f = 0 THEN CASE WHEN s % 3 = 2 THEN 'unknown' ELSE 'mp4' END
           |    WHEN f = 1 THEN CASE WHEN s % 3 = 2 THEN 'unknown' ELSE 'ogg' END
-          |    ELSE CASE WHEN s % 4 = 3 THEN 'unknown' ELSE 'mkv' END
+          |    WHEN f = 2 THEN CASE WHEN s % 4 = 3 THEN 'unknown' ELSE 'mkv' END
+          |    ELSE CASE WHEN s % 3 = 2 THEN 'unknown' ELSE 'webp' END
           |  END AS container,
           |  CASE
           |    WHEN f = 0 THEN CASE CAST(s % 3 AS INT)
@@ -2779,9 +2859,10 @@ object NorthStarQueries {
           |      ELSE 'quarantine' END
           |    WHEN f = 1 THEN CASE WHEN s % 3 = 2 THEN 'quarantine'
           |      ELSE 'audio_pipeline' END
-          |    ELSE CASE CAST(s % 4 AS INT)
+          |    WHEN f = 2 THEN CASE CAST(s % 4 AS INT)
           |      WHEN 0 THEN 'video_pipeline' WHEN 1 THEN 'audio_pipeline'
           |      ELSE 'quarantine' END
+          |    ELSE CASE WHEN s % 3 = 0 THEN 'image_pipeline' ELSE 'quarantine' END
           |  END AS decision,
           |  CAST(CASE
           |    WHEN f = 0 THEN CASE CAST(s % 3 AS INT)
@@ -2792,9 +2873,10 @@ object NorthStarQueries {
           |      WHEN 0 THEN (48000 + s - 312) * 1000 // 48000
           |      WHEN 1 THEN (22050 + s) * 1000 // 44100
           |      ELSE 0 END
-          |    ELSE CASE CAST(s % 4 AS INT)
+          |    WHEN f = 2 THEN CASE CAST(s % 4 AS INT)
           |      WHEN 0 THEN 90000 + s WHEN 1 THEN 60000 + 2 * (s % 1000)
           |      WHEN 2 THEN 90000 + s ELSE 0 END
+          |    ELSE 0
           |  END AS BIGINT) AS dur_ms
           |FROM g""".stripMargin
       )

@@ -820,4 +820,86 @@ class MultimodalSpec extends SparkSpec {
     bad3(base + 2) = 0; bad3(base + 3) = 0
     assert(Multimodal.decodeWavMs(bad3).isEmpty)
   }
+
+  test("decodeWebp: VP8L literals round-trip the closed-form raster (both transforms)") {
+    val px = Array.tabulate(8 * 6 * 3)(m => ((5 * 31 + m) % 256).toByte)
+    val plain = Multimodal.decodeWebp(Multimodal.webpVp8l(8, 6, px))
+    assert(plain.contains((8, 6, px)) ||
+      (plain.get._1 == 8 && plain.get._2 == 6 && plain.get._3.sameElements(px)))
+    // SUBTRACT_GREEN stores r-g/b-g; the inverse must reconstruct exactly
+    val sg = Multimodal.decodeWebp(Multimodal.webpVp8l(8, 6, px, subtractGreen = true))
+    assert(sg.isDefined && sg.get._3.sameElements(px))
+    // the family fixture carries the shared formula
+    val syn = Multimodal.decodeWebp(Multimodal.syntheticWebp(7L, 8, 6))
+    assert(syn.isDefined && syn.get._3.sameElements(
+      Array.tabulate(8 * 6 * 3)(m => ((7L * 31 + m) % 256).toByte)))
+  }
+
+  test("decodeWebp: LZ77 row backrefs, plain and plane-code distances, color cache") {
+    // rows 1..3 repeat row 0: three backrefs behind one literal row
+    val w = 5; val h = 4
+    val row = Array.tabulate(w * 3)(m => ((m * 37 + 11) % 256).toByte)
+    val px = Array.tabulate(w * h * 3)(m => row(m % (w * 3)))
+    val plainD = Multimodal.decodeWebp(Multimodal.webpVp8l(w, h, px, lz77Rows = true))
+    assert(plainD.isDefined && plainD.get._3.sameElements(px))
+    // the close-neighborhood plane code (0,1) encodes the same stream
+    val planeD = Multimodal.decodeWebp(Multimodal.webpVp8l(w, h, px,
+      lz77Rows = true, plainDistance = false))
+    assert(planeD.isDefined && planeD.get._3.sameElements(px))
+    // color cache: a two-color checkerboard hits the cache on every
+    // repeat; the stream must decode identically with and without
+    val cb = Array.tabulate(6 * 6 * 3) { m =>
+      val p = m / 3
+      (if ((p % 6 + p / 6) % 2 == 0) 40 else 200).toByte
+    }
+    val cached = Multimodal.decodeWebp(Multimodal.webpVp8l(6, 6, cb, cacheBits = 4))
+    assert(cached.isDefined && cached.get._3.sameElements(cb))
+    val cachedSg = Multimodal.decodeWebp(
+      Multimodal.webpVp8l(6, 6, cb, cacheBits = 4, subtractGreen = true, lz77Rows = true))
+    assert(cachedSg.isDefined && cachedSg.get._3.sameElements(cb))
+  }
+
+  test("decodeWebp: simple-code channels, single-color image, tiny dims") {
+    // constant image: every channel is a 1-symbol simple code
+    val flat = Array.fill(3 * 2 * 3)(123.toByte)
+    assert(Multimodal.decodeWebp(Multimodal.webpVp8l(3, 2, flat)).get._3.sameElements(flat))
+    // two-value channels: 2-symbol simple codes, 1 bit per channel use
+    val duo = Array.tabulate(4 * 1 * 3)(m => (if ((m / 3) % 2 == 0) 10 else 250).toByte)
+    assert(Multimodal.decodeWebp(Multimodal.webpVp8l(4, 1, duo)).get._3.sameElements(duo))
+    // 1x1
+    val one = Array[Byte](1, 2, 3)
+    assert(Multimodal.decodeWebp(Multimodal.webpVp8l(1, 1, one)).get._3.sameElements(one))
+  }
+
+  test("decodeWebp: lossy VP8, VP8X-without-lossless and malformed payloads degrade") {
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+        out.write((v >> 16) & 0xFF); out.write((v >>> 24) & 0xFF) }
+      out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + payload.length)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(tag.getBytes("US-ASCII")); le32(payload.length)
+      out.write(payload, 0, payload.length)
+      out.toByteArray
+    }
+    // lossy frame: the perceptual honest boundary
+    assert(Multimodal.decodeWebp(riff("VP8 ", new Array[Byte](32))).isEmpty)
+    // metadata wrapper without an image chunk
+    assert(Multimodal.decodeWebp(riff("VP8X", new Array[Byte](10))).isEmpty)
+    assert(Multimodal.decodeWebp("not riff at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWebp(null).isEmpty)
+    // truncation and bit flips never throw
+    val good = Multimodal.webpVp8l(6, 4,
+      Array.tabulate(6 * 4 * 3)(m => ((m * 7) % 256).toByte))
+    (0 until good.length by 3).foreach { cut =>
+      Multimodal.decodeWebp(java.util.Arrays.copyOfRange(good, 0, cut))
+    }
+    (0 until good.length by 5).foreach { i =>
+      val m = good.clone(); m(i) = (m(i) ^ 0x2A).toByte
+      Multimodal.decodeWebp(m)
+    }
+    // the decoder is wired into the shared dispatcher + sniff
+    assert(Multimodal.decodeImageBytes(good).exists(_._1 == "webp"))
+    assert(Multimodal.imageStats(1L, riff("VP8 ", new Array[Byte](8))).format == "webp")
+  }
 }

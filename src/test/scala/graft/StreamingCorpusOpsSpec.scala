@@ -1118,6 +1118,31 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("webp decode streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val blobs = Seq(
+      (1L, Multimodal.syntheticWebp(1L, 4, 4)),
+      (2L, Multimodal.webpLossyStub(2L)),
+      (3L, "junk".getBytes("UTF-8")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.decodeImages(in.toDF().toDF("media_id", "payload"),
+        "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_webp_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("media_id"), r.getAs[String]("format"),
+          r.getAs[Long]("n_pixels"))).toSet
+      val batch = rows(Multimodal.decodeImages(
+        blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_webp_out")) == batch)
+      assert(batch == Set((1L, "webp", 16L), (2L, "webp", 0L), (3L, "unknown", 0L)))
+    } finally q.stop()
+  }
+
   test("docx text extraction streams identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Docx
