@@ -253,6 +253,86 @@ object TokenizerQueries {
     (stream, packBins(stream, docs), dict)
   }
 
+  /** The shared ln table as a DuckDB list literal (the SAME doubles
+    * [[graft.operators.TextAnalysis.LnTable]] serves the Spark side),
+    * mirroring CorpusQueries' copy — e0 forces DOUBLE literals.
+    */
+  private lazy val LnTabSql: String =
+    graft.operators.TextAnalysis.LnTable.map(d => s"${d}e0").mkString("[", ", ", "]")
+
+  /** The unigram-LM fixture + derivation chain, shared by all four
+    * unigram gates so the vocabulary, the fixed-point scores and the
+    * Viterbi tie-break cannot drift between them. The corpus is the
+    * nation-keyed four-word bag (`ab abc (ab|cb) b`); the oracle
+    * ENUMERATES every segmentation of every word (lengths ≤ 3 → ≤ 4
+    * masks) and scores it with the same `floor(ln(count)·2^20 + 0.5)`
+    * fixed-point reads the Spark DP uses, ties to the minimal split
+    * bitmask — so the oracle re-derives the EM result, it does not
+    * assert it. Ends in: `uvoc(piece, count, is_char)` (the seed),
+    * `uwd(word, freq)`, `ubest(word, freq, mask)` (per-word Viterbi
+    * winner) and `unewc(piece, count)` (the re-estimated counts).
+    */
+  private lazy val UnigramCtes: String =
+    s"""lnt AS (SELECT $LnTabSql AS l),
+       |un AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+       |us AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+       |              CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+       |              CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS no
+       |       FROM un),
+       |uwd AS (
+       |  SELECT 'ab' AS word, nn + ne AS freq FROM us
+       |  UNION ALL SELECT 'abc', nn FROM us
+       |  UNION ALL SELECT 'cb', no FROM us
+       |  UNION ALL SELECT 'b', nn FROM us),
+       |uvoc AS (
+       |  SELECT 'a' AS piece, nn + ne + nn AS count, TRUE AS is_char FROM us
+       |  UNION ALL SELECT 'b', nn + ne + nn + no + nn, TRUE FROM us
+       |  UNION ALL SELECT 'c', nn + no, TRUE FROM us
+       |  UNION ALL SELECT 'ab', nn + ne + nn, FALSE FROM us
+       |  UNION ALL SELECT 'abc', nn, FALSE FROM us
+       |  UNION ALL SELECT 'bc', nn, FALSE FROM us),
+       |utot AS (SELECT CAST(SUM(count) AS BIGINT) AS t FROM uvoc),
+       |usegs(len, mask, start, plen) AS (VALUES
+       |  (1, 0, 1, 1),
+       |  (2, 0, 1, 2), (2, 1, 1, 1), (2, 1, 2, 1),
+       |  (3, 0, 1, 3), (3, 1, 1, 1), (3, 1, 2, 2),
+       |  (3, 2, 1, 2), (3, 2, 3, 1),
+       |  (3, 3, 1, 1), (3, 3, 2, 1), (3, 3, 3, 1)),
+       |usegp AS (
+       |  SELECT w.word, w.freq, s.mask, s.start,
+       |    substr(w.word, s.start, s.plen) AS piece
+       |  FROM uwd w JOIN usegs s ON s.len = length(w.word)),
+       |uscored AS (
+       |  SELECT p.word, p.freq, p.mask,
+       |    COUNT(*) AS m,
+       |    SUM(CASE WHEN v.count IS NULL THEN 1 ELSE 0 END) AS missing,
+       |    SUM(CASE WHEN v.count IS NOT NULL
+       |        THEN CAST(floor(l[v.count] * 1048576.0e0 + 0.5e0) AS BIGINT) END) AS psum
+       |  FROM usegp p LEFT JOIN uvoc v USING (piece) CROSS JOIN lnt
+       |  GROUP BY p.word, p.freq, p.mask),
+       |ubest AS (
+       |  SELECT word, freq, mask FROM (
+       |    SELECT word, freq, mask, ROW_NUMBER() OVER (
+       |      PARTITION BY word
+       |      ORDER BY psum - m * CAST(floor(l[t] * 1048576.0e0 + 0.5e0) AS BIGINT) DESC,
+       |               mask ASC) AS rn
+       |    FROM uscored CROSS JOIN utot CROSS JOIN lnt
+       |    WHERE missing = 0) WHERE rn = 1),
+       |uused AS (
+       |  SELECT p.piece, CAST(SUM(p.freq) AS BIGINT) AS cnt
+       |  FROM ubest b JOIN usegp p ON p.word = b.word AND p.mask = b.mask
+       |  GROUP BY p.piece),
+       |unewc AS (
+       |  SELECT v.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS count
+       |  FROM uvoc v LEFT JOIN uused u ON u.piece = v.piece)""".stripMargin
+
+  /** The Spark-side unigram fixture corpus (the oracle's `uwd`). */
+  private def unigramDocs(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("k"))
+      .select(concat(lit("ab abc "),
+        when(col("k") % 2 === 0, "ab").otherwise("cb"), lit(" b")).as("text"))
+
   val all: Seq[Q] = Seq(
 
     // BPE merge statistics: adjacent symbol-pair frequencies weighted
@@ -969,6 +1049,105 @@ object TokenizerQueries {
         """SELECT doc_id,
           |  regexp_replace(text || ' zzé😀🚀x𝄞 😺', '\s+', '', 'g') AS text_nospace
           |FROM documents""".stripMargin
+      )
+    ),
+
+    // UNIGRAM-LM SEEDING (SentencePiece-style, Kudo 2018) — the other
+    // tokenizer family real models train with: the candidate
+    // vocabulary is every single character (the coverage floor) plus
+    // the top-N frequent substrings (length ≤ 3, overlapping
+    // occurrences, weighted by word frequency), ranked (count desc,
+    // piece asc). Pure integer counts — bit-exact; the oracle
+    // re-derives every substring count from the word-bag formula.
+    Q(
+      "q_unigram_seed",
+      (spark, dir) => {
+        val out = graft.operators.Unigram.seed(
+          unigramDocs(spark, dir), "text", maxLen = 3, topN = 3)
+        Q.requireMaxShuffles(out, 4)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes
+           |SELECT piece, CAST(count AS BIGINT) AS count, is_char FROM uvoc""".stripMargin
+      )
+    ),
+
+    // UNIGRAM-LM EM (one Viterbi/hard-EM step) — expected counts under
+    // the seed model: each word re-segments by maximizing
+    // Σ ilog(count_i) − m·ilog(T) with ilog the FIXED-POINT shared-ln-
+    // table read floor(ln(c)·2^20 + 0.5) (the exact-integer PageRank
+    // discipline applied to EM), ties to the minimal split bitmask.
+    // The oracle ENUMERATES every segmentation of every word with the
+    // identical fixed-point scores — re-derivation, not assertion.
+    // Unused pieces keep an explicit 0 so pruning can see them.
+    Q(
+      "q_unigram_em",
+      (spark, dir) => {
+        val docs = unigramDocs(spark, dir)
+        val out = graft.operators.Unigram.emStep(
+          graft.operators.Unigram.wordCounts(docs, "text"),
+          graft.operators.Unigram.seed(docs, "text", maxLen = 3, topN = 3))
+        Q.requireMaxShuffles(out, 8)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes
+           |SELECT piece, count FROM unewc""".stripMargin
+      )
+    ),
+
+    // UNIGRAM-LM PRUNE-TO-TARGET — the published shrink step: single
+    // characters always survive (coverage floor); multi-char pieces
+    // rank by the EM counts (desc, piece asc) and the top `target`
+    // stay. Continues the q_unigram_em chain end to end.
+    Q(
+      "q_unigram_prune",
+      (spark, dir) => {
+        val docs = unigramDocs(spark, dir)
+        val out = graft.operators.Unigram.prune(
+          graft.operators.Unigram.emStep(
+            graft.operators.Unigram.wordCounts(docs, "text"),
+            graft.operators.Unigram.seed(docs, "text", maxLen = 3, topN = 3)),
+          target = 2)
+        Q.requireMaxShuffles(out, 9)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes
+           |SELECT piece, count, is_char FROM (
+           |  SELECT piece, count, length(piece) = 1 AS is_char,
+           |    ROW_NUMBER() OVER (PARTITION BY length(piece) = 1
+           |      ORDER BY count DESC, piece ASC) AS rn
+           |  FROM unewc)
+           |WHERE is_char OR rn <= 2""".stripMargin
+      )
+    ),
+
+    // UNIGRAM-LM ENCODING — the tokenizer doing its job: every corpus
+    // word segments to its Viterbi pieces under the seed model (the
+    // same fixed-point scores + minimal-bitmask tie-break), emitted as
+    // the '|'-joined pieces with their count. Map-only over the word
+    // frame plus the bounded vocabulary broadcast.
+    Q(
+      "q_unigram_encode",
+      (spark, dir) => {
+        val docs = unigramDocs(spark, dir)
+        val out = graft.operators.Unigram.encodeWords(
+          graft.operators.Unigram.wordCounts(docs, "text"),
+          graft.operators.Unigram.seed(docs, "text", maxLen = 3, topN = 3))
+        Q.requireMaxShuffles(out, 4)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes
+           |SELECT b.word, CAST(b.freq AS BIGINT) AS freq,
+           |  (SELECT string_agg(p.piece, '|' ORDER BY p.start)
+           |   FROM usegp p WHERE p.word = b.word AND p.mask = b.mask) AS seg,
+           |  CAST((SELECT COUNT(*)
+           |        FROM usegp p WHERE p.word = b.word AND p.mask = b.mask) AS INT)
+           |    AS n_pieces
+           |FROM ubest b""".stripMargin
       )
     )
   )

@@ -1118,6 +1118,30 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigram encoding streams identically to batch (map-only + broadcast vocab)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Unigram
+    val vocab = Seq(("a", 2L), ("b", 2L), ("ab", 8L), ("c", 1L))
+      .toDF("piece", "count")
+    val words = Seq(("abab", 3L), ("cab", 1L), ("xq", 1L))
+    val in = MemoryStream[(String, Long)]
+    val q = Unigram.encodeWords(in.toDF().toDF("word", "freq"), vocab)
+      .writeStream.format("memory").queryName("sc_unigram_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(words: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+      val batch = rows(Unigram.encodeWords(words.toDF("word", "freq"), vocab))
+      assert(rows(spark.table("sc_unigram_out")) == batch)
+      assert(batch == Set(
+        ("abab", 3L, "ab|ab", 2),
+        ("cab", 1L, "c|ab", 2),
+        ("xq", 1L, null, 0)))
+    } finally q.stop()
+  }
+
   test("webp decode streams identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
