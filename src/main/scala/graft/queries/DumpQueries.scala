@@ -940,18 +940,19 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the seven ingest families this engine
+    // THE SOURCE-UNION CAPSTONE: the eight ingest families this engine
     // reads — published dumps (bz2 XML → wikitext strip), crawl
     // archives (WARC → HTTP → text), PDFs (xref → content streams →
     // text), DOCX documents (zip → word/document.xml → paragraphs),
-    // EPUB books (zip → OPF spine → chapters), Avro containers
-    // (blocks → string records), and dataset shards (tar → samples) —
-    // land in ONE corpus frame, deduped exactly ACROSS sources (texts
-    // collide across families by construction; the canonical-source
-    // rank breaks ties: dump > crawl > pdf > docx > epub > avro >
-    // shard) with per-source admission accounting. Two shuffles total:
-    // the text-keyed dedup window and the per-source rollup; every
-    // reader upstream is the map-only walk its own gate already pins.
+    // EPUB books (zip → OPF spine → chapters), arXiv LaTeX (tar.gz →
+    // macro strip), Avro containers (blocks → string records), and
+    // dataset shards (tar → samples) — land in ONE corpus frame,
+    // deduped exactly ACROSS sources (texts collide across families by
+    // construction; the canonical-source rank breaks ties: dump >
+    // crawl > pdf > docx > epub > latex > avro > shard) with
+    // per-source admission accounting. Two shuffles total: the
+    // text-keyed dedup window and the per-source rollup; every reader
+    // upstream is the map-only walk its own gate already pins.
     Q(
       "q_corpus_union",
       (spark, dir) => {
@@ -1011,6 +1012,14 @@ object DumpQueries {
           .select(col("media_id"), col("xhtml").as("text")) // fixture chapters are bare text
           .withColumn("source", lit("epub"))
 
+        val latexMk = udf((k: Long) => graft.operators.CompressedMeta.gzipMember(
+          graft.operators.TarShard.tar(Seq((s"p$k/main.tex", "0",
+            (if (k % 17 == 0) s"common ${k % 4}" else s"latex only $k").getBytes("UTF-8"))))))
+        val latexSrc = graft.operators.Latex.texRows(
+          keys.withColumn("payload", latexMk(col("media_id"))), "media_id", "payload")
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("latex"))
+
         val avroMk = udf((k: Long) => graft.operators.Avro.ocf(
           """{"type":"record","name":"D","fields":[{"name":"text","type":"string"}]}""",
           Seq(Seq(graft.operators.Avro.AVStr(
@@ -1030,7 +1039,7 @@ object DumpQueries {
           .withColumn("source", lit("shard"))
 
         val all = dump.unionByName(crawl).unionByName(pdfSrc)
-          .unionByName(docxSrc).unionByName(epubSrc)
+          .unionByName(docxSrc).unionByName(epubSrc).unionByName(latexSrc)
           .unionByName(avroSrc).unionByName(shard)
           .withColumn("rank",
             when(col("source") === "dump", 0)
@@ -1038,7 +1047,8 @@ object DumpQueries {
               .when(col("source") === "pdf", 2)
               .when(col("source") === "docx", 3)
               .when(col("source") === "epub", 4)
-              .when(col("source") === "avro", 5).otherwise(6))
+              .when(col("source") === "latex", 5)
+              .when(col("source") === "avro", 6).otherwise(7))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1077,12 +1087,17 @@ object DumpQueries {
           |         ELSE 'epub only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'avro', 5, k,
+          |  SELECT 'latex', 5, k,
+          |    CASE WHEN k % 17 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'latex only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'avro', 6, k,
           |    CASE WHEN k % 11 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'avro only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 6, k,
+          |  SELECT 'shard', 7, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n
@@ -1302,6 +1317,52 @@ object DumpQueries {
           |       ELSE 'Ch ' || i || ' prose ' || k || ' ' || i || ' words here' END AS text,
           |  CASE WHEN k % 4 = 0 AND i = 1 THEN NULL ELSE CAST(7 AS INT) END AS n_tokens
           |FROM ch""".stripMargin
+      )
+    ),
+
+    // arXiv/LaTeX ingest — papers corpora ship as tar.gz of .tex: the
+    // shipped tar walk + auto-decompress feed the BOUNDED macro strip
+    // (the stripWikitext discipline): comments drop, math becomes the
+    // visible counted [MATH] placeholder, \section/\title keep their
+    // text on own lines, \cite/\ref are COUNTABLE drops, floats drop
+    // whole (every 3rd key plants a figure env whose caption must NOT
+    // surface — the oracle is identical across that arm, which is the
+    // proof), .bib members filter out, junk payloads (every 5th key)
+    // yield no rows. Map-only.
+    Q(
+      "q_latex_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          if (k % 5 == 0) s"junk $k".getBytes("UTF-8")
+          else {
+            val tex = s"\\documentclass[11pt]{article}\n" +
+              s"\\title{Paper $k}\n% secret comment $k\n" +
+              s"\\section{Intro $k}\n" +
+              s"We \\emph{show} $$x_$k$$ holds~\\cite{r$k} here.\n" +
+              (if (k % 3 == 0) "\\begin{figure}[h]hidden caption\\end{figure}\n" else "") +
+              s"\\begin{equation}e_$k = 1\\end{equation}\nEnd $k \\ref{a$k}."
+            graft.operators.CompressedMeta.gzipMember(graft.operators.TarShard.tar(Seq(
+              (s"p$k/main.tex", "0", tex.getBytes("UTF-8")),
+              (s"p$k/refs.bib", "0", s"@article{r$k}".getBytes("UTF-8")))))
+          }
+        })
+        val out = graft.operators.Latex.texRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id, CAST(0 AS INT) AS tex_idx,
+          |  'p' || k || '/main.tex' AS name,
+          |  'Paper ' || k || chr(10) || 'Intro ' || k || chr(10) ||
+          |  'We show [MATH] holds here.' || chr(10) || '[MATH]' || chr(10) ||
+          |  'End ' || k || ' .' AS text,
+          |  CAST(2 AS INT) AS n_math, CAST(2 AS INT) AS n_cites
+          |FROM n WHERE k % 5 <> 0""".stripMargin
       )
     ),
 

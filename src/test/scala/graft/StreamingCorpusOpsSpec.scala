@@ -1118,6 +1118,29 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latex text extraction streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CompressedMeta, Latex, TarShard}
+    val blobs = Seq(
+      (1L, CompressedMeta.gzipMember(TarShard.tar(Seq(
+        ("a.tex", "0", "\\section{S} body $m$ \\cite{r}".getBytes("UTF-8")))))),
+      (2L, "junk".getBytes("UTF-8")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Latex.texRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_latex_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(2), r.getString(3), r.getInt(4), r.getInt(5))).toSet
+      val batch = rows(Latex.texRows(blobs.toDF("media_id", "payload"),
+        "media_id", "payload"))
+      assert(rows(spark.table("sc_latex_out")) == batch)
+      assert(batch == Set((1L, "a.tex", "S\nbody [MATH]", 1, 1)))
+    } finally q.stop()
+  }
+
   test("unigram encoding streams identically to batch (map-only + broadcast vocab)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Unigram
