@@ -330,11 +330,13 @@ object Html {
           case "a" =>
             val href = pendingHref
             pendingHref = null
+            // a new <a> implicitly closes an open one (browser rule —
+            // anchors never nest); without this a missing </a> would
+            // leave a dangling '[' marker
+            if (inAnchor) { inAnchor = false; appendMarker("](" + anchorHref + ")") }
             if (!selfClose && href != null && href.nonEmpty && !href.startsWith("#")) {
               inAnchor = true
               appendMarker("[")
-              // stash the href for the close; anchors don't nest (browser rule)
-              pendingAlt = null
               anchorHref = href
             }
             true

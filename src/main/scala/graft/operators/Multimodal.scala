@@ -3110,8 +3110,13 @@ object Multimodal {
       bw.write(numCl - 4, 4)
       (0 until numCl).foreach(i => bw.write(clLens(Vp8lClOrder(i)), 3))
       bw.write(0, 1) // no max_symbol: all alphabet entries follow
-      lens.foreach(l => bw.writeCode(clCodes(l), clLens(l)))
-      (lens, codes)
+      // a SINGLE-symbol code (at either level) is 0 bits on the wire:
+      // the decoder's single-symbol fast path never reads — emitting
+      // its nominal length-1 bit would desync the stream
+      val clEmit = if (clFreq.count(_ > 0) == 1) new Array[Int](19) else clLens
+      lens.foreach(l => bw.writeCode(clCodes(l), clEmit(l)))
+      val lensEmit = if (used.length == 1) new Array[Int](freq.length) else lens
+      (lensEmit, codes)
     }
   }
 

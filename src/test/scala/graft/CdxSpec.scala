@@ -31,6 +31,10 @@ class CdxSpec extends SparkSpec {
     // the servlet path-parameter form strips too
     assert(Cdx.surt("http://x.com/page;jsessionid=ABC123?a=1") == "com,x)/page?a=1")
     assert(Cdx.surt("http://x.com/page;jsessionid=ABC123") == "com,x)/page")
+    // a query can follow the host directly — it must not leak into the
+    // host labels
+    assert(Cdx.surt("http://x.com?a=1") == "com,x)/?a=1")
+    assert(Cdx.surt("http://x.com:8080?a=1") == "com,x:8080)/?a=1")
   }
 
   test("parseLine: CDXJ string-numerics, missing fields -1, junk null") {

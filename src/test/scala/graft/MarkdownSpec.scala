@@ -94,6 +94,14 @@ class MarkdownSpec extends SparkSpec {
     assert(t == "| plain data value |")
   }
 
+  test("review finding: a new anchor implicitly closes an open one (browser rule)") {
+    // without the implicit close, the first '[' would dangle unclosed
+    assert(Html.markdown("<p><a href=\"/1\">one <a href=\"/2\">two</a></p>") ==
+      "[one ](/1)[two](/2)")
+    // torn anchor at end of input keeps the visible prefix
+    assert(Html.markdown("<p><a href=\"/x\">torn") == "[torn")
+  }
+
   test("markdownRows: distributed walk map-only") {
     import spark.implicits._
     val df = Seq((1L, "<h1>T</h1><p>body text</p>"), (2L, null: String))

@@ -902,4 +902,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageBytes(good).exists(_._1 == "webp"))
     assert(Multimodal.imageStats(1L, riff("VP8 ", new Array[Byte](8))).format == "webp")
   }
+
+  test("review finding: single-symbol NORMAL codes are 0 bits on the wire") {
+    // a green channel whose only symbol is a CACHE ref (>255) forces
+    // the normal-code path with one used symbol at BOTH levels — the
+    // encoder must emit nothing per symbol, like the decoder reads
+    val w = 4; val h = 2
+    // constant color: pixel 1 literal, every later pixel a cache hit
+    val px = Array.fill(w * h * 3)(77.toByte)
+    val withCache = Multimodal.decodeWebp(Multimodal.webpVp8l(w, h, px, cacheBits = 2))
+    assert(withCache.isDefined && withCache.get._3.sameElements(px))
+  }
 }
