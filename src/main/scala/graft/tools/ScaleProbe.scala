@@ -738,6 +738,61 @@ object ScaleProbe {
             .withColumn("payload", mk(col("media_id"))),
           "media_id", "payload").count()
       }
+      // docx walk: zip members + the w:p/w:t paragraph scan, all
+      // map-only — wall must track the blob count (each doc row
+      // becomes one 3-paragraph document)
+      probe(s"docx_text x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Docx.docx(Seq(
+            Seq(s"Doc $s intro paragraph"),
+            Seq(s"middle $s with a\ttab"),
+            Seq(s"closing words $s")))
+        })
+        graft.operators.Docx.textRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("stage") === "ok").count()
+      }
+      // latex strip: gunzip + tar walk + the bounded macro scan, all
+      // map-only — wall must track the blob count
+      probe(s"latex_text x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.CompressedMeta.gzipMember(graft.operators.TarShard.tar(Seq(
+            (s"p$s/main.tex", "0",
+              (s"\\section{Intro $s}\nprose $$x_$s$$ and \\cite{r$s} more\n" +
+                s"\\begin{equation}e\\end{equation} tail $s").getBytes("UTF-8")))))
+        })
+        graft.operators.Latex.texRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("text").isNotNull).count()
+      }
+      // webp VP8L decode: prefix-code build + per-pixel entropy walk,
+      // map-only — wall must track the blob count (each doc row one
+      // 16x8 normal-coded image)
+      probe(s"webp_decode x$k") {
+        val mk = udf((id: Long) => graft.operators.Multimodal.syntheticWebp(id % 97, 16, 8))
+        graft.operators.Multimodal.decodeImages(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("format") === "webp").count()
+      }
+      // html -> markdown: the stateful scanner over real page markup,
+      // map-only — wall must track the row count
+      probe(s"html_markdown x$k") {
+        val html = concat(lit("<h1>T"), col("media_id") % 97,
+          lit("</h1><ul><li>a</li><li>b</li></ul><p>body <b>text</b> "),
+          col("media_id"), lit("</p><pre>c()</pre>"))
+        graft.operators.Html.markdownRows(
+          d.select(col("doc_id").as("media_id")).withColumn("html", html),
+          "media_id", "html")
+          .filter(col("markdown").isNotNull).count()
+      }
       // avro container walk: block split + inflate + record decode,
       // all map-only — wall must track the blob count (each doc row
       // becomes one 6-record deflate container)
