@@ -135,11 +135,13 @@ object Unigram {
 
   /** Materialize a vocab frame into (counts map, total) — bounded by
     * construction (topN + alphabet), the documented decision-table
-    * collect the DSIR/CMS layers share.
+    * collect the DSIR/CMS layers share. ZERO-count pieces (an EM
+    * step's explicit zeros) are dead for segmentation — ln(0) has no
+    * table row — and drop here, so EM chains: emStep(emStep(…)).
     */
   private def vocabTable(vocab: DataFrame): (Map[String, Long], Long) = {
     val rows = vocab.select(col("piece"), col("count").cast("long")).collect()
-    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = rows.filter(_.getLong(1) > 0L).map(r => r.getString(0) -> r.getLong(1)).toMap
     (m, m.values.sum)
   }
 

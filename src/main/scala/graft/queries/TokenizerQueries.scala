@@ -326,6 +326,39 @@ object TokenizerQueries {
        |  SELECT v.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS count
        |  FROM uvoc v LEFT JOIN uused u ON u.piece = v.piece)""".stripMargin
 
+  /** Iteration TWO of the EM chain: the same enumeration machinery
+    * under the iteration-1 counts (zero-count pieces are dead — no ln
+    * row — and drop from the model, exactly like the Spark side's
+    * vocabTable screen). Ends in `unewc2(piece, count)` over the SAME
+    * piece set as iteration 1.
+    */
+  private lazy val UnigramIter2Ctes: String =
+    s"""uvoc2 AS (SELECT piece, count FROM unewc WHERE count > 0),
+       |utot2 AS (SELECT CAST(SUM(count) AS BIGINT) AS t FROM uvoc2),
+       |uscored2 AS (
+       |  SELECT p.word, p.freq, p.mask,
+       |    COUNT(*) AS m,
+       |    SUM(CASE WHEN v.count IS NULL THEN 1 ELSE 0 END) AS missing,
+       |    SUM(CASE WHEN v.count IS NOT NULL
+       |        THEN CAST(floor(l[v.count] * 1048576.0e0 + 0.5e0) AS BIGINT) END) AS psum
+       |  FROM usegp p LEFT JOIN uvoc2 v USING (piece) CROSS JOIN lnt
+       |  GROUP BY p.word, p.freq, p.mask),
+       |ubest2 AS (
+       |  SELECT word, freq, mask FROM (
+       |    SELECT word, freq, mask, ROW_NUMBER() OVER (
+       |      PARTITION BY word
+       |      ORDER BY psum - m * CAST(floor(l[t] * 1048576.0e0 + 0.5e0) AS BIGINT) DESC,
+       |               mask ASC) AS rn
+       |    FROM uscored2 CROSS JOIN utot2 CROSS JOIN lnt
+       |    WHERE missing = 0) WHERE rn = 1),
+       |uused2 AS (
+       |  SELECT p.piece, CAST(SUM(p.freq) AS BIGINT) AS cnt
+       |  FROM ubest2 b JOIN usegp p ON p.word = b.word AND p.mask = b.mask
+       |  GROUP BY p.piece),
+       |unewc2 AS (
+       |  SELECT v.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS count
+       |  FROM unewc v LEFT JOIN uused2 u ON u.piece = v.piece)""".stripMargin
+
   /** The Spark-side unigram fixture corpus (the oracle's `uwd`). */
   private def unigramDocs(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "nation")
@@ -1094,6 +1127,32 @@ object TokenizerQueries {
       Some(
         s"""WITH $UnigramCtes
            |SELECT piece, count FROM unewc""".stripMargin
+      )
+    ),
+
+    // UNIGRAM-LM EM, ITERATION TWO — the chain property that makes EM
+    // an algorithm rather than a single pass: iteration 1's counts
+    // feed back as the model (zero-count pieces are DEAD — no ln row
+    // exists for 0 — and drop from segmentation, the vocabTable
+    // screen), and the oracle runs its enumeration a second time over
+    // the re-derived model. Same fixed-point discipline end to end.
+    Q(
+      "q_unigram_iter2",
+      (spark, dir) => {
+        val docs = unigramDocs(spark, dir)
+        val words = graft.operators.Unigram.wordCounts(docs, "text")
+        val out = graft.operators.Unigram.emStep(
+          words,
+          graft.operators.Unigram.emStep(
+            words,
+            graft.operators.Unigram.seed(docs, "text", maxLen = 3, topN = 3)))
+        Q.requireMaxShuffles(out, 12)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes,
+           |$UnigramIter2Ctes
+           |SELECT piece, count FROM unewc2""".stripMargin
       )
     ),
 

@@ -86,6 +86,20 @@ class UnigramSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("emStep chains: zero-count pieces drop from the model, never ilog(0)") {
+    import spark.implicits._
+    val words = Seq(("ab", 5L), ("b", 2L)).toDF("word", "freq")
+    val vocab = Seq(("a", 3L), ("b", 3L), ("ab", 9L), ("zz", 1L)).toDF("piece", "count")
+    val it1 = Unigram.emStep(words, vocab)
+    val m1 = it1.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m1("zz") == 0L) // never segmentable: explicit zero
+    // iteration 2 must not throw on the zero (ilog(0) has no table row)
+    val it2 = Unigram.emStep(words, it1)
+    val m2 = it2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m2.keySet == m1.keySet && m2("zz") == 0L)
+    assert(m2("ab") == 5L && m2("b") == 2L)
+  }
+
   test("prune + encode: chars never pruned; encode emits pieces and NULLs") {
     import spark.implicits._
     val vocab = Seq(("a", 0L), ("b", 1L), ("ab", 9L), ("bc", 5L), ("abc", 1L))
