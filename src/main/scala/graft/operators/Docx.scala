@@ -50,7 +50,7 @@ object Docx {
     */
   private val CfbMagic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
 
-  private def isCfb(bytes: Array[Byte]): Boolean =
+  private[operators] def isCfb(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && (0 until 8).forall(i => (bytes(i) & 0xFF) == CfbMagic(i))
 
   /** Does `xml` at tag body `tag` (between `<` and `>`) name exactly
@@ -64,10 +64,19 @@ object Docx {
 
   /** The paragraph walk over one WordprocessingML part. Linear,
     * index-based, allocation-light; `maxParagraphs`/`maxChars` bound
-    * adversarial inputs (the shared bomb-cap discipline).
+    * adversarial inputs (the shared bomb-cap discipline). The `prefix`
+    * parameter generalizes the walk to DrawingML (`a:p`/`a:t`/`a:br`,
+    * the text body PPTX slides carry) — the element GRAMMAR is shared
+    * across the OOXML text bodies, only the namespace prefix moves.
     */
   private[graft] def paragraphs(xml: String, maxParagraphs: Int = 100000,
-      maxChars: Int = 16 << 20): Seq[String] = {
+      maxChars: Int = 16 << 20, prefix: String = "w"): Seq[String] = {
+    val pTag = prefix + ":p"
+    val tTag = prefix + ":t"
+    val tabTag = prefix + ":tab"
+    val brTag = prefix + ":br"
+    val crTag = prefix + ":cr"
+    val tClose = "</" + tTag + ">"
     val out = Vector.newBuilder[String]
     var n = 0
     var total = 0
@@ -85,20 +94,20 @@ object Docx {
           val tag = xml.substring(lt + 1, gt)
           val selfClose = tag.endsWith("/")
           i = gt + 1
-          if (named(tag, "w:p")) {
+          if (named(tag, pTag)) {
             if (selfClose) { out += ""; n += 1 } // empty paragraph keeps its slot
             else { inP = true; sb.setLength(0) }
-          } else if (tag.startsWith("/") && named(tag.substring(1), "w:p")) {
+          } else if (tag.startsWith("/") && named(tag.substring(1), pTag)) {
             if (inP) { out += sb.toString; n += 1; total += sb.length; inP = false }
-          } else if (inP && named(tag, "w:t") && !selfClose) {
-            val close = xml.indexOf("</w:t>", i)
+          } else if (inP && named(tag, tTag) && !selfClose) {
+            val close = xml.indexOf(tClose, i)
             if (close < 0) going = false // torn run: the paragraph drops whole
             else {
               sb.append(XmlDump.decodeEntities(xml.substring(i, close)))
-              i = close + "</w:t>".length
+              i = close + tClose.length
             }
-          } else if (inP && named(tag, "w:tab")) sb.append('\t')
-          else if (inP && (named(tag, "w:br") || named(tag, "w:cr"))) sb.append('\n')
+          } else if (inP && named(tag, tabTag)) sb.append('\t')
+          else if (inP && (named(tag, brTag) || named(tag, crTag))) sb.append('\n')
           // every other element (run/paragraph properties, tables,
           // drawings, instrText, delText) is structure: skip
         }

@@ -1410,6 +1410,48 @@ object DumpQueries {
       )
     ),
 
+    // PPTX ingest — slide decks as a gray-literature source: the SAME
+    // shared OOXML paragraph scanner as DOCX over DrawingML bodies
+    // (a:p/a:t/a:br), slides ordered by PART NUMBER (the fixture
+    // stores them in reverse archive order — matching proves the sort),
+    // speaker notes excluded by part family. Arms per k%4: two ok
+    // shapes (even keys carry a second slide), encrypted (CFB), junk.
+    // Map-only.
+    Q(
+      "q_pptx_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 2 => graft.operators.Docx.encryptedFixture(k)
+          case 3 => s"junk deck $k".getBytes("UTF-8")
+          case _ => graft.operators.Pptx.pptx(
+            Seq(Seq(s"Deck $k", s"point $k")) ++
+              (if (k % 2 == 0) Seq(Seq(s"End $k")) else Seq.empty))
+        })
+        val out = graft.operators.Pptx.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 'encrypted' WHEN 3 THEN 'zip' ELSE 'ok' END AS stage,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 0 WHEN 3 THEN 0
+          |    ELSE 1 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END
+          |  END AS INT) AS n_slides,
+          |  CASE WHEN n_nationkey % 4 IN (2, 3) THEN NULL
+          |    ELSE 'Deck ' || n_nationkey || chr(10) || 'point ' || n_nationkey ||
+          |      CASE WHEN n_nationkey % 2 = 0
+          |        THEN chr(10) || 'End ' || n_nationkey ELSE '' END
+          |  END AS text
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // CDXJ index ingest — how a 100 TB crawl is actually consumed:
     // the published per-crawl index (SURT key, timestamp, JSON with
     // filename/offset/length) parses line-wise with countable
