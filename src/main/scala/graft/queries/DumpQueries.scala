@@ -1410,6 +1410,50 @@ object DumpQueries {
       )
     ),
 
+    // ODT ingest — the OpenDocument office format: text NODES inside
+    // text:p/text:h (ODF keeps prose in element content, unlike
+    // OOXML's w:t runs), footnote subtrees excluded in-line (the
+    // fixture always plants one with poison text plus a 'tail end'
+    // paragraph around it — its survival in split form IS the
+    // exclusion proof), member-wise encryption detected from the
+    // manifest declaration, never decoded at. Arms per k%4: two ok
+    // shapes, encrypted, junk. Map-only.
+    Q(
+      "q_odt_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 2 => graft.operators.Odt.odt(Seq(s"secret $k"), encrypted = true)
+          case 3 => s"junk odt $k".getBytes("UTF-8")
+          case _ => graft.operators.Odt.odt(
+            Seq(s"Doc $k body") ++
+              (if (k % 2 == 0) Seq(s"second $k") else Seq.empty))
+        })
+        val out = graft.operators.Odt.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 'encrypted' WHEN 3 THEN 'zip' ELSE 'ok' END AS stage,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 0 WHEN 3 THEN 0
+          |    ELSE 2 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END
+          |  END AS INT) AS n_paragraphs,
+          |  CASE WHEN n_nationkey % 4 IN (2, 3) THEN NULL
+          |    ELSE 'Doc ' || n_nationkey || ' body' ||
+          |      CASE WHEN n_nationkey % 2 = 0
+          |        THEN chr(10) || 'second ' || n_nationkey ELSE '' END ||
+          |      chr(10) || 'tail end'
+          |  END AS text
+          |FROM nation""".stripMargin
+      )
+    ),
+
     // PPTX ingest — slide decks as a gray-literature source: the SAME
     // shared OOXML paragraph scanner as DOCX over DrawingML bodies
     // (a:p/a:t/a:br), slides ordered by PART NUMBER (the fixture

@@ -1118,6 +1118,31 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("odt text streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Odt
+    val blobs = Seq(
+      (1L, Odt.odt(Seq("alpha doc"))),
+      (2L, Odt.odt(Seq("x"), encrypted = true)),
+      (3L, "junk".getBytes("UTF-8")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Odt.textRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_odt_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      val batch = rows(Odt.textRows(blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_odt_out")) == batch)
+      assert(batch == Set(
+        (1L, "ok", 2, "alpha doc\ntail end"),
+        (2L, "encrypted", 0, null),
+        (3L, "zip", 0, null)))
+    } finally q.stop()
+  }
+
   test("pptx slide text streams identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Docx, Pptx}
