@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** OFFICE TRIAGE — the media-triage pattern applied to documents: a
+  * real document dump is a MIXED bag of .docx/.pptx/.odt/legacy
+  * binaries, and extensions lie, so routing happens on CONTENT: the
+  * CFB signature marks an encrypted (or legacy binary) OLE container;
+  * a zip routes by its distinguishing member (`word/document.xml` →
+  * docx, `ppt/slides/slideN.xml` → pptx, ODF `content.xml` → odt);
+  * everything else quarantines. Each routed document then flows
+  * through ITS OWN shipped reader ([[Docx]]/[[Pptx]]/[[Odt]]) into
+  * one unified (kind, n_units, text) frame — one scan, one map-only
+  * stage, no decode resources spent before the route decides.
+  */
+object Office {
+
+  private val SlidePattern = "^ppt/slides/slide[0-9]+\\.xml$".r
+
+  /** Content-based kind: `docx` | `pptx` | `odt` | `encrypted` |
+    * `zip` (a zip that is none of the three) | `unknown`.
+    */
+  def detect(bytes: Array[Byte]): String = {
+    if (bytes == null) return "unknown"
+    if (Docx.isCfb(bytes)) return "encrypted"
+    val es = ZipShard.entries(bytes)
+    if (es.isEmpty) return "unknown"
+    val names = es.map(_.name)
+    if (names.contains("word/document.xml")) "docx"
+    else if (names.exists(n => SlidePattern.findFirstIn(n).isDefined)) "pptx"
+    else if (names.contains("content.xml")) "odt"
+    else "zip"
+  }
+
+  /** One row per document: (media_id, kind, n_units, text) — the
+    * routed extraction. `n_units` is the kind's own unit (paragraphs
+    * for docx/odt, slides for pptx); quarantined kinds keep NULL text
+    * with 0 units, countable per kind. Map-only.
+    */
+  def routedText(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(df(idCol).cast("long"), df(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        detect(b) match {
+          case "docx" =>
+            val d = Docx.read(b)
+            (id, "docx", d.paragraphs.length,
+              if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
+          case "pptx" =>
+            val d = Pptx.read(b)
+            (id, "pptx", d.slides.length,
+              if (d.stage == "ok") d.slides.flatMap(_._3).mkString("\n") else null)
+          case "odt" =>
+            val d = Odt.read(b)
+            (id, "odt", d.paragraphs.length,
+              if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
+          case kind => (id, kind, 0, null)
+        }
+      }
+      .toDF(idCol, "kind", "n_units", "text")
+  }
+}

@@ -1496,6 +1496,46 @@ object DumpQueries {
       )
     ),
 
+    // OFFICE TRIAGE — the media-triage pattern on documents: a mixed
+    // docx/pptx/odt/encrypted/junk stream routes by CONTENT (the CFB
+    // signature, then the zip's distinguishing member), and each
+    // routed document flows through its own shipped reader into one
+    // (kind, n_units, text) frame — one scan, route before decode.
+    // Map-only; the oracle re-derives kind, units and text per arm.
+    Q(
+      "q_office_triage",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 5) match {
+          case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
+          case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
+          case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
+          case 3 => graft.operators.Docx.encryptedFixture(k)
+          case _ => s"legacy junk $k".getBytes("UTF-8")
+        })
+        val out = graft.operators.Office.routedText(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id,
+          |  CASE CAST(k % 5 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |    WHEN 2 THEN 'odt' WHEN 3 THEN 'encrypted' ELSE 'unknown' END AS kind,
+          |  CAST(CASE CAST(k % 5 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
+          |    WHEN 2 THEN 2 ELSE 0 END AS INT) AS n_units,
+          |  CASE CAST(k % 5 AS INT)
+          |    WHEN 0 THEN 'word doc ' || k
+          |    WHEN 1 THEN 'slide ' || k
+          |    WHEN 2 THEN 'odt doc ' || k || chr(10) || 'tail end'
+          |    ELSE NULL END AS text
+          |FROM n""".stripMargin
+      )
+    ),
+
     // CDXJ index ingest — how a 100 TB crawl is actually consumed:
     // the published per-crawl index (SURT key, timestamp, JSON with
     // filename/offset/length) parses line-wise with countable

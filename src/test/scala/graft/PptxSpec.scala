@@ -64,4 +64,31 @@ class PptxSpec extends SparkSpec {
       Pptx.read(m)
     }
   }
+
+  test("office triage: content-based routing, one unified frame") {
+    import spark.implicits._
+    import graft.operators.{Docx, Odt, Office, Pptx}
+    assert(Office.detect(Docx.docx(Seq(Seq("x")))) == "docx")
+    assert(Office.detect(Pptx.pptx(Seq(Seq("x")))) == "pptx")
+    assert(Office.detect(Odt.odt(Seq("x"))) == "odt")
+    assert(Office.detect(Docx.encryptedFixture(1L)) == "encrypted")
+    assert(Office.detect("junk".getBytes("UTF-8")) == "unknown")
+    assert(Office.detect(null) == "unknown")
+    // a zip that is none of the three kinds routes as bare 'zip'
+    assert(Office.detect(graft.operators.ZipShard.zip(
+      Seq(("readme.txt", "hi".getBytes("UTF-8"))), deflate = false)) == "zip")
+    val df = Seq(
+      (1L, Docx.docx(Seq(Seq("w")))),
+      (2L, Pptx.pptx(Seq(Seq("s1"), Seq("s2")))),
+      (3L, Odt.odt(Seq("o"))),
+      (4L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val out = Office.routedText(df, "media_id", "payload")
+    graft.queries.Q.requireNoShuffle(out)
+    assert(out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet == Set(
+      (1L, "docx", 1, "w"),
+      (2L, "pptx", 2, "s1\ns2"),
+      (3L, "odt", 2, "o\ntail end"),
+      (4L, "unknown", 0, null)))
+  }
 }
