@@ -2917,29 +2917,22 @@ object Multimodal {
     }
   }
 
-  /** VP8L payload → top-down RGB, or None outside the subset. */
-  private def decodeVp8l(bytes: Array[Byte], start: Int, len: Int,
-      maxPixels: Int): Option[(Int, Int, Array[Byte])] = {
-    val br = new LBits(bytes, start, start + len)
-    if (br.read(8) != 0x2F) return None
-    val w = br.read(14) + 1
-    val h = br.read(14) + 1
-    br.read(1) // alpha hint (informational)
-    if (br.read(3) != 0) return None // version must be 0
-    if (w.toLong * h > maxPixels) return None
-    var subtractGreen = false
-    while (br.read(1) == 1) {
-      br.read(2) match {
-        case 2 => subtractGreen = true
-        case _ => return None // predictor/color/indexing out of subset
-      }
-    }
+  /** One entropy-coded VP8L image (the ARGB image, or a transform's
+    * subimage like the palette row): color-cache info, the five
+    * prefix codes, and the literal/LZ77/cache pixel loop. Only the
+    * LEVEL-0 (ARGB) image carries the meta-prefix marker; a set
+    * marker (spatially-varying code groups) is out of subset and
+    * throws to the caller's None.
+    */
+  private def vp8lEntropyImage(br: LBits, w: Int, h: Int, level0: Boolean): Array[Int] = {
     var cacheBits = 0
     if (br.read(1) == 1) {
       cacheBits = br.read(4)
-      if (cacheBits < 1 || cacheBits > 11) return None
+      if (cacheBits < 1 || cacheBits > 11)
+        throw new IllegalStateException("vp8l: cache bits")
     }
-    if (br.read(1) == 1) return None // spatially-varying meta codes out of subset
+    if (level0 && br.read(1) == 1)
+      throw new IllegalStateException("vp8l: meta prefix out of subset")
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val green = vp8lReadCode(br, 256 + 24 + cacheSize)
     val red = vp8lReadCode(br, 256)
@@ -2969,27 +2962,115 @@ object Multimodal {
             val (dx, dy) = Vp8lDistMap(dCode - 1)
             math.max(1, dy * w + dx)
           }
-        if (d > n || n + length > w * h) return None
+        if (d > n || n + length > w * h)
+          throw new IllegalStateException("vp8l: backref out of range")
         var i = 0
         while (i < length) {
           argb(n) = argb(n - d); insert(argb(n)); n += 1; i += 1
         }
       } else {
         val idx = s - 256 - 24
-        if (idx >= cacheSize) return None
+        if (idx >= cacheSize) throw new IllegalStateException("vp8l: cache index")
         argb(n) = cache(idx); n += 1
       }
     }
-    // ARGB → RGB with the subtract-green inverse
+    argb
+  }
+
+  /** Index-bundling width shrink: palettes ≤ 16 entries pack several
+    * indices into one coded pixel's green channel (§ color indexing).
+    */
+  private def vp8lIndexBits(paletteSize: Int): Int =
+    if (paletteSize <= 2) 3 else if (paletteSize <= 4) 2
+    else if (paletteSize <= 16) 1 else 0
+
+  /** VP8L payload → top-down RGB, or None outside the subset.
+    * Transforms: SUBTRACT_GREEN and COLOR_INDEXING (palette with
+    * pixel bundling — the screenshot/diagram path), applied inverse
+    * in reverse read order; PREDICTOR/COLOR stay counted degrades.
+    */
+  private def decodeVp8l(bytes: Array[Byte], start: Int, len: Int,
+      maxPixels: Int): Option[(Int, Int, Array[Byte])] = {
+    val br = new LBits(bytes, start, start + len)
+    if (br.read(8) != 0x2F) return None
+    val w = br.read(14) + 1
+    val h = br.read(14) + 1
+    br.read(1) // alpha hint (informational)
+    if (br.read(3) != 0) return None // version must be 0
+    if (w.toLong * h > maxPixels) return None
+    // transforms in read order; inverses apply in REVERSE read order
+    sealed trait Xf
+    case object SubGreen extends Xf
+    case class Indexing(palette: Array[Int], xbits: Int) extends Xf
+    var transforms = List.empty[Xf] // head = last read
+    var curW = w
+    while (br.read(1) == 1) {
+      br.read(2) match {
+        case 2 => transforms ::= SubGreen
+        case 3 =>
+          val psize = br.read(8) + 1
+          val raw = vp8lEntropyImage(br, psize, 1, level0 = false)
+          // palette entries are DELTA-coded per channel
+          val pal = new Array[Int](psize)
+          var prev = 0
+          var i = 0
+          while (i < psize) {
+            val v = raw(i)
+            val a = (((prev >>> 24) + (v >>> 24)) & 0xFF) << 24
+            val r = ((((prev >> 16) & 0xFF) + ((v >> 16) & 0xFF)) & 0xFF) << 16
+            val g = ((((prev >> 8) & 0xFF) + ((v >> 8) & 0xFF)) & 0xFF) << 8
+            val b = ((prev & 0xFF) + (v & 0xFF)) & 0xFF
+            pal(i) = a | r | g | b
+            prev = pal(i)
+            i += 1
+          }
+          val xbits = vp8lIndexBits(psize)
+          transforms ::= Indexing(pal, xbits)
+          curW = (w + (1 << xbits) - 1) >> xbits
+        case _ => return None // predictor/color out of subset
+      }
+    }
+    var argb = vp8lEntropyImage(br, curW, h, level0 = true)
+    var outW = curW
+    transforms.foreach {
+      case Indexing(pal, xbits) =>
+        val full = new Array[Int](w * h)
+        val bitsPerIdx = 8 >> xbits
+        val idxMask = (1 << bitsPerIdx) - 1
+        val xMask = (1 << xbits) - 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val packed = (argb(y * outW + (x >> xbits)) >> 8) & 0xFF
+            val idx = (packed >> ((x & xMask) * bitsPerIdx)) & idxMask
+            // out-of-range index: transparent black (the published rule)
+            full(y * w + x) = if (idx < pal.length) pal(idx) else 0
+            x += 1
+          }
+          y += 1
+        }
+        argb = full
+        outW = w
+      case SubGreen =>
+        var m = 0
+        while (m < argb.length) {
+          val v = argb(m)
+          val g = (v >> 8) & 0xFF
+          val r = (((v >> 16) & 0xFF) + g) & 0xFF
+          val b = ((v & 0xFF) + g) & 0xFF
+          argb(m) = (v & 0xFF000000) | (r << 16) | (g << 8) | b
+          m += 1
+        }
+    }
+    if (outW != w) return None // indexing never materialized full width
     val px = new Array[Byte](w * h * 3)
     var m = 0
     while (m < w * h) {
       val v = argb(m)
-      val g = (v >> 8) & 0xFF
-      var r = (v >> 16) & 0xFF
-      var b = v & 0xFF
-      if (subtractGreen) { r = (r + g) & 0xFF; b = (b + g) & 0xFF }
-      px(m * 3) = r.toByte; px(m * 3 + 1) = g.toByte; px(m * 3 + 2) = b.toByte
+      px(m * 3) = ((v >> 16) & 0xFF).toByte
+      px(m * 3 + 1) = ((v >> 8) & 0xFF).toByte
+      px(m * 3 + 2) = (v & 0xFF).toByte
       m += 1
     }
     Some((w, h, px))
@@ -3234,8 +3315,11 @@ object Multimodal {
         bw.writeCode(dC(dc), dL(dc))
         bw.write(dv, de)
     }
-    val payload = bw.result()
-    // RIFF wrapper (chunks pad to even)
+    riffWebp(bw.result())
+  }
+
+  /** RIFF/WEBP wrapper around one VP8L payload (chunks pad to even). */
+  private def riffWebp(payload: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit = {
       out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
@@ -3248,6 +3332,98 @@ object Multimodal {
     out.write(payload, 0, payload.length)
     if ((payload.length & 1) == 1) out.write(0)
     out.toByteArray
+  }
+
+  /** Write one all-literal entropy image (headers + per-pixel codes),
+    * the shape a palette row and an index-packed main image use.
+    */
+  private def vp8lWriteLiteralPixels(bw: LBitWriter, argbs: Array[Int]): Unit = {
+    val greenF = new Array[Long](256 + 24)
+    val redF = new Array[Long](256)
+    val blueF = new Array[Long](256)
+    val alphaF = new Array[Long](256)
+    val distF = new Array[Long](40)
+    argbs.foreach { v =>
+      greenF((v >> 8) & 0xFF) += 1
+      redF((v >> 16) & 0xFF) += 1
+      blueF(v & 0xFF) += 1
+      alphaF(v >>> 24) += 1
+    }
+    distF(0) = 1 // unused code still needs a header
+    val (gL, gC) = vp8lWriteCode(bw, greenF)
+    val (rL, rC) = vp8lWriteCode(bw, redF)
+    val (bL, bC) = vp8lWriteCode(bw, blueF)
+    val (aL, aC) = vp8lWriteCode(bw, alphaF)
+    vp8lWriteCode(bw, distF): Unit
+    argbs.foreach { v =>
+      val g = (v >> 8) & 0xFF
+      val r = (v >> 16) & 0xFF
+      val b = v & 0xFF
+      val a = v >>> 24
+      bw.writeCode(gC(g), gL(g))
+      bw.writeCode(rC(r), rL(r))
+      bw.writeCode(bC(b), bL(b))
+      bw.writeCode(aC(a), aL(a))
+    }
+  }
+
+  /** COLOR_INDEXING fixture encoder: palette of the image's distinct
+    * colors (first-occurrence order, ≤ 256; ≤ 16 triggers the pixel
+    * BUNDLING the real screenshot path uses), delta-coded palette row
+    * as its own entropy image, indices packed into the main image's
+    * green channel at the reduced width.
+    */
+  def webpVp8lIndexed(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "webpVp8lIndexed: raster shape")
+    val argbs = Array.tabulate(w * h) { m =>
+      0xFF000000 | ((rgb(m * 3) & 0xFF) << 16) |
+        ((rgb(m * 3 + 1) & 0xFF) << 8) | (rgb(m * 3 + 2) & 0xFF)
+    }
+    val palette = argbs.distinct
+    require(palette.length <= 256, "webpVp8lIndexed: too many colors for a palette")
+    val psize = palette.length
+    val index = palette.zipWithIndex.toMap
+    val xbits = vp8lIndexBits(psize)
+    val bitsPerIdx = 8 >> xbits
+    val packedW = (w + (1 << xbits) - 1) >> xbits
+    val bw = new LBitWriter
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14); bw.write(h - 1, 14)
+    bw.write(0, 1) // no alpha
+    bw.write(0, 3) // version
+    bw.write(1, 1); bw.write(3, 2) // one transform: COLOR_INDEXING
+    bw.write(psize - 1, 8)
+    // the palette row, DELTA-coded per channel, as its own entropy image
+    val deltas = Array.tabulate(psize) { i =>
+      val p = palette(i)
+      val prev = if (i == 0) 0 else palette(i - 1)
+      val a = (((p >>> 24) - (prev >>> 24)) & 0xFF) << 24
+      val r = ((((p >> 16) & 0xFF) - ((prev >> 16) & 0xFF)) & 0xFF) << 16
+      val g = ((((p >> 8) & 0xFF) - ((prev >> 8) & 0xFF)) & 0xFF) << 8
+      val b = ((p & 0xFF) - (prev & 0xFF)) & 0xFF
+      a | r | g | b
+    }
+    bw.write(0, 1) // palette image: no color cache
+    vp8lWriteLiteralPixels(bw, deltas)
+    bw.write(0, 1) // end of transforms
+    bw.write(0, 1) // main image: no color cache
+    bw.write(0, 1) // no meta prefix
+    val packed = new Array[Int](packedW * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val idx = index(argbs(y * w + x))
+        val slot = y * packedW + (x >> xbits)
+        val g = ((packed(slot) >> 8) & 0xFF) |
+          (idx << (((x & ((1 << xbits) - 1)) * bitsPerIdx)))
+        packed(slot) = 0xFF000000 | ((g & 0xFF) << 8)
+        x += 1
+      }
+      y += 1
+    }
+    vp8lWriteLiteralPixels(bw, packed)
+    riffWebp(bw.result())
   }
 
   /** The pixel's ARGB as stored (after the subtract-green forward
@@ -3287,12 +3463,18 @@ object Multimodal {
   }
 
   /** WebP twin of [[syntheticPng]]/[[syntheticPpm]]: the SAME logical
-    * pixel formula ((seed·31+m) mod 256) behind the VP8L bitstream, so
-    * the family's one oracle covers a fourth compressed encoding.
+    * pixel formula ((seed·31+m) mod 256) behind the VP8L bitstream —
+    * rotating by seed across the three encodings the decoder covers
+    * (COLOR_INDEXING palette, SUBTRACT_GREEN, plain literals) — so the
+    * family's one oracle proves every transform path pixel-identical.
     */
   def syntheticWebp(seed: Long, w: Int, h: Int): Array[Byte] = {
     require(seed >= 0 && w > 0 && h > 0, "syntheticWebp: non-negative seed, positive dims")
     val px = Array.tabulate(w * h * 3)(m => ((seed * 31 + m) % 256).toByte)
-    webpVp8l(w, h, px, subtractGreen = seed % 2 == 0)
+    (seed % 3) match {
+      case 0 => webpVp8lIndexed(w, h, px)
+      case 1 => webpVp8l(w, h, px, subtractGreen = true)
+      case _ => webpVp8l(w, h, px)
+    }
   }
 }

@@ -913,4 +913,30 @@ class MultimodalSpec extends SparkSpec {
     val withCache = Multimodal.decodeWebp(Multimodal.webpVp8l(w, h, px, cacheBits = 2))
     assert(withCache.isDefined && withCache.get._3.sameElements(px))
   }
+
+  test("decodeWebp: COLOR_INDEXING palettes, bundled and unbundled") {
+    // 2 colors -> 8 indices per coded pixel (xbits 3)
+    val duo = Array.tabulate(10 * 3 * 3) { m =>
+      (if ((m / 3) % 3 == 0) 17 else 230).toByte
+    }
+    val d2 = Multimodal.decodeWebp(Multimodal.webpVp8lIndexed(10, 3, duo))
+    assert(d2.isDefined && d2.get._3.sameElements(duo))
+    // 5..16 colors -> 2 indices per coded pixel (xbits 1), odd width
+    val hex = Array.tabulate(7 * 4 * 3) { m =>
+      val p = m / 3
+      (((p * 37) % 13) * 19 % 256).toByte
+    }
+    val nColors = hex.grouped(3).map(_.toSeq).toSet.size
+    assert(nColors > 4 && nColors <= 16)
+    val d16 = Multimodal.decodeWebp(Multimodal.webpVp8lIndexed(7, 4, hex))
+    assert(d16.isDefined && d16.get._3.sameElements(hex))
+    // > 16 colors: no bundling, plain index image
+    val many = Array.tabulate(8 * 6 * 3)(m => ((5 * 31 + m) % 256).toByte)
+    val dM = Multimodal.decodeWebp(Multimodal.webpVp8lIndexed(8, 6, many))
+    assert(dM.isDefined && dM.get._3.sameElements(many))
+    // the rotating family fixture hits the palette arm at seed % 3 == 0
+    val syn = Multimodal.decodeWebp(Multimodal.syntheticWebp(6L, 8, 6))
+    assert(syn.isDefined && syn.get._3.sameElements(
+      Array.tabulate(8 * 6 * 3)(m => ((6L * 31 + m) % 256).toByte)))
+  }
 }
