@@ -17,12 +17,15 @@ object Office {
 
   private val SlidePattern = "^ppt/slides/slide[0-9]+\\.xml$".r
 
-  /** Content-based kind: `docx` | `pptx` | `odt` | `encrypted` |
-    * `zip` (a zip that is none of the three) | `unknown`.
+  /** Content-based kind: `docx` | `pptx` | `odt` | `rtf` |
+    * `encrypted` | `zip` (a zip that is none of the three) |
+    * `unknown`.
     */
   def detect(bytes: Array[Byte]): String = {
     if (bytes == null) return "unknown"
     if (Docx.isCfb(bytes)) return "encrypted"
+    if (bytes.length >= 5 && bytes(0) == '{' && bytes(1) == '\\' &&
+      bytes(2) == 'r' && bytes(3) == 't' && bytes(4) == 'f') return "rtf"
     val es = ZipShard.entries(bytes)
     if (es.isEmpty) return "unknown"
     val names = es.map(_.name)
@@ -55,6 +58,10 @@ object Office {
           case "odt" =>
             val d = Odt.read(b)
             (id, "odt", d.paragraphs.length,
+              if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
+          case "rtf" =>
+            val d = Rtf.strip(b)
+            (id, "rtf", d.paragraphs.length,
               if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
           case kind => (id, kind, 0, null)
         }

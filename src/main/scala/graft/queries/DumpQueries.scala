@@ -1497,19 +1497,21 @@ object DumpQueries {
     ),
 
     // OFFICE TRIAGE — the media-triage pattern on documents: a mixed
-    // docx/pptx/odt/encrypted/junk stream routes by CONTENT (the CFB
-    // signature, then the zip's distinguishing member), and each
-    // routed document flows through its own shipped reader into one
-    // (kind, n_units, text) frame — one scan, route before decode.
-    // Map-only; the oracle re-derives kind, units and text per arm.
+    // docx/pptx/odt/rtf/encrypted/junk stream routes by CONTENT (the
+    // CFB signature, the RTF magic, then the zip's distinguishing
+    // member), and each routed document flows through its own shipped
+    // reader into one (kind, n_units, text) frame — one scan, route
+    // before decode. Map-only; the oracle re-derives kind, units and
+    // text per arm.
     Q(
       "q_office_triage",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 5) match {
+        val mk = udf((k: Long) => (k % 6) match {
           case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
-          case 3 => graft.operators.Docx.encryptedFixture(k)
+          case 3 => s"{\\rtf1\\ansi legacy $k\\par tail $k}".getBytes("ISO-8859-1")
+          case 4 => graft.operators.Docx.encryptedFixture(k)
           case _ => s"legacy junk $k".getBytes("UTF-8")
         })
         val out = graft.operators.Office.routedText(
@@ -1523,16 +1525,57 @@ object DumpQueries {
       Some(
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
           |SELECT k AS media_id,
-          |  CASE CAST(k % 5 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
-          |    WHEN 2 THEN 'odt' WHEN 3 THEN 'encrypted' ELSE 'unknown' END AS kind,
-          |  CAST(CASE CAST(k % 5 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
-          |    WHEN 2 THEN 2 ELSE 0 END AS INT) AS n_units,
-          |  CASE CAST(k % 5 AS INT)
+          |  CASE CAST(k % 6 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |    WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf'
+          |    WHEN 4 THEN 'encrypted' ELSE 'unknown' END AS kind,
+          |  CAST(CASE CAST(k % 6 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
+          |    WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 0 END AS INT) AS n_units,
+          |  CASE CAST(k % 6 AS INT)
           |    WHEN 0 THEN 'word doc ' || k
           |    WHEN 1 THEN 'slide ' || k
           |    WHEN 2 THEN 'odt doc ' || k || chr(10) || 'tail end'
+          |    WHEN 3 THEN 'legacy ' || k || chr(10) || 'tail ' || k
           |    ELSE NULL END AS text
           |FROM n""".stripMargin
+      )
+    ),
+
+    // RTF ingest — the legacy document format: control-word strip
+    // under the office-family contract. Arms per k%3: a styled body
+    // whose typographic words, cp1252 hex escape and \uc0\uN unicode
+    // all land in the prose (0), a document whose fonttbl/info
+    // destinations carry poison that must never surface (1), and junk
+    // (→ parse, countable) (2). Map-only.
+    Q(
+      "q_rtf_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 3) match {
+          case 0 =>
+            (s"{\\rtf1\\ansi{\\b Title $k}\\par body $k \\emdash\\'e9 x\\uc0\\u960 .}")
+              .getBytes("ISO-8859-1")
+          case 1 =>
+            (s"{\\rtf1\\ansi{\\fonttbl{\\f0 POISON FONT;}}{\\info{\\title POISON $k}}" +
+              s"plain $k\\par tail $k}").getBytes("ISO-8859-1")
+          case _ => s"junk rtf $k".getBytes("UTF-8")
+        })
+        val out = graft.operators.Rtf.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE WHEN n_nationkey % 3 = 2 THEN 'parse' ELSE 'ok' END AS stage,
+          |  CAST(CASE WHEN n_nationkey % 3 = 2 THEN 0 ELSE 2 END AS INT) AS n_paragraphs,
+          |  CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 0 THEN 'Title ' || n_nationkey || chr(10) ||
+          |      'body ' || n_nationkey || ' —é xπ.'
+          |    WHEN 1 THEN 'plain ' || n_nationkey || chr(10) || 'tail ' || n_nationkey
+          |    ELSE NULL END AS text
+          |FROM nation""".stripMargin
       )
     ),
 

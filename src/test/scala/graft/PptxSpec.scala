@@ -72,6 +72,7 @@ class PptxSpec extends SparkSpec {
     assert(Office.detect(Pptx.pptx(Seq(Seq("x")))) == "pptx")
     assert(Office.detect(Odt.odt(Seq("x"))) == "odt")
     assert(Office.detect(Docx.encryptedFixture(1L)) == "encrypted")
+    assert(Office.detect("{\\rtf1 x}".getBytes("UTF-8")) == "rtf")
     assert(Office.detect("junk".getBytes("UTF-8")) == "unknown")
     assert(Office.detect(null) == "unknown")
     // a zip that is none of the three kinds routes as bare 'zip'
