@@ -70,12 +70,17 @@ object Docx {
     * across the OOXML text bodies, only the namespace prefix moves.
     */
   private[graft] def paragraphs(xml: String, maxParagraphs: Int = 100000,
-      maxChars: Int = 16 << 20, prefix: String = "w"): Seq[String] = {
-    val pTag = prefix + ":p"
-    val tTag = prefix + ":t"
-    val tabTag = prefix + ":tab"
-    val brTag = prefix + ":br"
-    val crTag = prefix + ":cr"
+      maxChars: Int = 16 << 20, prefix: String = "w"): Seq[String] =
+    paragraphsTags(xml, prefix + ":p", prefix + ":t", prefix + ":tab",
+      prefix + ":br", prefix + ":cr", maxParagraphs, maxChars)
+
+  /** The walk with EXPLICIT element names — SpreadsheetML's
+    * sharedStrings items (`si`/`t`, no namespace prefix) ride the same
+    * grammar with different spellings.
+    */
+  private[graft] def paragraphsTags(xml: String, pTag: String, tTag: String,
+      tabTag: String, brTag: String, crTag: String,
+      maxParagraphs: Int = 100000, maxChars: Int = 16 << 20): Seq[String] = {
     val tClose = "</" + tTag + ">"
     val out = Vector.newBuilder[String]
     var n = 0

@@ -17,8 +17,8 @@ object Office {
 
   private val SlidePattern = "^ppt/slides/slide[0-9]+\\.xml$".r
 
-  /** Content-based kind: `docx` | `pptx` | `odt` | `rtf` |
-    * `encrypted` | `zip` (a zip that is none of the three) |
+  /** Content-based kind: `docx` | `pptx` | `xlsx` | `odt` | `rtf` |
+    * `encrypted` | `zip` (a zip that is none of the four) |
     * `unknown`.
     */
   def detect(bytes: Array[Byte]): String = {
@@ -31,6 +31,7 @@ object Office {
     val names = es.map(_.name)
     if (names.contains("word/document.xml")) "docx"
     else if (names.exists(n => SlidePattern.findFirstIn(n).isDefined)) "pptx"
+    else if (names.contains("xl/workbook.xml")) "xlsx"
     else if (names.contains("content.xml")) "odt"
     else "zip"
   }
@@ -63,6 +64,10 @@ object Office {
             val d = Rtf.strip(b)
             (id, "rtf", d.paragraphs.length,
               if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
+          case "xlsx" =>
+            val d = Xlsx.read(b)
+            (id, "xlsx", d.strings.length,
+              if (d.stage == "ok") d.strings.mkString("\n") else null)
           case kind => (id, kind, 0, null)
         }
       }

@@ -1506,12 +1506,13 @@ object DumpQueries {
     Q(
       "q_office_triage",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 6) match {
+        val mk = udf((k: Long) => (k % 7) match {
           case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
           case 3 => s"{\\rtf1\\ansi legacy $k\\par tail $k}".getBytes("ISO-8859-1")
-          case 4 => graft.operators.Docx.encryptedFixture(k)
+          case 4 => graft.operators.Xlsx.xlsx(Seq(s"cell $k", s"note $k"))
+          case 5 => graft.operators.Docx.encryptedFixture(k)
           case _ => s"legacy junk $k".getBytes("UTF-8")
         })
         val out = graft.operators.Office.routedText(
@@ -1525,18 +1526,59 @@ object DumpQueries {
       Some(
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
           |SELECT k AS media_id,
-          |  CASE CAST(k % 6 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
-          |    WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf'
-          |    WHEN 4 THEN 'encrypted' ELSE 'unknown' END AS kind,
-          |  CAST(CASE CAST(k % 6 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
-          |    WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 0 END AS INT) AS n_units,
-          |  CASE CAST(k % 6 AS INT)
+          |  CASE CAST(k % 7 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |    WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
+          |    WHEN 5 THEN 'encrypted' ELSE 'unknown' END AS kind,
+          |  CAST(CASE CAST(k % 7 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
+          |    WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 ELSE 0 END AS INT) AS n_units,
+          |  CASE CAST(k % 7 AS INT)
           |    WHEN 0 THEN 'word doc ' || k
           |    WHEN 1 THEN 'slide ' || k
           |    WHEN 2 THEN 'odt doc ' || k || chr(10) || 'tail end'
           |    WHEN 3 THEN 'legacy ' || k || chr(10) || 'tail ' || k
+          |    WHEN 4 THEN 'cell ' || k || chr(10) || 'note ' || k
           |    ELSE NULL END AS text
           |FROM n""".stripMargin
+      )
+    ),
+
+    // XLSX ingest — spreadsheet prose lives centralized in the
+    // shared-strings table (`<si>` items of `<t>` runs, rich runs
+    // concatenating — the SAME walk as DOCX with si/t spellings).
+    // Arms per k%4: plain + rich-run strings (0/1 — odd indexes in
+    // the fixture ship as split rich runs), a numbers-only workbook
+    // (ok with ZERO strings — absence of the part is not a degrade)
+    // every 4th key, junk. Map-only.
+    Q(
+      "q_xlsx_strings",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 3 => s"junk sheet $k".getBytes("UTF-8")
+          case 0 => graft.operators.Xlsx.xlsx(Seq.empty, withSharedStrings = false)
+          case _ => graft.operators.Xlsx.xlsx(
+            Seq(s"Header $k", s"quarterly note $k", s"total $k"))
+        })
+        val out = graft.operators.Xlsx.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE WHEN n_nationkey % 4 = 3 THEN 'zip' ELSE 'ok' END AS stage,
+          |  CAST(CASE WHEN n_nationkey % 4 IN (1, 2) THEN 3 ELSE 0 END AS INT)
+          |    AS n_strings,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 3 THEN NULL
+          |    WHEN 0 THEN ''
+          |    ELSE 'Header ' || n_nationkey || chr(10) ||
+          |      'quarterly note ' || n_nationkey || chr(10) ||
+          |      'total ' || n_nationkey
+          |  END AS text
+          |FROM nation""".stripMargin
       )
     ),
 

@@ -1118,6 +1118,27 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("xlsx shared strings stream identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Xlsx
+    val blobs = Seq(
+      (1L, Xlsx.xlsx(Seq("alpha", "beta sheet"))),
+      (2L, "junk".getBytes("UTF-8")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Xlsx.textRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_xlsx_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      val batch = rows(Xlsx.textRows(blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_xlsx_out")) == batch)
+      assert(batch == Set((1L, "ok", 2, "alpha\nbeta sheet"), (2L, "zip", 0, null)))
+    } finally q.stop()
+  }
+
   test("rtf text streams identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Rtf
