@@ -940,19 +940,20 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the eight ingest families this engine
+    // THE SOURCE-UNION CAPSTONE: the nine ingest families this engine
     // reads — published dumps (bz2 XML → wikitext strip), crawl
     // archives (WARC → HTTP → text), PDFs (xref → content streams →
     // text), DOCX documents (zip → word/document.xml → paragraphs),
-    // EPUB books (zip → OPF spine → chapters), arXiv LaTeX (tar.gz →
-    // macro strip), Avro containers (blocks → string records), and
-    // dataset shards (tar → samples) — land in ONE corpus frame,
-    // deduped exactly ACROSS sources (texts collide across families by
-    // construction; the canonical-source rank breaks ties: dump >
-    // crawl > pdf > docx > epub > latex > avro > shard) with
-    // per-source admission accounting. Two shuffles total: the
-    // text-keyed dedup window and the per-source rollup; every reader
-    // upstream is the map-only walk its own gate already pins.
+    // PPTX decks (zip → slides → DrawingML bodies), EPUB books (zip →
+    // OPF spine → chapters), arXiv LaTeX (tar.gz → macro strip), Avro
+    // containers (blocks → string records), and dataset shards (tar →
+    // samples) — land in ONE corpus frame, deduped exactly ACROSS
+    // sources (texts collide across families by construction; the
+    // canonical-source rank breaks ties: dump > crawl > pdf > docx >
+    // pptx > epub > latex > avro > shard) with per-source admission
+    // accounting. Two shuffles total: the text-keyed dedup window and
+    // the per-source rollup; every reader upstream is the map-only
+    // walk its own gate already pins.
     Q(
       "q_corpus_union",
       (spark, dir) => {
@@ -1005,6 +1006,14 @@ object DumpQueries {
           .select(col("media_id"), col("text"))
           .withColumn("source", lit("docx"))
 
+        val pptxMk = udf((k: Long) => graft.operators.Pptx.pptx(Seq(Seq(
+          if (k % 19 == 0) s"common ${k % 4}" else s"pptx only $k"))))
+        val pptxSrc = graft.operators.Pptx.textRows(
+          keys.withColumn("payload", pptxMk(col("media_id"))), "media_id", "payload")
+          .filter(col("stage") === "ok")
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("pptx"))
+
         val epubMk = udf((k: Long) => graft.operators.Epub.epub(Seq(
           ("c0.xhtml", if (k % 9 == 0) s"common ${k % 4}" else s"epub only $k"))))
         val epubSrc = graft.operators.Epub.chapterRows(
@@ -1039,16 +1048,18 @@ object DumpQueries {
           .withColumn("source", lit("shard"))
 
         val all = dump.unionByName(crawl).unionByName(pdfSrc)
-          .unionByName(docxSrc).unionByName(epubSrc).unionByName(latexSrc)
+          .unionByName(docxSrc).unionByName(pptxSrc)
+          .unionByName(epubSrc).unionByName(latexSrc)
           .unionByName(avroSrc).unionByName(shard)
           .withColumn("rank",
             when(col("source") === "dump", 0)
               .when(col("source") === "crawl", 1)
               .when(col("source") === "pdf", 2)
               .when(col("source") === "docx", 3)
-              .when(col("source") === "epub", 4)
-              .when(col("source") === "latex", 5)
-              .when(col("source") === "avro", 6).otherwise(7))
+              .when(col("source") === "pptx", 4)
+              .when(col("source") === "epub", 5)
+              .when(col("source") === "latex", 6)
+              .when(col("source") === "avro", 7).otherwise(8))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1082,22 +1093,27 @@ object DumpQueries {
           |         ELSE 'docx only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'epub', 4, k,
+          |  SELECT 'pptx', 4, k,
+          |    CASE WHEN k % 19 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'pptx only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'epub', 5, k,
           |    CASE WHEN k % 9 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'epub only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'latex', 5, k,
+          |  SELECT 'latex', 6, k,
           |    CASE WHEN k % 17 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'latex only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'avro', 6, k,
+          |  SELECT 'avro', 7, k,
           |    CASE WHEN k % 11 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'avro only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 7, k,
+          |  SELECT 'shard', 8, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n
@@ -1539,6 +1555,59 @@ object DumpQueries {
           |    WHEN 4 THEN 'cell ' || k || chr(10) || 'note ' || k
           |    ELSE NULL END AS text
           |FROM n""".stripMargin
+      )
+    ),
+
+    // OFFICE PIPELINE — the triage COMPOSED into curation: the mixed
+    // stream routes (one map-only scan), extracted text feeds the
+    // token counter, a minimum-length screen decides admission (the
+    // two-token pptx arm REJECTS at the 3-token floor — the screen
+    // provably decides, it doesn't rubber-stamp), and the per-kind
+    // rollup pays the pipeline's ONE shuffle. The oracle re-derives
+    // docs/admitted/token totals from the k%7 fixture grid.
+    Q(
+      "q_office_pipeline",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 7) match {
+          case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
+          case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
+          case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
+          case 3 => s"{\\rtf1\\ansi legacy $k\\par tail $k}".getBytes("ISO-8859-1")
+          case 4 => graft.operators.Xlsx.xlsx(Seq(s"cell $k", s"note $k"))
+          case 5 => graft.operators.Docx.encryptedFixture(k)
+          case _ => s"legacy junk $k".getBytes("UTF-8")
+        })
+        val routed = graft.operators.Office.routedText(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        val out = routed
+          .withColumn("n_tokens",
+            coalesce(TextAnalysis.tokenCount(col("text")), lit(0)))
+          .withColumn("admitted", col("text").isNotNull && col("n_tokens") >= 3)
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"))
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |r AS (
+          |  SELECT k,
+          |    CASE CAST(k % 7 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |      WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
+          |      WHEN 5 THEN 'encrypted' ELSE 'unknown' END AS kind,
+          |    CASE CAST(k % 7 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 5
+          |      WHEN 3 THEN 4 WHEN 4 THEN 4 ELSE 0 END AS n_tokens
+          |  FROM n)
+          |SELECT kind, CAST(COUNT(*) AS BIGINT) AS docs,
+          |  CAST(SUM(CASE WHEN n_tokens >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS admitted_docs,
+          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+          |FROM r GROUP BY kind""".stripMargin
       )
     ),
 
