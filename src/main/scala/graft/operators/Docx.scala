@@ -126,11 +126,18 @@ object Docx {
     if (isCfb(bytes)) return DocxDoc("encrypted", Seq.empty)
     val es = ZipShard.entries(bytes)
     if (es.isEmpty) return DocxDoc("zip", Seq.empty)
+    readEntries(es)
+  }
+
+  /** The walk over an ALREADY-opened archive — the office triage
+    * routes on the same entry list it hands here, so a routed
+    * document pays the zip walk ONCE.
+    */
+  private[operators] def readEntries(es: Seq[ZipShard.ZipEntry]): DocxDoc =
     es.find(_.name == "word/document.xml") match {
       case None => DocxDoc("part", Seq.empty)
       case Some(e) => DocxDoc("ok", paragraphs(new String(e.data, UTF_8)))
     }
-  }
 
   /** One row per document: (media_id, stage, n_paragraphs, text) with
     * `text` the paragraphs joined by NEWLINE — what the quality

@@ -97,6 +97,13 @@ object Odt {
     if (bytes == null) return OdtDoc("zip", Seq.empty)
     val es = ZipShard.entries(bytes)
     if (es.isEmpty) return OdtDoc("zip", Seq.empty)
+    readEntries(es)
+  }
+
+  /** The walk over an already-opened archive (the one-walk triage
+    * path — see [[Docx.readEntries]]).
+    */
+  private[operators] def readEntries(es: Seq[ZipShard.ZipEntry]): OdtDoc = {
     val byName = es.map(e => e.name -> e.data).toMap
     // member-wise ODF encryption is declared in the manifest
     val manifest = byName.get("META-INF/manifest.xml")

@@ -38,8 +38,11 @@ object Office {
 
   /** One row per document: (media_id, kind, n_units, text) — the
     * routed extraction. `n_units` is the kind's own unit (paragraphs
-    * for docx/odt, slides for pptx); quarantined kinds keep NULL text
-    * with 0 units, countable per kind. Map-only.
+    * for docx/odt/rtf, slides for pptx, strings for xlsx);
+    * quarantined kinds keep NULL text with 0 units, countable per
+    * kind. The route and the extraction share ONE archive walk — at
+    * 100 TB the zip scan is the dominant per-document cost and is
+    * never paid twice. Map-only.
     */
   def routedText(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -47,28 +50,34 @@ object Office {
     df.select(df(idCol).cast("long"), df(binCol))
       .as[(Long, Array[Byte])]
       .map { case (id, b) =>
-        detect(b) match {
-          case "docx" =>
-            val d = Docx.read(b)
+        if (b == null) (id, "unknown", 0, null)
+        else if (Docx.isCfb(b)) (id, "encrypted", 0, null)
+        else if (b.length >= 5 && b(0) == '{' && b(1) == '\\' &&
+          b(2) == 'r' && b(3) == 't' && b(4) == 'f') {
+          val d = Rtf.strip(b)
+          (id, "rtf", d.paragraphs.length,
+            if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
+        } else {
+          val es = ZipShard.entries(b)
+          val names = es.map(_.name)
+          if (es.isEmpty) (id, "unknown", 0, null)
+          else if (names.contains("word/document.xml")) {
+            val d = Docx.readEntries(es)
             (id, "docx", d.paragraphs.length,
               if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
-          case "pptx" =>
-            val d = Pptx.read(b)
+          } else if (names.exists(n => SlidePattern.findFirstIn(n).isDefined)) {
+            val d = Pptx.readEntries(es)
             (id, "pptx", d.slides.length,
               if (d.stage == "ok") d.slides.flatMap(_._3).mkString("\n") else null)
-          case "odt" =>
-            val d = Odt.read(b)
-            (id, "odt", d.paragraphs.length,
-              if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
-          case "rtf" =>
-            val d = Rtf.strip(b)
-            (id, "rtf", d.paragraphs.length,
-              if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
-          case "xlsx" =>
-            val d = Xlsx.read(b)
+          } else if (names.contains("xl/workbook.xml")) {
+            val d = Xlsx.readEntries(es)
             (id, "xlsx", d.strings.length,
               if (d.stage == "ok") d.strings.mkString("\n") else null)
-          case kind => (id, kind, 0, null)
+          } else if (names.contains("content.xml")) {
+            val d = Odt.readEntries(es)
+            (id, "odt", d.paragraphs.length,
+              if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
+          } else (id, "zip", 0, null)
         }
       }
       .toDF(idCol, "kind", "n_units", "text")

@@ -39,6 +39,13 @@ object Pptx {
     if (Docx.isCfb(bytes)) return PptxDoc("encrypted", Seq.empty)
     val es = ZipShard.entries(bytes)
     if (es.isEmpty) return PptxDoc("zip", Seq.empty)
+    readEntries(es)
+  }
+
+  /** The walk over an already-opened archive (the one-walk triage
+    * path — see [[Docx.readEntries]]).
+    */
+  private[operators] def readEntries(es: Seq[ZipShard.ZipEntry]): PptxDoc = {
     val slides = es.flatMap { e =>
       e.name match {
         case SlideName(n) =>

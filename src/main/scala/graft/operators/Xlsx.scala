@@ -27,6 +27,13 @@ object Xlsx {
     if (Docx.isCfb(bytes)) return XlsxDoc("encrypted", Seq.empty)
     val es = ZipShard.entries(bytes)
     if (es.isEmpty) return XlsxDoc("zip", Seq.empty)
+    readEntries(es)
+  }
+
+  /** The walk over an already-opened archive (the one-walk triage
+    * path — see [[Docx.readEntries]]).
+    */
+  private[operators] def readEntries(es: Seq[ZipShard.ZipEntry]): XlsxDoc = {
     val byName = es.map(e => e.name -> e.data).toMap
     if (!byName.contains("xl/workbook.xml")) return XlsxDoc("part", Seq.empty)
     byName.get("xl/sharedStrings.xml") match {
