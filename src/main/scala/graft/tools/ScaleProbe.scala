@@ -793,6 +793,23 @@ object ScaleProbe {
           "media_id", "html")
           .filter(col("markdown").isNotNull).count()
       }
+      // office triage: one archive walk routes AND extracts (docx/
+      // pptx/odt/rtf/xlsx mixed by key), map-only — wall must track
+      // the blob count
+      probe(s"office_triage x$k") {
+        val mk = udf((id: Long) => ((id % 5) match {
+          case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc ${id % 97}")))
+          case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide ${id % 97}")))
+          case 2 => graft.operators.Odt.odt(Seq(s"odt doc ${id % 97}"))
+          case 3 => s"{\\rtf1\\ansi legacy ${id % 97}\\par t}".getBytes("ISO-8859-1")
+          case _ => graft.operators.Xlsx.xlsx(Seq(s"cell ${id % 97}"))
+        }))
+        graft.operators.Office.routedText(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("text").isNotNull).count()
+      }
       // avro container walk: block split + inflate + record decode,
       // all map-only — wall must track the blob count (each doc row
       // becomes one 6-record deflate container)
