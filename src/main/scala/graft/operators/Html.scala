@@ -442,6 +442,63 @@ object Html {
     lines.result().mkString("\n")
   }
 
+  /** MARKDOWN SECTIONS — the RAG chunking unit: split a markdown
+    * document at its heading lines into sections carrying their full
+    * heading-path BREADCRUMB (`H1 > H2 > H3`), the retrieval context
+    * each chunk needs to stand alone. Deterministic rules: a heading
+    * line (`#{1,6} `) pops the path to its level and pushes its
+    * title; body lines accumulate under the current path; prose
+    * before any heading gets the empty path; sections with no body
+    * lines don't emit (their heading still extends the path of what
+    * follows). Section text keeps its lines verbatim, joined by
+    * NEWLINE.
+    */
+  def markdownSections(md: String, maxSections: Int = 10000): Seq[(Int, String, String)] = {
+    if (md == null) return null
+    val out = Vector.newBuilder[(Int, String, String)]
+    var n = 0
+    var path = List.empty[(Int, String)] // (level, title), outermost last
+    val body = Vector.newBuilder[String]
+    var bodyEmpty = true
+    def flush(): Unit = {
+      if (!bodyEmpty && n < maxSections) {
+        out += ((n, path.reverse.map(_._2).mkString(" > "),
+          body.result().mkString("\n")))
+        n += 1
+      }
+      body.clear()
+      bodyEmpty = true
+    }
+    md.split("\n", -1).foreach { line =>
+      val hashes = line.takeWhile(_ == '#').length
+      if (hashes >= 1 && hashes <= 6 && line.length > hashes &&
+        line.charAt(hashes) == ' ') {
+        flush()
+        val title = line.substring(hashes + 1).trim
+        path = (hashes, title) :: path.dropWhile(_._1 >= hashes)
+      } else if (line.nonEmpty) {
+        body += line
+        bodyEmpty = false
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** One row per SECTION of each page's markdown: (idCol,
+    * section_idx, path, text). Map-only.
+    */
+  def markdownSectionRows(df: DataFrame, idCol: String, mdCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(df(idCol).cast("long"), df(mdCol))
+      .as[(Long, String)]
+      .flatMap { case (id, md) =>
+        Option(markdownSections(md)).toSeq.flatten.map { case (i, p, t) => (id, i, p, t) }
+      }
+      .toDF(idCol, "section_idx", "path", "text")
+  }
+
   /** One row per page: (passthrough idCol, markdown). Map-only typed
     * walk — the justified stateful-scanner path, like [[blockRows]].
     */

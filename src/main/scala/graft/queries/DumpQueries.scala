@@ -2291,6 +2291,52 @@ object DumpQueries {
       )
     ),
 
+    // MARKDOWN SECTION CHUNKING — the RAG unit: the converter's output
+    // splits at heading lines into sections carrying their full
+    // heading-path breadcrumb (H1 > H2 > …), the standalone context a
+    // retrieval chunk needs. Arms: a preamble-less doc whose first
+    // heading opens the path, level pops on the way back up, a
+    // body-less heading extending the NEXT section's path, and an
+    // even-key extra section. Map-only end to end (convert + split in
+    // one pass chain).
+    Q(
+      "q_markdown_sections",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          s"<h1>Guide $k</h1><p>welcome $k</p>" +
+            s"<h2>Setup</h2><p>step $k</p>" +
+            s"<h3>Deep</h3><p>detail $k</p>" +
+            s"<h2>Use</h2>" + // body-less: extends the next path
+            s"<h3>Run</h3><p>go $k</p>" +
+            (if (k % 2 == 0) s"<h1>Extra</h1><p>more $k</p>" else ""))
+        val out = graft.operators.Html.markdownSectionRows(
+          graft.operators.Html.markdownRows(
+            Q.t(spark, dir, "nation")
+              .select(col("n_nationkey").cast("long").as("media_id"))
+              .withColumn("html", mk(col("media_id"))),
+            "media_id", "html"),
+          "media_id", "markdown")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |s AS (
+          |  SELECT k, 0 AS i, 'Guide ' || k AS path, 'welcome ' || k AS text FROM n
+          |  UNION ALL
+          |  SELECT k, 1, 'Guide ' || k || ' > Setup', 'step ' || k FROM n
+          |  UNION ALL
+          |  SELECT k, 2, 'Guide ' || k || ' > Setup > Deep', 'detail ' || k FROM n
+          |  UNION ALL
+          |  SELECT k, 3, 'Guide ' || k || ' > Use > Run', 'go ' || k FROM n
+          |  UNION ALL
+          |  SELECT k, 4, 'Extra', 'more ' || k FROM n WHERE k % 2 = 0
+          |)
+          |SELECT k AS media_id, CAST(i AS INT) AS section_idx, path, text
+          |FROM s""".stripMargin
+      )
+    ),
+
     // Main-content pipeline, MARKDOWN edition — the same WARC → HTTP/
     // charset → chrome-cut chain as q_main_pipeline, but the tokenizer
     // now feeds on STRUCTURE-PRESERVING markdown (content mode: the

@@ -102,6 +102,41 @@ class MarkdownSpec extends SparkSpec {
     assert(Html.markdown("<p><a href=\"/x\">torn") == "[torn")
   }
 
+  test("markdownSections: heading-path breadcrumbs, level pops, preamble, empties") {
+    val md = "intro line\n" +
+      "# A\nbody a1\nbody a2\n" +
+      "## A1\nnested\n" +
+      "### A1x\ndeep\n" +
+      "## A2\nback up\n" +
+      "# B\n" + // no body of its own: extends the next section's path
+      "## B1\nfinal"
+    assert(Html.markdownSections(md) == Seq(
+      (0, "", "intro line"),
+      (1, "A", "body a1\nbody a2"),
+      (2, "A > A1", "nested"),
+      (3, "A > A1 > A1x", "deep"),
+      (4, "A > A2", "back up"),
+      (5, "B > B1", "final")))
+    // a same-level heading REPLACES, a shallower one pops deeper levels
+    assert(Html.markdownSections("# X\n## Y\ntext\n# Z\nmore").map(_._2) ==
+      Seq("X > Y", "Z"))
+    // not headings: fences and a bare '#'
+    assert(Html.markdownSections("#nospace\nbody").head._2 == "")
+    assert(Html.markdownSections(null) == null)
+    assert(Html.markdownSections("") == Seq.empty)
+  }
+
+  test("markdownSectionRows composes with the converter end to end") {
+    import spark.implicits._
+    val html = "<h1>Guide</h1><p>welcome text</p><h2>Setup</h2><p>step one</p>"
+    val pages = Seq((1L, html)).toDF("media_id", "html")
+    val out = Html.markdownSectionRows(
+      Html.markdownRows(pages, "media_id", "html"), "media_id", "markdown")
+    graft.queries.Q.requireNoShuffle(out)
+    assert(out.collect().map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq((0, "Guide", "welcome text"), (1, "Guide > Setup", "step one")))
+  }
+
   test("markdownRows: distributed walk map-only") {
     import spark.implicits._
     val df = Seq((1L, "<h1>T</h1><p>body text</p>"), (2L, null: String))

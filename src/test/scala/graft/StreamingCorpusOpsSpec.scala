@@ -1095,6 +1095,28 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     } finally qN.stop()
   }
 
+  test("markdown section chunking streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Html
+    val pages = Seq((1L, "<h1>G</h1><p>a</p><h2>S</h2><p>b</p>"))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      Html.markdownSectionRows(
+        Html.markdownRows(df, "media_id", "html"), "media_id", "markdown")
+    val in = MemoryStream[(Long, String)]
+    val q = chain(in.toDF().toDF("media_id", "html")).writeStream
+      .format("memory").queryName("sc_mdsec_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(pages: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+      val batch = rows(chain(pages.toDF("media_id", "html")))
+      assert(rows(spark.table("sc_mdsec_out")) == batch)
+      assert(batch == Set((1L, 0, "G", "a"), (1L, 1, "G > S", "b")))
+    } finally q.stop()
+  }
+
   test("html markdown conversion streams identically to batch (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Html
