@@ -17,6 +17,21 @@ object Office {
 
   private val SlidePattern = "^ppt/slides/slide[0-9]+\\.xml$".r
 
+  /** Is this payload an RTF stream (`{\rtf` magic)? */
+  private def isRtf(b: Array[Byte]): Boolean =
+    b.length >= 5 && b(0) == '{' && b(1) == '\\' &&
+      b(2) == 'r' && b(3) == 't' && b(4) == 'f'
+
+  /** Route an already-opened archive by its distinguishing member —
+    * the ONE rule set [[detect]] and [[routedText]] both consult.
+    */
+  private def detectEntries(names: Seq[String]): String =
+    if (names.contains("word/document.xml")) "docx"
+    else if (names.exists(n => SlidePattern.findFirstIn(n).isDefined)) "pptx"
+    else if (names.contains("xl/workbook.xml")) "xlsx"
+    else if (names.contains("content.xml")) "odt"
+    else "zip"
+
   /** Content-based kind: `docx` | `pptx` | `xlsx` | `odt` | `rtf` |
     * `encrypted` | `zip` (a zip that is none of the four) |
     * `unknown`.
@@ -24,16 +39,10 @@ object Office {
   def detect(bytes: Array[Byte]): String = {
     if (bytes == null) return "unknown"
     if (Docx.isCfb(bytes)) return "encrypted"
-    if (bytes.length >= 5 && bytes(0) == '{' && bytes(1) == '\\' &&
-      bytes(2) == 'r' && bytes(3) == 't' && bytes(4) == 'f') return "rtf"
+    if (isRtf(bytes)) return "rtf"
     val es = ZipShard.entries(bytes)
     if (es.isEmpty) return "unknown"
-    val names = es.map(_.name)
-    if (names.contains("word/document.xml")) "docx"
-    else if (names.exists(n => SlidePattern.findFirstIn(n).isDefined)) "pptx"
-    else if (names.contains("xl/workbook.xml")) "xlsx"
-    else if (names.contains("content.xml")) "odt"
-    else "zip"
+    detectEntries(es.map(_.name))
   }
 
   /** One row per document: (media_id, kind, n_units, text) — the
@@ -52,32 +61,32 @@ object Office {
       .map { case (id, b) =>
         if (b == null) (id, "unknown", 0, null)
         else if (Docx.isCfb(b)) (id, "encrypted", 0, null)
-        else if (b.length >= 5 && b(0) == '{' && b(1) == '\\' &&
-          b(2) == 'r' && b(3) == 't' && b(4) == 'f') {
+        else if (isRtf(b)) {
           val d = Rtf.strip(b)
           (id, "rtf", d.paragraphs.length,
             if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
         } else {
           val es = ZipShard.entries(b)
-          val names = es.map(_.name)
           if (es.isEmpty) (id, "unknown", 0, null)
-          else if (names.contains("word/document.xml")) {
-            val d = Docx.readEntries(es)
-            (id, "docx", d.paragraphs.length,
-              if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
-          } else if (names.exists(n => SlidePattern.findFirstIn(n).isDefined)) {
-            val d = Pptx.readEntries(es)
-            (id, "pptx", d.slides.length,
-              if (d.stage == "ok") d.slides.flatMap(_._3).mkString("\n") else null)
-          } else if (names.contains("xl/workbook.xml")) {
-            val d = Xlsx.readEntries(es)
-            (id, "xlsx", d.strings.length,
-              if (d.stage == "ok") d.strings.mkString("\n") else null)
-          } else if (names.contains("content.xml")) {
-            val d = Odt.readEntries(es)
-            (id, "odt", d.paragraphs.length,
-              if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
-          } else (id, "zip", 0, null)
+          else detectEntries(es.map(_.name)) match {
+            case "docx" =>
+              val d = Docx.readEntries(es)
+              (id, "docx", d.paragraphs.length,
+                if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
+            case "pptx" =>
+              val d = Pptx.readEntries(es)
+              (id, "pptx", d.slides.length,
+                if (d.stage == "ok") d.slides.flatMap(_._3).mkString("\n") else null)
+            case "xlsx" =>
+              val d = Xlsx.readEntries(es)
+              (id, "xlsx", d.strings.length,
+                if (d.stage == "ok") d.strings.mkString("\n") else null)
+            case "odt" =>
+              val d = Odt.readEntries(es)
+              (id, "odt", d.paragraphs.length,
+                if (d.stage == "ok") d.paragraphs.mkString("\n") else null)
+            case kind => (id, kind, 0, null)
+          }
         }
       }
       .toDF(idCol, "kind", "n_units", "text")
