@@ -81,13 +81,15 @@ object Unigram {
       .groupBy("piece")
       .agg(sum(col("f")).as("count"))
       .withColumn("is_char", length(col("piece")) === 1)
-    val byCount = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("is_char"))
+    // top-N via orderBy+limit (TakeOrderedAndProject: per-partition
+    // top-k, then one merge of N rows) — a row_number window here
+    // would sort EVERY multi-char candidate through one task, the
+    // single-partition scale killer at a web-corpus substring count
+    val chars = subs.filter(col("is_char"))
+    val multi = subs.filter(!col("is_char"))
       .orderBy(col("count").desc, col("piece").asc)
-    subs
-      .withColumn("__rn", row_number().over(byCount))
-      .filter(col("is_char") || col("__rn") <= topN)
-      .drop("__rn")
+      .limit(topN)
+    chars.unionByName(multi)
   }
 
   /** Viterbi segmentation of one word under fixed-point scores:
