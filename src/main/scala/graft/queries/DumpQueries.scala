@@ -2383,6 +2383,57 @@ object DumpQueries {
       )
     ),
 
+    // THE RAG CHUNKING PIPELINE — crawl bytes to retrieval units in
+    // one map-only chain: WARC → HTTP/charset text → content-mode
+    // markdown (the nav chrome drops, the headings keep their levels)
+    // → heading-path sections → per-section token counts. What a
+    // retrieval corpus actually ingests, with the breadcrumb context
+    // each chunk needs to stand alone.
+    Q(
+      "q_sections_pipeline",
+      (spark, dir) => {
+        val mk = udf((k: Long) => {
+          val html = s"<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+            s"<h1>Guide $k</h1><p>${"alpha " * 8}intro $k</p>" +
+            s"<h2>Setup</h2><p>${"beta " * 8}step $k</p>" +
+            "<footer>(c)</footer></body></html>"
+          val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://s$k.example/g\r\n" +
+            s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+            s"\r\n$body\r\n\r\n").getBytes("UTF-8")
+        })
+        val md = udf((h: String) => graft.operators.Html.markdown(h, minWords = 8))
+        val pages = graft.operators.Warc.httpTexts(
+          graft.operators.Warc.recordsBinary(
+            Q.t(spark, dir, "nation")
+              .select(col("n_nationkey").cast("long").as("media_id"))
+              .withColumn("payload", mk(col("media_id"))),
+            "media_id", "payload"))
+          .filter(col("status") === 200)
+          .withColumn("markdown", md(col("text")))
+        val out = graft.operators.Html.markdownSectionRows(
+          pages, "media_id", "markdown")
+          .select(col("media_id"), col("section_idx"), col("path"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"), col("text"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |s AS (
+          |  SELECT k, 0 AS i, 'Guide ' || k AS path,
+          |    repeat('alpha ', 8) || 'intro ' || k AS text, 10 AS t FROM n
+          |  UNION ALL
+          |  SELECT k, 1, 'Guide ' || k || ' > Setup',
+          |    repeat('beta ', 8) || 'step ' || k, 10 FROM n
+          |)
+          |SELECT k AS media_id, CAST(i AS INT) AS section_idx, path,
+          |  CAST(t AS INT) AS n_tokens, text
+          |FROM s""".stripMargin
+      )
+    ),
+
     // ANCHOR-TEXT extraction — the label the web gives a page, the
     // signal retrieval corpora and query-document pairs are built
     // from: `<a href>` pairs with the anchor's VISIBLE text (nested
