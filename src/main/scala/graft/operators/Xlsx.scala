@@ -41,11 +41,47 @@ object Xlsx {
       case Some(d) =>
         // si/t ride the shared walk; SpreadsheetML strings carry no
         // tab/br elements, so those slots get a sentinel no real tag
-        // name can start with
+        // name can start with. PHONETIC runs (<rPh>, the furigana
+        // Japanese workbooks attach) hold <t> text that is NOT the
+        // cell's prose — their subtrees strip before the walk.
         val none = 0.toChar.toString
-        XlsxDoc("ok", Docx.paragraphsTags(new String(d, UTF_8), "si", "t",
-          none, none, none))
+        XlsxDoc("ok", Docx.paragraphsTags(stripSubtrees(new String(d, UTF_8), "rPh"),
+          "si", "t", none, none, none))
     }
+  }
+
+  /** Remove every `<tag …>…</tag>` subtree (boundary-checked name;
+    * self-closed forms drop too). Phonetic-run exclusion — rPh does
+    * not nest in published files; a torn subtree drops to end (the
+    * completed-prefix discipline).
+    */
+  private[graft] def stripSubtrees(xml: String, tag: String): String = {
+    val open = "<" + tag
+    val close = "</" + tag + ">"
+    if (!xml.contains(open)) return xml
+    val sb = new java.lang.StringBuilder(xml.length)
+    var i = 0
+    while (i < xml.length) {
+      val at = xml.indexOf(open, i)
+      if (at < 0) { sb.append(xml, i, xml.length); i = xml.length }
+      else {
+        val after = at + open.length
+        val bounded = after < xml.length && (xml.charAt(after) == '>' ||
+          xml.charAt(after) == '/' || Character.isWhitespace(xml.charAt(after)))
+        if (!bounded) { sb.append(xml, i, after); i = after }
+        else {
+          sb.append(xml, i, at): Unit
+          val gt = xml.indexOf('>', at)
+          if (gt < 0) i = xml.length // torn tag: subtree drops to end
+          else if (xml.charAt(gt - 1) == '/') i = gt + 1 // self-closed
+          else {
+            val end = xml.indexOf(close, gt)
+            i = if (end < 0) xml.length else end + close.length
+          }
+        }
+      }
+    }
+    sb.toString
   }
 
   /** One row per document: (media_id, stage, n_strings, text) — the

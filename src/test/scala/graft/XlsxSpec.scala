@@ -15,6 +15,24 @@ class XlsxSpec extends SparkSpec {
     assert(numbers.stage == "ok" && numbers.strings.isEmpty)
   }
 
+  test("review finding: phonetic rPh runs never surface in the prose") {
+    // furigana annotations carry <t> text that is NOT the cell's prose
+    val sst = "<sst><si><r><t>東京</t></r>" +
+      "<rPh sb=\"0\" eb=\"2\"><t>トウキョウ</t></rPh>" +
+      "<phoneticPr fontId=\"1\"/></si>" +
+      "<si><t>plain</t></si></sst>"
+    val none = 0.toChar.toString
+    val cleaned = Xlsx.stripSubtrees(sst, "rPh")
+    assert(graft.operators.Docx.paragraphsTags(cleaned, "si", "t", none, none, none) ==
+      Seq("東京", "plain"))
+    // boundary: rPh must not eat a hypothetical rPhX tag
+    assert(Xlsx.stripSubtrees("<rPhX><t>keep</t></rPhX>", "rPh") ==
+      "<rPhX><t>keep</t></rPhX>")
+    // self-closed and torn forms degrade cleanly
+    assert(Xlsx.stripSubtrees("a<rPh/>b", "rPh") == "ab")
+    assert(Xlsx.stripSubtrees("a<rPh sb=\"0\">torn", "rPh") == "a")
+  }
+
   test("degrades: junk -> zip, CFB -> encrypted, no workbook -> part") {
     assert(Xlsx.read("junk".getBytes("UTF-8")).stage == "zip")
     assert(Xlsx.read(null).stage == "zip")
