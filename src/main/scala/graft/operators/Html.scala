@@ -115,9 +115,13 @@ object Html {
       val linkText = graft.operators.XmlDump.decodeEntities(link.toString)
         .replaceAll("\\s+", " ").trim
       sb.setLength(0); link.setLength(0)
-      // a block boundary implicitly closes an open anchor (HTML5 closes
-      // <a> at block elements; unclosed/self-closed anchors otherwise
-      // poison every later block's link density)
+      // a block boundary ends anchor ATTRIBUTION by design: an <a>
+      // left open across blocks (unclosed/self-closed) would otherwise
+      // poison every later block's link density. The HTML5 parser
+      // itself lets <a> transparently wrap block content (card links);
+      // treating the wrapped blocks as non-link text is the documented
+      // deterministic choice — closed-form for the oracle, and biased
+      // toward KEEPING card-grid prose rather than dropping it.
       inAnchor = false
       if (text.nonEmpty) {
         val words = text.split(" ").length
@@ -323,9 +327,14 @@ object Html {
         true
       }
       override def open(idx: Int, tag: String, selfClose: Boolean): Boolean = {
-        if (tag == "head") { inHead = true; return true }
-        if (inHead) return true
-        if (inPre) return true // markup inside pre is content, scanner already tagged it
+        // attr() records href/src/alt before open() dispatches; every
+        // early-return below must DISCARD them, or an <a href>/<img src>
+        // inside <head> (or <pre>) leaves a stale target that attaches
+        // to the next bare <a>/<img> in the body, fabricating a link
+        def dropPending(): Unit = { pendingHref = null; pendingSrc = null; pendingAlt = null }
+        if (tag == "head") { inHead = true; dropPending(); return true }
+        if (inHead) { dropPending(); return true }
+        if (inPre) { dropPending(); return true } // markup inside pre is content, scanner already tagged it
         tag match {
           case "a" =>
             val href = pendingHref
@@ -452,33 +461,94 @@ object Html {
     * lines don't emit (their heading still extends the path of what
     * follows). Section text keeps its lines verbatim, joined by
     * NEWLINE.
+    *
+    * FENCE AWARENESS: a line whose quote-stripped content is exactly
+    * ``` ``` `` toggles code-fence state, and fence-interior lines are
+    * ALWAYS body — a fenced `# comment` (shell/Python) is code, not a
+    * heading; without this the breadcrumb path corrupts for the whole
+    * rest of the document. Inside a fence, blank lines are kept
+    * verbatim (code structure); outside, blank lines drop as before.
+    *
+    * TOKEN BUDGET (`maxTokens > 0`): body lines group into atomic
+    * UNITS — a whole code fence (open marker through close marker, or
+    * to EOF when torn), a maximal run of pipe-table rows (lines whose
+    * quote-stripped content starts with `|`), or a single plain line —
+    * and a section flushes BEFORE a unit whose whitespace-token count
+    * would push the running section past the budget. A unit is never
+    * split: an oversize table/fence becomes its own section (countable
+    * downstream — its token count exceeds the budget). Continuation
+    * sections keep the same breadcrumb path; `section_idx` stays the
+    * document-global counter. `maxTokens = 0` disables packing (pure
+    * heading split, byte-identical to the pre-budget behavior on
+    * fence-free input).
     */
-  def markdownSections(md: String, maxSections: Int = 10000): Seq[(Int, String, String)] = {
+  def markdownSections(md: String, maxSections: Int = 10000,
+      maxTokens: Int = 0): Seq[(Int, String, String)] = {
     if (md == null) return null
     val out = Vector.newBuilder[(Int, String, String)]
     var n = 0
     var path = List.empty[(Int, String)] // (level, title), outermost last
-    val body = Vector.newBuilder[String]
-    var bodyEmpty = true
+    val body = scala.collection.mutable.ArrayBuffer[String]()
+    var bodyTokens = 0
     def flush(): Unit = {
-      if (!bodyEmpty && n < maxSections) {
+      if (body.nonEmpty && n < maxSections) {
         out += ((n, path.reverse.map(_._2).mkString(" > "),
-          body.result().mkString("\n")))
+          body.mkString("\n")))
         n += 1
       }
       body.clear()
-      bodyEmpty = true
+      bodyTokens = 0
     }
-    md.split("\n", -1).foreach { line =>
+    def tokens(unit: Seq[String]): Int =
+      unit.iterator.map(_.split("\\s+").count(_.nonEmpty)).sum
+    def addUnit(unit: Seq[String]): Unit = {
+      if (unit.nonEmpty) {
+        val t = tokens(unit)
+        if (maxTokens > 0 && body.nonEmpty && bodyTokens + t > maxTokens) flush()
+        body ++= unit
+        bodyTokens += t
+      }
+    }
+    // blockquote prefixes strip for CLASSIFICATION only — the line
+    // itself keeps its prefix in the section text
+    def core(l: String): String = {
+      var s = l
+      while (s.startsWith("> ")) s = s.substring(2)
+      s
+    }
+    val lines = md.split("\n", -1)
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
       val hashes = line.takeWhile(_ == '#').length
-      if (hashes >= 1 && hashes <= 6 && line.length > hashes &&
+      if (core(line) == "```") {
+        // whole fence = one unit, interior verbatim (blank lines kept)
+        val unit = scala.collection.mutable.ArrayBuffer(line)
+        i += 1
+        var open = true
+        while (open && i < lines.length) {
+          unit += lines(i)
+          if (core(lines(i)) == "```") open = false
+          i += 1
+        }
+        addUnit(unit.toSeq) // a torn fence keeps its completed lines
+      } else if (core(line).startsWith("|")) {
+        // maximal pipe-table run = one unit
+        val unit = scala.collection.mutable.ArrayBuffer[String]()
+        while (i < lines.length && core(lines(i)).startsWith("|")) {
+          unit += lines(i)
+          i += 1
+        }
+        addUnit(unit.toSeq)
+      } else if (hashes >= 1 && hashes <= 6 && line.length > hashes &&
         line.charAt(hashes) == ' ') {
         flush()
         val title = line.substring(hashes + 1).trim
         path = (hashes, title) :: path.dropWhile(_._1 >= hashes)
-      } else if (line.nonEmpty) {
-        body += line
-        bodyEmpty = false
+        i += 1
+      } else {
+        if (line.nonEmpty) addUnit(Seq(line))
+        i += 1
       }
     }
     flush()
@@ -488,13 +558,15 @@ object Html {
   /** One row per SECTION of each page's markdown: (idCol,
     * section_idx, path, text). Map-only.
     */
-  def markdownSectionRows(df: DataFrame, idCol: String, mdCol: String): DataFrame = {
+  def markdownSectionRows(df: DataFrame, idCol: String, mdCol: String,
+      maxTokens: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(df(idCol).cast("long"), df(mdCol))
       .as[(Long, String)]
       .flatMap { case (id, md) =>
-        Option(markdownSections(md)).toSeq.flatten.map { case (i, p, t) => (id, i, p, t) }
+        Option(markdownSections(md, maxTokens = maxTokens)).toSeq.flatten
+          .map { case (i, p, t) => (id, i, p, t) }
       }
       .toDF(idCol, "section_idx", "path", "text")
   }

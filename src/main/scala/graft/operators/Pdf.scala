@@ -941,9 +941,18 @@ object Pdf {
     def code(b: Array[Byte]): Int =
       if (b.length == 1) b(0) & 0xFF
       else ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+    // STRICT decode: the default charset decoder substitutes U+FFFD
+    // for malformed input (lone surrogates), which would smuggle a
+    // guessed character into the text — report instead, degrading the
+    // CMap whole (the family contract)
     def utf16(b: Array[Byte]): String =
       if (b.length % 2 != 0) null
-      else new String(b, StandardCharsets.UTF_16BE)
+      else
+        try StandardCharsets.UTF_16BE.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(b)).toString
+        catch { case _: java.nio.charset.CharacterCodingException => null }
     var going = true
     while (going) {
       val bc = s.indexOf("beginbfchar", i)
@@ -1000,7 +1009,22 @@ object Pdf {
               if (dst == null) return None
               val d = utf16(dst)
               if (d == null || d.isEmpty) return None
-              // the LAST code unit increments across the range (§9.10.3)
+              // the LAST code unit increments across the range (§9.10.3).
+              // The whole incremented span must stay valid UTF-16: a
+              // range overflowing 0xFFFF or walking into the surrogate
+              // block would wrap silently / emit lone surrogates — the
+              // "never a guessed decode" contract keeps such CMaps in
+              // the counted cid_font degrade instead. Low-surrogate
+              // ends (a non-BMP dst) may increment only within the
+              // low-surrogate block, and only behind a high surrogate.
+              val lastU = d.charAt(d.length - 1).toInt
+              val endU = lastU + (h - l)
+              val okSpan =
+                if (lastU >= 0xDC00 && lastU <= 0xDFFF)
+                  endU <= 0xDFFF && d.length >= 2 &&
+                    Character.isHighSurrogate(d.charAt(d.length - 2))
+                else endU <= 0xFFFF && (lastU >= 0xE000 || endU < 0xD800)
+              if (!okSpan) return None
               var c = l
               while (c <= h) {
                 val off = c - l

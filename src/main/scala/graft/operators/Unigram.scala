@@ -44,13 +44,41 @@ object Unigram {
 
   /** `floor(ln(c)·2^20 + 0.5)` over the shared table — both engines
     * compute the identical double product, so the long is bit-exact.
-    * Counts beyond the table are out of the gate contract (callers
-    * keep fixture totals inside; real corpora scale counts down).
+    * The primitive stays STRICT (counts 1..table size); every operator
+    * entry point routes counts through [[rescale]] first, so a real
+    * corpus's word frequencies can never throw executor-side.
     */
   def ilog(c: Long): Long = {
     require(c >= 1 && c <= TextAnalysis.LnTableSize,
       s"Unigram.ilog: count $c outside the shared table")
     math.floor(TextAnalysis.LnTable((c - 1).toInt) * LogScale + 0.5).toLong
+  }
+
+  /** Deterministic COUNT RESCALE — the count-division discipline that
+    * keeps model counts inside the shared ln table on real corpora:
+    * while the count TOTAL exceeds the table, every count halves
+    * (floor, min 1). Integer-only and order-free, so both engines
+    * derive the identical rescaled model; halving shifts all
+    * log-probabilities by ~ln 2 uniformly (up to the min-1 floor and
+    * the table's own quantization), preserving the Viterbi ranking
+    * structure EM needs. Gate fixtures keep totals inside the table
+    * (zero halvings — a no-op); this path exists so pointing
+    * [[wordCounts]] at a web corpus cannot throw. The vocabulary
+    * itself must fit the table (bounded by construction: topN +
+    * alphabet), or no integer model exists — that is a model-size
+    * error, surfaced eagerly.
+    */
+  def rescale(counts: Map[String, Long]): (Map[String, Long], Long) = {
+    require(counts.size <= TextAnalysis.LnTableSize,
+      s"Unigram.rescale: ${counts.size} pieces exceed the ln table — " +
+        "prune the vocabulary below the table size first")
+    var m = counts
+    var total = m.valuesIterator.sum
+    while (total > TextAnalysis.LnTableSize) {
+      m = m.map { case (p, c) => p -> math.max(1L, c >> 1) }
+      total = m.valuesIterator.sum
+    }
+    (m, total)
   }
 
   /** Corpus word frequencies: (word, freq). One shuffle. */
@@ -95,12 +123,19 @@ object Unigram {
   /** Viterbi segmentation of one word under fixed-point scores:
     * maximize `Σ ilog(count_i) − m·ilog(T)`, ties to the minimal
     * split bitmask. Null when some position has no covering piece
-    * (countable — a word outside the alphabet never guesses).
+    * (countable — a word outside the alphabet never guesses), and
+    * null for words LONGER THAN 64 CHARS: the split bitmask is a
+    * 64-bit total order whose splits land on bits 0..62 only while
+    * n ≤ 64 — at 65 the sign bit inverts the "minimal" comparison and
+    * past that the JVM shift wraps mod 64, so the determinism contract
+    * would silently break. Real corpora's 100-char tokens (URLs,
+    * hashes, DNA) degrade countably here, never mis-order.
     */
   def segment(word: String, counts: Map[String, Long], total: Long,
       maxLen: Int = 8): Seq[String] = {
     val n = word.length
     if (n == 0) return Seq.empty
+    if (n > 64) return null
     val logT = ilog(total)
     // best(j): (score, splitMask) over word(0, j); null = unreachable
     val score = new Array[Long](n + 1)
@@ -144,7 +179,7 @@ object Unigram {
   private def vocabTable(vocab: DataFrame): (Map[String, Long], Long) = {
     val rows = vocab.select(col("piece"), col("count").cast("long")).collect()
     val m = rows.filter(_.getLong(1) > 0L).map(r => r.getString(0) -> r.getLong(1)).toMap
-    (m, m.values.sum)
+    rescale(m)
   }
 
   /** One Viterbi-EM step: every word re-segments under the current
@@ -203,5 +238,82 @@ object Unigram {
           if (seg == null) 0 else seg.length)
       }
       .toDF("word", "freq", "seg", "n_pieces")
+  }
+
+  /** UTF-8 byte order — the binary collation Spark's UTF8String and
+    * DuckDB both sort strings by. JVM `String.compareTo` is UTF-16
+    * code-unit order, which DIVERGES above the BMP; id assignment must
+    * match the engines' ORDER BY, so the local sort uses this.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** PIECE → ID export — the (piece, tid, count) vocabulary file a
+    * SentencePiece consumer loads: 1-based lexicographic (binary
+    * UTF-8) rank over the model's pieces, the SAME id discipline as
+    * [[Vocab.subwordIds]], so both tokenizer families feed one pack /
+    * export chain. The ranking window runs over the BOUNDED vocabulary
+    * (topN + alphabet — the documented vocab-sized frame), never the
+    * corpus.
+    */
+  def pieceIds(vocab: DataFrame): DataFrame =
+    vocab.groupBy(col("piece")).agg(sum(col("count").cast("long")).as("count"))
+      .withColumn("tid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("piece"))).cast("long"))
+      .select(col("piece"), col("tid"), col("count"))
+
+  /** The tokenizer's REAL output — per-document token-id sequences
+    * under the unigram model: (idCol, pos, token_id) with `pos` the
+    * 1-based position in the document's id stream, ids the
+    * [[pieceIds]] ranks ([[Vocab.encodeIds]]' exact shape, so the
+    * downstream pack chain is shared verbatim). Segmentation is the
+    * same fixed-point Viterbi as [[encodeWords]]; unsegmentable words
+    * (no covering piece, or past the 64-char bitmask bound) drop
+    * countably — the covering-vocabulary discipline.
+    *
+    * Scale shape: the bounded vocab (counts + ids) broadcasts; the
+    * corpus pays one map-side word explode + segmentation and ONE
+    * doc-keyed window shuffle for the position ranking. Nothing
+    * corpus-sized sorts globally.
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxLen: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = vocab.select(col("piece"), col("count").cast("long")).collect()
+    // ids over ALL pieces (the export id space); segmentation counts
+    // over the live (>0) pieces, rescaled into the ln table
+    val ids = rows.map(_.getString(0)).distinct.sortWith(utf8Less)
+      .zipWithIndex.map { case (p, i) => p -> (i + 1).toLong }.toMap
+    val (counts, total) = rescale(
+      rows.filter(_.getLong(1) > 0L).map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val bc = spark.sparkContext.broadcast((counts, total, ids))
+    val pieces = docs
+      .select(col(idCol).cast("long"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("__p", "__w")))
+      .filter(col("__w") =!= "")
+      .as[(Long, Int, String)]
+      .flatMap { case (id, p, w) =>
+        val (c, t, im) = bc.value
+        Option(segment(w, c, t, maxLen)).toSeq.flatten.zipWithIndex.map {
+          case (piece, q) => (id, p, q, im(piece))
+        }
+      }
+      .toDF(idCol, "__p", "__q", "token_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p").asc, col("__q").asc)
+    pieces
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("pos"), col("token_id"))
   }
 }

@@ -366,6 +366,31 @@ object TokenizerQueries {
       .select(concat(lit("ab abc "),
         when(col("k") % 2 === 0, "ab").otherwise("cb"), lit(" b")).as("text"))
 
+  /** [[unigramDocs]] keyed by doc_id — the id-emission gates need the
+    * document identity the bag-of-text fixture drops.
+    */
+  private def unigramDocsKeyed(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("doc_id"))
+      .withColumn("text", concat(lit("ab abc "),
+        when(col("doc_id") % 2 === 0, "ab").otherwise("cb"), lit(" b")))
+
+  /** Piece → id ranks over the seed vocabulary (`pids`) plus the
+    * per-document word grid (`wseq`: doc k's words in stream order) —
+    * the id-emission layer every unigram id gate shares on top of
+    * [[UnigramCtes]], mirroring the BPE side's `tid`/`wtok` split.
+    */
+  private lazy val UnigramIdCtes: String =
+    s"""pids AS (
+       |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) AS BIGINT) AS tid
+       |  FROM uvoc),
+       |wseq AS (
+       |  SELECT k, 0 AS p, 'ab' AS word FROM un
+       |  UNION ALL SELECT k, 1, 'abc' FROM un
+       |  UNION ALL SELECT k, 2,
+       |    CASE WHEN k % 2 = 0 THEN 'ab' ELSE 'cb' END FROM un
+       |  UNION ALL SELECT k, 3, 'b' FROM un)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // BPE merge statistics: adjacent symbol-pair frequencies weighted
@@ -1207,6 +1232,191 @@ object TokenizerQueries {
            |        FROM usegp p WHERE p.word = b.word AND p.mask = b.mask) AS INT)
            |    AS n_pieces
            |FROM ubest b""".stripMargin
+      )
+    ),
+
+    // UNIGRAM VOCABULARY EXPORT — the (piece, tid, count) file a
+    // SentencePiece consumer loads: 1-based lexicographic (binary)
+    // piece ranks, the SAME id discipline as the BPE side's
+    // subwordIds, so both tokenizer families feed one pack/export
+    // chain. The ranking window runs over the BOUNDED vocabulary
+    // (topN + alphabet), never the corpus.
+    Q(
+      "q_unigram_vocab",
+      (spark, dir) => {
+        val out = graft.operators.Unigram.pieceIds(
+          graft.operators.Unigram.seed(
+            unigramDocs(spark, dir), "text", maxLen = 3, topN = 3))
+        Q.requireMaxShuffles(out, 7)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes
+           |SELECT piece,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY piece) AS BIGINT) AS tid,
+           |  CAST(count AS BIGINT) AS count
+           |FROM uvoc""".stripMargin
+      )
+    ),
+
+    // UNIGRAM ID EMISSION — the unigram family's real tokenizer
+    // output, at parity with q_bpe_ids: per-document (doc_id, pos,
+    // token_id) streams under the seed model — Viterbi pieces in word
+    // × piece order, ids the lexicographic piece ranks. The bounded
+    // vocab broadcasts (collected at gate construction); the one plan
+    // shuffle is the doc-keyed position ranking. The oracle re-derives
+    // every id from its own segmentation enumeration.
+    Q(
+      "q_unigram_ids",
+      (spark, dir) => {
+        val out = graft.operators.Unigram.encodeIds(
+          unigramDocsKeyed(spark, dir), "doc_id", "text",
+          graft.operators.Unigram.seed(
+            unigramDocs(spark, dir), "text", maxLen = 3, topN = 3),
+          maxLen = 3)
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes,
+           |$UnigramIdCtes
+           |SELECT w.k AS doc_id,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY w.k ORDER BY w.p, s.start)
+           |    AS BIGINT) AS pos,
+           |  t.tid AS token_id
+           |FROM wseq w
+           |JOIN ubest b ON b.word = w.word
+           |JOIN usegp s ON s.word = b.word AND s.mask = b.mask
+           |JOIN pids t ON t.piece = s.piece""".stripMargin
+      )
+    ),
+
+    // UNIGRAM → PACK — the tokenize→pack last mile under the unigram
+    // model, sharing q_pack_ids' chain verbatim: the id stream (plus a
+    // per-doc <eos>, id 0) bins by the hierarchical per-language
+    // prefix sum (packBins) into 2048-id bins and emits the flat
+    // trainable stream (lang, bin, seq_pos, token_id). Documents carry
+    // 64 repetitions of the word bag so the per-language cumulative
+    // stream PROVABLY crosses the bin width — both languages land docs
+    // in bin 1, the binning decides rather than rubber-stamps.
+    Q(
+      "q_unigram_pack",
+      (spark, dir) => {
+        val docs = unigramDocsKeyed(spark, dir)
+          .withColumn("lang",
+            when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+          .withColumn("text", concat_ws(" ", array_repeat(col("text"), 64)))
+        val ids = graft.operators.Unigram.encodeIds(
+          docs, "doc_id", "text",
+          graft.operators.Unigram.seed(
+            unigramDocs(spark, dir), "text", maxLen = 3, topN = 3),
+          maxLen = 3)
+        val stream = ids.unionByName(
+          docs.select(col("doc_id"), lit(Int.MaxValue.toLong).as("pos"),
+            lit(0L).as("token_id")))
+        val wb = Window.partitionBy(col("lang"), col("bin"))
+          .orderBy(col("doc_id").asc, col("pos").asc)
+        val out = stream.join(packBins(stream, docs), "doc_id")
+          .withColumn("seq_pos", row_number().over(wb).cast("long"))
+          .select(col("lang"), col("bin"), col("seq_pos"), col("token_id"))
+        Q.requireBroadcastJoin(out)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes,
+           |$UnigramIdCtes,
+           |wseq64 AS (
+           |  SELECT w.k, r.i * 4 + w.p AS p, w.word
+           |  FROM wseq w, UNNEST(generate_series(0, 63)) AS r(i)),
+           |e AS (
+           |  SELECT w.k AS doc_id, w.p, s.start AS q, t.tid
+           |  FROM wseq64 w
+           |  JOIN ubest b ON b.word = w.word
+           |  JOIN usegp s ON s.word = b.word AND s.mask = b.mask
+           |  JOIN pids t ON t.piece = s.piece
+           |  UNION ALL
+           |  SELECT k, 2147483647, 0, CAST(0 AS BIGINT) FROM un),
+           |lng AS (
+           |  SELECT k AS doc_id,
+           |    CASE WHEN k % 2 = 0 THEN 'en' ELSE 'de' END AS lang FROM un),
+           |nn AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+           |bb AS (
+           |  SELECT doc_id, lang, CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin
+           |  FROM (
+           |    SELECT nn.doc_id, d.lang, nn.n,
+           |      SUM(nn.n) OVER (PARTITION BY d.lang ORDER BY nn.doc_id
+           |                      ROWS UNBOUNDED PRECEDING) AS cum
+           |    FROM nn JOIN lng d USING (doc_id)) t0)
+           |SELECT lang, bin,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin
+           |                          ORDER BY e.doc_id, p, q) AS BIGINT) AS seq_pos,
+           |  tid AS token_id
+           |FROM e JOIN bb USING (doc_id)""".stripMargin
+      )
+    ),
+
+    // UNIGRAM PIPELINE CAPSTONE — the whole family composed end to
+    // end: corpus → word counts → seed → EM × 2 → prune-to-target →
+    // id emission, every stage the SAME operator (and the oracle the
+    // SAME CTE chain) as its standalone gate, so the composition
+    // cannot drift from the parts. The oracle re-runs its segmentation
+    // enumeration a THIRD time under the pruned model (zero-count
+    // pieces dead, chars floored, top-2 multi-char survivors) and
+    // assigns ids over the pruned piece space.
+    Q(
+      "q_unigram_pipeline",
+      (spark, dir) => {
+        val U = graft.operators.Unigram
+        val docs = unigramDocsKeyed(spark, dir)
+        val bag = unigramDocs(spark, dir)
+        val words = U.wordCounts(bag, "text")
+        val vocab = U.prune(
+          U.emStep(words,
+            U.emStep(words, U.seed(bag, "text", maxLen = 3, topN = 3))),
+          target = 2)
+        val out = U.encodeIds(docs, "doc_id", "text", vocab, maxLen = 3)
+        Q.requireMaxShuffles(out, 1)
+        out
+      },
+      Some(
+        s"""WITH $UnigramCtes,
+           |$UnigramIter2Ctes,
+           |$UnigramIdCtes,
+           |uvocp AS (
+           |  SELECT piece, count, length(piece) = 1 AS is_char,
+           |    ROW_NUMBER() OVER (PARTITION BY length(piece) = 1
+           |      ORDER BY count DESC, piece ASC) AS rn
+           |  FROM unewc2),
+           |upruned AS (SELECT piece, count FROM uvocp WHERE is_char OR rn <= 2),
+           |uvoc3 AS (SELECT piece, count FROM upruned WHERE count > 0),
+           |utot3 AS (SELECT CAST(SUM(count) AS BIGINT) AS t FROM uvoc3),
+           |uscored3 AS (
+           |  SELECT p.word, p.freq, p.mask,
+           |    COUNT(*) AS m,
+           |    SUM(CASE WHEN v.count IS NULL THEN 1 ELSE 0 END) AS missing,
+           |    SUM(CASE WHEN v.count IS NOT NULL
+           |        THEN CAST(floor(l[v.count] * 1048576.0e0 + 0.5e0) AS BIGINT) END) AS psum
+           |  FROM usegp p LEFT JOIN uvoc3 v USING (piece) CROSS JOIN lnt
+           |  GROUP BY p.word, p.freq, p.mask),
+           |ubest3 AS (
+           |  SELECT word, freq, mask FROM (
+           |    SELECT word, freq, mask, ROW_NUMBER() OVER (
+           |      PARTITION BY word
+           |      ORDER BY psum - m * CAST(floor(l[t] * 1048576.0e0 + 0.5e0) AS BIGINT) DESC,
+           |               mask ASC) AS rn
+           |    FROM uscored3 CROSS JOIN utot3 CROSS JOIN lnt
+           |    WHERE missing = 0) WHERE rn = 1),
+           |pids3 AS (
+           |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) AS BIGINT) AS tid
+           |  FROM upruned)
+           |SELECT w.k AS doc_id,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY w.k ORDER BY w.p, s.start)
+           |    AS BIGINT) AS pos,
+           |  t.tid AS token_id
+           |FROM wseq w
+           |JOIN ubest3 b ON b.word = w.word
+           |JOIN usegp s ON s.word = b.word AND s.mask = b.mask
+           |JOIN pids3 t ON t.piece = s.piece""".stripMargin
       )
     )
   )

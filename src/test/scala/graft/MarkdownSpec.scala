@@ -126,6 +126,45 @@ class MarkdownSpec extends SparkSpec {
     assert(Html.markdownSections("") == Seq.empty)
   }
 
+  test("review finding: fenced '# comment' lines are code, never headings") {
+    val md = "# A\nbody\n```\n# not a heading\ncode line\n```\nafter"
+    assert(Html.markdownSections(md) == Seq(
+      (0, "A", "body\n```\n# not a heading\ncode line\n```\nafter")))
+    // a quoted fence (the converter emits '> ```') toggles too
+    assert(Html.markdownSections("# B\n> ```\n> # still code\n> ```\ntail") ==
+      Seq((0, "B", "> ```\n> # still code\n> ```\ntail")))
+    // torn fence: interior to EOF stays body (completed-prefix rule)
+    assert(Html.markdownSections("# C\n```\n# x") == Seq((0, "C", "```\n# x")))
+    // blank lines KEEP inside a fence (code structure), drop outside
+    assert(Html.markdownSections("# D\n```\na\n\nb\n```\n\nplain") ==
+      Seq((0, "D", "```\na\n\nb\n```\nplain")))
+  }
+
+  test("markdownSections: token budget packs units; tables and fences never split") {
+    val md = "# A\none two three\nfour five\n| a | b |\n| 1 | 2 |\nsix seven"
+    // budget 5: lines 1+2 fill it; the 10-token table is an atomic
+    // oversize unit → its own section; the tail starts fresh
+    assert(Html.markdownSections(md, maxTokens = 5) == Seq(
+      (0, "A", "one two three\nfour five"),
+      (1, "A", "| a | b |\n| 1 | 2 |"),
+      (2, "A", "six seven")))
+    // a fence is one unit: 8 tokens against a 4-token budget → its own
+    // section; continuation sections keep the same breadcrumb path
+    assert(Html.markdownSections("# B\nalpha\n```\nx y z\np q r\n```\nbeta",
+      maxTokens = 4) == Seq(
+      (0, "B", "alpha"),
+      (1, "B", "```\nx y z\np q r\n```"),
+      (2, "B", "beta")))
+    // maxTokens = 0 (default): pure heading split, no packing
+    assert(Html.markdownSections("# C\na\nb\nc").map(_._3) == Seq("a\nb\nc"))
+  }
+
+  test("review finding: <a href>/<img src> inside <head> never leak into the body") {
+    val html = "<html><head><a href=\"/poison\">x</a><img src=\"/p.png\"></head>" +
+      "<body><p><a>bare</a> and <img alt=\"i\"></p></body></html>"
+    assert(Html.markdown(html) == "bare and")
+  }
+
   test("markdownSectionRows composes with the converter end to end") {
     import spark.implicits._
     val html = "<h1>Guide</h1><p>welcome text</p><h2>Setup</h2><p>step one</p>"

@@ -171,6 +171,29 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parseToUnicode("1 beginbfchar\n<0041> <0041>").isEmpty) // no end marker
   }
 
+  test("review finding: bfrange increments overflowing UTF-16 degrade, never wrap") {
+    // dst last unit + span past 0xFFFF would wrap silently
+    assert(Pdf.parseToUnicode(
+      "1 beginbfrange\n<0001> <0004> <FFFE>\nendbfrange").isEmpty)
+    // walking from below into the surrogate block emits lone surrogates
+    assert(Pdf.parseToUnicode(
+      "1 beginbfrange\n<0001> <0004> <D7FE>\nendbfrange").isEmpty)
+    // a low-surrogate end may increment only within the low block...
+    assert(Pdf.parseToUnicode(
+      "1 beginbfrange\n<0001> <0002> <D800DFFF>\nendbfrange").isEmpty)
+    // ...and only behind a high surrogate
+    assert(Pdf.parseToUnicode(
+      "1 beginbfrange\n<0001> <0002> <D800DC00>\nendbfrange") ==
+      Some(Map(1 -> "𐀀", 2 -> "𐀁")))
+    // a lone HIGH surrogate end never increments
+    assert(Pdf.parseToUnicode(
+      "1 beginbfrange\n<0001> <0002> <D800>\nendbfrange").isEmpty)
+    // the in-range spans still work (regression guard)
+    assert(Pdf.parseToUnicode(
+      "1 beginbfrange\n<0001> <0003> <0041>\nendbfrange") ==
+      Some(Map(1 -> "A", 2 -> "B", 3 -> "C")))
+  }
+
   test("degrades: encrypted, CID font, unknown filter, predictor, xref stream, junk") {
     val enc = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("secret")))), encrypted = true)
     val de = Pdf.extractText(enc)

@@ -100,6 +100,38 @@ class UnigramSpec extends SparkSpec {
     assert(m2("ab") == 5L && m2("b") == 2L)
   }
 
+  test("hardening: 100-char words degrade countably; web-scale counts rescale, never throw") {
+    import spark.implicits._
+    val counts = Map("a" -> 10L, "b" -> 10L, "ab" -> 100L)
+    // past 64 chars the 64-bit split bitmask cannot state the tie
+    // order — countable null, never a mis-ordered segmentation
+    assert(Unigram.segment("ab" * 50, counts, 120L) == null)
+    assert(Unigram.segment("a" * 65, counts, 120L) == null)
+    // 64 chars is still inside the bound (splits land on bits 0..62)
+    assert(Unigram.segment("ab" * 32, counts, 120L) == Seq.fill(32)("ab"))
+    // counts far past the ln table: the rescale discipline halves them
+    // into range — the operator entry points must PASS, not throw
+    val words = Seq(("ab" * 50, 1L), ("ab", 1000000L)).toDF("word", "freq")
+    val vocab = Seq(("a", 3000000L), ("b", 2000000L), ("ab", 9000000L))
+      .toDF("piece", "count")
+    val enc = Unigram.encodeWords(words, vocab).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(enc("ab") == "ab") // the rescaled model still segments
+    assert(enc("ab" * 50) == null) // the long word degrades countably
+    val em = Unigram.emStep(words, vocab).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(em("ab") == 1000000L) // freq WEIGHTS are never ilog'd — exact
+    // rescale: deterministic halving, min-1 floor, total inside table
+    val (m, t) = Unigram.rescale(Map("x" -> 1L, "y" -> (1L << 40)))
+    assert(t <= graft.operators.TextAnalysis.LnTableSize)
+    assert(m("x") == 1L && m("y") >= 1L && m("y") <= t)
+    // id emission under a rescaled model: a < ab < b → ab is id 2
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val ids = Unigram.encodeIds(docs, "doc_id", "text", vocab).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(ids == Seq((1L, 2L), (2L, 2L)))
+  }
+
   test("prune + encode: chars never pruned; encode emits pieces and NULLs") {
     import spark.implicits._
     val vocab = Seq(("a", 0L), ("b", 1L), ("ab", 9L), ("bc", 5L), ("abc", 1L))
