@@ -53,6 +53,20 @@ object Docx {
   private[operators] def isCfb(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && (0 until 8).forall(i => (bytes(i) & 0xFF) == CfbMagic(i))
 
+  /** Stage for a CFB payload hitting an OOXML reader: a parseable
+    * ENCRYPTED-OOXML shell (`EncryptionInfo`+`EncryptedPackage`
+    * streams) is `encrypted`; any other OLE container — a legacy
+    * binary, an xls/ppt, a corrupt file — is `cfb`, the "route me
+    * through the office triage instead" verdict. Until round 19 every
+    * CFB was labeled `encrypted` here, silently binning the
+    * unencrypted Word 97 majority with the truly locked files.
+    */
+  private[operators] def cfbStage(bytes: Array[Byte]): String =
+    Cfb.parse(bytes) match {
+      case Some(d) if Cfb.isEncryptedOoxml(d) => "encrypted"
+      case _ => "cfb"
+    }
+
   /** Does `xml` at tag body `tag` (between `<` and `>`) name exactly
     * `name`? Boundary-checked: `w:t` never matches `w:tab`/`w:tbl`.
     */
@@ -123,7 +137,7 @@ object Docx {
 
   def read(bytes: Array[Byte]): DocxDoc = {
     if (bytes == null) return DocxDoc("zip", Seq.empty)
-    if (isCfb(bytes)) return DocxDoc("encrypted", Seq.empty)
+    if (isCfb(bytes)) return DocxDoc(cfbStage(bytes), Seq.empty)
     val es = ZipShard.entries(bytes)
     if (es.isEmpty) return DocxDoc("zip", Seq.empty)
     readEntries(es)

@@ -29,8 +29,29 @@ object Odt {
 
   final case class OdtDoc(stage: String, paragraphs: Seq[String])
 
-  /** Element names whose whole subtree is chrome, not prose. */
-  private val ExcludeTags = Set("text:note", "office:annotation")
+  /** Element names whose whole subtree is chrome, not prose.
+    * `presentation:notes` is the ODP speaker-notes body — the same
+    * exclusion PPTX applies by part family, in-line here because ODF
+    * keeps notes inside the page element.
+    */
+  private val ExcludeTags = Set("text:note", "office:annotation",
+    "presentation:notes")
+
+  /** ODF SUBTYPE from the mandatory `mimetype` member (first entry,
+    * stored, per OASIS §3.3) — the spec-blessed discriminator: ODS
+    * spreadsheets and ODP presentations carry `content.xml` too, so
+    * routing on that member's PRESENCE alone would extract them
+    * mislabeled (and per-kind admission accounting would lump them).
+    * A missing/unknown mimetype with a `content.xml` stays `odt` (the
+    * lenient legacy route, countable as such).
+    */
+  private[operators] def subtype(es: Seq[ZipShard.ZipEntry]): String =
+    es.find(_.name == "mimetype")
+      .map(e => new String(e.data, UTF_8).trim) match {
+      case Some("application/vnd.oasis.opendocument.spreadsheet") => "ods"
+      case Some("application/vnd.oasis.opendocument.presentation") => "odp"
+      case _ => "odt"
+    }
 
   private def named(tag: String, name: String): Boolean =
     tag.startsWith(name) && (tag.length == name.length || {
@@ -178,6 +199,73 @@ object Odt {
     ZipShard.zip(Seq(
       ("mimetype", "application/vnd.oasis.opendocument.text".getBytes(UTF_8)),
       ("META-INF/manifest.xml", manifest.getBytes(UTF_8)),
+      ("content.xml", content.getBytes(UTF_8))), deflate = false)
+  }
+
+  private val OdfManifest =
+    """<?xml version="1.0"?>
+      |<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">
+      |  <manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>
+      |</manifest:manifest>""".stripMargin
+
+  /** Minimal valid ODP: the presentation mimetype (FIRST member,
+    * stored), one draw:page per entry of `slides` (each a list of
+    * paragraph texts inside a frame's text box), and a
+    * `presentation:notes` body with poison text riding each page —
+    * its exclusion is the speaker-notes proof.
+    */
+  def odp(slides: Seq[Seq[String]]): Array[Byte] = {
+    val pages = slides.zipWithIndex.map { case (paras, i) =>
+      val body = paras.map(p =>
+        s"""<text:p>${xmlEscape(p)}</text:p>""").mkString
+      s"""<draw:page draw:name="page${i + 1}">
+         |  <draw:frame><draw:text-box>$body</draw:text-box></draw:frame>
+         |  <presentation:notes><draw:frame><draw:text-box>
+         |    <text:p>SPEAKER NOTES MUST NOT SURFACE</text:p>
+         |  </draw:text-box></draw:frame></presentation:notes>
+         |</draw:page>""".stripMargin
+    }.mkString
+    val content =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<office:document-content
+         |    xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+         |    xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+         |    xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+         |    xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0">
+         |  <office:body><office:presentation>
+         |    $pages
+         |  </office:presentation></office:body>
+         |</office:document-content>""".stripMargin
+    ZipShard.zip(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.presentation".getBytes(UTF_8)),
+      ("META-INF/manifest.xml", OdfManifest.getBytes(UTF_8)),
+      ("content.xml", content.getBytes(UTF_8))), deflate = false)
+  }
+
+  /** Minimal valid ODS: the spreadsheet mimetype and one table whose
+    * rows carry string and number cells — ODF puts the DISPLAY text of
+    * every cell in a `text:p`, so the shared walk reads the grid in
+    * row-major document order.
+    */
+  def ods(rows: Seq[Seq[String]]): Array[Byte] = {
+    val rowsXml = rows.map { cells =>
+      val cx = cells.map(c =>
+        s"""<table:table-cell office:value-type="string"><text:p>${xmlEscape(c)}</text:p></table:table-cell>""").mkString
+      s"<table:table-row>$cx</table:table-row>"
+    }.mkString
+    val content =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<office:document-content
+         |    xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+         |    xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+         |    xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">
+         |  <office:body><office:spreadsheet>
+         |    <table:table table:name="Sheet1">$rowsXml</table:table>
+         |  </office:spreadsheet></office:body>
+         |</office:document-content>""".stripMargin
+    ZipShard.zip(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.spreadsheet".getBytes(UTF_8)),
+      ("META-INF/manifest.xml", OdfManifest.getBytes(UTF_8)),
       ("content.xml", content.getBytes(UTF_8))), deflate = false)
   }
 }

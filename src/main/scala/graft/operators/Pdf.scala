@@ -549,6 +549,34 @@ object Pdf {
 
   private final class Doc(bytes: Array[Byte], xref: Map[Int, XEntry]) {
     private val cache = scala.collection.mutable.HashMap[Int, PVal]()
+    // set ONCE, after the /Encrypt dict resolves and the EMPTY user
+    // password verifies (setupCrypt): top-level objects loaded from
+    // then on decrypt their strings and stream bytes under their
+    // object number. Objects cached before (the /Encrypt dict itself,
+    // whose strings the spec leaves unencrypted) stay as parsed.
+    var crypt: Option[PdfCrypt.FileKey] = None
+
+    /** Walk one just-parsed TOP-LEVEL object, decrypting strings and
+      * stream payloads (§7.6.2 applies them per indirect object;
+      * objects INSIDE object streams are not separately encrypted —
+      * the container stream already decrypted on load). Single-
+      * generation contract: gen 0, matching the xref walk.
+      */
+    private def decryptVal(v: PVal, num: Int, fk: PdfCrypt.FileKey): PVal = v match {
+      case PStr(b) => PStr(PdfCrypt.decrypt(fk, num, 0, b)
+        .getOrElse(throw new Malformed("string decrypt")))
+      case PArr(xs) => PArr(xs.map(decryptVal(_, num, fk)))
+      case PDict(m) => PDict(m.map { case (k, vv) => k -> decryptVal(vv, num, fk) })
+      case s: PStream =>
+        // cross-reference streams are never encrypted — and they were
+        // consumed raw by the pre-key xref walk anyway; skip defensively
+        if (s.dict.m.get("Type").contains(PName("XRef"))) s
+        else PStream(
+          decryptVal(s.dict, num, fk).asInstanceOf[PDict],
+          PdfCrypt.decrypt(fk, num, 0, s.raw)
+            .getOrElse(throw new Malformed("stream decrypt")))
+      case other => other
+    }
     // parsed object streams: (decoded payload, (num, off) pairs, /First)
     private val stmCache =
       scala.collection.mutable.HashMap[Int, (Array[Byte], Seq[(Int, Int)], Int)]()
@@ -615,7 +643,10 @@ object Pdf {
               case _ => -1L
             })
           if (n != num) throw new Malformed(s"object $num not at its offset")
-          v
+          crypt match {
+            case Some(fk) => decryptVal(v, num, fk)
+            case None => v
+          }
       }
     }
 
@@ -1253,14 +1284,25 @@ object Pdf {
       val (xref, trailer, encrypted) = chain
       val doc = new Doc(bytes, xref)
       if (encrypted) {
-        // the stage must read 'encrypted' even when the page tree rides
-        // an (encrypted, hence unreadable) object stream — so the count
-        // is best-effort and the verdict never degrades to 'parse'
-        val n = try collectPages(doc, trailer) match {
-          case Right(ps) => ps.length
-          case Left(_) => 0
-        } catch { case scala.util.control.NonFatal(_) => 0 }
-        return PdfDoc(n, null, "encrypted")
+        // the standard security handler with an EMPTY user password
+        // ("owner-password only" restrictions, the dominant real-world
+        // encrypted PDF) verifies against /U BEFORE any byte decrypts;
+        // on success extraction proceeds with per-object decryption,
+        // on anything else the honest degrade holds
+        val key = try setupCrypt(doc, trailer)
+        catch { case scala.util.control.NonFatal(_) => None }
+        key match {
+          case Some(fk) => doc.crypt = Some(fk)
+          case None =>
+            // the stage must read 'encrypted' even when the page tree
+            // rides an (encrypted, hence unreadable) object stream — so
+            // the count is best-effort, never degrading to 'parse'
+            val n = try collectPages(doc, trailer) match {
+              case Right(ps) => ps.length
+              case Left(_) => 0
+            } catch { case scala.util.control.NonFatal(_) => 0 }
+            return PdfDoc(n, null, "encrypted")
+        }
       }
       collectPages(doc, trailer) match {
         case Left(stage) => PdfDoc(0, null, stage)
@@ -1300,6 +1342,69 @@ object Pdf {
     } catch {
       case scala.util.control.NonFatal(_) => PdfDoc(0, null, "parse")
     }
+  }
+
+  /** Resolve the /Encrypt dict and verify the EMPTY user password
+    * against /U (§7.6.3.4 Algorithm 6 via [[PdfCrypt.emptyUserKey]]).
+    * The published subset: /Filter /Standard, V 1/2 (RC4) or V 4 with
+    * /StdCF carrying /CFM /V2 or /AESV2 and both /StmF and /StrF
+    * naming /StdCF, R 2/3/4. Everything else — V5/AES-256, exotic
+    * crypt filters, a non-empty user password — returns None and the
+    * file keeps its counted `encrypted` stage.
+    */
+  private def setupCrypt(doc: Doc, trailer: PDict): Option[PdfCrypt.FileKey] = {
+    val enc = doc.resolve(trailer.m.getOrElse("Encrypt", PNull)) match {
+      case d: PDict => d
+      case _ => return None
+    }
+    if (!enc.m.get("Filter").contains(PName("Standard"))) return None
+    def num(k: String, dflt: Long): Long = doc.resolve(enc.m.getOrElse(k, PNull)) match {
+      case PNum(x) => x.toLong
+      case _ => dflt
+    }
+    def str(k: String): Array[Byte] = doc.resolve(enc.m.getOrElse(k, PNull)) match {
+      case PStr(b) => b
+      case _ => return null
+    }
+    val v = num("V", 0)
+    val r = num("R", -1)
+    if (r != 2 && r != 3 && r != 4) return None
+    val aes: Boolean =
+      if (v == 1 || v == 2) false
+      else if (v == 4) {
+        val cf = doc.resolve(enc.m.getOrElse("CF", PNull)) match {
+          case d: PDict => d
+          case _ => return None
+        }
+        val std = doc.resolve(cf.m.getOrElse("StdCF", PNull)) match {
+          case d: PDict => d
+          case _ => return None
+        }
+        if (!enc.m.get("StmF").contains(PName("StdCF")) ||
+          !enc.m.get("StrF").contains(PName("StdCF"))) return None
+        std.m.get("CFM") match {
+          case Some(PName("AESV2")) => true
+          case Some(PName("V2")) => false
+          case _ => return None
+        }
+      } else return None
+    val keyLen = if (v == 1) 5 else (num("Length", 40) / 8).toInt
+    val o = str("O")
+    val u = str("U")
+    if (o == null || u == null) return None
+    val p = num("P", 0).toInt
+    val id0: Array[Byte] = trailer.m.get("ID").map(doc.resolve(_)) match {
+      case Some(PArr(xs)) if xs.nonEmpty => doc.resolve(xs.head) match {
+        case PStr(b) => b
+        case _ => Array.empty
+      }
+      case _ => Array.empty
+    }
+    val encMeta = doc.resolve(enc.m.getOrElse("EncryptMetadata", PNull)) match {
+      case PBool(b) => b
+      case _ => true
+    }
+    PdfCrypt.emptyUserKey(o, u, p, id0, r.toInt, keyLen, aes, encMeta)
   }
 
   /** PDFDocEncoding (Annex D Table D.2) — what an /Info text string
@@ -1616,6 +1721,84 @@ object Pdf {
     w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R" +
       encObj.map(e => s" /Encrypt $e 0 R").getOrElse("") +
       infoObj.map(i => s" /Info $i 0 R").getOrElse("") + " >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** ENCRYPTED-PDF fixture (standard security handler): `mode` ∈
+    * `rc40` (V1/R2), `rc4128` (V2/R3), `aes128` (V4/R4 /AESV2). The
+    * USER password is empty unless given — the owner-password-only
+    * file a reader may legitimately open; a non-empty user password
+    * must KEEP degrading (the verifier, not the decryptor, decides).
+    * One page per entry (WinAnsi text lines); content streams encrypt
+    * per object through the same [[PdfCrypt]] the reader uses — /O,
+    * /U and the key derive from the published algorithms, so the gate
+    * proves interop, not self-consistency.
+    */
+  def encryptedPdf(pages: Seq[Seq[String]], mode: String = "rc4128",
+      userPwd: String = ""): Array[Byte] = {
+    val (v, r, keyLen, aes) = mode match {
+      case "rc40" => (1, 2, 5, false)
+      case "rc4128" => (2, 3, 16, false)
+      case "aes128" => (4, 4, 16, true)
+      case m => throw new IllegalArgumentException(s"unknown mode $m")
+    }
+    val p = -3904 // print allowed, modify/copy/annotate denied
+    def dmd5(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.ISO_8859_1))
+    val id0 = dmd5("graft-id-" + mode)
+    val o = PdfCrypt.computeO("owner".getBytes(StandardCharsets.ISO_8859_1),
+      userPwd.getBytes(StandardCharsets.ISO_8859_1), r, keyLen)
+    val key = PdfCrypt.fileKey(userPwd.getBytes(StandardCharsets.ISO_8859_1),
+      o, p, id0, r, keyLen, encMeta = true)
+    val u = PdfCrypt.computeU(key, r, id0)
+    val fk = PdfCrypt.FileKey(key, aes)
+    def hex(b: Array[Byte]): String =
+      "<" + b.map(x => f"${x & 0xFF}%02X").mkString + ">"
+
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    def obj(body: Array[Byte]): Int = {
+      offsets += out.size().toLong
+      val num = offsets.length
+      w(s"$num 0 obj\n")
+      out.write(body, 0, body.length)
+      w("\nendobj\n")
+      num
+    }
+    def objS(b: String): Int = obj(b.getBytes(StandardCharsets.ISO_8859_1))
+    val nPg = pages.length
+    val kids = (0 until nPg).map(i => 3 + 2 * i)
+    val fontNum = 3 + 2 * nPg
+    objS("<< /Type /Catalog /Pages 2 0 R >>")
+    objS(s"<< /Type /Pages /Kids [${kids.map(k => s"$k 0 R").mkString(" ")}] /Count $nPg >>")
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageNum = 3 + 2 * i
+      objS(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${pageNum + 1} 0 R >>")
+      val raw = contentOps(lines)
+      val encd = PdfCrypt.encrypt(fk, pageNum + 1, 0, raw, dmd5(s"iv-$mode-$i"))
+      obj((s"<< /Length ${encd.length} >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ encd ++
+        "\nendstream".getBytes(StandardCharsets.ISO_8859_1))
+    }
+    objS("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    val cfPart =
+      if (v == 4)
+        " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
+          " /StmF /StdCF /StrF /StdCF"
+      else ""
+    val encNum = objS(s"<< /Filter /Standard /V $v /R $r /Length ${keyLen * 8} " +
+      s"/O ${hex(o)} /U ${hex(u)} /P $p$cfPart >>")
+    val xrefOff = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o2 => w(f"$o2%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R /Encrypt $encNum 0 R " +
+      s"/ID [${hex(id0)} ${hex(id0)}] >>\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }

@@ -1395,7 +1395,7 @@ object DumpQueries {
       "q_docx_text",
       (spark, dir) => {
         val mk = udf((k: Long) => (k % 4) match {
-          case 2 => graft.operators.Docx.encryptedFixture(k)
+          case 2 => graft.operators.Cfb.encryptedOoxmlFixture(k)
           case 3 => s"junk $k".getBytes("UTF-8")
           case _ => graft.operators.Docx.docx(
             Seq(Seq("Doc ", s"$k intro"), Seq(s"a\tb $k")) ++
@@ -1481,7 +1481,7 @@ object DumpQueries {
       "q_pptx_text",
       (spark, dir) => {
         val mk = udf((k: Long) => (k % 4) match {
-          case 2 => graft.operators.Docx.encryptedFixture(k)
+          case 2 => graft.operators.Cfb.encryptedOoxmlFixture(k)
           case 3 => s"junk deck $k".getBytes("UTF-8")
           case _ => graft.operators.Pptx.pptx(
             Seq(Seq(s"Deck $k", s"point $k")) ++
@@ -1513,23 +1513,30 @@ object DumpQueries {
     ),
 
     // OFFICE TRIAGE — the media-triage pattern on documents: a mixed
-    // docx/pptx/odt/rtf/encrypted/junk stream routes by CONTENT (the
-    // CFB signature, the RTF magic, then the zip's distinguishing
-    // member), and each routed document flows through its own shipped
-    // reader into one (kind, n_units, text) frame — one scan, route
-    // before decode. Map-only; the oracle re-derives kind, units and
-    // text per arm.
+    // stream of ALL TEN routed kinds — docx / pptx / grid xlsx / rtf /
+    // the three ODF subtypes discriminated on the mandatory mimetype
+    // member (odt text, ods spreadsheet, odp presentation) / a legacy
+    // Word 97 CFB binary (extracted through the FIB + piece table) /
+    // a REAL encrypted-OOXML shell / junk — routes by CONTENT and
+    // extracts on the same container walk. One scan, route before
+    // decode, map-only; the oracle re-derives kind, units and text per
+    // arm.
     Q(
       "q_office_triage",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 7) match {
+        val mk = udf((k: Long) => (k % 10) match {
           case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
           case 3 => s"{\\rtf1\\ansi legacy $k\\par tail $k}".getBytes("ISO-8859-1")
-          case 4 => graft.operators.Xlsx.xlsx(Seq(s"cell $k", s"note $k"))
-          case 5 => graft.operators.Docx.encryptedFixture(k)
-          case _ => s"legacy junk $k".getBytes("UTF-8")
+          case 4 => graft.operators.Xlsx.xlsxGrid(Seq(
+            (1, Seq(("s", s"cell $k"), ("n", s"$k"))),
+            (2, Seq(("is", s"note $k")))))
+          case 5 => graft.operators.Cfb.encryptedOoxmlFixture(k)
+          case 6 => s"legacy junk $k".getBytes("UTF-8")
+          case 7 => graft.operators.Doc.doc(Seq(s"legacy word $k", s"body $k"))
+          case 8 => graft.operators.Odt.ods(Seq(Seq(s"sheet cell $k", "2")))
+          case _ => graft.operators.Odt.odp(Seq(Seq(s"deck $k")))
         })
         val out = graft.operators.Office.routedText(
           Q.t(spark, dir, "nation")
@@ -1542,17 +1549,23 @@ object DumpQueries {
       Some(
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
           |SELECT k AS media_id,
-          |  CASE CAST(k % 7 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |  CASE CAST(k % 10 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
           |    WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
-          |    WHEN 5 THEN 'encrypted' ELSE 'unknown' END AS kind,
-          |  CAST(CASE CAST(k % 7 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
-          |    WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 ELSE 0 END AS INT) AS n_units,
-          |  CASE CAST(k % 7 AS INT)
+          |    WHEN 5 THEN 'encrypted' WHEN 6 THEN 'unknown'
+          |    WHEN 7 THEN 'doc' WHEN 8 THEN 'ods' ELSE 'odp' END AS kind,
+          |  CAST(CASE CAST(k % 10 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
+          |    WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 3
+          |    WHEN 7 THEN 2 WHEN 8 THEN 2 WHEN 9 THEN 1
+          |    ELSE 0 END AS INT) AS n_units,
+          |  CASE CAST(k % 10 AS INT)
           |    WHEN 0 THEN 'word doc ' || k
           |    WHEN 1 THEN 'slide ' || k
           |    WHEN 2 THEN 'odt doc ' || k || chr(10) || 'tail end'
           |    WHEN 3 THEN 'legacy ' || k || chr(10) || 'tail ' || k
-          |    WHEN 4 THEN 'cell ' || k || chr(10) || 'note ' || k
+          |    WHEN 4 THEN 'cell ' || k || chr(9) || k || chr(10) || 'note ' || k
+          |    WHEN 7 THEN 'legacy word ' || k || chr(10) || 'body ' || k
+          |    WHEN 8 THEN 'sheet cell ' || k || chr(10) || '2'
+          |    WHEN 9 THEN 'deck ' || k
           |    ELSE NULL END AS text
           |FROM n""".stripMargin
       )
@@ -1573,8 +1586,11 @@ object DumpQueries {
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
           case 3 => s"{\\rtf1\\ansi legacy $k\\par tail $k}".getBytes("ISO-8859-1")
-          case 4 => graft.operators.Xlsx.xlsx(Seq(s"cell $k", s"note $k"))
-          case 5 => graft.operators.Docx.encryptedFixture(k)
+          // the GRID xlsx surface: inline + shared cells, one row →
+          // tab-joined prose, same 4-token admission mass as before
+          case 4 => graft.operators.Xlsx.xlsxGrid(Seq(
+            (1, Seq(("s", s"cell $k"), ("is", s"note $k")))))
+          case 5 => graft.operators.Cfb.encryptedOoxmlFixture(k)
           case _ => s"legacy junk $k".getBytes("UTF-8")
         })
         val routed = graft.operators.Office.routedText(
@@ -1646,6 +1662,169 @@ object DumpQueries {
           |    ELSE 'Header ' || n_nationkey || chr(10) ||
           |      'quarterly note ' || n_nationkey || chr(10) ||
           |      'total ' || n_nationkey
+          |  END AS text
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // XLSX SHEET GRID — the text the string-table view misses whole:
+    // inline-string cells (streaming writers), number values, and ROW
+    // ORDER. The fixture stores rows in REVERSE with explicit A1
+    // references (r attributes are authoritative) and mixes all three
+    // cell forms; the reader emits row-major (row, col) regardless of
+    // storage order. Junk payloads emit nothing (their countable stage
+    // rides gridTextRows). Map-only.
+    Q(
+      "q_xlsx_cells",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 3) match {
+          case 2 => s"junk grid $k".getBytes("UTF-8")
+          case _ => graft.operators.Xlsx.xlsxGrid(Seq(
+            (1, Seq(("s", s"Name $k"), ("s", "Qty"))),
+            (2, Seq(("is", s"widget $k"), ("n", s"${k * 2}"))),
+            (3, Seq(("n", "3.5"), ("s", s"Name $k")))))
+        })
+        val out = graft.operators.Xlsx.cellRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+          |           WHERE n_nationkey % 3 < 2),
+          |c(r, c, v_tpl) AS (VALUES
+          |  (1, 1, 'Name #'), (1, 2, 'Qty'),
+          |  (2, 1, 'widget #'), (2, 2, '2#'),
+          |  (3, 1, '3.5'), (3, 2, 'Name #'))
+          |SELECT n.k AS media_id, CAST(1 AS INT) AS sheet_no,
+          |  CAST(c.r AS INT) AS row_no, CAST(c.c AS INT) AS col_no,
+          |  CASE c.v_tpl
+          |    WHEN 'Name #' THEN 'Name ' || n.k
+          |    WHEN 'widget #' THEN 'widget ' || n.k
+          |    WHEN '2#' THEN CAST(n.k * 2 AS VARCHAR)
+          |    ELSE c.v_tpl END AS value
+          |FROM n, c""".stripMargin
+      )
+    ),
+
+    // LEGACY .doc (Word 97–2003) — the [MS-CFB] sector walk + the
+    // [MS-DOC] FIB and PIECE TABLE, the round-18 verdict's top ask:
+    // until now every CFB container binned as 'encrypted', though the
+    // unencrypted Word binaries dominate that bin in real dumps. The
+    // fixture splits its text into an 8-bit cp1252 piece AND a
+    // UTF-16LE piece (the piece machinery, not a flat read), plants a
+    // poison footnote range past ccpText (the main-range clip), and
+    // keeps true encryption (fEncrypted) degrading unread. Arms per
+    // k%4: two ok shapes, encrypted, junk-CFB. Map-only.
+    Q(
+      "q_doc_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 2 => graft.operators.Doc.doc(Seq(s"secret $k"), encrypted = true)
+          case 3 => graft.operators.Docx.encryptedFixture(k) // junk OLE
+          case _ => graft.operators.Doc.doc(
+            Seq(s"Legacy doc $k", s"body\ttext $k") ++
+              (if (k % 2 == 0) Seq(s"third $k") else Seq.empty))
+        })
+        val out = graft.operators.Doc.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 'encrypted' WHEN 3 THEN 'cfb' ELSE 'ok' END AS stage,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 0 WHEN 3 THEN 0
+          |    ELSE 2 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END
+          |  END AS INT) AS n_paragraphs,
+          |  CASE WHEN n_nationkey % 4 IN (2, 3) THEN NULL
+          |    ELSE 'Legacy doc ' || n_nationkey || chr(10) ||
+          |      'body' || chr(9) || 'text ' || n_nationkey ||
+          |      CASE WHEN n_nationkey % 2 = 0
+          |        THEN chr(10) || 'third ' || n_nationkey ELSE '' END
+          |  END AS text
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // ODP ingest — OpenDocument presentations: the same text:p grammar
+    // as ODT inside draw pages, with the presentation:notes subtree
+    // (speaker notes) excluded in-line, the PPTX notes exclusion in
+    // ODF form. Arms per k%3: two ok shapes (even keys carry a second
+    // slide), junk. Map-only.
+    Q(
+      "q_odp_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 3) match {
+          case 2 => s"junk deck $k".getBytes("UTF-8")
+          case _ => graft.operators.Odt.odp(
+            Seq(Seq(s"Deck $k", s"point $k")) ++
+              (if (k % 2 == 0) Seq(Seq(s"End $k")) else Seq.empty))
+        })
+        val out = graft.operators.Odt.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE WHEN n_nationkey % 3 = 2 THEN 'zip' ELSE 'ok' END AS stage,
+          |  CAST(CASE WHEN n_nationkey % 3 = 2 THEN 0
+          |    ELSE 2 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END
+          |  END AS INT) AS n_paragraphs,
+          |  CASE WHEN n_nationkey % 3 = 2 THEN NULL
+          |    ELSE 'Deck ' || n_nationkey || chr(10) || 'point ' || n_nationkey ||
+          |      CASE WHEN n_nationkey % 2 = 0
+          |        THEN chr(10) || 'End ' || n_nationkey ELSE '' END
+          |  END AS text
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // ODS ingest — OpenDocument spreadsheets: ODF keeps every cell's
+    // display text in a text:p, so the shared walk reads the grid
+    // row-major; the mimetype member (not content.xml presence) is
+    // what routes it as a spreadsheet. Arms per k%3: 2x2 grid, 1-row
+    // grid, junk. Map-only.
+    Q(
+      "q_ods_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 3) match {
+          case 2 => s"junk sheet $k".getBytes("UTF-8")
+          case 1 => graft.operators.Odt.ods(Seq(Seq(s"only $k", "1")))
+          case _ => graft.operators.Odt.ods(Seq(
+            Seq(s"Name $k", "Qty"), Seq(s"widget $k", s"${k * 2}")))
+        })
+        val out = graft.operators.Odt.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE WHEN n_nationkey % 3 = 2 THEN 'zip' ELSE 'ok' END AS stage,
+          |  CAST(CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 2 THEN 0 WHEN 1 THEN 2 ELSE 4 END AS INT) AS n_paragraphs,
+          |  CASE CAST(n_nationkey % 3 AS INT)
+          |    WHEN 2 THEN NULL
+          |    WHEN 1 THEN 'only ' || n_nationkey || chr(10) || '1'
+          |    ELSE 'Name ' || n_nationkey || chr(10) || 'Qty' || chr(10) ||
+          |      'widget ' || n_nationkey || chr(10) ||
+          |      CAST(n_nationkey * 2 AS VARCHAR)
           |  END AS text
           |FROM nation""".stripMargin
       )

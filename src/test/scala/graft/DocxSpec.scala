@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Docx
+import graft.operators.{Cfb, Docx}
 
 /** DOCX text extraction: paragraph/run walk, explicit whitespace
   * elements, part-name exclusion, degrades, torn-part prefix.
@@ -37,7 +37,10 @@ class DocxSpec extends SparkSpec {
   test("degrades: junk -> zip, CFB signature -> encrypted, no main part -> part") {
     assert(Docx.read("junk bytes".getBytes("UTF-8")).stage == "zip")
     assert(Docx.read(null).stage == "zip")
-    assert(Docx.read(Docx.encryptedFixture(7L)).stage == "encrypted")
+    assert(Docx.read(Cfb.encryptedOoxmlFixture(7L)).stage == "encrypted")
+    // a NON-encrypted OLE container (legacy binary, junk CFB) is now
+    // the countable cfb route, not a false encrypted verdict
+    assert(Docx.read(Docx.encryptedFixture(7L)).stage == "cfb")
     val noMain = graft.operators.ZipShard.zip(
       Seq(("word/other.xml", "<w:p/>".getBytes("UTF-8"))), deflate = false)
     assert(Docx.read(noMain).stage == "part")
@@ -60,7 +63,7 @@ class DocxSpec extends SparkSpec {
     val df = Seq(
       (1L, Docx.docx(Seq(Seq("alpha"), Seq("beta")))),
       (2L, "junk".getBytes("UTF-8")),
-      (3L, Docx.encryptedFixture(3L))).toDF("media_id", "payload")
+      (3L, graft.operators.Cfb.encryptedOoxmlFixture(3L))).toDF("media_id", "payload")
     val t = Docx.textRows(df, "media_id", "payload")
     graft.queries.Q.requireNoShuffle(t)
     val rows = t.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))

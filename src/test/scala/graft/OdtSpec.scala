@@ -62,6 +62,24 @@ class OdtSpec extends SparkSpec {
         (2L, "zip", 0, null), (3L, "encrypted", 0, null)))
   }
 
+  test("ODF subtypes route on the mimetype member; odp/ods extract through the shared walk") {
+    import graft.operators.{Office, ZipShard}
+    assert(Office.detect(Odt.odt(Seq("x"))) == "odt")
+    assert(Office.detect(Odt.ods(Seq(Seq("a", "b")))) == "ods")
+    assert(Office.detect(Odt.odp(Seq(Seq("s")))) == "odp")
+    // a mimetype-less content.xml zip stays the lenient odt route
+    val bare = ZipShard.zip(Seq(
+      ("content.xml", "<office:body/>".getBytes("UTF-8"))), deflate = false)
+    assert(Office.detect(bare) == "odt")
+    // ODP: page text surfaces, speaker notes never do
+    val p = Odt.read(Odt.odp(Seq(Seq("Title", "point one"), Seq("End"))))
+    assert(p.stage == "ok" && p.paragraphs == Seq("Title", "point one", "End"))
+    assert(!p.paragraphs.mkString.contains("SPEAKER"))
+    // ODS: cell display text in row-major order
+    val s = Odt.read(Odt.ods(Seq(Seq("Name", "Qty"), Seq("widget", "42"))))
+    assert(s.stage == "ok" && s.paragraphs == Seq("Name", "Qty", "widget", "42"))
+  }
+
   test("adversarial: truncation and bit flips never throw") {
     val b = Odt.odt(Seq("some document text", "more"))
     (0 until b.length by 7).foreach(cut =>

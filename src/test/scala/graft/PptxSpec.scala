@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Pptx
+import graft.operators.Cfb
 
 /** PPTX slide-text extraction: DrawingML runs on the shared OOXML
   * paragraph scanner, part-number ordering, notes exclusion, degrades.
@@ -33,7 +34,7 @@ class PptxSpec extends SparkSpec {
   test("degrades: junk -> zip, CFB -> encrypted, slide-less zip -> part") {
     assert(Pptx.read("junk".getBytes("UTF-8")).stage == "zip")
     assert(Pptx.read(null).stage == "zip")
-    assert(Pptx.read(graft.operators.Docx.encryptedFixture(9L)).stage == "encrypted")
+    assert(Pptx.read(Cfb.encryptedOoxmlFixture(9L)).stage == "encrypted")
     val noSlides = graft.operators.ZipShard.zip(
       Seq(("ppt/presentation.xml", "<p:presentation/>".getBytes("UTF-8"))), deflate = false)
     assert(Pptx.read(noSlides).stage == "part")
@@ -71,7 +72,7 @@ class PptxSpec extends SparkSpec {
     assert(Office.detect(Docx.docx(Seq(Seq("x")))) == "docx")
     assert(Office.detect(Pptx.pptx(Seq(Seq("x")))) == "pptx")
     assert(Office.detect(Odt.odt(Seq("x"))) == "odt")
-    assert(Office.detect(Docx.encryptedFixture(1L)) == "encrypted")
+    assert(Office.detect(Cfb.encryptedOoxmlFixture(1L)) == "encrypted")
     assert(Office.detect("{\\rtf1 x}".getBytes("UTF-8")) == "rtf")
     assert(Office.detect("junk".getBytes("UTF-8")) == "unknown")
     assert(Office.detect(null) == "unknown")

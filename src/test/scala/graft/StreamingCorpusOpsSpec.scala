@@ -1212,7 +1212,7 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     import graft.operators.{Docx, Pptx}
     val blobs = Seq(
       (1L, Pptx.pptx(Seq(Seq("s1 title"), Seq("s2 body")))),
-      (2L, Docx.encryptedFixture(2L)),
+      (2L, graft.operators.Cfb.encryptedOoxmlFixture(2L)),
       (3L, "junk".getBytes("UTF-8")))
     val in = MemoryStream[(Long, Array[Byte])]
     val q = Pptx.textRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
@@ -1309,7 +1309,7 @@ class StreamingCorpusOpsSpec extends SparkSpec {
     import graft.operators.Docx
     val blobs = Seq(
       (1L, Docx.docx(Seq(Seq("alpha ", "doc"), Seq("tab\there")))),
-      (2L, Docx.encryptedFixture(2L)),
+      (2L, graft.operators.Cfb.encryptedOoxmlFixture(2L)),
       (3L, "junk".getBytes("UTF-8")))
     val in = MemoryStream[(Long, Array[Byte])]
     val q = Docx.textRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
@@ -1422,5 +1422,82 @@ class StreamingCorpusOpsSpec extends SparkSpec {
         (0, false, "Home"),
         (1, true, "one two three four five six seven eight nine")))
     } finally qM.stop()
+  }
+
+  test("legacy .doc text streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Cfb, Doc}
+    val blobs = Seq(
+      (1L, Doc.doc(Seq("legacy alpha", "beta"))),
+      (2L, Doc.doc(Seq("locked"), encrypted = true)),
+      (3L, Cfb.cfb(Seq(("Workbook", "xls".getBytes("UTF-8"))))),
+      (4L, "junk".getBytes("UTF-8")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Doc.textRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_doc_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs.take(2): _*); q.processAllAvailable()
+      in.addData(blobs.drop(2): _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      val batch = rows(Doc.textRows(blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_doc_out")) == batch)
+      assert(batch == Set(
+        (1L, "ok", 2, "legacy alpha\nbeta"),
+        (2L, "encrypted", 0, null),
+        (3L, "part", 0, null),
+        (4L, "cfb", 0, null)))
+    } finally q.stop()
+  }
+
+  test("xlsx sheet grid streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Xlsx
+    val blobs = Seq(
+      (1L, Xlsx.xlsxGrid(Seq(
+        (1, Seq(("s", "Name"), ("n", "7"))),
+        (2, Seq(("is", "widget")))))),
+      (2L, "junk".getBytes("UTF-8")))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Xlsx.cellRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_grid_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      val batch = rows(Xlsx.cellRows(blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_grid_out")) == batch)
+      assert(batch == Set(
+        (1L, 1, 1, "Name"), (1L, 1, 2, "7"), (1L, 2, 1, "widget")))
+    } finally q.stop()
+  }
+
+  test("odp/ods text and the routed triage stream identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Odt, Office}
+    val blobs = Seq(
+      (1L, Odt.odp(Seq(Seq("deck title")))),
+      (2L, Odt.ods(Seq(Seq("cell a", "cell b")))),
+      (3L, graft.operators.Doc.doc(Seq("word legacy"))))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Office.routedText(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("sc_route_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      val batch = rows(Office.routedText(blobs.toDF("media_id", "payload"), "media_id", "payload"))
+      assert(rows(spark.table("sc_route_out")) == batch)
+      assert(batch == Set(
+        (1L, "odp", 1, "deck title"),
+        (2L, "ods", 2, "cell a\ncell b"),
+        (3L, "doc", 1, "word legacy")))
+    } finally q.stop()
   }
 }
