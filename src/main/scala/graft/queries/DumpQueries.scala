@@ -940,20 +940,21 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the nine ingest families this engine
+    // THE SOURCE-UNION CAPSTONE: the ten ingest families this engine
     // reads — published dumps (bz2 XML → wikitext strip), crawl
     // archives (WARC → HTTP → text), PDFs (xref → content streams →
     // text), DOCX documents (zip → word/document.xml → paragraphs),
-    // PPTX decks (zip → slides → DrawingML bodies), EPUB books (zip →
-    // OPF spine → chapters), arXiv LaTeX (tar.gz → macro strip), Avro
+    // legacy Word binaries (CFB → FIB → piece table), PPTX decks
+    // (zip → slides → DrawingML bodies), EPUB books (zip → OPF spine
+    // → chapters), arXiv LaTeX (tar.gz → macro strip), Avro
     // containers (blocks → string records), and dataset shards (tar →
     // samples) — land in ONE corpus frame, deduped exactly ACROSS
     // sources (texts collide across families by construction; the
     // canonical-source rank breaks ties: dump > crawl > pdf > docx >
-    // pptx > epub > latex > avro > shard) with per-source admission
-    // accounting. Two shuffles total: the text-keyed dedup window and
-    // the per-source rollup; every reader upstream is the map-only
-    // walk its own gate already pins.
+    // doc > pptx > epub > latex > avro > shard) with per-source
+    // admission accounting. Two shuffles total: the text-keyed dedup
+    // window and the per-source rollup; every reader upstream is the
+    // map-only walk its own gate already pins.
     Q(
       "q_corpus_union",
       (spark, dir) => {
@@ -1006,6 +1007,14 @@ object DumpQueries {
           .select(col("media_id"), col("text"))
           .withColumn("source", lit("docx"))
 
+        val docMk = udf((k: Long) => graft.operators.Doc.doc(Seq(
+          if (k % 23 == 0) s"common ${k % 4}" else s"doc only $k")))
+        val docSrc = graft.operators.Doc.textRows(
+          keys.withColumn("payload", docMk(col("media_id"))), "media_id", "payload")
+          .filter(col("stage") === "ok")
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("doc"))
+
         val pptxMk = udf((k: Long) => graft.operators.Pptx.pptx(Seq(Seq(
           if (k % 19 == 0) s"common ${k % 4}" else s"pptx only $k"))))
         val pptxSrc = graft.operators.Pptx.textRows(
@@ -1048,7 +1057,7 @@ object DumpQueries {
           .withColumn("source", lit("shard"))
 
         val all = dump.unionByName(crawl).unionByName(pdfSrc)
-          .unionByName(docxSrc).unionByName(pptxSrc)
+          .unionByName(docxSrc).unionByName(docSrc).unionByName(pptxSrc)
           .unionByName(epubSrc).unionByName(latexSrc)
           .unionByName(avroSrc).unionByName(shard)
           .withColumn("rank",
@@ -1056,10 +1065,11 @@ object DumpQueries {
               .when(col("source") === "crawl", 1)
               .when(col("source") === "pdf", 2)
               .when(col("source") === "docx", 3)
-              .when(col("source") === "pptx", 4)
-              .when(col("source") === "epub", 5)
-              .when(col("source") === "latex", 6)
-              .when(col("source") === "avro", 7).otherwise(8))
+              .when(col("source") === "doc", 4)
+              .when(col("source") === "pptx", 5)
+              .when(col("source") === "epub", 6)
+              .when(col("source") === "latex", 7)
+              .when(col("source") === "avro", 8).otherwise(9))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1093,27 +1103,32 @@ object DumpQueries {
           |         ELSE 'docx only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'pptx', 4, k,
+          |  SELECT 'doc', 4, k,
+          |    CASE WHEN k % 23 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'doc only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'pptx', 5, k,
           |    CASE WHEN k % 19 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'pptx only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'epub', 5, k,
+          |  SELECT 'epub', 6, k,
           |    CASE WHEN k % 9 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'epub only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'latex', 6, k,
+          |  SELECT 'latex', 7, k,
           |    CASE WHEN k % 17 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'latex only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'avro', 7, k,
+          |  SELECT 'avro', 8, k,
           |    CASE WHEN k % 11 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'avro only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 8, k,
+          |  SELECT 'shard', 9, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n
@@ -1581,7 +1596,7 @@ object DumpQueries {
     Q(
       "q_office_pipeline",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 7) match {
+        val mk = udf((k: Long) => (k % 8) match {
           case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
@@ -1591,7 +1606,8 @@ object DumpQueries {
           case 4 => graft.operators.Xlsx.xlsxGrid(Seq(
             (1, Seq(("s", s"cell $k"), ("is", s"note $k")))))
           case 5 => graft.operators.Cfb.encryptedOoxmlFixture(k)
-          case _ => s"legacy junk $k".getBytes("UTF-8")
+          case 6 => s"legacy junk $k".getBytes("UTF-8")
+          case _ => graft.operators.Doc.doc(Seq(s"legacy report $k", s"tail $k"))
         })
         val routed = graft.operators.Office.routedText(
           Q.t(spark, dir, "nation")
@@ -1613,11 +1629,12 @@ object DumpQueries {
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
           |r AS (
           |  SELECT k,
-          |    CASE CAST(k % 7 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |    CASE CAST(k % 8 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
           |      WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
-          |      WHEN 5 THEN 'encrypted' ELSE 'unknown' END AS kind,
-          |    CASE CAST(k % 7 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 5
-          |      WHEN 3 THEN 4 WHEN 4 THEN 4 ELSE 0 END AS n_tokens
+          |      WHEN 5 THEN 'encrypted' WHEN 6 THEN 'unknown'
+          |      ELSE 'doc' END AS kind,
+          |    CASE CAST(k % 8 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 5
+          |      WHEN 3 THEN 4 WHEN 4 THEN 4 WHEN 7 THEN 5 ELSE 0 END AS n_tokens
           |  FROM n)
           |SELECT kind, CAST(COUNT(*) AS BIGINT) AS docs,
           |  CAST(SUM(CASE WHEN n_tokens >= 3 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2512,6 +2529,56 @@ object DumpQueries {
           |  SELECT k, 4, 'Extra', 'more ' || k FROM n WHERE k % 2 = 0
           |)
           |SELECT k AS media_id, CAST(i AS INT) AS section_idx, path, text
+          |FROM s""".stripMargin
+      )
+    ),
+
+    // BUDGETED SECTION CHUNKING — the retrieval-unit packer: body
+    // lines group into ATOMIC units (a whole pipe table, a whole code
+    // fence, a plain line) and a section flushes before a unit that
+    // would cross the token budget; an oversize unit (the planted
+    // 11-token table against the 6-token budget, here) becomes its own
+    // section, countable by its emitted n_tokens — a table or fence is
+    // NEVER split mid-unit, and a fenced '# x' line is code, not a
+    // heading. Continuations keep their breadcrumb path. Map-only.
+    Q(
+      "q_sections_budget",
+      (spark, dir) => {
+        val mk = udf((k: Long) =>
+          s"# Guide $k\n" +
+            "alpha beta gamma\ndelta epsilon\n" +
+            s"| h1 | h2 |\n| a $k | b |\n" +
+            "omega psi\n" +
+            s"## Fence $k\n" +
+            s"```\nx y z $k\n```\npost fence")
+        val out = graft.operators.Html.markdownSectionRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("markdown", mk(col("media_id"))),
+          "media_id", "markdown", maxTokens = 6)
+          .select(col("media_id"), col("section_idx"), col("path"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"), col("text"))
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+          |s AS (
+          |  SELECT k, 0 AS i, 'Guide ' || k AS path, 5 AS t,
+          |    'alpha beta gamma' || chr(10) || 'delta epsilon' AS text FROM n
+          |  UNION ALL
+          |  SELECT k, 1, 'Guide ' || k, 11,
+          |    '| h1 | h2 |' || chr(10) || '| a ' || k || ' | b |' FROM n
+          |  UNION ALL
+          |  SELECT k, 2, 'Guide ' || k, 2, 'omega psi' FROM n
+          |  UNION ALL
+          |  SELECT k, 3, 'Guide ' || k || ' > Fence ' || k, 6,
+          |    '```' || chr(10) || 'x y z ' || k || chr(10) || '```' FROM n
+          |  UNION ALL
+          |  SELECT k, 4, 'Guide ' || k || ' > Fence ' || k, 2, 'post fence' FROM n
+          |)
+          |SELECT k AS media_id, CAST(i AS INT) AS section_idx, path,
+          |  CAST(t AS INT) AS n_tokens, text
           |FROM s""".stripMargin
       )
     ),

@@ -81,6 +81,51 @@ object PdfQueries {
       )
     ),
 
+    // PDF DECRYPTION — the standard security handler with an EMPTY
+    // user password (ISO 32000-1 §7.6.3), the second-largest
+    // real-world PDF degrade converted to yield: owner-password-only
+    // files verify against /U (Algorithm 6) and then decrypt per
+    // object — RC4-40 (V1/R2), RC4-128 (V2/R3) and AES-128-CBC
+    // (V4/R4 /AESV2) arms all open; a NON-empty user password keeps
+    // the honest 'encrypted' degrade (the verifier decides BEFORE any
+    // byte decrypts — never a guessed decode). The fixture derives
+    // /O and /U from the published algorithms, so the gate proves
+    // interop with real writers, not self-consistency. Map-only.
+    Q(
+      "q_pdf_decrypt",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 5) match {
+          case 3 => Pdf.encryptedPdf(Seq(Seq(s"locked $k")), "aes128",
+            userPwd = "hunter2")
+          case 4 => s"junk pdf $k".getBytes("UTF-8")
+          case m =>
+            val mode = Seq("rc40", "rc4128", "aes128")(m.toInt)
+            Pdf.encryptedPdf(Seq(
+              Seq(s"open doc $k", s"line two $k"), Seq(s"page two $k")), mode)
+        })
+        val out = Pdf.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS media_id,
+          |  CAST(CASE CAST(k % 5 AS INT) WHEN 3 THEN 1 WHEN 4 THEN 0
+          |    ELSE 2 END AS INT) AS n_pages,
+          |  CASE CAST(k % 5 AS INT) WHEN 3 THEN 'encrypted'
+          |    WHEN 4 THEN 'parse' ELSE 'ok' END AS stage,
+          |  CASE WHEN k % 5 IN (3, 4) THEN NULL
+          |    ELSE 'open doc ' || k || chr(10) || 'line two ' || k ||
+          |      chr(10) || 'page two ' || k
+          |  END AS text
+          |FROM n""".stripMargin
+      )
+    ),
+
     // The MODERN cross-reference layout — what PDFs in the wild carry
     // since 1.5 (2006): the xref as a /Type /XRef STREAM with /W field
     // widths, flate + the PNG-Up predictor rotating by parity, and

@@ -810,6 +810,49 @@ object ScaleProbe {
           "media_id", "payload")
           .filter(col("text").isNotNull).count()
       }
+      // legacy .doc: CFB sector walk + FIB + piece-table text (one
+      // cp1252 and one UTF-16 piece per doc), map-only — wall must
+      // track the blob count
+      probe(s"doc_text x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Doc.doc(Seq(s"Legacy doc $s", s"body text $s words"))
+        })
+        graft.operators.Doc.textRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("stage") === "ok").count()
+      }
+      // pdf standard-handler decryption: the 50-round key derivation +
+      // per-object RC4 + the text walk, map-only — the per-document
+      // cost an encrypted dump pays at 100 TB
+      probe(s"pdf_decrypt x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Pdf.encryptedPdf(
+            Seq(Seq(s"open doc $s", s"line $s more words")), "rc4128")
+        })
+        graft.operators.Pdf.textRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("stage") === "ok").count()
+      }
+      // xlsx sheet grid: worksheet row/cell walk + shared-string
+      // resolve, map-only — wall must track the blob count
+      probe(s"xlsx_cells x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Xlsx.xlsxGrid(Seq(
+            (1, Seq(("s", s"Name $s"), ("n", s"$s"))),
+            (2, Seq(("is", s"widget $s"), ("n", "3.5")))))
+        })
+        graft.operators.Xlsx.cellRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload").count()
+      }
       // avro container walk: block split + inflate + record decode,
       // all map-only — wall must track the blob count (each doc row
       // becomes one 6-record deflate container)

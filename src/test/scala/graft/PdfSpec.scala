@@ -194,6 +194,41 @@ class PdfSpec extends SparkSpec {
       Some(Map(1 -> "A", 2 -> "B", 3 -> "C")))
   }
 
+  test("encrypted, EMPTY user password: RC4-40/128 and AES-128 open; wrong subset holds") {
+    Seq("rc40", "rc4128", "aes128").foreach { mode =>
+      val d = Pdf.extractText(Pdf.encryptedPdf(
+        Seq(Seq("secret line one", "and two"), Seq("page two")), mode))
+      assert(d.stage == "ok", s"mode=$mode stage=${d.stage}")
+      assert(d.n_pages == 2, mode)
+      assert(d.text.contains("secret line one") && d.text.contains("page two"), mode)
+    }
+    // a NON-empty user password must keep the honest degrade — the
+    // verifier (Algorithm 6 against /U) decides before any decrypt
+    val locked = Pdf.extractText(
+      Pdf.encryptedPdf(Seq(Seq("x")), "rc4128", userPwd = "hunter2"))
+    assert(locked.stage == "encrypted" && locked.text == null)
+    // a tampered /U (corrupt auth data) also keeps degrading
+    val b = Pdf.encryptedPdf(Seq(Seq("y")), "rc40")
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("/U <") + 4
+    val tampered = (s.substring(0, at) +
+      (if (s.charAt(at) == '0') '1' else '0') + s.substring(at + 1))
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Pdf.extractText(tampered).stage == "encrypted")
+  }
+
+  test("encrypted adversarial: truncation and bit flips never throw") {
+    val whole = Pdf.encryptedPdf(Seq(Seq("alpha beta")), "aes128")
+    (1 until whole.length by 211).foreach { n =>
+      Pdf.extractText(whole.take(n)): Unit
+    }
+    (0 until whole.length by 127).foreach { i =>
+      val flip = whole.clone
+      flip(i) = (flip(i) ^ 0x2A).toByte
+      Pdf.extractText(flip): Unit
+    }
+  }
+
   test("degrades: encrypted, CID font, unknown filter, predictor, xref stream, junk") {
     val enc = Pdf.pdf(Seq(Pdf.Page(Pdf.contentOps(Seq("secret")))), encrypted = true)
     val de = Pdf.extractText(enc)
