@@ -44,20 +44,24 @@ object Office {
     else "zip"
   }
 
-  /** Route a CFB container: `doc` (legacy Word binary, extractable) |
-    * `encrypted` (fEncrypted .doc, or an encrypted OOXML shell) |
-    * `cfb` (another/unparseable OLE — xls, ppt, corrupt).
+  /** Route a CFB container by its distinguishing stream: `doc`
+    * (legacy Word binary) | `xls` (legacy Excel workbook) | `ppt`
+    * (legacy PowerPoint) | `encrypted` (fEncrypted .doc, or an
+    * encrypted OOXML shell) | `cfb` (another/unparseable OLE).
     */
   private def detectCfb(doc: Cfb.CfbDoc): String =
     if (Cfb.isEncryptedOoxml(doc)) "encrypted"
     else doc.streams.get("WordDocument") match {
       case Some(wd) => if (Doc.fibEncrypted(wd)) "encrypted" else "doc"
-      case None => "cfb"
+      case None =>
+        if (doc.streams.contains("Workbook") || doc.streams.contains("Book")) "xls"
+        else if (doc.streams.contains("PowerPoint Document")) "ppt"
+        else "cfb"
     }
 
   /** Content-based kind: `docx` | `pptx` | `xlsx` | `odt` | `ods` |
-    * `odp` | `rtf` | `doc` | `encrypted` | `cfb` | `zip` (a zip that
-    * is none of the routed families) | `unknown`.
+    * `odp` | `rtf` | `doc` | `xls` | `ppt` | `encrypted` | `cfb` |
+    * `zip` (a zip that is none of the routed families) | `unknown`.
     */
   def detect(bytes: Array[Byte]): String = {
     if (bytes == null) return "unknown"
@@ -94,6 +98,16 @@ object Office {
               if (d.stage == "ok")
                 (id, "doc", d.paragraphs.length, d.paragraphs.mkString("\n"))
               else (id, d.stage, 0, null) // encrypted/fib/clx, countable
+            case "xls" =>
+              val d = Xls.readCfb(c)
+              if (d.stage == "ok")
+                (id, "xls", d.cells.length, Xls.gridText(d.cells))
+              else (id, d.stage, 0, null) // encrypted/biff/strings, countable
+            case "ppt" =>
+              val d = Ppt.readCfb(c)
+              if (d.stage == "ok")
+                (id, "ppt", d.paragraphs.length, d.paragraphs.mkString("\n"))
+              else (id, d.stage, 0, null)
             case kind => (id, kind, 0, null)
           }
         }

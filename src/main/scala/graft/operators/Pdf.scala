@@ -1368,25 +1368,38 @@ object Pdf {
     }
     val v = num("V", 0)
     val r = num("R", -1)
+    def stdCfm(expect: Set[String]): Option[String] = {
+      val cf = doc.resolve(enc.m.getOrElse("CF", PNull)) match {
+        case d: PDict => d
+        case _ => return None
+      }
+      val std = doc.resolve(cf.m.getOrElse("StdCF", PNull)) match {
+        case d: PDict => d
+        case _ => return None
+      }
+      if (!enc.m.get("StmF").contains(PName("StdCF")) ||
+        !enc.m.get("StrF").contains(PName("StdCF"))) return None
+      std.m.get("CFM") match {
+        case Some(PName(n)) if expect(n) => Some(n)
+        case _ => None
+      }
+    }
+    if (v == 5) {
+      // AES-256: /U is hash ‖ salts, the file key unwraps from /UE
+      if (r != 5 && r != 6) return None
+      if (stdCfm(Set("AESV3")).isEmpty) return None
+      val u5 = str("U")
+      val ue = str("UE")
+      if (u5 == null || ue == null) return None
+      return PdfCrypt.emptyUserKeyV5(u5, ue, r.toInt)
+    }
     if (r != 2 && r != 3 && r != 4) return None
     val aes: Boolean =
       if (v == 1 || v == 2) false
-      else if (v == 4) {
-        val cf = doc.resolve(enc.m.getOrElse("CF", PNull)) match {
-          case d: PDict => d
-          case _ => return None
-        }
-        val std = doc.resolve(cf.m.getOrElse("StdCF", PNull)) match {
-          case d: PDict => d
-          case _ => return None
-        }
-        if (!enc.m.get("StmF").contains(PName("StdCF")) ||
-          !enc.m.get("StrF").contains(PName("StdCF"))) return None
-        std.m.get("CFM") match {
-          case Some(PName("AESV2")) => true
-          case Some(PName("V2")) => false
-          case _ => return None
-        }
+      else if (v == 4) stdCfm(Set("AESV2", "V2")) match {
+        case Some("AESV2") => true
+        case Some("V2") => false
+        case _ => return None
       } else return None
     val keyLen = if (v == 1) 5 else (num("Length", 40) / 8).toInt
     val o = str("O")
@@ -1741,6 +1754,7 @@ object Pdf {
       case "rc40" => (1, 2, 5, false)
       case "rc4128" => (2, 3, 16, false)
       case "aes128" => (4, 4, 16, true)
+      case "aes256" => (5, 6, 32, true)
       case m => throw new IllegalArgumentException(s"unknown mode $m")
     }
     val p = -3904 // print allowed, modify/copy/annotate denied
@@ -1748,12 +1762,31 @@ object Pdf {
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(StandardCharsets.ISO_8859_1))
     val id0 = dmd5("graft-id-" + mode)
-    val o = PdfCrypt.computeO("owner".getBytes(StandardCharsets.ISO_8859_1),
-      userPwd.getBytes(StandardCharsets.ISO_8859_1), r, keyLen)
-    val key = PdfCrypt.fileKey(userPwd.getBytes(StandardCharsets.ISO_8859_1),
-      o, p, id0, r, keyLen, encMeta = true)
-    val u = PdfCrypt.computeU(key, r, id0)
-    val fk = PdfCrypt.FileKey(key, aes)
+    val pwdB = userPwd.getBytes(StandardCharsets.ISO_8859_1)
+    val ownerB = "owner".getBytes(StandardCharsets.ISO_8859_1)
+    // V5: /U = hash2b(pwd, vSalt) ‖ vSalt ‖ kSalt; the file key is
+    // fresh material unwrapped from /UE; /O derives over U per spec
+    val (o, u, key, ueOe) =
+      if (v == 5) {
+        val vSalt = dmd5("vs-" + mode).take(8)
+        val kSalt = dmd5("ks-" + mode).take(8)
+        val fileKey = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(("fk-" + mode).getBytes(StandardCharsets.ISO_8859_1))
+        val u5 = PdfCrypt.hash2b(pwdB, vSalt, Array.empty) ++ vSalt ++ kSalt
+        val ue = PdfCrypt.aesNoPad(
+          PdfCrypt.hash2b(pwdB, kSalt, Array.empty), fileKey, encryptMode = true)
+        val ovSalt = dmd5("ovs-" + mode).take(8)
+        val okSalt = dmd5("oks-" + mode).take(8)
+        val o5 = PdfCrypt.hash2b(ownerB, ovSalt, u5) ++ ovSalt ++ okSalt
+        val oe = PdfCrypt.aesNoPad(
+          PdfCrypt.hash2b(ownerB, okSalt, u5), fileKey, encryptMode = true)
+        (o5, u5, fileKey, Some((ue, oe)))
+      } else {
+        val o4 = PdfCrypt.computeO(ownerB, pwdB, r, keyLen)
+        val k4 = PdfCrypt.fileKey(pwdB, o4, p, id0, r, keyLen, encMeta = true)
+        (o4, PdfCrypt.computeU(k4, r, id0), k4, None)
+      }
+    val fk = PdfCrypt.FileKey(key, aes, v5 = v == 5)
     def hex(b: Array[Byte]): String =
       "<" + b.map(x => f"${x & 0xFF}%02X").mkString + ">"
 
@@ -1790,6 +1823,10 @@ object Pdf {
       if (v == 4)
         " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
           " /StmF /StdCF /StrF /StdCF"
+      else if (v == 5)
+        " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>" +
+          " /StmF /StdCF /StrF /StdCF" +
+          ueOe.map { case (ue, oe) => s" /UE ${hex(ue)} /OE ${hex(oe)}" }.getOrElse("")
       else ""
     val encNum = objS(s"<< /Filter /Standard /V $v /R $r /Length ${keyLen * 8} " +
       s"/O ${hex(o)} /U ${hex(u)} /P $p$cfPart >>")

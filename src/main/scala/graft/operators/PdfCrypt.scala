@@ -21,9 +21,11 @@ package graft.operators
 object PdfCrypt {
 
   /** The resolved decryption context: the FILE key and the cipher the
-    * crypt filter names.
+    * crypt filter names. `v5` marks AES-256 (V5/R6), where the 32-byte
+    * file key applies to every object directly — no per-object MD5
+    * derivation (§7.6.2 applies only to V ≤ 4).
     */
-  final case class FileKey(key: Array[Byte], aes: Boolean)
+  final case class FileKey(key: Array[Byte], aes: Boolean, v5: Boolean = false)
 
   /** The 32-byte password pad (§7.6.3.3, Algorithm 2 step a). */
   val Pad: Array[Byte] = Array(
@@ -136,13 +138,76 @@ object PdfCrypt {
     md5(fk.key, ext, salt).take(math.min(fk.key.length + 5, 16))
   }
 
+  private def sha(alg: String, data: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance(alg).digest(data)
+
+  /** Algorithm 2.B (R6): the iterated SHA-256/384/512 + AES-CBC hash.
+    * Always ≥ 64 rounds, then until E's last byte ≤ round − 32; the
+    * 64-fold repetition keeps every AES input a 16-byte multiple for
+    * any password/udata length.
+    */
+  def hash2b(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", pwd ++ salt ++ udata)
+    var i = 0
+    var going = true
+    var e: Array[Byte] = Array.empty
+    while (going) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      (0 until 64).foreach(j => System.arraycopy(block, 0, k1, j * block.length, block.length))
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      e = c.doFinal(k1)
+      val mod = e.take(16).foldLeft(0)((acc, b) => (acc * 256 + (b & 0xFF)) % 3)
+      k = sha(Seq("SHA-256", "SHA-384", "SHA-512")(mod), e)
+      i += 1
+      going = i < 64 || (e(e.length - 1) & 0xFF) > i - 32
+    }
+    k.take(32)
+  }
+
+  /** AES-CBC without padding, fixed IV — the §7.6.4.3 key-unwrap
+    * primitive (UE/OE hold exactly 32 bytes; the Perms check uses ECB,
+    * not needed for the empty-user path).
+    */
+  def aesNoPad(key: Array[Byte], data: Array[Byte], encryptMode: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(
+      if (encryptMode) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(data)
+  }
+
+  /** V5 (AES-256) empty-user-password verification + key retrieval
+    * (§7.6.4.4.10 / 4.8): /U is hash(32) ‖ validation salt(8) ‖ key
+    * salt(8); R6 hashes via [[hash2b]], R5 via single SHA-256. On a
+    * match the 32-byte file key unwraps from /UE.
+    */
+  def emptyUserKeyV5(u: Array[Byte], ue: Array[Byte], r: Int): Option[FileKey] = {
+    if (u.length < 48 || ue.length < 32) return None
+    val vSalt = u.slice(32, 40)
+    val kSalt = u.slice(40, 48)
+    def h(salt: Array[Byte]): Array[Byte] =
+      if (r == 6) hash2b(Array.empty, salt, Array.empty)
+      else sha("SHA-256", salt) // R5: SHA-256(pwd ‖ salt), pwd empty
+    val expect = h(vSalt)
+    if (!(0 until 32).forall(i => expect(i) == u(i))) return None
+    try Some(FileKey(aesNoPad(h(kSalt), ue.take(32), encryptMode = false),
+      aes = true, v5 = true))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decrypt one string/stream's bytes under the object's key. AES
     * payloads carry their IV in the first 16 bytes and PKCS#5 padding;
     * a malformed AES payload (bad length, bad padding) is None — the
     * caller degrades, never emits garbage.
     */
   def decrypt(fk: FileKey, num: Int, gen: Int, data: Array[Byte]): Option[Array[Byte]] = {
-    val ok = objectKey(fk, num, gen)
+    val ok = if (fk.v5) fk.key else objectKey(fk, num, gen)
     if (!fk.aes) Some(rc4(ok, data))
     else {
       if (data.length < 32 || data.length % 16 != 0) return None
@@ -166,7 +231,7 @@ object PdfCrypt {
     */
   def encrypt(fk: FileKey, num: Int, gen: Int, data: Array[Byte],
       iv: Array[Byte]): Array[Byte] = {
-    val ok = objectKey(fk, num, gen)
+    val ok = if (fk.v5) fk.key else objectKey(fk, num, gen)
     if (!fk.aes) rc4(ok, data)
     else {
       val padN = 16 - data.length % 16

@@ -1528,18 +1528,18 @@ object DumpQueries {
     ),
 
     // OFFICE TRIAGE — the media-triage pattern on documents: a mixed
-    // stream of ALL TEN routed kinds — docx / pptx / grid xlsx / rtf /
-    // the three ODF subtypes discriminated on the mandatory mimetype
-    // member (odt text, ods spreadsheet, odp presentation) / a legacy
-    // Word 97 CFB binary (extracted through the FIB + piece table) /
-    // a REAL encrypted-OOXML shell / junk — routes by CONTENT and
-    // extracts on the same container walk. One scan, route before
-    // decode, map-only; the oracle re-derives kind, units and text per
-    // arm.
+    // stream of ALL TWELVE routed kinds — docx / pptx / grid xlsx /
+    // rtf / the three ODF subtypes discriminated on the mandatory
+    // mimetype member (odt text, ods spreadsheet, odp presentation) /
+    // the three legacy CFB binaries (Word piece table, Excel BIFF8
+    // grid, PowerPoint text atoms) / a REAL encrypted-OOXML shell /
+    // junk — routes by CONTENT and extracts on the same container
+    // walk. One scan, route before decode, map-only; the oracle
+    // re-derives kind, units and text per arm.
     Q(
       "q_office_triage",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 10) match {
+        val mk = udf((k: Long) => (k % 12) match {
           case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
@@ -1551,7 +1551,10 @@ object DumpQueries {
           case 6 => s"legacy junk $k".getBytes("UTF-8")
           case 7 => graft.operators.Doc.doc(Seq(s"legacy word $k", s"body $k"))
           case 8 => graft.operators.Odt.ods(Seq(Seq(s"sheet cell $k", "2")))
-          case _ => graft.operators.Odt.odp(Seq(Seq(s"deck $k")))
+          case 9 => graft.operators.Odt.odp(Seq(Seq(s"deck $k")))
+          case 10 => graft.operators.Ppt.ppt(Seq(Seq(s"old deck $k", s"pt $k")))
+          case _ => graft.operators.Xls.xls(Seq(
+            (1, Seq(("s", s"sheet97 $k"), ("n", "7")))))
         })
         val out = graft.operators.Office.routedText(
           Q.t(spark, dir, "nation")
@@ -1564,15 +1567,17 @@ object DumpQueries {
       Some(
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
           |SELECT k AS media_id,
-          |  CASE CAST(k % 10 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |  CASE CAST(k % 12 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
           |    WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
           |    WHEN 5 THEN 'encrypted' WHEN 6 THEN 'unknown'
-          |    WHEN 7 THEN 'doc' WHEN 8 THEN 'ods' ELSE 'odp' END AS kind,
-          |  CAST(CASE CAST(k % 10 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
+          |    WHEN 7 THEN 'doc' WHEN 8 THEN 'ods' WHEN 9 THEN 'odp'
+          |    WHEN 10 THEN 'ppt' ELSE 'xls' END AS kind,
+          |  CAST(CASE CAST(k % 12 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
           |    WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 3
           |    WHEN 7 THEN 2 WHEN 8 THEN 2 WHEN 9 THEN 1
+          |    WHEN 10 THEN 2 WHEN 11 THEN 2
           |    ELSE 0 END AS INT) AS n_units,
-          |  CASE CAST(k % 10 AS INT)
+          |  CASE CAST(k % 12 AS INT)
           |    WHEN 0 THEN 'word doc ' || k
           |    WHEN 1 THEN 'slide ' || k
           |    WHEN 2 THEN 'odt doc ' || k || chr(10) || 'tail end'
@@ -1581,6 +1586,8 @@ object DumpQueries {
           |    WHEN 7 THEN 'legacy word ' || k || chr(10) || 'body ' || k
           |    WHEN 8 THEN 'sheet cell ' || k || chr(10) || '2'
           |    WHEN 9 THEN 'deck ' || k
+          |    WHEN 10 THEN 'old deck ' || k || chr(10) || 'pt ' || k
+          |    WHEN 11 THEN 'sheet97 ' || k || chr(9) || '7'
           |    ELSE NULL END AS text
           |FROM n""".stripMargin
       )
@@ -1844,6 +1851,91 @@ object DumpQueries {
           |      CAST(n_nationkey * 2 AS VARCHAR)
           |  END AS text
           |FROM nation""".stripMargin
+      )
+    ),
+
+    // LEGACY .ppt (PowerPoint 97) — the record-atom walk over the
+    // PowerPoint Document stream: TextBytesAtom (cp1252) and
+    // TextCharsAtom (UTF-16LE) bodies alternate in the fixture so both
+    // decoders prove out; Notes-container text (speaker notes) never
+    // surfaces; a DocumentEncryptionAtom keeps the honest degrade.
+    // Arms per k%4: two ok shapes, encrypted, junk-CFB. Map-only.
+    Q(
+      "q_ppt_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 2 => graft.operators.Ppt.ppt(Seq(Seq(s"locked $k")), encrypted = true)
+          case 3 => graft.operators.Docx.encryptedFixture(k) // junk OLE
+          case _ => graft.operators.Ppt.ppt(
+            Seq(Seq(s"Deck $k", s"point $k")) ++
+              (if (k % 2 == 0) Seq(Seq(s"End $k")) else Seq.empty))
+        })
+        val out = graft.operators.Ppt.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 'encrypted' WHEN 3 THEN 'cfb' ELSE 'ok' END AS stage,
+          |  CAST(CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 0 WHEN 3 THEN 0
+          |    ELSE 2 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END
+          |  END AS INT) AS n_paragraphs,
+          |  CASE WHEN n_nationkey % 4 IN (2, 3) THEN NULL
+          |    ELSE 'Deck ' || n_nationkey || chr(10) || 'point ' || n_nationkey ||
+          |      CASE WHEN n_nationkey % 2 = 0
+          |        THEN chr(10) || 'End ' || n_nationkey ELSE '' END
+          |  END AS text
+          |FROM nation""".stripMargin
+      )
+    ),
+
+    // LEGACY .xls (Excel 97 BIFF8) — the record walk over the Workbook
+    // stream: the SST shared-string table (spilled into a CONTINUE
+    // mid-string with the re-stated compression flag on every third
+    // key — the format's hard rule), LabelSst references, inline
+    // Labels, RK-packed integers and full IEEE Numbers, rows STORED
+    // in reverse and emitted row-major (the grid discipline shared
+    // with q_xlsx_cells). Junk emits nothing. Map-only.
+    Q(
+      "q_xls_cells",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 3) match {
+          case 2 => s"junk workbook $k".getBytes("UTF-8")
+          case m => graft.operators.Xls.xls(Seq(
+            (1, Seq(("s", s"Name $k"), ("s", "Qty"))),
+            (2, Seq(("l", s"widget $k"), ("n", s"${k * 2}"))),
+            (3, Seq(("n", "3.5"), ("s", s"Name $k")))),
+            split = m == 0)
+        })
+        val out = graft.operators.Xls.cellRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+          |           WHERE n_nationkey % 3 < 2),
+          |c(r, c, v_tpl) AS (VALUES
+          |  (1, 1, 'Name #'), (1, 2, 'Qty'),
+          |  (2, 1, 'widget #'), (2, 2, '2#'),
+          |  (3, 1, '3.5'), (3, 2, 'Name #'))
+          |SELECT n.k AS media_id, CAST(1 AS INT) AS sheet_no,
+          |  CAST(c.r AS INT) AS row_no, CAST(c.c AS INT) AS col_no,
+          |  CASE c.v_tpl
+          |    WHEN 'Name #' THEN 'Name ' || n.k
+          |    WHEN 'widget #' THEN 'widget ' || n.k
+          |    WHEN '2#' THEN CAST(n.k * 2 AS VARCHAR)
+          |    ELSE c.v_tpl END AS value
+          |FROM n, c""".stripMargin
       )
     ),
 

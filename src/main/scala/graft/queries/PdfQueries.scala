@@ -84,9 +84,10 @@ object PdfQueries {
     // PDF DECRYPTION — the standard security handler with an EMPTY
     // user password (ISO 32000-1 §7.6.3), the second-largest
     // real-world PDF degrade converted to yield: owner-password-only
-    // files verify against /U (Algorithm 6) and then decrypt per
-    // object — RC4-40 (V1/R2), RC4-128 (V2/R3) and AES-128-CBC
-    // (V4/R4 /AESV2) arms all open; a NON-empty user password keeps
+    // files verify against /U (Algorithm 6; the iterated 2.B hash +
+    // /UE key unwrap for V5) and then decrypt per object — RC4-40
+    // (V1/R2), RC4-128 (V2/R3), AES-128-CBC (V4/R4 /AESV2) and
+    // AES-256 (V5/R6 /AESV3) arms all open; a NON-empty user password keeps
     // the honest 'encrypted' degrade (the verifier decides BEFORE any
     // byte decrypts — never a guessed decode). The fixture derives
     // /O and /U from the published algorithms, so the gate proves
@@ -94,12 +95,12 @@ object PdfQueries {
     Q(
       "q_pdf_decrypt",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 5) match {
-          case 3 => Pdf.encryptedPdf(Seq(Seq(s"locked $k")), "aes128",
+        val mk = udf((k: Long) => (k % 6) match {
+          case 4 => Pdf.encryptedPdf(Seq(Seq(s"locked $k")), "aes256",
             userPwd = "hunter2")
-          case 4 => s"junk pdf $k".getBytes("UTF-8")
+          case 5 => s"junk pdf $k".getBytes("UTF-8")
           case m =>
-            val mode = Seq("rc40", "rc4128", "aes128")(m.toInt)
+            val mode = Seq("rc40", "rc4128", "aes128", "aes256")(m.toInt)
             Pdf.encryptedPdf(Seq(
               Seq(s"open doc $k", s"line two $k"), Seq(s"page two $k")), mode)
         })
@@ -114,11 +115,11 @@ object PdfQueries {
       Some(
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
           |SELECT k AS media_id,
-          |  CAST(CASE CAST(k % 5 AS INT) WHEN 3 THEN 1 WHEN 4 THEN 0
+          |  CAST(CASE CAST(k % 6 AS INT) WHEN 4 THEN 1 WHEN 5 THEN 0
           |    ELSE 2 END AS INT) AS n_pages,
-          |  CASE CAST(k % 5 AS INT) WHEN 3 THEN 'encrypted'
-          |    WHEN 4 THEN 'parse' ELSE 'ok' END AS stage,
-          |  CASE WHEN k % 5 IN (3, 4) THEN NULL
+          |  CASE CAST(k % 6 AS INT) WHEN 4 THEN 'encrypted'
+          |    WHEN 5 THEN 'parse' ELSE 'ok' END AS stage,
+          |  CASE WHEN k % 6 IN (4, 5) THEN NULL
           |    ELSE 'open doc ' || k || chr(10) || 'line two ' || k ||
           |      chr(10) || 'page two ' || k
           |  END AS text

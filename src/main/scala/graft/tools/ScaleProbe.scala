@@ -853,6 +853,33 @@ object ScaleProbe {
             .withColumn("payload", mk(col("media_id"))),
           "media_id", "payload").count()
       }
+      // legacy .xls: CFB walk + BIFF8 record run + SST resolve,
+      // map-only — wall must track the blob count
+      probe(s"xls_cells x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Xls.xls(Seq(
+            (1, Seq(("s", s"Name $s"), ("n", s"$s"))),
+            (2, Seq(("l", s"widget $s"), ("n", "3.5")))), split = id % 3 == 0)
+        })
+        graft.operators.Xls.cellRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload").count()
+      }
+      // legacy .ppt: CFB walk + record-atom tree descent, map-only —
+      // wall must track the blob count
+      probe(s"ppt_text x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Ppt.ppt(Seq(Seq(s"deck $s title", s"point $s")))
+        })
+        graft.operators.Ppt.textRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("stage") === "ok").count()
+      }
       // avro container walk: block split + inflate + record decode,
       // all map-only — wall must track the blob count (each doc row
       // becomes one 6-record deflate container)

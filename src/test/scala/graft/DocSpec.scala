@@ -68,7 +68,9 @@ class DocSpec extends SparkSpec {
     assert(Office.detect(Doc.doc(Seq("x"), encrypted = true)) == "encrypted")
     assert(Office.detect(Cfb.encryptedOoxmlFixture(1L)) == "encrypted")
     assert(Office.detect(Docx.encryptedFixture(1L)) == "cfb")
-    assert(Office.detect(Cfb.cfb(Seq(("Workbook", "xls".getBytes("UTF-8"))))) == "cfb")
+    // sibling legacy binaries route to their OWN readers now
+    assert(Office.detect(Cfb.cfb(Seq(("Workbook", "xls".getBytes("UTF-8"))))) == "xls")
+    assert(Office.detect(Cfb.cfb(Seq(("SomeOther", "x".getBytes("UTF-8"))))) == "cfb")
   }
 
   test("textRows: distributed walk map-only; mixed outcomes coexist") {

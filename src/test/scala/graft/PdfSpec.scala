@@ -195,7 +195,7 @@ class PdfSpec extends SparkSpec {
   }
 
   test("encrypted, EMPTY user password: RC4-40/128 and AES-128 open; wrong subset holds") {
-    Seq("rc40", "rc4128", "aes128").foreach { mode =>
+    Seq("rc40", "rc4128", "aes128", "aes256").foreach { mode =>
       val d = Pdf.extractText(Pdf.encryptedPdf(
         Seq(Seq("secret line one", "and two"), Seq("page two")), mode))
       assert(d.stage == "ok", s"mode=$mode stage=${d.stage}")
@@ -203,10 +203,13 @@ class PdfSpec extends SparkSpec {
       assert(d.text.contains("secret line one") && d.text.contains("page two"), mode)
     }
     // a NON-empty user password must keep the honest degrade — the
-    // verifier (Algorithm 6 against /U) decides before any decrypt
-    val locked = Pdf.extractText(
-      Pdf.encryptedPdf(Seq(Seq("x")), "rc4128", userPwd = "hunter2"))
-    assert(locked.stage == "encrypted" && locked.text == null)
+    // verifier (Algorithm 6 against /U; 2.B for V5) decides before
+    // any decrypt
+    Seq("rc4128", "aes256").foreach { mode =>
+      val locked = Pdf.extractText(
+        Pdf.encryptedPdf(Seq(Seq("x")), mode, userPwd = "hunter2"))
+      assert(locked.stage == "encrypted" && locked.text == null, mode)
+    }
     // a tampered /U (corrupt auth data) also keeps degrading
     val b = Pdf.encryptedPdf(Seq(Seq("y")), "rc40")
     val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
