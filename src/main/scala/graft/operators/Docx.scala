@@ -260,8 +260,11 @@ object Docx {
       ("word/document.xml", document.getBytes(UTF_8))), deflate = false)
   }
 
-  /** An "encrypted" fixture: the CFB signature over opaque bytes —
-    * what the reader must classify WITHOUT attempting a decrypt.
+  /** An OPAQUE-OLE fixture: the CFB signature over junk bytes. Since
+    * the round-19 container walk this classifies as `cfb` (an OLE
+    * that is neither a readable legacy binary nor a verifiable
+    * encrypted shell) — use [[Cfb.encryptedOoxmlFixture]] for the
+    * `encrypted` verdict.
     */
   def encryptedFixture(seed: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

@@ -940,21 +940,23 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the ten ingest families this engine
-    // reads — published dumps (bz2 XML → wikitext strip), crawl
+    // THE SOURCE-UNION CAPSTONE: the twelve ingest families this
+    // engine reads — published dumps (bz2 XML → wikitext strip), crawl
     // archives (WARC → HTTP → text), PDFs (xref → content streams →
     // text), DOCX documents (zip → word/document.xml → paragraphs),
     // legacy Word binaries (CFB → FIB → piece table), PPTX decks
-    // (zip → slides → DrawingML bodies), EPUB books (zip → OPF spine
-    // → chapters), arXiv LaTeX (tar.gz → macro strip), Avro
-    // containers (blocks → string records), and dataset shards (tar →
-    // samples) — land in ONE corpus frame, deduped exactly ACROSS
-    // sources (texts collide across families by construction; the
-    // canonical-source rank breaks ties: dump > crawl > pdf > docx >
-    // doc > pptx > epub > latex > avro > shard) with per-source
-    // admission accounting. Two shuffles total: the text-keyed dedup
-    // window and the per-source rollup; every reader upstream is the
-    // map-only walk its own gate already pins.
+    // (zip → slides → DrawingML bodies), legacy PowerPoint (CFB →
+    // text atoms), legacy Excel grids (CFB → BIFF8 records), EPUB
+    // books (zip → OPF spine → chapters), arXiv LaTeX (tar.gz → macro
+    // strip), Avro containers (blocks → string records), and dataset
+    // shards (tar → samples) — land in ONE corpus frame, deduped
+    // exactly ACROSS sources (texts collide across families by
+    // construction; the canonical-source rank breaks ties: dump >
+    // crawl > pdf > docx > doc > pptx > ppt > xls > epub > latex >
+    // avro > shard) with per-source admission accounting. Two shuffles
+    // total: the text-keyed dedup window and the per-source rollup;
+    // every reader upstream is the map-only walk its own gate already
+    // pins.
     Q(
       "q_corpus_union",
       (spark, dir) => {
@@ -1023,6 +1025,22 @@ object DumpQueries {
           .select(col("media_id"), col("text"))
           .withColumn("source", lit("pptx"))
 
+        val pptMk = udf((k: Long) => graft.operators.Ppt.ppt(Seq(Seq(
+          if (k % 29 == 0) s"common ${k % 4}" else s"ppt only $k"))))
+        val pptSrc = graft.operators.Ppt.textRows(
+          keys.withColumn("payload", pptMk(col("media_id"))), "media_id", "payload")
+          .filter(col("stage") === "ok")
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("ppt"))
+
+        val xlsMk = udf((k: Long) => graft.operators.Xls.xls(Seq((1, Seq(
+          ("s", if (k % 31 == 0) s"common ${k % 4}" else s"xls only $k"))))))
+        val xlsSrc = graft.operators.Xls.textRows(
+          keys.withColumn("payload", xlsMk(col("media_id"))), "media_id", "payload")
+          .filter(col("stage") === "ok")
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("xls"))
+
         val epubMk = udf((k: Long) => graft.operators.Epub.epub(Seq(
           ("c0.xhtml", if (k % 9 == 0) s"common ${k % 4}" else s"epub only $k"))))
         val epubSrc = graft.operators.Epub.chapterRows(
@@ -1058,6 +1076,7 @@ object DumpQueries {
 
         val all = dump.unionByName(crawl).unionByName(pdfSrc)
           .unionByName(docxSrc).unionByName(docSrc).unionByName(pptxSrc)
+          .unionByName(pptSrc).unionByName(xlsSrc)
           .unionByName(epubSrc).unionByName(latexSrc)
           .unionByName(avroSrc).unionByName(shard)
           .withColumn("rank",
@@ -1067,9 +1086,11 @@ object DumpQueries {
               .when(col("source") === "docx", 3)
               .when(col("source") === "doc", 4)
               .when(col("source") === "pptx", 5)
-              .when(col("source") === "epub", 6)
-              .when(col("source") === "latex", 7)
-              .when(col("source") === "avro", 8).otherwise(9))
+              .when(col("source") === "ppt", 6)
+              .when(col("source") === "xls", 7)
+              .when(col("source") === "epub", 8)
+              .when(col("source") === "latex", 9)
+              .when(col("source") === "avro", 10).otherwise(11))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1113,22 +1134,32 @@ object DumpQueries {
           |         ELSE 'pptx only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'epub', 6, k,
+          |  SELECT 'ppt', 6, k,
+          |    CASE WHEN k % 29 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'ppt only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'xls', 7, k,
+          |    CASE WHEN k % 31 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'xls only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'epub', 8, k,
           |    CASE WHEN k % 9 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'epub only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'latex', 7, k,
+          |  SELECT 'latex', 9, k,
           |    CASE WHEN k % 17 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'latex only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'avro', 8, k,
+          |  SELECT 'avro', 10, k,
           |    CASE WHEN k % 11 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'avro only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 9, k,
+          |  SELECT 'shard', 11, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n

@@ -51,6 +51,27 @@ class DocSpec extends SparkSpec {
     assert(Doc.read(Cfb.encryptedOoxmlFixture(4L)).stage == "encrypted")
   }
 
+  test("doc: Prc entries before the Pcdt skip; malformed Clx degrades as clx") {
+    // splice a Prc (0x01 + 2-byte count + grpprl payload) ahead of the
+    // Pcdt inside the table stream, re-pointing fcClx — real Word
+    // files carry property modifiers there
+    val base = Doc.doc(Seq("piece table", "with properties"))
+    val parsed = Cfb.parse(base).get
+    val clx = parsed.streams("0Table")
+    val prc = Array[Byte](0x01, 4, 0) ++ Array[Byte](9, 9, 9, 9)
+    val wd = parsed.streams("WordDocument").clone
+    // lcbClx at 0x01A6 grows by the Prc's length (fcClx stays 0)
+    val lcb = clx.length + prc.length
+    (0 until 4).foreach(i => wd(0x01A6 + i) = ((lcb >> (8 * i)) & 0xFF).toByte)
+    val spliced = Cfb.cfb(Seq(("WordDocument", wd), ("0Table", prc ++ clx)))
+    val d = Doc.read(spliced)
+    assert(d.stage == "ok" && d.paragraphs == Seq("piece table", "with properties"))
+    // a Clx that is neither Prc nor Pcdt degrades countably
+    val junk = Cfb.cfb(Seq(("WordDocument", wd),
+      ("0Table", Array.fill[Byte](lcb)(0x7F))))
+    assert(Doc.read(junk).stage == "clx")
+  }
+
   test("doc adversarial: truncation and bit flips never throw") {
     val whole = Doc.doc(Seq("alpha", "beta gamma"))
     (1 until whole.length by 113).foreach { n =>

@@ -89,6 +89,20 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.colOf("A1") == 1 && Xlsx.colOf("Z9") == 26 && Xlsx.colOf("AA3") == 27)
   }
 
+  test("grid: multiple worksheet parts emit in part-number order") {
+    def sheet(cell: String) =
+      (s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        s"""<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>$cell</t></is></c></row>""" +
+        "</sheetData></worksheet>").getBytes("UTF-8")
+    // stored out of order: sheet2 before sheet1
+    val b = graft.operators.ZipShard.zip(Seq(
+      ("xl/workbook.xml", "<workbook/>".getBytes("UTF-8")),
+      ("xl/worksheets/sheet2.xml", sheet("second")),
+      ("xl/worksheets/sheet1.xml", sheet("first"))), deflate = false)
+    val g = Xlsx.readGrid(b)
+    assert(g.cells.map(c => (c.sheet, c.value)) == Seq((1, "first"), (2, "second")))
+  }
+
   test("grid: attribute-less rows/cells continue after their predecessor") {
     // streaming-writer shorthand: no r attributes anywhere
     val sheet =
