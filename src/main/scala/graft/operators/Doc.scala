@@ -19,9 +19,14 @@ import org.apache.spark.sql.DataFrame
   * Paragraph model: pieces concatenate in CP order; `\r` (and the
   * table cell/row mark 0x07) end a paragraph, 0x0B (the manual line
   * break) becomes NEWLINE inside one, TAB keeps, every other control
-  * char below 0x20 (field marks 0x13/0x14/0x15, the object anchors)
-  * drops. A final paragraph mark TERMINATES (no empty trailing
-  * paragraph — Word always stores one).
+  * char below 0x20 drops. FIELDS (§2.8.25): 0x13 opens the field's
+  * INSTRUCTION part (the `HYPERLINK "…"` command — not prose, it
+  * suppresses whole), 0x14 switches to the visible RESULT part, 0x15
+  * closes; fields nest (a TOC holds hyperlinks), and a char surfaces
+  * only when every enclosing field sits in its result part. Paragraph
+  * marks stay structural regardless (fields legally span paragraphs).
+  * A final paragraph mark TERMINATES (no empty trailing paragraph —
+  * Word always stores one).
   *
   * Degrades, all countable: not a parseable CFB → `cfb`; a CFB
   * without a `WordDocument` stream (an .xls/.ppt/other OLE) → `part`;
@@ -111,21 +116,30 @@ object Doc {
       k += 1
     }
 
-    // paragraph assembly under the stated control-char rules
+    // paragraph assembly under the stated control-char + field rules
     val out = Vector.newBuilder[String]
     val para = new java.lang.StringBuilder
     var sawFinalMark = false
+    var fieldStack = List.empty[Boolean] // true = in the instruction part
     val text = sb.toString
     var j = 0
     while (j < text.length) {
       val c = text.charAt(j)
-      if (c == '\r' || c == 0x07) {
+      if (c == '\r' || c == 0x07) { // structural: fields notwithstanding
         out += para.toString; para.setLength(0)
         sawFinalMark = j == text.length - 1
       }
-      else if (c == 0x0B) para.append('\n'): Unit
-      else if (c == '\t' || c >= 0x20) para.append(c): Unit
-      // other control chars (field marks, anchors) drop
+      else if (c == 0x13) fieldStack = true :: fieldStack
+      else if (c == 0x14) fieldStack = fieldStack match {
+        case _ :: t => false :: t
+        case Nil => Nil // stray separator: ignore
+      }
+      else if (c == 0x15) fieldStack = fieldStack.drop(1)
+      else if (!fieldStack.contains(true)) {
+        if (c == 0x0B) para.append('\n'): Unit
+        else if (c == '\t' || c >= 0x20) para.append(c): Unit
+        // other control chars (anchors, deleted marks) drop
+      }
       j += 1
     }
     if (!sawFinalMark && para.length > 0) out += para.toString
@@ -165,9 +179,10 @@ object Doc {
     * the first stored 8-bit cp1252 when its chars allow, the second
     * UTF-16LE — so the gate exercises the piece machinery, not just a
     * flat read. `ccpText` covers exactly this text; a poison FOOTNOTE
-    * range rides after it in CP space to prove the main-range clip.
-    * `encrypted = true` sets fEncrypted over junk — classification
-    * without a decrypt.
+    * range rides after it in CP space to prove the main-range clip,
+    * and the first paragraph wraps in a HYPERLINK field whose
+    * instruction text must never surface. `encrypted = true` sets
+    * fEncrypted over junk — classification without a decrypt.
     */
   def doc(paras: Seq[String], encrypted: Boolean = false): Array[Byte] = {
     if (encrypted) {
@@ -177,7 +192,16 @@ object Doc {
       w16(fib, 0x0A, FEncrypted)
       return Cfb.cfb(Seq(("WordDocument", fib), ("0Table", new Array[Byte](64))))
     }
-    val main = paras.map(_.replace("\n", "")).map(_ + "\r").mkString
+    // the FIRST paragraph always wraps in a HYPERLINK field whose
+    // instruction part is poison: a correct reader extracts exactly
+    // `paras` (the field is transparent), a naive one leaks the
+    // command text into the prose
+    val main = paras.zipWithIndex.map { case (p, idx) =>
+      val body = p.replace("\n", 0x0B.toChar.toString)
+      (if (idx == 0 && body.nonEmpty)
+        s"${0x13.toChar}HYPERLINK \"http://fixture.invalid/f\" ${0x14.toChar}$body${0x15.toChar}"
+      else body) + "\r"
+    }.mkString
     val poison = "FOOTNOTE MUST NOT SURFACE\r"
     val text = main + poison
     val split = main.length / 2

@@ -35,6 +35,9 @@ class DocSpec extends SparkSpec {
     assert(d.paragraphs == Seq("Hello legacy", "tab\there", "line\nbreak"))
     // the poison footnote text past ccpText never surfaces
     assert(!d.paragraphs.mkString.contains("FOOTNOTE"))
+    // the hyperlink field wrapping paragraph 1 is transparent: its
+    // instruction part (the HYPERLINK command) never leaks into prose
+    assert(!d.paragraphs.mkString.contains("HYPERLINK"))
   }
 
   test("doc degrades: encrypted FIB, junk CFB, non-Word OLE, junk bytes") {
