@@ -316,4 +316,23 @@ object Unigram {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("pos"), col("token_id"))
   }
+
+  /** Inverse of [[encodeIds]] under the same vocabulary — reassemble
+    * each document's whitespace-stripped text from its id stream
+    * ([[Vocab.decodeIds]]' exact shape and contract). The round trip
+    * `decodeIds(encodeIds(docs)) == strip-spaces(docs)` holds only
+    * when segmentation covered every word, ids mapped to the right
+    * pieces, and positions carried exact document order. One
+    * doc-keyed shuffle + the bounded piece-table broadcast.
+    */
+  def decodeIds(ids: DataFrame, idCol: String, vocab: DataFrame): DataFrame = {
+    val pid = pieceIds(vocab).select(col("tid").as("token_id"), col("piece"))
+    ids
+      .join(broadcast(pid), "token_id")
+      .groupBy(col(idCol))
+      .agg(concat_ws("",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("piece")))),
+          x => x.getField("piece"))).as("text_nospace"))
+  }
 }

@@ -1355,6 +1355,40 @@ object TokenizerQueries {
       )
     ),
 
+    // UNIGRAM ROUND TRIP — the end-to-end integrity check at parity
+    // with q_ids_roundtrip: decode(encode(docs)) reassembles each
+    // document's whitespace-stripped text from its id stream, which
+    // holds only if segmentation covered every word, ids mapped to the
+    // right pieces, and positions carried exact order. The oracle is
+    // id-chain-INDEPENDENT (a plain strip of the fixture text), so
+    // only a lossless pipeline can match it.
+    Q(
+      "q_unigram_roundtrip",
+      (spark, dir) => {
+        val model = graft.operators.Unigram.seed(
+          unigramDocs(spark, dir), "text", maxLen = 3, topN = 3)
+        val out = graft.operators.Unigram.decodeIds(
+          graft.operators.Unigram.encodeIds(
+            unigramDocsKeyed(spark, dir), "doc_id", "text", model, maxLen = 3),
+          "doc_id", model)
+        // the CORPUS crosses the wire twice (the encode position
+        // window + the decode doc rollup); the other five exchanges in
+        // the plan are all on the VOCAB side (seed counts + the piece
+        // ranking), bounded by topN + alphabet — shuffles of a frame
+        // that fits a broadcast
+        Q.requireMaxShuffles(out, 7)
+        Q.requireBroadcastJoin(out)
+        out
+      },
+      Some(
+        """WITH un AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+          |SELECT k AS doc_id,
+          |  'ababc' || CASE WHEN k % 2 = 0 THEN 'ab' ELSE 'cb' END || 'b'
+          |    AS text_nospace
+          |FROM un""".stripMargin
+      )
+    ),
+
     // UNIGRAM PIPELINE CAPSTONE — the whole family composed end to
     // end: corpus → word counts → seed → EM × 2 → prune-to-target →
     // id emission, every stage the SAME operator (and the oracle the

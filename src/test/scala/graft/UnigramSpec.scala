@@ -130,6 +130,11 @@ class UnigramSpec extends SparkSpec {
     val ids = Unigram.encodeIds(docs, "doc_id", "text", vocab).collect()
       .map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(ids == Seq((1L, 2L), (2L, 2L)))
+    // and the decode round trip reassembles the stripped text
+    val rt = Unigram.decodeIds(
+      Unigram.encodeIds(docs, "doc_id", "text", vocab), "doc_id", vocab)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rt == Seq((1L, "abab")))
   }
 
   test("prune + encode: chars never pruned; encode emits pieces and NULLs") {
