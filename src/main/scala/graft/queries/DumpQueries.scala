@@ -1627,25 +1627,32 @@ object DumpQueries {
     // OFFICE PIPELINE — the triage COMPOSED into curation: the mixed
     // stream routes (one map-only scan), extracted text feeds the
     // token counter, a minimum-length screen decides admission (the
-    // two-token pptx arm REJECTS at the 3-token floor — the screen
-    // provably decides, it doesn't rubber-stamp), and the per-kind
-    // rollup pays the pipeline's ONE shuffle. The oracle re-derives
-    // docs/admitted/token totals from the k%7 fixture grid.
+    // two-token pptx AND odp arms REJECT at the 3-token floor while
+    // the xls arm sits exactly ON it — the screen provably decides in
+    // both directions), and the per-kind rollup pays the pipeline's
+    // ONE shuffle. The fixture grid is q_office_triage's k%12 grid
+    // VERBATIM, so the routing the triage pins and the accounting this
+    // gate pins can never drift; the oracle re-derives docs/admitted/
+    // token totals per kind.
     Q(
       "q_office_pipeline",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 8) match {
+        val mk = udf((k: Long) => (k % 12) match {
           case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
           case 3 => s"{\\rtf1\\ansi legacy $k\\par tail $k}".getBytes("ISO-8859-1")
-          // the GRID xlsx surface: inline + shared cells, one row →
-          // tab-joined prose, same 4-token admission mass as before
           case 4 => graft.operators.Xlsx.xlsxGrid(Seq(
-            (1, Seq(("s", s"cell $k"), ("is", s"note $k")))))
+            (1, Seq(("s", s"cell $k"), ("n", s"$k"))),
+            (2, Seq(("is", s"note $k")))))
           case 5 => graft.operators.Cfb.encryptedOoxmlFixture(k)
           case 6 => s"legacy junk $k".getBytes("UTF-8")
-          case _ => graft.operators.Doc.doc(Seq(s"legacy report $k", s"tail $k"))
+          case 7 => graft.operators.Doc.doc(Seq(s"legacy word $k", s"body $k"))
+          case 8 => graft.operators.Odt.ods(Seq(Seq(s"sheet cell $k", "2")))
+          case 9 => graft.operators.Odt.odp(Seq(Seq(s"deck $k")))
+          case 10 => graft.operators.Ppt.ppt(Seq(Seq(s"old deck $k", s"pt $k")))
+          case _ => graft.operators.Xls.xls(Seq(
+            (1, Seq(("s", s"sheet97 $k"), ("n", "7")))))
         })
         val routed = graft.operators.Office.routedText(
           Q.t(spark, dir, "nation")
@@ -1667,12 +1674,15 @@ object DumpQueries {
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
           |r AS (
           |  SELECT k,
-          |    CASE CAST(k % 8 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |    CASE CAST(k % 12 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
           |      WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
           |      WHEN 5 THEN 'encrypted' WHEN 6 THEN 'unknown'
-          |      ELSE 'doc' END AS kind,
-          |    CASE CAST(k % 8 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 5
-          |      WHEN 3 THEN 4 WHEN 4 THEN 4 WHEN 7 THEN 5 ELSE 0 END AS n_tokens
+          |      WHEN 7 THEN 'doc' WHEN 8 THEN 'ods' WHEN 9 THEN 'odp'
+          |      WHEN 10 THEN 'ppt' ELSE 'xls' END AS kind,
+          |    CASE CAST(k % 12 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 5
+          |      WHEN 3 THEN 4 WHEN 4 THEN 5 WHEN 7 THEN 5
+          |      WHEN 8 THEN 4 WHEN 9 THEN 2 WHEN 10 THEN 5 WHEN 11 THEN 3
+          |      ELSE 0 END AS n_tokens
           |  FROM n)
           |SELECT kind, CAST(COUNT(*) AS BIGINT) AS docs,
           |  CAST(SUM(CASE WHEN n_tokens >= 3 THEN 1 ELSE 0 END) AS BIGINT)
