@@ -153,7 +153,12 @@ object Cfb {
         }
         out
     }
-    val entries = (0 until dirBytes.length / 128).flatMap { k =>
+    // raw entries with their red-black-tree pointers, indexed by slot
+    // (the slot number IS the pointer space left/right/child live in)
+    final case class RawEntry(name: String, typ: Int, start: Long, size: Long,
+        left: Long, right: Long, child: Long)
+    val nSlots = dirBytes.length / 128
+    val raw: IndexedSeq[Option[RawEntry]] = (0 until nSlots).map { k =>
       val off = k * 128
       val nameLen = u16(dirBytes, off + 64)
       val typ = dirBytes(off + 66) & 0xFF
@@ -164,10 +169,46 @@ object Cfb {
         val size =
           if (shift == 9) u32(dirBytes, off + 120) // v3: low 32 bits only
           else u32(dirBytes, off + 120) | (u32(dirBytes, off + 124) << 32)
-        Some(Entry(name, typ, start, size))
+        Some(RawEntry(name, typ, start, size,
+          u32(dirBytes, off + 68), u32(dirBytes, off + 72), u32(dirBytes, off + 76)))
       }
     }
-    val root = entries.find(_.typ == 5).getOrElse(return None)
+    val rootIdx = raw.indexWhere(_.exists(_.typ == 5))
+    if (rootIdx < 0) return None
+    val root = raw(rootIdx).get
+
+    // PATH-QUALIFIED directory walk: each storage's children form a
+    // sibling BST under its child pointer; stream names qualify as
+    // `storage/stream` (root-level streams keep their bare name), so
+    // a recipient storage's body can never shadow the message body —
+    // the tree IS the namespace ([MS-CFB] §2.6.4). Cycle/width guards
+    // make a corrupt tree a clean parse failure, and an empty but
+    // entry-bearing walk falls back to the flat first-wins view
+    // (legacy lenient behavior for mangled pointers).
+    val walked = scala.collection.mutable.ArrayBuffer[(String, RawEntry)]()
+    val seenSlots = scala.collection.mutable.HashSet[Long]()
+    def walkTree(slot: Long, prefix: String, depth: Int): Boolean = {
+      if (slot == NoStream) return true
+      if (depth > 64 || slot < 0 || slot >= nSlots || !seenSlots.add(slot)) return false
+      raw(slot.toInt) match {
+        case None => true // a freed slot in a pointer: tolerate
+        case Some(e) =>
+          if (!walkTree(e.left, prefix, depth + 1)) return false
+          walked += ((prefix + e.name, e))
+          if (e.typ == 1 && !walkTree(e.child, prefix + e.name + "/", depth + 1))
+            return false
+          walkTree(e.right, prefix, depth + 1)
+      }
+    }
+    val treeOk = walkTree(root.child, "", 0)
+    val entries: Seq[Entry] =
+      Entry(root.name, 5, root.start, root.size) +: (
+        if (treeOk && walked.nonEmpty)
+          walked.toSeq.map { case (p, e) => Entry(p, e.typ, e.start, e.size) }
+        else
+          raw.zipWithIndex.collect { case (Some(e), k) if k != rootIdx =>
+            Entry(e.name, e.typ, e.start, e.size)
+          })
 
     // mini stream machinery (only when some stream needs it)
     lazy val miniFat: Option[Array[Long]] =
@@ -243,16 +284,54 @@ object Cfb {
   /** Minimal valid v3 CFB over the given streams: 512-byte sectors,
     * one FAT sector (capacity 128 sectors — far above any fixture),
     * streams under the 4096-byte cutoff in the mini stream (the real
-    * layout small streams use), larger ones in regular sectors. The
-    * directory is a flat child chain under root — the shape our reader
-    * (and every lenient real one) walks by entry scan.
+    * layout small streams use), larger ones in regular sectors.
+    * Stream names may carry `/`-separated STORAGE paths (an Outlook
+    * .msg's recipient/attachment sub-storages) — storages become type-1
+    * entries whose children chain as sibling trees, the namespace the
+    * path-qualified reader walks.
     */
   def cfb(streamsIn: Seq[(String, Array[Byte])]): Array[Byte] = {
     val ss = 512
     val nameMax = 31
-    require(streamsIn.forall(_._1.length <= nameMax), "stream name too long")
-    val small = streamsIn.filter(s => s._2.length > 0 && s._2.length < 4096)
-    val large = streamsIn.filter(_._2.length >= 4096)
+    require(streamsIn.forall(_._1.split("/").forall(_.length <= nameMax)),
+      "stream name segment too long")
+
+    // path trie → preorder slot assignment (root = slot 0)
+    final class Node(val name: String) {
+      var data: Option[Array[Byte]] = None
+      val children = scala.collection.mutable.LinkedHashMap[String, Node]()
+    }
+    val rootNode = new Node("")
+    streamsIn.foreach { case (path, data) =>
+      val parts = path.split("/")
+      var cur = rootNode
+      parts.dropRight(1).foreach { seg =>
+        cur = cur.children.getOrElseUpdate(seg, new Node(seg))
+      }
+      val leaf = cur.children.getOrElseUpdate(parts.last, new Node(parts.last))
+      require(leaf.data.isEmpty && leaf.children.isEmpty, s"duplicate path $path")
+      leaf.data = Some(data)
+    }
+    val flat = scala.collection.mutable.ArrayBuffer[Node]()
+    val parentOf = scala.collection.mutable.HashMap[Node, Node]()
+    def dfs(n: Node): Unit = n.children.values.foreach { c =>
+      parentOf(c) = n
+      flat += c
+      dfs(c)
+    }
+    dfs(rootNode)
+    val slotOf: Map[Node, Int] = flat.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    def childSlot(n: Node): Long =
+      n.children.values.headOption.map(slotOf(_).toLong).getOrElse(NoStream)
+    def rightSlot(n: Node): Long = {
+      val sibs = parentOf(n).children.values.toSeq
+      val i = sibs.indexOf(n)
+      if (i >= 0 && i + 1 < sibs.length) slotOf(sibs(i + 1)).toLong else NoStream
+    }
+    val streamNodes = flat.filter(_.data.isDefined).toSeq
+    val small = streamNodes.map(n => (n, n.data.get))
+      .filter(s => s._2.length > 0 && s._2.length < 4096)
+    val large = streamNodes.map(n => (n, n.data.get)).filter(_._2.length >= 4096)
 
     // mini stream: each small stream padded to 64-byte mini sectors
     val miniChunks = small.map(s => (s._2.length + 63) / 64)
@@ -274,7 +353,7 @@ object Cfb {
 
     // regular sector plan: [0]=FAT, then directory, miniFAT, mini
     // stream container, large streams
-    val nEntries = 1 + streamsIn.length
+    val nEntries = 1 + flat.length
     val dirSectors = (nEntries * 128 + ss - 1) / ss
     val miniFatSectors = if (totalMini > 0) (miniFat.length * 4 + ss - 1) / ss else 0
     val miniStreamSectors = (miniStream.length + ss - 1) / ss
@@ -306,35 +385,38 @@ object Cfb {
     def w32(b: Array[Byte], off: Int, v: Long): Unit =
       (0 until 4).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
     def entry(idx: Int, name: String, typ: Int, start: Long, size: Long,
-        child: Long): Unit = {
+        child: Long, right: Long): Unit = {
       val off = idx * 128
       val nb = name.getBytes(UTF_16LE)
       System.arraycopy(nb, 0, dir, off, nb.length)
       w16(dir, off + 64, nb.length + 2)
       dir(off + 66) = typ.toByte
       dir(off + 67) = 1 // black
-      w32(dir, off + 68, NoStream) // left
-      w32(dir, off + 72, NoStream) // right (overwritten for chains)
+      w32(dir, off + 68, NoStream) // left (degenerate right-chain BSTs)
+      w32(dir, off + 72, right)
       w32(dir, off + 76, child)
       w32(dir, off + 116, start)
       w32(dir, off + 120, size)
     }
     entry(0, "Root Entry", 5,
       if (miniStreamSectors > 0) miniStreamStart else EndOfChain,
-      miniStream.length.toLong, if (nEntries > 1) 1L else NoStream)
-    var smallIdx = 0
-    var largeIdx = 0
-    streamsIn.zipWithIndex.foreach { case ((name, data), i) =>
-      val (start, sz) =
-        if (data.isEmpty) (EndOfChain, 0L)
-        else if (data.length < 4096) {
-          val s = miniStarts(smallIdx).toLong; smallIdx += 1; (s, data.length.toLong)
-        } else {
-          val s = largeStarts(largeIdx); largeIdx += 1; (s, data.length.toLong)
-        }
-      entry(i + 1, name, 2, start, sz, NoStream)
-      // flat right-sibling chain under root's child
-      if (i + 2 <= streamsIn.length) w32(dir, (i + 1) * 128 + 72, i + 2L)
+      miniStream.length.toLong, childSlot(rootNode), NoStream)
+    // stream data placement indexes, in the same flat (preorder) order
+    // the small/large lists were built from
+    val smallStart = small.map { case (n, _) => n }.zip(miniStarts.init).toMap
+    val largeStart = large.map(_._1).zip(largeStarts.init).toMap
+    flat.zipWithIndex.foreach { case (n, i) =>
+      val slot = i + 1
+      n.data match {
+        case None => // storage
+          entry(slot, n.name, 1, 0L, 0L, childSlot(n), rightSlot(n))
+        case Some(data) =>
+          val (start, sz) =
+            if (data.isEmpty) (EndOfChain, 0L)
+            else if (data.length < 4096) (smallStart(n).toLong, data.length.toLong)
+            else (largeStart(n), data.length.toLong)
+          entry(slot, n.name, 2, start, sz, NoStream, rightSlot(n))
+      }
     }
 
     // header

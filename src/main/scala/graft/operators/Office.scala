@@ -46,8 +46,9 @@ object Office {
 
   /** Route a CFB container by its distinguishing stream: `doc`
     * (legacy Word binary) | `xls` (legacy Excel workbook) | `ppt`
-    * (legacy PowerPoint) | `encrypted` (fEncrypted .doc, or an
-    * encrypted OOXML shell) | `cfb` (another/unparseable OLE).
+    * (legacy PowerPoint) | `msg` (Outlook message) | `encrypted`
+    * (fEncrypted .doc, or an encrypted OOXML shell) | `cfb`
+    * (another/unparseable OLE).
     */
   private def detectCfb(doc: Cfb.CfbDoc): String =
     if (Cfb.isEncryptedOoxml(doc)) "encrypted"
@@ -56,12 +57,14 @@ object Office {
       case None =>
         if (doc.streams.contains("Workbook") || doc.streams.contains("Book")) "xls"
         else if (doc.streams.contains("PowerPoint Document")) "ppt"
+        else if (Msg.isMsg(doc)) "msg"
         else "cfb"
     }
 
   /** Content-based kind: `docx` | `pptx` | `xlsx` | `odt` | `ods` |
-    * `odp` | `rtf` | `doc` | `xls` | `ppt` | `encrypted` | `cfb` |
-    * `zip` (a zip that is none of the routed families) | `unknown`.
+    * `odp` | `rtf` | `doc` | `xls` | `ppt` | `msg` | `encrypted` |
+    * `cfb` | `zip` (a zip that is none of the routed families) |
+    * `unknown`.
     */
   def detect(bytes: Array[Byte]): String = {
     if (bytes == null) return "unknown"
@@ -107,6 +110,11 @@ object Office {
               val d = Ppt.readCfb(c)
               if (d.stage == "ok")
                 (id, "ppt", d.paragraphs.length, d.paragraphs.mkString("\n"))
+              else (id, d.stage, 0, null)
+            case "msg" =>
+              val d = Msg.readCfb(c)
+              if (d.stage == "ok")
+                (id, "msg", d.n_recipients, Msg.flatText(d))
               else (id, d.stage, 0, null)
             case kind => (id, kind, 0, null)
           }

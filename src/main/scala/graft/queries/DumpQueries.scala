@@ -1559,18 +1559,19 @@ object DumpQueries {
     ),
 
     // OFFICE TRIAGE — the media-triage pattern on documents: a mixed
-    // stream of ALL TWELVE routed kinds — docx / pptx / grid xlsx /
+    // stream of ALL THIRTEEN routed kinds — docx / pptx / grid xlsx /
     // rtf / the three ODF subtypes discriminated on the mandatory
     // mimetype member (odt text, ods spreadsheet, odp presentation) /
     // the three legacy CFB binaries (Word piece table, Excel BIFF8
-    // grid, PowerPoint text atoms) / a REAL encrypted-OOXML shell /
-    // junk — routes by CONTENT and extracts on the same container
-    // walk. One scan, route before decode, map-only; the oracle
-    // re-derives kind, units and text per arm.
+    // grid, PowerPoint text atoms) / Outlook .msg (path-qualified
+    // property streams) / a REAL encrypted-OOXML shell / junk —
+    // routes by CONTENT and extracts on the same container walk. One
+    // scan, route before decode, map-only; the oracle re-derives
+    // kind, units and text per arm.
     Q(
       "q_office_triage",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 12) match {
+        val mk = udf((k: Long) => (k % 13) match {
           case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
@@ -1584,8 +1585,10 @@ object DumpQueries {
           case 8 => graft.operators.Odt.ods(Seq(Seq(s"sheet cell $k", "2")))
           case 9 => graft.operators.Odt.odp(Seq(Seq(s"deck $k")))
           case 10 => graft.operators.Ppt.ppt(Seq(Seq(s"old deck $k", s"pt $k")))
-          case _ => graft.operators.Xls.xls(Seq(
+          case 11 => graft.operators.Xls.xls(Seq(
             (1, Seq(("s", s"sheet97 $k"), ("n", "7")))))
+          case _ => graft.operators.Msg.msg(s"Re: topic $k", s"sender $k",
+            s"hello body $k", Seq("alice", "bob"))
         })
         val out = graft.operators.Office.routedText(
           Q.t(spark, dir, "nation")
@@ -1598,17 +1601,17 @@ object DumpQueries {
       Some(
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
           |SELECT k AS media_id,
-          |  CASE CAST(k % 12 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |  CASE CAST(k % 13 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
           |    WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
           |    WHEN 5 THEN 'encrypted' WHEN 6 THEN 'unknown'
           |    WHEN 7 THEN 'doc' WHEN 8 THEN 'ods' WHEN 9 THEN 'odp'
-          |    WHEN 10 THEN 'ppt' ELSE 'xls' END AS kind,
-          |  CAST(CASE CAST(k % 12 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
+          |    WHEN 10 THEN 'ppt' WHEN 11 THEN 'xls' ELSE 'msg' END AS kind,
+          |  CAST(CASE CAST(k % 13 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1
           |    WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 3
           |    WHEN 7 THEN 2 WHEN 8 THEN 2 WHEN 9 THEN 1
-          |    WHEN 10 THEN 2 WHEN 11 THEN 2
+          |    WHEN 10 THEN 2 WHEN 11 THEN 2 WHEN 12 THEN 2
           |    ELSE 0 END AS INT) AS n_units,
-          |  CASE CAST(k % 12 AS INT)
+          |  CASE CAST(k % 13 AS INT)
           |    WHEN 0 THEN 'word doc ' || k
           |    WHEN 1 THEN 'slide ' || k
           |    WHEN 2 THEN 'odt doc ' || k || chr(10) || 'tail end'
@@ -1619,6 +1622,7 @@ object DumpQueries {
           |    WHEN 9 THEN 'deck ' || k
           |    WHEN 10 THEN 'old deck ' || k || chr(10) || 'pt ' || k
           |    WHEN 11 THEN 'sheet97 ' || k || chr(9) || '7'
+          |    WHEN 12 THEN 'Re: topic ' || k || chr(10) || 'hello body ' || k
           |    ELSE NULL END AS text
           |FROM n""".stripMargin
       )
@@ -1977,6 +1981,59 @@ object DumpQueries {
           |    WHEN '2#' THEN CAST(n.k * 2 AS VARCHAR)
           |    ELSE c.v_tpl END AS value
           |FROM n, c""".stripMargin
+      )
+    ),
+
+    // OUTLOOK .msg — mail dumps in their native container: property
+    // streams by tag (subject 0037, sender 0C1A, body 1000; UTF-16
+    // spelling), recipient/attachment SUB-STORAGE census, and the
+    // tree-namespace proof: every recipient storage carries a POISON
+    // body-tagged stream that must never shadow the message body —
+    // only a path-qualified directory walk keeps them apart. Arms per
+    // k%4: recipients+attachment, recipient-less, encrypted shell,
+    // junk-CFB. Map-only.
+    Q(
+      "q_msg_text",
+      (spark, dir) => {
+        val mk = udf((k: Long) => (k % 4) match {
+          case 2 => graft.operators.Cfb.encryptedOoxmlFixture(k)
+          case 3 => graft.operators.Docx.encryptedFixture(k) // junk OLE
+          case 1 => graft.operators.Msg.msg(s"FYI $k", s"carol $k",
+            s"short note $k", Seq.empty)
+          case _ => graft.operators.Msg.msg(s"Re: topic $k", s"sender $k",
+            s"hello body $k\nsecond line $k", Seq("alice", "bob"),
+            attachments = 1)
+        })
+        val out = graft.operators.Msg.textRows(
+          Q.t(spark, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+        Q.requireNoShuffle(out)
+        out
+      },
+      Some(
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 2 THEN 'encrypted' WHEN 3 THEN 'cfb' ELSE 'ok' END AS stage,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 'Re: topic ' || n_nationkey
+          |    WHEN 1 THEN 'FYI ' || n_nationkey ELSE NULL END AS subject,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 'sender ' || n_nationkey
+          |    WHEN 1 THEN 'carol ' || n_nationkey ELSE NULL END AS sender,
+          |  CAST(CASE WHEN n_nationkey % 4 = 0 THEN 2 ELSE 0 END AS INT)
+          |    AS n_recipients,
+          |  CAST(CASE WHEN n_nationkey % 4 = 0 THEN 1 ELSE 0 END AS INT)
+          |    AS n_attachments,
+          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 0 THEN 'Re: topic ' || n_nationkey || chr(10) ||
+          |      'hello body ' || n_nationkey || chr(10) ||
+          |      'second line ' || n_nationkey
+          |    WHEN 1 THEN 'FYI ' || n_nationkey || chr(10) ||
+          |      'short note ' || n_nationkey
+          |    ELSE NULL END AS text
+          |FROM nation""".stripMargin
       )
     ),
 
