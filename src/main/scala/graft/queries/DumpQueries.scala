@@ -1641,7 +1641,7 @@ object DumpQueries {
     Q(
       "q_office_pipeline",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 12) match {
+        val mk = udf((k: Long) => (k % 13) match {
           case 0 => graft.operators.Docx.docx(Seq(Seq(s"word doc $k")))
           case 1 => graft.operators.Pptx.pptx(Seq(Seq(s"slide $k")))
           case 2 => graft.operators.Odt.odt(Seq(s"odt doc $k"))
@@ -1655,8 +1655,10 @@ object DumpQueries {
           case 8 => graft.operators.Odt.ods(Seq(Seq(s"sheet cell $k", "2")))
           case 9 => graft.operators.Odt.odp(Seq(Seq(s"deck $k")))
           case 10 => graft.operators.Ppt.ppt(Seq(Seq(s"old deck $k", s"pt $k")))
-          case _ => graft.operators.Xls.xls(Seq(
+          case 11 => graft.operators.Xls.xls(Seq(
             (1, Seq(("s", s"sheet97 $k"), ("n", "7")))))
+          case _ => graft.operators.Msg.msg(s"Re: topic $k", s"sender $k",
+            s"hello body $k", Seq("alice", "bob"))
         })
         val routed = graft.operators.Office.routedText(
           Q.t(spark, dir, "nation")
@@ -1678,15 +1680,15 @@ object DumpQueries {
         """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
           |r AS (
           |  SELECT k,
-          |    CASE CAST(k % 12 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+          |    CASE CAST(k % 13 AS INT) WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
           |      WHEN 2 THEN 'odt' WHEN 3 THEN 'rtf' WHEN 4 THEN 'xlsx'
           |      WHEN 5 THEN 'encrypted' WHEN 6 THEN 'unknown'
           |      WHEN 7 THEN 'doc' WHEN 8 THEN 'ods' WHEN 9 THEN 'odp'
-          |      WHEN 10 THEN 'ppt' ELSE 'xls' END AS kind,
-          |    CASE CAST(k % 12 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 5
+          |      WHEN 10 THEN 'ppt' WHEN 11 THEN 'xls' ELSE 'msg' END AS kind,
+          |    CASE CAST(k % 13 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 5
           |      WHEN 3 THEN 4 WHEN 4 THEN 5 WHEN 7 THEN 5
           |      WHEN 8 THEN 4 WHEN 9 THEN 2 WHEN 10 THEN 5 WHEN 11 THEN 3
-          |      ELSE 0 END AS n_tokens
+          |      WHEN 12 THEN 6 ELSE 0 END AS n_tokens
           |  FROM n)
           |SELECT kind, CAST(COUNT(*) AS BIGINT) AS docs,
           |  CAST(SUM(CASE WHEN n_tokens >= 3 THEN 1 ELSE 0 END) AS BIGINT)

@@ -880,6 +880,20 @@ object ScaleProbe {
           "media_id", "payload")
           .filter(col("stage") === "ok").count()
       }
+      // outlook .msg: CFB tree walk + property-stream decode, map-only
+      // — wall must track the blob count
+      probe(s"msg_text x$k") {
+        val mk = udf((id: Long) => {
+          val s = id % 97
+          graft.operators.Msg.msg(s"Re: topic $s", s"sender $s",
+            s"hello body $s words", Seq("alice", "bob"))
+        })
+        graft.operators.Msg.textRows(
+          d.select(col("doc_id").as("media_id"))
+            .withColumn("payload", mk(col("media_id"))),
+          "media_id", "payload")
+          .filter(col("stage") === "ok").count()
+      }
       // avro container walk: block split + inflate + record decode,
       // all map-only — wall must track the blob count (each doc row
       // becomes one 6-record deflate container)

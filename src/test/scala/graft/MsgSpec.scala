@@ -71,4 +71,29 @@ class MsgSpec extends SparkSpec {
       (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet ==
       Set((1L, "msg", 1, "hello\nworld"), (2L, "unknown", 0, null)))
   }
+
+  test("msg text streams identically to batch (map-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, Msg.msg("status", "s2", "all good", Seq("a", "b"), attachments = 1)),
+      (2L, Cfb.encryptedOoxmlFixture(2L)),
+      (3L, "junk".getBytes("UTF-8")))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val q = Msg.textRows(in.toDF().toDF("media_id", "payload"), "media_id", "payload")
+      .writeStream.format("memory").queryName("msg_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(blobs: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(4), r.getInt(5), r.getString(6))).toSet
+      val batch = rows(Msg.textRows(blobs.toDF("media_id", "payload"),
+        "media_id", "payload"))
+      assert(rows(spark.table("msg_out")) == batch)
+      assert(batch == Set(
+        (1L, "ok", 2, 1, "status\nall good"),
+        (2L, "encrypted", 0, 0, null),
+        (3L, "cfb", 0, 0, null)))
+    } finally q.stop()
+  }
 }
