@@ -39,6 +39,7 @@ object Xls {
   private val RLabel = 0x0204
   private val RNumber = 0x0203
   private val RRk = 0x027E
+  private val RMulRk = 0x00BD
   private val RBoolErr = 0x0205
 
   private def u16(b: Array[Byte], off: Int): Int =
@@ -198,6 +199,19 @@ object Xls {
               num2str(rkValue(u32(wb, i + 10)))))
             n += 1
             inSst = false
+          case RMulRk if len >= 12 && (len - 6) % 6 == 0 && sheet > 0 =>
+            // a run of RK cells in one record (row, colFirst,
+            // (ixfe+rk)×n, colLast) — what real writers emit for
+            // numeric row spans
+            val row = u16(wb, i + 4) + 1
+            val colFirst = u16(wb, i + 6) + 1
+            val cnt = (len - 6) / 6
+            (0 until cnt).foreach { j =>
+              raw += ((sheet, row, colFirst + j,
+                num2str(rkValue(u32(wb, i + 8 + 6 * j + 2)))))
+              n += 1
+            }
+            inSst = false
           case RBoolErr if len >= 8 && sheet > 0 =>
             if ((wb(i + 4 + 7) & 0xFF) == 0) { // fError=0: a boolean
               raw += ((sheet, u16(wb, i + 4) + 1, u16(wb, i + 6) + 1,
@@ -349,7 +363,19 @@ object Xls {
     stream.write(rec(REof, Array.empty))
     stream.write(bof(0x0010))
     rows.reverse.foreach { case (rn, cells) =>
-      cells.zipWithIndex.foreach { case ((kind, v), ci) =>
+      // a row of ≥2 all-small-integer cells ships as ONE MulRk record
+      // (the run form real writers emit); everything else per-cell
+      val allSmallInts = cells.length >= 2 && cells.forall { case (k, v) =>
+        k == "n" && v.toDoubleOption.exists(d =>
+          d == d.toLong.toDouble && math.abs(d.toLong) < (1L << 29))
+      }
+      if (allSmallInts) {
+        val body = le16(rn - 1) ++ le16(0) ++
+          cells.flatMap { case (_, v) =>
+            le16(0) ++ le32((v.toDouble.toLong << 2) | 2L)
+          } ++ le16(cells.length - 1)
+        stream.write(rec(RMulRk, body))
+      } else cells.zipWithIndex.foreach { case ((kind, v), ci) =>
         val head = le16(rn - 1) ++ le16(ci) ++ le16(0)
         kind match {
           case "s" =>

@@ -1957,7 +1957,9 @@ object DumpQueries {
           case m => graft.operators.Xls.xls(Seq(
             (1, Seq(("s", s"Name $k"), ("s", "Qty"))),
             (2, Seq(("l", s"widget $k"), ("n", s"${k * 2}"))),
-            (3, Seq(("n", "3.5"), ("s", s"Name $k")))),
+            (3, Seq(("n", "3.5"), ("s", s"Name $k"))),
+            // all-small-int row: ships as ONE MulRk run record
+            (4, Seq(("n", "1"), ("n", s"${k + 10}"), ("n", "-3")))),
             split = m == 0)
         })
         val out = graft.operators.Xls.cellRows(
@@ -1974,13 +1976,15 @@ object DumpQueries {
           |c(r, c, v_tpl) AS (VALUES
           |  (1, 1, 'Name #'), (1, 2, 'Qty'),
           |  (2, 1, 'widget #'), (2, 2, '2#'),
-          |  (3, 1, '3.5'), (3, 2, 'Name #'))
+          |  (3, 1, '3.5'), (3, 2, 'Name #'),
+          |  (4, 1, '1'), (4, 2, 'k10#'), (4, 3, '-3'))
           |SELECT n.k AS media_id, CAST(1 AS INT) AS sheet_no,
           |  CAST(c.r AS INT) AS row_no, CAST(c.c AS INT) AS col_no,
           |  CASE c.v_tpl
           |    WHEN 'Name #' THEN 'Name ' || n.k
           |    WHEN 'widget #' THEN 'widget ' || n.k
           |    WHEN '2#' THEN CAST(n.k * 2 AS VARCHAR)
+          |    WHEN 'k10#' THEN CAST(n.k + 10 AS VARCHAR)
           |    ELSE c.v_tpl END AS value
           |FROM n, c""".stripMargin
       )

@@ -28,6 +28,13 @@ class XlsPptSpec extends SparkSpec {
     // negative RK integers and the grid-text flatten
     val neg = Xls.read(Xls.xls(Seq((1, Seq(("n", "-7"), ("n", "2.25"))))))
     assert(neg.cells.map(_.value) == Seq("-7", "2.25"))
+    // an all-small-int row ships as ONE MulRk run record
+    val mul = Xls.read(Xls.xls(Seq(
+      (1, Seq(("n", "5"), ("n", "-9"), ("n", "12"))),
+      (2, Seq(("l", "label"), ("n", "2.5"))))))
+    assert(mul.cells.map(c => (c.row, c.col, c.value)) == Seq(
+      (1, 1, "5"), (1, 2, "-9"), (1, 3, "12"),
+      (2, 1, "label"), (2, 2, "2.5")))
     assert(Xls.gridText(Xls.read(Xls.xls(grid)).cells) ==
       "Name\tQty\nwidget\t42\n3.5\tName")
   }
