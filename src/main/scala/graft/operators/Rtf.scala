@@ -115,6 +115,14 @@ object Rtf {
                 if (neg) num = -num
               }
               if (j < n && s.charAt(j) == ' ') j += 1 // the delimiter space
+              if (word == "bin" && num > 0) {
+                // \binN: N raw BYTES follow (picture/object payloads).
+                // They are not RTF text and legally contain braces —
+                // consume them blind (even inside a skipped
+                // destination) or the brace walk desyncs and binary
+                // leaks into prose. Latin-1 carrier: 1 byte = 1 char.
+                i = math.min(n.toLong, j.toLong + num).toInt
+              } else {
               if (!skipping) {
                 word match {
                   case "par" | "line" => flush()
@@ -140,6 +148,7 @@ object Rtf {
                 }
               }
               i = j
+              }
             case _ => i += 2 // \<symbol> outside the table: both drop
           }
         case '\r' | '\n' =>

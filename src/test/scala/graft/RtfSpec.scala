@@ -49,6 +49,17 @@ class RtfSpec extends SparkSpec {
     assert(Rtf.strip(rtf("\\uc0\\u-224 z")).paragraphs.head.head == 0xFF20.toChar)
   }
 
+  test("\\binN raw payloads skip blind — embedded braces never desync the walk") {
+    // the 5 raw bytes after \bin5 contain braces and a backslash; a
+    // text-mode scan would close the objdata group early and leak
+    val b = "{\\rtf1 pre{\\*\\objdata\\bin5 }}\\{x} post}".getBytes("ISO-8859-1")
+    val d = graft.operators.Rtf.strip(b)
+    assert(d.stage == "ok" && d.paragraphs == Seq("pre post"))
+    // \bin running past EOF: the completed prefix keeps, never throws
+    val torn = "{\\rtf1 keep{\\*\\objdata\\bin99 xx".getBytes("ISO-8859-1")
+    assert(graft.operators.Rtf.strip(torn).paragraphs == Seq("keep"))
+  }
+
   test("degrades and torn input") {
     assert(Rtf.strip("not rtf at all".getBytes("UTF-8")).stage == "parse")
     assert(Rtf.strip(null).stage == "parse")
