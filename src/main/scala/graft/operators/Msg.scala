@@ -97,11 +97,12 @@ object Msg {
     */
   def msg(subject: String, sender: String, body: String,
       recipients: Seq[String], attachments: Int = 0): Array[Byte] = {
-    val base = Seq(
-      ("__properties_version1.0", new Array[Byte](32)),
-      ("__substg1.0_0037001F", subject.getBytes(UTF_16LE)),
-      ("__substg1.0_0C1A001F", sender.getBytes(UTF_16LE)),
-      ("__substg1.0_1000001F", body.getBytes(UTF_16LE)))
+    // null subject/sender/body omit the property stream (all three are
+    // optional in real messages — absence is not a degrade)
+    val base = Seq(("__properties_version1.0", new Array[Byte](32))) ++
+      Option(subject).map(s => ("__substg1.0_0037001F", s.getBytes(UTF_16LE))) ++
+      Option(sender).map(s => ("__substg1.0_0C1A001F", s.getBytes(UTF_16LE))) ++
+      Option(body).map(s => ("__substg1.0_1000001F", s.getBytes(UTF_16LE)))
     val recips = recipients.zipWithIndex.flatMap { case (r, i) =>
       val st = f"__recip_version1.0_#$i%08X"
       Seq(

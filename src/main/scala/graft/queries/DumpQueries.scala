@@ -940,7 +940,7 @@ object DumpQueries {
       )
     ),
 
-    // THE SOURCE-UNION CAPSTONE: the twelve ingest families this
+    // THE SOURCE-UNION CAPSTONE: the thirteen ingest families this
     // engine reads — published dumps (bz2 XML → wikitext strip), crawl
     // archives (WARC → HTTP → text), PDFs (xref → content streams →
     // text), DOCX documents (zip → word/document.xml → paragraphs),
@@ -948,12 +948,13 @@ object DumpQueries {
     // (zip → slides → DrawingML bodies), legacy PowerPoint (CFB →
     // text atoms), legacy Excel grids (CFB → BIFF8 records), EPUB
     // books (zip → OPF spine → chapters), arXiv LaTeX (tar.gz → macro
-    // strip), Avro containers (blocks → string records), and dataset
-    // shards (tar → samples) — land in ONE corpus frame, deduped
+    // strip), Avro containers (blocks → string records), Outlook mail
+    // (CFB tree → body property streams), and dataset shards (tar →
+    // samples) — land in ONE corpus frame, deduped
     // exactly ACROSS sources (texts collide across families by
     // construction; the canonical-source rank breaks ties: dump >
     // crawl > pdf > docx > doc > pptx > ppt > xls > epub > latex >
-    // avro > shard) with per-source admission accounting. Two shuffles
+    // avro > msg > shard) with per-source admission accounting. Two shuffles
     // total: the text-keyed dedup window and the per-source rollup;
     // every reader upstream is the map-only walk its own gate already
     // pins.
@@ -1041,6 +1042,14 @@ object DumpQueries {
           .select(col("media_id"), col("text"))
           .withColumn("source", lit("xls"))
 
+        val msgMk = udf((k: Long) => graft.operators.Msg.msg(null, s"s$k",
+          if (k % 37 == 0) s"common ${k % 4}" else s"msg only $k", Seq("r")))
+        val msgSrc = graft.operators.Msg.textRows(
+          keys.withColumn("payload", msgMk(col("media_id"))), "media_id", "payload")
+          .filter(col("stage") === "ok")
+          .select(col("media_id"), col("text"))
+          .withColumn("source", lit("msg"))
+
         val epubMk = udf((k: Long) => graft.operators.Epub.epub(Seq(
           ("c0.xhtml", if (k % 9 == 0) s"common ${k % 4}" else s"epub only $k"))))
         val epubSrc = graft.operators.Epub.chapterRows(
@@ -1078,7 +1087,7 @@ object DumpQueries {
           .unionByName(docxSrc).unionByName(docSrc).unionByName(pptxSrc)
           .unionByName(pptSrc).unionByName(xlsSrc)
           .unionByName(epubSrc).unionByName(latexSrc)
-          .unionByName(avroSrc).unionByName(shard)
+          .unionByName(avroSrc).unionByName(msgSrc).unionByName(shard)
           .withColumn("rank",
             when(col("source") === "dump", 0)
               .when(col("source") === "crawl", 1)
@@ -1090,7 +1099,8 @@ object DumpQueries {
               .when(col("source") === "xls", 7)
               .when(col("source") === "epub", 8)
               .when(col("source") === "latex", 9)
-              .when(col("source") === "avro", 10).otherwise(11))
+              .when(col("source") === "avro", 10)
+              .when(col("source") === "msg", 11).otherwise(12))
         val byText = Window.partitionBy(col("text"))
           .orderBy(col("rank"), col("media_id"))
         val out = all
@@ -1159,7 +1169,12 @@ object DumpQueries {
           |         ELSE 'avro only ' || k END
           |  FROM n
           |  UNION ALL
-          |  SELECT 'shard', 11, k,
+          |  SELECT 'msg', 11, k,
+          |    CASE WHEN k % 37 = 0 THEN 'common ' || (k % 4)
+          |         ELSE 'msg only ' || k END
+          |  FROM n
+          |  UNION ALL
+          |  SELECT 'shard', 12, k,
           |    CASE WHEN k % 3 = 0 THEN 'common ' || (k % 4)
           |         ELSE 'shard only ' || k END
           |  FROM n
