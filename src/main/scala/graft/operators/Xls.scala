@@ -41,6 +41,8 @@ object Xls {
   private val RRk = 0x027E
   private val RMulRk = 0x00BD
   private val RBoolErr = 0x0205
+  private val RFormula = 0x0006
+  private val RString = 0x0207
 
   private def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
@@ -148,6 +150,7 @@ object Xls {
     var sstChunks = Vector.empty[Array[Byte]]
     var inSst = false
     var sheet = 0
+    var pendingFormulaStr: (Int, Int, Int) = null // Formula awaiting its String
     val raw = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, String)]()
     val pendingSst = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Long)]()
     var i = 0
@@ -218,6 +221,43 @@ object Xls {
                 if (wb(i + 4 + 6) != 0) "TRUE" else "FALSE"))
               n += 1
             }
+            inSst = false
+          case RFormula if len >= 14 && sheet > 0 =>
+            // the CACHED result rides the record (§2.4.127): a plain
+            // IEEE double, or the FF FF-tagged special — type 0 defers
+            // to the FOLLOWING String record, 1 is a bool, 2 an error
+            val row = u16(wb, i + 4) + 1
+            val c0 = u16(wb, i + 6) + 1
+            if (u16(wb, i + 10 + 6) == 0xFFFF) {
+              (wb(i + 10) & 0xFF) match {
+                case 0 => pendingFormulaStr = (sheet, row, c0) // String follows
+                case 1 =>
+                  raw += ((sheet, row, c0, if (wb(i + 12) != 0) "TRUE" else "FALSE"))
+                  n += 1
+                case _ => () // error results carry no text
+              }
+            } else {
+              val bits = u32(wb, i + 10) | (u32(wb, i + 14) << 32)
+              raw += ((sheet, row, c0,
+                num2str(java.lang.Double.longBitsToDouble(bits))))
+              n += 1
+            }
+            inSst = false
+          case RString if len >= 3 && pendingFormulaStr != null =>
+            val cch = u16(wb, i + 4)
+            val fHigh = (wb(i + 6) & 1) != 0
+            val need = cch * (if (fHigh) 2 else 1)
+            if (i + 7 + need <= end) {
+              val s =
+                if (fHigh) new String(wb, i + 7, need,
+                  java.nio.charset.StandardCharsets.UTF_16LE)
+                else new String(wb, i + 7, need,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+              val (sh, r0, c0) = pendingFormulaStr
+              raw += ((sh, r0, c0, s))
+              n += 1
+            }
+            pendingFormulaStr = null
             inSst = false
           case REof => inSst = false
           case _ => inSst = false
@@ -382,6 +422,17 @@ object Xls {
             stream.write(rec(RLabelSst, head ++ le32(sstIdx(v).toLong)))
           case "l" =>
             stream.write(rec(RLabel, head ++ le16(v.length) ++ Array[Byte](0) ++
+              v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+          case "f" => // formula, cached NUMERIC result inline
+            val bits = java.lang.Double.doubleToLongBits(v.toDouble)
+            stream.write(rec(RFormula, head ++
+              le32(bits & 0xFFFFFFFFL) ++ le32(bits >>> 32) ++
+              le16(0) ++ le32(0L) ++ le16(0))) // flags, chn, empty rgce
+          case "fs" => // formula, cached STRING result in a String record
+            stream.write(rec(RFormula, head ++
+              Array[Byte](0, 0, 0, 0, 0, 0, 0xFF.toByte, 0xFF.toByte) ++
+              le16(0) ++ le32(0L) ++ le16(0)))
+            stream.write(rec(RString, le16(v.length) ++ Array[Byte](0) ++
               v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
           case _ =>
             val d = v.toDouble

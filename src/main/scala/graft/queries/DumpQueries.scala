@@ -1974,7 +1974,9 @@ object DumpQueries {
             (2, Seq(("l", s"widget $k"), ("n", s"${k * 2}"))),
             (3, Seq(("n", "3.5"), ("s", s"Name $k"))),
             // all-small-int row: ships as ONE MulRk run record
-            (4, Seq(("n", "1"), ("n", s"${k + 10}"), ("n", "-3")))),
+            (4, Seq(("n", "1"), ("n", s"${k + 10}"), ("n", "-3"))),
+            // formula cells: cached string + cached numeric results
+            (5, Seq(("fs", s"calc $k"), ("f", "2.5")))),
             split = m == 0)
         })
         val out = graft.operators.Xls.cellRows(
@@ -1992,7 +1994,8 @@ object DumpQueries {
           |  (1, 1, 'Name #'), (1, 2, 'Qty'),
           |  (2, 1, 'widget #'), (2, 2, '2#'),
           |  (3, 1, '3.5'), (3, 2, 'Name #'),
-          |  (4, 1, '1'), (4, 2, 'k10#'), (4, 3, '-3'))
+          |  (4, 1, '1'), (4, 2, 'k10#'), (4, 3, '-3'),
+          |  (5, 1, 'calc #'), (5, 2, '2.5'))
           |SELECT n.k AS media_id, CAST(1 AS INT) AS sheet_no,
           |  CAST(c.r AS INT) AS row_no, CAST(c.c AS INT) AS col_no,
           |  CASE c.v_tpl
@@ -2000,6 +2003,7 @@ object DumpQueries {
           |    WHEN 'widget #' THEN 'widget ' || n.k
           |    WHEN '2#' THEN CAST(n.k * 2 AS VARCHAR)
           |    WHEN 'k10#' THEN CAST(n.k + 10 AS VARCHAR)
+          |    WHEN 'calc #' THEN 'calc ' || n.k
           |    ELSE c.v_tpl END AS value
           |FROM n, c""".stripMargin
       )

@@ -35,6 +35,12 @@ class XlsPptSpec extends SparkSpec {
     assert(mul.cells.map(c => (c.row, c.col, c.value)) == Seq(
       (1, 1, "5"), (1, 2, "-9"), (1, 3, "12"),
       (2, 1, "label"), (2, 2, "2.5")))
+    // formula cells: the cached STRING result rides the following
+    // String record, the cached numeric result rides inline
+    val fml = Xls.read(Xls.xls(Seq(
+      (1, Seq(("fs", "computed text"), ("f", "7"), ("f", "1.25"))))))
+    assert(fml.cells.map(c => (c.col, c.value)) == Seq(
+      (1, "computed text"), (2, "7"), (3, "1.25")))
     assert(Xls.gridText(Xls.read(Xls.xls(grid)).cells) ==
       "Name\tQty\nwidget\t42\n3.5\tName")
   }
