@@ -40,6 +40,81 @@ object Msg {
       .orElse(doc.streams.get(s"__substg1.0_${tag}001E").map(decode1252))
       .orNull
 
+  /** The [MS-OXRTFCP] LZFu init dictionary — the published 207-byte
+    * prelude every compressed-RTF body's references may reach into.
+    */
+  private val LzfuPrelude: Array[Byte] =
+    ("{\\rtf1\\ansi\\mac\\deff0\\deftab720{\\fonttbl;}" +
+      "{\\f0\\fnil \\froman \\fswiss \\fmodern \\fscript \\fdecor " +
+      "MS Sans SerifSymbolArialTimes New RomanCourier" +
+      "{\\colortbl\\red0\\green0\\blue0\r\n" +
+      "\\par \\pard\\plain\\f0\\fs20\\b\\i\\u\\tab\\tx")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** [MS-OXRTFCP] LZFu decompression — the compressed-RTF body most
+    * real .msg files carry (PR_RTF_COMPRESSED, tag 1009): a 4096-byte
+    * circular dictionary seeded with the published prelude; control
+    * bytes flag literals vs 12-bit-offset / 4-bit-length references; a
+    * reference whose offset equals the current write position is the
+    * END token. `MELA`-tagged payloads are stored uncompressed. None
+    * on malformed input (countable — the body stays absent, never
+    * garbage). The CRC is not validated (lenient read).
+    */
+  private[graft] def lzfuDecompress(data: Array[Byte],
+      maxOut: Int = 16 << 20): Option[Array[Byte]] = {
+    if (data == null || data.length < 16) return None
+    def u32(off: Int): Long =
+      (data(off) & 0xFFL) | ((data(off + 1) & 0xFFL) << 8) |
+        ((data(off + 2) & 0xFFL) << 16) | ((data(off + 3) & 0xFFL) << 24)
+    val rawSize = u32(4)
+    if (rawSize > maxOut) return None
+    u32(8) match {
+      case 0x414C454DL => // 'MELA': stored uncompressed
+        val n = math.min(rawSize, (data.length - 16).toLong).toInt
+        Some(java.util.Arrays.copyOfRange(data, 16, 16 + n))
+      case 0x75465A4CL => // 'LZFu'
+        val dict = new Array[Byte](4096)
+        System.arraycopy(LzfuPrelude, 0, dict, 0, LzfuPrelude.length)
+        var wpos = LzfuPrelude.length
+        val out = new java.io.ByteArrayOutputStream()
+        var i = 16
+        while (i < data.length && out.size <= maxOut) {
+          val control = data(i) & 0xFF
+          i += 1
+          var bit = 0
+          while (bit < 8) {
+            if ((control & (1 << bit)) == 0) {
+              if (i >= data.length) return None // torn literal run
+              dict(wpos) = data(i)
+              wpos = (wpos + 1) % 4096
+              out.write(data(i))
+              i += 1
+            } else {
+              if (i + 2 > data.length) return None
+              val v = ((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)
+              i += 2
+              val off = v >>> 4
+              if (off == wpos) return Some(out.toByteArray) // END token
+              var j = 0
+              var rp = off
+              val len = (v & 0xF) + 2
+              while (j < len) {
+                val b = dict(rp)
+                rp = (rp + 1) % 4096
+                dict(wpos) = b
+                wpos = (wpos + 1) % 4096
+                out.write(b)
+                j += 1
+              }
+            }
+            bit += 1
+          }
+        }
+        None // ran out without an END token: malformed
+      case _ => None
+    }
+  }
+
   private[operators] def isMsg(doc: Cfb.CfbDoc): Boolean =
     doc.streams.contains("__properties_version1.0") ||
       doc.streams.keysIterator.exists(k =>
@@ -47,8 +122,19 @@ object Msg {
 
   private[operators] def readCfb(doc: Cfb.CfbDoc): MsgDoc = {
     if (!isMsg(doc)) return MsgDoc("part", null, null, null, 0, 0)
+    // body resolution order: the plain-text property (1000), else the
+    // COMPRESSED-RTF property (1009) decompressed and fed through the
+    // shipped RTF stripper — the form most real messages store
+    val body = Option(prop(doc, "1000")).orElse {
+      doc.streams.get("__substg1.0_10090102")
+        .flatMap(lzfuDecompress(_))
+        .flatMap { rtf =>
+          val d = Rtf.strip(rtf)
+          if (d.stage == "ok") Some(d.paragraphs.mkString("\n")) else None
+        }
+    }.orNull
     MsgDoc("ok",
-      prop(doc, "0037"), prop(doc, "0C1A"), prop(doc, "1000"),
+      prop(doc, "0037"), prop(doc, "0C1A"), body,
       doc.entries.count(e => e.typ == 1 && e.name.startsWith("__recip_version1.0_")),
       doc.entries.count(e => e.typ == 1 && e.name.startsWith("__attach_version1.0_")))
   }
@@ -95,14 +181,62 @@ object Msg {
     * body (the tree-namespace proof) — plus `attachments` attachment
     * sub-storages with opaque payload streams.
     */
+  /** LZFu compression (fixture side): one crafted reference into the
+    * init dictionary when the body opens with the prelude's `rtf1`
+    * header (proving reference decode against the published dict),
+    * literals for the rest, the END token last. CRC written 0 (the
+    * reader is lenient by contract).
+    */
+  private[graft] def lzfuCompress(rtf: Array[Byte]): Array[Byte] = {
+    val head = "{\\rtf1\\ansi".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val opensWithDict = rtf.length >= head.length &&
+      head.indices.forall(i => rtf(i) == head(i))
+    var wpos = LzfuPrelude.length
+    var pos = 0
+    val toks = scala.collection.mutable.ArrayBuffer[Either[Byte, Int]]()
+    if (opensWithDict) {
+      toks += Right((0 << 4) | (head.length - 2)) // dict offset 0, len 11
+      pos = head.length
+      wpos += head.length
+    }
+    while (pos < rtf.length) {
+      toks += Left(rtf(pos))
+      pos += 1
+      wpos += 1
+    }
+    toks += Right(((wpos % 4096) << 4)) // END: offset = write position
+    val body = new java.io.ByteArrayOutputStream()
+    toks.grouped(8).foreach { group =>
+      var control = 0
+      group.zipWithIndex.foreach { case (t, i) => if (t.isRight) control |= 1 << i }
+      body.write(control)
+      group.foreach {
+        case Left(b) => body.write(b)
+        case Right(v) => body.write((v >> 8) & 0xFF); body.write(v & 0xFF)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+    w32(body.size.toLong + 12) // compSize: bytes after this field
+    w32(rtf.length.toLong)
+    w32(0x75465A4CL) // 'LZFu'
+    w32(0L) // crc: not validated by the lenient reader
+    body.writeTo(out)
+    out.toByteArray
+  }
+
   def msg(subject: String, sender: String, body: String,
-      recipients: Seq[String], attachments: Int = 0): Array[Byte] = {
+      recipients: Seq[String], attachments: Int = 0,
+      rtfBody: String = null): Array[Byte] = {
     // null subject/sender/body omit the property stream (all three are
-    // optional in real messages — absence is not a degrade)
+    // optional in real messages — absence is not a degrade);
+    // `rtfBody` ships as the COMPRESSED-RTF property instead
     val base = Seq(("__properties_version1.0", new Array[Byte](32))) ++
       Option(subject).map(s => ("__substg1.0_0037001F", s.getBytes(UTF_16LE))) ++
       Option(sender).map(s => ("__substg1.0_0C1A001F", s.getBytes(UTF_16LE))) ++
-      Option(body).map(s => ("__substg1.0_1000001F", s.getBytes(UTF_16LE)))
+      Option(body).map(s => ("__substg1.0_1000001F", s.getBytes(UTF_16LE))) ++
+      Option(rtfBody).map(s => ("__substg1.0_10090102",
+        lzfuCompress(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
     val recips = recipients.zipWithIndex.flatMap { case (r, i) =>
       val st = f"__recip_version1.0_#$i%08X"
       Seq(

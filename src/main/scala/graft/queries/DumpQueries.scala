@@ -2011,18 +2011,23 @@ object DumpQueries {
 
     // OUTLOOK .msg — mail dumps in their native container: property
     // streams by tag (subject 0037, sender 0C1A, body 1000; UTF-16
-    // spelling), recipient/attachment SUB-STORAGE census, and the
-    // tree-namespace proof: every recipient storage carries a POISON
-    // body-tagged stream that must never shadow the message body —
-    // only a path-qualified directory walk keeps them apart. Arms per
-    // k%4: recipients+attachment, recipient-less, encrypted shell,
-    // junk-CFB. Map-only.
+    // spelling), the COMPRESSED-RTF body fallback ([MS-OXRTFCP] LZFu
+    // with a reference into the published init dictionary, fed through
+    // the shipped RTF stripper), recipient/attachment SUB-STORAGE
+    // census, and the tree-namespace proof: every recipient storage
+    // carries a POISON body-tagged stream that must never shadow the
+    // message body — only a path-qualified directory walk keeps them
+    // apart. Arms per k%5: recipients+attachment, recipient-less,
+    // encrypted shell, junk-CFB, compressed-RTF body. Map-only.
     Q(
       "q_msg_text",
       (spark, dir) => {
-        val mk = udf((k: Long) => (k % 4) match {
+        val mk = udf((k: Long) => (k % 5) match {
           case 2 => graft.operators.Cfb.encryptedOoxmlFixture(k)
           case 3 => graft.operators.Docx.encryptedFixture(k) // junk OLE
+          case 4 => graft.operators.Msg.msg(s"Memo $k", s"rita $k", null,
+            Seq.empty,
+            rtfBody = s"{\\rtf1\\ansi compressed note $k\\par tail $k}")
           case 1 => graft.operators.Msg.msg(s"FYI $k", s"carol $k",
             s"short note $k", Seq.empty)
           case _ => graft.operators.Msg.msg(s"Re: topic $k", s"sender $k",
@@ -2039,24 +2044,29 @@ object DumpQueries {
       },
       Some(
         """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
-          |  CASE CAST(n_nationkey % 4 AS INT)
+          |  CASE CAST(n_nationkey % 5 AS INT)
           |    WHEN 2 THEN 'encrypted' WHEN 3 THEN 'cfb' ELSE 'ok' END AS stage,
-          |  CASE CAST(n_nationkey % 4 AS INT)
+          |  CASE CAST(n_nationkey % 5 AS INT)
           |    WHEN 0 THEN 'Re: topic ' || n_nationkey
-          |    WHEN 1 THEN 'FYI ' || n_nationkey ELSE NULL END AS subject,
-          |  CASE CAST(n_nationkey % 4 AS INT)
+          |    WHEN 1 THEN 'FYI ' || n_nationkey
+          |    WHEN 4 THEN 'Memo ' || n_nationkey ELSE NULL END AS subject,
+          |  CASE CAST(n_nationkey % 5 AS INT)
           |    WHEN 0 THEN 'sender ' || n_nationkey
-          |    WHEN 1 THEN 'carol ' || n_nationkey ELSE NULL END AS sender,
-          |  CAST(CASE WHEN n_nationkey % 4 = 0 THEN 2 ELSE 0 END AS INT)
+          |    WHEN 1 THEN 'carol ' || n_nationkey
+          |    WHEN 4 THEN 'rita ' || n_nationkey ELSE NULL END AS sender,
+          |  CAST(CASE WHEN n_nationkey % 5 = 0 THEN 2 ELSE 0 END AS INT)
           |    AS n_recipients,
-          |  CAST(CASE WHEN n_nationkey % 4 = 0 THEN 1 ELSE 0 END AS INT)
+          |  CAST(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END AS INT)
           |    AS n_attachments,
-          |  CASE CAST(n_nationkey % 4 AS INT)
+          |  CASE CAST(n_nationkey % 5 AS INT)
           |    WHEN 0 THEN 'Re: topic ' || n_nationkey || chr(10) ||
           |      'hello body ' || n_nationkey || chr(10) ||
           |      'second line ' || n_nationkey
           |    WHEN 1 THEN 'FYI ' || n_nationkey || chr(10) ||
           |      'short note ' || n_nationkey
+          |    WHEN 4 THEN 'Memo ' || n_nationkey || chr(10) ||
+          |      'compressed note ' || n_nationkey || chr(10) ||
+          |      'tail ' || n_nationkey
           |    ELSE NULL END AS text
           |FROM nation""".stripMargin
       )

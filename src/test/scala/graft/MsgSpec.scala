@@ -40,6 +40,32 @@ class MsgSpec extends SparkSpec {
     assert(Msg.read(legacy).subject == "plain subject")
   }
 
+  test("compressed-RTF body: LZFu round-trips through the prelude reference") {
+    val rtf = "{\\rtf1\\ansi hello from rtf\\par second para}"
+    val b = Msg.msg("subj", "s", null, Seq.empty, rtfBody = rtf)
+    val d = Msg.read(b)
+    assert(d.stage == "ok")
+    assert(d.body == "hello from rtf\nsecond para")
+    // a plain-text body WINS over the RTF form when both exist
+    val both = Msg.msg("subj", "s", "plain wins", Seq.empty, rtfBody = rtf)
+    assert(Msg.read(both).body == "plain wins")
+    // the raw primitive: compress(x) decompresses to x byte-for-byte
+    val raw = rtf.getBytes("ISO-8859-1")
+    assert(Msg.lzfuDecompress(Msg.lzfuCompress(raw)).get.toSeq == raw.toSeq)
+    // a body NOT opening with the dictionary header: all-literal path
+    val plain = "no rtf header at all".getBytes("ISO-8859-1")
+    assert(Msg.lzfuDecompress(Msg.lzfuCompress(plain)).get.toSeq == plain.toSeq)
+    // MELA (stored) payloads read straight through
+    val mela = Array[Byte](0, 0, 0, 0, 3, 0, 0, 0,
+      'M', 'E', 'L', 'A', 0, 0, 0, 0, 'a', 'b', 'c', 'd')
+    assert(Msg.lzfuDecompress(mela).get.toSeq == "abc".getBytes("ISO-8859-1").toSeq)
+    // malformed: truncation never throws, yields None (absent body)
+    val comp = Msg.lzfuCompress(raw)
+    (0 until comp.length by 7).foreach(n =>
+      Msg.lzfuDecompress(java.util.Arrays.copyOfRange(comp, 0, n)): Unit)
+    assert(Msg.lzfuDecompress(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("msg degrades and routing: encrypted shell, junk OLE, junk bytes, triage") {
     assert(Msg.read(Cfb.encryptedOoxmlFixture(3L)).stage == "encrypted")
     assert(Msg.read(Docx.encryptedFixture(3L)).stage == "cfb")
